@@ -1,0 +1,97 @@
+"""User-facing configuration objects + validation.
+
+Mirrors the reference's configuration surface:
+
+* ``CollectionInfo`` (/root/reference/src/graph_loader.rs:27-31)
+* ``DataLoadConfiguration`` defaults parallelism=8, batch_size=100_000,
+  prefetch_count=5 (/root/reference/src/config.rs:111-118)
+* ``verify_parameters`` mutual-exclusion rule
+  (/root/reference/src/graph_loader.rs:253-271)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .errors import InvalidParameterError
+
+
+@dataclass(frozen=True)
+class CollectionInfo:
+    """A collection plus the attribute projection the user wants
+    (reference src/graph_loader.rs:27-31)."""
+
+    name: str
+    fields: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class DataLoadConfig:
+    """Execution knobs. Reference defaults: src/config.rs:111-118.
+
+    ``parallelism`` maps to per-stage ``concurrency`` / read task count,
+    ``batch_size`` to ``map_batches(batch_size=...)``; the reference's
+    ``prefetch_count`` dissolves into Ray Data's streaming-executor
+    backpressure.
+    """
+
+    parallelism: int = 8
+    batch_size: int = 100_000
+    load_all_vertex_attributes: bool = False
+    load_all_edge_attributes: bool = False
+
+
+def verify_parameters(
+    cfg: DataLoadConfig,
+    vertex_collections: list[CollectionInfo],
+    edge_collections: list[CollectionInfo],
+) -> None:
+    """Reject explicit field lists combined with load_all_* flags
+    (reference ``verify_parameters``, src/graph_loader.rs:253-271)."""
+    if cfg.load_all_vertex_attributes and any(c.fields for c in vertex_collections):
+        raise InvalidParameterError(
+            "load_all_vertex_attributes is mutually exclusive with explicit "
+            "vertex field lists"
+        )
+    if cfg.load_all_edge_attributes and any(c.fields for c in edge_collections):
+        raise InvalidParameterError(
+            "load_all_edge_attributes is mutually exclusive with explicit "
+            "edge field lists"
+        )
+
+
+@dataclass(frozen=True)
+class GraphBuildConfig:
+    """End-to-end KG-construction pipeline configuration (SURVEY.md §3.4)."""
+
+    input_path: str
+    output_path: str
+    vertex_collection: str = "entities"
+    edge_collection: str = "relations"
+
+    # extraction / linking
+    batch_size: int = 4096            # span-heavy rows: smaller than ref's 100k
+    linker_concurrency: tuple[int, int] = (2, 8)
+    linker_num_cpus: float = 1.0
+    min_link_score: float = 0.35      # trigram-cosine acceptance threshold
+
+    # skew handling (SURVEY.md §4.2: salted two-level groupby)
+    salt_mod: int = 16
+
+    # checkpoint / resume
+    num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
+    resume: bool = False
+
+    # deterministic output ordering (tests); off for large runs
+    sort_output: bool = False
+
+    def validate(self) -> None:
+        if self.num_partitions < 1:
+            raise InvalidParameterError("num_partitions must be >= 1")
+        if self.salt_mod < 1:
+            raise InvalidParameterError("salt_mod must be >= 1")
+        if self.batch_size < 1:
+            raise InvalidParameterError("batch_size must be >= 1")
+        lo, hi = self.linker_concurrency
+        if not (1 <= lo <= hi):
+            raise InvalidParameterError("linker_concurrency must be (min<=max), min>=1")

@@ -1,0 +1,61 @@
+"""Sources & sinks.
+
+The reference's dump/AQL readers (S1/S2, /root/reference/src/sharding.rs:
+64-308, src/aql.rs:57-243) dissolve into Ray Data's parallel fragment
+reads: fragments = shards, read tasks = dump tasks, prefetch/backpressure =
+the streaming executor. Column projection pushdown replaces the reference's
+server-side projections (M8/M9, src/graph_loader.rs:978-1026).
+
+Lance is the target storage format per SURVEY.md; the ``lance`` package is
+not installed in this sandbox, so the Lance path is gated behind an
+import-try and Parquet (same schema shape, same pushdown semantics) is the
+tested path. Both are directory-of-fragments formats, so nothing else in
+the engine changes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray.data
+
+
+def _is_lance(path: str) -> bool:
+    return path.rstrip("/").endswith(".lance")
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """Read a Lance or Parquet table as a streaming Dataset with column
+    pruning pushed to the read (M8 analog)."""
+    if _is_lance(path):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lance absent in sandbox
+            raise ImportError(
+                "lance is not installed; use a parquet path (same schema)"
+            ) from e
+        return ray.data.read_lance(path, columns=columns, **kwargs)
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_documents(path: str, **kwargs) -> ray.data.Dataset:
+    """Read the interleaved-document corpus (doc_id, spans)."""
+    return read_table(path, columns=["doc_id", "spans"], **kwargs)
+
+
+def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
+    """Write a Dataset as a directory of part files (resumable layout)."""
+    if _is_lance(path):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("lance is not installed; write parquet instead") from e
+        ds.write_lance(path, **kwargs)
+        return
+    ds.write_parquet(path, **kwargs)
+
+
+def partition_files(path: str, partition_col: str, value) -> list[str]:
+    """Files of one hive partition under ``path``."""
+    return sorted(glob.glob(os.path.join(path, f"{partition_col}={value}", "*")))

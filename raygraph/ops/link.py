@@ -1,0 +1,163 @@
+"""Entity linking — stateful actor-pool ``map_batches`` stage.
+
+The analog of the reference's consumer thread pool with per-thread captured
+state (C3, /root/reference/src/graph_loader.rs:387-399: ``parallelism``
+threads each owning a channel + a clone of the callback state). Here the
+state is heavier — an alias dictionary + a TF-IDF char-trigram index — so
+it is built ONCE per actor in ``__init__`` and shared across batches:
+
+    ds.map_batches(EntityLinker, fn_constructor_kwargs={"alias_ref": ref},
+                   batch_format="pyarrow", batch_size=B, concurrency=(n, m))
+
+The alias inventory is broadcast with ``ray.put`` on the driver and fetched
+once per actor (never re-shipped per batch). Surfaces that miss the exact
+dict fall back to trigram-cosine against the alias matrix; below-threshold
+surfaces mint a deterministic key from the normalized surface itself, so
+linking needs no cross-actor coordination and N- vs 4N-CPU runs produce
+identical output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]")
+
+TRIGRAM_DIM = 4096  # hashing-trick feature space
+
+
+def normalize_surfaces(s: pd.Series) -> pd.Series:
+    """Lowercase, strip punctuation, collapse whitespace — the shared
+    normalization between alias inventory and mention surfaces."""
+    return (
+        s.str.lower()
+        .str.replace(_PUNCT, " ", regex=True)
+        .str.replace(_WS, " ", regex=True)
+        .str.strip()
+    )
+
+
+def minted_key(norm_surface: str) -> str:
+    """Deterministic key for an out-of-inventory surface."""
+    h = hashlib.sha1(norm_surface.encode()).hexdigest()[:12]
+    return f"ent_{h}"
+
+
+def _trigram_rows(strings: list[str], idf: np.ndarray | None = None) -> np.ndarray:
+    """L2-normalized hashed char-trigram (TF or TF-IDF) matrix."""
+    mat = np.zeros((len(strings), TRIGRAM_DIM), dtype="float32")
+    for i, s in enumerate(strings):
+        padded = f"  {s} "
+        for j in range(len(padded) - 2):
+            mat[i, zlib.crc32(padded[j : j + 3].encode()) % TRIGRAM_DIM] += 1.0
+    if idf is not None:
+        mat *= idf
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class EntityLinker:
+    """Callable class for ``map_batches`` (actor pool).
+
+    Parameters
+    ----------
+    alias_ref:
+        ``ray.ObjectRef`` of a ``dict[str, str]`` normalized-alias -> key
+        map (broadcast once from the driver), or
+    aliases:
+        the dict itself (tests / local use).
+    min_score:
+        trigram-cosine acceptance threshold for fuzzy matches.
+    """
+
+    def __init__(self, alias_ref=None, aliases: dict[str, str] | None = None,
+                 min_score: float = 0.35):
+        if alias_ref is not None:
+            import ray
+
+            aliases = ray.get(alias_ref)
+        if aliases is None:
+            aliases = {}
+        self.min_score = float(min_score)
+        # normalize inventory keys the same way surfaces are normalized
+        norm_alias: dict[str, str] = {}
+        for a, k in aliases.items():
+            na = _WS.sub(" ", _PUNCT.sub(" ", a.lower())).strip()
+            norm_alias[na] = k
+        self.alias_map = norm_alias
+        self._alias_series = pd.Series(self.alias_map)
+        alias_list = list(norm_alias)
+        self._alias_keys = np.array([norm_alias[a] for a in alias_list], dtype=object)
+        if alias_list:
+            # document-frequency IDF over the alias corpus itself
+            df = np.zeros(TRIGRAM_DIM, dtype="float32")
+            for a in alias_list:
+                padded = f"  {a} "
+                seen = {zlib.crc32(padded[j : j + 3].encode()) % TRIGRAM_DIM
+                        for j in range(len(padded) - 2)}
+                for h in seen:
+                    df[h] += 1.0
+            self._idf = np.log((1.0 + len(alias_list)) / (1.0 + df)) + 1.0
+            self._index = _trigram_rows(alias_list, self._idf)
+        else:
+            self._idf = None
+            self._index = np.zeros((0, TRIGRAM_DIM), dtype="float32")
+        self._miss_cache: dict[str, str] = {}
+
+    # -- core -------------------------------------------------------------
+    def link_surfaces(self, surfaces: pd.Series) -> np.ndarray:
+        """Vectorized surface -> entity-key resolution."""
+        norm = normalize_surfaces(surfaces)
+        keys = norm.map(self.alias_map)
+        miss = keys.isna()
+        if miss.any():
+            uniq = pd.unique(norm[miss])
+            resolved = {}
+            todo = [u for u in uniq if u not in self._miss_cache]
+            if todo and len(self._index):
+                q = _trigram_rows(list(todo), self._idf)
+                sims = q @ self._index.T          # (n_miss, n_alias)
+                best = sims.argmax(axis=1)
+                scores = sims[np.arange(len(todo)), best]
+                for s, b, sc in zip(todo, best, scores):
+                    self._miss_cache[s] = (
+                        str(self._alias_keys[b]) if sc >= self.min_score
+                        else minted_key(s)
+                    )
+            elif todo:
+                for s in todo:
+                    self._miss_cache[s] = minted_key(s)
+            resolved = {u: self._miss_cache[u] for u in uniq}
+            keys = keys.where(~miss, norm.map(resolved))
+        return keys.to_numpy(dtype=object)
+
+    # -- map_batches entry ------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """RAW_TRIPLE batch -> LINKED_TRIPLE batch."""
+        subj_surface = batch.column("subj_surface").to_pandas()
+        obj_surface = batch.column("obj_surface").to_pandas()
+        subj = self.link_surfaces(subj_surface)
+        obj = self.link_surfaces(obj_surface)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "span_idx": batch.column("span_idx"),
+            "subj": pa.array(subj, pa.string()),
+            "pred": batch.column("pred"),
+            "obj": pa.array(obj, pa.string()),
+            "subj_surface": batch.column("subj_surface"),
+            "obj_surface": batch.column("obj_surface"),
+            "conf": batch.column("conf"),
+        }
+        # passthrough columns (e.g. checkpoint part_id) survive linking
+        for name in batch.schema.names:
+            if name not in cols and name not in ("subj", "obj"):
+                cols[name] = batch.column(name)
+        return pa.table(cols)

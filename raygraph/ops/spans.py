@@ -1,0 +1,89 @@
+"""Span-sequence validation (stateless ``map_batches`` stage).
+
+Analog of the reference's per-record parse + mandatory-field validation
+(M1/M3: JSONL parse src/graph_loader.rs:420-431, ``_id`` extraction
+:432-446 — malformed record = hard error for the load). Here the
+per-row invariant is the BASELINE.json input contract: every document has
+a non-null span list, every span has kind ∈ {text, media}, and offsets
+are strictly increasing (the interleaving order).
+
+The stage passes batches through **unchanged** (zero-copy): the ``spans``
+column must survive the pipeline byte-identical (FIXTURES.md F1 per-row
+invariant), so we never explode-and-rebuild it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import SpanValidationError
+from ..schemas import SPAN_KINDS
+
+
+def _flat_spans(batch: pa.Table):
+    """(flattened struct array, per-row list lengths) for the spans column."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    return spans.flatten(), lengths
+
+
+def validate_spans(batch: pa.Table) -> pa.Table:
+    """Raise :class:`SpanValidationError` on contract violations; else
+    return the batch untouched."""
+    spans = batch.column("spans")
+    null_rows = pc.sum(pc.cast(pc.is_null(spans), pa.int64())).as_py() or 0
+    if null_rows:
+        raise SpanValidationError(f"{null_rows} documents with null span list")
+
+    flat, lengths = _flat_spans(batch)
+    if len(flat) == 0:
+        return batch
+
+    kinds = flat.field("kind")
+    bad_kind = pc.sum(
+        pc.cast(pc.invert(pc.is_in(kinds, value_set=pa.array(SPAN_KINDS))), pa.int64())
+    ).as_py() or 0
+    if bad_kind:
+        raise SpanValidationError(f"{bad_kind} spans with kind not in {SPAN_KINDS}")
+
+    offsets = flat.field("offset").to_numpy(zero_copy_only=False)
+    if np.isnan(offsets.astype("float64")).any():
+        raise SpanValidationError("null span offsets")
+    # strictly increasing within each document: diff > 0 everywhere except at
+    # list starts
+    if len(offsets) > 1:
+        starts = np.zeros(len(offsets), dtype=bool)
+        starts[np.cumsum(lengths)[:-1]] = True
+        starts[0] = True
+        diffs_ok = np.diff(offsets) > 0
+        interior = ~starts[1:]
+        if not diffs_ok[interior].all():
+            raise SpanValidationError("span offsets not strictly increasing")
+    return batch
+
+
+def span_fingerprint(batch: pa.Table) -> pa.Table:
+    """Per-row sha1 over the ordered ``(kind, text, media_ref, order)``
+    sequence — the equality fingerprint used by tests to assert the spans
+    column survived the pipeline (FIXTURES.md F1)."""
+    flat, lengths = _flat_spans(batch)
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    out = []
+    pos = 0
+    for n in lengths:
+        h = hashlib.sha1()
+        for j in range(pos, pos + int(n)):
+            h.update(f"{kinds[j]}\x00{texts[j]}\x00{refs[j]}\x00{j - pos}\x01".encode())
+        out.append(h.hexdigest())
+        pos += int(n)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "span_fp": pa.array(out, pa.string())}
+    )

@@ -1,0 +1,147 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.4).
+
+    read corpus → validate spans → extract triples → link entities
+      [phase A: per-document work, checkpointed per partition]
+    → canonicalize → materialize vertices + edges → write
+      [phase B: the wide shuffles]
+
+Phase A is the expensive, embarrassingly-parallel part — it streams and is
+resumable (per-partition manifests, ``checkpoint.py``). Phase B reads the
+phase-A triples (orders of magnitude smaller than the corpus), runs the
+two shuffles (canonicalization label-prop; edge/vertex groupbys over
+per-batch partials) and writes the graph tables.
+
+Nothing here calls ``ray.init`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from . import checkpoint as ckpt
+from .config import GraphBuildConfig
+from .io import read_documents, read_table
+from .ops.canon import canonicalize
+from .ops.extract import extract_triples
+from .ops.link import EntityLinker
+from .ops.materialize import build_edges, build_vertices, make_apply_canon
+from .ops.spans import validate_spans
+
+
+@dataclass
+class GraphBuildResult:
+    vertices_path: str
+    edges_path: str
+    triples_path: str
+    metrics: dict = field(default_factory=dict)
+
+
+def _add_part_id(num_partitions: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = pd.Series(batch.column("doc_id").to_pylist())
+        pid = ckpt.partition_ids(ids, num_partitions)
+        return batch.append_column("part_id", pa.array(pid, pa.int64()))
+
+    return fn
+
+
+def _skip_partitions(done: set[int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.invert(
+            pc.is_in(batch.column("part_id"), value_set=pa.array(sorted(done), pa.int64()))
+        )
+        return batch.filter(mask)
+
+    return fn
+
+
+def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = None):
+    """Phase A as a lazy Dataset: corpus → LINKED_TRIPLE (+part_id)."""
+    import ray
+
+    docs = read_documents(cfg.input_path)
+    docs = docs.map_batches(
+        _add_part_id(cfg.num_partitions), batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+    triples_path = os.path.join(cfg.output_path, "triples")
+    if cfg.resume:
+        done = ckpt.completed_partitions(triples_path)
+        if done:
+            docs = docs.map_batches(_skip_partitions(done), batch_format="pyarrow")
+        ckpt.clean_incomplete(triples_path, cfg.num_partitions)
+
+    docs = docs.map_batches(validate_spans, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+
+    def extract_with_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out = extract_triples(batch)
+        ids = pd.Series(out.column("doc_id").to_pylist())
+        pid = ckpt.partition_ids(ids, cfg.num_partitions)
+        return out.append_column("part_id", pa.array(pid, pa.int64()))
+
+    raw = docs.map_batches(extract_with_part, batch_format="pyarrow",
+                           batch_size=cfg.batch_size)
+
+    kwargs: dict = {"min_score": cfg.min_link_score}
+    if aliases is not None:
+        # broadcast once; each linker actor fetches it in __init__
+        kwargs["alias_ref"] = ray.put(aliases)
+    linked = raw.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.linker_concurrency,
+        num_cpus=cfg.linker_num_cpus,
+    )
+    return linked, triples_path
+
+
+def build_graph(cfg: GraphBuildConfig,
+                aliases: dict[str, str] | None = None) -> GraphBuildResult:
+    """Run the full pipeline; returns output paths + metrics."""
+    cfg.validate()
+    t0 = time.monotonic()
+    metrics: dict = {}
+
+    # ---- phase A: extract + link, checkpointed ---------------------------
+    linked, triples_path = extract_and_link(cfg, aliases=aliases)
+    linked.write_parquet(triples_path, partition_cols=["part_id"])
+    part_stats = ckpt.finalize_partitions(triples_path, cfg.num_partitions)
+    metrics["phase_a_sec"] = time.monotonic() - t0
+    metrics["triples_raw"] = sum(s["rows"] for s in part_stats.values())
+    metrics["partitions"] = len(part_stats)
+
+    # ---- phase B: canonicalize + materialize -----------------------------
+    t1 = time.monotonic()
+    triples = read_table(triples_path)
+    canon = canonicalize(triples)
+    metrics["entities_linked"] = len(canon)
+    canon_fn = make_apply_canon(canon)
+
+    vcol, ecol = cfg.vertex_collection, cfg.edge_collection
+    vertices = build_vertices(triples, canon_fn, vcol)
+    edges = build_edges(triples, canon_fn, vcol, ecol)
+
+    vertices_path = os.path.join(cfg.output_path, "vertices")
+    edges_path = os.path.join(cfg.output_path, "edges")
+    if cfg.sort_output:
+        vertices = vertices.sort("_id")
+        edges = edges.sort("_key")
+    vertices.write_parquet(vertices_path)
+    edges.write_parquet(edges_path)
+    metrics["phase_b_sec"] = time.monotonic() - t1
+    metrics["total_sec"] = time.monotonic() - t0
+    return GraphBuildResult(vertices_path, edges_path, triples_path, metrics)

@@ -1,0 +1,184 @@
+"""Deterministic synthetic corpus generators (FIXTURES.md F1/F2).
+
+Two generators:
+
+* :func:`line_graph_documents` — renders the reference integration-test
+  fixture (10-vertex / 9-edge line graph, /root/reference/
+  tests/graph_loader.rs:100-156) as interleaved documents: one document per
+  edge ``i -> i+1`` with a text span and a media-caption span.
+* :func:`corpus` — scales to arbitrary ``n_docs`` with a deterministic,
+  *SQL-replicable* entity assignment (pure modular arithmetic, no RNG) and a
+  Zipf-ish hub: entity 0 is the subject of every 5th document (~20%),
+  exercising the salted-groupby skew path. Surface forms rotate through four
+  alias spellings so entity linking is exercised on every run.
+
+Everything is a pure function of (n_docs, doc index) so that N-CPU and
+4N-CPU runs produce byte-identical outputs, and so the DuckDB oracle in
+``__ray_entry__.py`` can recompute the golden edge set with plain SQL over
+``range(n_docs)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schemas import DOCUMENT_SCHEMA
+
+# Four alias spellings per entity k; linking must resolve all to vertex_<k>.
+# Index f is the "form"; keep in sync with alias_inventory().
+_FORMS = (
+    lambda k: f"vertex {k}",
+    lambda k: f"Vertex {k}",
+    lambda k: f"node {k}",
+    lambda k: f"v{k}",
+)
+
+HUB_EVERY = 5          # doc i with i % HUB_EVERY == 0 has subject entity 0
+IS_A_EVERY = 7         # doc i with i % IS_A_EVERY == 3 carries an "is a" span
+_A_MULT = 7919         # primes for the modular entity assignment
+_B_MULT = 104729
+_B_OFF = 3
+
+
+def entity_space(n_docs: int) -> int:
+    """Non-hub entity ids are 1..m (hub is 0)."""
+    return max(2, n_docs // 10)
+
+
+def edge_endpoints(i: int, n_docs: int) -> tuple[int, int]:
+    """Deterministic (subject, object) entity ids for document ``i``.
+
+    SQL-replicable: see ``__ray_entry__.oracle_sql()['kg_edges']``.
+    """
+    m = entity_space(n_docs)
+    a = 0 if i % HUB_EVERY == 0 else 1 + (i * _A_MULT) % m
+    b0 = 1 + (i * _B_MULT + _B_OFF) % m
+    b = b0 if b0 != a else 1 + (b0 % m)
+    return a, b
+
+
+def _doc(i: int, n_docs: int) -> dict:
+    a, b = edge_endpoints(i, n_docs)
+    sf, of = _FORMS[i % 4], _FORMS[(i + 3) % 4]
+    cf, gf = _FORMS[(i + 1) % 4], _FORMS[(i + 2) % 4]
+    spans = [
+        {
+            "kind": "text",
+            "text": f"{sf(a)} is connected to {of(b)}.",
+            "media_ref": "",
+            "offset": 0,
+        },
+        {
+            "kind": "media",
+            "text": f"caption: {cf(a)} links {gf(b)}",
+            "media_ref": f"media/edge-{i}.png",
+            "offset": 1,
+        },
+    ]
+    if i % IS_A_EVERY == 3:
+        spans.append(
+            {
+                "kind": "text",
+                "text": f"{_FORMS[i % 4](a)} is a node.",
+                "media_ref": "",
+                "offset": 2,
+            }
+        )
+    return {"doc_id": f"doc/{i}", "spans": spans}
+
+
+def corpus(n_docs: int) -> pa.Table:
+    """Scaled deterministic corpus as one Arrow table."""
+    return pa.Table.from_pylist([_doc(i, n_docs) for i in range(n_docs)],
+                                schema=DOCUMENT_SCHEMA)
+
+
+def write_corpus(path: str, n_docs: int, rows_per_file: int = 100_000) -> None:
+    """Write the corpus as (possibly several) parquet files under ``path``.
+
+    Chunked so a 10^8-doc local bench never holds the whole corpus in
+    driver memory; at real scale this table already exists (it is the
+    input), so generation cost is out of scope.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for start in range(0, n_docs, rows_per_file):
+        stop = min(start + rows_per_file, n_docs)
+        tbl = pa.Table.from_pylist(
+            [_doc(i, n_docs) for i in range(start, stop)], schema=DOCUMENT_SCHEMA
+        )
+        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
+
+
+def line_graph_documents() -> pa.Table:
+    """The reference fixture corpus (FIXTURES.md F1): 9 docs, one per edge
+    ``i -> i+1`` of the 10-vertex line graph
+    (/root/reference/tests/graph_loader.rs:129-150)."""
+    rows = []
+    for i in range(9):
+        rows.append(
+            {
+                "doc_id": f"doc/{i}",
+                "spans": [
+                    {
+                        "kind": "text",
+                        "text": f"Vertex {i} is connected to vertex {i + 1}.",
+                        "media_ref": "",
+                        "offset": 0,
+                    },
+                    {
+                        "kind": "media",
+                        "text": f"caption: vertex {i} links vertex {i + 1}",
+                        "media_ref": f"media/edge-{i}.png",
+                        "offset": 1,
+                    },
+                ],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=DOCUMENT_SCHEMA)
+
+
+def line_graph_golden_triples() -> set[tuple[str, str, str]]:
+    """FIXTURES.md F2: the 9 golden (subj, pred, obj) triples derived from
+    the reference's 9 edges (tests/graph_loader.rs:139-150)."""
+    return {(f"vertex_{i}", "connected_to", f"vertex_{i + 1}") for i in range(9)}
+
+
+def golden_edges(n_docs: int) -> set[tuple[str, str, str]]:
+    """Expected deduped (subj_key, pred, obj_key) set for :func:`corpus`."""
+    out: set[tuple[str, str, str]] = set()
+    for i in range(n_docs):
+        a, b = edge_endpoints(i, n_docs)
+        out.add((f"vertex_{a}", "connected_to", f"vertex_{b}"))
+        if i % IS_A_EVERY == 3:
+            out.add((f"vertex_{a}", "is_a", "node"))
+    return out
+
+
+def golden_vertices(n_docs: int) -> set[str]:
+    """Expected canonical entity keys for :func:`corpus`."""
+    keys: set[str] = set()
+    for s, _p, o in golden_edges(n_docs):
+        keys.add(s)
+        keys.add(o)
+    return keys
+
+
+def alias_inventory(n_entities: int) -> dict[str, str]:
+    """Alias -> canonical entity key map for the synthetic entity space.
+
+    This is the small broadcast side of entity linking (``ray.put`` once,
+    read in every linker actor). Keys are *normalized* aliases (lowercased);
+    the linker normalizes surfaces the same way before lookup.
+    """
+    inv: dict[str, str] = {"node": "node"}
+    for k in range(n_entities + 1):
+        key = f"vertex_{k}"
+        inv[f"vertex {k}"] = key
+        inv[f"node {k}"] = key
+        inv[f"v{k}"] = key
+    return inv

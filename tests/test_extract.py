@@ -1,0 +1,113 @@
+"""Unit tests for span validation + triple extraction (no Ray needed —
+both are pure Arrow-batch functions)."""
+
+import pyarrow as pa
+import pytest
+
+from raygraph import synth
+from raygraph.errors import SpanValidationError
+from raygraph.ops.extract import extract_triples
+from raygraph.ops.spans import span_fingerprint, validate_spans
+from raygraph.schemas import DOCUMENT_SCHEMA
+
+
+def _doc(doc_id, spans):
+    return pa.Table.from_pylist([{"doc_id": doc_id, "spans": spans}],
+                                schema=DOCUMENT_SCHEMA)
+
+
+def test_extract_line_graph():
+    t = synth.line_graph_documents()
+    tr = extract_triples(t)
+    # per doc: one text hit + one caption hit
+    assert tr.num_rows == 18
+    trips = set(
+        zip(tr.column("subj_surface").to_pylist(),
+            tr.column("pred").to_pylist(),
+            tr.column("obj_surface").to_pylist())
+    )
+    assert ("Vertex 3", "connected_to", "vertex 4") in trips
+    assert ("vertex 3", "connected_to", "vertex 4") in trips  # caption
+
+
+def test_extract_pattern_table():
+    cases = [
+        ("a works for b.", ("a", "works_for", "b")),
+        ("Alice knows Bob", ("Alice", "knows", "Bob")),
+        ("x is located in y.", ("x", "located_in", "y")),
+        ("x is part of y", ("x", "part_of", "y")),
+        ("x is a widget.", ("x", "is_a", "widget")),
+        ("x is an engine.", ("x", "is_a", "engine")),
+    ]
+    for text, want in cases:
+        t = _doc("d", [{"kind": "text", "text": text, "media_ref": "", "offset": 0}])
+        got = extract_triples(t).to_pylist()
+        assert len(got) == 1, text
+        r = got[0]
+        assert (r["subj_surface"], r["pred"], r["obj_surface"]) == want
+
+
+def test_extract_first_pattern_wins():
+    # 'is connected to' must not also fire 'is_a'
+    t = _doc("d", [{"kind": "text", "text": "a is connected to b.",
+                    "media_ref": "", "offset": 0}])
+    got = extract_triples(t).to_pylist()
+    assert len(got) == 1 and got[0]["pred"] == "connected_to"
+
+
+def test_extract_media_requires_caption_prefix():
+    t = _doc("d", [{"kind": "media", "text": "x links y",
+                    "media_ref": "m.png", "offset": 0}])
+    assert extract_triples(t).num_rows == 0
+    t = _doc("d", [{"kind": "media", "text": "caption: x links y",
+                    "media_ref": "m.png", "offset": 0}])
+    got = extract_triples(t).to_pylist()
+    assert got[0]["pred"] == "connected_to"
+    assert got[0]["subj_surface"] == "x"
+
+
+def test_extract_no_match_empty():
+    t = _doc("d", [{"kind": "text", "text": "nothing here",
+                    "media_ref": "", "offset": 0}])
+    out = extract_triples(t)
+    assert out.num_rows == 0
+    assert out.schema.names[:3] == ["doc_id", "span_idx", "subj_surface"]
+
+
+def test_extract_lineage_span_idx():
+    t = _doc("d", [
+        {"kind": "text", "text": "junk", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "a knows b.", "media_ref": "", "offset": 1},
+    ])
+    got = extract_triples(t).to_pylist()
+    assert got[0]["span_idx"] == 1 and got[0]["doc_id"] == "d"
+
+
+def test_validate_rejects_bad_kind():
+    t = _doc("d", [{"kind": "video", "text": "x", "media_ref": "", "offset": 0}])
+    with pytest.raises(SpanValidationError):
+        validate_spans(t)
+
+
+def test_validate_rejects_unordered_offsets():
+    t = _doc("d", [
+        {"kind": "text", "text": "x", "media_ref": "", "offset": 5},
+        {"kind": "text", "text": "y", "media_ref": "", "offset": 2},
+    ])
+    with pytest.raises(SpanValidationError):
+        validate_spans(t)
+
+
+def test_validate_passthrough_zero_copy():
+    t = synth.corpus(20)
+    out = validate_spans(t)
+    assert out is t  # untouched, not rebuilt
+
+
+def test_span_fingerprint_stable_and_sensitive():
+    t = synth.line_graph_documents()
+    fp1 = span_fingerprint(t).column("span_fp").to_pylist()
+    fp2 = span_fingerprint(t).column("span_fp").to_pylist()
+    assert fp1 == fp2
+    other = span_fingerprint(synth.corpus(9)).column("span_fp").to_pylist()
+    assert fp1 != other
