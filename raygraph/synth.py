@@ -182,3 +182,66 @@ def alias_inventory(n_entities: int) -> dict[str, str]:
         inv[f"node {k}"] = key
         inv[f"v{k}"] = key
     return inv
+
+
+# ---------------------------------------------------------------- exporter DB
+def fixture_vertex_table() -> pa.Table:
+    """The reference integration fixture's vertex collection: 10 vertices
+    _key "0".."9" with x=i+1, y=i+2, z=i+3
+    (/root/reference/tests/graph_loader.rs:129-137)."""
+    return pa.table(
+        {
+            "_id": [f"IntegrationTestVertex/{i}" for i in range(10)],
+            "_key": [str(i) for i in range(10)],
+            "_rev": [f"rev-v{i}" for i in range(10)],
+            "x": pa.array([i + 1 for i in range(10)], pa.int64()),
+            "y": pa.array([i + 2 for i in range(10)], pa.int64()),
+            "z": pa.array([i + 3 for i in range(10)], pa.int64()),
+        }
+    )
+
+
+def fixture_edge_table() -> pa.Table:
+    """9 line edges i -> i+1, _key "0".."8", x/y/z pattern
+    (/root/reference/tests/graph_loader.rs:139-150)."""
+    return pa.table(
+        {
+            "_id": [f"IntegrationTestEdge/{i}" for i in range(9)],
+            "_key": [str(i) for i in range(9)],
+            "_rev": [f"rev-e{i}" for i in range(9)],
+            "_from": [f"IntegrationTestVertex/{i}" for i in range(9)],
+            "_to": [f"IntegrationTestVertex/{i + 1}" for i in range(9)],
+            "x": pa.array([i + 1 for i in range(9)], pa.int64()),
+            "y": pa.array([i + 2 for i in range(9)], pa.int64()),
+            "z": pa.array([i + 3 for i in range(9)], pa.int64()),
+        }
+    )
+
+
+def write_fixture_db(db_dir: str) -> None:
+    """Write the reference fixture as an exporter 'database': collection
+    parquet tables + the named-graph definition
+    (graph 'IntegrationTestGraph', tests/graph_loader.rs:100-127)."""
+    import json
+    import os
+
+    os.makedirs(db_dir, exist_ok=True)
+    pq.write_table(fixture_vertex_table(),
+                   os.path.join(db_dir, "IntegrationTestVertex.parquet"))
+    pq.write_table(fixture_edge_table(),
+                   os.path.join(db_dir, "IntegrationTestEdge.parquet"))
+    with open(os.path.join(db_dir, "graphs.json"), "w") as fh:
+        json.dump(
+            {
+                "IntegrationTestGraph": {
+                    "edgeDefinitions": [
+                        {
+                            "collection": "IntegrationTestEdge",
+                            "from": ["IntegrationTestVertex"],
+                            "to": ["IntegrationTestVertex"],
+                        }
+                    ]
+                }
+            },
+            fh,
+        )
