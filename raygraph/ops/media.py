@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+
+Media payloads are opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages (codec/model loaded once per actor in ``__init__``). The actual
+image/audio libraries are NOT in this container, so the decode kernel is
+gated: with ``strict=True`` it raises ``NotImplementedError`` exactly where
+PIL/ffmpeg would be called; the default is a deterministic fake decoder so
+schema, batch sizing, actor signature and output layout are real and
+tested end-to-end.
+
+Batch-size note (SURVEY.md §4.2): wide binary rows must use a small
+``batch_size`` (default 64 here vs 4096 for text) so batch × concurrency
+fits worker heaps; keep ``media_ref`` as a reference, not inlined bytes,
+whenever the payload lives in object storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_BATCH_SIZE = 64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_ref", pa.string()),
+        pa.field("payload", pa.binary()),      # opaque encoded bytes
+        pa.field("media_type", pa.string()),   # "image" | "audio" | "video"
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+    ]
+)
+
+
+def _try_import_pillow():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class MediaDecoder:
+    """Actor-pool stage: payload bytes → fixed-size feature vector.
+
+    With a real imaging stack this would decode + resize + embed; here the
+    fake path derives a deterministic pseudo-feature from a blake2b digest
+    of the payload, so downstream stages (ANN over media features, dedup
+    by feature) are fully exercised.
+    """
+
+    def __init__(self, feature_dim: int = 64, strict: bool = False):
+        self.feature_dim = feature_dim
+        self.strict = strict
+        self.have_pillow = _try_import_pillow()
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips — not available in this "
+            "environment; run with strict=False for the deterministic stub"
+        )
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        d = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        return (np.frombuffer(d, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        if self.strict and not self.have_pillow:
+            self._decode_real(payloads[0] if payloads else b"")
+        feats = np.stack([self._decode_fake(p or b"") for p in payloads]) if payloads \
+            else np.zeros((0, self.feature_dim), dtype=np.float32)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "media_type": batch.column("media_type"),
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: 'video' payload → every k-th 'frame' (stub frames
+    = fixed-size byte windows; the slicing/explode plumbing is the real
+    part — one input row fans out to n output rows)."""
+
+    def __init__(self, frame_bytes: int = 256, every: int = 2):
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, frames = [], [], []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            p = payload or b""
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for f in range(0, n_frames, self.every):
+                refs.append(ref)
+                idxs.append(f)
+                frames.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus for tests/bench."""
+    rng = np.random.RandomState(seed)
+    rows = {
+        "media_ref": [f"media/obj-{i}.bin" for i in range(n)],
+        "payload": [rng.bytes(512 + (i % 7) * 128) for i in range(n)],
+        "media_type": [("image", "audio", "video")[i % 3] for i in range(n)],
+        "width": pa.array([64 + (i % 4) * 32 for i in range(n)], pa.int32()),
+        "height": pa.array([64 + (i % 3) * 32 for i in range(n)], pa.int32()),
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_features(ds, feature_dim: int = 64, concurrency=(1, 4)):
+    """Corpus → per-media feature vectors (actor pool, small batches)."""
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )

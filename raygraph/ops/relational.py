@@ -1,0 +1,82 @@
+"""Relational building blocks with explicit scale discipline.
+
+These wrap the recurring patterns (SURVEY.md §4.2, ray_guide):
+
+* broadcast hash join — small side shipped ONCE via ``ray.put``, lookup
+  inside ``map_batches``; no shuffle of the big side. The distributed
+  analog of the reference's driver-local metadata joins (A3/A4).
+* partial (combiner) aggregation — per-batch pandas groupby emitting one
+  row per key per batch, then a small final groupby. Turns an all-to-all
+  shuffle of N rows into one of ≤ #keys × #batches rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(
+    big,
+    small_df: pd.DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    small_ref=None,
+):
+    """Join a big Dataset against a small pandas table without a shuffle.
+
+    Pass ``small_ref=ray.put(small_df)`` to ship the table once per node;
+    each task/actor fetches it zero-copy from the local object store.
+    """
+    import ray
+
+    if small_ref is None:
+        small_ref = ray.put(small_df)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sm = _ray.get(small_ref)
+        df = batch.to_pandas()
+        out = df.merge(sm, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return big.map_batches(join_batch, batch_format="pyarrow")
+
+
+def preagg_sum(
+    ds,
+    keys: Sequence[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+):
+    """groupby(keys) with per-batch partial sums/counts (combiner) then a
+    final merge groupby. ``sums`` maps output_name -> input_column;
+    ``counts`` names an output count column."""
+
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        aggs = {out: (col, "sum") for out, col in sums.items()}
+        if counts:
+            first_col = next(iter(sums.values())) if sums else keys[0]
+            aggs[counts] = (first_col, "size")
+        g = df.groupby(keys, as_index=False).agg(**aggs)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for out in sums:
+            row[out] = [g[out].sum()]
+        if counts:
+            row[counts] = [int(g[counts].sum())]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1,0 +1,108 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raygraph.ops.dedup import (
+    MinHasher,
+    char_shingles,
+    exact_dedup,
+    embedding_near_dup_pairs,
+    hamming64,
+    jaccard,
+    minhash_candidates,
+    minhash_dedup,
+    simhash64,
+    simhash_buckets,
+    word_ngrams,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun")
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs_ds(["aaa", "bbb", "aaa", "ccc", "bbb"])
+    out = out_rows = exact_dedup(ds).take_all()
+    got = {(r["doc_id"], r["text"]) for r in out_rows}
+    assert got == {(0, "aaa"), (1, "bbb"), (3, "ccc")}
+
+
+def test_minhash_signature_similarity():
+    h = MinHasher(num_perm=128)
+    s1 = h.signature(BASE)
+    s2 = h.signature(BASE.replace("lazy", "sleepy"))
+    s3 = h.signature("completely different content about spaceships and stars")
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.5 > sim13
+
+
+def test_minhash_candidates_find_near_dups():
+    texts = [BASE, BASE.replace("lazy", "sleepy"),
+             "unrelated text about databases and indexes and query planners",
+             BASE + " extra tail words appended here"]
+    pairs = minhash_candidates(_docs_ds(texts)).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 1) in found
+    assert not any(2 in p for p in found)
+
+
+def test_minhash_dedup_end_to_end():
+    texts = [BASE, BASE.replace("lazy", "sleepy"), "something else entirely " * 4]
+    out = minhash_dedup(_docs_ds(texts), threshold=0.5).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 2]  # near-dup 1 collapsed into 0
+
+
+def test_jaccard_and_ngrams():
+    a = word_ngrams("a b c d", 2)
+    b = word_ngrams("a b c e", 2)
+    assert jaccard(a, a) == 1.0
+    assert 0 < jaccard(a, b) < 1
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_simhash_hamming_close_for_near_dups():
+    h1 = simhash64(BASE.split())
+    h2 = simhash64(BASE.replace("lazy", "sleepy").split())
+    h3 = simhash64("totally different words in this one about oceans".split())
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+
+
+def test_simhash_buckets_pipeline():
+    out = simhash_buckets(_docs_ds([BASE, BASE, "other " * 10])).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["simhash"] == by_id[1]["simhash"]
+    assert by_id[0]["bucket"] == by_id[1]["bucket"]
+
+
+def test_char_shingles_stable():
+    assert np.array_equal(char_shingles("hello world"), char_shingles("hello world"))
+
+
+def test_embedding_near_dup_pairs():
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8).astype(np.float32)
+    vecs = [base, base + 0.001, rng.randn(8).astype(np.float32)]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": [0, 1, 2],
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    )
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}

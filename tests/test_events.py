@@ -1,0 +1,54 @@
+"""Stream-shaped ops over the events log."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from raygraph.ops.events import session_counts, sessionize, tumbling_window
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _events_ds():
+    import ray.data as rd
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: events at 0s, 10s, 2h — two sessions (gap 30min), two windows
+    for off in (0, 10, 7200):
+        rows.append({"user_id": 1, "ts": t0 + dt.timedelta(seconds=off), "value": 1.0})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": t0 + dt.timedelta(seconds=30), "value": 5.0})
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": [r["user_id"] for r in rows],
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                "value": [r["value"] for r in rows],
+            }
+        )
+    )
+
+
+def test_tumbling_window():
+    out = tumbling_window(_events_ds(), window_sec=3600).take_all()
+    got = {(r["user_id"], r["window_start"]): (r["n_events"], r["sum_value"])
+           for r in out}
+    base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got[(1, base)] == (2, 2.0)
+    assert got[(1, base + 7200)] == (1, 1.0)
+    assert got[(2, base)] == (1, 5.0)
+
+
+def test_sessionize():
+    out = sessionize(_events_ds(), gap_sec=1800).take_all()
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["session_id"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+
+
+def test_session_counts():
+    out = session_counts(_events_ds(), gap_sec=1800).take_all()
+    got = {r["user_id"]: r["n_sessions"] for r in out}
+    assert got == {1: 2, 2: 1}

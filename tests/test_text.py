@@ -1,0 +1,65 @@
+"""Text-analysis ops (pure batch fns — no Ray session needed)."""
+
+import pyarrow as pa
+
+from raygraph.ops.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+
+def _batch(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_count():
+    t = token_count(_batch(["a b c", "  x   y ", "", "one"]))
+    assert t.column("n_tokens").to_pylist() == [3, 2, 0, 1]
+
+
+def test_text_stats():
+    t = text_stats(_batch(["aa bb aa", ""]))
+    r = t.to_pylist()[0]
+    assert r["n_chars"] == 8
+    assert r["n_tokens"] == 3
+    assert r["n_unique_tokens"] == 2
+    assert abs(r["ttr"] - round(2 / 3, 4)) < 1e-9
+    assert abs(r["mean_token_len"] - 2.0) < 1e-9
+    z = t.to_pylist()[1]
+    assert z["n_tokens"] == 0 and z["ttr"] == 0
+
+
+def test_quality_score_orders_sensibly():
+    junk = "!!! ??? ... ;;; ###"
+    good = ("the quick brown fox jumps over the lazy dog and it was a fine day "
+            "for a walk in the park with a friend of mine") * 5
+    t = quality_score(_batch([junk, good]))
+    q = t.column("quality").to_pylist()
+    assert q[1] > q[0]
+    assert 0 <= q[0] <= 1 and 0 <= q[1] <= 1
+
+
+def test_lang_id():
+    t = lang_id(
+        _batch(
+            [
+                "the cat sat on the mat and it was happy",
+                "le chat est dans la maison et il est content",
+                "der Hund ist in dem Haus und er ist mit den Kindern",
+                "el perro es un animal y no es el gato",
+                "12345 67890",
+            ]
+        )
+    )
+    assert t.column("lang_pred").to_pylist() == ["en", "fr", "de", "es", "und"]
+
+
+def test_fingerprint_deterministic_and_order_sensitive():
+    a = doc_fingerprint(_batch(["hello world"])).column("fingerprint").to_pylist()
+    b = doc_fingerprint(_batch(["hello world"])).column("fingerprint").to_pylist()
+    c = doc_fingerprint(_batch(["world hello"])).column("fingerprint").to_pylist()
+    assert a == b
+    assert a != c
