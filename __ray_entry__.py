@@ -1,44 +1,590 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship KG-construction pipeline on sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2 + training-data ops); each takes ``sf_dir`` and returns a
+Dataset / pandas DataFrame / pyarrow Table.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(column names match exactly; aggregates are defined with deterministic
+arithmetic — integer cents for money sums, floor-at-4dp ratios, exact-us
+session gaps — so the value hashes are reproducible bit-for-bit).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
+# process-local scratch (pid-keyed: never reuses stale artifacts from a
+# previous code version)
+_TMP = os.path.join(tempfile.gettempdir(), f"raygraph_entry_{os.getpid()}")
+_CACHE: dict = {}
+
+_OFFSET = 100_000  # id offset for the doubled-corpus dedup demos
+
+
+def _docs_count(sf_dir: str) -> int:
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    """Deterministic interleaved corpus sized from the sf documents table
+    (input_hint shape). Cached per process."""
+    from raygraph import synth
+
+    n = _docs_count(sf_dir)
+    key = ("corpus", n)
+    if key not in _CACHE:
+        path = os.path.join(_TMP, f"corpus_n{n}")
+        if not os.path.isdir(path):
+            synth.write_corpus(path, n)
+        _CACHE[key] = path
+    return _CACHE[key]
+
+
+def _kg_result(sf_dir: str):
+    """Run the full KG build once per (process, corpus size)."""
+    from raygraph import synth
+    from raygraph.config import GraphBuildConfig
+    from raygraph.pipeline import build_graph
+
+    n = _docs_count(sf_dir)
+    key = ("kg", n)
+    if key not in _CACHE:
+        cfg = GraphBuildConfig(
+            input_path=_corpus_dir(sf_dir),
+            output_path=os.path.join(_TMP, f"kg_n{n}"),
+            num_partitions=8,
+            linker_concurrency=(1, 4),
+        )
+        _CACHE[key] = build_graph(
+            cfg, aliases=synth.alias_inventory(synth.entity_space(n))
+        )
+    return _CACHE[key]
+
+
+def _export_db(sf_dir: str) -> str:
+    """Exporter 'database' derived from the sf customer/orders tables."""
+    key = ("exportdb", sf_dir)
+    if key not in _CACHE:
+        path = os.path.join(_TMP, "exportdb", os.path.basename(sf_dir.rstrip("/")))
+        os.makedirs(path, exist_ok=True)
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+        ck = cust.column("c_custkey").to_pylist()
+        pq.write_table(
+            pa.table(
+                {
+                    "_id": [f"customer/{k}" for k in ck],
+                    "_key": [str(k) for k in ck],
+                    "c_name": cust.column("c_name"),
+                    "c_acctbal": cust.column("c_acctbal"),
+                }
+            ),
+            os.path.join(path, "customer.parquet"),
+        )
+        orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+        ok = orders.column("o_orderkey").to_pylist()
+        oc = orders.column("o_custkey").to_pylist()
+        pq.write_table(
+            pa.table(
+                {
+                    "_id": [f"orders_rel/{k}" for k in ok],
+                    "_key": [str(k) for k in ok],
+                    "_from": [f"customer/{c}" for c in oc],
+                    "_to": [f"orders/{k}" for k in ok],
+                    "o_totalprice": orders.column("o_totalprice"),
+                }
+            ),
+            os.path.join(path, "orders_rel.parquet"),
+        )
+        _CACHE[key] = path
+    return _CACHE[key]
+
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def _doubled_docs(sf_dir: str):
+    """documents ∪ (documents with doc_id+OFFSET) — a corpus that is 50%
+    exact duplicates, for the dedup demos."""
+    import ray.data as rd
+
+    ds = _docs_ds(sf_dir)
+
+    def shift(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch.column("doc_id"), _OFFSET),
+        )
+
+    return ds.union(_docs_ds(sf_dir).map_batches(shift, batch_format="pyarrow"))
+
+
+# =========================================================== entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full KG construction
+    (extract → link → canonicalize → materialize); returns the edge table."""
+    import ray.data as rd
+
+    res = _kg_result("/root/testdata/sf0.001")
+    return rd.read_parquet(res.edges_path)
 
 
+# ========================================================= queries
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raygraph.config import CollectionInfo, DataLoadConfig
+    from raygraph.exporter import load_custom_graph
+    from raygraph.ops import dedup as D
+    from raygraph.ops import events as E
+    from raygraph.ops import text as T
+    from raygraph.ops.ann import brute_force_topk
+    from raygraph.ops.media import decode_features, synth_media_table
+    from raygraph.ops.relational import broadcast_join, preagg_sum
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import ray.data as rd
+
+    # ---- KG construction ------------------------------------------------
+    def kg_edges(sf_dir):
+        res = _kg_result(sf_dir)
+        t = pq.ParquetDataset(res.edges_path).read()
+        return t.select(["_from", "pred", "_to"])
+
+    def kg_vertices(sf_dir):
+        res = _kg_result(sf_dir)
+        t = pq.ParquetDataset(res.vertices_path).read()
+        return t.select(["_id", "_key", "@collection_name"])
+
+    # ---- exporter (GraphLoader parity surface) --------------------------
+    def export_vertex_projection(sf_dir):
+        loader = load_custom_graph(
+            _export_db(sf_dir),
+            [CollectionInfo("customer", ("c_name", "c_acctbal", "@collection_name"))],
+            [],
+        )
+        return loader.vertex_dataset()
+
+    def export_vertex_missing_field(sf_dir):
+        loader = load_custom_graph(
+            _export_db(sf_dir), [CollectionInfo("customer", ("c_name", "nickname"))], []
+        )
+        return loader.vertex_dataset()
+
+    def export_edge_projection(sf_dir):
+        loader = load_custom_graph(
+            _export_db(sf_dir),
+            [CollectionInfo("customer")],
+            [CollectionInfo("orders_rel", ("o_totalprice", "@collection_name"))],
+        )
+        return loader.edge_dataset()
+
+    def export_load_all_vertices(sf_dir):
+        loader = load_custom_graph(
+            _export_db(sf_dir),
+            [CollectionInfo("customer")],
+            [],
+            config=DataLoadConfig(load_all_vertex_attributes=True),
+        )
+        return loader.vertex_dataset()
+
+    # ---- dedup ----------------------------------------------------------
+    def dedup_exact_documents(sf_dir):
+        return D.exact_dedup(_doubled_docs(sf_dir))
+
+    def dedup_minhash_survivors(sf_dir):
+        # word shingles: char 5-grams saturate on this small-vocab corpus
+        # (unrelated long docs reach Jaccard ~1); word 5-windows stay
+        # discriminative, so only exact copies merge at threshold 0.99
+        return D.minhash_dedup(_doubled_docs(sf_dir), threshold=0.99, bands=8,
+                               shingle="word")
+
+    def dedup_simhash(sf_dir):
+        return D.simhash_buckets(_docs_ds(sf_dir))
+
+    def dedup_embedding_pairs(sf_dir):
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+
+        def shift(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.set_column(
+                batch.schema.get_field_index("vec_id"),
+                "vec_id",
+                pc.add(batch.column("vec_id"), _OFFSET),
+            )
+
+        doubled = emb.union(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+            .map_batches(shift, batch_format="pyarrow")
+        )
+        pairs = D.embedding_near_dup_pairs(doubled, threshold=0.9999)
+        return pairs.drop_columns(["cosine"])
+
+    # ---- text analysis --------------------------------------------------
+    def text_token_count(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.token_count, batch_format="pyarrow")
+
+    def text_stats(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.text_stats, batch_format="pyarrow")
+
+    def text_quality(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.quality_score, batch_format="pyarrow")
+
+    def text_lang_id(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.lang_id, batch_format="pyarrow")
+
+    def text_fingerprints(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.doc_fingerprint, batch_format="pyarrow")
+
+    # ---- relational / aggregation ---------------------------------------
+    def docs_by_lang_source(sf_dir):
+        ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
+        return preagg_sum(ds, ["lang", "source"], {"total_chars": "n_chars"},
+                          counts="n_docs")
+
+    def top_sources_by_chars(sf_dir):
+        ds = _docs_ds(sf_dir, columns=("source", "n_chars"))
+        agg = preagg_sum(ds, ["source"], {"total_chars": "n_chars"})
+        df = agg.to_pandas()
+        df = df.sort_values(["total_chars", "source"],
+                            ascending=[False, True]).head(10)
+        return df.reset_index(drop=True)
+
+    def tpch_pricing_summary(sf_dir):
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"],
+        )
+
+        def to_cents(batch: pa.Table) -> pa.Table:
+            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            cents = np.round(price * 100).astype("int64")
+            return pa.table(
+                {
+                    "l_returnflag": batch.column("l_returnflag"),
+                    "l_linestatus": batch.column("l_linestatus"),
+                    "l_quantity": batch.column("l_quantity"),
+                    "price_cents": pa.array(cents, pa.int64()),
+                }
+            )
+
+        return preagg_sum(
+            li.map_batches(to_cents, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            {"sum_qty": "l_quantity", "sum_price_cents": "price_cents"},
+            counts="n_rows",
+        )
+
+    def customer_revenue_topk(sf_dir):
+        import ray
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_totalprice"])
+
+        def to_cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_custkey": batch.column("o_custkey"),
+                    "price_cents": pa.array(np.round(p * 100).astype("int64")),
+                }
+            )
+
+        cust_df = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+        joined = broadcast_join(
+            orders.map_batches(to_cents, batch_format="pyarrow"), cust_df,
+            on="o_custkey",
+        )
+        agg = preagg_sum(joined, ["o_custkey", "c_name"],
+                         {"revenue_cents": "price_cents"}, counts="n_orders")
+        df = agg.to_pandas().sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(10)
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        return df.reset_index(drop=True)
+
+    # ---- events (stream-shaped) -----------------------------------------
+    def events_tumbling_1h(sf_dir):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        out = E.tumbling_window(ev, window_sec=3600)
+
+        def round_val(batch: pa.Table) -> pa.Table:
+            v = np.round(
+                batch.column("sum_value").to_numpy(zero_copy_only=False), 4
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("sum_value"), "sum_value",
+                pa.array(v, pa.float64()),
+            )
+
+        return out.map_batches(round_val, batch_format="pyarrow")
+
+    def events_sessions(sf_dir):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        return E.session_counts(ev, gap_sec=1800)
+
+    # ---- embeddings / ANN ------------------------------------------------
+    def ann_top10(sf_dir):
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        row0 = qtab.column("vec_id").to_pylist().index(0)
+        q = np.array(qtab.column("embedding")[row0].as_py(), dtype=np.float64)
+        return brute_force_topk(emb, q, k=10, dtype=np.float64, round_dp=4)
+
+    def embedding_norms(sf_dir):
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+
+        def norms(batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            n = np.round(np.linalg.norm(vecs, axis=1), 4)
+            return pa.table({"vec_id": batch.column("vec_id"),
+                             "l2_norm": pa.array(n, pa.float64())})
+
+        return emb.map_batches(norms, batch_format="pyarrow")
+
+    # ---- media (stub decode, real plumbing) ------------------------------
+    def media_features(sf_dir):
+        n = 200 if "0.1" in sf_dir else 60
+        ds = rd.from_arrow(synth_media_table(n))
+        out = decode_features(ds, feature_dim=32, concurrency=(1, 2))
+        return out.drop_columns(["feature"]).add_column(
+            "feature_dim", lambda df: [32] * len(df), batch_format="pandas"
+        )
+
+    return {
+        "kg_edges": kg_edges,
+        "kg_vertices": kg_vertices,
+        "export_vertex_projection": export_vertex_projection,
+        "export_vertex_missing_field": export_vertex_missing_field,
+        "export_edge_projection": export_edge_projection,
+        "export_load_all_vertices": export_load_all_vertices,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_minhash_survivors": dedup_minhash_survivors,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
+        "text_token_count": text_token_count,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprints": text_fingerprints,
+        "docs_by_lang_source": docs_by_lang_source,
+        "top_sources_by_chars": top_sources_by_chars,
+        "tpch_pricing_summary": tpch_pricing_summary,
+        "customer_revenue_topk": customer_revenue_topk,
+        "events_tumbling_1h": events_tumbling_1h,
+        "events_sessions": events_sessions,
+        "ann_top10": ann_top10,
+        "embedding_norms": embedding_norms,
+        "media_features": media_features,
+    }
 
 
+# ====================================================== oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    # golden KG formulas — mirror raygraph/synth.py exactly
+    # i = 0..n-1 derived from the documents view itself (row_number over any
+    # order yields exactly the set {0..n-1}); mirrors raygraph/synth.py
+    kg_base = """
+    WITH p AS (SELECT count(*)::BIGINT AS n FROM documents),
+         mm AS (SELECT n, greatest(2, n // 10) AS m FROM p),
+         idx AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+         d0 AS (
+           SELECT idx.i AS i, mm.m AS m,
+                  CASE WHEN idx.i % 5 = 0 THEN 0
+                       ELSE 1 + (idx.i * 7919) % mm.m END AS a,
+                  1 + (idx.i * 104729 + 3) % mm.m AS b0
+           FROM idx, mm
+         ),
+         e AS (
+           SELECT i, a,
+                  CASE WHEN b0 = a THEN 1 + (b0 % m) ELSE b0 END AS b
+           FROM d0
+         )
     """
-    return {}
+    return {
+        "kg_edges": kg_base + """
+            SELECT DISTINCT 'entities/vertex_' || a AS _from,
+                   'connected_to' AS pred,
+                   'entities/vertex_' || b AS _to
+            FROM e
+            UNION
+            SELECT DISTINCT 'entities/vertex_' || a, 'is_a', 'entities/node'
+            FROM e WHERE i % 7 = 3
+        """,
+        "kg_vertices": kg_base + """
+            , keys AS (
+              SELECT 'vertex_' || a AS k FROM e
+              UNION SELECT 'vertex_' || b FROM e
+              UNION SELECT 'node' FROM e WHERE i % 7 = 3
+            )
+            SELECT DISTINCT 'entities/' || k AS _id, k AS _key,
+                   'entities' AS "@collection_name"
+            FROM keys
+        """,
+        "export_vertex_projection": """
+            SELECT 'customer/' || c_custkey AS _id,
+                   'customer' AS "@collection_name",
+                   c_acctbal, c_name
+            FROM customer
+        """,
+        "export_vertex_missing_field": """
+            SELECT 'customer/' || c_custkey AS _id,
+                   c_name, CAST(NULL AS VARCHAR) AS nickname
+            FROM customer
+        """,
+        "export_edge_projection": """
+            SELECT 'customer/' || o_custkey AS _from,
+                   'orders/' || o_orderkey AS _to,
+                   'orders_rel' AS "@collection_name",
+                   o_totalprice
+            FROM orders
+        """,
+        "export_load_all_vertices": """
+            SELECT 'customer/' || c_custkey AS _id,
+                   CAST(c_custkey AS VARCHAR) AS _key,
+                   c_name, c_acctbal
+            FROM customer
+        """,
+        "dedup_exact_documents": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, text FROM doubled GROUP BY text
+        """,
+        "dedup_minhash_survivors": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+            ),
+            reps AS (SELECT min(doc_id) AS keep FROM doubled GROUP BY text)
+            SELECT doc_id, text FROM doubled
+            WHERE doc_id IN (SELECT keep FROM reps)
+        """,
+        "dedup_embedding_pairs": f"""
+            SELECT vec_id AS id_a, vec_id + {_OFFSET} AS id_b FROM embeddings
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "text_stats": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_chars,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_unique_tokens,
+                     list_sum(list_transform(toks, x -> length(x))) AS char_sum
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens, n_unique_tokens,
+                   floor(10000.0 * n_unique_tokens /
+                         greatest(n_tokens, 1)) / 10000.0 AS ttr,
+                   floor(10000.0 * coalesce(char_sum, 0) /
+                         greatest(n_tokens, 1)) / 10000.0 AS mean_token_len
+            FROM s
+        """,
+        "docs_by_lang_source": """
+            SELECT lang, source, sum(n_chars)::BIGINT AS total_chars,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "top_sources_by_chars": """
+            SELECT source, sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY source
+            ORDER BY total_chars DESC, source LIMIT 10
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_revenue_topk": """
+            SELECT o_custkey AS c_custkey, c_name,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_name
+            ORDER BY revenue_cents DESC, o_custkey LIMIT 10
+        """,
+        "events_tumbling_1h": """
+            SELECT user_id,
+                   (epoch_us(ts) // (3600::BIGINT * 1000000)) * 3600
+                       AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id, window_start
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "ann_top10": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT qe FROM q)), 4)
+                       AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qe FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 4)
+                       AS l2_norm
+            FROM embeddings
+        """,
+    }

@@ -28,24 +28,28 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dtype=np.float32,
+    round_dp: int = 6,
 ) -> pd.DataFrame:
     """Exact cosine top-k of ``query`` (1-D) over the embedding column.
 
     Per-batch partial top-k inside ``map_batches`` (the combiner), then a
     heap merge of ≤ k rows per batch on the driver — the full corpus never
-    leaves the cluster.
+    leaves the cluster. ``dtype=np.float64`` makes results bit-comparable
+    with a double-precision SQL oracle; float32 (default) halves bandwidth
+    at scale.
     """
-    q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    q = np.asarray(query, dtype=dtype).reshape(1, -1)
     q = _normalize(q)
 
     def partial(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=dtype)
         sims = (_normalize(vecs) @ q.T).ravel()
         top = np.argsort(-sims)[:k]
         return pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(top, pa.int64())),
-                "cosine": pa.array(np.round(sims[top].astype("float64"), 6)),
+                "cosine": pa.array(np.round(sims[top].astype("float64"), round_dp)),
             }
         )
 

@@ -81,6 +81,19 @@ def word_ngrams(text: str, n: int = 3) -> set:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def word_shingles(text: str, n: int = 5) -> np.ndarray:
+    """crc32-hashed word n-shingles (order-sensitive windows, deduped).
+
+    Prefer these over char shingles for small-vocabulary text: char
+    5-gram sets saturate (two long docs over the same vocab approach
+    Jaccard 1.0 without being duplicates), while word n-gram windows stay
+    discriminative."""
+    out = {zlib.crc32(g.encode()) for g in word_ngrams(text, n)}
+    if not out:
+        out = {zlib.crc32(text.encode())}
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -91,17 +104,25 @@ def jaccard(a: set, b: set) -> float:
 # ----------------------------------------------------------------- MinHash
 class MinHasher:
     """num_perm universal-hash minhash signatures; coefficients derived
-    from a fixed seed so every worker agrees."""
+    from a fixed seed so every worker agrees. ``shingle`` selects the
+    shingling: "char" (k-grams) or "word" (k-token windows)."""
 
-    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5):
+    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5,
+                 shingle: str = "char"):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        self.shingle = shingle
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        if self.shingle == "word":
+            return word_shingles(text, self.shingle_k)
+        return char_shingles(text, self.shingle_k)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = char_shingles(text, self.shingle_k)
+        sh = self.shingle_hashes(text)
         # (num_perm, n_shingles) universal hashes, min over shingles
         vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
@@ -139,11 +160,16 @@ def minhash_bands(
     )
 
 
+BUCKET_PAIR_CAP = 512  # max ids per LSH bucket considered for pairing
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (cap guards a degenerate
-    bucket from emitting O(n^2) pairs; log-visible via the cap column)."""
+    """Candidate pairs within one LSH bucket. The cap guards a degenerate
+    bucket from emitting O(n^2) pairs — an explicit coverage bound: docs
+    beyond it in a single bucket are not paired (raise BUCKET_PAIR_CAP or
+    the band width if that happens on real data)."""
     ids = sorted(g["doc_id"].unique())
-    cap = 50
+    cap = BUCKET_PAIR_CAP
     out_a, out_b = [], []
     for i, a in enumerate(ids[:cap]):
         for b in ids[i + 1 : cap]:
@@ -153,9 +179,14 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
-                       text_col: str = "text", id_col: str = "doc_id"):
-    """Corpus Dataset → deduped candidate-pair Dataset (id_a < id_b)."""
-    hasher = MinHasher(num_perm=num_perm)
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle: str = "char"):
+    """Corpus Dataset → deduped candidate-pair Dataset (id_a < id_b).
+
+    ``bands`` trades recall for bucket size: more bands (narrower rows per
+    band) = higher recall for lower-similarity pairs but bigger buckets.
+    """
+    hasher = MinHasher(num_perm=num_perm, shingle=shingle)
     pairs = (
         ds.map_batches(
             lambda b: minhash_bands(b, hasher, bands, text_col, id_col),
@@ -177,15 +208,18 @@ def minhash_dedup(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle: str = "char",
 ):
-    """Full near-dedup: LSH candidates → exact Jaccard verify (char
-    shingles) → union-find clusters → survivors (min id per cluster).
+    """Full near-dedup: LSH candidates → exact Jaccard verify (same
+    shingling as the signatures) → union-find clusters → survivors (min id
+    per cluster).
 
     The verify step joins texts back onto the candidate pairs via a
     broadcast dict here (candidate ids are few); at inventory sizes beyond
     driver memory use ``Dataset.join`` on id_a/id_b instead.
     """
-    cand = minhash_candidates(ds, num_perm, bands, text_col, id_col).take_all()
+    cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
+                              shingle=shingle).take_all()
     if not cand:
         return ds
     need_ids = {c["id_a"] for c in cand} | {c["id_b"] for c in cand}
@@ -196,7 +230,7 @@ def minhash_dedup(
             if did in need_ids:
                 texts[did] = t or ""
 
-    k = MinHasher().shingle_k
+    hasher = MinHasher(shingle=shingle)
     parent: dict = {}
 
     def find(x):
@@ -206,7 +240,7 @@ def minhash_dedup(
         return x
 
     def _sh(t):
-        return set(char_shingles(t, k).tolist())
+        return set(hasher.shingle_hashes(t).tolist())
 
     sh_cache = {did: _sh(texts[did]) for did in texts}
     for c in cand:

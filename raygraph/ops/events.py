@@ -66,8 +66,9 @@ def sessionize(
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
-        new = (ts.diff().fillna(gap_sec + 1) > gap_sec).cumsum()
+        us = g[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
+        gap_us = gap_sec * 1_000_000
+        new = (us.diff().fillna(gap_us + 1) > gap_us).cumsum()
         out = g.groupby(new).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
@@ -89,8 +90,9 @@ def session_counts(ds, gap_sec: int = 1800, key_col: str = "user_id",
 
     def count(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
-        n = int((ts.diff().fillna(gap_sec + 1) > gap_sec).sum())
+        us = g[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
+        gap_us = gap_sec * 1_000_000
+        n = int((us.diff().fillna(gap_us + 1) > gap_us).sum())
         return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [n]})
 
     return ds.groupby(key_col).map_groups(count, batch_format="pandas")

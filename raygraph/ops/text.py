@@ -41,7 +41,9 @@ def token_count(batch: pa.Table, text_col: str = "text",
 def text_stats(batch: pa.Table, text_col: str = "text",
                id_col: str = "doc_id") -> pa.Table:
     """Per-doc quality stats: n_chars, n_tokens, n_unique_tokens, type-token
-    ratio (rounded 4dp), mean token length (rounded 4dp)."""
+    ratio, mean token length. Ratios use floor-at-4dp
+    (``floor(10000*x)/10000``) so the DuckDB oracle can reproduce them
+    bit-exactly (round() tie-breaking differs between numpy and SQL)."""
     s = batch.column(text_col).to_pandas()
     trimmed = s.str.strip()
     n_chars = s.str.len().fillna(0).astype("int64")
@@ -49,8 +51,8 @@ def text_stats(batch: pa.Table, text_col: str = "text",
     n_tok = toks.map(len).astype("int64")
     n_uniq = toks.map(lambda t: len(set(t))).astype("int64")
     safe = n_tok.replace(0, 1)
-    ttr = (n_uniq / safe).round(4)
-    mean_len = (toks.map(lambda t: sum(map(len, t))) / safe).round(4)
+    ttr = np.floor(10000.0 * n_uniq / safe) / 10000.0
+    mean_len = np.floor(10000.0 * toks.map(lambda t: sum(map(len, t))) / safe) / 10000.0
     return pa.table(
         {
             id_col: batch.column(id_col),

@@ -26,7 +26,7 @@ def test_text_stats():
     assert r["n_chars"] == 8
     assert r["n_tokens"] == 3
     assert r["n_unique_tokens"] == 2
-    assert abs(r["ttr"] - round(2 / 3, 4)) < 1e-9
+    assert abs(r["ttr"] - 0.6666) < 1e-9  # floor-at-4dp semantics
     assert abs(r["mean_token_len"] - 2.0) < 1e-9
     z = t.to_pylist()[1]
     assert z["n_tokens"] == 0 and z["ttr"] == 0
