@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Headline: full KG construction (read → validate → extract → link →
+canonicalize → materialize → write) over a deterministic interleaved
+corpus scaled from the sf documents table (×40 docs). Secondary timings
+cover the other operator families.
+
+    python bench.py                 # one JSON line on stdout
+    python bench.py --scaling       # run at 8 and 32 CPUs in fresh
+                                    # processes; report scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_MULT = int(os.environ.get("GRAFT_CORPUS_MULT", "40"))
+BENCH_TMP = "/tmp/raygraph_bench"
+
+
+def _corpus(n_docs: int) -> str:
+    """Deterministic corpus, cached across runs (content depends only on
+    n_docs). Also warms the page cache for the timed read."""
+    from raygraph import synth
+
+    path = os.path.join(BENCH_TMP, f"corpus_n{n_docs}")
+    marker = os.path.join(path, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        synth.write_corpus(path, n_docs)
+        open(marker, "w").close()
+    return path
+
+
+def main() -> None:
+    import logging
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from raygraph import synth
+    from raygraph.config import GraphBuildConfig
+    from raygraph.ops import dedup as D
+    from raygraph.ops import events as E
+    from raygraph.ops import text as T
+    from raygraph.ops.ann import brute_force_topk
+    from raygraph.pipeline import build_graph
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    n_base = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    n_docs = n_base * CORPUS_MULT
+    corpus_dir = _corpus(n_docs)
+
+    # ---- headline: KG construction --------------------------------------
+    out_dir = os.path.join(BENCH_TMP, f"kg_out_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = GraphBuildConfig(
+        input_path=corpus_dir,
+        output_path=out_dir,
+        num_partitions=max(16, NUM_CPUS),
+        batch_size=8192,
+        linker_concurrency=(2, max(2, NUM_CPUS // 2)),
+    )
+    aliases = synth.alias_inventory(synth.entity_space(n_docs))
+    t0 = time.monotonic()
+    res = build_graph(cfg, aliases=aliases)
+    kg_sec = time.monotonic() - t0
+    timings["kg_build"] = round(kg_sec, 3)
+    extra["docs_per_sec"] = round(n_docs / kg_sec, 1)
+    extra["triples_per_sec"] = round(res.metrics["triples_raw"] / kg_sec, 1)
+    extra["n_docs"] = n_docs
+    extra["triples_raw"] = res.metrics["triples_raw"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- secondary operator families ------------------------------------
+    docs = lambda cols=("doc_id", "text"): rd.read_parquet(  # noqa: E731
+        os.path.join(SF_DIR, "documents.parquet"), columns=list(cols)
+    )
+
+    t0 = time.monotonic()
+    D.exact_dedup(docs()).count()
+    timings["dedup_exact"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    docs().map_batches(T.text_stats, batch_format="pyarrow").count()
+    timings["text_stats"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    qtab = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    q = np.array(qtab.column("embedding")[0].as_py(), dtype=np.float64)
+    brute_force_topk(emb, q, k=10)
+    timings["ann_top10"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    E.tumbling_window(ev, window_sec=3600).count()
+    timings["events_tumbling"] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "kg_construction_sec",
+        "value": timings["kg_build"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extra,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Same job at two parallelism levels in fresh processes — the
+    sandbox evidence for the north rule's two-cluster-size criterion."""
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm-up/generation happens in the first run's untimed phase
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "docs_per_sec_lo": r_lo["docs_per_sec"],
+                "docs_per_sec_hi": r_hi["docs_per_sec"],
+                "n_docs": r_lo["n_docs"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -82,6 +82,11 @@ class GraphBuildConfig:
     num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
     resume: bool = False
 
+    # pin the (small) triples table in the object store during phase B to
+    # avoid re-reading it for canonicalize/vertices/edges; disable when
+    # triples themselves approach object-store capacity
+    materialize_triples: bool = True
+
     # deterministic output ordering (tests); off for large runs
     sort_output: bool = False
 

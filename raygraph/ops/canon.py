@@ -27,8 +27,6 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from .link import normalize_surfaces
-
 # node-id prefixes in the bipartite graph
 _K = "k:"
 _S = "s:"
@@ -42,13 +40,20 @@ def mention_pairs(batch: pa.Table) -> pa.Table:
     """
     df = pd.DataFrame(
         {
-            "key": list(batch.column("subj").to_pylist())
-            + list(batch.column("obj").to_pylist()),
-            "surface": list(batch.column("subj_surface").to_pylist())
-            + list(batch.column("obj_surface").to_pylist()),
+            "key": pd.concat(
+                [batch.column("subj").to_pandas(), batch.column("obj").to_pandas()],
+                ignore_index=True,
+            ),
+            "surface": pd.concat(
+                [
+                    batch.column("subj_surface").to_pandas(),
+                    batch.column("obj_surface").to_pandas(),
+                ],
+                ignore_index=True,
+            ),
         }
     )
-    df["surface"] = normalize_surfaces(df["surface"])
+    # surfaces arrive normalized from the linker
     df = df.drop_duplicates()
     return pa.table(
         {

@@ -59,45 +59,42 @@ def _trigram_rows(strings: list[str], idf: np.ndarray | None = None) -> np.ndarr
             mat[i, zlib.crc32(padded[j : j + 3].encode()) % TRIGRAM_DIM] += 1.0
     if idf is not None:
         mat *= idf
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    # np.linalg.norm on big float32 matrices is pathologically slow in this
+    # numpy build; einsum row dot-products are ~100x faster
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))[:, None]
     norms[norms == 0] = 1.0
-    return mat / norms
+    mat /= norms
+    return mat
 
 
-class EntityLinker:
-    """Callable class for ``map_batches`` (actor pool).
+class AliasIndex:
+    """The linker's broadcast state: normalized alias dict + TF-IDF
+    char-trigram matrix over the alias inventory.
 
-    Parameters
-    ----------
-    alias_ref:
-        ``ray.ObjectRef`` of a ``dict[str, str]`` normalized-alias -> key
-        map (broadcast once from the driver), or
-    aliases:
-        the dict itself (tests / local use).
-    min_score:
-        trigram-cosine acceptance threshold for fuzzy matches.
+    Build ONCE on the driver (:meth:`build`), ship with ``ray.put``; each
+    linker actor fetches it zero-copy (the numpy matrix stays in the
+    local object store). At inventories beyond one node's memory, shard
+    the dict/matrix by first hash byte and give each actor one shard
+    (SURVEY.md §2.7) — not needed at current scales.
     """
 
-    def __init__(self, alias_ref=None, aliases: dict[str, str] | None = None,
-                 min_score: float = 0.35):
-        if alias_ref is not None:
-            import ray
+    __slots__ = ("alias_map", "alias_keys", "idf", "index")
 
-            aliases = ray.get(alias_ref)
-        if aliases is None:
-            aliases = {}
-        self.min_score = float(min_score)
-        # normalize inventory keys the same way surfaces are normalized
+    def __init__(self, alias_map, alias_keys, idf, index):
+        self.alias_map = alias_map
+        self.alias_keys = alias_keys
+        self.idf = idf
+        self.index = index
+
+    @classmethod
+    def build(cls, aliases: dict[str, str]) -> "AliasIndex":
         norm_alias: dict[str, str] = {}
         for a, k in aliases.items():
             na = _WS.sub(" ", _PUNCT.sub(" ", a.lower())).strip()
             norm_alias[na] = k
-        self.alias_map = norm_alias
-        self._alias_series = pd.Series(self.alias_map)
         alias_list = list(norm_alias)
-        self._alias_keys = np.array([norm_alias[a] for a in alias_list], dtype=object)
+        alias_keys = np.array([norm_alias[a] for a in alias_list], dtype=object)
         if alias_list:
-            # document-frequency IDF over the alias corpus itself
             df = np.zeros(TRIGRAM_DIM, dtype="float32")
             for a in alias_list:
                 padded = f"  {a} "
@@ -105,16 +102,47 @@ class EntityLinker:
                         for j in range(len(padded) - 2)}
                 for h in seen:
                     df[h] += 1.0
-            self._idf = np.log((1.0 + len(alias_list)) / (1.0 + df)) + 1.0
-            self._index = _trigram_rows(alias_list, self._idf)
+            idf = np.log((1.0 + len(alias_list)) / (1.0 + df)) + 1.0
+            index = _trigram_rows(alias_list, idf)
         else:
-            self._idf = None
-            self._index = np.zeros((0, TRIGRAM_DIM), dtype="float32")
+            idf = None
+            index = np.zeros((0, TRIGRAM_DIM), dtype="float32")
+        return cls(norm_alias, alias_keys, idf, index)
+
+
+class EntityLinker:
+    """Callable class for ``map_batches`` (actor pool).
+
+    Parameters
+    ----------
+    index_ref:
+        ``{"ref": ray.ObjectRef}`` of a prebuilt :class:`AliasIndex`
+        (broadcast once from the driver; wrapped in a dict so Ray does
+        not resolve it eagerly as a constructor argument), or
+    aliases:
+        raw alias dict — the index is then built here (tests/local use).
+    min_score:
+        trigram-cosine acceptance threshold for fuzzy matches.
+    """
+
+    def __init__(self, index_ref=None, aliases: dict[str, str] | None = None,
+                 min_score: float = 0.35):
+        if index_ref is not None:
+            import ray
+
+            idx: AliasIndex = ray.get(index_ref["ref"])
+        else:
+            idx = AliasIndex.build(aliases or {})
+        self.min_score = float(min_score)
+        self.alias_map = idx.alias_map
+        self._alias_keys = idx.alias_keys
+        self._idf = idx.idf
+        self._index = idx.index
         self._miss_cache: dict[str, str] = {}
 
     # -- core -------------------------------------------------------------
-    def link_surfaces(self, surfaces: pd.Series) -> np.ndarray:
-        """Vectorized surface -> entity-key resolution."""
+    def link_surfaces(self, surfaces: pd.Series) -> tuple[np.ndarray, pd.Series]:
+        """Vectorized surface -> (entity keys, normalized surfaces)."""
         norm = normalize_surfaces(surfaces)
         keys = norm.map(self.alias_map)
         miss = keys.isna()
@@ -137,23 +165,28 @@ class EntityLinker:
                     self._miss_cache[s] = minted_key(s)
             resolved = {u: self._miss_cache[u] for u in uniq}
             keys = keys.where(~miss, norm.map(resolved))
-        return keys.to_numpy(dtype=object)
+        return keys.to_numpy(dtype=object), norm
 
     # -- map_batches entry ------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """RAW_TRIPLE batch -> LINKED_TRIPLE batch."""
+        """RAW_TRIPLE batch -> LINKED_TRIPLE batch.
+
+        Output surfaces are NORMALIZED (the linker computes the
+        normalization anyway); downstream canonicalization and vertex
+        naming consume them directly without re-normalizing.
+        """
         subj_surface = batch.column("subj_surface").to_pandas()
         obj_surface = batch.column("obj_surface").to_pandas()
-        subj = self.link_surfaces(subj_surface)
-        obj = self.link_surfaces(obj_surface)
+        subj, subj_norm = self.link_surfaces(subj_surface)
+        obj, obj_norm = self.link_surfaces(obj_surface)
         cols = {
             "doc_id": batch.column("doc_id"),
             "span_idx": batch.column("span_idx"),
             "subj": pa.array(subj, pa.string()),
             "pred": batch.column("pred"),
             "obj": pa.array(obj, pa.string()),
-            "subj_surface": batch.column("subj_surface"),
-            "obj_surface": batch.column("obj_surface"),
+            "subj_surface": pa.array(subj_norm, pa.string()),
+            "obj_surface": pa.array(obj_norm, pa.string()),
             "conf": batch.column("conf"),
         }
         # passthrough columns (e.g. checkpoint part_id) survive linking

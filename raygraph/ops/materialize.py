@@ -7,12 +7,14 @@ Reproduces the reference's output-side semantics on the tables we build:
 * ``_from`` / ``_to`` are vertex ``_id`` strings, mandatory
   (src/graph_loader.rs:675-703)
 * exact edge dedup on (subj, pred, obj) — the analog of the smart-edge
-  shard anti-join A4 (src/sharding.rs:329-341): hash-shuffle + per-group
-  first.
+  shard anti-join A4 (src/sharding.rs:329-341): hash-shuffle + aggregate.
 
 Aggregation discipline (SURVEY.md §4.2): every groupby is preceded by
 per-batch partial aggregation inside ``map_batches`` (the salt), so a hub
-entity with 10^6 mentions ships ≤ #batches partial rows, not 10^6.
+entity with 10^6 mentions ships ≤ #batches partial rows, not 10^6 — and
+the wide step itself uses Ray's BUILT-IN vectorized aggregates (Sum / Max
+/ Min / Count), never per-group Python (a ``map_groups`` over 10^5 tiny
+groups costs one Python call per group and dominated early profiles).
 """
 
 from __future__ import annotations
@@ -22,10 +24,10 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-from .link import normalize_surfaces
+from ray.data.aggregate import Count, Max, Min, Sum
 
 _SEP = "\x00"
+_NMAX = 10**12  # mention counts are < this; used for the min-composite trick
 
 
 def edge_key(subj: str, pred: str, obj: str) -> str:
@@ -43,8 +45,8 @@ def make_apply_canon(canon: dict[str, str]):
     """
 
     def apply_canon(batch: pa.Table) -> pa.Table:
-        subj = pd.Series(batch.column("subj").to_pylist())
-        obj = pd.Series(batch.column("obj").to_pylist())
+        subj = batch.column("subj").to_pandas()
+        obj = batch.column("obj").to_pandas()
         subj = subj.map(canon).fillna(subj)
         obj = obj.map(canon).fillna(obj)
         return batch.set_column(
@@ -58,34 +60,45 @@ def make_apply_canon(canon: dict[str, str]):
 
 # --------------------------------------------------------------------- edges
 def edge_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch partial: dedup (subj, pred, obj, doc_id), max conf."""
+    """Per-batch partial: dedup (subj, pred, obj, doc_id), max conf.
+
+    A partial only — the same (subj, pred, obj, doc_id) can straddle
+    batches after the checkpoint round-trip (block boundaries are
+    arbitrary), so an exact 4-key groupby follows before doc counting.
+    """
     df = pd.DataFrame(
         {
-            "subj": batch.column("subj").to_pylist(),
-            "pred": batch.column("pred").to_pylist(),
-            "obj": batch.column("obj").to_pylist(),
-            "doc_id": batch.column("doc_id").to_pylist(),
-            "conf": batch.column("conf").to_numpy(zero_copy_only=False),
+            "subj": batch.column("subj").to_pandas(),
+            "pred": batch.column("pred").to_pandas(),
+            "obj": batch.column("obj").to_pandas(),
+            "doc_id": batch.column("doc_id").to_pandas(),
+            "conf": batch.column("conf").to_pandas(),
         }
     )
-    df = (
-        df.groupby(["subj", "pred", "obj", "doc_id"], as_index=False)["conf"].max()
-    )
+    df = df.groupby(["subj", "pred", "obj", "doc_id"], as_index=False,
+                    sort=False)["conf"].max()
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def _edge_group(vertex_collection: str, edge_collection: str):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        s, p, o = g["subj"].iloc[0], g["pred"].iloc[0], g["obj"].iloc[0]
-        return pd.DataFrame(
+def _finalize_edges(vertex_collection: str, edge_collection: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").to_pandas()
+        p = batch.column("pred").to_pandas()
+        o = batch.column("obj").to_pandas()
+        keys = [
+            hashlib.sha1(f"{a}{_SEP}{b}{_SEP}{c}".encode()).hexdigest()[:16]
+            for a, b, c in zip(s, p, o)
+        ]
+        n = len(s)
+        return pa.table(
             {
-                "_from": [f"{vertex_collection}/{s}"],
-                "_to": [f"{vertex_collection}/{o}"],
-                "_key": [edge_key(s, p, o)],
-                "@collection_name": [edge_collection],
-                "pred": [p],
-                "conf": np.array([g["conf"].max()], dtype="float32"),
-                "doc_count": [int(g["doc_id"].nunique())],
+                "_from": pa.array(vertex_collection + "/" + s, pa.string()),
+                "_to": pa.array(vertex_collection + "/" + o, pa.string()),
+                "_key": pa.array(keys, pa.string()),
+                "@collection_name": pa.array([edge_collection] * n, pa.string()),
+                "pred": pa.array(p, pa.string()),
+                "conf": batch.column("conf").cast(pa.float32()),
+                "doc_count": batch.column("doc_count").cast(pa.int64()),
             }
         )
 
@@ -96,15 +109,22 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str):
     """LINKED_TRIPLE Dataset → deduped edge Dataset (EDGE_SCHEMA).
 
     ``canon_fn`` is the batch transform from :func:`make_apply_canon`.
-    Shuffle: one groupby on (subj, pred, obj) over per-batch partials.
+    Two vectorized built-in-aggregate groupbys over per-batch partials:
+    exact (subj, pred, obj, doc_id) dedup first — doc_count must be a
+    DISTINCT doc count, stable across arbitrary block boundaries — then
+    the per-edge Max/Count.
     """
-    return (
+    agg = (
         linked.map_batches(canon_fn, batch_format="pyarrow")
         .map_batches(edge_partials, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj", "doc_id"])
+        .aggregate(Max("conf", alias_name="conf"))
         .groupby(["subj", "pred", "obj"])
-        .map_groups(_edge_group(vertex_collection, edge_collection),
-                    batch_format="pandas")
+        .aggregate(Max("conf", alias_name="conf"),
+                   Count(alias_name="doc_count"))
     )
+    return agg.map_batches(_finalize_edges(vertex_collection, edge_collection),
+                           batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- vertices
@@ -112,31 +132,53 @@ def vertex_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial: mention counts per (key, surface_norm)."""
     df = pd.DataFrame(
         {
-            "key": list(batch.column("subj").to_pylist())
-            + list(batch.column("obj").to_pylist()),
-            "surface": list(batch.column("subj_surface").to_pylist())
-            + list(batch.column("obj_surface").to_pylist()),
+            "key": pd.concat(
+                [batch.column("subj").to_pandas(), batch.column("obj").to_pandas()],
+                ignore_index=True,
+            ),
+            "surface": pd.concat(
+                [
+                    batch.column("subj_surface").to_pandas(),
+                    batch.column("obj_surface").to_pandas(),
+                ],
+                ignore_index=True,
+            ),
         }
     )
-    df["surface"] = normalize_surfaces(df["surface"])
-    out = df.groupby(["key", "surface"], as_index=False).size()
+    # surfaces arrive normalized from the linker
+    out = df.groupby(["key", "surface"], as_index=False, sort=False).size()
     out = out.rename(columns={"size": "n"})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _vertex_group(vertex_collection: str):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].iloc[0]
-        per_surface = g.groupby("surface")["n"].sum()
-        # most frequent surface; deterministic tie-break = lexicographic min
-        top = per_surface.sort_index().idxmax()
-        return pd.DataFrame(
+def _add_inv_composite(batch: pa.Table) -> pa.Table:
+    """inv = zero-padded (NMAX - n) + '|' + surface: taking the MIN of this
+    string selects the most frequent surface with lexicographic-min
+    tie-break — an argmax expressed through a built-in vectorized Min."""
+    n = batch.column("n").to_pandas().astype("int64")
+    surf = batch.column("surface").to_pandas()
+    inv = (_NMAX - n).map("{:013d}".format) + "|" + surf
+    return pa.table(
+        {
+            "key": batch.column("key"),
+            "n": pa.array(n, pa.int64()),
+            "inv": pa.array(inv, pa.string()),
+        }
+    )
+
+
+def _finalize_vertices(vertex_collection: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_pandas()
+        name = batch.column("inv").to_pandas().str.split("|", n=1).str[1]
+        n = len(key)
+        return pa.table(
             {
-                "_id": [f"{vertex_collection}/{key}"],
-                "_key": [key],
-                "@collection_name": [vertex_collection],
-                "name": [top],
-                "mention_count": [int(g["n"].sum())],
+                "_id": pa.array(vertex_collection + "/" + key, pa.string()),
+                "_key": pa.array(key, pa.string()),
+                "@collection_name": pa.array([vertex_collection] * n, pa.string()),
+                "name": pa.array(name, pa.string()),
+                "mention_count": batch.column("mention_count").cast(pa.int64()),
             }
         )
 
@@ -146,13 +188,22 @@ def _vertex_group(vertex_collection: str):
 def build_vertices(linked, canon_fn, vertex_collection: str):
     """LINKED_TRIPLE Dataset → canonical vertex Dataset (VERTEX_SCHEMA).
 
-    Shuffle: one groupby on the canonical key over per-batch partial
-    counts (hub-safe: a hub entity contributes ≤ one partial row per batch
-    per surface form).
+    Two built-in-aggregate groupbys over per-batch partial counts:
+    (key, surface) sums, then per-key Sum + the min-composite argmax for
+    the display name. Hub-safe: a hub entity contributes ≤ one partial row
+    per batch per surface form.
     """
-    return (
+    per_surface = (
         linked.map_batches(canon_fn, batch_format="pyarrow")
         .map_batches(vertex_partials, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(_vertex_group(vertex_collection), batch_format="pandas")
+        .groupby(["key", "surface"])
+        .aggregate(Sum("n", alias_name="n"))
     )
+    per_key = (
+        per_surface.map_batches(_add_inv_composite, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min("inv", alias_name="inv"),
+                   Sum("n", alias_name="mention_count"))
+    )
+    return per_key.map_batches(_finalize_vertices(vertex_collection),
+                               batch_format="pyarrow")

@@ -67,11 +67,11 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
     """Phase A as a lazy Dataset: corpus → LINKED_TRIPLE (+part_id)."""
     import ray
 
+    # extraction stages run per block (batch_size=None): parallelism is
+    # then bounded by block count, not by rows/batch_size
     docs = read_documents(cfg.input_path)
-    docs = docs.map_batches(
-        _add_part_id(cfg.num_partitions), batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
+    docs = docs.map_batches(_add_part_id(cfg.num_partitions),
+                            batch_format="pyarrow")
 
     triples_path = os.path.join(cfg.output_path, "triples")
     if cfg.resume:
@@ -80,24 +80,27 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
             docs = docs.map_batches(_skip_partitions(done), batch_format="pyarrow")
         ckpt.clean_incomplete(triples_path, cfg.num_partitions)
 
-    docs = docs.map_batches(validate_spans, batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
+    docs = docs.map_batches(validate_spans, batch_format="pyarrow")
 
     def extract_with_part(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         out = extract_triples(batch)
-        ids = pd.Series(out.column("doc_id").to_pylist())
+        ids = out.column("doc_id").to_pandas()
         pid = ckpt.partition_ids(ids, cfg.num_partitions)
         return out.append_column("part_id", pa.array(pid, pa.int64()))
 
-    raw = docs.map_batches(extract_with_part, batch_format="pyarrow",
-                           batch_size=cfg.batch_size)
+    raw = docs.map_batches(extract_with_part, batch_format="pyarrow")
 
-    kwargs: dict = {"min_score": cfg.min_link_score}
-    if aliases is not None:
-        # broadcast once; each linker actor fetches it in __init__
-        kwargs["alias_ref"] = ray.put(aliases)
+    # the alias index is built ONCE on the driver and broadcast; actor
+    # __init__ only fetches it (zero-copy numpy from the object store)
+    from .ops.link import AliasIndex
+
+    index = AliasIndex.build(aliases or {})
+    kwargs: dict = {
+        "min_score": cfg.min_link_score,
+        "index_ref": {"ref": ray.put(index)},
+    }
     linked = raw.map_batches(
         EntityLinker,
         fn_constructor_kwargs=kwargs,
@@ -118,7 +121,9 @@ def build_graph(cfg: GraphBuildConfig,
 
     # ---- phase A: extract + link, checkpointed ---------------------------
     linked, triples_path = extract_and_link(cfg, aliases=aliases)
-    linked.write_parquet(triples_path, partition_cols=["part_id"])
+    # sort by part_id so each checkpoint partition lands in contiguous
+    # blocks → O(partitions) output files instead of O(blocks × partitions)
+    linked.sort("part_id").write_parquet(triples_path, partition_cols=["part_id"])
     part_stats = ckpt.finalize_partitions(triples_path, cfg.num_partitions)
     metrics["phase_a_sec"] = time.monotonic() - t0
     metrics["triples_raw"] = sum(s["rows"] for s in part_stats.values())
@@ -127,6 +132,11 @@ def build_graph(cfg: GraphBuildConfig,
     # ---- phase B: canonicalize + materialize -----------------------------
     t1 = time.monotonic()
     triples = read_table(triples_path)
+    if cfg.materialize_triples:
+        # the triples table is orders of magnitude smaller than the corpus;
+        # pinning it avoids three re-reads (canonicalize, vertices, edges).
+        # Disable for runs where even triples exceed object-store budget.
+        triples = triples.materialize()
     canon = canonicalize(triples)
     metrics["entities_linked"] = len(canon)
     canon_fn = make_apply_canon(canon)

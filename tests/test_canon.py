@@ -31,12 +31,13 @@ def test_union_find_duplicate_pairs_idempotent():
 
 
 def test_mention_pairs_dedups_within_batch():
+    # surfaces arrive already normalized from the linker
     batch = pa.table(
         {
             "subj": ["k1", "k1", "k1"],
             "obj": ["k2", "k2", "k2"],
-            "subj_surface": ["A", "a", "A"],
-            "obj_surface": ["B", "B", "B"],
+            "subj_surface": ["a", "a", "a"],
+            "obj_surface": ["b", "b", "b"],
         }
     )
     out = mention_pairs(batch)

@@ -14,28 +14,28 @@ def _linker(n=10, **kw):
 
 def test_exact_alias_hit():
     lk = _linker()
-    got = lk.link_surfaces(pd.Series(["vertex 3", "Vertex 3", "node 3", "v3"]))
+    got, _ = lk.link_surfaces(pd.Series(["vertex 3", "Vertex 3", "node 3", "v3"]))
     assert list(got) == ["vertex_3"] * 4
 
 
 def test_punctuation_normalization():
     lk = _linker()
-    got = lk.link_surfaces(pd.Series(["Vertex 3.", "  vertex   3 "]))
+    got, _ = lk.link_surfaces(pd.Series(["Vertex 3.", "  vertex   3 "]))
     assert list(got) == ["vertex_3"] * 2
 
 
 def test_fuzzy_trigram_match():
     # unseen surface 'vertexx 3' should fuzzy-match the 'vertex 3' alias
     lk = _linker(min_score=0.5)
-    got = lk.link_surfaces(pd.Series(["vertexx 3"]))
+    got, _ = lk.link_surfaces(pd.Series(["vertexx 3"]))
     assert list(got) == ["vertex_3"]
 
 
 def test_below_threshold_mints_deterministic_key():
     lk = _linker(min_score=0.99)
-    got1 = lk.link_surfaces(pd.Series(["completely unrelated thing"]))
+    got1, _ = lk.link_surfaces(pd.Series(["completely unrelated thing"]))
     lk2 = _linker(min_score=0.99)
-    got2 = lk2.link_surfaces(pd.Series(["completely unrelated thing"]))
+    got2, _ = lk2.link_surfaces(pd.Series(["completely unrelated thing"]))
     assert got1[0] == got2[0] == minted_key("completely unrelated thing")
     assert got1[0].startswith("ent_")
 
@@ -69,4 +69,4 @@ def test_linker_deterministic_across_instances():
     a = _linker(min_score=0.3)
     b = _linker(min_score=0.3)
     surfaces = pd.Series(["vrtex 5", "nod 2", "zzz qqq", "v 7"])
-    assert list(a.link_surfaces(surfaces)) == list(b.link_surfaces(surfaces))
+    assert list(a.link_surfaces(surfaces)[0]) == list(b.link_surfaces(surfaces)[0])
