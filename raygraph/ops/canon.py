@@ -184,12 +184,16 @@ def canonicalize(linked, rounds: int = 4, strategy: str = "driver") -> dict[str,
     """
     pairs = linked.map_batches(mention_pairs, batch_format="pyarrow")
     if strategy == "driver":
-        collected: list[tuple[str, str]] = []
-        for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            collected.extend(
-                zip(batch.column("key").to_pylist(), batch.column("surface").to_pylist())
-            )
-        return union_find(collected)
+        frames = [
+            batch.to_pandas()
+            for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow")
+        ]
+        if not frames:
+            return {}
+        # vectorized global dedup before the Python union-find: cross-batch
+        # duplicate factor is high (every batch repeats the hot aliases)
+        df = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return union_find(list(zip(df["key"], df["surface"])))
     cmap = canonical_map_dataset(pairs, rounds=rounds)
     out: dict[str, str] = {}
     for row in cmap.take_all():

@@ -44,24 +44,46 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: hash-partition on content hash, keep the row with the
     smallest id per group (deterministic representative).
 
-    Two-level: within-batch dedup first (partial), then the groupby —
-    a corpus that is 50% duplicates ships half the rows into the shuffle.
+    Two-level: within-batch dedup first (partial), then ONE groupby with a
+    built-in vectorized Min over a ``zero-padded-id \\x1f text`` composite
+    (per-group Python over millions of tiny groups is the slow path).
+    Integer ids are zero-padded to 20 digits so string Min == numeric min.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         t = add_content_hash(batch, text_col)
         df = t.to_pandas()
         df = df.sort_values(id_col).drop_duplicates("content_hash", keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        ids = df[id_col]
+        packed = (
+            ids.map("{:020d}".format) if ids.dtype.kind in "iu"
+            else ids.astype(str)
+        ) + "\x1f" + df[text_col].fillna("")
+        return pa.table(
+            {
+                "content_hash": pa.array(df["content_hash"], pa.string()),
+                "packed": pa.array(packed, pa.string()),
+            }
+        )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def unpack(batch: pa.Table) -> pa.Table:
+        s = batch.column("packed").to_pandas().str.split("\x1f", n=1)
+        ids = s.str[0]
+        as_int = ids.str.fullmatch(r"\d{20}").all()
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype("int64") if as_int else ids),
+                text_col: pa.array(s.str[1], pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Min
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["content_hash"])
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(unpack, batch_format="pyarrow")
     )
 
 

@@ -34,20 +34,13 @@ def tumbling_window(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "sum_value": [float(g["sum_value"].sum())],
-            }
-        )
+    from ray.data.aggregate import Sum
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([key_col, "window_start"])
-        .map_groups(merge, batch_format="pandas")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
     )
 
 

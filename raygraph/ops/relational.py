@@ -67,16 +67,13 @@ def preagg_sum(
         g = df.groupby(keys, as_index=False).agg(**aggs)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [g[k].iloc[0]] for k in keys}
-        for out in sums:
-            row[out] = [g[out].sum()]
-        if counts:
-            row[counts] = [int(g[counts].sum())]
-        return pd.DataFrame(row)
+    from ray.data.aggregate import Sum
 
+    aggs = [Sum(out, alias_name=out) for out in sums]
+    if counts:
+        aggs.append(Sum(counts, alias_name=counts))
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys if len(keys) > 1 else keys[0])
-        .map_groups(merge, batch_format="pandas")
+        .aggregate(*aggs)
     )
