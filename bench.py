@@ -52,7 +52,8 @@ def main() -> None:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=16 << 30)  # fixed size: comparable runs
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -83,7 +84,9 @@ def main() -> None:
         output_path=out_dir,
         num_partitions=max(16, NUM_CPUS),
         batch_size=8192,
-        linker_concurrency=(2, max(2, NUM_CPUS // 2)),
+        # the extract+link stages fuse into this pool — let it span the
+        # machine; streaming backpressure keeps memory bounded
+        linker_concurrency=(2, NUM_CPUS),
     )
     aliases = synth.alias_inventory(synth.entity_space(n_docs))
     t0 = time.monotonic()
@@ -94,6 +97,8 @@ def main() -> None:
     extra["triples_per_sec"] = round(res.metrics["triples_raw"] / kg_sec, 1)
     extra["n_docs"] = n_docs
     extra["triples_raw"] = res.metrics["triples_raw"]
+    extra["phase_a_sec"] = round(res.metrics["phase_a_sec"], 2)
+    extra["phase_b_sec"] = round(res.metrics["phase_b_sec"], 2)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- secondary operator families ------------------------------------
@@ -139,8 +144,16 @@ def main() -> None:
 
 def scaling() -> None:
     """Same job at two parallelism levels in fresh processes — the
-    sandbox evidence for the north rule's two-cluster-size criterion."""
+    sandbox evidence for the north rule's two-cluster-size criterion.
+
+    Median of 3 interleaved runs per level: single-node wall times have
+    high variance (page cache, actor-pool autoscaling), and interleaving
+    keeps systematic drift from biasing one level.
+    """
+    import statistics
+
     lo, hi = 8, 32
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -151,10 +164,12 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # warm-up/generation happens in the first run's untimed phase
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    t_lo = statistics.median(r["value"] for r in runs_lo)
+    t_hi = statistics.median(r["value"] for r in runs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
@@ -166,9 +181,11 @@ def scaling() -> None:
                 "sec_hi": t_hi,
                 "cpus_lo": lo,
                 "cpus_hi": hi,
-                "docs_per_sec_lo": r_lo["docs_per_sec"],
-                "docs_per_sec_hi": r_hi["docs_per_sec"],
-                "n_docs": r_lo["n_docs"],
+                "runs_lo": [r["value"] for r in runs_lo],
+                "runs_hi": [r["value"] for r in runs_hi],
+                "docs_per_sec_lo": round(runs_lo[0]["n_docs"] / t_lo, 1),
+                "docs_per_sec_hi": round(runs_lo[0]["n_docs"] / t_hi, 1),
+                "n_docs": runs_lo[0]["n_docs"],
                 "sf": SF_DIR,
             }
         )

@@ -1,0 +1,126 @@
+"""Command-line entry point — runnable directly or via ``ray job submit``.
+
+    # full KG construction over a corpus directory
+    python -m raygraph.cli build --input /data/corpus --output /data/kg \
+        --partitions 64 [--resume]
+
+    # generate a deterministic synthetic corpus (tests/bench)
+    python -m raygraph.cli synth --n-docs 100000 --output /tmp/corpus
+
+    # export a graph database directory (GraphLoader parity surface)
+    python -m raygraph.cli export --db /data/db --graph MyGraph \
+        --output /tmp/export
+
+Owns the Ray session (guarded init — under ``ray job submit`` the session
+already exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .config import GraphBuildConfig
+    from .pipeline import build_graph
+
+    cfg = GraphBuildConfig(
+        input_path=args.input,
+        output_path=args.output,
+        num_partitions=args.partitions,
+        batch_size=args.batch_size,
+        resume=args.resume,
+        vertex_collection=args.vertex_collection,
+        edge_collection=args.edge_collection,
+    )
+    aliases = None
+    if args.aliases:
+        with open(args.aliases) as fh:
+            aliases = json.load(fh)
+    res = build_graph(cfg, aliases=aliases)
+    print(json.dumps({"vertices": res.vertices_path, "edges": res.edges_path,
+                      "triples": res.triples_path, **res.metrics}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from . import synth
+
+    synth.write_corpus(args.output, args.n_docs)
+    print(json.dumps({"output": args.output, "n_docs": args.n_docs}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .exporter import load_named_graph
+
+    loader = load_named_graph(args.db, args.graph,
+                              vertex_fields=tuple(args.vertex_fields or ()),
+                              edge_fields=tuple(args.edge_fields or ()))
+    import os
+
+    loader.vertex_dataset().write_parquet(os.path.join(args.output, "vertices"))
+    loader.edge_dataset().write_parquet(os.path.join(args.output, "edges"))
+    print(json.dumps({"output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    p = argparse.ArgumentParser(prog="raygraph")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run KG construction")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--partitions", type=int, default=64)
+    b.add_argument("--batch-size", type=int, default=4096)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--aliases", help="JSON file: alias -> entity key")
+    b.add_argument("--vertex-collection", default="entities")
+    b.add_argument("--edge-collection", default="relations")
+    b.add_argument("--num-cpus", type=int)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("synth", help="generate deterministic corpus")
+    s.add_argument("--n-docs", type=int, required=True)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    e = sub.add_parser("export", help="export a graph database directory")
+    e.add_argument("--db", required=True)
+    e.add_argument("--graph", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--vertex-fields", nargs="*")
+    e.add_argument("--edge-fields", nargs="*")
+    e.add_argument("--num-cpus", type=int)
+    e.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,26 +88,34 @@ class AliasIndex:
 
     @classmethod
     def build(cls, aliases: dict[str, str]) -> "AliasIndex":
+        """Normalize the dict; the trigram matrix itself is built LAZILY
+        (:meth:`ensure_matrix`) on the first fuzzy miss — the exact-hit
+        fast path never pays for it, and the broadcast ships only the
+        dict (MBs), not the dense matrix (GBs at large inventories)."""
         norm_alias: dict[str, str] = {}
         for a, k in aliases.items():
             na = _WS.sub(" ", _PUNCT.sub(" ", a.lower())).strip()
             norm_alias[na] = k
-        alias_list = list(norm_alias)
-        alias_keys = np.array([norm_alias[a] for a in alias_list], dtype=object)
-        if alias_list:
-            df = np.zeros(TRIGRAM_DIM, dtype="float32")
-            for a in alias_list:
-                padded = f"  {a} "
-                seen = {zlib.crc32(padded[j : j + 3].encode()) % TRIGRAM_DIM
-                        for j in range(len(padded) - 2)}
-                for h in seen:
-                    df[h] += 1.0
-            idf = np.log((1.0 + len(alias_list)) / (1.0 + df)) + 1.0
-            index = _trigram_rows(alias_list, idf)
-        else:
-            idf = None
-            index = np.zeros((0, TRIGRAM_DIM), dtype="float32")
-        return cls(norm_alias, alias_keys, idf, index)
+        alias_keys = np.array(list(norm_alias.values()), dtype=object)
+        return cls(norm_alias, alias_keys, None, None)
+
+    def ensure_matrix(self) -> None:
+        if self.index is not None:
+            return
+        alias_list = list(self.alias_map)
+        if not alias_list:
+            self.idf = None
+            self.index = np.zeros((0, TRIGRAM_DIM), dtype="float32")
+            return
+        df = np.zeros(TRIGRAM_DIM, dtype="float32")
+        for a in alias_list:
+            padded = f"  {a} "
+            seen = {zlib.crc32(padded[j : j + 3].encode()) % TRIGRAM_DIM
+                    for j in range(len(padded) - 2)}
+            for h in seen:
+                df[h] += 1.0
+        self.idf = np.log((1.0 + len(alias_list)) / (1.0 + df)) + 1.0
+        self.index = _trigram_rows(alias_list, self.idf)
 
 
 class EntityLinker:
@@ -134,10 +142,8 @@ class EntityLinker:
         else:
             idx = AliasIndex.build(aliases or {})
         self.min_score = float(min_score)
+        self._idx = idx
         self.alias_map = idx.alias_map
-        self._alias_keys = idx.alias_keys
-        self._idf = idx.idf
-        self._index = idx.index
         self._miss_cache: dict[str, str] = {}
 
     # -- core -------------------------------------------------------------
@@ -150,14 +156,18 @@ class EntityLinker:
             uniq = pd.unique(norm[miss])
             resolved = {}
             todo = [u for u in uniq if u not in self._miss_cache]
-            if todo and len(self._index):
-                q = _trigram_rows(list(todo), self._idf)
-                sims = q @ self._index.T          # (n_miss, n_alias)
+            if todo:
+                # first fuzzy miss pays for the trigram matrix; the
+                # exact-hit fast path never builds it
+                self._idx.ensure_matrix()
+            if todo and len(self._idx.index):
+                q = _trigram_rows(list(todo), self._idx.idf)
+                sims = q @ self._idx.index.T      # (n_miss, n_alias)
                 best = sims.argmax(axis=1)
                 scores = sims[np.arange(len(todo)), best]
                 for s, b, sc in zip(todo, best, scores):
                     self._miss_cache[s] = (
-                        str(self._alias_keys[b]) if sc >= self.min_score
+                        str(self._idx.alias_keys[b]) if sc >= self.min_score
                         else minted_key(s)
                     )
             elif todo:
