@@ -153,10 +153,15 @@ def scaling() -> None:
     import statistics
 
     lo, hi = 8, 32
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    # the scaling corpus is LARGER than the headline one: at 200k docs the
+    # job is overhead-bound at both CPU levels and the ratio measures
+    # scheduler latency, not scaling. 1M docs puts both levels in the
+    # compute-bound regime the criterion is about.
+    mult = os.environ.get("GRAFT_SCALING_MULT", str(CORPUS_MULT * 5))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CORPUS_MULT=mult)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -82,6 +82,11 @@ class GraphBuildConfig:
     num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
     resume: bool = False
 
+    # wide-step implementation: "tree" = combiner-tree aggregation (no
+    # shuffle; root block = distinct-key set, the scaling bound),
+    # "shuffle" = sort-shuffle groupbys for cardinalities beyond one block
+    agg_strategy: str = "tree"
+
     # pin the (small) triples table in the object store during phase B to
     # avoid re-reading it for canonicalize/vertices/edges; disable when
     # triples themselves approach object-store capacity

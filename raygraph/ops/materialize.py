@@ -105,26 +105,50 @@ def _finalize_edges(vertex_collection: str, edge_collection: str):
     return fn
 
 
-def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str):
+def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
+                strategy: str = "tree"):
     """LINKED_TRIPLE Dataset → deduped edge Dataset (EDGE_SCHEMA).
 
     ``canon_fn`` is the batch transform from :func:`make_apply_canon`.
-    Two vectorized built-in-aggregate groupbys over per-batch partials:
-    exact (subj, pred, obj, doc_id) dedup first — doc_count must be a
+    Exact (subj, pred, obj, doc_id) dedup first — doc_count must be a
     DISTINCT doc count, stable across arbitrary block boundaries — then
-    the per-edge Max/Count.
+    the per-edge max-conf / doc-count rollup.
+
+    strategy="tree" (default): combiner-tree aggregation
+    (:func:`raygraph.ops.relational.tree_aggregate`) — no shuffle; the
+    root block holds the distinct (s, p, o, doc) set, its size is the
+    scaling bound. strategy="shuffle": two sort-shuffle groupbys with
+    built-in aggregates, for cardinalities beyond one block.
     """
-    agg = (
-        linked.map_batches(canon_fn, batch_format="pyarrow")
+    partials = linked.map_batches(canon_fn, batch_format="pyarrow") \
         .map_batches(edge_partials, batch_format="pyarrow")
-        .groupby(["subj", "pred", "obj", "doc_id"])
+    fin = _finalize_edges(vertex_collection, edge_collection)
+
+    if strategy == "tree":
+        from .relational import tree_aggregate
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["subj", "pred", "obj", "doc_id"],
+                              as_index=False, sort=False)["conf"].max()
+
+        def root(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(["subj", "pred", "obj"], as_index=False,
+                             sort=False).agg(
+                conf=("conf", "max"), doc_count=("doc_id", "nunique")
+            )
+            return out
+
+        return tree_aggregate(partials, combine, finalize=root) \
+            .map_batches(fin, batch_format="pyarrow")
+
+    agg = (
+        partials.groupby(["subj", "pred", "obj", "doc_id"])
         .aggregate(Max("conf", alias_name="conf"))
         .groupby(["subj", "pred", "obj"])
         .aggregate(Max("conf", alias_name="conf"),
                    Count(alias_name="doc_count"))
     )
-    return agg.map_batches(_finalize_edges(vertex_collection, edge_collection),
-                           batch_format="pyarrow")
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- vertices
@@ -185,19 +209,48 @@ def _finalize_vertices(vertex_collection: str):
     return fn
 
 
-def build_vertices(linked, canon_fn, vertex_collection: str):
+def build_vertices(linked, canon_fn, vertex_collection: str,
+                   strategy: str = "tree"):
     """LINKED_TRIPLE Dataset → canonical vertex Dataset (VERTEX_SCHEMA).
 
-    Two built-in-aggregate groupbys over per-batch partial counts:
-    (key, surface) sums, then per-key Sum + the min-composite argmax for
-    the display name. Hub-safe: a hub entity contributes ≤ one partial row
-    per batch per surface form.
+    Hub-safe: a hub entity contributes ≤ one partial row per batch per
+    surface form (per-batch partial counts before any wide step).
+
+    strategy="tree" (default): combiner tree over (key, surface) counts;
+    the root does the exact name argmax (most frequent surface,
+    lexicographic-min tie-break) in one vectorized pandas pass. The root
+    block holds the distinct (key, surface) set — the scaling bound.
+    strategy="shuffle": two sort-shuffle groupbys (Sum, then Min over an
+    order-preserving composite for the argmax), for inventories beyond
+    one block.
     """
-    per_surface = (
-        linked.map_batches(canon_fn, batch_format="pyarrow")
+    partials = linked.map_batches(canon_fn, batch_format="pyarrow") \
         .map_batches(vertex_partials, batch_format="pyarrow")
-        .groupby(["key", "surface"])
-        .aggregate(Sum("n", alias_name="n"))
+    fin = _finalize_vertices(vertex_collection)
+
+    if strategy == "tree":
+        from .relational import tree_aggregate
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["key", "surface"], as_index=False,
+                              sort=False)["n"].sum()
+
+        def root(df: pd.DataFrame) -> pd.DataFrame:
+            counts = df.groupby("key", as_index=False)["n"].sum() \
+                .rename(columns={"n": "mention_count"})
+            best = df.sort_values(
+                ["key", "n", "surface"], ascending=[True, False, True]
+            ).drop_duplicates("key")[["key", "surface"]]
+            out = counts.merge(best, on="key")
+            # reuse the composite decoder: inv = anything + '|' + surface
+            out["inv"] = "|" + out["surface"]
+            return out[["key", "inv", "mention_count"]]
+
+        return tree_aggregate(partials, combine, finalize=root) \
+            .map_batches(fin, batch_format="pyarrow")
+
+    per_surface = partials.groupby(["key", "surface"]).aggregate(
+        Sum("n", alias_name="n")
     )
     per_key = (
         per_surface.map_batches(_add_inv_composite, batch_format="pyarrow")
@@ -205,5 +258,4 @@ def build_vertices(linked, canon_fn, vertex_collection: str):
         .aggregate(Min("inv", alias_name="inv"),
                    Sum("n", alias_name="mention_count"))
     )
-    return per_key.map_batches(_finalize_vertices(vertex_collection),
-                               batch_format="pyarrow")
+    return per_key.map_batches(fin, batch_format="pyarrow")

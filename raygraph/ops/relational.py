@@ -18,6 +18,41 @@ import pandas as pd
 import pyarrow as pa
 
 
+def tree_aggregate(ds, combine, finalize=None, fanout: int = 32):
+    """Tree (combiner) aggregation: per-block vectorized ``combine`` →
+    coalesce to ``fanout`` blocks → combine → coalesce to 1 → combine (+
+    optional ``finalize``) — no sort/hash shuffle at all.
+
+    ``combine(df) -> df`` must be associative and idempotent under
+    repeated application (sum / min / max / first-by-sorted-key are;
+    plain mean is not — carry (sum, count) instead). Repartition here
+    moves blocks without key-partitioning, so correctness never depends
+    on row placement; order-insensitive combines make the result
+    deterministic at any parallelism.
+
+    Right when the distinct-key set fits one block at the root (entity
+    inventories, per-edge rollups, window keys). For cardinalities beyond
+    that, use ``groupby().aggregate(...)`` (sort-shuffle) instead — the
+    root block here is the explicit scaling bound.
+    """
+
+    def cb(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(combine(batch.to_pandas()),
+                                    preserve_index=False)
+
+    def cb_final(batch: pa.Table) -> pa.Table:
+        df = combine(batch.to_pandas())
+        if finalize is not None:
+            df = finalize(df)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(cb, batch_format="pyarrow", batch_size=None)
+    out = out.repartition(fanout).map_batches(cb, batch_format="pyarrow",
+                                              batch_size=None)
+    return out.repartition(1).map_batches(cb_final, batch_format="pyarrow",
+                                          batch_size=None)
+
+
 def broadcast_join(
     big,
     small_df: pd.DataFrame,

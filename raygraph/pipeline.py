@@ -142,8 +142,8 @@ def build_graph(cfg: GraphBuildConfig,
     canon_fn = make_apply_canon(canon)
 
     vcol, ecol = cfg.vertex_collection, cfg.edge_collection
-    vertices = build_vertices(triples, canon_fn, vcol)
-    edges = build_edges(triples, canon_fn, vcol, ecol)
+    vertices = build_vertices(triples, canon_fn, vcol, strategy=cfg.agg_strategy)
+    edges = build_edges(triples, canon_fn, vcol, ecol, strategy=cfg.agg_strategy)
 
     vertices_path = os.path.join(cfg.output_path, "vertices")
     edges_path = os.path.join(cfg.output_path, "edges")

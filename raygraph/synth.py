@@ -89,12 +89,90 @@ def _doc(i: int, n_docs: int) -> dict:
 
 
 def corpus(n_docs: int) -> pa.Table:
-    """Scaled deterministic corpus as one Arrow table."""
+    """Scaled deterministic corpus as one Arrow table (row-wise reference
+    implementation; :func:`corpus_vectorized` is the fast identical path)."""
     return pa.Table.from_pylist([_doc(i, n_docs) for i in range(n_docs)],
                                 schema=DOCUMENT_SCHEMA)
 
 
-def write_corpus(path: str, n_docs: int, rows_per_file: int = 100_000) -> None:
+def _surface_series(idx, form_idx, ent):
+    """Vectorized surface strings for entity ids ``ent`` with per-row form
+    index ``form_idx`` (mirrors _FORMS)."""
+    import numpy as np
+    import pandas as pd
+
+    ks = pd.Series(ent).astype(str)
+    out = pd.Series(np.empty(len(ks), dtype=object))
+    f = pd.Series(form_idx)
+    out[f == 0] = "vertex " + ks[f == 0]
+    out[f == 1] = "Vertex " + ks[f == 1]
+    out[f == 2] = "node " + ks[f == 2]
+    out[f == 3] = "v" + ks[f == 3]
+    return out
+
+
+def corpus_vectorized(start: int, stop: int, n_docs: int) -> pa.Table:
+    """Rows [start, stop) of the corpus, built with numpy/pandas/Arrow —
+    byte-identical to :func:`corpus` (asserted in tests), ~30x faster."""
+    import numpy as np
+    import pandas as pd
+
+    i = np.arange(start, stop, dtype=np.int64)
+    m = entity_space(n_docs)
+    a = np.where(i % HUB_EVERY == 0, 0, 1 + (i * _A_MULT) % m)
+    b0 = 1 + (i * _B_MULT + _B_OFF) % m
+    b = np.where(b0 == a, 1 + (b0 % m), b0)
+
+    sf = _surface_series(i, i % 4, a)
+    of = _surface_series(i, (i + 3) % 4, b)
+    cf = _surface_series(i, (i + 1) % 4, a)
+    gf = _surface_series(i, (i + 2) % 4, b)
+
+    text1 = sf + " is connected to " + of + "."
+    caption = "caption: " + cf + " links " + gf
+    media_ref = pd.Series(i).map("media/edge-{}.png".format)
+    has_isa = (i % IS_A_EVERY) == 3
+    isa_text = (sf + " is a node.")[has_isa]
+
+    counts = np.where(has_isa, 3, 2).astype(np.int64)
+    offsets = np.zeros(len(i) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    base = offsets[:-1]
+
+    kind = np.empty(total, dtype=object)
+    text = np.empty(total, dtype=object)
+    ref = np.empty(total, dtype=object)
+    off = np.zeros(total, dtype=np.int32)
+    kind[base] = "text"
+    text[base] = text1.to_numpy()
+    ref[base] = ""
+    off[base] = 0
+    kind[base + 1] = "media"
+    text[base + 1] = caption.to_numpy()
+    ref[base + 1] = media_ref.to_numpy()
+    off[base + 1] = 1
+    isa_pos = base[has_isa] + 2
+    kind[isa_pos] = "text"
+    text[isa_pos] = isa_text.to_numpy()
+    ref[isa_pos] = ""
+    off[isa_pos] = 2
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kind, pa.string()),
+            pa.array(text, pa.string()),
+            pa.array(ref, pa.string()),
+            pa.array(off, pa.int32()),
+        ],
+        fields=list(DOCUMENT_SCHEMA.field("spans").type.value_type),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    doc_ids = pa.array(pd.Series(i).map("doc/{}".format), pa.string())
+    return pa.Table.from_arrays([doc_ids, spans], schema=DOCUMENT_SCHEMA)
+
+
+def write_corpus(path: str, n_docs: int, rows_per_file: int = 250_000) -> None:
     """Write the corpus as (possibly several) parquet files under ``path``.
 
     Chunked so a 10^8-doc local bench never holds the whole corpus in
@@ -107,10 +185,8 @@ def write_corpus(path: str, n_docs: int, rows_per_file: int = 100_000) -> None:
     part = 0
     for start in range(0, n_docs, rows_per_file):
         stop = min(start + rows_per_file, n_docs)
-        tbl = pa.Table.from_pylist(
-            [_doc(i, n_docs) for i in range(start, stop)], schema=DOCUMENT_SCHEMA
-        )
-        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
+        pq.write_table(corpus_vectorized(start, stop, n_docs),
+                       os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
 
 

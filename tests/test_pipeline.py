@@ -129,3 +129,26 @@ def test_metrics_present(line_result):
     for k in ("phase_a_sec", "phase_b_sec", "triples_raw", "partitions",
               "entities_linked", "total_sec"):
         assert k in res.metrics
+
+
+def test_agg_strategies_agree(tmp_path):
+    """tree (combiner) and shuffle (sort-groupby) wide-step strategies
+    produce identical graph tables."""
+    n = 80
+    in_dir = _write_corpus(str(tmp_path), synth.corpus(n))
+    outs = {}
+    for strat in ("tree", "shuffle"):
+        cfg = GraphBuildConfig(
+            input_path=in_dir,
+            output_path=os.path.join(str(tmp_path), f"out_{strat}"),
+            num_partitions=4,
+            linker_concurrency=(1, 2),
+            agg_strategy=strat,
+        )
+        res = build_graph(cfg, aliases=synth.alias_inventory(synth.entity_space(n)))
+        v = _read(res.vertices_path).to_pandas().sort_values("_key").reset_index(drop=True)
+        e = _read(res.edges_path).to_pandas().sort_values("_key").reset_index(drop=True)
+        outs[strat] = (v, e)
+    for i in range(2):
+        a, b = outs["tree"][i], outs["shuffle"][i]
+        assert a.sort_index(axis=1).equals(b.sort_index(axis=1)), f"table {i} differs"

@@ -46,3 +46,12 @@ def test_golden_edges_cover_vertices():
     verts = synth.golden_vertices(100)
     for s, _p, o in edges:
         assert s in verts and o in verts
+
+
+def test_vectorized_corpus_identical():
+    n = 777
+    assert synth.corpus_vectorized(0, n, n).equals(synth.corpus(n))
+    # arbitrary window
+    assert synth.corpus_vectorized(100, 200, n).equals(
+        synth.corpus(n).slice(100, 100).combine_chunks()
+    )
