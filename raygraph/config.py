@@ -71,6 +71,10 @@ class GraphBuildConfig:
 
     # extraction / linking
     batch_size: int = 4096            # span-heavy rows: smaller than ref's 100k
+    # "tasks": stateless map_batches + per-worker cached broadcast linker
+    # (default — scales with block count); "actors": explicit actor pool
+    # sized by linker_concurrency (for mutable per-actor state / GPUs)
+    linker_mode: str = "tasks"
     linker_concurrency: tuple[int, int] = (2, 8)
     linker_num_cpus: float = 1.0
     min_link_score: float = 0.35      # trigram-cosine acceptance threshold

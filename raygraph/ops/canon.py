@@ -184,15 +184,19 @@ def canonicalize(linked, rounds: int = 4, strategy: str = "driver") -> dict[str,
     """
     pairs = linked.map_batches(mention_pairs, batch_format="pyarrow")
     if strategy == "driver":
+        # distributed tree-dedup first (cross-batch duplicate factor is
+        # high — every batch repeats the hot aliases), so the driver only
+        # collects the distinct pair set
+        from .relational import tree_aggregate
+
+        distinct = tree_aggregate(pairs, lambda df: df.drop_duplicates())
         frames = [
-            batch.to_pandas()
-            for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow")
+            b.to_pandas()
+            for b in distinct.iter_batches(batch_size=None, batch_format="pyarrow")
         ]
         if not frames:
             return {}
-        # vectorized global dedup before the Python union-find: cross-batch
-        # duplicate factor is high (every batch repeats the hot aliases)
-        df = pd.concat(frames, ignore_index=True).drop_duplicates()
+        df = pd.concat(frames, ignore_index=True)
         return union_find(list(zip(df["key"], df["surface"])))
     cmap = canonical_map_dataset(pairs, rounds=rounds)
     out: dict[str, str] = {}

@@ -92,10 +92,11 @@ class AliasIndex:
         (:meth:`ensure_matrix`) on the first fuzzy miss — the exact-hit
         fast path never pays for it, and the broadcast ships only the
         dict (MBs), not the dense matrix (GBs at large inventories)."""
-        norm_alias: dict[str, str] = {}
-        for a, k in aliases.items():
-            na = _WS.sub(" ", _PUNCT.sub(" ", a.lower())).strip()
-            norm_alias[na] = k
+        if aliases:
+            norm = normalize_surfaces(pd.Series(list(aliases.keys()), dtype=object))
+            norm_alias = dict(zip(norm, aliases.values()))
+        else:
+            norm_alias = {}
         alias_keys = np.array(list(norm_alias.values()), dtype=object)
         return cls(norm_alias, alias_keys, None, None)
 
@@ -204,3 +205,33 @@ class EntityLinker:
             if name not in cols and name not in ("subj", "obj"):
                 cols[name] = batch.column(name)
         return pa.table(cols)
+
+
+# Worker-process-level linker cache for the TASK-based linking stage: a
+# plain map_batches function scales with block count (no actor-pool sizing
+# or ramp-up), and because Ray reuses worker processes, each process pays
+# for ray.get(index) + EntityLinker construction exactly once.
+_PROCESS_LINKERS: dict = {}
+
+
+def make_linker_fn(index_ref: dict, min_score: float = 0.35):
+    """Stateless-task variant of the linking stage.
+
+    ``index_ref = {"ref": ray.put(AliasIndex.build(aliases))}``. The
+    returned function is a normal ``map_batches`` fn; the heavy state is
+    fetched zero-copy from the local object store and cached per worker
+    process. Prefer this over the actor-pool form when the state is a
+    read-only broadcast (the pool buys nothing and its sizing fights the
+    read/write stages for CPUs); use the ``EntityLinker`` class directly
+    as an actor pool when per-actor mutable state or GPU slots matter.
+    """
+
+    def link_batch(batch):
+        key = (index_ref["ref"].hex(), min_score)
+        lk = _PROCESS_LINKERS.get(key)
+        if lk is None:
+            lk = EntityLinker(index_ref=index_ref, min_score=min_score)
+            _PROCESS_LINKERS[key] = lk
+        return lk(batch)
+
+    return link_batch

@@ -41,8 +41,12 @@ def make_apply_canon(canon: dict[str, str]):
 
     ``canon`` is the small side (entity inventory) — broadcast it with
     ``ray.put`` and resolve the ref in the caller; identity for unmapped
-    keys.
+    keys. Returns ``None`` when the map is pure identity (the common
+    case) so callers skip the stage entirely.
     """
+    canon = {k: v for k, v in canon.items() if k != v}
+    if not canon:
+        return None
 
     def apply_canon(batch: pa.Table) -> pa.Table:
         subj = batch.column("subj").to_pandas()
@@ -120,8 +124,9 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
     scaling bound. strategy="shuffle": two sort-shuffle groupbys with
     built-in aggregates, for cardinalities beyond one block.
     """
-    partials = linked.map_batches(canon_fn, batch_format="pyarrow") \
-        .map_batches(edge_partials, batch_format="pyarrow")
+    canoned = linked if canon_fn is None else \
+        linked.map_batches(canon_fn, batch_format="pyarrow")
+    partials = canoned.map_batches(edge_partials, batch_format="pyarrow")
     fin = _finalize_edges(vertex_collection, edge_collection)
 
     if strategy == "tree":
@@ -138,7 +143,8 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
             )
             return out
 
-        return tree_aggregate(partials, combine, finalize=root) \
+        return tree_aggregate(partials, combine, finalize=root,
+                              precombined=True) \
             .map_batches(fin, batch_format="pyarrow")
 
     agg = (
@@ -224,8 +230,9 @@ def build_vertices(linked, canon_fn, vertex_collection: str,
     order-preserving composite for the argmax), for inventories beyond
     one block.
     """
-    partials = linked.map_batches(canon_fn, batch_format="pyarrow") \
-        .map_batches(vertex_partials, batch_format="pyarrow")
+    canoned = linked if canon_fn is None else \
+        linked.map_batches(canon_fn, batch_format="pyarrow")
+    partials = canoned.map_batches(vertex_partials, batch_format="pyarrow")
     fin = _finalize_vertices(vertex_collection)
 
     if strategy == "tree":
@@ -246,7 +253,8 @@ def build_vertices(linked, canon_fn, vertex_collection: str,
             out["inv"] = "|" + out["surface"]
             return out[["key", "inv", "mention_count"]]
 
-        return tree_aggregate(partials, combine, finalize=root) \
+        return tree_aggregate(partials, combine, finalize=root,
+                              precombined=True) \
             .map_batches(fin, batch_format="pyarrow")
 
     per_surface = partials.groupby(["key", "surface"]).aggregate(

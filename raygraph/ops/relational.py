@@ -18,7 +18,8 @@ import pandas as pd
 import pyarrow as pa
 
 
-def tree_aggregate(ds, combine, finalize=None, fanout: int = 32):
+def tree_aggregate(ds, combine, finalize=None, fanout: int = 32,
+                   precombined: bool = False):
     """Tree (combiner) aggregation: per-block vectorized ``combine`` →
     coalesce to ``fanout`` blocks → combine → coalesce to 1 → combine (+
     optional ``finalize``) — no sort/hash shuffle at all.
@@ -34,6 +35,10 @@ def tree_aggregate(ds, combine, finalize=None, fanout: int = 32):
     inventories, per-edge rollups, window keys). For cardinalities beyond
     that, use ``groupby().aggregate(...)`` (sort-shuffle) instead — the
     root block here is the explicit scaling bound.
+
+    Pass ``precombined=True`` when the input blocks are already the
+    output of a per-block combine (a partials stage) — the leaf combine
+    is then skipped instead of re-grouping identical granularity.
     """
 
     def cb(batch: pa.Table) -> pa.Table:
@@ -46,7 +51,8 @@ def tree_aggregate(ds, combine, finalize=None, fanout: int = 32):
             df = finalize(df)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = ds.map_batches(cb, batch_format="pyarrow", batch_size=None)
+    out = ds if precombined else ds.map_batches(cb, batch_format="pyarrow",
+                                                batch_size=None)
     out = out.repartition(fanout).map_batches(cb, batch_format="pyarrow",
                                               batch_size=None)
     return out.repartition(1).map_batches(cb_final, batch_format="pyarrow",

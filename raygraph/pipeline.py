@@ -92,23 +92,29 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
 
     raw = docs.map_batches(extract_with_part, batch_format="pyarrow")
 
-    # the alias index is built ONCE on the driver and broadcast; actor
-    # __init__ only fetches it (zero-copy numpy from the object store)
-    from .ops.link import AliasIndex
+    # the alias index is built ONCE on the driver and broadcast; each
+    # worker fetches it zero-copy from the object store exactly once
+    from .ops.link import AliasIndex, make_linker_fn
 
     index = AliasIndex.build(aliases or {})
-    kwargs: dict = {
-        "min_score": cfg.min_link_score,
-        "index_ref": {"ref": ray.put(index)},
-    }
-    linked = raw.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.linker_concurrency,
-        num_cpus=cfg.linker_num_cpus,
-    )
+    index_ref = {"ref": ray.put(index)}
+    if cfg.linker_mode == "tasks":
+        # stateless tasks + per-worker-process linker cache: parallelism
+        # follows block count, no pool sizing to fight the read stage
+        linked = raw.map_batches(
+            make_linker_fn(index_ref, cfg.min_link_score),
+            batch_format="pyarrow",
+        )
+    else:
+        linked = raw.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"min_score": cfg.min_link_score,
+                                   "index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.linker_concurrency,
+            num_cpus=cfg.linker_num_cpus,
+        )
     return linked, triples_path
 
 

@@ -172,7 +172,7 @@ def corpus_vectorized(start: int, stop: int, n_docs: int) -> pa.Table:
     return pa.Table.from_arrays([doc_ids, spans], schema=DOCUMENT_SCHEMA)
 
 
-def write_corpus(path: str, n_docs: int, rows_per_file: int = 250_000) -> None:
+def write_corpus(path: str, n_docs: int, rows_per_file: int = 65_536) -> None:
     """Write the corpus as (possibly several) parquet files under ``path``.
 
     Chunked so a 10^8-doc local bench never holds the whole corpus in
@@ -185,8 +185,11 @@ def write_corpus(path: str, n_docs: int, rows_per_file: int = 250_000) -> None:
     part = 0
     for start in range(0, n_docs, rows_per_file):
         stop = min(start + rows_per_file, n_docs)
+        # small row groups: Ray splits reads at row-group granularity, so
+        # this is what makes the read fan out wider than the file count
         pq.write_table(corpus_vectorized(start, stop, n_docs),
-                       os.path.join(path, f"part-{part:05d}.parquet"))
+                       os.path.join(path, f"part-{part:05d}.parquet"),
+                       row_group_size=16384)
         part += 1
 
 

@@ -58,3 +58,25 @@ def test_distributed_label_prop_matches_union_find():
     got = {r["key"]: r["canon"] for r in canonical_map_dataset(ds, rounds=4).take_all()}
     want = union_find(pairs)
     assert got == want
+
+
+def test_make_apply_canon_identity_returns_none():
+    from raygraph.ops.materialize import make_apply_canon
+
+    assert make_apply_canon({"k1": "k1", "k2": "k2"}) is None
+
+
+def test_make_apply_canon_applies_merges():
+    from raygraph.ops.materialize import make_apply_canon
+
+    fn = make_apply_canon({"k1": "k1", "k2": "k1"})
+    batch = pa.table(
+        {
+            "subj": ["k2", "k3"],
+            "obj": ["k1", "k2"],
+            "pred": ["p", "p"],
+        }
+    )
+    out = fn(batch)
+    assert out.column("subj").to_pylist() == ["k1", "k3"]
+    assert out.column("obj").to_pylist() == ["k1", "k1"]
