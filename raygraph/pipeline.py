@@ -118,6 +118,33 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
     return linked, triples_path
 
 
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable even without aiohttp.
+
+    Ray's write path probes ``from fsspec.implementations.http import
+    HTTPFileSystem`` per write and catches only ModuleNotFoundError; when
+    two concurrent writes race the (always-failing, aiohttp-less) import,
+    one thread sees a half-initialized module and gets a plain
+    ImportError instead — so install a stub module once, on the main
+    thread. The sentinel class is never instantiated here (local
+    filesystems only)."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover - sentinel only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def build_graph(cfg: GraphBuildConfig,
                 aliases: dict[str, str] | None = None) -> GraphBuildResult:
     """Run the full pipeline; returns output paths + metrics."""
@@ -127,6 +154,12 @@ def build_graph(cfg: GraphBuildConfig,
 
     # ---- phase A: extract + link, checkpointed ---------------------------
     linked, triples_path = extract_and_link(cfg, aliases=aliases)
+    if cfg.materialize_triples:
+        # pin the (small) triples table once: the checkpoint write AND all
+        # of phase B consume it without re-running extraction or
+        # re-reading the checkpoint from disk. Disable for runs where
+        # even triples exceed object-store budget.
+        linked = linked.materialize()
     # sort by part_id so each checkpoint partition lands in contiguous
     # blocks → O(partitions) output files instead of O(blocks × partitions)
     linked.sort("part_id").write_parquet(triples_path, partition_cols=["part_id"])
@@ -137,12 +170,7 @@ def build_graph(cfg: GraphBuildConfig,
 
     # ---- phase B: canonicalize + materialize -----------------------------
     t1 = time.monotonic()
-    triples = read_table(triples_path)
-    if cfg.materialize_triples:
-        # the triples table is orders of magnitude smaller than the corpus;
-        # pinning it avoids three re-reads (canonicalize, vertices, edges).
-        # Disable for runs where even triples exceed object-store budget.
-        triples = triples.materialize()
+    triples = linked if cfg.materialize_triples else read_table(triples_path)
     canon = canonicalize(triples)
     metrics["entities_linked"] = len(canon)
     canon_fn = make_apply_canon(canon)
@@ -156,8 +184,19 @@ def build_graph(cfg: GraphBuildConfig,
     if cfg.sort_output:
         vertices = vertices.sort("_id")
         edges = edges.sort("_key")
-    vertices.write_parquet(vertices_path)
-    edges.write_parquet(edges_path)
+
+    # the two output pipelines are independent — run them concurrently so
+    # phase B costs max(vertices, edges), not the sum (each execution's
+    # tasks interleave on the cluster)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stub_fsspec_http()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(vertices.write_parquet, vertices_path)
+        fe = pool.submit(edges.write_parquet, edges_path)
+        fv.result()
+        fe.result()
     metrics["phase_b_sec"] = time.monotonic() - t1
     metrics["total_sec"] = time.monotonic() - t0
     return GraphBuildResult(vertices_path, edges_path, triples_path, metrics)
