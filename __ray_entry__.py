@@ -413,7 +413,7 @@ def oracle_sql() -> dict[str, str]:
     # order yields exactly the set {0..n-1}); mirrors raygraph/synth.py
     kg_base = """
     WITH p AS (SELECT count(*)::BIGINT AS n FROM documents),
-         mm AS (SELECT n, greatest(2, n // 10) AS m FROM p),
+         mm AS (SELECT n, greatest(2, least(n // 10, 50000)) AS m FROM p),
          idx AS (SELECT row_number() OVER () - 1 AS i FROM documents),
          d0 AS (
            SELECT idx.i AS i, mm.m AS m,

@@ -86,10 +86,18 @@ class GraphBuildConfig:
     num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
     resume: bool = False
 
-    # wide-step implementation: "tree" = combiner-tree aggregation (no
-    # shuffle; root block = distinct-key set, the scaling bound),
-    # "shuffle" = sort-shuffle groupbys for cardinalities beyond one block
-    agg_strategy: str = "tree"
+    # wide-step implementation:
+    #   "hash"    — bucket by stable_hash(key) % B, one vectorized reduce
+    #               per bucket (default; scales with distinct-keys/B)
+    #   "tree"    — combiner tree, single root block (fastest at small
+    #               cardinality; root is the bound)
+    #   "shuffle" — Ray sort-shuffle groupbys with built-in aggregates
+    agg_strategy: str = "hash"
+
+    # run the vertex and edge output pipelines concurrently (phase B cost
+    # = max, not sum); disable when object-store headroom is tight — two
+    # racing shuffles can thrash into spilling
+    concurrent_outputs: bool = True
 
     # pin the (small) triples table in the object store during phase B to
     # avoid re-reading it for canonicalize/vertices/edges; disable when

@@ -110,7 +110,7 @@ def _finalize_edges(vertex_collection: str, edge_collection: str):
 
 
 def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
-                strategy: str = "tree"):
+                strategy: str = "hash"):
     """LINKED_TRIPLE Dataset → deduped edge Dataset (EDGE_SCHEMA).
 
     ``canon_fn`` is the batch transform from :func:`make_apply_canon`.
@@ -118,16 +118,31 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
     DISTINCT doc count, stable across arbitrary block boundaries — then
     the per-edge max-conf / doc-count rollup.
 
-    strategy="tree" (default): combiner-tree aggregation
-    (:func:`raygraph.ops.relational.tree_aggregate`) — no shuffle; the
-    root block holds the distinct (s, p, o, doc) set, its size is the
-    scaling bound. strategy="shuffle": two sort-shuffle groupbys with
-    built-in aggregates, for cardinalities beyond one block.
+    strategy="hash" (default): bucketed aggregate
+    (:func:`raygraph.ops.relational.hash_aggregate`) — exact nunique per
+    bucket, scales with distinct-edges/bucket. "tree": combiner tree
+    whose single root block holds the distinct (s, p, o, doc) set (fast
+    only at small cardinality). "shuffle": two sort-shuffle groupbys with
+    built-in aggregates.
     """
     canoned = linked if canon_fn is None else \
         linked.map_batches(canon_fn, batch_format="pyarrow")
     partials = canoned.map_batches(edge_partials, batch_format="pyarrow")
     fin = _finalize_edges(vertex_collection, edge_collection)
+
+    def _reduce_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["subj", "pred", "obj", "doc_id"], as_index=False,
+                       sort=False)["conf"].max()
+        return d.groupby(["subj", "pred", "obj"], as_index=False,
+                         sort=False).agg(conf=("conf", "max"),
+                                         doc_count=("doc_id", "nunique"))
+
+    if strategy == "hash":
+        from .relational import hash_aggregate
+
+        return hash_aggregate(partials, ["subj", "pred", "obj"],
+                              _reduce_edges) \
+            .map_batches(fin, batch_format="pyarrow")
 
     if strategy == "tree":
         from .relational import tree_aggregate
@@ -136,14 +151,7 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
             return df.groupby(["subj", "pred", "obj", "doc_id"],
                               as_index=False, sort=False)["conf"].max()
 
-        def root(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby(["subj", "pred", "obj"], as_index=False,
-                             sort=False).agg(
-                conf=("conf", "max"), doc_count=("doc_id", "nunique")
-            )
-            return out
-
-        return tree_aggregate(partials, combine, finalize=root,
+        return tree_aggregate(partials, combine, finalize=_reduce_edges,
                               precombined=True) \
             .map_batches(fin, batch_format="pyarrow")
 
@@ -216,7 +224,7 @@ def _finalize_vertices(vertex_collection: str):
 
 
 def build_vertices(linked, canon_fn, vertex_collection: str,
-                   strategy: str = "tree"):
+                   strategy: str = "hash"):
     """LINKED_TRIPLE Dataset → canonical vertex Dataset (VERTEX_SCHEMA).
 
     Hub-safe: a hub entity contributes ≤ one partial row per batch per
@@ -235,25 +243,32 @@ def build_vertices(linked, canon_fn, vertex_collection: str,
     partials = canoned.map_batches(vertex_partials, batch_format="pyarrow")
     fin = _finalize_vertices(vertex_collection)
 
+    def _combine_v(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["key", "surface"], as_index=False,
+                          sort=False)["n"].sum()
+
+    def _reduce_vertices(df: pd.DataFrame) -> pd.DataFrame:
+        d = _combine_v(df)
+        counts = d.groupby("key", as_index=False)["n"].sum() \
+            .rename(columns={"n": "mention_count"})
+        best = d.sort_values(
+            ["key", "n", "surface"], ascending=[True, False, True]
+        ).drop_duplicates("key")[["key", "surface"]]
+        out = counts.merge(best, on="key")
+        # reuse the composite decoder: inv = anything + '|' + surface
+        out["inv"] = "|" + out["surface"]
+        return out[["key", "inv", "mention_count"]]
+
+    if strategy == "hash":
+        from .relational import hash_aggregate
+
+        return hash_aggregate(partials, ["key"], _reduce_vertices) \
+            .map_batches(fin, batch_format="pyarrow")
+
     if strategy == "tree":
         from .relational import tree_aggregate
 
-        def combine(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby(["key", "surface"], as_index=False,
-                              sort=False)["n"].sum()
-
-        def root(df: pd.DataFrame) -> pd.DataFrame:
-            counts = df.groupby("key", as_index=False)["n"].sum() \
-                .rename(columns={"n": "mention_count"})
-            best = df.sort_values(
-                ["key", "n", "surface"], ascending=[True, False, True]
-            ).drop_duplicates("key")[["key", "surface"]]
-            out = counts.merge(best, on="key")
-            # reuse the composite decoder: inv = anything + '|' + surface
-            out["inv"] = "|" + out["surface"]
-            return out[["key", "inv", "mention_count"]]
-
-        return tree_aggregate(partials, combine, finalize=root,
+        return tree_aggregate(partials, _combine_v, finalize=_reduce_vertices,
                               precombined=True) \
             .map_batches(fin, batch_format="pyarrow")
 

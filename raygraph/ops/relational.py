@@ -59,6 +59,41 @@ def tree_aggregate(ds, combine, finalize=None, fanout: int = 32,
                                           batch_size=None)
 
 
+def hash_aggregate(ds, key_cols, reduce_df, num_buckets: int = 128,
+                   precombined: bool = True):
+    """Hash-partitioned aggregate: bucket = stable_hash(key columns) %
+    ``num_buckets``; one groupby on the SMALL INT bucket key routes every
+    key's rows to exactly one vectorized pandas ``reduce_df`` call.
+
+    Compared to ``groupby(keys)`` this sorts by a single int64 instead of
+    multiple string columns, and compared to :func:`tree_aggregate` the
+    reduce runs on ``num_buckets`` parallel tasks instead of one root
+    block — the per-bucket reduce is the scaling unit, so it holds as
+    long as (distinct keys / num_buckets) fits a task. Bucket sizes are
+    balanced by hashing over high-cardinality keys; per-group Python
+    overhead is paid ``num_buckets`` times, not once per key.
+
+    ``reduce_df(df) -> df`` sees ALL rows of every key hashed to its
+    bucket (exact, any aggregation incl. nunique/argmax is safe).
+    """
+    key_cols = list(key_cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        df["__bucket"] = (h % num_buckets).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return reduce_df(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def broadcast_join(
     big,
     small_df: pd.DataFrame,

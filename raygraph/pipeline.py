@@ -192,11 +192,15 @@ def build_graph(cfg: GraphBuildConfig,
 
     _stub_fsspec_http()
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fv = pool.submit(vertices.write_parquet, vertices_path)
-        fe = pool.submit(edges.write_parquet, edges_path)
-        fv.result()
-        fe.result()
+    if cfg.concurrent_outputs:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fv = pool.submit(vertices.write_parquet, vertices_path)
+            fe = pool.submit(edges.write_parquet, edges_path)
+            fv.result()
+            fe.result()
+    else:
+        vertices.write_parquet(vertices_path)
+        edges.write_parquet(edges_path)
     metrics["phase_b_sec"] = time.monotonic() - t1
     metrics["total_sec"] = time.monotonic() - t0
     return GraphBuildResult(vertices_path, edges_path, triples_path, metrics)

@@ -41,9 +41,17 @@ _B_MULT = 104729
 _B_OFF = 3
 
 
+ENTITY_CAP = 50_000
+
+
 def entity_space(n_docs: int) -> int:
-    """Non-hub entity ids are 1..m (hub is 0)."""
-    return max(2, n_docs // 10)
+    """Non-hub entity ids are 1..m (hub is 0).
+
+    Capped at ENTITY_CAP: past that the corpus reuses entities (as real
+    corpora do) instead of growing the inventory linearly with documents —
+    keeps the broadcast side inventory-sized, not corpus-sized.
+    """
+    return max(2, min(n_docs // 10, ENTITY_CAP))
 
 
 def edge_endpoints(i: int, n_docs: int) -> tuple[int, int]:

@@ -132,12 +132,12 @@ def test_metrics_present(line_result):
 
 
 def test_agg_strategies_agree(tmp_path):
-    """tree (combiner) and shuffle (sort-groupby) wide-step strategies
-    produce identical graph tables."""
+    """hash (bucketed), tree (combiner) and shuffle (sort-groupby)
+    wide-step strategies produce identical graph tables."""
     n = 80
     in_dir = _write_corpus(str(tmp_path), synth.corpus(n))
     outs = {}
-    for strat in ("tree", "shuffle"):
+    for strat in ("hash", "tree", "shuffle"):
         cfg = GraphBuildConfig(
             input_path=in_dir,
             output_path=os.path.join(str(tmp_path), f"out_{strat}"),
@@ -149,6 +149,8 @@ def test_agg_strategies_agree(tmp_path):
         v = _read(res.vertices_path).to_pandas().sort_values("_key").reset_index(drop=True)
         e = _read(res.edges_path).to_pandas().sort_values("_key").reset_index(drop=True)
         outs[strat] = (v, e)
-    for i in range(2):
-        a, b = outs["tree"][i], outs["shuffle"][i]
-        assert a.sort_index(axis=1).equals(b.sort_index(axis=1)), f"table {i} differs"
+    for other in ("tree", "shuffle"):
+        for i in range(2):
+            a, b = outs["hash"][i], outs[other][i]
+            assert a.sort_index(axis=1).equals(b.sort_index(axis=1)), \
+                f"{other} table {i} differs"
