@@ -99,6 +99,23 @@ def main() -> None:
     extra["triples_raw"] = res.metrics["triples_raw"]
     extra["phase_a_sec"] = round(res.metrics["phase_a_sec"], 2)
     extra["phase_b_sec"] = round(res.metrics["phase_b_sec"], 2)
+
+    # content hash of the graph tables: identical across CPU levels ⇒ the
+    # scaling runs double as a determinism check (SURVEY.md §7 hard part 3)
+    import hashlib
+
+    h = hashlib.sha1()
+    e = pq.ParquetDataset(res.edges_path).read().to_pandas()
+    for row in sorted(map(tuple, e[["_from", "pred", "_to", "_key",
+                                    "doc_count"]].itertuples(index=False))):
+        h.update(repr(row).encode())
+    v = pq.ParquetDataset(res.vertices_path).read().to_pandas()
+    for row in sorted(map(tuple, v[["_id", "_key", "name",
+                                    "mention_count"]].itertuples(index=False))):
+        h.update(repr(row).encode())
+    extra["output_sha1"] = h.hexdigest()
+    extra["n_edges"] = len(e)
+    extra["n_vertices"] = len(v)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- secondary operator families ------------------------------------
@@ -162,9 +179,15 @@ def scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CORPUS_MULT=mult)
+        # taskset pins the WHOLE process tree to ncpu cores: ray.init
+        # (num_cpus=n) only limits task slots, while Arrow/numpy worker
+        # threads would still spill onto every core and flatter the
+        # low-CPU level. Hard affinity is the honest cluster-size stand-in.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -176,6 +199,8 @@ def scaling() -> None:
     t_lo = statistics.median(r["value"] for r in runs_lo)
     t_hi = statistics.median(r["value"] for r in runs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
+    hashes = {r["output_sha1"] for r in runs_lo + runs_hi}
+    deterministic = len(hashes) == 1
     print(
         json.dumps(
             {
@@ -191,6 +216,8 @@ def scaling() -> None:
                 "docs_per_sec_lo": round(runs_lo[0]["n_docs"] / t_lo, 1),
                 "docs_per_sec_hi": round(runs_lo[0]["n_docs"] / t_hi, 1),
                 "n_docs": runs_lo[0]["n_docs"],
+                "deterministic_across_levels": deterministic,
+                "output_sha1": sorted(hashes),
                 "sf": SF_DIR,
             }
         )

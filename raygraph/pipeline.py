@@ -153,6 +153,11 @@ def build_graph(cfg: GraphBuildConfig,
     metrics: dict = {}
 
     # ---- phase A: extract + link, checkpointed ---------------------------
+    done_before: set[int] = set()
+    if cfg.resume:
+        done_before = ckpt.completed_partitions(
+            os.path.join(cfg.output_path, "triples")
+        )
     linked, triples_path = extract_and_link(cfg, aliases=aliases)
     if cfg.materialize_triples:
         # pin the (small) triples table once: the checkpoint write AND all
@@ -160,17 +165,33 @@ def build_graph(cfg: GraphBuildConfig,
         # re-reading the checkpoint from disk. Disable for runs where
         # even triples exceed object-store budget.
         linked = linked.materialize()
-    # sort by part_id so each checkpoint partition lands in contiguous
-    # blocks → O(partitions) output files instead of O(blocks × partitions)
-    linked.sort("part_id").write_parquet(triples_path, partition_cols=["part_id"])
+        new_rows = linked.count()
+    else:
+        new_rows = None
+    if new_rows != 0:
+        # sort by part_id so each checkpoint partition lands in contiguous
+        # blocks → O(partitions) files instead of O(blocks × partitions)
+        linked.sort("part_id").write_parquet(triples_path,
+                                             partition_cols=["part_id"])
     part_stats = ckpt.finalize_partitions(triples_path, cfg.num_partitions)
     metrics["phase_a_sec"] = time.monotonic() - t0
     metrics["triples_raw"] = sum(s["rows"] for s in part_stats.values())
     metrics["partitions"] = len(part_stats)
+    metrics["partitions_skipped"] = len(done_before)
+    if new_rows is not None:
+        metrics["triples_new"] = new_rows
 
     # ---- phase B: canonicalize + materialize -----------------------------
     t1 = time.monotonic()
-    triples = linked if cfg.materialize_triples else read_table(triples_path)
+    # the in-memory linked table IS the full triples set only when no
+    # partition was skipped; on resume, phase B must read the completed
+    # checkpoint (skipped partitions live only on disk)
+    if cfg.materialize_triples and not done_before:
+        triples = linked
+    else:
+        triples = read_table(triples_path)
+        if cfg.materialize_triples:
+            triples = triples.materialize()
     canon = canonicalize(triples)
     metrics["entities_linked"] = len(canon)
     canon_fn = make_apply_canon(canon)
@@ -181,6 +202,12 @@ def build_graph(cfg: GraphBuildConfig,
 
     vertices_path = os.path.join(cfg.output_path, "vertices")
     edges_path = os.path.join(cfg.output_path, "edges")
+    # graph tables are always rebuilt in phase B (they are derived data);
+    # clear any previous run's files so a resume never appends duplicates
+    import shutil
+
+    shutil.rmtree(vertices_path, ignore_errors=True)
+    shutil.rmtree(edges_path, ignore_errors=True)
     if cfg.sort_output:
         vertices = vertices.sort("_id")
         edges = edges.sort("_key")
