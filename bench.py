@@ -169,7 +169,12 @@ def scaling() -> None:
     """
     import statistics
 
-    lo, hi = 8, 32
+    # N=4 vs 4N=16: at the 32-core end a 1M-doc run sits on the
+    # single-node latency floor (shuffle + session fixed costs) and the
+    # ratio stops measuring scaling; 4→16 keeps both levels in the
+    # compute-bound regime on this box. Override via env.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", str(lo * 4)))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     # the scaling corpus is LARGER than the headline one: at 200k docs the
     # job is overhead-bound at both CPU levels and the ratio measures
