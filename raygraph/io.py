@@ -59,3 +59,15 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
 def partition_files(path: str, partition_col: str, value) -> list[str]:
     """Files of one hive partition under ``path``."""
     return sorted(glob.glob(os.path.join(path, f"{partition_col}={value}", "*")))
+
+
+def read_documents_jsonl(path: str, **kwargs) -> "ray.data.Dataset":
+    """Ingest the corpus from JSONL (one document object per line).
+
+    Parity with the reference's JSONL batch parser (M1,
+    /root/reference/src/graph_loader.rs:420-431) for corpora that arrive
+    as dump files rather than columnar tables: Ray parses lines into
+    Arrow blocks in parallel; a malformed line fails the read task (and
+    the job after retries) — same hard-error contract as the reference.
+    """
+    return ray.data.read_json(path, **kwargs)

@@ -203,3 +203,42 @@ def canonicalize(linked, rounds: int = 4, strategy: str = "driver") -> dict[str,
     for row in cmap.take_all():
         out[row["key"]] = row["canon"]
     return out
+
+
+def canonical_pairs_dataset(linked):
+    """Deduped (key, surface) pair Dataset — the distributed front half of
+    canonicalization, shared by both strategies."""
+    return linked.map_batches(mention_pairs, batch_format="pyarrow")
+
+
+def resolve_keys_join(linked, canon_ds, num_partitions: int = 64):
+    """Shuffle-join edge resolution — the scale path for entity
+    inventories too large to broadcast (SURVEY.md §2.6 "joins").
+
+    ``canon_ds`` is a (key, canon) Dataset (e.g. from
+    :func:`canonical_map_dataset`). Resolves ``subj`` then ``obj`` via two
+    hash-partitioned ``Dataset.join`` left-outer joins; unmapped keys keep
+    their identity. Prefer the broadcast dict (``make_apply_canon``) while
+    the canonical map fits one node — a shuffle of the full triples table
+    twice is strictly more expensive.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    def finish(batch: pa.Table, col: str, canon_col: str) -> pa.Table:
+        resolved = batch.column(canon_col)
+        orig = batch.column(col)
+        merged = pa.compute.if_else(pa.compute.is_null(resolved), orig, resolved)
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, col, merged).drop_columns([canon_col])
+
+    out = linked.join(
+        canon_ds.rename_columns({"key": "subj", "canon": "__subj_canon"}),
+        join_type="left_outer", num_partitions=num_partitions, on=("subj",),
+    ).map_batches(lambda b: finish(b, "subj", "__subj_canon"),
+                  batch_format="pyarrow")
+    out = out.join(
+        canon_ds.rename_columns({"key": "obj", "canon": "__obj_canon"}),
+        join_type="left_outer", num_partitions=num_partitions, on=("obj",),
+    ).map_batches(lambda b: finish(b, "obj", "__obj_canon"),
+                  batch_format="pyarrow")
+    return out

@@ -196,3 +196,29 @@ def test_vertex_dataset_streaming(db_dir):
     assert len(t) == 10
     assert {r["_id"] for r in t} == {f"IntegrationTestVertex/{i}" for i in range(10)}
     assert sorted(r["x"] for r in t) == list(range(1, 11))
+
+
+def test_edge_without_id_collection_name_sentinel(tmp_path):
+    """Edges may lack _id (src/graph_loader.rs:710-715); @collection_name
+    then yields the reference's literal sentinel (src/graph_loader.rs:55)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raygraph.schemas import MISSING_ID_COLLECTION
+
+    db = str(tmp_path)
+    pq.write_table(
+        pa.table({"_id": ["V/1"], "_key": ["1"]}),
+        f"{db}/V.parquet",
+    )
+    pq.write_table(
+        pa.table({"_from": ["V/1"], "_to": ["V/1"], "w": [3]}),
+        f"{db}/E.parquet",
+    )
+    loader = load_custom_graph(
+        db, [CollectionInfo("V")],
+        [CollectionInfo("E", ("@collection_name", "w"))],
+    )
+    c = Collector()
+    loader.do_edges(c.edge_cb)
+    assert c.fields == ["@collection_name", "w"]
+    assert c.rows == [[MISSING_ID_COLLECTION, 3]]

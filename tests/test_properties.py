@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the deterministic kernels —
+no Ray session needed."""
+
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raygraph.ops.canon import union_find
+from raygraph.ops.dedup import (
+    MinHasher,
+    char_shingles,
+    jaccard,
+    simhash64,
+    word_shingles,
+)
+from raygraph.ops.link import minted_key, normalize_surfaces
+from raygraph.ops.text import token_count
+
+names = st.text(alphabet="abcdefgh ", min_size=1, max_size=12)
+
+
+@given(st.lists(st.tuples(names, names), max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_union_find_properties(pairs):
+    got = union_find(pairs)
+    keys = {k for k, _ in pairs}
+    # total over keys; canonical rep is itself canonical (idempotent)
+    assert set(got) == keys
+    for k, c in got.items():
+        assert got[c] == c
+        assert c <= k  # representative is the component min → ≤ any member
+    # order-insensitivity
+    assert union_find(list(reversed(pairs))) == got
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_surfaces(pd.Series([s], dtype=object)).iloc[0]
+    twice = normalize_surfaces(pd.Series([once], dtype=object)).iloc[0]
+    assert once == twice
+    assert minted_key(once) == minted_key(once)
+
+
+@given(st.text(min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_shingles_deterministic_and_nonempty(t):
+    a = set(char_shingles(t).tolist())
+    b = set(char_shingles(t).tolist())
+    assert a == b and len(a) >= 1
+    w = set(word_shingles(t).tolist())
+    assert len(w) >= 1
+
+
+@given(st.text(min_size=20, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_minhash_identical_texts_agree(t):
+    h = MinHasher(num_perm=32)
+    assert (h.signature(t) == h.signature(t)).all()
+    assert jaccard(set(char_shingles(t).tolist()),
+                   set(char_shingles(t).tolist())) == 1.0
+
+
+@given(st.lists(st.text(alphabet="ab cd\t\n", max_size=30), min_size=1,
+                max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_token_count_matches_split(texts):
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = token_count(batch).column("n_tokens").to_pylist()
+    want = [len(t.split()) for t in texts]
+    assert got == want
+
+
+@given(st.lists(st.text(min_size=1, max_size=10), min_size=0, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_simhash_order_insensitive_for_sets(tokens):
+    # simhash over a multiset of tokens is order-insensitive
+    assert simhash64(tokens) == simhash64(list(reversed(tokens)))
