@@ -171,6 +171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pq.ParquetDataset(res.vertices_path).read()
         return t.select(["_id", "_key", "@collection_name"])
 
+    def kg_vertex_mentions(sf_dir):
+        # exercises the vertex aggregation path end-to-end: per-entity
+        # mention counts must reproduce the generator's arithmetic
+        res = _kg_result(sf_dir)
+        t = pq.ParquetDataset(res.vertices_path).read()
+        return t.select(["_key", "mention_count"])
+
     # ---- exporter (GraphLoader parity surface) --------------------------
     def export_vertex_projection(sf_dir):
         loader = load_custom_graph(
@@ -347,6 +354,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.session_counts(ev, gap_sec=1800)
 
+    def events_sessionize_full(sf_dir):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        return E.sessionize(ev, gap_sec=1800)
+
     # ---- embeddings / ANN ------------------------------------------------
     def ann_top10(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -381,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
+        "kg_vertex_mentions": kg_vertex_mentions,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
         "export_edge_projection": export_edge_projection,
@@ -400,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_topk": customer_revenue_topk,
         "events_tumbling_1h": events_tumbling_1h,
         "events_sessions": events_sessions,
+        "events_sessionize_full": events_sessionize_full,
         "ann_top10": ann_top10,
         "embedding_norms": embedding_norms,
         "media_features": media_features,
@@ -447,6 +461,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'entities/' || k AS _id, k AS _key,
                    'entities' AS "@collection_name"
             FROM keys
+        """,
+        "kg_vertex_mentions": kg_base + """
+            , m1 AS (
+                SELECT a AS k,
+                       2 + CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END AS c
+                FROM e
+                UNION ALL SELECT b, 2 FROM e
+            )
+            SELECT 'vertex_' || k AS _key,
+                   CAST(sum(c) AS BIGINT) AS mention_count
+            FROM m1 GROUP BY k
+            UNION ALL
+            SELECT 'node', cnt FROM (
+                SELECT CAST(count(*) AS BIGINT) AS cnt
+                FROM e WHERE i % 7 = 3
+            ) WHERE cnt > 0
         """,
         "export_vertex_projection": """
             SELECT 'customer/' || c_custkey AS _id,
@@ -567,6 +597,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_session)::BIGINT AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "events_sessionize_full": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER win)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_id
+              FROM w
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "ann_top10": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
