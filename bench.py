@@ -31,16 +31,25 @@ BENCH_TMP = "/tmp/raygraph_bench"
 
 
 def _corpus(n_docs: int) -> str:
-    """Deterministic corpus, cached across runs (content depends only on
-    n_docs). Also warms the page cache for the timed read."""
+    """Deterministic corpus, cached across runs. The marker embeds the
+    generator parameters so a code change invalidates stale caches (a
+    corpus from an older generator would silently break the cross-level
+    determinism check)."""
     from raygraph import synth
 
+    stamp = (f"{n_docs};cap={synth.ENTITY_CAP};hub={synth.HUB_EVERY};"
+             f"isa={synth.IS_A_EVERY};v2")
     path = os.path.join(BENCH_TMP, f"corpus_n{n_docs}")
     marker = os.path.join(path, "_complete")
-    if not os.path.exists(marker):
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            current = fh.read()
+    if current != stamp:
         shutil.rmtree(path, ignore_errors=True)
         synth.write_corpus(path, n_docs)
-        open(marker, "w").close()
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     return path
 
 

@@ -1,0 +1,56 @@
+"""CLI smoke tests (in-process — the session fixture owns Ray)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from raygraph import synth
+from raygraph.cli import main
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_cli_synth(tmp_path, capsys):
+    out = os.path.join(str(tmp_path), "corpus")
+    assert main(["synth", "--n-docs", "50", "--output", out]) == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["n_docs"] == 50
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert sum(pq.read_metadata(os.path.join(out, f)).num_rows
+               for f in files) == 50
+
+
+def test_cli_build(tmp_path, capsys, monkeypatch):
+    # keep the session alive: cli shuts Ray down, which would break the
+    # shared fixture — patch shutdown to a no-op for the in-process test
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    corpus = os.path.join(str(tmp_path), "in")
+    synth.write_corpus(corpus, 40)
+    aliases_path = os.path.join(str(tmp_path), "aliases.json")
+    with open(aliases_path, "w") as fh:
+        json.dump(synth.alias_inventory(synth.entity_space(40)), fh)
+    out = os.path.join(str(tmp_path), "kg")
+    rc = main(["build", "--input", corpus, "--output", out,
+               "--partitions", "4", "--aliases", aliases_path])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip())
+    assert info["triples_raw"] > 0
+    assert pq.ParquetDataset(info["edges"]).read().num_rows > 0
+
+
+def test_cli_export(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    db = os.path.join(str(tmp_path), "db")
+    synth.write_fixture_db(db)
+    out = os.path.join(str(tmp_path), "export")
+    rc = main(["export", "--db", db, "--graph", "IntegrationTestGraph",
+               "--output", out, "--vertex-fields", "x", "y"])
+    assert rc == 0
+    v = pq.ParquetDataset(os.path.join(out, "vertices")).read()
+    assert v.num_rows == 10 and "x" in v.schema.names

@@ -154,3 +154,33 @@ def test_agg_strategies_agree(tmp_path):
             a, b = outs["hash"][i], outs[other][i]
             assert a.sort_index(axis=1).equals(b.sort_index(axis=1)), \
                 f"{other} table {i} differs"
+
+
+def test_doc_count_exact_when_doc_straddles_blocks(ray_session):
+    """A document's triples split across blocks must still yield
+    doc_count=1 per edge (the exact 4-key dedup inside the reduce)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.materialize import build_edges
+
+    def rows(block):
+        return pa.table(
+            {
+                "doc_id": ["d1"] * len(block),
+                "span_idx": pa.array(range(len(block)), pa.int32()),
+                "subj": [b[0] for b in block],
+                "pred": [b[1] for b in block],
+                "obj": [b[2] for b in block],
+                "subj_surface": [b[0] for b in block],
+                "obj_surface": [b[2] for b in block],
+                "conf": pa.array([0.9] * len(block), pa.float32()),
+            }
+        )
+
+    # same (subj,pred,obj,doc) mention appears in TWO separate blocks
+    ds = rd.from_arrow([rows([("a", "p", "b")]), rows([("a", "p", "b")])])
+    for strat in ("hash", "tree", "shuffle"):
+        out = build_edges(ds, None, "V", "E", strategy=strat).take_all()
+        assert len(out) == 1, strat
+        assert out[0]["doc_count"] == 1, strat
