@@ -168,12 +168,40 @@ def build_graph(cfg: GraphBuildConfig,
         new_rows = linked.count()
     else:
         new_rows = None
-    if new_rows != 0:
-        # sort by part_id so each checkpoint partition lands in contiguous
-        # blocks → O(partitions) files instead of O(blocks × partitions)
-        linked.sort("part_id").write_parquet(triples_path,
-                                             partition_cols=["part_id"])
-    part_stats = ckpt.finalize_partitions(triples_path, cfg.num_partitions)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stub_fsspec_http()
+
+    def _write_checkpoint():
+        if new_rows != 0:
+            # sort by part_id so each checkpoint partition lands in
+            # contiguous blocks → O(partitions) files instead of
+            # O(blocks × partitions)
+            linked.sort("part_id").write_parquet(triples_path,
+                                                 partition_cols=["part_id"])
+        return ckpt.finalize_partitions(triples_path, cfg.num_partitions)
+
+    # the in-memory linked table IS the full triples set only when no
+    # partition was skipped; on resume, phase B must read the completed
+    # checkpoint (skipped partitions live only on disk)
+    use_linked = cfg.materialize_triples and not done_before
+    if use_linked:
+        # checkpoint write and canonicalization are independent consumers
+        # of the pinned triples — overlap them
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fw = pool.submit(_write_checkpoint)
+            fc = pool.submit(canonicalize, linked)
+            part_stats = fw.result()
+            canon = fc.result()
+        triples = linked
+        t1 = time.monotonic()
+    else:
+        part_stats = _write_checkpoint()
+        t1 = time.monotonic()
+        triples = read_table(triples_path)
+        if cfg.materialize_triples:
+            triples = triples.materialize()
+        canon = canonicalize(triples)
     metrics["phase_a_sec"] = time.monotonic() - t0
     metrics["triples_raw"] = sum(s["rows"] for s in part_stats.values())
     metrics["partitions"] = len(part_stats)
@@ -182,17 +210,6 @@ def build_graph(cfg: GraphBuildConfig,
         metrics["triples_new"] = new_rows
 
     # ---- phase B: canonicalize + materialize -----------------------------
-    t1 = time.monotonic()
-    # the in-memory linked table IS the full triples set only when no
-    # partition was skipped; on resume, phase B must read the completed
-    # checkpoint (skipped partitions live only on disk)
-    if cfg.materialize_triples and not done_before:
-        triples = linked
-    else:
-        triples = read_table(triples_path)
-        if cfg.materialize_triples:
-            triples = triples.materialize()
-    canon = canonicalize(triples)
     metrics["entities_linked"] = len(canon)
     canon_fn = make_apply_canon(canon)
 
