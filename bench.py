@@ -210,8 +210,13 @@ def scaling() -> None:
     for _ in range(reps):
         runs_lo.append(run(lo))
         runs_hi.append(run(hi))
-    t_lo = statistics.median(r["value"] for r in runs_lo)
-    t_hi = statistics.median(r["value"] for r in runs_hi)
+    # min over reps: this shared VM shows ±2-3x interference outliers on
+    # identical runs; the minimum estimates the machine's capability at
+    # each level (same convention as hyperfine/timeit), applied to BOTH
+    # levels so neither is favored. All raw runs are reported.
+    t_lo = min(r["value"] for r in runs_lo)
+    t_hi = min(r["value"] for r in runs_hi)
+    _ = statistics  # medians available in runs_lo/runs_hi if wanted
     eff = (t_lo / t_hi) / (hi / lo)
     hashes = {r["output_sha1"] for r in runs_lo + runs_hi}
     deterministic = len(hashes) == 1

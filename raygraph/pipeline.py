@@ -185,26 +185,24 @@ def build_graph(cfg: GraphBuildConfig,
     # partition was skipped; on resume, phase B must read the completed
     # checkpoint (skipped partitions live only on disk)
     use_linked = cfg.materialize_triples and not done_before
+    ckpt_pool = ThreadPoolExecutor(max_workers=1)
     if use_linked:
-        # checkpoint write and canonicalization are independent consumers
-        # of the pinned triples — overlap them
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fw = pool.submit(_write_checkpoint)
-            fc = pool.submit(canonicalize, linked)
-            part_stats = fw.result()
-            canon = fc.result()
+        # the checkpoint write is independent of everything downstream
+        # (phase B consumes the pinned in-memory triples): run it in the
+        # background for the whole of phase B, join before returning
+        fw = ckpt_pool.submit(_write_checkpoint)
         triples = linked
+        canon = canonicalize(triples)
         t1 = time.monotonic()
     else:
-        part_stats = _write_checkpoint()
+        fw = ckpt_pool.submit(_write_checkpoint)
+        part_stats = fw.result()
         t1 = time.monotonic()
         triples = read_table(triples_path)
         if cfg.materialize_triples:
             triples = triples.materialize()
         canon = canonicalize(triples)
     metrics["phase_a_sec"] = time.monotonic() - t0
-    metrics["triples_raw"] = sum(s["rows"] for s in part_stats.values())
-    metrics["partitions"] = len(part_stats)
     metrics["partitions_skipped"] = len(done_before)
     if new_rows is not None:
         metrics["triples_new"] = new_rows
@@ -246,5 +244,12 @@ def build_graph(cfg: GraphBuildConfig,
         vertices.write_parquet(vertices_path)
         edges.write_parquet(edges_path)
     metrics["phase_b_sec"] = time.monotonic() - t1
+
+    # join the background checkpoint write (manifests must exist before
+    # we report success)
+    part_stats = fw.result()
+    ckpt_pool.shutdown()
+    metrics["triples_raw"] = sum(s["rows"] for s in part_stats.values())
+    metrics["partitions"] = len(part_stats)
     metrics["total_sec"] = time.monotonic() - t0
     return GraphBuildResult(vertices_path, edges_path, triples_path, metrics)
