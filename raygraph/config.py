@@ -79,8 +79,10 @@ class GraphBuildConfig:
     linker_num_cpus: float = 1.0
     min_link_score: float = 0.35      # trigram-cosine acceptance threshold
 
-    # skew handling (SURVEY.md §4.2: salted two-level groupby)
-    salt_mod: int = 16
+    # skew handling (SURVEY.md §4.2) is structural, not a knob: per-batch
+    # partial aggregation before every wide step (the "salt" is the batch)
+    # plus hash bucketing over high-cardinality keys — see
+    # ops/relational.hash_aggregate and DESIGN_SCALE.md "Skew"
 
     # checkpoint / resume
     num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
@@ -110,8 +112,10 @@ class GraphBuildConfig:
     def validate(self) -> None:
         if self.num_partitions < 1:
             raise InvalidParameterError("num_partitions must be >= 1")
-        if self.salt_mod < 1:
-            raise InvalidParameterError("salt_mod must be >= 1")
+        if self.agg_strategy not in ("hash", "tree", "shuffle"):
+            raise InvalidParameterError(
+                "agg_strategy must be one of hash|tree|shuffle"
+            )
         if self.batch_size < 1:
             raise InvalidParameterError("batch_size must be >= 1")
         lo, hi = self.linker_concurrency
