@@ -124,16 +124,24 @@ def _project_batch(
     fields: list[str],
     identity_cols: tuple[str, ...],
     load_all: bool,
+    field_types: dict[str, pa.DataType] | None = None,
 ):
     """Build the per-batch projection fn: identity columns first, then the
     requested fields in unified-field-list order; absent field → null
     (M5); ``@collection_name`` synthesized from ``_id`` (M6).
+
+    ``field_types`` maps each requested field to its Arrow type wherever a
+    sibling collection in the same union declares it — absent fields are
+    null-filled at THAT type so ``Dataset.union`` across heterogeneous
+    collections keeps a consistent schema (the schemaless reference has no
+    such constraint; see src/graph_loader.rs:455-470).
 
     In load-all mode the batch passes through unchanged — identity columns
     stay in the *Dataset* (they are the export's primary output) and are
     excluded from the *field list* instead, matching the reference's strip
     of meta fields from the returned document (M7).
     """
+    field_types = field_types or {}
 
     def fn(batch: pa.Table) -> pa.Table:
         if load_all:
@@ -149,10 +157,15 @@ def _project_batch(
                 continue
             if f == COLLECTION_NAME_FIELD:
                 if "_id" in batch.schema.names:
+                    # mirror collection_name_from_id (src/graph_loader.rs:
+                    # 51-56): prefix before '/', '' when the id has no '/',
+                    # sentinel only for an absent (null) _id
                     ids = batch.column("_id")
                     split = pc.split_pattern(ids, "/", max_splits=1)
-                    cn = pc.fill_null(pc.list_element(split, 0),
-                                      MISSING_ID_COLLECTION)
+                    first = pc.list_element(split, 0)
+                    cn = pc.if_else(pc.match_substring(ids, "/"), first,
+                                    pa.scalar("", pa.string()))
+                    cn = pc.fill_null(cn, MISSING_ID_COLLECTION)
                 else:
                     # edges without _id (optional, src/graph_loader.rs:710-715)
                     cn = pa.array([MISSING_ID_COLLECTION] * n, pa.string())
@@ -160,7 +173,9 @@ def _project_batch(
             elif f in batch.schema.names:
                 cols[f] = batch.column(f)
             else:
-                cols[f] = pa.nulls(n, pa.string())  # absent field → null (M5)
+                # absent field → null (M5), typed like the sibling
+                # collection that has it (string when nobody does)
+                cols[f] = pa.nulls(n, field_types.get(f, pa.string()))
         return pa.table(cols)
 
     return fn
@@ -218,6 +233,19 @@ class GraphLoader:
         return cls(GraphSource(db_dir), vertex_collections, edge_collections, config)
 
     # -- datasets ----------------------------------------------------------
+    def _union_field_types(self, collections: list[CollectionInfo],
+                           fields: list[str]) -> dict[str, pa.DataType]:
+        """field → Arrow type across all collections of one union side
+        (first collection declaring the field wins), so absent-field null
+        fills are typed consistently with the sibling that has the data."""
+        out: dict[str, pa.DataType] = {}
+        for c in collections:
+            schema = self.source.collection_schema(c.name)
+            for f in fields:
+                if f not in out and f in schema.names:
+                    out[f] = schema.field(f).type
+        return out
+
     def _collection_dataset(
         self, info: CollectionInfo, is_edge: bool, load_all: bool
     ) -> ray.data.Dataset:
@@ -249,6 +277,10 @@ class GraphLoader:
             fields,
             identity_cols=("_from", "_to") if is_edge else ("_id",),
             load_all=load_all,
+            field_types=self._union_field_types(
+                self.edge_collections if is_edge else self.vertex_collections,
+                fields,
+            ),
         )
         return ds.map_batches(proj, batch_format="pyarrow",
                               batch_size=self.config.batch_size)

@@ -132,8 +132,12 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5,
                  shingle: str = "char"):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.uint64)
+        # a, b < 2^32 and shingle hashes are crc32 (< 2^32), so a*sh + b
+        # fits uint64 EXACTLY — no silent mod-2^64 wrap before the Mersenne
+        # reduction, preserving the universal-hash collision bounds the
+        # LSH banding math relies on
+        self.a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
         self.shingle = shingle

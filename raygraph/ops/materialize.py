@@ -30,10 +30,21 @@ _SEP = "\x00"
 _NMAX = 10**12  # mention counts are < this; used for the min-composite trick
 
 
+def edge_keys(subj, pred, obj) -> list[str]:
+    """Deterministic content-derived edge keys for aligned sequences —
+    the single definition of the stable-``_key`` contract (SURVEY.md §7
+    hard part 3); :func:`edge_key` and ``_finalize_edges`` both delegate
+    here so the two can never drift."""
+    return [
+        hashlib.sha1(f"{a}{_SEP}{b}{_SEP}{c}".encode()).hexdigest()[:16]
+        for a, b, c in zip(subj, pred, obj)
+    ]
+
+
 def edge_key(subj: str, pred: str, obj: str) -> str:
     """Deterministic content-derived edge key (stable across runs and
     parallelism levels — SURVEY.md §7 hard part 3)."""
-    return hashlib.sha1(f"{subj}{_SEP}{pred}{_SEP}{obj}".encode()).hexdigest()[:16]
+    return edge_keys([subj], [pred], [obj])[0]
 
 
 def make_apply_canon(canon: dict[str, str]):
@@ -89,10 +100,7 @@ def _finalize_edges(vertex_collection: str, edge_collection: str):
         s = batch.column("subj").to_pandas()
         p = batch.column("pred").to_pandas()
         o = batch.column("obj").to_pandas()
-        keys = [
-            hashlib.sha1(f"{a}{_SEP}{b}{_SEP}{c}".encode()).hexdigest()[:16]
-            for a, b, c in zip(s, p, o)
-        ]
+        keys = edge_keys(s, p, o)
         n = len(s)
         return pa.table(
             {

@@ -79,6 +79,14 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
         if done:
             docs = docs.map_batches(_skip_partitions(done), batch_format="pyarrow")
         ckpt.clean_incomplete(triples_path, cfg.num_partitions)
+    else:
+        # a fresh (non-resume) run must not append into a previous run's
+        # checkpoint: write_parquet emits uniquely-named files, so stale
+        # part_id=* dirs would double-count triples in the manifests and
+        # poison any later --resume of this output_path
+        import shutil
+
+        shutil.rmtree(triples_path, ignore_errors=True)
 
     docs = docs.map_batches(validate_spans, batch_format="pyarrow")
 

@@ -93,9 +93,12 @@ META_EDGE_FIELDS = ("_from", "_to")
 MISSING_ID_COLLECTION = "n/A - _id is missing"
 
 
-def collection_of(_id: str) -> str:
-    """Prefix of ``_id`` before the first '/'
-    (reference ``collection_name_from_id``, src/graph_loader.rs:51-56)."""
-    if not _id:
+def collection_of(_id: str | None) -> str:
+    """Prefix of ``_id`` before the first '/', mirroring the reference
+    ``collection_name_from_id`` (src/graph_loader.rs:51-56) exactly:
+    an id with no '/' yields ``""``. The missing-id sentinel is reserved
+    for an *absent* ``_id`` (None), as in src/graph_loader.rs:55."""
+    if _id is None:
         return MISSING_ID_COLLECTION
-    return _id.split("/", 1)[0]
+    p = _id.find("/")
+    return "" if p < 0 else _id[:p]

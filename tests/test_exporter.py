@@ -222,3 +222,50 @@ def test_edge_without_id_collection_name_sentinel(tmp_path):
     loader.do_edges(c.edge_cb)
     assert c.fields == ["@collection_name", "w"]
     assert c.rows == [[MISSING_ID_COLLECTION, 3]]
+
+
+def test_collection_name_no_slash_parity(tmp_path):
+    """collection_name_from_id parity (src/graph_loader.rs:51-56): an _id
+    with no '/' yields "", NOT the whole id and NOT the missing-id
+    sentinel (which is reserved for an absent _id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raygraph.schemas import MISSING_ID_COLLECTION, collection_of
+
+    assert collection_of("noslash") == ""
+    assert collection_of("a/b") == "a"
+    assert collection_of("a/b/c") == "a"
+    assert collection_of("") == ""
+    assert collection_of(None) == MISSING_ID_COLLECTION
+
+    db = str(tmp_path)
+    pq.write_table(
+        pa.table({"_id": ["V/1", "noslash"], "x": [1, 2]}),
+        f"{db}/V.parquet",
+    )
+    loader = load_custom_graph(
+        db, [CollectionInfo("V", ("@collection_name", "x"))], []
+    )
+    rows = {r["_id"]: r["@collection_name"]
+            for r in loader.vertex_dataset().take_all()}
+    assert rows == {"V/1": "V", "noslash": ""}
+
+
+def test_heterogeneous_union_typed_null_fill(tmp_path):
+    """A field present (non-string) in one collection and absent in a
+    sibling must null-fill at the sibling's declared type so the union
+    keeps one schema (the schemaless reference has no such constraint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = str(tmp_path)
+    pq.write_table(
+        pa.table({"_id": ["A/1"], "w": pa.array([7], pa.int64())}),
+        f"{db}/A.parquet",
+    )
+    pq.write_table(pa.table({"_id": ["B/1"]}), f"{db}/B.parquet")
+    loader = load_custom_graph(
+        db, [CollectionInfo("A", ("w",)), CollectionInfo("B", ("w",))], []
+    )
+    rows = {r["_id"]: r["w"] for r in loader.vertex_dataset().take_all()}
+    assert rows == {"A/1": 7, "B/1": None}

@@ -184,3 +184,31 @@ def test_doc_count_exact_when_doc_straddles_blocks(ray_session):
         out = build_edges(ds, None, "V", "E", strategy=strat).take_all()
         assert len(out) == 1, strat
         assert out[0]["doc_count"] == 1, strat
+
+
+def test_rerun_without_resume_no_duplicates(tmp_path, ray_session):
+    """Re-running a build into the same output_path with resume=False must
+    clear the previous run's triples checkpoint — stale part_id dirs would
+    inflate triples_raw and double mention counts on a later resume."""
+    tmp = str(tmp_path)
+    corpus = synth.line_graph_documents()
+    cfg = GraphBuildConfig(
+        input_path=_write_corpus(tmp, corpus),
+        output_path=os.path.join(tmp, "out"),
+        num_partitions=2,
+        linker_concurrency=(1, 2),
+        sort_output=True,
+    )
+    r1 = build_graph(cfg, aliases=synth.alias_inventory(10))
+    v1 = _read(r1.vertices_path)
+    r2 = build_graph(cfg, aliases=synth.alias_inventory(10))
+    v2 = _read(r2.vertices_path)
+    assert r1.metrics["triples_raw"] == r2.metrics["triples_raw"]
+    assert v1.sort_by("_key").equals(v2.sort_by("_key"))
+    # and a resume over the rerun output stays clean too
+    import dataclasses
+
+    r3 = build_graph(dataclasses.replace(cfg, resume=True),
+                     aliases=synth.alias_inventory(10))
+    assert r3.metrics["triples_raw"] == r1.metrics["triples_raw"]
+    assert _read(r3.vertices_path).sort_by("_key").equals(v1.sort_by("_key"))
