@@ -51,6 +51,7 @@ def cmd_build(args) -> int:
         resume=args.resume,
         vertex_collection=args.vertex_collection,
         edge_collection=args.edge_collection,
+        canon_strategy=args.canon_strategy,
     )
     aliases = None
     if args.aliases:
@@ -101,6 +102,8 @@ def main(argv=None) -> int:
     b.add_argument("--aliases", help="JSON file: alias -> entity key")
     b.add_argument("--vertex-collection", default="entities")
     b.add_argument("--edge-collection", default="relations")
+    b.add_argument("--canon-strategy", choices=("driver", "distributed"),
+                   default="driver")
     b.add_argument("--num-cpus", type=int)
     b.set_defaults(fn=cmd_build)
 

@@ -88,6 +88,19 @@ class GraphBuildConfig:
     num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
     resume: bool = False
 
+    # canonicalization strategy:
+    #   "driver"      — collect the (tree-deduped, small) alias pair set,
+    #                   union-find on the driver, broadcast the dict via
+    #                   ray.put (default; right while the entity inventory
+    #                   fits one node)
+    #   "distributed" — hash-bucketed min-label propagation keeps the
+    #                   canonical map a Dataset end-to-end; triples are
+    #                   resolved with two hash-partitioned left-outer
+    #                   joins (the 100 TB path: nothing driver-sized)
+    canon_strategy: str = "driver"
+    canon_rounds: int = 4             # label-prop rounds (graph diameter)
+    canon_join_partitions: int = 32   # hash partitions for the resolve join
+
     # wide-step implementation:
     #   "hash"    — bucket by stable_hash(key) % B, one vectorized reduce
     #               per bucket (default; scales with distinct-keys/B)
@@ -116,6 +129,12 @@ class GraphBuildConfig:
             raise InvalidParameterError(
                 "agg_strategy must be one of hash|tree|shuffle"
             )
+        if self.canon_strategy not in ("driver", "distributed"):
+            raise InvalidParameterError(
+                "canon_strategy must be one of driver|distributed"
+            )
+        if self.canon_rounds < 1:
+            raise InvalidParameterError("canon_rounds must be >= 1")
         if self.batch_size < 1:
             raise InvalidParameterError("batch_size must be >= 1")
         lo, hi = self.linker_concurrency

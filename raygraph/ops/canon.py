@@ -7,13 +7,15 @@ metadata set-union + dedup steps (A1/A2, /root/reference/
 src/graph_loader.rs:927-934, :1076-1106) lifted from driver metadata to
 distributed data.
 
-Implementation: distributed **min-label propagation** expressed purely as
-``groupby(node).map_groups`` rounds — no joins, no driver-side graph. Each
-round a node's label becomes the min label seen by it or any neighbor;
-after R rounds every component of diameter ≤ R carries its min key. The
-alias graph here is star-shaped around entity keys (surfaces link keys),
-so diameter is small; ``rounds`` is configurable and the invariant is
-checked in tests (SURVEY.md §7 hard part 2).
+Implementation: distributed **min-label propagation** expressed as
+hash-bucketed rounds (:func:`raygraph.ops.relational.hash_aggregate`) —
+no joins, no driver-side graph, and each round is ONE vectorized pandas
+pass per bucket (never a Python call per node). Each round a node's label
+becomes the min label seen by it or any neighbor; after R rounds every
+component of diameter ≤ R carries its min key. The alias graph here is
+star-shaped around entity keys (surfaces link keys), so diameter is
+small; ``rounds`` is configurable and the invariant is checked in tests
+(SURVEY.md §7 hard part 2).
 
 Skew note: groups are per *node* of the alias graph (size = degree of the
 node, i.e. #alias-forms of an entity), not per mention — the per-batch
@@ -64,20 +66,19 @@ def mention_pairs(batch: pa.Table) -> pa.Table:
 
 
 def _pairs_to_graph(batch: pa.Table) -> pa.Table:
-    """(key, surface) pairs → initial label-prop state rows.
+    """(key, surface) pairs → initial label-prop state rows (vectorized).
 
     Row schema (node, val, tag): tag='label' rows carry the node's current
     label in ``val``; tag='edge' rows carry a neighbor in ``val``. Only key
     nodes get initial labels (labels range over entity keys).
     """
-    keys = batch.column("key").to_pylist()
-    surfs = batch.column("surface").to_pylist()
-    nodes, vals, tags = [], [], []
-    for k, s in zip(keys, surfs):
-        kn, sn = _K + k, _S + s
-        nodes += [kn, sn, kn]
-        vals += [sn, kn, k]
-        tags += ["edge", "edge", "label"]
+    keys = batch.column("key").to_pandas()
+    surfs = batch.column("surface").to_pandas()
+    kn, sn = _K + keys, _S + surfs
+    n = len(keys)
+    nodes = pd.concat([kn, sn, kn], ignore_index=True)
+    vals = pd.concat([sn, kn, keys], ignore_index=True)
+    tags = pd.Series(["edge"] * (2 * n) + ["label"] * n)
     return pa.table(
         {
             "node": pa.array(nodes, pa.string()),
@@ -87,49 +88,61 @@ def _pairs_to_graph(batch: pa.Table) -> pa.Table:
     )
 
 
-def _prop_round(g: pd.DataFrame) -> pd.DataFrame:
-    """One min-label round for one node's group: keep edges, emit the min
-    label for self and as a message to every neighbor."""
-    node = g["node"].iloc[0]
-    labels = g.loc[g["tag"] == "label", "val"]
-    edges = g.loc[g["tag"] == "edge", "val"].drop_duplicates()
-    out_nodes = list(edges.map(lambda v: node))  # edge rows kept (node,val)
-    out_vals = list(edges)
-    out_tags = ["edge"] * len(edges)
-    if not labels.empty:
-        m = labels.min()
-        out_nodes.append(node)
-        out_vals.append(m)
-        out_tags.append("label")
-        for nb in edges:
-            out_nodes.append(nb)
-            out_vals.append(m)
-            out_tags.append("label")
-    return pd.DataFrame({"node": out_nodes, "val": out_vals, "tag": out_tags})
+def _round_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One min-label round over ALL nodes hashed to one bucket — a single
+    vectorized pandas pass (drop_duplicates / groupby-min / merge), never
+    per-node Python. Emits: the deduped edges, each labeled node's min
+    label, and that min as a message to every neighbor."""
+    edges = df.loc[df["tag"] == "edge", ["node", "val"]].drop_duplicates()
+    labels = (
+        df.loc[df["tag"] == "label", ["node", "val"]]
+        .groupby("node", as_index=False)["val"].min()
+        .rename(columns={"val": "lab"})
+    )
+    msgs = edges.merge(labels, on="node")
+    return pd.concat(
+        [
+            edges.assign(tag="edge"),
+            labels.rename(columns={"lab": "val"}).assign(tag="label"),
+            pd.DataFrame({"node": msgs["val"], "val": msgs["lab"],
+                          "tag": "label"}),
+        ],
+        ignore_index=True,
+    )[["node", "val", "tag"]]
 
 
-def canonical_map_dataset(pairs, rounds: int = 4):
-    """Distributed: (key, surface) pair Dataset → (key, canon) Dataset."""
+def _finish_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Final per-node min over the last round's label rows, projected to
+    key nodes as (key, canon)."""
+    labels = (
+        df.loc[df["tag"] == "label", ["node", "val"]]
+        .groupby("node", as_index=False)["val"].min()
+    )
+    keys = labels.loc[labels["node"].str.startswith(_K)]
+    return pd.DataFrame(
+        {"key": keys["node"].str[len(_K):], "canon": keys["val"]}
+    ).reset_index(drop=True)
+
+
+def canonical_map_dataset(pairs, rounds: int = 4, num_buckets: int = 64):
+    """Distributed: (key, surface) pair Dataset → (key, canon) Dataset.
+
+    Never touches the driver: every round is a hash-bucketed shuffle whose
+    per-bucket reduce is one vectorized pandas pass. ``rounds`` must cover
+    the alias-graph diameter (R rounds propagate the min label R hops in
+    the bipartite key↔surface graph; 2 hops = one key-to-key step, so R=4
+    merges chains of up to 3 keys — plenty for star-shaped alias maps,
+    raise it for adversarial chains)."""
+    from .relational import hash_aggregate
+
     state = pairs.map_batches(_pairs_to_graph, batch_format="pyarrow")
     for _ in range(rounds):
-        state = state.groupby("node").map_groups(_prop_round, batch_format="pandas")
-
-    _empty = pd.DataFrame(
-        {"key": pd.Series([], dtype="object"), "canon": pd.Series([], dtype="object")}
-    )
-
-    def finish_group(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["node"].iloc[0]
-        if not node.startswith(_K):
-            return _empty
-        labels = g.loc[g["tag"] == "label", "val"]
-        if labels.empty:
-            return _empty
-        return pd.DataFrame({"key": [node[len(_K):]], "canon": [labels.min()]})
-
+        state = hash_aggregate(state, ["node"], _round_bucket,
+                               num_buckets=num_buckets)
     # final per-node min across the last round's label rows (a node's
-    # incoming messages originate in other groups, so one more groupby)
-    return state.groupby("node").map_groups(finish_group, batch_format="pandas")
+    # incoming messages originate in other buckets, so one more pass)
+    return hash_aggregate(state, ["node"], _finish_bucket,
+                          num_buckets=num_buckets)
 
 
 def union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
@@ -166,43 +179,36 @@ def union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {n[len(_K):]: comp_min[find(n)] for n in key_nodes}
 
 
-def canonicalize(linked, rounds: int = 4, strategy: str = "driver") -> dict[str, str]:
-    """LINKED_TRIPLE Dataset → {key: canonical_key} dict.
+def canonicalize(linked) -> dict[str, str]:
+    """LINKED_TRIPLE Dataset → {key: canonical_key} dict (driver strategy).
 
     The pair set is pre-deduplicated per batch inside ``map_batches``, so
-    what reaches the driver (or the shuffle) is O(#distinct entities ×
-    #alias forms × #batches-with-dups) — the small side of the build.
+    what reaches the driver is O(#distinct entities × #alias forms) — the
+    small side of the build. The driver collects the distinct pair set
+    and runs union-find locally: one streaming pass, no shuffle. Right
+    whenever the entity inventory fits the driver (it is then broadcast
+    via ``ray.put`` anyway, so this adds no new scaling constraint).
 
-    strategy="driver" (default): collect the deduped pairs and run
-    union-find locally — one streaming pass, no shuffle. Right whenever
-    the entity inventory fits the driver (it is then broadcast via
-    ``ray.put`` anyway, so this adds no new scaling constraint).
-
-    strategy="distributed": R rounds of groupby min-label propagation
-    (:func:`canonical_map_dataset`) — for inventories too large to
-    collect; resolve edges with ``Dataset.join`` in that regime.
+    For inventories beyond driver memory use
+    :func:`canonical_map_dataset` + :func:`resolve_keys_join` instead
+    (``GraphBuildConfig.canon_strategy="distributed"``) — that path never
+    materializes the map anywhere.
     """
     pairs = linked.map_batches(mention_pairs, batch_format="pyarrow")
-    if strategy == "driver":
-        # distributed tree-dedup first (cross-batch duplicate factor is
-        # high — every batch repeats the hot aliases), so the driver only
-        # collects the distinct pair set
-        from .relational import tree_aggregate
+    # distributed tree-dedup first (cross-batch duplicate factor is
+    # high — every batch repeats the hot aliases), so the driver only
+    # collects the distinct pair set
+    from .relational import tree_aggregate
 
-        distinct = tree_aggregate(pairs, lambda df: df.drop_duplicates())
-        frames = [
-            b.to_pandas()
-            for b in distinct.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-        if not frames:
-            return {}
-        df = pd.concat(frames, ignore_index=True)
-        return union_find(list(zip(df["key"], df["surface"])))
-    cmap = canonical_map_dataset(pairs, rounds=rounds)
-    out: dict[str, str] = {}
-    for row in cmap.take_all():
-        out[row["key"]] = row["canon"]
-    return out
+    distinct = tree_aggregate(pairs, lambda df: df.drop_duplicates())
+    frames = [
+        b.to_pandas()
+        for b in distinct.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not frames:
+        return {}
+    df = pd.concat(frames, ignore_index=True)
+    return union_find(list(zip(df["key"], df["surface"])))
 
 
 def canonical_pairs_dataset(linked):
@@ -221,8 +227,17 @@ def resolve_keys_join(linked, canon_ds, num_partitions: int = 64):
     their identity. Prefer the broadcast dict (``make_apply_canon``) while
     the canonical map fits one node — a shuffle of the full triples table
     twice is strictly more expensive.
+
+    ``num_partitions`` is clamped to the cluster's CPU count: Ray's
+    hash-shuffle join keeps one aggregator actor per partition alive for
+    the whole exchange, so partitions > CPUs deadlocks actor scheduling
+    on small sessions (inert at real cluster sizes where CPUs ≫
+    partitions).
     """
-    import pyarrow.compute as pc  # noqa: F401
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    num_partitions = max(2, min(num_partitions, cpus))
 
     def finish(batch: pa.Table, col: str, canon_col: str) -> pa.Table:
         resolved = batch.column(canon_col)
@@ -231,13 +246,24 @@ def resolve_keys_join(linked, canon_ds, num_partitions: int = 64):
         i = batch.schema.get_field_index(col)
         return batch.set_column(i, col, merged).drop_columns([canon_col])
 
+    def renamed(ds, mapping):
+        # map_batches rename (not Dataset.rename_columns): also coerces
+        # pandas-block inputs (e.g. hash_aggregate output) to Arrow, which
+        # the join's projection step requires
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [mapping.get(c, c) for c in batch.schema.names]
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
     out = linked.join(
-        canon_ds.rename_columns({"key": "subj", "canon": "__subj_canon"}),
+        renamed(canon_ds, {"key": "subj", "canon": "__subj_canon"}),
         join_type="left_outer", num_partitions=num_partitions, on=("subj",),
     ).map_batches(lambda b: finish(b, "subj", "__subj_canon"),
                   batch_format="pyarrow")
     out = out.join(
-        canon_ds.rename_columns({"key": "obj", "canon": "__obj_canon"}),
+        renamed(canon_ds, {"key": "obj", "canon": "__obj_canon"}),
         join_type="left_outer", num_partitions=num_partitions, on=("obj",),
     ).map_batches(lambda b: finish(b, "obj", "__obj_canon"),
                   batch_format="pyarrow")

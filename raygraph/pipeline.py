@@ -200,24 +200,50 @@ def build_graph(cfg: GraphBuildConfig,
         # background for the whole of phase B, join before returning
         fw = ckpt_pool.submit(_write_checkpoint)
         triples = linked
-        canon = canonicalize(triples)
-        t1 = time.monotonic()
     else:
         fw = ckpt_pool.submit(_write_checkpoint)
         part_stats = fw.result()
-        t1 = time.monotonic()
         triples = read_table(triples_path)
         if cfg.materialize_triples:
             triples = triples.materialize()
+
+    # canonicalization: either a driver-side union-find dict broadcast to
+    # every task (small inventories), or — the scale path — a canonical
+    # map kept as a Dataset end-to-end, applied via two hash-partitioned
+    # joins (nothing driver-sized ever exists)
+    if cfg.canon_strategy == "distributed":
+        from .ops.canon import (
+            canonical_map_dataset,
+            canonical_pairs_dataset,
+            resolve_keys_join,
+        )
+
+        pairs = canonical_pairs_dataset(triples)
+        # the map is consumed three times (count + subj/obj joins): pin it
+        # — it is one row per distinct entity key, the small side
+        cmap = canonical_map_dataset(
+            pairs, rounds=cfg.canon_rounds
+        ).materialize()
+        n_entities = cmap.count()
+        canon_fn = None
+        if n_entities:
+            triples = resolve_keys_join(
+                triples, cmap, num_partitions=cfg.canon_join_partitions
+            )
+            if cfg.materialize_triples:
+                triples = triples.materialize()
+    else:
         canon = canonicalize(triples)
+        n_entities = len(canon)
+        canon_fn = make_apply_canon(canon)
+    t1 = time.monotonic()
     metrics["phase_a_sec"] = time.monotonic() - t0
     metrics["partitions_skipped"] = len(done_before)
     if new_rows is not None:
         metrics["triples_new"] = new_rows
 
-    # ---- phase B: canonicalize + materialize -----------------------------
-    metrics["entities_linked"] = len(canon)
-    canon_fn = make_apply_canon(canon)
+    # ---- phase B: materialize ------------------------------------------
+    metrics["entities_linked"] = n_entities
 
     vcol, ecol = cfg.vertex_collection, cfg.edge_collection
     vertices = build_vertices(triples, canon_fn, vcol, strategy=cfg.agg_strategy)

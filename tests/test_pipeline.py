@@ -212,3 +212,40 @@ def test_rerun_without_resume_no_duplicates(tmp_path, ray_session):
                      aliases=synth.alias_inventory(10))
     assert r3.metrics["triples_raw"] == r1.metrics["triples_raw"]
     assert _read(r3.vertices_path).sort_by("_key").equals(v1.sort_by("_key"))
+
+
+def test_canon_strategies_identical_output(tmp_path, ray_session):
+    """Driver union-find + broadcast dict vs distributed label-prop +
+    hash-partitioned resolve joins must produce byte-identical graph
+    tables (VERDICT r1 #1: the distributed path is the 100 TB route and
+    must not drift from the reference semantics)."""
+    import dataclasses
+    import hashlib
+
+    tmp = str(tmp_path)
+    corpus = synth.line_graph_documents()
+    base = GraphBuildConfig(
+        input_path=_write_corpus(tmp, corpus),
+        output_path=os.path.join(tmp, "out_driver"),
+        num_partitions=4,
+        linker_concurrency=(1, 2),
+        sort_output=True,
+    )
+    aliases = synth.alias_inventory(10)
+
+    def digest(res):
+        h = hashlib.sha1()
+        for path in (res.vertices_path, res.edges_path):
+            t = _read(path)
+            t = t.select(sorted(t.schema.names))
+            h.update(t.to_pandas().to_csv(index=False).encode())
+        return h.hexdigest()
+
+    d_driver = digest(build_graph(base, aliases=aliases))
+    dist = dataclasses.replace(
+        base,
+        output_path=os.path.join(tmp, "out_dist"),
+        canon_strategy="distributed",
+    )
+    d_dist = digest(build_graph(dist, aliases=aliases))
+    assert d_driver == d_dist
