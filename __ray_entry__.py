@@ -374,8 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
 
         def norms(batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            n = np.round(np.linalg.norm(vecs, axis=1), 4)
+            from raygraph.ops.vecops import vectors_to_numpy
+
+            vecs = vectors_to_numpy(batch.column("embedding"), np.float64)
+            n = np.round(np.sqrt(np.einsum("ij,ij->i", vecs, vecs)), 4)
             return pa.table({"vec_id": batch.column("vec_id"),
                              "l2_norm": pa.array(n, pa.float64())})
 

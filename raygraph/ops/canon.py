@@ -240,16 +240,26 @@ def resolve_keys_join(linked, canon_ds, num_partitions: int = 64):
     num_partitions = max(2, min(num_partitions, cpus))
 
     def finish(batch: pa.Table, col: str, canon_col: str) -> pa.Table:
+        if canon_col not in batch.schema.names:
+            # zero-column empty partition straight out of the join
+            return batch
         resolved = batch.column(canon_col)
         orig = batch.column(col)
         merged = pa.compute.if_else(pa.compute.is_null(resolved), orig, resolved)
         i = batch.schema.get_field_index(col)
         return batch.set_column(i, col, merged).drop_columns([canon_col])
 
+    from .relational import coerce_schema
+
+    # (key, canon) are always strings; coercing also pads Ray-internal
+    # zero-column empty blocks (groupby on an empty partition) and
+    # normalizes pandas blocks to Arrow — both break the per-partition
+    # pyarrow join otherwise
+    canon_ds = coerce_schema(
+        canon_ds, pa.schema([("key", pa.string()), ("canon", pa.string())])
+    )
+
     def renamed(ds, mapping):
-        # map_batches rename (not Dataset.rename_columns): also coerces
-        # pandas-block inputs (e.g. hash_aggregate output) to Arrow, which
-        # the join's projection step requires
         def fn(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(
                 [mapping.get(c, c) for c in batch.schema.names]
@@ -257,14 +267,25 @@ def resolve_keys_join(linked, canon_ds, num_partitions: int = 64):
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    from .relational import compact_nonempty, dataset_arrow_schema
+
+    linked_schema = dataset_arrow_schema(linked)
     out = linked.join(
         renamed(canon_ds, {"key": "subj", "canon": "__subj_canon"}),
         join_type="left_outer", num_partitions=num_partitions, on=("subj",),
     ).map_batches(lambda b: finish(b, "subj", "__subj_canon"),
                   batch_format="pyarrow")
+    # Ray's join emits SCHEMALESS blocks for empty output partitions and
+    # lazy ops skip empty blocks, so chaining joins needs a compaction
+    # barrier between them. The intermediate is the triples table —
+    # already orders of magnitude smaller than the corpus, and the
+    # pipeline pins it anyway when materialize_triples is on.
+    out = compact_nonempty(coerce_schema(out, linked_schema).materialize())
+    if out is None:
+        return linked.limit(0)
     out = out.join(
         renamed(canon_ds, {"key": "obj", "canon": "__obj_canon"}),
         join_type="left_outer", num_partitions=num_partitions, on=("obj",),
     ).map_batches(lambda b: finish(b, "obj", "__obj_canon"),
                   batch_format="pyarrow")
-    return out
+    return coerce_schema(out, linked_schema)

@@ -193,7 +193,11 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket. The cap guards a degenerate
     bucket from emitting O(n^2) pairs — an explicit coverage bound: docs
     beyond it in a single bucket are not paired (raise BUCKET_PAIR_CAP or
-    the band width if that happens on real data)."""
+    the band width if that happens on real data).
+
+    Outputs are typed like the input id column even when EMPTY (a
+    single-id bucket): an untyped empty frame would become a null-typed
+    Arrow block and poison downstream schema unification (joins)."""
     ids = sorted(g["doc_id"].unique())
     cap = BUCKET_PAIR_CAP
     out_a, out_b = [], []
@@ -201,7 +205,9 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         for b in ids[i + 1 : cap]:
             out_a.append(a)
             out_b.append(b)
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    dt = g["doc_id"].dtype
+    return pd.DataFrame({"id_a": pd.Series(out_a, dtype=dt),
+                         "id_b": pd.Series(out_b, dtype=dt)})
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
@@ -211,7 +217,11 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
 
     ``bands`` trades recall for bucket size: more bands (narrower rows per
     band) = higher recall for lower-similarity pairs but bigger buckets.
+    Pair dedup across bands is a hash-bucketed vectorized distinct — one
+    pandas ``drop_duplicates`` per bucket, never a Python call per pair.
     """
+    from .relational import hash_aggregate
+
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
     pairs = (
         ds.map_batches(
@@ -222,9 +232,8 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
         .map_groups(_bucket_pairs, batch_format="pandas")
     )
     # dedupe pairs that matched in several bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return hash_aggregate(pairs, ["id_a", "id_b"],
+                          lambda df: df.drop_duplicates())
 
 
 def minhash_dedup(
@@ -240,23 +249,87 @@ def minhash_dedup(
     shingling as the signatures) → union-find clusters → survivors (min id
     per cluster).
 
-    The verify step joins texts back onto the candidate pairs via a
-    broadcast dict here (candidate ids are few); at inventory sizes beyond
-    driver memory use ``Dataset.join`` on id_a/id_b instead.
+    Fully in-cluster verify: candidate texts are attached via two
+    hash-partitioned ``Dataset.join``s and Jaccard runs inside
+    ``map_batches`` — the corpus never streams through the driver. Only
+    the *verified* pair set (true near-dups, the provably small side) is
+    collected for the union-find; the resulting drop set is broadcast
+    back as one ``pc.is_in`` filter.
     """
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import coerce_schema, compact_nonempty
+
     cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
-                              shingle=shingle).take_all()
-    if not cand:
+                              shingle=shingle).materialize()
+    if cand.count() == 0:
         return ds
-    need_ids = {c["id_a"] for c in cand} | {c["id_b"] for c in cand}
+    # normalize pandas blocks to Arrow, then drop Ray-internal zero-row
+    # blocks — the join requires uniform per-partition schemas (both
+    # materializations touch only the small candidate set)
+    sch = cand.schema()
+    id_t = sch.types[sch.names.index("id_a")]
+    cand = compact_nonempty(
+        coerce_schema(
+            cand, pa.schema([("id_a", id_t), ("id_b", id_t)])
+        ).materialize()
+    )
 
-    texts: dict = {}
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        for did, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            if did in need_ids:
-                texts[did] = t or ""
+    texts = ds.select_columns([id_col, text_col])
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    nparts = max(2, min(32, cpus))
 
-    hasher = MinHasher(shingle=shingle)
+    def renamed(src, mapping):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [mapping.get(c, c) for c in batch.schema.names]
+            )
+
+        return src.map_batches(fn, batch_format="pyarrow")
+
+    j = cand.join(
+        renamed(texts, {id_col: "id_a", text_col: "__text_a"}),
+        join_type="inner", num_partitions=nparts, on=("id_a",),
+    )
+    # the join ALSO emits schemaless blocks for empty output partitions
+    # (and lazy ops skip empty blocks), so compact before chaining into
+    # the second join — the intermediate is pairs+one text column, the
+    # small side by construction
+    j = compact_nonempty(j.materialize())
+    if j is None:
+        return ds
+    j = j.join(
+        renamed(texts, {id_col: "id_b", text_col: "__text_b"}),
+        join_type="inner", num_partitions=nparts, on=("id_b",),
+    )
+
+    hasher = MinHasher(num_perm=num_perm, shingle=shingle)
+
+    pair_schema = pa.schema([("id_a", id_t), ("id_b", id_t)])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if "__text_a" not in batch.schema.names:
+            # zero-column empty partition straight out of the join
+            return pair_schema.empty_table()
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        cache: dict = {}
+
+        def sh(t):
+            t = t or ""
+            got = cache.get(t)
+            if got is None:
+                got = cache[t] = set(hasher.shingle_hashes(t).tolist())
+            return got
+
+        keep = [jaccard(sh(a), sh(b)) >= threshold for a, b in zip(ta, tb)]
+        return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
+
+    verified = j.map_batches(verify, batch_format="pyarrow").take_all()
+    if not verified:
+        return ds
+
     parent: dict = {}
 
     def find(x):
@@ -265,21 +338,18 @@ def minhash_dedup(
             x = parent[x]
         return x
 
-    def _sh(t):
-        return set(hasher.shingle_hashes(t).tolist())
+    for c in verified:
+        ra, rb = find(c["id_a"]), find(c["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
 
-    sh_cache = {did: _sh(texts[did]) for did in texts}
-    for c in cand:
-        if jaccard(sh_cache[c["id_a"]], sh_cache[c["id_b"]]) >= threshold:
-            ra, rb = find(c["id_a"]), find(c["id_b"])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-    drop = {x for x in parent if find(x) != x}
+    drop = sorted(x for x in parent if find(x) != x)
+    if not drop:
+        return ds
+    drop_arr = pa.array(drop)
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in drop for i in ids], pa.bool_())
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=drop_arr))
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -343,11 +413,19 @@ def embedding_near_dup_pairs(
 ):
     """Near-duplicate pairs by embedding cosine: random-hyperplane LSH
     bucket (sign pattern of ``n_planes`` projections) → exact cosine
-    within bucket. One groupby; hyperplanes derived from a fixed seed."""
+    within bucket. One groupby; hyperplanes derived from a fixed seed.
+
+    A degenerate bucket (zero vectors, near-dup-heavy corpora) is capped
+    at ``BUCKET_PAIR_CAP`` ids — same coverage-bound discipline as
+    :func:`_bucket_pairs`: docs beyond the cap (deterministically the
+    highest ids) are not paired; raise the cap or ``n_planes`` if real
+    data trips it."""
+    from .vecops import vectors_to_numpy
+
     planes_holder: dict = {}
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        vecs = vectors_to_numpy(batch.column(vec_col), np.float32)
         if "p" not in planes_holder:
             rng = np.random.RandomState(seed)
             planes_holder["p"] = rng.randn(vecs.shape[1], n_planes).astype(np.float32)
@@ -362,9 +440,14 @@ def embedding_near_dup_pairs(
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > BUCKET_PAIR_CAP:
+            n_dropped = len(g) - BUCKET_PAIR_CAP
+            print(f"embedding_near_dup_pairs: bucket over cap, dropping "
+                  f"{n_dropped} ids (cap={BUCKET_PAIR_CAP})")
+            g = g.sort_values(id_col).head(BUCKET_PAIR_CAP)
         ids = g[id_col].to_numpy()
         vecs = np.stack(g[vec_col].to_numpy())
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs))[:, None]
         norms[norms == 0] = 1
         v = vecs / norms
         sims = v @ v.T

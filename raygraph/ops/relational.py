@@ -94,6 +94,56 @@ def hash_aggregate(ds, key_cols, reduce_df, num_buckets: int = 128,
     )
 
 
+def coerce_schema(ds, schema: pa.Table | pa.Schema):
+    """Coerce every block of ``ds`` to ``schema``.
+
+    Ray's groupby/map_groups emits ZERO-COLUMN empty Arrow blocks for
+    partitions that received no groups; ``Dataset.join``'s per-partition
+    pyarrow join then fails with "No match ... for key field reference".
+    This pads those blocks to the declared schema and casts the rest, so
+    any aggregate output can feed a join. Also normalizes pandas blocks
+    to Arrow.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return schema.empty_table()
+        return batch.select(schema.names).cast(schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dataset_arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset (Ray's Schema wrapper → pyarrow)."""
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def compact_nonempty(ds):
+    """MATERIALIZED Dataset → Dataset without zero-row blocks.
+
+    Ray's sort-shuffle groupby emits schemaless ZERO-COLUMN empty blocks
+    for output partitions that received no groups, and map UDFs are
+    skipped on empty blocks — so neither ``coerce_schema`` nor
+    ``repartition`` can repair them and any downstream ``Dataset.join``
+    fails ("No match ... for key field reference"). This drops them by
+    block METADATA only (no block is fetched). Blocks must already be
+    Arrow (run :func:`coerce_schema` + ``materialize`` first for
+    pandas-block aggregate outputs). Returns None when every block is
+    empty.
+    """
+    import ray.data as rd
+
+    refs = []
+    for bd in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bd.block_refs, bd.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
+
+
 def broadcast_join(
     big,
     small_df: pd.DataFrame,

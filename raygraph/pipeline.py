@@ -218,13 +218,19 @@ def build_graph(cfg: GraphBuildConfig,
             resolve_keys_join,
         )
 
+        from .ops.relational import coerce_schema, compact_nonempty
+
         pairs = canonical_pairs_dataset(triples)
         # the map is consumed three times (count + subj/obj joins): pin it
-        # — it is one row per distinct entity key, the small side
-        cmap = canonical_map_dataset(
-            pairs, rounds=cfg.canon_rounds
+        # — it is one row per distinct entity key, the small side. The
+        # coerce+compact strips Ray's schemaless empty groupby blocks,
+        # which would break the resolve joins.
+        cmap = coerce_schema(
+            canonical_map_dataset(pairs, rounds=cfg.canon_rounds),
+            pa.schema([("key", pa.string()), ("canon", pa.string())]),
         ).materialize()
-        n_entities = cmap.count()
+        cmap = compact_nonempty(cmap)
+        n_entities = cmap.count() if cmap is not None else 0
         canon_fn = None
         if n_entities:
             triples = resolve_keys_join(

@@ -106,3 +106,47 @@ def test_embedding_near_dup_pairs():
     )
     pairs = embedding_near_dup_pairs(ds, threshold=0.99).take_all()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
+
+
+def test_embedding_bucket_pair_cap(ray_session):
+    """A degenerate LSH bucket (here: many zero vectors, which all share
+    sign pattern 0) must not emit O(n^2) pairs — the BUCKET_PAIR_CAP
+    coverage bound applies, exactly as in minhash _bucket_pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops import dedup as D
+
+    n = D.BUCKET_PAIR_CAP + 100
+    vecs = [[1.0] * 8 for _ in range(n)]  # identical → one bucket, cos=1
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    pairs = D.embedding_near_dup_pairs(ds, threshold=0.5, n_planes=4)
+    got = pairs.count()
+    cap = D.BUCKET_PAIR_CAP
+    # all zero vectors collide in one bucket; only the first cap ids pair
+    assert got == cap * (cap - 1) // 2
+    # and the paired ids are deterministically the lowest ones
+    max_id = max(r["id_b"] for r in pairs.take_all())
+    assert max_id == cap - 1
+
+
+def test_vectors_to_numpy_matches_pylist(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from raygraph.ops.vecops import vectors_to_numpy
+
+    data = [[1.0, 2.0], [3.0, 4.5], [0.0, -1.0]]
+    for typ in (pa.list_(pa.float32()), pa.list_(pa.float64()),
+                pa.list_(pa.float32(), 2)):
+        col = pa.array(data, typ)
+        got = vectors_to_numpy(col, np.float64)
+        assert got.shape == (3, 2)
+        assert np.allclose(got, np.array(data))
+        # sliced (offset) arrays must stay correct
+        got2 = vectors_to_numpy(col.slice(1, 2), np.float64)
+        assert np.allclose(got2, np.array(data[1:]))
