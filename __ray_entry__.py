@@ -155,7 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raygraph.ops import events as E
     from raygraph.ops import text as T
     from raygraph.ops.ann import brute_force_topk
-    from raygraph.ops.media import decode_features, synth_media_table
+    from raygraph.ops.media import decode_features, documents_as_media
     from raygraph.ops.relational import broadcast_join, preagg_sum
 
     import ray.data as rd
@@ -222,7 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                shingle="word")
 
     def dedup_simhash(sf_dir):
-        return D.simhash_buckets(_docs_ds(sf_dir))
+        # simhash-exact dedup over the doubled corpus: (min doc_id, group
+        # size) per identical-signature group; the oracle groups by the
+        # sorted token multiset (simhash is a deterministic function of it)
+        return D.simhash_dedup_groups(_doubled_docs(sf_dir))
 
     def dedup_embedding_pairs(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -385,8 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- media (stub decode, real plumbing) ------------------------------
     def media_features(sf_dir):
-        n = 200 if "0.1" in sf_dir else 60
-        ds = rd.from_arrow(synth_media_table(n))
+        # media derived from documents (payload = UTF-8 text bytes) so the
+        # decode stage's n_bytes/digest outputs are SQL-verifiable; the
+        # feature vector itself (blake2b stub) is dropped from the contract
+        ds = documents_as_media(_docs_ds(sf_dir))
         out = decode_features(ds, feature_dim=32, concurrency=(1, 2))
         return out.drop_columns(["feature"]).add_column(
             "feature_dim", lambda df: [32] * len(df), batch_format="pandas"
@@ -423,7 +428,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ====================================================== oracle SQL
+def _sql_strlist(words) -> str:
+    """Python word collection → DuckDB VARCHAR list literal (single source
+    of truth: raygraph.ops.text.STOPWORDS, so Ray and SQL can't drift)."""
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    return "[" + inner + "]"
+
+
+def _simhash_sql_expr() -> str:
+    """Machine-generated 60-term SQL packing of the simhash bits: for bit
+    i, +1/-1 votes over the doc's 60-bit md5 token hashes (``ths``), bit
+    set iff the sum is positive. list_sum([]) is NULL → CASE false → 0,
+    matching simhash(∅) = 0."""
+    from raygraph.ops.dedup import SIMHASH_BITS
+
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(ths, "
+        f"x -> CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# lowercased-whitespace-token CTE shared by the text oracles
+_TOKS_CTE = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+             END AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+      FROM documents
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from raygraph.ops.text import STOPWORDS
+
+    stop = {lg: _sql_strlist(ws) for lg, ws in STOPWORDS.items()}
     # golden KG formulas — mirror raygraph/synth.py exactly
     # i = 0..n-1 derived from the documents view itself (row_number over any
     # order yields exactly the set {0..n-1}); mirrors raygraph/synth.py
@@ -524,6 +569,104 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_pairs": f"""
             SELECT vec_id AS id_a, vec_id + {_OFFSET} AS id_b FROM embeddings
+        """,
+        # the REAL simhash recomputed in SQL: 60-bit md5 token hashes,
+        # per-bit ±1 vote sums, bit set when the sum is positive —
+        # bit-for-bit the raygraph.ops.dedup.simhash_batch signature
+        "dedup_simhash": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM doubled
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS ths
+              FROM t
+            ),
+            s AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM h)
+            SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+            FROM s GROUP BY simhash
+        """,
+        "text_quality": _TOKS_CTE + f"""
+            , s AS (
+              SELECT doc_id, n_chars, n_punct,
+                     len(toks) AS n_tok,
+                     len(list_filter(toks,
+                         x -> list_contains({stop['en']}, x))) AS stop_hits,
+                     len(list_distinct(toks)) AS n_uniq
+              FROM t
+            )
+            SELECT doc_id,
+                   floor(10000.0 * (
+                       0.35 * least(n_chars / 500.0, 1.0)
+                     + 0.25 * least((stop_hits / greatest(n_tok, 1)) * 4,
+                                    1.0)
+                     + 0.2 * (n_uniq / greatest(n_tok, 1))
+                     + 0.2 * (1 - least((n_punct / greatest(n_chars, 1)) * 5,
+                                        1.0))
+                   )) / 10000.0 AS quality
+            FROM s
+        """,
+        "text_lang_id": _TOKS_CTE + f"""
+            , s AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS en,
+                len(list_filter(toks, x -> list_contains({stop['fr']}, x))) AS fr,
+                len(list_filter(toks, x -> list_contains({stop['de']}, x))) AS de,
+                len(list_filter(toks, x -> list_contains({stop['es']}, x))) AS es,
+                len(list_filter(toks, x -> list_contains({stop['zh']}, x))) AS zh
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, fr, de, es, zh) = 0 THEN 'und'
+                        WHEN en >= fr AND en >= de AND en >= es AND en >= zh
+                             THEN 'en'
+                        WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
+                        WHEN de >= es AND de >= zh THEN 'de'
+                        WHEN es >= zh THEN 'es'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        # Horner fold of 60-bit md5 token hashes, h = (h*F + th) mod 2^63,
+        # exactly FP_INIT/FP_MULT in raygraph.ops.text.doc_fingerprint
+        "text_fingerprints": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_reduce(
+                     list_concat(
+                       [1469598103934665603::BIGINT],
+                       list_transform(toks,
+                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+                     (a, b) -> ((a::HUGEINT * 1099511628211 + b)
+                                % 9223372036854775808)::BIGINT
+                   ) AS fingerprint
+            FROM t
+        """,
+        "media_features": """
+            SELECT 'media/' || doc_id AS media_ref,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS media_type,
+                   strlen(text)::BIGINT AS n_bytes,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT
+                       AS payload_md5_60,
+                   32::BIGINT AS feature_dim
+            FROM documents
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -27,11 +27,6 @@ import pyarrow as pa
 MERSENNE = (1 << 61) - 1
 
 
-def _stable_u64(s: str) -> int:
-    d = hashlib.blake2b(s.encode(), digest_size=8).digest()
-    return int.from_bytes(d, "little")
-
-
 # ------------------------------------------------------------------ exact
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """sha1 of the exact content — the dedup key."""
@@ -356,18 +351,25 @@ def minhash_dedup(
 
 
 # ----------------------------------------------------------------- SimHash
+SIMHASH_BITS = 60  # 60-bit md5 token hashes — SQL-computable (oracle parity)
+
+
 def simhash64(tokens: list[str]) -> int:
-    """Classic 64-bit simhash over token hashes."""
+    """Classic simhash over token hashes (60 bits: the token hash is the
+    first 60 bits of md5 — ``text.token_hash60`` — so a DuckDB oracle can
+    recompute the signature bit-for-bit)."""
+    from .text import token_hash60
+
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     for t in tokens:
-        h = np.uint64(_stable_u64(t))
+        h = np.uint64(token_hash60(t))
         bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         if acc[i] > 0:
             out |= 1 << i
     return out
@@ -375,12 +377,35 @@ def simhash64(tokens: list[str]) -> int:
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
+    """Vectorized simhash over whitespace tokens: blake2b runs once per
+    UNIQUE token per batch; the ±1 bit accumulation is one (tokens × 64)
+    numpy pass with per-doc segment sums (no per-row Python). Bit-exact
+    with the scalar :func:`simhash64` reference (tested)."""
+    from .text import token_hash60
+
     s = batch.column(text_col).to_pandas().fillna("")
-    hs = s.map(lambda t: simhash64(t.split()))
-    # store the u64 as i64 bit-pattern (Arrow-friendly)
-    vals = np.array(hs, dtype=np.uint64).view(np.int64)
+    toks = s.str.split()
+    lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+    n_docs = len(lens)
+    total = int(lens.sum())
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
+    if total:
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        uhash = np.fromiter((token_hash60(t) for t in uniq),
+                            dtype=np.uint64, count=len(uniq))
+        th = uhash[inv]
+        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        acc = np.add.reduceat(bits, np.minimum(starts, total - 1), axis=0)
+        acc[lens == 0] = 0
+    else:
+        acc = np.zeros((n_docs, SIMHASH_BITS), dtype=np.int64)
+    out = ((acc > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
     return pa.table({id_col: batch.column(id_col),
-                     "simhash": pa.array(vals, pa.int64())})
+                     "simhash": pa.array(out.view(np.int64), pa.int64())})
 
 
 def simhash_buckets(ds, prefix_bits: int = 16, text_col: str = "text",
@@ -392,7 +417,7 @@ def simhash_buckets(ds, prefix_bits: int = 16, text_col: str = "text",
         t = simhash_batch(batch, text_col, id_col)
         v = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False),
                        dtype=np.int64).view(np.uint64)
-        bucket = (v >> np.uint64(64 - prefix_bits)).astype(np.int64)
+        bucket = (v >> np.uint64(SIMHASH_BITS - prefix_bits)).astype(np.int64)
         return t.append_column("bucket", pa.array(bucket, pa.int64()))
 
     return ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -400,6 +425,37 @@ def simhash_buckets(ds, prefix_bits: int = 16, text_col: str = "text",
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Simhash-exact dedup: group docs by identical 64-bit simhash, keep
+    (min id, group size) per group — one vectorized signature pass + ONE
+    groupby with built-in Min/Count aggregates.
+
+    Contract (SQL-oracle-able): simhash is a deterministic function of
+    the whitespace-token MULTISET, so groups ≡ token-multiset groups
+    (modulo ~n²/2^64 collisions) — the DuckDB oracle groups by the sorted
+    token list and must produce identical (doc_id, n_dups) rows.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch, text_col, id_col)
+        df = t.to_pandas().groupby("simhash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "__n": (id_col, "size")}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def drop_key(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, "n_dups"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("simhash")
+        .aggregate(Min(id_col, alias_name=id_col),
+                   Sum("__n", alias_name="n_dups"))
+        .map_batches(drop_key, batch_format="pyarrow")
+    )
 
 
 # ----------------------------------------------- embedding cosine near-dup

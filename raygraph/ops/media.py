@@ -74,10 +74,17 @@ class MediaDecoder:
             self._decode_real(payloads[0] if payloads else b"")
         feats = np.stack([self._decode_fake(p or b"") for p in payloads]) if payloads \
             else np.zeros((0, self.feature_dim), dtype=np.float32)
+        # n_bytes + a 60-bit md5 digest of the payload: the SQL-verifiable
+        # part of the decode output (('0x'||substr(md5(p),1,15))::BIGINT)
+        n_bytes = [len(p or b"") for p in payloads]
+        digests = [int(hashlib.md5(p or b"").hexdigest()[:15], 16)
+                   for p in payloads]
         return pa.table(
             {
                 "media_ref": batch.column("media_ref"),
                 "media_type": batch.column("media_type"),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "payload_md5_60": pa.array(digests, pa.int64()),
                 "feature": pa.array(list(feats), pa.list_(pa.float32())),
             }
         )
@@ -123,6 +130,30 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         "height": pa.array([64 + (i % 3) * 32 for i in range(n)], pa.int32()),
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def documents_as_media(docs_ds):
+    """documents (doc_id, text) → MEDIA_SCHEMA rows: payload = UTF-8 text
+    bytes, media_type cycles by doc_id % 3. Gives the media pipeline an
+    input a SQL oracle can reason about (payload digest = md5(text))."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        kinds = ("image", "audio", "video")
+        n = len(ids)
+        return pa.table(
+            {
+                "media_ref": pa.array([f"media/{i}" for i in ids], pa.string()),
+                "payload": pa.array([(t or "").encode() for t in texts],
+                                    pa.binary()),
+                "media_type": pa.array([kinds[i % 3] for i in ids], pa.string()),
+                "width": pa.array([64] * n, pa.int32()),
+                "height": pa.array([64] * n, pa.int32()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def decode_features(ds, feature_dim: int = 64, concurrency=(1, 4)):

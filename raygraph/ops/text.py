@@ -8,16 +8,24 @@ exactly (token = maximal run of non-whitespace, etc.).
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 _TOKEN = re.compile(r"\S+")
-_WORD = re.compile(r"\w+", re.UNICODE)
-_PUNCT = re.compile(r"[^\w\s]")
+# ASCII classes so the DuckDB (RE2) oracle computes the identical count;
+# non-ASCII letters count as "punctuation" under this contract — a
+# documented heuristic tradeoff, consistent on both sides
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
+
+# rolling-hash fingerprint constants (shared with the SQL oracle):
+# token hash = first 60 bits of md5; Horner fold h = (h*F + th) mod 2^63
+FP_INIT = 1469598103934665603          # FNV-1a 64 offset, < 2^63
+FP_MULT = 1099511628211                # FNV prime
+_FP_MASK = np.uint64((1 << 63) - 1)
 
 # small per-language stopword profiles for the n-gram/stopword heuristic
 STOPWORDS: dict[str, frozenset] = {
@@ -65,24 +73,49 @@ def text_stats(batch: pa.Table, text_col: str = "text",
     )
 
 
+def _explode_tokens(toks: pd.Series):
+    """(exploded token Series with doc index, per-doc token counts)."""
+    ex = toks.explode().dropna()
+    n_tok = toks.str.len().fillna(0).astype("int64")
+    return ex, n_tok
+
+
 def quality_score(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """Heuristic document quality in [0, 1]: combines length band,
-    punctuation ratio, stopword(en) ratio, repetition (1 - ttr)."""
+    punctuation ratio, stopword(en) ratio, type-token ratio.
+
+    SQL-parity contract (the DuckDB oracle computes the identical value):
+    tokens = lowercased whitespace tokens; punctuation = ASCII [^\\w\\s];
+    quality = floor-at-4dp of
+    0.35*min(n_chars/500,1) + 0.25*min(4*stop_ratio,1)
+    + 0.2*uniq_ratio + 0.2*(1 - min(5*punct_ratio,1)).
+    Fully vectorized: one token explode + isin + two groupby reductions.
+    """
     s = batch.column(text_col).to_pandas().fillna("")
-    n_chars = s.str.len()
-    toks = s.str.lower().str.findall(_WORD)
-    n_tok = toks.map(len).replace(0, 1)
-    stop_ratio = toks.map(lambda t: sum(w in STOPWORDS["en"] for w in t)) / n_tok
+    n_chars = s.str.len().astype("int64")
+    toks = s.str.lower().str.split()
+    ex, n_tok = _explode_tokens(toks)
+    idx = s.index
+    stop_hits = (
+        ex.isin(STOPWORDS["en"]).groupby(level=0).sum()
+        .reindex(idx, fill_value=0).astype("int64")
+    )
+    n_uniq = (
+        ex.groupby(level=0).nunique().reindex(idx, fill_value=0).astype("int64")
+    )
+    safe_tok = n_tok.replace(0, 1)
+    stop_ratio = stop_hits / safe_tok
+    uniq_ratio = n_uniq / safe_tok
     punct_ratio = s.str.count(_PUNCT) / n_chars.replace(0, 1)
-    uniq_ratio = toks.map(lambda t: len(set(t))) / n_tok
-    len_score = np.clip(n_chars / 500.0, 0, 1)  # favor >=500-char docs
+    len_score = np.minimum(n_chars / 500.0, 1.0)
     score = (
         0.35 * len_score
-        + 0.25 * np.clip(stop_ratio * 4, 0, 1)
+        + 0.25 * np.minimum(stop_ratio * 4, 1.0)
         + 0.2 * uniq_ratio
-        + 0.2 * (1 - np.clip(punct_ratio * 5, 0, 1))
-    ).round(4)
+        + 0.2 * (1 - np.minimum(punct_ratio * 5, 1.0))
+    )
+    score = np.floor(10000.0 * score) / 10000.0
     return pa.table(
         {
             id_col: batch.column(id_col),
@@ -93,39 +126,78 @@ def quality_score(batch: pa.Table, text_col: str = "text",
 
 def lang_id(batch: pa.Table, text_col: str = "text",
             id_col: str = "doc_id") -> pa.Table:
-    """Stopword-profile language ID (n-gram-free heuristic): argmax over
-    per-language stopword hit-rates; 'und' (undetermined) when nothing
-    hits. Vectorized per unique token via a token->lang score table."""
+    """Stopword-profile language ID: argmax over per-language stopword hit
+    counts; 'und' (undetermined) when nothing hits; ties break to the
+    first language in STOPWORDS order (= numpy argmax-first, mirrored by
+    the SQL oracle's >= cascade). Tokens = lowercased whitespace tokens
+    (SQL-parity). Vectorized: one explode, one isin per language, one
+    groupby-sum, one argmax — no per-row Python."""
     s = batch.column(text_col).to_pandas().fillna("")
     langs = list(STOPWORDS)
-    toks = s.str.lower().str.findall(_WORD)
-
-    def best(tokens: list[str]) -> str:
-        if not tokens:
-            return "und"
-        scores = [sum(t in STOPWORDS[lg] for t in tokens) for lg in langs]
-        m = max(scores)
-        return langs[int(np.argmax(scores))] if m > 0 else "und"
-
-    out = toks.map(best)
+    toks = s.str.lower().str.split()
+    ex, _ = _explode_tokens(toks)
+    idx = s.index
+    if len(ex):
+        hits = pd.DataFrame({lg: ex.isin(STOPWORDS[lg]) for lg in langs})
+        scores = hits.groupby(level=0).sum().reindex(idx, fill_value=0)
+    else:
+        scores = pd.DataFrame(0, index=idx, columns=langs)
+    vals = scores.to_numpy()
+    best = np.argmax(vals, axis=1)          # first max wins
+    pred = np.where(vals.max(axis=1) > 0,
+                    np.array(langs, dtype=object)[best], "und")
     return pa.table({id_col: batch.column(id_col),
-                     "lang_pred": pa.array(out, pa.string())})
+                     "lang_pred": pa.array(pred, pa.string())})
+
+
+def token_hash60(token: str) -> int:
+    """First 60 bits of md5 — computable in SQL as
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``."""
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
 
 
 def doc_fingerprint(batch: pa.Table, text_col: str = "text",
                     id_col: str = "doc_id") -> pa.Table:
-    """Deterministic 64-bit rolling-hash fingerprint over the token
-    sequence (order-sensitive; stable across processes — crc32-based, not
-    Python hash())."""
+    """Deterministic 63-bit rolling-hash fingerprint over the token
+    sequence (order-sensitive, process-stable).
+
+    h = FP_INIT; per token: h = (h * FP_MULT + token_hash60(t)) mod 2^63 —
+    exactly what the SQL oracle folds with list_reduce. Vectorized via the
+    power-sum form  h = INIT*F^n + Σ th_i · F^(n-1-i)  computed in uint64
+    wraparound arithmetic (exact mod 2^63 because 2^63 | 2^64): md5 runs
+    once per UNIQUE token per batch, everything else is numpy.
+    """
     s = batch.column(text_col).to_pandas().fillna("")
     toks = s.str.findall(_TOKEN)
+    lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+    n_docs = len(lens)
+    total = int(lens.sum())
+    max_n = int(lens.max()) if n_docs else 0
 
-    def roll(tokens: list[str]) -> int:
-        h = 1469598103934665603  # FNV offset
-        for t in tokens:
-            h = (h * 1099511628211 + zlib.crc32(t.encode())) % (1 << 63)
-        return h
+    # F^0..F^max_n in uint64 wraparound
+    fpow = np.empty(max_n + 1, dtype=np.uint64)
+    fpow[0] = 1
+    F = np.uint64(FP_MULT)
+    for i in range(1, max_n + 1):
+        fpow[i] = fpow[i - 1] * F
 
-    fp = toks.map(roll)
+    if total:
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        uhash = np.fromiter((token_hash60(t) for t in uniq),
+                            dtype=np.uint64, count=len(uniq))
+        th = uhash[inv]
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        rev = np.repeat(lens, lens) - 1 - pos
+        terms = th * fpow[rev]
+        # clip: a trailing empty doc has start == total (out of range for
+        # reduceat); its bogus sum is zeroed by the mask below
+        sums = np.add.reduceat(terms, np.minimum(starts, total - 1))
+        sums[lens == 0] = 0  # reduceat repeats neighbors for empty segments
+    else:
+        sums = np.zeros(n_docs, dtype=np.uint64)
+    h = (np.uint64(FP_INIT) * fpow[lens] + sums) & _FP_MASK
     return pa.table({id_col: batch.column(id_col),
-                     "fingerprint": pa.array(fp, pa.int64())})
+                     "fingerprint": pa.array(h.view(np.int64), pa.int64())})
