@@ -39,6 +39,10 @@ class DataLoadConfig:
     batch_size: int = 100_000
     load_all_vertex_attributes: bool = False
     load_all_edge_attributes: bool = False
+    # True = cluster-deployment parity: unknown collections fail at init
+    # (shard-map computation, tests/graph_loader.rs:877-907); False =
+    # single-server parity: init succeeds, the failure surfaces at load
+    eager_collection_check: bool = True
 
 
 def verify_parameters(

@@ -54,6 +54,7 @@ import ray.data
 from .config import CollectionInfo, DataLoadConfig, verify_parameters
 from .errors import (
     CollectionNotFoundError,
+    EmptyGraphError,
     GraphNotFoundError,
     MissingEndpointError,
     MissingIdError,
@@ -196,10 +197,13 @@ class GraphLoader:
         self.vertex_collections = list(vertex_collections)
         self.edge_collections = list(edge_collections)
         verify_parameters(self.config, self.vertex_collections, self.edge_collections)
-        # eager existence check: the reference's cluster deployments fail at
-        # init for unknown collections (tests/graph_loader.rs:877-907)
-        for c in self.vertex_collections + self.edge_collections:
-            self.source.collection_path(c.name)
+        # eager existence check: the reference's CLUSTER deployments fail
+        # at init for unknown collections (shard map computation,
+        # tests/graph_loader.rs:877-907); single-server defers the failure
+        # to load time — eager_collection_check=False mirrors that branch
+        if self.config.eager_collection_check:
+            for c in self.vertex_collections + self.edge_collections:
+                self.source.collection_path(c.name)
 
     # -- constructors ------------------------------------------------------
     @classmethod
@@ -286,7 +290,15 @@ class GraphLoader:
                               batch_size=self.config.batch_size)
 
     def vertex_dataset(self) -> ray.data.Dataset:
-        """All vertex collections as one streaming Dataset (unioned)."""
+        """All vertex collections as one streaming Dataset (unioned).
+
+        An EMPTY collection list errors with the reference's literal
+        message (tests/graph_loader.rs:820-826); an existing collection
+        with zero documents streams zero rows without error (the
+        single-server AQL branch, tests/graph_loader.rs:833-839).
+        """
+        if not self.vertex_collections:
+            raise EmptyGraphError("No vertex collections given!")
         load_all = self.config.load_all_vertex_attributes
         parts = [
             self._collection_dataset(c, is_edge=False, load_all=load_all)
@@ -298,6 +310,8 @@ class GraphLoader:
         return ds
 
     def edge_dataset(self) -> ray.data.Dataset:
+        if not self.edge_collections:
+            raise EmptyGraphError("No edge collections given!")
         load_all = self.config.load_all_edge_attributes
         parts = [
             self._collection_dataset(c, is_edge=True, load_all=load_all)
@@ -317,6 +331,43 @@ class GraphLoader:
         return _unified_fields(self.edge_collections if is_edge
                                else self.vertex_collections)
 
+    def _consume(self, batches, emit) -> int:
+        """Drive ``emit(batch)`` over the batch stream on
+        ``config.parallelism`` threads — parity with the reference, whose
+        consumers invoke the user callback CONCURRENTLY from
+        ``parallelism`` tasks (Send+Sync+Clone contract,
+        src/graph_loader.rs:379-383; consumer spawn :386-420). Callbacks
+        must therefore be thread-safe; batch order across threads is not
+        guaranteed (batch ids are striped in the reference too,
+        src/sharding.rs:270-271). In-flight work is bounded (2×
+        parallelism) so a slow callback backpressures the stream;
+        fail-fast on the first callback exception."""
+        par = max(1, self.config.parallelism)
+        total = 0
+        if par == 1:
+            for b in batches:
+                emit(b)
+                total += b.num_rows
+            return total
+        from concurrent.futures import (
+            FIRST_COMPLETED,
+            ThreadPoolExecutor,
+            wait,
+        )
+
+        pending: set = set()
+        with ThreadPoolExecutor(max_workers=par) as pool:
+            for b in batches:
+                total += b.num_rows
+                pending.add(pool.submit(emit, b))
+                if len(pending) >= 2 * par:
+                    done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                    for f in done:
+                        f.result()
+            for f in pending:
+                f.result()
+        return total
+
     def do_vertices(self, cb: Callable[[list[bytes], list[list], list[str]], None]) -> int:
         """Stream vertex batches into ``cb(ids, rows, field_names)``.
 
@@ -324,13 +375,12 @@ class GraphLoader:
         (src/graph_loader.rs:377-384): ids are raw UTF-8 bytes; ``rows`` is
         the row-major list of per-field value lists. A null ``_id``
         raises :class:`MissingIdError` (src/graph_loader.rs:440-445).
-        Returns total rows.
+        ``cb`` runs concurrently on ``config.parallelism`` threads (see
+        :meth:`_consume`). Returns total rows.
         """
         load_all = self.config.load_all_vertex_attributes
-        total = 0
-        for batch in self.vertex_dataset().iter_batches(
-            batch_size=self.config.batch_size, batch_format="pyarrow"
-        ):
+
+        def emit(batch: pa.Table) -> None:
             ids_arr = batch.column("_id") if "_id" in batch.schema.names else None
             if ids_arr is None or ids_arr.null_count:
                 raise MissingIdError("vertex batch with missing _id")
@@ -342,19 +392,23 @@ class GraphLoader:
                 [] for _ in range(batch.num_rows)
             ]
             cb(ids, rows, field_names)
-            total += batch.num_rows
-        return total
+
+        return self._consume(
+            self.vertex_dataset().iter_batches(
+                batch_size=self.config.batch_size, batch_format="pyarrow"
+            ),
+            emit,
+        )
 
     def do_edges(
         self, cb: Callable[[list[bytes], list[bytes], list[list], list[str]], None]
     ) -> int:
         """Stream edge batches into ``cb(from_ids, to_ids, rows,
-        field_names)`` (reference src/graph_loader.rs:629-641)."""
+        field_names)`` (reference src/graph_loader.rs:629-641); ``cb``
+        runs concurrently on ``config.parallelism`` threads."""
         load_all = self.config.load_all_edge_attributes
-        total = 0
-        for batch in self.edge_dataset().iter_batches(
-            batch_size=self.config.batch_size, batch_format="pyarrow"
-        ):
+
+        def emit(batch: pa.Table) -> None:
             names = batch.schema.names
             if "_from" not in names or "_to" not in names:
                 raise MissingEndpointError("edge batch lacks _from/_to")
@@ -371,8 +425,13 @@ class GraphLoader:
                 [] for _ in range(batch.num_rows)
             ]
             cb(from_ids, to_ids, rows, field_names)
-            total += batch.num_rows
-        return total
+
+        return self._consume(
+            self.edge_dataset().iter_batches(
+                batch_size=self.config.batch_size, batch_format="pyarrow"
+            ),
+            emit,
+        )
 
 
 # ------------------------------------------------------------- thin wrappers

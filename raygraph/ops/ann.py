@@ -89,23 +89,36 @@ class LshIndexStage:
         return batch.append_column("bucket", pa.array(self.bucket_of(vecs), pa.int64()))
 
 
-def lsh_topk(
-    ds,
-    query: np.ndarray,
-    k: int = 10,
-    dim: int | None = None,
-    n_planes: int = 10,
-    multiprobe_hamming: int = 1,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> pd.DataFrame:
-    """ANN top-k: scan only buckets within ``multiprobe_hamming`` bit flips
-    of the query's bucket. Recall < 1 by design; raise ``n_planes`` /
-    probes to trade cost for recall."""
-    q = np.asarray(query, dtype=np.float32)
-    dim = dim or q.shape[0]
-    stage = LshIndexStage(dim, n_planes)
-    qb = int(stage.bucket_of(q.reshape(1, -1))[0])
+class MultiTableLsh:
+    """Actor-pool stage: hyperplane buckets for ``n_tables`` INDEPENDENT
+    hash tables in one matmul (dim × tables·planes). Multi-table OR is
+    the standard LSH recall lever: per-table miss probabilities multiply,
+    so recall_T = 1 - (1 - r₁)^T while cost only adds up."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 6,
+                 seed: int = 42, vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(dim, n_tables * n_planes).astype(np.float32)
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+        self.vec_col = vec_col
+
+    def buckets_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes) > 0                  # (n, T*P)
+        signs = signs.reshape(len(vecs), self.n_tables, self.n_planes)
+        return (signs * self.weights).sum(axis=2)         # (n, T)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = vectors_to_numpy(batch.column(self.vec_col), np.float32)
+        b = self.buckets_of(vecs)
+        cols = {name: batch.column(name) for name in batch.schema.names}
+        for t in range(self.n_tables):
+            cols[f"__bucket_{t}"] = pa.array(b[:, t], pa.int64())
+        return pa.table(cols)
+
+
+def _probe_set(qb: int, n_planes: int, multiprobe_hamming: int) -> set[int]:
     probe = {qb}
     if multiprobe_hamming >= 1:
         for i in range(n_planes):
@@ -114,15 +127,51 @@ def lsh_topk(
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probe.add(qb ^ (1 << i) ^ (1 << j))
-    probe_arr = pa.array(sorted(probe), pa.int64())
+    return probe
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    multiprobe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """ANN top-k: scan only vectors whose bucket, in ANY of ``n_tables``
+    tables, lies within ``multiprobe_hamming`` bit flips of the query's
+    bucket in that table. Recall < 1 by design — tune tables/probes with
+    the recall test in tests/test_ann.py. On structureless (uniform
+    random) embeddings ≥0.9 recall requires scanning a large candidate
+    fraction (LSH theory); the pruning win grows with real cluster
+    structure."""
+    q = np.asarray(query, dtype=np.float32)
+    dim = dim or q.shape[0]
+    stage = MultiTableLsh(dim, n_planes, n_tables, vec_col=vec_col)
+    qbs = stage.buckets_of(q.reshape(1, -1))[0]
+    probes = [
+        pa.array(sorted(_probe_set(int(qbs[t]), n_planes, multiprobe_hamming)),
+                 pa.int64())
+        for t in range(n_tables)
+    ]
 
     def filter_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.is_in(batch.column("bucket"), value_set=probe_arr))
+        mask = None
+        for t in range(n_tables):
+            m = pc.is_in(batch.column(f"__bucket_{t}"), value_set=probes[t])
+            mask = m if mask is None else pc.or_(mask, m)
+        keep = [c for c in batch.schema.names if not c.startswith("__bucket_")]
+        return batch.filter(mask).select(keep)
 
     bucketed = ds.map_batches(
-        LshIndexStage, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        MultiTableLsh,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "n_tables": n_tables, "vec_col": vec_col},
         batch_format="pyarrow", concurrency=(1, 4),
     ).map_batches(filter_buckets, batch_format="pyarrow")
     return brute_force_topk(bucketed, q, k, vec_col, id_col)

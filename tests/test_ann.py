@@ -50,3 +50,51 @@ def test_lsh_topk_finds_self():
     got = lsh_topk(ds, q, k=5, dim=vecs.shape[1], multiprobe_hamming=1)
     assert 42 in list(got["vec_id"])
     assert got[got["vec_id"] == 42]["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_recall_floor_on_fixture():
+    """Recall@10 of the multi-table LSH path vs brute force on the
+    sf0.001 embeddings fixture (uniform random 64-dim — the adversarial
+    regime for ANN). Default params (8 planes x 8 tables, multiprobe 2)
+    must hold >= 0.9 mean recall while still pruning candidates — the
+    exporter-style correctness-across-configurations gate (SURVEY §5)."""
+    import os
+    import random
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygraph.ops.ann import MultiTableLsh, _probe_set
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+        pytest.skip("testdata fixture not present")
+    tab = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = tab.column("vec_id").to_pylist()
+    vecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float32)
+    by_id = dict(zip(ids, vecs))
+    random.seed(7)
+    qids = random.sample(ids, 5)
+    emb = rd.read_parquet(os.path.join(sf, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"]).materialize()
+
+    recalls = []
+    for qid in qids:
+        q = by_id[qid]
+        bf = set(brute_force_topk(emb, q, k=10)["vec_id"])
+        ls = set(lsh_topk(emb, q, k=10)["vec_id"])
+        recalls.append(len(bf & ls) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    assert min(recalls) >= 0.8, recalls
+
+    # and it IS an index, not a rescan: candidate fraction < 95%
+    stage = MultiTableLsh(vecs.shape[1])
+    buckets = stage.buckets_of(vecs)                    # (n, T)
+    qb = stage.buckets_of(by_id[qids[0]].reshape(1, -1))[0]
+    probes = [_probe_set(int(qb[t]), stage.n_planes, 2)
+              for t in range(stage.n_tables)]
+    cand = np.zeros(len(vecs), dtype=bool)
+    for t in range(stage.n_tables):
+        cand |= np.isin(buckets[:, t], list(probes[t]))
+    assert cand.mean() < 0.95

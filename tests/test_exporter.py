@@ -269,3 +269,72 @@ def test_heterogeneous_union_typed_null_fill(tmp_path):
     )
     rows = {r["_id"]: r["w"] for r in loader.vertex_dataset().take_all()}
     assert rows == {"A/1": 7, "B/1": None}
+
+
+def test_empty_collection_lists_error_on_load(db_dir):
+    """tests/graph_loader.rs:790-875: init with empty collection lists
+    succeeds; do_vertices/do_edges fail with the reference's literal
+    messages."""
+    from raygraph.errors import EmptyGraphError
+
+    loader = load_custom_graph(db_dir, [], [])  # init OK
+    with pytest.raises(EmptyGraphError, match="No vertex collections given!"):
+        loader.do_vertices(lambda *a: None)
+    with pytest.raises(EmptyGraphError, match="No edge collections given!"):
+        loader.do_edges(lambda *a: None)
+
+
+def test_empty_collection_streams_zero_rows(tmp_path):
+    """An EXISTING collection with zero documents loads 0 rows without
+    error (single-server AQL branch, tests/graph_loader.rs:833-839)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = str(tmp_path)
+    pq.write_table(
+        pa.table({"_id": pa.array([], pa.string()),
+                  "x": pa.array([], pa.int64())}),
+        f"{db}/V.parquet",
+    )
+    loader = load_custom_graph(db, [CollectionInfo("V", ("x",))], [])
+    c = Collector()
+    assert loader.do_vertices(c.vertex_cb) == 0
+    assert c.ids == []
+
+
+def test_unknown_collection_deferred_check(db_dir):
+    """Single-server branch (tests/graph_loader.rs:877-907): with
+    eager_collection_check=False init succeeds and the failure surfaces
+    at load time."""
+    loader = load_custom_graph(
+        db_dir, [CollectionInfo("NoSuchCollection")], [],
+        config=DataLoadConfig(eager_collection_check=False),
+    )  # init OK — the cluster branch (default config) raises here instead
+    with pytest.raises(CollectionNotFoundError):
+        loader.do_vertices(lambda *a: None)
+
+
+def test_callbacks_run_concurrently(db_dir):
+    """Reference callbacks are invoked from `parallelism` threads
+    concurrently (Send+Sync contract, src/graph_loader.rs:379-383):
+    with parallelism=4 and small batches, more than one callback thread
+    must be observed, and all rows must arrive exactly once."""
+    import threading
+
+    loader = load_named_graph(
+        db_dir, "IntegrationTestGraph", vertex_fields=("x",),
+        config=DataLoadConfig(parallelism=4, batch_size=2),
+    )
+    seen_threads = set()
+    c = Collector()
+
+    def cb(ids, rows, fields):
+        seen_threads.add(threading.get_ident())
+        c.vertex_cb(ids, rows, fields)
+
+    n = loader.do_vertices(cb)
+    assert n == 10
+    assert sorted(c.ids) == sorted(
+        f"IntegrationTestVertex/{i}".encode() for i in range(10)
+    )
+    assert len(seen_threads) > 1

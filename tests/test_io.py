@@ -1,0 +1,67 @@
+"""io routing contract: Lance paths route to read_lance/write_lance with
+pushdown intact; a missing lance package fails with a clear ImportError
+(the package is absent in this sandbox, so the Lance branch is pinned via
+mocks — SURVEY.md names Lance as the target format)."""
+
+import sys
+import types
+
+import pytest
+
+import raygraph.io as rio
+
+
+@pytest.fixture
+def fake_lance(monkeypatch):
+    mod = types.ModuleType("lance")
+    monkeypatch.setitem(sys.modules, "lance", mod)
+    return mod
+
+
+def test_lance_read_routes_with_pushdown(monkeypatch, fake_lance):
+    calls = {}
+
+    def fake_read_lance(path, columns=None, **kwargs):
+        calls["path"] = path
+        calls["columns"] = columns
+        return "SENTINEL"
+
+    monkeypatch.setattr(rio.ray.data, "read_lance", fake_read_lance)
+    out = rio.read_table("/data/corpus.lance", columns=["doc_id", "spans"])
+    assert out == "SENTINEL"
+    assert calls == {"path": "/data/corpus.lance",
+                     "columns": ["doc_id", "spans"]}
+
+
+def test_lance_write_routes(monkeypatch, fake_lance):
+    calls = {}
+
+    class FakeDs:
+        def write_lance(self, path, **kwargs):
+            calls["path"] = path
+
+        def write_parquet(self, path, **kwargs):  # pragma: no cover
+            raise AssertionError("parquet path must not be taken for .lance")
+
+    rio.write_table(FakeDs(), "/out/vertices.lance")
+    assert calls == {"path": "/out/vertices.lance"}
+
+
+def test_lance_missing_package_raises(monkeypatch):
+    monkeypatch.setitem(sys.modules, "lance", None)  # force ImportError
+    with pytest.raises(ImportError, match="lance is not installed"):
+        rio.read_table("/data/corpus.lance")
+    with pytest.raises(ImportError, match="lance is not installed"):
+        rio.write_table(object(), "/out/t.lance")
+
+
+def test_parquet_path_untouched_by_lance_gate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), p)
+    ds = rio.read_table(p, columns=["a"])
+    got = ds.take_all()
+    assert [r["a"] for r in got] == [1, 2]
+    assert all(set(r) == {"a"} for r in got)
