@@ -117,8 +117,23 @@ def _finalize_edges(vertex_collection: str, edge_collection: str):
     return fn
 
 
+DEFAULT_NUM_BUCKETS = 128
+ROWS_PER_BUCKET = 100_000  # target partial rows per hash bucket
+
+
+def adaptive_buckets(n_rows: int | None) -> int:
+    """Bucket count for the wide steps, sized to the input: one bucket
+    per ~ROWS_PER_BUCKET partial rows, floored at DEFAULT_NUM_BUCKETS.
+    A FIXED bucket count makes the per-bucket reduce grow linearly with
+    input (the measured ≥4M-doc phase-B superlinearity); scaling buckets
+    keeps per-task work roughly constant, bounded at 4096 tasks."""
+    if not n_rows:
+        return DEFAULT_NUM_BUCKETS
+    return int(min(4096, max(DEFAULT_NUM_BUCKETS, n_rows // ROWS_PER_BUCKET)))
+
+
 def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
-                strategy: str = "hash"):
+                strategy: str = "hash", num_buckets: int = DEFAULT_NUM_BUCKETS):
     """LINKED_TRIPLE Dataset → deduped edge Dataset (EDGE_SCHEMA).
 
     ``canon_fn`` is the batch transform from :func:`make_apply_canon`.
@@ -149,7 +164,7 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
         from .relational import hash_aggregate
 
         return hash_aggregate(partials, ["subj", "pred", "obj"],
-                              _reduce_edges) \
+                              _reduce_edges, num_buckets=num_buckets) \
             .map_batches(fin, batch_format="pyarrow")
 
     if strategy == "tree":
@@ -232,7 +247,8 @@ def _finalize_vertices(vertex_collection: str):
 
 
 def build_vertices(linked, canon_fn, vertex_collection: str,
-                   strategy: str = "hash"):
+                   strategy: str = "hash",
+                   num_buckets: int = DEFAULT_NUM_BUCKETS):
     """LINKED_TRIPLE Dataset → canonical vertex Dataset (VERTEX_SCHEMA).
 
     Hub-safe: a hub entity contributes ≤ one partial row per batch per
@@ -270,7 +286,8 @@ def build_vertices(linked, canon_fn, vertex_collection: str,
     if strategy == "hash":
         from .relational import hash_aggregate
 
-        return hash_aggregate(partials, ["key"], _reduce_vertices) \
+        return hash_aggregate(partials, ["key"], _reduce_vertices,
+                              num_buckets=num_buckets) \
             .map_batches(fin, batch_format="pyarrow")
 
     if strategy == "tree":

@@ -200,9 +200,11 @@ def build_graph(cfg: GraphBuildConfig,
         # background for the whole of phase B, join before returning
         fw = ckpt_pool.submit(_write_checkpoint)
         triples = linked
+        approx_triples = new_rows
     else:
         fw = ckpt_pool.submit(_write_checkpoint)
         part_stats = fw.result()
+        approx_triples = sum(s["rows"] for s in part_stats.values())
         triples = read_table(triples_path)
         if cfg.materialize_triples:
             triples = triples.materialize()
@@ -252,8 +254,18 @@ def build_graph(cfg: GraphBuildConfig,
     metrics["entities_linked"] = n_entities
 
     vcol, ecol = cfg.vertex_collection, cfg.edge_collection
-    vertices = build_vertices(triples, canon_fn, vcol, strategy=cfg.agg_strategy)
-    edges = build_edges(triples, canon_fn, vcol, ecol, strategy=cfg.agg_strategy)
+    # bucket count sized to the triple volume (known when the triples are
+    # pinned): keeps per-bucket reduce work ~constant as inputs grow —
+    # the fixed-bucket phase-B superlinearity fix (DESIGN_SCALE.md §Skew)
+    from .ops.materialize import adaptive_buckets
+
+    n_buckets = adaptive_buckets(approx_triples)
+    metrics["agg_num_buckets"] = n_buckets
+    vertices = build_vertices(triples, canon_fn, vcol,
+                              strategy=cfg.agg_strategy,
+                              num_buckets=n_buckets)
+    edges = build_edges(triples, canon_fn, vcol, ecol,
+                        strategy=cfg.agg_strategy, num_buckets=n_buckets)
 
     vertices_path = os.path.join(cfg.output_path, "vertices")
     edges_path = os.path.join(cfg.output_path, "edges")
