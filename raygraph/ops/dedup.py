@@ -258,22 +258,24 @@ def minhash_dedup(
 
     cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
                               shingle=shingle).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ds
-    # normalize pandas blocks to Arrow, then drop Ray-internal zero-row
-    # blocks — the join requires uniform per-partition schemas (both
-    # materializations touch only the small candidate set)
     sch = cand.schema()
     id_t = sch.types[sch.names.index("id_a")]
-    cand = compact_nonempty(
-        coerce_schema(
-            cand, pa.schema([("id_a", id_t), ("id_b", id_t)])
-        ).materialize()
+    # drop Ray-internal zero-row blocks (metadata-only), then a LAZY
+    # coerce fuses into the join's upstream — no extra materialization
+    cand = coerce_schema(
+        compact_nonempty(cand),
+        pa.schema([("id_a", id_t), ("id_b", id_t)]),
     )
 
     texts = ds.select_columns([id_col, text_col])
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    nparts = max(2, min(32, cpus))
+    # one live aggregator actor per partition per join: size to the
+    # candidate volume so toy inputs don't pay 32 actor spin-ups, while
+    # big candidate sets still fan out to the cluster width
+    nparts = max(2, min(cpus, n_cand // 25_000 + 4))
 
     def renamed(src, mapping):
         def fn(batch: pa.Table) -> pa.Table:

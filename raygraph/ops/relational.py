@@ -84,8 +84,11 @@ def hash_aggregate(ds, key_cols, reduce_df, num_buckets: int = 128,
         df["__bucket"] = (h % num_buckets).astype("int64")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return reduce_df(g.drop(columns="__bucket"))
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # emit Arrow, not pandas: downstream joins require Arrow blocks,
+        # and converting here avoids an extra coerce+materialize pass
+        return pa.Table.from_pandas(reduce_df(g.drop(columns="__bucket")),
+                                    preserve_index=False)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
