@@ -178,6 +178,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pq.ParquetDataset(res.vertices_path).read()
         return t.select(["_key", "mention_count"])
 
+    def kg_degrees(sf_dir):
+        # graph-analytics surface over the built graph: per-vertex in/out
+        # degree from the deduped edge table (distributed preagg counts;
+        # the merge touches only the vertex-sized aggregate)
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        o = preagg_sum(ed.select_columns(["_from"]), ["_from"], {},
+                       counts="out_degree").to_pandas() \
+            .rename(columns={"_from": "_id"})
+        i = preagg_sum(ed.select_columns(["_to"]), ["_to"], {},
+                       counts="in_degree").to_pandas() \
+            .rename(columns={"_to": "_id"})
+        df = o.merge(i, on="_id", how="outer")
+        df["out_degree"] = df["out_degree"].fillna(0).astype("int64")
+        df["in_degree"] = df["in_degree"].fillna(0).astype("int64")
+        return df.sort_values("_id").reset_index(drop=True)
+
     # ---- exporter (GraphLoader parity surface) --------------------------
     def export_vertex_projection(sf_dir):
         loader = load_custom_graph(
@@ -263,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def text_fingerprints(sf_dir):
         return _docs_ds(sf_dir).map_batches(T.doc_fingerprint, batch_format="pyarrow")
+
+    def text_bpe_token_count(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.bpe_token_count,
+                                            batch_format="pyarrow")
 
     # ---- relational / aggregation ---------------------------------------
     def docs_by_lang_source(sf_dir):
@@ -362,6 +383,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.sessionize(ev, gap_sec=1800)
 
+    def events_hopping(sf_dir):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+        out = E.hopping_window(ev, window_sec=3600, hop_sec=1800)
+
+        def round_val(batch: pa.Table) -> pa.Table:
+            v = np.round(
+                batch.column("sum_value").to_numpy(zero_copy_only=False), 4
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("sum_value"), "sum_value",
+                pa.array(v, pa.float64()),
+            )
+
+        return out.map_batches(round_val, batch_format="pyarrow")
+
     # ---- embeddings / ANN ------------------------------------------------
     def ann_top10(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -371,6 +408,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         row0 = qtab.column("vec_id").to_pylist().index(0)
         q = np.array(qtab.column("embedding")[row0].as_py(), dtype=np.float64)
         return brute_force_topk(emb, q, k=10, dtype=np.float64, round_dp=4)
+
+    def ann_ivf_top10(sf_dir):
+        # IVF with nprobe == n_centroids scans every cell and must equal
+        # exact top-k — the oracle-able IVF contract; partial-probe recall
+        # is pinned in tests/test_ann.py
+        from raygraph.ops.ann import ivf_topk
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        row0 = qtab.column("vec_id").to_pylist().index(0)
+        q = np.array(qtab.column("embedding")[row0].as_py(), dtype=np.float64)
+        return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16,
+                        dtype=np.float64, round_dp=4)
 
     def embedding_norms(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -401,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
         "kg_vertex_mentions": kg_vertex_mentions,
+        "kg_degrees": kg_degrees,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
         "export_edge_projection": export_edge_projection,
@@ -414,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprints": text_fingerprints,
+        "text_bpe_token_count": text_bpe_token_count,
         "docs_by_lang_source": docs_by_lang_source,
         "top_sources_by_chars": top_sources_by_chars,
         "tpch_pricing_summary": tpch_pricing_summary,
@@ -421,7 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": events_tumbling_1h,
         "events_sessions": events_sessions,
         "events_sessionize_full": events_sessionize_full,
+        "events_hopping": events_hopping,
         "ann_top10": ann_top10,
+        "ann_ivf_top10": ann_ivf_top10,
         "embedding_norms": embedding_norms,
         "media_features": media_features,
     }
@@ -489,8 +545,7 @@ def oracle_sql() -> dict[str, str]:
            FROM d0
          )
     """
-    return {
-        "kg_edges": kg_base + """
+    kg_edges_sql = kg_base + """
             SELECT DISTINCT 'entities/vertex_' || a AS _from,
                    'connected_to' AS pred,
                    'entities/vertex_' || b AS _to
@@ -498,6 +553,21 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT DISTINCT 'entities/vertex_' || a, 'is_a', 'entities/node'
             FROM e WHERE i % 7 = 3
+        """
+    bpe_pat_sql = __import__("raygraph.ops.text", fromlist=["BPE_PATTERN"]) \
+        .BPE_PATTERN.replace("'", "''")
+    return {
+        "kg_edges": kg_edges_sql,
+        "kg_degrees": f"""
+            WITH edges AS ({kg_edges_sql}),
+            o AS (SELECT _from AS _id, count(*)::BIGINT AS out_degree
+                  FROM edges GROUP BY _from),
+            i AS (SELECT _to AS _id, count(*)::BIGINT AS in_degree
+                  FROM edges GROUP BY _to)
+            SELECT coalesce(o._id, i._id) AS _id,
+                   coalesce(out_degree, 0)::BIGINT AS out_degree,
+                   coalesce(in_degree, 0)::BIGINT AS in_degree
+            FROM o FULL OUTER JOIN i ON o._id = i._id
         """,
         "kg_vertices": kg_base + """
             , keys AS (
@@ -696,6 +766,12 @@ def oracle_sql() -> dict[str, str]:
                          greatest(n_tokens, 1)) / 10000.0 AS mean_token_len
             FROM s
         """,
+        "text_bpe_token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{bpe_pat_sql}'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents
+        """,
         "docs_by_lang_source": """
             SELECT lang, source, sum(n_chars)::BIGINT AS total_chars,
                    count(*)::BIGINT AS n_docs
@@ -763,7 +839,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
         """,
+        "events_hopping": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS s, value
+                        FROM events),
+            x AS (SELECT user_id, ((s // 1800) - i) * 1800 AS window_start,
+                         value
+                  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS i) t)
+            SELECT user_id, window_start, count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY user_id, window_start
+        """,
         "ann_top10": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT qe FROM q)), 4)
+                       AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qe FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_top10": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0)
             SELECT vec_id,

@@ -89,6 +89,90 @@ class LshIndexStage:
         return batch.append_column("bucket", pa.array(self.bucket_of(vecs), pa.int64()))
 
 
+def ivf_centroids(
+    ds,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids from a corpus sample.
+
+    The coarse quantizer of an IVF index: Lloyd iterations on an L2-
+    normalized sample (``ds.limit(sample_size)`` — deterministic read
+    order), fixed-seed init. Driver-side on the SAMPLE only — the corpus
+    itself never leaves the cluster; at 100 TB the sample is the same
+    few thousand rows."""
+    import pyarrow as _pa  # noqa: F401
+
+    rows = ds.limit(sample_size).take_all()
+    vecs = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cent = vecs[rng.choice(len(vecs), size=min(n_centroids, len(vecs)),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = vecs[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssign:
+    """Actor-pool stage: nearest-centroid id per vector (one matmul per
+    batch against the broadcast centroid matrix)."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(vectors_to_numpy(batch.column(self.vec_col),
+                                           np.float32))
+        assign = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("__centroid", pa.array(assign, pa.int64()))
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    dtype=np.float32,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """IVF ANN top-k: scan only the ``nprobe`` centroid cells nearest the
+    query. ``nprobe == n_centroids`` scans every cell and is EXACTLY
+    brute force (the oracle-able contract); smaller nprobe trades recall
+    for the scan fraction ~nprobe/n_centroids."""
+    if centroids is None:
+        centroids = ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    q = _normalize(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
+    order = np.argsort(-(centroids @ q))
+    probe_arr = pa.array(sorted(int(c) for c in order[:nprobe]), pa.int64())
+
+    def filter_cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("__centroid"), value_set=probe_arr)
+        return batch.filter(keep).drop_columns(["__centroid"])
+
+    scanned = ds.map_batches(
+        IvfAssign, fn_constructor_kwargs={"centroids": centroids,
+                                          "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(filter_cells, batch_format="pyarrow")
+    return brute_force_topk(scanned, query, k, vec_col, id_col,
+                            dtype=dtype, round_dp=round_dp)
+
+
 class MultiTableLsh:
     """Actor-pool stage: hyperplane buckets for ``n_tables`` INDEPENDENT
     hash tables in one matmul (dim × tables·planes). Multi-table OR is

@@ -44,6 +44,53 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    ds,
+    window_sec: int = 3600,
+    hop_sec: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """count + sum(value) per (key, window_start) for OVERLAPPING windows
+    of ``window_sec`` advancing every ``hop_sec``. Each event fans out to
+    window_sec/hop_sec window rows inside ``map_batches`` (vectorized
+    repeat — the standard explode-then-aggregate hopping plan), then the
+    same partial-agg + built-in Sum as :func:`tumbling_window`.
+    ``window_sec`` must be a multiple of ``hop_sec``."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    ratio = window_sec // hop_sec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df[ts_col].astype("datetime64[ns]").astype("int64") \
+            // 1_000_000_000
+        base = (s // hop_sec) * hop_sec
+        frames = []
+        for i in range(ratio):
+            f = pd.DataFrame({
+                key_col: df[key_col],
+                "window_start": base - i * hop_sec,
+                value_col: df[value_col],
+            })
+            frames.append(f)
+        x = pd.concat(frames, ignore_index=True)
+        g = x.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )
+
+
 def sessionize(
     ds,
     gap_sec: int = 1800,

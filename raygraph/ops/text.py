@@ -37,6 +37,26 @@ STOPWORDS: dict[str, frozenset] = {
 }
 
 
+# GPT-2-flavored pre-tokenizer pattern, restricted to RE2-compatible
+# syntax (no lookahead) and ASCII classes so DuckDB's regexp_extract_all
+# counts the identical tokens (both engines use leftmost-first
+# alternation): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+"
+_BPE = re.compile(BPE_PATTERN, re.ASCII)
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """BPE-ish token count: number of non-overlapping BPE_PATTERN matches
+    (the pre-tokenization step of byte-pair encoders — the unit a
+    training-data pipeline budgets by). Vectorized pandas str.count."""
+    s = batch.column(text_col).to_pandas()
+    n = s.str.count(_BPE).fillna(0).astype("int64")
+    return pa.table({id_col: batch.column(id_col),
+                     "n_bpe_tokens": pa.array(n, pa.int64())})
+
+
 def token_count(batch: pa.Table, text_col: str = "text",
                 id_col: str = "doc_id") -> pa.Table:
     """tokens = maximal runs of non-whitespace (matches the SQL oracle:

@@ -98,3 +98,32 @@ def test_lsh_recall_floor_on_fixture():
     for t in range(stage.n_tables):
         cand |= np.isin(buckets[:, t], list(probes[t]))
     assert cand.mean() < 0.95
+
+
+def test_ivf_full_probe_equals_brute_force():
+    """nprobe == n_centroids scans every cell: must be EXACTLY brute
+    force (the oracle-able IVF contract)."""
+    from raygraph.ops.ann import ivf_topk
+
+    vecs, ds = _embedding_ds(n=200, dim=16)
+    q = vecs[7]
+    bf = brute_force_topk(ds, q, k=10)
+    ivf = ivf_topk(ds, q, k=10, n_centroids=8, nprobe=8)
+    assert list(ivf["vec_id"]) == list(bf["vec_id"])
+    assert np.allclose(ivf["cosine"], bf["cosine"])
+
+
+def test_ivf_partial_probe_prunes_with_recall():
+    """Partial probe scans ~nprobe/n_centroids of the corpus; recall must
+    beat the scan fraction (the index concentrates neighbors) and the
+    query vector's own cell always contains it."""
+    from raygraph.ops.ann import IvfAssign, ivf_centroids, ivf_topk
+
+    vecs, ds = _embedding_ds(n=300, dim=16)
+    q = vecs[11]
+    cent = ivf_centroids(ds, n_centroids=8)
+    bf = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    got = ivf_topk(ds, q, k=10, n_centroids=8, nprobe=3, centroids=cent)
+    recall = len(bf & set(got["vec_id"])) / 10
+    assert 11 in set(got["vec_id"])          # own cell always probed
+    assert recall > 3 / 8                     # beats the scan fraction

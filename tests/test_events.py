@@ -52,3 +52,31 @@ def test_session_counts():
     out = session_counts(_events_ds(), gap_sec=1800).take_all()
     got = {r["user_id"]: r["n_sessions"] for r in out}
     assert got == {1: 2, 2: 1}
+
+
+def test_hopping_window_overlap(ray_session):
+    """Each event lands in window_sec/hop_sec overlapping windows; counts
+    across any aligned tumbling window equal the hopping window that
+    starts there."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import hopping_window
+
+    ts = pd.to_datetime([10, 1790, 1810, 3599, 3601], unit="s")
+    ds = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1], "ts": ts,
+        "value": [1.0, 1.0, 1.0, 1.0, 1.0],
+    }))
+    out = {(r["window_start"]): (r["n_events"], r["sum_value"])
+           for r in hopping_window(ds, 3600, 1800).take_all()}
+    # window [-1800, 1800): events at 10, 1790
+    assert out[-1800][0] == 2
+    # window [0, 3600): events 10, 1790, 1810, 3599
+    assert out[0][0] == 4
+    # window [1800, 5400): events 1810, 3599, 3601
+    assert out[1800][0] == 3
+    # window [3600, 7200): event 3601
+    assert out[3600][0] == 1
+    with pytest.raises(ValueError):
+        hopping_window(ds, 3600, 1000)

@@ -63,3 +63,27 @@ def test_fingerprint_deterministic_and_order_sensitive():
     c = doc_fingerprint(_batch(["world hello"])).column("fingerprint").to_pylist()
     assert a == b
     assert a != c
+
+
+def test_bpe_token_count():
+    from raygraph.ops.text import bpe_token_count
+
+    t = bpe_token_count(_batch([
+        "hello world",          # 2 letter runs
+        "it's 1234!",           # it + 's + ' 1234'->'123','4' + '!'
+        "",
+    ]))
+    got = t.column("n_bpe_tokens").to_pylist()
+    assert got[0] == 2
+    assert got[2] == 0
+    # parity with the DuckDB oracle on the same strings
+    import duckdb
+
+    from raygraph.ops.text import BPE_PATTERN
+
+    con = duckdb.connect()
+    for s, n in zip(["hello world", "it's 1234!", ""], got):
+        sql_n = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, BPE_PATTERN]
+        ).fetchone()[0]
+        assert sql_n == n, (s, sql_n, n)
