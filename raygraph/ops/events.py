@@ -91,48 +91,62 @@ def hopping_window(
     )
 
 
+def _session_ids(df: pd.DataFrame, gap_sec: int, key_col: str,
+                 ts_col: str) -> pd.DataFrame:
+    """Sort by (key, ts) and attach per-key session ordinals — ONE
+    vectorized pass over every key in the frame (diff + key-change mask +
+    per-key cumsum), never per-key Python."""
+    df = df.sort_values([key_col, ts_col], kind="mergesort",
+                        ignore_index=True)
+    us = df[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
+    gap_us = gap_sec * 1_000_000
+    key_change = df[key_col] != df[key_col].shift()
+    new = key_change | (us.diff().fillna(gap_us + 1) > gap_us)
+    df["session_id"] = new.groupby(df[key_col]).cumsum() - 1
+    return df
+
+
 def sessionize(
     ds,
     gap_sec: int = 1800,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    num_buckets: int = 128,
 ):
-    """Gap-based sessions per key: a new session starts when the time since
-    the previous event of the same key exceeds ``gap_sec``. Returns one row
-    per (key, session_id) with start/end/n_events.
+    """Gap-based sessions per key: a new session starts when the time
+    since the previous event of the same key exceeds ``gap_sec``. Returns
+    one row per (key, session_id) with start/end/n_events.
 
-    The per-key group is sorted by ts inside ``map_groups`` — the stated
-    ordering assumption of every stream-shaped op here."""
+    Hash-bucketed: each reduce task sessionizes ALL keys of its bucket in
+    one vectorized pandas pass (sort + diff + cumsum) — per-group Python
+    is paid once per bucket, not once per key. Exactness needs a key's
+    events co-located, which the bucket hash guarantees."""
+    from .relational import hash_aggregate
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        us = g[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
-        gap_us = gap_sec * 1_000_000
-        new = (us.diff().fillna(gap_us + 1) > gap_us).cumsum()
-        out = g.groupby(new).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
-        )
-        out[key_col] = g[key_col].iloc[0]
-        out["session_id"] = range(len(out))
-        return out.reset_index(drop=True)[
-            [key_col, "session_id", "session_start", "session_end", "n_events"]
-        ]
+    def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = _session_ids(df, gap_sec, key_col, ts_col)
+        out = df.groupby([key_col, "session_id"], as_index=False, sort=False) \
+            .agg(session_start=(ts_col, "min"), session_end=(ts_col, "max"),
+                 n_events=(ts_col, "size"))
+        return out[[key_col, "session_id", "session_start", "session_end",
+                    "n_events"]]
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return hash_aggregate(ds, [key_col], bucket_sessions,
+                          num_buckets=num_buckets)
 
 
 def session_counts(ds, gap_sec: int = 1800, key_col: str = "user_id",
-                   ts_col: str = "ts"):
+                   ts_col: str = "ts", num_buckets: int = 128):
     """Sessions per key (the SQL-oracle-friendly aggregate of
-    :func:`sessionize`)."""
+    :func:`sessionize`) — same hash-bucketed vectorized pass."""
+    from .relational import hash_aggregate
 
-    def count(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        us = g[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
-        gap_us = gap_sec * 1_000_000
-        n = int((us.diff().fillna(gap_us + 1) > gap_us).sum())
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [n]})
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = _session_ids(df, gap_sec, key_col, ts_col)
+        out = df.groupby(key_col, as_index=False, sort=False) \
+            .agg(n_sessions=("session_id", "max"))
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        return out
 
-    return ds.groupby(key_col).map_groups(count, batch_format="pandas")
+    return hash_aggregate(ds, [key_col], bucket_counts,
+                          num_buckets=num_buckets)
