@@ -47,8 +47,11 @@ def edge_key(subj: str, pred: str, obj: str) -> str:
     return edge_keys([subj], [pred], [obj])[0]
 
 
-def make_apply_canon(canon: dict[str, str]):
-    """LINKED_TRIPLE batch transform replacing subj/obj with canonical keys.
+def make_apply_canon(canon: dict[str, str],
+                     cols: tuple[str, ...] = ("subj", "obj")):
+    """Batch transform replacing the key columns ``cols`` with canonical
+    keys (default: a LINKED_TRIPLE's subj/obj; pass ("key",) for vertex
+    partials).
 
     ``canon`` is the small side (entity inventory) — broadcast it with
     ``ray.put`` and resolve the ref in the caller; identity for unmapped
@@ -60,15 +63,14 @@ def make_apply_canon(canon: dict[str, str]):
         return None
 
     def apply_canon(batch: pa.Table) -> pa.Table:
-        subj = batch.column("subj").to_pandas()
-        obj = batch.column("obj").to_pandas()
-        subj = subj.map(canon).fillna(subj)
-        obj = obj.map(canon).fillna(obj)
-        return batch.set_column(
-            batch.schema.get_field_index("subj"), "subj", pa.array(subj, pa.string())
-        ).set_column(
-            batch.schema.get_field_index("obj"), "obj", pa.array(obj, pa.string())
-        )
+        for col in cols:
+            s = batch.column(col).to_pandas()
+            s = s.map(canon).fillna(s)
+            batch = batch.set_column(
+                batch.schema.get_field_index(col), col,
+                pa.array(s, pa.string()),
+            )
+        return batch
 
     return apply_canon
 
@@ -151,14 +153,29 @@ def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,
     canoned = linked if canon_fn is None else \
         linked.map_batches(canon_fn, batch_format="pyarrow")
     partials = canoned.map_batches(edge_partials, batch_format="pyarrow")
-    fin = _finalize_edges(vertex_collection, edge_collection)
+    return aggregate_edge_partials(partials, vertex_collection,
+                                   edge_collection, strategy=strategy,
+                                   num_buckets=num_buckets)
 
-    def _reduce_edges(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.groupby(["subj", "pred", "obj", "doc_id"], as_index=False,
-                       sort=False)["conf"].max()
-        return d.groupby(["subj", "pred", "obj"], as_index=False,
-                         sort=False).agg(conf=("conf", "max"),
-                                         doc_count=("doc_id", "nunique"))
+
+def _reduce_edges(df: pd.DataFrame) -> pd.DataFrame:
+    d = df.groupby(["subj", "pred", "obj", "doc_id"], as_index=False,
+                   sort=False)["conf"].max()
+    return d.groupby(["subj", "pred", "obj"], as_index=False,
+                     sort=False).agg(conf=("conf", "max"),
+                                     doc_count=("doc_id", "nunique"))
+
+
+def aggregate_edge_partials(partials, vertex_collection: str,
+                            edge_collection: str, strategy: str = "hash",
+                            num_buckets: int = DEFAULT_NUM_BUCKETS):
+    """Wide step over edge PARTIALS (exact under any block layout —
+    partials are max-conf per (s,p,o,doc) per batch; the reduce re-groups
+    exactly). Split out of :func:`build_edges` so the pipeline can apply
+    canonical keys to materialized partials instead of re-scanning the
+    triples (canon∘partial = partial∘canon: max/nunique are associative
+    and canon only renames group keys)."""
+    fin = _finalize_edges(vertex_collection, edge_collection)
 
     if strategy == "hash":
         from .relational import hash_aggregate
@@ -265,23 +282,36 @@ def build_vertices(linked, canon_fn, vertex_collection: str,
     canoned = linked if canon_fn is None else \
         linked.map_batches(canon_fn, batch_format="pyarrow")
     partials = canoned.map_batches(vertex_partials, batch_format="pyarrow")
+    return aggregate_vertex_partials(partials, vertex_collection,
+                                     strategy=strategy,
+                                     num_buckets=num_buckets)
+
+
+def _combine_v(df: pd.DataFrame) -> pd.DataFrame:
+    return df.groupby(["key", "surface"], as_index=False,
+                      sort=False)["n"].sum()
+
+
+def _reduce_vertices(df: pd.DataFrame) -> pd.DataFrame:
+    d = _combine_v(df)
+    counts = d.groupby("key", as_index=False)["n"].sum() \
+        .rename(columns={"n": "mention_count"})
+    best = d.sort_values(
+        ["key", "n", "surface"], ascending=[True, False, True]
+    ).drop_duplicates("key")[["key", "surface"]]
+    out = counts.merge(best, on="key")
+    # reuse the composite decoder: inv = anything + '|' + surface
+    out["inv"] = "|" + out["surface"]
+    return out[["key", "inv", "mention_count"]]
+
+
+def aggregate_vertex_partials(partials, vertex_collection: str,
+                              strategy: str = "hash",
+                              num_buckets: int = DEFAULT_NUM_BUCKETS):
+    """Wide step over vertex PARTIALS — see
+    :func:`aggregate_edge_partials` for why this is split out (sum/argmax
+    over (key, surface) counts commute with canonical key renaming)."""
     fin = _finalize_vertices(vertex_collection)
-
-    def _combine_v(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["key", "surface"], as_index=False,
-                          sort=False)["n"].sum()
-
-    def _reduce_vertices(df: pd.DataFrame) -> pd.DataFrame:
-        d = _combine_v(df)
-        counts = d.groupby("key", as_index=False)["n"].sum() \
-            .rename(columns={"n": "mention_count"})
-        best = d.sort_values(
-            ["key", "n", "surface"], ascending=[True, False, True]
-        ).drop_duplicates("key")[["key", "surface"]]
-        out = counts.merge(best, on="key")
-        # reuse the composite decoder: inv = anything + '|' + surface
-        out["inv"] = "|" + out["surface"]
-        return out[["key", "inv", "mention_count"]]
 
     if strategy == "hash":
         from .relational import hash_aggregate

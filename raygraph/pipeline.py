@@ -240,10 +240,6 @@ def build_graph(cfg: GraphBuildConfig,
             )
             if cfg.materialize_triples:
                 triples = triples.materialize()
-    else:
-        canon = canonicalize(triples)
-        n_entities = len(canon)
-        canon_fn = make_apply_canon(canon)
     t1 = time.monotonic()
     metrics["phase_a_sec"] = time.monotonic() - t0
     metrics["partitions_skipped"] = len(done_before)
@@ -251,8 +247,6 @@ def build_graph(cfg: GraphBuildConfig,
         metrics["triples_new"] = new_rows
 
     # ---- phase B: materialize ------------------------------------------
-    metrics["entities_linked"] = n_entities
-
     vcol, ecol = cfg.vertex_collection, cfg.edge_collection
     # bucket count sized to the triple volume (known when the triples are
     # pinned): keeps per-bucket reduce work ~constant as inputs grow —
@@ -261,6 +255,19 @@ def build_graph(cfg: GraphBuildConfig,
 
     n_buckets = adaptive_buckets(approx_triples)
     metrics["agg_num_buckets"] = n_buckets
+    if cfg.canon_strategy == "distributed":
+        canon_fn = None
+    else:
+        # canonicalize first (one scan of the pinned triples), then the
+        # two FUSED scan+aggregate+write builds run concurrently. An
+        # overlapped variant (canonicalize ∥ partials scans, canon applied
+        # to materialized partials via aggregate_*_partials) measured
+        # SLOWER at 1M docs/16 cpus — the extra partials materialization
+        # and job barriers cost more than the canonicalize overlap saves.
+        canon = canonicalize(triples)
+        n_entities = len(canon)
+        canon_fn = make_apply_canon(canon)
+    metrics["entities_linked"] = n_entities
     vertices = build_vertices(triples, canon_fn, vcol,
                               strategy=cfg.agg_strategy,
                               num_buckets=n_buckets)
