@@ -383,6 +383,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.sessionize(ev, gap_sec=1800)
 
+    def events_asof_join(sf_dir):
+        # each event picks the latest prior "mark" (events landing on a
+        # 10-second epoch boundary, deduped per (user, ts)) of the same
+        # user — backward as-of semantics, DuckDB ASOF JOIN as the oracle
+        from raygraph.ops.events import asof_join
+        from raygraph.ops.relational import hash_aggregate
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+
+        def marks(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            keep = (us // 1_000_000) % 10 == 0
+            return batch.filter(pa.array(keep))
+
+        right = hash_aggregate(
+            rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+            .map_batches(marks, batch_format="pyarrow"),
+            ["user_id", "ts"],
+            lambda df: df.groupby(["user_id", "ts"], as_index=False)
+            ["value"].max(),
+        )
+        return asof_join(ev, right)
+
     def events_hopping(sf_dir):
         ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts", "value"])
@@ -475,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": events_tumbling_1h,
         "events_sessions": events_sessions,
         "events_sessionize_full": events_sessionize_full,
+        "events_asof_join": events_asof_join,
         "events_hopping": events_hopping,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
@@ -838,6 +867,19 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_asof_join": """
+            WITH r0 AS (
+              SELECT user_id, ts, value FROM events
+              WHERE (epoch_us(ts) // 1000000) % 10 = 0
+            ),
+            r AS (SELECT user_id, ts, max(value) AS value_matched
+                  FROM r0 GROUP BY user_id, ts)
+            SELECT l.user_id, l.ts, l.value,
+                   r.value_matched, r.ts AS ts_matched
+            FROM events l
+            ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_hopping": """
             WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS s, value

@@ -141,6 +141,14 @@ def main() -> None:
     timings["text_stats"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
+    docs().map_batches(T.quality_score, batch_format="pyarrow").count()
+    timings["text_quality"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    D.minhash_dedup(docs(), threshold=0.99, bands=8, shingle="word").count()
+    timings["dedup_minhash"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
     emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     qtab = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
@@ -148,6 +156,12 @@ def main() -> None:
     q = np.array(qtab.column("embedding")[0].as_py(), dtype=np.float64)
     brute_force_topk(emb, q, k=10)
     timings["ann_top10"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    from raygraph.ops.ann import lsh_topk
+
+    lsh_topk(emb, np.asarray(q, dtype=np.float32), k=10)
+    timings["ann_lsh_top10"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),

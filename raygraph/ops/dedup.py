@@ -148,6 +148,31 @@ class MinHasher:
         vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
+    def signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signatures for a whole batch: ONE
+        (num_perm × Σshingles) universal-hash matrix per memory-bounded
+        chunk with a segmented min (np.minimum.reduceat) — the per-doc
+        arithmetic loop of :meth:`signature` amortized across the batch.
+        Bit-identical to per-doc :meth:`signature` (tested)."""
+        n = len(texts)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        sh_list = [self.shingle_hashes(t or "") for t in texts]
+        lens = np.fromiter(map(len, sh_list), dtype=np.int64, count=n)
+        budget = 2_000_000  # shingle slots per chunk (~1 GB of u64 math @64 perms)
+        start = 0
+        while start < n:
+            end, tot = start, 0
+            while end < n and (end == start or tot + lens[end] <= budget):
+                tot += lens[end]
+                end += 1
+            sh = np.concatenate(sh_list[start:end])
+            vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
+            starts = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[start:end][:-1], out=starts[1:])
+            out[start:end] = np.minimum.reduceat(vals, starts, axis=1).T
+            start = end
+        return out
+
 
 def minhash_bands(
     batch: pa.Table,
@@ -160,23 +185,25 @@ def minhash_bands(
 
     Docs sharing any band bucket become candidate pairs after the
     groupby — the LSH trick (probability of sharing a band rises steeply
-    with Jaccard similarity)."""
+    with Jaccard similarity). Fully vectorized: batched signatures
+    (:meth:`MinHasher.signatures`) and a uint64 polynomial fold over each
+    band's rows instead of per-(doc, band) crc32 calls."""
     texts = batch.column(text_col).to_pylist()
-    ids = batch.column(id_col).to_pylist()
+    ids = batch.column(id_col)
+    n = len(texts)
     rows_per_band = hasher.num_perm // bands
-    band_ids, band_hashes, doc_ids = [], [], []
-    for did, t in zip(ids, texts):
-        sig = hasher.signature(t or "")
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            band_ids.append(b)
-            band_hashes.append(int(zlib.crc32(chunk.tobytes())))
-            doc_ids.append(did)
+    sigs = hasher.signatures(texts).reshape(n, bands, rows_per_band)
+    C = np.uint64(1099511628211)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = h * C + sigs[:, :, j]
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
     return pa.table(
         {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "doc_id": pa.array(doc_ids, type=pa.array(ids).type),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                                pa.int32()),
+            "band_hash": pa.array(h.view(np.int64).ravel(), pa.int64()),
+            "doc_id": ids.take(idx),
         }
     )
 

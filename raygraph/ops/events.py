@@ -91,6 +91,61 @@ def hopping_window(
     )
 
 
+def asof_join(
+    left,
+    right,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_matched",
+    num_buckets: int = 128,
+):
+    """Per-key backward as-of join: each left row picks the LATEST right
+    row of the same key with ``right.ts <= left.ts`` (exact matches
+    allowed); unmatched rows keep nulls. The operator Ray Data lacks
+    natively — expressed as tag-union → hash bucket by key →
+    ``pd.merge_asof`` per bucket (vectorized; all rows of a key land in
+    one bucket, the stated partitioning assumption).
+
+    The right side must be unique per (key, ts) — pre-aggregate it if
+    not (ties make backward-asof semantics engine-dependent).
+    """
+    import pyarrow as _pa
+
+    from .relational import hash_aggregate
+
+    def tag(side: int):
+        def fn(batch: _pa.Table) -> _pa.Table:
+            keep = [key_col, ts_col] + [c for c in value_cols
+                                        if c in batch.schema.names]
+            return batch.select(keep).append_column(
+                "__side", _pa.array([side] * batch.num_rows, _pa.int8())
+            )
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0].drop(columns="__side") \
+            .sort_values(ts_col, kind="mergesort", ignore_index=True)
+        r = df[df["__side"] == 1].drop(columns="__side") \
+            .sort_values(ts_col, kind="mergesort", ignore_index=True)
+        r = r.rename(columns={c: c + suffix for c in value_cols})
+        # carry the right ts as a payload column so the match timestamp
+        # survives the asof merge
+        r[ts_col + suffix] = r[ts_col]
+        return pd.merge_asof(
+            l, r, on=ts_col, by=key_col, direction="backward",
+            allow_exact_matches=True,
+        )
+
+    return hash_aggregate(both, [key_col], bucket_asof,
+                          num_buckets=num_buckets)
+
+
 def _session_ids(df: pd.DataFrame, gap_sec: int, key_col: str,
                  ts_col: str) -> pd.DataFrame:
     """Sort by (key, ts) and attach per-key session ordinals — ONE

@@ -150,3 +150,15 @@ def test_vectors_to_numpy_matches_pylist(ray_session):
         # sliced (offset) arrays must stay correct
         got2 = vectors_to_numpy(col.slice(1, 2), np.float64)
         assert np.allclose(got2, np.array(data[1:]))
+
+
+def test_batched_signatures_match_scalar():
+    from raygraph.ops.dedup import MinHasher
+
+    texts = [BASE, BASE.replace("lazy", "sleepy"),
+             "something else entirely " * 4, "", "one"]
+    for shingle in ("char", "word"):
+        h = MinHasher(num_perm=32, shingle=shingle)
+        batched = h.signatures(texts)
+        for i, t in enumerate(texts):
+            assert (batched[i] == h.signature(t or "")).all(), (shingle, i)

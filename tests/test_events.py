@@ -80,3 +80,29 @@ def test_hopping_window_overlap(ray_session):
     assert out[3600][0] == 1
     with pytest.raises(ValueError):
         hopping_window(ds, 3600, 1000)
+
+
+def test_asof_join_backward(ray_session):
+    """Backward as-of: each left row matches the latest right row of the
+    same key with right.ts <= left.ts (exact match allowed); no match →
+    nulls; keys never cross."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import asof_join
+
+    lts = pd.to_datetime([5, 15, 25, 7], unit="s")
+    left = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 2], "ts": lts, "value": [1.0, 2.0, 3.0, 9.0],
+    }))
+    rts = pd.to_datetime([5, 20, 100], unit="s")
+    right = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 2], "ts": rts, "value": [10.0, 20.0, 30.0],
+    }))
+    out = {(r["user_id"], r["ts"]): (r["value_matched"], r["ts_matched"])
+           for r in asof_join(left, right).take_all()}
+    assert out[(1, lts[0])][0] == 10.0          # exact ts match
+    assert out[(1, lts[1])][0] == 10.0          # latest <= 15 is ts=5
+    assert out[(1, lts[2])][0] == 20.0          # latest <= 25 is ts=20
+    assert out[(2, lts[3])][0] is None          # user 2 mark is at t=100
+    assert out[(2, lts[3])][1] is None

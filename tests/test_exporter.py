@@ -329,7 +329,12 @@ def test_callbacks_run_concurrently(db_dir):
     c = Collector()
 
     def cb(ids, rows, fields):
+        import time
+
         seen_threads.add(threading.get_ident())
+        # hold the thread so the pool must spawn siblings — without a
+        # blocking callback all 5 tiny batches can land on one thread
+        time.sleep(0.2)
         c.vertex_cb(ids, rows, fields)
 
     n = loader.do_vertices(cb)
