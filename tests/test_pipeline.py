@@ -249,3 +249,25 @@ def test_canon_strategies_identical_output(tmp_path, ray_session):
     )
     d_dist = digest(build_graph(dist, aliases=aliases))
     assert d_driver == d_dist
+
+
+def test_scaled_corpus_distributed_canon_exact(tmp_path, ray_session):
+    """The distributed canonicalization path (label-prop + resolve joins)
+    must reproduce the generator's golden graph exactly on the scaled
+    corpus with alias variation + hub skew — not just on the tiny line
+    fixture."""
+    n = 120
+    cfg = GraphBuildConfig(
+        input_path=_write_corpus(str(tmp_path), synth.corpus(n)),
+        output_path=os.path.join(str(tmp_path), "out"),
+        num_partitions=4,
+        linker_concurrency=(1, 2),
+        canon_strategy="distributed",
+    )
+    res = build_graph(cfg, aliases=synth.alias_inventory(synth.entity_space(n)))
+    assert _triple_set(_read(res.edges_path)) == synth.golden_edges(n)
+    v = _read(res.vertices_path)
+    assert set(v.column("_key").to_pylist()) == synth.golden_vertices(n)
+    counts = dict(zip(v.column("_key").to_pylist(),
+                      v.column("mention_count").to_pylist()))
+    assert counts["vertex_0"] == max(counts.values())
