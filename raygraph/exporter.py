@@ -83,7 +83,16 @@ class GraphSource:
         raise CollectionNotFoundError(f"collection not found: {name}")
 
     def collection_schema(self, name: str) -> pa.Schema:
-        return pq.read_schema(self.collection_path(name))
+        path = self.collection_path(name)
+        if path.endswith(".lance"):
+            try:
+                import lance
+            except ImportError as e:  # pragma: no cover - absent in sandbox
+                raise ImportError(
+                    "lance is not installed; use a parquet collection"
+                ) from e
+            return lance.dataset(path).schema
+        return pq.read_schema(path)
 
     def graph_definition(self, graph_name: str) -> list[dict]:
         """edgeDefinitions of a named graph (reference

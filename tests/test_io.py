@@ -65,3 +65,23 @@ def test_parquet_path_untouched_by_lance_gate(tmp_path):
     got = ds.take_all()
     assert [r["a"] for r in got] == [1, 2]
     assert all(set(r) == {"a"} for r in got)
+
+
+def test_exporter_lance_schema_routes(monkeypatch, fake_lance, tmp_path):
+    """GraphSource.collection_schema reads Lance schemas via the gated
+    import (parquet reader would choke on a .lance path)."""
+    import pyarrow as pa
+
+    from raygraph.exporter import GraphSource
+
+    (tmp_path / "V.lance").mkdir()
+    schema = pa.schema([("_id", pa.string())])
+
+    class FakeDs:
+        pass
+
+    ds = FakeDs()
+    ds.schema = schema
+    fake_lance.dataset = lambda path: ds
+    src = GraphSource(str(tmp_path))
+    assert src.collection_schema("V") is schema
