@@ -179,15 +179,20 @@ def union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {n[len(_K):]: comp_min[find(n)] for n in key_nodes}
 
 
-def canonicalize(linked) -> dict[str, str]:
+def canonicalize(linked, tree: bool = False) -> dict[str, str]:
     """LINKED_TRIPLE Dataset → {key: canonical_key} dict (driver strategy).
 
     The pair set is pre-deduplicated per batch inside ``map_batches``, so
-    what reaches the driver is O(#distinct entities × #alias forms) — the
-    small side of the build. The driver collects the distinct pair set
-    and runs union-find locally: one streaming pass, no shuffle. Right
-    whenever the entity inventory fits the driver (it is then broadcast
-    via ``ray.put`` anyway, so this adds no new scaling constraint).
+    what reaches the driver is O(Σ per-block distinct pairs) — the small
+    side of the build. The driver collects the pair stream and runs
+    union-find locally: one fused map pass, no shuffle. Right whenever
+    the entity inventory fits the driver (it is then broadcast via
+    ``ray.put`` anyway, so this adds no new scaling constraint).
+
+    ``tree=True`` inserts a distributed tree-dedup before the collect —
+    for corpora whose per-block-deduped pair stream (#blocks × hot-alias
+    repeats) would swamp the driver NIC, at the price of two extra
+    repartition barriers. The pipeline switches it on by triple count.
 
     For inventories beyond driver memory use
     :func:`canonical_map_dataset` + :func:`resolve_keys_join` instead
@@ -195,19 +200,20 @@ def canonicalize(linked) -> dict[str, str]:
     materializes the map anywhere.
     """
     pairs = linked.map_batches(mention_pairs, batch_format="pyarrow")
-    # distributed tree-dedup first (cross-batch duplicate factor is
-    # high — every batch repeats the hot aliases), so the driver only
-    # collects the distinct pair set
-    from .relational import tree_aggregate
+    if tree:
+        # distributed tree-dedup first (cross-batch duplicate factor is
+        # high — every batch repeats the hot aliases), so the driver only
+        # collects the distinct pair set
+        from .relational import tree_aggregate
 
-    distinct = tree_aggregate(pairs, lambda df: df.drop_duplicates())
+        pairs = tree_aggregate(pairs, lambda df: df.drop_duplicates())
     frames = [
         b.to_pandas()
-        for b in distinct.iter_batches(batch_size=None, batch_format="pyarrow")
+        for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     if not frames:
         return {}
-    df = pd.concat(frames, ignore_index=True)
+    df = pd.concat(frames, ignore_index=True).drop_duplicates()
     return union_find(list(zip(df["key"], df["surface"])))
 
 

@@ -264,7 +264,13 @@ def build_graph(cfg: GraphBuildConfig,
         # to materialized partials via aggregate_*_partials) measured
         # SLOWER at 1M docs/16 cpus — the extra partials materialization
         # and job barriers cost more than the canonicalize overlap saves.
-        canon = canonicalize(triples)
+        # The tree-dedup pre-pass only pays off once the per-block pair
+        # stream would swamp the driver; below that it is two pure
+        # repartition barriers (~half of phase-B wall at 200k docs).
+        canon = canonicalize(
+            triples,
+            tree=bool(approx_triples and approx_triples > 20_000_000),
+        )
         n_entities = len(canon)
         canon_fn = make_apply_canon(canon)
     metrics["entities_linked"] = n_entities
