@@ -164,11 +164,14 @@ def ivf_topk(
         keep = pc.is_in(batch.column("__centroid"), value_set=probe_arr)
         return batch.filter(keep).drop_columns(["__centroid"])
 
-    scanned = ds.map_batches(
-        IvfAssign, fn_constructor_kwargs={"centroids": centroids,
-                                          "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=(1, 4),
-    ).map_batches(filter_cells, batch_format="pyarrow")
+    # stateless tasks (see lsh_topk): the centroid matrix is tiny and
+    # ships in the task closure; parallelism follows block count
+    assigner = IvfAssign(centroids, vec_col)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return filter_cells(assigner(batch))
+
+    scanned = ds.map_batches(stage, batch_format="pyarrow")
     return brute_force_topk(scanned, query, k, vec_col, id_col,
                             dtype=dtype, round_dp=round_dp)
 
@@ -200,6 +203,21 @@ class MultiTableLsh:
         for t in range(self.n_tables):
             cols[f"__bucket_{t}"] = pa.array(b[:, t], pa.int64())
         return pa.table(cols)
+
+
+_STAGE_CACHE: dict = {}
+
+
+def _cached_multitable(dim: int, n_planes: int, n_tables: int,
+                       vec_col: str, seed: int = 42) -> "MultiTableLsh":
+    """Per-worker-process MultiTableLsh instance (seed-derived planes are
+    rebuilt once per process, not once per task)."""
+    key = ("mt", dim, n_planes, n_tables, vec_col, seed)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = MultiTableLsh(dim, n_planes, n_tables,
+                                               seed=seed, vec_col=vec_col)
+    return st
 
 
 def _probe_set(qb: int, n_planes: int, multiprobe_hamming: int) -> set[int]:
@@ -252,10 +270,14 @@ def lsh_topk(
         keep = [c for c in batch.schema.names if not c.startswith("__bucket_")]
         return batch.filter(mask).select(keep)
 
-    bucketed = ds.map_batches(
-        MultiTableLsh,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                               "n_tables": n_tables, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=(1, 4),
-    ).map_batches(filter_buckets, batch_format="pyarrow")
+    # stateless tasks, not an actor pool: the stage state (hyperplanes)
+    # is seed-derived and tiny, so each worker PROCESS rebuilds it once
+    # via the module-level cache — parallelism then follows block count
+    # with zero actor spin-up latency (same pattern as the linker's
+    # task mode)
+    def stage(batch: pa.Table) -> pa.Table:
+        st = _cached_multitable(dim, n_planes, n_tables, vec_col)
+        return filter_buckets(st(batch))
+
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
     return brute_force_topk(bucketed, q, k, vec_col, id_col)
