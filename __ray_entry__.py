@@ -286,6 +286,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             batch_format="pyarrow")
 
     # ---- relational / aggregation ---------------------------------------
+    def docs_sample_10pct(sf_dir):
+        from raygraph.ops.relational import deterministic_sample
+
+        return deterministic_sample(_docs_ds(sf_dir), keep_per_mille=100)
+
+    def docs_topk_per_lang(sf_dir):
+        from raygraph.ops.relational import group_topk
+
+        ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "n_chars"))
+        return group_topk(ds, ["lang"], "n_chars", k=3, tie_col="doc_id")
+
     def docs_by_lang_source(sf_dir):
         ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
         return preagg_sum(ds, ["lang", "source"], {"total_chars": "n_chars"},
@@ -496,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": text_lang_id,
         "text_fingerprints": text_fingerprints,
         "text_bpe_token_count": text_bpe_token_count,
+        "docs_sample_10pct": docs_sample_10pct,
+        "docs_topk_per_lang": docs_topk_per_lang,
         "docs_by_lang_source": docs_by_lang_source,
         "top_sources_by_chars": top_sources_by_chars,
         "tpch_pricing_summary": tpch_pricing_summary,
@@ -800,6 +813,19 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{bpe_pat_sql}'))::BIGINT
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "docs_sample_10pct": """
+            SELECT doc_id, text FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000 < 100
+        """,
+        "docs_topk_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 3
         """,
         "docs_by_lang_source": """
             SELECT lang, source, sum(n_chars)::BIGINT AS total_chars,

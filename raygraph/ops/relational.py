@@ -175,6 +175,53 @@ def broadcast_join(
     return big.map_batches(join_batch, batch_format="pyarrow")
 
 
+def deterministic_sample(ds, keep_per_mille: int, id_col: str = "doc_id"):
+    """Reproducible row sampling: keep a row iff
+    ``md5_60bit(str(id)) % 1000 < keep_per_mille``.
+
+    Content-keyed, not RNG-keyed — the same rows survive at any
+    parallelism, on any engine (a DuckDB oracle reproduces the exact
+    sample), and re-runs of a pipeline see a stable split. The md5 per
+    row IS the kernel here (id strings are short); no shuffle, pure
+    filter pushed into the stream.
+    """
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pandas().astype(str)
+        h = ids.map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000
+        )
+        return batch.filter(pa.array((h < keep_per_mille).to_numpy()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_topk(ds, group_cols, order_col: str, k: int,
+               tie_col: str | None = None, num_buckets: int = 128):
+    """Top-k rows per group by ``order_col`` DESC (ties broken by
+    ``tie_col`` ASC for determinism): per-batch partial top-k (each batch
+    contributes ≤ k rows per group it contains) then one hash-bucketed
+    exact reduce — never a per-group Python call.
+    """
+    group_cols = list(group_cols)
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    ascending = [False] + ([True] if tie_col else [])
+
+    def topk_df(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(group_cols, sort=False).head(k)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(topk_df(batch.to_pandas()),
+                                    preserve_index=False)
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          group_cols, topk_df, num_buckets=num_buckets)
+
+
 def preagg_sum(
     ds,
     keys: Sequence[str],

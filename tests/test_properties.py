@@ -77,3 +77,39 @@ def test_token_count_matches_split(texts):
 def test_simhash_order_insensitive_for_sets(tokens):
     # simhash over a multiset of tokens is order-insensitive
     assert simhash64(tokens) == simhash64(list(reversed(tokens)))
+
+
+def test_deterministic_sample_stable_across_block_layouts(ray_session):
+    """The md5-keyed sample keeps the same rows regardless of block
+    layout / parallelism — the property RNG-based sampling lacks."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from raygraph.ops.relational import deterministic_sample
+
+    tab = pa.table({"doc_id": list(range(500)),
+                    "text": [f"t{i}" for i in range(500)]})
+    a = deterministic_sample(rd.from_arrow(tab), 100)
+    b = deterministic_sample(rd.from_arrow(tab).repartition(13), 100)
+    ga = sorted(r["doc_id"] for r in a.take_all())
+    gb = sorted(r["doc_id"] for r in b.take_all())
+    assert ga == gb
+    assert 20 <= len(ga) <= 90  # ~10% of 500, md5-binomial bounds
+
+
+def test_group_topk_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import group_topk
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "doc_id": list(range(8)),
+        "score": [5, 9, 9, 1, 7, 2, 2, 8],
+    })
+    out = group_topk(rd.from_pandas(df).repartition(4), ["g"], "score",
+                     k=2, tie_col="doc_id")
+    got = {(r["g"], r["doc_id"]) for r in out.take_all()}
+    # a: scores 9(id1), 9(id2) — tie broken by id; b: 8(id7), 2(id5)
+    assert got == {("a", 1), ("a", 2), ("b", 7), ("b", 5)}
