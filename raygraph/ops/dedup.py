@@ -245,13 +245,32 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     from .relational import hash_aggregate
 
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
-    pairs = (
+
+    def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL band buckets hashed to this task:
+        # singleton buckets (the overwhelming majority) drop in one
+        # transform("size") filter; per-group Python runs only for the
+        # few genuinely colliding buckets
+        sizes = df.groupby(["band_id", "band_hash"])["doc_id"] \
+            .transform("size")
+        df = df[sizes >= 2]
+        if df.empty:
+            dt = df["doc_id"].dtype  # keep the id type even when empty
+            return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
+                                 "id_b": pd.Series([], dtype=dt)})
+        outs = [
+            _bucket_pairs(g)
+            for _, g in df.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = hash_aggregate(
         ds.map_batches(
             lambda b: minhash_bands(b, hasher, bands, text_col, id_col),
             batch_format="pyarrow",
-        )
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        ),
+        ["band_id", "band_hash"],
+        bucket_pairs_many,
     )
     # dedupe pairs that matched in several bands
     return hash_aggregate(pairs, ["id_a", "id_b"],
