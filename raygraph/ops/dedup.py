@@ -11,8 +11,10 @@ variants here follow the same scale discipline:
 * connected components via union-find on the (provably small) candidate
   pair set — the pair set is bounded by LSH collisions, not corpus size.
 
-Signatures use crc32-derived hashes, never Python ``hash()`` (which is
-per-process salted and would break determinism across Ray workers).
+Signatures use stable hashes — crc32 shingles (minhash) and 60-bit md5
+token hashes (simhash, SQL-recomputable) — never Python ``hash()``
+(which is per-process salted and would break determinism across Ray
+workers).
 """
 
 from __future__ import annotations
@@ -425,10 +427,11 @@ def simhash64(tokens: list[str]) -> int:
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
-    """Vectorized simhash over whitespace tokens: blake2b runs once per
-    UNIQUE token per batch; the ±1 bit accumulation is one (tokens × 64)
-    numpy pass with per-doc segment sums (no per-row Python). Bit-exact
-    with the scalar :func:`simhash64` reference (tested)."""
+    """Vectorized simhash over whitespace tokens: the md5 token hash runs
+    once per UNIQUE token per batch; the ±1 bit accumulation is one
+    (tokens × SIMHASH_BITS) numpy pass with per-doc segment sums (no
+    per-row Python). Bit-exact with the scalar :func:`simhash64`
+    reference (tested)."""
     from .text import token_hash60
 
     s = batch.column(text_col).to_pandas().fillna("")
