@@ -178,6 +178,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pq.ParquetDataset(res.vertices_path).read()
         return t.select(["_key", "mention_count"])
 
+    def kg_two_hop(sf_dir):
+        # multi-hop reach over the built graph: one self shuffle-join of
+        # the deduped arc set on the middle vertex + exact distinct count
+        from raygraph.ops.graph import two_hop_counts
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return two_hop_counts(ed)
+
+    def kg_pagerank(sf_dir):
+        # fixed-point integer PageRank (3 iterations, damping .85) —
+        # rank state stays a Dataset; the integer spec makes the result
+        # bit-identical at any parallelism and SQL-reproducible
+        from raygraph.ops.graph import pagerank
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return pagerank(ed, iters=3)
+
     def kg_degrees(sf_dir):
         # graph-analytics surface over the built graph: per-vertex in/out
         # degree from the deduped edge table (distributed preagg counts;
@@ -367,6 +386,150 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.rename(columns={"o_custkey": "c_custkey"})
         return df.reset_index(drop=True)
 
+    def tpch_region_revenue(sf_dir):
+        # Q5-shape: the two big tables meet in ONE hash-shuffle join
+        # (lineitem ⋈ orders on orderkey); all four dimension tables ride
+        # along as a single broadcast merge chain inside map_batches.
+        # customer is broadcast here for its size in this corpus — at
+        # TPC-H scale it becomes a second shuffle_join on o_custkey with
+        # a compaction barrier between the two joins.
+        from raygraph.ops.relational import shuffle_join
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        )
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey"])
+        nli = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+        from raygraph.ops.relational import _join_partitions
+
+        j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=_join_partitions(nli))
+
+        import ray
+
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name",
+                                     "n_regionkey"]).to_pandas()
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                            columns=["r_regionkey", "r_name"]).to_pandas()
+        dims_ref = ray.put((sup, cust, nat, reg))
+
+        def enrich(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            s, c, n, r = _ray.get(dims_ref)
+            df = batch.to_pandas()
+            df = df.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+            df = df.merge(c, left_on="o_custkey", right_on="c_custkey")
+            df = df[df["c_nationkey"] == df["s_nationkey"]]
+            df = df.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+            df = df.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+            # exact integers: cents × discount basis points
+            pc_ = np.round(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 10000).astype("int64")
+            out = pd.DataFrame({
+                "r_name": df["r_name"], "n_name": df["n_name"],
+                "rev": pc_ * (10000 - bp),
+            })
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return preagg_sum(j.map_batches(enrich, batch_format="pyarrow"),
+                          ["r_name", "n_name"],
+                          {"revenue_micents": "rev"})
+
+    def tpch_order_priority(sf_dir):
+        # Q4-shape: late-shipping orders per priority — shuffle join
+        # carries (priority, orderdate) onto lineitem, the filter runs
+        # vectorized, and the exact two-level distinct count collapses
+        # multi-lineitem orders without a per-order Python call
+        from raygraph.ops.relational import distinct_count, shuffle_join
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_shipdate"])
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        from raygraph.ops.relational import _join_partitions
+
+        nli = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+        j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=_join_partitions(nli))
+
+        def late(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.greater(batch.column("l_shipdate"),
+                              batch.column("o_orderdate"))
+            return batch.filter(keep).select(
+                ["o_orderpriority", "l_orderkey"])
+
+        return distinct_count(j.map_batches(late, batch_format="pyarrow"),
+                              ["o_orderpriority"], "l_orderkey",
+                              out="n_orders")
+
+    def customers_without_orders(sf_dir):
+        # distributed NOT EXISTS: customers with no high-value order
+        # (totalprice > 350k) as a left_anti hash-shuffle join — neither
+        # side is collected or broadcast. The filter pushes into the
+        # probe-side read; the output is schema-repaired so an empty
+        # result still carries its columns.
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import shuffle_join
+
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name", "c_acctbal"])
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pads.field("o_totalprice") > 350_000.0,
+        )
+        from raygraph.ops.relational import _join_partitions
+
+        ncust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+        anti = shuffle_join(cust, orders, on="c_custkey",
+                            right_on="o_custkey", how="left_anti",
+                            num_partitions=_join_partitions(ncust))
+        return _repaired(anti, pa.schema([
+            ("c_custkey", pa.int64()), ("c_name", pa.string()),
+            ("c_acctbal", pa.float64()),
+        ]))
+
+    def lineitem_price_quantiles(sf_dir):
+        from raygraph.ops.relational import grouped_quantiles
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_returnflag", "l_extendedprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "price_cents": pa.array(np.round(p * 100).astype("int64")),
+            })
+
+        return grouped_quantiles(li.map_batches(cents, batch_format="pyarrow"),
+                                 ["l_returnflag"], "price_cents")
+
+    def docs_jaccard_top10(sf_dir):
+        # n-gram Jaccard similarity search: word-trigram set of doc 0
+        # broadcast once, per-batch partial top-k, exact-integer contract
+        t0 = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+        qtext = t0.column("text")[t0.column("doc_id").to_pylist().index(0)] \
+            .as_py()
+        return D.ngram_jaccard_topk(_docs_ds(sf_dir), qtext, k=10, n=3,
+                                    exclude_id=0)
+
     # ---- events (stream-shaped) -----------------------------------------
     def events_tumbling_1h(sf_dir):
         ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -438,6 +601,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(round_val, batch_format="pyarrow")
 
+    def events_running_sum(sf_dir):
+        # per-user running sum — SUM() OVER (PARTITION BY … ORDER BY …)
+        # as a hash-bucketed vectorized stage; (ts, event_id) ordering
+        # fixes the float accumulation order so it's bit-identical to
+        # the SQL window oracle
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value", "event_id"])
+        return E.running_sum(ev)
+
+    def events_distinct_users(sf_dir):
+        from raygraph.ops.relational import distinct_count
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id"])
+        return distinct_count(ev, ["event_type"], "user_id", out="n_users")
+
     # ---- embeddings / ANN ------------------------------------------------
     def ann_top10(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -493,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vertices": kg_vertices,
         "kg_vertex_mentions": kg_vertex_mentions,
         "kg_degrees": kg_degrees,
+        "kg_two_hop": kg_two_hop,
+        "kg_pagerank": kg_pagerank,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
         "export_edge_projection": export_edge_projection,
@@ -512,12 +693,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang_source": docs_by_lang_source,
         "top_sources_by_chars": top_sources_by_chars,
         "tpch_pricing_summary": tpch_pricing_summary,
+        "tpch_region_revenue": tpch_region_revenue,
+        "tpch_order_priority": tpch_order_priority,
+        "customers_without_orders": customers_without_orders,
+        "lineitem_price_quantiles": lineitem_price_quantiles,
+        "docs_jaccard_top10": docs_jaccard_top10,
         "customer_revenue_topk": customer_revenue_topk,
         "events_tumbling_1h": events_tumbling_1h,
         "events_sessions": events_sessions,
         "events_sessionize_full": events_sessionize_full,
         "events_asof_join": events_asof_join,
         "events_hopping": events_hopping,
+        "events_running_sum": events_running_sum,
+        "events_distinct_users": events_distinct_users,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "embedding_norms": embedding_norms,
@@ -547,6 +735,39 @@ def _simhash_sql_expr() -> str:
         for i in range(SIMHASH_BITS)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _pagerank_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled integer PageRank: each iteration is a join +
+    groupby + dangling-mass scalar + realign CTE, mirroring
+    raygraph.ops.graph.pagerank's fixed-point spec term for term (all
+    BIGINT floor arithmetic, so the match is bit-for-bit)."""
+    from raygraph.ops.graph import SCALE
+
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
+        ", nn AS (SELECT count(*)::BIGINT AS n FROM vv)",
+        ", od AS (SELECT u AS x, count(*)::BIGINT AS d FROM pr GROUP BY u)",
+        f", r0 AS (SELECT x, ({SCALE}::BIGINT // nn.n) AS r FROM vv, nn)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", c{i} AS (SELECT r.x, r.r // od.d AS c "
+            f"FROM r{i} r JOIN od ON r.x = od.x)",
+            f", s{i} AS (SELECT p.v AS x, sum(c.c)::BIGINT AS s "
+            f"FROM pr p JOIN c{i} c ON p.u = c.x GROUP BY p.v)",
+            f", g{i} AS (SELECT coalesce(sum(r.r), 0)::BIGINT AS dg "
+            f"FROM r{i} r LEFT JOIN od ON r.x = od.x WHERE od.x IS NULL)",
+            f", r{i + 1} AS (SELECT vv.x, "
+            f"(15 * {SCALE}::BIGINT) // (100 * nn.n) "
+            f"+ (85 * (coalesce(s.s, 0) + g.dg // nn.n)) // 100 AS r "
+            f"FROM vv CROSS JOIN nn CROSS JOIN g{i} g "
+            f"LEFT JOIN s{i} s ON vv.x = s.x)",
+        ]
+    parts.append(f" SELECT x AS vertex, r AS rank_e12 FROM r{iters}")
+    return "".join(parts)
 
 
 # lowercased-whitespace-token CTE shared by the text oracles
@@ -636,6 +857,101 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(count(*) AS BIGINT) AS cnt
                 FROM e WHERE i % 7 = 3
             ) WHERE cnt > 0
+        """,
+        "kg_two_hop": f"""
+            WITH edges AS ({kg_edges_sql}),
+            pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)
+            SELECT a.u AS a, count(DISTINCT b.v)::BIGINT AS n_two_hop
+            FROM pr a JOIN pr b ON a.v = b.u
+            GROUP BY a.u
+        """,
+        "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
+        "tpch_region_revenue": """
+            SELECT r_name, n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                   )::BIGINT AS revenue_micents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "tpch_order_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 350000)
+        """,
+        "lineitem_price_quantiles": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   quantile_disc(pc, 0.5) AS p50,
+                   quantile_disc(pc, 0.9) AS p90,
+                   quantile_disc(pc, 0.99) AS p99
+            FROM c GROUP BY l_returnflag
+        """,
+        "docs_jaccard_top10": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          WHEN len(toks) < 3
+                               THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2]))
+                     END AS gs
+              FROM t
+            ),
+            q AS (SELECT gs AS qg FROM g WHERE doc_id = 0),
+            j AS (
+              SELECT g.doc_id,
+                     len(list_intersect(g.gs, q.qg))::BIGINT AS n_inter,
+                     (len(g.gs) + len(q.qg)
+                      - len(list_intersect(g.gs, q.qg)))::BIGINT AS n_union
+              FROM g, q WHERE g.doc_id <> 0
+            )
+            SELECT doc_id, n_inter, n_union,
+                   (10000 * n_inter) // n_union AS jaccard_bp
+            FROM j
+            ORDER BY jaccard_bp DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "events_running_sum": """
+            SELECT user_id, ts, value, event_id,
+                   round(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 4) AS cum_value
+            FROM events
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
         """,
         "export_vertex_projection": """
             SELECT 'customer/' || c_custkey AS _id,

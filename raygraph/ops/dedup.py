@@ -120,6 +120,64 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
+def ngram_jaccard_topk(
+    ds,
+    query_text: str,
+    k: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_id=None,
+):
+    """Top-k documents by word-n-gram Jaccard similarity to one query
+    text — the n-gram-Jaccard dedup primitive exposed as a search.
+
+    The query's n-gram set is broadcast ONCE (``ray.put``); each batch
+    intersects against the local copy and emits at most its k best rows,
+    so the driver merges ≤ k·#batches candidate rows and the corpus
+    never leaves the cluster. Similarity is kept exact-integer —
+    (n_inter, n_union, jaccard_bp = ⌊10^4·inter/union⌋) — so ordering
+    and values are engine-independent and a SQL oracle reproduces them
+    bit-for-bit. Per-row cost is the O(tokens) C-level set intersection
+    itself (the kernel), not interpreter bookkeeping.
+    """
+    import ray
+
+    qset = word_ngrams(query_text, n)
+    qref = ray.put(qset)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q: set = _ray.get(qref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        rows = []
+        for i, t in zip(ids, texts):
+            if exclude_id is not None and i == exclude_id:
+                continue
+            g = word_ngrams(t or "", n)
+            inter = len(g & q)
+            union = len(g) + len(q) - inter
+            bp = (10_000 * inter) // union if union else 10_000
+            rows.append((i, inter, union, bp))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        rows = rows[:k]
+        return pa.table({
+            id_col: pa.array([r[0] for r in rows]),
+            "n_inter": pa.array([r[1] for r in rows], pa.int64()),
+            "n_union": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard_bp": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["jaccard_bp"], r[id_col]))
+    import pandas as pd
+
+    return pd.DataFrame(cand[:k],
+                        columns=[id_col, "n_inter", "n_union", "jaccard_bp"])
+
+
 # ----------------------------------------------------------------- MinHash
 class MinHasher:
     """num_perm universal-hash minhash signatures; coefficients derived

@@ -190,6 +190,41 @@ def sessionize(
                           num_buckets=num_buckets)
 
 
+def running_sum(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tie_col: str = "event_id",
+    out_col: str = "cum_value",
+    round_dp: int | None = 4,
+    num_buckets: int = 128,
+):
+    """Per-key running sum ordered by (ts, tie_col) — the window function
+    ``SUM(val) OVER (PARTITION BY key ORDER BY ts, tie ROWS UNBOUNDED
+    PRECEDING)`` as a distributed stage.
+
+    Hash-bucketed like :func:`sessionize`: one vectorized sort + groupby
+    cumsum per bucket covers every key in it; a key's rows must be
+    co-located, which the bucket hash guarantees, and the deterministic
+    (ts, tie) order makes float accumulation order — hence the result —
+    identical to the SQL window oracle. ``round_dp`` floors the float
+    tail for hash-stable comparison.
+    """
+    from .relational import hash_aggregate
+
+    def bucket_cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort",
+                            ignore_index=True)
+        df[out_col] = df.groupby(key_col, sort=False)[val_col].cumsum()
+        if round_dp is not None:
+            df[out_col] = df[out_col].round(round_dp)
+        return df
+
+    return hash_aggregate(ds, [key_col], bucket_cumsum,
+                          num_buckets=num_buckets)
+
+
 def session_counts(ds, gap_sec: int = 1800, key_col: str = "user_id",
                    ts_col: str = "ts", num_buckets: int = 128):
     """Sessions per key (the SQL-oracle-friendly aggregate of

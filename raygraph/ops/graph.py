@@ -1,0 +1,226 @@
+"""Graph analytics over materialized edge tables.
+
+The reference stops at exporting `_from`/`_to` edge collections for an
+external processing system (src/graph_loader.rs load_edges); this module
+closes the loop by running the analytics ON the Ray-built graph, staying
+in the same Dataset stream: per-vertex degrees live in
+``__ray_entry__.kg_degrees``; here are multi-hop reach and PageRank.
+
+Scale shape:
+
+* the edge table is the big side — it is only ever SHUFFLE-joined
+  (:func:`~raygraph.ops.relational.shuffle_join`) on a key it is hash
+  partitioned by, never broadcast and never collected;
+* vertex-sized state (ranks, degrees) flows as Datasets too, so a
+  10^9-entity inventory never lands on the driver — only true scalars
+  (vertex count, dangling mass) do;
+* PageRank runs in fixed-point int64 arithmetic (SCALE = 10^12): every
+  operation is integer add / floor-div, so results are bit-identical
+  at any parallelism AND reproducible by an integer-SQL oracle — no
+  float summation-order nondeterminism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+SCALE = 10**12  # fixed-point rank unit: rank 1.0 == 10^12
+
+_RANK_SCHEMA = [("vertex", pa.string()), ("outdeg", pa.int64()),
+                ("rank_e12", pa.int64())]
+
+
+def _repaired(ds, schema: pa.Schema):
+    """Materialize + drop Ray's schemaless empty blocks + coerce, so the
+    output of a groupby/aggregate/join can feed the next join."""
+    from .relational import coerce_schema, compact_nonempty
+
+    import ray.data as rd
+
+    out = compact_nonempty(ds.materialize())
+    if out is None:
+        return rd.from_arrow(schema.empty_table())
+    return coerce_schema(out, schema).materialize()
+
+
+def distinct_pairs(edges, src: str = "_from", dst: str = "_to"):
+    """Deduped directed (src, dst) pair set — parallel edges (same
+    endpoints, different predicates) collapse to one arc. Hash-bucketed
+    vectorized distinct; schema-repaired so it can feed joins."""
+    from .relational import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[src, dst]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dd = hash_aggregate(
+        edges.select_columns([src, dst]).map_batches(
+            partial, batch_format="pyarrow"),
+        [src, dst],
+        lambda df: df.drop_duplicates(),
+    )
+    return _repaired(dd, pa.schema([(src, pa.string()), (dst, pa.string())]))
+
+
+def two_hop_counts(edges, src: str = "_from", dst: str = "_to",
+                   out: str = "n_two_hop"):
+    """Distinct vertices reachable in exactly two directed hops, per
+    start vertex (a → b → c counts c once per a, self-reach included).
+
+    One shuffle join of the arc set against itself on the middle vertex
+    (b), then an exact two-level distinct count of (a, c) — the join is
+    the only all-to-all exchange and both sides are hash-partitioned on
+    b. Degenerate hub vertices multiply the join output (fan-in ×
+    fan-out per b); that blowup is inherent to the metric, and the
+    distinct count that follows collapses it again without driver
+    involvement.
+    """
+    from .relational import _join_partitions, distinct_count, shuffle_join
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+
+    def rename(ds, names):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    left = rename(pairs, ["a", "b"])
+    right = rename(pairs, ["b2", "c"])
+    # the right key column is merged away by the join; output is (a, b, c)
+    j = shuffle_join(left, right, on="b", right_on="b2",
+                     num_partitions=nparts)
+    j = _repaired(j, pa.schema([("a", pa.string()), ("b", pa.string()),
+                                ("c", pa.string())]))
+    counted = distinct_count(j.select_columns(["a", "c"]), ["a"], "c",
+                             out=out)
+    return counted
+
+
+def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
+    """Fixed-point integer PageRank (damping 0.85) over the deduped arc
+    set — ``iters`` synchronous iterations, returned as a Dataset of
+    (vertex, rank_e12) with rank scaled by 10^12.
+
+    Exact integer spec (the SQL oracle reproduces it bit-for-bit):
+
+    * ``N`` = #vertices (endpoints of the arc set)
+    * ``r0(v) = SCALE // N``
+    * per iteration:
+      - ``c(u) = r(u) // outdeg(u)`` for vertices with out-arcs
+      - ``S(v) = Σ c(u)`` over arcs u→v
+      - ``dang = Σ r(u)`` over vertices with no out-arcs (scalar)
+      - ``r'(v) = (15·SCALE)//(100·N) + (85·(S(v) + dang//N))//100``
+
+    Per iteration: one shuffle join (arcs ⋈ contributions on src — the
+    only edge-sized exchange), one partial-sum aggregate by dst, one
+    vertex-sized left join to realign ranks, and one scalar reduction
+    for the dangling mass. Rank state stays a Dataset end to end; the
+    driver only ever sees N and dang.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import _join_partitions, preagg_sum, shuffle_join
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+
+    # out-degree per source vertex (vertex-sized)
+    odeg = preagg_sum(pairs.select_columns([src]), [src], {},
+                      counts="outdeg")
+    odeg = _repaired(odeg, pa.schema([(src, pa.string()),
+                                      ("outdeg", pa.int64())]))
+
+    # vertex inventory = distinct endpoints, with outdeg attached
+    # (outdeg 0 for sink-only vertices)
+    verts = _repaired(
+        preagg_sum(
+            pairs.select_columns([src]).rename_columns({src: "vertex"})
+            .union(pairs.select_columns([dst]).rename_columns({dst: "vertex"})),
+            ["vertex"], {}, counts="__m"),
+        pa.schema([("vertex", pa.string()), ("__m", pa.int64())]),
+    ).select_columns(["vertex"])
+    vo = shuffle_join(verts, odeg, on="vertex", right_on=src,
+                      how="left_outer", num_partitions=nparts)
+
+    def init_ranks(n_vertices: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            od = pc.fill_null(pc.cast(batch.column("outdeg"), pa.int64()), 0)
+            n = batch.num_rows
+            return pa.table({
+                "vertex": batch.column("vertex"),
+                "outdeg": od,
+                "rank_e12": pa.array([SCALE // n_vertices] * n, pa.int64()),
+            })
+
+        return fn
+
+    n_vertices = verts.count()
+    if n_vertices == 0:
+        return _repaired(verts, pa.schema(_RANK_SCHEMA))
+    ranks = _repaired(
+        vo.map_batches(init_ranks(n_vertices), batch_format="pyarrow"),
+        pa.schema(_RANK_SCHEMA),
+    )
+
+    base = (15 * SCALE) // (100 * n_vertices)
+
+    for _ in range(iters):
+        # per-source contribution (only vertices with out-arcs)
+        def contrib(batch: pa.Table) -> pa.Table:
+            od = batch.column("outdeg").to_numpy(zero_copy_only=False)
+            r = batch.column("rank_e12").to_numpy(zero_copy_only=False)
+            keep = od > 0
+            return pa.table({
+                "cv": batch.column("vertex").filter(pa.array(keep)),
+                "c": pa.array(r[keep] // od[keep], pa.int64()),
+            })
+
+        contribs = ranks.map_batches(contrib, batch_format="pyarrow")
+
+        # dangling mass: scalar sum of sink-vertex ranks
+        def dang_part(batch: pa.Table) -> pa.Table:
+            od = batch.column("outdeg").to_numpy(zero_copy_only=False)
+            r = batch.column("rank_e12").to_numpy(zero_copy_only=False)
+            return pa.table({"d": pa.array([int(r[od == 0].sum())],
+                                           pa.int64())})
+
+        dang = sum(
+            row["d"]
+            for row in ranks.map_batches(dang_part, batch_format="pyarrow")
+            .take_all()
+        )
+
+        # edge-sized exchange: arcs pick up their source's contribution,
+        # partial-sum by destination
+        j = shuffle_join(pairs, contribs, on=src, right_on="cv",
+                         num_partitions=nparts)
+        j = _repaired(j, pa.schema([(src, pa.string()), (dst, pa.string()),
+                                    ("c", pa.int64())]))
+        sums = preagg_sum(j.select_columns([dst, "c"]), [dst], {"s": "c"})
+        sums = _repaired(sums, pa.schema([(dst, pa.string()),
+                                          ("s", pa.int64())]))
+
+        # realign onto the full vertex set (S = 0 where no in-arcs)
+        nxt = shuffle_join(ranks, sums, on="vertex", right_on=dst,
+                           how="left_outer", num_partitions=nparts)
+        dshare = dang // n_vertices
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            s = pc.fill_null(pc.cast(batch.column("s"), pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False)
+            r = base + (85 * (s + dshare)) // 100
+            return pa.table({
+                "vertex": batch.column("vertex"),
+                "outdeg": batch.column("outdeg"),
+                "rank_e12": pa.array(r, pa.int64()),
+            })
+
+        ranks = _repaired(
+            nxt.map_batches(apply_rank, batch_format="pyarrow"),
+            pa.schema(_RANK_SCHEMA),
+        )
+
+    return ranks.select_columns(["vertex", "rank_e12"])

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -173,6 +174,137 @@ def broadcast_join(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return big.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _join_partitions(approx_rows: int | None = None) -> int:
+    """Partition count for a Dataset.join, clamped to cluster CPUs.
+
+    Ray 2.49 keeps one aggregator ACTOR alive per join partition for the
+    duration of the join; requesting more partitions than the cluster has
+    CPUs deadlocks the actor pool. Size to the data when a row estimate
+    is available so toy inputs don't pay 32 actor spin-ups.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if approx_rows is not None:
+        return max(2, min(cpus, approx_rows // 100_000 + 4))
+    return max(2, cpus)
+
+
+def shuffle_join(
+    left,
+    right,
+    on: str | Sequence[str],
+    right_on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+):
+    """Distributed hash-shuffle join of two big Datasets (``Dataset.join``).
+
+    Use when BOTH sides are too large to broadcast (lineitem ⋈ orders,
+    edges ⋈ ranks): each side is hash-partitioned on the key, equal
+    buckets meet on one aggregator, nothing funnels through the driver.
+    For a small right side prefer :func:`broadcast_join` (no shuffle at
+    all). ``how`` accepts Ray's types incl. ``left_semi`` /
+    ``left_anti`` — the distributed EXISTS / NOT EXISTS.
+
+    Both inputs must carry Arrow blocks with a declared schema (plain
+    reads and pyarrow map_batches outputs qualify). Outputs of
+    groupby/map_groups must be repaired first (``coerce_schema`` +
+    ``materialize`` + ``compact_nonempty``) — Ray emits schemaless
+    zero-row blocks for empty partitions and the pyarrow join inside
+    fails on them; the same applies when chaining two joins (compact the
+    intermediate).
+    """
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is not None:
+        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions or _join_partitions(),
+        on=on,
+        right_on=right_on,
+    )
+
+
+def distinct_count(ds, group_cols, distinct_col: str, out: str = "n_distinct",
+                   num_buckets: int = 64):
+    """Exact COUNT(DISTINCT distinct_col) per group, two-level.
+
+    Level 1: per-batch ``drop_duplicates`` on (group, distinct) — each
+    batch contributes each pair once, so the shuffle moves ≤ distinct
+    pairs × batches rows, not all rows. Level 2: hash-bucketed global
+    dedup of the pairs (vectorized, one task per bucket), then a partial
+    count per (bucket, group) so the final groupby merges bucket-sized
+    partials instead of re-shuffling the pair set. Scales while the
+    distinct-pair set is shuffleable — the exact analog of the
+    approximate-sketch tradeoff (a HLL would cap the shuffle at
+    #groups × sketch bytes at the cost of exactness).
+    """
+    group_cols = list(group_cols)
+    keys = group_cols + [distinct_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(df[keys].drop_duplicates(),
+                                    preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates()
+            .groupby(group_cols, as_index=False)
+            .agg(**{out: (distinct_col, "size")})
+        )
+
+    dd = hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                        keys, per_bucket, num_buckets=num_buckets)
+    from ray.data.aggregate import Sum
+
+    return dd.groupby(group_cols if len(group_cols) > 1 else group_cols[0]) \
+        .aggregate(Sum(out, alias_name=out))
+
+
+def grouped_quantiles(ds, group_cols, value_col: str,
+                      qs: Sequence[float] = (0.5, 0.9, 0.99),
+                      prefix: str = "p", num_buckets: int = 64):
+    """Exact discrete quantiles (percentile_disc) per group over an
+    integer-valued column, without a global sort.
+
+    Pipeline: per-batch value-count partials → global (group, value,
+    count) via :func:`preagg_sum` (shuffle moves distinct values, not
+    rows) → per-group cumulative selection in one hash-bucketed reduce.
+    ``percentile_disc(q)`` = smallest value whose cumulative count ≥
+    ceil(q · n) — integer/exact, so a SQL oracle reproduces it
+    bit-for-bit (no float interpolation). Scales while the distinct
+    (group, value) set is shuffleable; discretize the value (e.g. cents)
+    to bound it.
+    """
+    import math
+
+    group_cols = list(group_cols)
+    counts = preagg_sum(ds.select_columns(group_cols + [value_col]),
+                        group_cols + [value_col], {}, counts="__cnt")
+
+    out_cols = [f"{prefix}{int(round(q * 100)):02d}" for q in qs]
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gkey, g in df.groupby(group_cols, sort=False):
+            g = g.sort_values(value_col, kind="mergesort")
+            cum = g["__cnt"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = g[value_col].to_numpy()
+            row = dict(zip(group_cols, gkey if isinstance(gkey, tuple) else (gkey,)))
+            for q, oc in zip(qs, out_cols):
+                rank = max(1, math.ceil(q * n))
+                row[oc] = vals[int(np.searchsorted(cum, rank))]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=group_cols + out_cols)
+
+    return hash_aggregate(counts, group_cols, per_group,
+                          num_buckets=num_buckets)
 
 
 def deterministic_sample(ds, keep_per_mille: int, id_col: str = "doc_id"):

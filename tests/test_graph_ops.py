@@ -1,0 +1,169 @@
+"""Graph analytics + new relational ops vs naive in-memory references."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+PAIRS = {("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("x", "a"),
+         ("a", "c")}
+
+
+def _edges_ds():
+    import ray.data as rd
+
+    # parallel edge a-p->b / a-q->b must collapse to one arc
+    return rd.from_arrow(pa.table({
+        "_from": ["a", "a", "b", "c", "d", "x", "a"],
+        "pred": ["p", "q", "p", "p", "p", "p", "p"],
+        "_to": ["b", "b", "c", "a", "a", "a", "c"],
+    }))
+
+
+def _succ():
+    succ = collections.defaultdict(set)
+    for u, v in PAIRS:
+        succ[u].add(v)
+    return succ
+
+
+def test_two_hop_counts_matches_naive(ray_session):
+    from raygraph.ops.graph import two_hop_counts
+
+    got = two_hop_counts(_edges_ds()).to_pandas()
+    got = dict(zip(got["a"], got["n_two_hop"].astype(int)))
+    succ = _succ()
+    exp = {u: len({c for b in vs for c in succ.get(b, ())})
+           for u, vs in succ.items()}
+    assert got == {k: v for k, v in exp.items() if v}
+
+
+def test_pagerank_matches_naive_integer_spec(ray_session):
+    from raygraph.ops.graph import SCALE, pagerank
+
+    got = pagerank(_edges_ds(), iters=3).to_pandas()
+    got = dict(zip(got["vertex"], got["rank_e12"].astype(int)))
+
+    succ = _succ()
+    verts = sorted({u for u, _ in PAIRS} | {v for _, v in PAIRS})
+    n = len(verts)
+    od = {u: len(vs) for u, vs in succ.items()}
+    r = {v: SCALE // n for v in verts}
+    base = (15 * SCALE) // (100 * n)
+    for _ in range(3):
+        c = {u: r[u] // od[u] for u in od}
+        s = collections.defaultdict(int)
+        for u, v in PAIRS:
+            s[v] += c[u]
+        dang = sum(r[v] for v in verts if v not in od)
+        r = {v: base + (85 * (s.get(v, 0) + dang // n)) // 100
+             for v in verts}
+    assert got == r
+    # ranks are a probability-ish distribution: total stays near SCALE
+    # (floor losses only shrink it)
+    assert 0.9 * SCALE < sum(got.values()) <= SCALE
+
+
+def test_pagerank_deterministic_across_parallelism(ray_session):
+    from raygraph.ops.graph import pagerank
+
+    a = pagerank(_edges_ds(), iters=2).to_pandas().sort_values("vertex")
+    b = pagerank(_edges_ds().repartition(7), iters=2).to_pandas() \
+        .sort_values("vertex")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_distinct_count_exact(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import distinct_count
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 2000).astype(str),
+        "u": rng.integers(0, 37, 2000),
+    })
+    got = distinct_count(rd.from_pandas(df).repartition(9), ["g"], "u",
+                         out="n").to_pandas().sort_values("g")
+    exp = df.groupby("g")["u"].nunique()
+    assert dict(zip(got["g"], got["n"].astype(int))) == exp.to_dict()
+
+
+def test_grouped_quantiles_matches_duckdb_disc(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from raygraph.ops.relational import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 5000).astype(str),
+        "v": rng.integers(0, 10_000, 5000),
+    })
+    got = grouped_quantiles(rd.from_pandas(df).repartition(8), ["g"], "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    exp = duckdb.connect().execute(
+        "SELECT g, quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9) AS "
+        "p90, quantile_disc(v, 0.99) AS p99 FROM df GROUP BY g ORDER BY g"
+    ).fetchdf()
+    for c in ("p50", "p90", "p99"):
+        assert got[c].astype(int).tolist() == exp[c].astype(int).tolist()
+
+
+def test_running_sum_matches_pandas_window(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import running_sum
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, 500),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 500) * 10**6),
+        "value": np.round(rng.random(500) * 100, 2),
+        "event_id": np.arange(500),
+    })
+    got = running_sum(rd.from_pandas(df).repartition(5)).to_pandas()
+    got = got.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    exp["cum_value"] = exp.groupby("user_id")["value"].cumsum().round(4)
+    assert np.allclose(got["cum_value"], exp["cum_value"])
+
+
+def test_ngram_jaccard_topk(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import ngram_jaccard_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over a lazy dog",   # near-dup
+            "completely different content here now",
+            "",                                            # empty
+        ],
+    })
+    out = ngram_jaccard_topk(rd.from_pandas(docs), docs.text[0], k=10,
+                             exclude_id=0)
+    assert out.doc_id.tolist()[0] == 1          # near-dup ranks first
+    # one word changed in 9 tokens: 4 of 10 distinct trigrams shared
+    assert out.jaccard_bp.iloc[0] == 4000
+    row3 = out[out.doc_id == 3].iloc[0]
+    assert row3.n_inter == 0 and row3.jaccard_bp == 0
+    # exact-integer contract
+    assert (out.jaccard_bp ==
+            (10_000 * out.n_inter) // out.n_union).all()
+
+
+def test_shuffle_join_left_anti(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import shuffle_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "a": list("wxyz")}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 4, 4]}))
+    out = shuffle_join(left, right, on="k", right_on="rk",
+                       how="left_anti").to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 3]
