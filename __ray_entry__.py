@@ -197,6 +197,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return pagerank(ed, iters=3)
 
+    def kg_components(sf_dir):
+        # label propagation (5 fixed rounds): min vertex id reachable
+        # within 5 undirected hops — true components when the diameter
+        # fits, SQL-reproducible either way
+        from raygraph.ops.graph import connected_components
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return connected_components(ed, iters=5)
+
     def kg_degrees(sf_dir):
         # graph-analytics surface over the built graph: per-vertex in/out
         # degree from the deduped edge table (distributed preagg counts;
@@ -617,6 +627,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return distinct_count(ev, ["event_type"], "user_id", out="n_users")
 
+    def events_approx_users(sf_dir):
+        # the sketch path for the same question: HLL caps the shuffle at
+        # 64 registers per group; integer spec ⇒ the SQL oracle
+        # recomputes the estimate bit-for-bit
+        from raygraph.ops.sketch import hll_distinct
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id"])
+        return hll_distinct(ev, ["event_type"], "user_id")
+
     # ---- embeddings / ANN ------------------------------------------------
     def ann_top10(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -674,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": kg_degrees,
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
+        "kg_components": kg_components,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
         "export_edge_projection": export_edge_projection,
@@ -706,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events_hopping,
         "events_running_sum": events_running_sum,
         "events_distinct_users": events_distinct_users,
+        "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "embedding_norms": embedding_norms,
@@ -768,6 +790,67 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
         ]
     parts.append(f" SELECT x AS vertex, r AS rank_e12 FROM r{iters}")
     return "".join(parts)
+
+
+def _components_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled label propagation: per round, the neighborhood
+    minimum folds into each vertex's label (least/coalesce), mirroring
+    raygraph.ops.graph.connected_components exactly (binary-collation
+    string min on both engines)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", arcs AS (SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr)",
+        ", vv AS (SELECT DISTINCT u AS x FROM arcs)",
+        ", l0 AS (SELECT x, x AS l FROM vv)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", m{i} AS (SELECT a.v AS x, min(l.l) AS ml "
+            f"FROM arcs a JOIN l{i} l ON a.u = l.x GROUP BY a.v)",
+            f", l{i + 1} AS (SELECT v.x, "
+            f"least(l.l, coalesce(m.ml, l.l)) AS l "
+            f"FROM vv v JOIN l{i} l ON v.x = l.x "
+            f"LEFT JOIN m{i} m ON v.x = m.x)",
+        ]
+    parts.append(f" SELECT x AS vertex, l AS component FROM l{iters}")
+    return "".join(parts)
+
+
+def _hll_sql(table: str, group_col: str, value_col: str) -> str:
+    """The integer HLL estimator recomputed in SQL: identical md5-60bit
+    hashes, register maxima via bin()-length bit_length, exact HUGEINT
+    power sums, and the same ×10^4 floor-divide estimate —
+    raygraph.ops.sketch.hll_distinct's spec term for term."""
+    from raygraph.ops.sketch import ALPHA_E6, M, W
+
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT {group_col},
+                 ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM {table}
+        ),
+        b AS (SELECT {group_col}, h >> {W} AS j,
+                     h & ((1::BIGINT << {W}) - 1) AS w
+              FROM h),
+        r AS (SELECT {group_col}, j,
+                     max(CASE WHEN w = 0 THEN {W + 1}
+                              ELSE {W + 1} - length(bin(w)) END) AS mj
+              FROM b GROUP BY {group_col}, j),
+        g AS (SELECT DISTINCT {group_col} FROM {table}),
+        allb AS (SELECT g.{group_col}, t.x AS j
+                 FROM g CROSS JOIN range({M}) t(x)),
+        reg AS (SELECT a.{group_col}, a.j, coalesce(r.mj, 0) AS mj
+                FROM allb a LEFT JOIN r
+                  ON a.{group_col} = r.{group_col} AND a.j = r.j),
+        s AS (SELECT {group_col}, sum(1::HUGEINT << (60 - mj)) AS S
+              FROM reg GROUP BY {group_col})
+        SELECT {group_col},
+               (({ALPHA_E6}::HUGEINT * {M} * {M} * (1::HUGEINT << 60)
+                 * 10000) // (1000000::HUGEINT * S))::BIGINT AS approx_n_e4
+        FROM s
+    """
 
 
 # lowercased-whitespace-token CTE shared by the text oracles
@@ -866,6 +949,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.u
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
+        "kg_components": _components_sql(kg_edges_sql, iters=5),
+        "events_approx_users": _hll_sql("events", "event_type", "user_id"),
         "tpch_region_revenue": """
             SELECT r_name, n_name,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -169,6 +169,33 @@ def main() -> None:
     E.tumbling_window(ev, window_sec=3600).count()
     timings["events_tumbling"] = round(time.monotonic() - t0, 3)
 
+    # distributed hash-shuffle join: lineitem ⋈ orders on orderkey, then
+    # a partial-sum aggregate — the Q5-shaped big⋈big exchange
+    t0 = time.monotonic()
+    from raygraph.ops.relational import (_join_partitions, preagg_sum,
+                                         shuffle_join)
+
+    li = rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(os.path.join(SF_DIR, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    nli = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=_join_partitions(nli))
+
+    def cents(batch):
+        import pyarrow as pa
+
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "price_cents": pa.array(np.round(p * 100).astype("int64")),
+        })
+
+    preagg_sum(j.map_batches(cents, batch_format="pyarrow"),
+               ["o_custkey"], {"rev": "price_cents"}).count()
+    timings["join_lineitem_orders"] = round(time.monotonic() - t0, 3)
+
     result = {
         "metric": "kg_construction_sec",
         "value": timings["kg_build"],

@@ -99,6 +99,89 @@ def two_hop_counts(edges, src: str = "_from", dst: str = "_to",
     return counted
 
 
+def connected_components(edges, iters: int = 5, src: str = "_from",
+                         dst: str = "_to"):
+    """Label propagation over the undirected arc set: after ``iters``
+    synchronous rounds each vertex carries the MINIMUM vertex id
+    reachable within ``iters`` undirected hops — equal to its true
+    connected component whenever ``iters`` ≥ the component diameter
+    (fixed rounds keep the spec exact and SQL-reproducible either way;
+    min over strings is binary-collation on both engines).
+
+    Per round: one edge-sized shuffle join (arcs pick up their source's
+    label), a min-combine by destination (associative, so per-batch
+    partials are exact), and a vertex-sized left join to fold the
+    neighborhood minimum into each vertex's own label. Labels stay a
+    Dataset throughout — nothing vertex- or edge-sized reaches the
+    driver.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, preagg_extreme,
+                             shuffle_join)
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+
+    def rename(ds, names):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+    arcs = _repaired(
+        rename(pairs, ["u", "v"]).union(rename(pairs, ["v", "u"])
+                                        .select_columns(["u", "v"])),
+        arc_schema,
+    )
+
+    def dedup_arcs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # reversed duplicates (a↔b both directions present) are harmless for
+    # a min-combine; dedup per-block only, no extra shuffle
+    arcs = _repaired(arcs.map_batches(dedup_arcs, batch_format="pyarrow"),
+                     arc_schema)
+
+    labels = _repaired(
+        preagg_extreme(arcs.select_columns(["u"]), ["u"], "u", how="min",
+                       out="label"),
+        pa.schema([("u", pa.string()), ("label", pa.string())]),
+    ).rename_columns({"u": "vertex"})
+
+    lbl_schema = pa.schema([("vertex", pa.string()),
+                            ("label", pa.string())])
+    for _ in range(iters):
+        # arcs ⋈ labels on u: each arc carries its source's label to v
+        msgs = shuffle_join(arcs, labels, on="u", right_on="vertex",
+                            num_partitions=nparts)
+        msgs = _repaired(msgs, pa.schema([("u", pa.string()),
+                                          ("v", pa.string()),
+                                          ("label", pa.string())]))
+        mins = preagg_extreme(msgs.select_columns(["v", "label"]), ["v"],
+                              "label", how="min", out="nbr_min")
+        mins = _repaired(mins, pa.schema([("v", pa.string()),
+                                          ("nbr_min", pa.string())]))
+        nxt = shuffle_join(labels, mins, on="vertex", right_on="v",
+                           how="left_outer", num_partitions=nparts)
+
+        def fold(batch: pa.Table) -> pa.Table:
+            lab = batch.column("label")
+            nb = pc.coalesce(batch.column("nbr_min"), lab)
+            # string min: lexicographic (binary) compare, same as SQL least()
+            return pa.table({
+                "vertex": batch.column("vertex"),
+                "label": pc.if_else(pc.less_equal(lab, nb), lab, nb),
+            })
+
+        labels = _repaired(nxt.map_batches(fold, batch_format="pyarrow"),
+                           lbl_schema)
+
+    return labels.rename_columns({"label": "component"})
+
+
 def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
     """Fixed-point integer PageRank (damping 0.85) over the deduped arc
     set — ``iters`` synchronous iterations, returned as a Dataset of

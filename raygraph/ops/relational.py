@@ -354,6 +354,29 @@ def group_topk(ds, group_cols, order_col: str, k: int,
                           group_cols, topk_df, num_buckets=num_buckets)
 
 
+def preagg_extreme(ds, keys: Sequence[str], col: str, how: str = "min",
+                   out: str | None = None):
+    """groupby(keys) MIN/MAX of ``col`` with per-batch partials — same
+    combiner discipline as :func:`preagg_sum` (min/max are associative
+    and idempotent, so the partial is exact at any block layout)."""
+    from ray.data.aggregate import Max, Min
+
+    keys = list(keys)
+    out = out or col
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, as_index=False).agg(**{out: (col, how)})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (Min if how == "min" else Max)(out, alias_name=out)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(agg)
+    )
+
+
 def preagg_sum(
     ds,
     keys: Sequence[str],

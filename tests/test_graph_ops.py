@@ -157,6 +157,47 @@ def test_ngram_jaccard_topk(ray_session):
             (10_000 * out.n_inter) // out.n_union).all()
 
 
+def test_connected_components_label_propagation(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import connected_components
+
+    # two chains (reachability must flow AGAINST edge direction too) and
+    # an isolated pair
+    edges = pa.table({
+        "_from": ["b", "c", "d", "x", "y"],
+        "pred": ["p"] * 5,
+        "_to": ["a", "b", "c", "y", "z"],
+    })
+    cc = connected_components(rd.from_arrow(edges), iters=5).to_pandas()
+    got = dict(zip(cc.vertex, cc.component))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "z": "x"}
+
+
+def test_hll_error_bound_and_determinism(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.sketch import M, hll_distinct
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 2, 60_000).astype(str),
+        "u": rng.integers(0, 20_000, 60_000),
+    })
+    got = hll_distinct(rd.from_pandas(df).repartition(7), ["g"], "u") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    exact = df.groupby("g")["u"].nunique()
+    for _, r in got.iterrows():
+        est = r["approx_n_e4"] / 1e4
+        # n >> M regime: 1.04/sqrt(64) ≈ 13% std error; 2.5σ bound
+        assert abs(est - exact[r["g"]]) / exact[r["g"]] < 2.5 * 1.04 / M**0.5
+    # integer spec ⇒ bit-identical at any block layout
+    again = hll_distinct(rd.from_pandas(df).repartition(23), ["g"], "u") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert got.equals(again)
+
+
 def test_shuffle_join_left_anti(ray_session):
     import ray.data as rd
 
