@@ -108,15 +108,15 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
     (fixed rounds keep the spec exact and SQL-reproducible either way;
     min over strings is binary-collation on both engines).
 
-    Per round: one edge-sized shuffle join (arcs pick up their source's
-    label), a min-combine by destination (associative, so per-batch
-    partials are exact), and a vertex-sized left join to fold the
-    neighborhood minimum into each vertex's own label. Labels stay a
-    Dataset throughout — nothing vertex- or edge-sized reaches the
-    driver.
+    Per round: ONE edge-sized shuffle join (arcs pick up their source's
+    label) and one min-combine by destination (associative, so
+    per-batch partials are exact). The fold of a vertex's own label is
+    free: the arc set carries a self-loop (v, v) per vertex, so every
+    vertex receives its current label as one of the messages and the
+    min over incoming messages IS the new label — no vertex-sized
+    realign join. Labels stay a Dataset throughout; nothing vertex- or
+    edge-sized reaches the driver.
     """
-    import pyarrow.compute as pc
-
     from .relational import (_join_partitions, preagg_extreme,
                              shuffle_join)
 
@@ -151,33 +151,30 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
         pa.schema([("u", pa.string()), ("label", pa.string())]),
     ).rename_columns({"u": "vertex"})
 
+    def self_loops(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("vertex"),
+                         "v": batch.column("vertex")})
+
+    arcs = _repaired(
+        arcs.union(labels.map_batches(self_loops, batch_format="pyarrow")),
+        arc_schema,
+    )
+
     lbl_schema = pa.schema([("vertex", pa.string()),
                             ("label", pa.string())])
     for _ in range(iters):
-        # arcs ⋈ labels on u: each arc carries its source's label to v
+        # arcs ⋈ labels on u: each arc (incl. the self-loop) carries its
+        # source's label to v; min per v = next label
         msgs = shuffle_join(arcs, labels, on="u", right_on="vertex",
                             num_partitions=nparts)
         msgs = _repaired(msgs, pa.schema([("u", pa.string()),
                                           ("v", pa.string()),
                                           ("label", pa.string())]))
-        mins = preagg_extreme(msgs.select_columns(["v", "label"]), ["v"],
-                              "label", how="min", out="nbr_min")
-        mins = _repaired(mins, pa.schema([("v", pa.string()),
-                                          ("nbr_min", pa.string())]))
-        nxt = shuffle_join(labels, mins, on="vertex", right_on="v",
-                           how="left_outer", num_partitions=nparts)
-
-        def fold(batch: pa.Table) -> pa.Table:
-            lab = batch.column("label")
-            nb = pc.coalesce(batch.column("nbr_min"), lab)
-            # string min: lexicographic (binary) compare, same as SQL least()
-            return pa.table({
-                "vertex": batch.column("vertex"),
-                "label": pc.if_else(pc.less_equal(lab, nb), lab, nb),
-            })
-
-        labels = _repaired(nxt.map_batches(fold, batch_format="pyarrow"),
-                           lbl_schema)
+        labels = _repaired(
+            preagg_extreme(msgs.select_columns(["v", "label"]), ["v"],
+                           "label", how="min", out="label"),
+            pa.schema([("v", pa.string()), ("label", pa.string())]),
+        ).rename_columns({"v": "vertex"})
 
     return labels.rename_columns({"label": "component"})
 
@@ -203,50 +200,51 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
     for the dangling mass. Rank state stays a Dataset end to end; the
     driver only ever sees N and dang.
     """
-    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
 
-    from .relational import _join_partitions, preagg_sum, shuffle_join
+    from .relational import _join_partitions, preagg_extreme, shuffle_join
 
     pairs = distinct_pairs(edges, src, dst)
     nparts = _join_partitions(pairs.count())
 
-    # out-degree per source vertex (vertex-sized)
-    odeg = preagg_sum(pairs.select_columns([src]), [src], {},
-                      counts="outdeg")
-    odeg = _repaired(odeg, pa.schema([(src, pa.string()),
-                                      ("outdeg", pa.int64())]))
+    # vertex inventory WITH out-degree, join-free: per-src count rows
+    # (od = #out-arcs) ∪ a zero row per dst endpoint, Max-combined —
+    # sources keep their count, sink-only vertices land at 0
+    def src_ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": batch.column(src),
+                         "od": pa.array([1] * batch.num_rows, pa.int64())})
 
-    # vertex inventory = distinct endpoints, with outdeg attached
-    # (outdeg 0 for sink-only vertices)
-    verts = _repaired(
-        preagg_sum(
-            pairs.select_columns([src]).rename_columns({src: "vertex"})
-            .union(pairs.select_columns([dst]).rename_columns({dst: "vertex"})),
-            ["vertex"], {}, counts="__m"),
-        pa.schema([("vertex", pa.string()), ("__m", pa.int64())]),
-    ).select_columns(["vertex"])
-    vo = shuffle_join(verts, odeg, on="vertex", right_on=src,
-                      how="left_outer", num_partitions=nparts)
+    def dst_zeros(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": batch.column(dst),
+                         "od": pa.array([0] * batch.num_rows, pa.int64())})
 
-    def init_ranks(n_vertices: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            od = pc.fill_null(pc.cast(batch.column("outdeg"), pa.int64()), 0)
-            n = batch.num_rows
-            return pa.table({
-                "vertex": batch.column("vertex"),
-                "outdeg": od,
-                "rank_e12": pa.array([SCALE // n_vertices] * n, pa.int64()),
-            })
+    def od_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("vertex", as_index=False)["od"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        return fn
-
-    n_vertices = verts.count()
-    if n_vertices == 0:
-        return _repaired(verts, pa.schema(_RANK_SCHEMA))
-    ranks = _repaired(
-        vo.map_batches(init_ranks(n_vertices), batch_format="pyarrow"),
-        pa.schema(_RANK_SCHEMA),
+    vo = _repaired(
+        pairs.map_batches(src_ones, batch_format="pyarrow")
+        .union(pairs.map_batches(dst_zeros, batch_format="pyarrow"))
+        .map_batches(od_partial, batch_format="pyarrow")
+        .groupby("vertex").aggregate(Sum("od", alias_name="outdeg")),
+        pa.schema([("vertex", pa.string()), ("outdeg", pa.int64())]),
     )
+
+    n_vertices = vo.count()
+    if n_vertices == 0:
+        return _repaired(vo, pa.schema(_RANK_SCHEMA))
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": batch.column("vertex"),
+            "outdeg": batch.column("outdeg"),
+            "rank_e12": pa.array([SCALE // n_vertices] * batch.num_rows,
+                                 pa.int64()),
+        })
+
+    ranks = _repaired(vo.map_batches(init_ranks, batch_format="pyarrow"),
+                      pa.schema(_RANK_SCHEMA))
 
     base = (15 * SCALE) // (100 * n_vertices)
 
@@ -275,34 +273,60 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
             for row in ranks.map_batches(dang_part, batch_format="pyarrow")
             .take_all()
         )
+        dshare = dang // n_vertices
 
-        # edge-sized exchange: arcs pick up their source's contribution,
-        # partial-sum by destination
+        # the ONLY join of the iteration: arcs pick up their source's
+        # contribution. The realign onto the full vertex set is
+        # join-free — each vertex contributes a zero message carrying
+        # its outdeg, so one grouped (Sum, Max) covers S and the degree
         j = shuffle_join(pairs, contribs, on=src, right_on="cv",
                          num_partitions=nparts)
         j = _repaired(j, pa.schema([(src, pa.string()), (dst, pa.string()),
                                     ("c", pa.int64())]))
-        sums = preagg_sum(j.select_columns([dst, "c"]), [dst], {"s": "c"})
-        sums = _repaired(sums, pa.schema([(dst, pa.string()),
-                                          ("s", pa.int64())]))
 
-        # realign onto the full vertex set (S = 0 where no in-arcs)
-        nxt = shuffle_join(ranks, sums, on="vertex", right_on=dst,
-                           how="left_outer", num_partitions=nparts)
-        dshare = dang // n_vertices
+        def edge_msgs(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "__v": batch.column(dst),
+                "c": batch.column("c"),
+                "od": pa.array([-1] * batch.num_rows, pa.int64()),
+            })
+
+        def zero_msgs(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "__v": batch.column("vertex"),
+                "c": pa.array([0] * batch.num_rows, pa.int64()),
+                "od": batch.column("outdeg"),
+            })
+
+        def msg_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("__v", as_index=False).agg(
+                c=("c", "sum"), od=("od", "max"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        merged = (
+            j.map_batches(edge_msgs, batch_format="pyarrow")
+            .union(ranks.map_batches(zero_msgs, batch_format="pyarrow"))
+            .map_batches(msg_partial, batch_format="pyarrow")
+            .groupby("__v")
+            .aggregate(Sum("c", alias_name="s"),
+                       Max("od", alias_name="outdeg"))
+        )
+        merged = _repaired(merged, pa.schema([("__v", pa.string()),
+                                              ("s", pa.int64()),
+                                              ("outdeg", pa.int64())]))
 
         def apply_rank(batch: pa.Table) -> pa.Table:
-            s = pc.fill_null(pc.cast(batch.column("s"), pa.int64()), 0) \
-                .to_numpy(zero_copy_only=False)
+            s = batch.column("s").to_numpy(zero_copy_only=False)
             r = base + (85 * (s + dshare)) // 100
             return pa.table({
-                "vertex": batch.column("vertex"),
+                "vertex": batch.column("__v"),
                 "outdeg": batch.column("outdeg"),
                 "rank_e12": pa.array(r, pa.int64()),
             })
 
         ranks = _repaired(
-            nxt.map_batches(apply_rank, batch_format="pyarrow"),
+            merged.map_batches(apply_rank, batch_format="pyarrow"),
             pa.schema(_RANK_SCHEMA),
         )
 
