@@ -314,6 +314,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.bpe_token_count,
                                             batch_format="pyarrow")
 
+    def text_top_tokens(sf_dir):
+        # corpus heavy hitters: vectorized explode (split + pandas
+        # explode) → per-batch partial counts → one vocab-bounded
+        # groupby; the driver sees only the vocab-sized aggregate
+        ds = _docs_ds(sf_dir)
+
+        def token_counts(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            toks = s.str.strip().str.lower().str.split().explode().dropna()
+            g = toks.value_counts().rename_axis("token") \
+                .reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = preagg_sum(ds.map_batches(token_counts, batch_format="pyarrow"),
+                         ["token"], {"n": "n"})
+        df = agg.to_pandas().sort_values(["n", "token"],
+                                         ascending=[False, True]).head(20)
+        return df.reset_index(drop=True)
+
+    def embedding_centroids(sf_dir):
+        # grouped vector mean (class centroids): per-batch per-dim
+        # partial integer sums (values scaled to e6), one (bucket, dim)
+        # groupby, floor-divide mean — exact integer end to end, so the
+        # unnest-with-ordinality SQL oracle matches bit-for-bit
+        from raygraph.ops.vecops import vectors_to_numpy
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vecs = vectors_to_numpy(batch.column("embedding"), np.float64)
+            # TRUNCATION, not rounding: both engines compute the same
+            # double product, and trunc is unambiguous where round's
+            # half-even (numpy) vs half-away (SQL) can disagree on an
+            # exact .5 product
+            e6 = (vecs * 1_000_000).astype("int64")
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            bucket = ids % 10
+            n, d = e6.shape
+            df = pd.DataFrame({
+                "bucket": np.repeat(bucket, d),
+                "dim": np.tile(np.arange(d, dtype="int64"), n),
+                "sum_e6": e6.reshape(-1),
+                "n_vecs": np.ones(n * d, dtype="int64"),
+            })
+            g = df.groupby(["bucket", "dim"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = preagg_sum(emb.map_batches(partial, batch_format="pyarrow"),
+                         ["bucket", "dim"],
+                         {"sum_e6": "sum_e6", "n_vecs": "n_vecs"})
+
+        def mean(batch: pa.Table) -> pa.Table:
+            import pandas as _pd
+
+            df = batch.to_pandas() if not isinstance(batch, _pd.DataFrame) \
+                else batch
+            df["centroid_e6"] = df["sum_e6"] // df["n_vecs"]
+            return pa.Table.from_pandas(
+                df[["bucket", "dim", "n_vecs", "centroid_e6"]],
+                preserve_index=False)
+
+        return agg.map_batches(mean, batch_format="pyarrow")
+
+    def tpch_q1_full(sf_dir):
+        # the full Q1 aggregate set in exact integer arithmetic:
+        # disc_price and charge are staged floor-divides (defined spec,
+        # overflow-safe at any scale), averages are ×10^4 floor ints
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax"],
+        )
+
+        def to_ints(batch: pa.Table) -> pa.Table:
+            p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            t = batch.column("l_tax").to_numpy(zero_copy_only=False)
+            q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            cents = np.round(p * 100).astype("int64")
+            bp = np.round(d * 10_000).astype("int64")
+            tax_bp = np.round(t * 10_000).astype("int64")
+            disc = cents * (10_000 - bp) // 10_000
+            charge = disc * (10_000 + tax_bp) // 10_000
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_e4": pa.array(np.round(q * 10_000).astype("int64")),
+                "base_cents": pa.array(cents),
+                "disc_bp": pa.array(bp),
+                "disc_price_cents": pa.array(disc),
+                "charge_cents": pa.array(charge),
+            })
+
+        agg = preagg_sum(
+            li.map_batches(to_ints, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            {"sum_qty_e4": "qty_e4", "sum_base_cents": "base_cents",
+             "sum_disc_price_cents": "disc_price_cents",
+             "sum_charge_cents": "charge_cents", "sum_disc_bp": "disc_bp"},
+            counts="n_rows",
+        )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["avg_qty_e4"] = df["sum_qty_e4"] // df["n_rows"]
+            df["avg_price_cents"] = df["sum_base_cents"] // df["n_rows"]
+            df["avg_disc_bp"] = df["sum_disc_bp"] // df["n_rows"]
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return agg.map_batches(finalize, batch_format="pyarrow")
+
     # ---- relational / aggregation ---------------------------------------
     def docs_sample_10pct(sf_dir):
         from raygraph.ops.relational import deterministic_sample
@@ -709,11 +821,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": text_lang_id,
         "text_fingerprints": text_fingerprints,
         "text_bpe_token_count": text_bpe_token_count,
+        "text_top_tokens": text_top_tokens,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_by_lang_source": docs_by_lang_source,
         "top_sources_by_chars": top_sources_by_chars,
         "tpch_pricing_summary": tpch_pricing_summary,
+        "tpch_q1_full": tpch_q1_full,
         "tpch_region_revenue": tpch_region_revenue,
         "tpch_order_priority": tpch_order_priority,
         "customers_without_orders": customers_without_orders,
@@ -731,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "embedding_norms": embedding_norms,
+        "embedding_centroids": embedding_centroids,
         "media_features": media_features,
     }
 
@@ -951,6 +1066,73 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
+        "text_top_tokens": _TOKS_CTE + """
+            , u AS (SELECT unnest(toks) AS token FROM t)
+            SELECT token, count(*)::BIGINT AS n
+            FROM u GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
+        """,
+        "embedding_centroids": """
+            WITH u AS (
+              SELECT vec_id % 10 AS bucket,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     -- ::DOUBLE first: the stored vectors are float32
+                     -- and the product must be computed in f64 exactly
+                     -- like numpy's promoted multiply
+                     CAST(trunc(unnest(embedding)::DOUBLE * 1000000)
+                          AS BIGINT) AS x_e6
+              FROM embeddings
+            )
+            SELECT bucket, dim, count(*)::BIGINT AS n_vecs,
+                   -- Python-style FLOOR division (sums can be negative;
+                   -- DuckDB's // truncates toward zero instead). The
+                   -- float detour is exact: |sum| << 2^53 and a
+                   -- non-divisible quotient sits ≥ 1/n from an integer.
+                   CAST(floor(sum(x_e6)::DOUBLE / count(*)) AS BIGINT)
+                     AS centroid_e6
+            FROM u GROUP BY bucket, dim
+        """,
+        "tpch_q1_full": """
+            WITH c AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity * 10000) AS BIGINT) AS qty_e4,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS base_cents,
+                     CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+                     CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+              FROM lineitem
+            ),
+            s AS (
+              SELECT *,
+                     base_cents * (10000 - disc_bp) // 10000
+                       AS disc_price_cents
+              FROM c
+            ),
+            s2 AS (
+              SELECT *,
+                     disc_price_cents * (10000 + tax_bp) // 10000
+                       AS charge_cents
+              FROM s
+            ),
+            a AS (
+              SELECT l_returnflag, l_linestatus,
+                     sum(qty_e4)::BIGINT AS sum_qty_e4,
+                     sum(base_cents)::BIGINT AS sum_base_cents,
+                     sum(disc_price_cents)::BIGINT AS sum_disc_price_cents,
+                     sum(charge_cents)::BIGINT AS sum_charge_cents,
+                     sum(disc_bp)::BIGINT AS sum_disc_bp,
+                     count(*)::BIGINT AS n_rows
+              FROM s2 GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, sum_qty_e4, sum_base_cents,
+                   sum_disc_price_cents, sum_charge_cents, sum_disc_bp,
+                   n_rows,
+                   sum_qty_e4 // n_rows AS avg_qty_e4,
+                   sum_base_cents // n_rows AS avg_price_cents,
+                   sum_disc_bp // n_rows AS avg_disc_bp
+            FROM a
+        """,
         "tpch_region_revenue": """
             SELECT r_name, n_name,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
