@@ -799,6 +799,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "feature_dim", lambda df: [32] * len(df), batch_format="pandas"
         )
 
+    def media_dimensions(sf_dir):
+        # REAL byte-level media metadata extraction: each document is
+        # wrapped in a valid PNG container (IHDR dims derived from the
+        # doc), and the pure-bytes header parser recovers them — the
+        # pre-decode kernel a media pipeline runs at read speed; the
+        # oracle recomputes the dims straight from the documents
+        from raygraph.ops.media import image_dimensions, make_png
+
+        ds = _docs_ds(sf_dir)
+
+        def to_png(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            payloads = [
+                make_png(1 + len(t or "") % 640, 1 + (i % 480),
+                         (t or "").encode())
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+            })
+
+        return image_dimensions(ds.map_batches(to_png,
+                                               batch_format="pyarrow"),
+                                keep_cols=("doc_id",))
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -847,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": embedding_norms,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
+        "media_dimensions": media_dimensions,
     }
 
 
@@ -1066,6 +1094,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
+        "media_dimensions": """
+            SELECT doc_id, 'png' AS fmt,
+                   CAST(1 + length(text) % 640 AS INTEGER) AS width,
+                   CAST(1 + doc_id % 480 AS INTEGER) AS height
+            FROM documents
+        """,
         "text_top_tokens": _TOKS_CTE + """
             , u AS (SELECT unnest(toks) AS token FROM t)
             SELECT token, count(*)::BIGINT AS n

@@ -61,3 +61,53 @@ def test_decode_features_actor_pipeline():
     a = {r["media_ref"]: list(r["feature"]) for r in out}
     b = {r["media_ref"]: list(r["feature"]) for r in again}
     assert a == b
+
+
+def test_parse_image_header_png_roundtrip():
+    from raygraph.ops.media import make_png, parse_image_header
+
+    assert parse_image_header(make_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(make_png(1, 1, b"xyz")) == ("png", 1, 1)
+    # a real PNG is parseable by zlib-capable readers: CRC check
+    import struct
+    import zlib
+
+    p = make_png(12, 34)
+    ln = struct.unpack(">I", p[8:12])[0]
+    typ_data = p[12:16 + ln]
+    crc = struct.unpack(">I", p[16 + ln:20 + ln])[0]
+    assert zlib.crc32(typ_data) & 0xFFFFFFFF == crc
+
+
+def test_parse_image_header_jpeg_and_garbage():
+    import struct
+
+    from raygraph.ops.media import parse_image_header
+
+    # SOI + APP0 segment + SOF0 carrying (height=480, width=640)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", 480, 640) + b"\x03"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    assert parse_image_header(b"\xff\xd8\x00") == ("jpeg", None, None)
+    assert parse_image_header(b"not an image") == ("unknown", None, None)
+    assert parse_image_header(b"") == ("unknown", None, None)
+
+
+def test_image_dimensions_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.media import image_dimensions, make_png
+
+    tbl = pa.table({
+        "media_ref": ["a", "b", "c"],
+        "payload": pa.array([make_png(10, 20), make_png(7, 7), b"junk"],
+                            pa.binary()),
+    })
+    out = image_dimensions(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("media_ref").reset_index(drop=True)
+    assert out["fmt"].tolist() == ["png", "png", "unknown"]
+    assert out["width"].tolist()[:2] == [10, 7]
+    assert out["height"].fillna(-1).tolist() == [20, 7, -1]
