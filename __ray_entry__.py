@@ -443,6 +443,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(ds, ["lang", "source"], {"total_chars": "n_chars"},
                           counts="n_docs")
 
+    def docs_rollup(sf_dir):
+        # GROUP BY ROLLUP(lang, source): ONE corpus pass produces the
+        # detail aggregate; the subtotal and grand-total levels roll up
+        # from that (aggregate-sized, no second scan) with NULL level
+        # markers exactly like SQL ROLLUP
+        ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "source"))
+        detail = preagg_sum(ds, ["lang", "source"], {}, counts="n_docs") \
+            .to_pandas()
+        detail["n_docs"] = detail["n_docs"].astype("int64")
+        sub = detail.groupby("lang", as_index=False)["n_docs"].sum()
+        sub["source"] = None
+        tot = pd.DataFrame({"lang": [None], "source": [None],
+                            "n_docs": [detail["n_docs"].sum()]})
+        out = pd.concat([detail, sub, tot], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["lang", "source", "n_docs"]]
+
     def top_sources_by_chars(sf_dir):
         ds = _docs_ds(sf_dir, columns=("source", "n_chars"))
         agg = preagg_sum(ds, ["source"], {"total_chars": "n_chars"})
@@ -852,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_by_lang_source": docs_by_lang_source,
+        "docs_rollup": docs_rollup,
         "top_sources_by_chars": top_sources_by_chars,
         "tpch_pricing_summary": tpch_pricing_summary,
         "tpch_q1_full": tpch_q1_full,
@@ -1094,6 +1112,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
+        "docs_rollup": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
         "media_dimensions": """
             SELECT doc_id, 'png' AS fmt,
                    CAST(1 + length(text) % 640 AS INTEGER) AS width,
