@@ -525,6 +525,131 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.rename(columns={"o_custkey": "c_custkey"})
         return df.reset_index(drop=True)
 
+    def customer_rank_in_nation(sf_dir):
+        # RANK() OVER (PARTITION BY nation ORDER BY revenue DESC) as a
+        # distributed stage: per-customer revenue via combiner preagg,
+        # dim broadcast, then one hash-bucketed vectorized rank pass
+        from raygraph.ops.relational import grouped_rank
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_totalprice"])
+
+        def to_cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_custkey": batch.column("o_custkey"),
+                "price_cents": pa.array(np.round(p * 100).astype("int64")),
+            })
+
+        rev = preagg_sum(orders.map_batches(to_cents, batch_format="pyarrow"),
+                         ["c_custkey"], {"rev_cents": "price_cents"})
+        cust_df = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ).to_pandas()
+        cust_df["c_nationkey"] = cust_df["c_nationkey"].astype("int64")
+        joined = broadcast_join(rev, cust_df, on="c_custkey")
+        return grouped_rank(joined, ["c_nationkey"], "rev_cents")
+
+    def tpch_q6_revenue(sf_dir):
+        # Q6: pure filter + global sum — predicate pushed into the scan
+        # batches, exact integer contract (cents × basis points)
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"],
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            sd = df["l_shipdate"].astype("datetime64[ns]")
+            keep = (
+                (sd >= pd.Timestamp("1996-01-01"))
+                & (sd < pd.Timestamp("1997-01-01"))
+                & (bp >= 5) & (bp <= 7)
+                & (df["l_quantity"].to_numpy() < 24)
+            )
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            rev = int((cents[keep.to_numpy()] * bp[keep.to_numpy()]).sum())
+            return pa.table({"revenue_cents_bp": pa.array([rev], pa.int64())})
+
+        from raygraph.ops.relational import tree_aggregate
+
+        out = tree_aggregate(
+            li.map_batches(partial, batch_format="pyarrow"),
+            lambda df: pd.DataFrame(
+                {"revenue_cents_bp": [int(df["revenue_cents_bp"].sum())]}
+            ),
+            precombined=True,
+        )
+        return out
+
+    def tpch_q3_shipping(sf_dir):
+        # Q3: two hash-shuffle joins (customer⋈orders shipped as a
+        # broadcast dim; orders⋈lineitem is the big⋈big shuffle), then
+        # grouped revenue + global top-10 — exact cents×(100-bp) ints
+        from raygraph.ops.relational import shuffle_join
+
+        cutoff = pd.Timestamp("1998-06-15")
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        ).to_pandas()
+        seg_keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+        seg = set(seg_keys.tolist())
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+
+        import ray
+
+        seg_ref = ray.put(seg)
+
+        def ofilter(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            s = _ray.get(seg_ref)
+            df = batch.to_pandas()
+            od = df["o_orderdate"].astype("datetime64[ns]")
+            keep = (od < cutoff) & df["o_custkey"].isin(s)
+            return pa.Table.from_pandas(
+                df.loc[keep, ["o_orderkey", "o_orderdate"]],
+                preserve_index=False)
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        )
+
+        def lfilter(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            sd = df["l_shipdate"].astype("datetime64[ns]")
+            df = df.loc[sd > cutoff]
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(
+                pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                              "rev": cents * (100 - bp)}),
+                preserve_index=False)
+
+        joined = shuffle_join(
+            li.map_batches(lfilter, batch_format="pyarrow"),
+            orders.map_batches(ofilter, batch_format="pyarrow"),
+            on="l_orderkey", right_on="o_orderkey", how="inner",
+        )
+        agg = preagg_sum(joined, ["l_orderkey", "o_orderdate"],
+                         {"revenue_cents_pct": "rev"})
+        df = agg.to_pandas().sort_values(
+            ["revenue_cents_pct", "l_orderkey"], ascending=[False, True]
+        ).head(10).rename(columns={"l_orderkey": "o_orderkey"})
+        return df.reset_index(drop=True)
+
     def tpch_region_revenue(sf_dir):
         # Q5-shape: the two big tables meet in ONE hash-shuffle join
         # (lineitem ⋈ orders on orderkey); all four dimension tables ride
@@ -749,6 +874,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts", "value", "event_id"])
         return E.running_sum(ev)
 
+    def events_gaps(sf_dir):
+        # per-user inter-event gap stats — LAG() OVER (PARTITION BY user
+        # ORDER BY ts, event_id) folded into its per-key aggregate;
+        # exact int64 microseconds, bit-identical to the window oracle
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_id"])
+        return E.event_gaps(ev)
+
+    def events_interval_join(sf_dir):
+        # broadcast interval join: per-event-type intervals
+        # [min_ts, min_ts + 1 day) — overlapping, so events fan out to
+        # every containing interval; the intervals are computed
+        # DISTRIBUTED (preagg min per type) and only the tiny interval
+        # table ships via ray.put
+        from raygraph.ops.relational import (
+            interval_join_broadcast,
+            preagg_extreme,
+            preagg_sum,
+        )
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts", "value"])
+        iv = preagg_extreme(
+            ev.select_columns(["event_type", "ts"]), ["event_type"], "ts",
+            how="min", out="lo",
+        ).to_pandas()
+        iv = iv.rename(columns={"event_type": "iv_type"})
+        iv["hi"] = iv["lo"] + pd.Timedelta(days=1)
+
+        def to_e4(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "ts": batch.column("ts"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        joined = interval_join_broadcast(
+            ev.map_batches(to_e4, batch_format="pyarrow"), iv, "ts")
+        return preagg_sum(joined, ["iv_type", "lo", "hi"],
+                          {"sum_value_e4": "value_e4"}, counts="n_events")
+
     def events_distinct_users(sf_dir):
         from raygraph.ops.relational import distinct_count
 
@@ -875,6 +1041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1_full": tpch_q1_full,
         "tpch_region_revenue": tpch_region_revenue,
         "tpch_order_priority": tpch_order_priority,
+        "tpch_q6_revenue": tpch_q6_revenue,
+        "tpch_q3_shipping": tpch_q3_shipping,
+        "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "docs_jaccard_top10": docs_jaccard_top10,
@@ -885,6 +1054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": events_asof_join,
         "events_hopping": events_hopping,
         "events_running_sum": events_running_sum,
+        "events_gaps": events_gaps,
+        "events_interval_join": events_interval_join,
         "events_distinct_users": events_distinct_users,
         "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
@@ -1492,6 +1663,72 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY o_custkey, c_name
             ORDER BY revenue_cents DESC, o_custkey LIMIT 10
+        """,
+        "tpch_q6_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * CAST(round(l_discount * 100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_cents_bp
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_q3_shipping": """
+            SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100, 0)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_cents_pct
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-15'
+              AND l.l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_cents_pct DESC, o_orderkey LIMIT 10
+        """,
+        "customer_rank_in_nation": """
+            WITH r AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS rev_cents
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT r.c_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   r.rev_cents,
+                   CAST(rank() OVER (PARTITION BY c.c_nationkey
+                                     ORDER BY r.rev_cents DESC) AS BIGINT)
+                       AS rnk
+            FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+        """,
+        "events_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   count(gap)::BIGINT AS n_gaps,
+                   coalesce(max(gap), 0)::BIGINT AS max_gap_us,
+                   coalesce(sum(gap), 0)::BIGINT AS sum_gap_us
+            FROM g GROUP BY user_id
+        """,
+        "events_interval_join": """
+            WITH iv AS (
+              SELECT event_type AS iv_type, min(ts) AS lo,
+                     min(ts) + INTERVAL 1 DAY AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT iv.iv_type, iv.lo, iv.hi,
+                   CAST(sum(CAST(round(e.value * 10000, 0) AS BIGINT))
+                        AS BIGINT) AS sum_value_e4,
+                   count(*)::BIGINT AS n_events
+            FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+            GROUP BY iv.iv_type, iv.lo, iv.hi
         """,
         "events_tumbling_1h": """
             SELECT user_id,

@@ -225,6 +225,47 @@ def running_sum(
                           num_buckets=num_buckets)
 
 
+def event_gaps(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    num_buckets: int = 128,
+):
+    """Per-key inter-event gap statistics — the LAG() window function
+    (``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, tie)``) folded
+    into its per-key aggregate, as a distributed stage.
+
+    Hash-bucketed like :func:`sessionize`: one vectorized sort + diff per
+    bucket covers every key in it (a key's rows must be co-located, which
+    the bucket hash guarantees). Gaps are exact int64 microseconds, so a
+    SQL window oracle reproduces the output bit-for-bit. Emits per key:
+    ``n_events``, ``n_gaps`` (= n_events - 1), ``max_gap_us``,
+    ``sum_gap_us`` (0 for single-event keys — the SQL ``coalesce``).
+    """
+    from .relational import hash_aggregate
+
+    def bucket_gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort",
+                            ignore_index=True)
+        us = df[ts_col].astype("datetime64[ns]").astype("int64") // 1_000
+        gap = us.diff()
+        gap[df[key_col] != df[key_col].shift()] = pd.NA
+        df["__gap"] = gap
+        out = df.groupby(key_col, as_index=False, sort=False).agg(
+            n_events=(ts_col, "size"),
+            n_gaps=("__gap", "count"),
+            max_gap_us=("__gap", "max"),
+            sum_gap_us=("__gap", "sum"),
+        )
+        for c in ("n_events", "n_gaps", "max_gap_us", "sum_gap_us"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return out
+
+    return hash_aggregate(ds.select_columns([key_col, ts_col, tie_col]),
+                          [key_col], bucket_gaps, num_buckets=num_buckets)
+
+
 def session_counts(ds, gap_sec: int = 1800, key_col: str = "user_id",
                    ts_col: str = "ts", num_buckets: int = 128):
     """Sessions per key (the SQL-oracle-friendly aggregate of

@@ -354,6 +354,81 @@ def group_topk(ds, group_cols, order_col: str, k: int,
                           group_cols, topk_df, num_buckets=num_buckets)
 
 
+def grouped_rank(ds, partition_cols, order_col: str, ascending: bool = False,
+                 out: str = "rnk", num_buckets: int = 128):
+    """``RANK() OVER (PARTITION BY … ORDER BY order_col)`` as a
+    distributed stage: hash-bucket by partition key, then one vectorized
+    ``groupby().rank(method="min")`` per bucket (SQL RANK semantics —
+    ties share the smallest rank, next rank skips). Rank with ties is
+    order-insensitive, so the result is deterministic at any block
+    layout. A partition's rows must be co-located, which the bucket hash
+    guarantees; per-partition row count is the scaling unit (same bound
+    as any SQL PARTITION BY).
+    """
+    partition_cols = list(partition_cols)
+
+    def bucket_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out] = (
+            df.groupby(partition_cols, sort=False)[order_col]
+            .rank(method="min", ascending=ascending)
+            .astype("int64")
+        )
+        return df
+
+    return hash_aggregate(ds, partition_cols, bucket_rank,
+                          num_buckets=num_buckets)
+
+
+def interval_join_broadcast(big, intervals_df: pd.DataFrame, ts_col: str,
+                            lo_col: str = "lo", hi_col: str = "hi",
+                            intervals_ref=None):
+    """Interval (range) join of a big Dataset against a SMALL table of
+    possibly-overlapping [lo, hi) intervals: each big row joins every
+    interval containing its ``ts_col`` (inner semantics — rows in no
+    interval drop; rows in k intervals fan out k times).
+
+    The intervals ship ONCE via ``ray.put``; inside each batch the
+    containment test is one vectorized comparison per interval
+    (O(#intervals) numpy passes per batch, no per-row Python). This is
+    the broadcast side of a range join — for interval sets too large to
+    broadcast, bucket both sides by coarse time range and run this
+    per-bucket (the standard banding trick; the fan-out then bounds the
+    shuffle).
+    """
+    import ray
+
+    if intervals_ref is None:
+        intervals_ref = ray.put(intervals_df)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        iv = _ray.get(intervals_ref)
+        df = batch.to_pandas()
+        ts = df[ts_col].to_numpy()
+        parts = []
+        for row in iv.itertuples(index=False):
+            r = row._asdict()
+            mask = (ts >= r[lo_col]) & (ts < r[hi_col])
+            if not mask.any():
+                continue
+            sub = df.loc[mask].copy()
+            for c, v in r.items():
+                sub[c] = v
+            parts.append(sub)
+        if not parts:
+            cols = {**{c: df[c].iloc[:0] for c in df.columns},
+                    **{c: pd.Series([], dtype=iv[c].dtype)
+                       for c in iv.columns}}
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        preserve_index=False)
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    return big.map_batches(join_batch, batch_format="pyarrow")
+
+
 def preagg_extreme(ds, keys: Sequence[str], col: str, how: str = "min",
                    out: str | None = None):
     """groupby(keys) MIN/MAX of ``col`` with per-batch partials — same

@@ -106,3 +106,26 @@ def test_asof_join_backward(ray_session):
     assert out[(1, lts[2])][0] == 20.0          # latest <= 25 is ts=20
     assert out[(2, lts[3])][0] is None          # user 2 mark is at t=100
     assert out[(2, lts[3])][1] is None
+
+
+def test_event_gaps():
+    import ray.data as rd
+
+    from raygraph.ops.events import event_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "user_id": [1, 1, 1, 2],
+        "ts": pa.array(
+            [t0, t0 + dt.timedelta(seconds=10),
+             t0 + dt.timedelta(seconds=40), t0], pa.timestamp("us")),
+        "event_id": [3, 1, 2, 4],
+    })
+    out = {r["user_id"]: r
+           for r in event_gaps(rd.from_arrow(tbl), num_buckets=4).take_all()}
+    assert out[1]["n_events"] == 3 and out[1]["n_gaps"] == 2
+    assert out[1]["max_gap_us"] == 30_000_000
+    assert out[1]["sum_gap_us"] == 40_000_000
+    # single-event key: zero gaps, coalesced zeros
+    assert out[2]["n_events"] == 1 and out[2]["n_gaps"] == 0
+    assert out[2]["max_gap_us"] == 0 and out[2]["sum_gap_us"] == 0

@@ -208,3 +208,47 @@ def test_shuffle_join_left_anti(ray_session):
     out = shuffle_join(left, right, on="k", right_on="rk",
                        how="left_anti").to_pandas()
     assert sorted(out["k"].tolist()) == [1, 3]
+
+
+def test_grouped_rank_ties():
+    import ray.data as rd
+
+    from raygraph.ops.relational import grouped_rank
+
+    tbl = pa.table({
+        "nation": ["a", "a", "a", "b"],
+        "cust": [1, 2, 3, 4],
+        "rev": [100, 100, 50, 7],
+    })
+    out = grouped_rank(rd.from_arrow(tbl), ["nation"], "rev",
+                       num_buckets=4).take_all()
+    got = {r["cust"]: r["rnk"] for r in out}
+    # SQL RANK(): ties share rank 1, next rank skips to 3
+    assert got[1] == 1 and got[2] == 1 and got[3] == 3 and got[4] == 1
+
+
+def test_interval_join_broadcast_overlap_and_drop():
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import interval_join_broadcast
+
+    t0 = dt.datetime(2024, 1, 1)
+    big = rd.from_arrow(pa.table({
+        "ts": pa.array([t0 + dt.timedelta(hours=h) for h in (0, 5, 30)],
+                       pa.timestamp("us")),
+        "v": [1, 2, 3],
+    }))
+    iv = pd.DataFrame({
+        "name": ["x", "y"],
+        "lo": [pd.Timestamp(t0), pd.Timestamp(t0)],
+        "hi": [pd.Timestamp(t0 + dt.timedelta(hours=6)),
+               pd.Timestamp(t0 + dt.timedelta(hours=1))],
+    })
+    rows = interval_join_broadcast(big, iv, "ts").take_all()
+    got = sorted((r["v"], r["name"]) for r in rows)
+    # v=1 is in both overlapping intervals (fan-out), v=2 only in x,
+    # v=3 in none (dropped — inner semantics)
+    assert got == [(1, "x"), (1, "y"), (2, "x")]
