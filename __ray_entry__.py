@@ -333,6 +333,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          ascending=[False, True]).head(20)
         return df.reset_index(drop=True)
 
+    def text_cms_counts(sf_dir):
+        # Count-Min sketch heavy-hitter estimates next to exact counts:
+        # the sketch is ≤ 3×512 integer cells no matter the corpus (the
+        # constant-size shuffle), estimates are min-over-rows — integer
+        # spec, so the SQL oracle rebuilds the identical sketch
+        from raygraph.ops.sketch import cms_estimate, cms_sketch
+
+        ds = _docs_ds(sf_dir)
+
+        def token_counts(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            toks = s.str.strip().str.lower().str.split().explode().dropna()
+            g = toks.value_counts().rename_axis("token") \
+                .reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        # the per-batch token partials feed BOTH the sketch and the
+        # exact candidate counts — pin them once
+        partials = ds.map_batches(token_counts,
+                                  batch_format="pyarrow").materialize()
+        sk = cms_sketch(partials, "token", weight_col="n")
+        exact = preagg_sum(partials, ["token"], {"n": "n"})
+        top = exact.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]).head(20)
+        est = cms_estimate(sk.to_pandas(), top["token"])
+        out = top.rename(columns={"n": "exact_n"}).merge(est, on="token")
+        out["exact_n"] = out["exact_n"].astype("int64")
+        return out.reset_index(drop=True)
+
+    def events_top_type(sf_dir):
+        # mode per group (most frequent event_type per user, ties → type
+        # ASC): combiner preagg counts, then the group-topk reduce at
+        # k=1 — never a per-key Python call
+        from raygraph.ops.relational import group_topk
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        counts = preagg_sum(ev, ["user_id", "event_type"], {}, counts="n")
+        return group_topk(counts, ["user_id"], "n", 1, tie_col="event_type")
+
+    def docs_tfidf_top3(sf_dir):
+        # per-doc top-3 terms by an integer tf-idf (score = tf ×
+        # ((N×10^4)//df)): tf explode per batch, document frequency via
+        # combiner preagg, tf⋈df met in a hash-shuffle join on token,
+        # then the bucketed group-topk per doc — exact integers so the
+        # unnest SQL oracle matches bit-for-bit
+        from raygraph.ops.relational import (
+            coerce_schema,
+            compact_nonempty,
+            group_topk,
+            shuffle_join,
+        )
+
+        ds = _docs_ds(sf_dir)
+        n_docs = _docs_count(sf_dir)
+
+        def tf_partial(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            ids = batch.column("doc_id").to_pandas()
+            ex = s.str.strip().str.lower().str.split().explode().dropna()
+            df = pd.DataFrame({"doc_id": ids.loc[ex.index].to_numpy(),
+                               "token": ex.to_numpy()})
+            g = df.groupby(["doc_id", "token"], as_index=False).size() \
+                .rename(columns={"size": "tf"})
+            g["tf"] = g["tf"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+        dfreq = preagg_sum(tf, ["token"], {}, counts="df")
+        dfreq = compact_nonempty(coerce_schema(
+            dfreq, pa.schema([("token", pa.string()), ("df", pa.int64())])
+        ).materialize())
+        joined = shuffle_join(tf, dfreq, on="token")
+
+        def score(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["score"] = df["tf"] * ((n_docs * 10_000) // df["df"])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        scored = joined.map_batches(score, batch_format="pyarrow")
+        return group_topk(scored, ["doc_id"], "score", 3, tie_col="token")
+
+    def media_audio(sf_dir):
+        # REAL byte-level audio metadata: each doc wrapped in a valid
+        # PCM WAV container (rate/channels derived from doc_id, data =
+        # UTF-8 text bytes), and the pure-bytes RIFF walker recovers
+        # them — the oracle recomputes everything from the doc columns
+        from raygraph.ops.media import audio_metadata, make_wav
+
+        RATES = [8000, 16000, 44100]
+        ds = _docs_ds(sf_dir)
+
+        def to_wav(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            payloads = [
+                make_wav(RATES[i % 3], 1 + (i % 2), 16, (t or "").encode())
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+            })
+
+        return audio_metadata(ds.map_batches(to_wav, batch_format="pyarrow"),
+                              keep_cols=("doc_id",))
+
     def embedding_centroids(sf_dir):
         # grouped vector mean (class centroids): per-batch per-dim
         # partial integer sums (values scaled to e6), one (bucket, dim)
@@ -1032,6 +1139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "text_bpe_token_count": text_bpe_token_count,
         "text_top_tokens": text_top_tokens,
+        "text_cms_counts": text_cms_counts,
+        "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_by_lang_source": docs_by_lang_source,
@@ -1056,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": events_running_sum,
         "events_gaps": events_gaps,
         "events_interval_join": events_interval_join,
+        "events_top_type": events_top_type,
         "events_distinct_users": events_distinct_users,
         "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
@@ -1064,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
         "media_dimensions": media_dimensions,
+        "media_audio": media_audio,
     }
 
 
@@ -1292,6 +1403,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + length(text) % 640 AS INTEGER) AS width,
                    CAST(1 + doc_id % 480 AS INTEGER) AS height
             FROM documents
+        """,
+        "media_audio": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 8000
+                                     WHEN 1 THEN 16000
+                                     ELSE 44100 END AS sample_rate,
+                     1 + doc_id % 2 AS n_channels,
+                     strlen(text) AS n_bytes
+              FROM documents
+            ), f AS (
+              -- block align = channels × 2 bytes (16-bit PCM); payload
+              -- is zero-padded up to a whole frame
+              SELECT *, (n_bytes + n_channels * 2 - 1) // (n_channels * 2)
+                         AS n_frames
+              FROM b
+            )
+            SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+                   CAST(n_channels AS BIGINT) AS n_channels,
+                   16::BIGINT AS bits_per_sample,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_frames * 1000 // sample_rate AS BIGINT)
+                       AS duration_ms
+            FROM f
+        """,
+        "text_cms_counts": _TOKS_CTE + """
+            , u AS (SELECT unnest(toks) AS token FROM t),
+            exact AS (SELECT token, count(*)::BIGINT AS exact_n
+                      FROM u GROUP BY token),
+            top AS (SELECT * FROM exact
+                    ORDER BY exact_n DESC, token ASC LIMIT 20),
+            ds AS (SELECT unnest([0, 1, 2]) AS d),
+            cells AS (
+              SELECT ds.d,
+                     ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                                         || e.token), 1, 15))::BIGINT
+                       % 512 AS bucket,
+                     CAST(sum(e.exact_n) AS BIGINT) AS cnt
+              FROM exact e CROSS JOIN ds
+              GROUP BY 1, 2
+            )
+            SELECT t.token, t.exact_n, CAST(min(c.cnt) AS BIGINT) AS cms_n
+            FROM top t CROSS JOIN ds dd
+            JOIN cells c ON c.d = dd.d
+              AND c.bucket = ('0x' || substr(md5(CAST(dd.d AS VARCHAR)
+                                                 || ':' || t.token),
+                                             1, 15))::BIGINT % 512
+            GROUP BY t.token, t.exact_n
+        """,
+        "docs_tfidf_top3": _TOKS_CTE + """
+            , u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM u GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(*)::BIGINT AS df
+                      FROM tf GROUP BY token),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                         CAST(tf.tf * ((n.n * 10000) // dfreq.df)
+                              AS BIGINT) AS score
+                  FROM tf JOIN dfreq ON tf.token = dfreq.token
+                  CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, token ASC) AS rn
+                  FROM s)
+            SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 3
+        """,
+        "events_top_type": """
+            WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY n DESC, event_type ASC) AS rn
+                  FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
         """,
         "text_top_tokens": _TOKS_CTE + """
             , u AS (SELECT unnest(toks) AS token FROM t)

@@ -236,3 +236,78 @@ def decode_features(ds, feature_dim: int = 64, concurrency=(1, 4)):
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
     )
+
+
+def make_wav(sample_rate: int, n_channels: int, bits: int,
+             payload: bytes = b"") -> bytes:
+    """Minimal VALID RIFF/WAVE container (fmt + data chunks, PCM) —
+    the audio twin of :func:`make_png`. The data chunk is ``payload``
+    zero-padded to a whole number of frames (block align =
+    channels × bits/8), so frame count is exact."""
+    import struct
+
+    block = n_channels * (bits // 8)
+    pad = (-len(payload)) % block
+    data = payload + b"\x00" * pad
+    byte_rate = sample_rate * block
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(payload: bytes) -> dict:
+    """PCM WAV metadata from raw bytes — RIFF walk over chunks, no
+    codec. Returns sample_rate / n_channels / bits_per_sample / n_frames
+    / duration_ms, or all-None for non-WAV payloads. Like
+    :func:`parse_image_header`, this is the pre-decode kernel an audio
+    pipeline runs at read speed."""
+    import struct
+
+    none = {k: None for k in ("sample_rate", "n_channels",
+                              "bits_per_sample", "n_frames", "duration_ms")}
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return none
+    i, n = 12, len(payload)
+    rate = channels = bits = None
+    data_len = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8:i + 24])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)          # chunks are word-aligned
+    if rate is None or data_len is None or not channels or not bits:
+        return none
+    block = channels * (bits // 8)
+    frames = data_len // block if block else 0
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bits_per_sample": bits,
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // rate if rate else 0,
+    }
+
+
+def audio_metadata(ds, payload_col: str = "payload",
+                   keep_cols: tuple = ("media_ref",)):
+    """Per-payload WAV header parse: (keep_cols…, sample_rate,
+    n_channels, bits_per_sample, n_frames, duration_ms)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch.column(payload_col).to_pylist()
+        metas = [parse_wav_header(p or b"") for p in payloads]
+        cols = {c: batch.column(c) for c in keep_cols}
+        for k in ("sample_rate", "n_channels", "bits_per_sample",
+                  "n_frames", "duration_ms"):
+            cols[k] = pa.array([m[k] for m in metas], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=MEDIA_BATCH_SIZE)

@@ -99,3 +99,84 @@ def hll_distinct(ds, group_cols, value_col: str, out: str = "approx_n_e4",
     # co-located by the bucket hash, so the estimate is exact-per-spec
     return hash_aggregate(regs, group_cols, estimate,
                           num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------- Count-Min
+# Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 2005. Same
+# integer-contract discipline as HLL above: row hash d = low 60 bits of
+# md5(f"{d}:{value}") % CMS_W — engine-portable, so a SQL oracle
+# rebuilds the identical sketch and estimates.
+
+CMS_D = 3                  # hash rows
+CMS_W = 512                # buckets per row
+
+
+def _cms_bucket_series(vals: pd.Series, d: int) -> pd.Series:
+    """Vectorized-enough md5 bucketing (one hash per UNIQUE value)."""
+    import hashlib as _h
+
+    uniq = pd.Index(vals.unique())
+    buckets = {
+        v: int(_h.md5(f"{d}:{v}".encode()).hexdigest()[:15], 16) % CMS_W
+        for v in uniq
+    }
+    return vals.map(buckets)
+
+
+def cms_sketch(ds, value_col: str, weight_col: str | None = None):
+    """Count-Min sketch of a value stream as a (d, bucket, cnt) Dataset
+    (≤ CMS_D × CMS_W rows — constant-size no matter the stream).
+
+    Per-batch partials: count (or sum ``weight_col``) per unique value,
+    hash each unique value into one bucket per row d, sum into (d,
+    bucket) cells; the global merge is a ``preagg_sum`` over at most
+    D×W keys. The md5 cost is paid once per unique value per batch.
+    """
+    from .relational import preagg_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if weight_col is None:
+            per_val = df[value_col].value_counts().rename_axis("v") \
+                .reset_index(name="cnt")
+        else:
+            per_val = df.groupby(value_col, as_index=False)[weight_col] \
+                .sum().rename(columns={value_col: "v", weight_col: "cnt"})
+        frames = []
+        for d in range(CMS_D):
+            frames.append(pd.DataFrame({
+                "d": d,
+                "bucket": _cms_bucket_series(per_val["v"], d),
+                "cnt": per_val["cnt"],
+            }))
+        x = pd.concat(frames, ignore_index=True)
+        g = x.groupby(["d", "bucket"], as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["d", "bucket"], {"cnt": "cnt"})
+
+
+def cms_estimate(sketch_df: pd.DataFrame, values) -> pd.DataFrame:
+    """Point-estimate counts for ``values`` from a collected sketch
+    table: est(v) = min over d of cell(d, bucket_d(v)) — the classic
+    upper-bound estimator (never under-counts). The sketch is D×W rows,
+    driver-small by construction."""
+    import hashlib as _h
+
+    cells = {(int(r.d), int(r.bucket)): int(r.cnt)
+             for r in sketch_df.itertuples(index=False)}
+    rows = []
+    for v in values:
+        est = min(
+            cells.get(
+                (d, int(_h.md5(f"{d}:{v}".encode()).hexdigest()[:15], 16)
+                 % CMS_W), 0)
+            for d in range(CMS_D)
+        )
+        rows.append({"token": v, "cms_n": est})
+    out = pd.DataFrame(rows, columns=["token", "cms_n"])
+    out["cms_n"] = out["cms_n"].astype("int64")
+    return out

@@ -252,3 +252,28 @@ def test_interval_join_broadcast_overlap_and_drop():
     # v=1 is in both overlapping intervals (fan-out), v=2 only in x,
     # v=3 in none (dropped — inner semantics)
     assert got == [(1, "x"), (1, "y"), (2, "x")]
+
+
+def test_cms_upper_bound_and_determinism(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.sketch import cms_estimate, cms_sketch
+
+    # 50 distinct tokens, token i appears i+1 times
+    toks = [f"tok{i}" for i in range(50) for _ in range(i + 1)]
+    df = pd.DataFrame({"v": toks})
+    sk = cms_sketch(rd.from_pandas(df).repartition(7), "v").to_pandas()
+    est = cms_estimate(sk, [f"tok{i}" for i in range(50)])
+    got = dict(zip(est["token"], est["cms_n"]))
+    # CMS never under-counts, and with 150 cells vs 50 keys most
+    # estimates are exact
+    for i in range(50):
+        assert got[f"tok{i}"] >= i + 1
+    exact_hits = sum(got[f"tok{i}"] == i + 1 for i in range(50))
+    assert exact_hits >= 40
+    # block layout does not change the sketch
+    sk2 = cms_sketch(rd.from_pandas(df).repartition(23), "v").to_pandas()
+    a = sk.sort_values(["d", "bucket"]).reset_index(drop=True)
+    b = sk2.sort_values(["d", "bucket"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -111,3 +111,19 @@ def test_image_dimensions_stage(ray_session):
     assert out["fmt"].tolist() == ["png", "png", "unknown"]
     assert out["width"].tolist()[:2] == [10, 7]
     assert out["height"].fillna(-1).tolist() == [20, 7, -1]
+
+
+def test_wav_roundtrip_and_garbage():
+    from raygraph.ops.media import make_wav, parse_wav_header
+
+    w = make_wav(44100, 2, 16, b"x" * 441_000)
+    m = parse_wav_header(w)
+    assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+    assert m["bits_per_sample"] == 16
+    assert m["n_frames"] == 110_250          # 441000 B / 4 B-per-frame
+    assert m["duration_ms"] == 2500
+    # zero-padding to a whole frame
+    assert parse_wav_header(make_wav(8000, 2, 16, b"abc"))["n_frames"] == 1
+    # non-WAV payloads degrade to all-None, never raise
+    for junk in (b"", b"RIFF1234WAVX", b"\x89PNG", b"RIFF"):
+        assert parse_wav_header(junk)["sample_rate"] is None
