@@ -846,6 +846,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ["o_orderpriority"], "l_orderkey",
                               out="n_orders")
 
+    def orders_with_returns(sf_dir):
+        # distributed EXISTS with a Bloom prefilter: the 128 KiB bitmap
+        # of returned-lineitem orderkeys is built in-cluster and
+        # broadcast, so the semi join only shuffles probable matches —
+        # result is exactly the plain left_semi (join removes the
+        # bitmap's false positives)
+        from raygraph.ops.sketch import bloom_semi_join
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_orderpriority"])
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_returnflag"])
+
+        def returned(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+            return t.select(["l_orderkey"])
+
+        keys = li.map_batches(returned, batch_format="pyarrow")
+        return bloom_semi_join(orders, keys, on="o_orderkey",
+                               right_on="l_orderkey")
+
     def customers_without_orders(sf_dir):
         # distributed NOT EXISTS: customers with no high-value order
         # (totalprice > 350k) as a left_anti hash-shuffle join — neither
@@ -1154,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_shipping": tpch_q3_shipping,
         "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
+        "orders_with_returns": orders_with_returns,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "docs_jaccard_top10": docs_jaccard_top10,
         "customer_revenue_topk": customer_revenue_topk,
@@ -1888,6 +1912,13 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY r.rev_cents DESC) AS BIGINT)
                        AS rnk
             FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+        """,
+        "orders_with_returns": """
+            SELECT o_orderkey, o_orderpriority
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
         """,
         "events_gaps": """
             WITH g AS (

@@ -180,3 +180,108 @@ def cms_estimate(sketch_df: pd.DataFrame, values) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["token", "cms_n"])
     out["cms_n"] = out["cms_n"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------- Bloom
+# Bloom, "Space/time trade-offs in hash coding with allowable errors",
+# CACM 1970. Used here as a JOIN PREFILTER: build a bitmap of the small
+# side's keys in-cluster, broadcast it once, and drop big-side rows that
+# cannot match BEFORE the shuffle join. False positives only — the join
+# after the filter keeps exactness; what the filter buys is shuffle
+# volume proportional to matching rows, not the whole big side.
+
+BLOOM_M = 1 << 20          # bits (128 KiB bitmap)
+BLOOM_K = 4                # probes per key
+_WORDS = BLOOM_M // 64
+
+
+def _bloom_hashes(vals: pd.Series):
+    """Two independent deterministic 64-bit hash streams (double
+    hashing: probe i uses h1 + i·h2). pandas' hash is keyed by a fixed
+    default, so the bitmap is identical on every worker and engine."""
+    h1 = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(vals.astype(str) + "\x00b",
+                                    index=False).to_numpy()
+    return h1, h2 | 1
+
+
+def _probe_positions(vals: pd.Series):
+    h1, h2 = _bloom_hashes(vals)
+    import numpy as np
+
+    pos = np.empty((BLOOM_K, len(h1)), dtype=np.uint64)
+    for i in range(BLOOM_K):
+        pos[i] = (h1 + np.uint64(i) * h2) % np.uint64(BLOOM_M)
+    return pos
+
+
+def bloom_build(ds, col: str):
+    """Distributed bitmap build: per-block partial bitmaps OR-merged by
+    a tree reduce (bitwise OR is associative/idempotent, so the result
+    is layout-independent). Returns the bitmap as a numpy uint64 array —
+    128 KiB regardless of key count; broadcast it with ``ray.put``."""
+    import numpy as np
+
+    from .relational import tree_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pandas()
+        bits = np.zeros(_WORDS, dtype=np.uint64)
+        pos = _probe_positions(vals).reshape(-1)
+        np.bitwise_or.at(bits, (pos // 64).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        acc = _np.zeros(_WORDS, dtype=_np.uint64)
+        for b in df["bits"]:
+            acc |= _np.frombuffer(b, dtype=_np.uint64)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    out = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                         combine, precombined=True).take_all()
+    import numpy as _np
+
+    return _np.frombuffer(out[0]["bits"], dtype=_np.uint64).copy()
+
+
+def bloom_filter_ds(big, col: str, bitmap, bitmap_ref=None):
+    """Keep only rows whose ``col`` MIGHT be in the key set the bitmap
+    was built from (no false negatives). The bitmap ships once via
+    ``ray.put``; the per-batch test is K vectorized gathers."""
+    import numpy as np
+    import ray
+
+    if bitmap_ref is None:
+        bitmap_ref = ray.put(np.ascontiguousarray(bitmap))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bits = _ray.get(bitmap_ref)
+        vals = batch.column(col).to_pandas()
+        pos = _probe_positions(vals)
+        keep = np.ones(len(vals), dtype=bool)
+        for i in range(BLOOM_K):
+            word = bits[(pos[i] // 64).astype(np.int64)]
+            keep &= (word >> (pos[i] % np.uint64(64))) & np.uint64(1) != 0
+        return batch.filter(pa.array(keep))
+
+    return big.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_semi_join(big, keys_ds, on: str, right_on: str,
+                    num_partitions: int | None = None):
+    """Distributed EXISTS with a Bloom prefilter: build the bitmap of
+    ``keys_ds.right_on`` in-cluster, drop non-matching big-side rows at
+    scan speed, then the exact ``left_semi`` shuffle join — the join
+    shuffles only probable matches. Result is EXACTLY the plain semi
+    join (the bitmap admits false positives, the join removes them)."""
+    from .relational import shuffle_join
+
+    bitmap = bloom_build(keys_ds, right_on)
+    filtered = bloom_filter_ds(big, on, bitmap)
+    return shuffle_join(filtered, keys_ds, on=on, right_on=right_on,
+                        how="left_semi", num_partitions=num_partitions)

@@ -277,3 +277,20 @@ def test_cms_upper_bound_and_determinism(ray_session):
     a = sk.sort_values(["d", "bucket"]).reset_index(drop=True)
     b = sk2.sort_values(["d", "bucket"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bloom_semi_join_equals_plain_semi(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import shuffle_join
+    from raygraph.ops.sketch import bloom_semi_join
+
+    big = rd.from_pandas(pd.DataFrame({"k": list(range(200)),
+                                       "v": list(range(200))}))
+    keys = rd.from_pandas(pd.DataFrame({"rk": [3, 7, 7, 150, 199, 512]}))
+    got = sorted(r["k"] for r in bloom_semi_join(
+        big, keys, on="k", right_on="rk").take_all())
+    want = sorted(r["k"] for r in shuffle_join(
+        big, keys, on="k", right_on="rk", how="left_semi").take_all())
+    assert got == want == [3, 7, 150, 199]
