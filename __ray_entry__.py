@@ -207,6 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return connected_components(ed, iters=5)
 
+    def kg_triangles(sf_dir):
+        # exact triangle count via degree-ordered orientation (max
+        # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
+        # reaches the driver
+        from raygraph.ops.graph import triangle_count
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return triangle_count(ed)
+
     def kg_degrees(sf_dir):
         # graph-analytics surface over the built graph: per-vertex in/out
         # degree from the deduped edge table (distributed preagg counts;
@@ -1147,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
         "kg_components": kg_components,
+        "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
         "export_edge_projection": export_edge_projection,
@@ -1381,6 +1392,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(out_degree, 0)::BIGINT AS out_degree,
                    coalesce(in_degree, 0)::BIGINT AS in_degree
             FROM o FULL OUTER JOIN i ON o._id = i._id
+        """,
+        "kg_triangles": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         "kg_vertices": kg_base + """
             , keys AS (

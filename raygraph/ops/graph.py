@@ -331,3 +331,135 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
         )
 
     return ranks.select_columns(["vertex", "rank_e12"])
+
+
+def triangle_count(edges, src: str = "_from", dst: str = "_to",
+                   out: str = "n_triangles"):
+    """Exact triangle count of the undirected simple graph under the
+    edge table, as a single-row Dataset — the standard node-iterator++
+    plan (Schank & Wagner 2005 / Cohen's MapReduce formulation):
+
+    1. canonicalize to undirected distinct edges {u, v} (self-loops
+       dropped, parallel + reverse duplicates collapsed);
+    2. per-vertex degrees (combiner preagg);
+    3. ORIENT every edge from its lower-(degree, id) endpoint to the
+       higher one — an acyclic orientation with max out-degree
+       O(sqrt(m)), which is what bounds the wedge blowup on hub
+       vertices (the lex-only orientation would square a hub's degree);
+    4. wedges: self shuffle-join of the oriented arcs on the source,
+       keeping each unordered pair once ((deg, id)-ordered);
+    5. close: join wedges against the oriented arcs on (b, c) — every
+       hit is exactly one triangle — and tree-sum the per-batch counts.
+
+    Joins are all hash-partitioned on their key; nothing reaches the
+    driver but the final scalar.
+    """
+    from .relational import (_join_partitions, preagg_sum, shuffle_join,
+                             tree_aggregate)
+
+    und_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a, b = df[src], df[dst]
+        df = pd.DataFrame({"u": a.where(a < b, b), "v": b.where(a < b, a)})
+        df = df.loc[df["u"] != df["v"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from .relational import hash_aggregate
+
+    und = _repaired(
+        hash_aggregate(
+            edges.select_columns([src, dst]).map_batches(
+                canon, batch_format="pyarrow"),
+            ["u", "v"], lambda df: df.drop_duplicates(),
+        ),
+        und_schema,
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vtx": pa.concat_arrays([
+                batch.column("u").combine_chunks().cast(pa.string()),
+                batch.column("v").combine_chunks().cast(pa.string()),
+            ])
+        })
+
+    deg = _repaired(
+        preagg_sum(und.map_batches(endpoints, batch_format="pyarrow"),
+                   ["vtx"], {}, counts="deg"),
+        pa.schema([("vtx", pa.string()), ("deg", pa.int64())]),
+    )
+
+    nparts = _join_partitions(und.count())
+
+    def renamed(ds, names):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    ju = shuffle_join(und, renamed(deg, ["vtx", "du"]), on="u",
+                      right_on="vtx", num_partitions=nparts)
+    ju = _repaired(ju, pa.schema([("u", pa.string()), ("v", pa.string()),
+                                  ("du", pa.int64())]))
+
+    jv = shuffle_join(ju, renamed(deg, ["vtx", "dv"]), on="v",
+                      right_on="vtx", num_partitions=nparts)
+    jv = _repaired(jv, pa.schema([("u", pa.string()), ("v", pa.string()),
+                                  ("du", pa.int64()), ("dv", pa.int64())]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        u_first = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
+                                           & (df["u"] < df["v"]))
+        return pa.Table.from_pandas(pd.DataFrame({
+            "x": df["u"].where(u_first, df["v"]),
+            "y": df["v"].where(u_first, df["u"]),
+            "dy": df["dv"].where(u_first, df["du"]).astype("int64"),
+        }), preserve_index=False)
+
+    arc_schema = pa.schema([("x", pa.string()), ("y", pa.string()),
+                            ("dy", pa.int64())])
+    arcs = _repaired(jv.map_batches(orient, batch_format="pyarrow"),
+                     arc_schema)
+
+    def rename_r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["x2", "y2", "dy2"])
+
+    wedged = shuffle_join(
+        arcs, arcs.map_batches(rename_r, batch_format="pyarrow"),
+        on="x", right_on="x2", num_partitions=nparts,
+    )
+    wedged = _repaired(wedged, pa.schema([
+        ("x", pa.string()), ("y", pa.string()), ("dy", pa.int64()),
+        ("y2", pa.string()), ("dy2", pa.int64()),
+    ]))
+
+    def wedge_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = (df["dy"] < df["dy2"]) | ((df["dy"] == df["dy2"])
+                                         & (df["y"] < df["y2"]))
+        df = df.loc[keep]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"b": df["y"], "c": df["y2"]}),
+            preserve_index=False)
+
+    wedges = _repaired(
+        wedged.map_batches(wedge_pairs, batch_format="pyarrow"),
+        pa.schema([("b", pa.string()), ("c", pa.string())]),
+    )
+
+    closed = shuffle_join(wedges, arcs.select_columns(["x", "y"]),
+                          on=("b", "c"), right_on=("x", "y"),
+                          how="left_semi", num_partitions=nparts)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({out: pa.array([batch.num_rows], pa.int64())})
+
+    return tree_aggregate(
+        closed.map_batches(count_batch, batch_format="pyarrow",
+                           batch_size=None),
+        lambda df: pd.DataFrame({out: [int(df[out].sum())]}),
+        precombined=True,
+    )

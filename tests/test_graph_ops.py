@@ -294,3 +294,22 @@ def test_bloom_semi_join_equals_plain_semi(ray_session):
     want = sorted(r["k"] for r in shuffle_join(
         big, keys, on="k", right_on="rk", how="left_semi").take_all())
     assert got == want == [3, 7, 150, 199]
+
+
+def test_triangle_count_k4_plus_noise(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.graph import triangle_count
+
+    vs = ["a", "b", "c", "d"]
+    edges = [(vs[i], vs[j]) for i in range(4) for j in range(i + 1, 4)]
+    edges += [("d", "a"),          # reverse duplicate of (a, d)
+              ("e", "f"),          # edge in no triangle
+              ("g", "g")]          # self-loop, must be ignored
+    df = pd.DataFrame(edges, columns=["_from", "_to"])
+    out = triangle_count(rd.from_pandas(df).repartition(3)).take_all()
+    assert out[0]["n_triangles"] == 4          # K4 has C(4,3) triangles
+    # layout invariance
+    out2 = triangle_count(rd.from_pandas(df).repartition(7)).take_all()
+    assert out2[0]["n_triangles"] == 4
