@@ -1097,6 +1097,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16,
                         dtype=np.float64, round_dp=4)
 
+    def ann_self_join(sf_dir):
+        # kNN self-join: every vector's nearest neighbor by cosine —
+        # corpus matrix broadcast once, one matmul per batch; ranking by
+        # 4dp-rounded cosine + smallest id so the SQL oracle agrees
+        from raygraph.ops.ann import knn_self_join
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return knn_self_join(emb)
+
     def embedding_norms(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["vec_id", "embedding"])
@@ -1205,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
+        "ann_self_join": ann_self_join,
         "embedding_norms": embedding_norms,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
@@ -2030,6 +2041,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, window_start, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM x GROUP BY user_id, window_start
+        """,
+        "ann_self_join": """
+            WITH p AS (
+              SELECT a.vec_id, b.vec_id AS nn_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]),
+                           4) AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id
+            ),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY cosine DESC, nn_id) AS rn
+                  FROM p)
+            SELECT vec_id, nn_id, cosine FROM r WHERE rn = 1
         """,
         "ann_top10": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings

@@ -281,3 +281,57 @@ def lsh_topk(
 
     bucketed = ds.map_batches(stage, batch_format="pyarrow")
     return brute_force_topk(bucketed, q, k, vec_col, id_col)
+
+
+def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                  round_dp: int = 4):
+    """Nearest neighbor for EVERY vector (cosine, k=1) — the kNN
+    self-join that powers embedding near-dup mining and cluster seeding.
+
+    The corpus matrix is assembled once (ordered by ``id_col``) and
+    broadcast via ``ray.put``; each batch then does one matmul against
+    it — the batch side streams, the broadcast side is the explicit
+    scale bound (fits-one-worker, same contract as the query matrix in
+    :func:`brute_force_topk`). Beyond that bound, IVF-bucket both sides
+    (:func:`ivf_topk`) so each cell self-joins locally.
+
+    Ranking is by cosine ROUNDED to ``round_dp`` then smallest neighbor
+    id — the tie-break that makes the result reproducible across
+    engines (raw-double argmax order is ulp-fragile between BLAS and a
+    SQL engine's sequential loop).
+    """
+    import ray
+
+    from .vecops import vectors_to_numpy
+
+    parts = []
+    for b in ds.select_columns([id_col, vec_col]) \
+            .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        parts.append((ids, vectors_to_numpy(b.column(vec_col), np.float64)))
+    all_ids = np.concatenate([p[0] for p in parts])
+    mat = np.vstack([p[1] for p in parts])
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, mat = all_ids[order], _normalize(mat[order])
+    ref = ray.put((all_ids, mat))
+
+    def nn_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_sorted, m = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        q = _normalize(vectors_to_numpy(batch.column(vec_col), np.float64))
+        sims = np.round(q @ m.T, round_dp)
+        # a row must not pick itself
+        self_pos = np.searchsorted(ids_sorted, ids)
+        sims[np.arange(len(ids)), self_pos] = -np.inf
+        best = sims.argmax(axis=1)          # first max → smallest id
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "nn_id": pa.array(ids_sorted[best], pa.int64()),
+            "cosine": pa.array(sims[np.arange(len(ids)), best],
+                               pa.float64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        nn_batch, batch_format="pyarrow")

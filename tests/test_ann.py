@@ -127,3 +127,22 @@ def test_ivf_partial_probe_prunes_with_recall():
     recall = len(bf & set(got["vec_id"])) / 10
     assert 11 in set(got["vec_id"])          # own cell always probed
     assert recall > 3 / 8                     # beats the scan fraction
+
+
+def test_knn_self_join_known_neighbors(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.ann import knn_self_join
+
+    # two tight clusters: 0/1 mutually nearest, 2/3 mutually nearest
+    vecs = np.array([[1.0, 0.0], [0.99, 0.14], [0.0, 1.0], [0.14, 0.99]])
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = {r["vec_id"]: r["nn_id"]
+           for r in knn_self_join(rd.from_arrow(tbl)).take_all()}
+    assert out == {0: 1, 1: 0, 2: 3, 3: 2}
