@@ -372,6 +372,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["exact_n"] = out["exact_n"].astype("int64")
         return out.reset_index(drop=True)
 
+    def events_pivot_types(sf_dir):
+        # PIVOT/crosstab: one row per user, one count column per event
+        # type — the category list is FIXED so the output schema is
+        # stable at any block layout (scale requirement)
+        from raygraph.ops.relational import pivot_counts
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        return pivot_counts(ev, ["user_id"], "event_type",
+                            ["click", "error", "purchase", "signup",
+                             "view"])
+
+    def events_props_stats(sf_dir):
+        # semi-structured extraction: pull the integer k out of the JSON
+        # props string with one vectorized regex per batch, then
+        # combiner-preagg sum/max/count per event type
+        from ray.data.aggregate import Max, Sum
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "props"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False) \
+                .astype("float64")
+            g = pd.DataFrame({"event_type": df["event_type"], "k": k}) \
+                .groupby("event_type", as_index=False) \
+                .agg(n_with_k=("k", "count"), sum_k=("k", "sum"),
+                     max_k=("k", "max"))
+            for c in ("n_with_k", "sum_k", "max_k"):
+                g[c] = g[c].fillna(0).astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (
+            ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_with_k", alias_name="n_with_k"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Max("max_k", alias_name="max_k"))
+        )
+
     def events_top_type(sf_dir):
         # mode per group (most frequent event_type per user, ties → type
         # ASC): combiner preagg counts, then the group-topk reduce at
@@ -1211,6 +1252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": events_gaps,
         "events_interval_join": events_interval_join,
         "events_top_type": events_top_type,
+        "events_pivot_types": events_pivot_types,
+        "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
         "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
@@ -1525,6 +1568,33 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, token ASC) AS rn
                   FROM s)
             SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 3
+        """,
+        "events_pivot_types": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "events_props_stats": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(NULLIF(regexp_extract(props,
+                                                '"k":\\s*(-?\\d+)', 1),
+                                 '') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, count(k)::BIGINT AS n_with_k,
+                   coalesce(sum(k), 0)::BIGINT AS sum_k,
+                   coalesce(max(k), 0)::BIGINT AS max_k
+            FROM x GROUP BY event_type
         """,
         "events_top_type": """
             WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n

@@ -483,3 +483,41 @@ def preagg_sum(
         .groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(*aggs)
     )
+
+
+def pivot_counts(ds, key_cols, pivot_col: str, categories: Sequence[str],
+                 prefix: str = "n_"):
+    """Crosstab / PIVOT: one row per key, one count column per category
+    of ``pivot_col``. Categories are a FIXED list — at scale the output
+    schema must not depend on which values happen to appear (a block
+    seeing 3 of 5 categories would otherwise emit a different schema);
+    values outside the list are ignored.
+
+    Per-batch partial crosstab (vectorized groupby + unstack) then one
+    built-in Sum merge per category column — the shuffle carries ≤ keys
+    × batches rows of small ints, never the raw stream.
+    """
+    key_cols = list(key_cols)
+    categories = list(categories)
+    out_cols = [prefix + c for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key_cols + [pivot_col], as_index=False).size()
+        w = g.pivot_table(index=key_cols, columns=pivot_col, values="size",
+                          fill_value=0, aggfunc="sum")
+        w = w.reindex(columns=categories, fill_value=0)
+        w.columns = out_cols
+        w = w.reset_index()
+        for c in out_cols:
+            w[c] = w[c].astype("int64")
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.select_columns(key_cols + [pivot_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
+        .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+    )

@@ -313,3 +313,23 @@ def test_triangle_count_k4_plus_noise(ray_session):
     # layout invariance
     out2 = triangle_count(rd.from_pandas(df).repartition(7)).take_all()
     assert out2[0]["n_triangles"] == 4
+
+
+def test_pivot_counts_fixed_schema(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import pivot_counts
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "t": ["a", "a", "b", "b"],
+    })
+    out = pivot_counts(rd.from_pandas(df).repartition(3), ["u"], "t",
+                       ["a", "b", "c"]).to_pandas()
+    out = out.sort_values("u").reset_index(drop=True)
+    # category c never appears but its column exists (fixed schema);
+    # out-of-list values would be ignored
+    assert list(out.columns) == ["u", "n_a", "n_b", "n_c"]
+    assert out.loc[0].tolist() == [1, 2, 1, 0]
+    assert out.loc[1].tolist() == [2, 0, 1, 0]
