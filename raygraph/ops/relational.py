@@ -118,9 +118,21 @@ def coerce_schema(ds, schema: pa.Table | pa.Schema):
 
 
 def dataset_arrow_schema(ds) -> pa.Schema:
-    """Arrow schema of a Dataset (Ray's Schema wrapper → pyarrow)."""
+    """Arrow schema of a Dataset (Ray's Schema wrapper → pyarrow).
+
+    Pandas-backed datasets report PYTHON types (``object`` for strings)
+    in ``schema().types``; normalize those to Arrow so the result can
+    build tables/casts."""
     s = ds.schema()
-    return pa.schema(list(zip(s.names, s.types)))
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            if t is object or t is str:
+                t = pa.string()
+            else:
+                t = pa.from_numpy_dtype(np.dtype(t))
+        fields.append((n, t))
+    return pa.schema(fields)
 
 
 def compact_nonempty(ds):
@@ -521,3 +533,83 @@ def pivot_counts(ds, key_cols, pivot_col: str, categories: Sequence[str],
         .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
         .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
     )
+
+
+def cogroup_join(left, right, on: str | Sequence[str],
+                 right_on: str | Sequence[str] | None = None,
+                 how: str = "inner", num_buckets: int = 64):
+    """Hash-shuffle equi-join expressed as a CO-GROUP: tag-union both
+    sides, hash-bucket on the key, ONE vectorized ``pd.merge`` per
+    bucket. Functionally equivalent to :func:`shuffle_join` for
+    ``inner`` / ``left_semi`` / ``left_anti``, but rides the same
+    sort-shuffle machinery as every aggregate in this repo instead of
+    ``Dataset.join``'s per-partition aggregator ACTORS — no actor-pool
+    spin-up (the fixed ~2-3 s cost the bench join stage measures), and
+    no schemaless-empty-block repair needed afterwards (the bucket
+    reduce always emits the declared schema).
+
+    Non-key column names must be disjoint across sides. Skew: all rows
+    of one key land in one bucket — same co-location contract as every
+    hash_aggregate; a single pathological key dominating a bucket is
+    the (documented) bound, salt such keys upstream.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+
+    ls = dataset_arrow_schema(left)
+    rs = dataset_arrow_schema(right)
+    key_fields = [(n, ls.field(n).type) for n in on]
+    lval = [(n, ls.field(n).type) for n in ls.names if n not in on]
+    rval = [(n, rs.field(n).type) for n in rs.names if n not in right_on]
+    clash = {n for n, _ in lval} & {n for n, _ in rval}
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+    full = pa.schema(key_fields + lval + rval
+                     + [("__side", pa.int8())])
+
+    def pad(side: int, key_names, vals_present):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for kname, (oname, typ) in zip(key_names, key_fields):
+                cols[oname] = batch.column(kname).cast(typ)
+            for name, typ in lval + rval:
+                cols[name] = (batch.column(name).cast(typ)
+                              if name in vals_present
+                              else pa.nulls(n, typ))
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8),
+                                      pa.int8())
+            return pa.table(cols).select(full.names).cast(full)
+
+        return fn
+
+    both = left.map_batches(
+        pad(0, on, {n for n, _ in lval}), batch_format="pyarrow"
+    ).union(right.map_batches(
+        pad(1, right_on, {n for n, _ in rval}), batch_format="pyarrow"))
+
+    lcols = on + [n for n, _ in lval]
+    rcols = on + [n for n, _ in rval]
+    # the null padding widens e.g. int64 → float64 in pandas; cast each
+    # side back to its declared dtypes after the split (no nulls there)
+    target_dtypes = pa.schema(key_fields + lval + rval) \
+        .empty_table().to_pandas().dtypes.to_dict()
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["__side"] == 0, lcols].astype(
+            {c: target_dtypes[c] for c in lcols})
+        r = df.loc[df["__side"] == 1, rcols].astype(
+            {c: target_dtypes[c] for c in rcols})
+        if how == "inner":
+            return l.merge(r, on=on, how="inner")
+        if how == "left_semi":
+            keys = r[on].drop_duplicates()
+            return l.merge(keys, on=on, how="inner")
+        if how == "left_anti":
+            keys = r[on].drop_duplicates()
+            m = l.merge(keys, on=on, how="left", indicator=True)
+            return m.loc[m["_merge"] == "left_only", lcols]
+        raise ValueError(f"unsupported how={how}")
+
+    return hash_aggregate(both, on, bucket_merge, num_buckets=num_buckets)

@@ -333,3 +333,28 @@ def test_pivot_counts_fixed_schema(ray_session):
     assert list(out.columns) == ["u", "n_a", "n_b", "n_c"]
     assert out.loc[0].tolist() == [1, 2, 1, 0]
     assert out.loc[1].tolist() == [2, 0, 1, 0]
+
+
+def test_cogroup_join_matches_shuffle_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import cogroup_join, shuffle_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2, 3, 5], "a": [10, 11, 20, 30, 50]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"rk": [1, 2, 2, 4], "b": ["x", "y", "z", "w"]}))
+
+    got = cogroup_join(left, right, on="k", right_on="rk").to_pandas() \
+        .sort_values(["k", "a", "b"]).reset_index(drop=True)
+    want = shuffle_join(left, right, on="k", right_on="rk").to_pandas() \
+        .sort_values(["k", "a", "b"]).reset_index(drop=True)
+    assert got.equals(want[got.columns])          # incl. dtypes
+
+    for how in ("left_semi", "left_anti"):
+        g = sorted(cogroup_join(left, right, on="k", right_on="rk",
+                                how=how).to_pandas()["k"])
+        w = sorted(shuffle_join(left, right, on="k", right_on="rk",
+                                how=how).to_pandas()["k"])
+        assert g == w
