@@ -1200,6 +1200,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                batch_format="pyarrow"),
                                 keep_cols=("doc_id",))
 
+    def events_latest(sf_dir):
+        # FIRST_VALUE / argmax per key — the latest event row per user
+        # (row_number() OVER (PARTITION BY user ORDER BY ts DESC) = 1)
+        # via the group-topk reduce at k=1: per-batch partial argmax,
+        # then one hash-bucketed exact reduce; ts carried as exact int64
+        # µs and value as round-e4 integer so the window oracle matches
+        # bit-for-bit
+        import pyarrow.compute as pc
+
+        from raygraph.ops.relational import group_topk
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type", "value"],
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        return group_topk(ev.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], "ts_us", 1, tie_col="event_id")
+
+    def docs_profile(sf_dir):
+        # data profiling (SUMMARIZE analog): per-column n_rows / n_null /
+        # exact n_distinct / min / max over the documents table — scalar
+        # stats fold via tree_aggregate, distinct via the two-level
+        # exact distinct_count; typed min/max stringified at the end so
+        # numeric columns compare numerically like the SQL oracle
+        from raygraph.ops.relational import profile_columns
+
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        return profile_columns(ds,
+                               ["doc_id", "text", "lang", "source",
+                                "n_chars"])
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -1252,6 +1297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": events_gaps,
         "events_interval_join": events_interval_join,
         "events_top_type": events_top_type,
+        "events_latest": events_latest,
+        "docs_profile": docs_profile,
         "events_pivot_types": events_pivot_types,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
@@ -1595,6 +1642,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(k), 0)::BIGINT AS sum_k,
                    coalesce(max(k), 0)::BIGINT AS max_k
             FROM x GROUP BY event_type
+        """,
+        "docs_profile": """
+            WITH p AS (
+              SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+                     (count(*) - count(doc_id))::BIGINT AS n_null,
+                     CAST(min(doc_id) AS VARCHAR) AS min_v,
+                     CAST(max(doc_id) AS VARCHAR) AS max_v,
+                     count(DISTINCT doc_id)::BIGINT AS n_distinct
+              FROM documents
+              UNION ALL
+              SELECT 'text', count(*), count(*) - count(text),
+                     CAST(min(text) AS VARCHAR),
+                     CAST(max(text) AS VARCHAR),
+                     count(DISTINCT text) FROM documents
+              UNION ALL
+              SELECT 'lang', count(*), count(*) - count(lang),
+                     CAST(min(lang) AS VARCHAR),
+                     CAST(max(lang) AS VARCHAR),
+                     count(DISTINCT lang) FROM documents
+              UNION ALL
+              SELECT 'source', count(*), count(*) - count(source),
+                     CAST(min(source) AS VARCHAR),
+                     CAST(max(source) AS VARCHAR),
+                     count(DISTINCT source) FROM documents
+              UNION ALL
+              SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                     CAST(min(n_chars) AS VARCHAR),
+                     CAST(max(n_chars) AS VARCHAR),
+                     count(DISTINCT n_chars) FROM documents
+            )
+            SELECT "column", n_rows, n_null, min_v, max_v, n_distinct
+            FROM p ORDER BY "column"
+        """,
+        "events_latest": """
+            WITH r AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                     CAST(round(value * 10000, 0) AS BIGINT) AS value_e4,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts DESC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT user_id, ts_us, event_id, event_type, value_e4
+            FROM r WHERE rn = 1
         """,
         "events_top_type": """
             WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n

@@ -613,3 +613,91 @@ def cogroup_join(left, right, on: str | Sequence[str],
         raise ValueError(f"unsupported how={how}")
 
     return hash_aggregate(both, on, bucket_merge, num_buckets=num_buckets)
+
+
+def profile_columns(ds, columns: Sequence[str],
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Per-column data profiling — the schema-audit pass an ingest
+    pipeline runs before processing (the engine-side analog of DuckDB's
+    ``SUMMARIZE``): for every profiled column, ``n_rows``, ``n_null``,
+    exact ``n_distinct``, and ``min_v``/``max_v`` rendered as strings.
+
+    Two streaming passes, both reducing to O(#columns) rows:
+
+    1. Scalar stats — a per-batch partial emits ONE wide row
+       (n_rows + per-column null count and typed min/max) folded by
+       :func:`tree_aggregate`; min/max compare on the ORIGINAL dtype
+       (numeric columns numerically) and are cast to string only at the
+       end, matching ``CAST(min(c) AS VARCHAR)`` rather than
+       ``min(CAST(c AS VARCHAR))``.
+    2. Distinct counts — the (column, value-string) pairs, batch-deduped
+       at the source, go through the exact two-level
+       :func:`distinct_count`. The distinct-pair set is the documented
+       scaling bound (same as any exact COUNT(DISTINCT) — swap in an HLL
+       sketch via :mod:`raygraph.ops.sketch` when approximation is
+       acceptable).
+
+    Both results are aggregate-sized, so the final merge is a
+    driver-side pandas join over #columns rows (legitimately tiny).
+    """
+    columns = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        row: dict[str, list] = {"n_rows": [len(df)]}
+        for c in columns:
+            col = df[c]
+            nn = col.dropna()
+            row[f"null__{c}"] = [int(col.isna().sum())]
+            row[f"min__{c}"] = [nn.min() if len(nn) else None]
+            row[f"max__{c}"] = [nn.max() if len(nn) else None]
+        return pa.Table.from_pandas(pd.DataFrame(row),
+                                    preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {"n_rows": [int(df["n_rows"].sum())]}
+        for c in columns:
+            mn, mx = df[f"min__{c}"].dropna(), df[f"max__{c}"].dropna()
+            out[f"null__{c}"] = [int(df[f"null__{c}"].sum())]
+            out[f"min__{c}"] = [mn.min() if len(mn) else None]
+            out[f"max__{c}"] = [mx.max() if len(mx) else None]
+        return pd.DataFrame(out)
+
+    stats_ds = tree_aggregate(ds.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              combine, precombined=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        parts = []
+        for c in columns:
+            vals = df[c].dropna()
+            parts.append(pd.DataFrame({
+                "column": c, "val": vals.astype(str)
+            }).drop_duplicates())
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    nd_ds = distinct_count(ds.map_batches(explode, batch_format="pyarrow"),
+                           ["column"], "val", num_buckets=num_buckets)
+
+    wide = stats_ds.to_pandas().iloc[0]
+    nd = nd_ds.to_pandas()
+
+    def as_str(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        return str(v)
+
+    long = pd.DataFrame({
+        "column": columns,
+        "n_rows": [int(wide["n_rows"])] * len(columns),
+        "n_null": [int(wide[f"null__{c}"]) for c in columns],
+        "min_v": [as_str(wide[f"min__{c}"]) for c in columns],
+        "max_v": [as_str(wide[f"max__{c}"]) for c in columns],
+    })
+    out = long.merge(nd, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out.sort_values("column", ignore_index=True)

@@ -113,3 +113,32 @@ def test_group_topk_exact(ray_session):
     got = {(r["g"], r["doc_id"]) for r in out.take_all()}
     # a: scores 9(id1), 9(id2) — tie broken by id; b: 8(id7), 2(id5)
     assert got == {("a", 1), ("a", 2), ("b", 7), ("b", 5)}
+
+
+def test_profile_columns_nulls_and_layout(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import profile_columns
+
+    df = pd.DataFrame({
+        "k": [3, 1, 2, None, 2, 10],          # numeric min/max, one null
+        "s": ["b", None, "a", "a", "c", "b"],
+    })
+    expect = {
+        # numeric compare: min 1, max 10 (lexicographic would say "10"<"2")
+        "k": (6, 1, "1", "10", 4),
+        "s": (6, 1, "a", "c", 3),
+    }
+    for parts in (1, 5):
+        out = profile_columns(
+            rd.from_pandas(df).repartition(parts), ["k", "s"])
+        got = {
+            r["column"]: (r["n_rows"], r["n_null"], r["min_v"],
+                          r["max_v"], r["n_distinct"])
+            for _, r in out.iterrows()
+        }
+        # pandas nullable float renders 1.0 — normalize ints for compare
+        got = {c: (n, nn, mn.removesuffix(".0"), mx.removesuffix(".0"), nd)
+               for c, (n, nn, mn, mx, nd) in got.items()}
+        assert got == expect, got
