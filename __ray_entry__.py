@@ -1245,6 +1245,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ["doc_id", "text", "lang", "source",
                                 "n_chars"])
 
+    def orders_merged(sf_dir):
+        # CDC merge (MERGE INTO): apply a deterministic changeset —
+        # deletes (key % 13 = 0), updates (key % 7 = 0, price + 500)
+        # and inserts (key % 101 = 0 at key + 10M) — to the orders
+        # snapshot via the tag-union + hash-bucketed anti-join+append
+        # reduce; exact integer cents so the SQL NOT EXISTS ∪ upserts
+        # oracle matches bit-for-bit
+        from raygraph.ops.relational import apply_changeset
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": batch.column("o_orderkey"),
+                "custkey": batch.column("o_custkey"),
+                "price_cents": pa.array(
+                    np.round(p * 100).astype("int64")),
+            })
+
+        def orders(sf_dir):
+            return rd.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            ).map_batches(cents, batch_format="pyarrow")
+
+        def changes(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            dels = df.loc[df["k"] % 13 == 0].assign(op="delete")
+            upd = df.loc[(df["k"] % 7 == 0) & (df["k"] % 13 != 0)].assign(
+                op="upsert", price_cents=lambda d: d["price_cents"] + 500)
+            ins = df.loc[df["k"] % 101 == 0].assign(
+                op="upsert", k=lambda d: d["k"] + 10_000_000,
+                price_cents=999)
+            out = pd.concat([dels, upd, ins], ignore_index=True)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        ch = orders(sf_dir).map_batches(changes, batch_format="pyarrow")
+        return apply_changeset(orders(sf_dir), ch, on="k")
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -1299,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_type": events_top_type,
         "events_latest": events_latest,
         "docs_profile": docs_profile,
+        "orders_merged": orders_merged,
         "events_pivot_types": events_pivot_types,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
@@ -1642,6 +1681,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(k), 0)::BIGINT AS sum_k,
                    coalesce(max(k), 0)::BIGINT AS max_k
             FROM x GROUP BY event_type
+        """,
+        "orders_merged": """
+            WITH b AS (
+              SELECT o_orderkey AS k, o_custkey AS custkey,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS price_cents
+              FROM orders
+            ),
+            ch AS (
+              SELECT k, 'delete' AS op, custkey, price_cents
+              FROM b WHERE k % 13 = 0
+              UNION ALL
+              SELECT k, 'upsert', custkey, price_cents + 500
+              FROM b WHERE k % 7 = 0 AND k % 13 <> 0
+              UNION ALL
+              SELECT k + 10000000, 'upsert', custkey, 999::BIGINT
+              FROM b WHERE k % 101 = 0
+            )
+            SELECT b.k, b.custkey, b.price_cents FROM b
+            WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.k = b.k)
+            UNION ALL
+            SELECT k, custkey, price_cents FROM ch WHERE op = 'upsert'
         """,
         "docs_profile": """
             WITH p AS (

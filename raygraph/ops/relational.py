@@ -701,3 +701,56 @@ def profile_columns(ds, columns: Sequence[str],
     out = long.merge(nd, on="column", how="left")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
     return out.sort_values("column", ignore_index=True)
+
+
+def apply_changeset(base, changes, on: str | Sequence[str],
+                    op_col: str = "op", num_buckets: int = 128):
+    """CDC merge (``MERGE INTO`` / upsert-delete): apply a changeset to
+    a snapshot. ``changes`` carries the base schema plus ``op_col`` ∈
+    {'upsert', 'delete'}: base rows whose key appears in the changeset
+    are dropped, and upsert rows are emitted in their place (update and
+    insert are the same op — insert keys simply match no base row).
+
+    Contract: at most one change row per key (compact a raw change LOG
+    first with :func:`group_topk` k=1 on a sequence column —
+    latest-wins); delete rows must still be schema-valid (their payload
+    values are ignored, not read). Output schema == base schema.
+
+    Plan: tag-union both sides (same discipline as
+    :func:`cogroup_join`), hash-bucket on the key, one vectorized
+    pandas pass per bucket (anti-join base against changed keys +
+    append upserts) — the shuffle moves each row once and the bucket
+    co-locates every key's base row with its change row. The per-bucket
+    row volume is the scaling unit; the changeset needs no special
+    sizing (it rides the same buckets as the snapshot).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    schema = dataset_arrow_schema(base)
+    out_cols = list(schema.names)
+    if op_col in out_cols:
+        raise ValueError(f"base schema already has a {op_col!r} column")
+
+    def pad_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(op_col, pa.array([""] * n)) \
+                    .append_column("__side", pa.array([0] * n, pa.int8()))
+
+    def tag_changes(batch: pa.Table) -> pa.Table:
+        cols = out_cols + [op_col]
+        batch = batch.select(cols)
+        return batch.append_column(
+            "__side", pa.array([1] * batch.num_rows, pa.int8()))
+
+    both = base.map_batches(pad_base, batch_format="pyarrow").union(
+        changes.map_batches(tag_changes, batch_format="pyarrow"))
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df.loc[df["__side"] == 1]
+        b = df.loc[df["__side"] == 0, out_cols]
+        changed = ch[on].drop_duplicates()
+        m = b.merge(changed, on=on, how="left", indicator=True)
+        keep = m.loc[m["_merge"] == "left_only", out_cols]
+        ups = ch.loc[ch[op_col] == "upsert", out_cols]
+        return pd.concat([keep, ups], ignore_index=True)
+
+    return hash_aggregate(both, on, bucket_merge, num_buckets=num_buckets)

@@ -142,3 +142,24 @@ def test_profile_columns_nulls_and_layout(ray_session):
         got = {c: (n, nn, mn.removesuffix(".0"), mx.removesuffix(".0"), nd)
                for c, (n, nn, mn, mx, nd) in got.items()}
         assert got == expect, got
+
+
+def test_apply_changeset_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import apply_changeset
+
+    base = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    ch = pd.DataFrame({
+        "k": [2, 3, 5, 9],
+        "v": [0, 33, 55, 0],
+        # update k=3, insert k=5, delete k=2, delete-missing k=9 (no-op)
+        "op": ["delete", "upsert", "upsert", "delete"],
+    })
+    for parts in (1, 4):
+        out = apply_changeset(
+            rd.from_pandas(base).repartition(parts),
+            rd.from_pandas(ch).repartition(parts), on="k")
+        got = sorted((r["k"], r["v"]) for r in out.take_all())
+        assert got == [(1, 10), (3, 33), (4, 40), (5, 55)], got
