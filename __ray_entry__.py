@@ -1283,6 +1283,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ch = orders(sf_dir).map_batches(changes, batch_format="pyarrow")
         return apply_changeset(orders(sf_dir), ch, on="k")
 
+    def embedding_kmeans(sf_dir):
+        # distributed Lloyd k-means (k=8, 2 refinement rounds) in exact
+        # integer arithmetic — per-iteration vectorized assignment +
+        # partial-sum pass, k×d centroid matrix as the only driver
+        # state; final (vec_id, cluster) assignments match the
+        # machine-unrolled SQL oracle bit-for-bit
+        from raygraph.ops.cluster import kmeans
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return kmeans(emb, k=8, iters=2)
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -1338,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": events_latest,
         "docs_profile": docs_profile,
         "orders_merged": orders_merged,
+        "embedding_kmeans": embedding_kmeans,
         "events_pivot_types": events_pivot_types,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
@@ -1375,6 +1388,51 @@ def _simhash_sql_expr() -> str:
         for i in range(SIMHASH_BITS)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Machine-unrolled Lloyd k-means mirroring
+    raygraph.ops.cluster.kmeans term for term: ×10^6 trunc quantization,
+    exact int squared-distance argmin (ties → smallest cluster), floor
+    mean, clusters recomputed from surviving groups only. ``iters``
+    refinement rounds then one final assignment — so assignment CTEs
+    a1..a{iters+1}, centroid CTEs c0..c{iters}."""
+    parts = [
+        """WITH u AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(trunc(unnest(embedding)::DOUBLE * 1000000)
+                      AS BIGINT) AS x
+          FROM embeddings
+        )""",
+        f""", c0 AS (
+          SELECT vec_id % {k} AS cl, dim,
+                 CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS c
+          FROM u GROUP BY vec_id % {k}, dim
+        )""",
+    ]
+    for t in range(1, iters + 2):
+        parts.append(f""", a{t} AS (
+          SELECT vec_id, cl FROM (
+            SELECT u.vec_id, c.cl,
+                   row_number() OVER (
+                       PARTITION BY u.vec_id
+                       ORDER BY sum((u.x - c.c) * (u.x - c.c)) ASC,
+                                c.cl ASC) AS rn
+            FROM u JOIN c{t - 1} c ON u.dim = c.dim
+            GROUP BY u.vec_id, c.cl
+          ) WHERE rn = 1
+        )""")
+        if t <= iters:
+            parts.append(f""", c{t} AS (
+              SELECT a.cl, u.dim,
+                     CAST(floor(sum(u.x)::DOUBLE / count(*)) AS BIGINT)
+                         AS c
+              FROM u JOIN a{t} a ON u.vec_id = a.vec_id
+              GROUP BY a.cl, u.dim
+            )""")
+    parts.append(
+        f"SELECT vec_id, cl AS cluster FROM a{iters + 1}")
+    return "\n".join(parts)
 
 
 def _pagerank_sql(edges_sql: str, iters: int) -> str:
@@ -1682,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max(k), 0)::BIGINT AS max_k
             FROM x GROUP BY event_type
         """,
+        "embedding_kmeans": _kmeans_sql(k=8, iters=2),
         "orders_merged": """
             WITH b AS (
               SELECT o_orderkey AS k, o_custkey AS custkey,

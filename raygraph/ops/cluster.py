@@ -1,0 +1,129 @@
+"""Distributed k-means (Lloyd's algorithm) in exact integer arithmetic.
+
+A first-class addition beyond the reference exporter (which has no ML
+ops — SURVEY.md §2.6): the iterative-refinement shape every
+training-data pipeline needs (corpus clustering, IVF coarse-quantizer
+training, topic bucketing).
+
+Scale design: the per-vector work (assignment + per-cluster partial
+sums) is a vectorized ``map_batches`` pass per iteration; the only
+driver-side state is the centroid matrix — k×d rows, aggregate-sized by
+construction, the legitimate broadcast small side (same discipline as
+the linker state and IVF lists). No iteration materializes the corpus;
+each is one streaming pass ending in a (cluster, dim) combiner groupby.
+
+Determinism contract (so a SQL oracle can replay it bit-for-bit):
+vectors quantize to int64 at ×10^6 (float64 multiply then TRUNCATION —
+same recipe as the centroid oracle), distances are exact int64 sums of
+squared differences, argmin ties break to the smallest cluster id, and
+centroid means use Python-style FLOOR division. Clusters that empty out
+are dropped (both engines recompute from surviving groups only).
+Overflow bound: |x_e6| ≤ 3·10^6 ⇒ d·(2·3·10^6)² < 2^63 for d ≤ 2.5·10^5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE = 1_000_000
+
+
+def _quantize(batch: pa.Table, id_col: str, vec_col: str):
+    from .vecops import vectors_to_numpy
+
+    X = (vectors_to_numpy(batch.column(vec_col), np.float64)
+         * SCALE).astype("int64")
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return ids, X
+
+
+def _cluster_partials(assign: np.ndarray, X: np.ndarray,
+                      clusters: np.ndarray) -> pa.Table:
+    """Per-batch (cluster, dim, sum_x, n) partial rows — k small numpy
+    folds, never a per-row loop."""
+    parts = []
+    for c in clusters:
+        m = assign == c
+        n = int(m.sum())
+        if not n:
+            continue
+        s = X[m].sum(axis=0, dtype=np.int64)
+        parts.append(pd.DataFrame({
+            "cl": np.int64(c), "dim": np.arange(X.shape[1], dtype="int64"),
+            "sum_x": s, "n": np.int64(n),
+        }))
+    if not parts:
+        return pa.table({"cl": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "sum_x": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                preserve_index=False)
+
+
+def _centroids_to_driver(part_ds) -> tuple[np.ndarray, np.ndarray]:
+    """(clusters, centroid matrix) from a (cl, dim, sum_x, n) partials
+    Dataset — one combiner groupby, then a k×d collect (aggregate-sized,
+    the legitimate driver hop)."""
+    from .relational import preagg_sum
+
+    agg = preagg_sum(part_ds, ["cl", "dim"],
+                     {"sum_x": "sum_x", "n": "n"}).to_pandas()
+    agg["c"] = agg["sum_x"].to_numpy() // agg["n"].to_numpy()
+    wide = agg.pivot(index="cl", columns="dim", values="c").sort_index()
+    return (wide.index.to_numpy(dtype="int64"),
+            wide.to_numpy(dtype="int64"))
+
+
+def _assign(X: np.ndarray, clusters: np.ndarray,
+            cent: np.ndarray) -> np.ndarray:
+    """argmin_c Σ_d (x-c)² in exact int64; ties → smallest cluster id
+    (clusters is sorted, argmin takes the first minimum)."""
+    diff = X[:, None, :] - cent[None, :, :]
+    dist = np.einsum("bkd,bkd->bk", diff, diff)
+    return clusters[np.argmin(dist, axis=1)]
+
+
+def kmeans(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
+           vec_col: str = "embedding"):
+    """Lloyd's k-means over an embedding column; returns a Dataset of
+    (id_col, cluster) final assignments.
+
+    Init: cluster = id % k, centroid = per-dim floor-mean (one pass).
+    Each iteration: broadcast the k×d centroid matrix into a vectorized
+    assignment + partial-sum ``map_batches`` pass, combiner groupby,
+    k×d collect. ``iters`` refinement rounds, then one final assignment
+    pass. iters+2 streaming passes total, corpus never materialized.
+    """
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids, X = _quantize(batch, id_col, vec_col)
+        return _cluster_partials(ids % k, X,
+                                 np.arange(k, dtype="int64"))
+
+    clusters, cent = _centroids_to_driver(
+        ds.map_batches(init_partial, batch_format="pyarrow"))
+
+    for _ in range(iters):
+        cl_cap, cent_cap = clusters, cent
+
+        def step_partial(batch: pa.Table, _cl=cl_cap, _ce=cent_cap
+                         ) -> pa.Table:
+            _, X = _quantize(batch, id_col, vec_col)
+            return _cluster_partials(_assign(X, _cl, _ce), X, _cl)
+
+        clusters, cent = _centroids_to_driver(
+            ds.map_batches(step_partial, batch_format="pyarrow"))
+
+    cl_fin, cent_fin = clusters, cent
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        ids, X = _quantize(batch, id_col, vec_col)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(_assign(X, cl_fin, cent_fin), pa.int64()),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

@@ -1,0 +1,62 @@
+"""kmeans (raygraph.ops.cluster) — Lloyd iterations in exact ints."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_ds(rd, vecs, ids=None, parts=1):
+    ids = list(range(len(vecs))) if ids is None else ids
+    tab = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(tab).repartition(parts)
+
+
+def test_kmeans_separated_clusters(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.cluster import kmeans
+
+    # two tight blobs far apart: whatever the init, 2-means with 2
+    # rounds must put each blob in one cluster
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.2, 0.001, size=(20, 8))
+    b = rng.normal(-0.2, 0.001, size=(20, 8))
+    out = kmeans(_emb_ds(rd, np.vstack([a, b]), parts=3), k=2, iters=2)
+    df = pd.DataFrame(out.take_all()).sort_values("vec_id")
+    first, second = df["cluster"].iloc[:20], df["cluster"].iloc[20:]
+    assert first.nunique() == 1 and second.nunique() == 1
+    assert first.iloc[0] != second.iloc[0]
+
+
+def test_kmeans_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.cluster import kmeans
+
+    rng = np.random.default_rng(11)
+    vecs = rng.uniform(-0.3, 0.3, size=(60, 16))
+    runs = []
+    for parts in (1, 7):
+        out = kmeans(_emb_ds(rd, vecs, parts=parts), k=4, iters=2)
+        runs.append(sorted((r["vec_id"], r["cluster"])
+                           for r in out.take_all()))
+    assert runs[0] == runs[1]
+
+
+def test_kmeans_empty_cluster_dropped(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.cluster import kmeans
+
+    # 4 identical vectors, k=3: after round 1 every vector sits in one
+    # cluster; the other init clusters empty out and are dropped — the
+    # run must still complete with a single surviving cluster
+    vecs = np.full((4, 4), 0.1)
+    out = kmeans(_emb_ds(rd, vecs, parts=2), k=3, iters=2)
+    df = pd.DataFrame(out.take_all())
+    assert len(df) == 4
+    assert df["cluster"].nunique() == 1
