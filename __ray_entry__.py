@@ -1295,6 +1295,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return kmeans(emb, k=8, iters=2)
 
+    def tpch_salted_priority(sf_dir):
+        # skew-mitigated big⋈big join: lineitem ⋈ orders on orderkey
+        # through the salted path (approx heavy-hitter pre-pass routes
+        # hot keys across salt sub-buckets; exact for any hot set),
+        # then a combiner preagg per priority — oracle is the plain SQL
+        # join+group, proving salting only re-routes
+        from raygraph.ops.relational import salted_join
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "price_cents": pa.array(
+                    np.round(p * 100).astype("int64")),
+            })
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice"],
+        ).map_batches(cents, batch_format="pyarrow")
+        od = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        ).map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "o_orderpriority"]),
+            batch_format="pyarrow")
+        j = salted_join(li, od, on="l_orderkey", salt=4)
+        return preagg_sum(j, ["o_orderpriority"],
+                          {"sum_price_cents": "price_cents"},
+                          counts="n_items")
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -1351,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": docs_profile,
         "orders_merged": orders_merged,
         "embedding_kmeans": embedding_kmeans,
+        "tpch_salted_priority": tpch_salted_priority,
         "events_pivot_types": events_pivot_types,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
@@ -1741,6 +1774,16 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY event_type
         """,
         "embedding_kmeans": _kmeans_sql(k=8, iters=2),
+        "tpch_salted_priority": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "orders_merged": """
             WITH b AS (
               SELECT o_orderkey AS k, o_custkey AS custkey,

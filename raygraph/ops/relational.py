@@ -754,3 +754,73 @@ def apply_changeset(base, changes, on: str | Sequence[str],
         return pd.concat([keep, ups], ignore_index=True)
 
     return hash_aggregate(both, on, bucket_merge, num_buckets=num_buckets)
+
+
+def approx_heavy_keys(ds, key: str, top: int = 16,
+                      per_batch: int = 64) -> list:
+    """Approximate heavy-hitter keys (SpaceSaving-flavored): per-batch
+    ``value_counts`` truncated to ``per_batch`` candidates, tree-folded
+    with re-truncation to ``top``. Truncation makes it approximate, but
+    true heavy hitters dominate every batch they appear in, so they
+    survive the folds; use where a miss only costs balance, not
+    correctness (e.g. :func:`salted_join` routing)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.to_pandas()[key].value_counts().head(per_batch)
+        return pa.table({key: pa.array(vc.index.to_numpy()),
+                         "__n": pa.array(vc.to_numpy(dtype="int64"))})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key, as_index=False)["__n"].sum()
+                .nlargest(top, "__n"))
+
+    out = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                         combine, precombined=True).to_pandas()
+    return out[key].tolist()
+
+
+def salted_join(left, right, on: str, salt: int = 8, hot_keys=None,
+                num_buckets: int = 64):
+    """Skew-mitigated INNER equi-join: rows of HOT keys spread across
+    ``salt`` sub-buckets on the left (full-row hash, deterministic at
+    any layout) while the matching right rows replicate into every
+    sub-bucket; cold keys ride salt 0 untouched. One pathological key
+    then fans across ``salt`` reduce tasks instead of serializing one —
+    the standard salting repair for the per-bucket co-location bound
+    documented on :func:`cogroup_join` / :func:`hash_aggregate`.
+
+    Exact for ANY ``hot_keys`` choice (salting only routes); by default
+    hot keys come from the :func:`approx_heavy_keys` pre-pass over the
+    left side. Replication cost: |right rows of hot keys| × salt —
+    bounded because hot keys are few by construction. Single key
+    column, inner join only (replication breaks semi/anti semantics).
+    """
+    if hot_keys is None:
+        hot_keys = approx_heavy_keys(left, on)
+    hot = set(hot_keys)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        is_hot = df[on].isin(hot).to_numpy()
+        df["__salt"] = np.where(is_hot, h % salt, 0).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_hot = df[on].isin(hot).to_numpy()
+        cold = df.loc[~is_hot].copy()
+        cold["__salt"] = np.int64(0)
+        hotdf = df.loc[is_hot]
+        rep = hotdf.loc[hotdf.index.repeat(salt)].copy()
+        rep["__salt"] = np.tile(np.arange(salt, dtype="int64"),
+                                len(hotdf))
+        return pa.Table.from_pandas(
+            pd.concat([cold, rep], ignore_index=True),
+            preserve_index=False)
+
+    joined = cogroup_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(replicate_right, batch_format="pyarrow"),
+        on=[on, "__salt"], num_buckets=num_buckets)
+    return joined.drop_columns(["__salt"])

@@ -163,3 +163,41 @@ def test_apply_changeset_semantics(ray_session):
             rd.from_pandas(ch).repartition(parts), on="k")
         got = sorted((r["k"], r["v"]) for r in out.take_all())
         assert got == [(1, 10), (3, 33), (4, 40), (5, 55)], got
+
+
+def test_salted_join_equivalent_on_skew(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import salted_join
+
+    # one pathological key (0) with 300 left rows; plain pandas merge is
+    # the ground truth — salting must only re-route, never change rows
+    left = pd.DataFrame({
+        "k": [0] * 300 + list(range(1, 41)),
+        "lv": list(range(340)),
+    })
+    right = pd.DataFrame({
+        "k": [0, 0] + list(range(1, 61)),
+        "rv": list(range(62)),
+    })
+    want = sorted(map(tuple, left.merge(right, on="k")
+                      [["k", "lv", "rv"]].itertuples(index=False)))
+    for hot in (None, [0]):
+        out = salted_join(rd.from_pandas(left).repartition(5),
+                          rd.from_pandas(right).repartition(3),
+                          on="k", salt=4, hot_keys=hot)
+        got = sorted((r["k"], r["lv"], r["rv"]) for r in out.take_all())
+        assert got == want
+
+
+def test_approx_heavy_keys_finds_dominant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import approx_heavy_keys
+
+    df = pd.DataFrame({"k": [7] * 500 + [9] * 300 + list(range(100))})
+    hot = approx_heavy_keys(rd.from_pandas(df).repartition(6), "k",
+                            top=2)
+    assert set(hot) == {7, 9}
