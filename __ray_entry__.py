@@ -1327,6 +1327,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           {"sum_price_cents": "price_cents"},
                           counts="n_items")
 
+    def docs_stratified_sample(sf_dir):
+        # class rebalancing: downsample dominant English to 10%, keep
+        # 50% of the rest (zh dropped — absent from the rate map) —
+        # content-keyed md5 split, so the exact surviving rows are
+        # SQL-reproducible at any parallelism
+        from raygraph.ops.relational import stratified_sample
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang"])
+        return stratified_sample(
+            ds, {"en": 100, "de": 500, "es": 500, "fr": 500}, "lang")
+
+    def lineitem_range_tiles(sf_dir):
+        # exact range partitioner (the split step of a distributed
+        # sort): boundaries = exact percentile_disc(1/4, 2/4, 3/4) of
+        # the cents column via the value-count shuffle (no sampling, so
+        # tiles are layout-deterministic), then per-tile row count and
+        # min/max — proving the partitioner produces sorted,
+        # contiguous, complete ranges
+        from raygraph.ops.relational import range_partition
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "price_cents": pa.array(
+                    np.round(p * 100).astype("int64")),
+            })
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_extendedprice"],
+        ).map_batches(cents, batch_format="pyarrow")
+        tiled = range_partition(li, "price_cents", n_tiles=4)
+        from raygraph.ops.relational import preagg_extreme
+
+        n = preagg_sum(tiled, ["tile"], {}, counts="n_rows")
+        lo = preagg_extreme(tiled, ["tile"], "price_cents", "min",
+                            out="min_cents")
+        hi = preagg_extreme(tiled, ["tile"], "price_cents", "max",
+                            out="max_cents")
+        df = n.to_pandas().merge(lo.to_pandas(), on="tile") \
+            .merge(hi.to_pandas(), on="tile")
+        return df.sort_values("tile", ignore_index=True)
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -1384,6 +1429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merged": orders_merged,
         "embedding_kmeans": embedding_kmeans,
         "tpch_salted_priority": tpch_salted_priority,
+        "docs_stratified_sample": docs_stratified_sample,
+        "lineitem_range_tiles": lineitem_range_tiles,
         "events_pivot_types": events_pivot_types,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
@@ -1774,6 +1821,36 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY event_type
         """,
         "embedding_kmeans": _kmeans_sql(k=8, iters=2),
+        "lineitem_range_tiles": """
+            WITH c AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem
+            ),
+            b AS (
+              SELECT quantile_disc(v, 0.25) AS b1,
+                     quantile_disc(v, 0.50) AS b2,
+                     quantile_disc(v, 0.75) AS b3
+              FROM c
+            ),
+            t AS (
+              SELECT ((v > b.b1)::INT + (v > b.b2)::INT
+                      + (v > b.b3)::INT)::BIGINT AS tile, v
+              FROM c, b
+            )
+            SELECT tile, count(*)::BIGINT AS n_rows,
+                   min(v) AS min_cents, max(v) AS max_cents
+            FROM t GROUP BY tile
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000 <
+                  CASE lang WHEN 'en' THEN 100
+                            WHEN 'de' THEN 500
+                            WHEN 'es' THEN 500
+                            WHEN 'fr' THEN 500
+                            ELSE 0 END
+        """,
         "tpch_salted_priority": """
             SELECT o.o_orderpriority,
                    CAST(sum(CAST(round(l.l_extendedprice * 100)

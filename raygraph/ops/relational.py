@@ -824,3 +824,71 @@ def salted_join(left, right, on: str, salt: int = 8, hot_keys=None,
         right.map_batches(replicate_right, batch_format="pyarrow"),
         on=[on, "__salt"], num_buckets=num_buckets)
     return joined.drop_columns(["__salt"])
+
+
+def stratified_sample(ds, rates_per_mille: dict, group_col: str,
+                      id_col: str = "doc_id"):
+    """Per-stratum deterministic sampling: keep a row iff
+    ``md5_60bit(str(id)) % 1000 < rates_per_mille[group]`` (groups
+    absent from the map are dropped). Same content-keyed contract as
+    :func:`deterministic_sample` — identical rows survive at any
+    parallelism and a SQL oracle reproduces the exact sample — but the
+    keep rate varies by stratum (the class-rebalancing step of a
+    training-data pipeline: downsample the dominant language, keep all
+    of the rare one). Pure streaming filter; the tiny rate map rides the
+    task closure, no shuffle."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = df[id_col].astype(str).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            % 1000)
+        rate = df[group_col].map(rates_per_mille).fillna(0)
+        return batch.filter(pa.array((h < rate).to_numpy()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def range_boundaries(ds, col: str, n_tiles: int,
+                     num_buckets: int = 64) -> list:
+    """Exact range-partitioner split points: the percentile_disc(i/n),
+    i = 1..n-1, values of ``col`` via the :func:`grouped_quantiles`
+    value-count shuffle (constant group). No sampling — the boundaries
+    are deterministic at any block layout, unlike a sample-based range
+    partitioner (Ray's sort samples; re-runs can split differently).
+    Returns the n_tiles-1 boundary values (a driver-side scalar list —
+    the broadcast small side of the partitioner). Same scaling bound as
+    grouped_quantiles: the distinct-value set of one (discretized)
+    column must fit one reduce task."""
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(batch.num_rows, dtype="int64")))
+
+    q = grouped_quantiles(ds.map_batches(tag, batch_format="pyarrow"),
+                          ["__g"], col, qs=qs, prefix="b",
+                          num_buckets=num_buckets).to_pandas()
+    cols = [f"b{int(round(x * 100)):02d}" for x in qs]
+    return [v for v in q.iloc[0][cols].tolist()]
+
+
+def range_partition(ds, col: str, n_tiles: int = 4,
+                    boundaries: Sequence | None = None):
+    """Tag every row with its range tile — the split step of a
+    distributed sort / range-partitioned write: tile(v) = #boundaries
+    strictly below v (tiles are value-ranges [b_i, b_{i+1}]; equal
+    values always co-tile). Boundaries default to the exact
+    :func:`range_boundaries`; the tiny list rides the task closure.
+    Adds an int64 ``tile`` column; streaming, no shuffle."""
+    if boundaries is None:
+        boundaries = range_boundaries(ds, col, n_tiles)
+    bs = np.asarray(list(boundaries))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        tile = (v[:, None] > bs[None, :]).sum(axis=1).astype("int64")
+        return batch.append_column("tile", pa.array(tile))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -201,3 +201,24 @@ def test_approx_heavy_keys_finds_dominant(ray_session):
     hot = approx_heavy_keys(rd.from_pandas(df).repartition(6), "k",
                             top=2)
     assert set(hot) == {7, 9}
+
+
+def test_range_partition_layout_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import range_partition
+
+    df = pd.DataFrame({"id": range(200), "v": [i % 37 for i in range(200)]})
+    runs = []
+    for parts in (1, 9):
+        out = range_partition(rd.from_pandas(df).repartition(parts),
+                              "v", n_tiles=4)
+        runs.append(sorted((r["id"], r["tile"]) for r in out.take_all()))
+    assert runs[0] == runs[1]
+    # tiles are contiguous value ranges: max of tile t < min of tile t+1
+    g = pd.DataFrame([{"tile": t, "v": v} for (_, t), (_, v) in
+                      zip(runs[0], sorted((r["id"], r["v"]) for r in
+                          rd.from_pandas(df).take_all()))])
+    agg = g.groupby("tile")["v"].agg(["min", "max"]).sort_index()
+    assert (agg["max"].to_numpy()[:-1] <= agg["min"].to_numpy()[1:]).all()
