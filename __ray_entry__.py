@@ -1372,6 +1372,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .merge(hi.to_pandas(), on="tile")
         return df.sort_values("tile", ignore_index=True)
 
+    def docs_vocab_encode(sf_dir):
+        # tokenizer fit + transform: build the top-64 corpus vocab
+        # (count DESC, token ASC ids), broadcast it, and emit each
+        # doc's exact-integer encoding summary (n_tokens, n_oov,
+        # sum of in-vocab token ids) — the vocab never exceeds 64 rows
+        # and the corpus is never collected
+        from raygraph.ops.text import build_vocab, encode_tokens
+
+        vocab = build_vocab(_docs_ds(sf_dir), size=64)
+        return encode_tokens(_docs_ds(sf_dir), vocab)
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -1431,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_salted_priority": tpch_salted_priority,
         "docs_stratified_sample": docs_stratified_sample,
         "lineitem_range_tiles": lineitem_range_tiles,
+        "docs_vocab_encode": docs_vocab_encode,
         "events_pivot_types": events_pivot_types,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
@@ -1821,6 +1833,20 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY event_type
         """,
         "embedding_kmeans": _kmeans_sql(k=8, iters=2),
+        "docs_vocab_encode": _TOKS_CTE + """
+            , u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            cnt AS (SELECT token, count(*)::BIGINT AS n
+                    FROM u GROUP BY token),
+            v AS (SELECT token,
+                         row_number() OVER (ORDER BY n DESC, token ASC)
+                             - 1 AS token_id
+                  FROM cnt ORDER BY n DESC, token ASC LIMIT 64)
+            SELECT u.doc_id, count(*)::BIGINT AS n_tokens,
+                   (count(*) - count(v.token_id))::BIGINT AS n_oov,
+                   coalesce(sum(v.token_id), 0)::BIGINT AS sum_ids
+            FROM u LEFT JOIN v ON u.token = v.token
+            GROUP BY u.doc_id
+        """,
         "lineitem_range_tiles": """
             WITH c AS (
               SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v

@@ -221,3 +221,59 @@ def doc_fingerprint(batch: pa.Table, text_col: str = "text",
     h = (np.uint64(FP_INIT) * fpow[lens] + sums) & _FP_MASK
     return pa.table({id_col: batch.column(id_col),
                      "fingerprint": pa.array(h.view(np.int64), pa.int64())})
+
+
+def build_vocab(ds, size: int = 64, text_col: str = "text") -> pd.DataFrame:
+    """Tokenizer FIT: top-``size`` whitespace tokens by corpus frequency
+    (ties → token ASC) with contiguous ids 0..size-1 assigned in
+    (count DESC, token ASC) order. Vectorized explode → per-batch
+    partial counts → one vocab-bounded groupby; the returned frame is
+    vocab-sized (the broadcast small side of :func:`encode_tokens`),
+    never the corpus."""
+    from .relational import preagg_sum
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split().explode().dropna()
+        g = toks.value_counts().rename_axis("token").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(ds.map_batches(token_counts, batch_format="pyarrow"),
+                     ["token"], {"n": "n"})
+    df = agg.to_pandas().sort_values(["n", "token"],
+                                     ascending=[False, True]).head(size)
+    df = df.reset_index(drop=True)
+    df["token_id"] = np.arange(len(df), dtype="int64")
+    return df[["token", "token_id", "n"]]
+
+
+def encode_tokens(ds, vocab: pd.DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Tokenizer TRANSFORM: per-doc encoding summary under ``vocab`` —
+    n_tokens, n_oov (tokens outside the vocab) and sum_ids (sum of
+    in-vocab token ids; the exact-integer checksum of the id sequence).
+    The vocab dict rides the task closure (broadcast once per worker);
+    token→id is one vectorized ``Series.map``. Docs with zero tokens
+    emit no row (mirrors the SQL unnest join)."""
+    mapping = dict(zip(vocab["token"], vocab["token_id"]))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas()
+        toks = s.str.strip().str.lower().str.split()
+        ex = pd.DataFrame({id_col: ids.repeat(toks.str.len().fillna(0)
+                                              .astype(int)),
+                           "token": toks.explode().dropna()})
+        ex["tid"] = ex["token"].map(mapping)
+        ex["is_oov"] = ex["tid"].isna().astype("int64")
+        ex["tid0"] = ex["tid"].fillna(0).astype("int64")
+        g = ex.groupby(id_col, as_index=False).agg(
+            n_tokens=("token", "size"),
+            n_oov=("is_oov", "sum"),
+            sum_ids=("tid0", "sum"),
+        )
+        for c in ("n_tokens", "n_oov", "sum_ids"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -87,3 +87,27 @@ def test_bpe_token_count():
             "SELECT len(regexp_extract_all(?, ?))", [s, BPE_PATTERN]
         ).fetchone()[0]
         assert sql_n == n, (s, sql_n, n)
+
+
+def test_build_vocab_and_encode(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import build_vocab, encode_tokens
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a c", "b a B", "   "],   # doc 3: zero tokens
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    vocab = build_vocab(ds, size=2)
+    # counts: a=3, b=3 (lowercased), c=1 → ties a<b → ids a=0, b=1
+    assert vocab["token"].tolist() == ["a", "b"]
+    assert vocab["token_id"].tolist() == [0, 1]
+
+    out = encode_tokens(ds, vocab)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["sum_ids"])
+           for r in out.take_all()}
+    # doc1: a b a c → 4 tokens, c oov, ids 0+1+0 = 1
+    # doc2: b a b → 3 tokens, 0 oov, 1+0+1 = 2; doc3 absent
+    assert got == {1: (4, 1, 1), 2: (3, 0, 2)}
