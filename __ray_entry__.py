@@ -324,6 +324,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.bpe_token_count,
                                             batch_format="pyarrow")
 
+    def docs_pii_scrub(sf_dir):
+        # PII scrub over a corpus with deterministically injected
+        # emails/phones (the sf documents are PII-free word soup, so the
+        # query plants id-derived PII the SQL oracle replants
+        # identically); counts on the original, redaction in two
+        # non-interacting passes
+        def inject(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pandas()
+            s = batch.column("text").to_pandas().fillna("")
+            em = ids % 7 == 0
+            ph = ids % 11 == 0
+            s = s + np.where(
+                em, " mail: u" + ids.astype(str) + "@ex" +
+                (ids % 10).astype(str) + ".org", "")
+            s = s + np.where(
+                ph, " call " + (ids % 1000).astype(str).str.zfill(3) +
+                "-555-" + (ids % 10000).astype(str).str.zfill(4), "")
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text": pa.array(s, pa.string())})
+
+        return (_docs_ds(sf_dir)
+                .map_batches(inject, batch_format="pyarrow")
+                .map_batches(T.pii_scrub, batch_format="pyarrow"))
+
+    def docs_contamination(sf_dir):
+        # benchmark-contamination filter: the "benchmark" is the distinct
+        # 3-gram set of docs 0..19 (small side, collected once and
+        # broadcast via the task closure); every doc is scored for
+        # overlap in one corpus pass
+        def head_docs(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.less(batch.column("doc_id"), 20))
+
+        bench_docs = _docs_ds(sf_dir).map_batches(head_docs,
+                                                  batch_format="pyarrow")
+        bench = T.bench_ngram_set(bench_docs, n=3)
+        return T.contamination_counts(_docs_ds(sf_dir), bench, n=3)
+
+    def docs_repetition(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.repetition_stats,
+                                            batch_format="pyarrow")
+
     def text_top_tokens(sf_dir):
         # corpus heavy hitters: vectorized explode (split + pandas
         # explode) → per-batch partial counts → one vocab-bounded
@@ -1407,6 +1450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "text_bpe_token_count": text_bpe_token_count,
         "text_top_tokens": text_top_tokens,
+        "docs_pii_scrub": docs_pii_scrub,
+        "docs_contamination": docs_contamination,
+        "docs_repetition": docs_repetition,
         "text_cms_counts": text_cms_counts,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
@@ -1968,6 +2014,64 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 20
+        """,
+        "docs_pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' mail: u' || doc_id || '@ex'
+                                  || (doc_id % 10) || '.org'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' call '
+                                  || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                                  || '-555-'
+                                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+'
+                   ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+',
+                       '<EMAIL>', 'g'),
+                     '\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                     AS clean_text
+            FROM aug
+        """,
+        "docs_contamination": _TOKS_CTE + """
+            , u AS (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS pos
+                    FROM t),
+            g AS (SELECT doc_id,
+                         tok || ' ' || lead(tok, 1) OVER w || ' '
+                             || lead(tok, 2) OVER w AS ngram
+                  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            v AS (SELECT doc_id, ngram FROM g WHERE ngram IS NOT NULL),
+            bench AS (SELECT DISTINCT ngram FROM v WHERE doc_id < 20)
+            SELECT v.doc_id, count(*)::BIGINT AS n_grams,
+                   count(bench.ngram)::BIGINT AS n_contaminated
+            FROM v LEFT JOIN bench USING (ngram)
+            GROUP BY v.doc_id
+        """,
+        "docs_repetition": _TOKS_CTE + """
+            , u AS (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS pos
+                    FROM t),
+            g AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS ngram
+                  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            c AS (SELECT doc_id, ngram, count(*)::BIGINT AS n
+                  FROM g WHERE ngram IS NOT NULL GROUP BY doc_id, ngram)
+            SELECT doc_id, sum(n)::BIGINT AS n_2grams,
+                   max(n)::BIGINT AS max_2gram_n,
+                   floor(10000.0 * max(n) / sum(n)) / 10000.0 AS top_share
+            FROM c GROUP BY doc_id
         """,
         "embedding_centroids": """
             WITH u AS (

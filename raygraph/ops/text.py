@@ -277,3 +277,132 @@ def encode_tokens(ds, vocab: pd.DataFrame, text_col: str = "text",
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- PII
+# ASCII-only, RE2-compatible patterns (no lookaround, explicit classes)
+# so DuckDB's regexp_* computes identical matches — the same discipline
+# as BPE_PATTERN above.
+EMAIL_PATTERN = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+PHONE_PATTERN = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_EMAIL = re.compile(EMAIL_PATTERN, re.ASCII)
+_PHONE = re.compile(PHONE_PATTERN, re.ASCII)
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """PII detection + redaction: count and mask email addresses and
+    phone-shaped numbers (the mandatory scrub step of a training-data
+    pipeline). Counts are taken on the ORIGINAL text; redaction replaces
+    emails first, then phones (the placeholders contain no digits or
+    '@', so the passes cannot interact). Vectorized pandas str kernels;
+    contract matched bit-for-bit by the DuckDB regexp_replace oracle."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    n_em = s.str.count(_EMAIL).astype("int64")
+    n_ph = s.str.count(_PHONE).astype("int64")
+    clean = s.str.replace(_EMAIL, "<EMAIL>", regex=True)
+    clean = clean.str.replace(_PHONE, "<PHONE>", regex=True)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_emails": pa.array(n_em, pa.int64()),
+            "n_phones": pa.array(n_ph, pa.int64()),
+            "clean_text": pa.array(clean, pa.string()),
+        }
+    )
+
+
+# ----------------------------------------------------- n-gram utilities
+def _doc_ngrams(s: pd.Series, n: int) -> pd.DataFrame:
+    """Per-row word n-grams, fully vectorized: one explode + (n-1)
+    groupby-level shifts. Returns a frame indexed by original row
+    position with a single ``ngram`` column (space-joined); rows with
+    fewer than n tokens contribute nothing."""
+    toks = s.fillna("").str.strip().str.lower().str.split()
+    ex = toks.explode().dropna()
+    if not len(ex):
+        return pd.DataFrame({"ngram": pd.Series([], dtype=object)})
+    parts = [ex]
+    g = ex.groupby(level=0)
+    for i in range(1, n):
+        parts.append(g.shift(-i))
+    out = parts[0].str.cat(parts[1:], sep=" ")  # NaN shift → NaN row
+    return out.dropna().rename("ngram").to_frame()
+
+
+def contamination_counts(ds, bench_ngrams, n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark-contamination check: per document, how many of its word
+    n-grams appear in a benchmark n-gram set (the standard eval-leakage
+    filter for training corpora). ``bench_ngrams`` is the SMALL side —
+    build it once, pass it by value; it rides the serialized task
+    closure to each worker exactly once per worker process (for
+    multi-GB benchmark sets switch to ``ray.put`` + a ref, the linker
+    pattern in ops/link.py). Documents with fewer than n tokens emit no
+    row (mirrors the SQL window-join shape)."""
+    bench = frozenset(bench_ngrams)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = batch.column(id_col).to_pandas()
+        grams = _doc_ngrams(s, n)
+        if not len(grams):
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_contaminated": pa.array([], pa.int64())})
+        grams["hit"] = grams["ngram"].isin(bench).astype("int64")
+        agg = grams.groupby(level=0).agg(n_grams=("ngram", "size"),
+                                         n_contaminated=("hit", "sum"))
+        agg[id_col] = ids.loc[agg.index].to_numpy()
+        agg = agg.reset_index(drop=True)[[id_col, "n_grams", "n_contaminated"]]
+        for c in ("n_grams", "n_contaminated"):
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def bench_ngram_set(ds, n: int = 3, text_col: str = "text") -> frozenset:
+    """Distinct word n-grams of a (small, pre-filtered) benchmark
+    Dataset, collected to the driver — the broadcast side of
+    :func:`contamination_counts`. Per-batch dedup bounds what crosses
+    the wire to the per-block distinct set."""
+    def distinct(batch: pa.Table) -> pa.Table:
+        grams = _doc_ngrams(batch.column(text_col).to_pandas(), n)
+        u = grams["ngram"].drop_duplicates() if len(grams) else pd.Series([], dtype=object)
+        return pa.table({"ngram": pa.array(u, pa.string())})
+
+    out = set()
+    for b in ds.map_batches(distinct, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        out.update(b.column("ngram").to_pylist())
+    return frozenset(out)
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals: per document, the number
+    of word 2-grams, the count of the most frequent 2-gram, and its
+    share of all 2-grams (floor-at-4dp, the repo-wide SQL-parity ratio
+    contract). High top_share = boilerplate/spam. Documents with < 2
+    tokens emit no row. One explode + one groupby-size + one max —
+    no per-row Python."""
+    s = batch.column(text_col).to_pandas()
+    ids = batch.column(id_col).to_pandas()
+    grams = _doc_ngrams(s, 2)
+    if not len(grams):
+        return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                         "n_2grams": pa.array([], pa.int64()),
+                         "max_2gram_n": pa.array([], pa.int64()),
+                         "top_share": pa.array([], pa.float64())})
+    counts = grams.groupby([grams.index, "ngram"]).size()
+    per_doc = counts.groupby(level=0).agg(["sum", "max"])
+    share = np.floor(10000.0 * per_doc["max"] / per_doc["sum"]) / 10000.0
+    return pa.table(
+        {
+            id_col: pa.array(ids.loc[per_doc.index], batch.schema.field(id_col).type),
+            "n_2grams": pa.array(per_doc["sum"].astype("int64"), pa.int64()),
+            "max_2gram_n": pa.array(per_doc["max"].astype("int64"), pa.int64()),
+            "top_share": pa.array(share.astype("float64"), pa.float64()),
+        }
+    )

@@ -111,3 +111,52 @@ def test_build_vocab_and_encode(ray_session):
     # doc1: a b a c → 4 tokens, c oov, ids 0+1+0 = 1
     # doc2: b a b → 3 tokens, 0 oov, 1+0+1 = 2; doc3 absent
     assert got == {1: (4, 1, 1), 2: (3, 0, 2)}
+
+
+def test_pii_scrub_counts_and_redaction():
+    import pyarrow as pa
+
+    from raygraph.ops.text import pii_scrub
+
+    b = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["mail a.b+c@ex-1.org now", "call 555-123-4567 twice", "x"],
+    })
+    out = pii_scrub(b).to_pandas()
+    assert out["n_emails"].tolist() == [1, 0, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0]
+    assert out["clean_text"].tolist() == [
+        "mail <EMAIL> now", "call <PHONE> twice", "x"]
+
+
+def test_contamination_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import bench_ngram_set, contamination_counts
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "b c d e", "x y"],   # doc3: <3 tokens → no row
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    bench = bench_ngram_set(
+        rd.from_pandas(docs.iloc[:1]), n=3)      # {"a b c", "b c d"}
+    assert bench == frozenset({"a b c", "b c d"})
+    out = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+           for r in contamination_counts(ds, bench, n=3).take_all()}
+    assert out == {1: (2, 2), 2: (2, 1)}
+
+
+def test_repetition_stats():
+    import pyarrow as pa
+
+    from raygraph.ops.text import repetition_stats
+
+    b = pa.table({"doc_id": [1, 2], "text": ["a b a b a", "solo"]})
+    out = repetition_stats(b).to_pandas()
+    # 2-grams of doc1: ab, ba, ab, ba → 4 total, max 2, share 0.5
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_2grams"].tolist() == [4]
+    assert out["max_2gram_n"].tolist() == [2]
+    assert out["top_share"].tolist() == [0.5]
