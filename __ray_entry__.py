@@ -367,6 +367,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.repetition_stats,
                                             batch_format="pyarrow")
 
+    def docs_packing(sf_dir):
+        # sequence packing into 2048-token context windows over the
+        # doc_id-ordered corpus: a distributed two-phase scan (exact
+        # range tiles → per-tile totals → driver prefix of n_tiles
+        # scalars → vectorized per-tile cumsum)
+        return T.pack_sequences(_docs_ds(sf_dir), budget=2048, n_tiles=8)
+
     def text_top_tokens(sf_dir):
         # corpus heavy hitters: vectorized explode (split + pandas
         # explode) → per-batch partial counts → one vocab-bounded
@@ -1453,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": docs_pii_scrub,
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
+        "docs_packing": docs_packing,
         "text_cms_counts": text_cms_counts,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
@@ -2059,6 +2067,19 @@ def oracle_sql() -> dict[str, str]:
                    count(bench.ngram)::BIGINT AS n_contaminated
             FROM v LEFT JOIN bench USING (ngram)
             GROUP BY v.doc_id
+        """,
+        "docs_packing": _TOKS_CTE + """
+            , c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
+            s AS (SELECT doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT AS off
+                  FROM c)
+            SELECT doc_id, n_tokens,
+                   (off // 2048)::BIGINT AS pack_id,
+                   (off % 2048)::BIGINT AS offset_in_pack
+            FROM s
         """,
         "docs_repetition": _TOKS_CTE + """
             , u AS (SELECT doc_id, unnest(toks) AS tok,

@@ -892,3 +892,41 @@ def range_partition(ds, col: str, n_tiles: int = 4,
         return batch.append_column("tile", pa.array(tile))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def ordered_prefix_sum(ds, order_col: str, value_col: str,
+                       n_tiles: int = 32, out: str = "prefix_before",
+                       pin: bool = True):
+    """Global EXCLUSIVE running sum of ``value_col`` in ``order_col``
+    order — the classic two-phase distributed scan (the building block
+    of sequence packing, global row numbering, and ordered splitting):
+
+    1. exact range tiles on ``order_col`` (:func:`range_boundaries` —
+       value-count shuffle, no sampling, layout-deterministic);
+    2. per-tile totals (``n_tiles`` scalars) → driver exclusive prefix
+       over the tile totals — the only driver state;
+    3. one vectorized sort+cumsum per tile (+ its tile offset).
+
+    ``order_col`` must be a total order (unique values): ties may land
+    in either intra-tile position, making prefixes of tied rows
+    layout-dependent. A tile must fit one worker (n_tiles scales with
+    input size, the same contract as ``range_partition``). ``pin``
+    materializes the tiled input so the two passes (totals, scan) don't
+    re-run the upstream pipeline — disable when upstream is cheaper
+    than object-store residency."""
+    tiled = range_partition(ds, order_col, n_tiles)
+    if pin:
+        tiled = tiled.materialize()
+    sums = preagg_sum(tiled, ["tile"], {"__s": value_col}).to_pandas()
+    sums = sums.sort_values("tile")
+    csum = sums["__s"].cumsum() - sums["__s"]
+    offsets = dict(zip(sums["tile"].astype(int), csum.astype("int64")))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        vals = df[value_col].to_numpy(dtype="int64")
+        base = int(offsets.get(int(df["tile"].iloc[0]), 0))
+        df[out] = base + np.cumsum(vals) - vals
+        return df.drop(columns=["tile"])
+
+    return tiled.groupby("tile").map_groups(scan, batch_format="pandas")

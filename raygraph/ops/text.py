@@ -406,3 +406,34 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
             "top_share": pa.array(share.astype("float64"), pa.float64()),
         }
     )
+
+
+def pack_sequences(ds, budget: int, order_col: str = "doc_id",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_tiles: int = 32):
+    """Concat-and-split sequence packing: documents are laid out in
+    ``order_col`` order as one virtual token stream and cut into
+    fixed-``budget`` context windows; each doc is assigned the pack its
+    FIRST token falls in (pack_id = floor(global_token_offset/budget))
+    — how training pipelines pack after concatenating a shuffled
+    corpus. Distributed via :func:`raygraph.ops.relational.
+    ordered_prefix_sum` (two-phase scan; only n_tiles scalars touch the
+    driver). Output: (id, n_tokens, pack_id, offset_in_pack)."""
+    from .relational import ordered_prefix_sum
+
+    counted = ds.map_batches(token_count, batch_format="pyarrow")
+    scanned = ordered_prefix_sum(counted, order_col, "n_tokens",
+                                 n_tiles=n_tiles, out="__off")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        off = batch.column("__off").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": batch.column("n_tokens"),
+                "pack_id": pa.array(off // budget, pa.int64()),
+                "offset_in_pack": pa.array(off % budget, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

@@ -222,3 +222,38 @@ def test_range_partition_layout_deterministic(ray_session):
                           rd.from_pandas(df).take_all()))])
     agg = g.groupby("tile")["v"].agg(["min", "max"]).sort_index()
     assert (agg["max"].to_numpy()[:-1] <= agg["min"].to_numpy()[1:]).all()
+
+
+def test_ordered_prefix_sum_layout_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import ordered_prefix_sum
+
+    rng = pd.Series(range(137))
+    df = pd.DataFrame({"id": rng, "n": (rng * 7 + 3) % 13})
+    # exclusive prefix in id order, single-threaded reference
+    want = dict(zip(df["id"], df["n"].cumsum() - df["n"]))
+    for parts, tiles in ((1, 1), (7, 4), (16, 5)):
+        out = ordered_prefix_sum(rd.from_pandas(df).repartition(parts),
+                                 "id", "n", n_tiles=tiles,
+                                 out="prefix_before")
+        got = {r["id"]: r["prefix_before"] for r in out.take_all()}
+        assert got == want, (parts, tiles)
+
+
+def test_pack_sequences_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import pack_sequences
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "d e", "f g h i", "j"],  # 3,2,4,1 tokens
+    })
+    out = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+           for r in pack_sequences(rd.from_pandas(docs).repartition(3),
+                                   budget=4, n_tiles=2).take_all()}
+    # offsets 0,3,5,9 → packs 0,0,1,2; in-pack 0,3,1,1
+    assert out == {1: (0, 0), 2: (0, 3), 3: (1, 1), 4: (2, 1)}
