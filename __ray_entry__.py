@@ -999,6 +999,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("c_acctbal", pa.float64()),
         ]))
 
+    def customer_orders_full(sf_dir):
+        # FULL OUTER hash-shuffle join: a customer slice (custkey%3==0)
+        # against per-customer order counts — unmatched rows survive on
+        # BOTH sides (customers with no orders; order groups outside the
+        # slice), the join key coalesced across sides
+        import pyarrow.compute as pc
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions, preagg_sum,
+                                             shuffle_join)
+
+        def slice3(batch: pa.Table) -> pa.Table:
+            k = pc.cast(batch.column("c_custkey"), pa.int64())
+            keep = pc.equal(pc.subtract(k, pc.multiply(
+                pc.divide(k, 3), 3)), 0)
+            return batch.filter(keep)
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        ).map_batches(slice3, batch_format="pyarrow")
+        counts = preagg_sum(
+            rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey"]),
+            ["o_custkey"], {}, counts="n_orders")
+        from raygraph.ops.relational import coerce_schema, compact_nonempty
+
+        counts = compact_nonempty(coerce_schema(counts, pa.schema(
+            [("o_custkey", pa.int64()), ("n_orders", pa.int64())]
+        )).materialize())
+        ncust = pq.read_metadata(
+            os.path.join(sf_dir, "customer.parquet")).num_rows
+        out = shuffle_join(cust, counts, on="c_custkey",
+                           right_on="o_custkey", how="full_outer",
+                           num_partitions=_join_partitions(ncust))
+        return _repaired(out, pa.schema([
+            ("c_custkey", pa.int64()), ("c_mktsegment", pa.string()),
+            ("n_orders", pa.int64()),
+        ]))
+
+    def docs_except_early(sf_dir):
+        # distributed EXCEPT DISTINCT: (lang, source) combinations never
+        # seen among the first 50 docs
+        import pyarrow.compute as pc
+
+        from raygraph.ops.relational import set_op_distinct
+
+        all_docs = _docs_ds(sf_dir, columns=("doc_id", "lang", "source"))
+
+        def head50(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less(batch.column("doc_id"), 50))
+
+        early = all_docs.map_batches(head50, batch_format="pyarrow")
+        return set_op_distinct(all_docs, early, ["lang", "source"],
+                               op="except")
+
+    def docs_intersect_early(sf_dir):
+        # distributed INTERSECT DISTINCT over the same slices
+        import pyarrow.compute as pc
+
+        from raygraph.ops.relational import set_op_distinct
+
+        all_docs = _docs_ds(sf_dir, columns=("doc_id", "lang", "source"))
+
+        def head50(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less(batch.column("doc_id"), 50))
+
+        early = all_docs.map_batches(head50, batch_format="pyarrow")
+        return set_op_distinct(all_docs, early, ["lang", "source"],
+                               op="intersect")
+
     def lineitem_price_quantiles(sf_dir):
         from raygraph.ops.relational import grouped_quantiles
 
@@ -1476,6 +1547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_shipping": tpch_q3_shipping,
         "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
+        "customer_orders_full": customer_orders_full,
+        "docs_except_early": docs_except_early,
+        "docs_intersect_early": docs_intersect_early,
         "orders_with_returns": orders_with_returns,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "docs_jaccard_top10": docs_jaccard_top10,
@@ -2182,6 +2256,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000)
+        """,
+        "customer_orders_full": """
+            WITH slice AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_custkey % 3 = 0
+            ),
+            counts AS (
+              SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_mktsegment, n_orders
+            FROM slice FULL OUTER JOIN counts USING (c_custkey)
+        """,
+        "docs_except_early": """
+            SELECT DISTINCT lang, source FROM documents
+            EXCEPT
+            SELECT DISTINCT lang, source FROM documents WHERE doc_id < 50
+        """,
+        "docs_intersect_early": """
+            SELECT DISTINCT lang, source FROM documents
+            INTERSECT
+            SELECT DISTINCT lang, source FROM documents WHERE doc_id < 50
         """,
         "lineitem_price_quantiles": """
             WITH c AS (

@@ -930,3 +930,42 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
         return df.drop(columns=["tile"])
 
     return tiled.groupby("tile").map_groups(scan, batch_format="pandas")
+
+
+def set_op_distinct(left, right, cols: Sequence[str], op: str = "except",
+                    num_buckets: int = 64):
+    """Distributed SQL set operation with DISTINCT semantics:
+    ``op="except"`` → rows of ``left`` (projected to ``cols``) not in
+    ``right``; ``op="intersect"`` → rows present in both. Per-batch
+    dedup is the combiner (what shuffles is bounded by per-block
+    distinct rows), then a tag-union and ONE bucketed vectorized
+    reduce — the same sort-shuffle machinery as every aggregate here,
+    no join actors. All rows of a key co-locate by construction, so the
+    result is exactly distinct."""
+    if op not in ("except", "intersect"):
+        raise ValueError("op must be except|intersect")
+    cols = list(cols)
+    ls = dataset_arrow_schema(left)
+    schema = pa.schema([(c, ls.field(c).type) for c in cols]
+                       + [("__side", pa.int8())])
+
+    def pad(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.select(cols).to_pandas().drop_duplicates()
+            df["__side"] = np.int8(side)
+            return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+        return fn
+
+    tagged = left.map_batches(pad(0), batch_format="pyarrow").union(
+        right.map_batches(pad(1), batch_format="pyarrow"))
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["__side"] == 0, cols].drop_duplicates()
+        r = df.loc[df["__side"] == 1, cols].drop_duplicates()
+        if op == "intersect":
+            return l.merge(r, on=cols, how="inner")
+        m = l.merge(r, on=cols, how="left", indicator=True)
+        return m.loc[m["_merge"] == "left_only", cols]
+
+    return hash_aggregate(tagged, cols, reduce, num_buckets=num_buckets)

@@ -257,3 +257,22 @@ def test_pack_sequences_semantics(ray_session):
                                    budget=4, n_tiles=2).take_all()}
     # offsets 0,3,5,9 → packs 0,0,1,2; in-pack 0,3,1,1
     assert out == {1: (0, 0), 2: (0, 3), 3: (1, 1), 4: (2, 1)}
+
+
+def test_set_op_distinct(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import set_op_distinct
+
+    left = pd.DataFrame({"a": ["x", "x", "y", "z", "z"],
+                         "b": [1, 1, 2, 3, 3], "junk": range(5)})
+    right = pd.DataFrame({"a": ["y", "w"], "b": [2, 9], "junk": [0, 0]})
+    l = rd.from_pandas(left).repartition(3)
+    r = rd.from_pandas(right).repartition(2)
+    ex = sorted((row["a"], row["b"]) for row in
+                set_op_distinct(l, r, ["a", "b"], op="except").take_all())
+    assert ex == [("x", 1), ("z", 3)]
+    it = sorted((row["a"], row["b"]) for row in
+                set_op_distinct(l, r, ["a", "b"], op="intersect").take_all())
+    assert it == [("y", 2)]
