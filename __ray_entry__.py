@@ -367,6 +367,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.repetition_stats,
                                             batch_format="pyarrow")
 
+    def docs_length_band(sf_dir):
+        # corpus-statistic filter: keep docs whose token count lies in
+        # the global [p05, p95] band — two passes: exact quantiles via
+        # the value-count shuffle (two scalars reach the driver), then a
+        # streaming Arrow filter with the band in the task closure
+        import pyarrow.compute as pc
+
+        from raygraph.ops.relational import grouped_quantiles
+
+        counted = _docs_ds(sf_dir).map_batches(
+            T.token_count, batch_format="pyarrow").materialize()
+
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__g", pa.array(np.zeros(batch.num_rows, dtype="int64")))
+
+        q = grouped_quantiles(
+            counted.map_batches(tag, batch_format="pyarrow"), ["__g"],
+            "n_tokens", qs=(0.05, 0.95), prefix="q").to_pandas()
+        lo, hi = int(q["q05"].iloc[0]), int(q["q95"].iloc[0])
+
+        def band(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_tokens")
+            keep = pc.and_(pc.greater_equal(n, lo), pc.less_equal(n, hi))
+            return batch.filter(keep)
+
+        return counted.map_batches(band, batch_format="pyarrow")
+
+    def orders_global_rownum(sf_dir):
+        # global ROW_NUMBER() OVER (ORDER BY o_orderkey) without a
+        # global sort: the two-phase ordered prefix-sum over a constant
+        # 1 column (exact range tiles; n_tiles scalars on the driver)
+        from raygraph.ops.relational import ordered_prefix_sum
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey"])
+
+        def one(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__one", pa.array(np.ones(batch.num_rows, dtype="int64")))
+
+        scanned = ordered_prefix_sum(
+            orders.map_batches(one, batch_format="pyarrow"),
+            "o_orderkey", "__one", n_tiles=8, out="__rn0")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "rn": pc.add(batch.column("__rn0"), 1),
+            })
+
+        return scanned.map_batches(finish, batch_format="pyarrow")
+
+    def docs_normalize(sf_dir):
+        # Unicode NFC normalization (the canonicalization step before
+        # any hashing/dedup): combining sequences are injected
+        # deterministically (the sf corpus is pure ASCII) and folded;
+        # the oracle replants and nfc_normalize()s identically
+        def fix(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pandas()
+            s = batch.column("text").to_pandas().fillna("")
+            s = s + np.where(ids % 5 == 0, " cafe\u0301", "")
+            norm = s.str.normalize("NFC")
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "norm_text": pa.array(norm, pa.string()),
+                "n_chars_norm": pa.array(
+                    norm.str.len().astype("int64"), pa.int64()),
+            })
+
+        return _docs_ds(sf_dir).map_batches(fix, batch_format="pyarrow")
+
     def docs_packing(sf_dir):
         # sequence packing into 2048-token context windows over the
         # doc_id-ordered corpus: a distributed two-phase scan (exact
@@ -1532,6 +1606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
+        "docs_length_band": docs_length_band,
+        "orders_global_rownum": orders_global_rownum,
+        "docs_normalize": docs_normalize,
         "text_cms_counts": text_cms_counts,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
@@ -2141,6 +2218,32 @@ def oracle_sql() -> dict[str, str]:
                    count(bench.ngram)::BIGINT AS n_contaminated
             FROM v LEFT JOIN bench USING (ngram)
             GROUP BY v.doc_id
+        """,
+        "docs_length_band": _TOKS_CTE + """
+            , c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
+            b AS (SELECT quantile_disc(n_tokens, 0.05) AS lo,
+                         quantile_disc(n_tokens, 0.95) AS hi
+                  FROM c)
+            SELECT doc_id, n_tokens FROM c, b
+            WHERE n_tokens BETWEEN lo AND hi
+        """,
+        "orders_global_rownum": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey)::BIGINT AS rn
+            FROM orders
+        """,
+        "docs_normalize": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN ' cafe' || chr(769)
+                                  ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(text) AS norm_text,
+                   length(nfc_normalize(text))::BIGINT AS n_chars_norm
+            FROM aug
         """,
         "docs_packing": _TOKS_CTE + """
             , c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
