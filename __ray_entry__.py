@@ -277,6 +277,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.minhash_dedup(_doubled_docs(sf_dir), threshold=0.99, bands=8,
                                shingle="word")
 
+    def dedup_clusters(sf_dir):
+        # duplicate-CLUSTER inventory over a TRIPLED corpus (components
+        # of size 3 exercise pair transitivity): verified pairs → fully
+        # distributed min-label components → per-doc cluster id;
+        # word shingles + threshold 0.99 for the same discriminativity
+        # reason as dedup_minhash_survivors above
+        import ray.data as rd
+
+        base = _docs_ds(sf_dir)
+
+        def shift(k):
+            def fn(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.set_column(
+                    batch.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(batch.column("doc_id"), k * _OFFSET))
+
+            return fn
+
+        tripled = base.union(
+            _docs_ds(sf_dir).map_batches(shift(1), batch_format="pyarrow"),
+            _docs_ds(sf_dir).map_batches(shift(2), batch_format="pyarrow"),
+        )
+        return D.near_dup_clusters(tripled, threshold=0.99, bands=8,
+                                   shingle="word", cc_iters=2)
+
     def dedup_simhash(sf_dir):
         # simhash-exact dedup over the doubled corpus: (min doc_id, group
         # size) per identical-signature group; the oracle groups by the
@@ -1357,6 +1384,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emb.map_batches(norms, batch_format="pyarrow")
 
+    def embedding_quantized(sf_dir):
+        from raygraph.ops.ann import quantize_embeddings
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return quantize_embeddings(emb)
+
     # ---- media (stub decode, real plumbing) ------------------------------
     def media_features(sf_dir):
         # media derived from documents (payload = UTF-8 text bytes) so the
@@ -1593,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_load_all_vertices": export_load_all_vertices,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_survivors": dedup_minhash_survivors,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "text_token_count": text_token_count,
@@ -1656,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": ann_ivf_top10,
         "ann_self_join": ann_self_join,
         "embedding_norms": embedding_norms,
+        "embedding_quantized": embedding_quantized,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
         "media_dimensions": media_dimensions,
@@ -2482,6 +2518,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM doubled
             WHERE doc_id IN (SELECT keep FROM reps)
         """,
+        "dedup_clusters": f"""
+            WITH tripled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+              UNION ALL
+              SELECT doc_id + {2 * _OFFSET}, text FROM documents
+            )
+            SELECT doc_id,
+                   (min(doc_id) OVER (PARTITION BY text))::BIGINT
+                       AS cluster_id
+            FROM tripled
+        """,
         "dedup_embedding_pairs": f"""
             SELECT vec_id AS id_a, vec_id + {_OFFSET} AS id_b FROM embeddings
         """,
@@ -2838,5 +2887,24 @@ def oracle_sql() -> dict[str, str]:
                                                embedding::DOUBLE[])), 4)
                        AS l2_norm
             FROM embeddings
+        """,
+        "embedding_quantized": """
+            WITH u AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding)::DOUBLE AS x
+              FROM embeddings
+            ),
+            b AS (SELECT dim, min(x) AS mn, max(x) AS mx
+                  FROM u GROUP BY dim),
+            q AS (SELECT vec_id,
+                         CASE WHEN mx = mn THEN 0
+                              ELSE least(greatest(
+                                  floor(((x - mn) * 255.0) / (mx - mn)),
+                                  0), 255)::BIGINT
+                         END AS code
+                  FROM u JOIN b USING (dim))
+            SELECT vec_id, count(*)::BIGINT AS n_dims,
+                   sum(code)::BIGINT AS q_sum
+            FROM q GROUP BY vec_id
         """,
     }

@@ -335,3 +335,57 @@ def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         nn_batch, batch_format="pyarrow")
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Scalar (int8-style) quantization of an embedding column — the
+    storage-compression step of an embedding pipeline: per-dimension
+    global [min, max] → code = floor((x - mn) * 255 / (mx - mn)) in
+    0..255 (constant dims collapse to code 0).
+
+    Two passes: (1) per-batch per-dim min/max partials → one
+    d-row groupby (only 2d scalars shuffle; d floats reach the driver
+    and broadcast back in the task closure); (2) streaming vectorized
+    quantize. Emits the exact-integer per-vector summary
+    (n_dims, q_sum) — the value contract a SQL oracle reproduces; the
+    full code matrix write is the same map with the codes kept.
+    All arithmetic is f64 with a fixed association, so codes are
+    bit-identical to the SQL expression."""
+    from .relational import preagg_extreme
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = vectors_to_numpy(batch.column(vec_col), np.float64)
+        d = v.shape[1] if len(v) else 0
+        empty = np.array([], dtype="float64")
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype="int64")),
+            "mn": pa.array(v.min(axis=0) if len(v) else empty),
+            "mx": pa.array(v.max(axis=0) if len(v) else empty),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    mins = preagg_extreme(parts.select_columns(["dim", "mn"]), ["dim"],
+                          "mn", how="min").to_pandas()
+    maxs = preagg_extreme(parts.select_columns(["dim", "mx"]), ["dim"],
+                          "mx", how="max").to_pandas()
+    bounds = mins.merge(maxs, on="dim").sort_values("dim")
+    mn = bounds["mn"].to_numpy()
+    mx = bounds["mx"].to_numpy()
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = vectors_to_numpy(batch.column(vec_col), np.float64)
+        span = mx - mn
+        codes = np.zeros_like(v)
+        nz = span != 0
+        # ((x - mn) * 255.0) / span — the SQL oracle's association
+        codes[:, nz] = np.floor(((v[:, nz] - mn[nz]) * 255.0) / span[nz])
+        codes = np.clip(codes, 0, 255)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_dims": pa.array(
+                np.full(len(v), v.shape[1], dtype="int64")),
+            "q_sum": pa.array(codes.sum(axis=1).astype("int64")),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

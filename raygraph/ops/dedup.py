@@ -337,7 +337,7 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                           lambda df: df.drop_duplicates())
 
 
-def minhash_dedup(
+def minhash_verified_pairs(
     ds,
     threshold: float = 0.8,
     num_perm: int = 64,
@@ -346,18 +346,13 @@ def minhash_dedup(
     id_col: str = "doc_id",
     shingle: str = "char",
 ):
-    """Full near-dedup: LSH candidates → exact Jaccard verify (same
-    shingling as the signatures) → union-find clusters → survivors (min id
-    per cluster).
-
-    Fully in-cluster verify: candidate texts are attached via two
-    hash-partitioned ``Dataset.join``s and Jaccard runs inside
-    ``map_batches`` — the corpus never streams through the driver. Only
-    the *verified* pair set (true near-dups, the provably small side) is
-    collected for the union-find; the resulting drop set is broadcast
-    back as one ``pc.is_in`` filter.
-    """
-    import pyarrow.compute as pc
+    """LSH candidates → exact Jaccard verify, fully in-cluster: candidate
+    texts are attached via two hash-partitioned ``Dataset.join``s and
+    Jaccard runs inside ``map_batches`` — the corpus never streams
+    through the driver. Returns the lazy verified (id_a, id_b) pair
+    Dataset (the provably small side: true near-dups only), or ``None``
+    when LSH produced no candidates. Shared front half of
+    :func:`minhash_dedup` and :func:`near_dup_clusters`."""
     import ray
 
     from .relational import coerce_schema, compact_nonempty
@@ -366,7 +361,7 @@ def minhash_dedup(
                               shingle=shingle).materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return ds
+        return None
     sch = cand.schema()
     id_t = sch.types[sch.names.index("id_a")]
     # drop Ray-internal zero-row blocks (metadata-only), then a LAZY
@@ -401,7 +396,7 @@ def minhash_dedup(
     # small side by construction
     j = compact_nonempty(j.materialize())
     if j is None:
-        return ds
+        return None
     j = j.join(
         renamed(texts, {id_col: "id_b", text_col: "__text_b"}),
         join_type="inner", num_partitions=nparts, on=("id_b",),
@@ -429,7 +424,30 @@ def minhash_dedup(
         keep = [jaccard(sh(a), sh(b)) >= threshold for a, b in zip(ta, tb)]
         return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 
-    verified = j.map_batches(verify, batch_format="pyarrow").take_all()
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_dedup(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: str = "char",
+):
+    """Full near-dedup: LSH candidates → in-cluster exact Jaccard verify
+    (:func:`minhash_verified_pairs`) → union-find clusters → survivors
+    (min id per cluster). Only the verified pair set is collected for
+    the union-find; the resulting drop set is broadcast back as one
+    ``pc.is_in`` filter."""
+    import pyarrow.compute as pc
+
+    vp = minhash_verified_pairs(ds, threshold, num_perm, bands,
+                                text_col, id_col, shingle)
+    if vp is None:
+        return ds
+    verified = vp.take_all()
     if not verified:
         return ds
 
@@ -456,6 +474,91 @@ def minhash_dedup(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_CLUSTER_PAD = 12  # zero-pad width: lexicographic min == numeric min
+
+
+def near_dup_clusters(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: str = "char",
+    cc_iters: int = 3,
+):
+    """Duplicate-CLUSTER assignment: every document gets the min doc id
+    of its verified near-dup connected component (singletons map to
+    themselves) — the cluster inventory a curation pipeline keeps,
+    where :func:`minhash_dedup` keeps only survivors.
+
+    Fully distributed: verified pairs (:func:`minhash_verified_pairs`)
+    become an edge set; components run as min-label propagation
+    (:func:`raygraph.ops.graph.connected_components` — one edge-sized
+    shuffle join per round, nothing pair- or corpus-sized on the
+    driver); docs pick up their label via one left-outer hash join.
+    Ids are zero-padded to ``_CLUSTER_PAD`` digits for the string-typed
+    label propagation (lexicographic min == numeric min), so ids must
+    be non-negative and < 10^12. ``cc_iters`` must cover the duplicate
+    component diameter (verified clusters are near-cliques: diameter
+    1-2 in practice)."""
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, coerce_schema,
+                             compact_nonempty, shuffle_join)
+
+    ids_only = ds.select_columns([id_col])
+    vp = minhash_verified_pairs(ds, threshold, num_perm, bands,
+                                text_col, id_col, shingle)
+
+    def self_clusters(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(id_col),
+                         "cluster_id": pc.cast(batch.column(id_col),
+                                               pa.int64())})
+
+    if vp is None:
+        return ids_only.map_batches(self_clusters, batch_format="pyarrow")
+
+    def pad_col(col):
+        s = pc.cast(pc.cast(col, pa.int64()), pa.string())
+        return pc.utf8_lpad(s, _CLUSTER_PAD, "0")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"_from": pad_col(batch.column("id_a")),
+                         "_to": pad_col(batch.column("id_b"))})
+
+    from .graph import connected_components
+
+    comp = connected_components(
+        vp.map_batches(to_edges, batch_format="pyarrow"), iters=cc_iters)
+    comp = compact_nonempty(coerce_schema(comp, pa.schema(
+        [("vertex", pa.string()), ("component", pa.string())]
+    )).materialize())
+    if comp is None:
+        return ids_only.map_batches(self_clusters, batch_format="pyarrow")
+
+    def pad_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(id_col),
+                         "vertex": pad_col(batch.column(id_col))})
+
+    joined = shuffle_join(
+        ids_only.map_batches(pad_ids, batch_format="pyarrow"), comp,
+        on="vertex", how="left_outer",
+        num_partitions=_join_partitions(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "component" not in batch.schema.names:
+            return pa.schema([(id_col, pa.int64()),
+                              ("cluster_id", pa.int64())]).empty_table()
+        lab = pc.if_else(pc.is_null(batch.column("component")),
+                         batch.column("vertex"), batch.column("component"))
+        return pa.table({id_col: pc.cast(batch.column(id_col), pa.int64()),
+                         "cluster_id": pc.cast(lab, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- SimHash

@@ -162,3 +162,37 @@ def test_batched_signatures_match_scalar():
         batched = h.signatures(texts)
         for i, t in enumerate(texts):
             assert (batched[i] == h.signature(t or "")).all(), (shingle, i)
+
+
+def test_near_dup_clusters_transitive(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import near_dup_clusters
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "pack my box with five dozen liquor jugs every single day"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20],
+        "text": [a, a, a, b, b, "something else entirely different here"],
+    })
+    out = near_dup_clusters(rd.from_pandas(df).repartition(3),
+                            threshold=0.95, cc_iters=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_clusters_no_pairs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import near_dup_clusters
+
+    df = pd.DataFrame({
+        "doc_id": [5, 6],
+        "text": ["alpha beta gamma delta epsilon words here",
+                 "totally disjoint vocabulary nothing shared at all"],
+    })
+    out = near_dup_clusters(rd.from_pandas(df), threshold=0.95)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {5: 5, 6: 6}
