@@ -394,6 +394,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.repetition_stats,
                                             batch_format="pyarrow")
 
+    def docs_rebalance_sources(sf_dir):
+        # corpus mixing: equalize the language distribution by
+        # downsampling every language to (about) the rarest language's
+        # volume — pass 1 computes per-source counts (a tiny aggregate),
+        # pass 2 is the content-keyed stratified filter (deterministic
+        # at any parallelism, exactly reproducible in SQL)
+        from raygraph.ops.relational import preagg_sum, stratified_sample
+
+        docs = _docs_ds(sf_dir, columns=("doc_id", "lang"))
+        cnt = preagg_sum(docs, ["lang"], {}, counts="n").to_pandas()
+        mn = int(cnt["n"].min())
+        rates = {s: (1000 * mn) // int(n)
+                 for s, n in zip(cnt["lang"], cnt["n"])}
+        return stratified_sample(docs, rates, "lang")
+
     def docs_length_band(sf_dir):
         # corpus-statistic filter: keep docs whose token count lies in
         # the global [p05, p95] band — two passes: exact quantiles via
@@ -1641,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
+        "docs_rebalance_sources": docs_rebalance_sources,
         "docs_length_band": docs_length_band,
         "orders_global_rownum": orders_global_rownum,
         "docs_normalize": docs_normalize,
@@ -2254,6 +2270,16 @@ def oracle_sql() -> dict[str, str]:
                    count(bench.ngram)::BIGINT AS n_contaminated
             FROM v LEFT JOIN bench USING (ngram)
             GROUP BY v.doc_id
+        """,
+        "docs_rebalance_sources": """
+            WITH cnt AS (SELECT lang, count(*)::BIGINT AS n
+                         FROM documents GROUP BY lang),
+            m AS (SELECT min(n) AS mn FROM cnt),
+            r AS (SELECT lang, (1000 * mn) // n AS rate FROM cnt, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000 < r.rate
         """,
         "docs_length_band": _TOKS_CTE + """
             , c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
