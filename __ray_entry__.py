@@ -351,29 +351,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.bpe_token_count,
                                             batch_format="pyarrow")
 
-    def docs_pii_scrub(sf_dir):
-        # PII scrub over a corpus with deterministically injected
-        # emails/phones (the sf documents are PII-free word soup, so the
-        # query plants id-derived PII the SQL oracle replants
-        # identically); counts on the original, redaction in two
-        # non-interacting passes
-        def inject(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pandas()
-            s = batch.column("text").to_pandas().fillna("")
-            em = ids % 7 == 0
-            ph = ids % 11 == 0
-            s = s + np.where(
-                em, " mail: u" + ids.astype(str) + "@ex" +
-                (ids % 10).astype(str) + ".org", "")
-            s = s + np.where(
-                ph, " call " + (ids % 1000).astype(str).str.zfill(3) +
-                "-555-" + (ids % 10000).astype(str).str.zfill(4), "")
-            return pa.table({"doc_id": batch.column("doc_id"),
-                             "text": pa.array(s, pa.string())})
+    def _inject_pii(batch: pa.Table) -> pa.Table:
+        # the sf documents are PII-free word soup: plant id-derived
+        # emails/phones the SQL oracles replant identically
+        ids = batch.column("doc_id").to_pandas()
+        s = batch.column("text").to_pandas().fillna("")
+        em = ids % 7 == 0
+        ph = ids % 11 == 0
+        s = s + np.where(
+            em, " mail: u" + ids.astype(str) + "@ex" +
+            (ids % 10).astype(str) + ".org", "")
+        s = s + np.where(
+            ph, " call " + (ids % 1000).astype(str).str.zfill(3) +
+            "-555-" + (ids % 10000).astype(str).str.zfill(4), "")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(s, pa.string())})
 
+    def docs_pii_scrub(sf_dir):
+        # counts on the original, redaction in two non-interacting passes
         return (_docs_ds(sf_dir)
-                .map_batches(inject, batch_format="pyarrow")
+                .map_batches(_inject_pii, batch_format="pyarrow")
                 .map_batches(T.pii_scrub, batch_format="pyarrow"))
+
+    def docs_extract_emails(sf_dir):
+        # flat-map explode: every email match becomes its own row —
+        # the mining half of the PII pipeline (scrub is the masking half)
+        from raygraph.ops.text import EMAIL_PATTERN, extract_matches
+
+        injected = _docs_ds(sf_dir).map_batches(_inject_pii,
+                                                batch_format="pyarrow")
+        return extract_matches(injected, EMAIL_PATTERN, out="email")
 
     def docs_contamination(sf_dir):
         # benchmark-contamination filter: the "benchmark" is the distinct
@@ -1417,6 +1424,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "feature_dim", lambda df: [32] * len(df), batch_format="pandas"
         )
 
+    def media_frames(sf_dir):
+        # frame-sampling fan-out: 'video' payload (= UTF-8 text bytes,
+        # so the oracle can slice it with substr) → every 2nd 64-byte
+        # frame; one input row explodes to ceil(n_frames/2) rows on an
+        # actor-pool stage; the binary frame itself leaves the contract
+        # as (length, md5-60) integers
+        import hashlib
+
+        from raygraph.ops.media import FrameSampler, documents_as_media
+
+        ds = documents_as_media(_docs_ds(sf_dir))
+        frames = ds.map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"frame_bytes": 64, "every": 2},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+        )
+
+        def digest(batch: pa.Table) -> pa.Table:
+            fr = batch.column("frame").to_pylist()
+            return pa.table({
+                "media_ref": batch.column("media_ref"),
+                "frame_idx": batch.column("frame_idx"),
+                "n_frame_bytes": pa.array([len(b) for b in fr], pa.int64()),
+                "frame_md5_60": pa.array(
+                    [int(hashlib.md5(b).hexdigest()[:15], 16) for b in fr],
+                    pa.int64()),
+            })
+
+        return frames.map_batches(digest, batch_format="pyarrow")
+
     def media_dimensions(sf_dir):
         # REAL byte-level media metadata extraction: each document is
         # wrapped in a valid PNG container (IHDR dims derived from the
@@ -1710,6 +1747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantized": embedding_quantized,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
+        "media_frames": media_frames,
+        "docs_extract_emails": docs_extract_emails,
         "media_dimensions": media_dimensions,
         "media_audio": media_audio,
     }
@@ -2646,6 +2685,47 @@ def oracle_sql() -> dict[str, str]:
                                 % 9223372036854775808)::BIGINT
                    ) AS fingerprint
             FROM t
+        """,
+        "media_frames": """
+            WITH m AS (
+              SELECT 'media/' || doc_id AS media_ref, text,
+                     length(text) AS L
+              FROM documents
+            ),
+            f AS (
+              SELECT media_ref, text,
+                     unnest(range(0, greatest(L // 64, 1), 2)) AS frame_idx
+              FROM m
+            )
+            SELECT media_ref, frame_idx::BIGINT AS frame_idx,
+                   length(substr(text, frame_idx * 64 + 1, 64))::BIGINT
+                       AS n_frame_bytes,
+                   ('0x' || substr(md5(substr(text, frame_idx * 64 + 1,
+                                              64)), 1, 15))::BIGINT
+                       AS frame_md5_60
+            FROM f
+        """,
+        "docs_extract_emails": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                                  THEN ' mail: u' || doc_id || '@ex'
+                                       || (doc_id % 10) || '.org'
+                                  ELSE '' END
+                          || CASE WHEN doc_id % 11 = 0
+                                  THEN ' call '
+                                       || lpad((doc_id % 1000)::VARCHAR,
+                                               3, '0')
+                                       || '-555-'
+                                       || lpad((doc_id % 10000)::VARCHAR,
+                                               4, '0')
+                                  ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id, unnest(regexp_extract_all(text,
+                '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+'))
+                AS email
+            FROM aug
         """,
         "media_features": """
             SELECT 'media/' || doc_id AS media_ref,

@@ -437,3 +437,26 @@ def pack_sequences(ds, budget: int, order_col: str = "doc_id",
         )
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def extract_matches(ds, pattern: str, text_col: str = "text",
+                    id_col: str = "doc_id", out: str = "match"):
+    """Flat-map regex mining: every non-overlapping match of ``pattern``
+    becomes its own output row (id, match) — URL/email/entity mining
+    over a corpus. Vectorized ``str.findall`` + explode; rows with no
+    match emit nothing. Patterns should stick to the RE2-compatible
+    ASCII discipline (see EMAIL_PATTERN) when an SQL oracle needs to
+    reproduce the match set."""
+    rx = re.compile(pattern, re.ASCII)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas()
+        m = s.str.findall(rx).explode().dropna()
+        return pa.table({
+            id_col: pa.array(ids.loc[m.index],
+                             batch.schema.field(id_col).type),
+            out: pa.array(m, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

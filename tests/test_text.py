@@ -160,3 +160,19 @@ def test_repetition_stats():
     assert out["n_2grams"].tolist() == [4]
     assert out["max_2gram_n"].tolist() == [2]
     assert out["top_share"].tolist() == [0.5]
+
+
+def test_extract_matches(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import EMAIL_PATTERN, extract_matches
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a@b.co and c@d.org here", "no mail", "x@y.net"],
+    })
+    out = extract_matches(rd.from_pandas(docs).repartition(2),
+                          EMAIL_PATTERN, out="email")
+    got = sorted((r["doc_id"], r["email"]) for r in out.take_all())
+    assert got == [(1, "a@b.co"), (1, "c@d.org"), (3, "x@y.net")]
