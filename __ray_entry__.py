@@ -1481,6 +1481,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                batch_format="pyarrow"),
                                 keep_cols=("doc_id",))
 
+    def events_transitions(sf_dir):
+        from raygraph.ops.events import type_transitions
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return type_transitions(ev)
+
+    def events_sequences(sf_dir):
+        from raygraph.ops.events import type_sequences
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return type_sequences(ev)
+
     def events_latest(sf_dir):
         # FIRST_VALUE / argmax per key — the latest event row per user
         # (row_number() OVER (PARTITION BY user ORDER BY ts DESC) = 1)
@@ -1729,6 +1747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": events_interval_join,
         "events_top_type": events_top_type,
         "events_latest": events_latest,
+        "events_transitions": events_transitions,
+        "events_sequences": events_sequences,
         "docs_profile": docs_profile,
         "orders_merged": orders_merged,
         "embedding_kmeans": embedding_kmeans,
@@ -2236,6 +2256,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT "column", n_rows, n_null, min_v, max_v, n_distinct
             FROM p ORDER BY "column"
+        """,
+        "events_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+        """,
+        "events_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS seq
+            FROM events GROUP BY user_id
         """,
         "events_latest": """
             WITH r AS (

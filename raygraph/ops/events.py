@@ -281,3 +281,55 @@ def session_counts(ds, gap_sec: int = 1800, key_col: str = "user_id",
 
     return hash_aggregate(ds, [key_col], bucket_counts,
                           num_buckets=num_buckets)
+
+
+def type_transitions(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     tie_col: str = "event_id", num_buckets: int = 64):
+    """Per-key event-type TRANSITION counts (the first-order Markov /
+    user-journey matrix): consecutive event pairs within a key, ordered
+    by (ts, tie), counted globally by (from_type, to_type).
+
+    One hash-bucketed pass computes per-bucket partial pair counts (all
+    rows of a key co-locate; the partial is transition-type-sized, tiny)
+    followed by a global :func:`preagg_sum` merge. The vectorized kernel
+    is one sort + one groupby-shift per bucket — the sessionize
+    discipline; the per-key row count is the (documented) bucket
+    bound."""
+    from .relational import hash_aggregate, preagg_sum
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        prev = df.groupby(key_col, sort=False)[type_col].shift(1)
+        out = pd.DataFrame({"from_type": prev,
+                            "to_type": df[type_col]}).dropna()
+        g = out.groupby(["from_type", "to_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = hash_aggregate(
+        ds.select_columns([key_col, ts_col, type_col, tie_col]),
+        [key_col], bucket_pairs, num_buckets=num_buckets)
+    return preagg_sum(partials, ["from_type", "to_type"], {"n": "n"})
+
+
+def type_sequences(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   tie_col: str = "event_id", sep: str = ">",
+                   num_buckets: int = 64):
+    """Per-key ordered event-type sequence as one string (the user
+    journey; SQL ``string_agg(... ORDER BY ...)``). Hash-bucketed: all
+    rows of a key meet in one bucket, one sort + one groupby-join per
+    bucket; output is one row per key."""
+    from .relational import hash_aggregate
+
+    def bucket_seq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        out = df.groupby(key_col, as_index=False, sort=False) \
+            .agg(seq=(type_col, sep.join))
+        return out
+
+    return hash_aggregate(
+        ds.select_columns([key_col, ts_col, type_col, tie_col]),
+        [key_col], bucket_seq, num_buckets=num_buckets)

@@ -129,3 +129,25 @@ def test_event_gaps():
     # single-event key: zero gaps, coalesced zeros
     assert out[2]["n_events"] == 1 and out[2]["n_gaps"] == 0
     assert out[2]["max_gap_us"] == 0 and out[2]["sum_gap_us"] == 0
+
+
+def test_type_transitions_and_sequences(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import type_sequences, type_transitions
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00", "2026-01-01 00:01", "2026-01-01 00:02",
+            "2026-01-01 00:00", "2026-01-01 00:05"]),
+        "event_type": ["a", "b", "a", "b", "b"],
+    })
+    ds = rd.from_pandas(ev).repartition(3)
+    tr = {(r["from_type"], r["to_type"]): r["n"]
+          for r in type_transitions(ds).take_all()}
+    assert tr == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    seq = {r["user_id"]: r["seq"] for r in type_sequences(ds).take_all()}
+    assert seq == {1: "a>b>a", 2: "b>b"}
