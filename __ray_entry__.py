@@ -1093,6 +1093,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bloom_semi_join(orders, keys, on="o_orderkey",
                                right_on="l_orderkey")
 
+    def tpch_q5_region_volume(sf_dir):
+        # TPC-H Q5 (local supplier volume): the classic multi-way join —
+        # two big⋈big hash-shuffle joins (orders⋈customer on custkey,
+        # lineitem⋈that on orderkey) with the three dimension sides
+        # (supplier→nation, nation⋈region) broadcast as dicts in the
+        # task closure; exact integer revenue (cents × (100-disc_pct))
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions, preagg_sum,
+                                             shuffle_join)
+
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        ndf = nation.to_pandas().merge(
+            region.to_pandas(), left_on="n_regionkey",
+            right_on="r_regionkey")
+        ndf = ndf[ndf["r_name"] == "EUROPE"]
+        nat_name = dict(zip(ndf["n_nationkey"], ndf["n_name"]))
+        supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(pads.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("o_orderdate") < pd.Timestamp("1997-01-01")),
+        ).drop_columns(["o_orderdate"])
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        ord2 = shuffle_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey",
+                            num_partitions=_join_partitions(nord))
+        from raygraph.ops.relational import coerce_schema, compact_nonempty
+
+        ord2 = compact_nonempty(coerce_schema(ord2, pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+            ("c_nationkey", pa.int32()),
+        ])).materialize())
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        )
+        j = shuffle_join(li, ord2, on="l_orderkey",
+                         right_on="o_orderkey",
+                         num_partitions=_join_partitions(nord))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            if "c_nationkey" not in batch.schema.names or not batch.num_rows:
+                return pa.schema([("n_name", pa.string()),
+                                  ("revenue_e4", pa.int64())]).empty_table()
+            df = batch.to_pandas()
+            s_nat = df["l_suppkey"].map(supp_nat)
+            keep = (s_nat == df["c_nationkey"]) & s_nat.isin(nat_name)
+            df = df[keep]
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            pct = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            rev = cents * (100 - pct)
+            out = pd.DataFrame({
+                "n_name": df["c_nationkey"].map(nat_name),
+                "revenue_e4": rev,
+            }).groupby("n_name", as_index=False)["revenue_e4"].sum()
+            out["revenue_e4"] = out["revenue_e4"].astype("int64")
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        partials = _repaired(
+            j.map_batches(finish, batch_format="pyarrow"),
+            pa.schema([("n_name", pa.string()),
+                       ("revenue_e4", pa.int64())]))
+        return preagg_sum(partials, ["n_name"], {"revenue_e4": "revenue_e4"})
+
     def customers_without_orders(sf_dir):
         # distributed NOT EXISTS: customers with no high-value order
         # (totalprice > 350k) as a left_anti hash-shuffle join — neither
@@ -1730,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_shipping": tpch_q3_shipping,
         "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
+        "tpch_q5_region_volume": tpch_q5_region_volume,
         "customer_orders_full": customer_orders_full,
         "docs_except_early": docs_except_early,
         "docs_intersect_early": docs_intersect_early,
@@ -2499,6 +2577,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000)
+        """,
+        "tpch_q5_region_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue_e4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "customer_orders_full": """
             WITH slice AS (
