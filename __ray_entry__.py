@@ -1270,6 +1270,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return set_op_distinct(all_docs, early, ["lang", "source"],
                                op="intersect")
 
+    def lineitem_price_histogram(sf_dir):
+        # fixed-width profiling histogram over price cents ($1000 bins):
+        # per-batch combiner, n_bins-row shuffle
+        from raygraph.ops.relational import histogram
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            c = np.round(
+                batch.column("l_extendedprice").to_numpy() * 100
+            ).astype("int64")
+            return pa.table({"cents": pa.array(c, pa.int64())})
+
+        return histogram(li.map_batches(cents, batch_format="pyarrow"),
+                         "cents", lo=0, width=100_000, n_bins=128)
+
+    def orders_checksum(sf_dir):
+        # order-invariant table fingerprint: one int64 certifies the
+        # whole table (anti-entropy / copy-audit); commutative md5-60
+        # row sum, so block layout cannot change it
+        from raygraph.ops.relational import table_checksum
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus"])
+        return table_checksum(orders, ["o_orderkey", "o_orderstatus"])
+
     def lineitem_price_quantiles(sf_dir):
         from raygraph.ops.relational import grouped_quantiles
 
@@ -1808,6 +1836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
         "tpch_q5_region_volume": tpch_q5_region_volume,
+        "lineitem_price_histogram": lineitem_price_histogram,
+        "orders_checksum": orders_checksum,
         "customer_orders_full": customer_orders_full,
         "docs_except_early": docs_except_early,
         "docs_intersect_early": docs_intersect_early,
@@ -2577,6 +2607,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000)
+        """,
+        "lineitem_price_histogram": """
+            WITH c AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem
+            )
+            SELECT least(greatest(v // 100000, 0), 127)::BIGINT AS bin,
+                   count(*)::BIGINT AS n
+            FROM c GROUP BY 1
+        """,
+        "orders_checksum": """
+            SELECT (sum(('0x' || substr(md5(
+                        o_orderkey::VARCHAR || chr(31) || o_orderstatus
+                    ), 1, 15))::BIGINT)
+                    % 9223372036854775808::HUGEINT)::BIGINT AS checksum,
+                   count(*)::BIGINT AS n_rows
+            FROM orders
         """,
         "tpch_q5_region_volume": """
             SELECT n_name,

@@ -969,3 +969,51 @@ def set_op_distinct(left, right, cols: Sequence[str], op: str = "except",
         return m.loc[m["_merge"] == "left_only", cols]
 
     return hash_aggregate(tagged, cols, reduce, num_buckets=num_buckets)
+
+
+def histogram(ds, col: str, lo: int, width: int, n_bins: int,
+              out: str = "bin"):
+    """Fixed-width integer histogram — the profiling primitive: bin =
+    clip((v - lo) // width, 0, n_bins-1), counted with the per-batch
+    combiner. Bin edges are FIXED inputs (not data-derived) so the
+    output schema and the per-batch partials are layout-independent;
+    pair with :func:`range_boundaries` when edges should come from the
+    data. Shuffle volume = n_bins rows per block."""
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        b = np.clip((v - lo) // width, 0, n_bins - 1).astype("int64")
+        return pa.table({out: pa.array(b, pa.int64())})
+
+    return preagg_sum(ds.map_batches(tag, batch_format="pyarrow"),
+                      [out], {}, counts="n")
+
+
+def table_checksum(ds, cols: Sequence[str], out: str = "checksum"):
+    """Order-invariant table fingerprint: sum (mod 2^63) of the md5-60
+    of each row's '\\x1f'-joined string form over ``cols`` — the
+    anti-entropy / replication-audit primitive: one int64 compares two
+    copies of a table without moving either. Per-batch partial sums →
+    one tree reduce; commutative by construction, so block layout never
+    changes the value."""
+    import hashlib
+
+    mask = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(list(cols)).to_pandas()
+        first, *rest = list(cols)
+        joined = df[first].astype(str)
+        if rest:
+            joined = joined.str.cat([df[c].astype(str) for c in rest],
+                                    sep="\x1f")
+        s = sum(int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+                for v in joined) & mask
+        return pa.table({out: pa.array([s], pa.int64()),
+                         "n_rows": pa.array([len(df)], pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({out: [int(df[out].sum()) & mask],
+                             "n_rows": [int(df["n_rows"].sum())]})
+
+    return tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          combine)

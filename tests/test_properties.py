@@ -276,3 +276,24 @@ def test_set_op_distinct(ray_session):
     it = sorted((row["a"], row["b"]) for row in
                 set_op_distinct(l, r, ["a", "b"], op="intersect").take_all())
     assert it == [("y", 2)]
+
+
+def test_table_checksum_layout_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import table_checksum
+
+    df = pd.DataFrame({"k": range(97), "s": [f"v{i%7}" for i in range(97)]})
+    vals = []
+    for parts in (1, 8):
+        out = table_checksum(rd.from_pandas(df).repartition(parts),
+                             ["k", "s"]).take_all()
+        assert out[0]["n_rows"] == 97
+        vals.append(out[0]["checksum"])
+    assert vals[0] == vals[1]
+    # any single-row change moves the checksum
+    df2 = df.copy()
+    df2.loc[50, "s"] = "CHANGED"
+    out2 = table_checksum(rd.from_pandas(df2), ["k", "s"]).take_all()
+    assert out2[0]["checksum"] != vals[0]
