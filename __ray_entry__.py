@@ -347,6 +347,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_fingerprints(sf_dir):
         return _docs_ds(sf_dir).map_batches(T.doc_fingerprint, batch_format="pyarrow")
 
+    def docs_lang_confusion(sf_dir):
+        # classifier-eval confusion matrix: heuristic lang_id prediction
+        # × gold label, counted in one corpus pass (per-batch partial
+        # counts → one |langs|²-row merge)
+        from raygraph.ops.relational import preagg_sum
+
+        docs = _docs_ds(sf_dir, columns=("doc_id", "text", "lang"))
+
+        def conf(batch: pa.Table) -> pa.Table:
+            pred = T.lang_id(batch)
+            df = pd.DataFrame({
+                "lang": batch.column("lang").to_pandas(),
+                "lang_pred": pred.column("lang_pred").to_pandas(),
+            })
+            g = df.groupby(["lang", "lang_pred"], as_index=False).size() \
+                .rename(columns={"size": "n"})
+            g["n"] = g["n"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return preagg_sum(docs.map_batches(conf, batch_format="pyarrow"),
+                          ["lang", "lang_pred"], {"n": "n"})
+
     def text_bpe_token_count(sf_dir):
         return _docs_ds(sf_dir).map_batches(T.bpe_token_count,
                                             batch_format="pyarrow")
@@ -1809,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
+        "docs_lang_confusion": docs_lang_confusion,
         "text_fingerprints": text_fingerprints,
         "text_bpe_token_count": text_bpe_token_count,
         "text_top_tokens": text_top_tokens,
@@ -2845,6 +2868,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN es >= zh THEN 'es'
                         ELSE 'zh' END AS lang_pred
             FROM s
+        """,
+        "docs_lang_confusion": _TOKS_CTE + f"""
+            , s AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS en,
+                len(list_filter(toks, x -> list_contains({stop['fr']}, x))) AS fr,
+                len(list_filter(toks, x -> list_contains({stop['de']}, x))) AS de,
+                len(list_filter(toks, x -> list_contains({stop['es']}, x))) AS es,
+                len(list_filter(toks, x -> list_contains({stop['zh']}, x))) AS zh
+              FROM t
+            ),
+            p AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en, fr, de, es, zh) = 0 THEN 'und'
+                          WHEN en >= fr AND en >= de AND en >= es
+                               AND en >= zh THEN 'en'
+                          WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
+                          WHEN de >= es AND de >= zh THEN 'de'
+                          WHEN es >= zh THEN 'es'
+                          ELSE 'zh' END AS lang_pred
+              FROM s
+            )
+            SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+            FROM documents d JOIN p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
         """,
         # Horner fold of 60-bit md5 token hashes, h = (h*F + th) mod 2^63,
         # exactly FP_INIT/FP_MULT in raygraph.ops.text.doc_fingerprint
