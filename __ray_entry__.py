@@ -1292,6 +1292,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return set_op_distinct(all_docs, early, ["lang", "source"],
                                op="intersect")
 
+    def lineitem_sort_top100(sf_dir):
+        # Ray's native distributed sort (sample-based range exchange)
+        # surfaced directly: full ORDER BY price DESC with deterministic
+        # (orderkey, linenumber) tie-break, then LIMIT 100 — the global
+        # sort is the one wide op the rest of this repo deliberately
+        # replaces with value-count shuffles; here it IS the operator
+        # under test. Prices carried as exact cents.
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            c = np.round(
+                batch.column("l_extendedprice").to_numpy() * 100
+            ).astype("int64")
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "price_cents": pa.array(c, pa.int64()),
+            })
+
+        out = (li.map_batches(cents, batch_format="pyarrow")
+               .sort(["price_cents", "l_orderkey", "l_linenumber"],
+                     descending=[True, False, False])
+               .limit(100))
+        return out
+
     def lineitem_price_histogram(sf_dir):
         # fixed-width profiling histogram over price cents ($1000 bins):
         # per-batch combiner, n_bins-row shuffle
@@ -1859,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
         "tpch_q5_region_volume": tpch_q5_region_volume,
+        "lineitem_sort_top100": lineitem_sort_top100,
         "lineitem_price_histogram": lineitem_price_histogram,
         "orders_checksum": orders_checksum,
         "customer_orders_full": customer_orders_full,
@@ -2630,6 +2658,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 350000)
+        """,
+        "lineitem_sort_top100": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM lineitem
+            ORDER BY price_cents DESC, l_orderkey, l_linenumber
+            LIMIT 100
         """,
         "lineitem_price_histogram": """
             WITH c AS (
