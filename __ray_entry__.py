@@ -512,6 +512,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs_ds(sf_dir).map_batches(fix, batch_format="pyarrow")
 
+    def docs_shuffle_rank(sf_dir):
+        # deterministic global TRAINING SHUFFLE: every doc gets its
+        # position in the md5-keyed permutation — content-keyed order
+        # (stable at any parallelism, reshuffled by changing a salt) +
+        # the two-phase ordered prefix-sum for the global rank; ties on
+        # the 60-bit key co-tile and resolve by doc_id
+        import hashlib
+
+        from raygraph.ops.relational import ordered_prefix_sum
+
+        def key(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pandas()
+            k = ids.astype(str).map(
+                lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": pa.array(k, pa.int64()),
+                "__one": pa.array(np.ones(len(ids), dtype="int64")),
+            })
+
+        keyed = _docs_ds(sf_dir, columns=("doc_id",)).map_batches(
+            key, batch_format="pyarrow")
+        scanned = ordered_prefix_sum(keyed, "shuffle_key", "__one",
+                                     n_tiles=8, out="__rn0",
+                                     tie_cols=("doc_id",))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": batch.column("shuffle_key"),
+                "rank": pc.add(batch.column("__rn0"), 1),
+            })
+
+        return scanned.map_batches(finish, batch_format="pyarrow")
+
     def docs_packing(sf_dir):
         # sequence packing into 2048-token context windows over the
         # doc_id-ordered corpus: a distributed two-phase scan (exact
@@ -1866,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
+        "docs_shuffle_rank": docs_shuffle_rank,
         "docs_rebalance_sources": docs_rebalance_sources,
         "docs_length_band": docs_length_band,
         "orders_global_rownum": orders_global_rownum,
@@ -2543,6 +2581,18 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) AS norm_text,
                    length(nfc_normalize(text))::BIGINT AS n_chars_norm
             FROM aug
+        """,
+        "docs_shuffle_rank": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                         AS shuffle_key
+              FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT
+                       AS rank
+            FROM k
         """,
         "docs_packing": _TOKS_CTE + """
             , c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),

@@ -896,7 +896,7 @@ def range_partition(ds, col: str, n_tiles: int = 4,
 
 def ordered_prefix_sum(ds, order_col: str, value_col: str,
                        n_tiles: int = 32, out: str = "prefix_before",
-                       pin: bool = True):
+                       pin: bool = True, tie_cols: Sequence[str] = ()):
     """Global EXCLUSIVE running sum of ``value_col`` in ``order_col``
     order — the classic two-phase distributed scan (the building block
     of sequence packing, global row numbering, and ordered splitting):
@@ -907,10 +907,13 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
        over the tile totals — the only driver state;
     3. one vectorized sort+cumsum per tile (+ its tile offset).
 
-    ``order_col`` must be a total order (unique values): ties may land
-    in either intra-tile position, making prefixes of tied rows
-    layout-dependent. A tile must fit one worker (n_tiles scales with
-    input size, the same contract as ``range_partition``). ``pin``
+    ``(order_col, *tie_cols)`` must be a total order: without a unique
+    combination, tied rows take layout-dependent intra-tile positions.
+    Ties on ``order_col`` alone are safe WITH ``tie_cols`` because
+    range tiles split strictly between distinct ``order_col`` values —
+    all ties co-tile and the intra-tile sort resolves them globally. A
+    tile must fit one worker (n_tiles scales with input size, the same
+    contract as ``range_partition``). ``pin``
     materializes the tiled input so the two passes (totals, scan) don't
     re-run the upstream pipeline — disable when upstream is cheaper
     than object-store residency."""
@@ -923,7 +926,8 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
     offsets = dict(zip(sums["tile"].astype(int), csum.astype("int64")))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        df = df.sort_values([order_col, *tie_cols],
+                            kind="mergesort").reset_index(drop=True)
         vals = df[value_col].to_numpy(dtype="int64")
         base = int(offsets.get(int(df["tile"].iloc[0]), 0))
         df[out] = base + np.cumsum(vals) - vals
