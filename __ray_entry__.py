@@ -1690,6 +1690,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return type_sequences(ev)
 
+    def events_funnel(sf_dir):
+        from raygraph.ops.events import funnel_counts
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"])
+        return funnel_counts(ev, ["view", "click", "purchase"])
+
+    def events_retention(sf_dir):
+        from raygraph.ops.events import retention_cohorts
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        return retention_cohorts(ev)
+
     def events_latest(sf_dir):
         # FIRST_VALUE / argmax per key — the latest event row per user
         # (row_number() OVER (PARTITION BY user ORDER BY ts DESC) = 1)
@@ -1945,6 +1960,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_type": events_top_type,
         "events_latest": events_latest,
         "events_transitions": events_transitions,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
         "orders_merged": orders_merged,
@@ -2453,6 +2470,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT "column", n_rows, n_null, min_v, max_v, n_distinct
             FROM p ORDER BY "column"
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT 1::BIGINT AS step, 'view' AS step_type,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+        """,
+        "events_retention": """
+            WITH w AS (
+              SELECT user_id,
+                     ((epoch_ms(ts) // 1000) // 86400) // 7 AS week
+              FROM events
+            ),
+            f AS (SELECT user_id, min(week) AS cohort_week
+                  FROM w GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, week FROM w)
+            SELECT f.cohort_week::BIGINT AS cohort_week,
+                   a.week::BIGINT AS week, count(*)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cohort_week, a.week
         """,
         "events_transitions": """
             WITH s AS (

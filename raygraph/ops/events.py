@@ -11,6 +11,7 @@ no cross-key ordering is assumed or needed.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -333,3 +334,73 @@ def type_sequences(ds, key_col: str = "user_id", ts_col: str = "ts",
     return hash_aggregate(
         ds.select_columns([key_col, ts_col, type_col, tie_col]),
         [key_col], bucket_seq, num_buckets=num_buckets)
+
+
+def funnel_counts(ds, steps, key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type", num_buckets: int = 64):
+    """Ordered funnel: how many keys reached step 1, steps 1→2, 1→2→3, …
+    where each step's event must occur STRICTLY AFTER the previous
+    step's earliest qualifying occurrence (the standard product-analytics
+    funnel with first-touch semantics). Fully vectorized: len(steps)
+    merge + groupby-min passes per bucket, never a Python loop over
+    keys; hash-bucketed so all rows of a key co-locate; the output is
+    len(steps) scalars per bucket merged by an associative sum."""
+    from .relational import hash_aggregate, preagg_sum
+
+    steps = list(steps)
+
+    def bucket_funnel(df: pd.DataFrame) -> pd.DataFrame:
+        reached = None
+        counts = []
+        for s in steps:
+            ev = df.loc[df[type_col] == s, [key_col, ts_col]]
+            if reached is not None:
+                ev = ev.merge(reached, on=key_col)
+                ev = ev.loc[ev[ts_col] > ev["reached_at"],
+                            [key_col, ts_col]]
+            reached = ev.groupby(key_col, as_index=False)[ts_col].min() \
+                .rename(columns={ts_col: "reached_at"})
+            counts.append(len(reached))
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                               dtype="int64"),
+                             "step_type": steps,
+                             "n_users": np.asarray(counts, dtype="int64")})
+
+    partials = hash_aggregate(
+        ds.select_columns([key_col, ts_col, type_col]),
+        [key_col], bucket_funnel, num_buckets=num_buckets)
+    return preagg_sum(partials, ["step", "step_type"],
+                      {"n_users": "n_users"})
+
+
+def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      num_buckets: int = 64):
+    """Weekly retention cohorts: cohort(user) = ISO week of the user's
+    FIRST event; output = distinct active users per (cohort_week,
+    activity_week). Two stages, both combiner-style: per-key first-ts +
+    distinct (key, week) pairs inside one bucketed pass, then a tiny
+    (weeks × weeks) count merge. Weeks are integer epoch-weeks
+    (floor(epoch_days / 7)) so the SQL oracle is exact."""
+    from .relational import hash_aggregate, preagg_sum
+
+    def week_of(ts: pd.Series) -> pd.Series:
+        days = ts.astype("datetime64[s]").astype("int64") // 86400
+        return days // 7
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["week"] = week_of(df[ts_col]).astype("int64")
+        first = df.groupby(key_col, as_index=False)["week"].min() \
+            .rename(columns={"week": "cohort_week"})
+        active = df[[key_col, "week"]].drop_duplicates()
+        m = active.merge(first, on=key_col)
+        out = m.groupby(["cohort_week", "week"], as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    partials = hash_aggregate(
+        ds.select_columns([key_col, ts_col]),
+        [key_col], bucket_pairs, num_buckets=num_buckets)
+    return preagg_sum(partials, ["cohort_week", "week"],
+                      {"n_users": "n_users"})

@@ -151,3 +151,43 @@ def test_type_transitions_and_sequences(ray_session):
     assert tr == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
     seq = {r["user_id"]: r["seq"] for r in type_sequences(ds).take_all()}
     assert seq == {1: "a>b>a", 2: "b>b"}
+
+
+def test_funnel_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import funnel_counts
+
+    # u1 completes view>click>buy; u2 clicks BEFORE viewing (click must
+    # not count); u3 views only
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00", "2026-01-01 01:00", "2026-01-01 02:00",
+            "2026-01-01 00:30", "2026-01-01 00:00", "2026-01-01 09:00"]),
+        "event_type": ["view", "click", "buy", "view", "click", "view"],
+    })
+    out = {r["step"]: (r["step_type"], r["n_users"]) for r in
+           funnel_counts(rd.from_pandas(ev).repartition(2),
+                         ["view", "click", "buy"]).take_all()}
+    assert out == {1: ("view", 3), 2: ("click", 1), 3: ("buy", 1)}
+
+
+def test_retention_cohorts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import retention_cohorts
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime([
+            "2026-01-01", "2026-01-09", "2026-01-09"]),
+        "event_type": ["a", "a", "a"],
+    })
+    out = {(r["cohort_week"], r["week"]): r["n_users"] for r in
+           retention_cohorts(rd.from_pandas(ev)).take_all()}
+    w1 = (pd.Timestamp("2026-01-01").value // 10**9) // 86400 // 7
+    w2 = (pd.Timestamp("2026-01-09").value // 10**9) // 86400 // 7
+    assert out == {(w1, w1): 1, (w1, w2): 1, (w2, w2): 1}

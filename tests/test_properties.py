@@ -297,3 +297,24 @@ def test_table_checksum_layout_invariant(ray_session):
     df2.loc[50, "s"] = "CHANGED"
     out2 = table_checksum(rd.from_pandas(df2), ["k", "s"]).take_all()
     assert out2[0]["checksum"] != vals[0]
+
+
+def test_ordered_prefix_sum_tie_cols(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import ordered_prefix_sum
+
+    # heavy ties on the order col; (order, tie) is the total order
+    df = pd.DataFrame({"o": [5, 5, 5, 1, 1, 9],
+                       "tie": [3, 1, 2, 2, 1, 1],
+                       "n": [10, 20, 30, 40, 50, 60]})
+    ref = df.sort_values(["o", "tie"]).reset_index(drop=True)
+    want = dict(zip(zip(ref["o"], ref["tie"]),
+                    ref["n"].cumsum() - ref["n"]))
+    for parts in (1, 4):
+        out = ordered_prefix_sum(rd.from_pandas(df).repartition(parts),
+                                 "o", "n", n_tiles=3, tie_cols=("tie",))
+        got = {(r["o"], r["tie"]): r["prefix_before"]
+               for r in out.take_all()}
+        assert got == want, parts
