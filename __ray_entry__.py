@@ -850,6 +850,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_docs"] = out["n_docs"].astype("int64")
         return out[["lang", "source", "n_docs"]]
 
+    def docs_cube(sf_dir):
+        # GROUP BY CUBE(lang, source): all four grouping sets from the
+        # SAME one-pass detail aggregate (detail is the finest level, so
+        # the other three roll up aggregate-sized, no second scan)
+        ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "source"))
+        detail = preagg_sum(ds, ["lang", "source"], {}, counts="n_docs") \
+            .to_pandas()
+        detail["n_docs"] = detail["n_docs"].astype("int64")
+        by_lang = detail.groupby("lang", as_index=False)["n_docs"].sum()
+        by_lang["source"] = None
+        by_src = detail.groupby("source", as_index=False)["n_docs"].sum()
+        by_src["lang"] = None
+        tot = pd.DataFrame({"lang": [None], "source": [None],
+                            "n_docs": [detail["n_docs"].sum()]})
+        out = pd.concat([detail, by_lang, by_src, tot], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["lang", "source", "n_docs"]]
+
     def top_sources_by_chars(sf_dir):
         ds = _docs_ds(sf_dir, columns=("source", "n_chars"))
         agg = preagg_sum(ds, ["source"], {"total_chars": "n_chars"})
@@ -1929,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_by_lang_source": docs_by_lang_source,
         "docs_rollup": docs_rollup,
+        "docs_cube": docs_cube,
         "top_sources_by_chars": top_sources_by_chars,
         "tpch_pricing_summary": tpch_pricing_summary,
         "tpch_q1_full": tpch_q1_full,
@@ -2262,6 +2281,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_rollup": """
             SELECT lang, source, count(*)::BIGINT AS n_docs
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "docs_cube": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY CUBE(lang, source)
         """,
         "media_dimensions": """
             SELECT doc_id, 'png' AS fmt,
