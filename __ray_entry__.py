@@ -275,7 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (unrelated long docs reach Jaccard ~1); word 5-windows stay
         # discriminative, so only exact copies merge at threshold 0.99
         return D.minhash_dedup(_doubled_docs(sf_dir), threshold=0.99, bands=8,
-                               shingle="word")
+                               shingle="word",
+                               num_buckets=D.lsh_num_buckets(
+                                   2 * _docs_count(sf_dir), 8))
 
     def dedup_clusters(sf_dir):
         # duplicate-CLUSTER inventory over a TRIPLED corpus (components
@@ -302,7 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf_dir).map_batches(shift(2), batch_format="pyarrow"),
         )
         return D.near_dup_clusters(tripled, threshold=0.99, bands=8,
-                                   shingle="word", cc_iters=2)
+                                   shingle="word", cc_iters=2,
+                                   num_buckets=D.lsh_num_buckets(
+                                       3 * _docs_count(sf_dir), 8))
 
     def dedup_simhash(sf_dir):
         # simhash-exact dedup over the doubled corpus: (min doc_id, group

@@ -163,9 +163,13 @@ def main() -> None:
         lambda: docs().map_batches(T.quality_score,
                                    batch_format="pyarrow").count())
 
+    n_docs_sf = pq.read_metadata(
+        os.path.join(SF_DIR, "documents.parquet")).num_rows
     timings["dedup_minhash"] = _timed_min(
         lambda: D.minhash_dedup(docs(), threshold=0.99, bands=8,
-                                shingle="word").count())
+                                shingle="word",
+                                num_buckets=D.lsh_num_buckets(
+                                    n_docs_sf, 8)).count())
 
     emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])

@@ -271,6 +271,18 @@ def minhash_bands(
 BUCKET_PAIR_CAP = 512  # max ids per LSH bucket considered for pairing
 
 
+def lsh_num_buckets(n_rows: int | None, bands: int = 16) -> int:
+    """Shuffle bucket count for the LSH band exchange, sized to the band
+    row volume (n_docs x bands): ~100k band rows per reduce task,
+    floored at 16 so toy corpora do not pay 128 reduce tasks per
+    shuffle, capped at 4096 (the same scheduler bound as
+    materialize.adaptive_buckets). Pass the known corpus row count when
+    you have it (parquet metadata); None keeps the legacy default."""
+    if not n_rows:
+        return 128
+    return int(min(4096, max(16, (n_rows * bands) // 100_000)))
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket. The cap guards a degenerate
     bucket from emitting O(n^2) pairs — an explicit coverage bound: docs
@@ -294,7 +306,8 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                        text_col: str = "text", id_col: str = "doc_id",
-                       shingle: str = "char"):
+                       shingle: str = "char",
+                       num_buckets: int | None = None):
     """Corpus Dataset → deduped candidate-pair Dataset (id_a < id_b).
 
     ``bands`` trades recall for bucket size: more bands (narrower rows per
@@ -324,6 +337,7 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
         ]
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
+    nb = num_buckets or 128
     pairs = hash_aggregate(
         ds.map_batches(
             lambda b: minhash_bands(b, hasher, bands, text_col, id_col),
@@ -331,10 +345,13 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
         ),
         ["band_id", "band_hash"],
         bucket_pairs_many,
+        num_buckets=nb,
     )
-    # dedupe pairs that matched in several bands
+    # dedupe pairs that matched in several bands (pair volume is far
+    # below band-row volume; a quarter of the buckets suffices)
     return hash_aggregate(pairs, ["id_a", "id_b"],
-                          lambda df: df.drop_duplicates())
+                          lambda df: df.drop_duplicates(),
+                          num_buckets=max(8, nb // 4))
 
 
 def minhash_verified_pairs(
@@ -345,6 +362,7 @@ def minhash_verified_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle: str = "char",
+    num_buckets: int | None = None,
 ):
     """LSH candidates → exact Jaccard verify, fully in-cluster: candidate
     texts are attached via two hash-partitioned ``Dataset.join``s and
@@ -358,7 +376,8 @@ def minhash_verified_pairs(
     from .relational import coerce_schema, compact_nonempty
 
     cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
-                              shingle=shingle).materialize()
+                              shingle=shingle,
+                              num_buckets=num_buckets).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return None
@@ -435,6 +454,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle: str = "char",
+    num_buckets: int | None = None,
 ):
     """Full near-dedup: LSH candidates → in-cluster exact Jaccard verify
     (:func:`minhash_verified_pairs`) → union-find clusters → survivors
@@ -444,7 +464,8 @@ def minhash_dedup(
     import pyarrow.compute as pc
 
     vp = minhash_verified_pairs(ds, threshold, num_perm, bands,
-                                text_col, id_col, shingle)
+                                text_col, id_col, shingle,
+                                num_buckets=num_buckets)
     if vp is None:
         return ds
     verified = vp.take_all()
@@ -488,6 +509,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     shingle: str = "char",
     cc_iters: int = 3,
+    num_buckets: int | None = None,
 ):
     """Duplicate-CLUSTER assignment: every document gets the min doc id
     of its verified near-dup connected component (singletons map to
@@ -511,7 +533,8 @@ def near_dup_clusters(
 
     ids_only = ds.select_columns([id_col])
     vp = minhash_verified_pairs(ds, threshold, num_perm, bands,
-                                text_col, id_col, shingle)
+                                text_col, id_col, shingle,
+                                num_buckets=num_buckets)
 
     def self_clusters(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch.column(id_col),
