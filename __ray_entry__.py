@@ -393,6 +393,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "text": pa.array(s, pa.string())})
 
+    def corpus_span_stats(sf_dir):
+        # per-doc span-kind statistics straight off the interleaved
+        # list<struct> spans column (input_hint shape) — zero-copy list
+        # offsets + reduceat, no row-wise struct rebuild; the oracle
+        # recomputes the counts from the corpus formula
+        from raygraph.io import read_documents
+        from raygraph.ops.spans import span_stats
+
+        return read_documents(_corpus_dir(sf_dir)).map_batches(
+            span_stats, batch_format="pyarrow")
+
     def docs_pii_scrub(sf_dir):
         # counts on the original, redaction in two non-interacting passes
         return (_docs_ds(sf_dir)
@@ -1937,6 +1948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_token_count": text_bpe_token_count,
         "text_top_tokens": text_top_tokens,
         "docs_pii_scrub": docs_pii_scrub,
+        "corpus_span_stats": corpus_span_stats,
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
@@ -2576,6 +2588,17 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 20
+        """,
+        "corpus_span_stats": """
+            WITH idx AS (SELECT row_number() OVER () - 1 AS i
+                         FROM documents)
+            SELECT 'doc/' || i AS doc_id,
+                   (CASE WHEN i % 7 = 3 THEN 3 ELSE 2 END)::BIGINT
+                       AS n_spans,
+                   (CASE WHEN i % 7 = 3 THEN 2 ELSE 1 END)::BIGINT
+                       AS n_text,
+                   1::BIGINT AS n_media
+            FROM idx
         """,
         "docs_pii_scrub": """
             WITH aug AS (

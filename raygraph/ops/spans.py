@@ -87,3 +87,37 @@ def span_fingerprint(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": batch.column("doc_id"), "span_fp": pa.array(out, pa.string())}
     )
+
+
+def span_stats(batch: pa.Table) -> pa.Table:
+    """Per-document span statistics straight off the list<struct> column
+    — zero-copy Arrow: list offsets give n_spans, the flattened ``kind``
+    child + ``np.add.reduceat`` gives per-row kind counts; the span
+    structs are never rebuilt row-wise."""
+    import numpy as np
+
+    spans = batch.column("spans").combine_chunks()
+    n = pc.list_value_length(spans).to_numpy(zero_copy_only=False) \
+        .astype("int64")
+    flat = spans.flatten()
+    kinds = flat.field("kind")
+    is_text = pc.equal(kinds, "text").to_numpy(zero_copy_only=False) \
+        .astype("int64")
+    starts = np.zeros(len(n), dtype="int64")
+    np.cumsum(n[:-1], out=starts[1:])
+    n_text = np.zeros(len(n), dtype="int64")
+    nz = n > 0
+    if nz.any():
+        # reduceat needs strictly valid segment starts; zero-length rows
+        # contribute 0 directly
+        n_text[nz] = np.add.reduceat(is_text, starts[nz])
+        # reduceat on a start == len(is_text) (trailing empty rows) can't
+        # occur here because starts[nz] indexes only non-empty rows
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_spans": pa.array(n, pa.int64()),
+            "n_text": pa.array(n_text, pa.int64()),
+            "n_media": pa.array(n - n_text, pa.int64()),
+        }
+    )

@@ -111,3 +111,28 @@ def test_span_fingerprint_stable_and_sensitive():
     assert fp1 == fp2
     other = span_fingerprint(synth.corpus(9)).column("span_fp").to_pylist()
     assert fp1 != other
+
+
+def test_span_stats_zero_copy_counts(ray_session):
+    import pyarrow as pa
+
+    from raygraph.ops.spans import span_stats
+    from raygraph.schemas import DOCUMENT_SCHEMA
+
+    def doc(i, spans):
+        return {"doc_id": f"doc/{i}", "spans": spans}
+
+    t = pa.Table.from_pylist([
+        doc(0, [{"kind": "text", "text": "a", "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "c", "media_ref": "m",
+                 "offset": 1}]),
+        doc(1, []),
+        doc(2, [{"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "y", "media_ref": "", "offset": 1},
+                {"kind": "media", "text": "z", "media_ref": "m",
+                 "offset": 2}]),
+    ], schema=DOCUMENT_SCHEMA)
+    out = span_stats(t).to_pandas().set_index("doc_id")
+    assert out.loc["doc/0"].tolist() == [2, 1, 1]
+    assert out.loc["doc/1"].tolist() == [0, 0, 0]
+    assert out.loc["doc/2"].tolist() == [3, 2, 1]
