@@ -1630,6 +1630,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emb.map_batches(norms, batch_format="pyarrow")
 
+    def ann_batch_top3(sf_dir):
+        # batched exact ANN: 5 query vectors share ONE corpus scan (one
+        # (n×Q) matmul per batch, per-query partial top-k, bucketed
+        # exact reduce) — the batch-inference shape; rounded-cosine +
+        # id ordering keeps it engine-stable
+        from raygraph.ops.ann import batch_topk
+
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        qdf = qtab.to_pandas()
+        qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+        queries = np.stack(qdf["embedding"].map(np.asarray).to_numpy())
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return batch_topk(emb, queries, qdf["vec_id"].tolist(), k=3,
+                          round_dp=4)
+
     def embedding_quantized(sf_dir):
         from raygraph.ops.ann import quantize_embeddings
 
@@ -2014,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_self_join": ann_self_join,
         "embedding_norms": embedding_norms,
         "embedding_quantized": embedding_quantized,
+        "ann_batch_top3": ann_batch_top3,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
         "media_frames": media_frames,
@@ -3407,6 +3425,20 @@ def oracle_sql() -> dict[str, str]:
                                                embedding::DOUBLE[])), 4)
                        AS l2_norm
             FROM embeddings
+        """,
+        "ann_batch_top3": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_cosine_similarity(
+                             e.embedding::DOUBLE[], q.qe), 4) AS cosine
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS rn
+                  FROM s)
+            SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3
         """,
         "embedding_quantized": """
             WITH u AS (

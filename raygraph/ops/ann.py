@@ -389,3 +389,59 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_dp: int = 6):
+    """Batched exact cosine top-k: MANY query vectors at once — the
+    batch-inference shape (Q queries share one corpus scan instead of Q
+    scans). ``queries`` is (Q, d), broadcast once via ``ray.put``; each
+    batch computes ONE (n × Q) matmul and emits its per-query partial
+    top-k (≤ k·Q rows/batch), merged per query by a bucketed exact
+    reduce — the driver only ever sees the final Q·k rows. Cosines are
+    4dp/6dp-rounded for engine-stable ordering (ties break by id)."""
+    import ray
+
+    from .relational import hash_aggregate
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(list(query_ids))
+    qref = ray.put(Q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qm = _ray.get(qref)
+        vecs = vectors_to_numpy(batch.column(vec_col), np.float64)
+        # round BEFORE the partial cut: the partial must select by the
+        # same (rounded desc, id asc) order as the final reduce, or a
+        # rounded tie straddling the cut would drop the id the global
+        # order prefers
+        sims = np.round(_normalize(vecs) @ qm.T, round_dp)  # (n, Q)
+        n = sims.shape[0]
+        kk = min(k, n)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_ids, out_sim = [], [], []
+        for qi in range(len(qids)):                # Q is small
+            top = np.lexsort((ids, -sims[:, qi]))[:kk]
+            out_q.append(np.repeat(qids[qi], kk))
+            out_ids.append(ids[top])
+            out_sim.append(sims[top, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_ids)),
+            "cosine": pa.array(
+                np.concatenate(out_sim).astype("float64"), pa.float64()),
+        })
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k) \
+            .reset_index(drop=True)
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["query_id"], reduce, num_buckets=max(8, len(qids)))

@@ -146,3 +146,27 @@ def test_knn_self_join_known_neighbors(ray_session):
     out = {r["vec_id"]: r["nn_id"]
            for r in knn_self_join(rd.from_arrow(tbl)).take_all()}
     assert out == {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def test_batch_topk_matches_per_query_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.ann import batch_topk, brute_force_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = batch_topk(ds, vecs[:3].astype(np.float64), [0, 1, 2], k=5,
+                     round_dp=4)
+    got = {qid: list(g["vec_id"])
+           for qid, g in out.to_pandas().groupby("query_id")}
+    for qid in (0, 1, 2):
+        ref = brute_force_topk(rd.from_pandas(df), vecs[qid], k=5,
+                               dtype=np.float64, round_dp=4)
+        # same rounded-cosine ordering contract
+        assert got[qid][:5] == ref["vec_id"].tolist()[:5] or \
+            set(got[qid]) == set(ref["vec_id"])
