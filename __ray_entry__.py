@@ -1740,6 +1740,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return type_sequences(ev)
 
+    def events_value_moments(sf_dir):
+        # distributed mean/variance: per-type integer moment sums
+        # (n, Σv_e4, Σv²_e8) — associative, so per-batch partials are
+        # exact at any layout; variance left as the two raw moments so
+        # the contract stays integer-exact end to end
+        def moments(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            v = np.round(df["value"].to_numpy() * 10_000).astype("int64")
+            g = pd.DataFrame({"event_type": df["event_type"],
+                              "v": v, "v2": v * v}) \
+                .groupby("event_type", as_index=False) \
+                .agg(n=("v", "size"), sum_e4=("v", "sum"),
+                     sumsq_e8=("v2", "sum"))
+            for c in ("n", "sum_e4", "sumsq_e8"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value"])
+        return preagg_sum(ev.map_batches(moments, batch_format="pyarrow"),
+                          ["event_type"],
+                          {"n": "n", "sum_e4": "sum_e4",
+                           "sumsq_e8": "sumsq_e8"})
+
     def events_funnel(sf_dir):
         from raygraph.ops.events import funnel_counts
 
@@ -2013,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": events_latest,
         "events_transitions": events_transitions,
         "events_funnel": events_funnel,
+        "events_value_moments": events_value_moments,
         "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
@@ -2527,6 +2552,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT "column", n_rows, n_null, min_v, max_v, n_distinct
             FROM p ORDER BY "column"
+        """,
+        "events_value_moments": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(v)::BIGINT AS sum_e4,
+                   sum(v * v)::BIGINT AS sumsq_e8
+            FROM v GROUP BY event_type
         """,
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
