@@ -171,6 +171,23 @@ def main() -> None:
                                 num_buckets=D.lsh_num_buckets(
                                     n_docs_sf, 8)).count())
 
+    timings["pii_scrub"] = _timed_min(
+        lambda: docs().map_batches(T.pii_scrub,
+                                   batch_format="pyarrow").count())
+
+    from raygraph.ops.text import pack_sequences
+
+    timings["packing"] = _timed_min(
+        lambda: pack_sequences(docs(), budget=2048, n_tiles=8).count())
+
+    from raygraph.ops.events import funnel_counts
+
+    ev = lambda: rd.read_parquet(  # noqa: E731
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "ts", "event_type"])
+    timings["events_funnel"] = _timed_min(
+        lambda: funnel_counts(ev(), ["view", "click", "purchase"]).count())
+
     emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
     qtab = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),

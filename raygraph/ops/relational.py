@@ -870,6 +870,8 @@ def range_boundaries(ds, col: str, n_tiles: int,
     q = grouped_quantiles(ds.map_batches(tag, batch_format="pyarrow"),
                           ["__g"], col, qs=qs, prefix="b",
                           num_buckets=num_buckets).to_pandas()
+    if not len(q):
+        return []  # empty input → no boundaries → everything in tile 0
     cols = [f"b{int(round(x * 100)):02d}" for x in qs]
     return [v for v in q.iloc[0][cols].tolist()]
 
@@ -921,9 +923,12 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
     if pin:
         tiled = tiled.materialize()
     sums = preagg_sum(tiled, ["tile"], {"__s": value_col}).to_pandas()
-    sums = sums.sort_values("tile")
-    csum = sums["__s"].cumsum() - sums["__s"]
-    offsets = dict(zip(sums["tile"].astype(int), csum.astype("int64")))
+    if "tile" in sums.columns:
+        sums = sums.sort_values("tile")
+        csum = sums["__s"].cumsum() - sums["__s"]
+        offsets = dict(zip(sums["tile"].astype(int), csum.astype("int64")))
+    else:
+        offsets = {}  # empty input: the aggregate emits a columnless frame
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([order_col, *tie_cols],

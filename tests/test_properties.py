@@ -318,3 +318,16 @@ def test_ordered_prefix_sum_tie_cols(ray_session):
         got = {(r["o"], r["tie"]): r["prefix_before"]
                for r in out.take_all()}
         assert got == want, parts
+
+
+def test_ordered_prefix_sum_empty_input(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import ordered_prefix_sum, range_boundaries
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "id": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64")}))
+    assert range_boundaries(empty, "id", 4) == []
+    assert ordered_prefix_sum(empty, "id", "n", n_tiles=4).take_all() == []
