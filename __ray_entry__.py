@@ -404,6 +404,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_documents(_corpus_dir(sf_dir)).map_batches(
             span_stats, batch_format="pyarrow")
 
+    def corpus_render_interleaved(sf_dir):
+        # interleaved SEQUENCE BUILDING: each multimodal doc becomes one
+        # training string (text spans verbatim, media spans as
+        # <media_ref> sentinel tokens) — pure-Arrow flatten + list
+        # re-wrap + binary_join, no per-row Python; the oracle rebuilds
+        # every rendered string from the corpus formula
+        from raygraph.io import read_documents
+        from raygraph.ops.spans import render_interleaved
+
+        return read_documents(_corpus_dir(sf_dir)).map_batches(
+            render_interleaved, batch_format="pyarrow")
+
     def docs_pii_scrub(sf_dir):
         # counts on the original, redaction in two non-interacting passes
         return (_docs_ds(sf_dir)
@@ -1990,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_tokens": text_top_tokens,
         "docs_pii_scrub": docs_pii_scrub,
         "corpus_span_stats": corpus_span_stats,
+        "corpus_render_interleaved": corpus_render_interleaved,
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
@@ -2278,7 +2291,28 @@ def oracle_sql() -> dict[str, str]:
         """
     bpe_pat_sql = __import__("raygraph.ops.text", fromlist=["BPE_PATTERN"]) \
         .BPE_PATTERN.replace("'", "''")
+
+    def surf(fexpr: str, eexpr: str) -> str:
+        # mirrors raygraph.synth._surface_series / _FORMS exactly
+        return (f"(CASE ({fexpr}) % 4 WHEN 0 THEN 'vertex ' || {eexpr} "
+                f"WHEN 1 THEN 'Vertex ' || {eexpr} "
+                f"WHEN 2 THEN 'node ' || {eexpr} "
+                f"ELSE 'v' || {eexpr} END)")
+
+    render_sql = kg_base + f"""
+            SELECT 'doc/' || i AS doc_id,
+                   {surf('i', 'a')} || ' is connected to '
+                       || {surf('i + 3', 'b')} || '.'
+                   || ' <media/edge-' || i || '.png>'
+                   || CASE WHEN i % 7 = 3
+                           THEN ' ' || {surf('i', 'a')} || ' is a node.'
+                           ELSE '' END AS rendered,
+                   (CASE WHEN i % 7 = 3 THEN 3 ELSE 2 END)::BIGINT
+                       AS n_spans
+            FROM e
+        """
     return {
+        "corpus_render_interleaved": render_sql,
         "kg_edges": kg_edges_sql,
         "kg_degrees": f"""
             WITH edges AS ({kg_edges_sql}),

@@ -121,3 +121,31 @@ def span_stats(batch: pa.Table) -> pa.Table:
             "n_media": pa.array(n - n_text, pa.int64()),
         }
     )
+
+
+def render_interleaved(batch: pa.Table, sep: str = " ") -> pa.Table:
+    """Render each interleaved document into ONE training sequence
+    string: text spans contribute their text, media spans contribute a
+    ``<media_ref>`` sentinel token (the placeholder a multimodal
+    tokenizer later swaps for patch/codec embeddings) — the
+    sequence-building step between a curated corpus and a trainer.
+
+    Pure Arrow, no per-row Python: flatten the span structs once,
+    compute every piece with vectorized kernels, re-wrap the original
+    list offsets and ``pc.binary_join`` per document."""
+    spans = batch.column("spans").combine_chunks()
+    flat = spans.flatten()
+    piece = pc.if_else(
+        pc.equal(flat.field("kind"), "media"),
+        pc.binary_join_element_wise("<", flat.field("media_ref"), ">", ""),
+        flat.field("text"),
+    )
+    rendered = pc.binary_join(
+        pa.ListArray.from_arrays(spans.offsets, piece), sep)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "rendered": rendered,
+            "n_spans": pc.list_value_length(spans).cast(pa.int64()),
+        }
+    )

@@ -136,3 +136,23 @@ def test_span_stats_zero_copy_counts(ray_session):
     assert out.loc["doc/0"].tolist() == [2, 1, 1]
     assert out.loc["doc/1"].tolist() == [0, 0, 0]
     assert out.loc["doc/2"].tolist() == [3, 2, 1]
+
+
+def test_render_interleaved_sentinels():
+    import pyarrow as pa
+
+    from raygraph.ops.spans import render_interleaved
+    from raygraph.schemas import DOCUMENT_SCHEMA
+
+    t = pa.Table.from_pylist([
+        {"doc_id": "doc/0", "spans": [
+            {"kind": "text", "text": "hello world", "media_ref": "",
+             "offset": 0},
+            {"kind": "media", "text": "caption", "media_ref": "m/1.png",
+             "offset": 1},
+            {"kind": "text", "text": "bye", "media_ref": "", "offset": 2}]},
+        {"doc_id": "doc/1", "spans": []},
+    ], schema=DOCUMENT_SCHEMA)
+    out = render_interleaved(t).to_pandas()
+    assert out["rendered"].tolist() == ["hello world <m/1.png> bye", ""]
+    assert out["n_spans"].tolist() == [3, 0]
