@@ -576,6 +576,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scanned.map_batches(finish, batch_format="pyarrow")
 
+    def docs_chunks(sf_dir):
+        # RAG chunking: every doc → consecutive 32-token chunks
+        # (flat-map fan-out inside the doc's batch, no shuffle)
+        from raygraph.ops.text import chunk_documents
+
+        return chunk_documents(_docs_ds(sf_dir), chunk_tokens=32)
+
     def docs_packing(sf_dir):
         # sequence packing into 2048-token context windows over the
         # doc_id-ordered corpus: a distributed two-phase scan (exact
@@ -2007,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
         "docs_shuffle_rank": docs_shuffle_rank,
+        "docs_chunks": docs_chunks,
         "docs_rebalance_sources": docs_rebalance_sources,
         "docs_length_band": docs_length_band,
         "orders_global_rownum": orders_global_rownum,
@@ -2768,6 +2776,22 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) AS norm_text,
                    length(nfc_normalize(text))::BIGINT AS n_chars_norm
             FROM aug
+        """,
+        "docs_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents
+            ),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) - 1 AS pos
+                  FROM t)
+            SELECT doc_id, (pos // 32)::BIGINT AS chunk_id,
+                   count(*)::BIGINT AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+            FROM u GROUP BY doc_id, pos // 32
         """,
         "docs_shuffle_rank": """
             WITH k AS (

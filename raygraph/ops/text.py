@@ -460,3 +460,39 @@ def extract_matches(ds, pattern: str, text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(ds, chunk_tokens: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Split every document into consecutive ``chunk_tokens``-token
+    chunks (whitespace-normalized text reassembly) — the RAG/window
+    chunking step. Flat-map fan-out: one doc row → ceil(n/chunk) chunk
+    rows, all within the doc's batch (no shuffle). Vectorized explode +
+    cumcount; the per-chunk string join is the output itself. Docs with
+    zero tokens emit no row."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas()
+        toks = s.str.strip().str.split()
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            })
+        pos = ex.groupby(level=0).cumcount()
+        df = pd.DataFrame({
+            id_col: ids.loc[ex.index].to_numpy(),
+            "chunk_id": (pos // chunk_tokens).astype("int64").to_numpy(),
+            "token": ex.to_numpy(),
+        })
+        g = df.groupby([id_col, "chunk_id"], as_index=False).agg(
+            n_tokens=("token", "size"), chunk_text=("token", " ".join))
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return pa.Table.from_pandas(
+            g[[id_col, "chunk_id", "n_tokens", "chunk_text"]],
+            preserve_index=False)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
