@@ -576,6 +576,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scanned.map_batches(finish, batch_format="pyarrow")
 
+    def docs_cap_per_lang(sf_dir):
+        # per-class volume cap: a deterministic content-keyed sample of
+        # exactly ≤5 docs per language (md5-ordered group top-k — the
+        # "at most N examples per class" curation primitive); per-batch
+        # partial top-k then one bucketed exact reduce
+        import hashlib
+
+        from raygraph.ops.relational import group_topk
+
+        def key(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pandas()
+            k = ids.astype(str).map(
+                lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "shuffle_key": pa.array(k, pa.int64()),
+            })
+
+        keyed = _docs_ds(sf_dir, columns=("doc_id", "lang")).map_batches(
+            key, batch_format="pyarrow")
+        return group_topk(keyed, ["lang"], "shuffle_key", k=5,
+                          tie_col="doc_id")
+
     def docs_chunks(sf_dir):
         # RAG chunking: every doc → consecutive 32-token chunks
         # (flat-map fan-out inside the doc's batch, no shuffle)
@@ -2015,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packing": docs_packing,
         "docs_shuffle_rank": docs_shuffle_rank,
         "docs_chunks": docs_chunks,
+        "docs_cap_per_lang": docs_cap_per_lang,
         "docs_rebalance_sources": docs_rebalance_sources,
         "docs_length_band": docs_length_band,
         "orders_global_rownum": orders_global_rownum,
@@ -2776,6 +2801,19 @@ def oracle_sql() -> dict[str, str]:
                    nfc_normalize(text) AS norm_text,
                    length(nfc_normalize(text))::BIGINT AS n_chars_norm
             FROM aug
+        """,
+        "docs_cap_per_lang": """
+            WITH k AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                         AS shuffle_key
+              FROM documents
+            ),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY shuffle_key DESC, doc_id ASC) AS rn
+                  FROM k)
+            SELECT doc_id, lang, shuffle_key FROM r WHERE rn <= 5
         """,
         "docs_chunks": """
             WITH t AS (
