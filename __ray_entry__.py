@@ -217,6 +217,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return triangle_count(ed)
 
+    def kg_bfs(sf_dir):
+        # directed BFS hop distance from the max-out-degree vertex
+        # (ties → smallest id; 3 synchronous rounds, exact within 3
+        # hops): per round ONE edge-sized shuffle join + min-combine;
+        # only the source id is driver state, distances stay a Dataset
+        from raygraph.ops.graph import bfs_distance, distinct_pairs
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        deg = preagg_sum(distinct_pairs(ed).select_columns(["_from"]),
+                         ["_from"], {}, counts="d")
+        top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
+        return bfs_distance(ed, source=top[0]["_from"], iters=3)
+
     def kg_degrees(sf_dir):
         # graph-analytics surface over the built graph: per-vertex in/out
         # degree from the deduped edge table (distributed preagg counts;
@@ -2013,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
         "kg_components": kg_components,
+        "kg_bfs": kg_bfs,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
@@ -2179,6 +2194,35 @@ def _kmeans_sql(k: int, iters: int) -> str:
     parts.append(
         f"SELECT vec_id, cl AS cluster FROM a{iters + 1}")
     return "\n".join(parts)
+
+
+def _bfs_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled directed BFS from the max-out-degree vertex
+    (ties → smallest id): per round one join + min-groupby relaxation
+    over the arc set (real arcs w=1 plus per-vertex self-loops w=0),
+    mirroring raygraph.ops.graph.bfs_distance term for term. Unreached
+    vertices keep the INF sentinel and are filtered at the end."""
+    from raygraph.ops.graph import BFS_INF
+
+    inf = int(BFS_INF)
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
+        ", src AS (SELECT u AS s FROM (SELECT u, count(*) AS c FROM pr "
+        "GROUP BY u) ORDER BY c DESC, u LIMIT 1)",
+        ", arcs AS (SELECT u, v, 1::BIGINT AS w FROM pr "
+        "UNION ALL SELECT x, x, 0::BIGINT FROM vv)",
+        ", d0 AS (SELECT x, CASE WHEN x = src.s THEN 0::BIGINT "
+        f"ELSE {inf}::BIGINT END AS dist FROM vv, src)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", d{i + 1} AS (SELECT a.v AS x, min(d.dist + a.w) AS dist "
+            f"FROM arcs a JOIN d{i} d ON a.u = d.x GROUP BY a.v)")
+    parts.append(f" SELECT x AS vertex, dist FROM d{iters} "
+                 f"WHERE dist < {inf}")
+    return "".join(parts)
 
 
 def _pagerank_sql(edges_sql: str, iters: int) -> str:
@@ -2403,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
+        "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
         "docs_rollup": """
             SELECT lang, source, count(*)::BIGINT AS n_docs

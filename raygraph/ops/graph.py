@@ -23,6 +23,7 @@ Scale shape:
 from __future__ import annotations
 
 import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 SCALE = 10**12  # fixed-point rank unit: rank 1.0 == 10^12
@@ -463,3 +464,92 @@ def triangle_count(edges, src: str = "_from", dst: str = "_to",
         lambda df: pd.DataFrame({out: [int(df[out].sum())]}),
         precombined=True,
     )
+
+
+BFS_INF = np.int64(1 << 40)  # "unreached" sentinel, far above any hop count
+
+
+def bfs_distance(edges, source: str, iters: int = 3,
+                 src: str = "_from", dst: str = "_to"):
+    """Directed BFS hop distance from ``source``, exact for every vertex
+    within ``iters`` hops (unreached vertices are dropped). Same
+    dataflow as :func:`connected_components` — per round ONE edge-sized
+    shuffle join carries dist(u)+w to v (real arcs w=1, per-vertex
+    self-loops w=0 fold the vertex's own dist) and a min-combine per
+    destination; distances stay a Dataset throughout, only the source
+    id is driver state. Fixed rounds keep the spec exact and
+    SQL-unrollable."""
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, preagg_extreme,
+                             shuffle_join)
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("w", pa.int64())])
+
+    def as_arc(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"u": batch.column(src), "v": batch.column(dst),
+                         "w": pa.array(np.ones(n, dtype="int64"))})
+
+    arcs = _repaired(pairs.map_batches(as_arc, batch_format="pyarrow"),
+                     arc_schema)
+    verts = _repaired(
+        preagg_extreme(
+            arcs.map_batches(
+                lambda b: pa.table({"x": pa.concat_arrays(
+                    [b.column("u").combine_chunks().cast(pa.string()),
+                     b.column("v").combine_chunks().cast(pa.string())])}),
+                batch_format="pyarrow"),
+            ["x"], "x", how="min", out="m"),
+        pa.schema([("x", pa.string()), ("m", pa.string())]),
+    )
+
+    def self_loop(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"u": batch.column("x"), "v": batch.column("x"),
+                         "w": pa.array(np.zeros(n, dtype="int64"))})
+
+    arcs = _repaired(
+        arcs.union(verts.map_batches(self_loop, batch_format="pyarrow")),
+        arc_schema)
+
+    def init_dist(batch: pa.Table) -> pa.Table:
+        d = pc.if_else(pc.equal(batch.column("x"), source),
+                       pa.scalar(0, pa.int64()),
+                       pa.scalar(int(BFS_INF), pa.int64()))
+        return pa.table({"vertex": batch.column("x"), "dist": d})
+
+    lbl_schema = pa.schema([("vertex", pa.string()), ("dist", pa.int64())])
+    labels = _repaired(verts.map_batches(init_dist, batch_format="pyarrow"),
+                       lbl_schema)
+
+    for _ in range(iters):
+        msgs = shuffle_join(arcs, labels, on="u", right_on="vertex",
+                            num_partitions=nparts)
+        msgs = _repaired(msgs, pa.schema([("u", pa.string()),
+                                          ("v", pa.string()),
+                                          ("w", pa.int64()),
+                                          ("dist", pa.int64())]))
+
+        def add_w(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "v": batch.column("v"),
+                "dist": pc.add(batch.column("dist"), batch.column("w")),
+            })
+
+        labels = _repaired(
+            preagg_extreme(msgs.map_batches(add_w, batch_format="pyarrow"),
+                           ["v"], "dist", how="min", out="dist"),
+            pa.schema([("v", pa.string()), ("dist", pa.int64())]),
+        ).rename_columns({"v": "vertex"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("dist"), pa.scalar(int(BFS_INF),
+                                                       pa.int64()))
+        return batch.filter(keep)
+
+    return labels.map_batches(finish, batch_format="pyarrow")

@@ -175,6 +175,30 @@ def test_connected_components_label_propagation(ray_session):
                    "x": "x", "y": "x", "z": "x"}
 
 
+def test_bfs_distance_directed_hops(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import bfs_distance
+
+    # chain a→b→c→d→e with shortcut a→c; (x,y) unreachable from a;
+    # parallel edge (two predicates on a→b) must collapse to one arc
+    edges = pa.table({
+        "_from": ["a", "a", "b", "c", "d", "a", "x"],
+        "pred":  ["p", "q", "p", "p", "p", "p", "p"],
+        "_to":   ["b", "b", "c", "d", "e", "c", "y"],
+    })
+    out = bfs_distance(rd.from_arrow(edges).repartition(3), source="a",
+                       iters=3).to_pandas()
+    got = dict(zip(out.vertex, out.dist))
+    # e is 3 hops via the shortcut (a→c→d→e); x,y unreached → dropped
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+    # fewer rounds truncate the frontier but never mislabel
+    out2 = bfs_distance(rd.from_arrow(edges), source="a",
+                        iters=1).to_pandas()
+    assert dict(zip(out2.vertex, out2.dist)) == {"a": 0, "b": 1, "c": 1}
+
+
 def test_hll_error_bound_and_determinism(ray_session):
     import ray.data as rd
 
