@@ -231,6 +231,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
         return bfs_distance(ed, source=top[0]["_from"], iters=3)
 
+    def kg_kcore(sf_dir):
+        # k-core peel (k=2, 3 fixed rounds) over the undirected simple
+        # graph: per round two left-semi shuffle joins restrict arcs to
+        # live endpoints + one vectorized degree count; the alive set
+        # stays a Dataset, nothing graph-sized reaches the driver
+        from raygraph.ops.graph import kcore
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return kcore(ed, k=2, iters=3)
+
     def kg_degrees(sf_dir):
         # graph-analytics surface over the built graph: per-vertex in/out
         # degree from the deduped edge table (distributed preagg counts;
@@ -646,6 +657,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = agg.to_pandas().sort_values(["n", "token"],
                                          ascending=[False, True]).head(20)
         return df.reset_index(drop=True)
+
+    def docs_inverted_index(sf_dir):
+        # search-index build: distinct (doc, token) explode → ONE
+        # token-bucketed shuffle; df counted vectorized, out-of-band
+        # tokens dropped BEFORE the bounded (≤100-entry) posting joins
+        from raygraph.ops.text import inverted_index
+
+        return inverted_index(_docs_ds(sf_dir), df_min=2, df_max=400)
 
     def text_cms_counts(sf_dir):
         # Count-Min sketch heavy-hitter estimates next to exact counts:
@@ -1527,6 +1546,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.sessionize(ev, gap_sec=1800)
 
+    def events_rolling_1h(sf_dir):
+        # RANGE window function (rolling 1-hour per-user count + sum,
+        # peers-inclusive SQL frame semantics) — hash-bucketed, one
+        # mergesort + searchsorted prefix-sum diff per bucket; exact
+        # int64 fixed-point sums so the window oracle matches bitwise
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts", "value"])
+        return E.rolling_window(ev, window_us=3_600_000_000)
+
     def events_asof_join(sf_dir):
         # each event picks the latest prior "mark" (events landing on a
         # 10-second epoch boundary, deduped per (user, ts)) of the same
@@ -2028,6 +2056,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
+        "kg_kcore": kg_kcore,
+        "events_rolling_1h": events_rolling_1h,
+        "docs_inverted_index": docs_inverted_index,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
@@ -2222,6 +2253,30 @@ def _bfs_sql(edges_sql: str, iters: int) -> str:
             f"FROM arcs a JOIN d{i} d ON a.u = d.x GROUP BY a.v)")
     parts.append(f" SELECT x AS vertex, dist FROM d{iters} "
                  f"WHERE dist < {inf}")
+    return "".join(parts)
+
+
+def _kcore_sql(edges_sql: str, k: int, iters: int) -> str:
+    """Machine-unrolled k-core peel: per round the arc set is restricted
+    to live endpoints (two joins), degrees counted, sub-k vertices
+    dropped — mirroring raygraph.ops.graph.kcore term for term."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", arcs AS (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr) "
+        "WHERE u <> v)",
+        ", a0 AS (SELECT DISTINCT u AS x FROM arcs)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", d{i} AS (SELECT a.u AS x, count(*)::BIGINT AS deg "
+            f"FROM arcs a JOIN a{i} l ON a.u = l.x "
+            f"JOIN a{i} r ON a.v = r.x GROUP BY a.u)",
+            f", a{i + 1} AS (SELECT x FROM d{i} WHERE deg >= {k})",
+        ]
+    parts.append(f" SELECT x AS vertex, deg FROM d{iters - 1} "
+                 f"WHERE deg >= {k}")
     return "".join(parts)
 
 
@@ -2448,6 +2503,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
+        "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
+        "events_rolling_1h": """
+            SELECT event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_win,
+                   CAST(sum(CAST(round(value * 10000, 0) AS BIGINT))
+                        OVER w AS BIGINT) AS sum_win_e4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "docs_inverted_index": _TOKS_CTE + """
+            , pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS token
+                        FROM t)
+            , dfreq AS (SELECT token, count(*)::BIGINT AS n_docs
+                        FROM pairs GROUP BY token)
+            SELECT p.token, d.n_docs,
+                   string_agg(p.doc_id::VARCHAR, ','
+                              ORDER BY p.doc_id) AS postings
+            FROM pairs p JOIN dfreq d ON p.token = d.token
+            WHERE d.n_docs BETWEEN 2 AND 400
+            GROUP BY p.token, d.n_docs
+        """,
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
         "docs_rollup": """
             SELECT lang, source, count(*)::BIGINT AS n_docs

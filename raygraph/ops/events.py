@@ -226,6 +226,60 @@ def running_sum(
                           num_buckets=num_buckets)
 
 
+def rolling_window(
+    ds,
+    window_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 10_000,
+    num_buckets: int = 128,
+):
+    """Per-key rolling time-window aggregate — the RANGE window function
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW)`` (and the matching COUNT) as a
+    distributed stage. Frame = all rows of the key with ts in
+    [t - window, t] inclusive, matching SQL RANGE peer semantics (equal
+    timestamps are all in frame regardless of tie order).
+
+    Hash-bucketed like :func:`running_sum`: per bucket ONE mergesort,
+    then per key two ``np.searchsorted`` calls against the key's sorted
+    timestamp slice + a prefix-sum difference — O(rows log rows) per
+    bucket, no per-row Python. Values are fixed-point int64
+    (``round(v * scale)``), so window sums are order-independent exact
+    integers and the SQL oracle matches bit-for-bit.
+    """
+    from .relational import hash_aggregate
+
+    def bucket_roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort",
+                            ignore_index=True)
+        v = np.round(df[val_col].to_numpy() * scale).astype("int64")
+        ts = df[ts_col].astype("int64").to_numpy()
+        keys = df[key_col].to_numpy()
+        n = len(df)
+        out_n = np.empty(n, dtype="int64")
+        out_s = np.empty(n, dtype="int64")
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], n]
+        for a, b in zip(starts, ends):          # one numpy op set per KEY
+            t = ts[a:b]
+            cs = np.concatenate(([0], np.cumsum(v[a:b])))
+            lo = np.searchsorted(t, t - window_us, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out_n[a:b] = hi - lo
+            out_s[a:b] = cs[hi] - cs[lo]
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_win": out_n,
+            "sum_win_e4": out_s,
+        })
+
+    return hash_aggregate(ds, [key_col], bucket_roll,
+                          num_buckets=num_buckets)
+
+
 def event_gaps(
     ds,
     key_col: str = "user_id",

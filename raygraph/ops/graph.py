@@ -553,3 +553,71 @@ def bfs_distance(edges, source: str, iters: int = 3,
         return batch.filter(keep)
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore(edges, k: int = 2, iters: int = 3,
+          src: str = "_from", dst: str = "_to"):
+    """k-core peel over the undirected simple graph: ``iters`` fixed
+    synchronous rounds of "drop every vertex whose degree within the
+    surviving subgraph is < k" — the true k-core once the peel
+    converges (fixed rounds keep the spec exact and SQL-unrollable
+    either way). Returns survivors of the last round with their
+    last-round degree.
+
+    Per round the arc set is restricted to live endpoints by TWO
+    left-semi shuffle joins against the vertex-sized alive set, then a
+    vectorized partial-count degree aggregate; arcs are only ever
+    hash-partitioned, never broadcast or collected, and the alive set
+    stays a Dataset throughout.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_extreme, preagg_sum, shuffle_join)
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch.column(src).combine_chunks().cast(pa.string())
+        v = batch.column(dst).combine_chunks().cast(pa.string())
+        t = pa.table({"u": pa.concat_arrays([u, v]),
+                      "v": pa.concat_arrays([v, u])})
+        return t.filter(pc.invert(pc.equal(t.column("u"), t.column("v"))))
+
+    # symmetrize → distinct (a→b and b→a collapse to one undirected arc
+    # in each direction slot), self-loops dropped before the shuffle
+    arcs = _repaired(
+        hash_aggregate(pairs.map_batches(sym, batch_format="pyarrow"),
+                       ["u", "v"], lambda df: df.drop_duplicates()),
+        arc_schema)
+
+    alive = _repaired(
+        preagg_extreme(arcs.select_columns(["u"]), ["u"], "u",
+                       how="min", out="m"),
+        pa.schema([("u", pa.string()), ("m", pa.string())]),
+    ).select_columns(["u"]).rename_columns({"u": "x"})
+
+    deg_schema = pa.schema([("u", pa.string()), ("deg", pa.int64())])
+    deg = None
+    for _ in range(iters):
+        a1 = _repaired(shuffle_join(arcs, alive, on="u", right_on="x",
+                                    how="left_semi",
+                                    num_partitions=nparts), arc_schema)
+        a2 = _repaired(shuffle_join(a1, alive, on="v", right_on="x",
+                                    how="left_semi",
+                                    num_partitions=nparts), arc_schema)
+        deg = _repaired(
+            preagg_sum(a2.select_columns(["u"]), ["u"], {}, counts="deg"),
+            deg_schema)
+
+        def survivors(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(batch.column("deg"), pa.scalar(k)))
+
+        deg = _repaired(
+            deg.map_batches(survivors, batch_format="pyarrow"), deg_schema)
+        alive = deg.select_columns(["u"]).rename_columns({"u": "x"})
+
+    return deg.rename_columns({"u": "vertex"})

@@ -496,3 +496,53 @@ def chunk_documents(ds, chunk_tokens: int = 64, text_col: str = "text",
             preserve_index=False)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def inverted_index(ds, df_min: int = 2, df_max: int = 100,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 64):
+    """Search-index build: posting list (sorted doc-id CSV) + document
+    frequency per token, restricted to the [df_min, df_max] df band —
+    the standard inverted-index shape with stopword-grade tokens (df >
+    df_max) and hapaxes (df < df_min) excluded, which also bounds every
+    posting string to df_max entries.
+
+    Two stages: a vectorized per-batch explode to DISTINCT (doc, token)
+    pairs (each doc lives in exactly one row, so per-batch distinct is
+    globally distinct), then ONE token-bucketed shuffle where each
+    bucket counts df vectorized, drops out-of-band tokens FIRST, and
+    only then pays the per-token ``",".join`` (≤ df_max items each) for
+    the survivors. Scale unit = distinct in-band tokens per bucket.
+    """
+    from .relational import hash_aggregate
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas()
+        ex = s.str.strip().str.lower().str.split().explode().dropna()
+        df = pd.DataFrame({
+            id_col: ids.loc[ex.index].to_numpy(),
+            "token": ex.to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_postings(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["token"].value_counts()
+        keep = cnt[(cnt >= df_min) & (cnt <= df_max)]
+        df = df[df["token"].isin(keep.index)]
+        if not len(df):
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype=object)})
+        df = df.sort_values(["token", id_col], kind="mergesort")
+        post = df.assign(s=df[id_col].astype(str)) \
+            .groupby("token", sort=False)["s"].agg(",".join)
+        return pd.DataFrame({
+            "token": post.index.to_numpy(),
+            "n_docs": keep.loc[post.index].astype("int64").to_numpy(),
+            "postings": post.to_numpy(),
+        })
+
+    return hash_aggregate(ds.map_batches(pairs, batch_format="pyarrow"),
+                          ["token"], bucket_postings,
+                          num_buckets=num_buckets)

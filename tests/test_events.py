@@ -191,3 +191,32 @@ def test_retention_cohorts(ray_session):
     w1 = (pd.Timestamp("2026-01-01").value // 10**9) // 86400 // 7
     w2 = (pd.Timestamp("2026-01-09").value // 10**9) // 86400 // 7
     assert out == {(w1, w1): 1, (w1, w2): 1, (w2, w2): 1}
+
+
+def test_rolling_window_range_frame(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import rolling_window
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: events at +0, +30, +60, +90 min; user 2: two PEER rows at
+    # the same ts (SQL RANGE frame includes both for both rows)
+    df = pa.table({
+        "event_id": [1, 2, 3, 4, 10, 11],
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": pa.array([base, base + dt.timedelta(minutes=30),
+                        base + dt.timedelta(minutes=60),
+                        base + dt.timedelta(minutes=90),
+                        base, base],
+                       pa.timestamp("us")),
+        "value": [1.0, 2.0, 4.0, 8.0, 5.0, 7.0],
+    })
+    out = rolling_window(rd.from_arrow(df).repartition(3),
+                         window_us=3_600_000_000).to_pandas()
+    got = {r.event_id: (r.n_win, r.sum_win_e4)
+           for r in out.itertuples(index=False)}
+    assert got[1] == (1, 10_000)
+    assert got[2] == (2, 30_000)           # +0 and +30 in frame
+    assert got[3] == (3, 70_000)           # +0 (exactly 1h back) included
+    assert got[4] == (3, 140_000)          # +0 aged out; +30,+60,+90
+    assert got[10] == (2, 120_000) and got[11] == (2, 120_000)  # peers

@@ -382,3 +382,26 @@ def test_cogroup_join_matches_shuffle_join(ray_session):
         w = sorted(shuffle_join(left, right, on="k", right_on="rk",
                                 how=how).to_pandas()["k"])
         assert g == w
+
+
+def test_kcore_peels_tail(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import kcore
+
+    # triangle a-b-c (the 2-core) with a pendant chain c-d-e that peels
+    # over two rounds; parallel/self edges must not inflate degrees
+    edges = pa.table({
+        "_from": ["a", "b", "c", "c", "d", "a", "a"],
+        "pred":  ["p"] * 7,
+        "_to":   ["b", "c", "a", "d", "e", "b", "a"],
+    })
+    out = kcore(rd.from_arrow(edges).repartition(3), k=2,
+                iters=3).to_pandas()
+    got = dict(zip(out.vertex, out.deg))
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+    # one round only: e (deg 1) peels, d survives round 1 with deg 2
+    out1 = kcore(rd.from_arrow(edges), k=2, iters=1).to_pandas()
+    assert dict(zip(out1.vertex, out1.deg)) == {
+        "a": 2, "b": 2, "c": 3, "d": 2}

@@ -176,3 +176,28 @@ def test_extract_matches(ray_session):
                           EMAIL_PATTERN, out="email")
     got = sorted((r["doc_id"], r["email"]) for r in out.take_all())
     assert got == [(1, "a@b.co"), (1, "c@d.org"), (3, "x@y.net")]
+
+
+def test_inverted_index_band_and_postings(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.text import inverted_index
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple banana", "Apple cherry", "apple cherry date",
+                 "  BANANA  "],
+    })
+    out = inverted_index(rd.from_arrow(docs).repartition(2),
+                         df_min=2, df_max=3).to_pandas()
+    got = {r.token: (r.n_docs, r.postings)
+           for r in out.itertuples(index=False)}
+    # apple df=3 (case-folded), banana df=2 (trim), cherry df=2;
+    # date is a hapax (df=1) -> excluded by the band
+    assert got == {"apple": (3, "1,2,3"), "banana": (2, "1,4"),
+                   "cherry": (2, "2,3")}
+
+    # df_max excludes stopword-grade tokens
+    out2 = inverted_index(rd.from_arrow(docs), df_min=2,
+                          df_max=2).to_pandas()
+    assert set(out2.token) == {"banana", "cherry"}
