@@ -339,6 +339,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted token multiset (simhash is a deterministic function of it)
         return D.simhash_dedup_groups(_doubled_docs(sf_dir))
 
+    def dedup_edit_pairs(sf_dir):
+        # banded edit-distance similarity join over a corpus where every
+        # doc gets a tail-edited copy (last char → '~'): prefix-block
+        # candidates + O(window·k) banded-DP verify, capped per block —
+        # the oracle re-runs the same blocking with DuckDB levenshtein()
+        def edit(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            s = batch.column("text").to_pandas().fillna("")
+            return pa.table({
+                "doc_id": pc.add(batch.column("doc_id"), _OFFSET),
+                "text": pa.array(s.str.slice(0, -1) + "~", pa.string()),
+            })
+
+        ds = _docs_ds(sf_dir)
+        aug = ds.union(_docs_ds(sf_dir).map_batches(
+            edit, batch_format="pyarrow"))
+        return D.edit_distance_pairs(aug, max_dist=2, prefix=16, window=64)
+
     def dedup_embedding_pairs(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["vec_id", "embedding"])
@@ -2059,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
+        "dedup_edit_pairs": dedup_edit_pairs,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
@@ -2513,6 +2533,25 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                          AND CURRENT ROW)
+        """,
+        "dedup_edit_pairs": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET},
+                     CASE WHEN len(text) > 0
+                          THEN substr(text, 1, len(text) - 1) || '~'
+                          ELSE '~' END
+              FROM documents
+            ),
+            b AS (SELECT doc_id,
+                         substr(text, 1, 16) AS pk,
+                         right(text, 64) AS tail
+                  FROM aug)
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   levenshtein(x.tail, y.tail)::BIGINT AS dist
+            FROM b x JOIN b y ON x.pk = y.pk AND x.doc_id < y.doc_id
+            WHERE levenshtein(x.tail, y.tail) <= 2
         """,
         "docs_inverted_index": _TOKS_CTE + """
             , pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS token

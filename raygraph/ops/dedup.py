@@ -757,3 +757,86 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def _lev_banded(a: np.ndarray, b: np.ndarray, k: int) -> int:
+    """Levenshtein distance of two uint8 code arrays, exact up to ``k``
+    (returns k+1 when the true distance exceeds it). Row DP with the
+    insert chain folded by a running-min scan, so every row is O(len)
+    numpy — no per-cell Python."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(1, la + 1):
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]))
+        cur = np.minimum.accumulate(cur - idx) + idx
+        if cur.min() > k:
+            return k + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distance_pairs(ds, max_dist: int = 2, prefix: int = 16,
+                        window: int = 64, id_col: str = "doc_id",
+                        text_col: str = "text", num_buckets: int = 64):
+    """Banded edit-distance similarity join: pairs of docs whose texts
+    share a ``prefix``-char block AND whose last-``window``-char tails
+    are within ``max_dist`` Levenshtein edits (the standard
+    prefix-blocking + bounded-verify shape for tail-edit near-dups;
+    edits inside the first ``prefix`` chars place the copies in
+    different blocks and are out of contract, as is any pair differing
+    only beyond the tail window).
+
+    One vectorized projection pass, then ONE prefix-block-bucketed
+    shuffle; inside a bucket only blocks with ≥2 members generate
+    pairs (vectorized count filter first), capped at
+    ``BUCKET_PAIR_CAP`` ids per block with the same logged-drop
+    discipline as the LSH pair generators. Verify cost is O(window ·
+    max_dist) numpy per candidate pair.
+    """
+    from .relational import hash_aggregate
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pk": pa.array(s.str.slice(0, prefix), pa.string()),
+            "tail": pa.array(s.str.slice(-window), pa.string()),
+        })
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["pk"].value_counts()
+        df = df[df["pk"].isin(cnt[cnt >= 2].index)]
+        out_a, out_b, out_d = [], [], []
+        if len(df):
+            df = df.sort_values(["pk", id_col], kind="mergesort",
+                                ignore_index=True)
+            pk = df["pk"].to_numpy()
+            ids = df[id_col].to_numpy()
+            tails = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                     for t in df["tail"]]
+            starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+            ends = np.r_[starts[1:], len(df)]
+            for a, b in zip(starts, ends):
+                hi = min(b, a + BUCKET_PAIR_CAP)   # logged-drop cap
+                for i in range(a, hi):
+                    for j in range(i + 1, hi):
+                        d = _lev_banded(tails[i], tails[j], max_dist)
+                        if d <= max_dist:
+                            out_a.append(ids[i])
+                            out_b.append(ids[j])
+                            out_d.append(d)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype="int64"),
+            "id_b": pd.Series(out_b, dtype="int64"),
+            "dist": pd.Series(out_d, dtype="int64"),
+        })
+
+    return hash_aggregate(ds.map_batches(project, batch_format="pyarrow"),
+                          ["pk"], bucket_pairs, num_buckets=num_buckets)

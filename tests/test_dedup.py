@@ -196,3 +196,44 @@ def test_near_dup_clusters_no_pairs(ray_session):
     out = near_dup_clusters(rd.from_pandas(df), threshold=0.95)
     got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
     assert got == {5: 5, 6: 6}
+
+
+def test_lev_banded_exact_and_cutoff():
+    import numpy as np
+
+    from raygraph.ops.dedup import _lev_banded
+
+    def enc(s):
+        return np.frombuffer(s.encode(), dtype=np.uint8)
+
+    assert _lev_banded(enc("kitten"), enc("sitting"), 3) == 3
+    assert _lev_banded(enc("abc"), enc("abc"), 2) == 0
+    assert _lev_banded(enc("abc"), enc("abd"), 2) == 1
+    assert _lev_banded(enc(""), enc("ab"), 2) == 2
+    # beyond the band: k+1 sentinel, never an undercount
+    assert _lev_banded(enc("kitten"), enc("sitting"), 2) == 3
+    assert _lev_banded(enc("aaaa"), enc("aaaaaaaa"), 2) == 3  # len shortcut
+
+
+def test_edit_distance_pairs_blocking(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import edit_distance_pairs
+
+    base = "the common sixteen!! tail that follows here"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            base,
+            base[:-1] + "~",            # 1 edit, same prefix block
+            base[:-2] + "XY",           # 2 edits, same prefix block
+            "different prefix " + base,  # other block: never a candidate
+            base + " plus a wholly different long tail suffix",  # far
+        ],
+    })
+    out = edit_distance_pairs(rd.from_pandas(docs).repartition(3),
+                              max_dist=2, prefix=16,
+                              window=64).to_pandas()
+    got = {(r.id_a, r.id_b): r.dist for r in out.itertuples(index=False)}
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 2}
