@@ -685,6 +685,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return inverted_index(_docs_ds(sf_dir), df_min=2, df_max=400)
 
+    def docs_search_all(sf_dir):
+        # conjunctive boolean search composing the index family: the
+        # 2 highest-df tokens (vocab-sized aggregate → driver, ties →
+        # token asc) become the broadcast query; matching is one
+        # shuffle-free vectorized pass
+        from raygraph.ops.text import search_all_tokens
+
+        def tok_pairs(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            ids = batch.column("doc_id").to_pandas()
+            ex = s.str.strip().str.lower().str.split().explode().dropna()
+            df = pd.DataFrame({
+                "doc_id": ids.loc[ex.index].to_numpy(),
+                "token": ex.to_numpy(),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df[["token"]], preserve_index=False)
+
+        dfreq = preagg_sum(
+            _docs_ds(sf_dir).map_batches(tok_pairs, batch_format="pyarrow"),
+            ["token"], {}, counts="n").to_pandas()
+        q = dfreq.sort_values(["n", "token"], ascending=[False, True]) \
+            .head(2)["token"].tolist()
+        return search_all_tokens(_docs_ds(sf_dir), q)
+
+    def orders_zorder_tiles(sf_dir):
+        # multi-column data-layout key: Morton-interleave (custkey,
+        # order day) and count rows per 2^16-key tile — the clustering
+        # histogram a layout optimizer would write files by; pure
+        # per-batch bit math + one tile-sized aggregate
+        import pyarrow.compute as pc
+
+        from raygraph.ops.relational import zorder_key
+
+        od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderdate"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            us = pc.cast(batch.column("o_orderdate"), pa.int64())
+            return pa.table({
+                "x": batch.column("o_custkey"),
+                "y": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            })
+
+        z = zorder_key(od.map_batches(prep, batch_format="pyarrow"),
+                       "x", "y")
+
+        def tile(batch: pa.Table) -> pa.Table:
+            return pa.table({"tile": pc.shift_right(
+                batch.column("zkey"), pa.scalar(16, pa.int64()))})
+
+        return preagg_sum(z.map_batches(tile, batch_format="pyarrow"),
+                          ["tile"], {}, counts="n_orders")
+
     def text_cms_counts(sf_dir):
         # Count-Min sketch heavy-hitter estimates next to exact counts:
         # the sketch is ≤ 3×512 integer cells no matter the corpus (the
@@ -2079,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
+        "docs_search_all": docs_search_all,
+        "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
         "export_vertex_missing_field": export_vertex_missing_field,
@@ -2274,6 +2329,16 @@ def _bfs_sql(edges_sql: str, iters: int) -> str:
     parts.append(f" SELECT x AS vertex, dist FROM d{iters} "
                  f"WHERE dist < {inf}")
     return "".join(parts)
+
+
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    """Bit-interleave expression mirroring
+    raygraph.ops.relational.zorder_key: bit i of x → 2i, of y → 2i+1."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({ycol}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
 
 
 def _kcore_sql(edges_sql: str, k: int, iters: int) -> str:
@@ -2552,6 +2617,27 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(x.tail, y.tail)::BIGINT AS dist
             FROM b x JOIN b y ON x.pk = y.pk AND x.doc_id < y.doc_id
             WHERE levenshtein(x.tail, y.tail) <= 2
+        """,
+        "docs_search_all": _TOKS_CTE + """
+            , pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS token
+                        FROM t)
+            , dfreq AS (SELECT token, count(*) AS n FROM pairs
+                        GROUP BY token)
+            , q AS (SELECT token FROM dfreq ORDER BY n DESC, token
+                    LIMIT 2)
+            SELECT doc_id FROM pairs
+            WHERE token IN (SELECT token FROM q)
+            GROUP BY doc_id HAVING count(*) = 2
+        """,
+        "orders_zorder_tiles": f"""
+            WITH pts AS (
+              SELECT (o_custkey & 65535) AS x,
+                     ((epoch_us(o_orderdate) // 86400000000) & 65535) AS y
+              FROM orders
+            ),
+            z AS (SELECT ({_zorder_sql_expr('x', 'y')}) AS zkey FROM pts)
+            SELECT zkey // 65536 AS tile, count(*)::BIGINT AS n_orders
+            FROM z GROUP BY tile
         """,
         "docs_inverted_index": _TOKS_CTE + """
             , pairs AS (SELECT DISTINCT doc_id, unnest(toks) AS token

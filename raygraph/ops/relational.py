@@ -1026,3 +1026,36 @@ def table_checksum(ds, cols: Sequence[str], out: str = "checksum"):
 
     return tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
                           combine)
+
+
+def _part1by1_16(x):
+    """Spread the low 16 bits of each uint64 so bit i lands at 2i
+    (standard Morton magic-number spread, fully vectorized)."""
+    import numpy as np
+
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def zorder_key(ds, col_a: str, col_b: str, out: str = "zkey"):
+    """Append a Morton / Z-order clustering key interleaving the low 16
+    bits of two non-negative int columns — the standard multi-column
+    data-layout key: sorting (or range-partitioning) by it co-locates
+    rows close in BOTH dimensions, so downstream range scans on either
+    column prune most files. Pure per-batch numpy bit math, no shuffle;
+    compose with ``range_partition``/``ds.sort`` for the actual layout
+    step. Bit i of ``col_a`` lands at 2i, of ``col_b`` at 2i+1."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).to_numpy(zero_copy_only=False)
+        b = batch.column(col_b).to_numpy(zero_copy_only=False)
+        z = _part1by1_16(a) | (_part1by1_16(b) << np.uint64(1))
+        return batch.append_column(out, pa.array(z.astype("int64")))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

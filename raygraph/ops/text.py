@@ -546,3 +546,30 @@ def inverted_index(ds, df_min: int = 2, df_max: int = 100,
     return hash_aggregate(ds.map_batches(pairs, batch_format="pyarrow"),
                           ["token"], bucket_postings,
                           num_buckets=num_buckets)
+
+
+def search_all_tokens(ds, query_tokens, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Conjunctive boolean search: ids of docs whose (case-folded,
+    whitespace) token set contains EVERY query token. The query set is
+    closure-broadcast (Q is tiny); per batch one vectorized explode →
+    ``isin`` filter → distinct → per-doc count == Q. Each doc lives in
+    one row, so per-batch evaluation is exact and the output streams
+    with no shuffle at all."""
+    q = frozenset(query_tokens)
+    nq = len(q)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas()
+        ex = s.str.strip().str.lower().str.split().explode().dropna()
+        ex = ex[ex.isin(q)]
+        df = pd.DataFrame({id_col: ids.loc[ex.index].to_numpy(),
+                           "token": ex.to_numpy()}).drop_duplicates()
+        hit = df.groupby(id_col, sort=False).size()
+        keep = hit[hit == nq].index.to_numpy()
+        keep.sort()
+        return pa.table({id_col: pa.array(
+            keep, batch.schema.field(id_col).type)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -405,3 +405,18 @@ def test_kcore_peels_tail(ray_session):
     out1 = kcore(rd.from_arrow(edges), k=2, iters=1).to_pandas()
     assert dict(zip(out1.vertex, out1.deg)) == {
         "a": 2, "b": 2, "c": 3, "d": 2}
+
+
+def test_zorder_key_interleave(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import zorder_key
+
+    t = pa.table({"x": [0xFFFF, 0, 3, 0x1_0005],   # 0x1_0005: high bits masked
+                  "y": [0, 0xFFFF, 1, 0]})
+    out = zorder_key(rd.from_arrow(t), "x", "y").to_pandas()
+    assert out.zkey.tolist() == [0x55555555, 0xAAAAAAAA, 7, 0x11]
+    # locality: neighbors in both dims give nearby keys within a tile
+    t2 = pa.table({"x": [100, 101], "y": [200, 200]})
+    z2 = zorder_key(rd.from_arrow(t2), "x", "y").to_pandas().zkey
+    assert (z2 // 65536).nunique() == 1

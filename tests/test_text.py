@@ -201,3 +201,21 @@ def test_inverted_index_band_and_postings(ray_session):
     out2 = inverted_index(rd.from_arrow(docs), df_min=2,
                           df_max=2).to_pandas()
     assert set(out2.token) == {"banana", "cherry"}
+
+
+def test_search_all_tokens_conjunctive(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.text import search_all_tokens
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["Apple banana cherry", "apple cherry", "banana apple",
+                 "apple apple apple"],
+    })
+    out = search_all_tokens(rd.from_arrow(docs).repartition(2),
+                            ["apple", "banana"]).to_pandas()
+    assert sorted(out.doc_id) == [1, 3]        # case-folded AND semantics
+
+    out1 = search_all_tokens(rd.from_arrow(docs), ["apple"]).to_pandas()
+    assert sorted(out1.doc_id) == [1, 2, 3, 4]
