@@ -448,6 +448,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_documents(_corpus_dir(sf_dir)).map_batches(
             span_stats, batch_format="pyarrow")
 
+    def corpus_pack_interleaved(sf_dir):
+        # multimodal sequence packing: per-doc training cost off the
+        # interleaved spans column (text spans = whitespace tokens,
+        # media spans = fixed 64-patch budget, zero-copy reduceat),
+        # then the two-phase distributed scan assigns each doc the
+        # 512-token window its first token falls in — nothing but
+        # n_tiles scalars on the driver
+        import pyarrow.compute as pc
+
+        from raygraph.io import read_documents
+        from raygraph.ops.relational import ordered_prefix_sum
+        from raygraph.ops.spans import interleaved_costs
+
+        costs = read_documents(_corpus_dir(sf_dir)).map_batches(
+            interleaved_costs, batch_format="pyarrow")
+        scanned = ordered_prefix_sum(costs, "i", "cost", n_tiles=8,
+                                     out="__off")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "cost": batch.column("cost"),
+                "window_id": pc.divide(batch.column("__off"),
+                                       pa.scalar(512, pa.int64())),
+            })
+
+        return scanned.map_batches(finish, batch_format="pyarrow")
+
     def corpus_render_interleaved(sf_dir):
         # interleaved SEQUENCE BUILDING: each multimodal doc becomes one
         # training string (text spans verbatim, media spans as
@@ -2155,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": docs_pii_scrub,
         "corpus_span_stats": corpus_span_stats,
         "corpus_render_interleaved": corpus_render_interleaved,
+        "corpus_pack_interleaved": corpus_pack_interleaved,
         "docs_contamination": docs_contamination,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
@@ -2530,6 +2559,24 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "corpus_render_interleaved": render_sql,
+        "corpus_pack_interleaved": kg_base + f"""
+            , costs AS (
+              SELECT i,
+                     len(regexp_split_to_array({surf('i', 'a')}
+                         || ' is connected to ' || {surf('i + 3', 'b')}
+                         || '.', '\\s+'))::BIGINT
+                     + 64
+                     + CASE WHEN i % 7 = 3
+                            THEN len(regexp_split_to_array({surf('i', 'a')}
+                                 || ' is a node.', '\\s+'))::BIGINT
+                            ELSE 0 END AS cost
+              FROM e)
+            SELECT 'doc/' || i AS doc_id, cost,
+                   CAST(coalesce(sum(cost) OVER (ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) // 512 AS window_id
+            FROM costs
+        """,
         "kg_edges": kg_edges_sql,
         "kg_degrees": f"""
             WITH edges AS ({kg_edges_sql}),

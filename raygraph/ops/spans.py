@@ -149,3 +149,39 @@ def render_interleaved(batch: pa.Table, sep: str = " ") -> pa.Table:
             "n_spans": pc.list_value_length(spans).cast(pa.int64()),
         }
     )
+
+
+PATCH_TOKENS = 64  # training-token cost of one media span (patch budget)
+
+
+def interleaved_costs(batch: pa.Table,
+                      patch_tokens: int = PATCH_TOKENS) -> pa.Table:
+    """Per-document multimodal training-token cost straight off the
+    interleaved list<struct> spans column: text spans cost their
+    whitespace token count, media spans cost the fixed ``patch_tokens``
+    patch budget (captions ride along free — the tokenizer sees the
+    sentinel, not the caption). Zero-copy list offsets + one vectorized
+    split-count + ``np.add.reduceat``; also emits the numeric doc index
+    ``i`` (parsed from ``doc/<i>``) as the packing order key."""
+    spans = batch.column("spans").combine_chunks()
+    n = pc.list_value_length(spans).to_numpy(zero_copy_only=False) \
+        .astype("int64")
+    flat = spans.flatten()
+    is_media = pc.equal(flat.field("kind"), "media") \
+        .to_numpy(zero_copy_only=False)
+    tok = flat.field("text").to_pandas().fillna("").str.split().str.len() \
+        .astype("int64").to_numpy()
+    cost_flat = np.where(is_media, np.int64(patch_tokens), tok)
+    starts = np.zeros(len(n), dtype="int64")
+    np.cumsum(n[:-1], out=starts[1:])
+    cost = np.zeros(len(n), dtype="int64")
+    nz = n > 0
+    if nz.any():
+        cost[nz] = np.add.reduceat(cost_flat, starts[nz])
+    ids = batch.column("doc_id")
+    i = pc.cast(pc.utf8_slice_codeunits(ids, 4, 2**30), pa.int64())
+    return pa.table({
+        "doc_id": ids,
+        "i": i,
+        "cost": pa.array(cost, pa.int64()),
+    })

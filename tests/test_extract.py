@@ -156,3 +156,26 @@ def test_render_interleaved_sentinels():
     out = render_interleaved(t).to_pandas()
     assert out["rendered"].tolist() == ["hello world <m/1.png> bye", ""]
     assert out["n_spans"].tolist() == [3, 0]
+
+
+def test_interleaved_costs_zero_copy_accounting(ray_session):
+    from raygraph.ops.spans import PATCH_TOKENS, interleaved_costs
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    rows = [
+        [("text", "three token span", "", 0),
+         ("media", "caption ignored entirely", "media/x.png", 1)],
+        [("text", "one", "", 0)],
+        [],
+    ]
+    spans = pa.array(
+        [[{"kind": k, "text": t, "media_ref": r, "offset": o}
+          for k, t, r, o in row] for row in rows],
+        pa.list_(span_t))
+    batch = pa.table({"doc_id": ["doc/7", "doc/12", "doc/0"],
+                      "spans": spans})
+    out = interleaved_costs(batch).to_pandas()
+    assert out.i.tolist() == [7, 12, 0]
+    # media cost = patch budget, caption text never tokenized
+    assert out.cost.tolist() == [3 + PATCH_TOKENS, 1, 0]
