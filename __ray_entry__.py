@@ -1646,6 +1646,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.sessionize(ev, gap_sec=1800)
 
+    def events_type_overlap(sf_dir):
+        # cohort-overlap matrix: exact distinct users per unordered
+        # event-type pair — one user-bucketed shuffle (a user's type set
+        # self-merges in its bucket) + a |types|²-sized final aggregate
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        return E.type_overlap(ev)
+
     def events_rolling_1h(sf_dir):
         # RANGE window function (rolling 1-hour per-user count + sum,
         # peers-inclusive SQL frame semantics) — hash-bucketed, one
@@ -2161,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
         "docs_search_all": docs_search_all,
+        "events_type_overlap": events_type_overlap,
         "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
@@ -2636,6 +2645,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
+        "events_type_overlap": """
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_users
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
         "events_rolling_1h": """
             SELECT event_id,
                    CAST(count(*) OVER w AS BIGINT) AS n_win,

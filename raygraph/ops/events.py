@@ -458,3 +458,40 @@ def retention_cohorts(ds, key_col: str = "user_id", ts_col: str = "ts",
         [key_col], bucket_pairs, num_buckets=num_buckets)
     return preagg_sum(partials, ["cohort_week", "week"],
                       {"n_users": "n_users"})
+
+
+def type_overlap(ds, key_col: str = "user_id",
+                 type_col: str = "event_type", num_buckets: int = 64):
+    """Cohort-overlap matrix: for every unordered pair of event types,
+    the EXACT count of distinct users who did both — the set-intersection
+    cardinality grid behind "users who did A and B" analytics.
+
+    Per-batch distinct (type, user) projection, then ONE user-bucketed
+    shuffle: a user's full type set lands in one bucket, so a vectorized
+    self-merge per bucket emits its type pairs exactly once; per-bucket
+    partial counts meet in a tiny (|types|²-sized) final aggregate. Join
+    fan-out per user is |types-per-user|², bounded by the type-space
+    cardinality — never by user count.
+    """
+    from .relational import hash_aggregate, preagg_sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[key_col, type_col]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on=key_col)
+        m = m[m[type_col + "_x"] < m[type_col + "_y"]]
+        g = m.groupby([type_col + "_x", type_col + "_y"],
+                      as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return g.rename(columns={type_col + "_x": "type_a",
+                                 type_col + "_y": "type_b",
+                                 "size": "n_users"})
+
+    partials = hash_aggregate(
+        ds.map_batches(project, batch_format="pyarrow"),
+        [key_col], bucket_pairs, num_buckets=num_buckets)
+    return preagg_sum(partials, ["type_a", "type_b"],
+                      {"n_users": "n_users"})

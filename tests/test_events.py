@@ -220,3 +220,19 @@ def test_rolling_window_range_frame(ray_session):
     assert got[3] == (3, 70_000)           # +0 (exactly 1h back) included
     assert got[4] == (3, 140_000)          # +0 aged out; +30,+60,+90
     assert got[10] == (2, 120_000) and got[11] == (2, 120_000)  # peers
+
+
+def test_type_overlap_exact_distinct(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import type_overlap
+
+    ev = pa.table({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+        "event_type": ["a", "b", "b", "a", "c", "a", "b", "c", "a"],
+    })
+    out = type_overlap(rd.from_arrow(ev).repartition(4)).to_pandas()
+    got = {(r.type_a, r.type_b): r.n_users
+           for r in out.itertuples(index=False)}
+    # duplicates within a user count once
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
