@@ -1646,6 +1646,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.sessionize(ev, gap_sec=1800)
 
+    def events_resample_1h(sf_dir):
+        # gap-fill resampling: hourly grid per user with the latest
+        # value carried forward (LOCF) — per-bucket vectorized grid +
+        # searchsorted; ties resolve to the max event_id in both engines
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+        return E.resample_locf(ev, grid_us=3_600_000_000)
+
+    def events_value_outliers(sf_dir):
+        # data-quality screen: rows outside the per-type Tukey band
+        # [p25 − 1.5·IQR, p75 + 1.5·IQR] (exact integer quantiles via
+        # the value-count shuffle; the |types|-sized band table is
+        # closure-broadcast, the detail pass is one vectorized filter)
+        import pyarrow.compute as pc
+
+        from raygraph.ops.relational import grouped_quantiles
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "event_type", "value"])
+
+        def to_e4(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        e4 = ev.map_batches(to_e4, batch_format="pyarrow")
+        q = grouped_quantiles(e4, ["event_type"], "value_e4",
+                              qs=(0.25, 0.75)).to_pandas()
+        iqr = q["p75"] - q["p25"]
+        lo = dict(zip(q["event_type"], q["p25"] - (3 * iqr) // 2))
+        hi = dict(zip(q["event_type"], q["p75"] + (3 * iqr) // 2))
+
+        def flag(batch: pa.Table) -> pa.Table:
+            t = batch.column("event_type").to_pandas()
+            v = batch.column("value_e4").to_numpy(zero_copy_only=False)
+            keep = (v < t.map(lo).to_numpy()) | (v > t.map(hi).to_numpy())
+            return batch.filter(pa.array(keep))
+
+        return e4.map_batches(flag, batch_format="pyarrow")
+
     def events_type_overlap(sf_dir):
         # cohort-overlap matrix: exact distinct users per unordered
         # event-type pair — one user-bucketed shuffle (a user's type set
@@ -2170,6 +2214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_pairs": dedup_edit_pairs,
         "docs_search_all": docs_search_all,
         "events_type_overlap": events_type_overlap,
+        "events_value_outliers": events_value_outliers,
+        "events_resample_1h": events_resample_1h,
         "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
@@ -2645,6 +2691,45 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
+        "events_resample_1h": """
+            WITH ev AS (
+              SELECT user_id, ts,
+                     CAST(round(value * 10000, 0) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events),
+            u AS (SELECT user_id, ts, v FROM ev WHERE rn = 1),
+            span AS (SELECT user_id,
+                            (epoch_us(min(ts)) + 3599999999)
+                                // 3600000000 AS h0,
+                            epoch_us(max(ts)) // 3600000000 AS h1
+                     FROM events GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS grid_h
+                     FROM span WHERE h1 >= h0),
+            pts AS (SELECT user_id, grid_h,
+                           make_timestamp(grid_h * 3600000000) AS gts
+                    FROM grid)
+            SELECT p.user_id, p.grid_h, u.v AS value_e4
+            FROM pts p ASOF JOIN u
+              ON p.user_id = u.user_id AND u.ts <= p.gts
+        """,
+        "events_value_outliers": """
+            WITH ev AS (SELECT event_id, event_type,
+                               CAST(round(value * 10000, 0) AS BIGINT)
+                                   AS value_e4
+                        FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(value_e4, 0.25) AS p25,
+                         quantile_disc(value_e4, 0.75) AS p75
+                  FROM ev GROUP BY event_type),
+            b AS (SELECT event_type,
+                         p25 - (3 * (p75 - p25)) // 2 AS lo,
+                         p75 + (3 * (p75 - p25)) // 2 AS hi
+                  FROM q)
+            SELECT e.event_id, e.event_type, e.value_e4
+            FROM ev e JOIN b ON e.event_type = b.event_type
+            WHERE e.value_e4 < b.lo OR e.value_e4 > b.hi
+        """,
         "events_type_overlap": """
             WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
             SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -495,3 +495,56 @@ def type_overlap(ds, key_col: str = "user_id",
         [key_col], bucket_pairs, num_buckets=num_buckets)
     return preagg_sum(partials, ["type_a", "type_b"],
                       {"n_users": "n_users"})
+
+
+def resample_locf(ds, grid_us: int = 3_600_000_000,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  val_col: str = "value", tie_col: str = "event_id",
+                  scale: int = 10_000, num_buckets: int = 128):
+    """Time-grid resampling with last-observation-carried-forward: for
+    every key, one row per ``grid_us`` grid point inside the key's
+    [min ts, max ts] span, carrying the value of the latest event at or
+    before the grid point (ties on ts resolve to the highest
+    ``tie_col`` — deterministic in SQL too). The gap-fill step between
+    an irregular event log and a fixed-step time series.
+
+    Hash-bucketed like :func:`rolling_window`: per bucket one mergesort,
+    then per key a vectorized ``arange`` grid + one ``searchsorted``
+    lookup — the grid never materializes outside its task. Output size
+    is span/grid_us rows per key; pick ``grid_us`` accordingly.
+    """
+    from .relational import hash_aggregate
+
+    def bucket_fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort",
+                            ignore_index=True)
+        us = (df[ts_col].astype("datetime64[ns]").astype("int64")
+              // 1_000).to_numpy()
+        v = np.round(df[val_col].to_numpy() * scale).astype("int64")
+        keys = df[key_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(df)]
+        out_k, out_h, out_v = [], [], []
+        for a, b in zip(starts, ends):          # one numpy op set per KEY
+            t = us[a:b]
+            h0 = -(-t[0] // grid_us)            # ceil: first point >= min
+            h1 = t[-1] // grid_us
+            if h1 < h0:
+                continue
+            hs = np.arange(h0, h1 + 1, dtype="int64")
+            idx = np.searchsorted(t, hs * grid_us, side="right") - 1
+            out_k.append(np.repeat(keys[a], len(hs)))
+            out_h.append(hs)
+            out_v.append(v[a:b][idx])
+        if not out_k:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "grid_h": pd.Series([], dtype="int64"),
+                                 "value_e4": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            key_col: np.concatenate(out_k),
+            "grid_h": np.concatenate(out_h),
+            "value_e4": np.concatenate(out_v),
+        })
+
+    return hash_aggregate(ds, [key_col], bucket_fill,
+                          num_buckets=num_buckets)

@@ -236,3 +236,31 @@ def test_type_overlap_exact_distinct(ray_session):
            for r in out.itertuples(index=False)}
     # duplicates within a user count once
     assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_resample_locf_grid_and_ties(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import resample_locf
+
+    base = dt.datetime(2024, 1, 1, 0, 30)       # first grid point = 01:00
+    ev = pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": pa.array([base,
+                        base + dt.timedelta(minutes=31),  # 01:01
+                        base + dt.timedelta(minutes=31),  # tie → id 3 wins
+                        base + dt.timedelta(hours=3),     # 03:30
+                        base],
+                       pa.timestamp("us")),
+        "value": [1.0, 2.0, 7.0, 9.0, 5.0],
+    })
+    out = resample_locf(rd.from_arrow(ev).repartition(3),
+                        grid_us=3_600_000_000).to_pandas()
+    got = {(r.user_id, r.grid_h): r.value_e4
+           for r in out.itertuples(index=False)}
+    h = int((base + dt.timedelta(minutes=30)).replace(
+        tzinfo=dt.timezone.utc).timestamp()) // 3600
+    # u1 grid 01:00..03:00 (span ends 03:30): LOCF with tie → id 3
+    assert got == {(1, h): 10_000, (1, h + 1): 70_000, (1, h + 2): 70_000}
+    # u2's single event spans no grid point → no rows (asserted via got)
