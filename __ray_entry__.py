@@ -766,6 +766,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(z.map_batches(tile, batch_format="pyarrow"),
                           ["tile"], {}, counts="n_orders")
 
+    def embedding_pca(sf_dir):
+        # top principal direction: ONE streaming covariance pass (d²-
+        # bound partials per batch) + exact-int64 power iteration over
+        # the aggregate-sized d×d matrix on the driver — the kmeans
+        # determinism contract extended to a spectral primitive
+        from raygraph.ops.cluster import pca_power
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["embedding"])
+        return pca_power(emb, iters=3)
+
     def text_cms_counts(sf_dir):
         # Count-Min sketch heavy-hitter estimates next to exact counts:
         # the sketch is ≤ 3×512 integer cells no matter the corpus (the
@@ -2216,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": events_type_overlap,
         "events_value_outliers": events_value_outliers,
         "events_resample_1h": events_resample_1h,
+        "embedding_pca": embedding_pca,
         "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
@@ -2412,6 +2424,41 @@ def _bfs_sql(edges_sql: str, iters: int) -> str:
             f"FROM arcs a JOIN d{i} d ON a.u = d.x GROUP BY a.v)")
     parts.append(f" SELECT x AS vertex, dist FROM d{iters} "
                  f"WHERE dist < {inf}")
+    return "".join(parts)
+
+
+def _pca_sql(iters: int) -> str:
+    """Machine-unrolled integer PCA power iteration mirroring
+    raygraph.ops.cluster.pca_power term for term: ×10³ trunc
+    quantization, n²-scaled covariance, ceil-div scale-down to ≤2^14
+    (DuckDB ``//`` truncation = the op's explicit trunc-div), then
+    ``iters`` join-based matvec rounds in HUGEINT, cast back at the
+    end."""
+    from raygraph.ops.cluster import PCA_CBITS, PCA_SCALE
+
+    parts = [f"""WITH xe AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(trunc(unnest(embedding)::DOUBLE * {PCA_SCALE})
+                      AS BIGINT) AS x
+          FROM embeddings
+        ),
+        nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        s2 AS (SELECT a.dim AS i, b.dim AS j,
+                      sum(a.x * b.x)::BIGINT AS s
+               FROM xe a JOIN xe b USING (vec_id) GROUP BY 1, 2),
+        mm AS (SELECT dim AS i, sum(x)::BIGINT AS m FROM xe GROUP BY 1),
+        craw AS (SELECT s2.i, s2.j, nn.n * s2.s - ma.m * mb.m AS c
+                 FROM s2 CROSS JOIN nn
+                 JOIN mm ma ON s2.i = ma.i JOIN mm mb ON s2.j = mb.i),
+        kk AS (SELECT greatest(1, (max(abs(c)) + {PCA_CBITS - 1})
+                     // {PCA_CBITS}) AS k FROM craw),
+        cm AS (SELECT i, j, c // kk.k AS c FROM craw, kk),
+        v0 AS (SELECT DISTINCT dim AS i, 1::BIGINT AS v FROM xe)"""]
+    for t in range(iters):
+        parts.append(
+            f", v{t + 1} AS (SELECT cm.i, sum(cm.c * v.v) AS v "
+            f"FROM cm JOIN v{t} v ON cm.j = v.i GROUP BY cm.i)")
+    parts.append(f" SELECT i AS dim, CAST(v AS BIGINT) AS v FROM v{iters}")
     return "".join(parts)
 
 
@@ -2691,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
+        "embedding_pca": _pca_sql(iters=3),
         "events_resample_1h": """
             WITH ev AS (
               SELECT user_id, ts,

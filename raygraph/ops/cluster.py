@@ -127,3 +127,66 @@ def kmeans(ds, k: int = 8, iters: int = 2, id_col: str = "vec_id",
         })
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+PCA_SCALE = 1_000            # ×10^3 trunc quantization for PCA moments
+PCA_CBITS = 16_384           # scaled covariance magnitude bound (2^14)
+
+
+def pca_power(ds, iters: int = 3, vec_col: str = "embedding"):
+    """Top principal direction via one distributed covariance pass +
+    small-matrix integer power iteration — the PCA primitive (corpus
+    whitening, spectral features) in the same exact-integer contract as
+    :func:`kmeans` so a SQL oracle replays it bit-for-bit.
+
+    Distributed part: per batch ONE ``X.T @ X`` einsum emits the d²+d+1
+    moment partials (Σxᵢxⱼ, Σxᵢ, n — partial size is d²-bound,
+    independent of batch rows); a combiner ``preagg_sum`` reduces them.
+    Driver part: the d×d matrix (aggregate-sized, the legitimate driver
+    state — same discipline as the centroid matrix) runs ``iters``
+    exact-int64 matvec rounds.
+
+    Determinism spec: x_e3 = trunc(x·10³); C_raw = n·Σxxᵀ − (Σx)(Σx)ᵀ
+    (n²-scaled covariance, exact int64 for n ≤ ~5·10⁶ at this
+    quantization); K = max(1, ceil(max|C_raw| / 2^14)); C =
+    TRUNC-div(C_raw, K) (DuckDB ``//`` truncates toward zero — mirrored
+    here explicitly); v₀ = 1⃗; v_{t+1} = C·v_t. |v_t| ≤ (d·2^14)^t, so
+    d ≤ 64 and iters ≤ 3 stay inside int64. Sign is the deterministic
+    iterate's — both engines produce the same one.
+    """
+    from .relational import preagg_sum
+    from .vecops import vectors_to_numpy
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = (vectors_to_numpy(batch.column(vec_col), np.float64)
+             * PCA_SCALE).astype("int64")
+        n, d = X.shape
+        S = X.T @ X
+        m = X.sum(axis=0, dtype=np.int64)
+        ii = np.repeat(np.arange(d, dtype="int64"), d)
+        jj = np.tile(np.arange(d, dtype="int64"), d)
+        return pa.table({
+            "i": pa.array(np.concatenate(
+                [ii, np.arange(d, dtype="int64"), [-1]])),
+            "j": pa.array(np.concatenate(
+                [jj, np.full(d, -1, dtype="int64"), [-1]])),
+            "s": pa.array(np.concatenate(
+                [S.ravel(), m, [np.int64(n)]]).astype("int64")),
+        })
+
+    agg = preagg_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                     ["i", "j"], {"s": "s"}).to_pandas()
+    n = int(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "s"].iloc[0])
+    mrows = agg[(agg["j"] == -1) & (agg["i"] >= 0)].sort_values("i")
+    m = mrows["s"].to_numpy(dtype="int64")
+    S = agg[agg["j"] >= 0].pivot(index="i", columns="j", values="s") \
+        .sort_index().to_numpy(dtype="int64")
+    c_raw = n * S - np.outer(m, m)
+    mx = int(np.abs(c_raw).max())
+    k = max(1, -(-mx // PCA_CBITS))
+    c = np.sign(c_raw) * (np.abs(c_raw) // k)     # TRUNC division
+    v = np.ones(len(m), dtype=np.int64)
+    for _ in range(iters):
+        v = c @ v
+    return pd.DataFrame({"dim": np.arange(len(m), dtype="int64"),
+                         "v": v.astype("int64")})

@@ -60,3 +60,30 @@ def test_kmeans_empty_cluster_dropped(ray_session):
     df = pd.DataFrame(out.take_all())
     assert len(df) == 4
     assert df["cluster"].nunique() == 1
+
+
+def test_pca_power_finds_dominant_axis(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.cluster import pca_power
+
+    rng = np.random.default_rng(17)
+    d, n = 8, 400
+    # dominant variance along a known unit direction u
+    u = np.zeros(d)
+    u[2], u[5] = 0.8, 0.6
+    X = (rng.normal(0, 1, (n, 1)) * u * 0.4
+         + rng.normal(0, 0.02, (n, d))).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "embedding": [row for row in X]})).repartition(5)
+    out = pca_power(ds, iters=3).sort_values("dim")
+    v = out["v"].to_numpy(dtype=np.float64)
+    v = v / np.linalg.norm(v)
+    assert abs(abs(v @ u) - 1.0) < 0.02        # aligned up to sign
+
+    # layout determinism: different partitioning, identical integers
+    out2 = pca_power(rd.from_pandas(pd.DataFrame({
+        "embedding": [row for row in X]})).repartition(11),
+        iters=3).sort_values("dim")
+    assert out["v"].tolist() == out2["v"].tolist()
