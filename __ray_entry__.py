@@ -242,6 +242,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return kcore(ed, k=2, iters=3)
 
+    def kg_clustering(sf_dir):
+        # per-vertex local clustering coefficient (exact basis points):
+        # shared degree-ordered triangle enumeration → 3-way vertex
+        # fan-out → one vertex-sized left-outer join with the degrees
+        from raygraph.ops.graph import clustering_coefficient
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return clustering_coefficient(ed)
+
     def kg_degrees(sf_dir):
         # graph-analytics surface over the built graph: per-vertex in/out
         # degree from the deduped edge table (distributed preagg counts;
@@ -2220,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
+        "kg_clustering": kg_clustering,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -2738,6 +2749,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
+        "kg_clustering": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            dg AS (SELECT x AS vtx, count(*)::BIGINT AS deg FROM
+                   (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+                   GROUP BY x),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM und e1 JOIN und e2 ON e2.u = e1.v
+                    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+            tv AS (SELECT x AS vtx, count(*)::BIGINT AS t FROM
+                   (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY x)
+            SELECT dg.vtx AS vertex, dg.deg,
+                   coalesce(tv.t, 0)::BIGINT AS n_tri,
+                   (10000 * 2 * coalesce(tv.t, 0))
+                       // (dg.deg * (dg.deg - 1)) AS cc_bp
+            FROM dg LEFT JOIN tv ON dg.vtx = tv.vtx
+            WHERE dg.deg >= 2
+        """,
         "embedding_pca": _pca_sql(iters=3),
         "events_resample_1h": """
             WITH ev AS (

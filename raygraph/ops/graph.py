@@ -334,10 +334,11 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
     return ranks.select_columns(["vertex", "rank_e12"])
 
 
-def triangle_count(edges, src: str = "_from", dst: str = "_to",
-                   out: str = "n_triangles"):
-    """Exact triangle count of the undirected simple graph under the
-    edge table, as a single-row Dataset — the standard node-iterator++
+def _triangles(edges, src: str = "_from", dst: str = "_to"):
+    """Shared triangle-enumeration plan: returns (closed, deg, nparts)
+    where ``closed`` is a Dataset with ONE row per triangle carrying all
+    three vertices (a = wedge apex, b, c), ``deg`` the per-vertex degree
+    Dataset of the undirected simple graph. The standard node-iterator++
     plan (Schank & Wagner 2005 / Cohen's MapReduce formulation):
 
     1. canonicalize to undirected distinct edges {u, v} (self-loops
@@ -349,11 +350,11 @@ def triangle_count(edges, src: str = "_from", dst: str = "_to",
        vertices (the lex-only orientation would square a hub's degree);
     4. wedges: self shuffle-join of the oriented arcs on the source,
        keeping each unordered pair once ((deg, id)-ordered);
-    5. close: join wedges against the oriented arcs on (b, c) — every
-       hit is exactly one triangle — and tree-sum the per-batch counts.
+    5. close: left-semi join wedges against the oriented arcs on
+       (b, c) — every surviving wedge row is exactly one triangle.
 
-    Joins are all hash-partitioned on their key; nothing reaches the
-    driver but the final scalar.
+    Joins are all hash-partitioned on their key; nothing graph-sized
+    reaches the driver.
     """
     from .relational import (_join_partitions, preagg_sum, shuffle_join,
                              tree_aggregate)
@@ -443,17 +444,35 @@ def triangle_count(edges, src: str = "_from", dst: str = "_to",
                                          & (df["y"] < df["y2"]))
         df = df.loc[keep]
         return pa.Table.from_pandas(
-            pd.DataFrame({"b": df["y"], "c": df["y2"]}),
+            pd.DataFrame({"a": df["x"], "b": df["y"], "c": df["y2"]}),
             preserve_index=False)
 
     wedges = _repaired(
         wedged.map_batches(wedge_pairs, batch_format="pyarrow"),
-        pa.schema([("b", pa.string()), ("c", pa.string())]),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("c", pa.string())]),
     )
 
+    # left_semi keeps the wedge's apex column, so each surviving row IS
+    # the full (a, b, c) triangle
     closed = shuffle_join(wedges, arcs.select_columns(["x", "y"]),
                           on=("b", "c"), right_on=("x", "y"),
                           how="left_semi", num_partitions=nparts)
+    closed = _repaired(closed, pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("c", pa.string())]))
+    return closed, deg, nparts
+
+
+def triangle_count(edges, src: str = "_from", dst: str = "_to",
+                   out: str = "n_triangles"):
+    """Exact triangle count of the undirected simple graph under the
+    edge table, as a single-row Dataset — delegates triangle
+    enumeration to :func:`_triangles` (one definition shared with
+    :func:`clustering_coefficient`) and tree-sums the per-batch
+    counts; nothing reaches the driver but the final scalar."""
+    from .relational import tree_aggregate
+
+    closed, _, _ = _triangles(edges, src, dst)
 
     def count_batch(batch: pa.Table) -> pa.Table:
         return pa.table({out: pa.array([batch.num_rows], pa.int64())})
@@ -464,6 +483,55 @@ def triangle_count(edges, src: str = "_from", dst: str = "_to",
         lambda df: pd.DataFrame({out: [int(df[out].sum())]}),
         precombined=True,
     )
+
+
+def clustering_coefficient(edges, src: str = "_from", dst: str = "_to"):
+    """Per-vertex local clustering coefficient of the undirected simple
+    graph, in exact basis points: cc_bp = floor(10⁴ · 2·t(v) /
+    (deg(v)·(deg(v)−1))) over vertices with deg ≥ 2, where t(v) is the
+    number of triangles through v. Triangle enumeration is the shared
+    degree-ordered :func:`_triangles` plan; each triangle fans out to
+    its 3 vertices (vectorized concat), participation counts meet the
+    degree table in one vertex-sized left-outer shuffle join (t = 0
+    where no triangle closes). Integer output, SQL-reproducible."""
+    import pyarrow.compute as pc
+
+    from .relational import preagg_sum, shuffle_join
+
+    closed, deg, nparts = _triangles(edges, src, dst)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table({"vtx": pa.concat_arrays([
+            batch.column(c).combine_chunks().cast(pa.string())
+            for c in ("a", "b", "c")])})
+
+    tri = _repaired(
+        preagg_sum(closed.map_batches(explode, batch_format="pyarrow"),
+                   ["vtx"], {}, counts="t"),
+        pa.schema([("vtx", pa.string()), ("t", pa.int64())]))
+
+    def eligible(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("deg"),
+                                             pa.scalar(2)))
+
+    deg2 = _repaired(deg.map_batches(eligible, batch_format="pyarrow"),
+                     pa.schema([("vtx", pa.string()), ("deg", pa.int64())]))
+    j = shuffle_join(deg2, tri.rename_columns({"vtx": "vtx2"}),
+                     on="vtx", right_on="vtx2", how="left_outer",
+                     num_partitions=nparts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = df["t"].fillna(0).astype("int64")
+        d = df["deg"].astype("int64")
+        return pa.Table.from_pandas(pd.DataFrame({
+            "vertex": df["vtx"],
+            "deg": d,
+            "n_tri": t,
+            "cc_bp": (10_000 * 2 * t) // (d * (d - 1)),
+        }), preserve_index=False)
+
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 BFS_INF = np.int64(1 << 40)  # "unreached" sentinel, far above any hop count

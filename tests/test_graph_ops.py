@@ -420,3 +420,28 @@ def test_zorder_key_interleave(ray_session):
     t2 = pa.table({"x": [100, 101], "y": [200, 200]})
     z2 = zorder_key(rd.from_arrow(t2), "x", "y").to_pandas().zkey
     assert (z2 // 65536).nunique() == 1
+
+
+def test_clustering_coefficient_k4_and_path(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import clustering_coefficient
+
+    # K4 on a-d (every vertex: deg 3, 3 triangles, cc = 1.0) plus a
+    # pendant path d-e-f (e: deg 2, no triangle → cc 0; d gains deg)
+    edges = pa.table({
+        "_from": ["a", "a", "a", "b", "b", "c", "d", "e"],
+        "pred":  ["p"] * 8,
+        "_to":   ["b", "c", "d", "c", "d", "d", "e", "f"],
+    })
+    out = clustering_coefficient(
+        rd.from_arrow(edges).repartition(3)).to_pandas()
+    got = {r.vertex: (r.deg, r.n_tri, r.cc_bp)
+           for r in out.itertuples(index=False)}
+    assert got["a"] == (3, 3, 10_000)
+    assert got["b"] == (3, 3, 10_000)
+    assert got["c"] == (3, 3, 10_000)
+    # d: deg 4 (K4 + e), still 3 triangles: 2*3/(4*3) = 0.5
+    assert got["d"] == (4, 3, 5_000)
+    assert got["e"] == (2, 0, 0)
+    assert "f" not in got                      # deg 1 → excluded
