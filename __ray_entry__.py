@@ -242,6 +242,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return kcore(ed, k=2, iters=3)
 
+    def kg_hits(sf_dir):
+        # HITS authorities (2 rounds, exact-integer ceil-div rescale):
+        # per half-round one edge-sized shuffle join + vertex-sized
+        # combiner sum; the only driver state is the per-round max
+        from raygraph.ops.graph import hits_authorities
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return hits_authorities(ed, iters=2)
+
     def kg_clustering(sf_dir):
         # per-vertex local clustering coefficient (exact basis points):
         # shared degree-ordered triangle enumeration → 3-way vertex
@@ -775,6 +785,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return preagg_sum(z.map_batches(tile, batch_format="pyarrow"),
                           ["tile"], {}, counts="n_orders")
+
+    def text_freq_spectrum(sf_dir):
+        # Zipf-profiling counts-of-counts: how many tokens occur exactly
+        # k times — two combiner aggregates (corpus → vocab-sized token
+        # counts → spectrum-sized histogram), nothing corpus-sized moves
+        def token_counts(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            toks = s.str.strip().str.lower().str.split().explode().dropna()
+            g = toks.value_counts().rename_axis("token") \
+                .reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = preagg_sum(
+            _docs_ds(sf_dir).map_batches(token_counts,
+                                         batch_format="pyarrow"),
+            ["token"], {"n": "n"})
+        return preagg_sum(counts.select_columns(["n"]), ["n"], {},
+                          counts="n_tokens").rename_columns({"n": "k"})
+
+    def docs_lang_diversity(sf_dir):
+        # per-source Gini-Simpson language diversity in exact basis
+        # points: 10⁴ − floor(10⁴·Σn_l² / N²) — the detail pass is one
+        # combiner count; the (source×lang)-sized aggregate finishes on
+        # the driver
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+        cnt = preagg_sum(docs, ["source", "lang"], {},
+                         counts="n").to_pandas()
+        g = cnt.groupby("source")
+        tot = g["n"].sum()
+        ss = g["n"].apply(lambda s: int((s.astype("int64") ** 2).sum()))
+        out = pd.DataFrame({
+            "source": tot.index,
+            "n_docs": tot.astype("int64").to_numpy(),
+            "gini_bp": (10_000 - (10_000 * ss.to_numpy())
+                        // (tot.to_numpy().astype("int64") ** 2)),
+        })
+        return out.reset_index(drop=True)
 
     def embedding_pca(sf_dir):
         # top principal direction: ONE streaming covariance pass (d²-
@@ -2231,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
         "kg_clustering": kg_clustering,
+        "kg_hits": kg_hits,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -2239,6 +2288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": events_value_outliers,
         "events_resample_1h": events_resample_1h,
         "embedding_pca": embedding_pca,
+        "text_freq_spectrum": text_freq_spectrum,
+        "docs_lang_diversity": docs_lang_diversity,
         "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
@@ -2481,6 +2532,36 @@ def _zorder_sql_expr(xcol: str, ycol: str, bits: int = 16) -> str:
         terms.append(f"((({xcol}) >> {b}) & 1) * {1 << (2 * b)}")
         terms.append(f"((({ycol}) >> {b}) & 1) * {1 << (2 * b + 1)}")
     return " + ".join(terms)
+
+
+def _hits_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled integer HITS mirroring
+    raygraph.ops.graph.hits_authorities: per half-round a join +
+    group-sum, then a ceil-div rescale by the round max (all scores
+    nonnegative, so DuckDB's truncating // equals floor)."""
+    from raygraph.ops.graph import HITS_CAP
+
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", vv AS (SELECT DISTINCT x FROM "
+        "(SELECT u AS x FROM pr UNION ALL SELECT v FROM pr))",
+        ", h0 AS (SELECT x, 1::BIGINT AS s FROM vv)",
+    ]
+    for t in range(iters):
+        for tag, prev, key_in, key_out in (
+                ("a", f"h{t}", "u", "v"), ("h", f"a{t + 1}", "v", "u")):
+            parts += [
+                f", {tag}r{t + 1} AS (SELECT p.{key_out} AS x, "
+                f"sum(z.s)::BIGINT AS s FROM pr p "
+                f"JOIN {prev} z ON p.{key_in} = z.x GROUP BY p.{key_out})",
+                f", {tag}k{t + 1} AS (SELECT greatest(1, (max(s) + "
+                f"{HITS_CAP - 1}) // {HITS_CAP}) AS k FROM {tag}r{t + 1})",
+                f", {tag}{t + 1} AS (SELECT x, s // {tag}k{t + 1}.k AS s "
+                f"FROM {tag}r{t + 1}, {tag}k{t + 1})",
+            ]
+    parts.append(f" SELECT x AS vertex, s AS auth FROM a{iters}")
+    return "".join(parts)
 
 
 def _kcore_sql(edges_sql: str, k: int, iters: int) -> str:
@@ -2749,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
+        "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""
             WITH edges AS ({kg_edges_sql}),
             und AS (SELECT DISTINCT least(_from, _to) AS u,
@@ -2771,6 +2853,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE dg.deg >= 2
         """,
         "embedding_pca": _pca_sql(iters=3),
+        "text_freq_spectrum": _TOKS_CTE + """
+            , tok AS (SELECT unnest(toks) AS token FROM t)
+            , tc AS (SELECT token, count(*)::BIGINT AS k FROM tok
+                     GROUP BY token)
+            SELECT k, count(*)::BIGINT AS n_tokens FROM tc GROUP BY k
+        """,
+        "docs_lang_diversity": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+                       FROM documents GROUP BY source, lang)
+            SELECT source, sum(n)::BIGINT AS n_docs,
+                   10000 - (10000 * sum(n * n)::BIGINT)
+                       // (sum(n)::BIGINT * sum(n)::BIGINT) AS gini_bp
+            FROM c GROUP BY source
+        """,
         "events_resample_1h": """
             WITH ev AS (
               SELECT user_id, ts,

@@ -689,3 +689,82 @@ def kcore(edges, k: int = 2, iters: int = 3,
         alive = deg.select_columns(["u"]).rename_columns({"u": "x"})
 
     return deg.rename_columns({"u": "vertex"})
+
+
+HITS_CAP = 16_384  # per-round ceil-div rescale bound (2^14)
+
+
+def hits_authorities(edges, iters: int = 2,
+                     src: str = "_from", dst: str = "_to"):
+    """HITS link analysis (Kleinberg): ``iters`` synchronous rounds of
+    authority ← Σ hub(in-neighbors), hub ← Σ authority(out-neighbors),
+    returning the final authority vector. Exact-integer spec so a SQL
+    oracle replays it bit-for-bit: scores start at 1, every half-round
+    is rescaled by CEIL-div(max score / 2^14) (scores are nonnegative,
+    so floor/trunc division agree across engines); sparse semantics —
+    a vertex appears iff the defining join produced rows for it, in
+    both engines.
+
+    Per half-round: ONE edge-sized shuffle join + a vertex-sized
+    combiner sum; the only driver state is the per-round max (a
+    scalar). Same Dataset-throughout discipline as :func:`pagerank`.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import _join_partitions, preagg_sum, shuffle_join
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+    arcs = _repaired(
+        pairs.map_batches(
+            lambda b: b.rename_columns(["u", "v"]),
+            batch_format="pyarrow"),
+        pa.schema([("u", pa.string()), ("v", pa.string())]))
+
+    verts = _repaired(
+        preagg_sum(arcs.map_batches(
+            lambda b: pa.table({"x": pa.concat_arrays(
+                [b.column("u").combine_chunks().cast(pa.string()),
+                 b.column("v").combine_chunks().cast(pa.string())])}),
+            batch_format="pyarrow"), ["x"], {}, counts="__n"),
+        pa.schema([("x", pa.string()), ("__n", pa.int64())]),
+    ).select_columns(["x"])
+
+    score_schema = pa.schema([("x", pa.string()), ("s", pa.int64())])
+    h = _repaired(
+        verts.map_batches(
+            lambda b: pa.table({"x": b.column("x"),
+                                "s": pa.array(np.ones(b.num_rows,
+                                                      dtype="int64"))}),
+            batch_format="pyarrow"), score_schema)
+
+    def half_round(scores, join_on: str, group_as: str):
+        """scores on `join_on` endpoint → summed per `group_as` endpoint,
+        ceil-div rescaled to ≤ HITS_CAP."""
+        j = shuffle_join(arcs, scores, on=join_on, right_on="x",
+                         num_partitions=nparts)
+        j = _repaired(j, pa.schema([("u", pa.string()),
+                                    ("v", pa.string()),
+                                    ("s", pa.int64())]))
+        raw = _repaired(
+            preagg_sum(j.map_batches(
+                lambda b: pa.table({"x": b.column(group_as),
+                                    "s": b.column("s")}),
+                batch_format="pyarrow"), ["x"], {"s": "s"}),
+            score_schema)
+        mx = raw.max("s")
+        k = max(1, -(-int(mx) // HITS_CAP)) if mx is not None else 1
+
+        def scale(batch: pa.Table) -> pa.Table:
+            return pa.table({"x": batch.column("x"),
+                             "s": pc.divide(batch.column("s"),
+                                            pa.scalar(k, pa.int64()))})
+
+        return _repaired(raw.map_batches(scale, batch_format="pyarrow"),
+                         score_schema)
+
+    a = None
+    for _ in range(iters):
+        a = half_round(h, join_on="u", group_as="v")   # authorities
+        h = half_round(a, join_on="v", group_as="u")   # hubs
+    return a.rename_columns({"x": "vertex", "s": "auth"})

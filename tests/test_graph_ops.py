@@ -445,3 +445,22 @@ def test_clustering_coefficient_k4_and_path(ray_session):
     assert got["d"] == (4, 3, 5_000)
     assert got["e"] == (2, 0, 0)
     assert "f" not in got                      # deg 1 → excluded
+
+
+def test_hits_authorities_star(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import hits_authorities
+
+    # u1,u2,u3 → z (plus a parallel-predicate duplicate) and z → w:
+    # hand-traced integer spec gives auth(z)=9, auth(w)=1 after 2 rounds
+    edges = pa.table({
+        "_from": ["u1", "u1", "u2", "u3", "z"],
+        "pred":  ["p", "q", "p", "p", "p"],
+        "_to":   ["z", "z", "z", "z", "w"],
+    })
+    out = hits_authorities(rd.from_arrow(edges).repartition(3),
+                           iters=2).to_pandas()
+    got = dict(zip(out.vertex, out.auth))
+    # round 1: a = {z:3, w:1}, h = {u*:3, z:1}; round 2: a = {z:9, w:1}
+    assert got == {"z": 9, "w": 1}
