@@ -359,6 +359,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted token multiset (simhash is a deterministic function of it)
         return D.simhash_dedup_groups(_doubled_docs(sf_dir))
 
+    def dedup_simhash_pairs(sf_dir):
+        # hamming-≤3 simhash similarity join over docs ∪ exact copies ∪
+        # one-token-appended copies: pigeonhole 4-band candidates, ONE
+        # band exchange, in-task popcount verify; the oracle recomputes
+        # the 60-bit signatures and replays the identical banding join
+        import pyarrow.compute as pc
+
+        docs = _docs_ds(sf_dir)
+
+        def appended(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            return pa.table({
+                "doc_id": pc.add(batch.column("doc_id"), 2 * _OFFSET),
+                "text": pa.array(s + " zq", pa.string()),
+            })
+
+        corpus = _doubled_docs(sf_dir).union(
+            docs.map_batches(appended, batch_format="pyarrow"))
+        return D.simhash_hamming_pairs(corpus, max_hamming=3, bands=4)
+
     def dedup_edit_pairs(sf_dir):
         # banded edit-distance similarity join over a corpus where every
         # doc gets a tail-edited copy (last char → '~'): prefix-block
@@ -724,6 +744,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = agg.to_pandas().sort_values(["n", "token"],
                                          ascending=[False, True]).head(20)
         return df.reset_index(drop=True)
+
+    def text_top_bigrams(sf_dir):
+        # n-gram-LM counting primitive: in-doc adjacent-token bigrams
+        # built vectorized off one flat token array per batch, partial
+        # counts, then distributed sort+limit — only 20 rows reach the
+        # driver (the bigram vocab itself stays in the cluster)
+        return T.top_bigrams(_docs_ds(sf_dir), k=20)
+
+    def docs_lr_score(sf_dir):
+        # batched model inference: integer-weight linear classifier as
+        # an actor pool, weights broadcast ONCE via ray.put and read in
+        # __init__; exact-integer logit so the oracle replays it
+        return T.score_linear(_docs_ds(sf_dir))
+
+    def lineitem_corr(sf_dir):
+        # exact-moment Pearson correlation (quantity vs whole-dollar
+        # price) per return flag, in basis points: one combiner pass
+        # carries five integer moment sums per group; the finalize runs
+        # on the 3-row aggregate with arbitrary-precision ints (the
+        # oracle mirrors in HUGEINT). trunc quantization — unambiguous
+        # where round's half-tie rule differs between engines
+        from raygraph.ops.relational import grouped_corr_bp
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+        def quant(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty": pa.array(np.trunc(
+                    batch.column("l_quantity").to_numpy()).astype("int64")),
+                "dollars": pa.array(np.trunc(
+                    batch.column("l_extendedprice").to_numpy())
+                    .astype("int64")),
+            })
+
+        return grouped_corr_bp(li.map_batches(quant, batch_format="pyarrow"),
+                               ["l_returnflag"], "qty", "dollars")
 
     def docs_inverted_index(sf_dir):
         # search-index build: distinct (doc, token) explode → ONE
@@ -2290,6 +2349,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": embedding_pca,
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_top_bigrams": text_top_bigrams,
+        "docs_lr_score": docs_lr_score,
+        "lineitem_corr": lineitem_corr,
         "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
@@ -2697,6 +2760,7 @@ _TOKS_CTE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from raygraph.ops import text as T
     from raygraph.ops.text import STOPWORDS
 
     stop = {lg: _sql_strlist(ws) for lg, ws in STOPWORDS.items()}
@@ -3283,6 +3347,65 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token ASC
             LIMIT 20
         """,
+        "text_top_bigrams": _TOKS_CTE + """
+            , b AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+              FROM t
+            )
+            SELECT bigram, count(*)::BIGINT AS n
+            FROM b GROUP BY bigram
+            ORDER BY n DESC, bigram ASC
+            LIMIT 20
+        """,
+        "docs_lr_score": f"""
+            WITH f AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS n_tokens,
+                     length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                         AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   ({T.DEFAULT_LR_BIAS}
+                    + {T.DEFAULT_LR_WEIGHTS["n_chars"]} * n_chars
+                    + ({T.DEFAULT_LR_WEIGHTS["n_tokens"]}) * n_tokens
+                    + ({T.DEFAULT_LR_WEIGHTS["n_punct"]}) * n_punct
+                   )::BIGINT AS logit,
+                   (CASE WHEN {T.DEFAULT_LR_BIAS}
+                    + {T.DEFAULT_LR_WEIGHTS["n_chars"]} * n_chars
+                    + ({T.DEFAULT_LR_WEIGHTS["n_tokens"]}) * n_tokens
+                    + ({T.DEFAULT_LR_WEIGHTS["n_punct"]}) * n_punct > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM f
+        """,
+        "lineitem_corr": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     trunc(l_quantity)::BIGINT AS x,
+                     trunc(l_extendedprice)::BIGINT AS y
+              FROM lineitem
+            ),
+            m AS (
+              SELECT l_returnflag, count(*)::HUGEINT AS n,
+                     sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                     sum(x * x)::HUGEINT AS sxx,
+                     sum(y * y)::HUGEINT AS syy,
+                     sum(x * y)::HUGEINT AS sxy
+              FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n::BIGINT AS n_rows,
+                   floor((10000 * (n * sxy - sx * sy))::DOUBLE
+                         / sqrt((n * sxx - sx * sx)::DOUBLE
+                                * (n * syy - sy * sy)::DOUBLE))::BIGINT
+                       AS corr_bp
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
         "corpus_span_stats": """
             WITH idx AS (SELECT row_number() OVER () - 1 AS i
                          FROM documents)
@@ -3736,6 +3859,42 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM h)
             SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
             FROM s GROUP BY simhash
+        """,
+        # the REAL banded hamming join replayed in SQL: signatures
+        # recomputed bit-for-bit, candidates = pairs agreeing on any of
+        # the four 15-bit chunks (the pigeonhole band), verify =
+        # popcount of xor — identical semantics to
+        # raygraph.ops.dedup.simhash_hamming_pairs
+        "dedup_simhash_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+              UNION ALL
+              SELECT doc_id + {2 * _OFFSET}, text || ' zq' FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM corpus
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(toks,
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS ths
+              FROM t
+            ),
+            s AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM h)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND ( ((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+                OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+                OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+                OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "text_quality": _TOKS_CTE + f"""
             , s AS (

@@ -662,6 +662,91 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): one
+    byte view + unpackbits pass, no per-element Python."""
+    b = np.ascontiguousarray(v.astype(np.uint64)).view(np.uint8)
+    return np.unpackbits(b.reshape(-1, 8), axis=1) \
+        .sum(axis=1).astype(np.int64)
+
+
+def simhash_hamming_pairs(ds, max_hamming: int = 3, bands: int = 4,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int | None = None):
+    """Simhash near-dup similarity join: (id_a, id_b, hamming) for every
+    pair whose 60-bit simhash signatures differ in ≤ ``max_hamming``
+    bits (requires ``max_hamming < bands`` for exact recall).
+
+    Candidates come from the pigeonhole banding trick: the signature is
+    split into ``bands`` equal chunks, and a pair within ``bands - 1``
+    differing bits must agree on at least one whole chunk — so
+    candidates = docs sharing a (band_id, chunk value), ONE hash-bucketed
+    exchange of bands × n rows instead of all-pairs. Verification
+    (popcount of xor) runs vectorized inside the same reduce task, so
+    only verified pair rows ever leave it; a final vectorized distinct
+    collapses pairs caught by several bands. Degenerate chunk buckets
+    are bounded by the same ``BUCKET_PAIR_CAP`` coverage discipline as
+    :func:`_bucket_pairs`.
+    """
+    from .relational import hash_aggregate
+
+    width = SIMHASH_BITS // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = simhash_batch(batch, text_col, id_col)
+        sig = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False),
+                         dtype=np.int64).view(np.uint64)
+        ids = t.column(id_col)
+        parts = []
+        for b in range(bands):
+            chunk = ((sig >> np.uint64(b * width)) & mask).view(np.int64)
+            parts.append(pa.table({
+                "band_id": pa.array(np.full(len(sig), b, dtype=np.int64)),
+                "band_key": pa.array(chunk, pa.int64()),
+                id_col: ids,
+                "simhash": t.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
+
+    def verified_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band_id", "band_key"])[id_col] \
+            .transform("size")
+        df = df[sizes >= 2]
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        })
+        if df.empty:
+            return empty
+        outs = [empty]
+        for _, g in df.groupby(["band_id", "band_key"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            if len(g) > BUCKET_PAIR_CAP:
+                print(f"simhash_hamming_pairs: bucket overflow, dropping "
+                      f"{len(g) - BUCKET_PAIR_CAP} ids "
+                      f"(cap={BUCKET_PAIR_CAP})")
+                g = g.head(BUCKET_PAIR_CAP)
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            sig = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            ia, ib = np.triu_indices(len(g), k=1)
+            ham = _popcount64(sig[ia] ^ sig[ib])
+            keep = ham <= max_hamming
+            outs.append(pd.DataFrame({"id_a": ids[ia[keep]],
+                                      "id_b": ids[ib[keep]],
+                                      "hamming": ham[keep]}))
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    nb = num_buckets or 128
+    pairs = hash_aggregate(
+        ds.map_batches(band_rows, batch_format="pyarrow"),
+        ["band_id", "band_key"], verified_pairs, num_buckets=nb)
+    return hash_aggregate(pairs, ["id_a", "id_b"],
+                          lambda df: df.drop_duplicates(),
+                          num_buckets=max(8, nb // 4))
+
+
 def simhash_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Simhash-exact dedup: group docs by identical 64-bit simhash, keep
     (min id, group size) per group — one vectorized signature pass + ONE

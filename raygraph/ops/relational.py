@@ -997,6 +997,63 @@ def histogram(ds, col: str, lo: int, width: int, n_bins: int,
                       [out], {}, counts="n")
 
 
+def grouped_corr_bp(ds, group_cols: Sequence[str], x_col: str, y_col: str,
+                    out: str = "corr_bp"):
+    """Exact-moment Pearson correlation per group, in basis points:
+    ONE streaming pass accumulates the five integer moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy) per batch per group — the same combiner
+    discipline as the variance op — so the shuffle carries a
+    groups-sized aggregate, never the detail. The finalize runs on the
+    tiny aggregate: with num = n·Σxy − Σx·Σy and
+    dx/dy = n·Σx² − (Σx)² / n·Σy² − (Σy)², the output is
+    floor(10⁴·num / sqrt(double(dx)·double(dy))) — exact arbitrary-
+    precision integers up to the last deterministic IEEE sqrt/divide,
+    mirrored operation-for-operation by the SQL oracle (HUGEINT then
+    ::DOUBLE). Groups with zero variance on either side are dropped
+    (matching the oracle's WHERE dx > 0 AND dy > 0).
+
+    Inputs must already be int64 (exact units: cents/whole counts);
+    callers quantize floats deterministically beforehand.
+    """
+    import math
+
+    group_cols = list(group_cols)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df[x_col].astype("int64")
+        y = df[y_col].astype("int64")
+        df = df[group_cols].copy()
+        df["__sx"], df["__sy"] = x, y
+        df["__sxx"], df["__syy"], df["__sxy"] = x * x, y * y, x * y
+        g = df.groupby(group_cols, as_index=False).agg(
+            n=("__sx", "size"), sx=("__sx", "sum"), sy=("__sy", "sum"),
+            sxx=("__sxx", "sum"), syy=("__syy", "sum"),
+            sxy=("__sxy", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(
+        ds.map_batches(moments, batch_format="pyarrow"), group_cols,
+        {c: c for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+    # the aggregate is groups-sized — finalize with Python big ints
+    # (n·Σx² overflows int64 at scale; the oracle uses HUGEINT)
+    df = agg.to_pandas()
+    rows = []
+    for _, r in df.iterrows():
+        n = int(r["n"])
+        sx, sy = int(r["sx"]), int(r["sy"])
+        dx = n * int(r["sxx"]) - sx * sx
+        dy = n * int(r["syy"]) - sy * sy
+        if dx <= 0 or dy <= 0:
+            continue
+        num = n * int(r["sxy"]) - sx * sy
+        bp = math.floor(float(10_000 * num)
+                        / math.sqrt(float(dx) * float(dy)))
+        rows.append([r[c] for c in group_cols] + [n, bp])
+    out_df = pd.DataFrame(rows, columns=group_cols + ["n_rows", out])
+    return out_df.sort_values(group_cols).reset_index(drop=True)
+
+
 def table_checksum(ds, cols: Sequence[str], out: str = "checksum"):
     """Order-invariant table fingerprint: sum (mod 2^63) of the md5-60
     of each row's '\\x1f'-joined string form over ``cols`` — the

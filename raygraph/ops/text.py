@@ -144,6 +144,67 @@ def quality_score(batch: pa.Table, text_col: str = "text",
     )
 
 
+DEFAULT_LR_WEIGHTS = {"n_chars": 3, "n_tokens": -40, "n_punct": -25}
+DEFAULT_LR_BIAS = -600
+
+
+class LinearScorer:
+    """Broadcast linear-model document scorer (the batched-inference
+    pattern: weights live in the actor, loaded ONCE in ``__init__`` from
+    the object store, applied vectorized per batch). Integer weights on
+    integer features keep the logit exact, so a SQL oracle replays it:
+    logit = bias + Σ w_f·feature_f over
+    n_chars = length(text), n_tokens = whitespace tokens,
+    n_punct = ASCII [^\\w\\s] count (the quality_score definitions);
+    keep = logit > 0.
+
+    Pass the ``ray.put`` ref of a weights dict — every actor reads the
+    one copy instead of re-shipping weights per batch.
+    """
+
+    def __init__(self, weights_ref=None, bias: int = DEFAULT_LR_BIAS,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        w = (ray.get(weights_ref) if weights_ref is not None
+             else DEFAULT_LR_WEIGHTS)
+        self.w_chars = int(w["n_chars"])
+        self.w_tokens = int(w["n_tokens"])
+        self.w_punct = int(w["n_punct"])
+        self.bias = int(bias)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_col).to_pandas().fillna("")
+        n_chars = s.str.len().astype("int64")
+        n_tok = s.str.strip().str.findall(_TOKEN).str.len() \
+            .fillna(0).astype("int64")
+        n_punct = s.str.count(_PUNCT).astype("int64")
+        logit = (self.bias + self.w_chars * n_chars
+                 + self.w_tokens * n_tok + self.w_punct * n_punct)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "logit": pa.array(logit, pa.int64()),
+            "keep": pa.array((logit > 0).astype("int64"), pa.int64()),
+        })
+
+
+def score_linear(ds, weights: dict | None = None,
+                 bias: int = DEFAULT_LR_BIAS, concurrency: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Classifier-filter stage: :class:`LinearScorer` as an actor pool —
+    weights broadcast once via ``ray.put``, scoring vectorized per
+    batch."""
+    import ray
+
+    ref = ray.put(dict(weights or DEFAULT_LR_WEIGHTS))
+    return ds.map_batches(
+        LinearScorer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"weights_ref": ref, "bias": bias,
+                               "text_col": text_col, "id_col": id_col})
+
+
 def lang_id(batch: pa.Table, text_col: str = "text",
             id_col: str = "doc_id") -> pa.Table:
     """Stopword-profile language ID: argmax over per-language stopword hit
@@ -496,6 +557,42 @@ def chunk_documents(ds, chunk_tokens: int = 64, text_col: str = "text",
             preserve_index=False)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_bigrams(ds, k: int = 20, text_col: str = "text"):
+    """Adjacent-token bigram heavy hitters (the n-gram-LM / tokenizer-
+    training counting primitive): per batch, ONE flat token array with
+    doc-boundary masking builds every in-doc bigram vectorized (no
+    per-row Python); per-batch partial counts make the shuffle carry a
+    bigram-vocab-sized aggregate, and the final top-k is a distributed
+    ``sort + limit`` — the corpus never reaches the driver, only k rows
+    do. At web scale the bigram vocab itself is large: the aggregate
+    stays distributed (unlike a driver-side ``to_pandas`` head)."""
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        total = int(lens.sum())
+        if total < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        # pair (i, i+1) is valid unless i is the last token of its doc
+        valid = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(lens[lens > 0]) - 1
+        valid[ends[ends < total - 1]] = False
+        big = pd.Series(flat[:-1][valid]).str.cat(
+            pd.Series(flat[1:][valid]), sep=" ")
+        g = big.value_counts().rename_axis("bigram").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from .relational import preagg_sum
+
+    agg = preagg_sum(ds.map_batches(bigram_counts, batch_format="pyarrow"),
+                     ["bigram"], {"n": "n"})
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
 def inverted_index(ds, df_min: int = 2, df_max: int = 100,

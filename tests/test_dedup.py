@@ -237,3 +237,57 @@ def test_edit_distance_pairs_blocking(ray_session):
                               window=64).to_pandas()
     got = {(r.id_a, r.id_b): r.dist for r in out.itertuples(index=False)}
     assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 2}
+
+
+def test_popcount64_matches_scalar():
+    import numpy as np
+
+    from raygraph.ops.dedup import _popcount64, hamming64
+
+    vals = np.array([0, 1, (1 << 60) - 1, 0x5555555555555555,
+                     123456789], dtype=np.uint64)
+    got = _popcount64(vals)
+    for v, g in zip(vals, got):
+        assert g == bin(int(v)).count("1")
+    assert hamming64(0b1010, 0b0110) == 2
+
+
+def test_simhash_hamming_pairs_banded(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import simhash_batch, simhash_hamming_pairs
+    import pyarrow as pa
+
+    # doc 2 = exact copy of doc 1 (hamming 0, must pair); doc 3 shares
+    # most tokens (pairs iff its true hamming <= 3 — assert against the
+    # directly-computed signatures, not a guess); doc 4 is disjoint
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight",
+        ],
+    })
+    sig = simhash_batch(pa.Table.from_pandas(docs))
+    s = dict(zip(sig.column("doc_id").to_pylist(),
+                 sig.column("simhash").to_pylist()))
+    from raygraph.ops.dedup import hamming64
+
+    expect = {}
+    for a in (1, 2, 3, 4):
+        for b in (1, 2, 3, 4):
+            if a < b and hamming64(s[a], s[b]) <= 3:
+                expect[(a, b)] = hamming64(s[a], s[b])
+    assert (1, 2) in expect and expect[(1, 2)] == 0
+
+    out = simhash_hamming_pairs(rd.from_pandas(docs).repartition(2),
+                                max_hamming=3, bands=4,
+                                num_buckets=8).to_pandas()
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in out.itertuples(index=False)}
+    # banding with max_hamming < bands is EXACT (pigeonhole): the join
+    # must find precisely the true <=3 pairs
+    assert got == expect

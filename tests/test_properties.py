@@ -331,3 +331,35 @@ def test_ordered_prefix_sum_empty_input(ray_session):
         "n": pd.Series([], dtype="int64")}))
     assert range_boundaries(empty, "id", 4) == []
     assert ordered_prefix_sum(empty, "id", "n", n_tiles=4).take_all() == []
+
+
+def test_grouped_corr_bp_exact(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import grouped_corr_bp
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 4 + ["c"] * 3,
+        "x": [1, 2, 3, 4, 5, 1, 2, 3, 4, 7, 7, 7],
+        "y": [2, 4, 6, 8, 10, 5, 3, 9, 1, 1, 2, 3],
+    })
+    out = grouped_corr_bp(rd.from_pandas(df).repartition(4), ["g"],
+                          "x", "y").set_index("g")
+    # group a: perfectly linear -> 10000; group c: zero x-variance ->
+    # dropped (matches the oracle's WHERE)
+    assert out.loc["a", "corr_bp"] == 10_000
+    assert "c" not in out.index
+    # group b: replay the formula independently
+    x, y = [1, 2, 3, 4], [5, 3, 9, 1]
+    n = 4
+    sx, sy = sum(x), sum(y)
+    num = n * sum(a * b for a, b in zip(x, y)) - sx * sy
+    dx = n * sum(a * a for a in x) - sx * sx
+    dy = n * sum(a * a for a in y) - sy * sy
+    exp = math.floor(float(10_000 * num)
+                     / math.sqrt(float(dx) * float(dy)))
+    assert out.loc["b", "corr_bp"] == exp
+    assert out.loc["b", "n_rows"] == 4

@@ -219,3 +219,42 @@ def test_search_all_tokens_conjunctive(ray_session):
 
     out1 = search_all_tokens(rd.from_arrow(docs), ["apple"]).to_pandas()
     assert sorted(out1.doc_id) == [1, 2, 3, 4]
+
+
+def test_top_bigrams_doc_boundaries(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import top_bigrams
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "c a B", "x", ""],
+    })
+    out = top_bigrams(rd.from_pandas(docs).repartition(3),
+                      k=10).to_pandas()
+    got = dict(zip(out.bigram, out.n))
+    # lowercased; no cross-doc pair ("c" end of doc1 -> "c" start of
+    # doc2 must NOT produce "c c"); single-token and empty docs vanish
+    assert got == {"a b": 2, "b c": 1, "c a": 1}
+    # deterministic order: n desc, bigram asc
+    assert list(out.bigram) == ["a b", "b c", "c a"]
+
+
+def test_score_linear_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import (DEFAULT_LR_BIAS, DEFAULT_LR_WEIGHTS,
+                                   score_linear)
+
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["hello, world!", ""]})
+    out = score_linear(rd.from_pandas(docs), concurrency=1).to_pandas() \
+        .set_index("doc_id")
+    w, b = DEFAULT_LR_WEIGHTS, DEFAULT_LR_BIAS
+    # "hello, world!": 13 chars, 2 tokens, 2 punct
+    exp1 = b + w["n_chars"] * 13 + w["n_tokens"] * 2 + w["n_punct"] * 2
+    assert out.loc[1, "logit"] == exp1
+    assert out.loc[1, "keep"] == int(exp1 > 0)
+    assert out.loc[2, "logit"] == b and out.loc[2, "keep"] == 0
