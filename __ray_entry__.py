@@ -252,6 +252,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return hits_authorities(ed, iters=2)
 
+    def kg_sssp(sf_dir):
+        # Bellman–Ford weighted SSSP (3 rounds) from the same
+        # max-out-degree source as kg_bfs, edge weight = predicate
+        # string length (deterministic, varied): parallel edges
+        # min-collapse in a combiner, then per round one edge-sized
+        # shuffle join + min-combine
+        import pyarrow.compute as pc
+
+        from raygraph.ops.graph import distinct_pairs, sssp_distance
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path,
+                             columns=["_from", "pred", "_to"])
+
+        def with_w(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "_from": batch.column("_from"),
+                "_to": batch.column("_to"),
+                "w": pc.cast(pc.utf8_length(batch.column("pred")),
+                             pa.int64()),
+            })
+
+        deg = preagg_sum(distinct_pairs(ed).select_columns(["_from"]),
+                         ["_from"], {}, counts="d")
+        top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
+        return sssp_distance(ed.map_batches(with_w,
+                                            batch_format="pyarrow"),
+                             source=top[0]["_from"], iters=3)
+
     def kg_clustering(sf_dir):
         # per-vertex local clustering coefficient (exact basis points):
         # shared degree-ordered triangle enumeration → 3-way vertex
@@ -378,6 +407,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = _doubled_docs(sf_dir).union(
             docs.map_batches(appended, batch_format="pyarrow"))
         return D.simhash_hamming_pairs(corpus, max_hamming=3, bands=4)
+
+    def dedup_jaccard_pairs(sf_dir):
+        # exact set-similarity threshold self-join (Jaccard ≥ 0.8) via
+        # AllPairs prefix filtering over docs ∪ one-token-appended
+        # copies: prefix rows under the (md5, token) global order, one
+        # token-keyed exchange, in-cluster text-join verify — the
+        # oracle replays the identical prefix filter and join in SQL
+        import pyarrow.compute as pc
+
+        docs = _docs_ds(sf_dir)
+
+        def appended(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            return pa.table({
+                "doc_id": pc.add(batch.column("doc_id"), _OFFSET),
+                "text": pa.array(s + " zq", pa.string()),
+            })
+
+        corpus = docs.union(
+            docs.map_batches(appended, batch_format="pyarrow"))
+        return D.jaccard_threshold_pairs(corpus, threshold_bp=8000)
 
     def dedup_edit_pairs(sf_dir):
         # banded edit-distance similarity join over a corpus where every
@@ -1818,6 +1868,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return e4.map_batches(flag, batch_format="pyarrow")
 
+    def events_value_mad(sf_dir):
+        # robust scale profiling: per-type median + median absolute
+        # deviation, exact integer quantiles — two value-count shuffles
+        # (distinct values move, not rows); the |types|-sized median
+        # table is closure-broadcast into the deviation pass
+        from raygraph.ops.relational import grouped_quantiles
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value"])
+
+        def to_e4(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": batch.column("event_type"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        e4 = ev.map_batches(to_e4, batch_format="pyarrow")
+        med = grouped_quantiles(e4, ["event_type"], "value_e4",
+                                qs=(0.5,)).to_pandas()
+        m = dict(zip(med["event_type"], med["p50"]))
+
+        def absdev(batch: pa.Table) -> pa.Table:
+            t = batch.column("event_type").to_pandas()
+            v = batch.column("value_e4").to_numpy(zero_copy_only=False)
+            a = np.abs(v - t.map(m).to_numpy())
+            return pa.table({"event_type": batch.column("event_type"),
+                             "adev": pa.array(a, pa.int64())})
+
+        mad = grouped_quantiles(e4.map_batches(absdev,
+                                               batch_format="pyarrow"),
+                                ["event_type"], "adev",
+                                qs=(0.5,)).to_pandas()
+        out = med.rename(columns={"p50": "med_e4"}).merge(
+            mad.rename(columns={"p50": "mad_e4"}), on="event_type")
+        out["med_e4"] = out["med_e4"].astype("int64")
+        out["mad_e4"] = out["mad_e4"].astype("int64")
+        return out.sort_values("event_type").reset_index(drop=True)
+
     def events_type_overlap(sf_dir):
         # cohort-overlap matrix: exact distinct users per unordered
         # event-type pair — one user-bucketed shuffle (a user's type set
@@ -2339,17 +2428,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "kg_clustering": kg_clustering,
         "kg_hits": kg_hits,
+        "kg_sssp": kg_sssp,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
         "docs_search_all": docs_search_all,
         "events_type_overlap": events_type_overlap,
         "events_value_outliers": events_value_outliers,
+        "events_value_mad": events_value_mad,
         "events_resample_1h": events_resample_1h,
         "embedding_pca": embedding_pca,
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "text_top_bigrams": text_top_bigrams,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
@@ -2523,22 +2615,38 @@ def _kmeans_sql(k: int, iters: int) -> str:
     return "\n".join(parts)
 
 
-def _bfs_sql(edges_sql: str, iters: int) -> str:
+def _bfs_sql(edges_sql: str, iters: int,
+             weight_expr: str | None = None) -> str:
     """Machine-unrolled directed BFS from the max-out-degree vertex
     (ties → smallest id): per round one join + min-groupby relaxation
     over the arc set (real arcs w=1 plus per-vertex self-loops w=0),
     mirroring raygraph.ops.graph.bfs_distance term for term. Unreached
-    vertices keep the INF sentinel and are filtered at the end."""
+    vertices keep the INF sentinel and are filtered at the end.
+
+    With ``weight_expr`` (a SQL expression over the edges CTE, e.g.
+    ``length(pred)``) this unrolls weighted Bellman–Ford instead:
+    parallel edges min-collapse, relaxation adds the weight —
+    mirroring raygraph.ops.graph.sssp_distance."""
     from raygraph.ops.graph import BFS_INF
 
     inf = int(BFS_INF)
+    if weight_expr is None:
+        real = ", rw AS (SELECT u, v, 1::BIGINT AS w FROM pr)"
+        pr = ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)"
+    else:
+        pr = (f", pr AS (SELECT _from AS u, _to AS v, "
+              f"min({weight_expr})::BIGINT AS w FROM edges "
+              f"GROUP BY _from, _to)")
+        real = ", rw AS (SELECT u, v, w FROM pr)"
     parts = [
         f"WITH edges AS ({edges_sql})",
-        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        pr,
         ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
-        ", src AS (SELECT u AS s FROM (SELECT u, count(*) AS c FROM pr "
-        "GROUP BY u) ORDER BY c DESC, u LIMIT 1)",
-        ", arcs AS (SELECT u, v, 1::BIGINT AS w FROM pr "
+        ", src AS (SELECT u AS s FROM (SELECT u, count(*) AS c FROM "
+        "(SELECT DISTINCT u, v FROM pr) GROUP BY u) "
+        "ORDER BY c DESC, u LIMIT 1)",
+        real,
+        ", arcs AS (SELECT u, v, w FROM rw "
         "UNION ALL SELECT x, x, 0::BIGINT FROM vv)",
         ", d0 AS (SELECT x, CASE WHEN x = src.s THEN 0::BIGINT "
         f"ELSE {inf}::BIGINT END AS dist FROM vv, src)",
@@ -2893,6 +3001,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
+        "kg_sssp": _bfs_sql(kg_edges_sql, iters=3,
+                            weight_expr="length(pred)"),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""
@@ -2969,6 +3079,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.value_e4
             FROM ev e JOIN b ON e.event_type = b.event_type
             WHERE e.value_e4 < b.lo OR e.value_e4 > b.hi
+        """,
+        "events_value_mad": """
+            WITH ev AS (SELECT event_type,
+                               CAST(round(value * 10000, 0) AS BIGINT)
+                                   AS v
+                        FROM events),
+            med AS (SELECT event_type,
+                           quantile_disc(v, 0.5)::BIGINT AS m
+                    FROM ev GROUP BY event_type),
+            d AS (SELECT e.event_type, m.m, abs(e.v - m.m) AS a
+                  FROM ev e JOIN med m ON e.event_type = m.event_type)
+            SELECT event_type, min(m)::BIGINT AS med_e4,
+                   quantile_disc(a, 0.5)::BIGINT AS mad_e4
+            FROM d GROUP BY event_type
         """,
         "events_type_overlap": """
             WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
@@ -3859,6 +3983,67 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM h)
             SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
             FROM s GROUP BY simhash
+        """,
+        # the REAL AllPairs prefix filter replayed in SQL: distinct
+        # tokens per doc ordered by (md5(token), token), prefix length
+        # c - ceil(t·c) + 1, candidates = pairs sharing a prefix token,
+        # verify = exact integer jaccard_bp — identical semantics to
+        # raygraph.ops.dedup.jaccard_threshold_pairs
+        "dedup_jaccard_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text || ' zq' FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')
+                     END AS toks
+              FROM corpus
+            ),
+            dt AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+            cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM dt
+                    GROUP BY doc_id),
+            rk AS (
+              SELECT doc_id, token,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY md5(token), token) AS rn
+              FROM dt
+            ),
+            pf AS (
+              SELECT r.doc_id, r.token
+              FROM rk r JOIN cnt USING (doc_id)
+              WHERE r.rn <= c - (8000 * c + 9999) // 10000 + 1
+            ),
+            -- BUCKET_PAIR_CAP replayed: per prefix token only the first
+            -- 512 doc ids (sorted) pair up, exactly _bucket_pairs
+            pfr AS (
+              SELECT doc_id, token,
+                     row_number() OVER (PARTITION BY token
+                                        ORDER BY doc_id) AS tr
+              FROM pf
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pfr a JOIN pfr b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+               AND a.tr <= 512 AND b.tr <= 512
+            ),
+            inter AS (
+              SELECT cd.id_a, cd.id_b, count(*)::BIGINT AS i
+              FROM cand cd
+              JOIN dt x ON x.doc_id = cd.id_a
+              JOIN dt y ON y.doc_id = cd.id_b AND y.token = x.token
+              GROUP BY cd.id_a, cd.id_b
+            )
+            SELECT iv.id_a, iv.id_b,
+                   (10000 * iv.i) // (ca.c + cb.c - iv.i) AS jaccard_bp
+            FROM inter iv
+            JOIN cnt ca ON ca.doc_id = iv.id_a
+            JOIN cnt cb ON cb.doc_id = iv.id_b
+            WHERE (10000 * iv.i) // (ca.c + cb.c - iv.i) >= 8000
         """,
         # the REAL banded hamming join replayed in SQL: signatures
         # recomputed bit-for-bit, candidates = pairs agreeing on any of

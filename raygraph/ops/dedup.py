@@ -354,33 +354,24 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                           num_buckets=max(8, nb // 4))
 
 
-def minhash_verified_pairs(
-    ds,
-    threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle: str = "char",
-    num_buckets: int | None = None,
-):
-    """LSH candidates → exact Jaccard verify, fully in-cluster: candidate
-    texts are attached via two hash-partitioned ``Dataset.join``s and
-    Jaccard runs inside ``map_batches`` — the corpus never streams
-    through the driver. Returns the lazy verified (id_a, id_b) pair
-    Dataset (the provably small side: true near-dups only), or ``None``
-    when LSH produced no candidates. Shared front half of
-    :func:`minhash_dedup` and :func:`near_dup_clusters`."""
+def attach_pair_texts(cand, ds, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Attach both endpoint texts to a candidate (id_a, id_b) pair
+    Dataset via two hash-partitioned ``Dataset.join``s — the in-cluster
+    verify idiom shared by :func:`minhash_verified_pairs` and
+    :func:`jaccard_threshold_pairs`: the corpus never streams through
+    the driver; the join intermediates are pair-volume-sized (the
+    provably small side). Returns ``(joined, id_type)`` with
+    ``__text_a`` / ``__text_b`` columns, or ``(None, None)`` when there
+    are no candidates."""
     import ray
 
     from .relational import coerce_schema, compact_nonempty
 
-    cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
-                              shingle=shingle,
-                              num_buckets=num_buckets).materialize()
+    cand = cand.materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return None
+        return None, None
     sch = cand.schema()
     id_t = sch.types[sch.names.index("id_a")]
     # drop Ray-internal zero-row blocks (metadata-only), then a LAZY
@@ -415,11 +406,36 @@ def minhash_verified_pairs(
     # small side by construction
     j = compact_nonempty(j.materialize())
     if j is None:
-        return None
+        return None, None
     j = j.join(
         renamed(texts, {id_col: "id_b", text_col: "__text_b"}),
         join_type="inner", num_partitions=nparts, on=("id_b",),
     )
+    return j, id_t
+
+
+def minhash_verified_pairs(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: str = "char",
+    num_buckets: int | None = None,
+):
+    """LSH candidates → exact Jaccard verify, fully in-cluster: candidate
+    texts are attached via two hash-partitioned ``Dataset.join``s and
+    Jaccard runs inside ``map_batches`` — the corpus never streams
+    through the driver. Returns the lazy verified (id_a, id_b) pair
+    Dataset (the provably small side: true near-dups only), or ``None``
+    when LSH produced no candidates. Shared front half of
+    :func:`minhash_dedup` and :func:`near_dup_clusters`."""
+    cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
+                              shingle=shingle, num_buckets=num_buckets)
+    j, id_t = attach_pair_texts(cand, ds, text_col, id_col)
+    if j is None:
+        return None
 
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
 
@@ -582,6 +598,114 @@ def near_dup_clusters(
                          "cluster_id": pc.cast(lab, pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def jaccard_threshold_pairs(ds, threshold_bp: int = 8000,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int | None = None):
+    """AllPairs-style prefix-filtered set-similarity self-join: every
+    pair of docs whose distinct-token Jaccard ≥ threshold_bp/10⁴, as
+    (id_a, id_b, jaccard_bp) — exact (no LSH recall loss).
+
+    Prefix filter (Chaudhuri/Bayardo): under ANY global total order on
+    tokens, two sets with Jaccard ≥ t must share a token inside each
+    set's first ``|x| - ceil(t·|x|) + 1`` tokens — so candidates are
+    pairs sharing a PREFIX token (one token-keyed exchange of prefix
+    rows, ~(1-t)·corpus tokens, never all-pairs). This implementation
+    orders tokens by (md5(token), token): join-free and
+    SQL-replayable; production rare-first df-ascending order shrinks
+    candidate buckets further at the cost of a global df aggregate +
+    join — same correctness either way. Verification attaches both
+    texts via :func:`attach_pair_texts` (two hash-partitioned joins,
+    in-cluster) and computes exact integer jaccard_bp =
+    (10⁴·|∩|) // |∪|. Degenerate prefix-token buckets are bounded by
+    ``BUCKET_PAIR_CAP`` with logged drops.
+    """
+    import hashlib
+
+    from .relational import hash_aggregate
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas()
+        toks = s.str.strip().str.lower().str.split()
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pa.table({"token": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64())})
+        df = pd.DataFrame({"i": ex.index, "token": ex.to_numpy()}) \
+            .drop_duplicates()
+        uniq = pd.unique(df["token"])
+        h = {t: hashlib.md5(t.encode("utf-8")).hexdigest() for t in uniq}
+        df["h"] = df["token"].map(h)
+        df = df.sort_values(["i", "h", "token"], kind="mergesort")
+        df["rn"] = df.groupby("i").cumcount()
+        c = df.groupby("i")["token"].transform("size")
+        p = c - (threshold_bp * c + 9_999) // 10_000 + 1
+        pref = df[df["rn"] < p]
+        return pa.table({
+            "token": pa.array(pref["token"].to_numpy(), pa.string()),
+            id_col: pa.array(ids.loc[pref["i"]].to_numpy()),
+        })
+
+    def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("token")[id_col].transform("size")
+        df = df[sizes >= 2]
+        if df.empty:
+            dt = df[id_col].dtype
+            return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
+                                 "id_b": pd.Series([], dtype=dt)})
+        outs = [_bucket_pairs(g.rename(columns={id_col: "doc_id"}))
+                for _, g in df.groupby("token", sort=False)]
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    nb = num_buckets or 128
+    pairs = hash_aggregate(
+        ds.map_batches(prefix_rows, batch_format="pyarrow"),
+        ["token"], bucket_pairs_many, num_buckets=nb)
+    cand = hash_aggregate(pairs, ["id_a", "id_b"],
+                          lambda df: df.drop_duplicates(),
+                          num_buckets=max(8, nb // 4))
+
+    j, id_t = attach_pair_texts(cand, ds, text_col, id_col)
+    out_schema = pa.schema([("id_a", id_t or pa.int64()),
+                            ("id_b", id_t or pa.int64()),
+                            ("jaccard_bp", pa.int64())])
+    if j is None:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if "__text_a" not in batch.schema.names:
+            return out_schema.empty_table()
+        cache: dict = {}
+
+        def tokset(t):
+            t = t or ""
+            got = cache.get(t)
+            if got is None:
+                got = cache[t] = set(t.strip().lower().split())
+            return got
+
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        bp, keep = [], []
+        for a, b in zip(ta, tb):
+            sa, sb = tokset(a), tokset(b)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            v = (10_000 * inter) // union if union else 0
+            ok = v >= threshold_bp
+            keep.append(ok)
+            if ok:
+                bp.append(v)
+        out = batch.filter(pa.array(keep, pa.bool_())) \
+            .select(["id_a", "id_b"])
+        return out.append_column("jaccard_bp", pa.array(bp, pa.int64()))
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- SimHash

@@ -538,7 +538,8 @@ BFS_INF = np.int64(1 << 40)  # "unreached" sentinel, far above any hop count
 
 
 def bfs_distance(edges, source: str, iters: int = 3,
-                 src: str = "_from", dst: str = "_to"):
+                 src: str = "_from", dst: str = "_to",
+                 weight_col: str | None = None):
     """Directed BFS hop distance from ``source``, exact for every vertex
     within ``iters`` hops (unreached vertices are dropped). Same
     dataflow as :func:`connected_components` — per round ONE edge-sized
@@ -546,25 +547,41 @@ def bfs_distance(edges, source: str, iters: int = 3,
     self-loops w=0 fold the vertex's own dist) and a min-combine per
     destination; distances stay a Dataset throughout, only the source
     id is driver state. Fixed rounds keep the spec exact and
-    SQL-unrollable."""
+    SQL-unrollable.
+
+    With ``weight_col`` (nonnegative int64 on ``edges``) this is
+    Bellman–Ford weighted SSSP: parallel edges collapse to their MIN
+    weight (one combiner aggregate instead of the distinct-pair dedup)
+    and each round relaxes dist(u) + w — exact for every shortest path
+    of ≤ ``iters`` arcs. See :func:`sssp_distance`."""
     import pyarrow.compute as pc
 
     from .relational import (_join_partitions, preagg_extreme,
                              shuffle_join)
 
-    pairs = distinct_pairs(edges, src, dst)
-    nparts = _join_partitions(pairs.count())
-
     arc_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
                             ("w", pa.int64())])
 
-    def as_arc(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({"u": batch.column(src), "v": batch.column(dst),
-                         "w": pa.array(np.ones(n, dtype="int64"))})
+    if weight_col is None:
+        pairs = distinct_pairs(edges, src, dst)
+        nparts = _join_partitions(pairs.count())
 
-    arcs = _repaired(pairs.map_batches(as_arc, batch_format="pyarrow"),
-                     arc_schema)
+        def as_arc(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({"u": batch.column(src),
+                             "v": batch.column(dst),
+                             "w": pa.array(np.ones(n, dtype="int64"))})
+
+        arcs = pairs.map_batches(as_arc, batch_format="pyarrow")
+    else:
+        weighted = preagg_extreme(edges, [src, dst], weight_col,
+                                  how="min", out="w")
+        nparts = _join_partitions(weighted.count())
+        arcs = weighted.map_batches(
+            lambda b: pa.table({"u": b.column(src), "v": b.column(dst),
+                                "w": b.column("w")}),
+            batch_format="pyarrow")
+    arcs = _repaired(arcs, arc_schema)
     verts = _repaired(
         preagg_extreme(
             arcs.map_batches(
@@ -621,6 +638,19 @@ def bfs_distance(edges, source: str, iters: int = 3,
         return batch.filter(keep)
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def sssp_distance(edges, source: str, iters: int = 3,
+                  src: str = "_from", dst: str = "_to",
+                  weight_col: str = "w"):
+    """Bellman–Ford single-source shortest paths (nonnegative integer
+    weights, ``iters`` synchronous relaxation rounds): exact for every
+    shortest path of ≤ ``iters`` arcs. Same join-relax-min dataflow as
+    :func:`bfs_distance` — one edge-sized shuffle join + min-combine
+    per round — with parallel edges collapsed to their min weight by a
+    combiner aggregate up front."""
+    return bfs_distance(edges, source, iters=iters, src=src, dst=dst,
+                        weight_col=weight_col)
 
 
 def kcore(edges, k: int = 2, iters: int = 3,

@@ -291,3 +291,36 @@ def test_simhash_hamming_pairs_banded(ray_session):
     # banding with max_hamming < bands is EXACT (pigeonhole): the join
     # must find precisely the true <=3 pairs
     assert got == expect
+
+
+def test_jaccard_threshold_pairs_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import jaccard_threshold_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e",        # |T|=5
+            "a b c d e f",      # jacc(1,2) = 5/6 -> 8333 >= 8000
+            "a b c x y",        # jacc(1,3) = 3/7 -> out
+            "p q r s t",        # disjoint from all
+        ],
+    })
+    out = jaccard_threshold_pairs(rd.from_pandas(docs).repartition(2),
+                                  threshold_bp=8000,
+                                  num_buckets=8).to_pandas()
+    got = {(r.id_a, r.id_b): r.jaccard_bp
+           for r in out.itertuples(index=False)}
+    assert got == {(1, 2): 8333}
+
+    # lower threshold brings in the 3/7 pair iff the prefix filter
+    # kept it a candidate (it must: exactness of the prefix bound)
+    out2 = jaccard_threshold_pairs(rd.from_pandas(docs).repartition(2),
+                                   threshold_bp=3700,
+                                   num_buckets=8).to_pandas()
+    got2 = {(r.id_a, r.id_b): r.jaccard_bp
+            for r in out2.itertuples(index=False)}
+    assert got2 == {(1, 2): 8333, (1, 3): 4285,   # 3/7
+                    (2, 3): 3750}                  # 3/8

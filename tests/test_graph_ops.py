@@ -464,3 +464,21 @@ def test_hits_authorities_star(ray_session):
     got = dict(zip(out.vertex, out.auth))
     # round 1: a = {z:3, w:1}, h = {u*:3, z:1}; round 2: a = {z:9, w:1}
     assert got == {"z": 9, "w": 1}
+
+
+def test_sssp_weighted_min_parallel_edges(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import sssp_distance
+
+    # s->a (w 5 and 2: parallel edges min-collapse to 2), a->b (w 1),
+    # s->b direct (w 9) — shortest s->b is 3 via a; c unreached
+    edges = pa.table({
+        "_from": ["s", "s", "a", "s", "c"],
+        "_to":   ["a", "a", "b", "b", "c2"],
+        "w":     [5, 2, 1, 9, 1],
+    })
+    out = sssp_distance(rd.from_arrow(edges).repartition(2),
+                        source="s", iters=3).to_pandas()
+    got = dict(zip(out.vertex, out.dist))
+    assert got == {"s": 0, "a": 2, "b": 3}
