@@ -834,6 +834,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_corr_bp(li.map_batches(quant, batch_format="pyarrow"),
                                ["l_returnflag"], "qty", "dollars")
 
+    def docs_boilerplate(sf_dir):
+        # cross-doc boilerplate screen: per-doc fraction (exact bp) of
+        # 5-gram occurrences whose 5-gram appears in ≥5 docs — exact df
+        # via one ngram-keyed exchange + doc-keyed combiner fold-back
+        return T.boilerplate_stats(_docs_ds(sf_dir), n=5, df_min=5)
+
+    def docs_split_assign(sf_dir):
+        # deterministic train/val/test split (80/10/10): content-keyed
+        # md5 bucket of the doc id — identical assignment at any
+        # parallelism, on any engine; no shuffle, pure streamed map
+        import hashlib
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pandas().astype(str)
+            h = ids.map(lambda s: int(
+                hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000)
+            split = np.where(h < 800, "train",
+                             np.where(h < 900, "val", "test"))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "split": pa.array(split, pa.string()),
+            })
+
+        return docs.map_batches(assign, batch_format="pyarrow")
+
+    def events_top_trigrams(sf_dir):
+        # sequence mining: top-10 per-user event-type trigrams (three
+        # consecutive events by (ts, event_id)); user-bucketed partials
+        # are trigram-type-sized, final top-k is a distributed
+        # sort+limit
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type", "event_id"])
+        return E.type_trigrams(ev, k=10)
+
     def docs_inverted_index(sf_dir):
         # search-index build: distinct (doc, token) explode → ONE
         # token-bucketed shuffle; df counted vectorized, out-of-band
@@ -2442,6 +2481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "docs_boilerplate": docs_boilerplate,
+        "docs_split_assign": docs_split_assign,
+        "events_top_trigrams": events_top_trigrams,
         "text_top_bigrams": text_top_bigrams,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
@@ -3424,6 +3466,23 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             GROUP BY f.cohort_week, a.week
         """,
+        "events_top_trigrams": """
+            WITH s AS (
+              SELECT user_id, event_type AS t3,
+                     lag(event_type, 1) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS t2,
+                     lag(event_type, 2) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS t1
+              FROM events
+            )
+            SELECT t1, t2, t3, count(*)::BIGINT AS n
+            FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 10
+        """,
         "events_transitions": """
             WITH s AS (
               SELECT user_id, event_type,
@@ -4251,6 +4310,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text, '{bpe_pat_sql}'))::BIGINT
                        AS n_bpe_tokens
+            FROM documents
+        """,
+        "docs_boilerplate": _TOKS_CTE + """
+            , g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(toks) - 4),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                            toks[i + 2] || ' ' || toks[i + 3] || ' ' ||
+                            toks[i + 4])) AS ngram
+              FROM t
+            ),
+            po AS (SELECT doc_id, ngram, count(*)::BIGINT AS occ
+                   FROM g GROUP BY doc_id, ngram),
+            dfc AS (SELECT ngram, count(*)::BIGINT AS df
+                    FROM po GROUP BY ngram),
+            j AS (SELECT po.doc_id, po.occ,
+                         CASE WHEN dfc.df >= 5 THEN po.occ
+                              ELSE 0 END AS b
+                  FROM po JOIN dfc USING (ngram))
+            SELECT doc_id, sum(occ)::BIGINT AS n_grams,
+                   sum(b)::BIGINT AS n_boiler,
+                   ((10000 * sum(b)) // sum(occ))::BIGINT AS boiler_bp
+            FROM j GROUP BY doc_id
+        """,
+        "docs_split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15)
+                             )::BIGINT % 1000 < 800 THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15)
+                             )::BIGINT % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
             FROM documents
         """,
         "docs_sample_10pct": """

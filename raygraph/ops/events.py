@@ -369,6 +369,36 @@ def type_transitions(ds, key_col: str = "user_id", ts_col: str = "ts",
     return preagg_sum(partials, ["from_type", "to_type"], {"n": "n"})
 
 
+def type_trigrams(ds, k: int = 10, key_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  tie_col: str = "event_id", num_buckets: int = 64):
+    """Sequential-pattern heavy hitters: the top-k per-key event-type
+    TRIGRAMS (three consecutive events within a key, ordered by
+    (ts, tie)) across all keys — the 3-step-journey mining primitive.
+    Same dataflow as :func:`type_transitions` (all rows of a key meet
+    in one bucket; one sort + two groupby-shifts per bucket; partials
+    are trigram-type-sized) with the final top-k as a distributed
+    ``sort + limit``, deterministic tie-break on the trigram columns."""
+    from .relational import hash_aggregate, preagg_sum
+
+    def bucket_trigrams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False)[type_col]
+        out = pd.DataFrame({"t1": g.shift(2), "t2": g.shift(1),
+                            "t3": df[type_col]}).dropna()
+        agg = out.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    partials = hash_aggregate(
+        ds.select_columns([key_col, ts_col, type_col, tie_col]),
+        [key_col], bucket_trigrams, num_buckets=num_buckets)
+    agg = preagg_sum(partials, ["t1", "t2", "t3"], {"n": "n"})
+    return agg.sort(["n", "t1", "t2", "t3"],
+                    descending=[True, False, False, False]).limit(k)
+
+
 def type_sequences(ds, key_col: str = "user_id", ts_col: str = "ts",
                    type_col: str = "event_type",
                    tie_col: str = "event_id", sep: str = ">",

@@ -440,6 +440,63 @@ def bench_ngram_set(ds, n: int = 3, text_col: str = "text") -> frozenset:
     return frozenset(out)
 
 
+def boilerplate_stats(ds, n: int = 5, df_min: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 128):
+    """Cross-document boilerplate screen (the CommonCrawl header/footer
+    filter): per document, the fraction of its word n-gram occurrences
+    whose n-gram appears in ≥ ``df_min`` documents corpus-wide, in
+    exact basis points.
+
+    ONE ngram-keyed exchange computes exact document frequency (every
+    (doc, ngram, occ) row of an ngram meets in its bucket) and tags
+    each row's occurrences as boilerplate or not; a doc-keyed combiner
+    sum then folds the tagged rows back to one row per document. The
+    exchange carries the per-(doc, ngram) distinct rows — the honest
+    cost of EXACT df; the sketch path for 100 TB is the count-min
+    stage (``text_cms_counts``), which needs no shuffle at all. Docs
+    with fewer than n tokens emit nothing (mirrors the SQL shape)."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_aggregate, preagg_sum
+
+    def ngram_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = batch.column(id_col).to_pandas()
+        grams = _doc_ngrams(s, n)
+        if not len(grams):
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "ngram": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64())})
+        grams[id_col] = ids.loc[grams.index].to_numpy()
+        agg = grams.groupby([id_col, "ngram"], as_index=False).size() \
+            .rename(columns={"size": "occ"})
+        agg["occ"] = agg["occ"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def tag_df(df: pd.DataFrame) -> pd.DataFrame:
+        dfc = df.groupby("ngram")[id_col].transform("size")
+        boiler = df["occ"].where(dfc >= df_min, 0).astype("int64")
+        out = pd.DataFrame({id_col: df[id_col], "n_grams": df["occ"],
+                            "n_boiler": boiler})
+        return out.groupby(id_col, as_index=False).sum()
+
+    tagged = hash_aggregate(
+        ds.map_batches(ngram_rows, batch_format="pyarrow"),
+        ["ngram"], tag_df, num_buckets=num_buckets)
+    per_doc = preagg_sum(tagged, [id_col],
+                         {"n_grams": "n_grams", "n_boiler": "n_boiler"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bp = pc.divide(pc.multiply(batch.column("n_boiler"),
+                                   pa.scalar(10_000, pa.int64())),
+                       batch.column("n_grams"))
+        return batch.append_column("boiler_bp", bp)
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text",
                      id_col: str = "doc_id") -> pa.Table:
     """Gopher-style repetition quality signals: per document, the number

@@ -264,3 +264,23 @@ def test_resample_locf_grid_and_ties(ray_session):
     # u1 grid 01:00..03:00 (span ends 03:30): LOCF with tie → id 3
     assert got == {(1, h): 10_000, (1, h + 1): 70_000, (1, h + 2): 70_000}
     # u2's single event spans no grid point → no rows (asserted via got)
+
+
+def test_type_trigrams_order_and_boundaries(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import type_trigrams
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 3, 3],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2, 3, 1, 2], unit="s"),
+        "event_type": ["a", "b", "c", "a", "a", "b", "c", "a", "b"],
+        "event_id": range(9),
+    })
+    out = type_trigrams(rd.from_pandas(ev).repartition(3),
+                        k=10, num_buckets=4).to_pandas()
+    got = {(r.t1, r.t2, r.t3): r.n for r in out.itertuples(index=False)}
+    # user 1: abc, bca; user 2: abc; user 3 too short -> nothing
+    assert got == {("a", "b", "c"): 2, ("b", "c", "a"): 1}
+    assert list(out.itertuples(index=False))[0][:3] == ("a", "b", "c")

@@ -258,3 +258,26 @@ def test_score_linear_exact(ray_session):
     assert out.loc[1, "logit"] == exp1
     assert out.loc[1, "keep"] == int(exp1 > 0)
     assert out.loc[2, "logit"] == b and out.loc[2, "keep"] == 0
+
+
+def test_boilerplate_stats_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import boilerplate_stats
+
+    shared = "one two three four five"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            shared + " alpha beta",     # 3 5-grams, 1 shared
+            shared + " gamma delta",    # 3 5-grams, 1 shared
+            "tiny",                     # <5 tokens -> no row
+        ],
+    })
+    out = boilerplate_stats(rd.from_pandas(docs).repartition(2),
+                            n=5, df_min=2, num_buckets=4).to_pandas()
+    got = {r.doc_id: (r.n_grams, r.n_boiler, r.boiler_bp)
+           for r in out.itertuples(index=False)}
+    assert got == {1: (3, 1, 3333), 2: (3, 1, 3333)}
+    assert 3 not in got
