@@ -281,6 +281,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             batch_format="pyarrow"),
                              source=top[0]["_from"], iters=3)
 
+    def kg_ppr(sf_dir):
+        # personalized PageRank (3 rounds) from the max-out-degree
+        # source: restart + dangling mass return to the source — the
+        # proximity/recommendation variant of kg_pagerank, same
+        # one-join-per-iteration dataflow and integer exactness
+        from raygraph.ops.graph import distinct_pairs, pagerank
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        deg = preagg_sum(distinct_pairs(ed).select_columns(["_from"]),
+                         ["_from"], {}, counts="d")
+        top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
+        return pagerank(ed, iters=3, personalize=top[0]["_from"])
+
     def kg_clustering(sf_dir):
         # per-vertex local clustering coefficient (exact basis points):
         # shared degree-ordered triangle enumeration → 3-way vertex
@@ -872,6 +886,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "events.parquet"),
             columns=["user_id", "ts", "event_type", "event_id"])
         return E.type_trigrams(ev, k=10)
+
+    def text_bpe_merge(sf_dir):
+        # tokenizer training, one step: the top-10 adjacent char pairs
+        # a BPE learner would merge next — vocab-sized combiner, pair
+        # explode once per unique token, distributed sort+limit
+        return T.bpe_merge_pairs(_docs_ds(sf_dir), k=10)
+
+    def events_hour_profile(sf_dir):
+        # temporal feature engineering: event seasonality by (hour of
+        # day × type) — counts + exact value_e4 sums, one combiner pass
+        import pyarrow.compute as pc
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "event_type", "value"])
+
+        def tag(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        return preagg_sum(ev.map_batches(tag, batch_format="pyarrow"),
+                          ["hour", "event_type"],
+                          {"sum_value_e4": "value_e4"}, counts="n")
+
+    def lineitem_weighted_disc(sf_dir):
+        # price-weighted mean discount per return flag, exact integer
+        # rational: wavg_bp = Σ(disc_bp·price_cents) // Σprice_cents —
+        # one combiner pass, 3-row aggregate
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_discount", "l_extendedprice"])
+
+        def quant(batch: pa.Table) -> pa.Table:
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            p = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            cents = np.round(p * 100).astype("int64")
+            bp = np.round(d * 10_000).astype("int64")
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "num": pa.array(bp * cents, pa.int64()),
+                "den": pa.array(cents, pa.int64()),
+            })
+
+        agg = preagg_sum(li.map_batches(quant, batch_format="pyarrow"),
+                         ["l_returnflag"], {"num": "num", "den": "den"})
+
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "wavg_disc_bp": pc.divide(batch.column("num"),
+                                          batch.column("den")),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
 
     def docs_inverted_index(sf_dir):
         # search-index build: distinct (doc, token) explode → ONE
@@ -2468,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": kg_clustering,
         "kg_hits": kg_hits,
         "kg_sssp": kg_sssp,
+        "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -2484,6 +2559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate": docs_boilerplate,
         "docs_split_assign": docs_split_assign,
         "events_top_trigrams": events_top_trigrams,
+        "text_bpe_merge": text_bpe_merge,
+        "events_hour_profile": events_hour_profile,
+        "lineitem_weighted_disc": lineitem_weighted_disc,
         "text_top_bigrams": text_top_bigrams,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
@@ -2801,11 +2879,16 @@ def _kcore_sql(edges_sql: str, k: int, iters: int) -> str:
     return "".join(parts)
 
 
-def _pagerank_sql(edges_sql: str, iters: int) -> str:
+def _pagerank_sql(edges_sql: str, iters: int,
+                  personalize: bool = False) -> str:
     """Machine-unrolled integer PageRank: each iteration is a join +
     groupby + dangling-mass scalar + realign CTE, mirroring
     raygraph.ops.graph.pagerank's fixed-point spec term for term (all
-    BIGINT floor arithmetic, so the match is bit-for-bit)."""
+    BIGINT floor arithmetic, so the match is bit-for-bit).
+
+    ``personalize=True`` unrolls the personalized variant instead
+    (restart + dangling mass to the max-out-degree source, ties →
+    smallest id — the kg_bfs source convention)."""
     from raygraph.ops.graph import SCALE
 
     parts = [
@@ -2814,8 +2897,18 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
         ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
         ", nn AS (SELECT count(*)::BIGINT AS n FROM vv)",
         ", od AS (SELECT u AS x, count(*)::BIGINT AS d FROM pr GROUP BY u)",
-        f", r0 AS (SELECT x, ({SCALE}::BIGINT // nn.n) AS r FROM vv, nn)",
     ]
+    if personalize:
+        parts += [
+            ", sv AS (SELECT u AS s FROM (SELECT u, count(*) AS c "
+            "FROM pr GROUP BY u) ORDER BY c DESC, u LIMIT 1)",
+            f", r0 AS (SELECT x, CASE WHEN x = sv.s THEN {SCALE}::BIGINT "
+            "ELSE 0::BIGINT END AS r FROM vv, sv)",
+        ]
+    else:
+        parts.append(
+            f", r0 AS (SELECT x, ({SCALE}::BIGINT // nn.n) AS r "
+            "FROM vv, nn)")
     for i in range(iters):
         parts += [
             f", c{i} AS (SELECT r.x, r.r // od.d AS c "
@@ -2824,12 +2917,22 @@ def _pagerank_sql(edges_sql: str, iters: int) -> str:
             f"FROM pr p JOIN c{i} c ON p.u = c.x GROUP BY p.v)",
             f", g{i} AS (SELECT coalesce(sum(r.r), 0)::BIGINT AS dg "
             f"FROM r{i} r LEFT JOIN od ON r.x = od.x WHERE od.x IS NULL)",
-            f", r{i + 1} AS (SELECT vv.x, "
-            f"(15 * {SCALE}::BIGINT) // (100 * nn.n) "
-            f"+ (85 * (coalesce(s.s, 0) + g.dg // nn.n)) // 100 AS r "
-            f"FROM vv CROSS JOIN nn CROSS JOIN g{i} g "
-            f"LEFT JOIN s{i} s ON vv.x = s.x)",
         ]
+        if personalize:
+            parts.append(
+                f", r{i + 1} AS (SELECT vv.x, CASE WHEN vv.x = sv.s THEN "
+                f"(15 * {SCALE}::BIGINT) // 100 "
+                f"+ (85 * (coalesce(s.s, 0) + g.dg)) // 100 "
+                f"ELSE (85 * coalesce(s.s, 0)) // 100 END AS r "
+                f"FROM vv CROSS JOIN sv CROSS JOIN g{i} g "
+                f"LEFT JOIN s{i} s ON vv.x = s.x)")
+        else:
+            parts.append(
+                f", r{i + 1} AS (SELECT vv.x, "
+                f"(15 * {SCALE}::BIGINT) // (100 * nn.n) "
+                f"+ (85 * (coalesce(s.s, 0) + g.dg // nn.n)) // 100 AS r "
+                f"FROM vv CROSS JOIN nn CROSS JOIN g{i} g "
+                f"LEFT JOIN s{i} s ON vv.x = s.x)")
     parts.append(f" SELECT x AS vertex, r AS rank_e12 FROM r{iters}")
     return "".join(parts)
 
@@ -3041,6 +3144,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.u
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
+        "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
+                                personalize=True),
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_sssp": _bfs_sql(kg_edges_sql, iters=3,
@@ -4342,6 +4447,40 @@ def oracle_sql() -> dict[str, str]:
                              )::BIGINT % 1000 < 900 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "text_bpe_merge": _TOKS_CTE + """
+            , u AS (SELECT unnest(toks) AS token FROM t)
+            , tc AS (SELECT token, count(*)::BIGINT AS n FROM u
+                     GROUP BY token)
+            , p AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, length(token) - 1),
+                       i -> substr(token, i, 2))) AS pair, n
+              FROM tc
+            )
+            SELECT pair, sum(n)::BIGINT AS w
+            FROM p GROUP BY pair
+            ORDER BY w DESC, pair ASC
+            LIMIT 10
+        """,
+        "events_hour_profile": """
+            SELECT date_part('hour', ts)::BIGINT AS hour, event_type,
+                   sum(CAST(round(value * 10000, 0) AS BIGINT))::BIGINT
+                       AS sum_value_e4,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_weighted_disc": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(round(l_discount * 10000) AS BIGINT) AS bp,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   (sum(bp * c)::BIGINT // sum(c)::BIGINT)::BIGINT
+                       AS wavg_disc_bp
+            FROM q GROUP BY l_returnflag
         """,
         "docs_sample_10pct": """
             SELECT doc_id, text FROM documents

@@ -180,10 +180,19 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
     return labels.rename_columns({"label": "component"})
 
 
-def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
+def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to",
+             personalize: str | None = None):
     """Fixed-point integer PageRank (damping 0.85) over the deduped arc
     set — ``iters`` synchronous iterations, returned as a Dataset of
     (vertex, rank_e12) with rank scaled by 10^12.
+
+    With ``personalize`` (a source vertex id) this is personalized
+    PageRank: all restart mass and all dangling mass return to the
+    source instead of spreading uniformly —
+    ``r0(v) = [v=s]·SCALE`` and
+    ``r'(v) = [v=s]·((15·SCALE)//100) + (85·(S(v) + [v=s]·dang))//100``
+    — the proximity/recommendation variant, same dataflow and integer
+    exactness.
 
     Exact integer spec (the SQL oracle reproduces it bit-for-bit):
 
@@ -237,17 +246,26 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
         return _repaired(vo, pa.schema(_RANK_SCHEMA))
 
     def init_ranks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if personalize is None:
+            r = pa.array([SCALE // n_vertices] * batch.num_rows,
+                         pa.int64())
+        else:
+            r = pc.if_else(pc.equal(batch.column("vertex"), personalize),
+                           pa.scalar(SCALE, pa.int64()),
+                           pa.scalar(0, pa.int64()))
         return pa.table({
             "vertex": batch.column("vertex"),
             "outdeg": batch.column("outdeg"),
-            "rank_e12": pa.array([SCALE // n_vertices] * batch.num_rows,
-                                 pa.int64()),
+            "rank_e12": r,
         })
 
     ranks = _repaired(vo.map_batches(init_ranks, batch_format="pyarrow"),
                       pa.schema(_RANK_SCHEMA))
 
-    base = (15 * SCALE) // (100 * n_vertices)
+    base = ((15 * SCALE) // (100 * n_vertices) if personalize is None
+            else (15 * SCALE) // 100)
 
     for _ in range(iters):
         # per-source contribution (only vertices with out-arcs)
@@ -260,7 +278,12 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
                 "c": pa.array(r[keep] // od[keep], pa.int64()),
             })
 
-        contribs = ranks.map_batches(contrib, batch_format="pyarrow")
+        # repaired: a block whose vertices are all dangling emits zero
+        # rows, and with `personalize` whole rank regions are zero —
+        # schemaless empties would poison the join below
+        contribs = _repaired(
+            ranks.map_batches(contrib, batch_format="pyarrow"),
+            pa.schema([("cv", pa.string()), ("c", pa.int64())]))
 
         # dangling mass: scalar sum of sink-vertex ranks
         def dang_part(batch: pa.Table) -> pa.Table:
@@ -319,7 +342,13 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to"):
 
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("s").to_numpy(zero_copy_only=False)
-            r = base + (85 * (s + dshare)) // 100
+            if personalize is None:
+                r = base + (85 * (s + dshare)) // 100
+            else:
+                is_src = (batch.column("__v").to_pandas()
+                          == personalize).to_numpy()
+                r = np.where(is_src, base + (85 * (s + dang)) // 100,
+                             (85 * s) // 100)
             return pa.table({
                 "vertex": batch.column("__v"),
                 "outdeg": batch.column("outdeg"),

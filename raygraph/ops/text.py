@@ -652,6 +652,42 @@ def top_bigrams(ds, k: int = 20, text_col: str = "text"):
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def bpe_merge_pairs(ds, k: int = 10, text_col: str = "text"):
+    """One BPE-training merge round: the top-k adjacent CHARACTER pairs
+    inside whitespace tokens, weighted by corpus token frequency — the
+    pair a byte-pair-encoding tokenizer would merge next. Token counts
+    come from a combiner aggregate (corpus → vocab-sized), so the char
+    pair explode runs once per UNIQUE token per reduce batch, never per
+    corpus occurrence; the final top-k is a distributed sort+limit."""
+    from .relational import preagg_sum
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split().explode().dropna()
+        g = toks.value_counts().rename_axis("token").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vocab = preagg_sum(
+        ds.map_batches(token_counts, batch_format="pyarrow"),
+        ["token"], {"n": "n"})
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # per UNIQUE token (vocab-sized): its adjacent char pairs
+        df["pair"] = df["token"].map(
+            lambda t: [t[i:i + 2] for i in range(len(t) - 1)])
+        ex = df.explode("pair").dropna(subset=["pair"])
+        g = ex.groupby("pair", as_index=False)["n"].sum() \
+            .rename(columns={"n": "w"})
+        g["w"] = g["w"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(vocab.map_batches(pair_counts,
+                                       batch_format="pyarrow"),
+                     ["pair"], {"w": "w"})
+    return agg.sort(["w", "pair"], descending=[True, False]).limit(k)
+
+
 def inverted_index(ds, df_min: int = 2, df_max: int = 100,
                    text_col: str = "text", id_col: str = "doc_id",
                    num_buckets: int = 64):

@@ -482,3 +482,23 @@ def test_sssp_weighted_min_parallel_edges(ray_session):
                         source="s", iters=3).to_pandas()
     got = dict(zip(out.vertex, out.dist))
     assert got == {"s": 0, "a": 2, "b": 3}
+
+
+def test_personalized_pagerank_mass_to_source(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import SCALE, pagerank
+
+    # star s -> a, s -> b; a and b are dangling (mass returns to s)
+    edges = pa.table({"_from": ["s", "s"], "_to": ["a", "b"]})
+    out = pagerank(rd.from_arrow(edges).repartition(2),
+                   iters=2, personalize="s").to_pandas()
+    got = dict(zip(out.vertex, out.rank_e12))
+    # trace: r0 = {s: SCALE}; iter1: c(s) = SCALE//2 to a and b,
+    # dang = 0 -> s: 15% SCALE, a = b = 85%·(SCALE//2)
+    # iter2: c(s) = (15%SCALE)//2; dang = a+b returns to s
+    base = (15 * SCALE) // 100
+    a1 = (85 * (SCALE // 2)) // 100
+    s2 = base + (85 * (0 + 2 * a1)) // 100
+    a2 = (85 * (base // 2)) // 100
+    assert got == {"s": s2, "a": a2, "b": a2}

@@ -281,3 +281,19 @@ def test_boilerplate_stats_exact(ray_session):
            for r in out.itertuples(index=False)}
     assert got == {1: (3, 1, 3333), 2: (3, 1, 3333)}
     assert 3 not in got
+
+
+def test_bpe_merge_pairs_weighted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import bpe_merge_pairs
+
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["abab abab cd", "abab x"]})
+    out = bpe_merge_pairs(rd.from_pandas(docs).repartition(2),
+                          k=10).to_pandas()
+    got = dict(zip(out.pair, out.w))
+    # "abab" x3: pairs ab,ba,ab -> ab 6, ba 3; "cd" x1; "x" none
+    assert got == {"ab": 6, "ba": 3, "cd": 1}
+    assert list(out.pair)[0] == "ab"
