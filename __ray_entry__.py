@@ -947,6 +947,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def docs_from_jsonl(sf_dir):
+        # multi-format source parity: the corpus exported once to JSONL
+        # (dump-file shape, reference M1 parser analog) and re-ingested
+        # through raygraph.io.read_documents_jsonl, then a per-lang
+        # profile — byte-identical to the parquet-path oracle
+        from raygraph.io import read_documents_jsonl
+
+        jl_dir = os.path.join(_TMP,
+                              f"docs_jsonl_{_docs_count(sf_dir)}")
+        if not os.path.isdir(jl_dir):
+            rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "lang", "n_chars"],
+            ).write_json(jl_dir)
+        docs = read_documents_jsonl(jl_dir)
+        return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
+                          counts="n_docs")
+
+    def kg_pred_stats(sf_dir):
+        # KG profiling: per-predicate edge count + distinct-subject
+        # count — per-batch (pred, subject) dedup combiner, one
+        # predicate-sized aggregate
+        from raygraph.ops.relational import distinct_count
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "pred"])
+        dc = distinct_count(ed, ["pred"], "_from", out="n_subjects")
+        cnt = preagg_sum(ed.select_columns(["pred"]), ["pred"], {},
+                         counts="n_edges")
+        return broadcast_join(cnt, dc.to_pandas(), on="pred")
+
     def docs_inverted_index(sf_dir):
         # search-index build: distinct (doc, token) explode → ONE
         # token-bucketed shuffle; df counted vectorized, out-of-band
@@ -2020,6 +2051,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["mad_e4"] = out["mad_e4"].astype("int64")
         return out.sort_values("event_type").reset_index(drop=True)
 
+    def events_user_deciles(sf_dir):
+        # LTV-style segmentation: users bucketed by total value into
+        # deciles — per-user combiner sums, exact global decile
+        # boundaries (value-count shuffle), then one vectorized
+        # assignment pass with the 9 boundary scalars closure-broadcast
+        from raygraph.ops.relational import grouped_quantiles
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "value"])
+
+        def to_e4(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        totals = preagg_sum(ev.map_batches(to_e4, batch_format="pyarrow"),
+                            ["user_id"], {"total_e4": "value_e4"})
+
+        def lit(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__g", pa.array(np.zeros(batch.num_rows, dtype="int64")))
+
+        qs = tuple(q / 10 for q in range(1, 10))
+        b = grouped_quantiles(totals.map_batches(lit,
+                                                 batch_format="pyarrow"),
+                              ["__g"], "total_e4", qs=qs).to_pandas()
+        bounds = b[[f"p{q}0" for q in range(1, 10)]].iloc[0] \
+            .to_numpy(dtype="int64")
+
+        def assign(batch: pa.Table) -> pa.Table:
+            t = batch.column("total_e4").to_numpy(zero_copy_only=False)
+            d = (t[:, None] > bounds[None, :]).sum(axis=1)
+            return pa.table({
+                "decile": pa.array(d.astype("int64")),
+                "total_e4": batch.column("total_e4"),
+            })
+
+        return preagg_sum(totals.map_batches(assign,
+                                             batch_format="pyarrow"),
+                          ["decile"], {"sum_value_e4": "total_e4"},
+                          counts="n_users")
+
     def events_type_overlap(sf_dir):
         # cohort-overlap matrix: exact distinct users per unordered
         # event-type pair — one user-bucketed shuffle (a user's type set
@@ -2562,6 +2637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_merge": text_bpe_merge,
         "events_hour_profile": events_hour_profile,
         "lineitem_weighted_disc": lineitem_weighted_disc,
+        "docs_from_jsonl": docs_from_jsonl,
+        "kg_pred_stats": kg_pred_stats,
+        "events_user_deciles": events_user_deciles,
         "text_top_bigrams": text_top_bigrams,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
@@ -3146,6 +3224,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
+        "kg_pred_stats": f"""
+            WITH edges AS ({kg_edges_sql})
+            SELECT pred, count(*)::BIGINT AS n_edges,
+                   count(DISTINCT _from)::BIGINT AS n_subjects
+            FROM edges GROUP BY pred
+        """,
         "kg_components": _components_sql(kg_edges_sql, iters=5),
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_sssp": _bfs_sql(kg_edges_sql, iters=3,
@@ -3226,6 +3310,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.value_e4
             FROM ev e JOIN b ON e.event_type = b.event_type
             WHERE e.value_e4 < b.lo OR e.value_e4 > b.hi
+        """,
+        "events_user_deciles": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CAST(round(value * 10000, 0) AS BIGINT))::BIGINT
+                         AS t
+              FROM events GROUP BY user_id
+            ),
+            b AS (SELECT
+              quantile_disc(t, 0.1) AS b1, quantile_disc(t, 0.2) AS b2,
+              quantile_disc(t, 0.3) AS b3, quantile_disc(t, 0.4) AS b4,
+              quantile_disc(t, 0.5) AS b5, quantile_disc(t, 0.6) AS b6,
+              quantile_disc(t, 0.7) AS b7, quantile_disc(t, 0.8) AS b8,
+              quantile_disc(t, 0.9) AS b9 FROM u)
+            SELECT ((CASE WHEN t > b1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b6 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b7 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b8 THEN 1 ELSE 0 END)
+                  + (CASE WHEN t > b9 THEN 1 ELSE 0 END))::BIGINT
+                       AS decile,
+                   sum(t)::BIGINT AS sum_value_e4,
+                   count(*)::BIGINT AS n_users
+            FROM u, b GROUP BY 1
         """,
         "events_value_mad": """
             WITH ev AS (SELECT event_type,
@@ -4481,6 +4592,11 @@ def oracle_sql() -> dict[str, str]:
                    (sum(bp * c)::BIGINT // sum(c)::BIGINT)::BIGINT
                        AS wavg_disc_bp
             FROM q GROUP BY l_returnflag
+        """,
+        "docs_from_jsonl": """
+            SELECT lang, sum(n_chars)::BIGINT AS sum_chars,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
         """,
         "docs_sample_10pct": """
             SELECT doc_id, text FROM documents
