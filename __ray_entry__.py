@@ -978,6 +978,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          counts="n_edges")
         return broadcast_join(cnt, dc.to_pandas(), on="pred")
 
+    def tpch_promo_share(sf_dir):
+        # TPC-H Q14 shape: promo revenue share in exact basis points —
+        # the 2k-row part table broadcast (ray.put once, no shuffle)
+        # onto the lineitem stream; discounted cents are the exact-int
+        # Q1 idiom; ONE combiner pass, 2-scalar finalize
+        import ray
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type"]).to_pandas()
+        part["is_promo"] = part["p_type"].str.startswith("PROMO") \
+            .astype("int64")
+        promo_ref = ray.put(dict(zip(part["p_partkey"],
+                                     part["is_promo"])))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            promo = ray.get(promo_ref)
+            p = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.round(p * 100).astype("int64")
+            bp = np.round(d * 10_000).astype("int64")
+            disc = cents * (10_000 - bp) // 10_000
+            pk = batch.column("l_partkey").to_pandas()
+            is_p = pk.map(promo).fillna(0).astype("int64").to_numpy()
+            return pa.table({
+                "promo_cents": pa.array([int((disc * is_p).sum())],
+                                        pa.int64()),
+                "total_cents": pa.array([int(disc.sum())], pa.int64()),
+            })
+
+        agg = li.map_batches(partial, batch_format="pyarrow") \
+            .sum(["promo_cents", "total_cents"])
+        promo_c = int(agg["sum(promo_cents)"])
+        total_c = int(agg["sum(total_cents)"])
+        return pd.DataFrame({
+            "promo_cents": [promo_c],
+            "total_cents": [total_c],
+            "promo_bp": [(10_000 * promo_c) // total_c],
+        })
+
     def docs_inverted_index(sf_dir):
         # search-index build: distinct (doc, token) explode → ONE
         # token-bucketed shuffle; df counted vectorized, out-of-band
@@ -2640,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_from_jsonl": docs_from_jsonl,
         "kg_pred_stats": kg_pred_stats,
         "events_user_deciles": events_user_deciles,
+        "tpch_promo_share": tpch_promo_share,
         "text_top_bigrams": text_top_bigrams,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
@@ -4597,6 +4643,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, sum(n_chars)::BIGINT AS sum_chars,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "tpch_promo_share": """
+            WITH q AS (
+              SELECT l.l_partkey,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l.l_discount * 10000)
+                                       AS BIGINT)) // 10000 AS dc,
+                     CASE WHEN p.p_type LIKE 'PROMO%' THEN 1
+                          ELSE 0 END AS is_p
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT sum(dc * is_p)::BIGINT AS promo_cents,
+                   sum(dc)::BIGINT AS total_cents,
+                   ((10000 * sum(dc * is_p)) // sum(dc))::BIGINT
+                       AS promo_bp
+            FROM q
         """,
         "docs_sample_10pct": """
             SELECT doc_id, text FROM documents
