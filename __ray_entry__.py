@@ -295,6 +295,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
         return pagerank(ed, iters=3, personalize=top[0]["_from"])
 
+    def kg_reciprocity(sf_dir):
+        # graph reciprocity: share (exact bp) of distinct non-loop arcs
+        # whose reverse arc also exists — one distinct-intersect
+        # exchange (per-batch dedup combiner), scalar finalize
+        import pyarrow.compute as pc
+
+        from raygraph.ops.graph import distinct_pairs
+        from raygraph.ops.relational import set_op_distinct
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        pairs = distinct_pairs(ed).map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b.column("_from"),
+                                                  b.column("_to")))),
+            batch_format="pyarrow").materialize()
+        rev = pairs.map_batches(
+            lambda b: pa.table({"_from": b.column("_to"),
+                                "_to": b.column("_from")}),
+            batch_format="pyarrow")
+        n_arcs = pairs.count()
+        n_recip = set_op_distinct(pairs, rev, ["_from", "_to"],
+                                  op="intersect").count()
+        return pd.DataFrame({
+            "n_arcs": [n_arcs], "n_recip": [n_recip],
+            "recip_bp": [(10_000 * n_recip) // n_arcs if n_arcs else 0],
+        })
+
     def kg_clustering(sf_dir):
         # per-vertex local clustering coefficient (exact basis points):
         # shared degree-ordered triangle enumeration → 3-way vertex
@@ -2278,6 +2305,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.array(qtab.column("embedding")[row0].as_py(), dtype=np.float64)
         return brute_force_topk(emb, q, k=10, dtype=np.float64, round_dp=4)
 
+    def ann_filtered_top10(sf_dir):
+        # FILTERED vector search (the vector-DB predicate+ANN compose):
+        # top-10 by cosine among label = 1 only — the filter pushes into
+        # the stream BEFORE the scoring scan, so pruned rows never cost
+        # a dot product
+        import pyarrow.compute as pc
+
+        emb = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"])
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        row0 = qtab.column("vec_id").to_pylist().index(0)
+        q = np.array(qtab.column("embedding")[row0].as_py(),
+                     dtype=np.float64)
+        flt = emb.map_batches(
+            lambda b: b.filter(pc.equal(b.column("label"), 1))
+            .select(["vec_id", "embedding"]),
+            batch_format="pyarrow")
+        return brute_force_topk(flt, q, k=10, dtype=np.float64,
+                                round_dp=4)
+
+    def embedding_argmax(sf_dir):
+        # vector-column kernel op: per vector, the argmax dimension and
+        # its value at 4dp — one zero-copy reshape + numpy argmax per
+        # batch, no shuffle
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+
+        def am(batch: pa.Table) -> pa.Table:
+            from raygraph.ops.vecops import vectors_to_numpy
+
+            m = vectors_to_numpy(batch.column("embedding"), np.float64)
+            d = m.argmax(axis=1).astype("int64")
+            v = np.round(m[np.arange(len(m)), d], 4)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "dim": pa.array(d, pa.int64()),
+                "value": pa.array(v, pa.float64()),
+            })
+
+        return emb.map_batches(am, batch_format="pyarrow")
+
     def ann_ivf_top10(sf_dir):
         # IVF with nprobe == n_centroids scans every cell and must equal
         # exact top-k — the oracle-able IVF contract; partial-probe recall
@@ -2686,6 +2756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_stats": kg_pred_stats,
         "events_user_deciles": events_user_deciles,
         "tpch_promo_share": tpch_promo_share,
+        "ann_filtered_top10": ann_filtered_top10,
+        "embedding_argmax": embedding_argmax,
+        "kg_reciprocity": kg_reciprocity,
         "text_top_bigrams": text_top_bigrams,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
@@ -3270,6 +3343,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
+        "kg_reciprocity": f"""
+            WITH edges AS ({kg_edges_sql}),
+            pr AS (SELECT DISTINCT _from, _to FROM edges
+                   WHERE _from <> _to),
+            rc AS (SELECT a._from, a._to FROM pr a
+                   JOIN pr b ON a._from = b._to AND a._to = b._from)
+            SELECT (SELECT count(*) FROM pr)::BIGINT AS n_arcs,
+                   (SELECT count(*) FROM rc)::BIGINT AS n_recip,
+                   ((10000 * (SELECT count(*) FROM rc))
+                    // greatest(1, (SELECT count(*) FROM pr)))::BIGINT
+                       AS recip_bp
+        """,
         "kg_pred_stats": f"""
             WITH edges AS ({kg_edges_sql})
             SELECT pred, count(*)::BIGINT AS n_edges,
@@ -4862,6 +4947,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[],
                                             (SELECT qe FROM q)) DESC, vec_id
             LIMIT 10
+        """,
+        "ann_filtered_top10": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT qe FROM q)), 4)
+                       AS cosine
+            FROM embeddings
+            WHERE label = 1
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT qe FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_argmax": """
+            SELECT vec_id,
+                   (list_position(embedding,
+                                  list_max(embedding)) - 1)::BIGINT
+                       AS dim,
+                   round(list_max(embedding)::DOUBLE, 4) AS value
+            FROM embeddings
         """,
         "ann_ivf_top10": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
