@@ -2719,6 +2719,265 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vocab = build_vocab(_docs_ds(sf_dir), size=64)
         return encode_tokens(_docs_ds(sf_dir), vocab)
 
+    def tpch_q9_profit(sf_dir):
+        # Q9 (product-type profit, partsupp-free form): revenue by
+        # supplier nation × ship year. Both dimensions (supplier →
+        # nationkey, nation → name) ride the task closure — zero
+        # shuffle joins; the only exchange is the (nation × year)-sized
+        # combiner preagg. Exact cents × (100 − bp) integers.
+        supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"]).to_pandas()
+        nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "n_name": df["l_suppkey"].map(supp_nat).map(nat_name),
+                "o_year": df["l_shipdate"].dt.year.astype("int64"),
+                "profit_e4": cents * (100 - bp),
+            }), preserve_index=False)
+
+        return preagg_sum(li.map_batches(partial, batch_format="pyarrow"),
+                          ["n_name", "o_year"], {"profit_e4": "profit_e4"})
+
+    def tpch_q10_returns(sf_dir):
+        # Q10 (returned-item reporting): returnflag pushed into the
+        # lineitem scan, ONE big⋈big hash-shuffle join (lineitem ⋈
+        # orders on orderkey), per-customer combiner preagg, then the
+        # two small dims (customer name, nation name) broadcast onto
+        # the customer-sized aggregate; top-20 by exact revenue.
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import _join_partitions, shuffle_join
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_returnflag"],
+            filter=pads.field("l_returnflag") == "R",
+        )
+
+        def cents(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            c = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_orderkey": df["l_orderkey"],
+                "rev_e4": c * (100 - bp),
+            }), preserve_index=False)
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey"])
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        j = shuffle_join(li.map_batches(cents, batch_format="pyarrow"),
+                         orders, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=_join_partitions(nord))
+        j = _repaired(j, pa.schema([("l_orderkey", pa.int64()),
+                                    ("rev_e4", pa.int64()),
+                                    ("o_custkey", pa.int64())]))
+        agg = preagg_sum(j, ["o_custkey"], {"revenue_e4": "rev_e4"})
+
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"]).to_pandas()
+        cust["n_name"] = cust["c_nationkey"].map(
+            dict(zip(nation["n_nationkey"], nation["n_name"])))
+        df = agg.to_pandas().rename(columns={"o_custkey": "c_custkey"})
+        df = df.merge(cust[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+        df = df.sort_values(["revenue_e4", "c_custkey"],
+                            ascending=[False, True]).head(20)
+        return df[["c_custkey", "c_name", "n_name",
+                   "revenue_e4"]].reset_index(drop=True)
+
+    def tpch_q16_suppliers(sf_dir):
+        # Q16 (supplier-count-by-part, lineitem as the association):
+        # part attributes broadcast into the scan (the dim is tiny),
+        # then exact COUNT(DISTINCT suppkey) per (brand, size) via the
+        # two-level distinct_count — the shuffle carries deduped
+        # (group, supplier) pairs, never raw lineitem.
+        from raygraph.ops.relational import distinct_count
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+        sizes = {1, 4, 9, 14, 19, 23, 36, 45}
+        part = part[(part["p_type"] != "PROMO")
+                    & (part["p_brand"] != "Brand#13")
+                    & part["p_size"].isin(sizes)]
+        brand = dict(zip(part["p_partkey"], part["p_brand"]))
+        size = dict(zip(part["p_partkey"], part["p_size"]))
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_partkey", "l_suppkey"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            b = df["l_partkey"].map(brand)
+            keep = b.notna()
+            df = df[keep]
+            return pa.Table.from_pandas(pd.DataFrame({
+                "p_brand": b[keep],
+                "p_size": df["l_partkey"].map(size).astype("int64"),
+                "l_suppkey": df["l_suppkey"],
+            }), preserve_index=False)
+
+        return distinct_count(
+            li.map_batches(attach, batch_format="pyarrow"),
+            ["p_brand", "p_size"], "l_suppkey", out="supplier_cnt")
+
+    def tpch_q19_revenue(sf_dir):
+        # Q19 (disjunctive bracket predicate): three (brand, size,
+        # quantity-range) brackets OR-ed together — part attrs ride the
+        # closure, the filter and integer revenue run vectorized in the
+        # scan batches, and only per-batch scalars reach the tree sum.
+        from raygraph.ops.relational import tree_aggregate
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+        brand = dict(zip(part["p_partkey"], part["p_brand"]))
+        size = dict(zip(part["p_partkey"], part["p_size"]))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            b = df["l_partkey"].map(brand)
+            s = df["l_partkey"].map(size)
+            q = df["l_quantity"].to_numpy()
+            keep = (
+                ((b == "Brand#12") & (s.between(1, 5)) & (q >= 1) & (q <= 11))
+                | ((b == "Brand#23") & (s.between(1, 10))
+                   & (q >= 10) & (q <= 20))
+                | ((b == "Brand#34") & (s.between(1, 15))
+                   & (q >= 20) & (q <= 30))
+            ).to_numpy()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            rev = int((cents[keep] * (100 - bp[keep])).sum())
+            return pa.table({"revenue_e4": pa.array([rev], pa.int64())})
+
+        return tree_aggregate(
+            li.map_batches(partial, batch_format="pyarrow"),
+            lambda df: pd.DataFrame(
+                {"revenue_e4": [int(df["revenue_e4"].sum())]}),
+            precombined=True,
+        )
+
+    def kg_linkpred(sf_dir):
+        # link prediction: top-20 non-adjacent vertex pairs by
+        # common-neighbor count — the degree-ordered wedge plan shared
+        # with triangle_count, one combiner preagg, a left_anti join
+        # against the edge set, distributed sort + limit
+        from raygraph.ops.graph import common_neighbors_topk
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return common_neighbors_topk(ed, k=20)
+
+    def events_late_arrivals(sf_dir):
+        # out-of-order ingest accounting: per user, how many events
+        # arrive with a timestamp below the running max of everything
+        # already arrived. The synthetic stream is ts-ordered, so the
+        # ARRIVAL order is injected identically on both sides: a
+        # deterministic odd-multiplier bijection of event_id (the
+        # id-derived-injection idiom, cf. docs_pii_scrub).
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_id", "ts"])
+
+        def arrival(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["arrival"] = (
+                df["event_id"].to_numpy().astype("int64")
+                * 2654435761) % 4294967296
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return E.late_arrival_counts(
+            ev.map_batches(arrival, batch_format="pyarrow"),
+            key_col="user_id", order_col="arrival", ts_col="ts")
+
+    def events_type_mode(sf_dir):
+        # exact per-user modal event type (ties -> lexicographically
+        # smallest): combiner pair counts, one hash-bucketed argmax pass
+        from raygraph.ops.relational import grouped_mode
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        return grouped_mode(ev, ["user_id"], "event_type", counts="n")
+
+    def events_dod_growth(sf_dir):
+        # day-over-day volume growth per event type, truncated basis
+        # points (negative growth uses DuckDB // semantics via trunc_div)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+        return E.dod_growth(ev)
+
+    def events_rolling_users(sf_dir):
+        # trailing-24h distinct users per event hour: distinct (hour,
+        # user) pairs -> bounded x24 fan-out -> exact distinct count
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        return E.rolling_distinct_users(ev, window_hours=24)
+
+    def docs_readability(sf_dir):
+        return _docs_ds(sf_dir).map_batches(T.readability,
+                                            batch_format="pyarrow")
+
+    def part_skyline(sf_dir):
+        # Pareto frontier of parts (total quantity vs total revenue,
+        # both maximized): per-part combiner preagg, then the two-phase
+        # distributed skyline — local frontier per block, exact merge
+        # pass over the tiny candidate union.
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import skyline_max
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        )
+
+        def ints(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_partkey": df["l_partkey"],
+                "qty": df["l_quantity"].to_numpy().astype("int64"),
+                "rev_e4": cents * (100 - bp),
+            }), preserve_index=False)
+
+        agg = preagg_sum(li.map_batches(ints, batch_format="pyarrow"),
+                         ["l_partkey"], {"qty_sum": "qty",
+                                         "revenue_e4": "rev_e4"})
+        agg = _repaired(agg, pa.schema([
+            ("l_partkey", pa.int64()), ("qty_sum", pa.int64()),
+            ("revenue_e4", pa.int64())]))
+        return skyline_max(agg, "qty_sum", "revenue_e4")
+
     return {
         "kg_edges": kg_edges,
         "kg_vertices": kg_vertices,
@@ -2812,6 +3071,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rank_in_nation": customer_rank_in_nation,
         "customers_without_orders": customers_without_orders,
         "tpch_q5_region_volume": tpch_q5_region_volume,
+        "tpch_q9_profit": tpch_q9_profit,
+        "tpch_q10_returns": tpch_q10_returns,
+        "tpch_q16_suppliers": tpch_q16_suppliers,
+        "tpch_q19_revenue": tpch_q19_revenue,
+        "kg_linkpred": kg_linkpred,
+        "events_late_arrivals": events_late_arrivals,
+        "part_skyline": part_skyline,
+        "events_type_mode": events_type_mode,
+        "events_dod_growth": events_dod_growth,
+        "events_rolling_users": events_rolling_users,
+        "docs_readability": docs_readability,
         "lineitem_sort_top100": lineitem_sort_top100,
         "lineitem_price_histogram": lineitem_price_histogram,
         "orders_checksum": orders_checksum,
@@ -4225,6 +4495,158 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q9_profit": """
+            SELECT n_name,
+                   CAST(date_part('year', l_shipdate) AS BIGINT) AS o_year,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   )::BIGINT AS profit_e4
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            GROUP BY n_name, o_year
+        """,
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name, n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue_e4
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q16_suppliers": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND p_type <> 'PROMO'
+              AND p_brand <> 'Brand#13'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY p_brand, p_size
+        """,
+        "tpch_q19_revenue": """
+            SELECT coalesce(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ), 0)::BIGINT AS revenue_e4
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND (
+                (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 20 AND 30)
+              )
+        """,
+        "kg_linkpred": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            arcs AS (SELECT u AS h, v AS x FROM und
+                     UNION ALL SELECT v, u FROM und),
+            pairs AS (
+              SELECT a1.x AS u, a2.x AS v, count(*)::BIGINT AS cn
+              FROM arcs a1 JOIN arcs a2 ON a1.h = a2.h AND a1.x < a2.x
+              GROUP BY a1.x, a2.x)
+            SELECT p.u, p.v, p.cn
+            FROM pairs p
+            WHERE NOT EXISTS (SELECT 1 FROM und e
+                              WHERE e.u = p.u AND e.v = p.v)
+            ORDER BY p.cn DESC, p.u, p.v
+            LIMIT 20
+        """,
+        "events_late_arrivals": """
+            WITH arr AS (
+              SELECT user_id, ts,
+                     (event_id * 2654435761) % 4294967296 AS arrival
+              FROM events),
+            w AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY arrival
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+              FROM arr)
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN ts < prev_max THEN 1 ELSE 0 END
+                   )::BIGINT AS n_late
+            FROM w GROUP BY user_id
+        """,
+        "events_type_mode": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY user_id, event_type),
+            r AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type) AS rn
+              FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
+        """,
+        "events_dod_growth": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                       // 86400 AS day,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY event_type, day)
+            SELECT c.event_type, c.day, c.n, p.n AS n_prev,
+                   (10000 * (c.n - p.n)) // p.n AS growth_bp
+            FROM c JOIN c p
+              ON c.event_type = p.event_type AND c.day = p.day + 1
+        """,
+        "events_rolling_users": """
+            WITH ph AS (
+              SELECT DISTINCT
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       // 3600 AS h,
+                     user_id
+              FROM events),
+            hours AS (SELECT DISTINCT h FROM ph)
+            SELECT hours.h AS window_hour,
+                   count(DISTINCT ph.user_id)::BIGINT AS n_users
+            FROM hours JOIN ph
+              ON ph.h BETWEEN hours.h - 23 AND hours.h
+            GROUP BY hours.h
+        """,
+        "docs_readability": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+                   length(regexp_replace(text, '[^.!?]', '', 'g')
+                   )::BIGINT AS n_sents,
+                   (10000 * len(regexp_extract_all(text, '\\S+')))
+                     // greatest(length(regexp_replace(text, '[^.!?]', '',
+                                                       'g')), 1)
+                     AS wps_e4,
+                   (10000 * len(regexp_extract_all(text,
+                                                   '[aeiouAEIOU]+')))
+                     // greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                     AS spw_e4
+            FROM documents
+        """,
+        "part_skyline": """
+            WITH agg AS (
+              SELECT l_partkey,
+                     sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty_sum,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     )::BIGINT AS revenue_e4
+              FROM lineitem GROUP BY l_partkey)
+            SELECT p.l_partkey, p.qty_sum, p.revenue_e4
+            FROM agg p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM agg q
+              WHERE q.qty_sum >= p.qty_sum AND q.revenue_e4 >= p.revenue_e4
+                AND (q.qty_sum > p.qty_sum OR q.revenue_e4 > p.revenue_e4))
         """,
         "customer_orders_full": """
             WITH slice AS (

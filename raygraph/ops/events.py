@@ -578,3 +578,132 @@ def resample_locf(ds, grid_us: int = 3_600_000_000,
 
     return hash_aggregate(ds, [key_col], bucket_fill,
                           num_buckets=num_buckets)
+
+
+def late_arrival_counts(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    num_buckets: int = 128,
+):
+    """Per-key out-of-order event count — a streaming-ingest health
+    metric: an event is LATE when its timestamp is below the running max
+    of all earlier events of the same key in arrival (``order_col``)
+    order, i.e. ``ts < MAX(ts) OVER (PARTITION BY key ORDER BY order_col
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Reference analog: none — watermark/out-of-order accounting for the
+    event-stream family. Hash-bucketed like :func:`running_sum`: one
+    vectorized sort + groupby cummax per bucket covers every key in it;
+    output is one (key, n_events, n_late) row per key, exact int64.
+    """
+    from .relational import hash_aggregate
+
+    def bucket_late(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, order_col], kind="mergesort",
+                            ignore_index=True)
+        ts = df[ts_col].astype("datetime64[ns]").astype("int64")
+        run_max = ts.groupby(df[key_col], sort=False).cummax()
+        prev_max = run_max.groupby(df[key_col], sort=False).shift(1)
+        late = ts < prev_max                    # NaN prev (first row) -> False
+        g = df.groupby(key_col, sort=False)
+        out = pd.DataFrame({
+            key_col: g.size().index,
+            "n_events": g.size().to_numpy().astype("int64"),
+            "n_late": late.groupby(df[key_col], sort=False).sum()
+                          .to_numpy().astype("int64"),
+        })
+        return out
+
+    return hash_aggregate(ds.select_columns([key_col, order_col, ts_col]),
+                          [key_col], bucket_late, num_buckets=num_buckets)
+
+
+def dod_growth(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+):
+    """Day-over-day volume growth per key: for every (key, day) with a
+    preceding calendar day present, the count, the previous day's count,
+    and the growth in truncated basis points (DuckDB ``//`` semantics via
+    :func:`raygraph.ops.relational.trunc_div` — growth can be negative).
+
+    Combiner preagg shrinks the stream to (key, day) counts; the
+    day-vs-day-1 match is a vectorized self-merge inside one
+    hash-bucketed pass per key bucket — no second shuffle."""
+    from .relational import compact_nonempty, hash_aggregate, preagg_sum, trunc_div
+
+    def day_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df[ts_col].astype("datetime64[ns]").astype("int64")
+               // (86_400 * 10**9))
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col], "day": day}), preserve_index=False)
+
+    counts = preagg_sum(ds.map_batches(day_part, batch_format="pyarrow"),
+                        [key_col, "day"], {}, counts="n")
+    counts = compact_nonempty(counts.materialize())
+
+    def bucket_growth(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.rename(columns={"n": "n_prev"}).copy()
+        prev["day"] = prev["day"] + 1
+        m = df.merge(prev, on=[key_col, "day"])
+        m["growth_bp"] = trunc_div(10_000 * (m["n"] - m["n_prev"]),
+                                   m["n_prev"])
+        return m[[key_col, "day", "n", "n_prev", "growth_bp"]]
+
+    return hash_aggregate(counts, [key_col], bucket_growth,
+                          num_buckets=num_buckets)
+
+
+def rolling_distinct_users(
+    ds,
+    window_hours: int = 24,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Sliding-window COUNT DISTINCT: for every event hour, the number
+    of distinct users seen in the trailing ``window_hours`` hours.
+
+    Plan: the stream first shrinks to DISTINCT (hour, user) pairs (a
+    combiner + one hash-bucketed dedup — the distinct_count discipline),
+    each pair then fans out to the ≤ ``window_hours`` window anchors it
+    can serve (exchange ≤ W × pairs, never W × events), anchors are
+    clipped to hours that actually occur (the hour inventory is
+    time-span-sized — hours-per-year small — so it rides the task
+    closure), and an exact distinct count per anchor finishes. Output:
+    (window_hour epoch-hour int64, n_users)."""
+    from .relational import compact_nonempty, distinct_count, hash_aggregate
+
+    def hour_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hour = (df[ts_col].astype("datetime64[ns]").astype("int64")
+                // (3_600 * 10**9))
+        return pa.Table.from_pandas(
+            pd.DataFrame({"h": hour, key_col: df[key_col]})
+            .drop_duplicates(), preserve_index=False)
+
+    pairs = hash_aggregate(ds.map_batches(hour_part, batch_format="pyarrow"),
+                           ["h", key_col], lambda df: df.drop_duplicates())
+    pairs = compact_nonempty(pairs.materialize())
+
+    hours = np.sort(pairs.groupby("h").count().to_pandas()["h"].to_numpy())
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = len(df)
+        if not n:
+            return pa.table({"window_hour": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64())})
+        offs = np.arange(window_hours, dtype="int64")
+        wh = np.repeat(df["h"].to_numpy(), window_hours) + np.tile(offs, n)
+        users = np.repeat(df[key_col].to_numpy(), window_hours)
+        keep = np.isin(wh, hours)
+        return pa.table({"window_hour": pa.array(wh[keep], pa.int64()),
+                         key_col: pa.array(users[keep])})
+
+    fanned = pairs.map_batches(fan_out, batch_format="pyarrow")
+    return distinct_count(fanned, ["window_hour"], key_col, out="n_users")

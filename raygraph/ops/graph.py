@@ -363,30 +363,12 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to",
     return ranks.select_columns(["vertex", "rank_e12"])
 
 
-def _triangles(edges, src: str = "_from", dst: str = "_to"):
-    """Shared triangle-enumeration plan: returns (closed, deg, nparts)
-    where ``closed`` is a Dataset with ONE row per triangle carrying all
-    three vertices (a = wedge apex, b, c), ``deg`` the per-vertex degree
-    Dataset of the undirected simple graph. The standard node-iterator++
-    plan (Schank & Wagner 2005 / Cohen's MapReduce formulation):
-
-    1. canonicalize to undirected distinct edges {u, v} (self-loops
-       dropped, parallel + reverse duplicates collapsed);
-    2. per-vertex degrees (combiner preagg);
-    3. ORIENT every edge from its lower-(degree, id) endpoint to the
-       higher one — an acyclic orientation with max out-degree
-       O(sqrt(m)), which is what bounds the wedge blowup on hub
-       vertices (the lex-only orientation would square a hub's degree);
-    4. wedges: self shuffle-join of the oriented arcs on the source,
-       keeping each unordered pair once ((deg, id)-ordered);
-    5. close: left-semi join wedges against the oriented arcs on
-       (b, c) — every surviving wedge row is exactly one triangle.
-
-    Joins are all hash-partitioned on their key; nothing graph-sized
-    reaches the driver.
-    """
-    from .relational import (_join_partitions, preagg_sum, shuffle_join,
-                             tree_aggregate)
+def _und_graph(edges, src: str = "_from", dst: str = "_to"):
+    """Canonical undirected simple graph under an edge table: returns
+    (und, deg, nparts) — distinct lexicographic {u < v} pairs with
+    self-loops dropped, per-vertex degrees (combiner preagg), and the
+    data-sized join partition count."""
+    from .relational import (_join_partitions, hash_aggregate, preagg_sum)
 
     und_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
 
@@ -396,8 +378,6 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
         df = pd.DataFrame({"u": a.where(a < b, b), "v": b.where(a < b, a)})
         df = df.loc[df["u"] != df["v"]].drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
-
-    from .relational import hash_aggregate
 
     und = _repaired(
         hash_aggregate(
@@ -421,8 +401,35 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
                    ["vtx"], {}, counts="deg"),
         pa.schema([("vtx", pa.string()), ("deg", pa.int64())]),
     )
+    return und, deg, _join_partitions(und.count())
 
-    nparts = _join_partitions(und.count())
+
+def _wedge_plan(edges, src: str = "_from", dst: str = "_to"):
+    """Shared wedge-enumeration plan: returns (wedges, und, arcs, deg,
+    nparts) where ``wedges`` has ONE row per unordered wedge (a = apex,
+    b, c with b before c in (deg, id) order), ``und`` the canonical
+    undirected distinct edge set (u < v), ``arcs`` the degree-ordered
+    orientation, ``deg`` per-vertex degrees. The standard node-iterator++
+    plan (Schank & Wagner 2005 / Cohen's MapReduce formulation):
+
+    1. canonicalize to undirected distinct edges {u, v} (self-loops
+       dropped, parallel + reverse duplicates collapsed);
+    2. per-vertex degrees (combiner preagg);
+    3. ORIENT every edge from its lower-(degree, id) endpoint to the
+       higher one — an acyclic orientation with max out-degree
+       O(sqrt(m)), which is what bounds the wedge blowup on hub
+       vertices (the lex-only orientation would square a hub's degree);
+    4. wedges: self shuffle-join of the oriented arcs on the source,
+       keeping each unordered pair once ((deg, id)-ordered).
+
+    Consumers either close the wedges into triangles
+    (:func:`_triangles`) or count them per outer pair
+    (:func:`common_neighbors_topk`). Joins are all hash-partitioned on
+    their key; nothing graph-sized reaches the driver.
+    """
+    from .relational import _join_partitions, shuffle_join
+
+    und, deg, nparts = _und_graph(edges, src, dst)
 
     def renamed(ds, names):
         def fn(batch: pa.Table) -> pa.Table:
@@ -481,6 +488,16 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
         pa.schema([("a", pa.string()), ("b", pa.string()),
                    ("c", pa.string())]),
     )
+    return wedges, und, arcs, deg, nparts
+
+
+def _triangles(edges, src: str = "_from", dst: str = "_to"):
+    """Triangle enumeration: (closed, deg, nparts) where ``closed`` has
+    ONE row per triangle (a = wedge apex, b, c) — the :func:`_wedge_plan`
+    wedges closed by a left-semi join against the oriented arcs."""
+    from .relational import shuffle_join
+
+    wedges, _, arcs, deg, nparts = _wedge_plan(edges, src, dst)
 
     # left_semi keeps the wedge's apex column, so each surviving row IS
     # the full (a, b, c) triangle
@@ -490,6 +507,89 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
     closed = _repaired(closed, pa.schema([
         ("a", pa.string()), ("b", pa.string()), ("c", pa.string())]))
     return closed, deg, nparts
+
+
+def common_neighbors_topk(edges, k: int = 20, hub_cap: int | None = None,
+                          src: str = "_from", dst: str = "_to"):
+    """Link prediction by common-neighbor count: the top-``k``
+    NON-adjacent unordered vertex pairs of the undirected simple graph,
+    ranked by how many neighbors they share (ties → lexicographic pair).
+
+    Reference analog: none — this is an LLM-data / graph-curation
+    extension over the exported edge table (the reference stops at the
+    export callbacks, src/graph_loader.rs:379-383).
+
+    Plan: the canonical undirected edge set fans out to BOTH-direction
+    arcs (apex → neighbor); a hash-shuffle self-join on the apex
+    enumerates each wedge exactly once (x < x2), a combiner preagg
+    counts witnesses per pair, existing edges leave via a left_anti
+    hash join, and only ``k`` rows survive the distributed sort.
+
+    Unlike the triangle plan, the apex must see ALL its neighbors (a
+    degree-ordered orientation would drop wedges whose apex out-ranks
+    an endpoint), so the exchange volume is the true wedge count
+    Σ d(d−1)/2 — inherent to exact common-neighbor counting. The scale
+    knob for skewed graphs is ``hub_cap``: apexes with degree above it
+    are excluded from witnessing (deterministic, replayable in the SQL
+    oracle by the same degree filter); ``None`` = exact.
+    """
+    from .relational import preagg_sum, shuffle_join
+
+    und, deg, nparts = _und_graph(edges, src, dst)
+
+    def both_arcs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().cast(pa.string())
+        v = batch.column("v").combine_chunks().cast(pa.string())
+        return pa.table({
+            "h": pa.concat_arrays([u, v]),
+            "x": pa.concat_arrays([v, u]),
+        })
+
+    arcs = _repaired(und.map_batches(both_arcs, batch_format="pyarrow"),
+                     pa.schema([("h", pa.string()), ("x", pa.string())]))
+    if hub_cap is not None:
+        import pyarrow.compute as pc
+
+        def small_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less_equal(batch.column("deg"), hub_cap))
+
+        small = deg.map_batches(small_only, batch_format="pyarrow")
+        arcs = _repaired(
+            shuffle_join(arcs, small.select_columns(["vtx"]), on="h",
+                         right_on="vtx", how="left_semi",
+                         num_partitions=nparts),
+            pa.schema([("h", pa.string()), ("x", pa.string())]))
+
+    def rename2(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["h2", "x2"])
+
+    wedged = shuffle_join(arcs,
+                          arcs.map_batches(rename2, batch_format="pyarrow"),
+                          on="h", right_on="h2", num_partitions=nparts)
+    wedged = _repaired(wedged, pa.schema([
+        ("h", pa.string()), ("x", pa.string()), ("x2", pa.string())]))
+
+    def lex_pair(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.loc[df["x"] < df["x2"]]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"u": df["x"], "v": df["x2"]}),
+            preserve_index=False)
+
+    counts = preagg_sum(
+        wedged.map_batches(lex_pair, batch_format="pyarrow"),
+        ["u", "v"], {}, counts="cn")
+    counts = _repaired(counts, pa.schema([
+        ("u", pa.string()), ("v", pa.string()), ("cn", pa.int64())]))
+
+    non_adjacent = shuffle_join(counts, und, on=("u", "v"),
+                                right_on=("u", "v"), how="left_anti",
+                                num_partitions=nparts)
+    non_adjacent = _repaired(non_adjacent, pa.schema([
+        ("u", pa.string()), ("v", pa.string()), ("cn", pa.int64())]))
+    return (non_adjacent
+            .sort(["cn", "u", "v"], descending=[True, False, False])
+            .limit(k))
 
 
 def triangle_count(edges, src: str = "_from", dst: str = "_to",

@@ -1116,3 +1116,88 @@ def zorder_key(ds, col_a: str, col_b: str, out: str = "zkey"):
         return batch.append_column(out, pa.array(z.astype("int64")))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _skyline_2d(df: pd.DataFrame, x_col: str, y_col: str) -> pd.DataFrame:
+    """Exact 2D max-max skyline of one frame: rows not dominated by any
+    other row (q dominates p iff q.x >= p.x, q.y >= p.y, and q is
+    strictly greater in at least one). Duplicate (x, y) points on the
+    frontier all survive. Vectorized: only rows carrying the max y of
+    their x-value can survive, and such a row survives iff its y beats
+    the best y among all STRICTLY larger x."""
+    if not len(df):
+        return df
+    gmax = df.groupby(x_col)[y_col].transform("max")
+    xs = df[x_col].to_numpy()
+    order = np.argsort(-xs, kind="mergesort")
+    g = gmax.to_numpy()[order]
+    x_sorted = xs[order]
+    best = np.maximum.accumulate(g)
+    # best y among strictly larger x = accumulated max up to the start
+    # of this x-run (runs of equal x share one boundary value)
+    starts = np.flatnonzero(np.r_[True, x_sorted[1:] != x_sorted[:-1]])
+    run_id = np.cumsum(np.r_[1, x_sorted[1:] != x_sorted[:-1]]) - 1
+    prev_best = np.r_[np.iinfo(np.int64).min, best[starts - 1][1:]][run_id]
+    keep = np.empty(len(df), dtype=bool)
+    keep[order] = g > prev_best
+    ys = df[y_col].to_numpy()
+    return df.loc[keep & (ys == gmax.to_numpy())]
+
+
+def skyline_max(ds, x_col: str, y_col: str):
+    """Distributed Pareto frontier (skyline) maximizing two int columns.
+
+    Classic two-phase plan: a vectorized LOCAL skyline per block (the
+    global skyline is a subset of every block's local skyline, so
+    non-frontier rows — the overwhelming majority — die where they
+    live), then one exact pass over the union of the small per-block
+    frontiers. The candidate set is bounded by (#blocks × frontier
+    width), never by input size; only that final pass runs on one task.
+
+    Reference analog: none — a curation/selection primitive (e.g. pick
+    quality-vs-length-optimal documents) beyond the reference's export
+    surface.
+    """
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(_skyline_2d(df, x_col, y_col),
+                                    preserve_index=False)
+
+    cand = ds.map_batches(local, batch_format="pyarrow")
+    # final exact pass: all candidates into ONE batch (bounded, see above)
+    return cand.repartition(1).map_batches(local, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def grouped_mode(ds, keys, val_col: str, counts: str = "n"):
+    """Exact per-group mode: the most frequent ``val_col`` per key group
+    (ties → smallest value), with its count. Two-level: a combiner
+    preagg shrinks the stream to (key, value) pair counts, then one
+    hash-bucketed vectorized argmax pass (sort + drop_duplicates) picks
+    each key's winner — per-bucket Python, never per-key."""
+    keys = list(keys)
+    pc_counts = preagg_sum(ds, keys + [val_col], {}, counts=counts)
+    pc_counts = compact_nonempty(pc_counts.materialize())
+    if pc_counts is None:
+        import ray.data as rd
+
+        return rd.from_items([])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [counts, val_col],
+                            ascending=[True] * len(keys) + [False, True],
+                            kind="mergesort")
+        return df.drop_duplicates(keys, keep="first")
+
+    return hash_aggregate(pc_counts, keys, pick)
+
+
+def trunc_div(a, b):
+    """Sign-aware truncating integer division (rounds toward zero) for
+    positive ``b`` — DuckDB's ``//`` truncates while numpy/Python floor,
+    so oracle-parity integer ratios over possibly-negative numerators
+    must use this."""
+    a = np.asarray(a, dtype="int64")
+    b = np.asarray(b, dtype="int64")
+    q = np.abs(a) // b
+    return np.where(a < 0, -q, q).astype("int64")

@@ -763,3 +763,26 @@ def search_all_tokens(ds, query_tokens, text_col: str = "text",
             keep, batch.schema.field(id_col).type)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def readability(batch: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Readability proxy stats (Flesch-flavored, integer-exact): words =
+    non-space runs, sentences = terminal-punctuation characters, syllable
+    proxy = vowel-group runs; words-per-sentence and syllables-per-word
+    as floor-at-4dp integers (all quantities non-negative, so floor ==
+    DuckDB's truncating ``//``). Vectorized pandas str.count — the ASCII
+    patterns count identically under Python re and DuckDB RE2."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    n_words = s.str.count(r"\S+").astype("int64")
+    n_sents = s.str.count(r"[.!?]").astype("int64")
+    n_vg = s.str.count(r"[aeiouAEIOU]+").astype("int64")
+    wps = (10_000 * n_words) // np.maximum(n_sents, 1)
+    spw = (10_000 * n_vg) // np.maximum(n_words, 1)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_sents": pa.array(n_sents, pa.int64()),
+        "wps_e4": pa.array(wps.astype("int64"), pa.int64()),
+        "spw_e4": pa.array(spw.astype("int64"), pa.int64()),
+    })

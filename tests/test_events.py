@@ -284,3 +284,65 @@ def test_type_trigrams_order_and_boundaries(ray_session):
     # user 1: abc, bca; user 2: abc; user 3 too short -> nothing
     assert got == {("a", "b", "c"): 2, ("b", "c", "a"): 1}
     assert list(out.itertuples(index=False))[0][:3] == ("a", "b", "c")
+
+
+def test_late_arrival_counts_window_semantics(ray_session):
+    # user 1 arrivals (by order col): ts 10, 5(late), 12, 7(late), 12
+    # (equal to max -> NOT late); user 2 single event -> 0 late
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import late_arrival_counts
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "arrival": [0, 1, 2, 3, 4, 0],
+        "ts": pd.to_datetime([10, 5, 12, 7, 12, 3], unit="s"),
+    })
+    got = late_arrival_counts(
+        rd.from_pandas(df).repartition(3), key_col="user_id",
+        order_col="arrival", ts_col="ts").to_pandas()
+    got = got.set_index("user_id").sort_index()
+    assert got.loc[1, "n_events"] == 5 and got.loc[1, "n_late"] == 2
+    assert got.loc[2, "n_events"] == 1 and got.loc[2, "n_late"] == 0
+
+
+def test_dod_growth_trunc_semantics(ray_session):
+    # counts: day0=3, day1=2 (growth trunc((10000*-1)/3) = -3333, not
+    # floor -3334), day2=4 (growth 10000); day gaps emit nothing
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import dod_growth
+
+    base = pd.Timestamp("2024-01-01")
+    rows = ([base] * 3 + [base + pd.Timedelta(days=1)] * 2
+            + [base + pd.Timedelta(days=2)] * 4
+            + [base + pd.Timedelta(days=9)] * 5)
+    df = pd.DataFrame({"event_type": ["t"] * len(rows), "ts": rows})
+    got = dod_growth(rd.from_pandas(df).repartition(3)).to_pandas()
+    got = got.sort_values("day").reset_index(drop=True)
+    assert got["growth_bp"].tolist() == [-3333, 10000]
+    assert got["n"].tolist() == [2, 4] and got["n_prev"].tolist() == [3, 2]
+
+
+def test_rolling_distinct_users_window(ray_session):
+    # users 1,2 at hour 0; user 2 again at hour 1; user 3 at hour 30
+    # -> h0: {1,2}=2, h1: {1,2}=2 (trailing 24h), h30: {3}=1 (h0/h1
+    # outside the 24h window)
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import rolling_distinct_users
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 2, 2, 3],
+        "ts": [base, base, base + pd.Timedelta(hours=1),
+               base + pd.Timedelta(hours=30)],
+    })
+    got = rolling_distinct_users(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("window_hour")
+    h0 = int(base.value // (3600 * 10**9))
+    assert list(zip(got["window_hour"] - h0, got["n_users"])) == [
+        (0, 2), (1, 2), (30, 1)]

@@ -502,3 +502,75 @@ def test_personalized_pagerank_mass_to_source(ray_session):
     s2 = base + (85 * (0 + 2 * a1)) // 100
     a2 = (85 * (base // 2)) // 100
     assert got == {"s": s2, "a": a2, "b": a2}
+
+
+def test_common_neighbors_topk_square(ray_session):
+    # square a-b-c-d-a: diagonals (a,c) and (b,d) each share 2 common
+    # neighbors and are non-adjacent; every adjacent pair is excluded
+    import ray.data as rd
+
+    from raygraph.ops.graph import common_neighbors_topk
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "b", "c", "d", "a"],      # a-d listed reversed too:
+        "_to":   ["b", "c", "d", "a", "d"],      # dup reverse edge collapses
+    }))
+    got = common_neighbors_topk(ed, k=10).to_pandas()
+    assert list(map(tuple, got[["u", "v", "cn"]].to_numpy())) == [
+        ("a", "c", 2), ("b", "d", 2)]
+
+
+def test_common_neighbors_hub_cap_excludes_hub(ray_session):
+    # star center e (degree 4) + edge a-b: with hub_cap=3 the center may
+    # not witness, so no pair survives (a-b is adjacent, leaves via anti)
+    import ray.data as rd
+
+    from raygraph.ops.graph import common_neighbors_topk
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["e", "e", "e", "e", "a"],
+        "_to":   ["a", "b", "c", "d", "b"],
+    }))
+    full = common_neighbors_topk(ed, k=100).to_pandas()
+    assert len(full) == 5  # C(4,2) leaf pairs minus adjacent (a, b)
+
+    capped = common_neighbors_topk(ed, k=100, hub_cap=3).to_pandas()
+    assert len(capped) == 0
+
+
+def test_skyline_max_two_phase(ray_session):
+    # random points, many blocks: distributed result == brute force
+    import ray.data as rd
+
+    from raygraph.ops.relational import skyline_max
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "id": np.arange(500),
+        "x": rng.randint(0, 40, 500).astype("int64"),
+        "y": rng.randint(0, 40, 500).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = skyline_max(ds, "x", "y").to_pandas().sort_values("id")
+
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    exp = [i for i in range(len(df))
+           if not ((x >= x[i]) & (y >= y[i])
+                   & ((x > x[i]) | (y > y[i]))).any()]
+    assert got["id"].tolist() == exp
+
+
+def test_grouped_mode_tie_break(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import grouped_mode
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "v": ["x", "y", "y", "x", "q", "p", "q"],
+    })
+    got = grouped_mode(rd.from_pandas(df).repartition(3), ["g"], "v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    # a: x=2, y=2 tie -> "x" (smallest); b: q=2 wins
+    assert got["v"].tolist() == ["x", "q"]
+    assert got["n"].tolist() == [2, 2]

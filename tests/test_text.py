@@ -297,3 +297,20 @@ def test_bpe_merge_pairs_weighted(ray_session):
     # "abab" x3: pairs ab,ba,ab -> ab 6, ba 3; "cd" x1; "x" none
     assert got == {"ab": 6, "ba": 3, "cd": 1}
     assert list(out.pair)[0] == "ab"
+
+
+def test_readability_counts(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    from raygraph.ops.text import readability
+
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["Hi there. All good? yes!", ""]})
+    out = readability(t).to_pandas()
+    # 5 words, 3 terminators, vowel groups: i,e,e,a,oo,e = 6
+    assert out.loc[0, "n_words"] == 5 and out.loc[0, "n_sents"] == 3
+    assert out.loc[0, "wps_e4"] == 16666
+    assert out.loc[0, "spw_e4"] == 12000
+    assert (out.loc[1, ["n_words", "n_sents", "wps_e4", "spw_e4"]]
+            == 0).all()
