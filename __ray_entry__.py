@@ -2918,6 +2918,214 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(arrival, batch_format="pyarrow"),
             key_col="user_id", order_col="arrival", ts_col="ts")
 
+    def tpch_q4_exists(sf_dir):
+        # Q4 shape (order-priority checking): orders with EXISTS a
+        # heavily-discounted line — distributed EXISTS as a left_semi
+        # hash join against the filtered lineitem key set; priority
+        # counts via combiner preagg
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions,
+                                             hash_aggregate, shuffle_join)
+
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+            filter=(pads.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("o_orderdate") < pd.Timestamp("1997-01-01")),
+        ).drop_columns(["o_orderdate"])
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_discount"],
+            filter=pads.field("l_discount") >= 0.08,
+        ).drop_columns(["l_discount"])
+        keys = hash_aggregate(li, ["l_orderkey"],
+                              lambda df: df.drop_duplicates())
+        keys = _repaired(keys, pa.schema([("l_orderkey", pa.int64())]))
+        sj = shuffle_join(orders, keys, on="o_orderkey",
+                          right_on="l_orderkey", how="left_semi",
+                          num_partitions=_join_partitions(nord))
+        sj = _repaired(sj, pa.schema([("o_orderkey", pa.int64()),
+                                      ("o_orderpriority", pa.string())]))
+        return preagg_sum(sj, ["o_orderpriority"], {}, counts="order_count")
+
+    def tpch_q13_custdist(sf_dir):
+        # Q13 (customer order-count distribution incl. zero): per-cust
+        # counts via combiner preagg on orders alone; the zero bucket is
+        # total customers − customers-with-orders (two tiny scalars);
+        # counts-of-counts finishes as a second small preagg
+        from raygraph.ops.graph import _repaired
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey"])
+        per_cust = preagg_sum(orders, ["o_custkey"], {}, counts="c_count")
+        per_cust = _repaired(per_cust, pa.schema([
+            ("o_custkey", pa.int64()), ("c_count", pa.int64())]))
+        dist = preagg_sum(per_cust.drop_columns(["o_custkey"]),
+                          ["c_count"], {}, counts="custdist").to_pandas()
+        n_cust = pq.read_metadata(
+            os.path.join(sf_dir, "customer.parquet")).num_rows
+        n_with = int(dist["custdist"].sum())
+        if n_cust > n_with:
+            dist = pd.concat([dist, pd.DataFrame(
+                {"c_count": [0], "custdist": [n_cust - n_with]})],
+                ignore_index=True)
+        dist["c_count"] = dist["c_count"].astype("int64")
+        dist["custdist"] = dist["custdist"].astype("int64")
+        return dist.sort_values("c_count", ignore_index=True)
+
+    def tpch_q18_big_orders(sf_dir):
+        # Q18 (large-volume orders): per-order quantity combiner preagg,
+        # >300 filter, one shuffle join back to orders, customer name
+        # broadcast, exact-cents top-20
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions,
+                                             shuffle_join)
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_quantity"])
+
+        def ints(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_orderkey": df["l_orderkey"],
+                "qty": df["l_quantity"].to_numpy().astype("int64"),
+            }), preserve_index=False)
+
+        per_order = preagg_sum(li.map_batches(ints, batch_format="pyarrow"),
+                               ["l_orderkey"], {"qty_sum": "qty"})
+        per_order = _repaired(per_order, pa.schema([
+            ("l_orderkey", pa.int64()), ("qty_sum", pa.int64())]))
+
+        def big_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater(batch.column("qty_sum"), 300))
+
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        j = shuffle_join(orders,
+                         per_order.map_batches(big_only,
+                                               batch_format="pyarrow"),
+                         on="o_orderkey", right_on="l_orderkey",
+                         num_partitions=_join_partitions(nord))
+        j = _repaired(j, pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()), ("qty_sum", pa.int64())]))
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_name"]).to_pandas()
+        df = j.to_pandas().rename(columns={"o_custkey": "c_custkey"})
+        df["price_cents"] = np.round(
+            df["o_totalprice"].to_numpy() * 100).astype("int64")
+        df = df.merge(cust, on="c_custkey")
+        df = df.sort_values(["price_cents", "o_orderkey"],
+                            ascending=[False, True]).head(20)
+        return df[["c_custkey", "c_name", "o_orderkey", "price_cents",
+                   "qty_sum"]].reset_index(drop=True)
+
+    def tpch_q22_idle(sf_dir):
+        # Q22 shape (idle above-average customers): the average-balance
+        # comparison is EXACT via integer cross-multiplication
+        # (cents·n_pos > sum_pos_cents avoids the float average), the
+        # no-orders test is a distributed left_anti join, per-segment
+        # counts finish in a combiner preagg
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions,
+                                             hash_aggregate, shuffle_join,
+                                             tree_aggregate)
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+        def pos_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(df["c_acctbal"].to_numpy() * 100).astype("int64")
+            pos = cents[cents > 0]
+            return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                             "n": pa.array([len(pos)], pa.int64())})
+
+        tot = tree_aggregate(
+            cust.map_batches(pos_partial, batch_format="pyarrow"),
+            lambda df: pd.DataFrame({"s": [int(df["s"].sum())],
+                                     "n": [int(df["n"].sum())]}),
+            precombined=True).to_pandas()
+        s_pos, n_pos = int(tot["s"][0]), int(tot["n"][0])
+
+        def above_avg(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(df["c_acctbal"].to_numpy() * 100).astype("int64")
+            keep = cents * n_pos > s_pos
+            out = pd.DataFrame({
+                "c_custkey": df["c_custkey"][keep],
+                "c_mktsegment": df["c_mktsegment"][keep],
+                "cents": cents[keep],
+            })
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        import pyarrow.dataset as pads
+
+        rich = cust.map_batches(above_avg, batch_format="pyarrow")
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+            filter=pads.field("o_totalprice") > 300_000.0,
+        ).drop_columns(["o_totalprice"])
+        okeys = hash_aggregate(orders, ["o_custkey"],
+                               lambda df: df.drop_duplicates())
+        okeys = _repaired(okeys, pa.schema([("o_custkey", pa.int64())]))
+        idle = shuffle_join(rich, okeys, on="c_custkey",
+                            right_on="o_custkey", how="left_anti",
+                            num_partitions=_join_partitions())
+        idle = _repaired(idle, pa.schema([
+            ("c_custkey", pa.int64()), ("c_mktsegment", pa.string()),
+            ("cents", pa.int64())]))
+        return _repaired(
+            preagg_sum(idle, ["c_mktsegment"],
+                       {"totacctbal_cents": "cents"}, counts="numcust"),
+            pa.schema([("c_mktsegment", pa.string()),
+                       ("totacctbal_cents", pa.int64()),
+                       ("numcust", pa.int64())]))
+
+    def kg_degree_hist(sf_dir):
+        # degree distribution (counts-of-counts) of the undirected
+        # simple KG graph — two combiner preaggs, nothing graph-sized
+        # on the driver
+        from raygraph.ops.graph import _repaired, _und_graph
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        _, deg, _ = _und_graph(ed)
+        return preagg_sum(deg.drop_columns(["vtx"]), ["deg"], {},
+                          counts="n_vertices")
+
+    def orders_percent_rank(sf_dir):
+        # PERCENT_RANK within order priority by price — exact-integer
+        # (10⁴·(rank−1)) // (n−1) with RANK tie semantics
+        from raygraph.ops.relational import grouped_percent_rank
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["price_cents"] = np.round(
+                df["o_totalprice"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(
+                df[["o_orderkey", "o_orderpriority", "price_cents"]],
+                preserve_index=False)
+
+        return grouped_percent_rank(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderpriority"], "price_cents")
+
     def events_type_mode(sf_dir):
         # exact per-user modal event type (ties -> lexicographically
         # smallest): combiner pair counts, one hash-bucketed argmax pass
@@ -3082,6 +3290,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dod_growth": events_dod_growth,
         "events_rolling_users": events_rolling_users,
         "docs_readability": docs_readability,
+        "tpch_q4_exists": tpch_q4_exists,
+        "tpch_q13_custdist": tpch_q13_custdist,
+        "tpch_q18_big_orders": tpch_q18_big_orders,
+        "tpch_q22_idle": tpch_q22_idle,
+        "kg_degree_hist": kg_degree_hist,
+        "orders_percent_rank": orders_percent_rank,
         "lineitem_sort_top100": lineitem_sort_top100,
         "lineitem_price_histogram": lineitem_price_histogram,
         "orders_checksum": orders_checksum,
@@ -4580,6 +4794,74 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ts < prev_max THEN 1 ELSE 0 END
                    )::BIGINT AS n_late
             FROM w GROUP BY user_id
+        """,
+        "tpch_q4_exists": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount >= 0.08)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q13_custdist": """
+            WITH pc AS (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM pc GROUP BY c_count
+        """,
+        "tpch_q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty_sum
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   qty_sum
+            FROM big, orders, customer
+            WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+            ORDER BY price_cents DESC, o_orderkey
+            LIMIT 20
+        """,
+        "tpch_q22_idle": """
+            WITH pos AS (
+              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                     count(*)::BIGINT AS n
+              FROM customer WHERE c_acctbal > 0)
+            SELECT c_mktsegment,
+                   sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                   )::BIGINT AS totacctbal_cents,
+                   count(*)::BIGINT AS numcust
+            FROM customer, pos
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000.0)
+            GROUP BY c_mktsegment
+        """,
+        "kg_degree_hist": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            arcs AS (SELECT u AS h FROM und UNION ALL SELECT v FROM und),
+            d AS (SELECT h, count(*)::BIGINT AS deg FROM arcs GROUP BY h)
+            SELECT deg, count(*)::BIGINT AS n_vertices
+            FROM d GROUP BY deg
+        """,
+        "orders_percent_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   (10000 * (rank() OVER w - 1))
+                     // greatest(count(*) OVER (
+                          PARTITION BY o_orderpriority) - 1, 1) AS prank_e4
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
         """,
         "events_type_mode": """
             WITH c AS (

@@ -1201,3 +1201,24 @@ def trunc_div(a, b):
     b = np.asarray(b, dtype="int64")
     q = np.abs(a) // b
     return np.where(a < 0, -q, q).astype("int64")
+
+
+def grouped_percent_rank(ds, partition_cols, order_col: str,
+                         out: str = "prank_e4", num_buckets: int = 128):
+    """``PERCENT_RANK() OVER (PARTITION BY … ORDER BY order_col)`` as an
+    exact-integer distributed stage: prank_e4 = (10⁴·(rank−1)) //
+    max(n−1, 1) with SQL RANK (min) tie semantics — integer on both
+    engines, no float fencepost at the 4th decimal. Same hash-bucket
+    co-location contract as :func:`grouped_rank`."""
+    partition_cols = list(partition_cols)
+
+    def bucket_prank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        g = df.groupby(partition_cols, sort=False)
+        rnk = g[order_col].rank(method="min", ascending=True).astype("int64")
+        n = g[order_col].transform("size").astype("int64")
+        df[out] = (10_000 * (rnk - 1)) // np.maximum(n - 1, 1)
+        return df
+
+    return hash_aggregate(ds, partition_cols, bucket_prank,
+                          num_buckets=num_buckets)
