@@ -3105,6 +3105,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(deg.drop_columns(["vtx"]), ["deg"], {},
                           counts="n_vertices")
 
+    def kg_edge_support(sf_dir):
+        # k-truss building block: per-edge triangle support — the shared
+        # degree-ordered triangle enumeration, each triangle exploded to
+        # its 3 lex-canonical edges (vectorized), one combiner preagg;
+        # edges outside any triangle have support 0 and are omitted
+        from raygraph.ops.graph import _repaired, _triangles
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        closed, _, _ = _triangles(ed)
+
+        def explode_edges(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if not len(df):
+                return pa.table({"u": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.string())})
+            parts = []
+            for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+                a, b = df[x], df[y]
+                parts.append(pd.DataFrame({
+                    "u": a.where(a < b, b), "v": b.where(a < b, a)}))
+            return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                        preserve_index=False)
+
+        return preagg_sum(
+            closed.map_batches(explode_edges, batch_format="pyarrow"),
+            ["u", "v"], {}, counts="support")
+
+    def embedding_centroid_dot(sf_dir):
+        # pairwise dot products of per-label centroid SUM vectors (e3
+        # truncated ints — products fit int64): per-batch per-dim
+        # partial sums, one (label, dim) combiner exchange, and the
+        # final 10×64 matrix is aggregate-sized so the pair matmul is
+        # closure arithmetic, not a data pass
+        from raygraph.ops.vecops import vectors_to_numpy
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["label", "embedding"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vecs = vectors_to_numpy(batch.column("embedding"), np.float64)
+            e3 = (vecs * 1_000).astype("int64")    # trunc, like the SQL
+            lab = batch.column("label").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            n, d = e3.shape
+            df = pd.DataFrame({
+                "label": np.repeat(lab, d),
+                "dim": np.tile(np.arange(d, dtype="int64"), n),
+                "s_e3": e3.reshape(-1),
+            }).groupby(["label", "dim"], as_index=False)["s_e3"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        sums = preagg_sum(emb.map_batches(partial, batch_format="pyarrow"),
+                          ["label", "dim"], {"s_e3": "s_e3"}).to_pandas()
+        mat = sums.pivot(index="label", columns="dim", values="s_e3") \
+            .fillna(0).astype("int64")
+        labels = mat.index.to_numpy()
+        m = mat.to_numpy()
+        dots = m @ m.T                              # exact in int64 at e3
+        ia, ib = np.triu_indices(len(labels), k=1)
+        return pd.DataFrame({
+            "label_a": labels[ia].astype("int64"),
+            "label_b": labels[ib].astype("int64"),
+            "dot_e6": dots[ia, ib].astype("int64"),
+        })
+
     def orders_percent_rank(sf_dir):
         # PERCENT_RANK within order priority by price — exact-integer
         # (10⁴·(rank−1)) // (n−1) with RANK tie semantics
@@ -3296,6 +3362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle": tpch_q22_idle,
         "kg_degree_hist": kg_degree_hist,
         "orders_percent_rank": orders_percent_rank,
+        "kg_edge_support": kg_edge_support,
+        "embedding_centroid_dot": embedding_centroid_dot,
         "lineitem_sort_top100": lineitem_sort_top100,
         "lineitem_price_histogram": lineitem_price_histogram,
         "orders_checksum": orders_checksum,
@@ -4852,6 +4920,38 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT h, count(*)::BIGINT AS deg FROM arcs GROUP BY h)
             SELECT deg, count(*)::BIGINT AS n_vertices
             FROM d GROUP BY deg
+        """,
+        "kg_edge_support": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+            te AS (
+              SELECT x AS u, y AS v FROM tri
+              UNION ALL SELECT x, z FROM tri
+              UNION ALL SELECT y, z FROM tri)
+            SELECT u, v, count(*)::BIGINT AS support
+            FROM te GROUP BY u, v
+        """,
+        "embedding_centroid_dot": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(trunc(unnest(embedding)::DOUBLE * 1000)
+                          AS BIGINT) AS x_e3
+              FROM embeddings),
+            s AS (
+              SELECT label, dim, sum(x_e3)::BIGINT AS s_e3
+              FROM u GROUP BY label, dim)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.s_e3 * b.s_e3)::BIGINT AS dot_e6
+            FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label
         """,
         "orders_percent_rank": """
             SELECT o_orderkey, o_orderpriority,

@@ -574,3 +574,36 @@ def test_grouped_mode_tie_break(ray_session):
     # a: x=2, y=2 tie -> "x" (smallest); b: q=2 wins
     assert got["v"].tolist() == ["x", "q"]
     assert got["n"].tolist() == [2, 2]
+
+
+def test_edge_support_counts(ray_session):
+    # K4 on {a,b,c,d}: every edge lies in exactly 2 triangles; pendant
+    # edge d-e (from the extra vertex) lies in none and is omitted
+    import ray.data as rd
+
+    from raygraph.ops.graph import _triangles
+    from raygraph.ops.relational import preagg_sum
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "a", "a", "b", "b", "c", "d"],
+        "_to":   ["b", "c", "d", "c", "d", "d", "e"],
+    }))
+    closed, _, _ = _triangles(ed)
+
+    def explode_edges(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        parts = []
+        for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+            a, b = df[x], df[y]
+            parts.append(pd.DataFrame({
+                "u": a.where(a < b, b), "v": b.where(a < b, a)}))
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    sup = preagg_sum(closed.map_batches(explode_edges,
+                                        batch_format="pyarrow"),
+                     ["u", "v"], {}, counts="support").to_pandas()
+    got = {(r.u, r.v): r.support for r in sup.itertuples()}
+    k4_edges = [("a", "b"), ("a", "c"), ("a", "d"),
+                ("b", "c"), ("b", "d"), ("c", "d")]
+    assert got == {e: 2 for e in k4_edges}
