@@ -2918,6 +2918,499 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(arrival, batch_format="pyarrow"),
             key_col="user_id", order_col="arrival", ts_col="ts")
 
+    def tpch_q2_min_supplier(sf_dir):
+        # Q2 shape (minimum-cost supplier, partsupp-free): for each
+        # filtered part, the EUROPE supplier with min acctbal (tie: min
+        # suppkey) among the suppliers that shipped it. Supplier dim +
+        # attrs ride the closure; the per-part argmin is one
+        # hash_aggregate whose reduce sees every (part, supplier) row
+        # of its keys — lexicographic min is exact per bucket.
+        from raygraph.ops.relational import hash_aggregate
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+        pset = set(part.loc[(part["p_type"] == "LARGE")
+                            & (part["p_size"] <= 15), "p_partkey"])
+
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet")).to_pandas()
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        region = pq.read_table(
+            os.path.join(sf_dir, "region.parquet")).to_pandas()
+        eur = set(region.loc[region["r_name"] == "EUROPE", "r_regionkey"])
+        nat_eur = nation[nation["n_regionkey"].isin(eur)]
+        supp = supp[supp["s_nationkey"].isin(set(nat_eur["n_nationkey"]))]
+        acct = dict(zip(supp["s_suppkey"],
+                        np.round(supp["s_acctbal"].to_numpy() * 100)
+                        .astype("int64")))
+        sname = dict(zip(supp["s_suppkey"], supp["s_name"]))
+        nname = dict(zip(supp["s_suppkey"], supp["s_nationkey"].map(
+            dict(zip(nation["n_nationkey"], nation["n_name"])))))
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_partkey", "l_suppkey"])
+
+        def pairs(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            keep = df["l_partkey"].isin(pset) & df["l_suppkey"].isin(acct)
+            df = df[keep]
+            return pa.Table.from_pandas(pd.DataFrame({
+                "p_partkey": df["l_partkey"].astype("int64"),
+                "s_suppkey": df["l_suppkey"].astype("int64"),
+                "acct_cents": df["l_suppkey"].map(acct).astype("int64"),
+            }), preserve_index=False)
+
+        def reduce(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["acct_cents", "s_suppkey"]) \
+                .drop_duplicates("p_partkey")
+            df = df.copy()
+            df["s_name"] = df["s_suppkey"].map(sname)
+            df["n_name"] = df["s_suppkey"].map(nname)
+            return df[["p_partkey", "s_suppkey", "s_name", "n_name",
+                       "acct_cents"]]
+
+        return hash_aggregate(li.map_batches(pairs, batch_format="pyarrow"),
+                              ["p_partkey"], reduce)
+
+    def tpch_q7_volume(sf_dir):
+        # Q7 (volume shipping between two nations): supplier nation via
+        # closure (small dim), then the two genuinely big joins —
+        # lineitem ⋈ orders and ⋈ customer — as hash-shuffle joins,
+        # pair filter, and a (nation² × year)-sized combiner preagg.
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import _join_partitions, shuffle_join
+
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+        n1, n2 = "NATION_1", "NATION_2"
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        supp["n"] = supp["s_nationkey"].map(nat_name)
+        supp_nat = dict(zip(supp.loc[supp["n"].isin({n1, n2}), "s_suppkey"],
+                            supp.loc[supp["n"].isin({n1, n2}), "n"]))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"],
+            filter=(pads.field("l_shipdate") >= pd.Timestamp("1995-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01")),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_suppkey"].isin(supp_nat)]
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "supp_nation": df["l_suppkey"].map(supp_nat),
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "rev_e4": cents * (100 - bp),
+            }), preserve_index=False)
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey", "o_custkey"])
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        j = shuffle_join(li.map_batches(partial, batch_format="pyarrow"),
+                         orders, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=_join_partitions(nord))
+        j = _repaired(j, pa.schema([
+            ("l_orderkey", pa.int64()), ("supp_nation", pa.string()),
+            ("l_year", pa.int64()), ("rev_e4", pa.int64()),
+            ("o_custkey", pa.int64())]))
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        ncust = pq.read_metadata(
+            os.path.join(sf_dir, "customer.parquet")).num_rows
+        j2 = shuffle_join(j, cust, on="o_custkey", right_on="c_custkey",
+                          num_partitions=_join_partitions(ncust))
+        j2 = _repaired(j2, pa.schema([
+            ("l_orderkey", pa.int64()), ("supp_nation", pa.string()),
+            ("l_year", pa.int64()), ("rev_e4", pa.int64()),
+            ("o_custkey", pa.int64()), ("c_nationkey", pa.int32())]))
+
+        def pairf(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cn = df["c_nationkey"].map(nat_name)
+            keep = ((df["supp_nation"] == n1) & (cn == n2)) \
+                | ((df["supp_nation"] == n2) & (cn == n1))
+            df = df[keep]
+            return pa.Table.from_pandas(pd.DataFrame({
+                "supp_nation": df["supp_nation"],
+                "cust_nation": cn[keep],
+                "l_year": df["l_year"].astype("int64"),
+                "rev_e4": df["rev_e4"].astype("int64"),
+            }), preserve_index=False)
+
+        return preagg_sum(j2.map_batches(pairf, batch_format="pyarrow"),
+                          ["supp_nation", "cust_nation", "l_year"],
+                          {"revenue_e4": "rev_e4"})
+
+    def tpch_q8_market_share(sf_dir):
+        # Q8 (national market share): part-type filter + supplier
+        # nation ride the closure, the big joins (orders for the year,
+        # customer for the market region) hash-shuffle, numerator/
+        # denominator are two sums in ONE year-keyed combiner preagg,
+        # and the share is exact integer bp on the year-sized result.
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions, shuffle_join,
+                                             trunc_div)
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type"]).to_pandas()
+        pset = set(part.loc[part["p_type"] == "ECONOMY", "p_partkey"])
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        region = pq.read_table(
+            os.path.join(sf_dir, "region.parquet")).to_pandas()
+        asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+        asia_nat = set(
+            nation.loc[nation["n_regionkey"].isin(asia), "n_nationkey"])
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+        supp_nat = dict(zip(supp["s_suppkey"],
+                            supp["s_nationkey"].map(nat_name)))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_orderkey",
+                     "l_extendedprice", "l_discount"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_partkey"].isin(pset)]
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "supp_nation": df["l_suppkey"].map(supp_nat),
+                "vol_e4": cents * (100 - bp),
+            }), preserve_index=False)
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        j = shuffle_join(li.map_batches(partial, batch_format="pyarrow"),
+                         orders, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=_join_partitions(nord))
+        j = _repaired(j, pa.schema([
+            ("l_orderkey", pa.int64()), ("supp_nation", pa.string()),
+            ("vol_e4", pa.int64()), ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us"))]))
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        ncust = pq.read_metadata(
+            os.path.join(sf_dir, "customer.parquet")).num_rows
+        j2 = shuffle_join(j, cust, on="o_custkey", right_on="c_custkey",
+                          num_partitions=_join_partitions(ncust))
+        j2 = _repaired(j2, pa.schema([
+            ("l_orderkey", pa.int64()), ("supp_nation", pa.string()),
+            ("vol_e4", pa.int64()), ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("c_nationkey", pa.int32())]))
+
+        def market(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["c_nationkey"].isin(asia_nat)]
+            vol = df["vol_e4"].to_numpy().astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "o_year": df["o_orderdate"].dt.year.astype("int64"),
+                "tot": vol,
+                "nat": np.where(
+                    (df["supp_nation"] == "NATION_3").to_numpy(), vol, 0),
+            }), preserve_index=False)
+
+        agg = preagg_sum(j2.map_batches(market, batch_format="pyarrow"),
+                         ["o_year"], {"tot_e4": "tot", "nat_e4": "nat"}
+                         ).to_pandas()
+        agg["mkt_share_bp"] = trunc_div(
+            10_000 * agg["nat_e4"].to_numpy(), agg["tot_e4"].to_numpy())
+        agg["mkt_share_bp"] = agg["mkt_share_bp"].astype("int64")
+        return agg[["o_year", "mkt_share_bp"]]
+
+    def tpch_q11_important_parts(sf_dir):
+        # Q11 shape (important stock, partsupp-free): per-part value
+        # from one nation's shipments via combiner preagg; the global
+        # threshold is a scalar over the part-sized aggregate (at scale:
+        # a second tree-sum + broadcast filter — here the aggregate is
+        # already small) — exact 1000·value > total integer predicate.
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        nk = set(nation.loc[nation["n_name"] == "NATION_5", "n_nationkey"])
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sset = set(supp.loc[supp["s_nationkey"].isin(nk), "s_suppkey"])
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_suppkey"].isin(sset)]
+            return pa.Table.from_pandas(pd.DataFrame({
+                "p_partkey": df["l_partkey"].astype("int64"),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype("int64"),
+            }), preserve_index=False)
+
+        v = preagg_sum(li.map_batches(partial, batch_format="pyarrow"),
+                       ["p_partkey"], {"value_e2": "cents"}).to_pandas()
+        total = int(v["value_e2"].sum())
+        v = v[1000 * v["value_e2"] > total]
+        v["value_e2"] = v["value_e2"].astype("int64")
+        return v[["p_partkey", "value_e2"]].reset_index(drop=True)
+
+    def tpch_q12_late_lines(sf_dir):
+        # Q12 shape (shipmode-style conditional counts): lineitem ⋈
+        # orders hash-shuffle on orderkey, a row is "late" when it
+        # ships ≥90 days after the order date; high/low-priority
+        # indicator sums fold in a linestatus-keyed combiner preagg.
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import _join_partitions, shuffle_join
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate", "l_linestatus"],
+            filter=(pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01")),
+        )
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=_join_partitions(nord))
+        j = _repaired(j, pa.schema([
+            ("l_orderkey", pa.int64()), ("l_shipdate", pa.timestamp("us")),
+            ("l_linestatus", pa.string()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string())]))
+
+        def late(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_shipdate"]
+                    >= df["o_orderdate"] + pd.Timedelta(days=90)]
+            hi = df["o_orderpriority"].isin({"1-URGENT", "2-HIGH"}) \
+                .to_numpy().astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_linestatus": df["l_linestatus"],
+                "high": hi, "low": 1 - hi,
+            }), preserve_index=False)
+
+        return preagg_sum(j.map_batches(late, batch_format="pyarrow"),
+                          ["l_linestatus"],
+                          {"high_line_count": "high",
+                           "low_line_count": "low"})
+
+    def tpch_q15_top_supplier(sf_dir):
+        # Q15 (top supplier): supplier-keyed combiner preagg over a
+        # pruned + predicate-pushed scan; the max + equality filter act
+        # on the supplier-sized aggregate; names broadcast on.
+        import pyarrow.dataset as pads
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+            filter=(pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1996-04-01")),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].astype("int64"),
+                "rev_e4": cents * (100 - bp),
+            }), preserve_index=False)
+
+        rev = preagg_sum(li.map_batches(partial, batch_format="pyarrow"),
+                         ["s_suppkey"],
+                         {"total_revenue_e4": "rev_e4"}).to_pandas()
+        best = rev[rev["total_revenue_e4"]
+                   == rev["total_revenue_e4"].max()].copy()
+        supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"]).to_pandas()
+        best["s_name"] = best["s_suppkey"].map(
+            dict(zip(supp["s_suppkey"], supp["s_name"])))
+        best["total_revenue_e4"] = best["total_revenue_e4"].astype("int64")
+        return best[["s_suppkey", "s_name",
+                     "total_revenue_e4"]].reset_index(drop=True)
+
+    def tpch_q17_small_qty(sf_dir):
+        # Q17 (small-quantity-order revenue): pass 1 computes per-part
+        # (Σqty, n) for the brand/type slice via combiner preagg; the
+        # filtered-part-sized stats broadcast back into pass 2, where
+        # the exact-integer predicate 5·qty·n < Σqty (⇔ qty < 0.2·avg)
+        # gates a per-batch scalar sum folded by tree_aggregate.
+        from raygraph.ops.relational import tree_aggregate, trunc_div
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type"]).to_pandas()
+        pset = set(part.loc[(part["p_brand"] == "Brand#23")
+                            & (part["p_type"] == "MEDIUM"), "p_partkey"])
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+        def stats(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_partkey"].isin(pset)]
+            return pa.Table.from_pandas(pd.DataFrame({
+                "p_partkey": df["l_partkey"].astype("int64"),
+                "qty": df["l_quantity"].to_numpy().astype("int64"),
+            }), preserve_index=False)
+
+        st = preagg_sum(li.map_batches(stats, batch_format="pyarrow"),
+                        ["p_partkey"], {"sum_qty": "qty"},
+                        counts="cnt").to_pandas()
+        sumq = dict(zip(st["p_partkey"], st["sum_qty"]))
+        cnt = dict(zip(st["p_partkey"], st["cnt"]))
+
+        def small(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_partkey"].isin(pset)]
+            if not len(df):
+                return pa.table({"cents": pa.array([0], pa.int64())})
+            q = df["l_quantity"].to_numpy().astype("int64")
+            n = df["l_partkey"].map(cnt).to_numpy().astype("int64")
+            s = df["l_partkey"].map(sumq).to_numpy().astype("int64")
+            keep = 5 * q * n < s
+            cents = np.round(df["l_extendedprice"].to_numpy()[keep] * 100) \
+                .astype("int64")
+            return pa.table({"cents": pa.array([int(cents.sum())],
+                                               pa.int64())})
+
+        tot = tree_aggregate(
+            li.map_batches(small, batch_format="pyarrow"),
+            lambda df: pd.DataFrame({"cents": [int(df["cents"].sum())]}),
+            precombined=True).to_pandas()
+        return pd.DataFrame({"avg_yearly_e2": [
+            int(trunc_div(int(tot["cents"].iloc[0]), 7))]})
+
+    def tpch_q20_promo_suppliers(sf_dir):
+        # Q20 shape (potential part promotion, partsupp-free): 'red'
+        # part keys + the one nation's suppliers ride the closure, the
+        # year window pushes into the scan, shipped quantity folds in a
+        # supplier-keyed combiner preagg, threshold on the tiny result.
+        import pyarrow.dataset as pads
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name"]).to_pandas()
+        pset = set(part.loc[part["p_name"].str.startswith("red "),
+                            "p_partkey"])
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        nk = set(nation.loc[nation["n_name"] == "NATION_7", "n_nationkey"])
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+        supp = supp[supp["s_nationkey"].isin(nk)]
+        sname = dict(zip(supp["s_suppkey"], supp["s_name"]))
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pd.Timestamp("1997-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1998-01-01")),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["l_partkey"].isin(pset)
+                    & df["l_suppkey"].isin(sname)]
+            return pa.Table.from_pandas(pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].astype("int64"),
+                "qty": df["l_quantity"].to_numpy().astype("int64"),
+            }), preserve_index=False)
+
+        q = preagg_sum(li.map_batches(partial, batch_format="pyarrow"),
+                       ["s_suppkey"], {"total_qty": "qty"}).to_pandas()
+        q = q[q["total_qty"] > 50].copy()
+        q["s_name"] = q["s_suppkey"].map(sname)
+        q["total_qty"] = q["total_qty"].astype("int64")
+        return q[["s_suppkey", "s_name",
+                  "total_qty"]].reset_index(drop=True)
+
+    def tpch_q21_waiting_suppliers(sf_dir):
+        # Q21 shape (suppliers who kept orders waiting): distributed
+        # EXISTS/NOT-EXISTS as a left_semi join against 'F'-status
+        # orders, then per-order logic (≥2 suppliers, unique latest
+        # shipper) in a hash_aggregate whose reduce sees every line of
+        # its orders; per-supplier wait counts finish as a tiny preagg.
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions,
+                                             hash_aggregate, shuffle_join)
+
+        fkeys = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus"],
+            filter=pads.field("o_orderstatus") == "F",
+        ).drop_columns(["o_orderstatus"])
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+        nord = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+        sj = shuffle_join(li, fkeys, on="l_orderkey", right_on="o_orderkey",
+                          how="left_semi",
+                          num_partitions=_join_partitions(nord))
+        sj = _repaired(sj, pa.schema([
+            ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("l_shipdate", pa.timestamp("us"))]))
+
+        def reduce(df: pd.DataFrame) -> pd.DataFrame:
+            per = df.groupby(["l_orderkey", "l_suppkey"],
+                             as_index=False)["l_shipdate"].max()
+            g = per.groupby("l_orderkey")["l_shipdate"]
+            top = per[(per["l_shipdate"] == g.transform("max"))
+                      & (per.groupby("l_orderkey")["l_suppkey"]
+                         .transform("size") >= 2)]
+            solo = top.groupby("l_orderkey")["l_suppkey"] \
+                .transform("size") == 1
+            return pd.DataFrame(
+                {"s_suppkey": top.loc[solo, "l_suppkey"].astype("int64")})
+
+        waits = hash_aggregate(sj, ["l_orderkey"], reduce)
+        waits = _repaired(waits, pa.schema([("s_suppkey", pa.int64())]))
+        nw = preagg_sum(waits, ["s_suppkey"], {},
+                        counts="numwait").to_pandas()
+        supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_name"]).to_pandas()
+        nw["s_name"] = nw["s_suppkey"].map(
+            dict(zip(supp["s_suppkey"], supp["s_name"])))
+        nw = nw.sort_values(["numwait", "s_suppkey"],
+                            ascending=[False, True]).head(100)
+        nw["numwait"] = nw["numwait"].astype("int64")
+        return nw[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
     def tpch_q4_exists(sf_dir):
         # Q4 shape (order-priority checking): orders with EXISTS a
         # heavily-discounted line — distributed EXISTS as a left_semi
@@ -3360,6 +3853,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": tpch_q13_custdist,
         "tpch_q18_big_orders": tpch_q18_big_orders,
         "tpch_q22_idle": tpch_q22_idle,
+        "tpch_q2_min_supplier": tpch_q2_min_supplier,
+        "tpch_q7_volume": tpch_q7_volume,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q11_important_parts": tpch_q11_important_parts,
+        "tpch_q12_late_lines": tpch_q12_late_lines,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_qty": tpch_q17_small_qty,
+        "tpch_q20_promo_suppliers": tpch_q20_promo_suppliers,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
         "kg_degree_hist": kg_degree_hist,
         "orders_percent_rank": orders_percent_rank,
         "kg_edge_support": kg_edge_support,
@@ -4827,6 +5329,161 @@ def oracle_sql() -> dict[str, str]:
                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                     AND l_quantity BETWEEN 20 AND 30)
               )
+        """,
+        "tpch_q2_min_supplier": """
+            WITH shippers AS (
+              SELECT DISTINCT l_partkey AS p_partkey, l_suppkey
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey AND p_type = 'LARGE'
+                AND p_size <= 15),
+            cand AS (
+              SELECT sh.p_partkey, sh.l_suppkey AS s_suppkey, s_name, n_name,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents,
+                     row_number() OVER (
+                       PARTITION BY sh.p_partkey
+                       ORDER BY round(s_acctbal * 100), sh.l_suppkey) AS rn
+              FROM shippers sh, supplier, nation, region
+              WHERE sh.l_suppkey = supplier.s_suppkey
+                AND s_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+            SELECT p_partkey, s_suppkey, s_name, n_name, acct_cents
+            FROM cand WHERE rn = 1
+        """,
+        "tpch_q7_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   sum(volume_e4)::BIGINT AS revenue_e4
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         CAST(date_part('year', l_shipdate) AS BIGINT)
+                           AS l_year,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS volume_e4
+                  FROM supplier, lineitem, orders, customer,
+                       nation n1, nation n2
+                  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                    AND c_custkey = o_custkey
+                    AND s_nationkey = n1.n_nationkey
+                    AND c_nationkey = n2.n_nationkey
+                    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                         OR (n1.n_name = 'NATION_2'
+                             AND n2.n_name = 'NATION_1'))
+                    AND l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1997-01-01') s
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8_market_share": """
+            WITH alln AS (
+              SELECT CAST(date_part('year', o_orderdate) AS BIGINT)
+                       AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS volume_e4,
+                     n1.n_name AS supp_nation
+              FROM part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r_regionkey
+                AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
+                AND p_type = 'ECONOMY')
+            SELECT o_year,
+                   ((10000 * sum(CASE WHEN supp_nation = 'NATION_3'
+                                      THEN volume_e4 ELSE 0 END))
+                    // sum(volume_e4))::BIGINT AS mkt_share_bp
+            FROM alln GROUP BY o_year
+        """,
+        "tpch_q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey AS p_partkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     )::BIGINT AS value_e2
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_name = 'NATION_5'
+              GROUP BY l_partkey)
+            SELECT p_partkey, value_e2 FROM v
+            WHERE 1000 * value_e2 > (SELECT sum(value_e2) FROM v)
+        """,
+        "tpch_q12_late_lines": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     )::BIGINT AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT r.s_suppkey, s_name, total_revenue_e4
+            FROM rev r, supplier s
+            WHERE r.s_suppkey = s.s_suppkey
+              AND total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+        """,
+        "tpch_q17_small_qty": """
+            WITH li AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey AND p_brand = 'Brand#23'
+                AND p_type = 'MEDIUM'),
+            s AS (
+              SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS cnt
+              FROM li GROUP BY l_partkey)
+            SELECT (coalesce(sum(cents), 0) // 7)::BIGINT AS avg_yearly_e2
+            FROM li, s
+            WHERE li.l_partkey = s.l_partkey AND 5 * qty * cnt < sum_qty
+        """,
+        "tpch_q20_promo_suppliers": """
+            WITH qty AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey AND p_name LIKE 'red %'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s_name, total_qty
+            FROM supplier s, nation, qty
+            WHERE s.s_nationkey = n_nationkey AND n_name = 'NATION_7'
+              AND qty.l_suppkey = s.s_suppkey AND total_qty > 50
+        """,
+        "tpch_q21_waiting_suppliers": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey, l_shipdate
+              FROM lineitem, orders
+              WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+            pers AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+              FROM lo GROUP BY l_orderkey, l_suppkey),
+            r AS (
+              SELECT l_orderkey, l_suppkey,
+                     rank() OVER (PARTITION BY l_orderkey
+                                  ORDER BY smax DESC) AS rk,
+                     count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+              FROM pers),
+            w AS (
+              SELECT l_orderkey, max(l_suppkey) AS wk
+              FROM r WHERE rk = 1 AND nsupp >= 2
+              GROUP BY l_orderkey HAVING count(*) = 1)
+            SELECT w.wk AS s_suppkey, s_name, count(*)::BIGINT AS numwait
+            FROM w, supplier WHERE w.wk = supplier.s_suppkey
+            GROUP BY w.wk, s_name
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 100
         """,
         "kg_linkpred": f"""
             WITH edges AS ({kg_edges_sql}),
