@@ -3603,28 +3603,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # degree-ordered triangle enumeration, each triangle exploded to
         # its 3 lex-canonical edges (vectorized), one combiner preagg;
         # edges outside any triangle have support 0 and are omitted
-        from raygraph.ops.graph import _repaired, _triangles
+        from raygraph.ops.graph import edge_support
 
         res = _kg_result(sf_dir)
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
-        closed, _, _ = _triangles(ed)
+        sup, _, _, _ = edge_support(ed)
+        return sup
 
-        def explode_edges(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            if not len(df):
-                return pa.table({"u": pa.array([], pa.string()),
-                                 "v": pa.array([], pa.string())})
-            parts = []
-            for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
-                a, b = df[x], df[y]
-                parts.append(pd.DataFrame({
-                    "u": a.where(a < b, b), "v": b.where(a < b, a)}))
-            return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                        preserve_index=False)
+    def kg_edge_jaccard(sf_dir):
+        # per-edge neighborhood Jaccard (structural similarity): support
+        # left-joined onto the edge set, degrees attached by two
+        # endpoint-hash joins, exact integer bp
+        from raygraph.ops.graph import edge_jaccard
 
-        return preagg_sum(
-            closed.map_batches(explode_edges, batch_format="pyarrow"),
-            ["u", "v"], {}, counts="support")
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return edge_jaccard(ed)
+
+    def kg_assortativity(sf_dir):
+        # degree assortativity (Newman r) in exact-moment bp over
+        # both-direction arcs
+        from raygraph.ops.graph import degree_assortativity
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return degree_assortativity(ed)
 
     def embedding_centroid_dot(sf_dir):
         # pairwise dot products of per-label centroid SUM vectors (e3
@@ -3865,6 +3868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_hist": kg_degree_hist,
         "orders_percent_rank": orders_percent_rank,
         "kg_edge_support": kg_edge_support,
+        "kg_edge_jaccard": kg_edge_jaccard,
+        "kg_assortativity": kg_assortativity,
         "embedding_centroid_dot": embedding_centroid_dot,
         "lineitem_sort_top100": lineitem_sort_top100,
         "lineitem_price_histogram": lineitem_price_histogram,
@@ -5594,6 +5599,65 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y, z FROM tri)
             SELECT u, v, count(*)::BIGINT AS support
             FROM te GROUP BY u, v
+        """,
+        "kg_edge_jaccard": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            arcs AS (SELECT u AS a, v AS b FROM und
+                     UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT a AS vtx, count(*)::BIGINT AS d
+                    FROM arcs GROUP BY a),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+            te AS (
+              SELECT x AS u, y AS v FROM tri
+              UNION ALL SELECT x, z FROM tri
+              UNION ALL SELECT y, z FROM tri),
+            sup AS (SELECT u, v, count(*)::BIGINT AS support
+                    FROM te GROUP BY u, v),
+            j AS (
+              SELECT e.u, e.v, coalesce(s.support, 0)::BIGINT AS support,
+                     d1.d AS du, d2.d AS dv
+              FROM und e
+              LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+              JOIN deg d1 ON d1.vtx = e.u
+              JOIN deg d2 ON d2.vtx = e.v)
+            SELECT u, v, support,
+                   ((10000 * support) // (du + dv - 2 - support))::BIGINT
+                       AS jacc_bp
+            FROM j WHERE du + dv - 2 - support > 0
+        """,
+        "kg_assortativity": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            arcs AS (SELECT u AS a, v AS b FROM und
+                     UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT a AS vtx, count(*)::BIGINT AS d
+                    FROM arcs GROUP BY a),
+            q AS (SELECT d1.d AS x, d2.d AS y
+                  FROM arcs
+                  JOIN deg d1 ON d1.vtx = arcs.a
+                  JOIN deg d2 ON d2.vtx = arcs.b),
+            m AS (SELECT count(*)::HUGEINT AS n,
+                         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                         sum(x * x)::HUGEINT AS sxx,
+                         sum(y * y)::HUGEINT AS syy,
+                         sum(x * y)::HUGEINT AS sxy
+                  FROM q)
+            SELECT n::BIGINT AS n_rows,
+                   floor((10000 * (n * sxy - sx * sy))::DOUBLE
+                         / sqrt((n * sxx - sx * sx)::DOUBLE
+                                * (n * syy - sy * sy)::DOUBLE))::BIGINT
+                       AS corr_bp
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
         "embedding_centroid_dot": """
             WITH u AS (

@@ -927,3 +927,125 @@ def hits_authorities(edges, iters: int = 2,
         a = half_round(h, join_on="u", group_as="v")   # authorities
         h = half_round(a, join_on="v", group_as="u")   # hubs
     return a.rename_columns({"x": "vertex", "s": "auth"})
+
+
+def edge_support(edges, src: str = "_from", dst: str = "_to"):
+    """Per-edge triangle support (the k-truss building block): for each
+    undirected simple edge {u < v}, the number of triangles containing
+    it. Triangles come from the shared degree-ordered :func:`_wedge_plan`
+    close; each triangle explodes to its 3 lex-canonical edges
+    (vectorized concat) and folds in one combiner preagg — edges outside
+    any triangle do not appear (support 0). Returns
+    (sup, und, deg, nparts) so callers can left-join the zero-support
+    edges or degrees without rebuilding the plan."""
+    from .relational import preagg_sum, shuffle_join
+
+    wedges, und, arcs, deg, nparts = _wedge_plan(edges, src, dst)
+    closed = shuffle_join(wedges, arcs.select_columns(["x", "y"]),
+                          on=("b", "c"), right_on=("x", "y"),
+                          how="left_semi", num_partitions=nparts)
+    closed = _repaired(closed, pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("c", pa.string())]))
+
+    def tri_edges(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        parts = []
+        for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+            a, b = df[x], df[y]
+            parts.append(pd.DataFrame({"u": a.where(a < b, b),
+                                       "v": b.where(a < b, a)}))
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    sup = _repaired(
+        preagg_sum(closed.map_batches(tri_edges, batch_format="pyarrow"),
+                   ["u", "v"], {}, counts="support"),
+        pa.schema([("u", pa.string()), ("v", pa.string()),
+                   ("support", pa.int64())]))
+    return sup, und, deg, nparts
+
+
+def edge_jaccard(edges, src: str = "_from", dst: str = "_to"):
+    """Per-edge neighborhood Jaccard similarity in exact basis points
+    (the structural-similarity measure graph sparsifiers use): for edge
+    {u, v}, jacc_bp = floor(10⁴·s / (deg(u)+deg(v)−2−s)) where s is the
+    edge's triangle support — |N(u)∩N(v)| = s and
+    |N(u)∪N(v) \\ {u,v}| = deg(u)+deg(v)−2−s. Support meets the edge
+    set in one left-outer shuffle join (s = 0 where no triangle closes)
+    and the two vertex-degree attachments are hash-partitioned joins on
+    each endpoint — nothing vertex- or edge-sized funnels through the
+    driver. Edges whose endpoints have no other neighbors (denominator
+    0) are dropped, matching the oracle's positive-denominator filter."""
+    from .relational import shuffle_join
+
+    sup, und, deg, nparts = edge_support(edges, src, dst)
+    j = shuffle_join(und, sup.rename_columns({"u": "u2", "v": "v2"}),
+                     on=("u", "v"), right_on=("u2", "v2"),
+                     how="left_outer", num_partitions=nparts)
+    j = _repaired(j, pa.schema([("u", pa.string()), ("v", pa.string()),
+                                ("support", pa.int64())]))
+    j = shuffle_join(j, deg.rename_columns({"vtx": "vu", "deg": "deg_u"}),
+                     on="u", right_on="vu", num_partitions=nparts)
+    j = _repaired(j, pa.schema([
+        ("u", pa.string()), ("v", pa.string()), ("support", pa.int64()),
+        ("deg_u", pa.int64())]))
+    j = shuffle_join(j, deg.rename_columns({"vtx": "vv", "deg": "deg_v"}),
+                     on="v", right_on="vv", num_partitions=nparts)
+    j = _repaired(j, pa.schema([
+        ("u", pa.string()), ("v", pa.string()), ("support", pa.int64()),
+        ("deg_u", pa.int64()), ("deg_v", pa.int64())]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df["support"].fillna(0).astype("int64")
+        den = df["deg_u"].astype("int64") + df["deg_v"].astype("int64") \
+            - 2 - s
+        keep = (den > 0).to_numpy()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "u": df["u"][keep], "v": df["v"][keep],
+            "support": s[keep],
+            "jacc_bp": (10_000 * s[keep]) // den[keep],
+        }), preserve_index=False)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity(edges, src: str = "_from", dst: str = "_to"):
+    """Degree assortativity of the undirected simple graph: exact-moment
+    Pearson correlation (basis points, floor) of endpoint degrees over
+    both-direction arcs — the standard Newman r. Degrees attach to arcs
+    via two vertex-hash-partitioned shuffle joins; the five integer
+    moment sums fold per batch (:func:`relational.grouped_corr_bp`
+    discipline) so the only driver-sized object is the single-group
+    moment row. Returns a one-row DataFrame (n_rows = 2·|E|, corr_bp)."""
+    from .relational import grouped_corr_bp, shuffle_join
+
+    und, deg, nparts = _und_graph(edges, src, dst)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().cast(pa.string())
+        v = batch.column("v").combine_chunks().cast(pa.string())
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    arcs = und.map_batches(both_dirs, batch_format="pyarrow")
+    j = shuffle_join(arcs, deg.rename_columns({"vtx": "va", "deg": "deg_a"}),
+                     on="a", right_on="va", num_partitions=nparts)
+    j = _repaired(j, pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("deg_a", pa.int64())]))
+    j = shuffle_join(j, deg.rename_columns({"vtx": "vb", "deg": "deg_b"}),
+                     on="b", right_on="vb", num_partitions=nparts)
+    j = _repaired(j, pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("deg_a", pa.int64()),
+        ("deg_b", pa.int64())]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("g", pa.array([0] * len(batch),
+                                                 pa.int64()))
+
+    out = grouped_corr_bp(j.map_batches(tag, batch_format="pyarrow"),
+                          ["g"], "deg_a", "deg_b")
+    return out.drop(columns=["g"])

@@ -581,29 +581,50 @@ def test_edge_support_counts(ray_session):
     # edge d-e (from the extra vertex) lies in none and is omitted
     import ray.data as rd
 
-    from raygraph.ops.graph import _triangles
-    from raygraph.ops.relational import preagg_sum
+    from raygraph.ops.graph import edge_support
 
     ed = rd.from_arrow(pa.table({
         "_from": ["a", "a", "a", "b", "b", "c", "d"],
         "_to":   ["b", "c", "d", "c", "d", "d", "e"],
     }))
-    closed, _, _ = _triangles(ed)
-
-    def explode_edges(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        parts = []
-        for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
-            a, b = df[x], df[y]
-            parts.append(pd.DataFrame({
-                "u": a.where(a < b, b), "v": b.where(a < b, a)}))
-        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                    preserve_index=False)
-
-    sup = preagg_sum(closed.map_batches(explode_edges,
-                                        batch_format="pyarrow"),
-                     ["u", "v"], {}, counts="support").to_pandas()
-    got = {(r.u, r.v): r.support for r in sup.itertuples()}
+    sup, _, _, _ = edge_support(ed)
+    df = sup.to_pandas()
+    got = {(r.u, r.v): r.support for r in df.itertuples()}
     k4_edges = [("a", "b"), ("a", "c"), ("a", "d"),
                 ("b", "c"), ("b", "d"), ("c", "d")]
     assert got == {e: 2 for e in k4_edges}
+
+
+def test_edge_jaccard_k4_pendant(ray_session):
+    # K4 edge {a,b}: s=2, deg 3+3-2-2=2 -> bp 10000. Edges at d (deg 4):
+    # {a,d}: s=2, den 3+4-2-2=3 -> 6666. Pendant {d,e}: s=0,
+    # den 4+1-2-0=3 -> 0 (kept, denominator positive).
+    import ray.data as rd
+
+    from raygraph.ops.graph import edge_jaccard
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "a", "a", "b", "b", "c", "d"],
+        "_to":   ["b", "c", "d", "c", "d", "d", "e"],
+    }))
+    df = edge_jaccard(ed).to_pandas()
+    got = {(r.u, r.v): (r.support, r.jacc_bp) for r in df.itertuples()}
+    assert got[("a", "b")] == (2, 10000)
+    assert got[("a", "d")] == (2, 6666)
+    assert got[("d", "e")] == (0, 0)
+    assert len(got) == 7
+
+
+def test_assortativity_star_is_minus_one(ray_session):
+    # a star is perfectly disassortative: corr_bp == -10000 exactly
+    import ray.data as rd
+
+    from raygraph.ops.graph import degree_assortativity
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["hub", "hub", "hub"],
+        "_to":   ["l1", "l2", "l3"],
+    }))
+    df = degree_assortativity(ed)
+    assert df["n_rows"].tolist() == [6]
+    assert df["corr_bp"].tolist() == [-10000]
