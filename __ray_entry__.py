@@ -3620,6 +3620,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return edge_jaccard(ed)
 
+    def kg_truss3(sf_dir):
+        # iterative k-truss peel (k=3, 2 synchronous rounds): each round
+        # recomputes per-edge triangle support on the surviving edge set
+        # and drops edges below k-2 — fixed rounds, SQL-reproducible
+        from raygraph.ops.graph import truss_edges
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return truss_edges(ed, k=3, rounds=2)
+
     def kg_assortativity(sf_dir):
         # degree assortativity (Newman r) in exact-moment bp over
         # both-direction arcs
@@ -3868,6 +3878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_hist": kg_degree_hist,
         "orders_percent_rank": orders_percent_rank,
         "kg_edge_support": kg_edge_support,
+        "kg_truss3": kg_truss3,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "embedding_centroid_dot": embedding_centroid_dot,
@@ -5599,6 +5610,31 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y, z FROM tri)
             SELECT u, v, count(*)::BIGINT AS support
             FROM te GROUP BY u, v
+        """,
+        "kg_truss3": f"""
+            WITH edges AS ({kg_edges_sql}),
+            e0 AS (SELECT DISTINCT least(_from, _to) AS u,
+                          greatest(_from, _to) AS v
+                   FROM edges WHERE _from <> _to),
+            t1 AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e0 a
+                   JOIN e0 b ON b.u = a.u AND b.v > a.v
+                   JOIN e0 c ON c.u = a.v AND c.v = b.v),
+            s1 AS (SELECT u, v, count(*) AS sup FROM (
+                     SELECT x AS u, y AS v FROM t1
+                     UNION ALL SELECT x, z FROM t1
+                     UNION ALL SELECT y, z FROM t1) GROUP BY u, v),
+            e1 AS (SELECT e0.u, e0.v FROM e0
+                   JOIN s1 ON s1.u = e0.u AND s1.v = e0.v WHERE sup >= 1),
+            t2 AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e1 a
+                   JOIN e1 b ON b.u = a.u AND b.v > a.v
+                   JOIN e1 c ON c.u = a.v AND c.v = b.v),
+            s2 AS (SELECT u, v, count(*) AS sup FROM (
+                     SELECT x AS u, y AS v FROM t2
+                     UNION ALL SELECT x, z FROM t2
+                     UNION ALL SELECT y, z FROM t2) GROUP BY u, v),
+            e2 AS (SELECT e1.u, e1.v FROM e1
+                   JOIN s2 ON s2.u = e1.u AND s2.v = e1.v WHERE sup >= 1)
+            SELECT u, v FROM e2
         """,
         "kg_edge_jaccard": f"""
             WITH edges AS ({kg_edges_sql}),

@@ -499,13 +499,20 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
 
     wedges, _, arcs, deg, nparts = _wedge_plan(edges, src, dst)
 
+    tri_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("c", pa.string())])
+    # a wedge-free graph (e.g. a single surviving edge mid-peel) would
+    # hand the hash-shuffle join a schemaless empty side — short-circuit
+    if wedges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(tri_schema.empty_table()), deg, nparts
     # left_semi keeps the wedge's apex column, so each surviving row IS
     # the full (a, b, c) triangle
     closed = shuffle_join(wedges, arcs.select_columns(["x", "y"]),
                           on=("b", "c"), right_on=("x", "y"),
                           how="left_semi", num_partitions=nparts)
-    closed = _repaired(closed, pa.schema([
-        ("a", pa.string()), ("b", pa.string()), ("c", pa.string())]))
+    closed = _repaired(closed, tri_schema)
     return closed, deg, nparts
 
 
@@ -940,7 +947,15 @@ def edge_support(edges, src: str = "_from", dst: str = "_to"):
     edges or degrees without rebuilding the plan."""
     from .relational import preagg_sum, shuffle_join
 
+    import ray.data as rd
+
     wedges, und, arcs, deg, nparts = _wedge_plan(edges, src, dst)
+    sup_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("support", pa.int64())])
+    # wedge-free graph: the hash-shuffle join would see a schemaless
+    # empty left side — no wedges means no triangles, support is empty
+    if wedges.count() == 0:
+        return rd.from_arrow(sup_schema.empty_table()), und, deg, nparts
     closed = shuffle_join(wedges, arcs.select_columns(["x", "y"]),
                           on=("b", "c"), right_on=("x", "y"),
                           how="left_semi", num_partitions=nparts)
@@ -960,11 +975,12 @@ def edge_support(edges, src: str = "_from", dst: str = "_to"):
         return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
                                     preserve_index=False)
 
+    if closed.count() == 0:
+        return rd.from_arrow(sup_schema.empty_table()), und, deg, nparts
     sup = _repaired(
         preagg_sum(closed.map_batches(tri_edges, batch_format="pyarrow"),
                    ["u", "v"], {}, counts="support"),
-        pa.schema([("u", pa.string()), ("v", pa.string()),
-                   ("support", pa.int64())]))
+        sup_schema)
     return sup, und, deg, nparts
 
 
@@ -1049,3 +1065,50 @@ def degree_assortativity(edges, src: str = "_from", dst: str = "_to"):
     out = grouped_corr_bp(j.map_batches(tag, batch_format="pyarrow"),
                           ["g"], "deg_a", "deg_b")
     return out.drop(columns=["g"])
+
+
+def truss_edges(edges, k: int = 4, rounds: int = 2,
+                src: str = "_from", dst: str = "_to"):
+    """Iterative k-truss peel (k ≥ 3): ``rounds`` synchronous rounds of
+    "recompute per-edge triangle support on the CURRENT edge set, drop
+    edges with support < k−2" — equal to the true k-truss whenever
+    ``rounds`` reaches the peel's fixpoint (fixed rounds keep the spec
+    deterministic and SQL-reproducible either way, the same discipline
+    as :func:`connected_components`). Each round is one full
+    degree-ordered triangle plan over the surviving edges plus one
+    edge-hash inner join; since k−2 ≥ 1 an edge outside every triangle
+    drops via the join itself. Edge sets stay Datasets throughout —
+    driver sees only the loop counter."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    from .relational import shuffle_join
+
+    import ray.data as rd
+
+    und_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+    und = _und_graph(edges, src, dst)[0]
+    for _ in range(rounds):
+        if und.count() == 0:
+            break
+        sup, und, _, nparts = edge_support(und, src="u", dst="v")
+
+        def strong(batch: pa.Table, _k=k) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater_equal(
+                batch.column("support"), pa.scalar(_k - 2)))
+
+        keep = _repaired(
+            sup.map_batches(strong, batch_format="pyarrow"),
+            pa.schema([("u", pa.string()), ("v", pa.string()),
+                       ("support", pa.int64())]))
+        # a fully-peeled round leaves the semi join a schemaless empty
+        # right side — short-circuit to the (stable) empty edge set
+        if keep.count() == 0:
+            und = rd.from_arrow(und_schema.empty_table())
+            break
+        j = shuffle_join(und, keep.rename_columns({"u": "u2", "v": "v2"}),
+                         on=("u", "v"), right_on=("u2", "v2"),
+                         how="left_semi", num_partitions=nparts)
+        und = _repaired(j, und_schema)
+    return und

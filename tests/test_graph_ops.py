@@ -628,3 +628,26 @@ def test_assortativity_star_is_minus_one(ray_session):
     df = degree_assortativity(ed)
     assert df["n_rows"].tolist() == [6]
     assert df["corr_bp"].tolist() == [-10000]
+
+
+def test_truss_peel_cascades(ray_session):
+    # two triangles sharing edge {b,c}: with k=4 only {b,c} reaches
+    # support 2 in round 1, and round 2 peels it too (its triangles are
+    # gone) -> iteration matters; with k=3 every edge survives both
+    # rounds (each sits in a triangle that stays intact)
+    import ray.data as rd
+
+    from raygraph.ops.graph import truss_edges
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "a", "b", "b", "c"],
+        "_to":   ["b", "c", "c", "d", "d"],
+    }))
+    one = truss_edges(ed, k=4, rounds=1).to_pandas()
+    assert sorted(map(tuple, one[["u", "v"]].itertuples(index=False))) \
+        == [("b", "c")]
+    two = truss_edges(ed, k=4, rounds=2).to_pandas()
+    assert len(two) == 0
+    k3 = truss_edges(ed, k=3, rounds=2).to_pandas()
+    assert sorted(map(tuple, k3[["u", "v"]].itertuples(index=False))) \
+        == [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
