@@ -843,6 +843,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver (the bigram vocab itself stays in the cluster)
         return T.top_bigrams(_docs_ds(sf_dir), k=20)
 
+    def text_bigram_pmi(sf_dir):
+        # collocation mining: exact-bigint PMI over the count-heavy-
+        # hitter bigrams (vocab-sized combiner aggregates, distributed
+        # mass scalars, one is_in margin fetch)
+        return T.bigram_pmi(_docs_ds(sf_dir), k=20, top_m=1000)
+
+    def events_transition_pmi(sf_dir):
+        # pointwise mutual information of the user-journey transition
+        # matrix: transition counts from the shared hash-bucketed pass,
+        # margins + floor(10^6·ln) on the transition-type-sized
+        # aggregate (exact ints → ONE double conversion, libm-stable)
+        import math
+
+        from raygraph.ops.events import type_transitions
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"])
+        tr = type_transitions(ev).to_pandas()
+        n_tot = int(tr["n"].sum())
+        nf = tr.groupby("from_type")["n"].sum().to_dict()
+        nt = tr.groupby("to_type")["n"].sum().to_dict()
+        tr["pmi_e6"] = pd.Series(
+            [math.floor(1_000_000 * math.log(
+                float(int(n) * n_tot)
+                / float(int(nf[f]) * int(nt[t]))))
+             for n, f, t in zip(tr["n"], tr["from_type"], tr["to_type"])],
+            index=tr.index, dtype="int64")
+        tr["n"] = tr["n"].astype("int64")
+        return tr[["from_type", "to_type", "n", "pmi_e6"]]
+
+    def docs_weighted_sample(sf_dir):
+        # deterministic weighted-priority sampling (A-ES shape with an
+        # id-derived integer uniform): priority = u·10⁴ // (weight+1),
+        # weight = n_chars — longer docs sample first; bottom-20 via
+        # distributed sort+limit, integer-exact on both engines
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"])
+
+        def prio(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            u = (df["doc_id"].to_numpy().astype("int64")
+                 * 2654435761) % 4294967296
+            return pa.Table.from_pandas(pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "priority": u * 10_000
+                // (df["n_chars"].to_numpy().astype("int64") + 1),
+            }), preserve_index=False)
+
+        return ds.map_batches(prio, batch_format="pyarrow") \
+            .sort(["priority", "doc_id"]).limit(20)
+
     def docs_lr_score(sf_dir):
         # batched model inference: integer-weight linear classifier as
         # an actor pool, weights broadcast ONCE via ray.put and read in
@@ -3799,6 +3852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_argmax": embedding_argmax,
         "kg_reciprocity": kg_reciprocity,
         "text_top_bigrams": text_top_bigrams,
+        "text_bigram_pmi": text_bigram_pmi,
+        "events_transition_pmi": events_transition_pmi,
+        "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
         "orders_zorder_tiles": orders_zorder_tiles,
@@ -4899,6 +4955,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t1, t2, t3
             ORDER BY n DESC, t1, t2, t3
             LIMIT 10
+        """,
+        "text_bigram_pmi": f"""
+            {_TOKS_CTE},
+            u AS (SELECT unnest(toks) AS w FROM t),
+            uni AS (SELECT w, count(*)::BIGINT AS n FROM u GROUP BY w),
+            nu AS (SELECT sum(n)::BIGINT AS n_u FROM uni),
+            bg AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+              FROM t),
+            big AS (SELECT bigram, count(*)::BIGINT AS n
+                    FROM bg GROUP BY bigram),
+            nb AS (SELECT sum(n)::BIGINT AS n_b FROM big),
+            topm AS (SELECT bigram, n FROM big
+                     ORDER BY n DESC, bigram LIMIT 1000),
+            j AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+                         split_part(bigram, ' ', 2) AS w2, n
+                  FROM topm),
+            p AS (SELECT j.bigram, j.n,
+                         floor(1000000 * ln(
+                           (j.n::HUGEINT * nu.n_u * nu.n_u)::DOUBLE
+                           / (nb.n_b::HUGEINT * u1.n * u2.n)::DOUBLE
+                         ))::BIGINT AS pmi_e6
+                  FROM j, nu, nb, uni u1, uni u2
+                  WHERE u1.w = j.w1 AND u2.w = j.w2)
+            SELECT bigram, n, pmi_e6 FROM p
+            ORDER BY pmi_e6 DESC, bigram
+            LIMIT 20
+        """,
+        "events_transition_pmi": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events),
+            tr AS (SELECT prev AS from_type, event_type AS to_type,
+                          count(*)::BIGINT AS n
+                   FROM s WHERE prev IS NOT NULL
+                   GROUP BY prev, event_type),
+            m AS (SELECT sum(n)::BIGINT AS n_tot FROM tr),
+            fx AS (SELECT from_type, sum(n)::BIGINT AS nf
+                   FROM tr GROUP BY from_type),
+            ty AS (SELECT to_type, sum(n)::BIGINT AS nt
+                   FROM tr GROUP BY to_type)
+            SELECT t.from_type, t.to_type, t.n,
+                   floor(1000000 * ln(
+                     (t.n::HUGEINT * m.n_tot)::DOUBLE
+                     / (fx.nf::HUGEINT * ty.nt)::DOUBLE))::BIGINT AS pmi_e6
+            FROM tr t, m, fx, ty
+            WHERE fx.from_type = t.from_type AND ty.to_type = t.to_type
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   (((doc_id * 2654435761) % 4294967296) * 10000)
+                   // (n_chars + 1) AS priority
+            FROM documents
+            ORDER BY priority, doc_id
+            LIMIT 20
         """,
         "events_transitions": """
             WITH s AS (

@@ -786,3 +786,91 @@ def readability(batch: pa.Table, text_col: str = "text",
         "wps_e4": pa.array(wps.astype("int64"), pa.int64()),
         "spw_e4": pa.array(spw.astype("int64"), pa.int64()),
     })
+
+
+def bigram_pmi(ds, k: int = 20, top_m: int = 1000, text_col: str = "text"):
+    """Collocation mining: pointwise mutual information over the top_m
+    count-heavy-hitter bigrams — pmi_e6 = floor(10⁶·ln(n_xy·N_u² /
+    (N_b·n_x·n_y))), i.e. ln of p(xy)/(p(x)p(y)) with bigram mass N_b
+    and unigram mass N_u. Unigram and bigram counts are combiner
+    aggregates (corpus → vocab-sized, never on the driver); masses are
+    distributed Sum scalars; candidates are the top_m bigrams by
+    (count, bigram) via distributed sort+limit — the heavy-hitter
+    discipline keeps the exact-bigint finalize O(top_m) at any corpus
+    scale, and the ≤2·top_m unigram margins arrive via one vocab-Dataset
+    ``is_in`` filter. Products are exact Python ints converted to double
+    ONCE (the oracle mirrors with HUGEINT::DOUBLE), so the floor is
+    engine-stable; ties break on (pmi_e6 desc, bigram)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .relational import preagg_sum
+
+    def unigram_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        flat = [t for ts in toks for t in ts]
+        if not flat:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pd.Series(flat).value_counts().rename_axis("w") \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        total = int(lens.sum())
+        if total < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        valid = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(lens[lens > 0]) - 1
+        valid[ends[ends < total - 1]] = False
+        big = pd.Series(flat[:-1][valid]).str.cat(
+            pd.Series(flat[1:][valid]), sep=" ")
+        g = big.value_counts().rename_axis("bigram").reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # materialize the vocab-sized aggregates once — each is consumed
+    # twice (mass scalar + margins / top-m) and must not re-scan the
+    # corpus per consumer
+    uni = preagg_sum(ds.map_batches(unigram_counts, batch_format="pyarrow"),
+                     ["w"], {"n": "n"}).materialize()
+    big = preagg_sum(ds.map_batches(bigram_counts, batch_format="pyarrow"),
+                     ["bigram"], {"n": "n"}).materialize()
+    n_u = int(uni.sum("n"))           # distributed reduce, scalar out
+    n_b = int(big.sum("n"))
+    cand = big.sort(["n", "bigram"], descending=[True, False]) \
+        .limit(top_m).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "pmi_e6": pd.Series([], dtype="int64")})
+    parts = cand["bigram"].str.split(" ", n=1, expand=True)
+    cand["w1"], cand["w2"] = parts[0], parts[1]
+    words = set(cand["w1"]) | set(cand["w2"])
+    wset = pa.array(sorted(words), pa.string())
+
+    def keep_words(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("w"), value_set=wset))
+
+    marg = uni.map_batches(keep_words, batch_format="pyarrow").to_pandas()
+    wn = dict(zip(marg["w"], marg["n"].astype("int64")))
+    pmi = [
+        math.floor(1_000_000 * math.log(
+            float(int(n) * n_u * n_u)
+            / float(n_b * int(wn[w1]) * int(wn[w2]))))
+        for n, w1, w2 in zip(cand["n"], cand["w1"], cand["w2"])
+    ]
+    cand["pmi_e6"] = pd.Series(pmi, index=cand.index, dtype="int64")
+    cand["n"] = cand["n"].astype("int64")
+    out = cand.sort_values(["pmi_e6", "bigram"],
+                           ascending=[False, True]).head(k)
+    return out[["bigram", "n", "pmi_e6"]].reset_index(drop=True)
