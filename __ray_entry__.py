@@ -896,6 +896,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(prio, batch_format="pyarrow") \
             .sort(["priority", "doc_id"]).limit(20)
 
+    def docs_rrf_fusion(sf_dir):
+        # reciprocal-rank fusion of two rankings (the retrieval-ensemble
+        # op): global ranks via the two-phase ordered prefix-sum (no
+        # global sort) over unique composite int keys encoding
+        # (score desc, id asc); rrf_e6 = Σ 10⁶//(60+rank) — integer-
+        # exact end to end, one doc-keyed shuffle join to fuse
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (_join_partitions,
+                                             ordered_prefix_sum,
+                                             shuffle_join)
+
+        ndoc = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")).num_rows
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+
+        def ranked(keyed, out):
+            scanned = ordered_prefix_sum(keyed, "__k", "__one", n_tiles=8,
+                                         out="__r0")
+
+            def finish(batch: pa.Table, _out=out) -> pa.Table:
+                df = batch.to_pandas()
+                return pa.Table.from_pandas(pd.DataFrame({
+                    "doc_id": df["doc_id"].astype("int64"),
+                    _out: df["__r0"].astype("int64") + 1,
+                }), preserve_index=False)
+
+            return _repaired(
+                scanned.map_batches(finish, batch_format="pyarrow"),
+                pa.schema([("doc_id", pa.int64()), (out, pa.int64())]))
+
+        def key_a(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = df["doc_id"].to_numpy().astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "doc_id": d,
+                "__k": (1_000_000 - df["n_chars"].to_numpy()
+                        .astype("int64")) * 100_000_000 + d,
+                "__one": np.ones(len(df), dtype="int64"),
+            }), preserve_index=False)
+
+        def key_b(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = df["doc_id"].to_numpy().astype("int64")
+            u = (d * 2654435761) % 4294967296
+            return pa.Table.from_pandas(pd.DataFrame({
+                "doc_id": d,
+                "__k": (4294967296 - u) * 100_000_000 + d,
+                "__one": np.ones(len(df), dtype="int64"),
+            }), preserve_index=False)
+
+        ra = ranked(docs.map_batches(key_a, batch_format="pyarrow"),
+                    "rank_a")
+        rb = ranked(docs.map_batches(key_b, batch_format="pyarrow"),
+                    "rank_b")
+        j = shuffle_join(ra, rb.rename_columns({"doc_id": "doc_id2"}),
+                         on="doc_id", right_on="doc_id2",
+                         num_partitions=_join_partitions(ndoc))
+
+        def fuse(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            ra_ = df["rank_a"].to_numpy().astype("int64")
+            rb_ = df["rank_b"].to_numpy().astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "rank_a": ra_, "rank_b": rb_,
+                "rrf_e6": 1_000_000 // (60 + ra_)
+                + 1_000_000 // (60 + rb_),
+            }), preserve_index=False)
+
+        return j.map_batches(fuse, batch_format="pyarrow") \
+            .sort(["rrf_e6", "doc_id"], descending=[True, False]).limit(10)
+
     def docs_lr_score(sf_dir):
         # batched model inference: integer-weight linear classifier as
         # an actor pool, weights broadcast ONCE via ray.put and read in
@@ -3853,6 +3926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": kg_reciprocity,
         "text_top_bigrams": text_top_bigrams,
         "text_bigram_pmi": text_bigram_pmi,
+        "docs_rrf_fusion": docs_rrf_fusion,
         "events_transition_pmi": events_transition_pmi,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
@@ -5007,6 +5081,25 @@ def oracle_sql() -> dict[str, str]:
                      / (fx.nf::HUGEINT * ty.nt)::DOUBLE))::BIGINT AS pmi_e6
             FROM tr t, m, fx, ty
             WHERE fx.from_type = t.from_type AND ty.to_type = t.to_type
+        """,
+        "docs_rrf_fusion": """
+            WITH ra AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS r
+              FROM documents),
+            rb AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY (doc_id * 2654435761) % 4294967296 DESC,
+                                doc_id) AS r
+              FROM documents)
+            SELECT a.doc_id, a.r::BIGINT AS rank_a, b.r::BIGINT AS rank_b,
+                   (1000000 // (60 + a.r)
+                    + 1000000 // (60 + b.r))::BIGINT AS rrf_e6
+            FROM ra a JOIN rb b ON a.doc_id = b.doc_id
+            ORDER BY rrf_e6 DESC, a.doc_id
+            LIMIT 10
         """,
         "docs_weighted_sample": """
             SELECT doc_id, n_chars,
