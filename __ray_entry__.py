@@ -896,6 +896,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(prio, batch_format="pyarrow") \
             .sort(["priority", "doc_id"]).limit(20)
 
+    def docs_bm25_top10(sf_dir):
+        # BM25 retrieval for the fixed query (hash, join, vector,
+        # stream): exact-integer tf normalization, ln-idf on the 4
+        # driver scalars, per-(doc,term) e6-floors summed as ints
+        return T.bm25_topk(_docs_ds(sf_dir),
+                           ["hash", "join", "vector", "stream"], k=10)
+
     def docs_rrf_fusion(sf_dir):
         # reciprocal-rank fusion of two rankings (the retrieval-ensemble
         # op): global ranks via the two-phase ordered prefix-sum (no
@@ -3927,6 +3934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_bigrams": text_top_bigrams,
         "text_bigram_pmi": text_bigram_pmi,
         "docs_rrf_fusion": docs_rrf_fusion,
+        "docs_bm25_top10": docs_bm25_top10,
         "events_transition_pmi": events_transition_pmi,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
@@ -5081,6 +5089,32 @@ def oracle_sql() -> dict[str, str]:
                      / (fx.nf::HUGEINT * ty.nt)::DOUBLE))::BIGINT AS pmi_e6
             FROM tr t, m, fx, ty
             WHERE fx.from_type = t.from_type AND ty.to_type = t.to_type
+        """,
+        "docs_bm25_top10": f"""
+            {_TOKS_CTE},
+            u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+                   FROM u WHERE w IN ('hash', 'join', 'vector', 'stream')
+                   GROUP BY doc_id, w),
+            dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+            g AS (SELECT count(*)::BIGINT AS n,
+                         sum(len(toks))::BIGINT AS s FROM t),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                   GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     floor((1000000 * ln((g.n - df.df + 0.5)
+                                         / (df.df + 0.5)))
+                           * ((22::HUGEINT * tf.tf * g.s)::DOUBLE
+                              / (10::HUGEINT * tf.tf * g.s + 3 * g.s
+                                 + 9 * dl.dl * g.n)::DOUBLE))::BIGINT
+                         AS c
+              FROM tf, dl, g, df
+              WHERE dl.doc_id = tf.doc_id AND df.term = tf.term)
+            SELECT doc_id, sum(c)::BIGINT AS score_e6
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_e6 DESC, doc_id
+            LIMIT 10
         """,
         "docs_rrf_fusion": """
             WITH ra AS (

@@ -874,3 +874,81 @@ def bigram_pmi(ds, k: int = 20, top_m: int = 1000, text_col: str = "text"):
     out = cand.sort_values(["pmi_e6", "bigram"],
                            ascending=[False, True]).head(k)
     return out[["bigram", "n", "pmi_e6"]].reset_index(drop=True)
+
+
+def bm25_topk(ds, terms, k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BM25 retrieval (k1 = 1.2, b = 0.75) for a fixed query over
+    whitespace tokens. The tf normalization is kept EXACT-integer by
+    folding the constants and substituting avgdl = S/N:
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) = 22·tf·S / (10·tf·S + 3·S +
+    9·dl·N) — no intermediate rounding; idf = ln((N−df+0.5)/(df+0.5))
+    acts on the |terms| driver scalars. Per-(doc, term) contribution is
+    floor((10⁶·idf)·(num/den)) with ONE double conversion each side
+    (the oracle mirrors HUGEINT::DOUBLE), summed as integers — engine-
+    stable. Pass 1 reduces corpus scalars (N, S, per-term df) via
+    per-batch partials; pass 2 scores per batch vectorized (flat token
+    array + bincount per term, no per-row Python); top-k by
+    (score desc, id) is a distributed sort+limit. int64 products bound:
+    22·tf·S must fit — at 10^14-token corpora switch num/den to object
+    ints (the oracle already uses HUGEINT)."""
+    import math
+
+    from .relational import tree_aggregate
+
+    terms = list(terms)
+
+    def scalars(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype("int64")
+        row = {"n": [len(s)], "s": [int(lens.sum())]}
+        sets = toks.map(set)
+        for i, t in enumerate(terms):
+            row[f"df{i}"] = [int(sets.map(
+                lambda x, _t=t: _t in x).sum())]
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in row.items()})
+
+    tot = tree_aggregate(
+        ds.map_batches(scalars, batch_format="pyarrow"),
+        lambda df: pd.DataFrame(
+            {c: [int(df[c].sum())] for c in df.columns}),
+        precombined=True).to_pandas()
+    n_docs = int(tot["n"].iloc[0])
+    s_tot = int(tot["s"].iloc[0])
+    dfs = [int(tot[f"df{i}"].iloc[0]) for i in range(len(terms))]
+    idf6 = [1_000_000 * math.log((n_docs - d + 0.5) / (d + 0.5))
+            for d in dfs]
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas().astype("int64").to_numpy()
+        toks = s.str.strip().str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        nr = len(s)
+        out_sc = np.zeros(nr, dtype="int64")
+        matched = np.zeros(nr, dtype=bool)
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)])
+            doc_idx = np.repeat(np.arange(nr), lens)
+            for i, t in enumerate(terms):
+                tf = np.bincount(doc_idx[flat == t], minlength=nr) \
+                    .astype("int64")
+                m = tf > 0
+                if not m.any():
+                    continue
+                matched |= m
+                num = 22 * tf[m] * s_tot
+                den = (10 * tf[m] * s_tot + 3 * s_tot
+                       + 9 * lens[m] * n_docs)
+                out_sc[m] += np.floor(
+                    idf6[i] * (num.astype("float64")
+                               / den.astype("float64"))).astype("int64")
+        return pa.table({id_col: pa.array(ids[matched], pa.int64()),
+                         "score_e6": pa.array(out_sc[matched],
+                                              pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["score_e6", id_col], descending=[True, False]).limit(k)
