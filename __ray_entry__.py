@@ -896,6 +896,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(prio, batch_format="pyarrow") \
             .sort(["priority", "doc_id"]).limit(20)
 
+    def docs_unigram_surprise(sf_dir):
+        # perplexity-filter analog: per-doc cross-entropy under the
+        # corpus's own unigram LM — per-(doc,word) tf partials, one
+        # word-hash shuffle join vs the vocab Dataset, doc-keyed fold
+        return T.unigram_surprise_topk(_docs_ds(sf_dir), k=20)
+
     def docs_bm25_top10(sf_dir):
         # BM25 retrieval for the fixed query (hash, join, vector,
         # stream): exact-integer tf normalization, ln-idf on the 4
@@ -3935,6 +3941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_pmi": text_bigram_pmi,
         "docs_rrf_fusion": docs_rrf_fusion,
         "docs_bm25_top10": docs_bm25_top10,
+        "docs_unigram_surprise": docs_unigram_surprise,
         "events_transition_pmi": events_transition_pmi,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
@@ -5089,6 +5096,25 @@ def oracle_sql() -> dict[str, str]:
                      / (fx.nf::HUGEINT * ty.nt)::DOUBLE))::BIGINT AS pmi_e6
             FROM tr t, m, fx, ty
             WHERE fx.from_type = t.from_type AND ty.to_type = t.to_type
+        """,
+        "docs_unigram_surprise": f"""
+            {_TOKS_CTE},
+            u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            dwt AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+                    FROM u GROUP BY doc_id, w),
+            uni AS (SELECT w, sum(tf)::BIGINT AS n FROM dwt GROUP BY w),
+            nu AS (SELECT sum(n)::BIGINT AS n_u FROM uni),
+            tm AS (SELECT dwt.doc_id,
+                          floor((1000000 * dwt.tf)
+                                * ln(nu.n_u::DOUBLE / uni.n))::BIGINT
+                              AS t_e6,
+                          dwt.tf
+                   FROM dwt, uni, nu WHERE uni.w = dwt.w)
+            SELECT doc_id, sum(tf)::BIGINT AS n_tok,
+                   (sum(t_e6) // sum(tf))::BIGINT AS ce_e6
+            FROM tm GROUP BY doc_id
+            ORDER BY ce_e6 DESC, doc_id
+            LIMIT 20
         """,
         "docs_bm25_top10": f"""
             {_TOKS_CTE},

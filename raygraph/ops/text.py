@@ -952,3 +952,76 @@ def bm25_topk(ds, terms, k: int = 10, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow") \
         .sort(["score_e6", id_col], descending=[True, False]).limit(k)
+
+
+def unigram_surprise_topk(ds, k: int = 20, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Per-document cross-entropy under the corpus's own unigram LM (the
+    perplexity-filter analog used to screen training data): for doc d,
+    ce_e6 = (Σ_w floor(10⁶·tf_w·ln(N_u/n_w))) // n_tok — per-distinct-
+    word integer floors summed as ints (engine-stable; no float SUM
+    ordering), divided by the doc's token count. High scores = most
+    "surprising" docs. Dataflow is the real thing at scale: per-(doc,
+    word) tf partials (combiner), ONE word-hash shuffle join against
+    the vocab-count Dataset (the vocab never lands on the driver), a
+    doc-keyed combiner fold, distributed sort+limit."""
+    from .relational import _join_partitions, preagg_sum, shuffle_join
+
+    def doc_word_tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas().astype("int64")
+        toks = s.str.strip().str.lower().str.split()
+        df = pd.DataFrame({id_col: ids, "w": toks}).explode("w").dropna()
+        if not len(df):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "w": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        g = df.groupby([id_col, "w"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        g["tf"] = g["tf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # per-(doc, word) tf — already deduped per batch, exact after the
+    # shuffle join because (doc, word) rows from different batches of
+    # the same doc cannot exist (a doc lives in one block)
+    dwt = ds.map_batches(doc_word_tf, batch_format="pyarrow")
+    dwt = dwt.materialize()
+
+    uni = preagg_sum(dwt.select_columns(["w", "tf"]), ["w"],
+                     {"n": "tf"}).materialize()
+    n_u = int(uni.sum("n"))
+
+    from .relational import coerce_schema, compact_nonempty
+
+    uni2 = compact_nonempty(uni)
+    uni2 = coerce_schema(uni2, pa.schema([("w", pa.string()),
+                                          ("n", pa.int64())])) \
+        .rename_columns({"w": "w2"}).materialize()
+    j = shuffle_join(dwt, uni2, on="w", right_on="w2",
+                     num_partitions=_join_partitions(dwt.count()))
+
+    def term(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tf = df["tf"].to_numpy().astype("int64")
+        nw = df["n"].to_numpy().astype("float64")
+        t = np.floor((1_000_000 * tf)
+                     * np.log(float(n_u) / nw)).astype("int64")
+        return pa.Table.from_pandas(pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "t_e6": t, "tf": tf,
+        }), preserve_index=False)
+
+    agg = preagg_sum(j.map_batches(term, batch_format="pyarrow"),
+                     [id_col], {"sum_e6": "t_e6", "n_tok": "tf"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "n_tok": df["n_tok"].astype("int64"),
+            "ce_e6": df["sum_e6"].to_numpy().astype("int64")
+            // df["n_tok"].to_numpy().astype("int64"),
+        }), preserve_index=False)
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["ce_e6", id_col], descending=[True, False]).limit(k)
