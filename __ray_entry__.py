@@ -3816,6 +3816,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dot_e6": dots[ia, ib].astype("int64"),
         })
 
+    def embedding_silhouette(sf_dir):
+        # simplified silhouette per label with squared distances —
+        # integer-exact end to end: centroids quantized to e6 by
+        # truncating division of the per-(label,dim) SUM aggregate (one
+        # tiny exchange), then one vectorized distance pass (int64
+        # matmul, exact at these bounds) with per-point
+        # s_e4 = trunc(10⁴·(b−a)/max(a,b,1)) folded per label
+        from raygraph.ops.relational import trunc_div
+        from raygraph.ops.vecops import vectors_to_numpy
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["label", "embedding"])
+
+        def sums(batch: pa.Table) -> pa.Table:
+            vecs = vectors_to_numpy(batch.column("embedding"), np.float64)
+            e3 = (vecs * 1_000).astype("int64")
+            lab = batch.column("label").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            n, d = e3.shape
+            df = pd.DataFrame({
+                "label": np.repeat(lab, d),
+                "dim": np.tile(np.arange(d, dtype="int64"), n),
+                "s_e3": e3.reshape(-1),
+                "cnt": np.repeat(np.int64(1), n * d),
+            }).groupby(["label", "dim"], as_index=False).sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = preagg_sum(emb.map_batches(sums, batch_format="pyarrow"),
+                         ["label", "dim"],
+                         {"s_e3": "s_e3", "cnt": "cnt"}).to_pandas()
+        piv = agg.pivot(index="label", columns="dim", values="s_e3") \
+            .fillna(0).astype("int64")
+        labels = piv.index.to_numpy().astype("int64")
+        counts = agg.groupby("label")["cnt"].max().reindex(piv.index) \
+            .to_numpy().astype("int64")
+        cen = trunc_div(piv.to_numpy() * 1_000,
+                        counts[:, None])              # e6 centroids
+        lab_pos = {int(l): i for i, l in enumerate(labels)}
+        cnorm = (cen * cen).sum(axis=1)               # ≤ 2.6e14, exact
+
+        def sil(batch: pa.Table) -> pa.Table:
+            vecs = vectors_to_numpy(batch.column("embedding"), np.float64)
+            x = (vecs * 1_000).astype("int64") * 1_000    # e6
+            lab = batch.column("label").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            d2 = ((x * x).sum(axis=1)[:, None] + cnorm[None, :]
+                  - 2 * (x @ cen.T))                  # exact int64
+            own = np.array([lab_pos[int(v)] for v in lab])
+            rows = np.arange(len(lab))
+            a = d2[rows, own]
+            masked = d2.copy()
+            masked[rows, own] = np.iinfo(np.int64).max
+            b = masked.min(axis=1)
+            s_e4 = trunc_div(10_000 * (b - a),
+                             np.maximum(np.maximum(a, b), 1))
+            g = pd.DataFrame({"label": lab, "s_e4": s_e4}) \
+                .groupby("label", as_index=False) \
+                .agg(sum_s=("s_e4", "sum"), n=("s_e4", "size"))
+            g["sum_s"] = g["sum_s"].astype("int64")
+            g["n"] = g["n"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = preagg_sum(emb.map_batches(sil, batch_format="pyarrow"),
+                         ["label"], {"sum_s": "sum_s", "n": "n"}) \
+            .to_pandas()
+        out["avg_s_e4"] = trunc_div(out["sum_s"].to_numpy(),
+                                    out["n"].to_numpy())
+        out["n"] = out["n"].astype("int64")
+        out["avg_s_e4"] = out["avg_s_e4"].astype("int64")
+        return out[["label", "n", "avg_s_e4"]]
+
     def orders_percent_rank(sf_dir):
         # PERCENT_RANK within order priority by price — exact-integer
         # (10⁴·(rank−1)) // (n−1) with RANK tie semantics
@@ -4027,6 +4098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "embedding_centroid_dot": embedding_centroid_dot,
+        "embedding_silhouette": embedding_silhouette,
         "lineitem_sort_top100": lineitem_sort_top100,
         "lineitem_price_histogram": lineitem_price_histogram,
         "orders_checksum": orders_checksum,
@@ -5978,6 +6050,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(a.s_e3 * b.s_e3)::BIGINT AS dot_e6
             FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
             GROUP BY a.label, b.label
+        """,
+        "embedding_silhouette": """
+            WITH u AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(trunc(unnest(embedding)::DOUBLE * 1000)
+                          AS BIGINT) AS x_e3
+              FROM embeddings),
+            s AS (SELECT label, dim, sum(x_e3)::BIGINT AS s_e3,
+                         count(*)::BIGINT AS n
+                  FROM u GROUP BY label, dim),
+            cen AS (SELECT label, dim,
+                           ((s_e3 * 1000) // n)::BIGINT AS c_e6, n
+                    FROM s),
+            d AS (SELECT u.vec_id, u.label AS own, cen.label AS cl,
+                         sum((u.x_e3 * 1000 - cen.c_e6)
+                             * (u.x_e3 * 1000 - cen.c_e6))::BIGINT AS d2
+                  FROM u JOIN cen ON cen.dim = u.dim
+                  GROUP BY u.vec_id, u.label, cen.label),
+            ab AS (SELECT vec_id, own,
+                          max(CASE WHEN cl = own THEN d2 END) AS a,
+                          min(CASE WHEN cl <> own THEN d2 END) AS b
+                   FROM d GROUP BY vec_id, own),
+            si AS (SELECT own AS label,
+                          (10000 * (b - a))
+                          // greatest(greatest(a, b), 1) AS s_e4
+                   FROM ab)
+            SELECT label, count(*)::BIGINT AS n,
+                   (sum(s_e4) // count(*))::BIGINT AS avg_s_e4
+            FROM si GROUP BY label
         """,
         "orders_percent_rank": """
             SELECT o_orderkey, o_orderpriority,
