@@ -204,7 +204,9 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingle_hashes(text)
-        # (num_perm, n_shingles) universal hashes, min over shingles
+        # (num_perm, n_shingles) universal hashes, min over shingles.
+        # (numpy's uint64 multiply has no SIMD path — the mul, not the
+        # scalar %, dominates; parallelism comes from Ray blocks)
         vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
