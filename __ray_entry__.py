@@ -3769,6 +3769,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return truss_edges(ed, k=3, rounds=2)
 
+    def kg_walks3(sf_dir):
+        # deterministic walk sampling (node2vec-corpus shape): 3 hops
+        # from every vertex via the md5-argmin successor table; one
+        # argmin hash_aggregate + 3 frontier shuffle joins
+        from raygraph.ops.graph import hash_greedy_walks
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return hash_greedy_walks(ed, steps=3)
+
     def kg_assortativity(sf_dir):
         # degree assortativity (Newman r) in exact-moment bp over
         # both-direction arcs
@@ -4097,6 +4107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truss3": kg_truss3,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
+        "kg_walks3": kg_walks3,
         "embedding_centroid_dot": embedding_centroid_dot,
         "embedding_silhouette": embedding_silhouette,
         "lineitem_sort_top100": lineitem_sort_top100,
@@ -6008,6 +6019,29 @@ def oracle_sql() -> dict[str, str]:
                    ((10000 * support) // (du + dv - 2 - support))::BIGINT
                        AS jacc_bp
             FROM j WHERE du + dv - 2 - support > 0
+        """,
+        "kg_walks3": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            arcs AS (SELECT u AS a, v AS b FROM und
+                     UNION ALL SELECT v, u FROM und),
+            h AS (SELECT a, b,
+                         ('0x' || substr(md5(a || '>' || b), 1, 15))::BIGINT
+                             AS hk
+                  FROM arcs),
+            nxt AS (SELECT a, b AS nxt FROM (
+                      SELECT a, b,
+                             row_number() OVER (PARTITION BY a
+                                                ORDER BY hk, b) AS rn
+                      FROM h) WHERE rn = 1),
+            v AS (SELECT DISTINCT a AS vertex FROM arcs)
+            SELECT v.vertex, n1.nxt AS w1, n2.nxt AS w2, n3.nxt AS w3
+            FROM v
+            JOIN nxt n1 ON n1.a = v.vertex
+            JOIN nxt n2 ON n2.a = n1.nxt
+            JOIN nxt n3 ON n3.a = n2.nxt
         """,
         "kg_assortativity": f"""
             WITH edges AS ({kg_edges_sql}),

@@ -1112,3 +1112,62 @@ def truss_edges(edges, k: int = 4, rounds: int = 2,
                          how="left_semi", num_partitions=nparts)
         und = _repaired(j, und_schema)
     return und
+
+
+def hash_greedy_walks(edges, steps: int = 3,
+                      src: str = "_from", dst: str = "_to"):
+    """Deterministic walk sampling for graph-embedding prep (the
+    node2vec-corpus shape with id-derived pseudo-randomness instead of a
+    seeded RNG, so a SQL oracle replays it): from EVERY vertex, ``steps``
+    hops where next(v) = argmin over neighbors w of the md5-derived arc
+    key — a fixed "random" successor per vertex. The successor table is
+    ONE argmin hash_aggregate over the undirected arc set (md5 computed
+    once per arc — a keyed-build cost, the same class as the sha1 edge
+    keys); each hop is one vertex-hash shuffle join of the walk frontier
+    against it. Frontier and successor table stay Datasets; the walk
+    matrix is (V × steps) and never funnels through the driver."""
+    import hashlib
+
+    from .relational import hash_aggregate, shuffle_join
+
+    und, deg, nparts = _und_graph(edges, src, dst)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().cast(pa.string())
+        v = batch.column("v").combine_chunks().cast(pa.string())
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    arcs = und.map_batches(both_dirs, batch_format="pyarrow")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hk"] = [
+            int(hashlib.md5(f"{a}>{b}".encode()).hexdigest()[:15], 16)
+            for a, b in zip(df["a"], df["b"])
+        ]
+        df["hk"] = df["hk"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hk", "b"]).drop_duplicates("a")
+        return df[["a", "b"]].rename(columns={"b": "nxt"})
+
+    nxt = _repaired(
+        hash_aggregate(arcs.map_batches(keyed, batch_format="pyarrow"),
+                       ["a"], argmin),
+        pa.schema([("a", pa.string()), ("nxt", pa.string())]))
+
+    state = deg.select_columns(["vtx"]).rename_columns({"vtx": "vertex"})
+    state = _repaired(state, pa.schema([("vertex", pa.string())]))
+    cols = [("vertex", pa.string())]
+    last = "vertex"
+    for i in range(1, steps + 1):
+        step_col = f"w{i}"
+        state = shuffle_join(
+            state, nxt.rename_columns({"a": "__a", "nxt": step_col}),
+            on=last, right_on="__a", num_partitions=nparts)
+        cols.append((step_col, pa.string()))
+        state = _repaired(state, pa.schema(cols))
+        last = step_col
+    return state

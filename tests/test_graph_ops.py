@@ -651,3 +651,35 @@ def test_truss_peel_cascades(ray_session):
     k3 = truss_edges(ed, k=3, rounds=2).to_pandas()
     assert sorted(map(tuple, k3[["u", "v"]].itertuples(index=False))) \
         == [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+
+
+def test_hash_greedy_walks_follow_successor(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from raygraph.ops.graph import hash_greedy_walks
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "a", "b", "c"],
+        "_to":   ["b", "c", "c", "d"],
+    }))
+    out = hash_greedy_walks(ed, steps=3).to_pandas() \
+        .set_index("vertex").sort_index()
+
+    # replay the spec in pure Python
+    und = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+
+    def hk(a, b):
+        return int(hashlib.md5(f"{a}>{b}".encode()).hexdigest()[:15], 16)
+
+    nxt = {v: min(ws, key=lambda w: (hk(v, w), w))
+           for v, ws in nbrs.items()}
+    for v in nbrs:
+        w1 = nxt[v]; w2 = nxt[w1]; w3 = nxt[w2]
+        row = out.loc[v]
+        assert (row["w1"], row["w2"], row["w3"]) == (w1, w2, w3)
