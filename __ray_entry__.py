@@ -2636,6 +2636,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return type_sequences(ev)
 
+    def events_winsorized_mean(sf_dir):
+        # robust mean: winsorize value_e4 at the exact per-type
+        # p01/p99 (percentile_disc via the distinct-value exchange —
+        # shuffle carries (type, value, count), never rows), broadcast
+        # the type→(lo,hi) clip bounds back, integer trunc mean
+        from raygraph.ops.relational import grouped_quantiles, trunc_div
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value"])
+
+        def quant(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "event_type": df["event_type"],
+                "v_e4": np.round(df["value"].to_numpy() * 10_000)
+                .astype("int64"),
+            }), preserve_index=False)
+
+        q = grouped_quantiles(ev.map_batches(quant, batch_format="pyarrow"),
+                              ["event_type"], "v_e4",
+                              qs=(0.01, 0.99)).to_pandas()
+        lo = dict(zip(q["event_type"], q["p01"].astype("int64")))
+        hi = dict(zip(q["event_type"], q["p99"].astype("int64")))
+
+        def clip(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            v = np.round(df["value"].to_numpy() * 10_000).astype("int64")
+            l = df["event_type"].map(lo).to_numpy().astype("int64")
+            h = df["event_type"].map(hi).to_numpy().astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "event_type": df["event_type"],
+                "cv": np.clip(v, l, h),
+            }), preserve_index=False)
+
+        agg = preagg_sum(ev.map_batches(clip, batch_format="pyarrow"),
+                         ["event_type"], {"sum_cv": "cv"},
+                         counts="n").to_pandas()
+        agg["wins_mean_e4"] = trunc_div(agg["sum_cv"].to_numpy(),
+                                        agg["n"].to_numpy())
+        agg["n"] = agg["n"].astype("int64")
+        agg["wins_mean_e4"] = agg["wins_mean_e4"].astype("int64")
+        return agg[["event_type", "n", "wins_mean_e4"]]
+
     def events_value_moments(sf_dir):
         # distributed mean/variance: per-type integer moment sums
         # (n, Σv_e4, Σv²_e8) — associative, so per-batch partials are
@@ -4133,6 +4176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": events_transitions,
         "events_funnel": events_funnel,
         "events_value_moments": events_value_moments,
+        "events_winsorized_mean": events_winsorized_mean,
         "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
@@ -5156,6 +5200,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n, pmi_e6 FROM p
             ORDER BY pmi_e6 DESC, bigram
             LIMIT 20
+        """,
+        "events_winsorized_mean": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS v_e4
+              FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(v_e4, 0.01) AS lo,
+                         quantile_disc(v_e4, 0.99) AS hi
+                  FROM v GROUP BY event_type),
+            c AS (SELECT v.event_type,
+                         least(greatest(v.v_e4, q.lo), q.hi) AS cv
+                  FROM v JOIN q ON q.event_type = v.event_type)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   (sum(cv) // count(*))::BIGINT AS wins_mean_e4
+            FROM c GROUP BY event_type
         """,
         "events_transition_pmi": """
             WITH s AS (
