@@ -2179,6 +2179,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return E.sessionize(ev, gap_sec=1800)
 
+    def events_sessionize_incremental(sf_dir):
+        # the STREAMING path: 4 time-ordered micro-batches folded into a
+        # per-user open-session state Dataset (ops/stream.py); output is
+        # row-identical to the batch sessionize, so it shares its oracle
+        from raygraph.ops.stream import sessionize_incremental
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        return sessionize_incremental(ev, n_micro_batches=4, gap_sec=1800)
+
     def events_resample_1h(sf_dir):
         # gap-fill resampling: hourly grid per user with the latest
         # value carried forward (LOCF) — per-bucket vectorized grid +
@@ -4166,6 +4176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": events_tumbling_1h,
         "events_sessions": events_sessions,
         "events_sessionize_full": events_sessionize_full,
+        "events_sessionize_incremental": events_sessionize_incremental,
         "events_asof_join": events_asof_join,
         "events_hopping": events_hopping,
         "events_running_sum": events_running_sum,
@@ -4607,7 +4618,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_spans
             FROM e
         """
-    return {
+    out = {
         "corpus_render_interleaved": render_sql,
         "corpus_pack_interleaved": kg_base + f"""
             , costs AS (
@@ -7048,3 +7059,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY vec_id
         """,
     }
+    # the streaming micro-batch fold is row-identical to the batch
+    # sessionize by contract — they share one oracle
+    out["events_sessionize_incremental"] = out["events_sessionize_full"]
+    return out

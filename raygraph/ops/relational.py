@@ -890,7 +890,13 @@ def range_partition(ds, col: str, n_tiles: int = 4,
 
     def tag(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False)
-        tile = (v[:, None] > bs[None, :]).sum(axis=1).astype("int64")
+        if len(bs) == 0:
+            # single tile (n_tiles=1): an empty boundary array is
+            # dtype-less (float64) and cannot compare against
+            # datetime64 columns — everything is tile 0
+            tile = np.zeros(len(v), dtype="int64")
+        else:
+            tile = (v[:, None] > bs[None, :]).sum(axis=1).astype("int64")
         return batch.append_column("tile", pa.array(tile))
 
     return ds.map_batches(tag, batch_format="pyarrow")

@@ -1,0 +1,185 @@
+"""Stateful micro-batch streaming over Ray Data.
+
+The reference's consumer loop drains server batches through bounded
+channels (src/graph_loader.rs:379-460); this module is the engine-side
+analog for INCREMENTAL processing: a time-ordered stream of micro-batches
+folds into a persistent per-key state Dataset, emitting finalized results
+as they close. The invariant (tested) is exactly-once equivalence: the
+union of emitted results after the last micro-batch is identical to the
+batch recomputation over the whole input.
+
+Scale shape: state is a DATASET (one row per open key), merged with each
+micro-batch in one key-hash `hash_aggregate` whose reduce sees the key's
+open state + its new events only — nothing user- or event-sized touches
+the driver; micro-batch boundaries come from exact ts range tiles
+(`range_boundaries`), so the split is layout-deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERGE_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("kind", pa.string()),          # 'ev' | 'open' | 'closed'
+    ("ts", pa.timestamp("us")),     # event rows only
+    ("session_id", pa.int64()),     # closed rows only
+    ("session_start", pa.timestamp("us")),
+    ("session_end", pa.timestamp("us")),
+    ("n_events", pa.int64()),
+    ("closed_cnt", pa.int64()),     # open rows only: sessions closed so far
+])
+
+
+def _empty_merge_table() -> pa.Table:
+    return _MERGE_SCHEMA.empty_table()
+
+
+def _us(v) -> int:
+    """any timestamp scalar -> int64 microseconds since epoch."""
+    return int(np.datetime64(v, "us").astype("int64"))
+
+
+def _ts(us: int):
+    return np.datetime64(int(us), "us")
+
+
+def _merge_user(state_row, ts_us: np.ndarray, gap_us: int):
+    """Fold one user's new (sorted int64-µs) event times into its
+    open-session state; returns (closed_session_dicts, new_state_dict).
+    Continue-session rule is diff <= gap (strictly-greater gaps split),
+    mirroring the batch sessionize / SQL-window contract."""
+    closed = []
+    if state_row is not None:
+        closed_cnt = int(state_row["closed_cnt"])
+        cur_start = _us(state_row["session_start"])
+        cur_last = _us(state_row["session_end"])
+        cur_n = int(state_row["n_events"])
+    else:
+        closed_cnt, cur_start, cur_last, cur_n = 0, None, None, 0
+
+    for t in ts_us:
+        t = int(t)
+        if cur_start is None:
+            cur_start, cur_last, cur_n = t, t, 1
+        elif t - cur_last <= gap_us:
+            cur_last, cur_n = t, cur_n + 1
+        else:
+            closed.append({"session_id": closed_cnt,
+                           "session_start": _ts(cur_start),
+                           "session_end": _ts(cur_last),
+                           "n_events": cur_n})
+            closed_cnt += 1
+            cur_start, cur_last, cur_n = t, t, 1
+    state = {"closed_cnt": closed_cnt,
+             "session_start": None if cur_start is None else _ts(cur_start),
+             "session_end": None if cur_last is None else _ts(cur_last),
+             "n_events": cur_n}
+    return closed, state
+
+
+def sessionize_incremental(ds, n_micro_batches: int = 4,
+                           gap_sec: int = 1800, key_col: str = "user_id",
+                           ts_col: str = "ts"):
+    """Gap-based sessionization as an incremental fold over
+    ``n_micro_batches`` time-ordered micro-batches — the streaming path
+    whose output is row-identical to :func:`events.sessionize` on the
+    same input (the exactly-once invariant; session_id = per-key close
+    order, matching the batch numbering because micro-batches arrive in
+    global ts order). Returns one row per (key, session_id) with
+    start/end/n_events."""
+    import ray.data as rd
+
+    from .relational import hash_aggregate, range_partition
+
+    gap_us = gap_sec * 1_000_000
+
+    tiled = range_partition(ds.select_columns([key_col, ts_col]),
+                            ts_col, n_micro_batches).materialize()
+
+    def pick(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("tile"), pa.scalar(i)))
+            n = t.num_rows
+            return pa.table({
+                "user_id": t.column(key_col).cast(pa.int64()),
+                "kind": pa.array(["ev"] * n, pa.string()),
+                "ts": t.column(ts_col),
+                "session_id": pa.nulls(n, pa.int64()),
+                "session_start": pa.nulls(n, pa.timestamp("us")),
+                "session_end": pa.nulls(n, pa.timestamp("us")),
+                "n_events": pa.nulls(n, pa.int64()),
+                "closed_cnt": pa.nulls(n, pa.int64()),
+            })
+
+        return fn
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            opens = g[g["kind"] == "open"]
+            state_row = opens.iloc[0] if len(opens) else None
+            evs = g[g["kind"] == "ev"]
+            ts_us = np.sort(evs["ts"].to_numpy()
+                            .astype("datetime64[us]").astype("int64"))
+            closed, state = _merge_user(state_row, ts_us, gap_us)
+            for c in closed:
+                out.append({"user_id": uid, "kind": "closed", "ts": None,
+                            **c, "closed_cnt": None})
+            if state["session_start"] is not None:
+                out.append({"user_id": uid, "kind": "open", "ts": None,
+                            "session_id": None,
+                            "session_start": state["session_start"],
+                            "session_end": state["session_end"],
+                            "n_events": state["n_events"],
+                            "closed_cnt": state["closed_cnt"]})
+        cols = [f.name for f in _MERGE_SCHEMA]
+        return pd.DataFrame(out, columns=cols)
+
+    from raygraph.ops.graph import _repaired
+
+    state = rd.from_arrow(_empty_merge_table())
+    emitted = []
+    for i in range(n_micro_batches):
+        batch_rows = tiled.map_batches(pick(i), batch_format="pyarrow")
+        un = _repaired(state.union(batch_rows), _MERGE_SCHEMA)
+        merged = _repaired(
+            hash_aggregate(un, ["user_id"], merge), _MERGE_SCHEMA)
+
+        def split(kind):
+            def fn(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.filter(pc.equal(batch.column("kind"),
+                                             pa.scalar(kind)))
+
+            return fn
+
+        emitted.append(_repaired(
+            merged.map_batches(split("closed"), batch_format="pyarrow"),
+            _MERGE_SCHEMA))
+        state = _repaired(
+            merged.map_batches(split("open"), batch_format="pyarrow"),
+            _MERGE_SCHEMA)
+
+    def finalize_open(batch: pa.Table) -> pa.Table:
+        # remaining open sessions close at stream end; their id follows
+        # the per-user closed count
+        return batch.set_column(
+            batch.schema.get_field_index("session_id"), "session_id",
+            batch.column("closed_cnt"))
+
+    last = state.map_batches(finalize_open, batch_format="pyarrow")
+    allout = _repaired(
+        rd.from_arrow(_empty_merge_table()).union(*emitted, last),
+        _MERGE_SCHEMA)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "session_id", "session_start",
+                             "session_end", "n_events"])
+
+    return allout.map_batches(project, batch_format="pyarrow")

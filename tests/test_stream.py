@@ -1,0 +1,53 @@
+"""Exactly-once invariant for the micro-batch streaming fold:
+incremental sessionization over K time-ordered micro-batches must be
+row-identical to the batch recomputation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(n_users=7, n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 3 * 86_400 * 10**6, n))
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_users, n).astype("int64"),
+        "ts": ts.astype("datetime64[us]"),
+    })
+
+
+def _norm(df):
+    df = df.copy()
+    for c in ("session_start", "session_end"):
+        df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return sorted(map(tuple, df[["user_id", "session_id", "session_start",
+                                 "session_end", "n_events"]]
+                      .astype({"user_id": "int64", "session_id": "int64",
+                               "n_events": "int64"})
+                      .itertuples(index=False)))
+
+
+def test_incremental_equals_batch_sessionize(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import sessionize
+    from raygraph.ops.stream import sessionize_incremental
+
+    df = _events()
+    batch = sessionize(rd.from_pandas(df), gap_sec=1800).to_pandas()
+    inc = sessionize_incremental(rd.from_pandas(df), n_micro_batches=4,
+                                 gap_sec=1800).to_pandas()
+    assert _norm(inc) == _norm(batch)
+
+
+def test_incremental_single_batch_degenerate(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import sessionize
+    from raygraph.ops.stream import sessionize_incremental
+
+    df = _events(n_users=3, n=60, seed=9)
+    batch = sessionize(rd.from_pandas(df), gap_sec=600).to_pandas()
+    inc = sessionize_incremental(rd.from_pandas(df), n_micro_batches=1,
+                                 gap_sec=600).to_pandas()
+    assert _norm(inc) == _norm(batch)
