@@ -88,6 +88,57 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _load_registry():
+    """Import the repo-root ``__ray_entry__`` registry (the driver
+    contract doubles as the user-facing query catalog). Works both from
+    the repo root and from an installed package next to the file."""
+    import importlib
+    import os
+
+    try:
+        return importlib.import_module("__ray_entry__")
+    except ModuleNotFoundError:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        return importlib.import_module("__ray_entry__")
+
+
+def cmd_query(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    mod = _load_registry()
+    qs = mod.queries()
+    if args.list or not args.name:
+        for name in sorted(qs):
+            print(name)
+        ray.shutdown()
+        return 0
+    if args.name not in qs:
+        print(f"unknown query: {args.name} (see --list)", file=sys.stderr)
+        ray.shutdown()
+        return 2
+    res = qs[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        df = res
+    elif isinstance(res, pa.Table):
+        df = res.to_pandas()
+    else:
+        df = res.to_pandas()
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       args.output)
+    print(df.head(args.head).to_string())
+    print(json.dumps({"query": args.name, "rows": len(df),
+                      "columns": list(df.columns),
+                      "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     logging.getLogger("ray").setLevel(logging.ERROR)
     p = argparse.ArgumentParser(prog="raygraph")
@@ -120,6 +171,20 @@ def main(argv=None) -> int:
     e.add_argument("--edge-fields", nargs="*")
     e.add_argument("--num-cpus", type=int)
     e.set_defaults(fn=cmd_export)
+
+    q = sub.add_parser(
+        "query", help="run a catalog query (the driver-contract registry) "
+                      "over a table directory")
+    q.add_argument("name", nargs="?",
+                   help="query name (omit with --list to enumerate)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="directory holding the parquet tables")
+    q.add_argument("--list", action="store_true",
+                   help="list available queries")
+    q.add_argument("--output", help="write full result parquet here")
+    q.add_argument("--head", type=int, default=10)
+    q.add_argument("--num-cpus", type=int)
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -54,3 +54,23 @@ def test_cli_export(tmp_path, capsys, monkeypatch):
     assert rc == 0
     v = pq.ParquetDataset(os.path.join(out, "vertices")).read()
     assert v.num_rows == 10 and "x" in v.schema.names
+
+
+def test_cli_query_list_and_run(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "kg_degree_hist" in names and len(names) >= 150
+
+    out = os.path.join(str(tmp_path), "dh.parquet")
+    assert main(["query", "kg_degree_hist",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--output", out]) == 0
+    tail = capsys.readouterr().out.strip().splitlines()[-1]
+    info = json.loads(tail)
+    assert info["rows"] == pq.read_metadata(out).num_rows > 0
+    assert info["columns"] == ["deg", "n_vertices"]
+
+    assert main(["query", "no_such_query"]) == 2
