@@ -3110,6 +3110,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(arrival, batch_format="pyarrow"),
             key_col="user_id", order_col="arrival", ts_col="ts")
 
+    def bloom_join_prune(sf_dir):
+        # sketch-based semi-join pruning with exactly-measured accuracy:
+        # bloom "bit set" as a distinct-position Dataset, probe keys
+        # pass iff every md5-derived position hits; exact semi-join
+        # count alongside — the difference IS the false-positive count
+        import pyarrow.dataset as pads
+
+        from raygraph.ops.relational import bloom_semi_join_stats
+
+        keys = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+            filter=pads.field("o_orderpriority") == "1-URGENT",
+        ).drop_columns(["o_orderpriority"])
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey"])
+        return bloom_semi_join_stats(li, keys, "l_orderkey", "o_orderkey")
+
     def tpch_q2_min_supplier(sf_dir):
         # Q2 shape (minimum-cost supplier, partsupp-free): for each
         # filtered part, the EUROPE supplier with min acctbal (tie: min
@@ -4145,6 +4163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": tpch_q13_custdist,
         "tpch_q18_big_orders": tpch_q18_big_orders,
         "tpch_q22_idle": tpch_q22_idle,
+        "bloom_join_prune": bloom_join_prune,
         "tpch_q2_min_supplier": tpch_q2_min_supplier,
         "tpch_q7_volume": tpch_q7_volume,
         "tpch_q8_market_share": tpch_q8_market_share,
@@ -5768,6 +5787,37 @@ def oracle_sql() -> dict[str, str]:
                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                     AND l_quantity BETWEEN 20 AND 30)
               )
+        """,
+        "bloom_join_prune": """
+            WITH k AS (SELECT DISTINCT o_orderkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+            js AS (SELECT unnest([0, 1, 2]) AS j),
+            bits AS (SELECT DISTINCT
+                       ('0x' || substr(md5(o_orderkey::VARCHAR
+                                           || '#' || j), 1, 15))::BIGINT
+                       % 131072 AS pos
+                     FROM k, js),
+            d AS (SELECT DISTINCT l_orderkey FROM lineitem),
+            probe AS (SELECT DISTINCT l_orderkey,
+                        ('0x' || substr(md5(l_orderkey::VARCHAR
+                                            || '#' || j), 1, 15))::BIGINT
+                        % 131072 AS pos
+                      FROM d, js),
+            np AS (SELECT l_orderkey, count(*)::BIGINT AS n_pos
+                   FROM probe GROUP BY l_orderkey),
+            nh AS (SELECT p.l_orderkey, count(*)::BIGINT AS n_hit
+                   FROM probe p JOIN bits b ON b.pos = p.pos
+                   GROUP BY p.l_orderkey),
+            pass AS (SELECT np.l_orderkey
+                     FROM np JOIN nh ON nh.l_orderkey = np.l_orderkey
+                     WHERE nh.n_hit = np.n_pos)
+            SELECT (SELECT count(*) FROM k)::BIGINT AS n_keys,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM k)
+                   )::BIGINT AS n_true,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT l_orderkey FROM pass)
+                   )::BIGINT AS n_bloom_pass
         """,
         "tpch_q2_min_supplier": """
             WITH shippers AS (

@@ -1228,3 +1228,108 @@ def grouped_percent_rank(ds, partition_cols, order_col: str,
 
     return hash_aggregate(ds, partition_cols, bucket_prank,
                           num_buckets=num_buckets)
+
+
+def bloom_semi_join_stats(probe, keys, probe_col: str, key_col: str,
+                          m_bits: int = 131_072, k_hashes: int = 3):
+    """Bloom-filter semi-join pruning — the sketch-based pre-filter a
+    distributed engine ships to the big side before an expensive join —
+    with its accuracy measured EXACTLY: returns a one-row DataFrame
+    (n_keys, n_true, n_bloom_pass) where n_true is the exact semi-join
+    row count and n_bloom_pass the rows surviving the bloom pre-filter
+    (n_bloom_pass ≥ n_true; the difference is false positives).
+
+    Deterministic id-derived hashing (md5 of "key#j" mod m, the
+    SQL-replayable stand-in for seeded hash families). Dataflow: the
+    filter-side key set builds a DISTINCT position Dataset (the "bit
+    set" as rows — at scale this is the sketch's exchange form); probe
+    keys fan out to their ≤k distinct positions, meet the bit set in one
+    position-hash shuffle join, and a key passes iff EVERY position hit.
+    The pass-key set then semi-joins back onto the probe rows. Nothing
+    key- or row-sized reaches the driver; the only driver values are the
+    three counts."""
+    import hashlib
+
+    def positions(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).to_pylist()
+            rows_k, rows_p = [], []
+            for v in vals:
+                for j in range(k_hashes):
+                    rows_k.append(v)
+                    rows_p.append(int(hashlib.md5(
+                        f"{v}#{j}".encode()).hexdigest()[:15], 16)
+                        % m_bits)
+            df = pd.DataFrame({"key": rows_k, "pos": rows_p}) \
+                .drop_duplicates()
+            df["pos"] = df["pos"].astype("int64")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return fn
+
+    from raygraph.ops.graph import _repaired
+
+    key_t = pa.int64()
+    pos_schema = pa.schema([("key", key_t), ("pos", pa.int64())])
+
+    kd = _repaired(
+        hash_aggregate(
+            keys.select_columns([key_col]).map_batches(
+                positions(key_col), batch_format="pyarrow"),
+            ["key", "pos"], lambda df: df.drop_duplicates()),
+        pos_schema)
+    bits = _repaired(
+        hash_aggregate(kd.select_columns(["pos"]),
+                       ["pos"], lambda df: df.drop_duplicates()),
+        pa.schema([("pos", pa.int64())]))
+
+    dprobe = _repaired(
+        hash_aggregate(probe.select_columns([probe_col]),
+                       [probe_col], lambda df: df.drop_duplicates()),
+        pa.schema([(probe_col, key_t)]))
+    pp = _repaired(
+        dprobe.map_batches(positions(probe_col), batch_format="pyarrow"),
+        pos_schema)
+    n_pos = _repaired(
+        preagg_sum(pp, ["key"], {}, counts="n_pos"),
+        pa.schema([("key", key_t), ("n_pos", pa.int64())]))
+    hits = shuffle_join(pp, bits.rename_columns({"pos": "pos2"}),
+                        on="pos", right_on="pos2", how="left_semi",
+                        num_partitions=_join_partitions(pp.count()))
+    hits = _repaired(hits, pos_schema)
+    n_hit = _repaired(
+        preagg_sum(hits.select_columns(["key"]), ["key"], {},
+                   counts="n_hit"),
+        pa.schema([("key", key_t), ("n_hit", pa.int64())]))
+    hj = shuffle_join(n_pos, n_hit.rename_columns({"key": "key2"}),
+                      on="key", right_on="key2",
+                      num_partitions=_join_partitions(None))
+    hj = _repaired(hj, pa.schema([("key", key_t), ("n_pos", pa.int64()),
+                                  ("n_hit", pa.int64())]))
+
+    def only_pass(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch.column("n_pos"),
+                                  batch.column("n_hit")))
+        return t.select(["key"])
+
+    passing = _repaired(hj.map_batches(only_pass, batch_format="pyarrow"),
+                        pa.schema([("key", key_t)]))
+
+    nparts = _join_partitions(probe.count())
+    n_bloom_pass = shuffle_join(
+        probe.select_columns([probe_col]), passing,
+        on=probe_col, right_on="key", how="left_semi",
+        num_partitions=nparts).count()
+    dk = _repaired(
+        hash_aggregate(keys.select_columns([key_col]),
+                       [key_col], lambda df: df.drop_duplicates()),
+        pa.schema([(key_col, key_t)]))
+    n_true = shuffle_join(
+        probe.select_columns([probe_col]), dk,
+        on=probe_col, right_on=key_col, how="left_semi",
+        num_partitions=nparts).count()
+    return pd.DataFrame({"n_keys": [int(dk.count())],
+                         "n_true": [int(n_true)],
+                         "n_bloom_pass": [int(n_bloom_pass)]})
