@@ -80,16 +80,68 @@ def _merge_user(state_row, ts_us: np.ndarray, gap_us: int):
     return closed, state
 
 
+def _round_complete(state_dir: str, i: int) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(state_dir, f"round={i}",
+                                       "_complete.json"))
+
+
+def _write_round(state_dir: str, i: int, state, closed) -> None:
+    """Persist a micro-batch round: state + closed parquet, then the
+    completion marker LAST (the write-then-commit order that makes a
+    crash mid-round indistinguishable from the round never running)."""
+    import json
+    import os
+
+    rd_dir = os.path.join(state_dir, f"round={i}")
+    for name, d in (("state", state), ("closed", closed)):
+        p = os.path.join(rd_dir, name)
+        os.makedirs(p, exist_ok=True)
+        if d.count():
+            d.write_parquet(p)
+    with open(os.path.join(rd_dir, "_complete.json"), "w") as fh:
+        json.dump({"round": i}, fh)
+
+
+def _read_round(state_dir: str, i: int, name: str):
+    import os
+
+    import ray.data as rd
+
+    p = os.path.join(state_dir, f"round={i}", name)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")] \
+        if os.path.isdir(p) else []
+    if not files:
+        return rd.from_arrow(_empty_merge_table())
+    out = rd.read_parquet(p)
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        return batch.select([f.name for f in _MERGE_SCHEMA]) \
+            .cast(_MERGE_SCHEMA)
+
+    return out.map_batches(coerce, batch_format="pyarrow")
+
+
 def sessionize_incremental(ds, n_micro_batches: int = 4,
                            gap_sec: int = 1800, key_col: str = "user_id",
-                           ts_col: str = "ts"):
+                           ts_col: str = "ts", state_dir: str | None = None,
+                           resume: bool = False):
     """Gap-based sessionization as an incremental fold over
     ``n_micro_batches`` time-ordered micro-batches — the streaming path
     whose output is row-identical to :func:`events.sessionize` on the
     same input (the exactly-once invariant; session_id = per-key close
     order, matching the batch numbering because micro-batches arrive in
     global ts order). Returns one row per (key, session_id) with
-    start/end/n_events."""
+    start/end/n_events.
+
+    ``state_dir`` persists each round's (state, closed) tables plus a
+    completion marker — the streaming analog of the build pipeline's
+    per-partition checkpoint manifests. With ``resume=True`` the fold
+    restarts from the last COMPLETE round: persisted closed outputs are
+    reused verbatim and only the remaining micro-batches recompute, so a
+    crash costs at most one round of work and the resumed output is
+    byte-identical (tested)."""
     import ray.data as rd
 
     from .relational import hash_aggregate, range_partition
@@ -144,7 +196,15 @@ def sessionize_incremental(ds, n_micro_batches: int = 4,
 
     state = rd.from_arrow(_empty_merge_table())
     emitted = []
-    for i in range(n_micro_batches):
+    start_round = 0
+    if state_dir and resume:
+        while start_round < n_micro_batches \
+                and _round_complete(state_dir, start_round):
+            emitted.append(_read_round(state_dir, start_round, "closed"))
+            start_round += 1
+        if start_round:
+            state = _read_round(state_dir, start_round - 1, "state")
+    for i in range(start_round, n_micro_batches):
         batch_rows = tiled.map_batches(pick(i), batch_format="pyarrow")
         un = _repaired(state.union(batch_rows), _MERGE_SCHEMA)
         merged = _repaired(
@@ -159,12 +219,15 @@ def sessionize_incremental(ds, n_micro_batches: int = 4,
 
             return fn
 
-        emitted.append(_repaired(
+        closed_i = _repaired(
             merged.map_batches(split("closed"), batch_format="pyarrow"),
-            _MERGE_SCHEMA))
+            _MERGE_SCHEMA)
         state = _repaired(
             merged.map_batches(split("open"), batch_format="pyarrow"),
             _MERGE_SCHEMA)
+        emitted.append(closed_i)
+        if state_dir:
+            _write_round(state_dir, i, state, closed_i)
 
     def finalize_open(batch: pa.Table) -> pa.Table:
         # remaining open sessions close at stream end; their id follows

@@ -51,3 +51,38 @@ def test_incremental_single_batch_degenerate(ray_session):
     inc = sessionize_incremental(rd.from_pandas(df), n_micro_batches=1,
                                  gap_sec=600).to_pandas()
     assert _norm(inc) == _norm(batch)
+
+
+def test_incremental_resume_from_checkpoint(ray_session, tmp_path):
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.events import sessionize
+    from raygraph.ops.stream import sessionize_incremental
+
+    df = _events(n_users=5, n=300, seed=17)
+    full_dir = os.path.join(str(tmp_path), "full")
+    ref = sessionize_incremental(rd.from_pandas(df), n_micro_batches=4,
+                                 gap_sec=1800,
+                                 state_dir=full_dir).to_pandas()
+
+    # crash after round 1: only the first two complete rounds survive
+    crash_dir = os.path.join(str(tmp_path), "crash")
+    os.makedirs(crash_dir)
+    for i in (0, 1):
+        shutil.copytree(os.path.join(full_dir, f"round={i}"),
+                        os.path.join(crash_dir, f"round={i}"))
+    resumed = sessionize_incremental(rd.from_pandas(df), n_micro_batches=4,
+                                     gap_sec=1800, state_dir=crash_dir,
+                                     resume=True).to_pandas()
+    assert _norm(resumed) == _norm(ref)
+
+    # all rounds complete: resume reuses everything, still identical,
+    # and still equals the batch recompute
+    again = sessionize_incremental(rd.from_pandas(df), n_micro_batches=4,
+                                   gap_sec=1800, state_dir=full_dir,
+                                   resume=True).to_pandas()
+    batch = sessionize(rd.from_pandas(df), gap_sec=1800).to_pandas()
+    assert _norm(again) == _norm(ref) == _norm(batch)
