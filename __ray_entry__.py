@@ -1340,6 +1340,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ["click", "error", "purchase", "signup",
                              "view"])
 
+    def events_unpivot(sf_dir):
+        # UNPIVOT/melt: the wide per-user crosstab folded back to long
+        # (user, type, n) rows with zero cells dropped — pivot⁻¹∘pivot
+        # equals the direct group count, which is the oracle
+        from raygraph.ops.relational import pivot_counts
+
+        cats = ["click", "error", "purchase", "signup", "view"]
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        wide = pivot_counts(ev, ["user_id"], "event_type", cats)
+
+        def melt(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = df.melt(id_vars=["user_id"],
+                          value_vars=[f"n_{c}" for c in cats],
+                          var_name="event_type", value_name="n")
+            out = out[out["n"] > 0].copy()
+            out["event_type"] = out["event_type"].str.slice(2)
+            out["n"] = out["n"].astype("int64")
+            return pa.Table.from_pandas(
+                out[["user_id", "event_type", "n"]], preserve_index=False)
+
+        return wide.map_batches(melt, batch_format="pyarrow")
+
+    def docs_lang_share(sf_dir):
+        # percent-of-total (ratio-to-report window): per-language share
+        # of corpus characters in exact trunc basis points — one
+        # lang-keyed combiner preagg, total on the tiny aggregate
+        from raygraph.ops.relational import trunc_div
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+        agg = preagg_sum(docs, ["lang"], {"chars": "n_chars"}).to_pandas()
+        total = int(agg["chars"].sum())
+        agg["share_bp"] = trunc_div(10_000 * agg["chars"].to_numpy(),
+                                    np.int64(total))
+        agg["chars"] = agg["chars"].astype("int64")
+        agg["share_bp"] = agg["share_bp"].astype("int64")
+        return agg[["lang", "chars", "share_bp"]]
+
     def events_props_stats(sf_dir):
         # semi-structured extraction: pull the integer k out of the JSON
         # props string with one vectorized regex per batch, then
@@ -4217,6 +4257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_range_tiles": lineitem_range_tiles,
         "docs_vocab_encode": docs_vocab_encode,
         "events_pivot_types": events_pivot_types,
+        "events_unpivot": events_unpivot,
+        "docs_lang_share": docs_lang_share,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
         "events_approx_users": events_approx_users,
@@ -5005,6 +5047,18 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, token ASC) AS rn
                   FROM s)
             SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 3
+        """,
+        "events_unpivot": """
+            SELECT user_id, event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY user_id, event_type
+        """,
+        "docs_lang_share": """
+            WITH a AS (SELECT lang, sum(n_chars)::BIGINT AS chars
+                       FROM documents GROUP BY lang),
+            t AS (SELECT sum(chars)::BIGINT AS total FROM a)
+            SELECT lang, chars,
+                   ((10000 * chars) // t.total)::BIGINT AS share_bp
+            FROM a, t
         """,
         "events_pivot_types": """
             SELECT user_id,
