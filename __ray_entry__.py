@@ -2537,6 +2537,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emb.map_batches(am, batch_format="pyarrow")
 
+    def ann_ivf_persisted(sf_dir):
+        # build-once/query-many: persist the IVF index (hive cell=
+        # partition dirs + centroid parquet), query via filesystem-level
+        # partition pruning; full probe == exact top-k (shared oracle)
+        import tempfile
+
+        from raygraph.ops.ann import ivf_build, ivf_query
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        row0 = qtab.column("vec_id").to_pylist().index(0)
+        q = np.array(qtab.column("embedding")[row0].as_py(),
+                     dtype=np.float64)
+        idx = tempfile.mkdtemp(prefix="ivf_idx_")
+        ivf_build(emb, idx, n_centroids=16)
+        return ivf_query(idx, q, k=10, nprobe=16, dtype=np.float64,
+                         round_dp=4)
+
     def ann_ivf_top10(sf_dir):
         # IVF with nprobe == n_centroids scans every cell and must equal
         # exact top-k — the oracle-able IVF contract; partial-probe recall
@@ -4264,6 +4284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
+        "ann_ivf_persisted": ann_ivf_persisted,
         "ann_self_join": ann_self_join,
         "embedding_norms": embedding_norms,
         "embedding_quantized": embedding_quantized,
@@ -7166,4 +7187,6 @@ def oracle_sql() -> dict[str, str]:
     # the streaming micro-batch fold is row-identical to the batch
     # sessionize by contract — they share one oracle
     out["events_sessionize_incremental"] = out["events_sessionize_full"]
+    # full-probe IVF over the persisted index == full-probe in-stream IVF
+    out["ann_ivf_persisted"] = out["ann_ivf_top10"]
     return out

@@ -170,3 +170,39 @@ def test_batch_topk_matches_per_query_brute_force(ray_session):
         # same rounded-cosine ordering contract
         assert got[qid][:5] == ref["vec_id"].tolist()[:5] or \
             set(got[qid]) == set(ref["vec_id"])
+
+
+def test_ivf_persisted_index_prunes_and_matches(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.ann import brute_force_topk, ivf_build, ivf_query
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    row0 = qtab.column("vec_id").to_pylist().index(0)
+    q = np.array(qtab.column("embedding")[row0].as_py(), dtype=np.float64)
+
+    idx = os.path.join(str(tmp_path), "ivf")
+    ivf_build(emb, idx, n_centroids=8)
+    # hive layout: one directory per cell, plus the centroid table
+    cells = [d for d in os.listdir(os.path.join(idx, "cells"))
+             if d.startswith("cell=")]
+    assert 1 < len(cells) <= 8
+    assert os.path.exists(os.path.join(idx, "centroids.parquet"))
+
+    # full probe over the persisted index == exact brute force
+    full = ivf_query(idx, q, k=10, nprobe=8, dtype=np.float64, round_dp=4)
+    exact = brute_force_topk(emb, q, k=10, dtype=np.float64, round_dp=4)
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+
+    # partial probe returns k rows from a subset of cells (pruned read)
+    part = ivf_query(idx, q, k=10, nprobe=2, dtype=np.float64, round_dp=4)
+    assert len(part) == 10
+    assert part["vec_id"].iloc[0] == exact["vec_id"].iloc[0]  # own cell
