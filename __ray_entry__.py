@@ -1131,6 +1131,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
                           counts="n_docs")
 
+    def kg_pred_cooccur(sf_dir):
+        # KG schema discovery: predicate co-occurrence — for each
+        # unordered predicate pair, how many subjects carry BOTH. One
+        # (subj, pred) dedup combiner, a subject-hash self-join-shaped
+        # reduce (all of a subject's predicates meet in its bucket),
+        # and a pred²-sized count aggregate
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import hash_aggregate
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "pred"])
+        sp = _repaired(
+            hash_aggregate(ed, ["_from"],
+                           lambda df: df.drop_duplicates()),
+            pa.schema([("_from", pa.string()), ("pred", pa.string())]))
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, g in df.groupby("_from", sort=False):
+                ps = sorted(set(g["pred"]))
+                for i in range(len(ps)):
+                    for j in range(i + 1, len(ps)):
+                        out.append((ps[i], ps[j]))
+            o = pd.DataFrame(out, columns=["pred_a", "pred_b"])
+            if not len(o):
+                return pd.DataFrame({"pred_a": pd.Series([], dtype=str),
+                                     "pred_b": pd.Series([], dtype=str),
+                                     "n_subjects": pd.Series([],
+                                                             dtype="int64")})
+            g = o.groupby(["pred_a", "pred_b"], as_index=False).size() \
+                .rename(columns={"size": "n_subjects"})
+            g["n_subjects"] = g["n_subjects"].astype("int64")
+            return g
+
+        part = hash_aggregate(sp, ["_from"], pairs)
+        return preagg_sum(part, ["pred_a", "pred_b"],
+                          {"n_subjects": "n_subjects"})
+
     def kg_pred_stats(sf_dir):
         # KG profiling: per-predicate edge count + distinct-subject
         # count — per-batch (pred, subject) dedup combiner, one
@@ -4144,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_disc": lineitem_weighted_disc,
         "docs_from_jsonl": docs_from_jsonl,
         "kg_pred_stats": kg_pred_stats,
+        "kg_pred_cooccur": kg_pred_cooccur,
         "events_user_deciles": events_user_deciles,
         "tpch_promo_share": tpch_promo_share,
         "ann_filtered_top10": ann_filtered_top10,
@@ -4789,6 +4828,15 @@ def oracle_sql() -> dict[str, str]:
                    ((10000 * (SELECT count(*) FROM rc))
                     // greatest(1, (SELECT count(*) FROM pr)))::BIGINT
                        AS recip_bp
+        """,
+        "kg_pred_cooccur": f"""
+            WITH edges AS ({kg_edges_sql}),
+            sp AS (SELECT DISTINCT _from, pred FROM edges)
+            SELECT a.pred AS pred_a, b.pred AS pred_b,
+                   count(*)::BIGINT AS n_subjects
+            FROM sp a JOIN sp b
+              ON b._from = a._from AND b.pred > a.pred
+            GROUP BY a.pred, b.pred
         """,
         "kg_pred_stats": f"""
             WITH edges AS ({kg_edges_sql})
