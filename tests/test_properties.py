@@ -363,3 +363,69 @@ def test_grouped_corr_bp_exact(ray_session):
                      / math.sqrt(float(dx) * float(dy)))
     assert out.loc["b", "corr_bp"] == exp
     assert out.loc["b", "n_rows"] == 4
+
+
+@given(st.integers(-10**17, 10**17), st.integers(1, 10**9))
+@settings(max_examples=200, deadline=None)
+def test_trunc_div_matches_sql_semantics(a, b):
+    # DuckDB's // truncates toward zero (verified: (-7)//2 = -3)
+    from raygraph.ops.relational import trunc_div
+
+    import math
+
+    assert int(trunc_div(a, b)) == math.trunc(a / b) \
+        if abs(a) < 2**52 else True
+    # exact check via integer arithmetic for the full range
+    q = abs(a) // b
+    assert int(trunc_div(a, b)) == (-q if a < 0 else q)
+
+
+@given(st.lists(st.integers(0, 10**7), min_size=0, max_size=60),
+       st.integers(1, 40))
+@settings(max_examples=100, deadline=None)
+def test_stream_merge_split_invariance(ts, cut):
+    """Folding a sorted event stream in two chunks through the
+    open-session state equals folding it in one chunk — the exactly-once
+    core of ops/stream, independent of where the micro-batch boundary
+    falls."""
+    import numpy as np
+
+    from raygraph.ops.stream import _merge_user
+
+    gap = 500
+    ts = sorted(t * 1000 for t in ts)   # µs-ish spacing
+    one_c, one_s = _merge_user(None, np.array(ts, dtype="int64"), gap)
+
+    k = min(cut, len(ts))
+    c1, s1 = _merge_user(None, np.array(ts[:k], dtype="int64"), gap)
+    if s1["session_start"] is None:
+        state_row = None
+        c_prefix = c1
+    else:
+        state_row = {"closed_cnt": s1["closed_cnt"],
+                     "session_start": s1["session_start"],
+                     "session_end": s1["session_end"],
+                     "n_events": s1["n_events"]}
+        c_prefix = c1
+    c2, s2 = _merge_user(state_row, np.array(ts[k:], dtype="int64"), gap)
+
+    def norm(closed, state):
+        rows = [(c["session_id"], c["session_start"], c["session_end"],
+                 c["n_events"]) for c in closed]
+        return rows, (state["session_start"], state["session_end"],
+                      state["n_events"], state["closed_cnt"])
+
+    assert norm(c_prefix + c2, s2) == norm(one_c, one_s)
+
+
+@given(st.integers(1, 1000), st.integers(1, 5000), st.integers(1, 10**6),
+       st.integers(1, 10**4))
+@settings(max_examples=200, deadline=None)
+def test_bm25_integer_tf_norm_algebra(tf, dl, s_tot, n_docs):
+    """22·tf·S/(10·tf·S+3·S+9·dl·N) is algebraically tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)) for k1=1.2, b=0.75, avgdl=S/N."""
+    avgdl = s_tot / n_docs
+    ref = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    got = (22 * tf * s_tot) / (10 * tf * s_tot + 3 * s_tot
+                               + 9 * dl * n_docs)
+    assert abs(ref - got) <= 1e-9 * max(1.0, abs(ref))
