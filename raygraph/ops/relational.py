@@ -200,7 +200,12 @@ def _join_partitions(approx_rows: int | None = None) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     if approx_rows is not None:
-        return max(2, min(cpus, approx_rows // 100_000 + 4))
+        # ~250k rows per aggregator: measured on the 600k-row
+        # lineitem⋈orders join, 4 partitions beat 10 (3.8 s vs 4.6 s)
+        # and 32 (6.5-8 s) — per-partition actor spin-up dominates until
+        # partitions carry real data; the cap still scales to cluster
+        # width for genuinely large inputs
+        return max(2, min(cpus, approx_rows // 250_000 + 2))
     return max(2, cpus)
 
 
