@@ -2512,6 +2512,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return distinct_count(ev, ["event_type"], "user_id", out="n_users")
 
+    def events_distinct_users_incremental(sf_dir):
+        # the streaming fold's second instance: running exact distinct
+        # per type over 4 micro-batches (state = distinct pair Dataset);
+        # equals the batch distinct_count, so it shares the oracle
+        from raygraph.ops.stream import distinct_count_incremental
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id", "ts"])
+        return distinct_count_incremental(ev, n_micro_batches=4)
+
     def events_approx_users(sf_dir):
         # the sketch path for the same question: HLL caps the shuffle at
         # 64 registers per group; integer spec ⇒ the SQL oracle
@@ -4320,6 +4330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_share": docs_lang_share,
         "events_props_stats": events_props_stats,
         "events_distinct_users": events_distinct_users,
+        "events_distinct_users_incremental": events_distinct_users_incremental,
         "events_approx_users": events_approx_users,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
@@ -7237,4 +7248,6 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessionize_incremental"] = out["events_sessionize_full"]
     # full-probe IVF over the persisted index == full-probe in-stream IVF
     out["ann_ivf_persisted"] = out["ann_ivf_top10"]
+    # the running-distinct fold equals the batch distinct count
+    out["events_distinct_users_incremental"] = out["events_distinct_users"]
     return out

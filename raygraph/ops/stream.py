@@ -80,7 +80,7 @@ def _merge_user(state_row, ts_us: np.ndarray, gap_us: int):
     return closed, state
 
 
-def _round_complete(state_dir: str, i: int) -> bool:
+def _round_complete(state_dir: str, i: int) -> bool:  # noqa: D103
     import os
 
     return os.path.exists(os.path.join(state_dir, f"round={i}",
@@ -104,21 +104,22 @@ def _write_round(state_dir: str, i: int, state, closed) -> None:
         json.dump({"round": i}, fh)
 
 
-def _read_round(state_dir: str, i: int, name: str):
+def _read_round(state_dir: str, i: int, name: str,
+                schema: pa.Schema | None = None):
     import os
 
     import ray.data as rd
 
+    schema = schema or _MERGE_SCHEMA
     p = os.path.join(state_dir, f"round={i}", name)
     files = [f for f in os.listdir(p) if f.endswith(".parquet")] \
         if os.path.isdir(p) else []
     if not files:
-        return rd.from_arrow(_empty_merge_table())
+        return rd.from_arrow(schema.empty_table())
     out = rd.read_parquet(p)
 
     def coerce(batch: pa.Table) -> pa.Table:
-        return batch.select([f.name for f in _MERGE_SCHEMA]) \
-            .cast(_MERGE_SCHEMA)
+        return batch.select([f.name for f in schema]).cast(schema)
 
     return out.map_batches(coerce, batch_format="pyarrow")
 
@@ -246,3 +247,72 @@ def sessionize_incremental(ds, n_micro_batches: int = 4,
                              "session_end", "n_events"])
 
     return allout.map_batches(project, batch_format="pyarrow")
+
+
+def distinct_count_incremental(ds, n_micro_batches: int = 4,
+                               key_col: str = "event_type",
+                               user_col: str = "user_id",
+                               ts_col: str = "ts",
+                               state_dir: str | None = None,
+                               resume: bool = False,
+                               out: str = "n_users"):
+    """Running exact COUNT(DISTINCT user) per key over time-ordered
+    micro-batches — the second instance of the incremental-fold shape:
+    state is the distinct (key, user) pair Dataset (the exact-dedup
+    exchange form; at scale it shuffles like any keyed table and the
+    driver never sees it). Per round: state ∪ batch pairs → one
+    pair-hash dedup; the final count is a key-sized combiner aggregate.
+    Same write-then-commit round checkpoints as
+    :func:`sessionize_incremental` (state only — nothing closes until
+    stream end). Output equals the batch ``distinct_count`` exactly."""
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import (hash_aggregate, preagg_sum,
+                             range_partition)
+
+    pair_schema = pa.schema([("k", pa.string()), ("u", pa.int64())])
+    tiled = range_partition(
+        ds.select_columns([key_col, user_col, ts_col]), ts_col,
+        n_micro_batches).materialize()
+
+    def pick(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("tile"), pa.scalar(i)))
+            return pa.table({
+                "k": t.column(key_col).cast(pa.string()),
+                "u": t.column(user_col).cast(pa.int64()),
+            })
+
+        return fn
+
+    state = rd.from_arrow(pair_schema.empty_table())
+    start_round = 0
+    if state_dir and resume:
+        while start_round < n_micro_batches \
+                and _round_complete(state_dir, start_round):
+            start_round += 1
+        if start_round:
+            state = _read_round(state_dir, start_round - 1, "state",
+                                pair_schema)
+    for i in range(start_round, n_micro_batches):
+        rows = tiled.map_batches(pick(i), batch_format="pyarrow")
+        un = _repaired(state.union(rows), pair_schema)
+        state = _repaired(
+            hash_aggregate(un, ["k", "u"],
+                           lambda df: df.drop_duplicates()),
+            pair_schema)
+        if state_dir:
+            empty = rd.from_arrow(pair_schema.empty_table())
+            _write_round(state_dir, i, state, empty)
+
+    counted = preagg_sum(state.select_columns(["k"]), ["k"], {},
+                         counts=out)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([key_col, out])
+
+    return counted.map_batches(rename, batch_format="pyarrow")

@@ -86,3 +86,41 @@ def test_incremental_resume_from_checkpoint(ray_session, tmp_path):
                                    resume=True).to_pandas()
     batch = sessionize(rd.from_pandas(df), gap_sec=1800).to_pandas()
     assert _norm(again) == _norm(ref) == _norm(batch)
+
+
+def test_distinct_count_incremental_resume(ray_session, tmp_path):
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.relational import distinct_count
+    from raygraph.ops.stream import distinct_count_incremental
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], 500),
+        "user_id": rng.integers(0, 40, 500).astype("int64"),
+        "ts": np.sort(rng.integers(0, 10**9, 500)).astype("datetime64[us]"),
+    })
+
+    def norm(d):
+        return sorted(map(tuple, d[["event_type", "n_users"]]
+                          .astype({"n_users": "int64"})
+                          .itertuples(index=False)))
+
+    ref = distinct_count(rd.from_pandas(df), ["event_type"], "user_id",
+                         out="n_users").to_pandas()
+    full_dir = os.path.join(str(tmp_path), "full")
+    inc = distinct_count_incremental(rd.from_pandas(df), 4,
+                                     state_dir=full_dir).to_pandas()
+    assert norm(inc) == norm(ref)
+
+    crash_dir = os.path.join(str(tmp_path), "crash")
+    os.makedirs(crash_dir)
+    shutil.copytree(os.path.join(full_dir, "round=0"),
+                    os.path.join(crash_dir, "round=0"))
+    resumed = distinct_count_incremental(
+        rd.from_pandas(df), 4, state_dir=crash_dir,
+        resume=True).to_pandas()
+    assert norm(resumed) == norm(ref)
