@@ -3540,6 +3540,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           {"high_line_count": "high",
                            "low_line_count": "low"})
 
+    def supplier_pareto_top10(sf_dir):
+        # concentration / Lorenz point: exact bp share of total revenue
+        # captured by the top-10 suppliers — supplier-keyed combiner
+        # preagg, total + top-k on the supplier-sized aggregate
+        from raygraph.ops.relational import trunc_div
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].astype("int64"),
+                "rev_e4": cents * (100 - bp),
+            }), preserve_index=False)
+
+        rev = preagg_sum(li.map_batches(partial, batch_format="pyarrow"),
+                         ["s_suppkey"], {"rev_e4": "rev_e4"}).to_pandas()
+        total = int(rev["rev_e4"].sum())
+        top = int(rev.sort_values(["rev_e4", "s_suppkey"],
+                                  ascending=[False, True])
+                  .head(10)["rev_e4"].sum())
+        return pd.DataFrame({
+            "top10_rev_e4": pd.Series([top], dtype="int64"),
+            "total_rev_e4": pd.Series([total], dtype="int64"),
+            "share_bp": pd.Series([int(trunc_div(10_000 * top, total))],
+                                  dtype="int64"),
+        })
+
+    def customer_order_gaps(sf_dir):
+        # per-customer inter-order cadence: mean gap in exact trunc
+        # centi-days, (max − min) // (n − 1) over order dates — a
+        # (min, max, count) combiner preagg, finalize on the
+        # customer-sized aggregate, customers with ≥ 2 orders only
+        from raygraph.ops.relational import trunc_div
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_orderdate"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            days = (df["o_orderdate"].to_numpy()
+                    .astype("datetime64[D]").astype("int64"))
+            g = pd.DataFrame({"c_custkey": df["o_custkey"].astype("int64"),
+                              "lo": days, "hi": days, "n": 1}) \
+                .groupby("c_custkey", as_index=False) \
+                .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Max, Min, Sum
+
+        agg = (orders.map_batches(partial, batch_format="pyarrow")
+               .groupby("c_custkey")
+               .aggregate(Min("lo", alias_name="lo"),
+                          Max("hi", alias_name="hi"),
+                          Sum("n", alias_name="n"))).to_pandas()
+        agg = agg[agg["n"] >= 2].copy()
+        span = (agg["hi"] - agg["lo"]).to_numpy().astype("int64")
+        agg["mean_gap_cdays"] = trunc_div(
+            100 * span, agg["n"].to_numpy().astype("int64") - 1)
+        agg["n"] = agg["n"].astype("int64")
+        agg["mean_gap_cdays"] = agg["mean_gap_cdays"].astype("int64")
+        return agg[["c_custkey", "n", "mean_gap_cdays"]] \
+            .reset_index(drop=True)
+
     def tpch_q15_top_supplier(sf_dir):
         # Q15 (top supplier): supplier-keyed combiner preagg over a
         # pruned + predicate-pushed scan; the max + equality filter act
@@ -4279,6 +4348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11_important_parts": tpch_q11_important_parts,
         "tpch_q12_late_lines": tpch_q12_late_lines,
         "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "supplier_pareto_top10": supplier_pareto_top10,
+        "customer_order_gaps": customer_order_gaps,
         "tpch_q17_small_qty": tpch_q17_small_qty,
         "tpch_q20_promo_suppliers": tpch_q20_promo_suppliers,
         "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
@@ -6040,6 +6111,33 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY l_linestatus
+        """,
+        "supplier_pareto_top10": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     )::BIGINT AS rev_e4
+              FROM lineitem GROUP BY l_suppkey),
+            t10 AS (SELECT rev_e4 FROM rev
+                    ORDER BY rev_e4 DESC, l_suppkey LIMIT 10)
+            SELECT (SELECT sum(rev_e4) FROM t10)::BIGINT AS top10_rev_e4,
+                   (SELECT sum(rev_e4) FROM rev)::BIGINT AS total_rev_e4,
+                   ((10000 * (SELECT sum(rev_e4) FROM t10))
+                    // (SELECT sum(rev_e4) FROM rev))::BIGINT AS share_bp
+        """,
+        "customer_order_gaps": """
+            WITH d AS (
+              SELECT o_custkey AS c_custkey,
+                     epoch_us(o_orderdate) // 86400000000 AS day
+              FROM orders),
+            a AS (SELECT c_custkey, min(day) AS lo, max(day) AS hi,
+                         count(*)::BIGINT AS n
+                  FROM d GROUP BY c_custkey)
+            SELECT c_custkey, n,
+                   ((100 * (hi - lo)) // (n - 1))::BIGINT
+                       AS mean_gap_cdays
+            FROM a WHERE n >= 2
         """,
         "tpch_q15_top_supplier": """
             WITH rev AS (
