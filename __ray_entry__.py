@@ -2821,6 +2821,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           {"n": "n", "sum_e4": "sum_e4",
                            "sumsq_e8": "sumsq_e8"})
 
+    def events_ewma_tail(sf_dir):
+        # exact-integer EWMA-at-last-event: alpha=1/2 decay truncated to
+        # the final 8 events per user (newest weight 2^7), evaluated in
+        # one key-hash exchange + vectorized per-bucket tail fold — the
+        # parallel-safe form of a sequential smoother
+        from raygraph.ops.events import ewma_tail_weighted
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_id",
+                                      "value"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "ts": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": batch.column("event_id"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        out = ewma_tail_weighted(ev.map_batches(prep,
+                                                batch_format="pyarrow"),
+                                 window=8).to_pandas()
+        out = out.rename(columns={"ews": "ews_e4"})
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def docs_snapshot_diff(sf_dir):
+        # keyed snapshot reconcile: derive the CDC between the corpus
+        # and a deterministically perturbed re-ingest (doc_id%10==0
+        # dropped, ==1 text-mutated, ==2 re-keyed as new rows), then
+        # collapse the per-key statuses with a combiner preagg — the
+        # lakehouse maintenance pass that turns two table versions into
+        # a change log
+        from raygraph.ops.relational import snapshot_diff
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+        def make_b(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids = batch.column("doc_id")
+            h = pc.cast(pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 10), 10)), pa.int64())
+            keep = batch.filter(pc.not_equal(h, 0))
+            hk = pc.cast(pc.subtract(
+                keep.column("doc_id"),
+                pc.multiply(pc.divide(keep.column("doc_id"), 10), 10)),
+                pa.int64())
+            text = pc.if_else(pc.equal(hk, 1),
+                              pc.binary_join_element_wise(
+                                  keep.column("text"), "!", ""),
+                              keep.column("text"))
+            base = pa.table({"doc_id": keep.column("doc_id"),
+                             "text": text})
+            adds = batch.filter(pc.equal(h, 2))
+            adds = pa.table({
+                "doc_id": pc.add(adds.column("doc_id"), 10_000_000),
+                "text": adds.column("text")})
+            return pa.concat_tables([base, adds])
+
+        new = docs.map_batches(make_b, batch_format="pyarrow")
+        diff = snapshot_diff(docs, new, "doc_id", "text")
+
+        def ones(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "status": batch.column("status"),
+                "n": pa.array(np.ones(batch.num_rows, dtype="int64")),
+            })
+
+        out = preagg_sum(diff.map_batches(ones, batch_format="pyarrow"),
+                         ["status"], {"n": "n"}).to_pandas()
+        return out.sort_values("status").reset_index(drop=True)
+
     def events_funnel(sf_dir):
         from raygraph.ops.events import funnel_counts
 
@@ -4309,6 +4383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_band": docs_length_band,
         "orders_global_rownum": orders_global_rownum,
         "docs_normalize": docs_normalize,
+        "docs_snapshot_diff": docs_snapshot_diff,
         "text_cms_counts": text_cms_counts,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
@@ -4386,6 +4461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": events_transitions,
         "events_funnel": events_funnel,
         "events_value_moments": events_value_moments,
+        "events_ewma_tail": events_ewma_tail,
         "events_winsorized_mean": events_winsorized_mean,
         "events_retention": events_retention,
         "events_sequences": events_sequences,
@@ -5347,6 +5423,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT "column", n_rows, n_null, min_v, max_v, n_distinct
             FROM p ORDER BY "column"
         """,
+        "events_ewma_tail": """
+            WITH r AS (
+              SELECT user_id,
+                     CAST(round(value * 10000, 0) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS j
+              FROM events)
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN j <= 8 THEN v * (1 << (8 - j))
+                            ELSE 0 END)::BIGINT AS ews_e4
+            FROM r GROUP BY user_id ORDER BY user_id
+        """,
         "events_value_moments": """
             WITH v AS (
               SELECT event_type,
@@ -5435,6 +5525,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n, pmi_e6 FROM p
             ORDER BY pmi_e6 DESC, bigram
             LIMIT 20
+        """,
+        "docs_snapshot_diff": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 1 THEN text || '!'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents
+              WHERE doc_id % 10 = 2),
+            j AS (
+              SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                          WHEN b.doc_id IS NULL THEN 'removed'
+                          WHEN a.text <> b.text THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            SELECT status, count(*)::BIGINT AS n
+            FROM j GROUP BY status ORDER BY status
         """,
         "events_winsorized_mean": """
             WITH v AS (

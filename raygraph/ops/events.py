@@ -707,3 +707,42 @@ def rolling_distinct_users(
 
     fanned = pairs.map_batches(fan_out, batch_format="pyarrow")
     return distinct_count(fanned, ["window_hour"], key_col, out="n_users")
+
+
+def ewma_tail_weighted(ds, window: int = 8, key_col: str = "user_id",
+                       ts_col: str = "ts", order_col: str = "event_id",
+                       value_col: str = "value_e4",
+                       num_buckets: int = 128):
+    """Per-key exponentially-weighted tail sum — the exact-integer form
+    of an EWMA smoother evaluated at each key's LAST event: the newest
+    of the final ``window`` events gets weight ``2**(window-1)``, the
+    one before it ``2**(window-2)``, … (an alpha=1/2 exponential decay
+    truncated to the window so the result stays a bit-exact int64 —
+    the idiom this repo uses everywhere a float fold would drift).
+
+    A true EWMA is a sequential fold; the windowed form restores
+    parallelism: only each key's tail participates, so the plan is one
+    key-hash exchange (``hash_aggregate``) and a fully vectorized
+    per-bucket pandas pass (sort → groupby tail → reverse-cumcount
+    weights → weighted segment sum). Nothing is ordered globally and
+    no per-row Python runs. Output: one row per key
+    (key, n_events, ews — the weighted sum in the value's scale).
+    """
+    from .relational import hash_aggregate
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby(key_col, sort=False)[value_col].size() \
+              .rename("n_events")
+        tail = df.sort_values([key_col, ts_col, order_col]) \
+                 .groupby(key_col, sort=False).tail(window)
+        j = tail.groupby(key_col, sort=False).cumcount(ascending=False)
+        w = np.int64(1) << (window - 1 - j.to_numpy())
+        tail = tail.assign(__term=tail[value_col].to_numpy() * w)
+        ews = tail.groupby(key_col, sort=False)["__term"].sum() \
+                  .rename("ews")
+        out = pd.concat([n, ews], axis=1).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["ews"] = out["ews"].astype("int64")
+        return out
+
+    return hash_aggregate(ds, [key_col], fold, num_buckets=num_buckets)

@@ -1338,3 +1338,52 @@ def bloom_semi_join_stats(probe, keys, probe_col: str, key_col: str,
     return pd.DataFrame({"n_keys": [int(dk.count())],
                          "n_true": [int(n_true)],
                          "n_bloom_pass": [int(n_bloom_pass)]})
+
+
+def snapshot_diff(base, new, on: str | Sequence[str], cmp_col: str,
+                  num_buckets: int = 128):
+    """Keyed snapshot diff (CDC derivation / table-version reconcile):
+    classify every key across two versions of a table as ``added``
+    (only in ``new``), ``removed`` (only in ``base``), ``changed``
+    (both, ``cmp_col`` differs) or ``same``. The inverse of
+    :func:`apply_changeset`: where that op APPLIES a change log, this
+    one DERIVES it by comparing snapshots — the maintenance pass a
+    100 TB lakehouse runs to reconcile a re-ingested partition against
+    the previous version.
+
+    Plan: both sides are tag-unioned (``__side`` 0/1) carrying only the
+    key + comparison columns, hash-bucketed on the key, and each bucket
+    resolved in one vectorized pandas merge-with-indicator — every row
+    moves exactly once and a key's two versions meet in the same
+    bucket. Output is per-key (key cols + ``status``); callers that
+    only need counts should follow with a combiner preagg so the
+    key-sized result never concentrates anywhere.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    cols = on + [cmp_col]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(cols)
+            return batch.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.int8()))
+        return fn
+
+    both = base.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow"))
+
+    def bucket_diff(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["__side"] == 0, cols]
+        b = df.loc[df["__side"] == 1, cols]
+        m = a.merge(b, on=on, how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed",
+                     np.where(m[cmp_col + "_a"] != m[cmp_col + "_b"],
+                              "changed", "same")))
+        out = m[on].copy()
+        out["status"] = status
+        return out
+
+    return hash_aggregate(both, on, bucket_diff, num_buckets=num_buckets)

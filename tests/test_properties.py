@@ -429,3 +429,48 @@ def test_bm25_integer_tf_norm_algebra(tf, dl, s_tot, n_docs):
     got = (22 * tf * s_tot) / (10 * tf * s_tot + 3 * s_tot
                                + 9 * dl * n_docs)
     assert abs(ref - got) <= 1e-9 * max(1.0, abs(ref))
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import snapshot_diff
+
+    base = pd.DataFrame({"k": [1, 2, 3, 4],
+                         "v": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "v": ["b", "X", "d", "e"]})
+    for parts in (1, 4):
+        out = snapshot_diff(rd.from_pandas(base).repartition(parts),
+                            rd.from_pandas(new).repartition(parts),
+                            "k", "v")
+        got = sorted((r["k"], r["status"]) for r in out.take_all())
+        assert got == [(1, "removed"), (2, "same"), (3, "changed"),
+                       (4, "same"), (5, "added")], got
+
+
+def test_ewma_tail_weighted_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import ewma_tail_weighted
+
+    # user 1: 10 events valued 1..10 — only the last 8 count, newest
+    # (v=10) gets weight 2^7; user 2: 2 events — short-tail weights
+    # still anchor at 2^7 for the newest
+    df = pd.DataFrame({
+        "user_id": [1] * 10 + [2] * 2,
+        "ts": list(range(10)) + [0, 1],
+        "event_id": list(range(12)),
+        "value_e4": list(range(1, 11)) + [7, 9],
+    })
+    expect_u1 = sum(v * (1 << (7 - j))
+                    for j, v in enumerate([10, 9, 8, 7, 6, 5, 4, 3]))
+    expect_u2 = 9 * (1 << 7) + 7 * (1 << 6)
+    for parts in (1, 3):
+        out = ewma_tail_weighted(rd.from_pandas(df).repartition(parts),
+                                 window=8)
+        got = {r["user_id"]: (r["n_events"], r["ews"])
+               for r in out.take_all()}
+        assert got == {1: (10, expect_u1), 2: (2, expect_u2)}, got
