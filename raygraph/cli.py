@@ -88,6 +88,18 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .maintenance import compact_table
+
+    stats = compact_table(args.input, args.output,
+                          target_rows_per_file=args.target_rows,
+                          resume=args.resume)
+    print(json.dumps({"input": args.input, "output": args.output, **stats}))
+    ray.shutdown()
+    return 0
+
+
 def _load_registry():
     """Import the repo-root ``__ray_entry__`` registry (the driver
     contract doubles as the user-facing query catalog). Works both from
@@ -185,6 +197,16 @@ def main(argv=None) -> int:
     q.add_argument("--head", type=int, default=10)
     q.add_argument("--num-cpus", type=int)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "compact", help="rewrite a parquet table dir into target-sized "
+                        "files, hive-partition-by-partition, resumable")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--target-rows", type=int, default=1_000_000)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--num-cpus", type=int)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,124 @@
+"""Table maintenance: small-file compaction.
+
+The lakehouse pass a 100 TB deployment runs continuously: streaming
+writers (this repo's checkpointed phase-A output, Ray's per-block
+``write_parquet`` files, CDC appends) leave directories of many small
+files, and read throughput collapses when fragment count outruns row
+count — the exact failure the reference avoids by sizing its dump
+batches (`/root/reference/src/sharding.rs:64-308` fixed-size shard
+batches). Compaction rewrites a table directory into files of a target
+row count WITHOUT changing its rows.
+
+Scale discipline:
+
+* **Unit = hive partition.** A directory with ``key=value`` subdirs is
+  compacted one partition at a time — each unit is an independent,
+  bounded Ray pipeline (read → repartition → write), so the peak
+  footprint is one partition, not the table, and a multi-node run can
+  fan units out as jobs.
+* **Resumable.** Each finished unit commits a ``_compact/<unit>.json``
+  manifest (write-then-rename, same discipline as
+  :mod:`raygraph.checkpoint`); re-running with ``resume=True`` skips
+  committed units, so a crashed compaction of a 10⁵-partition table
+  restarts where it stopped.
+* **No shuffle.** ``repartition(n)`` here is a split/coalesce of
+  blocks, not an all-to-all — row order within the unit is not
+  promised (parquet readers must not rely on it), but row CONTENT is,
+  and the row count is verified before the manifest commits.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+
+_HIVE_RE = re.compile(r"^[^=/]+=[^=/]*$")
+
+
+def _units(input_path: str) -> list[str]:
+    """Hive-partition subdirs, or [''] for a flat directory."""
+    subs = sorted(
+        d for d in os.listdir(input_path)
+        if os.path.isdir(os.path.join(input_path, d)) and _HIVE_RE.match(d)
+    )
+    return subs or [""]
+
+
+def _manifest(output_path: str, unit: str) -> str:
+    name = (unit or "_flat").replace("/", "_") + ".json"
+    return os.path.join(output_path, "_compact", name)
+
+
+def compact_table(
+    input_path: str,
+    output_path: str,
+    target_rows_per_file: int = 1_000_000,
+    resume: bool = False,
+) -> dict:
+    """Compact a parquet table directory unit-by-unit (see module doc).
+
+    Returns ``{"units": n, "units_skipped": k, "rows": total,
+    "files_in": i, "files_out": o}``. Raises if a unit's output row
+    count does not match its input (the manifest never commits in that
+    case, so a re-run with ``resume=True`` redoes exactly that unit).
+    """
+    import ray.data
+
+    if not os.path.isdir(input_path):
+        raise FileNotFoundError(input_path)
+    units = _units(input_path)
+    os.makedirs(os.path.join(output_path, "_compact"), exist_ok=True)
+
+    stats = {"units": len(units), "units_skipped": 0, "rows": 0,
+             "files_in": 0, "files_out": 0}
+    for unit in units:
+        man = _manifest(output_path, unit)
+        if resume and os.path.exists(man):
+            with open(man) as fh:
+                m = json.load(fh)
+            stats["units_skipped"] += 1
+            stats["rows"] += m["rows"]
+            stats["files_in"] += m["files_in"]
+            stats["files_out"] += m["files_out"]
+            continue
+
+        src = os.path.join(input_path, unit) if unit else input_path
+        dst = os.path.join(output_path, unit) if unit else output_path
+        files_in = [f for f in glob.glob(os.path.join(src, "*.parquet"))]
+        if unit == "" and not files_in:
+            # flat dir may hold nested non-hive layout ray wrote
+            files_in = sorted(glob.glob(os.path.join(src, "**", "*.parquet"),
+                                        recursive=True))
+        if not files_in:
+            continue
+        ds = ray.data.read_parquet(files_in)
+        n_rows = ds.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        if unit:
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(dst, exist_ok=True)
+        else:
+            for f in glob.glob(os.path.join(dst, "*.parquet")):
+                os.remove(f)
+            os.makedirs(dst, exist_ok=True)
+        ds.repartition(n_files).write_parquet(dst)
+
+        files_out = glob.glob(os.path.join(dst, "*.parquet"))
+        got = ray.data.read_parquet(files_out).count()
+        if got != n_rows:
+            raise RuntimeError(
+                f"compaction row mismatch in unit {unit!r}: "
+                f"{n_rows} in, {got} out")
+        m = {"unit": unit, "rows": n_rows, "files_in": len(files_in),
+             "files_out": len(files_out)}
+        tmp = man + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, man)
+        stats["rows"] += n_rows
+        stats["files_in"] += len(files_in)
+        stats["files_out"] += len(files_out)
+    return stats

@@ -1,0 +1,86 @@
+"""Small-file compaction (raygraph/maintenance.py): row preservation,
+hive-unit independence, resume-skip, row-count verification gate."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_small_files(d, n_files=6, rows_per=40, offset=0):
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_files):
+        lo = offset + i * rows_per
+        pq.write_table(pa.table({
+            "k": pa.array(range(lo, lo + rows_per), pa.int64()),
+            "v": pa.array([f"r{j}" for j in range(lo, lo + rows_per)]),
+        }), os.path.join(d, f"f{i:03d}.parquet"))
+
+
+def _rows(d):
+    fs = sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                          recursive=True))
+    t = pa.concat_tables([pq.read_table(f) for f in fs])
+    return sorted(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
+
+
+def test_compact_flat_dir(ray_session, tmp_path):
+    from raygraph.maintenance import compact_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write_small_files(src, n_files=6, rows_per=40)
+    stats = compact_table(src, dst, target_rows_per_file=100)
+    assert stats["rows"] == 240 and stats["files_in"] == 6
+    assert stats["files_out"] <= 3  # 240 rows / 100-target
+    assert _rows(dst) == _rows(src)
+
+
+def test_compact_hive_units_and_resume(ray_session, tmp_path):
+    from raygraph.maintenance import compact_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write_small_files(os.path.join(src, "part=a"), 4, 25, offset=0)
+    _write_small_files(os.path.join(src, "part=b"), 4, 25, offset=1000)
+    stats = compact_table(src, dst, target_rows_per_file=200)
+    assert stats == {"units": 2, "units_skipped": 0, "rows": 200,
+                     "files_in": 8, "files_out": 2}
+    assert _rows(os.path.join(dst, "part=a")) == \
+        _rows(os.path.join(src, "part=a"))
+
+    # resume skips committed units entirely (manifest-driven)
+    os.remove(_one_manifest(dst, "part=b"))
+    stats2 = compact_table(src, dst, target_rows_per_file=200, resume=True)
+    assert stats2["units_skipped"] == 1 and stats2["rows"] == 200
+    assert _rows(dst) == _rows(src)
+
+
+def _one_manifest(dst, unit):
+    from raygraph.maintenance import _manifest
+    return _manifest(dst, unit)
+
+
+def test_compact_missing_input_raises(ray_session, tmp_path):
+    from raygraph.maintenance import compact_table
+
+    with pytest.raises(FileNotFoundError):
+        compact_table(str(tmp_path / "nope"), str(tmp_path / "out"))
+
+
+def test_compact_cli(ray_session, tmp_path, monkeypatch):
+    import ray
+
+    from raygraph.cli import main
+
+    # shared fixture — patch shutdown to a no-op for the in-process test
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write_small_files(src, 3, 50)
+    rc = main(["compact", "--input", src, "--output", dst,
+               "--target-rows", "150"])
+    assert rc == 0
+    man = json.load(open(os.path.join(dst, "_compact", "_flat.json")))
+    assert man["rows"] == 150
