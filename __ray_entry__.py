@@ -2848,6 +2848,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.rename(columns={"ews": "ews_e4"})
         return out.sort_values("user_id").reset_index(drop=True)
 
+    def events_coverage(sf_dir):
+        # union-of-intervals "active time" per user: each event opens a
+        # 5-minute interval; overlaps merge. One key-hash exchange +
+        # vectorized cummax islands — no sequential sweep
+        from raygraph.ops.events import interval_coverage
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            })
+
+        out = interval_coverage(ev.map_batches(prep,
+                                               batch_format="pyarrow"),
+                                300_000_000).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def docs_ngram_dup(sf_dir):
+        # cross-doc 8-gram duplication rate (Lee-et-al substring-dedup
+        # signal); the synthetic corpus has no duplicates, so an
+        # id-derived shared sentence is injected in BOTH the Ray
+        # pipeline and the SQL (memory: inject, don't hope)
+        from raygraph.ops.text import cross_doc_ngram_stats
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        SHARED = " the quick brown fox jumps over the lazy dog"
+
+        def inject(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids = batch.column("doc_id")
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+            text = pc.if_else(
+                pc.equal(mod, 0),
+                pc.binary_join_element_wise(batch.column("text"),
+                                            SHARED, ""),
+                batch.column("text"))
+            return pa.table({"doc_id": ids, "text": text})
+
+        out = cross_doc_ngram_stats(
+            docs.map_batches(inject, batch_format="pyarrow"),
+            n=8).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def docs_snapshot_diff(sf_dir):
         # keyed snapshot reconcile: derive the CDC between the corpus
         # and a deterministically perturbed re-ingest (doc_id%10==0
@@ -4384,6 +4432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_global_rownum": orders_global_rownum,
         "docs_normalize": docs_normalize,
         "docs_snapshot_diff": docs_snapshot_diff,
+        "docs_ngram_dup": docs_ngram_dup,
         "text_cms_counts": text_cms_counts,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
@@ -4462,6 +4511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events_funnel,
         "events_value_moments": events_value_moments,
         "events_ewma_tail": events_ewma_tail,
+        "events_coverage": events_coverage,
         "events_winsorized_mean": events_winsorized_mean,
         "events_retention": events_retention,
         "events_sequences": events_sequences,
@@ -5423,6 +5473,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT "column", n_rows, n_null, min_v, max_v, n_distinct
             FROM p ORDER BY "column"
         """,
+        "events_coverage": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS st,
+                     epoch_us(ts) + 300000000 AS en
+              FROM events),
+            w AS (
+              SELECT user_id, st,
+                     max(en) OVER (PARTITION BY user_id ORDER BY st
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cm,
+                     max(en) OVER (PARTITION BY user_id ORDER BY st
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pcm
+              FROM s)
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN pcm IS NULL OR st > pcm THEN 1
+                            ELSE 0 END)::BIGINT AS n_islands,
+                   sum(greatest(0, cm - greatest(coalesce(pcm, st), st))
+                       )::BIGINT AS covered_us
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
         "events_ewma_tail": """
             WITH r AS (
               SELECT user_id,
@@ -5525,6 +5597,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n, pmi_e6 FROM p
             ORDER BY pmi_e6 DESC, bigram
             LIMIT 20
+        """,
+        "docs_ngram_dup": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text ||
+                          ' the quick brown fox jumps over the lazy dog'
+                          ELSE text END AS text
+              FROM documents),
+            t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS a
+                  FROM d WHERE trim(text) <> ''),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(a[i:i+7], ' ') AS gram
+                  FROM t, LATERAL unnest(generate_series(1, len(a) - 7))
+                       AS s(i)),
+            c AS (SELECT gram, count(*)::BIGINT AS n_docs
+                  FROM g GROUP BY gram)
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_shared
+            FROM g JOIN c USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "docs_snapshot_diff": """
             WITH b AS (

@@ -746,3 +746,47 @@ def ewma_tail_weighted(ds, window: int = 8, key_col: str = "user_id",
         return out
 
     return hash_aggregate(ds, [key_col], fold, num_buckets=num_buckets)
+
+
+def interval_coverage(ds, length_us: int, key_col: str = "user_id",
+                      ts_col: str = "ts_us", num_buckets: int = 128):
+    """Per-key union length of overlapping fixed-length intervals
+    [ts, ts+length) — the "total active time" reduction (merge-overlaps
+    / gaps-and-islands) that a naive implementation does with a
+    sequential sweep. Parallel form: one key-hash exchange, then a
+    fully vectorized per-bucket pass — sort, per-key running cummax of
+    interval ends, and the identity
+
+        covered = Σ_i max(0, cummax_i − max(prev_cummax_i, start_i))
+
+    which charges each row exactly the new time it uncovers (0 when
+    fully inside an earlier interval, start-gap-clipped when it opens a
+    new island). Output per key: n_events, n_islands, covered_us — all
+    exact int64 µs.
+    """
+    from .relational import hash_aggregate
+
+    NEG = np.int64(-(1 << 62))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col])
+        start = df[ts_col].to_numpy().astype("int64")
+        end = start + np.int64(length_us)
+        g = df.assign(__end=end).groupby(key_col, sort=False)
+        cm = g["__end"].cummax().to_numpy()
+        prev = np.concatenate(([NEG], cm[:-1]))
+        first = g.cumcount().to_numpy() == 0
+        prev[first] = NEG
+        island = first | (start > prev)
+        contrib = np.maximum(
+            np.int64(0), cm - np.maximum(prev, start))
+        out = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                            "n_events": np.int64(1),
+                            "n_islands": island.astype("int64"),
+                            "covered_us": contrib})
+        out = out.groupby(key_col, as_index=False).sum()
+        for c in ("n_events", "n_islands", "covered_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return hash_aggregate(ds, [key_col], fold, num_buckets=num_buckets)

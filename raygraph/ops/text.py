@@ -1025,3 +1025,76 @@ def unigram_surprise_topk(ds, k: int = 20, text_col: str = "text",
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["ce_e6", id_col], descending=[True, False]).limit(k)
+
+
+def cross_doc_ngram_stats(ds, n: int = 8, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Cross-document n-gram duplication profile — the corpus-level
+    substring-duplication signal behind suffix-style training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"), at word-shingle granularity: for every document,
+    how many distinct word ``n``-grams it carries and how many of those
+    occur in ≥2 distinct documents corpus-wide.
+
+    Plan: one pass explodes each doc into distinct (doc, gram) pairs
+    with a batch-vectorized window build (flat token array + ``n``
+    shifted object-array concats — no per-token Python loop); the pair
+    set is pinned once and consumed twice: a gram-keyed combiner preagg
+    counts documents per gram, and a gram-hash shuffle join carries the
+    count back onto the pairs, where a doc-keyed combiner folds the two
+    indicators. At 100 TB the pin becomes a parquet spill of the pair
+    table (checkpoint idiom) — both consumers stream it from disk; the
+    exchanges are already gram-/doc-hash bucketed.
+    """
+    from .relational import (
+        coerce_schema,
+        compact_nonempty,
+        preagg_sum,
+        shuffle_join,
+    )
+
+    schema = pa.schema([(id_col, pa.int64()), ("gram", pa.string()),
+                        ("one", pa.int64())])
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df[text_col].astype(str).str.strip().str.split()
+        lens = toks.map(len).to_numpy()
+        total = int(lens.sum())
+        m = total - n + 1
+        if total == 0 or m <= 0:
+            return schema.empty_table()
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t])
+        dids = np.repeat(df[id_col].to_numpy().astype("int64"), lens)
+        valid = dids[:m] == dids[n - 1:]
+        gram = flat[:m].copy()
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[j:m + j]
+        out = pd.DataFrame({id_col: dids[:m][valid],
+                            "gram": gram[valid]}).drop_duplicates()
+        out["one"] = np.int64(1)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(schema)
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pyarrow").materialize()
+    counts = compact_nonempty(coerce_schema(
+        preagg_sum(pairs, ["gram"], {"n_docs": "one"}),
+        pa.schema([("gram", pa.string()), ("n_docs", pa.int64())]),
+    ).materialize())
+
+    joined = shuffle_join(pairs.select_columns([id_col, "gram"]),
+                          counts, on="gram")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(np.ones(batch.num_rows, dtype="int64")),
+            "n_shared": pa.array((nd >= 2).astype("int64")),
+        })
+
+    return preagg_sum(joined.map_batches(fold, batch_format="pyarrow"),
+                      [id_col], {"n_grams": "n_grams",
+                                 "n_shared": "n_shared"})

@@ -474,3 +474,44 @@ def test_ewma_tail_weighted_window(ray_session):
         got = {r["user_id"]: (r["n_events"], r["ews"])
                for r in out.take_all()}
         assert got == {1: (10, expect_u1), 2: (2, expect_u2)}, got
+
+
+def test_interval_coverage_islands(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import interval_coverage
+
+    # user 1: [0,10) ∪ [5,15) ∪ [7,17) merge to [0,17), then [30,40)
+    # opens a second island → covered 17+10=27
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts_us": [0, 5, 7, 30, 100],
+    })
+    for parts in (1, 3):
+        out = interval_coverage(rd.from_pandas(df).repartition(parts),
+                                length_us=10)
+        got = {r["user_id"]: (r["n_events"], r["n_islands"],
+                              r["covered_us"])
+               for r in out.take_all()}
+        assert got == {1: (4, 2, 27), 2: (1, 1, 10)}, got
+
+
+def test_cross_doc_ngram_stats_sharing(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import cross_doc_ngram_stats
+
+    # docs 1 and 2 share the 3-gram "b c d"; doc 3 is disjoint; doc 4
+    # too short for any 3-gram
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "b c d e", "x y z w", "p q"],
+    })
+    for parts in (1, 4):
+        out = cross_doc_ngram_stats(rd.from_pandas(df).repartition(parts),
+                                    n=3)
+        got = {r["doc_id"]: (r["n_grams"], r["n_shared"])
+               for r in out.take_all()}
+        assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}, got
