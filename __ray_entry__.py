@@ -3662,6 +3662,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           {"high_line_count": "high",
                            "low_line_count": "low"})
 
+    def supplier_gini(sf_dir):
+        # inequality coefficient over supplier revenue: exact-integer
+        # Gini via the sorted-rank identity, supplier-keyed combiner
+        # preagg then Python-int arithmetic on the supplier-sized
+        # aggregate (sums exceed int64 — the oracle uses HUGEINT)
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype("int64")
+            bp = np.round(df["l_discount"].to_numpy() * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "x": cents * (100 - bp),
+            }), preserve_index=False)
+
+        rev = preagg_sum(li.map_batches(partial, batch_format="pyarrow"),
+                         ["l_suppkey"], {"x": "x"}).to_pandas()
+        rev = rev.sort_values(["x", "l_suppkey"]).reset_index(drop=True)
+        n = len(rev)
+        xs = [int(v) for v in rev["x"]]
+        sx = sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        gini_bp = (10_000 * (2 * six - (n + 1) * sx)) // (n * sx)
+        return pd.DataFrame({
+            "n_suppliers": pd.Series([n], dtype="int64"),
+            "gini_bp": pd.Series([int(gini_bp)], dtype="int64"),
+        })
+
+    def docs_source_entropy(sf_dir):
+        # per-source language-mix entropy (nats, e6-floored per term —
+        # the proven exact-int→double-once ln idiom): one (source,lang)
+        # combiner preagg, entropy folded on the aggregate
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+
+        def ones(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n": pa.array(np.ones(batch.num_rows, dtype="int64")),
+            })
+
+        cnt = preagg_sum(docs.map_batches(ones, batch_format="pyarrow"),
+                         ["source", "lang"], {"n": "n"}).to_pandas()
+        tot = cnt.groupby("source")["n"].transform("sum").to_numpy()
+        nn = cnt["n"].to_numpy().astype("int64")
+        term = np.floor(
+            (1_000_000 * nn) * np.log(tot / nn) / tot).astype("int64")
+        out = cnt.assign(__t=term).groupby("source", as_index=False) \
+            .agg(n_langs=("lang", "size"), h_e6=("__t", "sum"))
+        out["n_langs"] = out["n_langs"].astype("int64")
+        out["h_e6"] = out["h_e6"].astype("int64")
+        return out.sort_values("source").reset_index(drop=True)
+
+    def orders_benford(sf_dir):
+        # Benford first-digit profile of order totals (data-quality
+        # screen): exact cents, vectorized string first-digit, one
+        # digit-keyed combiner preagg
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_totalprice"])
+
+        def digits(batch: pa.Table) -> pa.Table:
+            cents = np.round(batch.column("o_totalprice")
+                             .to_numpy(zero_copy_only=False) * 100) \
+                .astype("int64")
+            d = pd.Series(cents).astype(str).str[0].astype("int64")
+            g = pd.DataFrame({"digit": d}) \
+                .groupby("digit", as_index=False).size() \
+                .rename(columns={"size": "n"})
+            g["n"] = g["n"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = preagg_sum(orders.map_batches(digits,
+                                            batch_format="pyarrow"),
+                         ["digit"], {"n": "n"}).to_pandas()
+        return out.sort_values("digit").reset_index(drop=True)
+
     def supplier_pareto_top10(sf_dir):
         # concentration / Lorenz point: exact bp share of total revenue
         # captured by the top-10 suppliers — supplier-keyed combiner
@@ -4473,6 +4554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12_late_lines": tpch_q12_late_lines,
         "tpch_q15_top_supplier": tpch_q15_top_supplier,
         "supplier_pareto_top10": supplier_pareto_top10,
+        "supplier_gini": supplier_gini,
+        "docs_source_entropy": docs_source_entropy,
+        "orders_benford": orders_benford,
         "customer_order_gaps": customer_order_gaps,
         "tpch_q17_small_qty": tpch_q17_small_qty,
         "tpch_q20_promo_suppliers": tpch_q20_promo_suppliers,
@@ -6313,6 +6397,44 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY l_linestatus
+        """,
+        "supplier_gini": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     )::HUGEINT AS x
+              FROM lineitem GROUP BY l_suppkey),
+            r AS (
+              SELECT x,
+                     row_number() OVER (ORDER BY x, l_suppkey) AS i,
+                     count(*) OVER ()::HUGEINT AS n,
+                     sum(x) OVER ()::HUGEINT AS sx
+              FROM rev)
+            SELECT max(n)::BIGINT AS n_suppliers,
+                   ((10000 * (2 * sum(i * x) - (max(n) + 1) * max(sx)))
+                    // (max(n) * max(sx)))::BIGINT AS gini_bp
+            FROM r
+        """,
+        "docs_source_entropy": """
+            WITH c AS (
+              SELECT source, lang, count(*)::BIGINT AS n
+              FROM documents GROUP BY source, lang),
+            t AS (SELECT source, sum(n)::BIGINT AS tot FROM c
+                  GROUP BY source)
+            SELECT c.source,
+                   count(*)::BIGINT AS n_langs,
+                   sum(floor((1000000 * c.n) * ln(t.tot::DOUBLE / c.n)
+                             / t.tot))::BIGINT AS h_e6
+            FROM c JOIN t USING (source)
+            GROUP BY c.source ORDER BY c.source
+        """,
+        "orders_benford": """
+            SELECT CAST(substr(CAST(
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY digit ORDER BY digit
         """,
         "supplier_pareto_top10": """
             WITH rev AS (
