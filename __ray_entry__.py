@@ -2267,6 +2267,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return sessionize_incremental(ev, n_micro_batches=4, gap_sec=1800)
 
+    def events_tumbling_incremental(sf_dir):
+        # third streaming-fold instance — bounded state: windows close
+        # (and leave the state) as soon as the time-ordered micro-batch
+        # stream passes their end; the union of per-round closed
+        # emissions equals the batch groupby bit-for-bit
+        from raygraph.ops.stream import tumbling_counts_incremental
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts", "value"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts"),
+                "value_e4": pa.array(np.round(v * 10000).astype("int64")),
+            })
+
+        out = tumbling_counts_incremental(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            n_micro_batches=4, window_sec=3600).to_pandas()
+        return out.sort_values(["window_start", "event_type"]) \
+            .reset_index(drop=True)
+
     def events_resample_1h(sf_dir):
         # gap-fill resampling: hourly grid per user with the latest
         # value carried forward (LOCF) — per-bucket vectorized grid +
@@ -4584,6 +4608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions,
         "events_sessionize_full": events_sessionize_full,
         "events_sessionize_incremental": events_sessionize_incremental,
+        "events_tumbling_incremental": events_tumbling_incremental,
         "events_asof_join": events_asof_join,
         "events_hopping": events_hopping,
         "events_running_sum": events_running_sum,
@@ -7663,6 +7688,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, count(*)::BIGINT AS n_dims,
                    sum(code)::BIGINT AS q_sum
             FROM q GROUP BY vec_id
+        """,
+        "events_tumbling_incremental": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 10000, 0) AS BIGINT))::BIGINT
+                       AS sum_e4
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
         """,
     }
     # the streaming micro-batch fold is row-identical to the batch

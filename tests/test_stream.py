@@ -124,3 +124,64 @@ def test_distinct_count_incremental_resume(ray_session, tmp_path):
         rd.from_pandas(df), 4, state_dir=crash_dir,
         resume=True).to_pandas()
     assert norm(resumed) == norm(ref)
+
+
+def test_tumbling_incremental_equivalence_and_bounded_state(
+        ray_session, tmp_path):
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.stream import tumbling_counts_incremental
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": np.sort(rng.integers(0, 2 * 86_400 * 10**6, n))
+            .astype("datetime64[us]"),
+        "value_e4": rng.integers(-500, 500, n).astype("int64"),
+    })
+
+    # batch ground truth: plain pandas groupby
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ref = df.assign(window_start=(us // 3_600_000_000) * 3600) \
+        .groupby(["window_start", "event_type"], as_index=False) \
+        .agg(n=("value_e4", "size"), sum_e4=("value_e4", "sum"))
+
+    def norm(d):
+        return sorted(map(tuple,
+                          d[["window_start", "event_type", "n", "sum_e4"]]
+                          .astype({"window_start": "int64", "n": "int64",
+                                   "sum_e4": "int64"})
+                          .itertuples(index=False)))
+
+    full_dir = os.path.join(str(tmp_path), "full")
+    inc = tumbling_counts_incremental(rd.from_pandas(df), 4,
+                                      window_sec=3600,
+                                      state_dir=full_dir).to_pandas()
+    assert norm(inc) == norm(ref)
+
+    # bounded state: every checkpointed round keeps at most the
+    # boundary-straddling window per type (<= #types open rows)
+    import pyarrow.parquet as pq
+
+    for i in range(3):  # last round keeps residual state by design
+        sd = os.path.join(full_dir, f"round={i}", "state")
+        files = [os.path.join(sd, f) for f in os.listdir(sd)
+                 if f.endswith(".parquet")] if os.path.isdir(sd) else []
+        open_rows = sum(pq.read_table(f).num_rows for f in files)
+        assert open_rows <= 3, (i, open_rows)
+
+    # crash after round 1 → resume is byte-identical
+    crash_dir = os.path.join(str(tmp_path), "crash")
+    os.makedirs(crash_dir)
+    for i in (0, 1):
+        shutil.copytree(os.path.join(full_dir, f"round={i}"),
+                        os.path.join(crash_dir, f"round={i}"))
+    resumed = tumbling_counts_incremental(rd.from_pandas(df), 4,
+                                          window_sec=3600,
+                                          state_dir=crash_dir,
+                                          resume=True).to_pandas()
+    assert norm(resumed) == norm(ref)
