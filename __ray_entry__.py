@@ -217,6 +217,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return triangle_count(ed)
 
+    def kg_squares(sf_dir):
+        # exact 4-cycle count: common-neighbor pair counts (shared
+        # wedge plan with linkpred) -> per-batch partial sum of C(w,2)
+        # -> tree-summed scalar / 2; only one row reaches the driver
+        from raygraph.ops.graph import four_cycles
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return four_cycles(ed)
+
     def kg_bfs(sf_dir):
         # directed BFS hop distance from the max-out-degree vertex
         # (ties → smallest id; 3 synchronous rounds, exact within 3
@@ -4402,6 +4412,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "event_type"])
         return grouped_mode(ev, ["user_id"], "event_type", counts="n")
 
+    def events_cusum(sf_dir):
+        # CUSUM change-point per event type over hourly counts: exact
+        # integer D_t = T*cumsum - t*S via combiner preagg + one
+        # hash-bucketed vectorized scan (stream shrinks to keys x hours)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+        return E.cusum_changepoint(ev)
+
+    def docs_ttr(sf_dir):
+        # lexical diversity per source: type-token + hapax ratios in
+        # exact basis points; two combiner preaggs (vocab-bounded, then
+        # slice-bounded) — the corpus never leaves the cluster
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["source", "text"])
+        return T.ttr_by_source(ds)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -4589,6 +4615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_percent_rank": orders_percent_rank,
         "kg_edge_support": kg_edge_support,
         "kg_truss3": kg_truss3,
+        "kg_squares": kg_squares,
+        "events_cusum": events_cusum,
+        "docs_ttr": docs_ttr,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -6689,6 +6718,74 @@ def oracle_sql() -> dict[str, str]:
             e2 AS (SELECT e1.u, e1.v FROM e1
                    JOIN s2 ON s2.u = e1.u AND s2.v = e1.v WHERE sup >= 1)
             SELECT u, v FROM e2
+        """,
+        "kg_squares": f"""
+            WITH edges AS ({kg_edges_sql}),
+            und AS (SELECT DISTINCT least(_from, _to) AS u,
+                           greatest(_from, _to) AS v
+                    FROM edges WHERE _from <> _to),
+            arcs AS (SELECT u AS h, v AS x FROM und
+                     UNION ALL SELECT v, u FROM und),
+            pairs AS (
+              SELECT a.x AS u, b.x AS v, count(*)::BIGINT AS cn
+              FROM arcs a JOIN arcs b ON b.h = a.h AND b.x > a.x
+              GROUP BY a.x, b.x
+            )
+            SELECT (COALESCE(sum(cn * (cn - 1) // 2), 0)::BIGINT // 2)
+                       ::BIGINT AS n_squares
+            FROM pairs
+        """,
+        "events_cusum": """
+            WITH h AS (
+              SELECT event_type,
+                     (epoch_us(ts) // (3600::BIGINT * 1000000)) * 3600
+                         AS cusum_hour,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY event_type, cusum_hour
+            ),
+            c AS (
+              SELECT event_type, cusum_hour,
+                     sum(n) OVER (PARTITION BY event_type
+                                  ORDER BY cusum_hour) AS cum,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cusum_hour) AS t,
+                     sum(n) OVER (PARTITION BY event_type) AS s,
+                     count(*) OVER (PARTITION BY event_type) AS tt
+              FROM h
+            ),
+            d AS (
+              SELECT event_type, cusum_hour,
+                     abs(tt * cum - t * s)::BIGINT AS dstat,
+                     row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY abs(tt * cum - t * s) DESC,
+                                  cusum_hour ASC) AS rn
+              FROM c
+            )
+            SELECT event_type, cusum_hour, dstat FROM d WHERE rn = 1
+        """,
+        "docs_ttr": """
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')
+                     END AS toks
+              FROM documents
+            ),
+            u AS (SELECT source, unnest(toks) AS token FROM t),
+            c AS (SELECT source, token, count(*)::BIGINT AS n
+                  FROM u GROUP BY source, token)
+            SELECT source,
+                   sum(n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hapax,
+                   ((10000 * count(*))::BIGINT // sum(n)::BIGINT)::BIGINT
+                       AS ttr_bp,
+                   ((10000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+                        ::BIGINT // count(*)::BIGINT)::BIGINT AS hapax_bp
+            FROM c GROUP BY source
         """,
         "kg_edge_jaccard": f"""
             WITH edges AS ({kg_edges_sql}),

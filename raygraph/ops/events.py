@@ -659,6 +659,62 @@ def dod_growth(
                           num_buckets=num_buckets)
 
 
+def cusum_changepoint(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    num_buckets: int = 64,
+):
+    """Change-point detection per key over the bucketed event-count
+    series: the bucket where the centered cumulative sum deviates most
+    from the uniform-rate line (classic CUSUM changepoint estimator),
+    in exact integers.
+
+    For the per-key series x_1..x_T (counts per ``bucket_s`` bucket,
+    only buckets with events, ordered by time) with total S, the
+    deviation at step t is D_t = T·cumsum_t − t·S — the centered CUSUM
+    scaled by T so it stays integral. Output per key: ``cusum_hour``
+    (the bucket start, epoch seconds, of max |D_t|; ties → earliest)
+    and ``dstat`` = max |D_t|.
+
+    Scale shape mirrors :func:`dod_growth`: a combiner preagg shrinks
+    the stream to (key, bucket) counts — bounded by keys × time
+    buckets, not events — then one hash-bucketed vectorized pass
+    (sort + grouped cumsum) per key bucket computes the scan; no
+    per-key Python calls."""
+    from .relational import compact_nonempty, hash_aggregate, preagg_sum
+
+    def bucket_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hour = (df[ts_col].astype("datetime64[ns]").astype("int64")
+                // (bucket_s * 10**9)) * bucket_s
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col], "cusum_hour": hour}),
+            preserve_index=False)
+
+    counts = preagg_sum(ds.map_batches(bucket_part, batch_format="pyarrow"),
+                        [key_col, "cusum_hour"], {}, counts="n")
+    counts = compact_nonempty(counts.materialize())
+
+    def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "cusum_hour"], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        cum = g["n"].cumsum()
+        total = g["n"].transform("sum")
+        size = g["n"].transform("size")
+        t = g.cumcount() + 1
+        df = df.assign(dstat=(size * cum - t * total).abs())
+        df = df.sort_values([key_col, "dstat", "cusum_hour"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df.groupby(key_col, sort=False).head(1)
+        return top[[key_col, "cusum_hour", "dstat"]]
+
+    return hash_aggregate(counts, [key_col], bucket_scan,
+                          num_buckets=num_buckets)
+
+
 def rolling_distinct_users(
     ds,
     window_hours: int = 24,

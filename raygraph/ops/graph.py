@@ -516,30 +516,16 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
     return closed, deg, nparts
 
 
-def common_neighbors_topk(edges, k: int = 20, hub_cap: int | None = None,
-                          src: str = "_from", dst: str = "_to"):
-    """Link prediction by common-neighbor count: the top-``k``
-    NON-adjacent unordered vertex pairs of the undirected simple graph,
-    ranked by how many neighbors they share (ties → lexicographic pair).
-
-    Reference analog: none — this is an LLM-data / graph-curation
-    extension over the exported edge table (the reference stops at the
-    export callbacks, src/graph_loader.rs:379-383).
-
-    Plan: the canonical undirected edge set fans out to BOTH-direction
-    arcs (apex → neighbor); a hash-shuffle self-join on the apex
-    enumerates each wedge exactly once (x < x2), a combiner preagg
-    counts witnesses per pair, existing edges leave via a left_anti
-    hash join, and only ``k`` rows survive the distributed sort.
-
-    Unlike the triangle plan, the apex must see ALL its neighbors (a
-    degree-ordered orientation would drop wedges whose apex out-ranks
-    an endpoint), so the exchange volume is the true wedge count
-    Σ d(d−1)/2 — inherent to exact common-neighbor counting. The scale
-    knob for skewed graphs is ``hub_cap``: apexes with degree above it
-    are excluded from witnessing (deterministic, replayable in the SQL
-    oracle by the same degree filter); ``None`` = exact.
-    """
+def _wedge_pair_counts(edges, src: str = "_from", dst: str = "_to",
+                       hub_cap: int | None = None):
+    """Common-neighbor witness counts per unordered endpoint pair of the
+    undirected simple graph: (counts{u, v, cn}, und, nparts). One
+    definition shared by :func:`common_neighbors_topk` (link prediction)
+    and :func:`four_cycles` (square motifs) — the apex fans out to BOTH
+    directions, a hash-shuffle self-join on the apex enumerates each
+    wedge once (x < x2), and a combiner preagg counts witnesses.
+    ``hub_cap`` excludes apexes above that degree from witnessing
+    (deterministic skew guard, replayable in SQL)."""
     from .relational import preagg_sum, shuffle_join
 
     und, deg, nparts = _und_graph(edges, src, dst)
@@ -588,6 +574,81 @@ def common_neighbors_topk(edges, k: int = 20, hub_cap: int | None = None,
         ["u", "v"], {}, counts="cn")
     counts = _repaired(counts, pa.schema([
         ("u", pa.string()), ("v", pa.string()), ("cn", pa.int64())]))
+    return counts, und, nparts
+
+
+def four_cycles(edges, src: str = "_from", dst: str = "_to",
+                out: str = "n_squares"):
+    """Exact 4-cycle (square) count of the undirected simple graph, as a
+    single-row Dataset.
+
+    Reference analog: none — graph-curation extension over the exported
+    edge table (the reference stops at the export callbacks,
+    src/graph_loader.rs:379-383); squares complement the triangle/truss
+    family as the even-motif density signal.
+
+    Every 4-cycle x–a–y–b–x is witnessed once by each of its two
+    opposite-vertex pairs ({x,y} and {a,b}) as an unordered pair of
+    common neighbors, so n_C4 = Σ_pairs C(w, 2) / 2 over the
+    common-neighbor counts w of :func:`_wedge_pair_counts`. Per-batch
+    partial Σ C(w,2) (vectorized), tree-summed; only the final scalar
+    reaches the driver. A wedge-free graph short-circuits (an all-empty
+    join side would lose its schema)."""
+    from .relational import tree_aggregate
+
+    counts, und, _ = _wedge_pair_counts(edges, src, dst)
+    # a wedge-free graph (e.g. isolated edges) leaves ``counts`` as
+    # all-empty blocks with no schema — short-circuit to the zero row
+    if und.count() == 0 or counts.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({out: pa.array([0], pa.int64())}))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cn = batch.column("cn").to_numpy(zero_copy_only=False)
+        s = int((cn * (cn - 1) // 2).sum())
+        return pa.table({out: pa.array([s], pa.int64())})
+
+    halves = tree_aggregate(
+        counts.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+        lambda df: pd.DataFrame({out: [int(df[out].sum())]}),
+        precombined=True,
+    )
+    return halves.map_batches(
+        lambda b: pa.table({out: pa.array(
+            [int(b.column(out)[0].as_py()) // 2], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def common_neighbors_topk(edges, k: int = 20, hub_cap: int | None = None,
+                          src: str = "_from", dst: str = "_to"):
+    """Link prediction by common-neighbor count: the top-``k``
+    NON-adjacent unordered vertex pairs of the undirected simple graph,
+    ranked by how many neighbors they share (ties → lexicographic pair).
+
+    Reference analog: none — this is an LLM-data / graph-curation
+    extension over the exported edge table (the reference stops at the
+    export callbacks, src/graph_loader.rs:379-383).
+
+    Plan: the canonical undirected edge set fans out to BOTH-direction
+    arcs (apex → neighbor); a hash-shuffle self-join on the apex
+    enumerates each wedge exactly once (x < x2), a combiner preagg
+    counts witnesses per pair, existing edges leave via a left_anti
+    hash join, and only ``k`` rows survive the distributed sort.
+
+    Unlike the triangle plan, the apex must see ALL its neighbors (a
+    degree-ordered orientation would drop wedges whose apex out-ranks
+    an endpoint), so the exchange volume is the true wedge count
+    Σ d(d−1)/2 — inherent to exact common-neighbor counting. The scale
+    knob for skewed graphs is ``hub_cap``: apexes with degree above it
+    are excluded from witnessing (deterministic, replayable in the SQL
+    oracle by the same degree filter); ``None`` = exact.
+    """
+    from .relational import shuffle_join
+
+    counts, und, nparts = _wedge_pair_counts(edges, src, dst,
+                                             hub_cap=hub_cap)
 
     non_adjacent = shuffle_join(counts, und, on=("u", "v"),
                                 right_on=("u", "v"), how="left_anti",

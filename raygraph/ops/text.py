@@ -652,6 +652,62 @@ def top_bigrams(ds, k: int = 20, text_col: str = "text"):
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def ttr_by_source(ds, group_col: str = "source", text_col: str = "text",
+                  num_buckets: int = 32):
+    """Lexical-diversity profile per corpus slice: token count, type
+    (distinct-token) count, hapax-legomena count, and the two classic
+    ratios — type/token and hapax/type — as floor-at-bp integers
+    (``ttr_bp``, ``hapax_bp``; all quantities non-negative so floor ==
+    DuckDB ``//``). The standard corpus-quality signal for spotting
+    templated / machine-generated slices (low TTR) vs noisy ones (high
+    hapax share).
+
+    Plan: per-batch token explode + partial (group, token) counts → one
+    combiner groupby bounded by slices × vocab, then a second partial
+    agg per group (each (group, token) row is globally unique after the
+    first groupby, so per-batch partials of count / sum / count-where-
+    n==1 are exact) — the final groupby is #slices-sized. No per-row
+    Python anywhere."""
+    from .relational import preagg_sum
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df[text_col].fillna("").str.strip().str.lower().str.split()
+        ex = pd.DataFrame({group_col: df[group_col],
+                           "token": toks}).explode("token").dropna()
+        g = (ex.groupby([group_col, "token"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_token = preagg_sum(
+        ds.map_batches(token_counts, batch_format="pyarrow"),
+        [group_col, "token"], {"n": "n"})
+
+    def group_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hapax"] = (df["n"] == 1).astype("int64")
+        g = df.groupby(group_col, sort=False).agg(
+            n_tokens=("n", "sum"),
+            n_types=("n", "size"),
+            n_hapax=("hapax", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = preagg_sum(
+        per_token.map_batches(group_partial, batch_format="pyarrow"),
+        [group_col],
+        {"n_tokens": "n_tokens", "n_types": "n_types",
+         "n_hapax": "n_hapax"})
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["ttr_bp"] = (10_000 * df["n_types"]) // df["n_tokens"]
+        df["hapax_bp"] = (10_000 * df["n_hapax"]) // df["n_types"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return totals.map_batches(ratios, batch_format="pyarrow")
+
+
 def bpe_merge_pairs(ds, k: int = 10, text_col: str = "text"):
     """One BPE-training merge round: the top-k adjacent CHARACTER pairs
     inside whitespace tokens, weighted by corpus token frequency — the

@@ -346,3 +346,49 @@ def test_rolling_distinct_users_window(ray_session):
     h0 = int(base.value // (3600 * 10**9))
     assert list(zip(got["window_hour"] - h0, got["n_users"])) == [
         (0, 2), (1, 2), (30, 1)]
+
+
+def test_cusum_changepoint_matches_formula():
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.events import cusum_changepoint
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # type A: rate 1/hour for 6 hours then 5/hour for 4 hours (shift at
+    # hour 6); type B: constant 2/hour for 5 hours (D peaks early, tie
+    # rules apply)
+    rows = []
+    for h in range(6):
+        rows.append(("A", t0 + dt.timedelta(hours=h)))
+    for h in range(6, 10):
+        for k in range(5):
+            rows.append(("A", t0 + dt.timedelta(hours=h, minutes=k)))
+    for h in range(5):
+        for k in range(2):
+            rows.append(("B", t0 + dt.timedelta(hours=h, minutes=k)))
+    ev = rd.from_arrow(pa.table({
+        "event_type": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }))
+    got = {r["event_type"]: (r["cusum_hour"], r["dstat"])
+           for r in cusum_changepoint(ev).take_all()}
+
+    base = int(dt.datetime(2024, 1, 1)
+               .replace(tzinfo=dt.timezone.utc).timestamp())
+
+    def expect(counts):
+        x = np.array([c for _, c in counts], dtype="int64")
+        hours = [h for h, _ in counts]
+        T, S = len(x), x.sum()
+        d = np.abs(T * np.cumsum(x) - np.arange(1, T + 1) * S)
+        i = int(np.argmax(d))  # argmax takes the first (earliest) max
+        return hours[i], int(d[i])
+
+    a_counts = [(base + 3600 * h, 1) for h in range(6)] + \
+               [(base + 3600 * h, 5) for h in range(6, 10)]
+    b_counts = [(base + 3600 * h, 2) for h in range(5)]
+    assert got["A"] == expect(a_counts)
+    assert got["B"] == expect(b_counts)
+    # the shift-at-6 series must flag the last pre-shift bucket
+    assert got["A"][0] == base + 3600 * 5

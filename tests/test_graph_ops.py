@@ -683,3 +683,27 @@ def test_hash_greedy_walks_follow_successor(ray_session):
         w1 = nxt[v]; w2 = nxt[w1]; w3 = nxt[w2]
         row = out.loc[v]
         assert (row["w1"], row["w2"], row["w3"]) == (w1, w2, w3)
+
+
+def test_four_cycles_known_graphs(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import four_cycles
+
+    def count(pairs):
+        ed = rd.from_arrow(pa.table({
+            "_from": [p[0] for p in pairs],
+            "pred": ["p"] * len(pairs),
+            "_to": [p[1] for p in pairs],
+        }))
+        return int(four_cycles(ed).to_pandas()["n_squares"].iloc[0])
+
+    # triangle + pendants (the shared fixture graph): no 4-cycles
+    assert count(sorted(PAIRS)) == 0
+    # a plain 4-cycle
+    assert count([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]) == 1
+    # K_{2,3}: C(2,2) * C(3,2) = 3 squares; direction/duplicates ignored
+    k23 = [(u, v) for u in ("u1", "u2") for v in ("v1", "v2", "v3")]
+    assert count(k23 + [("v1", "u1")]) == 3
+    # wedge-free graph exercises the empty short-circuit
+    assert count([("a", "b")]) == 0

@@ -314,3 +314,38 @@ def test_readability_counts(ray_session):
     assert out.loc[0, "spw_e4"] == 12000
     assert (out.loc[1, ["n_words", "n_sents", "wps_e4", "spw_e4"]]
             == 0).all()
+
+
+def test_ttr_by_source_matches_naive(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from raygraph.ops.text import ttr_by_source
+
+    docs = [
+        ("s1", "the cat sat on the mat"),
+        ("s1", "the dog sat"),
+        ("s2", "unique words only here"),
+        ("s2", ""),
+        ("s2", "  WORDS Words  "),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "source": [d[0] for d in docs],
+        "text": [d[1] for d in docs],
+    }))
+    got = ttr_by_source(ds).to_pandas().set_index("source")
+
+    by_src = collections.defaultdict(list)
+    for s, t in docs:
+        by_src[s].extend(t.strip().lower().split())
+    for s, toks in by_src.items():
+        c = collections.Counter(toks)
+        n_tokens, n_types = len(toks), len(c)
+        n_hapax = sum(1 for v in c.values() if v == 1)
+        row = got.loc[s]
+        assert row["n_tokens"] == n_tokens
+        assert row["n_types"] == n_types
+        assert row["n_hapax"] == n_hapax
+        assert row["ttr_bp"] == 10_000 * n_types // n_tokens
+        assert row["hapax_bp"] == 10_000 * n_hapax // n_types
