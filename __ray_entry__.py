@@ -617,6 +617,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scanned.map_batches(finish, batch_format="pyarrow")
 
+    def corpus_caption_pairs(sf_dir):
+        # media<->text alignment: every media span paired with its
+        # caption and the latest preceding text span in the doc — the
+        # (image, caption, context) harvesting stage; oracle rebuilds
+        # all three strings from the corpus formula
+        from raygraph.io import read_documents
+        from raygraph.ops.spans import caption_context
+
+        return read_documents(_corpus_dir(sf_dir)).map_batches(
+            caption_context, batch_format="pyarrow")
+
     def corpus_render_interleaved(sf_dir):
         # interleaved SEQUENCE BUILDING: each multimodal doc becomes one
         # training string (text spans verbatim, media spans as
@@ -4428,6 +4439,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["source", "text"])
         return T.ttr_by_source(ds)
 
+    def events_autocorr(sf_dir):
+        # lag-1 autocorrelation of hourly counts per type: exact-moment
+        # Pearson over consecutive present buckets (integer sums, one
+        # double conversion, lineitem_corr discipline)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+        return E.autocorr_lag1(ev)
+
+    def embedding_pair_hist(sf_dir):
+        # embedding-space anisotropy histogram: block-sampled pairwise
+        # cosines (id % 8 blocks) binned to floor(10*cos); per-block
+        # matmul in one bucket task, only 21 bin rows cross the wire
+        from raygraph.ops.ann import pair_cosine_hist
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return pair_cosine_hist(emb)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -4618,6 +4647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_squares": kg_squares,
         "events_cusum": events_cusum,
         "docs_ttr": docs_ttr,
+        "corpus_caption_pairs": corpus_caption_pairs,
+        "events_autocorr": events_autocorr,
+        "embedding_pair_hist": embedding_pair_hist,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -5086,6 +5118,55 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """
     out = {
+        "corpus_caption_pairs": kg_base + f"""
+            SELECT 'doc/' || i AS doc_id,
+                   'media/edge-' || i || '.png' AS media_ref,
+                   'caption: ' || {surf('i + 1', 'a')} || ' links '
+                       || {surf('i + 2', 'b')} AS caption,
+                   {surf('i', 'a')} || ' is connected to '
+                       || {surf('i + 3', 'b')} || '.' AS context
+            FROM e
+        """,
+        "events_autocorr": """
+            WITH h AS (
+              SELECT event_type,
+                     (epoch_us(ts) // (3600::BIGINT * 1000000)) * 3600
+                         AS hour,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY event_type, hour
+            ),
+            p AS (
+              SELECT event_type, n AS x,
+                     lead(n) OVER (PARTITION BY event_type
+                                   ORDER BY hour) AS y
+              FROM h
+            ),
+            q AS (SELECT event_type, x::HUGEINT AS x, y::HUGEINT AS y
+                  FROM p WHERE y IS NOT NULL),
+            m AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                     sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM q GROUP BY event_type
+            )
+            SELECT event_type, n::BIGINT AS n_pairs,
+                   floor((10000 * (n * sxy - sx * sy))::DOUBLE
+                         / sqrt((n * sxx - sx * sx)::DOUBLE
+                                * (n * syy - sy * sy)::DOUBLE))::BIGINT
+                       AS corr_bp
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "embedding_pair_hist": """
+            WITH pr AS (
+              SELECT floor(round(list_cosine_similarity(
+                         a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                         4) * 10)::BIGINT AS bin
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id % 8 = b.vec_id % 8 AND b.vec_id > a.vec_id
+            )
+            SELECT bin, count(*)::BIGINT AS n FROM pr GROUP BY bin
+        """,
         "corpus_render_interleaved": render_sql,
         "corpus_pack_interleaved": kg_base + f"""
             , costs AS (

@@ -337,6 +337,54 @@ def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         nn_batch, batch_format="pyarrow")
 
 
+def pair_cosine_hist(ds, n_groups: int = 8, vec_col: str = "embedding",
+                     id_col: str = "vec_id", round_dp: int = 4,
+                     num_buckets: int = 32):
+    """Embedding-space health histogram: pairwise cosine similarities of
+    id-blocked vector pairs, bucketed into the 21 bins floor(10·cos) ∈
+    [-10, 10] (cos rounded to ``round_dp`` first — the engine-stable
+    contract shared with :func:`knn_self_join`). The standard diagnostic
+    for anisotropy / embedding collapse (mass near bin 9-10 = degenerate
+    space) without materializing any pair list.
+
+    All-pairs is quadratic, so pairs are deterministically BLOCK-SAMPLED:
+    only pairs whose ids share ``id % n_groups`` are scored — every
+    vector participates, expected coverage 1/n_groups of all pairs, and
+    the SQL oracle replays the exact same block rule. Each block's
+    pairwise matmul runs inside one hash-bucket task (O((n/n_groups)²)
+    per block is the documented scale knob: raise ``n_groups`` as n²
+    grows); only bin counts cross the wire afterwards."""
+    from .relational import hash_aggregate, preagg_sum
+    from .vecops import vectors_to_numpy
+
+    def add_group(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        g = pa.array(ids % n_groups, pa.int64())
+        return batch.select([id_col, vec_col]).append_column("g", g)
+
+    def block_hist(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, part in df.groupby("g", sort=False):
+            m = _normalize(np.stack(part[vec_col].to_numpy()).astype(
+                np.float64))
+            if len(m) < 2:
+                continue
+            c = np.round(m @ m.T, round_dp)
+            iu = np.triu_indices(len(m), k=1)
+            bins = np.floor(c[iu] * 10).astype("int64")
+            outs.append(pd.Series(bins).value_counts().rename_axis(
+                "bin").reset_index(name="n"))
+        if not outs:
+            return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = hash_aggregate(ds.map_batches(add_group,
+                                             batch_format="pyarrow"),
+                              ["g"], block_hist, num_buckets=num_buckets)
+    return preagg_sum(partials, ["bin"], {"n": "n"})
+
+
 def quantize_embeddings(ds, vec_col: str = "embedding",
                         id_col: str = "vec_id"):
     """Scalar (int8-style) quantization of an embedding column — the

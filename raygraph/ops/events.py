@@ -715,6 +715,68 @@ def cusum_changepoint(
                           num_buckets=num_buckets)
 
 
+def autocorr_lag1(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    num_buckets: int = 64,
+):
+    """Lag-1 autocorrelation of the per-key bucketed count series —
+    the burstiness / periodicity signal of an event stream. Pairs are
+    consecutive PRESENT buckets (ordered by time), Pearson r over
+    (x_t, x_{t+1}) in floor-at-bp integers with the exact-moment
+    discipline of ``lineitem_corr``: integer moment sums (counts are
+    integers, so sums are exact), ONE conversion to double, same
+    literal op order as the SQL (num::DOUBLE / sqrt(a::DOUBLE *
+    b::DOUBLE)). Keys whose series is constant (zero variance on
+    either side) are dropped, mirroring the oracle's WHERE guard.
+
+    Scale shape = :func:`cusum_changepoint`: combiner preagg to (key,
+    bucket) counts, one hash-bucketed vectorized pass; the key-level
+    finalize runs per distinct key (bounded by #keys, not rows) in
+    exact Python ints — the HUGEINT analog."""
+    import math
+
+    from .relational import compact_nonempty, hash_aggregate, preagg_sum
+
+    def bucket_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hour = (df[ts_col].astype("datetime64[ns]").astype("int64")
+                // (bucket_s * 10**9)) * bucket_s
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col], "hour": hour}), preserve_index=False)
+
+    counts = preagg_sum(ds.map_batches(bucket_part, batch_format="pyarrow"),
+                        [key_col, "hour"], {}, counts="n")
+    counts = compact_nonempty(counts.materialize())
+
+    def bucket_corr(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "hour"], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        df = df.assign(y=g["n"].shift(-1))
+        df = df.loc[df["y"].notna()]
+        rows = []
+        for key, part in df.groupby(key_col, sort=False):
+            x = [int(v) for v in part["n"]]
+            y = [int(v) for v in part["y"]]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            r_bp = math.floor(float(10_000 * (n * sxy - sx * sy))
+                              / math.sqrt(float(vx) * float(vy)))
+            rows.append((key, n, r_bp))
+        return pd.DataFrame(rows, columns=[key_col, "n_pairs", "corr_bp"])
+
+    return hash_aggregate(counts, [key_col], bucket_corr,
+                          num_buckets=num_buckets)
+
+
 def rolling_distinct_users(
     ds,
     window_hours: int = 24,

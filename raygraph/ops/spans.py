@@ -185,3 +185,39 @@ def interleaved_costs(batch: pa.Table,
         "i": i,
         "cost": pa.array(cost, pa.int64()),
     })
+
+
+def caption_context(batch: pa.Table) -> pa.Table:
+    """Media↔text alignment over the interleaved spans column: for every
+    media span, its caption plus the text of the LATEST preceding text
+    span in the same document (span order = the list order, which the
+    validator pins to strictly increasing offsets) — the
+    context-harvesting step that turns an interleaved corpus into
+    (image, caption, surrounding-text) training pairs.
+
+    Vectorized: one struct flatten, a doc-index repeat off the list
+    offsets, and a grouped forward-fill of text-span texts; media spans
+    with no preceding text span keep a null context."""
+    import pandas as pd
+
+    spans = batch.column("spans").combine_chunks()
+    flat = spans.flatten()
+    n_per = pc.list_value_length(spans).to_numpy(zero_copy_only=False) \
+        .astype("int64")
+    doc_idx = np.repeat(np.arange(len(n_per)), n_per)
+    kind = flat.field("kind").to_numpy(zero_copy_only=False)
+    text = flat.field("text").to_numpy(zero_copy_only=False)
+    ref = flat.field("media_ref").to_numpy(zero_copy_only=False)
+
+    is_text = kind == "text"
+    ctx = pd.Series(np.where(is_text, text, None), dtype=object) \
+        .groupby(doc_idx).ffill()
+    is_media = kind == "media"
+    docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(docs[doc_idx[is_media]], pa.string()),
+        "media_ref": pa.array(ref[is_media], pa.string()),
+        "caption": pa.array(text[is_media], pa.string()),
+        "context": pa.array(ctx.to_numpy()[is_media], pa.string(),
+                            from_pandas=True),
+    })

@@ -206,3 +206,35 @@ def test_ivf_persisted_index_prunes_and_matches(ray_session, tmp_path):
     part = ivf_query(idx, q, k=10, nprobe=2, dtype=np.float64, round_dp=4)
     assert len(part) == 10
     assert part["vec_id"].iloc[0] == exact["vec_id"].iloc[0]  # own cell
+
+
+def test_pair_cosine_hist_matches_naive(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.ann import pair_cosine_hist
+
+    rng = np.random.RandomState(7)
+    n, d, groups = 40, 8, 4
+    vecs = rng.randn(n, d)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    }))
+    got = pair_cosine_hist(ds, n_groups=groups).to_pandas()
+    got = dict(zip(got["bin"].astype(int), got["n"].astype(int)))
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    exp: dict[int, int] = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if i % groups != j % groups:
+                continue
+            b = int(np.floor(np.round(norm[i] @ norm[j], 4) * 10))
+            exp[b] = exp.get(b, 0) + 1
+    assert got == exp
+    # block sampling covers exactly the same-group pairs
+    assert sum(got.values()) == sum(
+        1 for i in range(n) for j in range(i + 1, n)
+        if i % groups == j % groups)

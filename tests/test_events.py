@@ -392,3 +392,48 @@ def test_cusum_changepoint_matches_formula():
     assert got["B"] == expect(b_counts)
     # the shift-at-6 series must flag the last pre-shift bucket
     assert got["A"][0] == base + 3600 * 5
+
+
+def test_autocorr_lag1_matches_formula():
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.events import autocorr_lag1
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type A: counts 1,2,3,4,5 per hour (strong positive autocorr)
+    for h in range(5):
+        for k in range(h + 1):
+            rows.append(("A", t0 + dt.timedelta(hours=h, minutes=k)))
+    # type B: alternating 1,3,1,3,1 (negative autocorr)
+    for h, c in enumerate([1, 3, 1, 3, 1]):
+        for k in range(c):
+            rows.append(("B", t0 + dt.timedelta(hours=h, minutes=k)))
+    # type C: constant counts -> zero variance, dropped
+    for h in range(4):
+        rows.append(("C", t0 + dt.timedelta(hours=h)))
+    ev = rd.from_arrow(pa.table({
+        "event_type": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }))
+    got = {r["event_type"]: (r["n_pairs"], r["corr_bp"])
+           for r in autocorr_lag1(ev).take_all()}
+
+    def expect(series):
+        x = np.array(series[:-1], dtype=object)
+        y = np.array(series[1:], dtype=object)
+        n = len(x)
+        sx, sy, sxx = x.sum(), y.sum(), (x * x).sum()
+        syy, sxy = (y * y).sum(), (x * y).sum()
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        return n, math.floor(float(10_000 * (n * sxy - sx * sy))
+                             / math.sqrt(float(vx) * float(vy)))
+
+    assert got["A"] == expect([1, 2, 3, 4, 5])
+    assert got["B"] == expect([1, 3, 1, 3, 1])
+    assert got["A"][1] == 10_000      # perfectly linear series
+    assert got["B"][1] == -10_000
+    assert "C" not in got

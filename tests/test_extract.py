@@ -179,3 +179,39 @@ def test_interleaved_costs_zero_copy_accounting(ray_session):
     assert out.i.tolist() == [7, 12, 0]
     # media cost = patch budget, caption text never tokenized
     assert out.cost.tolist() == [3 + PATCH_TOKENS, 1, 0]
+
+
+def test_caption_context_pairs_latest_preceding_text():
+    import pyarrow as pa
+
+    from raygraph.ops.spans import caption_context
+    from raygraph.schemas import DOCUMENT_SCHEMA
+
+    def doc(i, spans):
+        return {"doc_id": f"doc/{i}", "spans": spans}
+
+    t = pa.Table.from_pylist([
+        # two text spans before the media: context = the LATEST one
+        doc(0, [{"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "y", "media_ref": "", "offset": 1},
+                {"kind": "media", "text": "cap0", "media_ref": "m0",
+                 "offset": 2}]),
+        # media-first: no preceding text -> null context (and the text
+        # AFTER it must not leak backwards)
+        doc(1, [{"kind": "media", "text": "cap1", "media_ref": "m1",
+                 "offset": 0},
+                {"kind": "text", "text": "late", "media_ref": "",
+                 "offset": 1},
+                {"kind": "media", "text": "cap2", "media_ref": "m2",
+                 "offset": 2}]),
+        # no media at all -> contributes no rows
+        doc(2, [{"kind": "text", "text": "only", "media_ref": "",
+                 "offset": 0}]),
+    ], schema=DOCUMENT_SCHEMA)
+    out = caption_context(t).to_pandas()
+    rows = {r.media_ref: (r.doc_id, r.caption, r.context)
+            for r in out.itertuples()}
+    assert rows["m0"] == ("doc/0", "cap0", "y")
+    assert rows["m1"][2] is None
+    assert rows["m2"] == ("doc/1", "cap2", "late")
+    assert len(out) == 3
