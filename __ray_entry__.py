@@ -4457,6 +4457,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return pair_cosine_hist(emb)
 
+    def events_markov(sf_dir):
+        # stationary distribution of the event-type Markov chain: 3
+        # integer power iterations over the (tiny) transition matrix
+        # from type_transitions' combiner preagg
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"])
+        return E.markov_stationary(ev)
+
+    def events_twa(sf_dir):
+        # time-weighted average value per user (gauge semantics):
+        # integer 1e-4-unit values x microsecond gaps, trunc-div finish
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"])
+        return E.time_weighted_avg(ev)
+
+    def docs_from_csv(sf_dir):
+        # third source format (after parquet + JSONL): the docs profile
+        # re-ingested through ray.data.read_csv — byte-identical to the
+        # parquet-path oracle (shared with docs_from_jsonl)
+        csv_dir = os.path.join(_TMP, f"docs_csv_{_docs_count(sf_dir)}")
+        if not os.path.isdir(csv_dir):
+            rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "lang", "n_chars"],
+            ).write_csv(csv_dir)
+        docs = rd.read_csv(csv_dir)
+        return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
+                          counts="n_docs")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -4650,6 +4681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_caption_pairs": corpus_caption_pairs,
         "events_autocorr": events_autocorr,
         "embedding_pair_hist": embedding_pair_hist,
+        "events_markov": events_markov,
+        "events_twa": events_twa,
+        "docs_from_csv": docs_from_csv,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -4926,6 +4960,39 @@ def _kcore_sql(edges_sql: str, k: int, iters: int) -> str:
     parts.append(f" SELECT x AS vertex, deg FROM d{iters - 1} "
                  f"WHERE deg >= {k}")
     return "".join(parts)
+
+
+def _markov_sql(iters: int, scale: int = 10**12) -> str:
+    """Machine-unrolled integer power iteration over the event-type
+    transition matrix — mirrors raygraph.ops.events.markov_stationary's
+    fixed-point spec term for term (uniform start scale // K, floor
+    contributions, sinks drop mass via the inner join)."""
+    parts = [
+        """WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        tr AS (SELECT prev AS f, event_type AS t, count(*)::BIGINT AS n
+               FROM s WHERE prev IS NOT NULL GROUP BY f, t),
+        tt AS (SELECT f, sum(n)::BIGINT AS tot FROM tr GROUP BY f),
+        ty AS (SELECT f AS x FROM tr UNION SELECT t FROM tr),
+        kk AS (SELECT count(*)::BIGINT AS k FROM ty)""",
+        f", r0 AS (SELECT x, ({scale}::BIGINT // kk.k) AS r FROM ty, kk)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", c{i} AS (SELECT r.x, r.r // tt.tot AS c "
+            f"FROM r{i} r JOIN tt ON tt.f = r.x)",
+            f", r{i + 1} AS (SELECT ty.x, coalesce(s.s, 0)::BIGINT AS r "
+            f"FROM ty LEFT JOIN (SELECT tr.t AS x, "
+            f"sum(c.c * tr.n)::BIGINT AS s FROM tr "
+            f"JOIN c{i} c ON tr.f = c.x GROUP BY tr.t) s ON s.x = ty.x)",
+        ]
+    parts.append(
+        f" SELECT x AS event_type, r AS prob_e12 FROM r{iters}")
+    return "\n".join(parts)
 
 
 def _pagerank_sql(edges_sql: str, iters: int,
@@ -7878,6 +7945,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY window_start, event_type
         """,
     }
+    out["events_markov"] = _markov_sql(iters=3)
+    out["events_twa"] = """
+        WITH s AS (
+          SELECT user_id,
+                 trunc(value * 10000)::BIGINT AS v,
+                 epoch_us(ts)::BIGINT AS t,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t2
+          FROM events
+        ),
+        p AS (SELECT user_id, v, (t2 - t)::BIGINT AS gap
+              FROM s WHERE t2 IS NOT NULL)
+        SELECT user_id, count(*)::BIGINT AS n_segments,
+               (sum(v * gap)::BIGINT // sum(gap)::BIGINT)::BIGINT
+                   AS twa_e4
+        FROM p GROUP BY user_id
+        HAVING sum(gap) > 0
+    """
+    # the CSV-ingest profile equals the parquet/JSONL-path profile —
+    # three source formats, one oracle
+    out["docs_from_csv"] = out["docs_from_jsonl"]
     # the streaming micro-batch fold is row-identical to the batch
     # sessionize by contract — they share one oracle
     out["events_sessionize_incremental"] = out["events_sessionize_full"]

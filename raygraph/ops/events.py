@@ -777,6 +777,108 @@ def autocorr_lag1(
                           num_buckets=num_buckets)
 
 
+def markov_stationary(ds, iters: int = 3, scale: int = 10**12,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id"):
+    """Stationary-distribution estimate of the event-type Markov chain:
+    ``iters`` synchronous power iterations v' (y) = Σ_x (v(x) // tot(x))
+    · n(x, y) from the uniform start v0 = scale // K, in exact integer
+    (floor) arithmetic — the fixed-point discipline of
+    :func:`raygraph.ops.graph.pagerank` applied to the transition
+    matrix. Types with no outgoing transitions drop their mass
+    (documented sink semantics, mirrored by the SQL oracle's inner join
+    on the contribution side).
+
+    The heavy step is :func:`type_transitions` (per-user ordered pairing
+    + combiner preagg) — the stream shrinks to the (#types)² transition
+    matrix, which is inherently tiny, so the iteration itself runs on
+    the driver in exact Python ints (the HUGEINT analog); only the
+    matrix crosses the wire."""
+    import ray.data as rd
+
+    trans = type_transitions(ds, key_col=key_col, ts_col=ts_col,
+                             type_col=type_col, tie_col=order_col)
+    tm = trans.to_pandas()
+    n = {(f, t): int(v) for f, t, v in
+         zip(tm["from_type"], tm["to_type"], tm["n"])}
+    tot: dict[str, int] = {}
+    for (f, _), v in n.items():
+        tot[f] = tot.get(f, 0) + v
+    types = sorted(set(tm["from_type"]) | set(tm["to_type"]))
+    k = len(types)
+    if k == 0:
+        return rd.from_arrow(pa.table({
+            type_col: pa.array([], pa.string()),
+            "prob_e12": pa.array([], pa.int64())}))
+    v = {t: scale // k for t in types}
+    for _ in range(iters):
+        contrib = {x: v[x] // tot[x] for x in types if x in tot}
+        nxt = {t: 0 for t in types}
+        for (f, t), c in n.items():
+            if f in contrib:
+                nxt[t] += contrib[f] * c
+        v = nxt
+    return rd.from_arrow(pa.table({
+        type_col: pa.array(types, pa.string()),
+        "prob_e12": pa.array([v[t] for t in types], pa.int64()),
+    }))
+
+
+def time_weighted_avg(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    num_buckets: int = 64,
+):
+    """Time-weighted average value per key (the metering / gauge
+    aggregation: each value holds until the key's next event). Exact
+    integers: value truncated to 1e-4 units, weighted by the
+    microsecond gap to the next event, final division via
+    :func:`raygraph.ops.relational.trunc_div` (DuckDB ``//``
+    semantics). Keys with < 2 events (no segment) or zero total span
+    are dropped, mirroring the oracle's guards.
+
+    One key-hash exchange; inside each bucket the pairing is a
+    vectorized grouped shift (no per-key Python). int64 segment sums
+    bound the design: Σ v·gap per key must stay < 2^63 (≈ 10^6-unit
+    values × 29 years of microseconds) — beyond that, split the
+    window."""
+    from .relational import compact_nonempty, hash_aggregate, trunc_div
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col],
+            "t": df[ts_col].astype("datetime64[us]").astype("int64"),
+            order_col: df[order_col],
+            "v": np.trunc(df[value_col].to_numpy() * 10_000)
+                .astype("int64"),
+        }), preserve_index=False)
+
+    narrow_ds = compact_nonempty(
+        ds.map_batches(narrow, batch_format="pyarrow").materialize())
+
+    def bucket_twa(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "t", order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        df = df.assign(gap=g["t"].shift(-1) - df["t"])
+        df = df.loc[df["gap"].notna()]
+        df["gap"] = df["gap"].astype("int64")
+        df["vw"] = df["v"] * df["gap"]
+        agg = df.groupby(key_col, sort=False).agg(
+            n_segments=("gap", "size"), span=("gap", "sum"),
+            wsum=("vw", "sum")).reset_index()
+        agg = agg.loc[agg["span"] > 0]
+        agg["twa_e4"] = trunc_div(agg["wsum"], agg["span"])
+        return agg[[key_col, "n_segments", "twa_e4"]]
+
+    return hash_aggregate(narrow_ds, [key_col], bucket_twa,
+                          num_buckets=num_buckets)
+
+
 def rolling_distinct_users(
     ds,
     window_hours: int = 24,

@@ -437,3 +437,66 @@ def test_autocorr_lag1_matches_formula():
     assert got["A"][1] == 10_000      # perfectly linear series
     assert got["B"][1] == -10_000
     assert "C" not in got
+
+
+def test_markov_stationary_exact_integer_spec():
+    import ray.data as rd
+
+    from raygraph.ops.events import markov_stationary
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: A->B->A->B ; user 2: B->C (C is a sink: mass drains)
+    seq = [(1, "A"), (1, "B"), (1, "A"), (1, "B"), (2, "B"), (2, "C")]
+    ev = rd.from_arrow(pa.table({
+        "user_id": [u for u, _ in seq],
+        "event_id": list(range(len(seq))),
+        "ts": pa.array([t0 + dt.timedelta(minutes=i)
+                        for i in range(len(seq))], pa.timestamp("us")),
+        "event_type": [t for _, t in seq],
+    }))
+    got = {r["event_type"]: r["prob_e12"]
+           for r in markov_stationary(ev, iters=3).take_all()}
+
+    # transitions: A->B x2, B->A x1, B->C x1; tot A=2, B=2; C sink
+    scale = 10**12
+    n = {("A", "B"): 2, ("B", "A"): 1, ("B", "C"): 1}
+    tot = {"A": 2, "B": 2}
+    v = {t: scale // 3 for t in "ABC"}
+    for _ in range(3):
+        contrib = {x: v[x] // tot[x] for x in tot}
+        nxt = {t: 0 for t in "ABC"}
+        for (f, t), c in n.items():
+            nxt[t] += contrib.get(f, 0) * c
+        v = nxt
+    assert got == v
+    # sink drains mass: total strictly decreases
+    assert sum(got.values()) < scale
+
+
+def test_time_weighted_avg_gauge_semantics():
+    import ray.data as rd
+
+    from raygraph.ops.events import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: value 10 holds 30s, value 20 holds 10s, last value
+        # has no segment -> twa = (100000*30e6 + 200000*10e6) / 40e6
+        (1, 0, 10.0, 0),
+        (1, 30, 20.0, 1),
+        (1, 40, 99.0, 2),
+        # user 2: single event -> dropped
+        (2, 0, 5.0, 3),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "value": [r[2] for r in rows],
+        "event_id": [r[3] for r in rows],
+    }))
+    out = {r["user_id"]: (r["n_segments"], r["twa_e4"])
+           for r in time_weighted_avg(ev).take_all()}
+    exp = (100_000 * 30_000_000 + 200_000 * 10_000_000) // 40_000_000
+    assert out[1] == (2, exp)
+    assert 2 not in out
