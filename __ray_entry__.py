@@ -2395,6 +2395,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["mad_e4"] = out["mad_e4"].astype("int64")
         return out.sort_values("event_type").reset_index(drop=True)
 
+    def customer_rfm(sf_dir):
+        # RFM segmentation: per-customer recency/frequency/monetary
+        # quartile codes — one customer-keyed combiner preagg, three
+        # exact quantile-boundary passes (value-count shuffles), one
+        # vectorized assignment; output is the segment histogram
+        from raygraph.ops.relational import grouped_quantiles
+
+        od = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def narrow(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "o_custkey": df["o_custkey"],
+                "day": df["o_orderdate"].astype("datetime64[us]")
+                .astype("int64") // 86_400_000_000,
+                "cents": np.round(df["o_totalprice"].to_numpy()
+                                  * 100).astype("int64"),
+            }), preserve_index=False)
+
+        from raygraph.ops.graph import _repaired
+
+        nd = od.map_batches(narrow, batch_format="pyarrow")
+        per_cust = _repaired(
+            preagg_sum(nd, ["o_custkey"], {"spend_cents": "cents"},
+                       counts="n_orders"),
+            pa.schema([("o_custkey", pa.int64()),
+                       ("spend_cents", pa.int64()),
+                       ("n_orders", pa.int64())]))
+        last = _repaired(
+            nd.groupby("o_custkey").max("day"),
+            pa.schema([("o_custkey", pa.int64()),
+                       ("max(day)", pa.int64())]))
+        per_cust = per_cust.join(last, on=("o_custkey",),
+                                 right_on=("o_custkey",), join_type="inner",
+                                 num_partitions=8)
+        maxd = int(nd.max("day"))
+
+        def with_rec(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["recency"] = maxd - df["max(day)"]
+            return pa.Table.from_pandas(
+                df[["o_custkey", "recency", "n_orders", "spend_cents"]],
+                preserve_index=False)
+
+        pc_ds = per_cust.map_batches(with_rec,
+                                     batch_format="pyarrow").materialize()
+
+        def lit(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__g", pa.array(np.zeros(batch.num_rows, dtype="int64")))
+
+        qs = (0.25, 0.5, 0.75)
+        bounds = {}
+        for col in ("recency", "n_orders", "spend_cents"):
+            b = grouped_quantiles(
+                pc_ds.map_batches(lit, batch_format="pyarrow"),
+                ["__g"], col, qs=qs).to_pandas()
+            bounds[col] = b[["p25", "p50", "p75"]].iloc[0] \
+                .to_numpy(dtype="int64")
+
+        def assign(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            code = np.zeros(len(df), dtype="int64")
+            for col, mult in (("recency", 100), ("n_orders", 10),
+                              ("spend_cents", 1)):
+                v = df[col].to_numpy("int64")
+                q = np.ones(len(df), dtype="int64")
+                for bnd in bounds[col]:
+                    q += (v > bnd).astype("int64")
+                code += mult * q
+            out = pd.DataFrame({"o_custkey": df["o_custkey"],
+                                "rfm_code": code,
+                                "spend_cents": df["spend_cents"]})
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        coded = pc_ds.map_batches(assign, batch_format="pyarrow")
+        return preagg_sum(coded, ["rfm_code"],
+                          {"sum_spend_cents": "spend_cents"},
+                          counts="n_customers")
+
     def events_user_deciles(sf_dir):
         # LTV-style segmentation: users bucketed by total value into
         # deciles — per-user combiner sums, exact global decile
@@ -4488,6 +4570,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
                           counts="n_docs")
 
+    def events_zscore(sf_dir):
+        # volume-anomaly screen: hourly buckets >= 2 sd from the type
+        # mean, z in exact floor-bp (integer moments, one double conv)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+        return E.zscore_outliers(ev)
+
+    def docs_novelty(sf_dir):
+        # n-gram novelty per doc: share of distinct trigrams first seen
+        # here — min-doc groupby IS the novel count (no gram-level
+        # join); two doc-keyed aggregates meet in one left-outer join
+        return T.novelty_rate(_docs_ds(sf_dir))
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -4684,6 +4779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": events_markov,
         "events_twa": events_twa,
         "docs_from_csv": docs_from_csv,
+        "events_zscore": events_zscore,
+        "docs_novelty": docs_novelty,
+        "customer_rfm": customer_rfm,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -7945,6 +8043,89 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY window_start, event_type
         """,
     }
+    out["events_zscore"] = """
+        WITH h AS (
+          SELECT event_type,
+                 (epoch_us(ts) // (3600::BIGINT * 1000000)) * 3600
+                     AS hour,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY event_type, hour
+        ),
+        m AS (
+          SELECT event_type, count(*)::HUGEINT AS t,
+                 sum(n)::HUGEINT AS s, sum(n * n)::HUGEINT AS sxx
+          FROM h GROUP BY event_type
+        ),
+        z AS (
+          SELECT h.event_type, h.hour, h.n,
+                 floor((10000 * (m.t * h.n - m.s))::DOUBLE
+                       / sqrt((m.t * m.sxx - m.s * m.s)::DOUBLE))::BIGINT
+                     AS z_bp
+          FROM h JOIN m USING (event_type)
+          WHERE m.t * m.sxx - m.s * m.s > 0
+        )
+        SELECT * FROM z WHERE abs(z_bp) >= 20000
+    """
+    out["docs_novelty"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+                FROM t),
+        g0 AS (SELECT doc_id,
+                      tok || ' ' || lead(tok, 1) OVER w || ' '
+                          || lead(tok, 2) OVER w AS ngram
+               FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT DISTINCT doc_id, ngram FROM g0
+              WHERE ngram IS NOT NULL),
+        f AS (SELECT ngram, min(doc_id) AS first_doc FROM g
+              GROUP BY ngram),
+        tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g
+                GROUP BY doc_id),
+        nov AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel
+                FROM f GROUP BY first_doc)
+        SELECT tot.doc_id, tot.n_grams,
+               coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
+               ((10000 * coalesce(nov.n_novel, 0))::BIGINT
+                // tot.n_grams)::BIGINT AS novelty_bp
+        FROM tot LEFT JOIN nov USING (doc_id)
+    """
+    out["customer_rfm"] = """
+        WITH c AS (
+          SELECT o_custkey,
+                 max(epoch_us(o_orderdate) // 86400000000)::BIGINT
+                     AS last_day,
+                 count(*)::BIGINT AS n_orders,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                     AS spend_cents
+          FROM orders GROUP BY o_custkey
+        ),
+        mx AS (SELECT max(last_day) AS maxd FROM c),
+        r AS (SELECT o_custkey, (mx.maxd - last_day)::BIGINT AS recency,
+                     n_orders, spend_cents
+              FROM c, mx),
+        b AS (SELECT
+          quantile_disc(recency, 0.25) AS r1,
+          quantile_disc(recency, 0.5) AS r2,
+          quantile_disc(recency, 0.75) AS r3,
+          quantile_disc(n_orders, 0.25) AS f1,
+          quantile_disc(n_orders, 0.5) AS f2,
+          quantile_disc(n_orders, 0.75) AS f3,
+          quantile_disc(spend_cents, 0.25) AS m1,
+          quantile_disc(spend_cents, 0.5) AS m2,
+          quantile_disc(spend_cents, 0.75) AS m3 FROM r),
+        coded AS (
+          SELECT o_custkey, spend_cents,
+                 (100 * (1 + (recency > b.r1)::INT + (recency > b.r2)::INT
+                           + (recency > b.r3)::INT)
+                + 10 * (1 + (n_orders > b.f1)::INT + (n_orders > b.f2)::INT
+                          + (n_orders > b.f3)::INT)
+                + (1 + (spend_cents > b.m1)::INT + (spend_cents > b.m2)::INT
+                     + (spend_cents > b.m3)::INT))::BIGINT AS rfm_code
+          FROM r, b
+        )
+        SELECT rfm_code, sum(spend_cents)::BIGINT AS sum_spend_cents,
+               count(*)::BIGINT AS n_customers
+        FROM coded GROUP BY rfm_code
+    """
     out["events_markov"] = _markov_sql(iters=3)
     out["events_twa"] = """
         WITH s AS (

@@ -879,6 +879,73 @@ def time_weighted_avg(
                           num_buckets=num_buckets)
 
 
+def zscore_outliers(
+    ds,
+    threshold_bp: int = 20_000,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    num_buckets: int = 64,
+):
+    """Volume-anomaly screen: hourly buckets whose count deviates from
+    the key's mean by ≥ ``threshold_bp``/10⁴ standard deviations, with
+    the z-score itself in floor-at-bp integers — z = (x·T − S) /
+    sqrt(T·Sxx − S²) over the key's present-bucket series (T buckets,
+    sum S, sum-of-squares Sxx; integer moments, ONE double conversion,
+    the ``lineitem_corr`` discipline). Constant series (zero variance)
+    are dropped like the oracle's WHERE guard.
+
+    Scale shape = :func:`cusum_changepoint`: combiner preagg to (key,
+    bucket) counts, then one hash-bucketed pass; moments are exact
+    Python ints per key (HUGEINT analog, bounded by #keys), the
+    filter + z computation over the bucket rows is vectorized."""
+    import math
+
+    from .relational import compact_nonempty, hash_aggregate, preagg_sum
+
+    def bucket_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hour = (df[ts_col].astype("datetime64[ns]").astype("int64")
+                // (bucket_s * 10**9)) * bucket_s
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col], "hour": hour}), preserve_index=False)
+
+    counts = preagg_sum(ds.map_batches(bucket_part, batch_format="pyarrow"),
+                        [key_col, "hour"], {}, counts="n")
+    counts = compact_nonempty(counts.materialize())
+
+    def bucket_z(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, part in df.groupby(key_col, sort=False):
+            xs = [int(v) for v in part["n"]]
+            t, s = len(xs), sum(xs)
+            sxx = sum(v * v for v in xs)
+            var = t * sxx - s * s
+            if var <= 0:
+                continue
+            den = math.sqrt(float(var))
+            z = np.floor(10_000
+                         * (t * part["n"].to_numpy("int64") - s).astype(
+                             "float64") / den).astype("int64")
+            keep = np.abs(z) >= threshold_bp
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    key_col: key,
+                    "hour": part["hour"].to_numpy()[keep],
+                    "n": part["n"].to_numpy("int64")[keep],
+                    "z_bp": z[keep],
+                }))
+        if not outs:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "hour": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "z_bp": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_aggregate(counts, [key_col], bucket_z,
+                          num_buckets=num_buckets)
+
+
 def rolling_distinct_users(
     ds,
     window_hours: int = 24,

@@ -708,6 +708,66 @@ def ttr_by_source(ds, group_col: str = "source", text_col: str = "text",
     return totals.map_batches(ratios, batch_format="pyarrow")
 
 
+def novelty_rate(ds, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Per-document n-gram novelty: the share (exact bp) of a doc's
+    DISTINCT word n-grams whose FIRST corpus occurrence (min doc id) is
+    this doc — the freshness / boilerplate-inverse signal used to order
+    crawl snapshots and to measure how much new text a source adds.
+
+    No join is needed for the novel counts: after one (ngram →
+    min doc) combiner groupby, grouping the first-occurrence table by
+    that min doc IS the per-doc novel count; per-doc totals come from a
+    second combiner preagg of the same gram stream, and the two
+    doc-keyed (small) aggregates meet in one left-outer hash join.
+    Docs with fewer than ``n`` tokens contribute nothing (no grams),
+    mirroring the oracle."""
+    from .relational import preagg_sum, shuffle_join
+
+    def grams(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = _doc_ngrams(df[text_col], n)
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[g.index.to_numpy()],
+            "ngram": g["ngram"].to_numpy(),
+        }).drop_duplicates()  # one row per doc → per-batch distinct is global
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    gds = ds.map_batches(grams, batch_format="pyarrow")
+    tot = preagg_sum(gds, [id_col], {}, counts="n_grams")
+    first = gds.groupby("ngram").min(id_col)
+
+    def first_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(f"min({id_col})")})
+
+    nov = preagg_sum(first.map_batches(first_doc, batch_format="pyarrow"),
+                     [id_col], {}, counts="n_novel")
+
+    # groupby outputs must be repaired before a join (schemaless empty
+    # blocks); rename the right key so the join output is unambiguous
+    from .graph import _repaired
+
+    tot = _repaired(tot, pa.schema([(id_col, pa.int64()),
+                                    ("n_grams", pa.int64())]))
+    nov = _repaired(
+        nov.map_batches(lambda b: b.rename_columns(["first_doc",
+                                                    "n_novel"]),
+                        batch_format="pyarrow"),
+        pa.schema([("first_doc", pa.int64()), ("n_novel", pa.int64())]))
+    joined = shuffle_join(tot, nov, on=id_col, right_on="first_doc",
+                          how="left_outer")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_novel"] = df["n_novel"].fillna(0).astype("int64")
+        df["novelty_bp"] = (10_000 * df["n_novel"]) // df["n_grams"]
+        return pa.Table.from_pandas(
+            df[[id_col, "n_grams", "n_novel", "novelty_bp"]],
+            preserve_index=False)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def bpe_merge_pairs(ds, k: int = 10, text_col: str = "text"):
     """One BPE-training merge round: the top-k adjacent CHARACTER pairs
     inside whitespace tokens, weighted by corpus token frequency — the

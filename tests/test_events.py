@@ -500,3 +500,35 @@ def test_time_weighted_avg_gauge_semantics():
     exp = (100_000 * 30_000_000 + 200_000 * 10_000_000) // 40_000_000
     assert out[1] == (2, exp)
     assert 2 not in out
+
+
+def test_zscore_outliers_flags_spike():
+    import math
+
+    import ray.data as rd
+
+    from raygraph.ops.events import zscore_outliers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type A: 1/hour for 9 hours, then a 20-event spike; type C constant
+    for h in range(9):
+        rows.append(("A", t0 + dt.timedelta(hours=h)))
+    for k in range(20):
+        rows.append(("A", t0 + dt.timedelta(hours=9, minutes=k)))
+    for h in range(4):
+        rows.append(("C", t0 + dt.timedelta(hours=h)))
+    ev = rd.from_arrow(pa.table({
+        "event_type": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }))
+    out = zscore_outliers(ev).take_all()
+    base = int(dt.datetime(2024, 1, 1)
+               .replace(tzinfo=dt.timezone.utc).timestamp())
+
+    xs = [1] * 9 + [20]
+    t, s = len(xs), sum(xs)
+    sxx = sum(v * v for v in xs)
+    z20 = math.floor(10_000 * (t * 20 - s) / math.sqrt(t * sxx - s * s))
+    assert [(r["event_type"], r["hour"], r["n"], r["z_bp"])
+            for r in out] == [("A", base + 9 * 3600, 20, z20)]

@@ -349,3 +349,33 @@ def test_ttr_by_source_matches_naive(ray_session):
         assert row["n_hapax"] == n_hapax
         assert row["ttr_bp"] == 10_000 * n_types // n_tokens
         assert row["hapax_bp"] == 10_000 * n_hapax // n_types
+
+
+def test_novelty_rate_first_occurrence(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.text import novelty_rate
+
+    docs = [
+        (0, "a b c d"),            # grams: abc, bcd -> both novel
+        (1, "a b c e"),            # abc (seen), bce (novel) -> 5000 bp
+        (2, "a b c d"),            # all seen -> 0
+        (3, "x y"),                # too short -> no row
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": [d[1] for d in docs],
+    }))
+    got = novelty_rate(ds, n=3).to_pandas().set_index("doc_id")
+    assert got.loc[0, "novelty_bp"] == 10_000
+    assert got.loc[1].tolist() == [2, 1, 5_000]
+    assert got.loc[2].tolist() == [2, 0, 0]
+    assert 3 not in got.index
+    # duplicate in-doc grams count once
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": ["p q r p q r p q r"],   # distinct grams: pqr qrp rpq
+    }))
+    g2 = novelty_rate(ds2, n=3).to_pandas()
+    assert g2["n_grams"].iloc[0] == 3
+    assert g2["novelty_bp"].iloc[0] == 10_000
