@@ -2796,6 +2796,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return quantize_embeddings(emb)
 
     # ---- media (stub decode, real plumbing) ------------------------------
+    def media_dedup(sf_dir):
+        # exact duplicate-media detection over the 50%-duplicate corpus:
+        # payload digests stream out of map_batches, a digest-keyed
+        # combiner + one bucketed merge keep payload bytes off the wire
+        from raygraph.ops.media import dedup_by_digest, documents_as_media
+
+        return dedup_by_digest(documents_as_media(_doubled_docs(sf_dir)))
+
     def media_features(sf_dir):
         # media derived from documents (payload = UTF-8 text bytes) so the
         # decode stage's n_bytes/digest outputs are SQL-verifiable; the
@@ -4782,6 +4790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
+        "media_dedup": media_dedup,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8125,6 +8134,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT rfm_code, sum(spend_cents)::BIGINT AS sum_spend_cents,
                count(*)::BIGINT AS n_customers
         FROM coded GROUP BY rfm_code
+    """
+    out["media_dedup"] = f"""
+        WITH doubled AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_OFFSET}, text FROM documents
+        )
+        SELECT md5(text) AS digest, count(*)::BIGINT AS n_copies,
+               min('media/' || doc_id) AS keeper
+        FROM doubled GROUP BY md5(text)
+        HAVING count(*) > 1
     """
     out["events_markov"] = _markov_sql(iters=3)
     out["events_twa"] = """

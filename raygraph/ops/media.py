@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 MEDIA_BATCH_SIZE = 64
@@ -154,6 +155,50 @@ def documents_as_media(docs_ds):
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_by_digest(ds, payload_col: str = "payload",
+                    ref_col: str = "media_ref", num_buckets: int = 64):
+    """Exact duplicate-media detection by payload content digest (the
+    image/audio dedup primitive: identical bytes → one keeper): per
+    duplicated digest, the copy count and the lexicographically smallest
+    ref. Digesting is per-payload by nature (a hash can't be
+    vectorized across rows; the C md5 over a multi-KB payload dwarfs
+    the per-row call) and runs inside ``map_batches`` so it streams;
+    everything after is a digest-keyed combiner partial (count + min
+    ref) plus one hash-bucketed merge — payload bytes never shuffle,
+    only 32-char digests do."""
+    import hashlib
+
+    from .relational import hash_aggregate
+
+    def digests(batch: pa.Table) -> pa.Table:
+        pays = batch.column(payload_col).to_pylist()
+        return pa.table({
+            "digest": pa.array(
+                [hashlib.md5(p or b"").hexdigest() for p in pays],
+                pa.string()),
+            ref_col: batch.column(ref_col),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("digest", sort=False).agg(
+            n_copies=(ref_col, "size"),
+            keeper=(ref_col, "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(digests, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("digest", sort=False).agg(
+            n_copies=("n_copies", "sum"),
+            keeper=("keeper", "min")).reset_index()
+        return g.loc[g["n_copies"] > 1]
+
+    return hash_aggregate(partials, ["digest"], merge,
+                          num_buckets=num_buckets)
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

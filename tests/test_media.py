@@ -127,3 +127,23 @@ def test_wav_roundtrip_and_garbage():
     # non-WAV payloads degrade to all-None, never raise
     for junk in (b"", b"RIFF1234WAVX", b"\x89PNG", b"RIFF"):
         assert parse_wav_header(junk)["sample_rate"] is None
+
+
+def test_dedup_by_digest_groups_identical_payloads(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.media import dedup_by_digest
+
+    ds = rd.from_arrow(pa.table({
+        "media_ref": ["m/3", "m/1", "m/2", "m/4", "m/5"],
+        "payload": pa.array([b"AAA", b"AAA", b"BBB", b"AAA", b"CCC"],
+                            pa.binary()),
+    }))
+    out = dedup_by_digest(ds).to_pandas().set_index("digest")
+    a = hashlib.md5(b"AAA").hexdigest()
+    assert len(out) == 1                       # only the duplicated payload
+    assert out.loc[a, "n_copies"] == 3
+    assert out.loc[a, "keeper"] == "m/1"       # lexicographic min ref
