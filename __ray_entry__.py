@@ -4591,6 +4591,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join); two doc-keyed aggregates meet in one left-outer join
         return T.novelty_rate(_docs_ds(sf_dir))
 
+    def events_attribution(sf_dir):
+        # last-touch conversion attribution inside 30-min sessions:
+        # grouped ffill + shift (the lag-IGNORE-NULLS analog) per user
+        # bucket; only the touch-type histogram leaves the cluster
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type", "value"])
+        return E.attribution_last_touch(ev)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -4791,6 +4800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
         "media_dedup": media_dedup,
+        "events_attribution": events_attribution,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8145,6 +8155,35 @@ def oracle_sql() -> dict[str, str]:
                min('media/' || doc_id) AS keeper
         FROM doubled GROUP BY md5(text)
         HAVING count(*) > 1
+    """
+    out["events_attribution"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_session,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *, sum(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS sess
+          FROM o
+        ),
+        t AS (
+          SELECT *, lag(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id, sess
+                           ORDER BY ts, event_id) AS touch
+          FROM s
+        )
+        SELECT coalesce(touch, 'direct') AS touch_type,
+               sum(v)::BIGINT AS sum_value_e4,
+               count(*)::BIGINT AS n_purchases
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1
     """
     out["events_markov"] = _markov_sql(iters=3)
     out["events_twa"] = """

@@ -946,6 +946,73 @@ def zscore_outliers(
                           num_buckets=num_buckets)
 
 
+def attribution_last_touch(
+    ds,
+    gap_s: int = 1800,
+    convert_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    num_buckets: int = 64,
+):
+    """Last-touch conversion attribution: every ``convert_type`` event
+    credits its value (1e-4-unit integers) to the type of the latest
+    NON-conversion event strictly before it in the same session
+    (``gap_s`` inactivity sessions, the sessionize rule); conversions
+    with no prior in-session touch credit ``'direct'``. Output is the
+    per-touch-type histogram (n_purchases, sum_value_e4).
+
+    One key-hash exchange; inside each bucket everything is grouped
+    vectorized pandas: gap-cumsum session ids, a grouped forward-fill
+    of touch types + one grouped shift (the lag-IGNORE-NULLS analog),
+    then a touch-type-sized partial that the final combiner groupby
+    merges."""
+    from .relational import compact_nonempty, hash_aggregate, preagg_sum
+
+    gap_us = gap_s * 1_000_000
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col],
+            "t": df[ts_col].astype("datetime64[us]").astype("int64"),
+            order_col: df[order_col],
+            type_col: df[type_col],
+            "v": np.round(df[value_col].to_numpy() * 10_000)
+                .astype("int64"),
+        }), preserve_index=False)
+
+    narrow_ds = compact_nonempty(
+        ds.map_batches(narrow, batch_format="pyarrow").materialize())
+
+    def bucket_attr(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "t", order_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        new_sess = ((df["t"] - g["t"].shift(1)) > gap_us)
+        new_sess |= g.cumcount() == 0
+        df = df.assign(sess=new_sess.astype("int64")
+                       .groupby(df[key_col]).cumsum())
+        keys2 = [key_col, "sess"]
+        touch = df[type_col].where(df[type_col] != convert_type)
+        ff = touch.groupby([df[k] for k in keys2]).ffill()
+        prev = ff.groupby([df[k] for k in keys2]).shift(1)
+        conv = df.loc[df[type_col] == convert_type].assign(
+            touch_type=prev.loc[df[type_col] == convert_type]
+            .fillna("direct"))
+        part = conv.groupby("touch_type", sort=False).agg(
+            n_purchases=("v", "size"),
+            sum_value_e4=("v", "sum")).reset_index()
+        return part
+
+    partials = hash_aggregate(narrow_ds, [key_col], bucket_attr,
+                              num_buckets=num_buckets)
+    return preagg_sum(partials, ["touch_type"],
+                      {"sum_value_e4": "sum_value_e4",
+                       "n_purchases": "n_purchases"})
+
+
 def rolling_distinct_users(
     ds,
     window_hours: int = 24,

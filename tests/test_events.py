@@ -532,3 +532,37 @@ def test_zscore_outliers_flags_spike():
     z20 = math.floor(10_000 * (t * 20 - s) / math.sqrt(t * sxx - s * s))
     assert [(r["event_type"], r["hour"], r["n"], r["z_bp"])
             for r in out] == [("A", base + 9 * 3600, 20, z20)]
+
+
+def test_attribution_last_touch_session_scoped():
+    import ray.data as rd
+
+    from raygraph.ops.events import attribution_last_touch
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 session 1: view -> click -> purchase(10) => click
+        (1, 0, "view", 0.0, 0),
+        (1, 60, "click", 0.0, 1),
+        (1, 120, "purchase", 10.0, 2),
+        # 40-min gap -> NEW session: purchase(5) with no touch => direct
+        (1, 120 + 2400, "purchase", 5.0, 3),
+        # user 2: two purchases after one signup — both credit signup
+        # (ffill carries past the first purchase)
+        (2, 0, "signup", 0.0, 4),
+        (2, 30, "purchase", 1.0, 5),
+        (2, 60, "purchase", 2.0, 6),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "event_type": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+        "event_id": [r[4] for r in rows],
+    }))
+    got = {r["touch_type"]: (r["n_purchases"], r["sum_value_e4"])
+           for r in attribution_last_touch(ev).take_all()}
+    assert got == {"click": (1, 100_000),
+                   "direct": (1, 50_000),
+                   "signup": (2, 30_000)}
