@@ -4600,6 +4600,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["user_id", "ts", "event_id", "event_type", "value"])
         return E.attribution_last_touch(ev)
 
+    def events_trend(sf_dir):
+        # volume trend per type: exact-moment regression slope of count
+        # vs bucket index (integer moments, one double division)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+        return E.trend_slope(ev)
+
+    def docs_kl_drift(sf_dir):
+        # slice-drift measurement: KL divergence of each source's lang
+        # mix from the corpus-wide mix, per-term floor-at-1e-6 then
+        # integer sum (the source_entropy discipline, so sum order
+        # can't matter); all inputs are tiny combiner aggregates
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+        c = preagg_sum(docs, ["source", "lang"], {},
+                       counts="n").to_pandas()
+        tot_s = c.groupby("source")["n"].transform("sum")
+        n_l = dict(c.groupby("lang")["n"].sum())
+        grand = int(c["n"].sum())
+        terms = np.floor(
+            (1_000_000 * c["n"]).astype("float64")
+            * np.log((c["n"] * grand).astype("float64")
+                     / (tot_s * c["lang"].map(n_l)).astype("float64"))
+            / tot_s.astype("float64")).astype("int64")
+        out = (pd.DataFrame({"source": c["source"], "t": terms})
+               .groupby("source", sort=True)["t"].sum()
+               .reset_index(name="kl_e6"))
+        out["kl_e6"] = out["kl_e6"].astype("int64")
+        return out
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -4801,6 +4831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": customer_rfm,
         "media_dedup": media_dedup,
         "events_attribution": events_attribution,
+        "events_trend": events_trend,
+        "docs_kl_drift": docs_kl_drift,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8184,6 +8216,41 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_purchases
         FROM t WHERE event_type = 'purchase'
         GROUP BY 1
+    """
+    out["events_trend"] = """
+        WITH h AS (
+          SELECT event_type,
+                 (epoch_us(ts) // (3600::BIGINT * 1000000)) * 3600
+                     AS hour,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY event_type, hour
+        ),
+        i AS (SELECT event_type, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hour) AS x
+              FROM h),
+        m AS (SELECT event_type, count(*)::HUGEINT AS t,
+                     sum(x)::HUGEINT AS sx, sum(x * x)::HUGEINT AS sxx,
+                     sum(n)::HUGEINT AS sy, sum(x * n)::HUGEINT AS sxy
+              FROM i GROUP BY event_type)
+        SELECT event_type, t::BIGINT AS n_buckets,
+               floor((1000000 * (t * sxy - sx * sy))::DOUBLE
+                     / (t * sxx - sx * sx)::DOUBLE)::BIGINT AS slope_e6
+        FROM m WHERE t >= 2
+    """
+    out["docs_kl_drift"] = """
+        WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+                   FROM documents GROUP BY source, lang),
+        t AS (SELECT source, sum(n)::BIGINT AS tot FROM c
+              GROUP BY source),
+        l AS (SELECT lang, sum(n)::BIGINT AS nl FROM c GROUP BY lang),
+        g AS (SELECT sum(n)::BIGINT AS grand FROM c)
+        SELECT c.source,
+               sum(floor((1000000 * c.n)
+                         * ln((c.n * g.grand)::DOUBLE / (t.tot * l.nl))
+                         / t.tot))::BIGINT AS kl_e6
+        FROM c JOIN t USING (source) JOIN l USING (lang), g
+        GROUP BY c.source
     """
     out["events_markov"] = _markov_sql(iters=3)
     out["events_twa"] = """

@@ -1013,6 +1013,61 @@ def attribution_last_touch(
                        "n_purchases": "n_purchases"})
 
 
+def trend_slope(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    num_buckets: int = 64,
+):
+    """Volume trend per key: the least-squares slope of bucket count vs
+    bucket INDEX (1..T over the key's present buckets, time-ordered), in
+    exact floor-at-1e-6 integers — slope_e6 = floor(1e6·(T·Σxy − Σx·Σy)
+    / (T·Σx² − (Σx)²)) with x the index and y the count. Pure integer
+    moments (no sqrt), one double division at the end; keys with a
+    single bucket are dropped (zero x-variance), mirroring the oracle.
+
+    Scale shape = :func:`cusum_changepoint`: combiner preagg to (key,
+    bucket) counts, one hash-bucketed pass, exact-Python-int finalize
+    per key (HUGEINT analog)."""
+    import math
+
+    from .relational import compact_nonempty, hash_aggregate, preagg_sum
+
+    def bucket_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hour = (df[ts_col].astype("datetime64[ns]").astype("int64")
+                // (bucket_s * 10**9)) * bucket_s
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: df[key_col], "hour": hour}), preserve_index=False)
+
+    counts = preagg_sum(ds.map_batches(bucket_part, batch_format="pyarrow"),
+                        [key_col, "hour"], {}, counts="n")
+    counts = compact_nonempty(counts.materialize())
+
+    def bucket_slope(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "hour"], kind="mergesort")
+        rows = []
+        for key, part in df.groupby(key_col, sort=False):
+            ys = [int(v) for v in part["n"]]
+            t = len(ys)
+            if t < 2:
+                continue
+            sx = t * (t + 1) // 2
+            sxx = t * (t + 1) * (2 * t + 1) // 6
+            sy = sum(ys)
+            sxy = sum((i + 1) * y for i, y in enumerate(ys))
+            den = t * sxx - sx * sx
+            slope_e6 = math.floor(
+                float(10**6 * (t * sxy - sx * sy)) / float(den))
+            rows.append((key, t, slope_e6))
+        return pd.DataFrame(rows,
+                            columns=[key_col, "n_buckets", "slope_e6"])
+
+    return hash_aggregate(counts, [key_col], bucket_slope,
+                          num_buckets=num_buckets)
+
+
 def rolling_distinct_users(
     ds,
     window_hours: int = 24,

@@ -566,3 +566,25 @@ def test_attribution_last_touch_session_scoped():
     assert got == {"click": (1, 100_000),
                    "direct": (1, 50_000),
                    "signup": (2, 30_000)}
+
+
+def test_trend_slope_exact_linear_series():
+    import ray.data as rd
+
+    from raygraph.ops.events import trend_slope
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type A: counts 2,4,6,8 -> slope exactly 2 (2_000_000 e6)
+    for h, c in enumerate([2, 4, 6, 8]):
+        for k in range(c):
+            rows.append(("A", t0 + dt.timedelta(hours=h, minutes=k)))
+    # type B: single bucket -> dropped
+    rows.append(("B", t0))
+    ev = rd.from_arrow(pa.table({
+        "event_type": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }))
+    got = {r["event_type"]: (r["n_buckets"], r["slope_e6"])
+           for r in trend_slope(ev).take_all()}
+    assert got == {"A": (4, 2_000_000)}
