@@ -515,3 +515,77 @@ def test_cross_doc_ngram_stats_sharing(ray_session):
         got = {r["doc_id"]: (r["n_grams"], r["n_shared"])
                for r in out.take_all()}
         assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}, got
+
+
+def _rand_events(n=400, users=17, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    ts = np.sort(rng.randint(0, 3 * 86_400, n)) * 1_000_000
+    return pa.table({
+        "user_id": pa.array(rng.randint(1, users, n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(
+            [["view", "click", "purchase"][i] for i in
+             rng.randint(0, 3, n)], pa.string()),
+        "value": pa.array(rng.uniform(0, 50, n).round(2), pa.float64()),
+    })
+
+
+def test_twa_time_shift_invariant(ray_session):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raygraph.ops.events import time_weighted_avg
+
+    t = _rand_events()
+    base = time_weighted_avg(rd.from_arrow(t)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    shifted = t.set_column(
+        t.schema.get_field_index("ts"), "ts",
+        pc.add(t.column("ts").cast(pa.int64()),
+               7 * 86_400 * 1_000_000).cast(pa.timestamp("us")))
+    got = time_weighted_avg(rd.from_arrow(shifted)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # gaps are translation-invariant, so the TWA must be identical
+    pd.testing.assert_frame_equal(base, got)
+
+
+def test_cusum_scales_linearly_with_count_duplication(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.events import cusum_changepoint
+
+    t = _rand_events(n=300, seed=9)
+    base = {r["event_type"]: (r["cusum_hour"], r["dstat"])
+            for r in cusum_changepoint(rd.from_arrow(t)).take_all()}
+    tripled = pa.concat_tables([t, t, t])
+    got = {r["event_type"]: (r["cusum_hour"], r["dstat"])
+           for r in cusum_changepoint(rd.from_arrow(tripled)).take_all()}
+    # x -> 3x multiplies D_t by 3 and moves no argmax
+    assert set(got) == set(base)
+    for k, (hour, d) in base.items():
+        assert got[k] == (hour, 3 * d)
+
+
+def test_pair_hist_invariant_to_bucketing_and_layout(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.ann import pair_cosine_hist
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 6)
+    t = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+
+    def hist(ds, **kw):
+        df = pair_cosine_hist(ds, n_groups=5, **kw).to_pandas()
+        return dict(zip(df["bin"].astype(int), df["n"].astype(int)))
+
+    a = hist(rd.from_arrow(t))
+    b = hist(rd.from_arrow(t).repartition(7), num_buckets=3)
+    assert a == b  # block layout and bucket count are execution details
