@@ -2566,6 +2566,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return asof_join(ev, right)
 
+    def events_asof_incremental(sf_dir):
+        # the 4th streaming-fold instance: stream-stream as-of join over
+        # ts-ordered micro-batches — O(#keys) carried state (latest
+        # right per key), every left emits in its own round; output is
+        # row-identical to the batch as-of join (shared oracle)
+        from raygraph.ops.relational import hash_aggregate
+        from raygraph.ops.stream import asof_join_incremental
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+
+        def marks(batch: pa.Table) -> pa.Table:
+            us = batch.column("ts").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = (us // 1_000_000) % 10 == 0
+            return batch.filter(pa.array(keep))
+
+        right = hash_aggregate(
+            rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+            .map_batches(marks, batch_format="pyarrow"),
+            ["user_id", "ts"],
+            lambda df: df.groupby(["user_id", "ts"], as_index=False)
+            ["value"].max(),
+        )
+        return asof_join_incremental(ev, right, n_micro_batches=4)
+
     def events_hopping(sf_dir):
         ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts", "value"])
@@ -4833,6 +4860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": events_attribution,
         "events_trend": events_trend,
         "docs_kl_drift": docs_kl_drift,
+        "events_asof_incremental": events_asof_incremental,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8280,4 +8308,6 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_persisted"] = out["ann_ivf_top10"]
     # the running-distinct fold equals the batch distinct count
     out["events_distinct_users_incremental"] = out["events_distinct_users"]
+    # the stream-stream as-of fold equals the batch as-of join
+    out["events_asof_incremental"] = out["events_asof_join"]
     return out

@@ -445,3 +445,176 @@ def tumbling_counts_incremental(ds, n_micro_batches: int = 4,
             ["window_start", type_col, "n", "sum_e4"])
 
     return allout.map_batches(rename, batch_format="pyarrow")
+
+
+_ASOF_MERGE = pa.schema([
+    ("kind", pa.string()),          # 'st' | 'r' | 'l' | 'out'
+    ("u", pa.int64()),
+    ("lt", pa.int64()),             # left ts (µs) — l/out rows
+    ("lv", pa.float64()),
+    ("rt", pa.int64()),             # right ts (µs) — st/r rows; matched on out
+    ("rv", pa.float64()),
+])
+_ASOF_STATE = pa.schema([("u", pa.int64()), ("rt", pa.int64()),
+                         ("rv", pa.float64())])
+
+
+def asof_join_incremental(left, right, n_micro_batches: int = 4,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          left_value: str = "value",
+                          right_value: str = "value",
+                          state_dir: str | None = None,
+                          resume: bool = False):
+    """Stream-stream BACKWARD as-of join as the FOURTH incremental-fold
+    instance — and the most state-bounded: because micro-batches arrive
+    in global ts order (shared exact range tiles, so right.ts ≤ left.ts
+    implies right's round ≤ left's round), every left row can be joined
+    and EMITTED in its own round, and the carried state is just the
+    latest right row per key — O(#keys), independent of stream length.
+    Per round one key-hash exchange runs a vectorized ``pd.merge_asof``
+    of the round's lefts against (state ∪ round rights) per bucket.
+
+    The right side must be unique per (key, ts) (the batch
+    :func:`raygraph.ops.events.asof_join` contract; range tiles never
+    split equal ts values, so state and round rights cannot collide).
+    Output is row-identical to the batch as-of join — the shared-oracle
+    exactly-once invariant — and rounds checkpoint/resume with the
+    write-then-commit discipline of :func:`sessionize_incremental`."""
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import hash_aggregate, range_boundaries, range_partition
+
+    sel_l = left.select_columns([key_col, ts_col, left_value])
+    sel_r = right.select_columns([key_col, ts_col, right_value])
+    bounds = range_boundaries(sel_l, ts_col, n_micro_batches)
+    tiled_l = range_partition(sel_l, ts_col, n_micro_batches,
+                              boundaries=bounds).materialize()
+    tiled_r = range_partition(sel_r, ts_col, n_micro_batches,
+                              boundaries=bounds).materialize()
+
+    def pick(i, kind, vcol):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("tile"), pa.scalar(i)))
+            n = t.num_rows
+            us = t.column(ts_col).cast(pa.int64())
+            v = t.column(vcol).cast(pa.float64())
+            nulls_i = pa.nulls(n, pa.int64())
+            nulls_f = pa.nulls(n, pa.float64())
+            return pa.table({
+                "kind": pa.array([kind] * n, pa.string()),
+                "u": t.column(key_col).cast(pa.int64()),
+                "lt": us if kind == "l" else nulls_i,
+                "lv": v if kind == "l" else nulls_f,
+                "rt": us if kind == "r" else nulls_i,
+                "rv": v if kind == "r" else nulls_f,
+            })
+
+        return fn
+
+    def st_rows(state):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "kind": pa.array(["st"] * n, pa.string()),
+                "u": batch.column("u"),
+                "lt": pa.nulls(n, pa.int64()),
+                "lv": pa.nulls(n, pa.float64()),
+                "rt": batch.column("rt"),
+                "rv": batch.column("rv"),
+            })
+
+        return state.map_batches(fn, batch_format="pyarrow")
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rights = df.loc[df["kind"].isin(("st", "r")),
+                        ["u", "rt", "rv"]].copy()
+        lefts = df.loc[df["kind"] == "l", ["u", "lt", "lv"]].copy()
+        rights["rt"] = rights["rt"].astype("int64")
+        outs = []
+        if len(lefts):
+            lefts = lefts.sort_values("lt", kind="mergesort")
+            lefts["lt"] = lefts["lt"].astype("int64")
+            if len(rights):
+                j = pd.merge_asof(lefts,
+                                  rights.sort_values("rt",
+                                                     kind="mergesort"),
+                                  left_on="lt", right_on="rt", by="u",
+                                  direction="backward")
+            else:
+                j = lefts.assign(rt=pd.NA, rv=np.nan)
+            j["kind"] = "out"
+            outs.append(j[["kind", "u", "lt", "lv", "rt", "rv"]])
+        if len(rights):
+            st = rights.sort_values(["u", "rt"], kind="mergesort") \
+                .groupby("u", as_index=False).tail(1)
+            st = st.assign(kind="st", lt=pd.NA, lv=np.nan)
+            outs.append(st[["kind", "u", "lt", "lv", "rt", "rv"]])
+        if not outs:
+            return pd.DataFrame(columns=["kind", "u", "lt", "lv",
+                                         "rt", "rv"])
+        out = pd.concat(outs, ignore_index=True)
+        for c in ("lt", "rt"):
+            out[c] = out[c].astype("Int64")
+        return out
+
+    def split(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch.column("kind"), kind))
+
+        return fn
+
+    out_schema = _ASOF_MERGE
+    state = rd.from_arrow(_ASOF_STATE.empty_table())
+    emitted = []
+    start_round = 0
+    if state_dir and resume:
+        while start_round < n_micro_batches \
+                and _round_complete(state_dir, start_round):
+            emitted.append(_read_round(state_dir, start_round, "closed",
+                                       out_schema))
+            start_round += 1
+        if start_round:
+            state = _read_round(state_dir, start_round - 1, "state",
+                                _ASOF_STATE)
+    for i in range(start_round, n_micro_batches):
+        rows_l = tiled_l.map_batches(pick(i, "l", left_value),
+                                     batch_format="pyarrow")
+        rows_r = tiled_r.map_batches(pick(i, "r", right_value),
+                                     batch_format="pyarrow")
+        un = _repaired(st_rows(state).union(rows_l, rows_r),
+                       _ASOF_MERGE)
+        merged = _repaired(hash_aggregate(un, ["u"], reduce_bucket),
+                           _ASOF_MERGE)
+        closed_i = _repaired(
+            merged.map_batches(split("out"), batch_format="pyarrow"),
+            out_schema)
+        state = _repaired(
+            merged.map_batches(split("st"), batch_format="pyarrow")
+            .map_batches(lambda b: b.select(["u", "rt", "rv"]),
+                         batch_format="pyarrow"),
+            _ASOF_STATE)
+        emitted.append(closed_i)
+        if state_dir:
+            _write_round(state_dir, i, state, closed_i)
+
+    allout = _repaired(
+        rd.from_arrow(out_schema.empty_table()).union(*emitted),
+        out_schema)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column("u"),
+            ts_col: batch.column("lt").cast(pa.timestamp("us")),
+            left_value: batch.column("lv"),
+            right_value + "_matched": batch.column("rv"),
+            ts_col + "_matched":
+                batch.column("rt").cast(pa.timestamp("us")),
+        })
+
+    return allout.map_batches(rename, batch_format="pyarrow")

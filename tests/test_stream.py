@@ -185,3 +185,67 @@ def test_tumbling_incremental_equivalence_and_bounded_state(
                                           state_dir=crash_dir,
                                           resume=True).to_pandas()
     assert norm(resumed) == norm(ref)
+
+
+def test_asof_incremental_equivalence_bounded_state_and_resume(
+        ray_session, tmp_path):
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.events import asof_join
+    from raygraph.ops.stream import asof_join_incremental
+
+    rng = np.random.default_rng(5)
+    n = 500
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 9, n).astype("int64"),
+        "ts": np.sort(rng.integers(0, 86_400 * 10**6, n))
+            .astype("datetime64[us]"),
+        "value": rng.uniform(0, 10, n).round(3),
+    })
+    # unique (user, ts) right side: every 7th left row, value bumped
+    right = left.iloc[::7].drop_duplicates(["user_id", "ts"]) \
+        .assign(value=lambda d: d["value"] + 100).reset_index(drop=True)
+
+    def norm(d):
+        d = d.copy()
+        for c in ("ts", "ts_matched"):
+            d[c] = pd.to_datetime(d[c]).astype("datetime64[us]") \
+                .astype("int64", errors="ignore")
+        return sorted(map(tuple, d[["user_id", "ts", "value",
+                                    "value_matched", "ts_matched"]]
+                          .fillna(-1).itertuples(index=False)))
+
+    ref = asof_join(rd.from_pandas(left),
+                    rd.from_pandas(right)).to_pandas()
+
+    full_dir = os.path.join(str(tmp_path), "full")
+    inc = asof_join_incremental(rd.from_pandas(left),
+                                rd.from_pandas(right), 4,
+                                state_dir=full_dir).to_pandas()
+    assert norm(inc) == norm(ref)
+
+    # bounded state: at most one carried right row per key
+    import pyarrow.parquet as pq
+
+    for i in range(4):
+        sd = os.path.join(full_dir, f"round={i}", "state")
+        files = [os.path.join(sd, f) for f in os.listdir(sd)
+                 if f.endswith(".parquet")] if os.path.isdir(sd) else []
+        if files:
+            st = pd.concat([pq.read_table(f).to_pandas() for f in files])
+            assert st["u"].is_unique
+
+    # crash after round 1 → resume reproduces the batch rows exactly
+    crash_dir = os.path.join(str(tmp_path), "crash")
+    os.makedirs(crash_dir)
+    for i in (0, 1):
+        shutil.copytree(os.path.join(full_dir, f"round={i}"),
+                        os.path.join(crash_dir, f"round={i}"))
+    resumed = asof_join_incremental(rd.from_pandas(left),
+                                    rd.from_pandas(right), 4,
+                                    state_dir=crash_dir,
+                                    resume=True).to_pandas()
+    assert norm(resumed) == norm(ref)
