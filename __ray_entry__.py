@@ -2784,6 +2784,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return knn_self_join(emb)
 
+    def embedding_knn_components(sf_dir):
+        # embedding cluster discovery: 1-NN graph (broadcast matmul) ->
+        # 5-round min-label propagation — the near-dup clustering scale
+        # path (kNN edges instead of O(n^2) pair lists)
+        import pyarrow.compute as pc
+        from raygraph.ops.ann import knn_self_join
+        from raygraph.ops.graph import connected_components
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        nn = knn_self_join(emb)
+
+        def to_edges(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "_from": pc.binary_join_element_wise(
+                    "v", batch.column("vec_id").cast(pa.string()), ""),
+                "_to": pc.binary_join_element_wise(
+                    "v", batch.column("nn_id").cast(pa.string()), ""),
+            })
+
+        return connected_components(
+            nn.map_batches(to_edges, batch_format="pyarrow"), iters=5)
+
     def embedding_norms(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["vec_id", "embedding"])
@@ -4861,6 +4884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": events_trend,
         "docs_kl_drift": docs_kl_drift,
         "events_asof_incremental": events_asof_incremental,
+        "embedding_knn_components": embedding_knn_components,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8280,6 +8304,24 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN t USING (source) JOIN l USING (lang), g
         GROUP BY c.source
     """
+    knn_edges_sql = """
+        SELECT 'v' || vec_id AS _from, 'v' || nn_id AS _to
+        FROM (
+          SELECT vec_id, nn_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, nn_id) AS rn
+          FROM (
+            SELECT a.vec_id, b.vec_id AS nn_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]),
+                         4) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+          )
+        ) WHERE rn = 1
+    """
+    out["embedding_knn_components"] = _components_sql(knn_edges_sql,
+                                                      iters=5)
     out["events_markov"] = _markov_sql(iters=3)
     out["events_twa"] = """
         WITH s AS (
