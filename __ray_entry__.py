@@ -2477,6 +2477,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           {"sum_spend_cents": "spend_cents"},
                           counts="n_customers")
 
+    def orders_zonemap_prune(sf_dir):
+        # lakehouse skip-index: range-cluster orders into date tiles
+        # once, build per-file zone maps FROM THE PARQUET FOOTERS (no
+        # row scan), answer a year-range aggregate reading only
+        # overlapping files — filesystem-level pruning like
+        # ann_ivf_persisted, but for a plain range predicate
+        from raygraph.maintenance import build_zone_maps, prune_files
+        from raygraph.ops.relational import range_partition
+
+        tdir = os.path.join(
+            _TMP, f"orders_tiles_{os.path.basename(sf_dir.rstrip('/'))}")
+        if not os.path.isdir(tdir):
+            od = rd.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_orderdate", "o_orderpriority",
+                         "o_totalprice"])
+            tiled = range_partition(od, "o_orderdate", 8)
+            for i in range(8):
+                def pick(batch: pa.Table, _i=i) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    return batch.filter(pc.equal(batch.column("tile"),
+                                                 pa.scalar(_i))) \
+                        .drop_columns(["tile"])
+
+                tiled.map_batches(pick, batch_format="pyarrow") \
+                    .repartition(1).write_parquet(
+                        os.path.join(tdir, f"tile={i}"))
+            build_zone_maps(tdir, ["o_orderdate"])
+
+        lo = int(np.datetime64("1995-01-01", "us").astype("int64"))
+        hi = int(np.datetime64("1996-01-01", "us").astype("int64"))
+        files, skipped = prune_files(tdir, "o_orderdate", lo, hi - 1)
+        assert skipped > 0, "zone maps must actually skip files"
+        ds = rd.read_parquet(files)
+
+        def in_range(batch: pa.Table) -> pa.Table:
+            us = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = (us >= lo) & (us < hi)
+            t = batch.filter(pa.array(keep))
+            df = t.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": np.round(df["o_totalprice"].to_numpy()
+                                  * 100).astype("int64"),
+            }), preserve_index=False)
+
+        return preagg_sum(ds.map_batches(in_range, batch_format="pyarrow"),
+                          ["o_orderpriority"], {"sum_cents": "cents"},
+                          counts="n_orders")
+
+    def kg_edges_jsonl(sf_dir):
+        # sink-format parity: the built edge table round-tripped through
+        # a JSONL export (write_json -> read_json) must reproduce the
+        # kg_edges rows exactly (shared oracle)
+        res = _kg_result(sf_dir)
+        jdir = os.path.join(_TMP, f"kg_edges_jsonl_{_docs_count(sf_dir)}")
+        if not os.path.isdir(jdir):
+            rd.read_parquet(res.edges_path,
+                            columns=["_from", "pred", "_to"]) \
+                .write_json(jdir)
+        return rd.read_json(jdir).select_columns(["_from", "pred", "_to"])
+
     def events_user_deciles(sf_dir):
         # LTV-style segmentation: users bucketed by total value into
         # deciles — per-user combiner sums, exact global decile
@@ -4885,6 +4949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_kl_drift": docs_kl_drift,
         "events_asof_incremental": events_asof_incremental,
         "embedding_knn_components": embedding_knn_components,
+        "orders_zonemap_prune": orders_zonemap_prune,
+        "kg_edges_jsonl": kg_edges_jsonl,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8352,4 +8418,15 @@ def oracle_sql() -> dict[str, str]:
     out["events_distinct_users_incremental"] = out["events_distinct_users"]
     # the stream-stream as-of fold equals the batch as-of join
     out["events_asof_incremental"] = out["events_asof_join"]
+    # the JSONL round-trip must reproduce the built edge table exactly
+    out["kg_edges_jsonl"] = out["kg_edges"]
+    out["orders_zonemap_prune"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority
+    """
     return out

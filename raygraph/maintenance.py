@@ -122,3 +122,74 @@ def compact_table(
         stats["files_in"] += len(files_in)
         stats["files_out"] += len(files_out)
     return stats
+
+
+def build_zone_maps(table_path: str, columns: list[str]) -> str:
+    """Build per-FILE zone maps (min/max per column) for a parquet table
+    directory — the lakehouse pruning index (Iceberg/Delta file stats,
+    ClickHouse minmax skip index). Stats come from the parquet FOOTERS
+    (row-group statistics), so the build reads metadata, not data — a
+    10⁵-file table costs 10⁵ footer reads, zero row scans.
+
+    Written as ``_zonemaps.json`` (write-then-rename, the
+    :mod:`raygraph.checkpoint` commit discipline) mapping each file to
+    {column: [min, max]} with timestamps serialized as int64 µs.
+    Returns the manifest path."""
+    import pyarrow.parquet as pq
+
+    def _ser(v):
+        import datetime
+
+        import numpy as np
+
+        if isinstance(v, datetime.datetime):
+            # naive parquet stats → epoch µs without local-TZ influence
+            return int(np.datetime64(v.replace(tzinfo=None), "us")
+                       .astype("int64"))
+        return v
+
+    maps = {}
+    for f in sorted(glob.glob(os.path.join(table_path, "**", "*.parquet"),
+                              recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        stats: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name not in columns or col.statistics is None:
+                    continue
+                s = col.statistics
+                if not s.has_min_max:
+                    continue
+                mn, mx = _ser(s.min), _ser(s.max)
+                cur = stats.get(name)
+                stats[name] = [mn, mx] if cur is None else \
+                    [min(cur[0], mn), max(cur[1], mx)]
+        maps[os.path.relpath(f, table_path)] = stats
+    out = os.path.join(table_path, "_zonemaps.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(maps, fh, indent=1, sort_keys=True)
+    os.replace(tmp, out)
+    return out
+
+
+def prune_files(table_path: str, col: str, lo, hi) -> tuple[list[str],
+                                                            int]:
+    """Filesystem-level pruning off the zone maps: the files whose
+    [min, max] range for ``col`` overlaps [lo, hi] (files with no
+    recorded stats are conservatively kept). Returns (paths_to_read,
+    n_files_skipped) — the read plan a range query hands to
+    ``read_parquet`` so skipped files never leave storage."""
+    with open(os.path.join(table_path, "_zonemaps.json")) as fh:
+        maps = json.load(fh)
+    keep, skipped = [], 0
+    for rel, stats in maps.items():
+        rng = stats.get(col)
+        if rng is not None and (rng[1] < lo or rng[0] > hi):
+            skipped += 1
+            continue
+        keep.append(os.path.join(table_path, rel))
+    return keep, skipped

@@ -84,3 +84,36 @@ def test_compact_cli(ray_session, tmp_path, monkeypatch):
     assert rc == 0
     man = json.load(open(os.path.join(dst, "_compact", "_flat.json")))
     assert man["rows"] == 150
+
+
+def test_zone_maps_prune_only_nonoverlapping_files(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygraph.maintenance import build_zone_maps, prune_files
+
+    root = str(tmp_path / "zm")
+    # three range-clustered files: [0,99], [100,199], [200,299]
+    for i in range(3):
+        os.makedirs(os.path.join(root, f"tile={i}"))
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 100, i * 100 + 100),
+                                    pa.int64())}),
+            os.path.join(root, f"tile={i}", "part.parquet"))
+    man = build_zone_maps(root, ["k"])
+    assert os.path.exists(man)
+
+    files, skipped = prune_files(root, "k", 120, 150)
+    assert skipped == 2 and len(files) == 1
+    assert "tile=1" in files[0]
+    # overlap at a boundary keeps both files
+    files, skipped = prune_files(root, "k", 99, 100)
+    assert skipped == 1 and len(files) == 2
+    # pruned read == full filter
+    got = sorted(int(v) for f in prune_files(root, "k", 120, 150)[0]
+                 for v in pq.read_table(f).column("k").to_pylist()
+                 if 120 <= v <= 150)
+    assert got == list(range(120, 151))
