@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raygraph.ops.media import decode_features, documents_as_media
     from raygraph.ops.relational import broadcast_join, preagg_sum
 
+    import pyarrow.compute as pc
     import ray.data as rd
 
     # ---- KG construction ------------------------------------------------
@@ -2657,6 +2658,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return asof_join_incremental(ev, right, n_micro_batches=4)
 
+    def events_asof_forward(sf_dir):
+        # forward as-of: each event picks the EARLIEST mark at-or-after
+        # it — the "next scheduled checkpoint" lookup; same bucketed
+        # merge_asof plan, direction flipped, DuckDB ASOF (l.ts <= r.ts)
+        # as the oracle
+        from raygraph.ops.events import asof_join
+        from raygraph.ops.relational import hash_aggregate
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+
+        def marks(batch: pa.Table) -> pa.Table:
+            us = batch.column("ts").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = (us // 1_000_000) % 10 == 0
+            return batch.filter(pa.array(keep))
+
+        right = hash_aggregate(
+            rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+            .map_batches(marks, batch_format="pyarrow"),
+            ["user_id", "ts"],
+            lambda df: df.groupby(["user_id", "ts"], as_index=False)
+            ["value"].max(),
+        )
+        return asof_join(ev, right, direction="forward")
+
+    def events_conversion_time(sf_dir):
+        # funnel latency: per converted user the gap from FIRST signup
+        # to the first purchase at-or-after it; exact integer-second
+        # p50/p90 via the value-count quantile machinery. The signup
+        # map is user-sized → closure-broadcast, not shuffled.
+        from raygraph.ops.relational import grouped_quantiles
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"])
+
+        su = ev.map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"),
+                                        "signup")),
+            batch_format="pyarrow").groupby("user_id").min("ts") \
+            .to_pandas()
+        s_us = dict(zip(su["user_id"],
+                        su["min(ts)"].astype("datetime64[us]")
+                        .astype("int64")))
+
+        def gaps(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("event_type"),
+                                      "purchase"))
+            df = t.to_pandas()
+            us = df["ts"].astype("datetime64[us]").astype("int64")
+            start = df["user_id"].map(s_us)
+            ok = start.notna() & (us >= start)
+            out = pd.DataFrame({
+                "user_id": df["user_id"][ok],
+                "gap_us": (us[ok] - start[ok]).astype("int64"),
+            })
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        per_user = ev.map_batches(gaps, batch_format="pyarrow") \
+            .groupby("user_id").min("gap_us")
+
+        def to_secs(batch: pa.Table) -> pa.Table:
+            g = batch.column("min(gap_us)").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "__g": pa.array(np.zeros(len(g), dtype="int64")),
+                "gap_s": pa.array(g // 1_000_000, pa.int64()),
+            })
+
+        gds = per_user.map_batches(to_secs,
+                                   batch_format="pyarrow").materialize()
+        n = gds.count()
+        q = grouped_quantiles(gds, ["__g"], "gap_s",
+                              qs=(0.5, 0.9)).to_pandas()
+        return pd.DataFrame({
+            "n_converted": pd.array([n], dtype="int64"),
+            "p50_s": pd.array([int(q["p50"].iloc[0])], dtype="int64"),
+            "p90_s": pd.array([int(q["p90"].iloc[0])], dtype="int64"),
+        })
+
     def events_hopping(sf_dir):
         ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts", "value"])
@@ -4951,6 +5033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_components": embedding_knn_components,
         "orders_zonemap_prune": orders_zonemap_prune,
         "kg_edges_jsonl": kg_edges_jsonl,
+        "events_asof_forward": events_asof_forward,
+        "events_conversion_time": events_conversion_time,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8420,6 +8504,34 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof_incremental"] = out["events_asof_join"]
     # the JSONL round-trip must reproduce the built edge table exactly
     out["kg_edges_jsonl"] = out["kg_edges"]
+    out["events_asof_forward"] = """
+        WITH r0 AS (
+          SELECT user_id, ts, value FROM events
+          WHERE (epoch_us(ts) // 1000000) % 10 = 0
+        ),
+        r AS (SELECT user_id, ts, max(value) AS value_matched
+              FROM r0 GROUP BY user_id, ts)
+        SELECT l.user_id, l.ts, l.value,
+               r.value_matched, r.ts AS ts_matched
+        FROM events l
+        ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+    """
+    out["events_conversion_time"] = """
+        WITH su AS (SELECT user_id, min(ts) AS s FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        pu AS (SELECT e.user_id,
+                      min(epoch_us(e.ts) - epoch_us(su.s))::BIGINT
+                          AS gap_us
+               FROM events e JOIN su USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= su.s
+               GROUP BY e.user_id),
+        g AS (SELECT (gap_us // 1000000)::BIGINT AS gap_s FROM pu)
+        SELECT count(*)::BIGINT AS n_converted,
+               quantile_disc(gap_s, 0.5)::BIGINT AS p50_s,
+               quantile_disc(gap_s, 0.9)::BIGINT AS p90_s
+        FROM g
+    """
     out["orders_zonemap_prune"] = """
         SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
                sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT

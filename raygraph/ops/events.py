@@ -100,10 +100,13 @@ def asof_join(
     value_cols: tuple[str, ...] = ("value",),
     suffix: str = "_matched",
     num_buckets: int = 128,
+    direction: str = "backward",
 ):
-    """Per-key backward as-of join: each left row picks the LATEST right
-    row of the same key with ``right.ts <= left.ts`` (exact matches
-    allowed); unmatched rows keep nulls. The operator Ray Data lacks
+    """Per-key as-of join: each left row picks the LATEST right row of
+    the same key with ``right.ts <= left.ts`` (``direction="backward"``,
+    default) or the EARLIEST with ``right.ts >= left.ts``
+    (``direction="forward"`` — the "next event after" lookup); exact
+    matches allowed either way; unmatched rows keep nulls. The operator Ray Data lacks
     natively — expressed as tag-union → hash bucket by key →
     ``pd.merge_asof`` per bucket (vectorized; all rows of a key land in
     one bucket, the stated partitioning assumption).
@@ -139,7 +142,7 @@ def asof_join(
         # survives the asof merge
         r[ts_col + suffix] = r[ts_col]
         return pd.merge_asof(
-            l, r, on=ts_col, by=key_col, direction="backward",
+            l, r, on=ts_col, by=key_col, direction=direction,
             allow_exact_matches=True,
         )
 

@@ -588,3 +588,33 @@ def test_trend_slope_exact_linear_series():
     got = {r["event_type"]: (r["n_buckets"], r["slope_e6"])
            for r in trend_slope(ev).take_all()}
     assert got == {"A": (4, 2_000_000)}
+
+
+def test_asof_join_forward_picks_earliest_at_or_after():
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 2],
+        "ts": pa.array([t0, t0 + dt.timedelta(seconds=50),
+                        t0 + dt.timedelta(seconds=5)],
+                       pa.timestamp("us")),
+        "value": [1.0, 2.0, 3.0],
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 2],
+        "ts": pa.array([t0 + dt.timedelta(seconds=10),
+                        t0 + dt.timedelta(seconds=60),
+                        t0 + dt.timedelta(seconds=1)],
+                       pa.timestamp("us")),
+        "value": [10.0, 20.0, 30.0],
+    }))
+    out = asof_join(left, right, direction="forward").to_pandas()
+    got = {(r.user_id, r.value): r.value_matched
+           for r in out.itertuples()}
+    assert got[(1, 1.0)] == 10.0       # earliest mark at/after t0
+    assert got[(1, 2.0)] == 20.0       # next mark at +60s
+    assert pd.isna(got[(2, 3.0)])      # user 2 has no mark at/after +5s
