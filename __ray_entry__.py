@@ -208,6 +208,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return connected_components(ed, iters=5)
 
+    def kg_scc(sf_dir):
+        # directed SCC coloring pass: forward + backward min-label
+        # propagation (5 rounds each), resolved where in-min == out-min
+        from raygraph.ops.graph import scc_coloring
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return scc_coloring(ed, iters=5)
+
     def kg_triangles(sf_dir):
         # exact triangle count via degree-ordered orientation (max
         # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
@@ -5035,6 +5044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_jsonl": kg_edges_jsonl,
         "events_asof_forward": events_asof_forward,
         "events_conversion_time": events_conversion_time,
+        "kg_scc": kg_scc,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -5310,6 +5320,40 @@ def _kcore_sql(edges_sql: str, k: int, iters: int) -> str:
         ]
     parts.append(f" SELECT x AS vertex, deg FROM d{iters - 1} "
                  f"WHERE deg >= {k}")
+    return "".join(parts)
+
+
+def _scc_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled forward/backward min-label SCC coloring —
+    mirrors raygraph.ops.graph.scc_coloring round for round (directed
+    min propagation with self-fold via least/coalesce, then the
+    in==out pair filter)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
+        ", f0 AS (SELECT x, x AS l FROM vv)",
+        ", b0 AS (SELECT x, x AS l FROM vv)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", fm{i} AS (SELECT p.v AS x, min(l.l) AS ml "
+            f"FROM pr p JOIN f{i} l ON p.u = l.x GROUP BY p.v)",
+            f", f{i + 1} AS (SELECT v.x, "
+            f"least(l.l, coalesce(m.ml, l.l)) AS l "
+            f"FROM vv v JOIN f{i} l ON v.x = l.x "
+            f"LEFT JOIN fm{i} m ON v.x = m.x)",
+            f", bm{i} AS (SELECT p.u AS x, min(l.l) AS ml "
+            f"FROM pr p JOIN b{i} l ON p.v = l.x GROUP BY p.u)",
+            f", b{i + 1} AS (SELECT v.x, "
+            f"least(l.l, coalesce(m.ml, l.l)) AS l "
+            f"FROM vv v JOIN b{i} l ON v.x = l.x "
+            f"LEFT JOIN bm{i} m ON v.x = m.x)",
+        ]
+    parts.append(
+        f" SELECT f.l AS scc_id, count(*)::BIGINT AS n_vertices "
+        f"FROM f{iters} f JOIN b{iters} b ON b.x = f.x AND b.l = f.l "
+        f"GROUP BY f.l")
     return "".join(parts)
 
 
@@ -8504,6 +8548,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof_incremental"] = out["events_asof_join"]
     # the JSONL round-trip must reproduce the built edge table exactly
     out["kg_edges_jsonl"] = out["kg_edges"]
+    out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
         WITH r0 AS (
           SELECT user_id, ts, value FROM events

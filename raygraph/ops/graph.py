@@ -516,6 +516,91 @@ def _triangles(edges, src: str = "_from", dst: str = "_to"):
     return closed, deg, nparts
 
 
+def scc_coloring(edges, iters: int = 5, src: str = "_from",
+                 dst: str = "_to"):
+    """One coloring pass of the forward/backward min-label SCC algorithm
+    (Orzan's coloring step) over the DIRECTED arc set: after ``iters``
+    synchronous rounds, in(v) = min id with a ≤ ``iters``-hop path INTO
+    v (incl. v), out(v) = min id reachable FROM v (incl. v). in(v) ==
+    out(v) == m certifies v and m mutually reachable, so every such
+    vertex group is exactly the SCC of its pivot m — the pass resolves
+    the SCCs whose pivot is the minimum over everything reaching them
+    (the full algorithm recurses on the rest; one pass is the
+    deterministic, SQL-unrollable unit). Returns (scc_id, n_vertices)
+    for the resolved groups.
+
+    Per round and per direction: one edge-sized shuffle join + a
+    min-combine (the :func:`connected_components` discipline, directed);
+    the two label Datasets meet in one vertex-sized join at the end.
+    Nothing vertex- or edge-sized reaches the driver."""
+    from .relational import (_join_partitions, preagg_extreme,
+                             preagg_sum, shuffle_join)
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+    lbl_schema = pa.schema([("vertex", pa.string()),
+                            ("label", pa.string())])
+
+    def rename(ds, names):
+        return ds.map_batches(
+            lambda b, _n=tuple(names): b.rename_columns(list(_n)),
+            batch_format="pyarrow")
+
+    fwd_arcs = _repaired(rename(pairs, ["u", "v"]), arc_schema)
+    bwd_arcs = _repaired(rename(pairs, ["v", "u"])
+                         .select_columns(["u", "v"]), arc_schema)
+
+    verts = _repaired(
+        preagg_extreme(
+            fwd_arcs.select_columns(["u"]).union(
+                rename(fwd_arcs.select_columns(["v"]), ["u"])),
+            ["u"], "u", how="min", out="label"),
+        pa.schema([("u", pa.string()), ("label", pa.string())]),
+    ).rename_columns({"u": "vertex"})
+
+    def self_loops(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("vertex"),
+                         "v": batch.column("vertex")})
+
+    loops = verts.map_batches(self_loops, batch_format="pyarrow")
+
+    def propagate(arcs):
+        arcs = _repaired(arcs.union(loops), arc_schema)
+        labels = verts
+        for _ in range(iters):
+            msgs = shuffle_join(arcs, labels, on="u", right_on="vertex",
+                                num_partitions=nparts)
+            msgs = _repaired(msgs, pa.schema([
+                ("u", pa.string()), ("v", pa.string()),
+                ("label", pa.string())]))
+            labels = _repaired(
+                preagg_extreme(msgs.select_columns(["v", "label"]),
+                               ["v"], "label", how="min", out="label"),
+                pa.schema([("v", pa.string()), ("label", pa.string())]),
+            ).rename_columns({"v": "vertex"})
+        return labels
+
+    fwd = propagate(fwd_arcs)
+    bwd = _repaired(propagate(bwd_arcs), lbl_schema) \
+        .rename_columns({"label": "out_label"})
+    both = shuffle_join(_repaired(fwd, lbl_schema), bwd, on="vertex",
+                        right_on="vertex", num_partitions=nparts)
+    both = _repaired(both, pa.schema([
+        ("vertex", pa.string()), ("label", pa.string()),
+        ("out_label", pa.string())]))
+
+    def resolved(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch.column("label"),
+                                  batch.column("out_label")))
+        return pa.table({"scc_id": t.column("label")})
+
+    return preagg_sum(both.map_batches(resolved, batch_format="pyarrow"),
+                      ["scc_id"], {}, counts="n_vertices")
+
+
 def _wedge_pair_counts(edges, src: str = "_from", dst: str = "_to",
                        hub_cap: int | None = None):
     """Common-neighbor witness counts per unordered endpoint pair of the

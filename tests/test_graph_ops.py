@@ -707,3 +707,29 @@ def test_four_cycles_known_graphs(ray_session):
     assert count(k23 + [("v1", "u1")]) == 3
     # wedge-free graph exercises the empty short-circuit
     assert count([("a", "b")]) == 0
+
+
+def test_scc_coloring_resolves_pivot_sccs(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import scc_coloring
+
+    def run(pairs):
+        ed = rd.from_arrow(pa.table({
+            "_from": [p[0] for p in pairs],
+            "pred": ["p"] * len(pairs),
+            "_to": [p[1] for p in pairs],
+        }))
+        df = scc_coloring(ed, iters=5).to_pandas()
+        return dict(zip(df["scc_id"], df["n_vertices"].astype(int)))
+
+    # {a,b} is an SCC and a is globally minimal -> resolved with size 2;
+    # {c,d} is an SCC but a reaches it (in-min a != out-min c) -> left
+    # for the next coloring pass; f is a resolved singleton source; g is
+    # reached by f -> unresolved
+    got = run([("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
+               ("d", "c"), ("f", "g")])
+    assert got == {"a": 2, "f": 1}
+    # a pure cycle resolves entirely into its min pivot
+    got = run([("x", "y"), ("y", "z"), ("z", "x")])
+    assert got == {"x": 3}
