@@ -2551,6 +2551,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .write_json(jdir)
         return rd.read_json(jdir).select_columns(["_from", "pred", "_to"])
 
+    def docs_curation_funnel(sf_dir):
+        # the curation pipeline as a funnel: raw -> min-length ->
+        # quality-threshold -> exact-dedup survivor counts, each stage a
+        # streaming filter over the previous (counts are the only
+        # driver-side values)
+        docs = _docs_ds(sf_dir)
+        raw = docs.count()
+
+        def with_quality(batch: pa.Table) -> pa.Table:
+            q = T.quality_score(batch).column("quality")
+            return batch.append_column("quality", q).append_column(
+                "n_chars", pc.utf8_length(batch.column("text"))
+                .cast(pa.int64()))
+
+        staged = docs.map_batches(with_quality,
+                                  batch_format="pyarrow").materialize()
+        f2 = staged.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n_chars"),
+                                                100)),
+            batch_format="pyarrow").materialize()
+        f3 = f2.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("quality"),
+                                                0.5)),
+            batch_format="pyarrow").materialize()
+        from raygraph.ops.dedup import exact_dedup
+
+        n2, n3 = f2.count(), f3.count()
+        n4 = exact_dedup(f3.select_columns(["doc_id", "text"])).count()
+        return pd.DataFrame({
+            "stage": ["raw", "min_length", "quality", "dedup"],
+            "n_docs": pd.array([raw, n2, n3, n4], dtype="int64"),
+        })
+
+    def docs_dup_hist(sf_dir):
+        # duplicate-cluster-size histogram over the 50%-duplicate
+        # corpus: content digests shuffle (never texts), count per
+        # digest, then count-of-counts — the dedup telemetry shape
+        import hashlib
+
+        doubled = _doubled_docs(sf_dir)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({"digest": pa.array(
+                [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in texts], pa.string())})
+
+        per_text = preagg_sum(
+            doubled.map_batches(digest, batch_format="pyarrow"),
+            ["digest"], {}, counts="cluster_size")
+        return preagg_sum(per_text.select_columns(["cluster_size"]),
+                          ["cluster_size"], {}, counts="n_clusters")
+
+    def orders_backlog(sf_dir):
+        # interval -> delta-event -> distributed prefix sum: daily open
+        # orders (opened at o_orderdate, fulfilled at the order's last
+        # shipdate). One big-big shuffle join, day-keyed combiner
+        # deltas, then the two-phase ordered scan.
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import (ordered_prefix_sum,
+                                             preagg_extreme,
+                                             shuffle_join)
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_shipdate"])
+        od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+        def li_days(batch: pa.Table) -> pa.Table:
+            d = batch.column("l_shipdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False) // 86_400_000_000
+            return pa.table({"ok": batch.column("l_orderkey"),
+                             "fd": pa.array(d, pa.int64())})
+
+        fulfilled = _repaired(
+            preagg_extreme(li.map_batches(li_days,
+                                          batch_format="pyarrow"),
+                           ["ok"], "fd", how="max", out="fd"),
+            pa.schema([("ok", pa.int64()), ("fd", pa.int64())]))
+
+        def od_days(batch: pa.Table) -> pa.Table:
+            d = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False) // 86_400_000_000
+            return pa.table({"ok2": batch.column("o_orderkey"),
+                             "od": pa.array(d, pa.int64())})
+
+        opened = od.map_batches(od_days, batch_format="pyarrow")
+        j = _repaired(
+            shuffle_join(opened, fulfilled, on="ok2", right_on="ok"),
+            pa.schema([("ok2", pa.int64()), ("od", pa.int64()),
+                       ("fd", pa.int64())]))
+
+        def deltas(batch: pa.Table) -> pa.Table:
+            od_ = batch.column("od").combine_chunks()
+            fd_ = batch.column("fd").combine_chunks()
+            one = pa.array(np.ones(batch.num_rows, dtype="int64"))
+            mone = pa.array(np.full(batch.num_rows, -1, dtype="int64"))
+            fd1 = pa.array(fd_.to_numpy(zero_copy_only=False) + 1,
+                           pa.int64())
+            return pa.table({
+                "day": pa.concat_arrays([od_.cast(pa.int64()), fd1]),
+                "delta": pa.concat_arrays([one, mone]),
+            })
+
+        g = preagg_sum(j.map_batches(deltas, batch_format="pyarrow"),
+                       ["day"], {"delta": "delta"})
+        scanned = ordered_prefix_sum(g, "day", "delta", n_tiles=16)
+
+        def finish(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["n_open"] = (df["prefix_before"]
+                            + df["delta"]).astype("int64")
+            return pa.Table.from_pandas(df[["day", "n_open"]],
+                                        preserve_index=False)
+
+        return scanned.map_batches(finish, batch_format="pyarrow")
+
     def events_user_deciles(sf_dir):
         # LTV-style segmentation: users bucketed by total value into
         # deciles — per-user combiner sums, exact global decile
@@ -5045,6 +5162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_forward": events_asof_forward,
         "events_conversion_time": events_conversion_time,
         "kg_scc": kg_scc,
+        "docs_curation_funnel": docs_curation_funnel,
+        "docs_dup_hist": docs_dup_hist,
+        "orders_backlog": orders_backlog,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8548,6 +8668,67 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof_incremental"] = out["events_asof_join"]
     # the JSONL round-trip must reproduce the built edge table exactly
     out["kg_edges_jsonl"] = out["kg_edges"]
+    out["docs_curation_funnel"] = _TOKS_CTE + f"""
+        , s AS (
+          SELECT doc_id, n_chars, n_punct,
+                 len(toks) AS n_tok,
+                 len(list_filter(toks,
+                     x -> list_contains({stop['en']}, x))) AS stop_hits,
+                 len(list_distinct(toks)) AS n_uniq
+          FROM t
+        ),
+        q AS (SELECT doc_id, n_chars,
+                     floor(10000.0 * (
+                         0.35 * least(n_chars / 500.0, 1.0)
+                       + 0.25 * least((stop_hits / greatest(n_tok, 1))
+                                      * 4, 1.0)
+                       + 0.2 * (n_uniq / greatest(n_tok, 1))
+                       + 0.2 * (1 - least((n_punct
+                                           / greatest(n_chars, 1)) * 5,
+                                          1.0))
+                     )) / 10000.0 AS quality
+              FROM s),
+        f2 AS (SELECT d.doc_id, d.text, q.quality
+               FROM documents d JOIN q USING (doc_id)
+               WHERE q.n_chars >= 100),
+        f3 AS (SELECT * FROM f2 WHERE quality >= 0.5)
+        SELECT * FROM (
+          SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs
+          FROM documents
+          UNION ALL SELECT 'min_length', count(*)::BIGINT FROM f2
+          UNION ALL SELECT 'quality', count(*)::BIGINT FROM f3
+          UNION ALL SELECT 'dedup', count(DISTINCT text)::BIGINT FROM f3
+        )
+    """
+    out["docs_dup_hist"] = f"""
+        WITH doubled AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_OFFSET}, text FROM documents
+        ),
+        c AS (SELECT count(*)::BIGINT AS cluster_size FROM doubled
+              GROUP BY md5(text))
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        FROM c GROUP BY cluster_size
+    """
+    out["orders_backlog"] = """
+        WITH f AS (SELECT l_orderkey AS ok,
+                          max(epoch_us(l_shipdate)
+                              // 86400000000)::BIGINT AS fd
+                   FROM lineitem GROUP BY l_orderkey),
+        o AS (SELECT o_orderkey AS ok,
+                     (epoch_us(o_orderdate) // 86400000000)::BIGINT
+                         AS od
+              FROM orders),
+        j AS (SELECT o.ok, o.od, f.fd FROM o JOIN f USING (ok)),
+        d AS (SELECT od AS day, 1 AS delta FROM j
+              UNION ALL SELECT fd + 1, -1 FROM j),
+        g AS (SELECT day, sum(delta)::BIGINT AS delta FROM d
+              GROUP BY day)
+        SELECT day::BIGINT AS day,
+               sum(delta) OVER (ORDER BY day)::BIGINT AS n_open
+        FROM g
+    """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
         WITH r0 AS (
