@@ -3079,6 +3079,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return connected_components(
             nn.map_batches(to_edges, batch_format="pyarrow"), iters=5)
 
+    def embedding_outliers(sf_dir):
+        # centroid-distance outliers in exact integers: components
+        # quantized to e6 (the embedding_centroids discipline), global
+        # centroid = per-dim integer floor-mean (dims-sized aggregate),
+        # then per-batch integer distance^2 partials + a driver top-10
+        from raygraph.ops.vecops import vectors_to_numpy
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+
+        def dim_sums(batch: pa.Table) -> pa.Table:
+            x = np.trunc(vectors_to_numpy(batch.column("embedding"),
+                                          np.float64) * 1_000_000) \
+                .astype("int64")
+            return pa.table({
+                "dim": pa.array(np.arange(x.shape[1]), pa.int64()),
+                "s": pa.array(x.sum(axis=0), pa.int64()),
+                "n": pa.array(np.full(x.shape[1], len(x)), pa.int64()),
+            })
+
+        agg = preagg_sum(emb.map_batches(dim_sums,
+                                         batch_format="pyarrow"),
+                         ["dim"], {"s": "s", "n": "n"}).to_pandas() \
+            .sort_values("dim")
+        cent = np.floor(agg["s"].to_numpy("int64").astype("float64")
+                        / agg["n"].to_numpy("int64")).astype("int64")
+
+        def d2_partial(batch: pa.Table) -> pa.Table:
+            x = np.trunc(vectors_to_numpy(batch.column("embedding"),
+                                          np.float64) * 1_000_000) \
+                .astype("int64")
+            d2 = ((x - cent) ** 2).sum(axis=1)
+            top = np.argsort(-d2, kind="stable")[:10]
+            return pa.table({
+                "vec_id": batch.column("vec_id").take(
+                    pa.array(top, pa.int64())),
+                "d2_e12": pa.array(d2[top], pa.int64()),
+            })
+
+        parts = emb.map_batches(d2_partial,
+                                batch_format="pyarrow").to_pandas()
+        return parts.sort_values(["d2_e12", "vec_id"],
+                                 ascending=[False, True]).head(10) \
+            .reset_index(drop=True)
+
+    def events_seq_regex(sf_dir):
+        # sequence-pattern cohort: users whose event-initial string
+        # matches s[cv]*p (signup -> only clicks/views -> purchase);
+        # per-user fold in one key-hash pass, compiled regex vectorized
+        import re
+
+        from raygraph.ops.relational import hash_aggregate
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"])
+        pat = re.compile(r"s[cv]*p")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+            seqs = df.assign(i=df["event_type"].str[0]) \
+                .groupby("user_id", sort=False)["i"].agg("".join)
+            m = seqs.str.contains(pat).astype("int64")
+            return pd.DataFrame({"n_users": [len(seqs)],
+                                 "n_matching": [int(m.sum())]})
+
+        parts = hash_aggregate(ev, ["user_id"], fold).to_pandas()
+        return pd.DataFrame({
+            "n_users": pd.array([int(parts["n_users"].sum())],
+                                dtype="int64"),
+            "n_matching": pd.array([int(parts["n_matching"].sum())],
+                                   dtype="int64"),
+        })
+
+    def events_user_entropy(sf_dir):
+        # behavioral diversity per user: event-type entropy in the
+        # per-term-floor integer discipline (order-free sums)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        c = preagg_sum(ev, ["user_id", "event_type"], {},
+                       counts="n").to_pandas()
+        tot = c.groupby("user_id")["n"].transform("sum")
+        terms = np.floor(
+            (1_000_000 * c["n"]).astype("float64")
+            * np.log(tot.astype("float64") / c["n"].astype("float64"))
+            / tot.astype("float64")).astype("int64")
+        out = (pd.DataFrame({"user_id": c["user_id"], "t": terms})
+               .groupby("user_id", sort=True)["t"].sum()
+               .reset_index(name="h_e6"))
+        ntypes = c.groupby("user_id", sort=True).size() \
+            .reset_index(name="n_types")
+        out = out.merge(ntypes, on="user_id")
+        out["h_e6"] = out["h_e6"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        return out
+
     def embedding_norms(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["vec_id", "embedding"])
@@ -5165,6 +5262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_funnel": docs_curation_funnel,
         "docs_dup_hist": docs_dup_hist,
         "orders_backlog": orders_backlog,
+        "embedding_outliers": embedding_outliers,
+        "events_seq_regex": events_seq_regex,
+        "events_user_entropy": events_user_entropy,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8728,6 +8828,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT day::BIGINT AS day,
                sum(delta) OVER (ORDER BY day)::BIGINT AS n_open
         FROM g
+    """
+    out["embedding_outliers"] = """
+        WITH u AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(trunc(unnest(embedding)::DOUBLE * 1000000)
+                      AS BIGINT) AS x_e6
+          FROM embeddings
+        ),
+        c AS (SELECT dim,
+                     CAST(floor(sum(x_e6)::DOUBLE / count(*)) AS BIGINT)
+                         AS c_e6
+              FROM u GROUP BY dim),
+        d AS (SELECT u.vec_id,
+                     sum((u.x_e6 - c.c_e6)
+                         * (u.x_e6 - c.c_e6))::BIGINT AS d2_e12
+              FROM u JOIN c USING (dim) GROUP BY u.vec_id)
+        SELECT vec_id, d2_e12 FROM d
+        ORDER BY d2_e12 DESC, vec_id LIMIT 10
+    """
+    out["events_seq_regex"] = """
+        WITH s AS (SELECT user_id,
+                          string_agg(substr(event_type, 1, 1), ''
+                                     ORDER BY ts, event_id) AS seq
+                   FROM events GROUP BY user_id)
+        SELECT count(*)::BIGINT AS n_users,
+               sum(CASE WHEN regexp_matches(seq, 's[cv]*p')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_matching
+        FROM s
+    """
+    out["events_user_entropy"] = """
+        WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+                   FROM events GROUP BY user_id, event_type),
+        t AS (SELECT user_id, sum(n)::BIGINT AS tot FROM c
+              GROUP BY user_id)
+        SELECT c.user_id, count(*)::BIGINT AS n_types,
+               sum(floor((1000000 * c.n) * ln(t.tot::DOUBLE / c.n)
+                         / t.tot))::BIGINT AS h_e6
+        FROM c JOIN t USING (user_id) GROUP BY c.user_id
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
