@@ -5049,6 +5049,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["kl_e6"] = out["kl_e6"].astype("int64")
         return out
 
+    def events_missing_hours(sf_dir):
+        # time-series completeness audit: per type, hours in [min, max]
+        # with NO events — span arithmetic + a lead-gap scan over the
+        # present buckets (combiner preagg first, so the scan input is
+        # keys x hours, never events)
+        from raygraph.ops.relational import (compact_nonempty,
+                                             hash_aggregate)
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+
+        def hours(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            h = (df["ts"].astype("datetime64[us]").astype("int64")
+                 // 3_600_000_000)
+            return pa.Table.from_pandas(
+                pd.DataFrame({"event_type": df["event_type"],
+                              "hour": h}).drop_duplicates(),
+                preserve_index=False)
+
+        present = compact_nonempty(
+            hash_aggregate(ev.map_batches(hours, batch_format="pyarrow"),
+                           ["event_type", "hour"],
+                           lambda df: df.drop_duplicates()).materialize())
+
+        def scan(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["event_type", "hour"], kind="mergesort")
+            g = df.groupby("event_type", sort=False)
+            nxt = g["hour"].shift(-1)
+            gap_after = nxt.notna() & (nxt - df["hour"] > 1)
+            first_gap = df.loc[gap_after].groupby("event_type",
+                                                  sort=False)["hour"] \
+                .min() + 1
+            agg = g["hour"].agg(["min", "max", "size"]).reset_index()
+            agg["n_hours_span"] = (agg["max"] - agg["min"]
+                                   + 1).astype("int64")
+            agg["n_missing"] = (agg["n_hours_span"]
+                                - agg["size"]).astype("int64")
+            agg["first_gap_hour"] = agg["event_type"].map(first_gap) \
+                .astype("Int64")
+            out = agg.rename(columns={"size": "n_hours_present"})
+            out["n_hours_present"] = out["n_hours_present"] \
+                .astype("int64")
+            return out[["event_type", "n_hours_present", "n_hours_span",
+                        "n_missing", "first_gap_hour"]]
+
+        return hash_aggregate(present, ["event_type"], scan)
+
+    def orders_reconcile(sf_dir):
+        # ledger reconciliation audit: o_totalprice vs the recomputed
+        # line total Σ price·(1−disc)·(1+tax) in exact cents — one
+        # big-big shuffle join, vectorized arithmetic, mismatch counts
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import shuffle_join, tree_aggregate
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_tax"])
+
+        def line_cents(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.round(
+                df["l_extendedprice"].to_numpy()
+                * (1 - df["l_discount"].to_numpy())
+                * (1 + df["l_tax"].to_numpy()) * 100).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "ok": df["l_orderkey"], "cents": cents}),
+                preserve_index=False)
+
+        line_tot = _repaired(
+            preagg_sum(li.map_batches(line_cents,
+                                      batch_format="pyarrow"),
+                       ["ok"], {"line_cents": "cents"}),
+            pa.schema([("ok", pa.int64()), ("line_cents", pa.int64())]))
+
+        od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_totalprice"])
+
+        def ord_cents(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "ok2": df["o_orderkey"],
+                "total_cents": np.round(df["o_totalprice"].to_numpy()
+                                        * 100).astype("int64")}),
+                preserve_index=False)
+
+        j = _repaired(
+            shuffle_join(od.map_batches(ord_cents,
+                                        batch_format="pyarrow"),
+                         line_tot, on="ok2", right_on="ok"),
+            pa.schema([("ok2", pa.int64()), ("total_cents", pa.int64()),
+                       ("line_cents", pa.int64())]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            mism = (df["total_cents"] != df["line_cents"])
+            return pa.table({
+                "n_orders": pa.array([len(df)], pa.int64()),
+                "n_mismatched": pa.array([int(mism.sum())], pa.int64()),
+                "abs_diff_cents": pa.array(
+                    [int((df["total_cents"]
+                          - df["line_cents"]).abs().sum())], pa.int64()),
+            })
+
+        return tree_aggregate(
+            j.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None),
+            lambda df: pd.DataFrame({
+                "n_orders": [int(df["n_orders"].sum())],
+                "n_mismatched": [int(df["n_mismatched"].sum())],
+                "abs_diff_cents": [int(df["abs_diff_cents"].sum())]}),
+            precombined=True)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5265,6 +5379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": embedding_outliers,
         "events_seq_regex": events_seq_regex,
         "events_user_entropy": events_user_entropy,
+        "events_missing_hours": events_missing_hours,
+        "orders_reconcile": orders_reconcile,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -8866,6 +8982,47 @@ def oracle_sql() -> dict[str, str]:
                sum(floor((1000000 * c.n) * ln(t.tot::DOUBLE / c.n)
                          / t.tot))::BIGINT AS h_e6
         FROM c JOIN t USING (user_id) GROUP BY c.user_id
+    """
+    out["events_missing_hours"] = """
+        WITH h AS (SELECT DISTINCT event_type,
+                          epoch_us(ts) // 3600000000 AS hour
+                   FROM events),
+        s AS (SELECT event_type, hour,
+                     lead(hour) OVER (PARTITION BY event_type
+                                      ORDER BY hour) AS nxt
+              FROM h),
+        fg AS (SELECT event_type, (min(hour) + 1)::BIGINT
+                          AS first_gap_hour
+               FROM s WHERE nxt IS NOT NULL AND nxt - hour > 1
+               GROUP BY event_type),
+        a AS (SELECT event_type, count(*)::BIGINT AS n_hours_present,
+                     min(hour)::BIGINT AS mn, max(hour)::BIGINT AS mx
+              FROM h GROUP BY event_type)
+        SELECT a.event_type, a.n_hours_present,
+               (mx - mn + 1)::BIGINT AS n_hours_span,
+               (mx - mn + 1 - n_hours_present)::BIGINT AS n_missing,
+               fg.first_gap_hour
+        FROM a LEFT JOIN fg USING (event_type)
+    """
+    out["orders_reconcile"] = """
+        WITH lc AS (SELECT l_orderkey AS ok,
+                           sum(CAST(round(l_extendedprice
+                                          * (1 - l_discount)
+                                          * (1 + l_tax) * 100)
+                                    AS BIGINT))::BIGINT AS line_cents
+                    FROM lineitem GROUP BY l_orderkey),
+        oc AS (SELECT o_orderkey AS ok,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS total_cents
+               FROM orders),
+        j AS (SELECT oc.total_cents, lc.line_cents
+              FROM oc JOIN lc USING (ok))
+        SELECT count(*)::BIGINT AS n_orders,
+               sum(CASE WHEN total_cents <> line_cents
+                        THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+               sum(abs(total_cents - line_cents))::BIGINT
+                   AS abs_diff_cents
+        FROM j
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
