@@ -5163,6 +5163,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "abs_diff_cents": [int(df["abs_diff_cents"].sum())]}),
             precombined=True)
 
+    def text_skipgrams(sf_dir):
+        # window-2 skip-gram heavy hitters: the word2vec/PMI-matrix
+        # counting primitive (flat token array + shifted views, no
+        # per-row Python); only 20 rows reach the driver
+        return T.skipgram_counts(_docs_ds(sf_dir), k=20, window=2)
+
+    def orders_weekly(sf_dir):
+        # calendar rollup on Monday-aligned week ids ((epoch_day+3)//7 —
+        # 1970-01-01 was a Thursday), exact cents; same combiner shape
+        # as every preagg rollup
+        od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderdate", "o_totalprice"])
+
+        def weekly(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            day = (df["o_orderdate"].astype("datetime64[us]")
+                   .astype("int64") // 86_400_000_000)
+            return pa.Table.from_pandas(pd.DataFrame({
+                "week_id": (day + 3) // 7,
+                "cents": np.round(df["o_totalprice"].to_numpy()
+                                  * 100).astype("int64"),
+            }), preserve_index=False)
+
+        return preagg_sum(od.map_batches(weekly, batch_format="pyarrow"),
+                          ["week_id"], {"sum_cents": "cents"},
+                          counts="n_orders")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5381,6 +5408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": events_user_entropy,
         "events_missing_hours": events_missing_hours,
         "orders_reconcile": orders_reconcile,
+        "text_skipgrams": text_skipgrams,
+        "orders_weekly": orders_weekly,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9023,6 +9052,29 @@ def oracle_sql() -> dict[str, str]:
                sum(abs(total_cents - line_cents))::BIGINT
                    AS abs_diff_cents
         FROM j
+    """
+    out["text_skipgrams"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+                FROM t),
+        g AS (SELECT doc_id, tok,
+                     lead(tok, 1) OVER w AS t1,
+                     lead(tok, 2) OVER w AS t2
+              FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        p AS (SELECT tok || ' ' || t1 AS pair FROM g
+              WHERE t1 IS NOT NULL
+              UNION ALL
+              SELECT tok || ' ' || t2 FROM g WHERE t2 IS NOT NULL)
+        SELECT pair, count(*)::BIGINT AS n FROM p
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """
+    out["orders_weekly"] = """
+        SELECT ((epoch_us(o_orderdate) // 86400000000 + 3)
+                // 7)::BIGINT AS week_id,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_cents,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY week_id
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """

@@ -768,6 +768,50 @@ def novelty_rate(ds, n: int = 3, id_col: str = "doc_id",
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def skipgram_counts(ds, k: int = 20, window: int = 2,
+                    text_col: str = "text"):
+    """Skip-gram co-occurrence heavy hitters (the word2vec / PMI-matrix
+    preprocessing primitive): ordered (center, context) pairs within
+    ``window`` tokens inside a doc, counted corpus-wide, top-``k`` by
+    count (ties → pair text). Generalizes :func:`top_bigrams` from
+    adjacency to a window: the same ONE flat token array per batch with
+    doc-boundary masking, one shifted view per distance (no per-row
+    Python), partial counts, distributed sort + limit — only k rows
+    reach the driver."""
+    from .relational import preagg_sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        total = int(lens.sum())
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if total < 2:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        # doc id per flat position, to mask cross-doc pairs
+        doc = np.repeat(np.arange((lens > 0).sum()), lens[lens > 0])
+        pieces = []
+        for d in range(1, window + 1):
+            if total <= d:
+                break
+            ok = doc[:-d] == doc[d:]
+            if ok.any():
+                pieces.append(pd.Series(flat[:-d][ok]).str.cat(
+                    pd.Series(flat[d:][ok]), sep=" "))
+        if not pieces:
+            return empty
+        g = pd.concat(pieces, ignore_index=True).value_counts() \
+            .rename_axis("pair").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(ds.map_batches(pair_counts, batch_format="pyarrow"),
+                     ["pair"], {"n": "n"})
+    return agg.sort(["n", "pair"], descending=[True, False]).limit(k)
+
+
 def bpe_merge_pairs(ds, k: int = 10, text_col: str = "text"):
     """One BPE-training merge round: the top-k adjacent CHARACTER pairs
     inside whitespace tokens, weighted by corpus token frequency — the

@@ -379,3 +379,28 @@ def test_novelty_rate_first_occurrence(ray_session):
     g2 = novelty_rate(ds2, n=3).to_pandas()
     assert g2["n_grams"].iloc[0] == 3
     assert g2["novelty_bp"].iloc[0] == 10_000
+
+
+def test_skipgram_counts_window_masking(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from raygraph.ops.text import skipgram_counts
+
+    docs = ["a b c", "c a"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()), "text": docs}))
+    got = {r["pair"]: r["n"]
+           for r in skipgram_counts(ds, k=50, window=2).take_all()}
+    exp = collections.Counter()
+    for d in docs:
+        t = d.split()
+        for i in range(len(t)):
+            for j in (1, 2):
+                if i + j < len(t):
+                    exp[f"{t[i]} {t[i + j]}"] += 1
+    assert got == dict(exp)
+    # no cross-doc pair leaked ('c a' from doc boundary would be wrong
+    # only if doc masking failed; it exists legitimately inside doc 1)
+    assert got["c a"] == 1
