@@ -251,6 +251,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
         return bfs_distance(ed, source=top[0]["_from"], iters=3)
 
+    def kg_path_counts(sf_dir):
+        # Brandes forward phase: hop distance + exact shortest-path
+        # counts sigma from the kg_bfs pivot (3 synchronous rounds)
+        from raygraph.ops.graph import bfs_path_counts, distinct_pairs
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        deg = preagg_sum(distinct_pairs(ed).select_columns(["_from"]),
+                         ["_from"], {}, counts="d")
+        top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
+        return bfs_path_counts(ed, source=top[0]["_from"], iters=3)
+
+    def lineitem_weighted_median(sf_dir):
+        # weighted percentile_disc: smallest price whose cumulative
+        # QUANTITY reaches half the group total — value-count shuffle
+        # carries (flag, price, weight), one bucketed cumulative pass
+        from raygraph.ops.relational import hash_aggregate
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+        def narrow(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "l_returnflag": df["l_returnflag"],
+                "pc": np.round(df["l_extendedprice"].to_numpy()
+                               * 100).astype("int64"),
+                "q": np.trunc(df["l_quantity"].to_numpy())
+                .astype("int64"),
+            }), preserve_index=False)
+
+        g = preagg_sum(li.map_batches(narrow, batch_format="pyarrow"),
+                       ["l_returnflag", "pc"], {"w": "q"})
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["l_returnflag", "pc"], kind="mergesort")
+            grp = df.groupby("l_returnflag", sort=False)
+            cum = grp["w"].cumsum()
+            tot = grp["w"].transform("sum")
+            hit = df.loc[2 * cum >= tot]
+            out = hit.groupby("l_returnflag", sort=False)["pc"].min() \
+                .reset_index(name="wmedian_cents")
+            out["wmedian_cents"] = out["wmedian_cents"].astype("int64")
+            return out
+
+        return hash_aggregate(g, ["l_returnflag"], pick)
+
     def kg_kcore(sf_dir):
         # k-core peel (k=2, 3 fixed rounds) over the undirected simple
         # graph: per round two left-semi shuffle joins restrict arcs to
@@ -5410,6 +5458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_reconcile": orders_reconcile,
         "text_skipgrams": text_skipgrams,
         "orders_weekly": orders_weekly,
+        "kg_path_counts": kg_path_counts,
+        "lineitem_weighted_median": lineitem_weighted_median,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -5719,6 +5769,33 @@ def _scc_sql(edges_sql: str, iters: int) -> str:
         f" SELECT f.l AS scc_id, count(*)::BIGINT AS n_vertices "
         f"FROM f{iters} f JOIN b{iters} b ON b.x = f.x AND b.l = f.l "
         f"GROUP BY f.l")
+    return "".join(parts)
+
+
+def _bfs_paths_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled shortest-path counting from the max-out-degree
+    pivot — mirrors raygraph.ops.graph.bfs_path_counts level for level
+    (frontier σ sums along arcs, settled anti-join keeps first
+    arrivals)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", src AS (SELECT u AS s FROM (SELECT u, count(*) AS c FROM pr "
+        "GROUP BY u) ORDER BY c DESC, u LIMIT 1)",
+        ", f0 AS (SELECT s AS x, 1::BIGINT AS sig FROM src)",
+        ", s0 AS (SELECT x, 0::BIGINT AS dist, sig FROM f0)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", m{i} AS (SELECT p.v AS x, sum(f.sig)::BIGINT AS sig "
+            f"FROM pr p JOIN f{i} f ON p.u = f.x GROUP BY p.v)",
+            f", f{i + 1} AS (SELECT m.x, m.sig FROM m{i} m "
+            f"LEFT JOIN s{i} s ON s.x = m.x WHERE s.x IS NULL)",
+            f", s{i + 1} AS (SELECT * FROM s{i} UNION ALL "
+            f"SELECT x, {i + 1}::BIGINT, sig FROM f{i + 1})",
+        ]
+    parts.append(
+        f" SELECT x AS vertex, dist, sig AS n_paths FROM s{iters}")
     return "".join(parts)
 
 
@@ -9075,6 +9152,22 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_cents,
                count(*)::BIGINT AS n_orders
         FROM orders GROUP BY week_id
+    """
+    out["kg_path_counts"] = _bfs_paths_sql(kg_edges_sql, iters=3)
+    out["lineitem_weighted_median"] = """
+        WITH c AS (SELECT l_returnflag,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS pc,
+                          trunc(l_quantity)::BIGINT AS q
+                   FROM lineitem),
+        g AS (SELECT l_returnflag, pc, sum(q)::BIGINT AS w FROM c
+              GROUP BY l_returnflag, pc),
+        s AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag
+                                     ORDER BY pc) AS cum,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM g)
+        SELECT l_returnflag, min(pc)::BIGINT AS wmedian_cents
+        FROM s WHERE 2 * cum >= tot GROUP BY l_returnflag
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """

@@ -601,6 +601,73 @@ def scc_coloring(edges, iters: int = 5, src: str = "_from",
                       ["scc_id"], {}, counts="n_vertices")
 
 
+def bfs_path_counts(edges, source: str, iters: int = 3,
+                    src: str = "_from", dst: str = "_to"):
+    """Shortest-path COUNTING from ``source`` (the forward phase of
+    Brandes' betweenness algorithm): for every vertex within ``iters``
+    hops, its hop distance and the exact number of distinct shortest
+    paths σ reaching it — σ(v) = Σ σ(u) over predecessors u one level
+    closer (integer, exact, SQL-unrollable).
+
+    Level-synchronous: per round one edge-sized shuffle join carries
+    the frontier's σ along arcs, a combiner sum merges parallel
+    predecessors, and a left_anti join against the settled set keeps
+    only first-time (= shortest-distance) arrivals as the next
+    frontier. State stays a Dataset; only the source id and the
+    per-round emptiness check touch the driver."""
+    import ray.data as rd
+
+    from .relational import (_join_partitions, preagg_sum, shuffle_join)
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+    arcs = _repaired(
+        pairs.map_batches(lambda b: b.rename_columns(["u", "v"]),
+                          batch_format="pyarrow"), arc_schema)
+
+    st_schema = pa.schema([("vertex", pa.string()), ("dist", pa.int64()),
+                           ("n_paths", pa.int64())])
+    fr_schema = pa.schema([("vertex", pa.string()),
+                           ("n_paths", pa.int64())])
+    settled = rd.from_arrow(pa.table({
+        "vertex": pa.array([source], pa.string()),
+        "dist": pa.array([0], pa.int64()),
+        "n_paths": pa.array([1], pa.int64())}))
+    front = rd.from_arrow(pa.table({
+        "vertex": pa.array([source], pa.string()),
+        "n_paths": pa.array([1], pa.int64())}))
+    for d in range(1, iters + 1):
+        msgs = shuffle_join(arcs, front, on="u", right_on="vertex",
+                            num_partitions=nparts)
+        msgs = _repaired(msgs, pa.schema([
+            ("u", pa.string()), ("v", pa.string()),
+            ("n_paths", pa.int64())]))
+        cand = _repaired(
+            preagg_sum(msgs.select_columns(["v", "n_paths"]), ["v"],
+                       {"n_paths": "n_paths"}),
+            pa.schema([("v", pa.string()), ("n_paths", pa.int64())]))
+        if cand.count() == 0:
+            break
+        new = shuffle_join(cand, settled.select_columns(["vertex"]),
+                           on="v", right_on="vertex", how="left_anti",
+                           num_partitions=nparts)
+        front = _repaired(
+            new.map_batches(
+                lambda b: b.rename_columns(["vertex", "n_paths"]),
+                batch_format="pyarrow"), fr_schema)
+        if front.count() == 0:
+            break
+        level = front.map_batches(
+            lambda b, _d=d: pa.table({
+                "vertex": b.column("vertex"),
+                "dist": pa.array(np.full(b.num_rows, _d), pa.int64()),
+                "n_paths": b.column("n_paths")}),
+            batch_format="pyarrow")
+        settled = _repaired(settled.union(level), st_schema)
+    return settled
+
+
 def _wedge_pair_counts(edges, src: str = "_from", dst: str = "_to",
                        hub_cap: int | None = None):
     """Common-neighbor witness counts per unordered endpoint pair of the

@@ -733,3 +733,22 @@ def test_scc_coloring_resolves_pivot_sccs(ray_session):
     # a pure cycle resolves entirely into its min pivot
     got = run([("x", "y"), ("y", "z"), ("z", "x")])
     assert got == {"x": 3}
+
+
+def test_bfs_path_counts_diamond(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import bfs_path_counts
+
+    # diamond s->a, s->b, a->t, b->t plus a longer detour t->z; two
+    # shortest paths reach t, one reaches z (via the unique arc t->z)
+    pairs = [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"), ("t", "z")]
+    ed = rd.from_arrow(pa.table({
+        "_from": [p[0] for p in pairs],
+        "pred": ["p"] * len(pairs),
+        "_to": [p[1] for p in pairs],
+    }))
+    out = bfs_path_counts(ed, source="s", iters=3).to_pandas()
+    got = {r.vertex: (r.dist, r.n_paths) for r in out.itertuples()}
+    assert got == {"s": (0, 1), "a": (1, 1), "b": (1, 1),
+                   "t": (2, 2), "z": (3, 2)}
