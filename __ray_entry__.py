@@ -5238,6 +5238,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ["week_id"], {"sum_cents": "cents"},
                           counts="n_orders")
 
+    def text_char_trigrams(sf_dir):
+        # langid feature table: char-trigram heavy hitters via ONE flat
+        # byte array + stride-window per batch (no per-row Python)
+        return T.char_trigram_counts(_docs_ds(sf_dir), k=20)
+
+    def docs_interleave_sources(sf_dir):
+        # balanced source interleaving (the training-order mixer):
+        # per-source rank in one key-hash pass, then a distributed sort
+        # by (rank, source) — only the head reaches the driver
+        from raygraph.ops.relational import hash_aggregate
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source"])
+
+        def rank(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["source", "doc_id"], kind="mergesort")
+            df["rk"] = df.groupby("source", sort=False).cumcount() + 1
+            return df[["rk", "source", "doc_id"]]
+
+        ranked = hash_aggregate(docs, ["source"], rank)
+        return ranked.sort(["rk", "source", "doc_id"]).limit(50)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5460,6 +5482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weekly": orders_weekly,
         "kg_path_counts": kg_path_counts,
         "lineitem_weighted_median": lineitem_weighted_median,
+        "text_char_trigrams": text_char_trigrams,
+        "docs_interleave_sources": docs_interleave_sources,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9168,6 +9192,24 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
         SELECT l_returnflag, min(pc)::BIGINT AS wmedian_cents
         FROM s WHERE 2 * cum >= tot GROUP BY l_returnflag
+    """
+    out["text_char_trigrams"] = """
+        WITH u AS (
+          SELECT unnest(list_transform(
+                     generate_series(1, greatest(length(text) - 2, 0)),
+                     i -> substr(lower(text), i, 3))) AS tri
+          FROM documents
+        )
+        SELECT tri, count(*)::BIGINT AS n FROM u
+        GROUP BY tri ORDER BY n DESC, tri LIMIT 20
+    """
+    out["docs_interleave_sources"] = """
+        WITH r AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) AS rk
+                   FROM documents)
+        SELECT rk::BIGINT AS rk, source, doc_id FROM r
+        ORDER BY rk, source, doc_id LIMIT 50
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """

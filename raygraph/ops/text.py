@@ -812,6 +812,43 @@ def skipgram_counts(ds, k: int = 20, window: int = 2,
     return agg.sort(["n", "pair"], descending=[True, False]).limit(k)
 
 
+def char_trigram_counts(ds, k: int = 20, text_col: str = "text"):
+    """Character-trigram heavy hitters — the classic language-ID /
+    script-detection feature table (all positions of lower(text),
+    spaces included). Per batch the whole text column becomes ONE byte
+    array (docs joined with a NUL sentinel); a stride-tricks sliding
+    window enumerates every trigram with zero Python per row, sentinel
+    windows mask doc boundaries, and a bytes-level value_counts makes
+    the partial. ASCII corpus contract (byte == char — the synthetic
+    tables; multi-byte text would need a codepoint array instead),
+    asserted per batch. Distributed sort + limit returns only k rows."""
+    from .relational import preagg_sum
+
+    def tri_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("").str.lower()
+        joined = "\x00".join(s.tolist())
+        raw = joined.encode("utf-8")
+        assert len(raw) == len(joined), "ASCII corpus contract violated"
+        b = np.frombuffer(raw, dtype="u1")
+        empty = pa.table({"tri": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(b) < 3:
+            return empty
+        w = np.lib.stride_tricks.sliding_window_view(b, 3)
+        ok = (w != 0).all(axis=1)
+        if not ok.any():
+            return empty
+        tris = w[ok].copy().view("S3").ravel()
+        vc = pd.Series(tris).value_counts()
+        g = vc.rename_axis("tri").reset_index(name="n")
+        g["tri"] = g["tri"].str.decode("utf-8")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(ds.map_batches(tri_counts, batch_format="pyarrow"),
+                     ["tri"], {"n": "n"})
+    return agg.sort(["n", "tri"], descending=[True, False]).limit(k)
+
+
 def bpe_merge_pairs(ds, k: int = 10, text_col: str = "text"):
     """One BPE-training merge round: the top-k adjacent CHARACTER pairs
     inside whitespace tokens, weighted by corpus token frequency — the

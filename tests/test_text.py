@@ -404,3 +404,25 @@ def test_skipgram_counts_window_masking(ray_session):
     # no cross-doc pair leaked ('c a' from doc boundary would be wrong
     # only if doc masking failed; it exists legitimately inside doc 1)
     assert got["c a"] == 1
+
+
+def test_char_trigram_counts_boundaries(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from raygraph.ops.text import char_trigram_counts
+
+    docs = ["abcd", "BC", "xyz"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()), "text": docs}))
+    got = {r["tri"]: r["n"]
+           for r in char_trigram_counts(ds, k=50).take_all()}
+    exp = collections.Counter()
+    for d in docs:
+        d = d.lower()
+        for i in range(len(d) - 2):
+            exp[d[i:i + 3]] += 1
+    # "BC" is too short to contribute; no cross-doc trigram may appear
+    assert got == dict(exp)
+    assert "dbc" not in got and "cxy" not in got
