@@ -5260,6 +5260,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ranked = hash_aggregate(docs, ["source"], rank)
         return ranked.sort(["rk", "source", "doc_id"]).limit(50)
 
+    def events_peak_hours(sf_dir):
+        # local-maxima peak detection over present hourly buckets: count
+        # strictly above both neighbors (missing neighbor = -inf side);
+        # combiner preagg then one lead/lag scan per key bucket
+        from raygraph.ops.relational import (compact_nonempty,
+                                             hash_aggregate)
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+
+        def hours(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            h = (df["ts"].astype("datetime64[us]").astype("int64")
+                 // 3_600_000_000)
+            g = (pd.DataFrame({"event_type": df["event_type"],
+                               "hour": h})
+                 .groupby(["event_type", "hour"], sort=False)
+                 .size().reset_index(name="n"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = preagg_sum(ev.map_batches(hours,
+                                           batch_format="pyarrow"),
+                            ["event_type", "hour"], {"n": "n"})
+        counts = compact_nonempty(counts.materialize())
+
+        def scan(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["event_type", "hour"], kind="mergesort")
+            g = df.groupby("event_type", sort=False)
+            prev = g["n"].shift(1).fillna(-1)
+            nxt = g["n"].shift(-1).fillna(-1)
+            peak = (df["n"] > prev) & (df["n"] > nxt)
+            out = df.loc[peak, ["event_type", "hour", "n"]].copy()
+            out["hour"] = out["hour"].astype("int64")
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        return hash_aggregate(counts, ["event_type"], scan)
+
+    def embedding_dim_stats(sf_dir):
+        # per-dimension feature health: exact integer moments over
+        # e6-quantized components (n, sum, sum-of-squares, floor
+        # variance) — dims-sized output, one combiner pass
+        from raygraph.ops.vecops import vectors_to_numpy
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["embedding"])
+
+        def dim_moments(batch: pa.Table) -> pa.Table:
+            x = np.trunc(vectors_to_numpy(batch.column("embedding"),
+                                          np.float64) * 1_000_000) \
+                .astype("int64")
+            return pa.table({
+                "dim": pa.array(np.arange(x.shape[1]), pa.int64()),
+                "n": pa.array(np.full(x.shape[1], len(x)), pa.int64()),
+                "s": pa.array(x.sum(axis=0), pa.int64()),
+                "ss": pa.array((x * x).sum(axis=0), pa.int64()),
+            })
+
+        agg = preagg_sum(emb.map_batches(dim_moments,
+                                         batch_format="pyarrow"),
+                         ["dim"], {"n": "n", "s": "s", "ss": "ss"})
+
+        def finish(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["var_e12"] = np.floor(
+                (df["n"] * df["ss"] - df["s"] ** 2).astype("float64")
+                / (df["n"] ** 2).astype("float64")).astype("int64")
+            return pa.Table.from_pandas(
+                df[["dim", "n", "s", "ss", "var_e12"]],
+                preserve_index=False)
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5484,6 +5557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": lineitem_weighted_median,
         "text_char_trigrams": text_char_trigrams,
         "docs_interleave_sources": docs_interleave_sources,
+        "events_peak_hours": events_peak_hours,
+        "embedding_dim_stats": embedding_dim_stats,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9210,6 +9285,32 @@ def oracle_sql() -> dict[str, str]:
                    FROM documents)
         SELECT rk::BIGINT AS rk, source, doc_id FROM r
         ORDER BY rk, source, doc_id LIMIT 50
+    """
+    out["events_peak_hours"] = """
+        WITH h AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS hour,
+                          count(*)::BIGINT AS n
+                   FROM events GROUP BY event_type, hour),
+        s AS (SELECT event_type, hour, n,
+                     coalesce(lag(n) OVER w, -1) AS p,
+                     coalesce(lead(n) OVER w, -1) AS x
+              FROM h WINDOW w AS (PARTITION BY event_type
+                                  ORDER BY hour))
+        SELECT event_type, hour::BIGINT AS hour, n FROM s
+        WHERE n > p AND n > x
+    """
+    out["embedding_dim_stats"] = """
+        WITH u AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(trunc(unnest(embedding)::DOUBLE
+                                     * 1000000) AS BIGINT) AS x
+                   FROM embeddings),
+        m AS (SELECT dim, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+                     sum(x * x)::BIGINT AS ss
+              FROM u GROUP BY dim)
+        SELECT dim, n, s, ss,
+               floor((n * ss - s * s)::DOUBLE
+                     / (n * n)::DOUBLE)::BIGINT AS var_e12
+        FROM m
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
