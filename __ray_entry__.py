@@ -2541,29 +2541,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row scan), answer a year-range aggregate reading only
         # overlapping files — filesystem-level pruning like
         # ann_ivf_persisted, but for a plain range predicate
-        from raygraph.maintenance import build_zone_maps, prune_files
-        from raygraph.ops.relational import range_partition
+        from raygraph.maintenance import cluster_table, prune_files
 
         tdir = os.path.join(
             _TMP, f"orders_tiles_{os.path.basename(sf_dir.rstrip('/'))}")
         if not os.path.isdir(tdir):
-            od = rd.read_parquet(
-                os.path.join(sf_dir, "orders.parquet"),
-                columns=["o_orderdate", "o_orderpriority",
-                         "o_totalprice"])
-            tiled = range_partition(od, "o_orderdate", 8)
-            for i in range(8):
-                def pick(batch: pa.Table, _i=i) -> pa.Table:
-                    import pyarrow.compute as pc
-
-                    return batch.filter(pc.equal(batch.column("tile"),
-                                                 pa.scalar(_i))) \
-                        .drop_columns(["tile"])
-
-                tiled.map_batches(pick, batch_format="pyarrow") \
-                    .repartition(1).write_parquet(
-                        os.path.join(tdir, f"tile={i}"))
-            build_zone_maps(tdir, ["o_orderdate"])
+            cluster_table(os.path.join(sf_dir, "orders.parquet"),
+                          tdir, col="o_orderdate", n_tiles=8)
 
         lo = int(np.datetime64("1995-01-01", "us").astype("int64"))
         hi = int(np.datetime64("1996-01-01", "us").astype("int64"))

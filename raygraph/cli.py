@@ -100,6 +100,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .maintenance import cluster_table
+
+    stats = cluster_table(args.input, args.output, col=args.col,
+                          n_tiles=args.tiles, resume=args.resume)
+    print(json.dumps({"input": args.input, "output": args.output,
+                      "col": args.col, **stats}))
+    ray.shutdown()
+    return 0
+
+
 def _load_registry():
     """Import the repo-root ``__ray_entry__`` registry (the driver
     contract doubles as the user-facing query catalog). Works both from
@@ -207,6 +219,18 @@ def main(argv=None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    cl = sub.add_parser(
+        "cluster", help="range-cluster a parquet table dir on a column "
+                        "into tile=N dirs + zone-map skip index, "
+                        "resumable")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--col", required=True)
+    cl.add_argument("--tiles", type=int, default=8)
+    cl.add_argument("--resume", action="store_true")
+    cl.add_argument("--num-cpus", type=int)
+    cl.set_defaults(fn=cmd_cluster)
 
     args = p.parse_args(argv)
     return args.fn(args)

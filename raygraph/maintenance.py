@@ -193,3 +193,107 @@ def prune_files(table_path: str, col: str, lo, hi) -> tuple[list[str],
             continue
         keep.append(os.path.join(table_path, rel))
     return keep, skipped
+
+
+def cluster_table(
+    input_path: str,
+    output_path: str,
+    col: str,
+    n_tiles: int = 8,
+    resume: bool = False,
+) -> dict:
+    """Range-CLUSTER a parquet table on ``col`` into ``n_tiles``
+    ``tile=<i>/`` directories (exact, layout-deterministic boundaries
+    from :func:`raygraph.ops.relational.range_boundaries`) and build
+    the :func:`build_zone_maps` skip index over the result — the
+    lakehouse clustering pass that turns range predicates on ``col``
+    into file skips (:func:`prune_files`).
+
+    Resumable tile-at-a-time with the :func:`compact_table` manifest
+    discipline (``_cluster/<tile>.json``, write-then-rename, row-count
+    gate): a crashed run re-does only uncommitted tiles — boundaries
+    are persisted in the FIRST run's ``_cluster/_bounds.json`` so a
+    resume clusters against identical split points. Returns
+    ``{"tiles": n, "tiles_skipped": k, "rows": total}``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raygraph.ops.relational import range_boundaries, range_partition
+
+    if not os.path.exists(input_path):  # file OR directory input
+        raise FileNotFoundError(input_path)
+    meta_dir = os.path.join(output_path, "_cluster")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    ds = ray.data.read_parquet(input_path)
+
+    # tile on an int64 shadow key (timestamps → epoch µs) so persisted
+    # boundaries survive the JSON round-trip losslessly on resume
+    def with_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ck",
+                                   batch.column(col).cast(pa.int64()))
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow")
+    bpath = os.path.join(meta_dir, "_bounds.json")
+    if resume and os.path.exists(bpath):
+        with open(bpath) as fh:
+            bounds = json.load(fh)["bounds"]
+    else:
+        raw = range_boundaries(keyed, "__ck", n_tiles)
+        bounds = [_json_scalar(b) for b in raw]
+        tmp = bpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"col": col, "bounds": bounds}, fh)
+        os.replace(tmp, bpath)
+    tiled = range_partition(keyed, "__ck", n_tiles,
+                            boundaries=bounds).materialize()
+
+    stats = {"tiles": n_tiles, "tiles_skipped": 0, "rows": 0}
+    for i in range(n_tiles):
+        man = os.path.join(meta_dir, f"tile_{i}.json")
+        if resume and os.path.exists(man):
+            with open(man) as fh:
+                stats["rows"] += json.load(fh)["rows"]
+            stats["tiles_skipped"] += 1
+            continue
+
+        def pick(batch: pa.Table, _i=i) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("tile"),
+                                         pa.scalar(_i))) \
+                .drop_columns(["tile", "__ck"])
+
+        dst = os.path.join(output_path, f"tile={i}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst, exist_ok=True)
+        part = tiled.map_batches(pick, batch_format="pyarrow")
+        n_rows = part.count()
+        if n_rows:
+            part.write_parquet(dst)
+            got = ray.data.read_parquet(dst).count()
+            if got != n_rows:
+                raise RuntimeError(
+                    f"cluster row mismatch in tile {i}: "
+                    f"{n_rows} in, {got} out")
+        tmp = man + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tile": i, "rows": n_rows}, fh)
+        os.replace(tmp, man)
+        stats["rows"] += n_rows
+    build_zone_maps(output_path, [col])
+    return stats
+
+
+def _json_scalar(v):
+    """Range boundary → JSON-safe scalar (timestamps as int64 µs —
+    range_partition compares consistently after the round-trip because
+    tiling casts the column the same way)."""
+    import datetime
+
+    import numpy as np
+
+    if isinstance(v, (np.datetime64, datetime.datetime)):
+        return int(np.datetime64(v, "us").astype("int64"))
+    if isinstance(v, np.generic):
+        return v.item()
+    return v

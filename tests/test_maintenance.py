@@ -117,3 +117,48 @@ def test_zone_maps_prune_only_nonoverlapping_files(ray_session, tmp_path):
                  for v in pq.read_table(f).column("k").to_pylist()
                  if 120 <= v <= 150)
     assert got == list(range(120, 151))
+
+
+def test_cluster_table_resume_and_pruning(ray_session, tmp_path):
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygraph.maintenance import cluster_table, prune_files
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ts = np.arange(0, 4000, dtype="int64") * 86_400_000_000
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "v": pa.array(range(4000), pa.int64()),
+    }), os.path.join(src, "part.parquet"))
+
+    out = str(tmp_path / "clustered")
+    stats = cluster_table(src, out, col="ts", n_tiles=4)
+    assert stats == {"tiles": 4, "tiles_skipped": 0, "rows": 4000}
+    # zone maps exist and a mid-range query skips tiles
+    lo = int(np.datetime64("1972-01-01", "us").astype("int64"))
+    hi = int(np.datetime64("1973-01-01", "us").astype("int64"))
+    files, skipped = prune_files(out, "ts", lo, hi)
+    assert skipped >= 2
+    got = sorted(v for f in files
+                 for v in pq.read_table(f).column("v").to_pylist())
+    full = pq.read_table(os.path.join(src, "part.parquet")).to_pandas()
+    want = sorted(full.loc[(full["ts"].astype("int64") >= lo)
+                           & (full["ts"].astype("int64") <= hi), "v"])
+    assert set(want) <= set(got)
+
+    # resume: drop one tile manifest, rerun — only that tile redoes,
+    # content identical (bounds reloaded from _bounds.json)
+    os.remove(os.path.join(out, "_cluster", "tile_2.json"))
+    stats2 = cluster_table(src, out, col="ts", n_tiles=4, resume=True)
+    assert stats2 == {"tiles": 4, "tiles_skipped": 3, "rows": 4000}
+    total = sum(pq.read_table(os.path.join(out, f"tile={i}")).num_rows
+                for i in range(4))
+    assert total == 4000
+    with open(os.path.join(out, "_cluster", "_bounds.json")) as fh:
+        assert len(json.load(fh)["bounds"]) == 3
