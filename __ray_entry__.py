@@ -2700,6 +2700,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scanned.map_batches(finish, batch_format="pyarrow")
 
+    def docs_schema_evolution(sf_dir):
+        # mergeSchema read: a v2 snapshot ADDS quality_tier and drops
+        # n_chars; read_union_by_name null-pads both sides and the
+        # profile must match DuckDB's UNION ALL BY NAME
+        from raygraph.io import read_union_by_name
+
+        v1 = os.path.join(sf_dir, "documents.parquet")
+        v2 = os.path.join(_TMP, f"docs_v2_{_docs_count(sf_dir)}")
+        if not os.path.isdir(v2):
+            def evolve(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id") \
+                    .to_numpy(zero_copy_only=False)
+                tier = np.array(["gold", "silver", "bronze"],
+                                dtype=object)[ids % 3]
+                return pa.table({
+                    "doc_id": pa.array(ids + _OFFSET, pa.int64()),
+                    "lang": batch.column("lang"),
+                    "quality_tier": pa.array(tier, pa.string()),
+                })
+
+            rd.read_parquet(v1, columns=["doc_id", "lang"]) \
+                .map_batches(evolve, batch_format="pyarrow") \
+                .write_parquet(v2)
+
+        both = read_union_by_name([v1, v2])
+
+        def profile(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("lang", sort=False).agg(
+                n_docs=("doc_id", "size"),
+                n_with_chars=("n_chars", "count"),
+                n_with_tier=("quality_tier", "count")).reset_index()
+            for c in ("n_docs", "n_with_chars", "n_with_tier"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return preagg_sum(both.map_batches(profile,
+                                           batch_format="pyarrow"),
+                          ["lang"], {"n_docs": "n_docs",
+                                     "n_with_chars": "n_with_chars",
+                                     "n_with_tier": "n_with_tier"})
+
     def events_user_deciles(sf_dir):
         # LTV-style segmentation: users bucketed by total value into
         # deciles — per-user combiner sums, exact global decile
@@ -5543,6 +5585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_interleave_sources": docs_interleave_sources,
         "events_peak_hours": events_peak_hours,
         "embedding_dim_stats": embedding_dim_stats,
+        "docs_schema_evolution": docs_schema_evolution,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9295,6 +9338,25 @@ def oracle_sql() -> dict[str, str]:
                floor((n * ss - s * s)::DOUBLE
                      / (n * n)::DOUBLE)::BIGINT AS var_e12
         FROM m
+    """
+    out["docs_schema_evolution"] = f"""
+        WITH v2 AS (
+          SELECT doc_id + {_OFFSET} AS doc_id, lang,
+                 (CASE doc_id % 3 WHEN 0 THEN 'gold'
+                                  WHEN 1 THEN 'silver'
+                                  ELSE 'bronze' END) AS quality_tier
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, lang, n_chars, NULL::VARCHAR AS quality_tier
+          FROM documents
+          UNION ALL
+          SELECT doc_id, lang, NULL::BIGINT, quality_tier FROM v2
+        )
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               count(n_chars)::BIGINT AS n_with_chars,
+               count(quality_tier)::BIGINT AS n_with_tier
+        FROM u GROUP BY lang
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """

@@ -71,3 +71,48 @@ def read_documents_jsonl(path: str, **kwargs) -> "ray.data.Dataset":
     the job after retries) — same hard-error contract as the reference.
     """
     return ray.data.read_json(path, **kwargs)
+
+
+def read_union_by_name(paths: list[str], **kwargs) -> ray.data.Dataset:
+    """Schema-evolution read: union several parquet tables BY COLUMN
+    NAME (the Delta/Iceberg ``mergeSchema`` semantics — DuckDB's
+    ``UNION ALL BY NAME``): the result schema is the name-ordered union
+    of every input's columns; columns a file lacks are null-padded with
+    the type observed elsewhere. Same-named columns must agree on type
+    (evolution by ADDING columns, not retyping — a retype raises).
+
+    Each input keeps its own parallel fragment read; the pad is a
+    zero-copy per-batch ``append_column`` of null arrays, so the union
+    streams like any other Dataset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types: dict[str, pa.DataType] = {}
+    for p in paths:
+        files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
+                                 recursive=True)) if os.path.isdir(p) \
+            else [p]
+        sch = pq.read_schema(files[0])
+        for f in sch:
+            prev = types.get(f.name)
+            if prev is not None and prev != f.type:
+                raise TypeError(
+                    f"column {f.name!r} retyped across inputs: "
+                    f"{prev} vs {f.type}")
+            types.setdefault(f.name, f.type)
+    names = sorted(types)
+    target = pa.schema([(n, types[n]) for n in names])
+
+    def pad(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in batch.schema.names:
+                cols.append(batch.column(n).cast(types[n]))
+            else:
+                cols.append(pa.nulls(batch.num_rows, types[n]))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    parts = [ray.data.read_parquet(p, **kwargs)
+             .map_batches(pad, batch_format="pyarrow") for p in paths]
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out

@@ -85,3 +85,30 @@ def test_exporter_lance_schema_routes(monkeypatch, fake_lance, tmp_path):
     fake_lance.dataset = lambda path: ds
     src = GraphSource(str(tmp_path))
     assert src.collection_schema("V") is schema
+
+
+def test_read_union_by_name_pads_and_rejects_retype(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from raygraph.io import read_union_by_name
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "old": pa.array(["x", "y"], pa.string())}), a)
+    pq.write_table(pa.table({"k": pa.array([3], pa.int64()),
+                             "new": pa.array([7.5], pa.float64())}), b)
+    out = read_union_by_name([a, b]).to_pandas().sort_values("k")
+    assert list(out.columns) == ["k", "new", "old"]   # name-ordered union
+    assert out["old"].tolist()[:2] == ["x", "y"]
+    assert out["old"].isna().tolist() == [False, False, True]
+    assert out["new"].isna().tolist() == [True, True, False]
+
+    c = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"k": pa.array(["oops"], pa.string())}), c)
+    with pytest.raises(TypeError, match="retyped"):
+        read_union_by_name([a, c])
