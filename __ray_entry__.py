@@ -217,6 +217,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return scc_coloring(ed, iters=5)
 
+    def kg_adamic_adar(sf_dir):
+        # degree-discounted link prediction: common neighbors weighted
+        # floor(1e6/ln(deg)) per apex (per-term-floor discipline), hubs
+        # count less; top-20 non-adjacent pairs
+        from raygraph.ops.graph import adamic_adar_topk
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return adamic_adar_topk(ed, k=20)
+
     def kg_triangles(sf_dir):
         # exact triangle count via degree-ordered orientation (max
         # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
@@ -5586,6 +5596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_hours": events_peak_hours,
         "embedding_dim_stats": embedding_dim_stats,
         "docs_schema_evolution": docs_schema_evolution,
+        "kg_adamic_adar": kg_adamic_adar,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9357,6 +9368,31 @@ def oracle_sql() -> dict[str, str]:
                count(n_chars)::BIGINT AS n_with_chars,
                count(quality_tier)::BIGINT AS n_with_tier
         FROM u GROUP BY lang
+    """
+    out["kg_adamic_adar"] = f"""
+        WITH edges AS ({kg_edges_sql}),
+        und AS (SELECT DISTINCT least(_from, _to) AS u,
+                       greatest(_from, _to) AS v
+                FROM edges WHERE _from <> _to),
+        arcs AS (SELECT u AS h, v AS x FROM und
+                 UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT h, count(*)::BIGINT AS d FROM arcs GROUP BY h),
+        w AS (SELECT h, CASE WHEN d >= 2
+                             THEN floor(1000000 / ln(d::DOUBLE))::BIGINT
+                             ELSE 0::BIGINT END AS w
+              FROM deg),
+        pairs AS (
+          SELECT a1.x AS u, a2.x AS v, sum(w.w)::BIGINT AS aa_e6
+          FROM arcs a1
+          JOIN arcs a2 ON a1.h = a2.h AND a1.x < a2.x
+          JOIN w ON w.h = a1.h
+          GROUP BY a1.x, a2.x)
+        SELECT p.u, p.v, p.aa_e6
+        FROM pairs p
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.u = p.u AND e.v = p.v)
+        ORDER BY p.aa_e6 DESC, p.u, p.v
+        LIMIT 20
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """

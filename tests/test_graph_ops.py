@@ -752,3 +752,25 @@ def test_bfs_path_counts_diamond(ray_session):
     got = {r.vertex: (r.dist, r.n_paths) for r in out.itertuples()}
     assert got == {"s": (0, 1), "a": (1, 1), "b": (1, 1),
                    "t": (2, 2), "z": (3, 2)}
+
+
+def test_adamic_adar_weights_and_antijoin(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from raygraph.ops.graph import adamic_adar_topk
+
+    # path a-h-b plus h-c: apex h has deg 3; (a,b),(a,c),(b,c) each get
+    # weight floor(1e6/ln(3)); (a,b) etc are non-adjacent; edge pairs
+    # must be excluded
+    pairs = [("h", "a"), ("h", "b"), ("h", "c")]
+    ed = rd.from_arrow(pa.table({
+        "_from": [p[0] for p in pairs],
+        "pred": ["p"] * len(pairs),
+        "_to": [p[1] for p in pairs],
+    }))
+    out = adamic_adar_topk(ed, k=10).to_pandas()
+    got = {(r.u, r.v): r.aa_e6 for r in out.itertuples()}
+    w3 = math.floor(1_000_000 / math.log(3))
+    assert got == {("a", "b"): w3, ("a", "c"): w3, ("b", "c"): w3}
