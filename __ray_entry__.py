@@ -227,6 +227,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return adamic_adar_topk(ed, k=20)
 
+    def kg_pred_cardinality(sf_dir):
+        # KG schema induction: per predicate the max subject out-fan and
+        # object in-fan, classified 1:1 / 1:N / N:1 / N:M — two
+        # combiner preaggs + per-pred max, all predicate-sized
+        from raygraph.ops.relational import hash_aggregate
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path,
+                             columns=["_from", "pred", "_to"])
+
+        def distinct_arcs(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        arcs = hash_aggregate(ed.map_batches(distinct_arcs,
+                                             batch_format="pyarrow"),
+                              ["_from", "pred", "_to"],
+                              lambda df: df.drop_duplicates())
+        outf = preagg_sum(arcs, ["pred", "_from"], {}, counts="n")
+        inf_ = preagg_sum(arcs, ["pred", "_to"], {}, counts="n")
+
+        mo = hash_aggregate(
+            outf, ["pred"],
+            lambda df: df.groupby("pred", sort=False)["n"].max()
+            .reset_index(name="max_out")).to_pandas()
+        mi = hash_aggregate(
+            inf_, ["pred"],
+            lambda df: df.groupby("pred", sort=False)["n"].max()
+            .reset_index(name="max_in")).to_pandas()
+        m = mo.merge(mi, on="pred")
+        m["card_class"] = np.where(
+            m["max_out"] == 1,
+            np.where(m["max_in"] == 1, "1:1", "N:1"),
+            np.where(m["max_in"] == 1, "1:N", "N:M"))
+        for c in ("max_out", "max_in"):
+            m[c] = m[c].astype("int64")
+        return m.sort_values("pred").reset_index(drop=True)
+
     def kg_triangles(sf_dir):
         # exact triangle count via degree-ordered orientation (max
         # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
@@ -5369,6 +5407,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def events_gap_cv(sf_dir):
+        # burstiness via inter-arrival CV^2 per type (Poisson -> ~1):
+        # exact integer µs-gap moments, one double division at the end
+        import math
+
+        from raygraph.ops.relational import (compact_nonempty,
+                                             hash_aggregate)
+
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "event_id"])
+
+        def narrow(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "event_type": df["event_type"],
+                "t": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"],
+            }), preserve_index=False)
+
+        nds = compact_nonempty(
+            ev.map_batches(narrow, batch_format="pyarrow").materialize())
+
+        def bucket_cv(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["event_type", "t", "event_id"],
+                                kind="mergesort")
+            g = df.groupby("event_type", sort=False)
+            df = df.assign(gap=df["t"] - g["t"].shift(1))
+            df = df.loc[df["gap"].notna()]
+            rows = []
+            for key, part in df.groupby("event_type", sort=False):
+                gs = [int(v) for v in part["gap"]]
+                n, s = len(gs), sum(gs)
+                ss = sum(v * v for v in gs)
+                if s == 0:
+                    continue
+                cv2_bp = math.floor(
+                    float(10_000 * (n * ss - s * s)) / float(s * s))
+                rows.append((key, n, cv2_bp))
+            return pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                               "cv2_bp"])
+
+        return hash_aggregate(nds, ["event_type"], bucket_cv)
+
+    def text_cond_entropy(sf_dir):
+        # LM predictability: conditional bigram entropy H(next|token) =
+        # Σ c(xy)·ln(c(x)/c(xy)) / N in per-term-floor integers. The
+        # bigram vocab STAYS DISTRIBUTED: unigram counts re-aggregate
+        # from the bigram table, join back on the first token, and the
+        # floored terms tree-sum — only two scalars reach the driver.
+        ds = _docs_ds(sf_dir)
+
+        def big_counts(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            toks = s.str.strip().str.lower().str.split()
+            lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+            total = int(lens.sum())
+            if total < 2:
+                return pa.table({"x": pa.array([], pa.string()),
+                                 "y": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)])
+            valid = np.ones(total - 1, dtype=bool)
+            ends = np.cumsum(lens[lens > 0]) - 1
+            valid[ends[ends < total - 1]] = False
+            g = (pd.DataFrame({"x": flat[:-1][valid],
+                               "y": flat[1:][valid]})
+                 .groupby(["x", "y"], sort=False)
+                 .size().reset_index(name="n"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import shuffle_join
+
+        bi = _repaired(
+            preagg_sum(ds.map_batches(big_counts,
+                                      batch_format="pyarrow"),
+                       ["x", "y"], {"n": "n"}),
+            pa.schema([("x", pa.string()), ("y", pa.string()),
+                       ("n", pa.int64())]))
+        uni = _repaired(
+            preagg_sum(bi.select_columns(["x", "n"]), ["x"],
+                       {"nx": "n"}),
+            pa.schema([("x", pa.string()), ("nx", pa.int64())]))
+        total = int(bi.sum("n"))
+        j = _repaired(
+            shuffle_join(bi, uni.rename_columns({"x": "x2"}), on="x",
+                         right_on="x2"),
+            pa.schema([("x", pa.string()), ("y", pa.string()),
+                       ("n", pa.int64()), ("nx", pa.int64())]))
+
+        def term_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            t = np.floor(
+                (1_000_000 * df["n"]).astype("float64")
+                * np.log(df["nx"].astype("float64")
+                         / df["n"].astype("float64"))
+                / total).astype("int64")
+            return pa.table({"h": pa.array([int(t.sum())], pa.int64())})
+
+        h = int(j.map_batches(term_partial, batch_format="pyarrow")
+                .sum("h"))
+        return pd.DataFrame({
+            "n_bigrams": pd.array([total], dtype="int64"),
+            "h_cond_e6": pd.array([h], dtype="int64"),
+        })
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5597,6 +5743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": embedding_dim_stats,
         "docs_schema_evolution": docs_schema_evolution,
         "kg_adamic_adar": kg_adamic_adar,
+        "kg_pred_cardinality": kg_pred_cardinality,
+        "events_gap_cv": events_gap_cv,
+        "text_cond_entropy": text_cond_entropy,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9393,6 +9542,56 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.u = p.u AND e.v = p.v)
         ORDER BY p.aa_e6 DESC, p.u, p.v
         LIMIT 20
+    """
+    out["kg_pred_cardinality"] = f"""
+        WITH edges AS ({kg_edges_sql}),
+        a AS (SELECT DISTINCT _from, pred, _to FROM edges),
+        o AS (SELECT pred, _from, count(*)::BIGINT AS n FROM a
+              GROUP BY pred, _from),
+        i AS (SELECT pred, _to, count(*)::BIGINT AS n FROM a
+              GROUP BY pred, _to),
+        mo AS (SELECT pred, max(n)::BIGINT AS max_out FROM o
+               GROUP BY pred),
+        mi AS (SELECT pred, max(n)::BIGINT AS max_in FROM i
+               GROUP BY pred)
+        SELECT mo.pred, max_out, max_in,
+               CASE WHEN max_out = 1 AND max_in = 1 THEN '1:1'
+                    WHEN max_out = 1 THEN 'N:1'
+                    WHEN max_in = 1 THEN '1:N'
+                    ELSE 'N:M' END AS card_class
+        FROM mo JOIN mi USING (pred)
+    """
+    out["events_gap_cv"] = """
+        WITH s AS (SELECT event_type, epoch_us(ts) AS t,
+                          lag(epoch_us(ts)) OVER (
+                              PARTITION BY event_type
+                              ORDER BY ts, event_id) AS pt
+                   FROM events),
+        g AS (SELECT event_type, (t - pt)::HUGEINT AS gap FROM s
+              WHERE pt IS NOT NULL),
+        m AS (SELECT event_type, count(*)::HUGEINT AS n, sum(gap) AS s,
+                     sum(gap * gap) AS ss
+              FROM g GROUP BY event_type)
+        SELECT event_type, n::BIGINT AS n_gaps,
+               floor((10000 * (n * ss - s * s))::DOUBLE
+                     / (s * s)::DOUBLE)::BIGINT AS cv2_bp
+        FROM m WHERE s > 0
+    """
+    out["text_cond_entropy"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+                FROM t),
+        b AS (SELECT tok AS x, lead(tok) OVER w AS y
+              FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        c AS (SELECT x, y, count(*)::BIGINT AS n FROM b
+              WHERE y IS NOT NULL GROUP BY x, y),
+        ux AS (SELECT x, sum(n)::BIGINT AS nx FROM c GROUP BY x),
+        tt AS (SELECT sum(n)::BIGINT AS total FROM c)
+        SELECT tt.total AS n_bigrams,
+               sum(floor((1000000 * c.n) * ln(ux.nx::DOUBLE / c.n)
+                         / tt.total))::BIGINT AS h_cond_e6
+        FROM c JOIN ux USING (x), tt
+        GROUP BY tt.total
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
