@@ -5515,6 +5515,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "h_cond_e6": pd.array([h], dtype="int64"),
         })
 
+    def docs_source_jaccard(sf_dir):
+        # dataset-similarity telemetry: pairwise Jaccard (exact bp)
+        # between sources over their DISTINCT trigram sets — gram-keyed
+        # self-join co-locates shared grams, set sizes ride a tiny
+        # source-sized aggregate; output is #source-pairs rows
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import hash_aggregate, shuffle_join
+        from raygraph.ops.text import _doc_ngrams
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+
+        def grams(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = _doc_ngrams(df["text"], 3)
+            out = pd.DataFrame({
+                "source": df["source"].to_numpy()[g.index.to_numpy()],
+                "ngram": g["ngram"].to_numpy(),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        sg = _repaired(
+            hash_aggregate(docs.map_batches(grams,
+                                            batch_format="pyarrow"),
+                           ["source", "ngram"],
+                           lambda df: df.drop_duplicates()),
+            pa.schema([("source", pa.string()), ("ngram", pa.string())]))
+        sizes = preagg_sum(sg.select_columns(["source"]), ["source"],
+                           {}, counts="sz").to_pandas()
+        sz = dict(zip(sizes["source"], sizes["sz"].astype(int)))
+
+        other = sg.map_batches(
+            lambda b: b.rename_columns(["source_b", "ngram_b"]),
+            batch_format="pyarrow")
+        pairs = _repaired(
+            shuffle_join(sg, other, on="ngram", right_on="ngram_b"),
+            pa.schema([("source", pa.string()), ("ngram", pa.string()),
+                       ("source_b", pa.string())]))
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df.loc[df["source"] < df["source_b"]]
+            g = (df.groupby(["source", "source_b"], sort=False)
+                 .size().reset_index(name="inter"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        inter = preagg_sum(
+            pairs.map_batches(pair_partial, batch_format="pyarrow"),
+            ["source", "source_b"], {"inter": "inter"}).to_pandas()
+        a = inter["source"].map(sz).astype("int64")
+        b = inter["source_b"].map(sz).astype("int64")
+        union = a + b - inter["inter"]
+        out = pd.DataFrame({
+            "source_a": inter["source"],
+            "source_b": inter["source_b"],
+            "n_inter": inter["inter"].astype("int64"),
+            "jaccard_bp": ((10_000 * inter["inter"]) // union)
+            .astype("int64"),
+        })
+        return out.sort_values(["source_a", "source_b"]) \
+            .reset_index(drop=True)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5746,6 +5808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_cardinality": kg_pred_cardinality,
         "events_gap_cv": events_gap_cv,
         "text_cond_entropy": text_cond_entropy,
+        "docs_source_jaccard": docs_source_jaccard,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9592,6 +9655,30 @@ def oracle_sql() -> dict[str, str]:
                          / tt.total))::BIGINT AS h_cond_e6
         FROM c JOIN ux USING (x), tt
         GROUP BY tt.total
+    """
+    out["docs_source_jaccard"] = _TOKS_CTE + """
+        , u AS (SELECT source, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos, doc_id
+                FROM (SELECT d.source, t.toks, t.doc_id
+                      FROM t JOIN documents d USING (doc_id))),
+        g0 AS (SELECT source, tok || ' ' || lead(tok, 1) OVER w || ' '
+                          || lead(tok, 2) OVER w AS ngram
+               FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT DISTINCT source, ngram FROM g0
+              WHERE ngram IS NOT NULL),
+        sz AS (SELECT source, count(*)::BIGINT AS sz FROM g
+               GROUP BY source),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*)::BIGINT AS n_inter
+                  FROM g a JOIN g b
+                    ON b.ngram = a.ngram AND b.source > a.source
+                  GROUP BY a.source, b.source)
+        SELECT i.source_a, i.source_b, i.n_inter,
+               ((10000 * i.n_inter)
+                // (sa.sz + sb.sz - i.n_inter))::BIGINT AS jaccard_bp
+        FROM inter i
+        JOIN sz sa ON sa.source = i.source_a
+        JOIN sz sb ON sb.source = i.source_b
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
