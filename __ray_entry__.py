@@ -265,6 +265,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             m[c] = m[c].astype("int64")
         return m.sort_values("pred").reset_index(drop=True)
 
+    def kg_rich_club(sf_dir):
+        # rich-club coefficient at the degree p90: density among
+        # top-degree vertices — two left_semi joins keep the rich edge
+        # set distributed; only four scalars reach the driver
+        from raygraph.ops.graph import _repaired, _und_graph
+        from raygraph.ops.relational import (grouped_quantiles,
+                                             shuffle_join)
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        und, deg, nparts = _und_graph(ed)
+
+        def lit(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__g", pa.array(np.zeros(batch.num_rows, dtype="int64")))
+
+        q = grouped_quantiles(deg.map_batches(lit,
+                                              batch_format="pyarrow"),
+                              ["__g"], "deg", qs=(0.9,)).to_pandas()
+        k = int(q["p90"].iloc[0])
+
+        rich = _repaired(
+            deg.map_batches(
+                lambda b, _k=k: b.filter(
+                    pc.greater_equal(b.column("deg"), _k))
+                .select(["vtx"]),
+                batch_format="pyarrow"),
+            pa.schema([("vtx", pa.string())]))
+        n_rich = rich.count()
+        both = shuffle_join(und, rich, on="u", right_on="vtx",
+                            how="left_semi", num_partitions=nparts)
+        both = _repaired(both, pa.schema([("u", pa.string()),
+                                          ("v", pa.string())]))
+        m_rich = 0
+        if both.count():
+            both2 = shuffle_join(both, rich, on="v", right_on="vtx",
+                                 how="left_semi",
+                                 num_partitions=nparts)
+            m_rich = both2.count()
+        possible = n_rich * (n_rich - 1) // 2
+        phi = (10_000 * m_rich) // possible if possible else 0
+        return pd.DataFrame({
+            "k_threshold": pd.array([k], dtype="int64"),
+            "n_rich": pd.array([n_rich], dtype="int64"),
+            "m_rich": pd.array([m_rich], dtype="int64"),
+            "phi_bp": pd.array([phi], dtype="int64"),
+        })
+
     def kg_triangles(sf_dir):
         # exact triangle count via degree-ordered orientation (max
         # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
@@ -5577,6 +5625,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["source_a", "source_b"]) \
             .reset_index(drop=True)
 
+    def events_stickiness(sf_dir):
+        # DAU/MAU stickiness per day (exact bp): two distinct-pair
+        # combiner aggregates (day-user, month-user) meet on the
+        # month key — the engagement-telemetry staple
+        from raygraph.ops.relational import distinct_count
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+
+        def keys(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            day = (df["ts"].astype("datetime64[us]").astype("int64")
+                   // 86_400_000_000)
+            return pa.Table.from_pandas(pd.DataFrame({
+                "user_id": df["user_id"], "day": day,
+                "month": day // 30,
+            }).drop_duplicates(), preserve_index=False)
+
+        kds = ev.map_batches(keys, batch_format="pyarrow").materialize()
+        dau = distinct_count(kds, ["day", "month"], "user_id",
+                             out="dau").to_pandas()
+        mau = distinct_count(kds, ["month"], "user_id",
+                             out="mau").to_pandas()
+        m = dau.merge(mau, on="month")
+        m["stickiness_bp"] = (10_000 * m["dau"]) // m["mau"]
+        for c in ("day", "dau", "mau", "stickiness_bp"):
+            m[c] = m[c].astype("int64")
+        return m[["day", "dau", "mau", "stickiness_bp"]] \
+            .sort_values("day").reset_index(drop=True)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5809,6 +5887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_cv": events_gap_cv,
         "text_cond_entropy": text_cond_entropy,
         "docs_source_jaccard": docs_source_jaccard,
+        "events_stickiness": events_stickiness,
+        "kg_rich_club": kg_rich_club,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9679,6 +9759,41 @@ def oracle_sql() -> dict[str, str]:
         FROM inter i
         JOIN sz sa ON sa.source = i.source_a
         JOIN sz sb ON sb.source = i.source_b
+    """
+    out["events_stickiness"] = """
+        WITH k AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day,
+                          (epoch_us(ts) // 86400000000) // 30 AS month
+                   FROM events),
+        dau AS (SELECT day, month, count(DISTINCT user_id)::BIGINT
+                           AS dau
+                FROM k GROUP BY day, month),
+        mau AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+                FROM k GROUP BY month)
+        SELECT dau.day::BIGINT AS day, dau.dau, mau.mau,
+               ((10000 * dau.dau) // mau.mau)::BIGINT AS stickiness_bp
+        FROM dau JOIN mau USING (month)
+    """
+    out["kg_rich_club"] = f"""
+        WITH edges AS ({kg_edges_sql}),
+        und AS (SELECT DISTINCT least(_from, _to) AS u,
+                       greatest(_from, _to) AS v
+                FROM edges WHERE _from <> _to),
+        deg AS (SELECT x, count(*)::BIGINT AS n FROM (
+                  SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+                GROUP BY x),
+        kk AS (SELECT quantile_disc(n, 0.9)::BIGINT AS k FROM deg),
+        rich AS (SELECT x FROM deg, kk WHERE n >= kk.k),
+        nr AS (SELECT count(*)::BIGINT AS n_rich FROM rich),
+        m AS (SELECT count(*)::BIGINT AS m_rich FROM und
+              WHERE u IN (SELECT x FROM rich)
+                AND v IN (SELECT x FROM rich))
+        SELECT kk.k AS k_threshold, nr.n_rich, m.m_rich,
+               (CASE WHEN nr.n_rich >= 2
+                     THEN (10000 * m.m_rich)
+                          // (nr.n_rich * (nr.n_rich - 1) // 2)
+                     ELSE 0 END)::BIGINT AS phi_bp
+        FROM kk, nr, m
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
