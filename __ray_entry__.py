@@ -5655,6 +5655,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return m[["day", "dau", "mau", "stickiness_bp"]] \
             .sort_values("day").reset_index(drop=True)
 
+    def events_ab_arms(sf_dir):
+        # experimentation telemetry: users hash-split 50/50 into arms
+        # (content-keyed md5 — engine- and layout-independent), per-arm
+        # exact e4 value sums/counts + the arm mean difference
+        import hashlib
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "value"])
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = batch.column("user_id").to_pandas().astype(str)
+            h = ids.map(lambda s: int(
+                hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2)
+            v = np.round(batch.column("value")
+                         .to_numpy(zero_copy_only=False)
+                         * 10_000).astype("int64")
+            return pa.table({
+                "arm": pa.array(np.where(h == 0, "A", "B"), pa.string()),
+                "v": pa.array(v, pa.int64()),
+            })
+
+        agg = preagg_sum(ev.map_batches(assign, batch_format="pyarrow"),
+                         ["arm"], {"sum_e4": "v"},
+                         counts="n_events").to_pandas() \
+            .set_index("arm")
+        mean = {a: int(agg.loc[a, "sum_e4"]) // int(agg.loc[a, "n_events"])
+                for a in ("A", "B")}
+        return pd.DataFrame({
+            "n_a": pd.array([int(agg.loc["A", "n_events"])],
+                            dtype="int64"),
+            "n_b": pd.array([int(agg.loc["B", "n_events"])],
+                            dtype="int64"),
+            "mean_a_e4": pd.array([mean["A"]], dtype="int64"),
+            "mean_b_e4": pd.array([mean["B"]], dtype="int64"),
+            "diff_e4": pd.array([mean["A"] - mean["B"]], dtype="int64"),
+        })
+
+    def docs_code_score(sf_dir):
+        # code-vs-prose screen (the LLM-data mix classifier): density of
+        # code-ish chars ({};=<>()#) per char in floor-bp; is_code at
+        # >= 300 bp — one vectorized count pass, no shuffle
+        docs = _docs_ds(sf_dir)
+
+        def score(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            n_chars = s.str.len().astype("int64")
+            codeish = s.str.count(r"[{};=<>()#]").astype("int64")
+            bp = (10_000 * codeish) // n_chars.replace(0, 1)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "code_bp": pa.array(bp.to_numpy(), pa.int64()),
+                "is_code": pa.array((bp >= 300).to_numpy(), pa.bool_()),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5889,6 +5945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_jaccard": docs_source_jaccard,
         "events_stickiness": events_stickiness,
         "kg_rich_club": kg_rich_club,
+        "events_ab_arms": events_ab_arms,
+        "docs_code_score": docs_code_score,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9794,6 +9852,33 @@ def oracle_sql() -> dict[str, str]:
                           // (nr.n_rich * (nr.n_rich - 1) // 2)
                      ELSE 0 END)::BIGINT AS phi_bp
         FROM kk, nr, m
+    """
+    out["events_ab_arms"] = """
+        WITH a AS (SELECT CASE WHEN ('0x' || substr(
+                                  md5(user_id::VARCHAR), 1, 15))::BIGINT
+                                  % 2 = 0
+                               THEN 'A' ELSE 'B' END AS arm,
+                          CAST(round(value * 10000) AS BIGINT) AS v
+                   FROM events),
+        g AS (SELECT arm, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+              FROM a GROUP BY arm)
+        SELECT (SELECT n FROM g WHERE arm = 'A') AS n_a,
+               (SELECT n FROM g WHERE arm = 'B') AS n_b,
+               (SELECT s // n FROM g WHERE arm = 'A')::BIGINT
+                   AS mean_a_e4,
+               (SELECT s // n FROM g WHERE arm = 'B')::BIGINT
+                   AS mean_b_e4,
+               ((SELECT s // n FROM g WHERE arm = 'A')
+                - (SELECT s // n FROM g WHERE arm = 'B'))::BIGINT
+                   AS diff_e4
+    """
+    out["docs_code_score"] = """
+        SELECT doc_id,
+               ((10000 * len(regexp_extract_all(text, '[{};=<>()#]')))
+                // greatest(length(text), 1))::BIGINT AS code_bp,
+               ((10000 * len(regexp_extract_all(text, '[{};=<>()#]')))
+                // greatest(length(text), 1)) >= 300 AS is_code
+        FROM documents
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
