@@ -5711,6 +5711,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(score, batch_format="pyarrow")
 
+    def orders_size_hist(sf_dir):
+        # order-size distribution: lineitems per order -> count-of-counts
+        # (two combiner preaggs; the fan-out telemetry histogram)
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey"])
+        per_order = preagg_sum(li, ["l_orderkey"], {}, counts="n_items")
+        return preagg_sum(per_order.select_columns(["n_items"]),
+                          ["n_items"], {}, counts="n_orders")
+
+    def kg_bfs_hist(sf_dir):
+        # reach profile: BFS hop-distance histogram from the kg_bfs
+        # pivot (frontier growth rate — the small-world diagnostic)
+        from raygraph.ops.graph import bfs_distance, distinct_pairs
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        deg = preagg_sum(distinct_pairs(ed).select_columns(["_from"]),
+                         ["_from"], {}, counts="d")
+        top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
+        dists = bfs_distance(ed, source=top[0]["_from"], iters=3)
+        return preagg_sum(dists.select_columns(["dist"]), ["dist"], {},
+                          counts="n_vertices")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5947,6 +5970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rich_club": kg_rich_club,
         "events_ab_arms": events_ab_arms,
         "docs_code_score": docs_code_score,
+        "orders_size_hist": orders_size_hist,
+        "kg_bfs_hist": kg_bfs_hist,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9880,6 +9905,17 @@ def oracle_sql() -> dict[str, str]:
                 // greatest(length(text), 1)) >= 300 AS is_code
         FROM documents
     """
+    out["orders_size_hist"] = """
+        WITH per_order AS (SELECT l_orderkey,
+                                  count(*)::BIGINT AS n_items
+                           FROM lineitem GROUP BY l_orderkey)
+        SELECT n_items, count(*)::BIGINT AS n_orders
+        FROM per_order GROUP BY n_items
+    """
+    out["kg_bfs_hist"] = (
+        "SELECT dist, count(*)::BIGINT AS n_vertices FROM ("
+        + _bfs_sql(kg_edges_sql, iters=3)
+        + ") GROUP BY dist")
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
         WITH r0 AS (
