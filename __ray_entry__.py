@@ -5734,6 +5734,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(dists.select_columns(["dist"]), ["dist"], {},
                           counts="n_vertices")
 
+    def events_cohort_revenue(sf_dir):
+        # LTV triangle: revenue by (signup-week cohort, age in weeks) —
+        # user-first-week map is user-sized (closure-broadcast), the
+        # revenue pass is one combiner preagg; exact e4 cents
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+
+        first = ev.groupby("user_id").min("ts").to_pandas()
+        fweek = dict(zip(
+            first["user_id"],
+            (first["min(ts)"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000 + 3) // 7))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            week = (df["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000 + 3) // 7
+            cohort = df["user_id"].map(fweek).astype("int64")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "cohort_week": cohort,
+                "age_weeks": (week - cohort).astype("int64"),
+                "v": np.round(df["value"].to_numpy()
+                              * 10_000).astype("int64"),
+            }), preserve_index=False)
+
+        return preagg_sum(ev.map_batches(tag, batch_format="pyarrow"),
+                          ["cohort_week", "age_weeks"],
+                          {"revenue_e4": "v"}, counts="n_events")
+
+    def events_dow_profile(sf_dir):
+        # weekly seasonality: exact e4 sums per day-of-week
+        # (1970-01-01 was a Thursday -> dow = (epoch_day + 4) % 7)
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "value"])
+
+        def tag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            day = (df["ts"].astype("datetime64[us]").astype("int64")
+                   // 86_400_000_000)
+            return pa.Table.from_pandas(pd.DataFrame({
+                "dow": ((day + 4) % 7).astype("int64"),
+                "v": np.round(df["value"].to_numpy()
+                              * 10_000).astype("int64"),
+            }), preserve_index=False)
+
+        return preagg_sum(ev.map_batches(tag, batch_format="pyarrow"),
+                          ["dow"], {"sum_e4": "v"}, counts="n_events")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -5972,6 +6020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_code_score": docs_code_score,
         "orders_size_hist": orders_size_hist,
         "kg_bfs_hist": kg_bfs_hist,
+        "events_cohort_revenue": events_cohort_revenue,
+        "events_dow_profile": events_dow_profile,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9916,6 +9966,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT dist, count(*)::BIGINT AS n_vertices FROM ("
         + _bfs_sql(kg_edges_sql, iters=3)
         + ") GROUP BY dist")
+    out["events_cohort_revenue"] = """
+        WITH f AS (SELECT user_id,
+                          ((epoch_us(min(ts)) // 86400000000 + 3) // 7)
+                              ::BIGINT AS cohort_week
+                   FROM events GROUP BY user_id),
+        t AS (SELECT f.cohort_week,
+                     (((epoch_us(e.ts) // 86400000000 + 3) // 7)
+                      - f.cohort_week)::BIGINT AS age_weeks,
+                     CAST(round(e.value * 10000) AS BIGINT) AS v
+              FROM events e JOIN f USING (user_id))
+        SELECT cohort_week, age_weeks,
+               sum(v)::BIGINT AS revenue_e4,
+               count(*)::BIGINT AS n_events
+        FROM t GROUP BY cohort_week, age_weeks
+    """
+    out["events_dow_profile"] = """
+        SELECT ((epoch_us(ts) // 86400000000 + 4) % 7)::BIGINT AS dow,
+               sum(CAST(round(value * 10000) AS BIGINT))::BIGINT
+                   AS sum_e4,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY dow
+    """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
         WITH r0 AS (
