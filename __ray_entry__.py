@@ -5782,6 +5782,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(ev.map_batches(tag, batch_format="pyarrow"),
                           ["dow"], {"sum_e4": "v"}, counts="n_events")
 
+    def docs_from_jsonl_lenient(sf_dir):
+        # dead-letter ingest: a JSONL export with TWO injected malformed
+        # lines must yield the clean per-lang profile (quarantine counts
+        # are asserted in-query) — the forgiving counterpart of the
+        # hard-error reference parser contract
+        from raygraph.io import read_jsonl_lenient
+
+        jdir = os.path.join(_TMP,
+                            f"docs_jsonl_bad_{_docs_count(sf_dir)}")
+        if not os.path.isdir(jdir):
+            rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "lang", "n_chars"],
+            ).write_json(jdir)
+            victim = sorted(
+                f for f in os.listdir(jdir) if f.endswith(".json"))[0]
+            with open(os.path.join(jdir, victim), "a") as fh:
+                fh.write('{"doc_id": 1, "lang": "en", broken\n')
+                fh.write("not json at all\n")
+
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("lang", pa.string()),
+                            ("n_chars", pa.int64())])
+        good, bad = read_jsonl_lenient(jdir, schema=schema)
+        assert bad.count() == 2, "quarantine must catch both bad lines"
+        return preagg_sum(good, ["lang"], {"sum_chars": "n_chars"},
+                          counts="n_docs")
+
+    def events_bounce_rate(sf_dir):
+        # engagement quality: single-event-session share in exact bp —
+        # sessionize once, tree-sum two counters
+        from raygraph.ops.events import sessionize
+        from raygraph.ops.relational import tree_aggregate
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        sess = sessionize(ev)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ne = batch.column("n_events").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_sessions": pa.array([n], pa.int64()),
+                "n_bounce": pa.array([int((ne == 1).sum())], pa.int64()),
+            })
+
+        tot = tree_aggregate(
+            sess.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None),
+            lambda df: pd.DataFrame({
+                "n_sessions": [int(df["n_sessions"].sum())],
+                "n_bounce": [int(df["n_bounce"].sum())]}),
+            precombined=True).to_pandas()
+        ns, nb = int(tot["n_sessions"][0]), int(tot["n_bounce"][0])
+        return pd.DataFrame({
+            "n_sessions": pd.array([ns], dtype="int64"),
+            "n_bounce": pd.array([nb], dtype="int64"),
+            "bounce_bp": pd.array([10_000 * nb // ns], dtype="int64"),
+        })
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6022,6 +6082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_hist": kg_bfs_hist,
         "events_cohort_revenue": events_cohort_revenue,
         "events_dow_profile": events_dow_profile,
+        "docs_from_jsonl_lenient": docs_from_jsonl_lenient,
+        "events_bounce_rate": events_bounce_rate,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -9988,6 +10050,29 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_events
         FROM events GROUP BY dow
     """
+    out["events_bounce_rate"] = """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id
+                                            ORDER BY ts) AS sid
+              FROM o),
+        c AS (SELECT user_id, sid, count(*)::BIGINT AS ne FROM s
+              GROUP BY user_id, sid)
+        SELECT count(*)::BIGINT AS n_sessions,
+               sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_bounce,
+               ((10000 * sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END))
+                // count(*))::BIGINT AS bounce_bp
+        FROM c
+    """
+    # lenient-ingest good rows == the pristine table: shared profile
+    out["docs_from_jsonl_lenient"] = out["docs_from_jsonl"]
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
         WITH r0 AS (

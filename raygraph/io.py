@@ -116,3 +116,59 @@ def read_union_by_name(paths: list[str], **kwargs) -> ray.data.Dataset:
              .map_batches(pad, batch_format="pyarrow") for p in paths]
     out = parts[0]
     return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
+def read_jsonl_lenient(path: str, schema=None):
+    """Permissive JSONL ingest with a DEAD-LETTER lane: malformed lines
+    are counted and quarantined per file instead of failing the read —
+    the forgiving counterpart of :func:`read_documents_jsonl` (whose
+    hard-error contract mirrors the reference parser,
+    /root/reference/src/graph_loader.rs:420-431). Returns
+    ``(good_ds, bad_ds)`` where ``bad_ds`` rows carry (file, line_no,
+    error) — write it somewhere durable and replay after the producer
+    is fixed.
+
+    Built on ``read_binary_files`` (one task per file; JSONL cannot be
+    split mid-file without a line index) + a per-batch parse that
+    collects Arrow rows and dead letters in one pass."""
+    import json as _json
+
+    import pyarrow as pa
+
+    files = sorted(glob.glob(os.path.join(path, "**", "*.json*"),
+                             recursive=True)) if os.path.isdir(path) \
+        else [path]
+    raw = ray.data.read_binary_files(files, include_paths=True)
+
+    def parse(kind: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            goods: list[dict] = []
+            bads: list[dict] = []
+            for p, payload in zip(batch.column("path").to_pylist(),
+                                  batch.column("bytes").to_pylist()):
+                for i, line in enumerate(payload.splitlines()):
+                    if not line.strip():
+                        continue
+                    try:
+                        goods.append(_json.loads(line))
+                    except ValueError as exc:
+                        bads.append({"file": os.path.basename(p),
+                                     "line_no": i + 1,
+                                     "error": str(exc)[:80]})
+            if kind == "good":
+                if not goods:
+                    return (schema.empty_table() if schema is not None
+                            else pa.table({}))
+                t = pa.Table.from_pylist(goods)
+                return t.cast(schema) if schema is not None else t
+            if not bads:
+                return pa.table({"file": pa.array([], pa.string()),
+                                 "line_no": pa.array([], pa.int64()),
+                                 "error": pa.array([], pa.string())})
+            return pa.Table.from_pylist(bads)
+
+        return fn
+
+    good = raw.map_batches(parse("good"), batch_format="pyarrow")
+    bad = raw.map_batches(parse("bad"), batch_format="pyarrow")
+    return good, bad

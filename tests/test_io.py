@@ -112,3 +112,29 @@ def test_read_union_by_name_pads_and_rejects_retype(ray_session, tmp_path):
     pq.write_table(pa.table({"k": pa.array(["oops"], pa.string())}), c)
     with pytest.raises(TypeError, match="retyped"):
         read_union_by_name([a, c])
+
+
+def test_read_jsonl_lenient_quarantines_bad_lines(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from raygraph.io import read_jsonl_lenient
+
+    p = str(tmp_path / "in")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.json"), "w") as fh:
+        fh.write('{"k": 1, "v": "x"}\n')
+        fh.write("garbage line\n")
+        fh.write('{"k": 2, "v": "y"}\n')
+        fh.write("\n")                       # blank lines are skipped
+    with open(os.path.join(p, "b.json"), "w") as fh:
+        fh.write('{"k": 3, "v": "z"}\n')
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    good, bad = read_jsonl_lenient(p, schema=schema)
+    g = good.to_pandas().sort_values("k")
+    assert g["k"].tolist() == [1, 2, 3]
+    b = bad.to_pandas()
+    assert len(b) == 1
+    assert b["file"].iloc[0] == "a.json" and b["line_no"].iloc[0] == 2
