@@ -313,6 +313,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "phi_bp": pd.array([phi], dtype="int64"),
         })
 
+    def kg_degree_gini(sf_dir):
+        # degree inequality (hub concentration): exact-integer Gini via
+        # the sorted-rank identity over the undirected degree table
+        # (vertex-sized aggregate finalized in Python ints — the
+        # supplier_gini discipline)
+        from raygraph.ops.graph import _und_graph
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        _, deg, _ = _und_graph(ed)
+        d = deg.to_pandas().sort_values(["deg", "vtx"]) \
+            .reset_index(drop=True)
+        n = len(d)
+        xs = [int(v) for v in d["deg"]]
+        sx = sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        gini_bp = (10_000 * (2 * six - (n + 1) * sx)) // (n * sx)
+        return pd.DataFrame({
+            "n_vertices": pd.array([n], dtype="int64"),
+            "gini_bp": pd.array([int(gini_bp)], dtype="int64"),
+        })
+
     def kg_triangles(sf_dir):
         # exact triangle count via degree-ordered orientation (max
         # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
@@ -5842,6 +5864,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bounce_bp": pd.array([10_000 * nb // ns], dtype="int64"),
         })
 
+    def docs_length_log_hist(sf_dir):
+        # log2-bucketed token-length histogram (the long-tail length
+        # profile): powers of two are exactly representable so
+        # floor(log2) agrees bit-for-bit across engines
+        ds = _docs_ds(sf_dir)
+
+        def buckets(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            n = s.str.strip().str.lower().str.split().str.len() \
+                .astype("int64").to_numpy()
+            n = n[n >= 1]
+            b = np.floor(np.log2(n.astype("float64"))).astype("int64")
+            g = pd.Series(b).value_counts().rename_axis("log2_tokens") \
+                .reset_index(name="n_docs")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return preagg_sum(ds.map_batches(buckets,
+                                         batch_format="pyarrow"),
+                          ["log2_tokens"], {"n_docs": "n_docs"})
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6084,6 +6126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_profile": events_dow_profile,
         "docs_from_jsonl_lenient": docs_from_jsonl_lenient,
         "events_bounce_rate": events_bounce_rate,
+        "kg_degree_gini": kg_degree_gini,
+        "docs_length_log_hist": docs_length_log_hist,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10073,6 +10117,30 @@ def oracle_sql() -> dict[str, str]:
     """
     # lenient-ingest good rows == the pristine table: shared profile
     out["docs_from_jsonl_lenient"] = out["docs_from_jsonl"]
+    out["kg_degree_gini"] = f"""
+        WITH edges AS ({kg_edges_sql}),
+        und AS (SELECT DISTINCT least(_from, _to) AS u,
+                       greatest(_from, _to) AS v
+                FROM edges WHERE _from <> _to),
+        deg AS (SELECT x AS vtx, count(*)::HUGEINT AS d FROM (
+                  SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+                GROUP BY x),
+        r AS (SELECT d,
+                     row_number() OVER (ORDER BY d, vtx) AS i,
+                     count(*) OVER ()::HUGEINT AS n,
+                     sum(d) OVER ()::HUGEINT AS sx
+              FROM deg)
+        SELECT max(n)::BIGINT AS n_vertices,
+               ((10000 * (2 * sum(i * d) - (max(n) + 1) * max(sx)))
+                // (max(n) * max(sx)))::BIGINT AS gini_bp
+        FROM r
+    """
+    out["docs_length_log_hist"] = _TOKS_CTE + """
+        , c AS (SELECT len(toks)::BIGINT AS n FROM t WHERE len(toks) >= 1)
+        SELECT floor(log2(n::DOUBLE))::BIGINT AS log2_tokens,
+               count(*)::BIGINT AS n_docs
+        FROM c GROUP BY 1
+    """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
         WITH r0 AS (
