@@ -5884,6 +5884,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          batch_format="pyarrow"),
                           ["log2_tokens"], {"n_docs": "n_docs"})
 
+    def orders_first_repeat(sf_dir):
+        # acquisition-vs-retention split: each order classified first /
+        # repeat by its customer's earliest order (ties: earliest
+        # date only — ALL same-day firsts count as first); customer
+        # first-date map is customer-sized, revenue pass is one preagg
+        od = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+        first = od.groupby("o_custkey").min("o_orderdate").to_pandas()
+        fmap = dict(zip(first["o_custkey"],
+                        first["min(o_orderdate)"]
+                        .astype("datetime64[us]").astype("int64")))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            t = df["o_orderdate"].astype("datetime64[us]") \
+                .astype("int64")
+            kind = np.where(t == df["o_custkey"].map(fmap), "first",
+                            "repeat")
+            return pa.Table.from_pandas(pd.DataFrame({
+                "kind": kind,
+                "cents": np.round(df["o_totalprice"].to_numpy()
+                                  * 100).astype("int64"),
+            }), preserve_index=False)
+
+        return preagg_sum(od.map_batches(tag, batch_format="pyarrow"),
+                          ["kind"], {"sum_cents": "cents"},
+                          counts="n_orders")
+
+    def events_session_depth(sf_dir):
+        # engagement depth: exact p50/p90/p99 of events-per-session
+        # (sessionize -> value-count quantile machinery)
+        from raygraph.ops.events import sessionize
+        from raygraph.ops.relational import grouped_quantiles
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        sess = sessionize(ev)
+
+        def lit(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "__g": pa.array(np.zeros(batch.num_rows, dtype="int64")),
+                "ne": batch.column("n_events").cast(pa.int64()),
+            })
+
+        q = grouped_quantiles(
+            sess.map_batches(lit, batch_format="pyarrow"),
+            ["__g"], "ne", qs=(0.5, 0.9, 0.99)).to_pandas()
+        return pd.DataFrame({
+            "p50": pd.array([int(q["p50"].iloc[0])], dtype="int64"),
+            "p90": pd.array([int(q["p90"].iloc[0])], dtype="int64"),
+            "p99": pd.array([int(q["p99"].iloc[0])], dtype="int64"),
+        })
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6128,6 +6183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bounce_rate": events_bounce_rate,
         "kg_degree_gini": kg_degree_gini,
         "docs_length_log_hist": docs_length_log_hist,
+        "orders_first_repeat": orders_first_repeat,
+        "events_session_depth": events_session_depth,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10140,6 +10197,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT floor(log2(n::DOUBLE))::BIGINT AS log2_tokens,
                count(*)::BIGINT AS n_docs
         FROM c GROUP BY 1
+    """
+    out["orders_first_repeat"] = """
+        WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd
+                   FROM orders GROUP BY o_custkey)
+        SELECT CASE WHEN o.o_orderdate = f.fd THEN 'first'
+                    ELSE 'repeat' END AS kind,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_cents,
+               count(*)::BIGINT AS n_orders
+        FROM orders o JOIN f USING (o_custkey)
+        GROUP BY 1
+    """
+    out["events_session_depth"] = """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id
+                                            ORDER BY ts) AS sid
+              FROM o),
+        c AS (SELECT count(*)::BIGINT AS ne FROM s
+              GROUP BY user_id, sid)
+        SELECT quantile_disc(ne, 0.5)::BIGINT AS p50,
+               quantile_disc(ne, 0.9)::BIGINT AS p90,
+               quantile_disc(ne, 0.99)::BIGINT AS p99
+        FROM c
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
