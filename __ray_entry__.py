@@ -5939,6 +5939,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "p99": pd.array([int(q["p99"].iloc[0])], dtype="int64"),
         })
 
+    def orders_max_drawdown(sf_dir):
+        # sequential risk metric: max drawdown of the daily-revenue
+        # series (running max minus value, maximized) — day-keyed
+        # combiner preagg first, the scan folds the day-sized aggregate
+        od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderdate", "o_totalprice"])
+
+        def daily(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "day": (df["o_orderdate"].astype("datetime64[us]")
+                        .astype("int64") // 86_400_000_000),
+                "cents": np.round(df["o_totalprice"].to_numpy()
+                                  * 100).astype("int64"),
+            }), preserve_index=False)
+
+        rev = preagg_sum(od.map_batches(daily, batch_format="pyarrow"),
+                         ["day"], {"cents": "cents"}).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        run_max = rev["cents"].cummax()
+        dd = run_max - rev["cents"]
+        i = int(dd.to_numpy().argmax())  # first max → earliest day
+        return pd.DataFrame({
+            "n_days": pd.array([len(rev)], dtype="int64"),
+            "max_drawdown_cents": pd.array([int(dd.iloc[i])],
+                                           dtype="int64"),
+            "drawdown_day": pd.array([int(rev["day"].iloc[i])],
+                                     dtype="int64"),
+        })
+
+    def docs_vocab_growth(sf_dir):
+        # Heaps'-law telemetry: cumulative vocabulary size at corpus
+        # deciles — ONE min-doc-per-token groupby (the novelty-rate
+        # exchange), then a 10-row cumulative fold
+        n_docs = _docs_count(sf_dir)
+        ds = _docs_ds(sf_dir)
+
+        def first_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            toks = df["text"].fillna("").str.strip().str.lower() \
+                .str.split()
+            ex = pd.DataFrame({"doc_id": df["doc_id"],
+                               "token": toks}).explode("token").dropna()
+            g = (ex.groupby("token", sort=False)["doc_id"].min()
+                 .reset_index(name="first_doc")
+                 .rename(columns={"index": "token"}))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        first = ds.map_batches(first_partial, batch_format="pyarrow") \
+            .groupby("token").min("first_doc")
+
+        def decile_partial(batch: pa.Table) -> pa.Table:
+            fd = batch.column("min(first_doc)") \
+                .to_numpy(zero_copy_only=False)
+            dec = np.minimum(fd * 10 // n_docs, 9).astype("int64") + 1
+            g = pd.Series(dec).value_counts().rename_axis("decile") \
+                .reset_index(name="n_new")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        per_dec = preagg_sum(
+            first.map_batches(decile_partial, batch_format="pyarrow"),
+            ["decile"], {"n_new": "n_new"}).to_pandas() \
+            .set_index("decile")["n_new"]
+        rows, cum = [], 0
+        for d in range(1, 11):
+            cum += int(per_dec.get(d, 0))
+            rows.append((d, cum))
+        return pd.DataFrame(rows, columns=["decile", "vocab_size"]) \
+            .astype({"decile": "int64", "vocab_size": "int64"})
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6185,6 +6255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_log_hist": docs_length_log_hist,
         "orders_first_repeat": orders_first_repeat,
         "events_session_depth": events_session_depth,
+        "orders_max_drawdown": orders_max_drawdown,
+        "docs_vocab_growth": docs_vocab_growth,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10227,6 +10299,36 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(ne, 0.9)::BIGINT AS p90,
                quantile_disc(ne, 0.99)::BIGINT AS p99
         FROM c
+    """
+    out["orders_max_drawdown"] = """
+        WITH r AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          sum(CAST(round(o_totalprice * 100)
+                                   AS BIGINT))::BIGINT AS cents
+                   FROM orders GROUP BY day),
+        s AS (SELECT day,
+                     (max(cents) OVER (ORDER BY day) - cents)::BIGINT
+                         AS dd
+              FROM r),
+        x AS (SELECT day, dd,
+                     row_number() OVER (ORDER BY dd DESC, day) AS rn
+              FROM s)
+        SELECT (SELECT count(*)::BIGINT FROM r) AS n_days,
+               dd AS max_drawdown_cents, day::BIGINT AS drawdown_day
+        FROM x WHERE rn = 1
+    """
+    out["docs_vocab_growth"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        f AS (SELECT token, min(doc_id) AS fd FROM u GROUP BY token),
+        nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        d AS (SELECT least(f.fd * 10 // nn.n, 9) + 1 AS decile
+              FROM f, nn),
+        c AS (SELECT decile, count(*)::BIGINT AS n_new FROM d
+              GROUP BY decile),
+        g AS (SELECT unnest(generate_series(1, 10)) AS decile)
+        SELECT g.decile::BIGINT AS decile,
+               (SELECT coalesce(sum(n_new), 0)::BIGINT FROM c
+                WHERE c.decile <= g.decile) AS vocab_size
+        FROM g
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
