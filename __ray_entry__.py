@@ -335,6 +335,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gini_bp": pd.array([int(gini_bp)], dtype="int64"),
         })
 
+    def kg_lineage(sf_dir):
+        # lineage audit: the per-partition checkpoint manifests' summed
+        # triple counts must reproduce the corpus formula exactly — the
+        # north-rule "per-partition lineage + metrics" surface made
+        # oracle-checkable (partition membership itself is an
+        # engine-side hash; the TOTALS are the invariant)
+        import glob as _glob
+        import json as _json
+
+        res = _kg_result(sf_dir)
+        mans = sorted(_glob.glob(os.path.join(
+            res.triples_path, "_manifest", "part-*.json")))
+        triples = 0
+        for m in mans:
+            with open(m) as fh:
+                triples += int(_json.load(fh)["rows"])
+        return pd.DataFrame({
+            "n_partitions": pd.array([len(mans)], dtype="int64"),
+            "triples_total": pd.array([triples], dtype="int64"),
+        })
+
     def kg_triangles(sf_dir):
         # exact triangle count via degree-ordered orientation (max
         # wedge fan-out O(sqrt(m)) even on hubs); only the scalar
@@ -6257,6 +6278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_depth": events_session_depth,
         "orders_max_drawdown": orders_max_drawdown,
         "docs_vocab_growth": docs_vocab_growth,
+        "kg_lineage": kg_lineage,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10329,6 +10351,15 @@ def oracle_sql() -> dict[str, str]:
                (SELECT coalesce(sum(n_new), 0)::BIGINT FROM c
                 WHERE c.decile <= g.decile) AS vocab_size
         FROM g
+    """
+    out["kg_lineage"] = """
+        WITH idx AS (SELECT row_number() OVER () - 1 AS i
+                     FROM documents)
+        SELECT 8::BIGINT AS n_partitions,
+               (2 * count(*)
+                + sum(CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END))::BIGINT
+                   AS triples_total
+        FROM idx
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
