@@ -618,3 +618,35 @@ def test_asof_join_forward_picks_earliest_at_or_after():
     assert got[(1, 1.0)] == 10.0       # earliest mark at/after t0
     assert got[(1, 2.0)] == 20.0       # next mark at +60s
     assert pd.isna(got[(2, 3.0)])      # user 2 has no mark at/after +5s
+
+
+def test_missing_hours_gap_detection():
+    import pandas as pd
+
+    # exercised through the registry callable to keep one definition
+    import __ray_entry__ as entry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("A", 0), ("A", 1), ("A", 3), ("A", 6), ("B", 0)]
+    ev = pa.table({
+        "event_type": [r[0] for r in rows],
+        "ts": pa.array([t0 + dt.timedelta(hours=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="miss_")
+    pq.write_table(ev, os.path.join(d, "events.parquet"))
+    got = entry.queries()["events_missing_hours"](d)
+    df = got.to_pandas().set_index("event_type") if not hasattr(
+        got, "set_index") else got.set_index("event_type")
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    # A: present 0,1,3,6 -> span 7, missing 3 (hours 2,4,5), first gap 2
+    assert df.loc["A"].tolist() == [4, 7, 3, base + 2]
+    # B: single hour -> no gaps, first_gap_hour null
+    a = df.loc["B"]
+    assert a["n_hours_present"] == 1 and a["n_missing"] == 0
+    assert pd.isna(a["first_gap_hour"])

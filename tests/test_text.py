@@ -426,3 +426,27 @@ def test_char_trigram_counts_boundaries(ray_session):
     # "BC" is too short to contribute; no cross-doc trigram may appear
     assert got == dict(exp)
     assert "dbc" not in got and "cxy" not in got
+
+
+def test_vocab_growth_cumulative(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    d = tempfile.mkdtemp(prefix="vg_")
+    # 10 docs: doc 0 introduces a b; doc 5 introduces c; others repeat
+    texts = ["a b"] + ["a"] * 4 + ["c a"] + ["b"] * 4
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": texts,
+        "lang": ["en"] * 10,
+        "source": ["s"] * 10,
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    got = entry.queries()["docs_vocab_growth"](d)
+    vs = dict(zip(got["decile"], got["vocab_size"]))
+    # deciles are 1 doc wide here: vocab 2 after doc 0, 3 after doc 5
+    assert vs[1] == 2 and vs[5] == 2 and vs[6] == 3 and vs[10] == 3
