@@ -6030,6 +6030,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows, columns=["decile", "vocab_size"]) \
             .astype({"decile": "int64", "vocab_size": "int64"})
 
+    def lineitem_ship_delay(sf_dir):
+        # logistics latency: days from order to line shipment, as a
+        # histogram — one big-big shuffle join then a day-delta
+        # combiner regroup
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import shuffle_join
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey", "l_shipdate"])
+        od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+        def li_n(batch: pa.Table) -> pa.Table:
+            d = batch.column("l_shipdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False) // 86_400_000_000
+            return pa.table({"ok": batch.column("l_orderkey"),
+                             "sd": pa.array(d, pa.int64())})
+
+        def od_n(batch: pa.Table) -> pa.Table:
+            d = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False) // 86_400_000_000
+            return pa.table({"ok2": batch.column("o_orderkey"),
+                             "od": pa.array(d, pa.int64())})
+
+        j = _repaired(
+            shuffle_join(li.map_batches(li_n, batch_format="pyarrow"),
+                         od.map_batches(od_n, batch_format="pyarrow"),
+                         on="ok", right_on="ok2"),
+            pa.schema([("ok", pa.int64()), ("sd", pa.int64()),
+                       ("od", pa.int64())]))
+
+        def delta(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = (pd.DataFrame({"delay_days": df["sd"] - df["od"]})
+                 .groupby("delay_days", sort=False)
+                 .size().reset_index(name="n_lines"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return preagg_sum(j.map_batches(delta, batch_format="pyarrow"),
+                          ["delay_days"], {"n_lines": "n_lines"})
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6279,6 +6320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_max_drawdown": orders_max_drawdown,
         "docs_vocab_growth": docs_vocab_growth,
         "kg_lineage": kg_lineage,
+        "lineitem_ship_delay": lineitem_ship_delay,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10360,6 +10402,14 @@ def oracle_sql() -> dict[str, str]:
                 + sum(CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END))::BIGINT
                    AS triples_total
         FROM idx
+    """
+    out["lineitem_ship_delay"] = """
+        SELECT ((epoch_us(l.l_shipdate) // 86400000000)
+                - (epoch_us(o.o_orderdate) // 86400000000))::BIGINT
+                   AS delay_days,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
