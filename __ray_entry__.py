@@ -6071,6 +6071,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(j.map_batches(delta, batch_format="pyarrow"),
                           ["delay_days"], {"n_lines": "n_lines"})
 
+    def text_suffix_profile(sf_dir):
+        # morphology profile (stemming-table precursor): top-20 3-char
+        # token suffixes over tokens of length >= 4; one explode +
+        # vectorized slice, vocab-bounded partials
+        ds = _docs_ds(sf_dir)
+
+        def suf(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            toks = s.str.strip().str.lower().str.split().explode() \
+                .dropna()
+            toks = toks[toks.str.len() >= 4]
+            g = toks.str[-3:].value_counts().rename_axis("suffix") \
+                .reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = preagg_sum(ds.map_batches(suf, batch_format="pyarrow"),
+                         ["suffix"], {"n": "n"})
+        return agg.sort(["n", "suffix"], descending=[True, False]) \
+            .limit(20)
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6321,6 +6341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": docs_vocab_growth,
         "kg_lineage": kg_lineage,
         "lineitem_ship_delay": lineitem_ship_delay,
+        "text_suffix_profile": text_suffix_profile,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10410,6 +10431,13 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_lines
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY 1
+    """
+    out["text_suffix_profile"] = _TOKS_CTE + """
+        , u AS (SELECT unnest(toks) AS token FROM t),
+        s AS (SELECT right(token, 3) AS suffix FROM u
+              WHERE length(token) >= 4)
+        SELECT suffix, count(*)::BIGINT AS n FROM s
+        GROUP BY suffix ORDER BY n DESC, suffix LIMIT 20
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
