@@ -6091,6 +6091,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.sort(["n", "suffix"], descending=[True, False]) \
             .limit(20)
 
+    def docs_email_domains(sf_dir):
+        # PII mining rollup: extracted-email DOMAIN histogram (the
+        # provenance profile of contact data) — flat-map explode then a
+        # vectorized split + combiner regroup
+        from raygraph.ops.text import EMAIL_PATTERN, extract_matches
+
+        injected = _docs_ds(sf_dir).map_batches(_inject_pii,
+                                                batch_format="pyarrow")
+        emails = extract_matches(injected, EMAIL_PATTERN, out="email")
+
+        def dom(batch: pa.Table) -> pa.Table:
+            s = batch.column("email").to_pandas()
+            g = s.str.split("@").str[-1].value_counts() \
+                .rename_axis("domain").reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return preagg_sum(emails.map_batches(dom,
+                                             batch_format="pyarrow"),
+                          ["domain"], {"n": "n"})
+
+    def events_slo_burn(sf_dir):
+        # SRE error-budget burn: daily error share in bp vs a 100-bp
+        # budget, with the cumulative excess (burn) as a running fold
+        # over the day-sized aggregate
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "ts"])
+
+        def daily(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            day = (df["ts"].astype("datetime64[us]").astype("int64")
+                   // 86_400_000_000)
+            return pa.Table.from_pandas(pd.DataFrame({
+                "day": day,
+                "n": np.ones(len(df), dtype="int64"),
+                "err": (df["event_type"] == "error").astype("int64"),
+            }), preserve_index=False)
+
+        d = preagg_sum(ev.map_batches(daily, batch_format="pyarrow"),
+                       ["day"], {"n": "n", "err": "err"}).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        d["err_bp"] = (10_000 * d["err"]) // d["n"]
+        d["excess_bp"] = (d["err_bp"] - 100).clip(lower=0)
+        d["burn_bp"] = d["excess_bp"].cumsum()
+        for c in ("day", "n", "err", "err_bp", "burn_bp"):
+            d[c] = d[c].astype("int64")
+        return d[["day", "n", "err", "err_bp", "burn_bp"]]
+
+    def events_new_users(sf_dir):
+        # acquisition telemetry: per day, first-seen vs returning active
+        # users — user-first-day map (user-sized) + one distinct-pair
+        # aggregate
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        first = ev.groupby("user_id").min("ts").to_pandas()
+        fday = dict(zip(first["user_id"],
+                        first["min(ts)"].astype("datetime64[us]")
+                        .astype("int64") // 86_400_000_000))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            day = (df["ts"].astype("datetime64[us]").astype("int64")
+                   // 86_400_000_000)
+            out = pd.DataFrame({"user_id": df["user_id"],
+                                "day": day}).drop_duplicates()
+            out["is_new"] = (out["day"]
+                             == out["user_id"].map(fday)).astype("int64")
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        from raygraph.ops.relational import hash_aggregate
+
+        # per-batch distinct is NOT global distinct (a pair can span
+        # batches): one pair-hash dedup makes the counts exact
+        pairs = hash_aggregate(
+            ev.map_batches(tag, batch_format="pyarrow"),
+            ["user_id", "day"], lambda df: df.drop_duplicates())
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("day", sort=False).agg(
+                n_active=("user_id", "size"),
+                n_new=("is_new", "sum")).reset_index()
+            for c in ("n_active", "n_new"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = preagg_sum(pairs.map_batches(partial,
+                                           batch_format="pyarrow"),
+                         ["day"], {"n_active": "n_active",
+                                   "n_new": "n_new"})
+
+        def finish(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["n_returning"] = (df["n_active"]
+                                 - df["n_new"]).astype("int64")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6342,6 +6440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage": kg_lineage,
         "lineitem_ship_delay": lineitem_ship_delay,
         "text_suffix_profile": text_suffix_profile,
+        "docs_email_domains": docs_email_domains,
+        "events_slo_burn": events_slo_burn,
+        "events_new_users": events_new_users,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10438,6 +10539,60 @@ def oracle_sql() -> dict[str, str]:
               WHERE length(token) >= 4)
         SELECT suffix, count(*)::BIGINT AS n FROM s
         GROUP BY suffix ORDER BY n DESC, suffix LIMIT 20
+    """
+    out["docs_email_domains"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' mail: u' || doc_id || '@ex'
+                                   || (doc_id % 10) || '.org'
+                              ELSE '' END
+                      || CASE WHEN doc_id % 11 = 0
+                              THEN ' call '
+                                   || lpad((doc_id % 1000)::VARCHAR,
+                                           3, '0')
+                                   || '-555-'
+                                   || lpad((doc_id % 10000)::VARCHAR,
+                                           4, '0')
+                              ELSE '' END AS text
+          FROM documents
+        ),
+        e AS (SELECT unnest(regexp_extract_all(text,
+                  '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+'))
+                  AS email
+              FROM aug)
+        SELECT split_part(email, '@', -1) AS domain,
+               count(*)::BIGINT AS n
+        FROM e GROUP BY domain
+    """
+    out["events_slo_burn"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*)::BIGINT AS n,
+                          sum(CASE WHEN event_type = 'error'
+                                   THEN 1 ELSE 0 END)::BIGINT AS err
+                   FROM events GROUP BY day),
+        b AS (SELECT day, n, err,
+                     ((10000 * err) // n)::BIGINT AS err_bp
+              FROM d)
+        SELECT day::BIGINT AS day, n, err, err_bp,
+               sum(greatest(err_bp - 100, 0))
+                   OVER (ORDER BY day)::BIGINT AS burn_bp
+        FROM b
+    """
+    out["events_new_users"] = """
+        WITH f AS (SELECT user_id,
+                          min(epoch_us(ts) // 86400000000) AS fday
+                   FROM events GROUP BY user_id),
+        p AS (SELECT DISTINCT e.user_id,
+                     epoch_us(e.ts) // 86400000000 AS day
+              FROM events e),
+        t AS (SELECT p.day,
+                     CASE WHEN p.day = f.fday THEN 1 ELSE 0 END AS nw
+              FROM p JOIN f USING (user_id))
+        SELECT day::BIGINT AS day, count(*)::BIGINT AS n_active,
+               sum(nw)::BIGINT AS n_new,
+               (count(*) - sum(nw))::BIGINT AS n_returning
+        FROM t GROUP BY day
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
