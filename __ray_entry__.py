@@ -6189,6 +6189,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def docs_strip_markup(sf_dir):
+        # HTML-ish boilerplate removal: id-derived <p>/<b> tags planted
+        # in both engines, stripped with one compiled regex pass; output
+        # counts tags removed and the cleaned length
+        import re
+
+        ds = _docs_ds(sf_dir)
+        tag_re = re.compile(r"</?[pb]>")
+
+        def inject_strip(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pandas()
+            s = batch.column("text").to_pandas().fillna("")
+            s = np.where(ids % 5 == 0, "<p>" + s + "</p>", s)
+            s = pd.Series(np.where(ids % 9 == 0,
+                                   "<b>" + pd.Series(s) + "</b>", s))
+            n_tags = s.str.count(tag_re).astype("int64")
+            clean = s.str.replace(tag_re, "", regex=True)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tags": pa.array(n_tags.to_numpy(), pa.int64()),
+                "clean_len": pa.array(
+                    clean.str.len().astype("int64").to_numpy(),
+                    pa.int64()),
+            })
+
+        return ds.map_batches(inject_strip, batch_format="pyarrow")
+
+    def kg_edge_weight_hist(sf_dir):
+        # provenance-weight profile of the built graph: doc_count
+        # histogram over the edge table (how much evidence each edge
+        # carries)
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["doc_count"])
+        return preagg_sum(ed, ["doc_count"], {}, counts="n_edges")
+
     def events_dod_growth(sf_dir):
         # day-over-day volume growth per event type, truncated basis
         # points (negative growth uses DuckDB // semantics via trunc_div)
@@ -6443,6 +6478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_email_domains": docs_email_domains,
         "events_slo_burn": events_slo_burn,
         "events_new_users": events_new_users,
+        "docs_strip_markup": docs_strip_markup,
+        "kg_edge_weight_hist": kg_edge_weight_hist,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_assortativity": kg_assortativity,
         "kg_walks3": kg_walks3,
@@ -10593,6 +10630,40 @@ def oracle_sql() -> dict[str, str]:
                sum(nw)::BIGINT AS n_new,
                (count(*) - sum(nw))::BIGINT AS n_returning
         FROM t GROUP BY day
+    """
+    out["docs_strip_markup"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 0
+                      THEN '<b>' || inner_t || '</b>' ELSE inner_t END
+                     AS text
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '<p>' || text || '</p>' ELSE text END
+                           AS inner_t
+                FROM documents)
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '</?[pb]>'))::BIGINT
+                   AS n_tags,
+               length(regexp_replace(text, '</?[pb]>', '', 'g'))::BIGINT
+                   AS clean_len
+        FROM aug
+    """
+    out["kg_edge_weight_hist"] = kg_base + """
+        , ea AS (
+          -- one row per (doc, edge): doc_count counts contributing
+          -- DOCS (text+caption mentions of the same pair dedup per doc)
+          SELECT 'entities/vertex_' || a AS f, 'connected_to' AS p,
+                 'entities/vertex_' || b AS t FROM e
+          UNION ALL
+          SELECT 'entities/vertex_' || a, 'is_a', 'entities/node'
+          FROM e WHERE i % 7 = 3
+        ),
+        c AS (SELECT f, p, t, count(*)::BIGINT AS doc_count FROM ea
+              GROUP BY f, p, t)
+        SELECT doc_count, count(*)::BIGINT AS n_edges FROM c
+        GROUP BY doc_count
     """
     out["kg_scc"] = _scc_sql(kg_edges_sql, iters=5)
     out["events_asof_forward"] = """
