@@ -488,6 +488,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             batch_format="pyarrow"),
                              source=top[0]["_from"], iters=3)
 
+    def kg_closeness(sf_dir):
+        # closeness + harmonic centrality for the 8 top-out-degree
+        # seeds: multi-source BFS (3 hops) with a monotone frontier —
+        # labels hold only reached (source, vertex) pairs, one
+        # edge-sized shuffle join + min-combine per round; driver state
+        # is the 8 seed ids
+        from raygraph.ops.graph import closeness_centrality
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return closeness_centrality(ed, n_seeds=8, iters=3)
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6288,6 +6300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": kg_clustering,
         "kg_hits": kg_hits,
         "kg_sssp": kg_sssp,
+        "kg_closeness": kg_closeness,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -6656,6 +6669,33 @@ def _bfs_sql(edges_sql: str, iters: int,
             f"FROM arcs a JOIN d{i} d ON a.u = d.x GROUP BY a.v)")
     parts.append(f" SELECT x AS vertex, dist FROM d{iters} "
                  f"WHERE dist < {inf}")
+    return "".join(parts)
+
+
+def _closeness_sql(edges_sql: str, n_seeds: int, iters: int) -> str:
+    """Machine-unrolled multi-source BFS closeness mirroring
+    raygraph.ops.graph.closeness_centrality term for term: seeds = top
+    out-degree (ties -> smallest id), per round UNION ALL of standing
+    labels with one-hop relaxations then min per (source, vertex);
+    harmonic term is the same integer floor-div."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        f", seeds AS (SELECT u AS s FROM (SELECT u, count(*) AS c "
+        f"FROM pr GROUP BY u) ORDER BY c DESC, u LIMIT {n_seeds})",
+        ", d0 AS (SELECT s, s AS x, 0::BIGINT AS dist FROM seeds)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", d{i + 1} AS (SELECT s, x, min(dist) AS dist FROM ("
+            f"SELECT s, x, dist FROM d{i} UNION ALL "
+            f"SELECT d.s, a.v, d.dist + 1 FROM pr a JOIN d{i} d "
+            f"ON a.u = d.x) GROUP BY s, x)")
+    parts.append(
+        f" SELECT s AS source, count(*)::BIGINT AS reached, "
+        f"sum(dist)::BIGINT AS dist_sum, "
+        f"sum(1000000 // dist)::BIGINT AS harmonic_e6 "
+        f"FROM d{iters} WHERE dist > 0 GROUP BY s")
     return "".join(parts)
 
 
@@ -7199,6 +7239,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs": _bfs_sql(kg_edges_sql, iters=3),
         "kg_sssp": _bfs_sql(kg_edges_sql, iters=3,
                             weight_expr="length(pred)"),
+        "kg_closeness": _closeness_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

@@ -1464,3 +1464,96 @@ def hash_greedy_walks(edges, steps: int = 3,
         state = _repaired(state, pa.schema(cols))
         last = step_col
     return state
+
+
+def closeness_centrality(edges, n_seeds: int = 8, iters: int = 3,
+                         src: str = "_from", dst: str = "_to"):
+    """Directed closeness / harmonic centrality for the ``n_seeds``
+    highest-out-degree vertices (ties -> smallest id): multi-source BFS
+    truncated at ``iters`` hops.
+
+    The reference exports the edge list for exactly this kind of
+    downstream analytics (src/graph_loader.rs load_edges); here the BFS
+    stays in the Dataset stream. Unlike :func:`bfs_distance` the label
+    table is MONOTONE-FRONTIER: it holds only REACHED (source, vertex)
+    pairs (never an INF-dense V x S matrix), so state is bounded by the
+    union of the seeds' ``iters``-hop balls. Per round: one edge-sized
+    shuffle join fans dist(u)+1 over arcs, a union folds the standing
+    labels back in (the w=0 self-loop of bfs_distance, without
+    seed-multiplying the arc table), and one min-combine per
+    (source, vertex) closes the round. Driver state is the seed id list
+    (n_seeds strings) — nothing graph-sized.
+
+    Output per seed: ``reached`` (vertices != seed within ``iters``
+    hops), ``dist_sum`` (classic closeness denominator) and
+    ``harmonic_e6`` = sum(floor(1e6 / d)) — exact integers, so the SQL
+    oracle unrolls bit-for-bit.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, preagg_extreme, preagg_sum,
+                             shuffle_join)
+    import ray.data as rd
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+
+    deg = preagg_sum(pairs.select_columns([src]), [src], {}, counts="d")
+    top = deg.sort(["d", src], descending=[True, False]).take(n_seeds)
+    seeds = [r[src] for r in top]
+
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+    arcs = _repaired(
+        pairs.map_batches(
+            lambda b: pa.table({"u": b.column(src), "v": b.column(dst)}),
+            batch_format="pyarrow"),
+        arc_schema)
+
+    lbl_schema = pa.schema([("source", pa.string()),
+                            ("vertex", pa.string()),
+                            ("dist", pa.int64())])
+    labels = _repaired(
+        rd.from_arrow(pa.table({
+            "source": pa.array(seeds, pa.string()),
+            "vertex": pa.array(seeds, pa.string()),
+            "dist": pa.array([0] * len(seeds), pa.int64()),
+        })),
+        lbl_schema)
+
+    msg_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("source", pa.string()), ("dist", pa.int64())])
+    for _ in range(iters):
+        msgs = _repaired(
+            shuffle_join(arcs, labels, on="u", right_on="vertex",
+                         num_partitions=nparts),
+            msg_schema)
+
+        def relax(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": batch.column("source"),
+                "vertex": batch.column("v"),
+                "dist": pc.add(batch.column("dist"),
+                               pa.scalar(1, pa.int64())),
+            })
+
+        labels = _repaired(
+            preagg_extreme(
+                labels.union(msgs.map_batches(relax,
+                                              batch_format="pyarrow")),
+                ["source", "vertex"], "dist", how="min", out="dist"),
+            lbl_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("dist"),
+                                    pa.scalar(0, pa.int64())))
+        d = t.column("dist").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t.column("source"),
+            "dist": t.column("dist"),
+            "h": pa.array(1_000_000 // d, pa.int64()),
+        })
+
+    return preagg_sum(
+        labels.map_batches(finish, batch_format="pyarrow"),
+        ["source"], {"dist_sum": "dist", "harmonic_e6": "h"},
+        counts="reached")
