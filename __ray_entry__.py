@@ -500,6 +500,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return closeness_centrality(ed, n_seeds=8, iters=3)
 
+    def kg_communities(sf_dir):
+        # label-propagation community detection (2 synchronous rounds,
+        # vote = mode of neighbor+self labels, ties -> smallest label
+        # via a zfill(999999999-count)||label composite min): one
+        # edge-sized shuffle join + count + argmax per round, community
+        # sizes out — nothing graph-sized on the driver
+        from raygraph.ops.graph import label_propagation
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return label_propagation(ed, iters=2)
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6301,6 +6313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": kg_hits,
         "kg_sssp": kg_sssp,
         "kg_closeness": kg_closeness,
+        "kg_communities": kg_communities,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -6696,6 +6709,36 @@ def _closeness_sql(edges_sql: str, n_seeds: int, iters: int) -> str:
         f"sum(dist)::BIGINT AS dist_sum, "
         f"sum(1000000 // dist)::BIGINT AS harmonic_e6 "
         f"FROM d{iters} WHERE dist > 0 GROUP BY s")
+    return "".join(parts)
+
+
+def _lpa_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled synchronous label propagation mirroring
+    raygraph.ops.graph.label_propagation term for term: undirected
+    distinct arcs + one self-loop per vertex, per round a (vertex,
+    label) vote count and an argmax resolved as min over the
+    zfill9(999999999 - count) || md5(label) || label composite (max
+    count, ties -> smallest label md5 = deterministic pseudo-random,
+    binary collation on both engines)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", arcs AS (SELECT DISTINCT u, v FROM ("
+        "SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr "
+        "UNION ALL SELECT u, u FROM pr UNION ALL SELECT v, v FROM pr))",
+        ", l0 AS (SELECT u AS vertex, v AS label FROM arcs WHERE u = v)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", l{i + 1} AS (SELECT vertex, substr(min(k), 42) AS label "
+            f"FROM (SELECT a.v AS vertex, "
+            f"lpad((999999999 - count(*))::VARCHAR, 9, '0') || "
+            f"md5(l.label) || l.label "
+            f"AS k FROM arcs a JOIN l{i} l ON a.u = l.vertex "
+            f"GROUP BY a.v, l.label) GROUP BY vertex)")
+    parts.append(
+        f" SELECT label AS community, count(*)::BIGINT AS size "
+        f"FROM l{iters} GROUP BY label")
     return "".join(parts)
 
 
@@ -7240,6 +7283,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp": _bfs_sql(kg_edges_sql, iters=3,
                             weight_expr="length(pred)"),
         "kg_closeness": _closeness_sql(kg_edges_sql, n_seeds=8, iters=3),
+        "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

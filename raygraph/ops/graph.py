@@ -1557,3 +1557,113 @@ def closeness_centrality(edges, n_seeds: int = 8, iters: int = 3,
         labels.map_batches(finish, batch_format="pyarrow"),
         ["source"], {"dist_sum": "dist", "harmonic_e6": "h"},
         counts="reached")
+
+
+def label_propagation(edges, iters: int = 3,
+                      src: str = "_from", dst: str = "_to"):
+    """Synchronous label-propagation community detection (LPA) over the
+    undirected arc set, ``iters`` fixed rounds, returning per-community
+    sizes.
+
+    The reference exports the edge list precisely so downstream
+    analytics like community detection can run on it
+    (src/graph_loader.rs load_edges); here the whole vote loop stays in
+    the Dataset stream. Unlike :func:`connected_components` (min-label,
+    idempotent, tolerant of duplicate arcs) LPA votes by COUNT, so the
+    arc multiset must be globally exact: one hash-distinct exchange
+    builds the undirected arc set WITH one self-loop per vertex (the
+    vertex votes for its own current label — the deterministic
+    tie-breaking variant), and every round is one edge-sized shuffle
+    join (arcs pick up their tail's label), a (vertex, label) partial
+    count, and an argmax-per-vertex resolved as a MIN over the
+    composite key ``zfill9(999999999 - count) || md5(label) || label``
+    — max count first, ties broken by the label's md5 (pseudo-random
+    but deterministic: a smallest-LABEL tie-break degenerates LPA into
+    min-label components and collapses the graph to one community;
+    hashing spreads the tie choices), binary collation identical in
+    Arrow and DuckDB so the SQL oracle unrolls bit-for-bit. Driver
+    state is nothing graph-sized.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_extreme, preagg_sum, shuffle_join)
+
+    pairs = distinct_pairs(edges, src, dst)
+
+    arc_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        u, v = batch.column(src), batch.column(dst)
+        return pa.table({
+            "u": pa.chunked_array([u, v, u, v]),
+            "v": pa.chunked_array([v, u, u, v]),
+        })
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    arcs = _repaired(
+        hash_aggregate(
+            pairs.map_batches(undirect, batch_format="pyarrow")
+                 .map_batches(partial_distinct, batch_format="pyarrow"),
+            ["u", "v"],
+            lambda df: df.drop_duplicates(),
+        ),
+        arc_schema)
+    nparts = _join_partitions(arcs.count())
+
+    lbl_schema = pa.schema([("vertex", pa.string()),
+                            ("label", pa.string())])
+
+    def seed(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("u"), batch.column("v")))
+        return pa.table({"vertex": t.column("u"), "label": t.column("v")})
+
+    labels = _repaired(arcs.map_batches(seed, batch_format="pyarrow"),
+                       lbl_schema)
+
+    msg_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("label", pa.string())])
+    for _ in range(iters):
+        msgs = _repaired(
+            shuffle_join(arcs, labels, on="u", right_on="vertex",
+                         num_partitions=nparts),
+            msg_schema)
+        cnt = preagg_sum(msgs.select_columns(["v", "label"]),
+                         ["v", "label"], {}, counts="c")
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            inv = pc.subtract(pa.scalar(999_999_999, pa.int64()),
+                              batch.column("c"))
+            lab = batch.column("label").to_pandas()
+            uniq = lab.unique()
+            h = {t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in uniq}
+            k = pc.binary_join_element_wise(
+                pc.utf8_lpad(pc.cast(inv, pa.string()), 9, "0"),
+                pa.array(lab.map(h), pa.string()),
+                batch.column("label"), "")
+            return pa.table({"vertex": batch.column("v"), "k": k})
+
+        won = preagg_extreme(
+            cnt.map_batches(keyed, batch_format="pyarrow"),
+            ["vertex"], "k", how="min", out="k")
+
+        def strip(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "vertex": batch.column("vertex"),
+                "label": pc.utf8_slice_codeunits(batch.column("k"), 41),
+            })
+
+        labels = _repaired(won.map_batches(strip, batch_format="pyarrow"),
+                           lbl_schema)
+
+    out = preagg_sum(labels.select_columns(["label"]), ["label"],
+                     {}, counts="size")
+    return out.map_batches(
+        lambda b: b.rename_columns(["community", "size"]),
+        batch_format="pyarrow")
