@@ -616,6 +616,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_exact_documents(sf_dir):
         return D.exact_dedup(_doubled_docs(sf_dir))
 
+    def dedup_sentences(sf_dir):
+        # sub-document boilerplate profile: sentence-granularity exact
+        # duplication per source — flat explode stays block-local, ONE
+        # pair-hash exchange counts (source, sentence) occurrences,
+        # per-source totals vs distinct close it; no joins
+        return D.sentence_dedup_stats(
+            _docs_ds(sf_dir, columns=("text", "source")))
+
     def dedup_minhash_survivors(sf_dir):
         # word shingles: char 5-grams saturate on this small-vocab corpus
         # (unrelated long docs reach Jaccard ~1); word 5-windows stay
@@ -6361,6 +6369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
+        "dedup_sentences": dedup_sentences,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "text_token_count": text_token_count,
         "text_stats": text_stats,
@@ -9218,6 +9227,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_pairs": f"""
             SELECT vec_id AS id_a, vec_id + {_OFFSET} AS id_b FROM embeddings
+        """,
+        # sentence split on the literal '. ' + space-trim, empties
+        # dropped — bit-identical to dedup.sentence_dedup_stats
+        "dedup_sentences": """
+            WITH ex AS (
+              SELECT source,
+                     trim(unnest(string_split(text, '. '))) AS sent
+              FROM documents
+            ), cnt AS (
+              SELECT source, sent, count(*)::BIGINT AS n
+              FROM ex WHERE sent <> '' GROUP BY source, sent
+            )
+            SELECT source,
+                   sum(n)::BIGINT AS n_sentences,
+                   count(*)::BIGINT AS n_distinct,
+                   ((10000 * (sum(n) - count(*)))::BIGINT
+                       // sum(n)::BIGINT)::BIGINT AS dup_bp
+            FROM cnt GROUP BY source
         """,
         # the REAL simhash recomputed in SQL: 60-bit md5 token hashes,
         # per-bit ±1 vote sums, bit set when the sum is positive —

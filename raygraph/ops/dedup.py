@@ -1051,3 +1051,55 @@ def edit_distance_pairs(ds, max_dist: int = 2, prefix: int = 16,
 
     return hash_aggregate(ds.map_batches(project, batch_format="pyarrow"),
                           ["pk"], bucket_pairs, num_buckets=num_buckets)
+
+
+def sentence_dedup_stats(ds, text_col: str = "text",
+                         group_col: str = "source"):
+    """Sub-document (sentence-granularity) exact-duplication profile per
+    ``group_col``: total sentences, distinct sentences, and the
+    duplicated share in basis points.
+
+    The curation move behind it: corpus-level near-dup often hides
+    SENTENCE-level boilerplate (headers, license blurbs) that survives
+    whole-doc dedup — this measures how much is there before paying for
+    a rewrite pass. Sentences split on the literal ``". "`` delimiter,
+    space-trimmed, empties dropped (bit-identical to the SQL oracle's
+    ``string_split`` + ``trim``).
+
+    Scale shape: flat explode inside ``map_batches`` (rows grow ~20x
+    but stay block-local), ONE pair-hash exchange counting occurrences
+    per (group, sentence) — the memory-bounding step, distinct
+    sentences per bucket is the scaling unit — then a tiny per-group
+    sum. No joins, nothing driver-sized beyond #groups rows.
+    """
+    from .relational import hash_aggregate, preagg_sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df[text_col].str.split(". ", regex=False).explode()
+        g = df[group_col].reindex(s.index)
+        s = s.str.strip(" ")
+        keep = s != ""
+        part = (pd.DataFrame({"g": g[keep], "sent": s[keep]})
+                .groupby(["g", "sent"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+        part["n"] = part["n"].astype("int64")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    cnt = hash_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["g", "sent"],
+        lambda df: df.groupby(["g", "sent"], as_index=False)["n"].sum())
+
+    tot = preagg_sum(cnt, ["g"], {"n_sentences": "n"}, counts="n_distinct")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["dup_bp"] = (10_000 * (df["n_sentences"] - df["n_distinct"])
+                        ) // df["n_sentences"]
+        df = df.rename(columns={"g": group_col})
+        return pa.Table.from_pandas(
+            df[[group_col, "n_sentences", "n_distinct", "dup_bp"]],
+            preserve_index=False)
+
+    return tot.map_batches(finish, batch_format="pyarrow")
