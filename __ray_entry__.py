@@ -512,6 +512,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return label_propagation(ed, iters=2)
 
+    def kg_mis(sf_dir):
+        # Luby-style maximal independent set (2 deterministic rounds,
+        # priority = md5(v)||v): per round one arc-sized join for
+        # undecided-neighbor min priorities, a bucketed select-resolve,
+        # a winner-sized removal fan-out and a bucketed set-difference;
+        # undecided/winner sets stay vertex-sized Datasets
+        from raygraph.ops.graph import maximal_independent_set
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return maximal_independent_set(ed, iters=2)
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6322,6 +6334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp": kg_sssp,
         "kg_closeness": kg_closeness,
         "kg_communities": kg_communities,
+        "kg_mis": kg_mis,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -6748,6 +6761,38 @@ def _lpa_sql(edges_sql: str, iters: int) -> str:
     parts.append(
         f" SELECT label AS community, count(*)::BIGINT AS size "
         f"FROM l{iters} GROUP BY label")
+    return "".join(parts)
+
+
+def _mis_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled Luby-style MIS mirroring
+    raygraph.ops.graph.maximal_independent_set round for round:
+    undirected distinct arcs (u<>v; injected self-loop rows carry the
+    vertex set), deterministic priority md5(x)||x, winner = undecided
+    vertex with priority strictly below every undecided neighbor's
+    (or no undecided neighbor), winners+neighbors removed per round."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", base AS (SELECT DISTINCT u, v FROM ("
+        "SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr "
+        "UNION ALL SELECT u, u FROM pr UNION ALL SELECT v, v FROM pr))",
+        ", arcs AS (SELECT u, v FROM base WHERE u <> v)",
+        ", u1 AS (SELECT u AS x FROM base WHERE u = v)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f", nm{r} AS (SELECT a.u AS x, min(md5(a.v) || a.v) AS m "
+            f"FROM arcs a JOIN u{r} d ON a.v = d.x GROUP BY a.u)"
+            f", sel{r} AS (SELECT d.x FROM u{r} d LEFT JOIN nm{r} n "
+            f"ON d.x = n.x WHERE n.x IS NULL OR md5(d.x) || d.x < n.m)"
+            f", u{r + 1} AS (SELECT x FROM u{r} WHERE x NOT IN ("
+            f"SELECT x FROM sel{r} UNION "
+            f"SELECT a.v FROM arcs a JOIN sel{r} s ON a.u = s.x))")
+    final = " UNION ALL ".join(
+        f"SELECT x AS vertex, {r}::BIGINT AS round FROM sel{r}"
+        for r in range(1, iters + 1))
+    parts.append(" " + final)
     return "".join(parts)
 
 
@@ -7293,6 +7338,7 @@ def oracle_sql() -> dict[str, str]:
                             weight_expr="length(pred)"),
         "kg_closeness": _closeness_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
+        "kg_mis": _mis_sql(kg_edges_sql, iters=2),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

@@ -1667,3 +1667,177 @@ def label_propagation(edges, iters: int = 3,
     return out.map_batches(
         lambda b: b.rename_columns(["community", "size"]),
         batch_format="pyarrow")
+
+
+def maximal_independent_set(edges, iters: int = 2,
+                            src: str = "_from", dst: str = "_to"):
+    """Luby-style maximal-independent-set rounds over the undirected
+    arc set (Luby 1986, the classic parallel MIS primitive), with a
+    DETERMINISTIC priority ``md5(v) || v`` instead of fresh randomness —
+    a fixed total order, so the whole run is reproducible and the SQL
+    oracle unrolls bit-for-bit.
+
+    Per round, an undecided vertex joins the MIS iff its priority is
+    strictly below every UNDECIDED neighbor's (the round-1 winner set is
+    exactly the priority-function MIS; vertices with no undecided
+    neighbor win unconditionally); winners and their neighbors leave
+    the undecided set. ``iters`` fixed rounds — in expectation Luby
+    needs O(log n), but the output after any prefix of rounds is a
+    valid independent set and the spec stays exact.
+
+    Scale shape: one global distinct builds the undirected arc set and
+    the vertex set together (injected self-loop rows carry the vertex
+    set; u==v rows are excluded from the arc set, i.e. real self-loops
+    are treated as non-edges — mirrored exactly in the oracle).
+    Per round: one arc-sized shuffle join (arcs whose HEAD is still
+    undecided), a min-priority combine per tail, one bucketed
+    select-resolve, one winner-sized join fanning removals, and one
+    bucketed set-difference. Undecided/winner sets are vertex-sized
+    Datasets, re-materialized per round (linear lineage); the driver
+    holds only per-round counts.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_extreme, shuffle_join)
+    import ray.data as rd
+
+    pairs = distinct_pairs(edges, src, dst)
+
+    base_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        u, v = batch.column(src), batch.column(dst)
+        return pa.table({
+            "u": pa.chunked_array([u, v, u, v]),
+            "v": pa.chunked_array([v, u, u, v]),
+        })
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    base = _repaired(
+        hash_aggregate(
+            pairs.map_batches(undirect, batch_format="pyarrow")
+                 .map_batches(partial_distinct, batch_format="pyarrow"),
+            ["u", "v"],
+            lambda df: df.drop_duplicates(),
+        ),
+        base_schema)
+    nparts = _join_partitions(base.count())
+
+    arcs = _repaired(
+        base.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b.column("u"),
+                                                  b.column("v")))),
+            batch_format="pyarrow"),
+        base_schema)
+
+    vx_schema = pa.schema([("x", pa.string())])
+    und = _repaired(
+        base.map_batches(
+            lambda b: pa.table({"x": b.filter(
+                pc.equal(b.column("u"), b.column("v"))).column("u")}),
+            batch_format="pyarrow"),
+        vx_schema)
+
+    def prio(col: pa.ChunkedArray) -> pa.Array:
+        s = col.to_pandas()
+        uniq = s.unique()
+        h = {t: hashlib.md5(t.encode("utf-8")).hexdigest() + t
+             for t in uniq}
+        return pa.array(s.map(h), pa.string())
+
+    sel_schema = pa.schema([("x", pa.string()), ("round", pa.int64())])
+    cand_schema = pa.schema([("x", pa.string()), ("kind", pa.int64()),
+                             ("val", pa.string())])
+    upd_schema = pa.schema([("x", pa.string()), ("f", pa.int64())])
+    live_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    won = []
+    for r in range(1, iters + 1):
+        if und.count() == 0:
+            break
+        live = _repaired(
+            shuffle_join(arcs, und, on="v", right_on="x",
+                         num_partitions=nparts),
+            live_schema)
+        nm = preagg_extreme(
+            live.map_batches(
+                lambda b: pa.table({"u": b.column("u"),
+                                    "pv": prio(b.column("v"))}),
+                batch_format="pyarrow"),
+            ["u"], "pv", how="min", out="m")
+
+        cand = _repaired(
+            und.map_batches(
+                lambda b: pa.table({
+                    "x": b.column("x"),
+                    "kind": pa.array([0] * b.num_rows, pa.int64()),
+                    "val": prio(b.column("x"))}),
+                batch_format="pyarrow"),
+            cand_schema).union(_repaired(
+                nm.map_batches(
+                    lambda b: pa.table({
+                        "x": b.column("u"),
+                        "kind": pa.array([1] * b.num_rows, pa.int64()),
+                        "val": b.column("m")}),
+                    batch_format="pyarrow"),
+                cand_schema))
+
+        def resolve(df):
+            p = df[df["kind"] == 0]
+            m = df[df["kind"] == 1].groupby("x")["val"].min()
+            got = p.merge(m.rename("m"), how="left",
+                          left_on="x", right_index=True)
+            keep = got["m"].isna() | (got["val"] < got["m"])
+            return got.loc[keep, ["x"]]
+
+        sel = _repaired(hash_aggregate(cand, ["x"], resolve), vx_schema)
+        won.append(_repaired(
+            sel.map_batches(
+                lambda b, _r=r: b.append_column(
+                    "round", pa.array([_r] * b.num_rows, pa.int64())),
+                batch_format="pyarrow"),
+            sel_schema))
+
+        heads = _repaired(
+            shuffle_join(arcs, sel, on="u", right_on="x",
+                         num_partitions=nparts),
+            live_schema)
+        upd = (_repaired(
+            und.map_batches(
+                lambda b: pa.table({
+                    "x": b.column("x"),
+                    "f": pa.array([0] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow"),
+            upd_schema)
+            .union(
+                _repaired(sel.map_batches(
+                    lambda b: pa.table({
+                        "x": b.column("x"),
+                        "f": pa.array([1] * b.num_rows, pa.int64())}),
+                    batch_format="pyarrow"), upd_schema),
+                _repaired(heads.map_batches(
+                    lambda b: pa.table({
+                        "x": b.column("v"),
+                        "f": pa.array([1] * b.num_rows, pa.int64())}),
+                    batch_format="pyarrow"), upd_schema)))
+
+        def survive(df):
+            g = df.groupby("x", as_index=False)["f"].max()
+            return g.loc[g["f"] == 0, ["x"]]
+
+        und = _repaired(hash_aggregate(upd, ["x"], survive), vx_schema)
+
+    if not won:
+        return rd.from_arrow(sel_schema.empty_table())
+    out = won[0]
+    if len(won) > 1:
+        out = out.union(*won[1:])
+    return out.map_batches(
+        lambda b: b.rename_columns(["vertex", "round"]),
+        batch_format="pyarrow")

@@ -774,3 +774,39 @@ def test_adamic_adar_weights_and_antijoin(ray_session):
     got = {(r.u, r.v): r.aa_e6 for r in out.itertuples()}
     w3 = math.floor(1_000_000 / math.log(3))
     assert got == {("a", "b"): w3, ("a", "c"): w3, ("b", "c"): w3}
+
+
+def test_mis_independent_and_maximal(ray_session):
+    from raygraph.ops.graph import maximal_independent_set
+
+    out = maximal_independent_set(_edges_ds(), iters=6).take_all()
+    mis = {r["vertex"] for r in out}
+    und_pairs = {(u, v) for u, v in PAIRS if u != v}
+    und_pairs |= {(v, u) for u, v in und_pairs}
+    # independence: no undirected arc inside the set
+    assert not any((u, v) in und_pairs for u in mis for v in mis)
+    # maximality after enough rounds: every vertex is in the MIS or
+    # adjacent to a member
+    verts = {u for p in PAIRS for u in p}
+    for w in verts - mis:
+        assert any((w, m) in und_pairs for m in mis)
+    # deterministic: same priorities, same winners
+    again = {r["vertex"]
+             for r in maximal_independent_set(_edges_ds(),
+                                              iters=6).take_all()}
+    assert again == mis
+
+
+def test_label_propagation_two_cliques(ray_session):
+    import ray.data as rd
+    from raygraph.ops.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA must keep them as
+    # (at most) two communities covering all 6 vertices
+    tbl = pa.table({
+        "_from": ["a", "b", "c", "p", "q", "r", "c"],
+        "_to":   ["b", "c", "a", "q", "r", "p", "p"],
+    })
+    out = label_propagation(rd.from_arrow(tbl), iters=2).take_all()
+    assert sum(r["size"] for r in out) == 6
+    assert 1 <= len(out) <= 2
