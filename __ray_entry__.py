@@ -1098,6 +1098,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          ascending=[False, True]).head(20)
         return df.reset_index(drop=True)
 
+    def text_zipf(sf_dir):
+        # Zipf's-law slope of the frequency spectrum: distributed token
+        # count, then an exact-integer least-squares fit (Python-int
+        # normal equations, HUGEINT in the oracle) over the top-100
+        # (count desc, token asc) ranks — only k rows reach the driver
+        return T.zipf_slope(_docs_ds(sf_dir), k=100)
+
     def text_top_bigrams(sf_dir):
         # n-gram-LM counting primitive: in-doc adjacent-token bigrams
         # built vectorized off one flat token array per batch, partial
@@ -6364,6 +6371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_argmax": embedding_argmax,
         "kg_reciprocity": kg_reciprocity,
         "text_top_bigrams": text_top_bigrams,
+        "text_zipf": text_zipf,
         "text_bigram_pmi": text_bigram_pmi,
         "docs_rrf_fusion": docs_rrf_fusion,
         "docs_bm25_top10": docs_bm25_top10,
@@ -8071,6 +8079,32 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n DESC, event_type ASC) AS rn
                   FROM c)
             SELECT user_id, event_type, n FROM r WHERE rn = 1
+        """,
+        # exact-integer Zipf fit: floor-e6 ln points, HUGEINT normal
+        # equations, truncating // — mirrors text.zipf_slope bit-for-bit
+        "text_zipf": _TOKS_CTE + """
+            , tok AS (SELECT unnest(toks) AS token FROM t)
+            , cnt AS (SELECT token, count(*)::BIGINT AS n
+                      FROM tok GROUP BY token)
+            , top AS (SELECT n, row_number()
+                        OVER (ORDER BY n DESC, token) AS r
+                      FROM cnt ORDER BY n DESC, token LIMIT 100)
+            , pts AS (SELECT floor(1000000 * ln(r::DOUBLE))::BIGINT AS x,
+                             floor(1000000 * ln(n::DOUBLE))::BIGINT AS y
+                      FROM top)
+            , s AS (SELECT count(*)::HUGEINT AS k, sum(x)::HUGEINT AS sx,
+                           sum(y)::HUGEINT AS sy,
+                           sum(x * y)::HUGEINT AS sxy,
+                           sum(x * x)::HUGEINT AS sxx
+                    FROM pts)
+            , fit AS (SELECT k, sx, sy,
+                             ((1000000::HUGEINT * (k * sxy - sx * sy))
+                                 // (k * sxx - sx * sx)) AS slope
+                      FROM s)
+            SELECT k::BIGINT AS n_points, slope::BIGINT AS slope_e6,
+                   ((sy - (slope * sx) // 1000000) // k)::BIGINT
+                       AS intercept_e6
+            FROM fit
         """,
         "text_top_tokens": _TOKS_CTE + """
             , u AS (SELECT unnest(toks) AS token FROM t)

@@ -228,11 +228,22 @@ def cluster_table(
 
     ds = ray.data.read_parquet(input_path)
 
-    # tile on an int64 shadow key (timestamps → epoch µs) so persisted
+    # tile on an int64 shadow key (timestamps → epoch µs; strings →
+    # order-preserving big-endian 8-byte prefix) so persisted
     # boundaries survive the JSON round-trip losslessly on resume
     def with_key(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__ck",
-                                   batch.column(col).cast(pa.int64()))
+        arr = batch.column(col)
+        t = arr.type
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            import numpy as np
+            vals = arr.to_pandas().fillna("").to_numpy(dtype=object)
+            enc = np.char.encode(vals.astype(str), "utf-8").astype("S8")
+            u = np.frombuffer(enc.tobytes(), dtype=">u8").astype(np.uint64)
+            key = pa.array((u ^ np.uint64(1 << 63)).view(np.int64))
+        else:
+            key = arr.cast(pa.int64())
+        return batch.append_column("__ck", key)
 
     keyed = ds.map_batches(with_key, batch_format="pyarrow")
     bpath = os.path.join(meta_dir, "_bounds.json")

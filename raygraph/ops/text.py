@@ -1295,3 +1295,52 @@ def cross_doc_ngram_stats(ds, n: int = 8, id_col: str = "doc_id",
     return preagg_sum(joined.map_batches(fold, batch_format="pyarrow"),
                       [id_col], {"n_grams": "n_grams",
                                  "n_shared": "n_shared"})
+
+
+def zipf_slope(ds, k: int = 100, text_col: str = "text"):
+    """Zipf's-law fit over the corpus frequency spectrum: exact-integer
+    least squares of floor(1e6*ln(freq)) against floor(1e6*ln(rank))
+    for the top ``k`` tokens (count desc, token asc).
+
+    The heavy stage is the distributed token count (vectorized explode
+    partials + one vocab-bounded merge — the corpus never leaves the
+    cluster); the fit itself runs on the k-row spectrum with PYTHON
+    ints (the 1e6-scaled normal-equation products overflow int64, and
+    the SQL oracle mirrors them in HUGEINT). Slope/intercept come out
+    as e6-scaled truncating divisions — DuckDB ``//`` truncates toward
+    zero, so the mirror is sign-aware — making the whole statistic
+    bit-exact against the oracle. A healthy natural-language corpus
+    fits slope_e6 near -1e6; flatter means templated/repetitive text.
+    """
+    import math
+
+    from .relational import preagg_sum
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split().explode().dropna()
+        g = toks.value_counts().rename_axis("token").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(ds.map_batches(token_counts, batch_format="pyarrow"),
+                     ["token"], {"n": "n"})
+    top = (agg.sort(["n", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    xs = [math.floor(1_000_000 * math.log(r))
+          for r in range(1, len(top) + 1)]
+    ys = [math.floor(1_000_000 * math.log(int(n))) for n in top["n"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = tdiv(1_000_000 * (n * sxy - sx * sy), n * sxx - sx * sx)
+    intercept = tdiv(sy - tdiv(slope * sx, 1_000_000), n)
+    return pd.DataFrame({"n_points": pd.array([n], dtype="int64"),
+                         "slope_e6": pd.array([slope], dtype="int64"),
+                         "intercept_e6": pd.array([intercept],
+                                                  dtype="int64")})

@@ -162,3 +162,30 @@ def test_cluster_table_resume_and_pruning(ray_session, tmp_path):
     assert total == 4000
     with open(os.path.join(out, "_cluster", "_bounds.json")) as fh:
         assert len(json.load(fh)["bounds"]) == 3
+
+def test_cluster_table_string_key(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygraph.maintenance import cluster_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ids = [f"doc-{i:06d}" for i in range(1000)] + ["", "zzz-tail"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "v": pa.array(range(len(ids)), pa.int64()),
+    }), os.path.join(src, "part.parquet"))
+
+    out = str(tmp_path / "clustered")
+    stats = cluster_table(src, out, col="doc_id", n_tiles=4)
+    assert stats == {"tiles": 4, "tiles_skipped": 0, "rows": len(ids)}
+    # tiles are disjoint prefix ranges: every tile's ids sort entirely
+    # before the next tile's (8-byte big-endian prefix key is monotone)
+    per_tile = [sorted(pq.read_table(os.path.join(out, f"tile={i}"))
+                       .column("doc_id").to_pylist()) for i in range(4)]
+    flat = [v for tile in per_tile for v in tile]
+    assert flat == sorted(ids)
+    assert sum(len(t) for t in per_tile) == len(ids)
