@@ -210,28 +210,64 @@ class MinHasher:
         vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
+    # shingle slots per kernel chunk: num_perm × 8192 × 8 B = 4 MB @64
+    # perms — the whole (mul, add, mod) working set stays in L2/L3, and
+    # the preallocated buffer below is reused across chunks. The naive
+    # one-big-matrix version paid ~10× in cold page faults on its
+    # 100+ MB intermediates — per Ray TASK, since workers start cold.
+    SIG_CHUNK = 8192
+
     def signatures(self, texts: list) -> np.ndarray:
-        """(n_docs, num_perm) signatures for a whole batch: ONE
-        (num_perm × Σshingles) universal-hash matrix per memory-bounded
-        chunk with a segmented min (np.minimum.reduceat) — the per-doc
-        arithmetic loop of :meth:`signature` amortized across the batch.
-        Bit-identical to per-doc :meth:`signature` (tested)."""
+        """(n_docs, num_perm) signatures for a whole batch: the
+        universal-hash matrix is evaluated in cache-sized chunks into
+        ONE preallocated buffer (np.multiply/add/mod with ``out=``),
+        with a segmented min (np.minimum.reduceat) per chunk — the
+        per-doc arithmetic loop of :meth:`signature` amortized across
+        the batch. Bit-identical to per-doc :meth:`signature` (tested).
+        """
         n = len(texts)
         out = np.empty((n, self.num_perm), dtype=np.uint64)
         sh_list = [self.shingle_hashes(t or "") for t in texts]
         lens = np.fromiter(map(len, sh_list), dtype=np.int64, count=n)
-        budget = 2_000_000  # shingle slots per chunk (~1 GB of u64 math @64 perms)
+        chunk = self.SIG_CHUNK
+        buf = np.empty((self.num_perm, chunk), dtype=np.uint64)
+        a_col = self.a[:, None]
+        b_col = self.b[:, None]
+        mers = np.uint64(MERSENNE)
+
+        def hash_into(seg: np.ndarray) -> np.ndarray:
+            v = buf[:, : len(seg)]
+            np.multiply(a_col, seg[None, :], out=v)
+            np.add(v, b_col, out=v)
+            np.mod(v, mers, out=v)
+            return v
+
         start = 0
         while start < n:
+            if lens[start] > chunk:
+                # one oversized doc: running min over sub-chunks
+                sh = sh_list[start]
+                acc = np.full(self.num_perm, np.iinfo(np.uint64).max,
+                              dtype=np.uint64)
+                for off in range(0, len(sh), chunk):
+                    v = hash_into(sh[off:off + chunk])
+                    np.minimum(acc, v.min(axis=1), out=acc)
+                out[start] = acc
+                start += 1
+                continue
             end, tot = start, 0
-            while end < n and (end == start or tot + lens[end] <= budget):
+            while end < n and 0 < lens[end] and tot + lens[end] <= chunk:
                 tot += lens[end]
                 end += 1
-            sh = np.concatenate(sh_list[start:end])
-            vals = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
+            if end == start:  # empty-shingle doc (short/empty text)
+                out[start] = np.full(self.num_perm,
+                                     np.iinfo(np.uint64).max, np.uint64)
+                start += 1
+                continue
+            v = hash_into(np.concatenate(sh_list[start:end]))
             starts = np.zeros(end - start, dtype=np.int64)
             np.cumsum(lens[start:end][:-1], out=starts[1:])
-            out[start:end] = np.minimum.reduceat(vals, starts, axis=1).T
+            out[start:end] = np.minimum.reduceat(v, starts, axis=1).T
             start = end
         return out
 
@@ -356,16 +392,31 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                           num_buckets=max(8, nb // 4))
 
 
+BROADCAST_PAIR_LIMIT = 50_000  # pairs; below this the endpoint-text
+# lookup is a broadcast is_in filter (one corpus pass, ≤2×pairs rows to
+# the driver) instead of two hash-shuffle joins — at LSH-typical
+# candidate volumes the joins' exchange setup dwarfs the data movement
+
+
 def attach_pair_texts(cand, ds, text_col: str = "text",
                       id_col: str = "doc_id"):
     """Attach both endpoint texts to a candidate (id_a, id_b) pair
-    Dataset via two hash-partitioned ``Dataset.join``s — the in-cluster
-    verify idiom shared by :func:`minhash_verified_pairs` and
-    :func:`jaccard_threshold_pairs`: the corpus never streams through
-    the driver; the join intermediates are pair-volume-sized (the
-    provably small side). Returns ``(joined, id_type)`` with
+    Dataset — the in-cluster verify idiom shared by
+    :func:`minhash_verified_pairs` and :func:`jaccard_threshold_pairs`.
+
+    Two strategies on one contract (returns ``(joined, id_type)`` with
     ``__text_a`` / ``__text_b`` columns, or ``(None, None)`` when there
-    are no candidates."""
+    are no candidates):
+
+    - ≤ ``BROADCAST_PAIR_LIMIT`` pairs: collect the candidate id set
+      (pair-volume-sized), semi-filter the corpus with one broadcast
+      ``pc.is_in`` streaming pass, and map texts onto pairs from the
+      broadcast id→text table. The corpus is read once and only
+      matching rows (≤ 2×pairs) ever leave the cluster.
+    - above the limit: two hash-partitioned ``Dataset.join``s — the
+      join intermediates are pair-volume-sized (the provably small
+      side) and nothing is driver-resident.
+    """
     import ray
 
     from .relational import coerce_schema, compact_nonempty
@@ -376,6 +427,63 @@ def attach_pair_texts(cand, ds, text_col: str = "text",
         return None, None
     sch = cand.schema()
     id_t = sch.types[sch.names.index("id_a")]
+
+    if n_cand <= BROADCAST_PAIR_LIMIT:
+        pairs_tbl = pa.concat_tables(
+            [b for b in cand.iter_batches(batch_format="pyarrow")
+             if b.num_rows],
+        )
+        import pyarrow.compute as pc
+
+        need = pc.unique(pa.concat_arrays([
+            pairs_tbl.column("id_a").combine_chunks().cast(id_t),
+            pairs_tbl.column("id_b").combine_chunks().cast(id_t),
+        ]))
+        need_ref = ray.put(need)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            mask = pc.is_in(batch.column(id_col), value_set=_ray.get(need_ref))
+            return batch.filter(mask)
+
+        hits = pa.concat_tables(
+            [b for b in ds.select_columns([id_col, text_col])
+             .map_batches(semi, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows],
+        )
+        lookup = dict(zip(hits.column(id_col).to_pylist(),
+                          hits.column(text_col).to_pylist()))
+        lk_ref = ray.put(lookup)
+
+        _MISS = object()
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            lk: dict = _ray.get(lk_ref)
+            ta = [lk.get(i, _MISS) for i in batch.column("id_a").to_pylist()]
+            tb = [lk.get(i, _MISS) for i in batch.column("id_b").to_pylist()]
+            # inner-join semantics: a pair whose endpoint id is absent
+            # from the corpus drops (nulls in the corpus text survive)
+            keep = pa.array([a is not _MISS and b is not _MISS
+                             for a, b in zip(ta, tb)], pa.bool_())
+            out = batch.append_column(
+                "__text_a",
+                pa.array([None if a is _MISS else a for a in ta],
+                         pa.string()),
+            ).append_column(
+                "__text_b",
+                pa.array([None if b is _MISS else b for b in tb],
+                         pa.string()),
+            )
+            return out.filter(keep)
+
+        import ray.data as _rd
+
+        j = _rd.from_arrow(pairs_tbl).map_batches(
+            attach, batch_format="pyarrow")
+        return j, id_t
     # drop Ray-internal zero-row blocks (metadata-only), then a LAZY
     # coerce fuses into the join's upstream — no extra materialization
     cand = coerce_schema(
