@@ -73,6 +73,38 @@ def _kg_result(sf_dir: str):
     return _CACHE[key]
 
 
+def _kg_delta_result(sf_dir: str):
+    """Incremental build: base graph from the first half of the corpus,
+    then :func:`raygraph.pipeline.merge_delta` over the held-out half —
+    phase A runs only on the delta; phase B re-aggregates the triple
+    log. Must equal the one-shot full build (shared oracle)."""
+    from raygraph import synth
+    from raygraph.config import GraphBuildConfig
+    from raygraph.pipeline import build_graph, merge_delta
+
+    n = _docs_count(sf_dir)
+    key = ("kg_delta", n)
+    if key not in _CACHE:
+        corpus = pq.ParquetDataset(_corpus_dir(sf_dir)).read()
+        half = corpus.num_rows // 2
+        base_dir = os.path.join(_TMP, f"corpus_base_n{n}")
+        delta_dir = os.path.join(_TMP, f"corpus_delta_n{n}")
+        for d, t in ((base_dir, corpus.slice(0, half)),
+                     (delta_dir, corpus.slice(half))):
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(d, "docs.parquet"))
+        cfg = GraphBuildConfig(
+            input_path=base_dir,
+            output_path=os.path.join(_TMP, f"kg_delta_n{n}"),
+            num_partitions=8,
+            linker_concurrency=(1, 4),
+        )
+        aliases = synth.alias_inventory(synth.entity_space(n))
+        build_graph(cfg, aliases=aliases)
+        _CACHE[key] = merge_delta(cfg, delta_dir, aliases=aliases)
+    return _CACHE[key]
+
+
 def _export_db(sf_dir: str) -> str:
     """Exporter 'database' derived from the sf customer/orders tables."""
     key = ("exportdb", sf_dir)
@@ -164,6 +196,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- KG construction ------------------------------------------------
     def kg_edges(sf_dir):
         res = _kg_result(sf_dir)
+        t = pq.ParquetDataset(res.edges_path).read()
+        return t.select(["_from", "pred", "_to"])
+
+    def kg_delta_edges(sf_dir):
+        # incremental-maintenance surface: base build + merge_delta of
+        # the held-out half must reproduce the full-build edge table
+        # exactly — the oracle is SHARED with kg_edges (the sharing IS
+        # the correctness claim)
+        res = _kg_delta_result(sf_dir)
         t = pq.ParquetDataset(res.edges_path).read()
         return t.select(["_from", "pred", "_to"])
 
@@ -6328,6 +6369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "kg_edges": kg_edges,
+        "kg_delta_edges": kg_delta_edges,
         "kg_vertices": kg_vertices,
         "kg_vertex_mentions": kg_vertex_mentions,
         "kg_degrees": kg_degrees,
@@ -10202,6 +10244,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof_incremental"] = out["events_asof_join"]
     # the JSONL round-trip must reproduce the built edge table exactly
     out["kg_edges_jsonl"] = out["kg_edges"]
+    # the incremental base+delta merge must reproduce it too
+    out["kg_delta_edges"] = out["kg_edges"]
     out["docs_curation_funnel"] = _TOKS_CTE + f"""
         , s AS (
           SELECT doc_id, n_chars, n_punct,

@@ -64,6 +64,31 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .config import GraphBuildConfig
+    from .pipeline import merge_delta
+
+    cfg = GraphBuildConfig(
+        input_path=args.input,   # replaced by merge_delta; kept for validate
+        output_path=args.output,
+        num_partitions=args.partitions,
+        batch_size=args.batch_size,
+        vertex_collection=args.vertex_collection,
+        edge_collection=args.edge_collection,
+        canon_strategy=args.canon_strategy,
+    )
+    aliases = None
+    if args.aliases:
+        with open(args.aliases) as fh:
+            aliases = json.load(fh)
+    res = merge_delta(cfg, args.input, aliases=aliases, resume=args.resume)
+    print(json.dumps({"vertices": res.vertices_path, "edges": res.edges_path,
+                      "triples": res.triples_path, **res.metrics}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_synth(args) -> int:
     from . import synth
 
@@ -181,6 +206,25 @@ def main(argv=None) -> int:
                    default="driver")
     b.add_argument("--num-cpus", type=int)
     b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser(
+        "merge",
+        help="merge a delta corpus into an existing build "
+             "(incremental: phase A runs only on the delta)",
+    )
+    m.add_argument("--input", required=True, help="delta corpus dir")
+    m.add_argument("--output", required=True, help="EXISTING build dir")
+    m.add_argument("--partitions", type=int, default=64)
+    m.add_argument("--batch-size", type=int, default=4096)
+    m.add_argument("--resume", action="store_true",
+                   help="re-enter a crashed merge epoch")
+    m.add_argument("--aliases", help="JSON file: alias -> entity key")
+    m.add_argument("--vertex-collection", default="entities")
+    m.add_argument("--edge-collection", default="relations")
+    m.add_argument("--canon-strategy", choices=("driver", "distributed"),
+                   default="driver")
+    m.add_argument("--num-cpus", type=int)
+    m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("synth", help="generate deterministic corpus")
     s.add_argument("--n-docs", type=int, required=True)

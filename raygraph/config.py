@@ -91,6 +91,12 @@ class GraphBuildConfig:
     # checkpoint / resume
     num_partitions: int = 16          # partition_id = hash(doc_id) % num_partitions
     resume: bool = False
+    # partition-id offset for incremental delta ingests: a delta epoch e
+    # lands its partitions at [e*P, (e+1)*P) in the SAME triples
+    # checkpoint, so the resume machinery (manifests, skip-at-read,
+    # clean_incomplete) covers deltas unchanged. Set via
+    # pipeline.merge_delta, not by hand.
+    part_offset: int = 0
 
     # canonicalization strategy:
     #   "driver"      — collect the (tree-deduped, small) alias pair set,
@@ -129,6 +135,11 @@ class GraphBuildConfig:
     def validate(self) -> None:
         if self.num_partitions < 1:
             raise InvalidParameterError("num_partitions must be >= 1")
+        if self.part_offset < 0 or self.part_offset % self.num_partitions:
+            raise InvalidParameterError(
+                "part_offset must be a non-negative multiple of "
+                "num_partitions (one checkpoint epoch per delta)"
+            )
         if self.agg_strategy not in ("hash", "tree", "shuffle"):
             raise InvalidParameterError(
                 "agg_strategy must be one of hash|tree|shuffle"

@@ -40,12 +40,12 @@ class GraphBuildResult:
     metrics: dict = field(default_factory=dict)
 
 
-def _add_part_id(num_partitions: int):
+def _add_part_id(num_partitions: int, part_offset: int = 0):
     def fn(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         ids = pd.Series(batch.column("doc_id").to_pylist())
-        pid = ckpt.partition_ids(ids, num_partitions)
+        pid = ckpt.partition_ids(ids, num_partitions) + part_offset
         return batch.append_column("part_id", pa.array(pid, pa.int64()))
 
     return fn
@@ -70,7 +70,8 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
     # extraction stages run per block (batch_size=None): parallelism is
     # then bounded by block count, not by rows/batch_size
     docs = read_documents(cfg.input_path)
-    docs = docs.map_batches(_add_part_id(cfg.num_partitions),
+    docs = docs.map_batches(_add_part_id(cfg.num_partitions,
+                                         cfg.part_offset),
                             batch_format="pyarrow")
 
     triples_path = os.path.join(cfg.output_path, "triples")
@@ -95,7 +96,7 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
 
         out = extract_triples(batch)
         ids = out.column("doc_id").to_pandas()
-        pid = ckpt.partition_ids(ids, cfg.num_partitions)
+        pid = ckpt.partition_ids(ids, cfg.num_partitions) + cfg.part_offset
         return out.append_column("part_id", pa.array(pid, pa.int64()))
 
     raw = docs.map_batches(extract_with_part, batch_format="pyarrow")
@@ -318,3 +319,47 @@ def build_graph(cfg: GraphBuildConfig,
     metrics["partitions"] = len(part_stats)
     metrics["total_sec"] = time.monotonic() - t0
     return GraphBuildResult(vertices_path, edges_path, triples_path, metrics)
+
+
+def merge_delta(cfg: GraphBuildConfig, delta_input_path: str,
+                aliases: dict[str, str] | None = None,
+                resume: bool = False) -> GraphBuildResult:
+    """Incremental KG maintenance: merge a delta corpus into an existing
+    build at ``cfg.output_path``.
+
+    The reference always re-exports the whole graph; at 100 TB the
+    corpus scan — phase A — is the cost that must not repeat. A delta
+    ingest therefore runs extract+link over ONLY the new documents,
+    checkpointing them as a fresh partition EPOCH (``part_id`` in
+    ``[e*P, (e+1)*P)``) inside the same triples checkpoint, and then
+    rebuilds phase B over the union of all epochs' triples — the
+    merge-on-write discipline: derived tables (vertices/edges) are
+    recomputed from the (orders-of-magnitude smaller) triple log, never
+    patched in place. The result is bit-identical to a full rebuild
+    over base+delta because phase B is a pure multiset aggregation of
+    the triple log (test-asserted).
+
+    ``resume=True`` re-enters a crashed merge: the newest epoch's
+    completed partitions are skipped and its incomplete files cleaned,
+    exactly like :func:`build_graph` resume. Re-running a FINISHED
+    merge with the same delta corpus would ingest it twice (append
+    semantics, like loading the same file twice); lineage manifests
+    (``kg_lineage``) make that auditable.
+    """
+    from dataclasses import replace
+
+    from .errors import CheckpointError
+
+    triples_path = os.path.join(cfg.output_path, "triples")
+    done = ckpt.completed_partitions(triples_path)
+    if not done:
+        raise CheckpointError(
+            f"no completed base build under {triples_path}: run "
+            "build_graph first, then merge deltas into it"
+        )
+    cur_max_epoch = max(done) // cfg.num_partitions
+    epoch = cur_max_epoch if (resume and cur_max_epoch >= 1) \
+        else cur_max_epoch + 1
+    dcfg = replace(cfg, input_path=delta_input_path, resume=True,
+                   part_offset=epoch * cfg.num_partitions)
+    return build_graph(dcfg, aliases=aliases)

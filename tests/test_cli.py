@@ -74,3 +74,24 @@ def test_cli_query_list_and_run(tmp_path, capsys, monkeypatch):
     assert info["columns"] == ["deg", "n_vertices"]
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_merge(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    base = os.path.join(str(tmp_path), "base")
+    delta = os.path.join(str(tmp_path), "delta")
+    synth.write_corpus(base, 40)
+    synth.write_corpus(delta, 40)
+    out = os.path.join(str(tmp_path), "kg")
+    assert main(["build", "--input", base, "--output", out,
+                 "--partitions", "4"]) == 0
+    built = json.loads(capsys.readouterr().out.strip())
+    assert main(["merge", "--input", delta, "--output", out,
+                 "--partitions", "4"]) == 0
+    merged = json.loads(capsys.readouterr().out.strip())
+    # delta landed as a second epoch on the same checkpoint
+    assert merged["partitions"] == 8
+    assert merged["partitions_skipped"] == 4
+    assert merged["triples_raw"] == 2 * built["triples_raw"]

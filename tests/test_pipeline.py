@@ -271,3 +271,83 @@ def test_scaled_corpus_distributed_canon_exact(tmp_path, ray_session):
     counts = dict(zip(v.column("_key").to_pylist(),
                       v.column("mention_count").to_pylist()))
     assert counts["vertex_0"] == max(counts.values())
+
+
+def test_merge_delta_bit_identical_and_resumable(tmp_path, ray_session):
+    """Incremental maintenance: building on a base corpus and merging the
+    remaining documents as a delta epoch must reproduce the full build
+    bit-for-bit (phase B is a pure multiset aggregation of the triple
+    log), and a crashed merge must resume without duplicating triples."""
+    import dataclasses
+    import hashlib
+    import json
+
+    from raygraph.pipeline import merge_delta
+
+    tmp = str(tmp_path)
+    n = 120
+    corpus = synth.corpus(n)
+    aliases = synth.alias_inventory(synth.entity_space(n))
+    half = corpus.num_rows // 2
+
+    def write(name, table):
+        d = os.path.join(tmp, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "docs.parquet"))
+        return d
+
+    def digest(res):
+        h = hashlib.sha1()
+        for path in (res.vertices_path, res.edges_path):
+            t = _read(path)
+            t = t.select(sorted(t.schema.names))
+            h.update(t.to_pandas().to_csv(index=False).encode())
+        return h.hexdigest()
+
+    full_cfg = GraphBuildConfig(
+        input_path=write("full", corpus),
+        output_path=os.path.join(tmp, "out_full"),
+        num_partitions=4,
+        linker_concurrency=(1, 2),
+        sort_output=True,
+    )
+    d_full = digest(build_graph(full_cfg, aliases=aliases))
+
+    base_cfg = dataclasses.replace(
+        full_cfg,
+        input_path=write("base", corpus.slice(0, half)),
+        output_path=os.path.join(tmp, "out_inc"),
+    )
+    build_graph(base_cfg, aliases=aliases)
+    delta_dir = write("delta", corpus.slice(half))
+    res = merge_delta(base_cfg, delta_dir, aliases=aliases)
+    assert digest(res) == d_full
+    # delta landed as epoch 1: partitions 4..7 have manifests
+    done = {int(json.load(open(f))["partition_id"])
+            for f in __import__("glob").glob(
+                os.path.join(res.triples_path, "_manifest", "part-*.json"))}
+    assert done == set(range(8))
+
+    # crash-resume: drop one DELTA manifest, re-enter with resume=True —
+    # only that partition redoes, output still bit-identical
+    os.remove(os.path.join(res.triples_path, "_manifest", "part-00006.json"))
+    res2 = merge_delta(base_cfg, delta_dir, aliases=aliases, resume=True)
+    assert res2.metrics["partitions_skipped"] == 7
+    assert digest(res2) == d_full
+    assert res2.metrics["triples_raw"] == res.metrics["triples_raw"]
+
+
+def test_merge_delta_requires_base(tmp_path, ray_session):
+    from raygraph.errors import CheckpointError
+    from raygraph.pipeline import merge_delta
+
+    cfg = GraphBuildConfig(
+        input_path=str(tmp_path),
+        output_path=os.path.join(str(tmp_path), "out"),
+        num_partitions=4,
+    )
+    try:
+        merge_delta(cfg, str(tmp_path))
+        raise AssertionError("expected CheckpointError")
+    except CheckpointError:
+        pass
