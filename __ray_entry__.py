@@ -541,6 +541,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return closeness_centrality(ed, n_seeds=8, iters=3)
 
+    def kg_eccentricity(sf_dir):
+        # sampled diameter diagnostic: truncated eccentricity (max BFS
+        # distance in 3 hops) + reached count for the 8 top-out-degree
+        # seeds — same monotone-frontier BFS exchange as kg_closeness,
+        # folded to n_seeds rows by one hash-bucketed groupby
+        from raygraph.ops.graph import eccentricity_profile
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return eccentricity_profile(ed, n_seeds=8, iters=3)
+
     def kg_communities(sf_dir):
         # label-propagation community detection (2 synchronous rounds,
         # vote = mode of neighbor+self labels, ties -> smallest label
@@ -1138,6 +1149,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = agg.to_pandas().sort_values(["n", "token"],
                                          ascending=[False, True]).head(20)
         return df.reset_index(drop=True)
+
+    def text_hapax_ratio(sf_dir):
+        # vocabulary-health screen: hapax-legomena share of the corpus
+        # vocab — distributed token count, one-row fold off per-block
+        # partials (2 ints per block reach the driver)
+        return T.hapax_stats(_docs_ds(sf_dir))
+
+    def kg_pred_entropy(sf_dir):
+        # schema-balance diagnostic of the built graph: Shannon entropy
+        # (nats, e6-floored per term — the proven exact-int→double-once
+        # ln idiom) of the edge-predicate distribution; one pred-keyed
+        # combiner preagg, entropy folded on the tiny aggregate
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["pred"])
+
+        def ones(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "pred": batch.column("pred"),
+                "n": pa.array(np.ones(batch.num_rows, dtype="int64")),
+            })
+
+        cnt = preagg_sum(ed.map_batches(ones, batch_format="pyarrow"),
+                         ["pred"], {"n": "n"}).to_pandas()
+        nn = cnt["n"].to_numpy().astype("int64")
+        tot = int(nn.sum())
+        term = np.floor(
+            (1_000_000 * nn) * np.log(tot / nn) / tot).astype("int64")
+        return pd.DataFrame({
+            "n_preds": pd.array([len(cnt)], dtype="int64"),
+            "n_edges": pd.array([tot], dtype="int64"),
+            "h_e6": pd.array([int(term.sum())], dtype="int64"),
+        })
 
     def text_zipf(sf_dir):
         # Zipf's-law slope of the frequency spectrum: distributed token
@@ -6382,6 +6425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": kg_hits,
         "kg_sssp": kg_sssp,
         "kg_closeness": kg_closeness,
+        "kg_eccentricity": kg_eccentricity,
         "kg_communities": kg_communities,
         "kg_mis": kg_mis,
         "kg_ppr": kg_ppr,
@@ -6414,6 +6458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": kg_reciprocity,
         "text_top_bigrams": text_top_bigrams,
         "text_zipf": text_zipf,
+        "text_hapax_ratio": text_hapax_ratio,
+        "kg_pred_entropy": kg_pred_entropy,
         "text_bigram_pmi": text_bigram_pmi,
         "docs_rrf_fusion": docs_rrf_fusion,
         "docs_bm25_top10": docs_bm25_top10,
@@ -6780,6 +6826,31 @@ def _closeness_sql(edges_sql: str, n_seeds: int, iters: int) -> str:
         f" SELECT s AS source, count(*)::BIGINT AS reached, "
         f"sum(dist)::BIGINT AS dist_sum, "
         f"sum(1000000 // dist)::BIGINT AS harmonic_e6 "
+        f"FROM d{iters} WHERE dist > 0 GROUP BY s")
+    return "".join(parts)
+
+
+def _ecc_sql(edges_sql: str, n_seeds: int, iters: int) -> str:
+    """Machine-unrolled multi-source BFS eccentricity mirroring
+    raygraph.ops.graph.eccentricity_profile: same seed rule and
+    relaxation as _closeness_sql, final fold = max(dist) + reached
+    count per seed."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        f", seeds AS (SELECT u AS s FROM (SELECT u, count(*) AS c "
+        f"FROM pr GROUP BY u) ORDER BY c DESC, u LIMIT {n_seeds})",
+        ", d0 AS (SELECT s, s AS x, 0::BIGINT AS dist FROM seeds)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", d{i + 1} AS (SELECT s, x, min(dist) AS dist FROM ("
+            f"SELECT s, x, dist FROM d{i} UNION ALL "
+            f"SELECT d.s, a.v, d.dist + 1 FROM pr a JOIN d{i} d "
+            f"ON a.u = d.x) GROUP BY s, x)")
+    parts.append(
+        f" SELECT s AS source, max(dist)::BIGINT AS ecc, "
+        f"count(*)::BIGINT AS reached "
         f"FROM d{iters} WHERE dist > 0 GROUP BY s")
     return "".join(parts)
 
@@ -7387,6 +7458,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp": _bfs_sql(kg_edges_sql, iters=3,
                             weight_expr="length(pred)"),
         "kg_closeness": _closeness_sql(kg_edges_sql, n_seeds=8, iters=3),
+        "kg_eccentricity": _ecc_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
         "kg_mis": _mis_sql(kg_edges_sql, iters=2),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
@@ -8147,6 +8219,28 @@ def oracle_sql() -> dict[str, str]:
                    ((sy - (slope * sx) // 1000000) // k)::BIGINT
                        AS intercept_e6
             FROM fit
+        """,
+        "text_hapax_ratio": _TOKS_CTE + """
+            , u AS (SELECT unnest(toks) AS token FROM t)
+            , c AS (SELECT token, count(*)::BIGINT AS n
+                    FROM u GROUP BY token)
+            SELECT count(*)::BIGINT AS n_vocab,
+                   coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_hapax,
+                   ((10000 * coalesce(sum(CASE WHEN n = 1 THEN 1
+                                               ELSE 0 END), 0))
+                       // count(*))::BIGINT AS hapax_bp
+            FROM c
+        """,
+        "kg_pred_entropy": f"""
+            WITH e AS ({kg_edges_sql}),
+            c AS (SELECT pred, count(*)::BIGINT AS n FROM e
+                  GROUP BY pred),
+            t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+            SELECT count(*)::BIGINT AS n_preds, t.tot::BIGINT AS n_edges,
+                   sum(floor((1000000 * c.n) * ln(t.tot::DOUBLE / c.n)
+                             / t.tot))::BIGINT AS h_e6
+            FROM c, t GROUP BY t.tot
         """,
         "text_top_tokens": _TOKS_CTE + """
             , u AS (SELECT unnest(toks) AS token FROM t)

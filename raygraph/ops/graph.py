@@ -1466,34 +1466,21 @@ def hash_greedy_walks(edges, steps: int = 3,
     return state
 
 
-def closeness_centrality(edges, n_seeds: int = 8, iters: int = 3,
-                         src: str = "_from", dst: str = "_to"):
-    """Directed closeness / harmonic centrality for the ``n_seeds``
-    highest-out-degree vertices (ties -> smallest id): multi-source BFS
-    truncated at ``iters`` hops.
-
-    The reference exports the edge list for exactly this kind of
-    downstream analytics (src/graph_loader.rs load_edges); here the BFS
-    stays in the Dataset stream. Unlike :func:`bfs_distance` the label
-    table is MONOTONE-FRONTIER: it holds only REACHED (source, vertex)
-    pairs (never an INF-dense V x S matrix), so state is bounded by the
-    union of the seeds' ``iters``-hop balls. Per round: one edge-sized
-    shuffle join fans dist(u)+1 over arcs, a union folds the standing
-    labels back in (the w=0 self-loop of bfs_distance, without
-    seed-multiplying the arc table), and one min-combine per
-    (source, vertex) closes the round. Driver state is the seed id list
-    (n_seeds strings) — nothing graph-sized.
-
-    Output per seed: ``reached`` (vertices != seed within ``iters``
-    hops), ``dist_sum`` (classic closeness denominator) and
-    ``harmonic_e6`` = sum(floor(1e6 / d)) — exact integers, so the SQL
-    oracle unrolls bit-for-bit.
-    """
+def _multi_source_bfs(edges, n_seeds: int, iters: int,
+                      src: str = "_from", dst: str = "_to"):
+    """Monotone-frontier multi-source BFS shared by
+    :func:`closeness_centrality` and :func:`eccentricity_profile`:
+    seeds are the ``n_seeds`` highest-out-degree vertices (ties ->
+    smallest id); returns the (source, vertex, dist) label Dataset of
+    all REACHED pairs within ``iters`` hops. State is bounded by the
+    union of the seeds' hop balls — never a V x S matrix; per round one
+    edge-sized shuffle join + a min-combine per (source, vertex)."""
     import pyarrow.compute as pc
+
+    import ray.data as rd
 
     from .relational import (_join_partitions, preagg_extreme, preagg_sum,
                              shuffle_join)
-    import ray.data as rd
 
     pairs = distinct_pairs(edges, src, dst)
     nparts = _join_partitions(pairs.count())
@@ -1542,6 +1529,64 @@ def closeness_centrality(edges, n_seeds: int = 8, iters: int = 3,
                                               batch_format="pyarrow")),
                 ["source", "vertex"], "dist", how="min", out="dist"),
             lbl_schema)
+    return labels
+
+
+def eccentricity_profile(edges, n_seeds: int = 8, iters: int = 3,
+                         src: str = "_from", dst: str = "_to"):
+    """Per-seed truncated eccentricity: for each of the ``n_seeds``
+    top-out-degree vertices, the max BFS distance reached within
+    ``iters`` hops plus the reached count. max(ecc) over seeds is the
+    standard sampled lower bound on the graph diameter — the frontier
+    growth / "is this graph a ball or a chain" diagnostic run before
+    sizing iterative algorithms. Same BFS exchange as
+    :func:`closeness_centrality`; the per-seed fold is one
+    hash-bucketed vectorized groupby (output is n_seeds rows)."""
+    from .relational import hash_aggregate
+
+    labels = _multi_source_bfs(edges, n_seeds, iters, src, dst)
+
+    def fold(df):
+        g = df[df["dist"] > 0].groupby("source")["dist"] \
+            .agg(ecc="max", reached="size").reset_index()
+        g["ecc"] = g["ecc"].astype("int64")
+        g["reached"] = g["reached"].astype("int64")
+        return g
+
+    return _repaired(
+        hash_aggregate(labels, ["source"], fold, num_buckets=8),
+        pa.schema([("source", pa.string()), ("ecc", pa.int64()),
+                   ("reached", pa.int64())]))
+
+
+def closeness_centrality(edges, n_seeds: int = 8, iters: int = 3,
+                         src: str = "_from", dst: str = "_to"):
+    """Directed closeness / harmonic centrality for the ``n_seeds``
+    highest-out-degree vertices (ties -> smallest id): multi-source BFS
+    truncated at ``iters`` hops.
+
+    The reference exports the edge list for exactly this kind of
+    downstream analytics (src/graph_loader.rs load_edges); here the BFS
+    stays in the Dataset stream. Unlike :func:`bfs_distance` the label
+    table is MONOTONE-FRONTIER: it holds only REACHED (source, vertex)
+    pairs (never an INF-dense V x S matrix), so state is bounded by the
+    union of the seeds' ``iters``-hop balls. Per round: one edge-sized
+    shuffle join fans dist(u)+1 over arcs, a union folds the standing
+    labels back in (the w=0 self-loop of bfs_distance, without
+    seed-multiplying the arc table), and one min-combine per
+    (source, vertex) closes the round. Driver state is the seed id list
+    (n_seeds strings) — nothing graph-sized.
+
+    Output per seed: ``reached`` (vertices != seed within ``iters``
+    hops), ``dist_sum`` (classic closeness denominator) and
+    ``harmonic_e6`` = sum(floor(1e6 / d)) — exact integers, so the SQL
+    oracle unrolls bit-for-bit.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import preagg_sum
+
+    labels = _multi_source_bfs(edges, n_seeds, iters, src, dst)
 
     def finish(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater(batch.column("dist"),

@@ -1344,3 +1344,47 @@ def zipf_slope(ds, k: int = 100, text_col: str = "text"):
                          "slope_e6": pd.array([slope], dtype="int64"),
                          "intercept_e6": pd.array([intercept],
                                                   dtype="int64")})
+
+
+def hapax_stats(ds, text_col: str = "text"):
+    """Hapax-legomena profile of the corpus vocabulary: n_vocab,
+    n_hapax (corpus frequency exactly 1) and hapax_bp = their
+    basis-point share — the vocabulary-health screen (a healthy
+    natural corpus sits near 40-60%; far lower means templated text,
+    far higher means OCR noise / tokenization damage).
+
+    The heavy stage is the same distributed token count as
+    :func:`zipf_slope` (vectorized explode partials + one
+    vocab-bounded merge); the fold to one row is a per-block partial
+    (2 ints per block) summed on the tiny aggregate."""
+    from .relational import preagg_sum
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split().explode().dropna()
+        g = toks.value_counts().rename_axis("token").reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(ds.map_batches(token_counts, batch_format="pyarrow"),
+                     ["token"], {"n": "n"})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.column("n")
+        return pa.table({
+            "v": pa.array([batch.num_rows], pa.int64()),
+            "h": pa.array([pc.sum(pc.cast(pc.equal(
+                n, pa.scalar(1, n.type)), pa.int64())).as_py() or 0],
+                pa.int64()),
+        })
+
+    parts = agg.map_batches(partial, batch_format="pyarrow").to_pandas()
+    v = int(parts["v"].sum())
+    h = int(parts["h"].sum())
+    return pd.DataFrame({
+        "n_vocab": pd.array([v], dtype="int64"),
+        "n_hapax": pd.array([h], dtype="int64"),
+        "hapax_bp": pd.array([(10_000 * h) // v if v else 0],
+                             dtype="int64"),
+    })
