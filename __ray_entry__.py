@@ -100,7 +100,16 @@ def _kg_delta_result(sf_dir: str):
             linker_concurrency=(1, 4),
         )
         aliases = synth.alias_inventory(synth.entity_space(n))
-        build_graph(cfg, aliases=aliases)
+        base = build_graph(cfg, aliases=aliases)
+        # keep the base snapshot's edge table: merge_delta rebuilds the
+        # derived tables in place, and kg_snapshot_diff audits what the
+        # delta added (new vs old edge set)
+        import shutil
+
+        base_edges = os.path.join(_TMP, f"kg_delta_n{n}", "edges_base")
+        shutil.rmtree(base_edges, ignore_errors=True)
+        shutil.copytree(base.edges_path, base_edges)
+        _CACHE[("kg_delta_base_edges", n)] = base_edges
         _CACHE[key] = merge_delta(cfg, delta_dir, aliases=aliases)
     return _CACHE[key]
 
@@ -207,6 +216,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _kg_delta_result(sf_dir)
         t = pq.ParquetDataset(res.edges_path).read()
         return t.select(["_from", "pred", "_to"])
+
+    def kg_snapshot_diff(sf_dir):
+        # lineage audit after a delta merge: per-predicate count of
+        # edges the delta ADDED — one hash-partitioned left_anti join
+        # on the full (from, pred, to) key (distributed NOT EXISTS),
+        # then a pred-keyed combiner preagg
+        from raygraph.ops.graph import edge_diff_counts
+
+        res = _kg_delta_result(sf_dir)
+        n = _docs_count(sf_dir)
+        base_edges = _CACHE[("kg_delta_base_edges", n)]
+        new = rd.read_parquet(res.edges_path,
+                              columns=["_from", "pred", "_to"])
+        old = rd.read_parquet(base_edges,
+                              columns=["_from", "pred", "_to"])
+        return edge_diff_counts(new, old)
 
     def kg_vertices(sf_dir):
         res = _kg_result(sf_dir)
@@ -6413,6 +6438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_edges": kg_edges,
         "kg_delta_edges": kg_delta_edges,
+        "kg_snapshot_diff": kg_snapshot_diff,
         "kg_vertices": kg_vertices,
         "kg_vertex_mentions": kg_vertex_mentions,
         "kg_degrees": kg_degrees,
@@ -7277,6 +7303,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'entities/vertex_' || a, 'is_a', 'entities/node'
             FROM e WHERE i % 7 = 3
         """
+    # the base snapshot of the delta-merge demo = edge formula over the
+    # first half of the corpus rows (docs i < n//2)
+    _half = "i < (SELECT n FROM p) // 2"
+    kg_base_edges_sql = kg_base + f"""
+            SELECT DISTINCT 'entities/vertex_' || a AS _from,
+                   'connected_to' AS pred,
+                   'entities/vertex_' || b AS _to
+            FROM e WHERE {_half}
+            UNION
+            SELECT DISTINCT 'entities/vertex_' || a, 'is_a', 'entities/node'
+            FROM e WHERE i % 7 = 3 AND ({_half})
+        """
+
     bpe_pat_sql = __import__("raygraph.ops.text", fromlist=["BPE_PATTERN"]) \
         .BPE_PATTERN.replace("'", "''")
 
@@ -10340,6 +10379,14 @@ def oracle_sql() -> dict[str, str]:
     out["kg_edges_jsonl"] = out["kg_edges"]
     # the incremental base+delta merge must reproduce it too
     out["kg_delta_edges"] = out["kg_edges"]
+    out["kg_snapshot_diff"] = f"""
+        WITH newe AS ({kg_edges_sql}), olde AS ({kg_base_edges_sql})
+        SELECT n.pred, count(*)::BIGINT AS n_added
+        FROM newe n LEFT JOIN olde o
+          ON n._from = o._from AND n.pred = o.pred AND n._to = o._to
+        WHERE o._from IS NULL
+        GROUP BY n.pred
+    """
     out["docs_curation_funnel"] = _TOKS_CTE + f"""
         , s AS (
           SELECT doc_id, n_chars, n_punct,

@@ -1886,3 +1886,37 @@ def maximal_independent_set(edges, iters: int = 2,
     return out.map_batches(
         lambda b: b.rename_columns(["vertex", "round"]),
         batch_format="pyarrow")
+
+
+def edge_diff_counts(new_edges, old_edges,
+                     src: str = "_from", pred: str = "pred",
+                     dst: str = "_to"):
+    """Snapshot diff of two edge tables: per-predicate count of edges
+    present in ``new_edges`` but not ``old_edges`` — the lineage audit
+    run after :func:`raygraph.pipeline.merge_delta` ("what did this
+    delta add to the graph?").
+
+    Distributed as one hash-partitioned ``left_anti`` join on the full
+    (src, pred, dst) key (the distributed NOT EXISTS — neither side is
+    driver-resident) followed by a pred-keyed combiner preagg; output
+    is predicate-cardinality-sized."""
+    from .relational import (_join_partitions, preagg_sum, shuffle_join)
+
+    import ray.data as rd
+
+    cols = [src, pred, dst]
+    out_schema = pa.schema([(pred, pa.string()), ("n_added", pa.int64())])
+    nparts = _join_partitions(new_edges.count())
+    added = shuffle_join(new_edges.select_columns(cols),
+                         old_edges.select_columns(cols),
+                         on=tuple(cols), how="left_anti",
+                         num_partitions=nparts).materialize()
+    if added.count() == 0:
+        # an all-empty-block join output loses its schema ("No match
+        # for FieldRef") — short-circuit the empty diff
+        return rd.from_arrow(out_schema.empty_table())
+    added = _repaired(added, pa.schema([(c, pa.string()) for c in cols]))
+    return _repaired(
+        preagg_sum(added.select_columns([pred]), [pred], {},
+                   counts="n_added"),
+        out_schema)

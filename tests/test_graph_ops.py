@@ -810,3 +810,28 @@ def test_label_propagation_two_cliques(ray_session):
     out = label_propagation(rd.from_arrow(tbl), iters=2).take_all()
     assert sum(r["size"] for r in out) == 6
     assert 1 <= len(out) <= 2
+
+
+def test_edge_diff_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.graph import edge_diff_counts
+
+    def edges(rows):
+        return rd.from_arrow(pa.table({
+            "_from": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "_to": pa.array([r[2] for r in rows], pa.string()),
+        }))
+
+    old = edges([("a", "p", "b"), ("b", "p", "c"), ("a", "q", "c")])
+    new = edges([("a", "p", "b"), ("b", "p", "c"), ("a", "q", "c"),
+                 ("c", "p", "d"), ("d", "p", "e"), ("d", "r", "a")])
+    got = {r["pred"]: r["n_added"]
+           for r in edge_diff_counts(new, old).take_all()}
+    assert got == {"p": 2, "r": 1}
+    # empty diff short-circuits with a typed empty table
+    same = edge_diff_counts(old, old)
+    assert same.count() == 0
+    assert set(same.schema().names) == {"pred", "n_added"}
