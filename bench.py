@@ -145,6 +145,19 @@ def main() -> None:
     extra["output_sha1"] = h.hexdigest()
     extra["n_edges"] = len(e)
     extra["n_vertices"] = len(v)
+
+    # ---- incremental ingest: merge a 10% delta into the built graph.
+    # Single-shot (a merge mutates the checkpoint — repeating it would
+    # time a different, bigger graph); phase A runs only on the delta,
+    # phase B re-aggregates the union triple log.
+    from raygraph.pipeline import merge_delta
+
+    delta_dir = _corpus(max(1000, n_docs // 10))
+    t0 = time.monotonic()
+    mres = merge_delta(cfg, delta_dir, aliases=aliases)
+    timings["kg_delta_merge"] = round(time.monotonic() - t0, 3)
+    extra["delta_docs"] = max(1000, n_docs // 10)
+    extra["delta_phase_a_sec"] = round(mres.metrics["phase_a_sec"], 2)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- secondary operator families ------------------------------------

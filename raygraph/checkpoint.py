@@ -86,3 +86,30 @@ def finalize_partitions(root: str, num_partitions: int) -> dict[int, dict]:
         stats[pid] = {"rows": rows, "files": [os.path.basename(f) for f in files]}
         write_partition_manifest(root, pid, rows=rows, num_files=len(files))
     return stats
+
+
+def completed_rows(root: str) -> dict[int, int]:
+    """Row counts of completed partitions from their manifests
+    (metadata-only — no parquet reads)."""
+    out: dict[int, int] = {}
+    for f in glob.glob(os.path.join(root, MANIFEST_DIR, "part-*.json")):
+        try:
+            with open(f) as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError) as e:
+            raise CheckpointError(f"corrupt manifest {f}: {e}") from e
+        if m.get("status") == "done":
+            out[int(m["partition_id"])] = int(m.get("rows", 0))
+    return out
+
+
+def completed_files(root: str) -> list[str]:
+    """Parquet files of all COMPLETED partitions (a resume/merge reads
+    these directly — `read_parquet` takes a file list, not a list of
+    directories)."""
+    done = completed_partitions(root)
+    files: list[str] = []
+    for pid in sorted(done):
+        files.extend(sorted(glob.glob(
+            os.path.join(root, f"part_id={pid}", "*.parquet"))))
+    return files

@@ -39,8 +39,33 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.dat
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+def corpus_read_blocks(path: str, rows_per_block: int = 2048) -> int | None:
+    """Read block count sized to the corpus (parquet footers only):
+    ~``rows_per_block`` docs per block, capped at 2×CPUs. Ray's default
+    (2×CPUs regardless of size) hands a 20k-doc delta 64 tiny tasks
+    whose dispatch overhead dwarfs the work — small inputs (delta
+    merges, resumes with most partitions done) want proportionally few
+    blocks; big inputs keep the CPU-bound default. None = unknown
+    (non-parquet dir), letting Ray choose."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    return max(1, min(2 * cpus, rows // rows_per_block + 1))
+
+
 def read_documents(path: str, **kwargs) -> ray.data.Dataset:
     """Read the interleaved-document corpus (doc_id, spans)."""
+    if not _is_lance(path) and "override_num_blocks" not in kwargs:
+        nb = corpus_read_blocks(path)
+        if nb is not None:
+            kwargs["override_num_blocks"] = nb
     return read_table(path, columns=["doc_id", "spans"], **kwargs)
 
 

@@ -202,6 +202,26 @@ def build_graph(cfg: GraphBuildConfig,
         fw = ckpt_pool.submit(_write_checkpoint)
         triples = linked
         approx_triples = new_rows
+    elif cfg.materialize_triples and new_rows:
+        # resume / delta-merge overlap: completed partitions stream
+        # straight from the checkpoint files (manifest row counts are
+        # metadata-only) and union with the pinned in-memory NEW
+        # triples — the delta's checkpoint write overlaps all of phase
+        # B instead of serializing before it, and the completed base is
+        # read once, not written-then-reread
+        fw = ckpt_pool.submit(_write_checkpoint)
+        import ray.data as rd
+
+        triples_root = triples_path
+        base_files = ckpt.completed_files(triples_root)
+        approx_triples = new_rows + sum(
+            ckpt.completed_rows(triples_root).values())
+        cols = [c for c in linked.schema().names if c != "part_id"]
+        triples = linked.select_columns(cols)
+        if base_files:
+            triples = rd.read_parquet(base_files,
+                                      columns=cols).union(triples)
+        triples = triples.materialize()
     else:
         fw = ckpt_pool.submit(_write_checkpoint)
         part_stats = fw.result()
