@@ -199,7 +199,13 @@ def canonicalize(linked, tree: bool = False) -> dict[str, str]:
     (``GraphBuildConfig.canon_strategy="distributed"``) — that path never
     materializes the map anywhere.
     """
-    pairs = linked.map_batches(mention_pairs, batch_format="pyarrow")
+    # coalesce blocks into large batches for the pair scan: every block
+    # repeats the hot aliases, so per-BLOCK dedup ships #blocks × hot
+    # set to the driver (measured 2.6M rows for 117k distinct at 1M
+    # docs / 32 blocks); per-500k-row-batch dedup divides that by the
+    # coalescing factor for one cheap extra copy inside the map task
+    pairs = linked.map_batches(mention_pairs, batch_format="pyarrow",
+                               batch_size=500_000)
     if tree:
         # distributed tree-dedup first (cross-batch duplicate factor is
         # high — every batch repeats the hot aliases), so the driver only
