@@ -85,12 +85,52 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------- shingles
+# FNV-1a-style fold constants for the vectorized shingle hashes
+_SHINGLE_P = np.uint64(1099511628211)
+_SHINGLE_BASIS = np.uint64(14695981039346656037)
+
+
+def _fold_windows(w: np.ndarray) -> np.ndarray:
+    """Deduped polynomial hash per row of an (n_windows, k) uint-matrix:
+    k vectorized mul-adds over all windows at once (wrapping uint64),
+    replacing one Python-level crc32 call per window."""
+    h = np.full(len(w), _SHINGLE_BASIS, dtype=np.uint64)
+    for j in range(w.shape[1]):
+        h *= _SHINGLE_P
+        h += w[:, j]
+    return np.unique(h)
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """crc32-hashed character k-shingles (deduped)."""
-    if len(text) < k:
-        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    out = {zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)}
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    """Polynomial-hashed byte k-shingles (deduped, vectorized: the
+    shingle windows are a stride view over the utf-8 bytes — no per-
+    window Python call, no window materialization)."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(b) < k:  # short text: one shingle of the zero-padded bytes
+        b = np.pad(b, (0, k - len(b)))
+    return _fold_windows(np.lib.stride_tricks.sliding_window_view(b, k))
+
+
+def char_window_hashes(texts, k: int = 5):
+    """Batch char-shingle kernel: hashes of every byte k-window of every
+    text in ONE vectorized pass over the concatenated utf-8 bytes.
+    Returns ``(h, starts, counts)`` — doc i's window hashes are the view
+    ``h[starts[i] : starts[i] + counts[i]]`` (NOT deduped: the signature
+    min is idempotent over duplicates, so the per-doc unique-sort that
+    dominates short-doc shingling is skipped; windows straddling a doc
+    boundary exist in ``h`` but fall outside every doc's slice)."""
+    enc = [(t or "").encode() for t in texts]
+    enc = [e if len(e) >= k else e + b"\x00" * (k - len(e)) for e in enc]
+    lens = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    w = np.lib.stride_tricks.sliding_window_view(buf, k)
+    h = np.full(len(w), _SHINGLE_BASIS, dtype=np.uint64)
+    for j in range(k):
+        h *= _SHINGLE_P
+        h += w[:, j]
+    starts = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return h, starts, lens - k + 1
 
 
 def word_ngrams(text: str, n: int = 3) -> set:
@@ -101,16 +141,25 @@ def word_ngrams(text: str, n: int = 3) -> set:
 
 
 def word_shingles(text: str, n: int = 5) -> np.ndarray:
-    """crc32-hashed word n-shingles (order-sensitive windows, deduped).
+    """Hashed word n-shingles (order-sensitive windows, deduped).
 
     Prefer these over char shingles for small-vocabulary text: char
     5-gram sets saturate (two long docs over the same vocab approach
     Jaccard 1.0 without being duplicates), while word n-gram windows stay
-    discriminative."""
-    out = {zlib.crc32(g.encode()) for g in word_ngrams(text, n)}
-    if not out:
-        out = {zlib.crc32(text.encode())}
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    discriminative. Vectorized: one crc32 per TOKEN (cached per distinct
+    token), then the n-token windows fold over the token-hash array —
+    not one string join + crc32 per window."""
+    toks = text.split()
+    if not toks:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    cache: dict = {}
+    th = np.fromiter(
+        (cache.get(t) or cache.setdefault(t, zlib.crc32(t.encode()) + 1)
+         for t in toks),
+        dtype=np.uint64, count=len(toks))
+    if len(th) < n:  # short doc: one shingle of the zero-padded tokens
+        th = np.pad(th, (0, n - len(th)))
+    return _fold_windows(np.lib.stride_tricks.sliding_window_view(th, n))
 
 
 def jaccard(a: set, b: set) -> float:
@@ -227,7 +276,13 @@ class MinHasher:
         """
         n = len(texts)
         out = np.empty((n, self.num_perm), dtype=np.uint64)
-        sh_list = [self.shingle_hashes(t or "") for t in texts]
+        if self.shingle == "char":
+            # batch kernel: per-doc views into one window-hash array
+            # (non-deduped — min over duplicate shingles is identical)
+            allh, starts, counts = char_window_hashes(texts, self.shingle_k)
+            sh_list = [allh[s:s + c] for s, c in zip(starts, counts)]
+        else:
+            sh_list = [self.shingle_hashes(t or "") for t in texts]
         lens = np.fromiter(map(len, sh_list), dtype=np.int64, count=n)
         chunk = self.SIG_CHUNK
         buf = np.empty((self.num_perm, chunk), dtype=np.uint64)

@@ -123,15 +123,25 @@ DEFAULT_NUM_BUCKETS = 128
 ROWS_PER_BUCKET = 100_000  # target partial rows per hash bucket
 
 
-def adaptive_buckets(n_rows: int | None) -> int:
+def adaptive_buckets(n_rows: int | None, cluster_cpus: int | None = None) -> int:
     """Bucket count for the wide steps, sized to the input: one bucket
-    per ~ROWS_PER_BUCKET partial rows, floored at DEFAULT_NUM_BUCKETS.
-    A FIXED bucket count makes the per-bucket reduce grow linearly with
-    input (the measured ≥4M-doc phase-B superlinearity); scaling buckets
-    keeps per-task work roughly constant, bounded at 4096 tasks."""
+    per ~ROWS_PER_BUCKET partial rows. A FIXED bucket count makes the
+    per-bucket reduce grow linearly with input (the measured ≥4M-doc
+    phase-B superlinearity); scaling buckets keeps per-task work roughly
+    constant, bounded at 4096 tasks.
+
+    The FLOOR is sized to the cluster when its width is known: reduce
+    cost is ~W/p + ceil(k/p)·h for k buckets on p cores with per-task
+    overhead h, so any k beyond a few waves of p only adds dispatch
+    latency (measured: 128 buckets on 16 pinned cores = 8 waves of tiny
+    tasks at 200k docs). 4×p keeps one short balanced wave-set while
+    still absorbing moderate bucket skew; unknown width keeps the legacy
+    DEFAULT_NUM_BUCKETS floor."""
+    floor = DEFAULT_NUM_BUCKETS if not cluster_cpus \
+        else min(DEFAULT_NUM_BUCKETS, max(16, 4 * int(cluster_cpus)))
     if not n_rows:
-        return DEFAULT_NUM_BUCKETS
-    return int(min(4096, max(DEFAULT_NUM_BUCKETS, n_rows // ROWS_PER_BUCKET)))
+        return floor
+    return int(min(4096, max(floor, n_rows // ROWS_PER_BUCKET)))
 
 
 def build_edges(linked, canon_fn, vertex_collection: str, edge_collection: str,

@@ -273,8 +273,13 @@ def build_graph(cfg: GraphBuildConfig,
     # pinned): keeps per-bucket reduce work ~constant as inputs grow —
     # the fixed-bucket phase-B superlinearity fix (DESIGN_SCALE.md §Skew)
     from .ops.materialize import adaptive_buckets
+    import ray
 
-    n_buckets = adaptive_buckets(approx_triples)
+    try:
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+    except Exception:
+        cluster_cpus = None
+    n_buckets = adaptive_buckets(approx_triples, cluster_cpus)
     metrics["agg_num_buckets"] = n_buckets
     if cfg.canon_strategy == "distributed":
         canon_fn = None

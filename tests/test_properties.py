@@ -589,3 +589,22 @@ def test_pair_hist_invariant_to_bucketing_and_layout(ray_session):
     a = hist(rd.from_arrow(t))
     b = hist(rd.from_arrow(t).repartition(7), num_buckets=3)
     assert a == b  # block layout and bucket count are execution details
+
+
+def test_adaptive_buckets_clamps_floor_to_cluster_width():
+    from raygraph.ops.materialize import (DEFAULT_NUM_BUCKETS,
+                                          ROWS_PER_BUCKET, adaptive_buckets)
+
+    # unknown width keeps the legacy floor
+    assert adaptive_buckets(None) == DEFAULT_NUM_BUCKETS
+    assert adaptive_buckets(1000) == DEFAULT_NUM_BUCKETS
+    # small cluster: floor drops to 4 waves worth of tasks, never below 16
+    assert adaptive_buckets(1000, cluster_cpus=16) == 64
+    assert adaptive_buckets(1000, cluster_cpus=4) == 16
+    assert adaptive_buckets(1000, cluster_cpus=2) == 16
+    # wide cluster never raises the floor above the legacy default
+    assert adaptive_buckets(1000, cluster_cpus=512) == DEFAULT_NUM_BUCKETS
+    # input volume still scales the count past any floor, capped at 4096
+    big = 300 * ROWS_PER_BUCKET
+    assert adaptive_buckets(big, cluster_cpus=4) == 300
+    assert adaptive_buckets(10_000 * ROWS_PER_BUCKET, cluster_cpus=4) == 4096
