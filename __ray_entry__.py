@@ -1744,6 +1744,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["exact_n"] = out["exact_n"].astype("int64")
         return out.reset_index(drop=True)
 
+    def text_heavy_hitters(sf_dir):
+        # Misra-Gries heavy hitters: every token with frequency
+        # STRICTLY > n/40, exactly — pass 1 ships only k-sized per-block
+        # summaries (never the token stream), pass 2 broadcast-counts
+        # the candidate superset; the whole exchange is O(#blocks · k)
+        from raygraph.ops.sketch import heavy_hitters
+
+        ds = _docs_ds(sf_dir)
+
+        def tokens(batch: pa.Table):
+            s = batch.column("text").to_pandas().fillna("")
+            return s.str.strip().str.lower().str.split().explode().dropna()
+
+        return heavy_hitters(ds, k=40, values_fn=tokens, out_key="token")
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -6531,6 +6546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_diff": docs_snapshot_diff,
         "docs_ngram_dup": docs_ngram_dup,
         "text_cms_counts": text_cms_counts,
+        "text_heavy_hitters": text_heavy_hitters,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
@@ -7750,6 +7766,14 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "text_heavy_hitters": _TOKS_CTE + """
+            , u AS (SELECT unnest(toks) AS token FROM t),
+            c AS (SELECT token, count(*)::BIGINT AS n
+                  FROM u GROUP BY token),
+            tot AS (SELECT count(*)::BIGINT AS n_total FROM u)
+            SELECT token, n FROM c, tot WHERE n * 40 > n_total
+            ORDER BY n DESC, token ASC
         """,
         "docs_tfidf_top3": _TOKS_CTE + """
             , u AS (SELECT doc_id, unnest(toks) AS token FROM t),

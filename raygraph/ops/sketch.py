@@ -285,3 +285,91 @@ def bloom_semi_join(big, keys_ds, on: str, right_on: str,
     filtered = bloom_filter_ds(big, on, bitmap)
     return shuffle_join(filtered, keys_ds, on=on, right_on=right_on,
                         how="left_semi", num_partitions=num_partitions)
+
+
+# ------------------------------------------------------------- Misra-Gries
+def _mg_compress(df: pd.DataFrame, capacity: int) -> pd.DataFrame:
+    """Misra-Gries compress of an exact (key, w) histogram to ≤ capacity
+    entries: subtract the (capacity+1)-th largest weight from every entry
+    and drop the non-positive ones. Total weight removed per compress is
+    ≤ dec · (#entries), which telescopes to the classic n/(capacity+1)
+    undercount bound (Misra & Gries 1982; mergeable form Agarwal et al.,
+    PODS 2012)."""
+    import numpy as np
+
+    if len(df) <= capacity:
+        return df
+    w = df["w"].to_numpy()
+    dec = np.partition(w, len(w) - capacity - 1)[len(w) - capacity - 1]
+    out = df[df["w"] > dec].copy()
+    out["w"] -= dec
+    return out
+
+
+def heavy_hitters(ds, k: int, values_fn, out_key: str = "token"):
+    """All stream items with frequency STRICTLY ABOVE n/k, exactly —
+    found without ever shuffling the raw stream.
+
+    ``values_fn(batch) -> pd.Series`` produces the stream items of one
+    batch (e.g. exploded tokens). Two passes:
+
+    1. **Candidates.** Per batch: exact local counts → Misra-Gries
+       compress to k-1 entries. Any item with GLOBAL frequency > n/k has
+       LOCAL frequency > n_b/k in at least one batch (pigeonhole), and
+       MG at capacity k-1 retains every such local item — so the union
+       of the per-batch summaries is a guaranteed superset of the true
+       heavy hitters. The exchange is bounded by #blocks · k rows (plus
+       one total-count row per block), never the stream.
+    2. **Exact verify.** The deduped candidate set (≤ #blocks · k keys,
+       in practice ~k) is broadcast once (``ray.put``); a second scan
+       counts ONLY candidate items per batch, and one small groupby-sum
+       plus the driver-side ``n · k > total`` filter yields the exact
+       answer — layout-invariant because pass 2 is exact over a
+       layout-invariant superset.
+
+    Returns a pandas DataFrame (out_key, n) sorted by n desc, key asc.
+    """
+    import ray
+
+    from .relational import preagg_sum
+
+    capacity = max(1, k - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = values_fn(batch)
+        g = vals.value_counts().rename_axis(out_key).reset_index(name="w")
+        total = int(g["w"].sum())
+        g = _mg_compress(g, capacity)
+        # explicit schema: an all-null or empty pandas column would
+        # otherwise infer a different arrow type per block
+        return pa.table({
+            out_key: pa.array(g[out_key].astype(str).tolist() + [None],
+                              pa.string()),
+            "w": pa.array(g["w"].tolist() + [total], pa.int64()),
+        })  # trailing null-key row carries the per-block total
+
+    summary = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_total = int(summary.loc[summary[out_key].isna(), "w"].sum())
+    cand = summary.loc[summary[out_key].notna(), out_key].unique()
+    if n_total == 0 or len(cand) == 0:
+        return pd.DataFrame({out_key: pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cset = _ray.get(cand_ref)
+        vals = values_fn(batch)
+        vals = vals[vals.isin(cset)]
+        g = vals.value_counts().rename_axis(out_key).reset_index(name="n")
+        return pa.table({
+            out_key: pa.array(g[out_key].astype(str).tolist(), pa.string()),
+            "n": pa.array(g["n"].tolist(), pa.int64()),
+        })
+
+    counts = preagg_sum(ds.map_batches(exact, batch_format="pyarrow"),
+                        [out_key], {"n": "n"}).to_pandas()
+    hits = counts[counts["n"] * k > n_total]
+    return (hits.sort_values(["n", out_key], ascending=[False, True])
+            .reset_index(drop=True))

@@ -303,6 +303,37 @@ def test_cms_upper_bound_and_determinism(ray_session):
     assert a.equals(b)
 
 
+def test_heavy_hitters_exact_and_layout_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.sketch import heavy_hitters
+
+    # zipf-ish stream: token i appears 2^(9-i) times for i in 0..9,
+    # plus 200 singletons; n = 1023 + 200 = 1223
+    toks = [f"t{i}" for i in range(10) for _ in range(2 ** (9 - i))]
+    toks += [f"rare{j}" for j in range(200)]
+    df = pd.DataFrame({"text": toks})
+
+    def vals(batch):
+        return batch.column("text").to_pandas()
+
+    k = 10  # threshold n/k = 122.3 → t0(512), t1(256), t2(128) qualify
+    exp = pd.Series(toks).value_counts()
+    want = exp[exp * k > len(toks)]
+    for parts in (3, 17):
+        got = heavy_hitters(rd.from_pandas(df).repartition(parts),
+                            k=k, values_fn=vals, out_key="token")
+        assert list(got["token"]) == list(want.index)
+        assert list(got["n"]) == [int(v) for v in want.values]
+
+    # no item above threshold → empty frame with stable schema
+    flat = rd.from_pandas(pd.DataFrame({"text": [f"u{j}" for j in
+                                                 range(300)]}))
+    got = heavy_hitters(flat, k=10, values_fn=vals, out_key="token")
+    assert len(got) == 0 and list(got.columns) == ["token", "n"]
+
+
 def test_bloom_semi_join_equals_plain_semi(ray_session):
     import pandas as pd
     import ray.data as rd
