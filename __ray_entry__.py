@@ -1759,6 +1759,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_hitters(ds, k=40, values_fn=tokens, out_key="token")
 
+    def text_gazetteer(sf_dir):
+        # dictionary surface-form tagging (mention detection over an
+        # entity gazetteer): multi-word phrases match as adjacent token
+        # sequences; the dict ships to the object store once, partials
+        # are |terms|-bounded per block ('quantum entanglement' never
+        # matches — absent terms must not fabricate rows)
+        from raygraph.ops.text import gazetteer_tag
+
+        terms = ["hash join", "merge join", "row scan", "filter",
+                 "vector", "customer", "quantum entanglement"]
+        return gazetteer_tag(_docs_ds(sf_dir), terms)
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -6547,6 +6559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_dup": docs_ngram_dup,
         "text_cms_counts": text_cms_counts,
         "text_heavy_hitters": text_heavy_hitters,
+        "text_gazetteer": text_gazetteer,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
@@ -7766,6 +7779,22 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "text_gazetteer": _TOKS_CTE + """
+            , u AS (
+              SELECT doc_id, unnest(toks) AS g FROM t
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM t
+            )
+            SELECT g AS term, count(*)::BIGINT AS n_mentions,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM u
+            WHERE g IN ('hash join', 'merge join', 'row scan', 'filter',
+                        'vector', 'customer', 'quantum entanglement')
+            GROUP BY g ORDER BY term
         """,
         "text_heavy_hitters": _TOKS_CTE + """
             , u AS (SELECT unnest(toks) AS token FROM t),

@@ -1388,3 +1388,67 @@ def hapax_stats(ds, text_col: str = "text"):
         "hapax_bp": pd.array([(10_000 * h) // v if v else 0],
                              dtype="int64"),
     })
+
+
+def gazetteer_tag(ds, terms, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Dictionary surface-form tagging — the vectorized stand-in for an
+    Aho-Corasick pass, and the mention-detection primitive the KG
+    extract stage (reference: per-document regex scan,
+    src/graph_loader.rs load loop) generalizes to arbitrary gazetteers.
+
+    ``terms`` is a list of lowercased surface forms; multi-word phrases
+    match as ADJACENT token sequences (same token contract as
+    `_doc_ngrams`). Returns a Dataset of (term, n_mentions, n_docs)
+    for every term that occurs, sorted by term — overlapping forms
+    count independently ("hash join" also feeds "hash" and "join").
+
+    Scale: the gazetteer is put in the object store ONCE (``ray.put``)
+    and fetched zero-copy per task — never re-shipped per batch via
+    closure capture (a web-scale gazetteer is millions of forms). Per
+    batch, ONE n-gram explode per distinct phrase length + a hash
+    ``isin`` probe; because each document is one row, per-batch
+    (term, doc) partials are exact, so the exchange carries at most
+    |terms| rows per block and n_docs sums without a distinct-count
+    shuffle."""
+    import ray
+
+    from .relational import preagg_sum
+
+    by_n: dict[int, set] = {}
+    for t in terms:
+        by_n.setdefault(len(t.split()), set()).add(t)
+    terms_ref = ray.put({n: frozenset(ts) for n, ts in by_n.items()})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        term_sets = _ray.get(terms_ref)
+        s = batch.column(text_col).to_pandas().fillna("")
+        frames = []
+        for n, tset in term_sets.items():
+            ng = _doc_ngrams(s, n)
+            hit = ng[ng["ngram"].isin(tset)]
+            if len(hit):
+                frames.append(pd.DataFrame({
+                    "term": hit["ngram"].to_numpy(),
+                    "row": hit.index.to_numpy(),
+                }))
+        if not frames:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_mentions": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        m = pd.concat(frames, ignore_index=True)
+        g = m.groupby("term", sort=False).agg(
+            n_mentions=("row", "size"), n_docs=("row", "nunique"))
+        g = g.reset_index()
+        return pa.table({
+            "term": pa.array(g["term"], pa.string()),
+            "n_mentions": pa.array(g["n_mentions"].astype("int64")),
+            "n_docs": pa.array(g["n_docs"].astype("int64")),
+        })
+
+    agg = preagg_sum(ds.map_batches(tag, batch_format="pyarrow"),
+                     ["term"], {"n_mentions": "n_mentions",
+                                "n_docs": "n_docs"})
+    return agg.sort("term")

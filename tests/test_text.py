@@ -450,3 +450,31 @@ def test_vocab_growth_cumulative(ray_session):
     vs = dict(zip(got["decile"], got["vocab_size"]))
     # deciles are 1 doc wide here: vocab 2 after doc 0, 3 after doc 5
     assert vs[1] == 2 and vs[5] == 2 and vs[6] == 3 and vs[10] == 3
+
+
+def test_gazetteer_tag_multiword_adjacency(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.text import gazetteer_tag
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the hash join beats the sort",   # hash join ×1, hash ×1
+            "hash hash join",                 # hash ×2, hash join ×1
+            "join hash",                      # NOT adjacent "hash join"
+            "",                               # empty doc contributes nothing
+        ],
+    })
+    terms = ["hash join", "hash", "nonexistent phrase"]
+    for parts in (1, 4):
+        got = gazetteer_tag(rd.from_pandas(df).repartition(parts),
+                            terms).to_pandas()
+        by = got.set_index("term")
+        assert by.loc["hash join", "n_mentions"] == 2
+        assert by.loc["hash join", "n_docs"] == 2
+        assert by.loc["hash", "n_mentions"] == 4
+        assert by.loc["hash", "n_docs"] == 3
+        assert "nonexistent phrase" not in by.index
+        assert list(got["term"]) == sorted(got["term"])
