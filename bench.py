@@ -29,10 +29,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_MULT = int(os.environ.get("GRAFT_CORPUS_MULT", "40"))
 BENCH_TMP = "/tmp/raygraph_bench"
 # This VM shares a host; adjacent sessions inflate wall times 2-5×
-# unpredictably (BASELINE.md §noise). Each stage therefore runs REPS
-# times and reports the MIN — the run least polluted by interference;
-# correctness is unaffected (the output sha1 is asserted stable).
-REPS = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+# unpredictably (BASELINE.md §noise) — back-to-back solo runs have
+# measured the SAME stage at 4.2 s and 10.4 s. Each stage therefore
+# runs REPS times and reports the MIN — the run least polluted by
+# interference; correctness is unaffected (the output sha1 is asserted
+# stable). 3 reps spans ~2× more wall time than 2, so a single
+# interference burst is less likely to cover every rep of a stage.
+REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
 
 
 def _timed_min(fn) -> float:
