@@ -1771,6 +1771,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "vector", "customer", "quantum entanglement"]
         return gazetteer_tag(_docs_ds(sf_dir), terms)
 
+    def events_scd2(sf_dir):
+        # type-2 SCD fold: per-user validity intervals over event_type
+        # runs (CDC -> dimension-table ingestion); output is change
+        # points only, deterministic (ts, value) tie order
+        from raygraph.ops.events import scd2_intervals
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_type"])
+        return scd2_intervals(ev)
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -6560,6 +6570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_cms_counts": text_cms_counts,
         "text_heavy_hitters": text_heavy_hitters,
         "text_gazetteer": text_gazetteer,
+        "events_scd2": events_scd2,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
@@ -7779,6 +7790,23 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "events_scd2": """
+            WITH o AS (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_type) AS prev
+              FROM events
+            ), ch AS (
+              SELECT user_id, ts, event_type FROM o
+              WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type AS value, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_type) AS valid_to,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS version
+            FROM ch
         """,
         "text_gazetteer": _TOKS_CTE + """
             , u AS (

@@ -1202,3 +1202,42 @@ def interval_coverage(ds, length_us: int, key_col: str = "user_id",
         return out
 
     return hash_aggregate(ds, [key_col], fold, num_buckets=num_buckets)
+
+
+def scd2_intervals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    num_buckets: int = 128,
+):
+    """Type-2 slowly-changing-dimension fold: collapse a per-key event
+    stream into validity intervals — one row per RUN of consecutive
+    equal ``attr_col`` values with (key, value, valid_from, valid_to,
+    version), ``valid_to`` NULL for the open current interval. This is
+    the change-data-capture → dimension-table primitive of warehouse
+    ingestion.
+
+    Hash-bucketed like :func:`sessionize`: each reduce task folds ALL
+    keys of its bucket in one vectorized pandas pass (mergesort by
+    (key, ts, value) for deterministic tie order, groupby shift for
+    change detection, shift(-1) for interval close). Output is
+    change-points only — at web scale orders of magnitude below the
+    event log — and a key's rows are co-located by the bucket hash, the
+    one partitioning assumption."""
+    from .relational import hash_aggregate
+
+    def bucket_scd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, attr_col], kind="mergesort",
+                            ignore_index=True)
+        g = df.groupby(key_col, sort=False)
+        prev = g[attr_col].shift()
+        ch = df[prev.isna() | (prev != df[attr_col])].copy()
+        gc = ch.groupby(key_col, sort=False)
+        ch["valid_to"] = gc[ts_col].shift(-1)
+        ch["version"] = gc.cumcount().astype("int64") + 1
+        ch = ch.rename(columns={ts_col: "valid_from", attr_col: "value"})
+        return ch[[key_col, "value", "valid_from", "valid_to", "version"]]
+
+    return hash_aggregate(ds, [key_col], bucket_scd,
+                          num_buckets=num_buckets)

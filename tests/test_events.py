@@ -650,3 +650,31 @@ def test_missing_hours_gap_detection():
     a = df.loc["B"]
     assert a["n_hours_present"] == 1 and a["n_missing"] == 0
     assert pd.isna(a["first_gap_hour"])
+
+
+def test_scd2_intervals_runs_and_open_tail(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import scd2_intervals
+
+    ts = pd.to_datetime(
+        ["2026-01-01 10:00", "2026-01-01 11:00", "2026-01-01 12:00",
+         "2026-01-01 13:00", "2026-01-01 10:30"])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": ts,
+        "event_type": ["view", "view", "click", "view", "view"],
+    })
+    got = scd2_intervals(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values(["user_id", "version"],
+                                 ignore_index=True)
+    # user 1: view-run [10:00,12:00), click [12:00,13:00), view [13:00,∞)
+    assert list(got["user_id"]) == [1, 1, 1, 2]
+    assert list(got["value"]) == ["view", "click", "view", "view"]
+    assert list(got["version"]) == [1, 2, 3, 1]
+    assert got.loc[0, "valid_from"] == ts[0]
+    assert got.loc[0, "valid_to"] == ts[2]
+    assert got.loc[1, "valid_to"] == ts[3]
+    assert pd.isna(got.loc[2, "valid_to"])
+    assert pd.isna(got.loc[3, "valid_to"])
