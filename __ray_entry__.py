@@ -1781,6 +1781,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts", "event_type"])
         return scd2_intervals(ev)
 
+    def lineitem_hdr_quantiles(sf_dir):
+        # mergeable log-bucket quantile sketch (HdrHistogram layout):
+        # per-batch bucket counts sum through one constant-size
+        # exchange; estimates under-shoot percentile_disc by < 2^-7
+        # relative — the SQL oracle rebuilds the identical sketch
+        from raygraph.ops.sketch import hdr_quantiles
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({"cents": pa.array(
+                np.round(p * 100).astype("int64"))})
+
+        return hdr_quantiles(li.map_batches(cents,
+                                            batch_format="pyarrow"),
+                             "cents", q_pcts=(50, 90, 99))
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -6571,6 +6591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": text_heavy_hitters,
         "text_gazetteer": text_gazetteer,
         "events_scd2": events_scd2,
+        "lineitem_hdr_quantiles": lineitem_hdr_quantiles,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
@@ -7790,6 +7811,31 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "lineitem_hdr_quantiles": """
+            WITH x AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem
+            ), bk AS (
+              SELECT CASE WHEN v < 128 THEN v
+                     ELSE ((length(bin(v)) - 1 - 7) << 7)
+                          + (v >> (length(bin(v)) - 1 - 7)) END AS bucket
+              FROM x
+            ), b AS (
+              SELECT bucket, count(*)::BIGINT AS n FROM bk GROUP BY bucket
+            ), c AS (
+              SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM b
+            ), tot AS (SELECT count(*)::BIGINT AS n FROM x),
+            qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+            sel AS (
+              SELECT q_pct, min(bucket) AS bucket FROM qs, c, tot
+              WHERE 100 * c.cum >= q_pct * tot.n GROUP BY q_pct
+            )
+            SELECT q_pct,
+                   CASE WHEN bucket < 256 THEN bucket
+                        ELSE (bucket - (((bucket >> 7) - 1) << 7))
+                             << ((bucket >> 7) - 1) END AS est
+            FROM sel ORDER BY q_pct
         """,
         "events_scd2": """
             WITH o AS (

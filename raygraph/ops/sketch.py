@@ -373,3 +373,81 @@ def heavy_hitters(ds, k: int, values_fn, out_key: str = "token"):
     hits = counts[counts["n"] * k > n_total]
     return (hits.sort_values(["n", out_key], ascending=[False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------- HDR quantiles
+def _hdr_bucket(v: "np.ndarray", m: int) -> "np.ndarray":
+    """Monotone log-bucket id for non-negative int64 values: v < 2^m
+    maps to itself (exact); larger v keeps its exponent e and the top
+    m mantissa bits, so each bucket spans < 2^(e-m) and the RELATIVE
+    quantization error is bounded by 2^-m regardless of scale — the
+    HdrHistogram layout. Bucket ids are contiguous and ordered, and
+    the whole sketch has ≤ (64-m)·2^m cells no matter the corpus."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.int64)
+    if len(v) and int(v.min()) < 0:
+        raise ValueError("hdr buckets need non-negative values")
+    out = v.copy()
+    big = v >= (1 << m)
+    if big.any():
+        vb = v[big]
+        # exact bit_length via frexp (float64 is exact below 2^53)
+        e = np.frexp(vb.astype(np.float64))[1].astype(np.int64) - 1
+        out[big] = ((e - m) << m) + (vb >> (e - m))
+    return out
+
+
+def _hdr_lower(bucket: "np.ndarray", m: int) -> "np.ndarray":
+    """Smallest value mapping to ``bucket`` — the deterministic
+    quantile representative (an UNDER-estimate by < 2^-m relative)."""
+    import numpy as np
+
+    b = np.asarray(bucket, dtype=np.int64)
+    out = b.copy()
+    big = b >= (1 << (m + 1))
+    if big.any():
+        sh = (b[big] >> m) - 1
+        out[big] = (b[big] - (sh << m)) << sh
+    return out
+
+
+def hdr_quantiles(ds, value_col: str, q_pcts=(50, 90, 99),
+                  m_bits: int = 7):
+    """Approximate quantiles from a MERGEABLE fixed-size log-bucket
+    histogram: per-batch bucket counts (≤ (64-m)·2^m rows each) sum
+    associatively through one tiny exchange, so the sketch — never the
+    data — moves, and sketches of disjoint corpora merge by addition
+    (the property exact rank-based quantiles lack). The estimate for
+    quantile q is the lower bound of the first bucket whose cumulative
+    count reaches ceil(q·n) — an integer spec (100·cum ≥ q_pct·n,
+    no float rank math), under-estimating the exact percentile_disc by
+    a guaranteed < 2^-m relative error.
+
+    Returns pandas (q_pct, est) sorted by q_pct."""
+    from .relational import preagg_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = pd.Series(_hdr_bucket(v, m_bits))
+        g = b.value_counts().rename_axis("bucket").reset_index(name="n")
+        return pa.table({"bucket": pa.array(g["bucket"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    sk = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["bucket"], {"n": "n"}).to_pandas() \
+        .sort_values("bucket", ignore_index=True)
+    n = int(sk["n"].sum())
+    cum = sk["n"].cumsum().to_numpy()
+    rows = []
+    for q in q_pcts:
+        if n == 0:
+            rows.append((int(q), 0))
+            continue
+        # first bucket with 100*cum >= q*n  (== cum >= ceil(q*n/100))
+        i = int((100 * cum >= q * n).argmax())
+        est = int(_hdr_lower(sk["bucket"].to_numpy()[i:i + 1],
+                             m_bits)[0])
+        rows.append((int(q), est))
+    return pd.DataFrame(rows, columns=["q_pct", "est"]).sort_values(
+        "q_pct", ignore_index=True)

@@ -866,3 +866,37 @@ def test_edge_diff_counts(ray_session):
     same = edge_diff_counts(old, old)
     assert same.count() == 0
     assert set(same.schema().names) == {"pred", "n_added"}
+
+
+def test_hdr_quantiles_error_bound_and_mergeability(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.sketch import _hdr_bucket, _hdr_lower, hdr_quantiles
+
+    # lognormal-ish integers spanning 5 decades
+    rng = np.random.RandomState(7)
+    v = np.unique(np.concatenate([
+        (10 ** rng.uniform(0, 5, 5000)).astype("int64"),
+        np.arange(200),  # exercise the exact linear region
+    ]))
+    rng.shuffle(v)
+    df = pd.DataFrame({"x": v})
+    for parts in (2, 13):
+        got = hdr_quantiles(rd.from_pandas(df).repartition(parts), "x",
+                            q_pcts=(10, 50, 90, 99))
+        for q, est in zip(got["q_pct"], got["est"]):
+            exact = int(np.sort(v)[int(np.ceil(q * len(v) / 100)) - 1])
+            assert est <= exact, (q, est, exact)
+            assert exact - est <= max(1, exact / 128), (q, est, exact)
+
+    # bucket ids are monotone and lower bounds decode exactly
+    s = np.sort(v)
+    b = _hdr_bucket(s, 7)
+    assert (np.diff(b) >= 0).all()
+    lo = _hdr_lower(b, 7)
+    assert (lo <= s).all() and ((s - lo) <= np.maximum(1, s // 128)).all()
+    # values below 2^7 are exact
+    small = s[s < 128]
+    assert (lo[: len(small)] == small).all()
