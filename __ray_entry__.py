@@ -601,6 +601,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return maximal_independent_set(ed, iters=2)
 
+    def kg_matching(sf_dir):
+        # deterministic maximal matching (2 locally-minimal-edge
+        # rounds, priority = md5(u|v)||u|v): per round a vertex-keyed
+        # min-combine over a map-side endpoint explode, a 2-endpoint-
+        # wins sum per edge, and a bucketed set-difference — all
+        # arc-sized exchanges, the edge-side dual of kg_mis
+        from raygraph.ops.graph import maximal_matching
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return maximal_matching(ed, iters=2)
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6511,6 +6523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eccentricity": kg_eccentricity,
         "kg_communities": kg_communities,
         "kg_mis": kg_mis,
+        "kg_matching": kg_matching,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -6969,6 +6982,39 @@ def _lpa_sql(edges_sql: str, iters: int) -> str:
     parts.append(
         f" SELECT label AS community, count(*)::BIGINT AS size "
         f"FROM l{iters} GROUP BY label")
+    return "".join(parts)
+
+
+def _matching_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled maximal matching mirroring
+    raygraph.ops.graph.maximal_matching round for round: canonical
+    undirected edges (u < v, self-loops dropped), deterministic edge
+    priority md5(u|v)||u|v, an edge matches iff its priority is the
+    minimum at BOTH endpoints, matched vertices kill their incident
+    edges each round."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", a1 AS (SELECT u, v, md5(u || '|' || v) || u || '|' || v AS p"
+        " FROM (SELECT DISTINCT least(_from, _to) AS u,"
+        " greatest(_from, _to) AS v FROM edges WHERE _from <> _to))",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f", m{r} AS (SELECT x, min(p) AS m FROM ("
+            f"SELECT u AS x, p FROM a{r} UNION ALL "
+            f"SELECT v AS x, p FROM a{r}) GROUP BY x)"
+            f", sel{r} AS (SELECT a.u, a.v FROM a{r} a "
+            f"JOIN m{r} mu ON a.u = mu.x AND a.p = mu.m "
+            f"JOIN m{r} mv ON a.v = mv.x AND a.p = mv.m)"
+            f", rm{r} AS (SELECT u AS x FROM sel{r} "
+            f"UNION SELECT v FROM sel{r})"
+            f", a{r + 1} AS (SELECT * FROM a{r} WHERE "
+            f"u NOT IN (SELECT x FROM rm{r}) AND "
+            f"v NOT IN (SELECT x FROM rm{r}))")
+    final = " UNION ALL ".join(
+        f"SELECT u, v, {r}::BIGINT AS round FROM sel{r}"
+        for r in range(1, iters + 1))
+    parts.append(" " + final)
     return "".join(parts)
 
 
@@ -7561,6 +7607,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_eccentricity": _ecc_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
         "kg_mis": _mis_sql(kg_edges_sql, iters=2),
+        "kg_matching": _matching_sql(kg_edges_sql, iters=2),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

@@ -1920,3 +1920,132 @@ def edge_diff_counts(new_edges, old_edges,
         preagg_sum(added.select_columns([pred]), [pred], {},
                    counts="n_added"),
         out_schema)
+
+
+def maximal_matching(edges, iters: int = 2,
+                     src: str = "_from", dst: str = "_to"):
+    """Deterministic parallel maximal matching — the edge-side dual of
+    :func:`maximal_independent_set` (locally-minimal-edge rounds,
+    Hoepman 2004 / Israeli–Itai with a fixed priority instead of fresh
+    randomness, so the run is reproducible and the SQL oracle unrolls
+    bit-for-bit).
+
+    Edge priority is ``md5(u|v) || u|v`` over the canonical undirected
+    key (u < v; self-loops excluded, parallel arcs collapsed). Per
+    round an alive edge joins the matching iff its priority is the
+    strict minimum among alive edges at BOTH endpoints (priorities are
+    distinct, so at most one edge wins per vertex — always a valid
+    matching); every alive edge touching a matched vertex then dies.
+    After enough rounds no alive edges remain and the matching is
+    maximal; any prefix of rounds is still a valid matching.
+
+    Scale shape per round: one map-side endpoint explode feeding a
+    vertex-keyed min-combine (``preagg_extreme``), one wins-per-edge
+    sum (an edge needs 2 endpoint wins), and one bucketed
+    set-difference keyed by the edge — all arc-sized exchanges, no
+    driver-side state beyond per-round counts.
+    """
+    import hashlib
+
+    from .relational import hash_aggregate, preagg_sum
+    import ray.data as rd
+
+    pairs = distinct_pairs(edges, src, dst)
+    e_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                          ("p", pa.string())])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a, b = df[src], df[dst]
+        df = pd.DataFrame({"u": a.where(a < b, b),
+                           "v": b.where(a < b, a)})
+        df = df[df["u"] != df["v"]].drop_duplicates()
+        key = df["u"] + "|" + df["v"]
+        df["p"] = key.map(lambda k: hashlib.md5(
+            k.encode("utf-8")).hexdigest() + k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    alive = _repaired(
+        hash_aggregate(pairs.map_batches(canon, batch_format="pyarrow"),
+                       ["u", "v"], lambda df: df.drop_duplicates()),
+        e_schema)
+
+    sel_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("round", pa.int64())])
+    won = []
+    for r in range(1, iters + 1):
+        if alive.count() == 0:
+            break
+
+        def endpoints(batch: pa.Table) -> pa.Table:
+            u, v, p = (batch.column(c) for c in ("u", "v", "p"))
+            return pa.table({"x": pa.chunked_array([u, v]),
+                             "p": pa.chunked_array([p, p])})
+
+        ex = alive.map_batches(endpoints, batch_format="pyarrow")
+        from .relational import preagg_extreme
+
+        mins = preagg_extreme(ex, ["x"], "p", how="min", out="m")
+
+        # an edge is selected iff it is the per-endpoint minimum TWICE
+        def win_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"p": batch.column("m"),
+                             "w": pa.array([1] * batch.num_rows,
+                                           pa.int64())})
+
+        wins = preagg_sum(mins.map_batches(win_rows,
+                                           batch_format="pyarrow"),
+                          ["p"], {"w": "w"})
+
+        def pick(df):
+            return df.loc[df["w"] == 2, ["p"]]
+
+        sel_keys = _repaired(hash_aggregate(wins, ["p"], pick),
+                             pa.schema([("p", pa.string())]))
+        from .relational import _join_partitions, shuffle_join
+
+        nparts = _join_partitions(alive.count())
+        sel = _repaired(
+            shuffle_join(alive, sel_keys, on="p", right_on="p",
+                         how="left_semi", num_partitions=nparts),
+            e_schema)
+        won.append(_repaired(
+            sel.map_batches(
+                lambda b, _r=r: pa.table({
+                    "u": b.column("u"), "v": b.column("v"),
+                    "round": pa.array([_r] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow"),
+            sel_schema))
+
+        # kill every alive edge touching a matched vertex: explode to
+        # (x, p), semi-join matched endpoints, anti-join the drop keys
+        matched_x = _repaired(
+            sel.map_batches(
+                lambda b: pa.table({"x": pa.chunked_array(
+                    [b.column("u"), b.column("v")])}),
+                batch_format="pyarrow"),
+            pa.schema([("x", pa.string())]))
+        drop = _repaired(
+            shuffle_join(
+                _repaired(ex, pa.schema([("x", pa.string()),
+                                         ("p", pa.string())])),
+                matched_x, on="x", right_on="x", how="left_semi",
+                num_partitions=nparts),
+            pa.schema([("x", pa.string()), ("p", pa.string())]))
+        drop_keys = _repaired(
+            hash_aggregate(drop.select_columns(["p"]), ["p"],
+                           lambda df: df.drop_duplicates()),
+            pa.schema([("p", pa.string())]))
+        nxt = shuffle_join(alive, drop_keys, on="p", right_on="p",
+                           how="left_anti",
+                           num_partitions=nparts).materialize()
+        if nxt.count() == 0:
+            break
+        alive = _repaired(nxt, e_schema)
+
+    if not won:
+        return rd.from_arrow(sel_schema.empty_table())
+    out = won[0]
+    if len(won) > 1:
+        out = out.union(*won[1:])
+    return out

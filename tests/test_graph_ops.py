@@ -900,3 +900,31 @@ def test_hdr_quantiles_error_bound_and_mergeability(ray_session):
     # values below 2^7 are exact
     small = s[s < 128]
     assert (lo[: len(small)] == small).all()
+
+
+def test_maximal_matching_valid_and_maximal(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import maximal_matching
+
+    # triangle a-b-c + pendant d-a + isolated pair x-y + self-loop z-z
+    # + a parallel/reversed duplicate that must collapse
+    tbl = pa.table({
+        "_from": ["a", "b", "b", "c", "d", "x", "z"],
+        "pred":  ["p"] * 7,
+        "_to":   ["b", "a", "c", "a", "a", "y", "z"],
+    })
+    for parts in (1, 5):
+        out = maximal_matching(rd.from_arrow(tbl).repartition(parts),
+                               iters=4).take_all()
+        eps = [r["u"] for r in out] + [r["v"] for r in out]
+        # valid matching: endpoints pairwise distinct, canonical u < v
+        assert len(eps) == len(set(eps))
+        assert all(r["u"] < r["v"] for r in out)
+        assert "z" not in eps  # self-loop is not a matchable edge
+        # maximal: every real edge touches a matched vertex
+        for u, v in [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"),
+                     ("x", "y")]:
+            assert u in eps or v in eps, (u, v)
+        # deterministic priorities -> x-y always matches itself
+        assert {"x", "y"} <= set(eps)
