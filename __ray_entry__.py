@@ -1813,6 +1813,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             batch_format="pyarrow"),
                              "cents", q_pcts=(50, 90, 99))
 
+    def events_running_distinct(sf_dir):
+        # COUNT(DISTINCT) OVER — the window engines refuse to run
+        # directly: per-key cumulative distinct event_type count via a
+        # vectorized first-occurrence mask + cumsum per bucket
+        from raygraph.ops.events import running_distinct
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+        return running_distinct(ev)
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -5439,6 +5450,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
                           counts="n_docs")
 
+    def docs_from_orc(sf_dir):
+        # fourth source format: the docs profile re-ingested through
+        # the file-per-task ORC reader (io.read_table_orc) with column
+        # pruning pushed into the stripe reader — oracled against the
+        # parquet originals
+        from raygraph.io import read_table_orc, write_table_orc
+
+        orc_dir = os.path.join(_TMP, f"docs_orc_{_docs_count(sf_dir)}")
+        if not os.path.isdir(orc_dir):
+            write_table_orc(
+                rd.read_parquet(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "source", "n_chars"]),
+                orc_dir)
+        docs = read_table_orc(orc_dir, columns=["source", "n_chars"])
+        return preagg_sum(docs, ["source"], {"sum_chars": "n_chars"},
+                          counts="n_docs")
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6605,6 +6634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_gazetteer": text_gazetteer,
         "events_scd2": events_scd2,
         "lineitem_hdr_quantiles": lineitem_hdr_quantiles,
+        "events_running_distinct": events_running_distinct,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
@@ -6664,6 +6694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": events_markov,
         "events_twa": events_twa,
         "docs_from_csv": docs_from_csv,
+        "docs_from_orc": docs_from_orc,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -7858,6 +7889,24 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "docs_from_orc": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "events_running_distinct": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, ts, event_id, event_type,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)::BIGINT AS n_distinct
+            FROM o
         """,
         "lineitem_hdr_quantiles": """
             WITH x AS (

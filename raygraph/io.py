@@ -197,3 +197,58 @@ def read_jsonl_lenient(path: str, schema=None):
     good = raw.map_batches(parse("good"), batch_format="pyarrow")
     bad = raw.map_batches(parse("bad"), batch_format="pyarrow")
     return good, bad
+
+
+def read_table_orc(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """ORC shard reader — the fourth source format (after Parquet,
+    JSONL, CSV). Ray Data has no native ORC source, so this maps the
+    dump-shard model directly (SURVEY §2.1 S1: one reader task per
+    shard): the file list becomes a one-row-per-block Dataset and each
+    task decodes its file with column pruning pushed into the ORC
+    stripe reader (``orc.ORCFile.read(columns=)``) — only requested
+    columns leave storage, and file-level parallelism scales with the
+    shard count exactly like the parquet fragment reads."""
+    import pyarrow as pa
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.orc")))
+    elif os.path.exists(path):
+        files = [path]
+    else:
+        files = []
+    if not files:
+        raise FileNotFoundError(f"no .orc files under {path}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        tabs = [orc.ORCFile(p).read(columns=columns)
+                for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tabs)
+
+    files_ds = ray.data.from_arrow(pa.table({"path": pa.array(files)}))
+    return files_ds.repartition(len(files)).map_batches(
+        load, batch_format="pyarrow")
+
+
+def write_table_orc(ds: ray.data.Dataset, path: str) -> int:
+    """ORC sink: one file per block (same layout contract as
+    ``write_parquet`` — resumable directory-of-shards, never one giant
+    file), written inside the tasks so the table never funnels through
+    the driver. Returns the row count written."""
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        f = os.path.join(path, f"part-{uuid.uuid4().hex}.orc")
+        orc.write_table(batch, f)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_size=None,
+                            batch_format="pyarrow").to_pandas()
+    return int(counts["n"].sum())

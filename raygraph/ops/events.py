@@ -1241,3 +1241,37 @@ def scd2_intervals(
 
     return hash_aggregate(ds, [key_col], bucket_scd,
                           num_buckets=num_buckets)
+
+
+def running_distinct(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tie_col: str = "event_id",
+    out_col: str = "n_distinct",
+    num_buckets: int = 128,
+):
+    """Per-key running DISTINCT count ordered by (ts, tie) — the
+    ``COUNT(DISTINCT attr) OVER (PARTITION BY key ORDER BY ts)`` window
+    engines refuse to run directly (DuckDB included: the oracle has to
+    emulate it with a first-occurrence flag, which is exactly this
+    op's plan).
+
+    Hash-bucketed like :func:`running_sum`: per bucket ONE mergesort by
+    (key, ts, tie), a vectorized first-occurrence mask
+    (``~duplicated([key, attr])``) and a per-key cumsum — no per-row
+    Python, and a key's rows co-located by the bucket hash is the one
+    partitioning assumption."""
+    from .relational import hash_aggregate
+
+    def bucket_rd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, tie_col], kind="mergesort",
+                            ignore_index=True)
+        first = (~df.duplicated([key_col, attr_col])).astype("int64")
+        df[out_col] = first.groupby(df[key_col], sort=False).cumsum() \
+            .astype("int64")
+        return df
+
+    return hash_aggregate(ds, [key_col], bucket_rd,
+                          num_buckets=num_buckets)

@@ -678,3 +678,23 @@ def test_scd2_intervals_runs_and_open_tail(ray_session):
     assert got.loc[1, "valid_to"] == ts[3]
     assert pd.isna(got.loc[2, "valid_to"])
     assert pd.isna(got.loc[3, "valid_to"])
+
+
+def test_running_distinct_first_occurrence_cumsum(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.events import running_distinct
+
+    ts = pd.to_datetime(["2026-01-01 10:00", "2026-01-01 11:00",
+                         "2026-01-01 12:00", "2026-01-01 13:00",
+                         "2026-01-01 09:00"])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": ts,
+        "event_id": [10, 11, 12, 13, 14],
+        "event_type": ["view", "click", "view", "buy", "view"],
+    })
+    got = running_distinct(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values(["user_id", "ts"], ignore_index=True)
+    assert list(got["n_distinct"]) == [1, 2, 2, 3, 1]

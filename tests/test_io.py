@@ -138,3 +138,31 @@ def test_read_jsonl_lenient_quarantines_bad_lines(ray_session, tmp_path):
     b = bad.to_pandas()
     assert len(b) == 1
     assert b["file"].iloc[0] == "a.json" and b["line_no"].iloc[0] == 2
+
+
+def test_orc_round_trip_and_pruning(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.io import read_table_orc, write_table_orc
+
+    df = pd.DataFrame({"doc_id": range(100),
+                       "source": [f"s{i % 3}" for i in range(100)],
+                       "n_chars": [i * 7 for i in range(100)]})
+    d = str(tmp_path / "orc")
+    n = write_table_orc(rd.from_pandas(df).repartition(4), d)
+    assert n == 100
+    import glob as g
+    assert len(g.glob(d + "/*.orc")) == 4  # one file per block
+
+    back = read_table_orc(d).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert back.equals(df)
+
+    pruned = read_table_orc(d, columns=["source"])
+    assert pruned.schema().names == ["source"]
+    assert pruned.count() == 100
+
+    import pytest as pt
+    with pt.raises(FileNotFoundError):
+        read_table_orc(str(tmp_path / "empty_dir_nope"))
