@@ -5468,6 +5468,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(docs, ["source"], {"sum_chars": "n_chars"},
                           counts="n_docs")
 
+    def docs_curate_spec(sf_dir):
+        # the declarative curation engine (raygraph.curate) proven
+        # against SQL: a 3-stage spec compiled onto the docs table,
+        # reporting the funnel survivor count after each stage (the
+        # CLI surface is `raygraph.cli curate`; run_curation's funnel
+        # mode materializes stage boundaries so counting stage i never
+        # re-executes stages 1..i-1 — here at check scale the lazy
+        # prefixes are re-run instead)
+        from raygraph.curate import compile_spec
+
+        spec = [{"stage": "length_filter", "min_chars": 100},
+                {"stage": "quality_filter", "min_quality": 0.5},
+                {"stage": "exact_dedup"}]
+        names, staged = compile_spec(_docs_ds(sf_dir), spec)
+        rows = [(n, s.count()) for n, s in zip(names, staged)]
+        return pd.DataFrame(rows, columns=["stage", "rows_out"])
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6695,6 +6712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa": events_twa,
         "docs_from_csv": docs_from_csv,
         "docs_from_orc": docs_from_orc,
+        "docs_curate_spec": docs_curate_spec,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -9866,6 +9884,32 @@ def oracle_sql() -> dict[str, str]:
                                         1.0))
                    )) / 10000.0 AS quality
             FROM s
+        """,
+        "docs_curate_spec": _TOKS_CTE + f"""
+            , s AS (
+              SELECT doc_id, n_chars,
+                     floor(10000.0 * (
+                         0.35 * least(n_chars / 500.0, 1.0)
+                       + 0.25 * least((len(list_filter(toks,
+                             x -> list_contains({stop['en']}, x)))
+                             / greatest(len(toks), 1)) * 4, 1.0)
+                       + 0.2 * (len(list_distinct(toks))
+                             / greatest(len(toks), 1))
+                       + 0.2 * (1 - least((n_punct
+                             / greatest(n_chars, 1)) * 5, 1.0))
+                     )) / 10000.0 AS quality
+              FROM t
+            ),
+            f1 AS (SELECT doc_id FROM t WHERE n_chars >= 100),
+            f2 AS (SELECT s.doc_id FROM s JOIN f1 USING (doc_id)
+                   WHERE s.quality >= 0.5),
+            f3 AS (SELECT count(DISTINCT d.text)::BIGINT AS n
+                   FROM documents d JOIN f2 USING (doc_id))
+            SELECT 'length_filter' AS stage,
+                   (SELECT count(*) FROM f1)::BIGINT AS rows_out
+            UNION ALL SELECT 'quality_filter',
+                   (SELECT count(*) FROM f2)::BIGINT
+            UNION ALL SELECT 'exact_dedup', (SELECT n FROM f3)
         """,
         "text_lang_id": _TOKS_CTE + f"""
             , s AS (

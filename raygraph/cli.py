@@ -125,6 +125,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .curate import run_curation
+
+    with open(args.spec) as fh:
+        spec = json.load(fh)
+    report = run_curation(args.input, args.output, spec,
+                          mode="stream" if args.stream else "funnel")
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def cmd_cluster(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .maintenance import cluster_table
@@ -263,6 +276,18 @@ def main(argv=None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    cu = sub.add_parser(
+        "curate", help="run a declarative curation spec (JSON list of "
+                       "stages) over a document corpus; funnel report "
+                       "by default, --stream for one fused pass")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--spec", required=True,
+                    help="path to a JSON spec: [{'stage': name, ...}]")
+    cu.add_argument("--stream", action="store_true")
+    cu.add_argument("--num-cpus", type=int)
+    cu.set_defaults(fn=cmd_curate)
 
     cl = sub.add_parser(
         "cluster", help="range-cluster a parquet table dir on a column "

@@ -1,0 +1,196 @@
+"""Declarative curation pipelines over a document corpus.
+
+A JSON spec — an ordered list of ``{"stage": name, ...params}`` steps —
+compiles to ONE streaming Ray Data pipeline composed from the operator
+library (text cleanup, PII scrub, quality/language/length screens,
+exact and MinHash dedup) and lands as partitioned parquet plus a
+machine-readable funnel report. This is the user surface a
+training-data team drives: the reference's export loop fixes its
+stages at compile time (/root/reference/src/graph_loader.rs load
+pipeline); here the stage list is data.
+
+Scale contract: every stage is either a vectorized row-preserving
+``map_batches`` transform or a dataset-level dedup from
+:mod:`raygraph.ops.dedup`; in ``stream`` mode nothing materializes
+between read and write. ``funnel`` mode pins each stage boundary in
+the object store to count survivors — the per-stage counts are the
+only driver-side values, but the pin is corpus-sized; use it at audit
+scale, stream mode at production scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from .errors import InvalidParameterError
+
+_TAG = re.compile(r"</?[A-Za-z][^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def _strip_markup(ds):
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        clean = s.str.replace(_TAG, "", regex=True)
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", pa.array(clean, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _normalize(ds, form: str = "NFC"):
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        s = s.str.normalize(form).str.replace(_WS, " ", regex=True) \
+            .str.strip()
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", pa.array(s, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _pii_scrub(ds):
+    from .ops.text import pii_scrub
+
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = pii_scrub(batch).column("clean_text")
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", clean)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _length_filter(ds, min_chars: int = 0, max_chars: int | None = None):
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column("text"))
+        mask = pc.greater_equal(n, pa.scalar(min_chars, n.type))
+        if max_chars is not None:
+            mask = pc.and_(mask, pc.less_equal(
+                n, pa.scalar(max_chars, n.type)))
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _quality_filter(ds, min_quality: float = 0.5):
+    from .ops.text import quality_score
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch).column("quality").to_pandas()
+        return batch.filter(pa.array((q >= min_quality).to_numpy()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _lang_filter(ds, langs):
+    from .ops.text import lang_id
+
+    keep = frozenset(langs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pred = lang_id(batch).column("lang_pred").to_pandas()
+        return batch.filter(pa.array(pred.isin(keep).to_numpy()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _exact_dedup(ds):
+    from .ops.dedup import exact_dedup
+
+    return exact_dedup(ds)
+
+
+def _minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 64,
+                   bands: int = 16, shingle: str = "char"):
+    from .ops.dedup import minhash_dedup
+
+    return minhash_dedup(ds, threshold=threshold, num_perm=num_perm,
+                         bands=bands, shingle=shingle)
+
+
+STAGES = {
+    "strip_markup": _strip_markup,
+    "normalize": _normalize,
+    "pii_scrub": _pii_scrub,
+    "length_filter": _length_filter,
+    "quality_filter": _quality_filter,
+    "lang_filter": _lang_filter,
+    "exact_dedup": _exact_dedup,
+    "minhash_dedup": _minhash_dedup,
+}
+
+
+def compile_spec(ds, spec: list[dict]):
+    """Fold a spec onto a Dataset, returning (stage_names, staged) where
+    ``staged`` is the list of lazy Datasets AFTER each stage (the last
+    one is the pipeline output). Raises InvalidParameterError for an
+    unknown stage name or non-dict step — at compile time, before any
+    cluster work runs."""
+    names, staged = [], []
+    for i, step in enumerate(spec):
+        if not isinstance(step, dict) or "stage" not in step:
+            raise InvalidParameterError(
+                f"spec step {i} must be an object with a 'stage' key")
+        params = dict(step)
+        name = params.pop("stage")
+        if name not in STAGES:
+            raise InvalidParameterError(
+                f"unknown stage {name!r}; known: {sorted(STAGES)}")
+        try:
+            ds = STAGES[name](ds, **params)
+        except TypeError as e:
+            raise InvalidParameterError(
+                f"bad params for stage {name!r}: {e}") from e
+        names.append(name)
+        staged.append(ds)
+    return names, staged
+
+
+def run_curation(input_path: str, output_path: str, spec: list[dict],
+                 mode: str = "funnel") -> dict:
+    """Execute a curation spec end-to-end: read the corpus, fold the
+    stages, write survivors as partitioned parquet, and return (and
+    persist as ``<output>/_report.json``) the funnel report.
+
+    ``mode="funnel"`` materializes each stage boundary to count
+    survivors per stage (audit scale); ``mode="stream"`` runs one
+    fused streaming pass with only the final count (production scale).
+    """
+    from . import io as rio
+
+    if mode not in ("funnel", "stream"):
+        raise InvalidParameterError("mode must be funnel|stream")
+    ds = rio.read_table(input_path)
+    report: dict = {"input": input_path, "output": output_path,
+                    "mode": mode, "stages": []}
+    # validate the whole spec on a throwaway lazy handle first, so a
+    # bad step fails before any cluster work runs
+    compile_spec(ds, spec)
+    if mode == "funnel":
+        report["rows_in"] = ds.count()
+        for step in spec:
+            params = dict(step)
+            name = params.pop("stage")
+            # chain on the MATERIALIZED handle — counting stage i must
+            # not re-execute stages 1..i-1
+            ds = STAGES[name](ds, **params).materialize()
+            report["stages"].append({"stage": name,
+                                     "rows_out": ds.count()})
+    else:
+        names, staged = compile_spec(ds, spec)
+        report["stages"] = [{"stage": n} for n in names]
+        ds = staged[-1] if staged else ds
+    os.makedirs(output_path, exist_ok=True)
+    docs_dir = os.path.join(output_path, "docs")
+    ds.write_parquet(docs_dir)
+    report["rows_out"] = rio.read_table(docs_dir).count()
+    with open(os.path.join(output_path, "_report.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report

@@ -1,0 +1,111 @@
+"""Declarative curation pipeline: spec validation, funnel counts,
+stream/funnel parity, CLI smoke."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus(tmp_path):
+    texts = [
+        "<p>the quick brown fox jumps over the lazy dog again and "
+        "again because the dog is very lazy indeed</p>",       # clean
+        "the quick brown fox jumps over the lazy dog again and "
+        "again because the dog is very lazy indeed",            # dup of 0
+        "short",                                                 # too short
+        "mail me at a@b.com " + "the dog and the fox ran " * 6,  # pii
+        "zz zz zz zz zz " * 8,                                   # low quality
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                       "source": ["s"] * len(texts),
+                       "lang": ["en"] * len(texts)})
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(df, preserve_index=False),
+        os.path.join(d, "part-0.parquet"))
+    return d
+
+
+SPEC = [
+    {"stage": "strip_markup"},
+    {"stage": "pii_scrub"},
+    {"stage": "length_filter", "min_chars": 50},
+    {"stage": "quality_filter", "min_quality": 0.5},
+    {"stage": "exact_dedup"},
+]
+
+
+def test_curation_funnel_counts_and_output(ray_session, tmp_path):
+    from raygraph.curate import run_curation
+
+    src = _corpus(tmp_path)
+    out = str(tmp_path / "out")
+    rep = run_curation(src, out, SPEC, mode="funnel")
+    assert rep["rows_in"] == 5
+    by = {s["stage"]: s["rows_out"] for s in rep["stages"]}
+    assert by["strip_markup"] == 5          # row-preserving
+    assert by["pii_scrub"] == 5
+    assert by["length_filter"] == 4         # 'short' dropped
+    assert by["exact_dedup"] < by["length_filter"]  # dup collapsed
+    assert rep["rows_out"] == by["exact_dedup"]
+    # markup + pii gone from survivors
+    got = pq.ParquetDataset(os.path.join(out, "docs")).read().to_pandas()
+    assert not got["text"].str.contains("<p>|a@b.com", regex=True).any()
+    assert os.path.exists(os.path.join(out, "_report.json"))
+
+
+def test_curation_stream_matches_funnel_survivors(ray_session, tmp_path):
+    from raygraph.curate import run_curation
+
+    src = _corpus(tmp_path)
+    a = run_curation(src, str(tmp_path / "f"), SPEC, mode="funnel")
+    b = run_curation(src, str(tmp_path / "s"), SPEC, mode="stream")
+    ga = pq.ParquetDataset(str(tmp_path / "f/docs")).read().to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    gb = pq.ParquetDataset(str(tmp_path / "s/docs")).read().to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert ga.equals(gb)
+    assert a["rows_out"] == b["rows_out"]
+
+
+def test_curation_bad_spec_fails_before_work(ray_session, tmp_path):
+    from raygraph.curate import run_curation
+    from raygraph.errors import InvalidParameterError
+
+    src = _corpus(tmp_path)
+    with pytest.raises(InvalidParameterError, match="unknown stage"):
+        run_curation(src, str(tmp_path / "x"), [{"stage": "nope"}])
+    with pytest.raises(InvalidParameterError, match="bad params"):
+        run_curation(src, str(tmp_path / "y"),
+                     [{"stage": "length_filter", "bogus": 1}])
+    with pytest.raises(InvalidParameterError, match="'stage' key"):
+        run_curation(src, str(tmp_path / "z"), ["length_filter"])
+    # nothing was written for any failing spec
+    assert not os.path.exists(str(tmp_path / "x"))
+
+
+def test_curate_cli_smoke(tmp_path):
+    src = _corpus(tmp_path)
+    spec_file = str(tmp_path / "spec.json")
+    with open(spec_file, "w") as fh:
+        json.dump(SPEC, fh)
+    out = str(tmp_path / "cli_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "raygraph.cli", "curate", "--input", src,
+         "--output", out, "--spec", spec_file, "--stream",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    # survivors: one of the markup/plain dup pair + the scrubbed doc
+    # ('short' fails length, the zz-doc fails quality)
+    assert rep["rows_out"] == 2
+    assert os.path.exists(os.path.join(out, "_report.json"))
