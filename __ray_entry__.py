@@ -5485,6 +5485,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows = [(n, s.count()) for n, s in zip(names, staged)]
         return pd.DataFrame(rows, columns=["stage", "rows_out"])
 
+    def ann_pq_top10(sf_dir):
+        # product-quantization ANN: vectors collapse to m_sub=8 integer
+        # codes (per-subspace Lloyd with the kmeans exact-integer
+        # contract), queries scan via a lookup-table sum — the memory-
+        # compression scale path next to IVF/LSH; oracle unrolls the
+        # identical training + asymmetric-distance math
+        from raygraph.ops.ann import pq_topk
+
+        tab = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        ids = tab.column("vec_id").to_numpy()
+        qv = np.asarray(
+            tab.column("embedding")[int(np.argmin(ids))].as_py(),
+            dtype=np.float64)
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return pq_topk(emb, qv, m_sub=8, k_codes=16, iters=1, k=10)
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6713,6 +6732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_from_csv": docs_from_csv,
         "docs_from_orc": docs_from_orc,
         "docs_curate_spec": docs_curate_spec,
+        "ann_pq_top10": ann_pq_top10,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -6860,6 +6880,71 @@ def _simhash_sql_expr() -> str:
         for i in range(SIMHASH_BITS)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _pq_sql(m_sub: int, k_codes: int, iters: int, topk: int) -> str:
+    """Machine-unrolled product quantization mirroring
+    raygraph.ops.ann.pq_topk term for term: ×10^6 trunc quantization,
+    per-subspace Lloyd (init vec_id % k, floor-mean centroids from
+    surviving clusters, argmin ties -> smallest cl), query = embedding
+    of the smallest vec_id, asymmetric distance = per-subspace LUT sum
+    in exact int64, final ORDER BY (pq_dist, vec_id) LIMIT topk."""
+    parts = [
+        """WITH u AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(trunc(unnest(embedding)::DOUBLE * 1000000)
+                      AS BIGINT) AS x
+          FROM embeddings
+        )""",
+        f""", dd AS (SELECT (max(dim) + 1) // {m_sub} AS dsub FROM u)""",
+        """, su AS (
+          SELECT vec_id, dim // dd.dsub AS sub, dim % dd.dsub AS ld, x
+          FROM u, dd
+        )""",
+        f""", c0 AS (
+          SELECT sub, vec_id % {k_codes} AS cl, ld,
+                 CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS c
+          FROM su GROUP BY sub, vec_id % {k_codes}, ld
+        )""",
+    ]
+    for t in range(1, iters + 2):
+        parts.append(f""", a{t} AS (
+          SELECT vec_id, sub, cl FROM (
+            SELECT s.vec_id, s.sub, c.cl,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.sub
+                       ORDER BY sum((s.x - c.c) * (s.x - c.c)) ASC,
+                                c.cl ASC) AS rn
+            FROM su s JOIN c{t - 1} c ON s.sub = c.sub AND s.ld = c.ld
+            GROUP BY s.vec_id, s.sub, c.cl
+          ) WHERE rn = 1
+        )""")
+        if t <= iters:
+            parts.append(f""", c{t} AS (
+              SELECT a.sub, a.cl, s.ld,
+                     CAST(floor(sum(s.x)::DOUBLE / count(*)) AS BIGINT)
+                         AS c
+              FROM su s JOIN a{t} a
+                ON s.vec_id = a.vec_id AND s.sub = a.sub
+              GROUP BY a.sub, a.cl, s.ld
+            )""")
+    parts.append(f""", qv AS (
+          SELECT sub, ld, x FROM su
+          WHERE vec_id = (SELECT min(vec_id) FROM u)
+        ), lut AS (
+          SELECT c.sub, c.cl,
+                 sum((qv.x - c.c) * (qv.x - c.c))::BIGINT AS dq
+          FROM c{iters} c JOIN qv ON c.sub = qv.sub AND c.ld = qv.ld
+          GROUP BY c.sub, c.cl
+        ), dist AS (
+          SELECT a.vec_id, sum(l.dq)::BIGINT AS pq_dist
+          FROM a{iters + 1} a
+          JOIN lut l ON a.sub = l.sub AND a.cl = l.cl
+          GROUP BY a.vec_id
+        )
+        SELECT vec_id, pq_dist FROM dist
+        ORDER BY pq_dist ASC, vec_id ASC LIMIT {topk}""")
+    return "\n".join(parts)
 
 
 def _kmeans_sql(k: int, iters: int) -> str:
@@ -8050,6 +8135,7 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY event_type
         """,
         "embedding_kmeans": _kmeans_sql(k=8, iters=2),
+        "ann_pq_top10": _pq_sql(m_sub=8, k_codes=16, iters=1, topk=10),
         "docs_vocab_encode": _TOKS_CTE + """
             , u AS (SELECT doc_id, unnest(toks) AS token FROM t),
             cnt AS (SELECT token, count(*)::BIGINT AS n

@@ -560,3 +560,102 @@ def ivf_query(index_dir: str, query: np.ndarray, k: int = 10,
     scanned = rd.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(scanned, query, k, vec_col, id_col,
                             dtype=dtype, round_dp=round_dp)
+
+
+def pq_topk(
+    ds,
+    query: np.ndarray,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the memory-
+    compression scale path of the vector family: vectors collapse to
+    ``m_sub`` one-byte codes, and query scan cost becomes a per-
+    subspace lookup-table sum instead of a d-dim dot product. At 100 TB
+    the codebook (m_sub × k_codes × d/m_sub ints) broadcasts once and
+    the scan ships k rows per block, never vectors.
+
+    Exact-integer contract (same as :func:`raygraph.ops.cluster.kmeans`
+    so the SQL oracle replays it bit-for-bit): ×10^6 trunc quantization,
+    per-subspace Lloyd rounds with init ``vec_id % k_codes``, floor-mean
+    centroids recomputed from surviving clusters only, argmin ties to
+    the smallest cluster id; asymmetric distance = Σ_s ‖q_s − c_s‖² in
+    int64. Returns pandas (id_col, pq_dist) of the k smallest
+    (pq_dist, id), computed with per-batch partial top-k.
+    """
+    from .cluster import (SCALE, _assign, _cluster_partials, _quantize)
+    from .relational import preagg_sum
+
+    q = np.trunc(np.asarray(query, np.float64) * SCALE).astype("int64")
+    d = q.shape[0]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+
+    def slices(X):
+        return [X[:, s * dsub:(s + 1) * dsub] for s in range(m_sub)]
+
+    def train_partial(batch: pa.Table, _cents=None) -> pa.Table:
+        ids, X = _quantize(batch, id_col, vec_col)
+        frames = []
+        for s, Xs in enumerate(slices(X)):
+            if _cents is None:
+                a, cls = ids % k_codes, np.arange(k_codes, dtype="int64")
+            else:
+                cls, cent = _cents[s]
+                a = _assign(Xs, cls, cent)
+            df = _cluster_partials(a, Xs, cls).to_pandas()
+            df.insert(0, "sub", np.int64(s))
+            frames.append(df)
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    def to_cents(part_ds):
+        agg = preagg_sum(part_ds, ["sub", "cl", "dim"],
+                         {"sum_x": "sum_x", "n": "n"}).to_pandas()
+        agg["c"] = agg["sum_x"].to_numpy() // agg["n"].to_numpy()
+        out = []
+        for s in range(m_sub):
+            wide = agg[agg["sub"] == s].pivot(
+                index="cl", columns="dim", values="c").sort_index()
+            out.append((wide.index.to_numpy(dtype="int64"),
+                        wide.to_numpy(dtype="int64")))
+        return out
+
+    cents = to_cents(ds.map_batches(train_partial,
+                                    batch_format="pyarrow"))
+    for _ in range(iters):
+        cap = cents
+        cents = to_cents(ds.map_batches(
+            lambda b, _c=cap: train_partial(b, _c),
+            batch_format="pyarrow"))
+
+    # asymmetric-distance scan: LUT per subspace from the query, codes
+    # assigned on the fly, per-batch partial top-k (k rows per block)
+    luts = []
+    for s in range(m_sub):
+        cls, cent = cents[s]
+        qd = q[s * dsub:(s + 1) * dsub]
+        diff = qd[None, :] - cent
+        luts.append((cls, np.einsum("kd,kd->k", diff, diff)))
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        ids, X = _quantize(batch, id_col, vec_col)
+        dist = np.zeros(len(ids), dtype="int64")
+        for s, Xs in enumerate(slices(X)):
+            cls, cent = cents[s]
+            diff = Xs[:, None, :] - cent[None, :, :]
+            code = np.argmin(np.einsum("bkd,bkd->bk", diff, diff), axis=1)
+            dist += luts[s][1][code]
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "pq_dist": pa.array(dist[order], pa.int64())})
+
+    parts = ds.map_batches(adc_partial, batch_format="pyarrow") \
+        .to_pandas()
+    return parts.sort_values(["pq_dist", id_col], ignore_index=True) \
+        .head(k)

@@ -238,3 +238,49 @@ def test_pair_cosine_hist_matches_naive(ray_session):
     assert sum(got.values()) == sum(
         1 for i in range(n) for j in range(i + 1, n)
         if i % groups == j % groups)
+
+
+def test_pq_topk_query_rank1_and_layout_invariant():
+    from raygraph.ops.ann import pq_topk
+
+    vecs, ds = _embedding_ds(n=120, dim=16)
+    q = vecs[0].astype(np.float64)
+    # the query's own ADC distance is the per-subspace LUT minimum sum,
+    # i.e. the global minimum; min vec_id tie order puts it at rank 1
+    a = pq_topk(ds, q, m_sub=4, k_codes=8, iters=1, k=5)
+    assert a["vec_id"].iloc[0] == 0
+    assert a["pq_dist"].iloc[0] == a["pq_dist"].min()
+    b = pq_topk(ds.repartition(7), q, m_sub=4, k_codes=8, iters=1, k=5)
+    assert a.equals(b)  # block layout does not change training or scan
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(ds, q, m_sub=5)
+
+
+def test_pq_topk_recall_on_clustered_fixture():
+    import ray.data as rd
+
+    from raygraph.ops.ann import pq_topk
+
+    # 3 tight gaussian clusters: exact int-L2 neighbors of a member are
+    # its cluster; PQ codes must keep most of them in the top-10
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 16) * 4
+    vecs = np.concatenate(
+        [c + 0.05 * rng.randn(60, 16) for c in centers]).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    q = vecs[0].astype(np.float64)
+    got = pq_topk(ds, q, m_sub=4, k_codes=8, iters=1, k=10)
+    # inside a tight cluster PQ codes collapse (distances tie, ids
+    # break them) — the job of coarse codes is separating CLUSTERS:
+    # every returned id must be a member of the query's cluster (0-59)
+    assert (got["vec_id"] < 60).all(), list(got["vec_id"])
+    assert got["vec_id"].iloc[0] == 0  # query itself at rank 1
+    # and the other clusters sit measurably farther in ADC distance
+    far = pq_topk(ds, vecs[60].astype(np.float64), m_sub=4, k_codes=8,
+                  iters=1, k=10)
+    assert ((far["vec_id"] >= 60) & (far["vec_id"] < 120)).all()
