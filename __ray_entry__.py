@@ -233,6 +233,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["_from", "pred", "_to"])
         return edge_diff_counts(new, old)
 
+    def kg_asof_base(sf_dir):
+        # time-travel read: recompute the graph AS OF epoch 0 (the base
+        # build) from the manifest-pruned triples checkpoint alone — no
+        # corpus scan; the oracle is the independent base-half edge
+        # formula (kg_base_edges_sql), so append-only epochs provably
+        # preserve history
+        from raygraph.config import GraphBuildConfig
+        from raygraph.pipeline import graph_asof
+
+        _kg_delta_result(sf_dir)  # ensure base+delta checkpoint exists
+        n = _docs_count(sf_dir)
+        cfg = GraphBuildConfig(
+            input_path=os.path.join(_TMP, f"corpus_base_n{n}"),
+            output_path=os.path.join(_TMP, f"kg_delta_n{n}"),
+            num_partitions=8,
+        )
+        _, edges = graph_asof(cfg, epoch=0)
+        return edges.select_columns(["_from", "pred", "_to"])
+
     def kg_vertices(sf_dir):
         res = _kg_result(sf_dir)
         t = pq.ParquetDataset(res.vertices_path).read()
@@ -6571,6 +6590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "kg_edges": kg_edges,
+        "kg_asof_base": kg_asof_base,
         "kg_delta_edges": kg_delta_edges,
         "kg_snapshot_diff": kg_snapshot_diff,
         "kg_vertices": kg_vertices,
@@ -7649,6 +7669,7 @@ def oracle_sql() -> dict[str, str]:
             FROM costs
         """,
         "kg_edges": kg_edges_sql,
+        "kg_asof_base": kg_base_edges_sql,
         "kg_degrees": f"""
             WITH edges AS ({kg_edges_sql}),
             o AS (SELECT _from AS _id, count(*)::BIGINT AS out_degree

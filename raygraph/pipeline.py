@@ -388,3 +388,66 @@ def merge_delta(cfg: GraphBuildConfig, delta_input_path: str,
     dcfg = replace(cfg, input_path=delta_input_path, resume=True,
                    part_offset=epoch * cfg.num_partitions)
     return build_graph(dcfg, aliases=aliases)
+
+
+def graph_asof(cfg: GraphBuildConfig, epoch: int):
+    """Time-travel read: recompute (vertices, edges) AS OF partition
+    epoch ``epoch`` — 0 = the base build, e = after the e-th delta
+    merge — from the triples checkpoint alone, no corpus scan.
+
+    Delta merges land as partition epochs (``part_id`` in
+    ``[e·P, (e+1)·P)``, :func:`merge_delta`) and never rewrite earlier
+    epochs, so the checkpoint IS the history: reading only the
+    partitions of epochs ≤ e and re-running phase B (canonicalize +
+    materialize — pure multiset aggregations of the triple log) yields
+    exactly the graph as it stood after that merge. Returns lazy
+    (vertices, edges) Datasets; nothing is written.
+
+    Scale: the read is manifest-pruned to the requested epochs'
+    completed files; phase B cost ∝ as-of triple volume, same as any
+    build. This is the audit/reproducibility surface ("which graph did
+    the model train on?") the append-only epoch layout buys.
+    """
+    from .errors import CheckpointError, InvalidParameterError
+    from .ops.materialize import (adaptive_buckets, build_edges,
+                                  build_vertices, make_apply_canon)
+
+    if epoch < 0:
+        raise InvalidParameterError("epoch must be >= 0")
+    triples_path = os.path.join(cfg.output_path, "triples")
+    done = ckpt.completed_partitions(triples_path)
+    if not done:
+        raise CheckpointError(
+            f"no completed build under {triples_path}")
+    keep = sorted(p for p in done
+                  if p < (epoch + 1) * cfg.num_partitions)
+    if not keep:
+        raise InvalidParameterError(
+            f"epoch {epoch}: no completed partitions "
+            f"(have epochs 0..{max(done) // cfg.num_partitions})")
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    files = [f for pid in keep for f in sorted(glob.glob(
+        os.path.join(triples_path, f"part_id={pid}", "*.parquet")))]
+    rows = ckpt.completed_rows(triples_path)
+    approx = sum(rows.get(p, 0) for p in keep)
+    triples = rd.read_parquet(files)
+    cols = [c for c in triples.schema().names if c != "part_id"]
+    triples = triples.select_columns(cols).materialize()
+
+    canon_fn = make_apply_canon(canonicalize(triples))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+    except Exception:
+        cpus = None
+    n_buckets = adaptive_buckets(approx, cpus)
+    vertices = build_vertices(triples, canon_fn, cfg.vertex_collection,
+                              strategy=cfg.agg_strategy,
+                              num_buckets=n_buckets)
+    edges = build_edges(triples, canon_fn, cfg.vertex_collection,
+                        cfg.edge_collection, strategy=cfg.agg_strategy,
+                        num_buckets=n_buckets)
+    return vertices, edges

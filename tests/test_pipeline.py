@@ -351,3 +351,64 @@ def test_merge_delta_requires_base(tmp_path, ray_session):
         raise AssertionError("expected CheckpointError")
     except CheckpointError:
         pass
+
+
+def test_graph_asof_reconstructs_history(tmp_path, ray_session):
+    """Time travel over the append-only epoch layout: as-of epoch 0
+    must equal the pre-merge base snapshot, as-of the latest epoch the
+    current tables — recomputed from the triples checkpoint alone."""
+    import dataclasses
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.pipeline import graph_asof, merge_delta
+
+    tmp = str(tmp_path)
+    n = 100
+    corpus = synth.corpus(n)
+    aliases = synth.alias_inventory(synth.entity_space(n))
+    half = corpus.num_rows // 2
+
+    def write(name, table):
+        d = os.path.join(tmp, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "docs.parquet"))
+        return d
+
+    cfg = GraphBuildConfig(
+        input_path=write("base", corpus.slice(0, half)),
+        output_path=os.path.join(tmp, "out"),
+        num_partitions=4,
+        linker_concurrency=(1, 2),
+    )
+    base = build_graph(cfg, aliases=aliases)
+    base_edges = _read(base.edges_path).to_pandas() \
+        .sort_values("_key", ignore_index=True)
+    base_verts = _read(base.vertices_path).to_pandas() \
+        .sort_values("_id", ignore_index=True)
+
+    res = merge_delta(cfg, write("delta", corpus.slice(half)),
+                      aliases=aliases)
+
+    v0, e0 = graph_asof(cfg, epoch=0)
+    got_e = e0.to_pandas().sort_values("_key", ignore_index=True)
+    got_v = v0.to_pandas().sort_values("_id", ignore_index=True)
+    assert got_e.equals(base_edges)
+    assert got_v.equals(base_verts)
+
+    v1, e1 = graph_asof(cfg, epoch=1)
+    cur_e = _read(res.edges_path).to_pandas() \
+        .sort_values("_key", ignore_index=True)
+    assert e1.to_pandas().sort_values("_key", ignore_index=True) \
+        .equals(cur_e)
+    # epoch beyond history clamps to everything completed == latest
+    _, e9 = graph_asof(cfg, epoch=9)
+    assert e9.to_pandas().sort_values("_key", ignore_index=True) \
+        .equals(cur_e)
+
+    with pytest.raises(InvalidParameterError, match=">= 0"):
+        graph_asof(cfg, epoch=-1)
+    from raygraph.errors import CheckpointError
+
+    empty = dataclasses.replace(cfg, output_path=os.path.join(tmp, "no"))
+    with pytest.raises(CheckpointError):
+        graph_asof(empty, epoch=0)
