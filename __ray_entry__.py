@@ -632,6 +632,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return maximal_matching(ed, iters=2)
 
+    def kg_khop_sample(sf_dir):
+        # GraphSAGE-style neighborhood sampling: 5 top-degree roots ×
+        # 2 hops × fanout 3 through the md5-ranked successor table —
+        # one ranked-adjacency aggregate + one frontier join per hop;
+        # the GNN-training subgraph primitive
+        from raygraph.ops.graph import khop_sample
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return khop_sample(ed, n_seeds=5, fanout=3, hops=2)
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6609,6 +6620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": kg_communities,
         "kg_mis": kg_mis,
         "kg_matching": kg_matching,
+        "kg_khop_sample": kg_khop_sample,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -7136,6 +7148,35 @@ def _lpa_sql(edges_sql: str, iters: int) -> str:
     parts.append(
         f" SELECT label AS community, count(*)::BIGINT AS size "
         f"FROM l{iters} GROUP BY label")
+    return "".join(parts)
+
+
+def _khop_sql(edges_sql: str, n_seeds: int, fanout: int,
+              hops: int) -> str:
+    """Machine-unrolled k-hop fanout sampling mirroring
+    raygraph.ops.graph.khop_sample: distinct directed arcs, per-vertex
+    neighbors ranked by md5(v)||v and pruned to fanout, seeds = top
+    out-degree (ties -> smallest id), per hop DISTINCT
+    (seed, frontier-vertex, sampled-neighbor) arcs."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        f", rk AS (SELECT u, v, row_number() OVER (PARTITION BY u "
+        f"ORDER BY md5(v) || v) AS rn FROM pr)",
+        f", tn AS (SELECT u, v FROM rk WHERE rn <= {fanout})",
+        f", seeds AS (SELECT u AS s FROM (SELECT u, count(*) AS c "
+        f"FROM pr GROUP BY u) ORDER BY c DESC, u LIMIT {n_seeds})",
+        ", f0 AS (SELECT s, s AS x FROM seeds)",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f", a{h} AS (SELECT DISTINCT f.s, f.x AS u, t.v "
+            f"FROM f{h - 1} f JOIN tn t ON t.u = f.x)"
+            f", f{h} AS (SELECT DISTINCT s, v AS x FROM a{h})")
+    final = " UNION ALL ".join(
+        f"SELECT s AS source, {h}::BIGINT AS hop, u, v FROM a{h}"
+        for h in range(1, hops + 1))
+    parts.append(" " + final)
     return "".join(parts)
 
 
@@ -7763,6 +7804,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
         "kg_mis": _mis_sql(kg_edges_sql, iters=2),
         "kg_matching": _matching_sql(kg_edges_sql, iters=2),
+        "kg_khop_sample": _khop_sql(kg_edges_sql, n_seeds=5, fanout=3,
+                                    hops=2),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

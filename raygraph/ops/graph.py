@@ -2049,3 +2049,92 @@ def maximal_matching(edges, iters: int = 2,
     if len(won) > 1:
         out = out.union(*won[1:])
     return out
+
+
+def khop_sample(edges, n_seeds: int = 5, fanout: int = 3, hops: int = 2,
+                src: str = "_from", dst: str = "_to"):
+    """GraphSAGE-style k-hop neighborhood sampling — the GNN
+    training-data primitive (Hamilton et al., NeurIPS 2017) with
+    id-derived pseudo-randomness instead of a seeded RNG so a SQL
+    oracle replays it: every vertex keeps its top-``fanout`` out-
+    neighbors under the fixed order ``md5(v) || v``, and each of the
+    ``n_seeds`` top-out-degree roots (ties → smallest id) expands
+    ``hops`` rounds through that sampled successor table. Returns the
+    sampled subgraph as (source, hop, u, v) arcs.
+
+    Scale shape: ONE ranked-neighbor hash_aggregate builds the
+    fanout-pruned adjacency (vectorized rank-within-u, ≤ fanout rows
+    per vertex); per hop one frontier shuffle join + bucketed distinct.
+    Frontiers are (seed, vertex) Datasets bounded by
+    n_seeds · fanout^hop — nothing graph-sized on the driver.
+    """
+    import hashlib
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_sum, shuffle_join)
+    import ray.data as rd
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={src: "u", dst: "v"})
+        uniq = df["v"].unique()
+        pk = {t: hashlib.md5(t.encode("utf-8")).hexdigest() + t
+              for t in uniq}
+        df["pk"] = df["v"].map(pk)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "pk"], kind="mergesort")
+        keep = df.groupby("u", sort=False).cumcount() < fanout
+        return df.loc[keep, ["u", "v"]]
+
+    tn = _repaired(
+        hash_aggregate(pairs.map_batches(keyed, batch_format="pyarrow"),
+                       ["u"], topn),
+        pa.schema([("u", pa.string()), ("v", pa.string())]))
+
+    deg = preagg_sum(pairs.select_columns([src]), [src], {}, counts="d")
+    seeds = [r[src] for r in
+             deg.sort(["d", src], descending=[True, False])
+             .take(n_seeds)]
+    frontier = _repaired(
+        rd.from_arrow(pa.table({"s": pa.array(seeds, pa.string()),
+                                "x": pa.array(seeds, pa.string())})),
+        pa.schema([("s", pa.string()), ("x", pa.string())]))
+
+    out_schema = pa.schema([("source", pa.string()), ("hop", pa.int64()),
+                            ("u", pa.string()), ("v", pa.string())])
+    won = []
+    for h in range(1, hops + 1):
+        joined = shuffle_join(tn, frontier, on="u", right_on="x",
+                              num_partitions=nparts)
+        # consumed twice (output arcs + next frontier): pin the tiny
+        # (≤ n_seeds·fanout^hop rows) result instead of re-joining
+        arcs = _repaired(
+            hash_aggregate(joined, ["s", "u", "v"],
+                           lambda df: df.drop_duplicates()),
+            pa.schema([("u", pa.string()), ("v", pa.string()),
+                       ("s", pa.string())])).materialize()
+        won.append(_repaired(
+            arcs.map_batches(
+                lambda b, _h=h: pa.table({
+                    "source": b.column("s"),
+                    "hop": pa.array([_h] * b.num_rows, pa.int64()),
+                    "u": b.column("u"), "v": b.column("v")}),
+                batch_format="pyarrow"),
+            out_schema))
+        frontier = _repaired(
+            hash_aggregate(
+                arcs.map_batches(
+                    lambda b: pa.table({"s": b.column("s"),
+                                        "x": b.column("v")}),
+                    batch_format="pyarrow"),
+                ["s", "x"], lambda df: df.drop_duplicates()),
+            pa.schema([("s", pa.string()), ("x", pa.string())]))
+
+    out = won[0]
+    if len(won) > 1:
+        out = out.union(*won[1:])
+    return out

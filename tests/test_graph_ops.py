@@ -928,3 +928,40 @@ def test_maximal_matching_valid_and_maximal(ray_session):
             assert u in eps or v in eps, (u, v)
         # deterministic priorities -> x-y always matches itself
         assert {"x", "y"} <= set(eps)
+
+
+def test_khop_sample_fanout_and_frontier(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from raygraph.ops.graph import khop_sample
+
+    # hub h -> n0..n4 (5 out-neighbors, fanout must prune to 3 by
+    # md5 order); n0 -> m1, m2 feeds hop 2
+    tbl = pa.table({
+        "_from": ["h"] * 5 + ["n0", "n0"],
+        "_to": [f"n{i}" for i in range(5)] + ["m1", "m2"],
+    })
+    got = khop_sample(rd.from_arrow(tbl).repartition(3), n_seeds=1,
+                      fanout=3, hops=2).to_pandas()
+    # seed = h (max out-degree)
+    assert set(got["source"]) == {"h"}
+    h1 = got[got["hop"] == 1]
+    want = sorted((f"n{i}" for i in range(5)),
+                  key=lambda t: hashlib.md5(t.encode()).hexdigest() + t)[:3]
+    assert sorted(h1["v"]) == sorted(want)
+    assert set(h1["u"]) == {"h"}
+    # hop 2 expands only sampled hop-1 vertices; n0's children appear
+    # iff n0 survived the fanout cut
+    h2 = got[got["hop"] == 2]
+    if "n0" in set(h1["v"]):
+        assert set(h2["v"]) == {"m1", "m2"}
+    else:
+        assert len(h2) == 0
+    # deterministic across block layouts
+    again = khop_sample(rd.from_arrow(tbl).repartition(7), n_seeds=1,
+                        fanout=3, hops=2).to_pandas()
+    key = ["source", "hop", "u", "v"]
+    assert got.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True))
