@@ -5534,6 +5534,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return pq_topk(emb, qv, m_sub=8, k_codes=16, iters=1, k=10)
 
+    def docs_len_hdr_by_source(sf_dir):
+        # per-source length quantiles from the grouped HDR sketch: the
+        # exchange is |sources| x sketch cells, never the docs — the
+        # profile-every-slice screen at corpus scale
+        from raygraph.ops.sketch import hdr_quantiles_grouped
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "n_chars"])
+        return hdr_quantiles_grouped(docs, ["source"], "n_chars",
+                                     q_pcts=(50, 90, 99))
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6765,6 +6776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_from_orc": docs_from_orc,
         "docs_curate_spec": docs_curate_spec,
         "ann_pq_top10": ann_pq_top10,
+        "docs_len_hdr_by_source": docs_len_hdr_by_source,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8056,6 +8068,37 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "docs_len_hdr_by_source": """
+            WITH x AS (SELECT source, n_chars::BIGINT AS v
+                       FROM documents),
+            bk AS (
+              SELECT source, CASE WHEN v < 128 THEN v
+                     ELSE ((length(bin(v)) - 1 - 7) << 7)
+                          + (v >> (length(bin(v)) - 1 - 7)) END AS bucket
+              FROM x
+            ), b AS (
+              SELECT source, bucket, count(*)::BIGINT AS n
+              FROM bk GROUP BY source, bucket
+            ), c AS (
+              SELECT source, bucket,
+                     sum(n) OVER (PARTITION BY source
+                                  ORDER BY bucket) AS cum
+              FROM b
+            ), tot AS (
+              SELECT source, count(*)::BIGINT AS n FROM x GROUP BY source
+            ), qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+            sel AS (
+              SELECT c.source, q_pct, min(bucket) AS bucket
+              FROM qs, c JOIN tot ON c.source = tot.source
+              WHERE 100 * c.cum >= q_pct * tot.n
+              GROUP BY c.source, q_pct
+            )
+            SELECT source, q_pct,
+                   CASE WHEN bucket < 256 THEN bucket
+                        ELSE (bucket - (((bucket >> 7) - 1) << 7))
+                             << ((bucket >> 7) - 1) END AS est
+            FROM sel ORDER BY source, q_pct
         """,
         "docs_from_orc": """
             SELECT source, count(*)::BIGINT AS n_docs,

@@ -115,6 +115,32 @@ def _minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 64,
                          bands=bands, shingle=shingle)
 
 
+def _sample(ds, keep_per_mille: int = 100, id_col: str = "doc_id"):
+    from .ops.relational import deterministic_sample
+
+    return deterministic_sample(ds, keep_per_mille, id_col=id_col)
+
+
+def _cap_per_group(ds, group_col: str, cap: int, id_col: str = "doc_id"):
+    """At most ``cap`` docs per ``group_col`` value, picked by the
+    content-keyed md5 order (the rebalance-a-skewed-source primitive);
+    one bucketed exact group-top-k, no per-group Python."""
+    import hashlib
+
+    from .ops.relational import group_topk
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pandas().astype(str)
+        k = ids.map(lambda s: int(
+            hashlib.md5(s.encode()).hexdigest()[:15], 16))
+        return batch.append_column(
+            "_cap_key", pa.array(k.to_numpy(), pa.int64()))
+
+    capped = group_topk(ds.map_batches(key, batch_format="pyarrow"),
+                        [group_col], "_cap_key", cap, tie_col=id_col)
+    return capped.drop_columns(["_cap_key"])
+
+
 STAGES = {
     "strip_markup": _strip_markup,
     "normalize": _normalize,
@@ -124,6 +150,8 @@ STAGES = {
     "lang_filter": _lang_filter,
     "exact_dedup": _exact_dedup,
     "minhash_dedup": _minhash_dedup,
+    "sample": _sample,
+    "cap_per_group": _cap_per_group,
 }
 
 

@@ -451,3 +451,41 @@ def hdr_quantiles(ds, value_col: str, q_pcts=(50, 90, 99),
         rows.append((int(q), est))
     return pd.DataFrame(rows, columns=["q_pct", "est"]).sort_values(
         "q_pct", ignore_index=True)
+
+
+def hdr_quantiles_grouped(ds, group_cols, value_col: str,
+                          q_pcts=(50, 90, 99), m_bits: int = 7):
+    """Per-group :func:`hdr_quantiles`: one (group, bucket) counted
+    exchange — bounded by |groups| × sketch cells, never the data —
+    then the same integer rank selection per group on the driver-side
+    aggregate (groups are the aggregate; the per-group loop runs over
+    group cardinality, not rows). Returns pandas
+    (group_cols..., q_pct, est) sorted by (group_cols, q_pct)."""
+    from .relational import preagg_sum
+
+    group_cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(group_cols + [value_col]).to_pandas()
+        df["bucket"] = _hdr_bucket(df[value_col].to_numpy(), m_bits)
+        g = df.groupby(group_cols + ["bucket"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sk = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    group_cols + ["bucket"], {"n": "n"}).to_pandas()
+    rows = []
+    for key, gdf in sk.groupby(group_cols, sort=True):
+        if not isinstance(key, tuple):
+            key = (key,)
+        gdf = gdf.sort_values("bucket")
+        n = int(gdf["n"].sum())
+        cum = gdf["n"].cumsum().to_numpy()
+        buckets = gdf["bucket"].to_numpy()
+        for q in q_pcts:
+            i = int((100 * cum >= q * n).argmax())
+            est = int(_hdr_lower(buckets[i:i + 1], m_bits)[0])
+            rows.append((*key, int(q), est))
+    return pd.DataFrame(rows, columns=group_cols + ["q_pct", "est"]) \
+        .sort_values(group_cols + ["q_pct"], ignore_index=True)

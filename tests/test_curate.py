@@ -109,3 +109,34 @@ def test_curate_cli_smoke(tmp_path):
     # ('short' fails length, the zz-doc fails quality)
     assert rep["rows_out"] == 2
     assert os.path.exists(os.path.join(out, "_report.json"))
+
+
+def test_curation_sample_and_cap_stages(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from raygraph.curate import run_curation
+
+    df = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"document number {i} with plenty of the usual words "
+                 "in it for the filters" for i in range(200)],
+        "source": [f"s{i % 2}" for i in range(200)],
+        "lang": ["en"] * 200,
+    })
+    d = str(tmp_path / "c2")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "p.parquet"))
+
+    spec = [{"stage": "cap_per_group", "group_col": "source", "cap": 30},
+            {"stage": "sample", "keep_per_mille": 500}]
+    rep = run_curation(d, str(tmp_path / "o2"), spec, mode="funnel")
+    by = {s["stage"]: s["rows_out"] for s in rep["stages"]}
+    assert by["cap_per_group"] == 60          # 30 per source, 2 sources
+    assert 0 < by["sample"] < 60              # md5 split of the capped set
+    got = pq.ParquetDataset(str(tmp_path / "o2/docs")).read().to_pandas()
+    assert set(got.columns) == set(df.columns)  # helper column dropped
+    # determinism: same spec, same survivors
+    rep2 = run_curation(d, str(tmp_path / "o3"), spec, mode="stream")
+    got2 = pq.ParquetDataset(str(tmp_path / "o3/docs")).read().to_pandas()
+    assert sorted(got2["doc_id"]) == sorted(got["doc_id"])
