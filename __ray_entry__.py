@@ -5545,6 +5545,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hdr_quantiles_grouped(docs, ["source"], "n_chars",
                                      q_pcts=(50, 90, 99))
 
+    def embedding_jl_project(sf_dir):
+        # Johnson-Lindenstrauss ±1 sign projection to 8 dims: the
+        # constant md5-derived matrix is cached once, each batch is one
+        # int64 matmul, no shuffle — the distance-preserving shrink
+        # step ahead of any ANN/cluster stage
+        from raygraph.ops.cluster import jl_project
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return jl_project(emb, k_out=8)
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6777,6 +6788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curate_spec": docs_curate_spec,
         "ann_pq_top10": ann_pq_top10,
         "docs_len_hdr_by_source": docs_len_hdr_by_source,
+        "embedding_jl_project": embedding_jl_project,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8068,6 +8080,25 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "embedding_jl_project": """
+            WITH u AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(trunc(unnest(embedding)::DOUBLE * 1000000)
+                          AS BIGINT) AS x
+              FROM embeddings
+            ), js AS (SELECT unnest(range(8)) AS j),
+            dims AS (SELECT DISTINCT dim FROM u),
+            s AS (
+              SELECT js.j, dims.dim,
+                     CASE WHEN ('0x' || substr(md5(js.j::VARCHAR || ':'
+                                || dims.dim::VARCHAR), 1, 1))::INT >= 8
+                          THEN 1 ELSE -1 END AS sg
+              FROM js, dims
+            )
+            SELECT u.vec_id, s.j, sum(u.x * s.sg)::BIGINT AS proj
+            FROM u JOIN s ON u.dim = s.dim
+            GROUP BY u.vec_id, s.j
         """,
         "docs_len_hdr_by_source": """
             WITH x AS (SELECT source, n_chars::BIGINT AS v

@@ -190,3 +190,52 @@ def pca_power(ds, iters: int = 3, vec_col: str = "embedding"):
         v = c @ v
     return pd.DataFrame({"dim": np.arange(len(m), dtype="int64"),
                          "v": v.astype("int64")})
+
+
+_JL_SIGNS: dict = {}
+
+
+def _jl_signs(k_out: int, d: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix (k_out × d): sign(j, dim) =
+    +1 iff the first hex digit of md5("j:dim") is ≥ 8 — id-derived
+    pseudo-randomness (same trick as the walk/MIS priorities) so a SQL
+    oracle rebuilds the identical matrix. Cached per (k_out, d): the
+    matrix is a constant, not per-batch work."""
+    import hashlib
+
+    key = (k_out, d)
+    if key not in _JL_SIGNS:
+        s = np.empty((k_out, d), dtype=np.int64)
+        for j in range(k_out):
+            for dim in range(d):
+                h = hashlib.md5(f"{j}:{dim}".encode()).hexdigest()
+                s[j, dim] = 1 if int(h[0], 16) >= 8 else -1
+        _JL_SIGNS[key] = s
+    return _JL_SIGNS[key]
+
+
+def jl_project(ds, k_out: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Johnson–Lindenstrauss sign projection (Achlioptas 2003: ±1
+    entries preserve pairwise distances within 1±ε at k = O(log n/ε²))
+    — the dimensionality-reduction preprocessing primitive for the
+    vector family, in the exact-integer contract (×10^6 trunc input,
+    int64 matmul) so the oracle replays it bit-for-bit.
+
+    One vectorized ``X @ S.T`` per batch against the cached constant
+    sign matrix; output is (id, j, proj) long form, k_out rows per
+    vector — a pure streaming map, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, X = _quantize(batch, id_col, vec_col)
+        S = _jl_signs(k_out, X.shape[1])
+        P = X @ S.T  # (rows, k_out) int64
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, k_out), pa.int64()),
+            "j": pa.array(np.tile(np.arange(k_out, dtype="int64"), n),
+                          pa.int64()),
+            "proj": pa.array(P.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -87,3 +87,42 @@ def test_pca_power_finds_dominant_axis(ray_session):
         "embedding": [row for row in X]})).repartition(11),
         iters=3).sort_values("dim")
     assert out["v"].tolist() == out2["v"].tolist()
+
+
+def test_jl_project_distance_preservation(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.cluster import jl_project
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 32).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(40)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    got = jl_project(ds, k_out=16).to_pandas()
+    assert len(got) == 40 * 16
+    P = got.pivot(index="vec_id", columns="j", values="proj") \
+        .sort_index().to_numpy().astype(np.float64)
+    X = np.trunc(vecs.astype(np.float64) * 1e6)
+    # E[||Px - Py||^2 / k] = ||x - y||^2: check the mean distortion of
+    # pairwise sq-distances lands near 1 (JL with ±1 signs)
+    di = np.random.RandomState(7).randint(0, 40, (60, 2))
+    ratios = []
+    for a, b in di:
+        if a == b:
+            continue
+        orig = ((X[a] - X[b]) ** 2).sum()
+        proj = ((P[a] - P[b]) ** 2).sum() / 16
+        ratios.append(proj / orig)
+    r = np.array(ratios)
+    assert 0.8 < r.mean() < 1.2, r.mean()
+    # layout invariance
+    again = jl_project(ds.repartition(9), k_out=16).to_pandas()
+    key = ["vec_id", "j"]
+    assert got.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True))
