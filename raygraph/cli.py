@@ -125,6 +125,38 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_asof(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from .config import GraphBuildConfig
+    from .pipeline import graph_asof
+
+    cfg = GraphBuildConfig(input_path=args.kg, output_path=args.kg,
+                           num_partitions=args.partitions)
+    vertices, edges = graph_asof(cfg, args.epoch)
+    vp = os.path.join(args.output, "vertices")
+    ep = os.path.join(args.output, "edges")
+    for d in (vp, ep):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(args.output, exist_ok=True)
+    vertices.write_parquet(vp)
+    edges.write_parquet(ep)
+    print(json.dumps({
+        "kg": args.kg, "epoch": args.epoch,
+        "vertices": vp, "edges": ep,
+        "n_vertices": _pq.ParquetDataset(vp).read(
+            columns=["_id"]).num_rows,
+        "n_edges": _pq.ParquetDataset(ep).read(
+            columns=["_key"]).num_rows,
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .curate import run_curation
@@ -276,6 +308,19 @@ def main(argv=None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    ao = sub.add_parser(
+        "asof", help="time-travel read: rebuild vertices/edges as of a "
+                     "partition epoch (0 = base build, e = after the "
+                     "e-th delta merge) from the triples checkpoint")
+    ao.add_argument("--kg", required=True,
+                    help="an existing build/merge output directory")
+    ao.add_argument("--epoch", type=int, required=True)
+    ao.add_argument("--output", required=True)
+    ao.add_argument("--partitions", type=int, default=16,
+                    help="num_partitions the build used (epoch width)")
+    ao.add_argument("--num-cpus", type=int)
+    ao.set_defaults(fn=cmd_asof)
 
     cu = sub.add_parser(
         "curate", help="run a declarative curation spec (JSON list of "

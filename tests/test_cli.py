@@ -95,3 +95,28 @@ def test_cli_merge(tmp_path, capsys, monkeypatch):
     assert merged["partitions"] == 8
     assert merged["partitions_skipped"] == 4
     assert merged["triples_raw"] == 2 * built["triples_raw"]
+
+
+def test_cli_asof_round_trip(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    d = str(tmp_path)
+    corpus = os.path.join(d, "in")
+    synth.write_corpus(corpus, 60)
+    kg = os.path.join(d, "kg")
+    assert main(["build", "--input", corpus, "--output", kg,
+                 "--partitions", "4"]) == 0
+    capsys.readouterr()
+    assert main(["asof", "--kg", kg, "--epoch", "0", "--output",
+                 os.path.join(d, "snap"), "--partitions", "4"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # no merges yet: as-of epoch 0 == the current tables
+    cur = pq.ParquetDataset(os.path.join(kg, "edges")).read()
+    assert rep["n_edges"] == cur.num_rows
+    snap = pq.ParquetDataset(rep["edges"]).read()
+    a = snap.select(["_key"]).to_pandas().sort_values(
+        "_key", ignore_index=True)
+    b = cur.select(["_key"]).to_pandas().sort_values(
+        "_key", ignore_index=True)
+    assert a.equals(b)
