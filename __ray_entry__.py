@@ -5556,6 +5556,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return jl_project(emb, k_out=8)
 
+    def embedding_negatives(sf_dir):
+        # deterministic contrastive negative sampling: 3 negatives per
+        # anchor via md5(anchor:j) indexing into the broadcast sorted
+        # id universe, self-collisions bumped one slot — reproducible
+        # at any parallelism, SQL-replayable
+        from raygraph.ops.relational import negative_sample
+
+        ids = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id"]).column("vec_id") \
+            .to_numpy()
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id"])
+        return negative_sample(emb, ids, k=3)
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6789,6 +6803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_top10": ann_pq_top10,
         "docs_len_hdr_by_source": docs_len_hdr_by_source,
         "embedding_jl_project": embedding_jl_project,
+        "embedding_negatives": embedding_negatives,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8080,6 +8095,25 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "embedding_negatives": """
+            WITH arr AS (
+              SELECT list(vec_id ORDER BY vec_id) AS a,
+                     count(*)::BIGINT AS n
+              FROM embeddings
+            ), js AS (SELECT unnest(range(3)) AS j),
+            pick AS (
+              SELECT e.vec_id, js.j, arr.a, arr.n,
+                     ('0x' || substr(md5(e.vec_id::VARCHAR || ':'
+                                         || js.j::VARCHAR), 1, 15))
+                         ::BIGINT % arr.n AS idx
+              FROM embeddings e, js, arr
+            )
+            SELECT vec_id, j,
+                   CASE WHEN a[1 + idx] = vec_id
+                        THEN a[1 + ((idx + 1) % n)]
+                        ELSE a[1 + idx] END AS neg_id
+            FROM pick
         """,
         "embedding_jl_project": """
             WITH u AS (

@@ -1387,3 +1387,50 @@ def snapshot_diff(base, new, on: str | Sequence[str], cmp_col: str,
         return out
 
     return hash_aggregate(both, on, bucket_diff, num_buckets=num_buckets)
+
+
+def negative_sample(ds, universe, k: int = 3, id_col: str = "vec_id",
+                    out_col: str = "neg_id"):
+    """Deterministic negative sampling — the contrastive-training
+    primitive (k negatives per anchor, reproducible at any parallelism):
+    negative j of anchor a is ``universe[md5_60bit(f"{a}:{j}") % n]``,
+    bumped to the next slot on self-collision. The id-derived hash
+    replaces an RNG so the SQL oracle replays the exact sample.
+
+    ``universe`` is the sorted candidate id array — the AGGREGATE side,
+    put in the object store once (``ray.put``) and fetched zero-copy
+    per task, never re-shipped per batch. At 10^9+ candidates pass a
+    class-stratified or bucketed universe instead; the anchor side
+    streams unchanged either way. Returns (id_col, j, out_col) rows,
+    k per anchor."""
+    import hashlib
+
+    import ray
+
+    uni = np.sort(np.asarray(universe))  # copy: input may be read-only
+    n = len(uni)
+    if n < 2:
+        raise ValueError("universe needs >= 2 candidates")
+    uni_ref = ray.put(uni)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        u = _ray.get(uni_ref)
+        ids = batch.column(id_col).to_pandas()
+        anchors = np.repeat(ids.to_numpy(), k)
+        js = np.tile(np.arange(k, dtype="int64"), len(ids))
+        keys = pd.Series(anchors.astype(str)) + ":" + pd.Series(js).astype(str)
+        idx = keys.map(lambda s: int(
+            hashlib.md5(s.encode()).hexdigest()[:15], 16) % n).to_numpy()
+        neg = u[idx]
+        hit = neg == anchors
+        if hit.any():
+            neg[hit] = u[(idx[hit] + 1) % n]
+        return pa.table({
+            id_col: pa.array(anchors, pa.int64()),
+            "j": pa.array(js, pa.int64()),
+            out_col: pa.array(neg, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

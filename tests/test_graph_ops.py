@@ -965,3 +965,24 @@ def test_khop_sample_fanout_and_frontier(ray_session):
     key = ["source", "hop", "u", "v"]
     assert got.sort_values(key, ignore_index=True).equals(
         again.sort_values(key, ignore_index=True))
+
+
+def test_negative_sample_deterministic_no_self(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import negative_sample
+
+    ids = np.arange(50, dtype="int64")
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids}))
+    got = negative_sample(ds, ids, k=4).to_pandas()
+    assert len(got) == 200
+    assert (got["neg_id"] != got["vec_id"]).all()          # no self pairs
+    assert set(got["j"]) == {0, 1, 2, 3}
+    assert got["neg_id"].isin(ids).all()
+    again = negative_sample(ds.repartition(7), ids, k=4).to_pandas()
+    key = ["vec_id", "j"]
+    assert got.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True))
+    import pytest as pt
+    with pt.raises(ValueError, match=">= 2"):
+        negative_sample(ds, ids[:1], k=2)
