@@ -608,3 +608,49 @@ def test_adaptive_buckets_clamps_floor_to_cluster_width():
     big = 300 * ROWS_PER_BUCKET
     assert adaptive_buckets(big, cluster_cpus=4) == 300
     assert adaptive_buckets(10_000 * ROWS_PER_BUCKET, cluster_cpus=4) == 4096
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**52), min_size=1,
+                max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_hdr_bucket_properties(vals):
+    """Monotone bucket ids; lower bound <= value with < 2^-m relative
+    gap; exact below 2^m — over arbitrary int distributions."""
+    import numpy as np
+
+    from raygraph.ops.sketch import _hdr_bucket, _hdr_lower
+
+    v = np.sort(np.array(vals, dtype="int64"))
+    b = _hdr_bucket(v, 7)
+    assert (np.diff(b) >= 0).all()
+    lo = _hdr_lower(b, 7)
+    assert (lo <= v).all()
+    assert ((v - lo) <= np.maximum(1, v // 128)).all()
+    small = v < 128
+    assert (lo[small] == v[small]).all()
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=400),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_mg_compress_undercount_bound(stream, k):
+    """Misra-Gries compress never over-counts and under-counts any key
+    by at most n/(capacity+1) — the classic guarantee the two-pass
+    heavy_hitters superset argument rests on."""
+    import pandas as pd
+
+    from raygraph.ops.sketch import _mg_compress
+
+    s = pd.Series(stream)
+    exact = s.value_counts()
+    df = exact.rename_axis("token").reset_index(name="w")
+    out = _mg_compress(df, capacity=k - 1)
+    got = dict(zip(out["token"], out["w"]))
+    assert len(out) <= k - 1
+    for tok, w in got.items():
+        assert w <= exact[tok]
+        assert exact[tok] - w <= len(stream) // k
+    # every key with true frequency > n/k survives the compress
+    for tok, n in exact.items():
+        if n * k > len(stream):
+            assert tok in got and got[tok] >= 1
