@@ -1854,6 +1854,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       "event_type"])
         return running_distinct(ev)
 
+    def text_heavy_hitters_incremental(sf_dir):
+        # streaming Misra-Gries: per-round MG partials fold into a
+        # <= k-row mergeable state (checkpointed write-then-commit),
+        # one exact verify pass at stream end — row-identical to the
+        # batch twin by the mergeable-summaries superset bound, so the
+        # oracle is SHARED with text_heavy_hitters
+        from raygraph.ops.stream import heavy_hitters_incremental
+
+        ds = _docs_ds(sf_dir)
+
+        def tokens(batch: pa.Table):
+            s = batch.column("text").to_pandas().fillna("")
+            return s.str.strip().str.lower().str.split().explode() \
+                .dropna()
+
+        return heavy_hitters_incremental(ds, k=40, values_fn=tokens,
+                                         n_micro_batches=4)
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -6735,6 +6753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_dup": docs_ngram_dup,
         "text_cms_counts": text_cms_counts,
         "text_heavy_hitters": text_heavy_hitters,
+        "text_heavy_hitters_incremental": text_heavy_hitters_incremental,
         "text_gazetteer": text_gazetteer,
         "events_scd2": events_scd2,
         "lineitem_hdr_quantiles": lineitem_hdr_quantiles,
@@ -10891,6 +10910,9 @@ def oracle_sql() -> dict[str, str]:
     # the CSV-ingest profile equals the parquet/JSONL-path profile —
     # three source formats, one oracle
     out["docs_from_csv"] = out["docs_from_jsonl"]
+    # the streaming MG fold is row-identical to the batch heavy hitters
+    # (mergeable-summaries superset + shared exact verify pass)
+    out["text_heavy_hitters_incremental"] = out["text_heavy_hitters"]
     # the streaming micro-batch fold is row-identical to the batch
     # sessionize by contract — they share one oracle
     out["events_sessionize_incremental"] = out["events_sessionize_full"]

@@ -618,3 +618,108 @@ def asof_join_incremental(left, right, n_micro_batches: int = 4,
         })
 
     return allout.map_batches(rename, batch_format="pyarrow")
+
+
+def heavy_hitters_incremental(ds, k: int, values_fn,
+                              n_micro_batches: int = 4,
+                              order_col: str = "doc_id",
+                              state_dir: str | None = None,
+                              resume: bool = False,
+                              out_key: str = "token"):
+    """Streaming Misra-Gries heavy hitters — the incremental-fold shape
+    applied to a MERGEABLE summary (Agarwal et al., PODS 2012: summing
+    MG summaries then re-compressing keeps the total undercount ≤ n/k,
+    so every key with global frequency > n/k still has positive weight
+    in the folded state). Per round the tile's per-block MG partials
+    fold into a ≤ k-row state frame (plus one total-count row);
+    checkpointed write-then-commit like the other incremental folds.
+
+    At stream end ONE exact verify pass counts the accumulated
+    candidate set over the full input — the same second scan the batch
+    :func:`raygraph.ops.sketch.heavy_hitters` performs — so the output
+    is EXACT and row-identical to the batch twin (shared oracle).
+    """
+    import ray
+    import ray.data as rd
+
+    from raygraph.ops.sketch import _mg_compress
+
+    from .relational import preagg_sum, range_partition
+
+    cap = max(1, k - 1)
+    state_schema = pa.schema([(out_key, pa.string()), ("w", pa.int64())])
+    tiled = range_partition(ds, order_col, n_micro_batches).materialize()
+
+    def partial(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("tile"), pa.scalar(i)))
+            vals = values_fn(t)
+            g = vals.value_counts().rename_axis(out_key) \
+                .reset_index(name="w")
+            total = int(g["w"].sum())
+            g = _mg_compress(g, cap)
+            return pa.table({
+                out_key: pa.array(g[out_key].astype(str).tolist()
+                                  + [None], pa.string()),
+                "w": pa.array(g["w"].tolist() + [total], pa.int64()),
+            })
+
+        return fn
+
+    def fold(state_df: pd.DataFrame, round_df: pd.DataFrame
+             ) -> pd.DataFrame:
+        both = pd.concat([state_df, round_df], ignore_index=True)
+        total = int(both.loc[both[out_key].isna(), "w"].sum())
+        keys = both.dropna(subset=[out_key]) \
+            .groupby(out_key, as_index=False)["w"].sum()
+        keys = _mg_compress(keys, cap).reset_index(drop=True)
+        keys.loc[len(keys)] = [None, total]
+        return keys
+
+    state = pd.DataFrame({out_key: pd.Series([None], dtype=object),
+                          "w": pd.Series([0], dtype="int64")})
+    start_round = 0
+    if state_dir and resume:
+        while start_round < n_micro_batches \
+                and _round_complete(state_dir, start_round):
+            start_round += 1
+        if start_round:
+            state = _read_round(state_dir, start_round - 1, "state",
+                                state_schema).to_pandas()
+    for i in range(start_round, n_micro_batches):
+        rows = tiled.map_batches(partial(i), batch_format="pyarrow") \
+            .to_pandas()
+        state = fold(state, rows)
+        if state_dir:
+            sds = rd.from_arrow(pa.Table.from_pandas(
+                state, schema=state_schema, preserve_index=False))
+            _write_round(state_dir, i, sds,
+                         rd.from_arrow(state_schema.empty_table()))
+
+    n_total = int(state.loc[state[out_key].isna(), "w"].sum())
+    cand = state.loc[state[out_key].notna(), out_key].unique()
+    if n_total == 0 or len(cand) == 0:
+        return pd.DataFrame({out_key: pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cset = _ray.get(cand_ref)
+        vals = values_fn(batch)
+        vals = vals[vals.isin(cset)]
+        g = vals.value_counts().rename_axis(out_key).reset_index(name="n")
+        return pa.table({
+            out_key: pa.array(g[out_key].astype(str).tolist(),
+                              pa.string()),
+            "n": pa.array(g["n"].tolist(), pa.int64()),
+        })
+
+    counts = preagg_sum(ds.map_batches(exact, batch_format="pyarrow"),
+                        [out_key], {"n": "n"}).to_pandas()
+    hits = counts[counts["n"] * k > n_total]
+    return (hits.sort_values(["n", out_key], ascending=[False, True])
+            .reset_index(drop=True))

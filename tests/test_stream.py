@@ -249,3 +249,45 @@ def test_asof_incremental_equivalence_bounded_state_and_resume(
                                     state_dir=crash_dir,
                                     resume=True).to_pandas()
     assert norm(resumed) == norm(ref)
+
+
+def test_heavy_hitters_incremental_matches_batch_and_resumes(
+        ray_session, tmp_path):
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.sketch import heavy_hitters
+    from raygraph.ops.stream import heavy_hitters_incremental
+
+    # zipf-ish: token ti appears 2^(8-i) times, plus 150 singletons
+    toks = [f"t{i}" for i in range(9) for _ in range(2 ** (8 - i))]
+    toks += [f"r{j}" for j in range(150)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(toks)
+    df = pd.DataFrame({"doc_id": range(len(toks)), "text": toks})
+
+    def vals(batch: pa.Table):
+        return batch.column("text").to_pandas()
+
+    ref = heavy_hitters(rd.from_pandas(df), k=8, values_fn=vals)
+    full_dir = os.path.join(str(tmp_path), "full")
+    inc = heavy_hitters_incremental(rd.from_pandas(df).repartition(6),
+                                    k=8, values_fn=vals,
+                                    n_micro_batches=4,
+                                    state_dir=full_dir)
+    assert inc.equals(ref)
+    assert len(ref) >= 2  # the fixture actually has hitters
+
+    # crash after round 1 -> resume completes identically
+    crash_dir = os.path.join(str(tmp_path), "crash")
+    os.makedirs(crash_dir)
+    for r in ("round=0", "round=1"):
+        shutil.copytree(os.path.join(full_dir, r),
+                        os.path.join(crash_dir, r))
+    resumed = heavy_hitters_incremental(
+        rd.from_pandas(df).repartition(6), k=8, values_fn=vals,
+        n_micro_batches=4, state_dir=crash_dir, resume=True)
+    assert resumed.equals(ref)
