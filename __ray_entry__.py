@@ -5588,6 +5588,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id"])
         return negative_sample(emb, ids, k=3)
 
+    def embedding_negatives_stratified(sf_dir):
+        # hard-negative contract: negatives indexed into the sorted
+        # COMPLEMENT universe of the anchor's label (never a positive);
+        # per-label arrays broadcast once, anchors stream
+        from raygraph.ops.relational import negative_sample_stratified
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "label"])
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "label"])
+        return negative_sample_stratified(
+            emb, t.column("vec_id").to_numpy(),
+            t.column("label").to_numpy(), k=3)
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6823,6 +6837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_len_hdr_by_source": docs_len_hdr_by_source,
         "embedding_jl_project": embedding_jl_project,
         "embedding_negatives": embedding_negatives,
+        "embedding_negatives_stratified": embedding_negatives_stratified,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8114,6 +8129,21 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "embedding_negatives_stratified": """
+            WITH compl AS (
+              SELECT l.label,
+                     list(e.vec_id ORDER BY e.vec_id) AS a,
+                     count(*)::BIGINT AS n
+              FROM (SELECT DISTINCT label FROM embeddings) l
+              JOIN embeddings e ON e.label <> l.label
+              GROUP BY l.label
+            ), js AS (SELECT unnest(range(3)) AS j)
+            SELECT e.vec_id, e.label, js.j,
+                   c.a[1 + (('0x' || substr(md5(e.vec_id::VARCHAR || ':'
+                             || js.j::VARCHAR), 1, 15))::BIGINT % c.n)]
+                       AS neg_id
+            FROM embeddings e JOIN compl c ON e.label = c.label, js
         """,
         "embedding_negatives": """
             WITH arr AS (

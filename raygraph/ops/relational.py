@@ -1434,3 +1434,59 @@ def negative_sample(ds, universe, k: int = 3, id_col: str = "vec_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def negative_sample_stratified(ds, ids, labels, k: int = 3,
+                               id_col: str = "vec_id",
+                               label_col: str = "label",
+                               out_col: str = "neg_id"):
+    """Label-stratified :func:`negative_sample`: negative j of anchor a
+    indexes ``md5_60bit(f"{a}:{j}")`` into the sorted COMPLEMENT
+    universe of a's label (every candidate with a different label) —
+    the contrastive hard-negative contract "never sample a positive".
+    No self-collision handling is needed: the anchor is never in its
+    own complement.
+
+    The per-label complement arrays together hold |labels| copies of
+    the id column minus one label each — still the aggregate side,
+    broadcast once. Returns (id_col, label_col, j, out_col)."""
+    import hashlib
+
+    import ray
+
+    ids = np.asarray(ids)
+    labels = np.asarray(labels)
+    compl = {}
+    for lab in np.unique(labels):
+        u = np.sort(ids[labels != lab])
+        if len(u) == 0:
+            raise ValueError(f"label {lab!r} has an empty complement")
+        compl[lab] = u
+    compl_ref = ray.put(compl)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(compl_ref)
+        a = batch.column(id_col).to_pandas().to_numpy()
+        lab = batch.column(label_col).to_pandas().to_numpy()
+        anchors = np.repeat(a, k)
+        labs = np.repeat(lab, k)
+        js = np.tile(np.arange(k, dtype="int64"), len(a))
+        keys = pd.Series(anchors.astype(str)) + ":" \
+            + pd.Series(js).astype(str)
+        h = keys.map(lambda s: int(
+            hashlib.md5(s.encode()).hexdigest()[:15], 16)).to_numpy()
+        neg = np.empty(len(anchors), dtype=ids.dtype)
+        for lv in np.unique(labs):
+            m = labs == lv
+            u = c[lv]
+            neg[m] = u[h[m] % len(u)]
+        return pa.table({
+            id_col: pa.array(anchors, pa.int64()),
+            label_col: pa.array(labs),
+            "j": pa.array(js, pa.int64()),
+            out_col: pa.array(neg, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -986,3 +986,27 @@ def test_negative_sample_deterministic_no_self(ray_session):
     import pytest as pt
     with pt.raises(ValueError, match=">= 2"):
         negative_sample(ds, ids[:1], k=2)
+
+
+def test_negative_sample_stratified_never_positive(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import negative_sample_stratified
+
+    ids = np.arange(60, dtype="int64")
+    labels = np.array([i % 3 for i in range(60)], dtype="int64")
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "label": labels}))
+    got = negative_sample_stratified(ds, ids, labels, k=5).to_pandas()
+    assert len(got) == 300
+    lab_of = dict(zip(ids, labels))
+    # the contract: a negative NEVER shares the anchor's label
+    assert (got["neg_id"].map(lab_of).to_numpy()
+            != got["label"].to_numpy()).all()
+    again = negative_sample_stratified(ds.repartition(8), ids, labels,
+                                       k=5).to_pandas()
+    key = ["vec_id", "j"]
+    assert got.sort_values(key, ignore_index=True).equals(
+        again.sort_values(key, ignore_index=True))
+    import pytest as pt
+    with pt.raises(ValueError, match="empty complement"):
+        negative_sample_stratified(ds, ids, np.zeros(60, dtype="int64"))
