@@ -643,6 +643,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return khop_sample(ed, n_seeds=5, fanout=3, hops=2)
 
+    def kg_betweenness(sf_dir):
+        # sampled hop-bounded Brandes betweenness: sigma BFS from 3
+        # pivot sources + the backward dependency sweep in the exact
+        # per-term floored-integer spec — arc-sized joins per level,
+        # nothing graph-sized on the driver
+        from raygraph.ops.graph import betweenness_sampled
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return betweenness_sampled(ed, n_seeds=3, hops=3)
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6689,6 +6700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mis": kg_mis,
         "kg_matching": kg_matching,
         "kg_khop_sample": kg_khop_sample,
+        "kg_betweenness": kg_betweenness,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -7250,6 +7262,49 @@ def _khop_sql(edges_sql: str, n_seeds: int, fanout: int,
         f"SELECT s AS source, {h}::BIGINT AS hop, u, v FROM a{h}"
         for h in range(1, hops + 1))
     parts.append(" " + final)
+    return "".join(parts)
+
+
+def _betweenness_sql(edges_sql: str, n_seeds: int, hops: int) -> str:
+    """Machine-unrolled sampled hop-bounded Brandes betweenness
+    mirroring raygraph.ops.graph.betweenness_sampled: forward
+    level-synchronous sigma BFS (visited anti-join), backward
+    dependency sweep with per-term ``(sigma_u*(1e6+delta_w))//sigma_w``
+    floored independently, source endpoints excluded."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        f", seeds AS (SELECT u AS s FROM (SELECT u, count(*) AS c "
+        f"FROM pr GROUP BY u) ORDER BY c DESC, u LIMIT {n_seeds})",
+        ", lv0 AS (SELECT s, s AS v, 1::BIGINT AS sigma FROM seeds)",
+        ", vis0 AS (SELECT s, v FROM lv0)",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f", lv{i} AS (SELECT l.s, a.v, sum(l.sigma)::BIGINT AS sigma"
+            f" FROM lv{i - 1} l JOIN pr a ON a.u = l.v"
+            f" WHERE NOT EXISTS (SELECT 1 FROM vis{i - 1} x"
+            f" WHERE x.s = l.s AND x.v = a.v) GROUP BY l.s, a.v)"
+            f", vis{i} AS (SELECT s, v FROM vis{i - 1}"
+            f" UNION ALL SELECT s, v FROM lv{i})")
+    parts.append(f", del{hops} AS (SELECT s, v, 0::BIGINT AS delta "
+                 f"FROM lv{hops})")
+    for i in range(hops - 1, -1, -1):
+        parts.append(
+            f", trm{i} AS (SELECT l.s, l.v,"
+            f" ((l.sigma * (1000000 + d.delta)) // h.sigma)::BIGINT AS t"
+            f" FROM lv{i} l JOIN pr a ON a.u = l.v"
+            f" JOIN lv{i + 1} h ON h.s = l.s AND h.v = a.v"
+            f" JOIN del{i + 1} d ON d.s = h.s AND d.v = h.v)"
+            f", del{i} AS (SELECT l.s, l.v,"
+            f" coalesce(tt.t, 0)::BIGINT AS delta FROM lv{i} l"
+            f" LEFT JOIN (SELECT s, v, sum(t)::BIGINT AS t FROM trm{i}"
+            f" GROUP BY s, v) tt ON tt.s = l.s AND tt.v = l.v)")
+    final = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM del{i}" for i in range(hops))
+    parts.append(
+        f" SELECT v AS vertex, sum(delta)::BIGINT AS bc_e6 FROM ({final})"
+        f" WHERE s <> v GROUP BY v")
     return "".join(parts)
 
 
@@ -7879,6 +7934,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_matching": _matching_sql(kg_edges_sql, iters=2),
         "kg_khop_sample": _khop_sql(kg_edges_sql, n_seeds=5, fanout=3,
                                     hops=2),
+        "kg_betweenness": _betweenness_sql(kg_edges_sql, n_seeds=3,
+                                           hops=3),
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

@@ -2138,3 +2138,199 @@ def khop_sample(edges, n_seeds: int = 5, fanout: int = 3, hops: int = 2,
     if len(won) > 1:
         out = out.union(*won[1:])
     return out
+
+
+BC_SCALE = 1_000_000
+
+
+def betweenness_sampled(edges, n_seeds: int = 3, hops: int = 3,
+                        src: str = "_from", dst: str = "_to"):
+    """Sampled, hop-bounded Brandes betweenness (Brandes 2001; pivot
+    sampling per Brandes–Pich 2007): from ``n_seeds`` top-out-degree
+    sources, level-synchronous BFS accumulates shortest-path counts
+    (sigma), then the dependency sweep runs the levels backward with
+    the EXACT integer spec ``delta(u) += (sigma_u * (SCALE +
+    delta_w)) // sigma_w`` per DAG arc — each term floored
+    independently, so the sum is order-free and a SQL oracle replays
+    it bit-for-bit. Returns (vertex, bc_e6) with source endpoints
+    excluded; a bounded-hop, sampled-source centrality (the exact
+    algorithm's scale-honest cousin — full Brandes is O(V·E)).
+
+    Scale shape: per level ONE arc join + per-(source, vertex) sum for
+    sigma (with an anti-join against the visited set), and one
+    DAG-arc join + grouped floored sum per backward level. All
+    exchanges are arc-sized; per-(source) state is vertex-bounded
+    Datasets. The driver holds nothing graph-sized.
+    """
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_sum, shuffle_join)
+    import ray.data as rd
+
+    pairs = distinct_pairs(edges, src, dst)
+    nparts = _join_partitions(pairs.count())
+    deg = preagg_sum(pairs.select_columns([src]), [src], {}, counts="d")
+    seeds = [r[src] for r in
+             deg.sort(["d", src], descending=[True, False])
+             .take(n_seeds)]
+
+    lv_schema = pa.schema([("s", pa.string()), ("v", pa.string()),
+                           ("sigma", pa.int64())])
+    levels = [_repaired(
+        rd.from_arrow(pa.table({
+            "s": pa.array(seeds, pa.string()),
+            "v": pa.array(seeds, pa.string()),
+            "sigma": pa.array([1] * len(seeds), pa.int64())})),
+        lv_schema)]
+    visited = levels[0]
+
+    arcs = _repaired(
+        pairs.map_batches(
+            lambda b: pa.table({"u": b.column(src).cast(pa.string()),
+                                "w": b.column(dst).cast(pa.string())}),
+            batch_format="pyarrow"),
+        pa.schema([("u", pa.string()), ("w", pa.string())]))
+
+    for _ in range(hops):
+        ext = shuffle_join(levels[-1], arcs, on="v", right_on="u",
+                           num_partitions=nparts)
+        # ext: (s, v, sigma, w) — candidate next-level visits
+        cand = _repaired(
+            ext.map_batches(
+                lambda b: pa.table({"s": b.column("s"),
+                                    "v": b.column("w"),
+                                    "sigma": b.column("sigma")}),
+                batch_format="pyarrow"),
+            lv_schema)
+        if cand.count() == 0:
+            # an all-empty join side loses its schema in the shuffle
+            # ("No match for FieldRef") — short-circuit the fixpoint
+            break
+        fresh = shuffle_join(cand, visited.select_columns(["s", "v"]),
+                             on=("s", "v"), right_on=("s", "v"),
+                             how="left_anti",
+                             num_partitions=nparts).materialize()
+        if fresh.count() == 0:
+            break
+        nxt = _repaired(
+            preagg_sum(_repaired(fresh, lv_schema), ["s", "v"],
+                       {"sigma": "sigma"}),
+            lv_schema).materialize()
+        levels.append(nxt)
+        visited = _repaired(visited.union(nxt.select_columns(
+            ["s", "v", "sigma"])), lv_schema).materialize()
+
+    # backward dependency sweep over the level DAG
+    dl_schema = pa.schema([("s", pa.string()), ("v", pa.string()),
+                           ("delta", pa.int64())])
+    delta = _repaired(
+        levels[-1].map_batches(
+            lambda b: pa.table({"s": b.column("s"), "v": b.column("v"),
+                                "delta": pa.array([0] * b.num_rows,
+                                                  pa.int64())}),
+            batch_format="pyarrow"),
+        dl_schema)
+    acc = []
+    if len(levels) <= hops:
+        # BFS exhausted before the hop budget: the deepest REAL level
+        # sits below index `hops`, so its (all-zero) delta rows are
+        # part of the bounded spec's output (the SQL unroll's del{i}
+        # for that level) — only a full-depth run excludes its deepest
+        # level, which is the init frontier of the backward sweep
+        acc.append(delta)
+    for i in range(len(levels) - 2, -1, -1):
+        lo, hi = levels[i], levels[i + 1]
+        # DAG arcs between the two levels carrying both sigmas
+        e1 = _repaired(
+            shuffle_join(lo, arcs, on="v", right_on="u",
+                         num_partitions=nparts),
+            pa.schema([("s", pa.string()), ("v", pa.string()),
+                       ("sigma", pa.int64()), ("w", pa.string())]))
+        if e1.count() == 0:
+            delta = _repaired(
+                lo.map_batches(
+                    lambda b: pa.table({
+                        "s": b.column("s"), "v": b.column("v"),
+                        "delta": pa.array([0] * b.num_rows, pa.int64())}),
+                    batch_format="pyarrow"),
+                dl_schema)
+            acc.append(delta)
+            continue
+        # e1: (s, v, sigma, w); attach the successor's sigma + delta
+        hi_d = shuffle_join(hi, delta, on=("s", "v"),
+                            right_on=("s", "v"),
+                            num_partitions=nparts)
+        hw = _repaired(
+            hi_d.map_batches(
+                lambda b: pa.table({"s": b.column("s"),
+                                    "w": b.column("v"),
+                                    "sw": b.column("sigma"),
+                                    "dw": b.column("delta")}),
+                batch_format="pyarrow"),
+            pa.schema([("s", pa.string()), ("w", pa.string()),
+                       ("sw", pa.int64()), ("dw", pa.int64())]))
+        dag = shuffle_join(_repaired(e1, pa.schema(
+            [("s", pa.string()), ("v", pa.string()),
+             ("sigma", pa.int64()), ("w", pa.string())])),
+            hw, on=("s", "w"), right_on=("s", "w"),
+            num_partitions=nparts).materialize()
+        if dag.count() == 0:
+            delta = _repaired(
+                lo.map_batches(
+                    lambda b: pa.table({
+                        "s": b.column("s"), "v": b.column("v"),
+                        "delta": pa.array([0] * b.num_rows, pa.int64())}),
+                    batch_format="pyarrow"),
+                dl_schema)
+            acc.append(delta)  # SQL's del{i} keeps zero-delta rows
+            continue
+
+        def terms(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            t = (df["sigma"].to_numpy(dtype="int64")
+                 * (BC_SCALE + df["dw"].to_numpy(dtype="int64"))
+                 ) // df["sw"].to_numpy(dtype="int64")
+            return pa.table({"s": pa.array(df["s"], pa.string()),
+                             "v": pa.array(df["v"], pa.string()),
+                             "t": pa.array(t, pa.int64())})
+
+        dsum = preagg_sum(dag.map_batches(terms, batch_format="pyarrow"),
+                          ["s", "v"], {"delta": "t"})
+        # vertices of this level with no DAG successor keep delta 0 —
+        # realized via a left join of the level onto the sums
+        lvj = shuffle_join(lo.select_columns(["s", "v"]),
+                           _repaired(dsum, dl_schema),
+                           on=("s", "v"), right_on=("s", "v"),
+                           how="left_outer", num_partitions=nparts)
+
+        def fill(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["delta"] = df["delta"].fillna(0).astype("int64")
+            return pa.Table.from_pandas(df[["s", "v", "delta"]],
+                                        preserve_index=False)
+
+        delta = _repaired(
+            lvj.map_batches(fill, batch_format="pyarrow"),
+            dl_schema).materialize()
+        acc.append(delta)
+
+    if not acc:
+        return rd.from_arrow(pa.schema(
+            [("vertex", pa.string()), ("bc_e6", pa.int64())])
+            .empty_table())
+    alld = acc[0]
+    if len(acc) > 1:
+        alld = alld.union(*acc[1:])
+
+    def strip_self(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(batch.column("s"), batch.column("v")))
+        t = batch.filter(keep)
+        return pa.table({"vertex": t.column("v"),
+                         "bc_e6": t.column("delta")})
+
+    out = preagg_sum(alld.map_batches(strip_self,
+                                      batch_format="pyarrow"),
+                     ["vertex"], {"bc_e6": "bc_e6"})
+    return _repaired(out, pa.schema([("vertex", pa.string()),
+                                     ("bc_e6", pa.int64())]))

@@ -1010,3 +1010,29 @@ def test_negative_sample_stratified_never_positive(ray_session):
     import pytest as pt
     with pt.raises(ValueError, match="empty complement"):
         negative_sample_stratified(ds, ids, np.zeros(60, dtype="int64"))
+
+
+def test_betweenness_sampled_path_and_diamond(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import betweenness_sampled
+
+    # path with shortcut: only c carries dependency (a->c->d); b is on
+    # no shortest path because of the a->c shortcut
+    path = pa.table({"_from": ["a", "b", "c", "a"],
+                     "_to": ["b", "c", "d", "c"]})
+    got = betweenness_sampled(rd.from_arrow(path), n_seeds=1,
+                              hops=3).to_pandas()
+    bc = dict(zip(got["vertex"], got["bc_e6"]))
+    assert bc == {"b": 0, "c": 1_000_000, "d": 0}
+
+    # diamond a->{b,c}->d: two shortest paths split the dependency,
+    # sigma division floors per term (1e6 + 0) * 1 // 2
+    dia = pa.table({"_from": ["a", "a", "b", "c"],
+                    "_to": ["b", "c", "d", "d"]})
+    got = betweenness_sampled(rd.from_arrow(dia).repartition(3),
+                              n_seeds=1, hops=2).to_pandas()
+    bc = dict(zip(got["vertex"], got["bc_e6"]))
+    # d is the backward-sweep init level at full hop depth — excluded,
+    # exactly as the SQL unroll excludes del{hops}
+    assert bc == {"b": 500_000, "c": 500_000}
