@@ -5613,6 +5613,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, t.column("vec_id").to_numpy(),
             t.column("label").to_numpy(), k=3)
 
+    def orders_expectations(sf_dir):
+        # declarative data-validation gate (the Great-Expectations
+        # shape): 5 rules in one streaming pass + one pair exchange for
+        # the uniqueness rule; output is the |rules|-sized violation
+        # report
+        from raygraph.ops.validate import check_rules
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        return check_rules(orders, [
+            {"rule": "not_null", "col": "o_custkey"},
+            {"rule": "in_range", "col": "o_totalprice",
+             "lo": 0.0, "hi": 200000.0},
+            {"rule": "matches", "col": "o_orderpriority",
+             "pattern": r"[0-9]-[A-Z ]+"},
+            {"rule": "in_set", "col": "o_orderstatus",
+             "values": ["O", "F"]},
+            {"rule": "unique", "col": "o_orderkey"},
+        ])
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6850,6 +6869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_jl_project": embedding_jl_project,
         "embedding_negatives": embedding_negatives,
         "embedding_negatives_stratified": embedding_negatives_stratified,
+        "orders_expectations": orders_expectations,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8186,6 +8206,34 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        "orders_expectations": """
+            SELECT 'in_range:o_totalprice' AS rule,
+                   count(*) FILTER (o_totalprice < 0 OR
+                                    o_totalprice > 200000 OR
+                                    o_totalprice IS NULL)::BIGINT
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'in_set:o_orderstatus',
+                   count(*) FILTER (o_orderstatus NOT IN ('O', 'F') OR
+                                    o_orderstatus IS NULL)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'matches:o_orderpriority',
+                   count(*) FILTER (NOT regexp_full_match(
+                       coalesce(o_orderpriority, ''),
+                       '[0-9]-[A-Z ]+'))::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'not_null:o_custkey',
+                   count(*) FILTER (o_custkey IS NULL)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+                   (count(*) - count(DISTINCT o_orderkey))::BIGINT
+            FROM orders
+            ORDER BY rule
         """,
         "embedding_negatives_stratified": """
             WITH compl AS (

@@ -1,0 +1,138 @@
+"""Declarative data-validation (expectation) checks.
+
+The ingestion gate of a 100 TB pipeline: a list of column rules is
+evaluated in ONE streaming pass (plus one pair exchange per ``unique``
+rule), emitting a per-rule violation count — the Great-Expectations
+shape re-expressed as vectorized Ray Data partials. The reference's
+per-record `_id`/`_from`/`_to` validation (src/graph_loader.rs:936-976,
+M3/M4) is the fixed two-rule special case of this surface.
+
+Rule objects are dicts:
+    {"rule": "not_null",  "col": c}
+    {"rule": "in_range",  "col": c, "lo": x, "hi": y}   (inclusive)
+    {"rule": "matches",   "col": c, "pattern": regex}   (full match)
+    {"rule": "in_set",    "col": c, "values": [...]}    (broadcast ref)
+    {"rule": "unique",    "col": c}                      (global)
+
+Scale notes: every rule except ``unique`` folds to one int64 partial
+per (batch, rule) — the exchange is |rules| rows per block. ``unique``
+needs a global distinct: violations = n_rows − n_distinct, computed
+with the pair-exchange discipline of ``relational.distinct_count``
+(per-batch dedup first, so the shuffle carries ≤ distinct-per-batch
+rows). ``in_set`` reference values ride the object store once
+(``ray.put``), never per-batch closure shipping.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..errors import InvalidParameterError
+
+_KINDS = ("not_null", "in_range", "matches", "in_set", "unique")
+
+
+def _rule_name(r: dict) -> str:
+    return f"{r['rule']}:{r['col']}"
+
+
+def check_rules(ds, rules: list[dict]):
+    """Evaluate ``rules`` over ``ds``; returns a pandas DataFrame
+    (rule, n_violations) sorted by rule — the aggregate-sized report.
+    Unknown rule kinds or missing fields fail BEFORE any cluster
+    work."""
+    import ray
+
+    from .relational import hash_aggregate, preagg_sum
+
+    for i, r in enumerate(rules):
+        if not isinstance(r, dict) or "rule" not in r or "col" not in r:
+            raise InvalidParameterError(
+                f"rule {i} must be a dict with 'rule' and 'col'")
+        if r["rule"] not in _KINDS:
+            raise InvalidParameterError(
+                f"unknown rule {r['rule']!r}; known: {list(_KINDS)}")
+        if r["rule"] == "in_range" and not {"lo", "hi"} <= r.keys():
+            raise InvalidParameterError("in_range needs lo and hi")
+        if r["rule"] == "matches" and "pattern" not in r:
+            raise InvalidParameterError("matches needs pattern")
+        if r["rule"] == "in_set" and "values" not in r:
+            raise InvalidParameterError("in_set needs values")
+
+    stream_rules = [r for r in rules if r["rule"] != "unique"]
+    unique_rules = [r for r in rules if r["rule"] == "unique"]
+    set_refs = {
+        _rule_name(r): ray.put(frozenset(r["values"]))
+        for r in stream_rules if r["rule"] == "in_set"
+    }
+    patterns = {
+        _rule_name(r): r["pattern"]
+        for r in stream_rules if r["rule"] == "matches"
+    }
+
+    rows = []
+
+    if stream_rules:
+        def partial(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            out_names, out_counts = [], []
+            df = None
+            for r in stream_rules:
+                name = _rule_name(r)
+                if df is None:
+                    df = batch.to_pandas()
+                s = df[r["col"]]
+                if r["rule"] == "not_null":
+                    bad = int(s.isna().sum())
+                elif r["rule"] == "in_range":
+                    bad = int(((s < r["lo"]) | (s > r["hi"])
+                               | s.isna()).sum())
+                elif r["rule"] == "matches":
+                    pat = re.compile(patterns[name])
+                    bad = int((~s.fillna("").astype(str)
+                               .str.fullmatch(pat).astype(bool)).sum())
+                else:  # in_set
+                    ref = _ray.get(set_refs[name])
+                    bad = int((~s.isin(ref) | s.isna()).sum())
+                out_names.append(name)
+                out_counts.append(bad)
+            return pa.table({
+                "rule": pa.array(out_names, pa.string()),
+                "n_violations": pa.array(out_counts, pa.int64()),
+            })
+
+        agg = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["rule"], {"n_violations": "n_violations"}) \
+            .to_pandas()
+        rows.append(agg)
+
+    if unique_rules:
+        total = ds.count()
+    for r in unique_rules:
+        col = r["col"]
+
+        def pairs(batch: pa.Table, _c=col) -> pa.Table:
+            u = batch.to_pandas()[[_c]].drop_duplicates()
+            return pa.table({"k": pa.array(u[_c].astype(str),
+                                           pa.string())})
+
+        distinct = hash_aggregate(
+            ds.map_batches(pairs, batch_format="pyarrow"), ["k"],
+            lambda df: df.drop_duplicates()).count()
+        rows.append(pd.DataFrame({
+            "rule": [_rule_name(r)],
+            "n_violations": np.int64(total - distinct),
+        }))
+
+    if not rows:
+        return pd.DataFrame({"rule": pd.Series([], dtype=str),
+                             "n_violations": pd.Series([],
+                                                       dtype="int64")})
+    out = pd.concat(rows, ignore_index=True)
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("rule", ignore_index=True)

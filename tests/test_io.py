@@ -166,3 +166,39 @@ def test_orc_round_trip_and_pruning(ray_session, tmp_path):
     import pytest as pt
     with pt.raises(FileNotFoundError):
         read_table_orc(str(tmp_path / "empty_dir_nope"))
+
+
+def test_check_rules_all_kinds(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.ops.validate import check_rules
+
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, 4],
+        "v": [5.0, -1.0, 7.0, None, 100.0],
+        "s": ["ab", "zz", "ab", None, "a9"],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    got = check_rules(ds, [
+        {"rule": "not_null", "col": "v"},
+        {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 50.0},
+        {"rule": "matches", "col": "s", "pattern": "[a-z]+"},
+        {"rule": "in_set", "col": "s", "values": ["ab", "zz"]},
+        {"rule": "unique", "col": "k"},
+    ])
+    by = dict(zip(got["rule"], got["n_violations"]))
+    assert by == {
+        "not_null:v": 1,
+        "in_range:v": 3,        # -1, null, 100
+        "matches:s": 2,         # None and 'a9' fail the full match
+        "in_set:s": 2,          # None and 'a9'
+        "unique:k": 1,          # one duplicated key
+    }
+
+    with pytest.raises(InvalidParameterError, match="unknown rule"):
+        check_rules(ds, [{"rule": "nope", "col": "k"}])
+    with pytest.raises(InvalidParameterError, match="lo and hi"):
+        check_rules(ds, [{"rule": "in_range", "col": "v"}])
