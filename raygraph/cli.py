@@ -157,6 +157,26 @@ def cmd_asof(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .io import read_table
+    from .ops.validate import check_rules
+
+    with open(args.rules) as fh:
+        rules = json.load(fh)
+    report = check_rules(read_table(args.input), rules)
+    total = int(report["n_violations"].sum())
+    print(json.dumps({
+        "input": args.input,
+        "rules": len(rules),
+        "total_violations": total,
+        "by_rule": dict(zip(report["rule"],
+                            report["n_violations"].astype(int))),
+    }))
+    ray.shutdown()
+    return 0 if (total == 0 or not args.strict) else 3
+
+
 def cmd_curate(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .curate import run_curation
@@ -308,6 +328,17 @@ def main(argv=None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    va = sub.add_parser(
+        "validate", help="run declarative expectation rules (JSON list) "
+                         "over a table dir; --strict exits 3 on any "
+                         "violation")
+    va.add_argument("--input", required=True)
+    va.add_argument("--rules", required=True,
+                    help="path to a JSON rule list (ops.validate kinds)")
+    va.add_argument("--strict", action="store_true")
+    va.add_argument("--num-cpus", type=int)
+    va.set_defaults(fn=cmd_validate)
 
     ao = sub.add_parser(
         "asof", help="time-travel read: rebuild vertices/edges as of a "

@@ -120,3 +120,30 @@ def test_cli_asof_round_trip(tmp_path, capsys, monkeypatch):
     b = cur.select(["_key"]).to_pandas().sort_values(
         "_key", ignore_index=True)
     assert a.equals(b)
+
+
+def test_cli_validate_strict_exit(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    d = str(tmp_path)
+    import pandas as pd
+    import pyarrow as pa
+
+    tdir = os.path.join(d, "table")
+    os.makedirs(tdir)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "v": [0.5, 2.0, 0.1]}), preserve_index=False),
+        os.path.join(tdir, "t.parquet"))
+    rules = [{"rule": "unique", "col": "k"},
+             {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 1.0}]
+    rf = os.path.join(d, "rules.json")
+    with open(rf, "w") as fh:
+        json.dump(rules, fh)
+    rc = main(["validate", "--input", tdir, "--rules", rf, "--strict"])
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rc == 3
+    assert rep["total_violations"] == 2
+    assert rep["by_rule"]["unique:k"] == 1
+    # non-strict reports but exits 0
+    assert main(["validate", "--input", tdir, "--rules", rf]) == 0
