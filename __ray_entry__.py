@@ -654,6 +654,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return betweenness_sampled(ed, n_seeds=3, hops=3)
 
+    def kg_rpq(sf_dir):
+        # regular-path query (SPARQL property path connected_to/is_a):
+        # endpoint pairs + exact path counts, one junction-keyed join
+        # per predicate step with a combiner after each
+        from raygraph.ops.graph import rpq_pairs
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path,
+                             columns=["_from", "pred", "_to"])
+        return rpq_pairs(ed, ["connected_to", "is_a"])
+
     def kg_ppr(sf_dir):
         # personalized PageRank (3 rounds) from the max-out-degree
         # source: restart + dangling mass return to the source — the
@@ -6720,6 +6731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_matching": kg_matching,
         "kg_khop_sample": kg_khop_sample,
         "kg_betweenness": kg_betweenness,
+        "kg_rpq": kg_rpq,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -7956,6 +7968,15 @@ def oracle_sql() -> dict[str, str]:
                                     hops=2),
         "kg_betweenness": _betweenness_sql(kg_edges_sql, n_seeds=3,
                                            hops=3),
+        "kg_rpq": f"""
+            WITH edges AS ({kg_edges_sql}),
+            e1 AS (SELECT DISTINCT _from AS u, _to AS v FROM edges
+                   WHERE pred = 'connected_to'),
+            e2 AS (SELECT DISTINCT _from AS u, _to AS v FROM edges
+                   WHERE pred = 'is_a')
+            SELECT a.u AS src, b.v AS dst, count(*)::BIGINT AS n_paths
+            FROM e1 a JOIN e2 b ON a.v = b.u GROUP BY a.u, b.v
+        """,
         "kg_kcore": _kcore_sql(kg_edges_sql, k=2, iters=3),
         "kg_hits": _hits_sql(kg_edges_sql, iters=2),
         "kg_clustering": f"""

@@ -2334,3 +2334,71 @@ def betweenness_sampled(edges, n_seeds: int = 3, hops: int = 3,
                      ["vertex"], {"bc_e6": "bc_e6"})
     return _repaired(out, pa.schema([("vertex", pa.string()),
                                      ("bc_e6", pa.int64())]))
+
+
+def rpq_pairs(edges, preds, src: str = "_from", pred: str = "pred",
+              dst: str = "_to"):
+    """Regular-path query for a fixed predicate SEQUENCE (the RPQ
+    concatenation core, SPARQL property-path ``p1/p2/…``): endpoint
+    pairs reachable by following ``preds`` in order, with the exact
+    path count. Per step one pred-filtered distinct arc set joins the
+    frontier on the junction vertex and path multiplicities multiply
+    (distinct arcs ⇒ sum of frontier counts); a grouped combiner after
+    each join keeps the frontier at (src, junction)-cardinality.
+
+    All exchanges are arc-sized shuffle joins keyed by the junction —
+    the same dataflow class as one BFS round per predicate."""
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, preagg_sum, shuffle_join)
+    import ray.data as rd
+
+    out_schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                            ("n_paths", pa.int64())])
+
+    def arcs_of(p):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column(pred), pa.scalar(p)))
+            df = t.to_pandas()[[src, dst]].drop_duplicates()
+            return pa.table({
+                "u": pa.array(df[src].astype(str), pa.string()),
+                "w": pa.array(df[dst].astype(str), pa.string()),
+            })
+
+        from .relational import hash_aggregate
+
+        return _repaired(
+            hash_aggregate(
+                edges.map_batches(fn, batch_format="pyarrow"),
+                ["u", "w"], lambda df: df.drop_duplicates()),
+            pa.schema([("u", pa.string()), ("w", pa.string())]))
+
+    first = arcs_of(preds[0])
+    cur = _repaired(
+        first.map_batches(
+            lambda b: pa.table({"src": b.column("u"),
+                                "dst": b.column("w"),
+                                "n_paths": pa.array([1] * b.num_rows,
+                                                    pa.int64())}),
+            batch_format="pyarrow"),
+        out_schema)
+    for p in preds[1:]:
+        if cur.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        nxt = arcs_of(p)
+        joined = shuffle_join(cur, nxt, on="dst", right_on="u",
+                              num_partitions=_join_partitions(
+                                  cur.count()))
+        stepped = _repaired(
+            joined.map_batches(
+                lambda b: pa.table({"src": b.column("src"),
+                                    "dst": b.column("w"),
+                                    "n_paths": b.column("n_paths")}),
+                batch_format="pyarrow"),
+            out_schema)
+        if stepped.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        cur = _repaired(
+            preagg_sum(stepped, ["src", "dst"], {"n_paths": "n_paths"}),
+            out_schema)
+    return cur

@@ -1036,3 +1036,24 @@ def test_betweenness_sampled_path_and_diamond(ray_session):
     # d is the backward-sweep init level at full hop depth — excluded,
     # exactly as the SQL unroll excludes del{hops}
     assert bc == {"b": 500_000, "c": 500_000}
+
+
+def test_rpq_pairs_multiplicity_and_empty(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import rpq_pairs
+
+    # a -p-> b, a -p-> c, b -q-> z, c -q-> z  => (a, z) via 2 paths
+    tbl = pa.table({
+        "_from": ["a", "a", "b", "c", "a"],
+        "pred":  ["p", "p", "q", "q", "q"],
+        "_to":   ["b", "c", "z", "z", "b"],
+    })
+    got = rpq_pairs(rd.from_arrow(tbl).repartition(3),
+                    ["p", "q"]).to_pandas()
+    assert len(got) == 1
+    assert (got.iloc[0]["src"], got.iloc[0]["dst"],
+            got.iloc[0]["n_paths"]) == ("a", "z", 2)
+    # three-step path over the same data: p then q then q -> none
+    empty = rpq_pairs(rd.from_arrow(tbl), ["p", "q", "q"]).to_pandas()
+    assert len(empty) == 0
