@@ -5643,6 +5643,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def corpus_span_transitions(sf_dir):
+        # interleaved-modality grammar of the corpus: adjacent
+        # span-kind transition counts (text->media, media->text, ...)
+        # via the flat-array + doc-boundary-mask bigram idiom over the
+        # nested spans column — per-batch partials, kind²-sized output
+        corpus = rd.read_parquet(_corpus_dir(sf_dir),
+                                 columns=["spans"])
+
+        def trans(batch: pa.Table) -> pa.Table:
+            arr = batch.column("spans").combine_chunks()
+            lens = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False).astype("int64")
+            kinds = arr.flatten().field("kind").to_pandas().to_numpy()
+            total = int(lens.sum())
+            if total < 2:
+                return pa.table({"from_kind": pa.array([], pa.string()),
+                                 "to_kind": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            valid = np.ones(total - 1, dtype=bool)
+            ends = np.cumsum(lens[lens > 0]) - 1
+            valid[ends[ends < total - 1]] = False
+            df = pd.DataFrame({"from_kind": kinds[:-1][valid],
+                               "to_kind": kinds[1:][valid]})
+            g = df.groupby(["from_kind", "to_kind"], as_index=False) \
+                .size().rename(columns={"size": "n"})
+            g["n"] = g["n"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return preagg_sum(corpus.map_batches(trans,
+                                             batch_format="pyarrow"),
+                          ["from_kind", "to_kind"], {"n": "n"})
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -6882,6 +6914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_negatives": embedding_negatives,
         "embedding_negatives_stratified": embedding_negatives_stratified,
         "orders_expectations": orders_expectations,
+        "corpus_span_transitions": corpus_span_transitions,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -9020,6 +9053,18 @@ def oracle_sql() -> dict[str, str]:
                        AS corr_bp
             FROM m
             WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+        "corpus_span_transitions": """
+            WITH idx AS (SELECT row_number() OVER () - 1 AS i
+                         FROM documents),
+            t AS (
+              SELECT 'media' AS from_kind, 'text' AS to_kind,
+                     count(*) FILTER (i % 7 = 3)::BIGINT AS n FROM idx
+              UNION ALL
+              SELECT 'text', 'media', count(*)::BIGINT FROM idx
+            )
+            SELECT from_kind, to_kind, n FROM t WHERE n > 0
+            ORDER BY from_kind, to_kind
         """,
         "corpus_span_stats": """
             WITH idx AS (SELECT row_number() OVER () - 1 AS i
