@@ -234,12 +234,23 @@ def cmd_query(args) -> int:
     import pandas as pd
     import pyarrow as pa
 
+    ray_ds = None
     if isinstance(res, pd.DataFrame):
         df = res
     elif isinstance(res, pa.Table):
         df = res.to_pandas()
     else:
+        ray_ds = res
         df = res.to_pandas()
+    if getattr(args, "stats", False):
+        # per-stage wall/cpu/rows report from Ray Data's executor — the
+        # profiling surface for "where did this query spend its time".
+        # Driver-side results (pandas/arrow) have no distributed plan.
+        if ray_ds is not None:
+            print(ray_ds.stats(), file=sys.stderr)
+        else:
+            print("(result was computed driver-side; no Ray Data plan "
+                  "to report)", file=sys.stderr)
     if args.output:
         import pyarrow.parquet as pq
 
@@ -316,6 +327,9 @@ def main(argv=None) -> int:
                    help="list available queries")
     q.add_argument("--output", help="write full result parquet here")
     q.add_argument("--head", type=int, default=10)
+    q.add_argument("--stats", action="store_true",
+                   help="print the Ray Data per-stage execution stats "
+                        "to stderr after running")
     q.add_argument("--num-cpus", type=int)
     q.set_defaults(fn=cmd_query)
 

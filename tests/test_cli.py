@@ -147,3 +147,15 @@ def test_cli_validate_strict_exit(tmp_path, capsys, monkeypatch):
     assert rep["by_rule"]["unique:k"] == 1
     # non-strict reports but exits 0
     assert main(["validate", "--input", tdir, "--rules", rf]) == 0
+
+
+def test_cli_query_stats_flag(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    rc = main(["query", "docs_by_lang_source", "--sf-dir",
+               "/root/testdata/sf0.001", "--stats"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    # the Ray Data executor's per-operator report made it to stderr
+    assert "Operator" in err or "driver-side" in err
