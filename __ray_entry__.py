@@ -475,6 +475,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
         return bfs_distance(ed, source=top[0]["_from"], iters=3)
 
+    def kg_ego(sf_dir):
+        # ego network: the INDUCED subgraph on the 2-hop BFS ball of
+        # the kg_bfs pivot — reach set from the existing BFS op, then
+        # two distributed semi-joins keep arcs with BOTH endpoints
+        # inside the ball (pure composition, no new primitive)
+        from raygraph.ops.graph import (_repaired, bfs_distance,
+                                        distinct_pairs)
+        from raygraph.ops.relational import shuffle_join
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        deg = preagg_sum(distinct_pairs(ed).select_columns(["_from"]),
+                         ["_from"], {}, counts="d")
+        top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
+        reach = bfs_distance(ed, source=top[0]["_from"], iters=2) \
+            .select_columns(["vertex"]).materialize()
+        pr_schema = pa.schema([("_from", pa.string()),
+                               ("_to", pa.string())])
+        pairs = distinct_pairs(ed)
+        a1 = _repaired(
+            shuffle_join(pairs, reach, on="_from", right_on="vertex",
+                         how="left_semi"),
+            pr_schema)
+        return _repaired(
+            shuffle_join(a1, reach, on="_to", right_on="vertex",
+                         how="left_semi"),
+            pr_schema)
+
     def kg_path_counts(sf_dir):
         # Brandes forward phase: hop distance + exact shortest-path
         # counts sigma from the kg_bfs pivot (3 synchronous rounds)
@@ -6764,6 +6792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop_sample": kg_khop_sample,
         "kg_betweenness": kg_betweenness,
         "kg_rpq": kg_rpq,
+        "kg_ego": kg_ego,
         "kg_ppr": kg_ppr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
@@ -8001,6 +8030,14 @@ def oracle_sql() -> dict[str, str]:
                                     hops=2),
         "kg_betweenness": _betweenness_sql(kg_edges_sql, n_seeds=3,
                                            hops=3),
+        "kg_ego": f"""
+            WITH reach AS ({_bfs_sql(kg_edges_sql, iters=2)}),
+            edges AS ({kg_edges_sql}),
+            pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)
+            SELECT u AS _from, v AS _to FROM pr
+            WHERE u IN (SELECT vertex FROM reach)
+              AND v IN (SELECT vertex FROM reach)
+        """,
         "kg_rpq": f"""
             WITH edges AS ({kg_edges_sql}),
             e1 AS (SELECT DISTINCT _from AS u, _to AS v FROM edges
