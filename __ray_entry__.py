@@ -1922,6 +1922,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return heavy_hitters_incremental(ds, k=40, values_fn=tokens,
                                          n_micro_batches=4)
 
+    def events_session_hdr(sf_dir):
+        # sketch-over-derived-stream composition: session DURATIONS
+        # (seconds) from the distributed sessionize feed the mergeable
+        # HDR quantile sketch — the session-length SLO profile whose
+        # exchange stays constant-size however many sessions exist
+        from raygraph.ops.events import sessionize
+        from raygraph.ops.sketch import hdr_quantiles
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        ses = sessionize(ev, gap_sec=1800)
+
+        def dur(batch: pa.Table) -> pa.Table:
+            a = batch.column("session_start").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            b = batch.column("session_end").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"dur_sec": pa.array((b - a) // 1_000_000,
+                                                 pa.int64())})
+
+        return hdr_quantiles(ses.map_batches(dur,
+                                             batch_format="pyarrow"),
+                             "dur_sec", q_pcts=(50, 90, 99))
+
     def events_pivot_types(sf_dir):
         # PIVOT/crosstab: one row per user, one count column per event
         # type — the category list is FIXED so the output schema is
@@ -6944,6 +6968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_negatives_stratified": embedding_negatives_stratified,
         "orders_expectations": orders_expectations,
         "corpus_span_transitions": corpus_span_transitions,
+        "events_session_hdr": events_session_hdr,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -10816,6 +10841,45 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_session_hdr": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER win IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER win)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM w
+            ), x AS (
+              SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                         AS v
+              FROM s GROUP BY user_id, session_id
+            ), bk AS (
+              SELECT CASE WHEN v < 128 THEN v
+                     ELSE ((length(bin(v)) - 1 - 7) << 7)
+                          + (v >> (length(bin(v)) - 1 - 7)) END AS bucket
+              FROM x
+            ), b AS (
+              SELECT bucket, count(*)::BIGINT AS n FROM bk GROUP BY bucket
+            ), c AS (
+              SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM b
+            ), tot AS (SELECT count(*)::BIGINT AS n FROM x),
+            qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+            sel AS (
+              SELECT q_pct, min(bucket) AS bucket FROM qs, c, tot
+              WHERE 100 * c.cum >= q_pct * tot.n GROUP BY q_pct
+            )
+            SELECT q_pct,
+                   CASE WHEN bucket < 256 THEN bucket
+                        ELSE (bucket - (((bucket >> 7) - 1) << 7))
+                             << ((bucket >> 7) - 1) END AS est
+            FROM sel ORDER BY q_pct
         """,
         "events_asof_join": """
             WITH r0 AS (
