@@ -1863,6 +1863,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "vector", "customer", "quantum entanglement"]
         return gazetteer_tag(_docs_ds(sf_dir), terms)
 
+    def docs_gazetteer_by_source(sf_dir):
+        # per-slice mention detection: the gazetteer pass grouped by
+        # source — partials bounded by |sources| x |terms| per block
+        from raygraph.ops.text import gazetteer_tag
+
+        terms = ["hash join", "merge join", "filter", "vector"]
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"])
+        return gazetteer_tag(docs, terms, group_col="source")
+
+    def text_heavy_hitters_by_source(sf_dir):
+        # per-source Misra-Gries: tokens above n_src/30 within EACH
+        # source slice — one MG summary per (block, source), per-group
+        # thresholds at the exact verify
+        from raygraph.ops.sketch import heavy_hitters_grouped
+
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text", "source"])
+
+        def pairs(batch: pa.Table):
+            s = batch.column("text").to_pandas().fillna("")
+            src = batch.column("source").to_pandas()
+            toks = s.str.strip().str.lower().str.split()
+            ex = toks.explode().dropna()
+            return pd.DataFrame({
+                "source": src.to_numpy()[ex.index.to_numpy()],
+                "token": ex.to_numpy(),
+            })
+
+        return heavy_hitters_grouped(docs, k=30, pairs_fn=pairs,
+                                     group_key="source",
+                                     out_key="token")
+
     def events_scd2(sf_dir):
         # type-2 SCD fold: per-user validity intervals over event_type
         # runs (CDC -> dimension-table ingestion); output is change
@@ -6969,6 +7004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_expectations": orders_expectations,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
+        "docs_gazetteer_by_source": docs_gazetteer_by_source,
+        "text_heavy_hitters_by_source": text_heavy_hitters_by_source,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8494,6 +8531,46 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_type) AS version
             FROM ch
+        """,
+        "text_heavy_hitters_by_source": """
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')
+                     END AS toks
+              FROM documents
+            ), u AS (SELECT source, unnest(toks) AS token FROM t),
+            c AS (SELECT source, token, count(*)::BIGINT AS n
+                  FROM u GROUP BY source, token),
+            tot AS (SELECT source, count(*)::BIGINT AS n_total
+                    FROM u GROUP BY source)
+            SELECT c.source, c.token, c.n
+            FROM c JOIN tot ON c.source = tot.source
+            WHERE c.n * 30 > tot.n_total
+            ORDER BY c.source, c.n DESC, c.token
+        """,
+        "docs_gazetteer_by_source": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')
+                     END AS toks
+              FROM documents
+            ), u AS (
+              SELECT doc_id, source, unnest(toks) AS g FROM t
+              UNION ALL
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM t
+            )
+            SELECT source, g AS term, count(*)::BIGINT AS n_mentions,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM u
+            WHERE g IN ('hash join', 'merge join', 'filter', 'vector')
+            GROUP BY source, g ORDER BY source, term
         """,
         "text_gazetteer": _TOKS_CTE + """
             , u AS (

@@ -489,3 +489,79 @@ def hdr_quantiles_grouped(ds, group_cols, value_col: str,
             rows.append((*key, int(q), est))
     return pd.DataFrame(rows, columns=group_cols + ["q_pct", "est"]) \
         .sort_values(group_cols + ["q_pct"], ignore_index=True)
+
+
+def heavy_hitters_grouped(ds, k: int, pairs_fn, group_key: str = "g",
+                          out_key: str = "token"):
+    """Per-group :func:`heavy_hitters`: exact items with frequency
+    > n_g/k WITHIN each group. ``pairs_fn(batch) -> DataFrame`` with
+    columns [group_key, out_key] (one row per stream item). Pass 1
+    ships one MG summary per (block, group) — ≤ k rows each plus a
+    per-group total row; pass 2 counts the broadcast per-group
+    candidate sets exactly and applies each group's own threshold.
+    Exchange O(blocks · groups · k); the stream never moves."""
+    import ray
+
+    from .relational import preagg_sum
+
+    cap = max(1, k - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pairs_fn(batch)
+        counts = df.groupby([group_key, out_key], as_index=False) \
+            .size().rename(columns={"size": "w"})
+        frames = []
+        for gval, gdf in counts.groupby(group_key, sort=False):
+            total = int(gdf["w"].sum())
+            c = _mg_compress(gdf.rename(columns={out_key: "token"})
+                             [["token", "w"]], cap) \
+                .rename(columns={"token": out_key})
+            c = pd.concat([c, pd.DataFrame(
+                {out_key: [None], "w": [total]})], ignore_index=True)
+            c[group_key] = gval
+            frames.append(c)
+        if not frames:
+            return pa.table({group_key: pa.array([], pa.string()),
+                             out_key: pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            group_key: pa.array(out[group_key].astype(str), pa.string()),
+            out_key: pa.array(
+                [None if pd.isna(t) else str(t) for t in out[out_key]],
+                pa.string()),
+            "w": pa.array(out["w"].astype("int64"), pa.int64()),
+        })
+
+    summary = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    totals = summary[summary[out_key].isna()] \
+        .groupby(group_key)["w"].sum().to_dict()
+    cand = summary.dropna(subset=[out_key])[[group_key, out_key]] \
+        .drop_duplicates()
+    if not totals or cand.empty:
+        return pd.DataFrame({group_key: pd.Series([], dtype=str),
+                             out_key: pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
+    cand_ref = ray.put(cand)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cset = _ray.get(cand_ref)
+        df = pairs_fn(batch)
+        hit = df.merge(cset, on=[group_key, out_key])
+        g = hit.groupby([group_key, out_key], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return pa.table({
+            group_key: pa.array(g[group_key].astype(str), pa.string()),
+            out_key: pa.array(g[out_key].astype(str), pa.string()),
+            "n": pa.array(g["n"].astype("int64"), pa.int64()),
+        })
+
+    counts = preagg_sum(ds.map_batches(exact, batch_format="pyarrow"),
+                        [group_key, out_key], {"n": "n"}).to_pandas()
+    tot = counts[group_key].map(totals).astype("int64")
+    hits = counts[counts["n"] * k > tot]
+    return hits.sort_values([group_key, "n", out_key],
+                            ascending=[True, False, True],
+                            ignore_index=True)

@@ -1391,7 +1391,7 @@ def hapax_stats(ds, text_col: str = "text"):
 
 
 def gazetteer_tag(ds, terms, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", group_col: str | None = None):
     """Dictionary surface-form tagging — the vectorized stand-in for an
     Aho-Corasick pass, and the mention-detection primitive the KG
     extract stage (reference: per-document regex scan,
@@ -1420,35 +1420,44 @@ def gazetteer_tag(ds, terms, text_col: str = "text",
         by_n.setdefault(len(t.split()), set()).add(t)
     terms_ref = ray.put({n: frozenset(ts) for n, ts in by_n.items()})
 
+    keys = ([group_col] if group_col else []) + ["term"]
+
     def tag(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         term_sets = _ray.get(terms_ref)
         s = batch.column(text_col).to_pandas().fillna("")
+        grp = (batch.column(group_col).to_pandas().to_numpy()
+               if group_col else None)
         frames = []
         for n, tset in term_sets.items():
             ng = _doc_ngrams(s, n)
             hit = ng[ng["ngram"].isin(tset)]
             if len(hit):
-                frames.append(pd.DataFrame({
+                f = pd.DataFrame({
                     "term": hit["ngram"].to_numpy(),
                     "row": hit.index.to_numpy(),
-                }))
+                })
+                if group_col:
+                    f[group_col] = grp[hit.index.to_numpy()]
+                frames.append(f)
         if not frames:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "n_mentions": pa.array([], pa.int64()),
-                             "n_docs": pa.array([], pa.int64())})
+            cols = {c: pa.array([], pa.string()) for c in keys}
+            cols["n_mentions"] = pa.array([], pa.int64())
+            cols["n_docs"] = pa.array([], pa.int64())
+            return pa.table(cols)
         m = pd.concat(frames, ignore_index=True)
-        g = m.groupby("term", sort=False).agg(
+        g = m.groupby(keys, sort=False).agg(
             n_mentions=("row", "size"), n_docs=("row", "nunique"))
         g = g.reset_index()
-        return pa.table({
-            "term": pa.array(g["term"], pa.string()),
-            "n_mentions": pa.array(g["n_mentions"].astype("int64")),
-            "n_docs": pa.array(g["n_docs"].astype("int64")),
-        })
+        cols = {c: pa.array(g[c].astype(str), pa.string())
+                for c in keys}
+        cols["n_mentions"] = pa.array(
+            g["n_mentions"].astype("int64"))
+        cols["n_docs"] = pa.array(g["n_docs"].astype("int64"))
+        return pa.table(cols)
 
     agg = preagg_sum(ds.map_batches(tag, batch_format="pyarrow"),
-                     ["term"], {"n_mentions": "n_mentions",
-                                "n_docs": "n_docs"})
-    return agg.sort("term")
+                     keys, {"n_mentions": "n_mentions",
+                            "n_docs": "n_docs"})
+    return agg.sort(keys)

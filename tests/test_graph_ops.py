@@ -1057,3 +1057,27 @@ def test_rpq_pairs_multiplicity_and_empty(ray_session):
     # three-step path over the same data: p then q then q -> none
     empty = rpq_pairs(rd.from_arrow(tbl), ["p", "q", "q"]).to_pandas()
     assert len(empty) == 0
+
+
+def test_heavy_hitters_grouped_per_group_thresholds(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.sketch import heavy_hitters_grouped
+
+    # group A: 'x' dominates (12/20); group B: uniform (no hitters at
+    # k=3 except 'q' at 8/14)
+    rows = ([("A", "x")] * 12 + [("A", f"a{i}") for i in range(8)]
+            + [("B", "q")] * 8 + [("B", f"b{i}") for i in range(6)])
+    df = pd.DataFrame(rows, columns=["g", "t"])
+
+    def pairs(batch):
+        return batch.to_pandas().rename(columns={"t": "token",
+                                                 "g": "source"})
+
+    for parts in (1, 5):
+        got = heavy_hitters_grouped(
+            rd.from_pandas(df).repartition(parts), k=3, pairs_fn=pairs,
+            group_key="source", out_key="token")
+        rec = set(map(tuple, got[["source", "token", "n"]]
+                      .itertuples(index=False)))
+        assert rec == {("A", "x", 12), ("B", "q", 8)}
