@@ -5762,6 +5762,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                              batch_format="pyarrow"),
                           ["from_kind", "to_kind"], {"n": "n"})
 
+    def lineitem_join_cardinality(sf_dir):
+        # planner support: exact big-join output size from key-count
+        # tables (sum of count products) — the join never materializes,
+        # only one int64 leaves the cluster
+        from raygraph.ops.relational import join_cardinality
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_orderkey"])
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey"])
+        n = join_cardinality(li, orders, on="l_orderkey",
+                             right_on="o_orderkey")
+        return pd.DataFrame({"n_join_rows": pd.array([n],
+                                                     dtype="int64")})
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -7006,6 +7021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
         "text_heavy_hitters_by_source": text_heavy_hitters_by_source,
+        "lineitem_join_cardinality": lineitem_join_cardinality,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8531,6 +8547,11 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_type) AS version
             FROM ch
+        """,
+        "lineitem_join_cardinality": """
+            SELECT count(*)::BIGINT AS n_join_rows
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
         """,
         "text_heavy_hitters_by_source": """
             WITH t AS (

@@ -1490,3 +1490,31 @@ def negative_sample_stratified(ds, ids, labels, k: int = 3,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def join_cardinality(left, right, on: str, right_on: str | None = None,
+                     num_partitions: int | None = None) -> int:
+    """Exact inner-join output cardinality WITHOUT materializing the
+    join: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k). Two combiner preaggs reduce
+    each side to its key-count table (key-cardinality-sized — orders
+    below the data), one key-keyed join multiplies the counts, and a
+    single int64 sum leaves the cluster. The planner-support primitive:
+    run it before a big⋈big to size partitions or pick broadcast vs
+    shuffle (the reference sizes its fan-out statically;
+    src/graph_loader.rs load-balance notes)."""
+    right_on = right_on or on
+    la = preagg_sum(left.select_columns([on]), [on], {}, counts="ca")
+    rb = preagg_sum(right.select_columns([right_on]), [right_on], {},
+                    counts="cb")
+    j = shuffle_join(la, rb, on=on, right_on=right_on,
+                     num_partitions=num_partitions
+                     or _join_partitions())
+
+    def mul(batch: pa.Table) -> pa.Table:
+        a = batch.column("ca").to_numpy(zero_copy_only=False)
+        b = batch.column("cb").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((a * b).sum())], pa.int64())})
+
+    parts = j.map_batches(mul, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum())
