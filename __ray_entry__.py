@@ -5777,6 +5777,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"n_join_rows": pd.array([n],
                                                      dtype="int64")})
 
+    def orders_nation_revenue_auto(sf_dir):
+        # adaptive join: the strategy picker counts the customer side
+        # (small at every sf -> broadcast, zero shuffle) and must
+        # reproduce the plain-join revenue rollup row for row
+        from raygraph.ops.relational import auto_join
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+        j = auto_join(orders, cust, on="o_custkey",
+                      right_on="c_custkey")
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "c_nationkey": batch.column("c_nationkey"),
+                "cents": pa.array(np.round(p * 100).astype("int64")),
+            })
+
+        return preagg_sum(j.map_batches(cents, batch_format="pyarrow"),
+                          ["c_nationkey"], {"rev_cents": "cents"},
+                          counts="n_orders")
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -7022,6 +7047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
         "text_heavy_hitters_by_source": text_heavy_hitters_by_source,
         "lineitem_join_cardinality": lineitem_join_cardinality,
+        "orders_nation_revenue_auto": orders_nation_revenue_auto,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8547,6 +8573,15 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_type) AS version
             FROM ch
+        """,
+        "orders_nation_revenue_auto": """
+            SELECT c.c_nationkey,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       ::BIGINT AS rev_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
         """,
         "lineitem_join_cardinality": """
             SELECT count(*)::BIGINT AS n_join_rows

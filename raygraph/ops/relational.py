@@ -1518,3 +1518,33 @@ def join_cardinality(left, right, on: str, right_on: str | None = None,
     parts = j.map_batches(mul, batch_size=None,
                           batch_format="pyarrow").to_pandas()
     return int(parts["n"].sum())
+
+
+def auto_join(left, right, on: str, right_on: str | None = None,
+              broadcast_limit: int = 100_000, report: dict | None = None,
+              num_partitions: int | None = None):
+    """Adaptive INNER join: count the right side first (metadata-cheap)
+    and pick the exchange — ≤ ``broadcast_limit`` rows ride the object
+    store once (``broadcast_join``: zero shuffle, the small-side rule
+    every stage of this repo follows), above it both sides
+    hash-partition (``shuffle_join``). ``report`` (optional dict) gets
+    ``{"strategy", "right_rows"}`` for plan introspection. Row-for-row
+    identical output either way — asserted by the shared-oracle query
+    and the unit test, which IS the adaptivity claim."""
+    import ray
+
+    right_on = right_on or on
+    n = right.count()
+    if report is not None:
+        report["strategy"] = ("broadcast" if n <= broadcast_limit
+                              else "shuffle")
+        report["right_rows"] = n
+    if n <= broadcast_limit:
+        small = right.to_pandas()
+        if right_on != on:
+            small = small.rename(columns={right_on: on})
+        return broadcast_join(left, small, on=on,
+                              small_ref=ray.put(small))
+    return shuffle_join(left, right, on=on, right_on=right_on,
+                        num_partitions=num_partitions
+                        or _join_partitions())

@@ -56,3 +56,30 @@ def test_read_documents_jsonl(tmp_path):
     out = ds.map_batches(extract_triples, batch_format="pyarrow").take_all()
     assert len(out) == 3
     assert out[0]["pred"] == "connected_to"
+
+
+def test_auto_join_strategy_and_equivalence(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import auto_join, shuffle_join
+
+    big = rd.from_pandas(pd.DataFrame({"k": [i % 20 for i in range(500)],
+                                       "v": range(500)}))
+    small = rd.from_pandas(pd.DataFrame({"rk": range(20),
+                                         "tag": [f"t{i}" for i
+                                                 in range(20)]}))
+    rep_b, rep_s = {}, {}
+    jb = auto_join(big, small, on="k", right_on="rk",
+                   report=rep_b).to_pandas()
+    js = auto_join(big, small, on="k", right_on="rk",
+                   broadcast_limit=1, report=rep_s).to_pandas()
+    assert rep_b["strategy"] == "broadcast" and rep_b["right_rows"] == 20
+    assert rep_s["strategy"] == "shuffle"
+    key = ["k", "v"]
+    a = jb.sort_values(key, ignore_index=True)
+    b = js.sort_values(key, ignore_index=True)[a.columns]
+    assert a.equals(b)
+    ref = shuffle_join(big, small, on="k", right_on="rk").to_pandas() \
+        .sort_values(key, ignore_index=True)[a.columns]
+    assert a.equals(ref)
