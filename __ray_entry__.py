@@ -5802,6 +5802,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ["c_nationkey"], {"rev_cents": "cents"},
                           counts="n_orders")
 
+    def events_key_skew(sf_dir):
+        # the salt-hot-keys pre-shuffle diagnostic: top-10 heaviest
+        # user_ids with exact counts and bp share of all events
+        from raygraph.ops.relational import key_skew_report
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id"])
+        return key_skew_report(ev, "user_id", top=10)
+
     def events_zscore(sf_dir):
         # volume-anomaly screen: hourly buckets >= 2 sd from the type
         # mean, z in exact floor-bp (integer moments, one double conv)
@@ -7048,6 +7057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters_by_source": text_heavy_hitters_by_source,
         "lineitem_join_cardinality": lineitem_join_cardinality,
         "orders_nation_revenue_auto": orders_nation_revenue_auto,
+        "events_key_skew": events_key_skew,
         "events_zscore": events_zscore,
         "docs_novelty": docs_novelty,
         "customer_rfm": customer_rfm,
@@ -8573,6 +8583,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_type) AS version
             FROM ch
+        """,
+        "events_key_skew": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events GROUP BY user_id),
+            tot AS (SELECT count(*)::BIGINT AS t FROM events)
+            SELECT user_id, n, (10000 * n) // tot.t AS share_bp
+            FROM c, tot ORDER BY n DESC, user_id LIMIT 10
         """,
         "orders_nation_revenue_auto": """
             SELECT c.c_nationkey,

@@ -1548,3 +1548,19 @@ def auto_join(left, right, on: str, right_on: str | None = None,
     return shuffle_join(left, right, on=on, right_on=right_on,
                         num_partitions=num_partitions
                         or _join_partitions())
+
+
+def key_skew_report(ds, key: str, top: int = 10):
+    """Pre-shuffle skew diagnostic: the ``top`` heaviest keys with
+    exact counts and basis-point share of all rows — the number that
+    decides whether a groupby/join needs salting (DESIGN_SCALE §Skew).
+    One combiner preagg (key-cardinality exchange), a distributed
+    sort+limit for the head, and two scalars on the driver."""
+    counts = preagg_sum(ds.select_columns([key]), [key], {}, counts="n")
+    head = counts.sort(["n", key], descending=[True, False]) \
+        .limit(top).to_pandas()
+    total = ds.count()
+    head["share_bp"] = (10_000 * head["n"].astype("int64")) // total
+    head["n"] = head["n"].astype("int64")
+    head["share_bp"] = head["share_bp"].astype("int64")
+    return head.reset_index(drop=True)
