@@ -707,6 +707,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top = deg.sort(["d", "_from"], descending=[True, False]).take(1)
         return pagerank(ed, iters=3, personalize=top[0]["_from"])
 
+    def kg_katz(sf_dir):
+        # Katz centrality (3 rounds, beta = 1/5): attenuated-path
+        # counting in fixed-point e6 integers — the walk-counting
+        # cousin of kg_pagerank without degree normalization; one
+        # edge-sized shuffle join per round
+        from raygraph.ops.graph import katz_centrality
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return katz_centrality(ed, iters=3, beta_den=5)
+
     def kg_reciprocity(sf_dir):
         # graph reciprocity: share (exact bp) of distinct non-loop arcs
         # whose reverse arc also exists — one distinct-intersect
@@ -6886,6 +6897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": kg_degrees,
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
+        "kg_katz": kg_katz,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -7832,6 +7844,27 @@ def _pagerank_sql(edges_sql: str, iters: int,
     return "".join(parts)
 
 
+def _katz_sql(edges_sql: str, iters: int, beta_den: int) -> str:
+    """Machine-unrolled integer Katz centrality mirroring
+    raygraph.ops.graph.katz_centrality term for term: x0 = 10^6 on
+    every arc endpoint, per round S(v) = sum of in-neighbor scores and
+    x' = 10^6 + S // beta_den (BIGINT floor, bit-for-bit)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
+        ", k0 AS (SELECT x, 1000000::BIGINT AS k FROM vv)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", k{i + 1} AS (SELECT vv.x, 1000000 + "
+            f"coalesce(s.s, 0) // {beta_den} AS k FROM vv LEFT JOIN "
+            f"(SELECT p.v AS x, sum(k.k)::BIGINT AS s FROM pr p "
+            f"JOIN k{i} k ON p.u = k.x GROUP BY p.v) s ON vv.x = s.x)")
+    parts.append(f" SELECT x AS vertex, k AS katz_e6 FROM k{iters}")
+    return "".join(parts)
+
+
 def _components_sql(edges_sql: str, iters: int) -> str:
     """Machine-unrolled label propagation: per round, the neighborhood
     minimum folds into each vertex's label (least/coalesce), mirroring
@@ -8102,6 +8135,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.u
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
+        "kg_katz": _katz_sql(kg_edges_sql, iters=3, beta_den=5),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
         "kg_reciprocity": f"""

@@ -2402,3 +2402,110 @@ def rpq_pairs(edges, preds, src: str = "_from", pred: str = "pred",
             preagg_sum(stepped, ["src", "dst"], {"n_paths": "n_paths"}),
             out_schema)
     return cur
+
+
+def katz_centrality(edges, iters: int = 3, beta_den: int = 5,
+                    src: str = "_from", dst: str = "_to"):
+    """Katz centrality over the deduped arc set — ``iters`` synchronous
+    rounds of the attenuated-path recurrence, fixed-point e6 integers.
+
+    Exact integer spec (the SQL oracle reproduces it bit-for-bit):
+
+    * ``x0(v) = 10^6`` for every arc endpoint
+    * per iteration: ``S(v) = Σ x(u)`` over arcs u→v, then
+      ``x'(v) = 10^6 + S(v) // beta_den``  (β = 1/beta_den, floor)
+
+    so ``x(v)/10^6`` approximates ``Σ_k β^k · #paths of length k ending
+    at v`` — the walk-counting cousin of PageRank without the degree
+    normalization (hubs reachable by many short paths score high even
+    when their in-neighbors are themselves high-degree). Against the
+    reference this extends the exported edge table
+    (src/graph_loader.rs:629 do_edges) with a third centrality the
+    export's downstream consumers typically compute first.
+
+    Per iteration: one edge-sized shuffle join (arcs pick up their
+    source's score) + one combiner preagg by dst + a vertex-sized
+    union realign — same exchange shape as :func:`pagerank` minus the
+    dangling-mass scalar. State stays a Dataset end to end.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_partitions, shuffle_join
+
+    import ray.data as rd
+
+    E6 = 10**6
+    out_schema = pa.schema([("vertex", pa.string()),
+                            ("katz_e6", pa.int64())])
+    pairs = distinct_pairs(edges, src, dst)
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    nparts = _join_partitions(pairs.count())
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays([
+            batch.column(src).combine_chunks().cast(pa.string()),
+            batch.column(dst).combine_chunks().cast(pa.string()),
+        ])})
+
+    def ep_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from .relational import hash_aggregate
+
+    vs = _repaired(
+        hash_aggregate(
+            pairs.map_batches(endpoints, batch_format="pyarrow")
+            .map_batches(ep_partial, batch_format="pyarrow"),
+            ["vertex"], lambda df: df.drop_duplicates()),
+        pa.schema([("vertex", pa.string())]))
+
+    def init_x(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": batch.column("vertex"),
+                         "katz_e6": pa.array([E6] * batch.num_rows,
+                                             pa.int64())})
+
+    ranks = _repaired(vs.map_batches(init_x, batch_format="pyarrow"),
+                      out_schema)
+
+    for _ in range(iters):
+        j = shuffle_join(pairs, ranks, on=src, right_on="vertex",
+                         num_partitions=nparts)
+        j = _repaired(j, pa.schema([(src, pa.string()),
+                                    (dst, pa.string()),
+                                    ("katz_e6", pa.int64())]))
+
+        def edge_msgs(batch: pa.Table) -> pa.Table:
+            return pa.table({"__v": batch.column(dst),
+                             "s": batch.column("katz_e6")})
+
+        def zero_msgs(batch: pa.Table) -> pa.Table:
+            return pa.table({"__v": batch.column("vertex"),
+                             "s": pa.array([0] * batch.num_rows,
+                                           pa.int64())})
+
+        def msg_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("__v", as_index=False)["s"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        merged = _repaired(
+            j.map_batches(edge_msgs, batch_format="pyarrow")
+            .union(vs.map_batches(zero_msgs, batch_format="pyarrow"))
+            .map_batches(msg_partial, batch_format="pyarrow")
+            .groupby("__v").aggregate(Sum("s", alias_name="s")),
+            pa.schema([("__v", pa.string()), ("s", pa.int64())]))
+
+        def apply_x(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "vertex": batch.column("__v"),
+                "katz_e6": pa.array(E6 + s // beta_den, pa.int64()),
+            })
+
+        ranks = _repaired(
+            merged.map_batches(apply_x, batch_format="pyarrow"),
+            out_schema)
+
+    return ranks

@@ -1081,3 +1081,31 @@ def test_heavy_hitters_grouped_per_group_thresholds(ray_session):
         rec = set(map(tuple, got[["source", "token", "n"]]
                       .itertuples(index=False)))
         assert rec == {("A", "x", 12), ("B", "q", 8)}
+
+
+def test_katz_matches_naive_integer_spec(ray_session):
+    from raygraph.ops.graph import katz_centrality
+
+    got = katz_centrality(_edges_ds(), iters=3, beta_den=5).to_pandas()
+    got = dict(zip(got["vertex"], got["katz_e6"].astype(int)))
+
+    verts = sorted({u for u, _ in PAIRS} | {v for _, v in PAIRS})
+    x = {v: 10**6 for v in verts}
+    for _ in range(3):
+        s = collections.defaultdict(int)
+        for u, v in PAIRS:
+            s[v] += x[u]
+        x = {v: 10**6 + s.get(v, 0) // 5 for v in verts}
+    assert got == x
+    # sinks with no in-arcs stay at exactly 1.0
+    assert got["d"] == 10**6 and got["x"] == 10**6
+
+
+def test_katz_deterministic_across_parallelism(ray_session):
+    from raygraph.ops.graph import katz_centrality
+
+    a = katz_centrality(_edges_ds(), iters=2).to_pandas() \
+        .sort_values("vertex")
+    b = katz_centrality(_edges_ds().repartition(7), iters=2).to_pandas() \
+        .sort_values("vertex")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
