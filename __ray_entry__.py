@@ -718,6 +718,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return katz_centrality(ed, iters=3, beta_den=5)
 
+    def kg_wl(sf_dir):
+        # Weisfeiler–Lehman color refinement (2 rounds): structural-
+        # role fingerprinting of the built graph — md5-bridged
+        # neighbor-multiset hashing, final color-class histogram
+        from raygraph.ops.graph import wl_colors
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return wl_colors(ed, iters=2)
+
     def kg_reciprocity(sf_dir):
         # graph reciprocity: share (exact bp) of distinct non-loop arcs
         # whose reverse arc also exists — one distinct-intersect
@@ -6898,6 +6908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
         "kg_katz": kg_katz,
+        "kg_wl": kg_wl,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -7865,6 +7876,38 @@ def _katz_sql(edges_sql: str, iters: int, beta_den: int) -> str:
     return "".join(parts)
 
 
+def _wl_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled Weisfeiler–Lehman refinement mirroring
+    raygraph.ops.graph.wl_colors term for term: undirected simple
+    graph, c0 = md5(degree), per round md5(own || '|' ||
+    sorted ','-joined neighbor colors) — md5 + binary collation make
+    the class histogram bit-identical across engines."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v "
+        "FROM pr WHERE u <> v)",
+        ", arcs AS (SELECT u AS a, v AS b FROM und "
+        "UNION ALL SELECT v, u FROM und)",
+        ", deg AS (SELECT a AS vertex, count(*)::BIGINT AS d "
+        "FROM arcs GROUP BY a)",
+        ", c0 AS (SELECT vertex, md5(d::VARCHAR) AS c FROM deg)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", n{i} AS (SELECT a2.b AS vertex, "
+            f"string_agg(c.c, ',' ORDER BY c.c) AS nbs "
+            f"FROM arcs a2 JOIN c{i} c ON a2.a = c.vertex GROUP BY a2.b)",
+            f", c{i + 1} AS (SELECT n.vertex, "
+            f"md5(c.c || '|' || n.nbs) AS c "
+            f"FROM n{i} n JOIN c{i} c ON n.vertex = c.vertex)",
+        ]
+    parts.append(
+        f" SELECT c AS color, count(*)::BIGINT AS size "
+        f"FROM c{iters} GROUP BY c")
+    return "".join(parts)
+
+
 def _components_sql(edges_sql: str, iters: int) -> str:
     """Machine-unrolled label propagation: per round, the neighborhood
     minimum folds into each vertex's label (least/coalesce), mirroring
@@ -8136,6 +8179,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_katz": _katz_sql(kg_edges_sql, iters=3, beta_den=5),
+        "kg_wl": _wl_sql(kg_edges_sql, iters=2),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
         "kg_reciprocity": f"""

@@ -2509,3 +2509,99 @@ def katz_centrality(edges, iters: int = 3, beta_den: int = 5,
             out_schema)
 
     return ranks
+
+
+def wl_colors(edges, iters: int = 2, src: str = "_from", dst: str = "_to"):
+    """Weisfeiler–Lehman color refinement over the undirected simple
+    graph — ``iters`` rounds of neighbor-multiset hashing; returns the
+    final color-class histogram (color, size).
+
+    Exact string spec (md5 is the cross-engine hash bridge):
+
+    * ``c0(v) = md5(str(deg(v)))``
+    * per round ``c'(v) = md5(c(v) || '|' || ','.join(sorted(c(u) for
+      u ~ v)))`` — lexicographic sort, binary collation both engines
+
+    WL classes are the canonical structural-role fingerprint (graph
+    isomorphism's workhorse); over the exported edge table
+    (src/graph_loader.rs:629 do_edges) the histogram profiles how many
+    distinct local topologies the built KG contains. Per round: one
+    edge-sized shuffle join (arcs pick up their endpoint's color), one
+    hash-bucketed sorted-concat per vertex, one vertex-sized join to
+    fold the own color back in. Color state stays a Dataset.
+    """
+    import hashlib
+
+    from .relational import hash_aggregate, preagg_sum, shuffle_join
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("color", pa.string()), ("size", pa.int64())])
+    und, deg, nparts = _und_graph(edges, src, dst)
+    if und.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    col_schema = pa.schema([("vertex", pa.string()), ("c", pa.string())])
+
+    def init_colors(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_pylist()
+        return pa.table({
+            "vertex": batch.column("vtx"),
+            "c": pa.array([hashlib.md5(str(x).encode()).hexdigest()
+                           for x in d], pa.string()),
+        })
+
+    colors = _repaired(deg.map_batches(init_colors, batch_format="pyarrow"),
+                       col_schema)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().cast(pa.string())
+        v = batch.column("v").combine_chunks().cast(pa.string())
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    arcs = _repaired(und.map_batches(both_dirs, batch_format="pyarrow"),
+                     pa.schema([("a", pa.string()), ("b", pa.string())]))
+
+    for _ in range(iters):
+        # each arc picks up its tail's color; head collects the multiset
+        msgs = shuffle_join(arcs, colors, on="a", right_on="vertex",
+                            num_partitions=nparts)
+        msgs = _repaired(msgs, pa.schema([("a", pa.string()),
+                                          ("b", pa.string()),
+                                          ("c", pa.string())]))
+
+        def nb_fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = (df.sort_values(["b", "c"], kind="mergesort")
+                 .groupby("b", as_index=False)["c"]
+                 .agg(",".join))
+            return g.rename(columns={"b": "vertex", "c": "nbs"})
+
+        nb = _repaired(
+            hash_aggregate(msgs.select_columns(["b", "c"]), ["b"], nb_fold),
+            pa.schema([("vertex", pa.string()), ("nbs", pa.string())]))
+
+        j = shuffle_join(nb, colors, on="vertex", right_on="vertex",
+                         num_partitions=nparts)
+        j = _repaired(j, pa.schema([("vertex", pa.string()),
+                                    ("nbs", pa.string()),
+                                    ("c", pa.string())]))
+
+        def rehash(batch: pa.Table) -> pa.Table:
+            own = batch.column("c").to_pylist()
+            nbs = batch.column("nbs").to_pylist()
+            return pa.table({
+                "vertex": batch.column("vertex"),
+                "c": pa.array([hashlib.md5(f"{o}|{n}".encode()).hexdigest()
+                               for o, n in zip(own, nbs)], pa.string()),
+            })
+
+        colors = _repaired(j.map_batches(rehash, batch_format="pyarrow"),
+                           col_schema)
+
+    hist = preagg_sum(
+        colors.map_batches(
+            lambda b: pa.table({"color": b.column("c")}),
+            batch_format="pyarrow"),
+        ["color"], {}, counts="size")
+    return _repaired(hist, out_schema)

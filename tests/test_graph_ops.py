@@ -1109,3 +1109,46 @@ def test_katz_deterministic_across_parallelism(ray_session):
     b = katz_centrality(_edges_ds().repartition(7), iters=2).to_pandas() \
         .sort_values("vertex")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_wl_colors_matches_naive(ray_session):
+    import hashlib
+
+    from raygraph.ops.graph import wl_colors
+
+    got = wl_colors(_edges_ds(), iters=2).to_pandas()
+    got = dict(zip(got["color"], got["size"].astype(int)))
+
+    und = {tuple(sorted(p)) for p in PAIRS if p[0] != p[1]}
+    adj = collections.defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    c = {v: hashlib.md5(str(len(ns)).encode()).hexdigest()
+         for v, ns in adj.items()}
+    for _ in range(2):
+        c = {v: hashlib.md5(
+                (c[v] + "|" + ",".join(sorted(c[u] for u in adj[v])))
+                .encode()).hexdigest()
+             for v in adj}
+    exp = collections.Counter(c.values())
+    assert got == dict(exp)
+    # triangle symmetry: b and the two pendant-free... b/c/d roles differ,
+    # but the two degree-1 pendants d and x share a WL class of size 2
+    assert 2 in got.values()
+
+
+def test_wl_colors_distinguishes_star_from_path(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import wl_colors
+
+    star = rd.from_arrow(pa.table({
+        "_from": ["h", "h", "h"], "_to": ["l1", "l2", "l3"]}))
+    path = rd.from_arrow(pa.table({
+        "_from": ["p1", "p2", "p3"], "_to": ["p2", "p3", "p4"]}))
+    hs = wl_colors(star, iters=2).to_pandas()
+    hp = wl_colors(path, iters=2).to_pandas()
+    # star: hub class (1) + leaf class (3); path: ends (2) + middles (2)
+    assert sorted(hs["size"]) == [1, 3]
+    assert sorted(hp["size"]) == [2, 2]
