@@ -728,6 +728,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return wl_colors(ed, iters=2)
 
+    def kg_msf(sf_dir):
+        # Borůvka minimum spanning forest (2 hook rounds, 3-round
+        # min-label contraction) with deterministic md5 weights — the
+        # shuffle-native MST: per round an edge-sized join + a
+        # component-sized argmin, forest edges (u, v, w)
+        from raygraph.ops.graph import msf_boruvka
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return msf_boruvka(ed, iters=2, inner=3)
+
     def kg_reciprocity(sf_dir):
         # graph reciprocity: share (exact bp) of distinct non-loop arcs
         # whose reverse arc also exists — one distinct-intersect
@@ -6909,6 +6920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_katz": kg_katz,
         "kg_wl": kg_wl,
+        "kg_msf": kg_msf,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -7908,6 +7920,56 @@ def _wl_sql(edges_sql: str, iters: int) -> str:
     return "".join(parts)
 
 
+def _msf_sql(edges_sql: str, iters: int, inner: int) -> str:
+    """Machine-unrolled Borůvka minimum spanning forest mirroring
+    raygraph.ops.graph.msf_boruvka term for term: md5-derived weights
+    on canonical pairs, per round a per-component min-k hook (k =
+    zfill6(w)||'|'||ekey), pair-key dedup, then ``inner`` rounds of
+    min-label contraction over the picked component graph with
+    self-loops."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v "
+        "FROM pr WHERE u <> v)",
+        ", we AS (SELECT u, v, ('0x'||substr(md5(u||'|'||v),1,15))::BIGINT "
+        "% 1000000 AS w, u||'|'||v AS ekey FROM und)",
+        ", vv AS (SELECT u AS x FROM und UNION SELECT v FROM und)",
+        ", l0 AS (SELECT x, x AS c FROM vv)",
+    ]
+    for i in range(iters):
+        parts += [
+            f", x{i} AS (SELECT e.u, e.v, e.w, e.ekey, lu.c AS cu, "
+            f"lv.c AS cv FROM we e JOIN l{i} lu ON e.u = lu.x "
+            f"JOIN l{i} lv ON e.v = lv.x WHERE lu.c <> lv.c)",
+            f", cand{i} AS (SELECT cu AS comp, u, v, w, ekey, cu, cv "
+            f"FROM x{i} UNION ALL "
+            f"SELECT cv, u, v, w, ekey, cu, cv FROM x{i})",
+            f", pick{i} AS (SELECT comp, "
+            f"min(lpad(w::VARCHAR, 6, '0')||'|'||ekey) AS k "
+            f"FROM cand{i} GROUP BY comp)",
+            f", ch{i} AS (SELECT DISTINCT c.u, c.v, c.w, c.ekey, c.cu, "
+            f"c.cv FROM cand{i} c JOIN pick{i} p ON c.comp = p.comp "
+            f"AND lpad(c.w::VARCHAR, 6, '0')||'|'||c.ekey = p.k)",
+            f", ca{i} AS (SELECT cu AS a, cv AS b FROM ch{i} "
+            f"UNION SELECT cv, cu FROM ch{i} "
+            f"UNION SELECT c, c FROM l{i})",
+            f", m{i}_0 AS (SELECT DISTINCT c AS comp, c AS nc FROM l{i})",
+        ]
+        for j in range(inner):
+            parts.append(
+                f", m{i}_{j + 1} AS (SELECT a.b AS comp, min(m.nc) AS nc "
+                f"FROM ca{i} a JOIN m{i}_{j} m ON a.a = m.comp "
+                f"GROUP BY a.b)")
+        parts.append(
+            f", l{i + 1} AS (SELECT l.x, m.nc AS c FROM l{i} l "
+            f"JOIN m{i}_{inner} m ON l.c = m.comp)")
+    sel = " UNION ALL ".join(
+        f"SELECT u, v, w FROM ch{i}" for i in range(iters))
+    parts.append(f" SELECT u, v, w FROM ({sel})")
+    return "".join(parts)
+
+
 def _components_sql(edges_sql: str, iters: int) -> str:
     """Machine-unrolled label propagation: per round, the neighborhood
     minimum folds into each vertex's label (least/coalesce), mirroring
@@ -8180,6 +8242,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_katz": _katz_sql(kg_edges_sql, iters=3, beta_den=5),
         "kg_wl": _wl_sql(kg_edges_sql, iters=2),
+        "kg_msf": _msf_sql(kg_edges_sql, iters=2, inner=3),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
         "kg_reciprocity": f"""

@@ -2605,3 +2605,203 @@ def wl_colors(edges, iters: int = 2, src: str = "_from", dst: str = "_to"):
             batch_format="pyarrow"),
         ["color"], {}, counts="size")
     return _repaired(hist, out_schema)
+
+
+def _md5_weight(u: pd.Series, v: pd.Series) -> pd.Series:
+    """Deterministic pseudo-random edge weight in [0, 10^6): the
+    established md5 hash-int bridge over the canonical pair key, so the
+    SQL oracle computes the identical weight."""
+    import hashlib
+
+    key = u.str.cat(v, sep="|")
+    return key.map(lambda s: int(hashlib.md5(s.encode())
+                                 .hexdigest()[:15], 16) % 1000000)
+
+
+def msf_boruvka(edges, iters: int = 2, inner: int = 3,
+                src: str = "_from", dst: str = "_to"):
+    """Borůvka minimum spanning forest over the undirected simple graph
+    with deterministic md5-derived weights — ``iters`` synchronous
+    rounds, each followed by ``inner`` rounds of min-label contraction.
+
+    Exact spec (the SQL oracle unrolls it term for term):
+
+    * weight ``w(u,v) = md5int15(u||'|'||v) % 10^6`` on canonical
+      ``u < v`` pairs; tie-break key ``k = zfill6(w)||'|'||u||'|'||v``
+    * per round every component picks its minimum-``k`` incident edge
+      crossing to another component (classic Borůvka hook); picked
+      edges dedup on the pair key and join the forest
+    * contraction = ``inner`` rounds of synchronous min-label
+      propagation over the picked component graph (+ self-loops), so
+      merged components converge to their minimum member label
+
+    Borůvka is THE shuffle-native MST algorithm (O(log n) rounds, each
+    an edge-sized join + a component-sized argmin) — per round: two
+    edge⋈label joins, one hash-bucketed per-component argmin, one pair
+    dedup, then component-sized contraction joins. All state stays
+    Datasets; with fixed round counts the output is bit-identical at
+    any parallelism, picked-but-unconverged rounds included.
+
+    Returns the forest edge set (u, v, w).
+    """
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_extreme, shuffle_join)
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("w", pa.int64())])
+    und, _deg, nparts = _und_graph(edges, src, dst)
+    if und.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    we_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                           ("w", pa.int64()), ("ekey", pa.string())])
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["w"] = _md5_weight(df["u"], df["v"]).astype("int64")
+        df["ekey"] = df["u"].str.cat(df["v"], sep="|")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    we = _repaired(und.map_batches(weigh, batch_format="pyarrow"),
+                   we_schema)
+
+    lab_schema = pa.schema([("x", pa.string()), ("c", pa.string())])
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        x = pa.concat_arrays([
+            batch.column("u").combine_chunks().cast(pa.string()),
+            batch.column("v").combine_chunks().cast(pa.string())])
+        return pa.table({"x": x, "c": x})
+
+    labels = _repaired(
+        hash_aggregate(
+            und.map_batches(init_labels, batch_format="pyarrow"),
+            ["x"], lambda df: df.drop_duplicates()),
+        lab_schema)
+
+    forest: list = []
+    cross_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                              ("w", pa.int64()), ("ekey", pa.string()),
+                              ("cu", pa.string()), ("cv", pa.string())])
+
+    for _ in range(iters):
+        ju = shuffle_join(we, labels, on="u", right_on="x",
+                          num_partitions=nparts)
+        ju = _repaired(
+            ju.map_batches(
+                lambda b: b.rename_columns(
+                    ["u", "v", "w", "ekey", "cu"]),
+                batch_format="pyarrow"),
+            pa.schema(list(zip(
+                ["u", "v", "w", "ekey", "cu"],
+                [pa.string(), pa.string(), pa.int64(), pa.string(),
+                 pa.string()]))))
+        jv = shuffle_join(ju, labels, on="v", right_on="x",
+                          num_partitions=nparts)
+
+        def keep_cross(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = b.rename_columns(["u", "v", "w", "ekey", "cu", "cv"])
+            return t.filter(pc.invert(pc.equal(t.column("cu"),
+                                               t.column("cv"))))
+
+        cross = _repaired(
+            jv.map_batches(keep_cross, batch_format="pyarrow"),
+            cross_schema)
+        if cross.count() == 0:
+            break
+
+        def orient(batch: pa.Table) -> pa.Table:
+            t1 = batch.append_column(
+                "comp", batch.column("cu").combine_chunks())
+            t2 = batch.append_column(
+                "comp", batch.column("cv").combine_chunks())
+            return pa.concat_tables([t1, t2])
+
+        cand = _repaired(
+            cross.map_batches(orient, batch_format="pyarrow"),
+            cross_schema.append(pa.field("comp", pa.string())))
+
+        def pick_min(df: pd.DataFrame) -> pd.DataFrame:
+            k = (df["w"].astype("int64").astype(str).str.zfill(6)
+                 .str.cat(df["ekey"], sep="|"))
+            df = df.assign(__k=k)
+            out = df.loc[df.groupby("comp")["__k"].idxmin()]
+            return out.drop(columns="__k")
+
+        picked = _repaired(
+            hash_aggregate(cand, ["comp"], pick_min),
+            cross_schema.append(pa.field("comp", pa.string())))
+
+        chosen = _repaired(
+            hash_aggregate(
+                picked.select_columns(
+                    ["u", "v", "w", "ekey", "cu", "cv"]),
+                ["ekey"], lambda df: df.drop_duplicates("ekey")),
+            cross_schema)
+        forest.append(chosen.select_columns(["u", "v", "w"]))
+
+        # contraction: min-label propagation over the picked component
+        # graph — self-loops keep untouched components fixed
+        ca_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+        def comp_arcs(batch: pa.Table) -> pa.Table:
+            cu = batch.column("cu").combine_chunks().cast(pa.string())
+            cv = batch.column("cv").combine_chunks().cast(pa.string())
+            return pa.table({"a": pa.concat_arrays([cu, cv]),
+                             "b": pa.concat_arrays([cv, cu])})
+
+        def self_arcs(batch: pa.Table) -> pa.Table:
+            c = batch.column("c").combine_chunks().cast(pa.string())
+            return pa.table({"a": c, "b": c})
+
+        ca = _repaired(
+            hash_aggregate(
+                chosen.map_batches(comp_arcs, batch_format="pyarrow")
+                .union(labels.map_batches(self_arcs,
+                                          batch_format="pyarrow")),
+                ["a", "b"], lambda df: df.drop_duplicates()),
+            ca_schema)
+
+        cmap_schema = pa.schema([("comp", pa.string()),
+                                 ("nc", pa.string())])
+        cmap = _repaired(
+            hash_aggregate(
+                labels.map_batches(
+                    lambda b: pa.table({
+                        "comp": b.column("c"),
+                        "nc": b.column("c")}),
+                    batch_format="pyarrow"),
+                ["comp"], lambda df: df.drop_duplicates()),
+            cmap_schema)
+        for _j in range(inner):
+            step = shuffle_join(ca, cmap, on="a", right_on="comp",
+                                num_partitions=nparts)
+            step = _repaired(
+                step.map_batches(
+                    lambda b: pa.table({"comp": b.column("b"),
+                                        "nc": b.column("nc")}),
+                    batch_format="pyarrow"),
+                cmap_schema)
+            cmap = _repaired(
+                preagg_extreme(step, ["comp"], "nc", how="min"),
+                cmap_schema)
+
+        relab = shuffle_join(labels, cmap, on="c", right_on="comp",
+                             num_partitions=nparts)
+        labels = _repaired(
+            relab.map_batches(
+                lambda b: pa.table({"x": b.column("x"),
+                                    "c": b.column("nc")}),
+                batch_format="pyarrow"),
+            lab_schema)
+
+    if not forest:
+        return rd.from_arrow(out_schema.empty_table())
+    out = forest[0]
+    for f in forest[1:]:
+        out = out.union(f)
+    return _repaired(out, out_schema)

@@ -1152,3 +1152,63 @@ def test_wl_colors_distinguishes_star_from_path(ray_session):
     # star: hub class (1) + leaf class (3); path: ends (2) + middles (2)
     assert sorted(hs["size"]) == [1, 3]
     assert sorted(hp["size"]) == [2, 2]
+
+
+def _md5w(u, v):
+    import hashlib
+
+    return int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:15],
+               16) % 1000000
+
+
+def test_msf_matches_kruskal(ray_session):
+    from raygraph.ops.graph import msf_boruvka
+
+    got = msf_boruvka(_edges_ds(), iters=2, inner=3).to_pandas()
+    got_set = {(r.u, r.v, int(r.w)) for r in got.itertuples()}
+
+    # distinct md5 weights -> the MSF is unique, so Kruskal agrees
+    und = sorted({tuple(sorted(p)) for p in PAIRS if p[0] != p[1]})
+    wed = sorted(((u, v, _md5w(u, v)) for u, v in und),
+                 key=lambda t: (t[2], t[0], t[1]))
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp = set()
+    for u, v, w in wed:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            exp.add((u, v, w))
+    assert got_set == exp
+    # spanning: |V|-1 edges for one connected component
+    verts = {x for p in und for x in p}
+    assert len(got_set) == len(verts) - 1
+
+
+def test_msf_deterministic_across_parallelism(ray_session):
+    from raygraph.ops.graph import msf_boruvka
+
+    a = msf_boruvka(_edges_ds(), iters=2).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    b = msf_boruvka(_edges_ds().repartition(7), iters=2).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_msf_forest_on_disconnected_graph(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import msf_boruvka
+
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "b", "p", "q"],
+        "_to": ["b", "c", "q", "r"]}))
+    got = msf_boruvka(ed, iters=2).to_pandas()
+    # two components of 3 vertices each -> 2+2 forest edges
+    assert len(got) == 4
