@@ -901,6 +901,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(appended, batch_format="pyarrow"))
         return D.simhash_hamming_pairs(corpus, max_hamming=3, bands=4)
 
+    def dedup_sn_pairs(sf_dir):
+        # sorted-neighborhood blocking (window 3): candidate pairs
+        # within a 3-row sliding window of the corpus sorted by the
+        # lowercased 16-char text prefix — global rank via the
+        # two-phase ordered prefix-sum (no global sort), then one
+        # int-keyed join; the record-linkage complement of LSH
+        from raygraph.ops.dedup import sorted_neighborhood_pairs
+
+        docs = _docs_ds(sf_dir)
+
+        def key(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "k": pa.array(s.str.slice(0, 16).str.lower(),
+                              pa.string()),
+            })
+
+        return sorted_neighborhood_pairs(
+            docs.map_batches(key, batch_format="pyarrow"), "k",
+            id_col="doc_id", window=3)
+
     def dedup_jaccard_pairs(sf_dir):
         # exact set-similarity threshold self-join (Jaccard ≥ 0.8) via
         # AllPairs prefix filtering over docs ∪ one-token-appended
@@ -6949,6 +6971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_sn_pairs": dedup_sn_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "docs_boilerplate": docs_boilerplate,
         "docs_split_assign": docs_split_assign,
@@ -7924,49 +7947,49 @@ def _msf_sql(edges_sql: str, iters: int, inner: int) -> str:
     """Machine-unrolled Borůvka minimum spanning forest mirroring
     raygraph.ops.graph.msf_boruvka term for term: md5-derived weights
     on canonical pairs, per round a per-component min-k hook (k =
-    zfill6(w)||'|'||ekey), pair-key dedup, then ``inner`` rounds of
-    min-label contraction over the picked component graph with
-    self-loops."""
+    zfill6(w)||'|'||ekey), pair-key dedup, then a one-hop min-parent +
+    ``inner`` pointer-jumping rounds over the picked component graph
+    with self-loops; final forest = DISTINCT picked edges."""
     parts = [
         f"WITH edges AS ({edges_sql})",
-        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
-        ", und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v "
+        ", pr AS MATERIALIZED (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v "
         "FROM pr WHERE u <> v)",
-        ", we AS (SELECT u, v, ('0x'||substr(md5(u||'|'||v),1,15))::BIGINT "
+        ", we AS MATERIALIZED (SELECT u, v, ('0x'||substr(md5(u||'|'||v),1,15))::BIGINT "
         "% 1000000 AS w, u||'|'||v AS ekey FROM und)",
-        ", vv AS (SELECT u AS x FROM und UNION SELECT v FROM und)",
-        ", l0 AS (SELECT x, x AS c FROM vv)",
+        ", vv AS MATERIALIZED (SELECT u AS x FROM und UNION SELECT v FROM und)",
+        ", l0 AS MATERIALIZED (SELECT x, x AS c FROM vv)",
     ]
     for i in range(iters):
         parts += [
-            f", x{i} AS (SELECT e.u, e.v, e.w, e.ekey, lu.c AS cu, "
+            f", x{i} AS MATERIALIZED (SELECT e.u, e.v, e.w, e.ekey, lu.c AS cu, "
             f"lv.c AS cv FROM we e JOIN l{i} lu ON e.u = lu.x "
             f"JOIN l{i} lv ON e.v = lv.x WHERE lu.c <> lv.c)",
-            f", cand{i} AS (SELECT cu AS comp, u, v, w, ekey, cu, cv "
+            f", cand{i} AS MATERIALIZED (SELECT cu AS comp, u, v, w, ekey, cu, cv "
             f"FROM x{i} UNION ALL "
             f"SELECT cv, u, v, w, ekey, cu, cv FROM x{i})",
-            f", pick{i} AS (SELECT comp, "
+            f", pick{i} AS MATERIALIZED (SELECT comp, "
             f"min(lpad(w::VARCHAR, 6, '0')||'|'||ekey) AS k "
             f"FROM cand{i} GROUP BY comp)",
-            f", ch{i} AS (SELECT DISTINCT c.u, c.v, c.w, c.ekey, c.cu, "
+            f", ch{i} AS MATERIALIZED (SELECT DISTINCT c.u, c.v, c.w, c.ekey, c.cu, "
             f"c.cv FROM cand{i} c JOIN pick{i} p ON c.comp = p.comp "
             f"AND lpad(c.w::VARCHAR, 6, '0')||'|'||c.ekey = p.k)",
-            f", ca{i} AS (SELECT cu AS a, cv AS b FROM ch{i} "
+            f", ca{i} AS MATERIALIZED (SELECT cu AS a, cv AS b FROM ch{i} "
             f"UNION SELECT cv, cu FROM ch{i} "
             f"UNION SELECT c, c FROM l{i})",
-            f", m{i}_0 AS (SELECT DISTINCT c AS comp, c AS nc FROM l{i})",
+            f", m{i}_0 AS MATERIALIZED (SELECT b AS comp, min(a) AS nc "
+            f"FROM ca{i} GROUP BY b)",
         ]
         for j in range(inner):
             parts.append(
-                f", m{i}_{j + 1} AS (SELECT a.b AS comp, min(m.nc) AS nc "
-                f"FROM ca{i} a JOIN m{i}_{j} m ON a.a = m.comp "
-                f"GROUP BY a.b)")
+                f", m{i}_{j + 1} AS MATERIALIZED (SELECT x.comp, y.nc "
+                f"FROM m{i}_{j} x JOIN m{i}_{j} y ON x.nc = y.comp)")
         parts.append(
-            f", l{i + 1} AS (SELECT l.x, m.nc AS c FROM l{i} l "
+            f", l{i + 1} AS MATERIALIZED (SELECT l.x, m.nc AS c FROM l{i} l "
             f"JOIN m{i}_{inner} m ON l.c = m.comp)")
     sel = " UNION ALL ".join(
         f"SELECT u, v, w FROM ch{i}" for i in range(iters))
-    parts.append(f" SELECT u, v, w FROM ({sel})")
+    parts.append(f" SELECT DISTINCT u, v, w FROM ({sel})")
     return "".join(parts)
 
 
@@ -10604,6 +10627,24 @@ def oracle_sql() -> dict[str, str]:
         # c - ceil(t·c) + 1, candidates = pairs sharing a prefix token,
         # verify = exact integer jaccard_bp — identical semantics to
         # raygraph.ops.dedup.jaccard_threshold_pairs
+        # sorted-neighborhood blocking: rank by (key, id), pairs within
+        # a 3-row window — mirrors raygraph.ops.dedup.
+        # sorted_neighborhood_pairs (rank base cancels in the gap)
+        "dedup_sn_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(substr(coalesce(text, ''), 1, 16)) AS k
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY k, doc_id) AS rn
+              FROM d
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (b.rn - a.rn)::BIGINT AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+        """,
         "dedup_jaccard_pairs": f"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents

@@ -1266,3 +1266,78 @@ def sentence_dedup_stats(ds, text_col: str = "text",
             preserve_index=False)
 
     return tot.map_batches(finish, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(ds, key_col: str, id_col: str = "doc_id",
+                              window: int = 3, n_tiles: int = 16):
+    """Sorted-neighborhood blocking — the classic record-linkage
+    candidate generator (Hernández & Stolfo): sort the corpus by a
+    blocking key, slide a ``window``-row neighborhood, and emit every
+    in-window pair. Complements MinHash/LSH blocking: catches near-typo
+    neighbors that shingle bands miss when edits hit every shingle.
+
+    Distributed shape (no global sort materialization): the global
+    rank is the two-phase :func:`~raygraph.ops.relational.
+    ordered_prefix_sum` scan over a constant-1 column ordered by
+    ``(key_col, id_col)`` (exact range tiles, tile offsets are the only
+    driver state); each row then fans out ``window`` probe rows
+    ``rank + j`` and one int-keyed shuffle join aligns them with their
+    neighbors — O(window · n) rows exchanged, never a pairwise product.
+
+    Returns (id_a, id_b, gap) with id_a the earlier row in sort order
+    and gap = rank distance in [1, window].
+    """
+    from .relational import ordered_prefix_sum, shuffle_join, \
+        _join_partitions
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("gap", pa.int64())])
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column(key_col),
+            "i": batch.column(id_col),
+            "__one": pa.array(np.ones(batch.num_rows, dtype="int64")),
+        })
+
+    ranked = ordered_prefix_sum(
+        ds.map_batches(one, batch_format="pyarrow"),
+        "k", "__one", n_tiles=n_tiles, out="rn", tie_cols=("i",))
+
+    from raygraph.ops.graph import _repaired
+
+    probe_schema = pa.schema([("id_a", pa.int64()), ("gap", pa.int64()),
+                              ("t", pa.int64())])
+
+    def probes(df: pd.DataFrame) -> pa.Table:
+        outs = []
+        for j in range(1, window + 1):
+            outs.append(pd.DataFrame({
+                "id_a": df["i"], "gap": np.int64(j),
+                "t": df["rn"] + j}))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    left = _repaired(ranked.map_batches(probes, batch_format="pandas"),
+                     probe_schema)
+    right = _repaired(
+        ranked.map_batches(
+            lambda df: pa.Table.from_pandas(
+                pd.DataFrame({"id_b": df["i"], "rn": df["rn"]}),
+                preserve_index=False),
+            batch_format="pandas"),
+        pa.schema([("id_b", pa.int64()), ("rn", pa.int64())]))
+
+    if left.count() == 0 or right.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    j = shuffle_join(left, right, on="t", right_on="rn",
+                     num_partitions=_join_partitions(right.count()))
+    return _repaired(
+        j.map_batches(
+            lambda b: pa.table({"id_a": b.column("id_a"),
+                                "id_b": b.column("id_b"),
+                                "gap": b.column("gap")}),
+            batch_format="pyarrow"),
+        out_schema)

@@ -2631,9 +2631,12 @@ def msf_boruvka(edges, iters: int = 2, inner: int = 3,
     * per round every component picks its minimum-``k`` incident edge
       crossing to another component (classic Borůvka hook); picked
       edges dedup on the pair key and join the forest
-    * contraction = ``inner`` rounds of synchronous min-label
-      propagation over the picked component graph (+ self-loops), so
-      merged components converge to their minimum member label
+    * contraction = a one-hop min-parent ``p0(c) = min(c, picked
+      neighbors)`` followed by ``inner`` pointer-jumping rounds
+      ``p <- p∘p`` over the picked component graph (+ self-loops):
+      reach doubles per round, so chains up to 2^inner components
+      collapse to their minimum label; the final forest dedups on the
+      pair key (an unconverged pair may re-pick the same edge)
 
     Borůvka is THE shuffle-native MST algorithm (O(log n) rounds, each
     an edge-sized join + a component-sized argmin) — per round: two
@@ -2742,7 +2745,7 @@ def msf_boruvka(edges, iters: int = 2, inner: int = 3,
                     ["u", "v", "w", "ekey", "cu", "cv"]),
                 ["ekey"], lambda df: df.drop_duplicates("ekey")),
             cross_schema)
-        forest.append(chosen.select_columns(["u", "v", "w"]))
+        forest.append(chosen.select_columns(["u", "v", "w", "ekey"]))
 
         # contraction: min-label propagation over the picked component
         # graph — self-loops keep untouched components fixed
@@ -2766,28 +2769,34 @@ def msf_boruvka(edges, iters: int = 2, inner: int = 3,
                 ["a", "b"], lambda df: df.drop_duplicates()),
             ca_schema)
 
+        # one-hop min-parent p0(c) = min(c, picked neighbors), then
+        # ``inner`` pointer-jumping rounds p <- p∘p: reach doubles per
+        # round, so chains up to 2^inner components collapse — the
+        # contraction converges exponentially instead of one hop/round
         cmap_schema = pa.schema([("comp", pa.string()),
                                  ("nc", pa.string())])
         cmap = _repaired(
-            hash_aggregate(
-                labels.map_batches(
-                    lambda b: pa.table({
-                        "comp": b.column("c"),
-                        "nc": b.column("c")}),
+            preagg_extreme(
+                ca.map_batches(
+                    lambda b: pa.table({"comp": b.column("b"),
+                                        "nc": b.column("a")}),
                     batch_format="pyarrow"),
-                ["comp"], lambda df: df.drop_duplicates()),
+                ["comp"], "nc", how="min"),
             cmap_schema)
         for _j in range(inner):
-            step = shuffle_join(ca, cmap, on="a", right_on="comp",
-                                num_partitions=nparts)
-            step = _repaired(
-                step.map_batches(
-                    lambda b: pa.table({"comp": b.column("b"),
-                                        "nc": b.column("nc")}),
+            rhs = _repaired(
+                cmap.map_batches(
+                    lambda b: b.rename_columns(["comp2", "nc2"]),
                     batch_format="pyarrow"),
-                cmap_schema)
+                pa.schema([("comp2", pa.string()),
+                           ("nc2", pa.string())]))
+            step = shuffle_join(cmap, rhs, on="nc", right_on="comp2",
+                                num_partitions=nparts)
             cmap = _repaired(
-                preagg_extreme(step, ["comp"], "nc", how="min"),
+                step.map_batches(
+                    lambda b: pa.table({"comp": b.column("comp"),
+                                        "nc": b.column("nc2")}),
+                    batch_format="pyarrow"),
                 cmap_schema)
 
         relab = shuffle_join(labels, cmap, on="c", right_on="comp",
@@ -2804,4 +2813,11 @@ def msf_boruvka(edges, iters: int = 2, inner: int = 3,
     out = forest[0]
     for f in forest[1:]:
         out = out.union(f)
-    return _repaired(out, out_schema)
+    # a not-yet-contracted component pair can re-pick the same edge in
+    # a later round — the forest is the DISTINCT picked edge set
+    out = _repaired(
+        hash_aggregate(out, ["ekey"],
+                       lambda df: df.drop_duplicates("ekey")),
+        pa.schema([("u", pa.string()), ("v", pa.string()),
+                   ("w", pa.int64()), ("ekey", pa.string())]))
+    return _repaired(out.select_columns(["u", "v", "w"]), out_schema)

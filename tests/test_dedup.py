@@ -324,3 +324,42 @@ def test_jaccard_threshold_pairs_exact(ray_session):
             for r in out2.itertuples(index=False)}
     assert got2 == {(1, 2): 8333, (1, 3): 4285,   # 3/7
                     (2, 3): 3750}                  # 3/8
+
+
+def test_sorted_neighborhood_pairs_matches_window(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.dedup import sorted_neighborhood_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [5, 1, 3, 2, 4],
+        "k": ["bb", "aa", "ab", "aa", "zz"],
+    }))
+    got = sorted_neighborhood_pairs(ds, "k", window=2, n_tiles=2) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # sort order by (k, id): (aa,1) (aa,2) (ab,3) (bb,5) (zz,4)
+    order = [1, 2, 3, 5, 4]
+    exp = sorted((order[i], order[i + j], j)
+                 for i in range(5) for j in (1, 2) if i + j < 5)
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+
+def test_sorted_neighborhood_deterministic_across_layout(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.dedup import sorted_neighborhood_pairs
+
+    t = pa.table({"doc_id": list(range(40)),
+                  "k": [f"k{i % 7}" for i in range(40)]})
+    a = sorted_neighborhood_pairs(rd.from_arrow(t), "k", window=3) \
+        .to_pandas().sort_values(["id_a", "id_b", "gap"]) \
+        .reset_index(drop=True)
+    b = sorted_neighborhood_pairs(rd.from_arrow(t).repartition(9), "k",
+                                  window=3) \
+        .to_pandas().sort_values(["id_a", "id_b", "gap"]) \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    # every non-final row pairs forward: 39+38+37 pairs
+    assert len(a) == 39 + 38 + 37

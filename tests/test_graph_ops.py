@@ -1212,3 +1212,18 @@ def test_msf_forest_on_disconnected_graph(ray_session):
     got = msf_boruvka(ed, iters=2).to_pandas()
     # two components of 3 vertices each -> 2+2 forest edges
     assert len(got) == 4
+
+
+def test_msf_long_chain_converges_and_dedups(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import msf_boruvka
+
+    # a 24-vertex path: every edge is a bridge, so the forest must be
+    # exactly the 23 path edges with NO duplicate picks across rounds
+    names = [f"n{i:02d}" for i in range(24)]
+    ed = rd.from_arrow(pa.table({
+        "_from": names[:-1], "_to": names[1:]}))
+    got = msf_boruvka(ed, iters=4, inner=4).to_pandas()
+    assert len(got) == 23
+    assert not got.duplicated(["u", "v"]).any()
