@@ -923,6 +923,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(key, batch_format="pyarrow"), "k",
             id_col="doc_id", window=3)
 
+    def dedup_er_scores(sf_dir):
+        # Fellegi–Sunter-style record-linkage scoring over the
+        # sorted-neighborhood candidates: two id-keyed joins pull both
+        # sides' attributes, integer agreement weights (lang 40,
+        # source 30, |len diff| <= 8 -> 20) sum to a match score —
+        # blocking + field-agreement ER without a pairwise product
+        from raygraph.ops.dedup import sorted_neighborhood_pairs
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import _join_partitions, shuffle_join
+
+        docs = _docs_ds(sf_dir,
+                        columns=("doc_id", "text", "lang", "source",
+                                 "n_chars"))
+
+        def key(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "k": pa.array(s.str.slice(0, 16).str.lower(),
+                              pa.string()),
+            })
+
+        pairs = sorted_neighborhood_pairs(
+            docs.map_batches(key, batch_format="pyarrow"), "k",
+            id_col="doc_id", window=3)
+
+        attrs = _repaired(
+            docs.map_batches(
+                lambda b: b.select(["doc_id", "lang", "source",
+                                    "n_chars"]),
+                batch_format="pyarrow"),
+            pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                       ("source", pa.string()),
+                       ("n_chars", pa.int64())]))
+        nparts = _join_partitions(pairs.count())
+
+        ja = shuffle_join(pairs, attrs, on="id_a", right_on="doc_id",
+                          num_partitions=nparts)
+        ja = _repaired(
+            ja.map_batches(
+                lambda b: b.rename_columns(
+                    ["id_a", "id_b", "gap", "lang_a", "source_a",
+                     "len_a"]),
+                batch_format="pyarrow"),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("gap", pa.int64()), ("lang_a", pa.string()),
+                       ("source_a", pa.string()),
+                       ("len_a", pa.int64())]))
+        jb = shuffle_join(ja, attrs, on="id_b", right_on="doc_id",
+                          num_partitions=nparts)
+
+        def score(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df.columns = ["id_a", "id_b", "gap", "lang_a", "source_a",
+                          "len_a", "lang_b", "source_b", "len_b"]
+            sc = (40 * (df["lang_a"] == df["lang_b"]).astype("int64")
+                  + 30 * (df["source_a"] == df["source_b"])
+                  .astype("int64")
+                  + 20 * ((df["len_a"] - df["len_b"]).abs() <= 8)
+                  .astype("int64"))
+            return pa.table({
+                "id_a": pa.array(df["id_a"], pa.int64()),
+                "id_b": pa.array(df["id_b"], pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+            })
+
+        return _repaired(
+            jb.map_batches(score, batch_format="pyarrow"),
+            pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("score", pa.int64())]))
+
     def dedup_jaccard_pairs(sf_dir):
         # exact set-similarity threshold self-join (Jaccard ≥ 0.8) via
         # AllPairs prefix filtering over docs ∪ one-token-appended
@@ -6972,6 +7043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_sn_pairs": dedup_sn_pairs,
+        "dedup_er_scores": dedup_er_scores,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "docs_boilerplate": docs_boilerplate,
         "docs_split_assign": docs_split_assign,
@@ -10643,6 +10715,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    (b.rn - a.rn)::BIGINT AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+        """,
+        # Fellegi–Sunter agreement scoring over the sorted-neighborhood
+        # window: same rank CTE + two attribute joins, integer weights
+        "dedup_er_scores": """
+            WITH d AS (
+              SELECT doc_id, lang, source, n_chars,
+                     lower(substr(coalesce(text, ''), 1, 16)) AS k
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (ORDER BY k, doc_id) AS rn
+              FROM d
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (CASE WHEN a.lang = b.lang THEN 40 ELSE 0 END
+                    + CASE WHEN a.source = b.source THEN 30 ELSE 0 END
+                    + CASE WHEN abs(a.n_chars - b.n_chars) <= 8
+                           THEN 20 ELSE 0 END)::BIGINT AS score
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
         """,
         "dedup_jaccard_pairs": f"""
