@@ -4292,6 +4292,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ["doc_id", "text", "lang", "source",
                                 "n_chars"])
 
+    def orders_ivm_view(sf_dir):
+        # incremental view maintenance (counting algorithm) for the
+        # revenue-per-customer aggregate view: base view over ALL
+        # orders, then a changeset — deletes (key % 17 = 0) and
+        # doubled-price inserts (key % 13 = 0) — applied as SIGNED
+        # delta partials merged in one combiner preagg; groups whose
+        # count hits zero drop. The oracle is the full recompute over
+        # (base \ deletes) ∪ inserts — hash equality IS the IVM
+        # correctness claim
+        from raygraph.ops.relational import ivm_merge, preagg_sum
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def cents(mult: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                return pa.table({
+                    "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                    "o_custkey": pa.array(df["o_custkey"], pa.int64()),
+                    "revenue_cents": pa.array(
+                        mult * np.round(df["o_totalprice"] * 100)
+                        .astype("int64"), pa.int64()),
+                })
+            return fn
+
+        base = orders.map_batches(cents(1), batch_format="pyarrow")
+        view = preagg_sum(base, ["o_custkey"],
+                          {"revenue_cents": "revenue_cents"},
+                          counts="n_orders")
+
+        def keysel(mod: int, residue: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                k = batch.column("o_orderkey").to_numpy(
+                    zero_copy_only=False)
+                return batch.filter(pa.array(k % mod == residue))
+            return fn
+
+        dels = base.map_batches(keysel(17, 0), batch_format="pyarrow") \
+            .select_columns(["o_custkey", "revenue_cents"])
+        ins = orders.map_batches(keysel(13, 0), batch_format="pyarrow") \
+            .map_batches(cents(2), batch_format="pyarrow") \
+            .select_columns(["o_custkey", "revenue_cents"])
+
+        merged = ivm_merge(view, [(dels, -1), (ins, +1)],
+                           ["o_custkey"], ["revenue_cents"],
+                           count_col="n_orders")
+        return merged.select_columns(
+            ["o_custkey", "n_orders", "revenue_cents"])
+
     def orders_merged(sf_dir):
         # CDC merge (MERGE INTO): apply a deterministic changeset —
         # deletes (key % 13 = 0), updates (key % 7 = 0, price + 500)
@@ -7284,6 +7337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
+        "orders_ivm_view": orders_ivm_view,
         "orders_merged": orders_merged,
         "embedding_kmeans": embedding_kmeans,
         "tpch_salted_priority": tpch_salted_priority,
@@ -9017,6 +9071,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # IVM correctness: the oracle is the FULL recompute over
+        # (orders minus deletes) union doubled inserts — the Ray side
+        # only ever touches the delta, yet must match bit-for-bit
+        "orders_ivm_view": """
+            WITH eff AS (
+              SELECT o_custkey,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                     AS cents
+              FROM orders WHERE o_orderkey % 17 <> 0
+              UNION ALL
+              SELECT o_custkey,
+                     2 * CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                   sum(cents)::BIGINT AS revenue_cents
+            FROM eff GROUP BY o_custkey
         """,
         "orders_merged": """
             WITH b AS (

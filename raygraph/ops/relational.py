@@ -1564,3 +1564,52 @@ def key_skew_report(ds, key: str, top: int = 10):
     head["n"] = head["n"].astype("int64")
     head["share_bp"] = head["share_bp"].astype("int64")
     return head.reset_index(drop=True)
+
+
+def ivm_merge(view, deltas, keys: Sequence[str],
+              value_cols: Sequence[str], count_col: str = "n"):
+    """Incremental view maintenance for grouped-aggregate views — the
+    classic counting algorithm: the materialized view carries exact
+    per-group row counts, so inserts AND deletes apply as signed
+    partial aggregates and groups whose count reaches zero vanish,
+    exactly as a full recompute would drop them.
+
+    ``view`` is the current materialization: ``keys`` + ``value_cols``
+    (SUM columns) + ``count_col``. ``deltas`` is a list of
+    ``(dataset, sign)`` with sign +1 (insert) / -1 (delete); each delta
+    dataset carries ``keys`` + ``value_cols`` at ROW grain (count 1 per
+    row). The merge is one combiner pre-aggregation over
+    view-rows ∪ signed delta partials — delta-sized work, the view is
+    never rescanned beyond one pass, and no driver state at all. The
+    invariant (asserted by the oracle twin): merged view == full
+    recompute over (base \\ deletes) ∪ inserts, bit for bit.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+
+    def signed_partial(sign: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["__cnt"] = np.int64(sign)
+            for c in value_cols:
+                df[c] = sign * df[c].astype("int64")
+            g = df.groupby(keys, as_index=False)[
+                value_cols + ["__cnt"]].sum()
+            return pa.Table.from_pandas(g.rename(
+                columns={"__cnt": count_col}), preserve_index=False)
+        return fn
+
+    parts = view.select_columns(keys + value_cols + [count_col])
+    for ds, sign in deltas:
+        parts = parts.union(
+            ds.map_batches(signed_partial(sign), batch_format="pyarrow"))
+
+    merged = preagg_sum(parts, keys,
+                        {c: c for c in value_cols + [count_col]})
+
+    def alive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column(count_col), 0))
+
+    return merged.map_batches(alive, batch_format="pyarrow")

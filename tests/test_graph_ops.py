@@ -1227,3 +1227,42 @@ def test_msf_long_chain_converges_and_dedups(ray_session):
     got = msf_boruvka(ed, iters=4, inner=4).to_pandas()
     assert len(got) == 23
     assert not got.duplicated(["u", "v"]).any()
+
+
+def test_ivm_merge_matches_recompute_and_drops_empty_groups(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import ivm_merge, preagg_sum
+
+    base = pa.table({
+        "k": ["a", "a", "b", "c"],
+        "v": [10, 20, 5, 7],
+    })
+    ds = rd.from_arrow(base)
+    view = preagg_sum(ds, ["k"], {"v": "v"}, counts="n")
+
+    # delete BOTH b rows' worth?  b has one row: delete it -> group b
+    # must vanish; insert a new d row
+    dels = rd.from_arrow(pa.table({"k": ["b"], "v": [5]}))
+    ins = rd.from_arrow(pa.table({"k": ["d", "a"], "v": [100, 1]}))
+    got = ivm_merge(view, [(dels, -1), (ins, +1)], ["k"], ["v"],
+                    count_col="n").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    exp = pd.DataFrame({"k": ["a", "c", "d"], "v": [31, 7, 100],
+                        "n": [3, 1, 1]})
+    assert got[["k", "v", "n"]].astype({"v": "int64", "n": "int64"}) \
+        .equals(exp.astype({"v": "int64", "n": "int64"}))
+
+
+def test_ivm_merge_empty_delta_is_identity(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import ivm_merge, preagg_sum
+
+    ds = rd.from_arrow(pa.table({"k": ["x", "y", "x"], "v": [1, 2, 3]}))
+    view = preagg_sum(ds, ["k"], {"v": "v"}, counts="n")
+    got = ivm_merge(view, [], ["k"], ["v"], count_col="n") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = view.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got[["k", "v", "n"]].equals(exp[["k", "v", "n"]])
