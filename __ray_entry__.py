@@ -4292,6 +4292,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ["doc_id", "text", "lang", "source",
                                 "n_chars"])
 
+    def orders_holt_winters(sf_dir):
+        # Holt's double exponential smoothing over the daily-revenue
+        # series (level α = 1/5, trend β = 1/10, exact trunc-div
+        # integers): the day-keyed aggregate is distributed (combiner
+        # preagg); only the day-sized series folds on the driver —
+        # same scale shape as orders_max_drawdown. The oracle replays
+        # the recurrence with a RECURSIVE CTE
+        from raygraph.ops.relational import preagg_sum, trunc_div
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate", "o_totalprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.table({
+                "day": pa.array(df["o_orderdate"]),
+                "y": pa.array(np.round(df["o_totalprice"] * 100)
+                              .astype("int64"), pa.int64()),
+            })
+
+        byday = preagg_sum(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            ["day"], {"y": "y"}).to_pandas().sort_values("day") \
+            .reset_index(drop=True)
+        y = byday["y"].to_numpy(dtype="int64")
+        lvl = np.zeros(len(y), dtype="int64")
+        trd = np.zeros(len(y), dtype="int64")
+        lvl[0] = y[0]
+        for t in range(1, len(y)):
+            lvl[t] = (int(trunc_div(y[t], 5))
+                      + int(trunc_div(4 * (lvl[t - 1] + trd[t - 1]), 5)))
+            trd[t] = (int(trunc_div(lvl[t] - lvl[t - 1], 10))
+                      + int(trunc_div(9 * trd[t - 1], 10)))
+        return pd.DataFrame({"day": byday["day"], "level_c": lvl,
+                             "trend_c": trd})
+
     def orders_ivm_view(sf_dir):
         # incremental view maintenance (counting algorithm) for the
         # revenue-per-customer aggregate view: base view over ALL
@@ -7337,6 +7374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
+        "orders_holt_winters": orders_holt_winters,
         "orders_ivm_view": orders_ivm_view,
         "orders_merged": orders_merged,
         "embedding_kmeans": embedding_kmeans,
@@ -9071,6 +9109,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # Holt's recurrence replayed with a RECURSIVE CTE; DuckDB //
+        # truncates toward zero = raygraph trunc_div
+        "orders_holt_winters": """
+            WITH RECURSIVE byday AS (
+              SELECT o_orderdate AS d,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     ::BIGINT AS y
+              FROM orders GROUP BY o_orderdate
+            ),
+            ord AS (
+              SELECT d, y, row_number() OVER (ORDER BY d) AS rn
+              FROM byday
+            ),
+            hw AS (
+              SELECT rn, d, y, y AS l, 0::BIGINT AS b
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.d, o.y,
+                     o.y // 5 + (4 * (h.l + h.b)) // 5,
+                     (o.y // 5 + (4 * (h.l + h.b)) // 5 - h.l) // 10
+                     + (9 * h.b) // 10
+              FROM ord o JOIN hw h ON o.rn = h.rn + 1
+            )
+            SELECT d AS day, l AS level_c, b AS trend_c FROM hw
         """,
         # IVM correctness: the oracle is the FULL recompute over
         # (orders minus deletes) union doubled inserts — the Ray side
