@@ -901,6 +901,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(appended, batch_format="pyarrow"))
         return D.simhash_hamming_pairs(corpus, max_hamming=3, bands=4)
 
+    def docs_exact_substrings(sf_dir):
+        # ExactSubstr duplication profile (Lee et al. 2021 at 8-token
+        # grain) over a partially-overlapping corpus: originals ∪
+        # tail-extended copies of every doc_id % 3 == 0 — copies share
+        # all original 8-grams (fully covered) plus a common tail;
+        # distributed gram inventory → dup-gram semi join → coverage
+        from raygraph.ops.dedup import duplicate_ngram_stats
+
+        docs = _docs_ds(sf_dir)
+
+        def copies(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["doc_id"] % 3 == 0]
+            return pa.table({
+                "doc_id": pa.array(df["doc_id"] + _OFFSET, pa.int64()),
+                "text": pa.array(
+                    df["text"].fillna("")
+                    + " shared tail marker alpha beta gamma delta "
+                    "epsilon zeta eta theta", pa.string()),
+            })
+
+        corpus = docs.union(
+            docs.map_batches(copies, batch_format="pyarrow"))
+        return duplicate_ngram_stats(corpus, L=8)
+
     def dedup_sn_pairs(sf_dir):
         # sorted-neighborhood blocking (window 3): candidate pairs
         # within a 3-row sliding window of the corpus sorted by the
@@ -7132,6 +7157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "docs_exact_substrings": docs_exact_substrings,
         "dedup_sn_pairs": dedup_sn_pairs,
         "dedup_er_scores": dedup_er_scores,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -10834,6 +10860,57 @@ def oracle_sql() -> dict[str, str]:
         # c - ceil(t·c) + 1, candidates = pairs sharing a prefix token,
         # verify = exact integer jaccard_bp — identical semantics to
         # raygraph.ops.dedup.jaccard_threshold_pairs
+        # ExactSubstr profile: 8-gram window via 7 leads, md5 gram
+        # keys, dup = >=2 distinct docs, coverage = distinct fanned
+        # positions — mirrors dedup.duplicate_ngram_stats exactly
+        "docs_exact_substrings": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET},
+                     coalesce(text, '')
+                     || ' shared tail marker alpha beta gamma delta '
+                     || 'epsilon zeta eta theta'
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                              trim(lower(text)), '\\s+') END AS toks
+              FROM corpus
+            ),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t),
+            g AS (
+              SELECT doc_id, pos,
+                     tok || ' ' || lead(tok, 1) OVER w
+                         || ' ' || lead(tok, 2) OVER w
+                         || ' ' || lead(tok, 3) OVER w
+                         || ' ' || lead(tok, 4) OVER w
+                         || ' ' || lead(tok, 5) OVER w
+                         || ' ' || lead(tok, 6) OVER w
+                         || ' ' || lead(tok, 7) OVER w AS gram
+              FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            h AS (SELECT doc_id, pos, md5(gram) AS gh FROM g
+                  WHERE gram IS NOT NULL),
+            dup AS (SELECT gh FROM (
+                      SELECT gh, count(DISTINCT doc_id) AS ndocs
+                      FROM h GROUP BY gh) WHERE ndocs >= 2),
+            occ AS (SELECT h.doc_id, h.pos FROM h JOIN dup USING (gh)),
+            cov AS (SELECT DISTINCT o.doc_id, o.pos + r.range AS idx
+                    FROM occ o CROSS JOIN range(0, 8) r),
+            pcov AS (SELECT doc_id, count(*)::BIGINT AS n_dup
+                     FROM cov GROUP BY doc_id),
+            tn AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
+            SELECT tn.doc_id, tn.n_tokens,
+                   coalesce(pcov.n_dup, 0)::BIGINT AS n_dup_tokens,
+                   (CASE WHEN tn.n_tokens = 0 THEN 0
+                         ELSE (10000 * coalesce(pcov.n_dup, 0))
+                              // tn.n_tokens END)::BIGINT AS dup_bp
+            FROM tn LEFT JOIN pcov USING (doc_id)
+        """,
         # sorted-neighborhood blocking: rank by (key, id), pairs within
         # a 3-row window — mirrors raygraph.ops.dedup.
         # sorted_neighborhood_pairs (rank base cancels in the gap)

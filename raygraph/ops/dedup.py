@@ -1341,3 +1341,184 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str = "doc_id",
                                 "gap": b.column("gap")}),
             batch_format="pyarrow"),
         out_schema)
+
+
+def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Exact-substring duplication profile (the ExactSubstr discipline
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2021, re-expressed at token-n-gram grain): an L-token
+    window that appears in >= 2 distinct documents marks every token
+    position it covers in EVERY document as duplicated; per doc we
+    report how much of it is covered.
+
+    Distributed shape — never a pairwise product, never a suffix array
+    on one node:
+
+    1. gram inventory: per-batch VECTORIZED n-gram build (explode
+       tokens, 7 group-shifts, one string concat) + md5 gram keys →
+       (gh, doc, pos) rows;
+    2. duplicated grams: one pair-hash distinct (gh, doc) exchange,
+       per-gh doc counts (combiner preagg), filter >= 2 — gram-sized;
+    3. one left_semi shuffle join marks duplicate occurrences;
+    4. coverage: occurrences fan out L (doc, idx) rows, pair-hash
+       distinct (overlaps collapse), per-doc counts.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, dup_bp) with dup_bp =
+    (10000 * covered) // n_tokens (0 for empty docs).
+    """
+    import hashlib
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_sum, shuffle_join)
+
+    from raygraph.ops.graph import _repaired
+
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("n_dup_tokens", pa.int64()), ("dup_bp", pa.int64())])
+
+    def tok_frame(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        return pd.DataFrame({
+            "doc": batch.column(id_col).to_pandas(),
+            "toks": toks,
+        })
+
+    def grams(batch: pa.Table) -> pa.Table:
+        df = tok_frame(batch)
+        ex = df.explode("toks").rename(columns={"toks": "tok"})
+        ex = ex.dropna(subset=["tok"]).reset_index(drop=True)
+        if not len(ex):
+            return pa.table({"gh": pa.array([], pa.string()),
+                             "doc": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        g = ex.groupby("doc", sort=False)["tok"]
+        parts = [ex["tok"]]
+        for k in range(1, L):
+            parts.append(g.shift(-k))
+        gram = parts[0].str.cat(parts[1:], sep=" ", na_rep=None,
+                                join="left")
+        keep = parts[-1].notna()
+        pos = ex.groupby("doc", sort=False).cumcount()
+        sub = pd.DataFrame({"doc": ex["doc"], "pos": pos,
+                            "gram": gram})[keep.to_numpy()]
+        gh = sub["gram"].map(
+            lambda x: hashlib.md5(x.encode()).hexdigest())
+        return pa.Table.from_pandas(
+            pd.DataFrame({"gh": gh, "doc": sub["doc"].astype("int64"),
+                          "pos": sub["pos"].astype("int64")}),
+            preserve_index=False)
+
+    gram_schema = pa.schema([("gh", pa.string()), ("doc", pa.int64()),
+                             ("pos", pa.int64())])
+    occ = _repaired(ds.map_batches(grams, batch_format="pyarrow"),
+                    gram_schema)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = tok_frame(batch)
+        return pa.table({
+            id_col: pa.array(df["doc"], pa.int64()),
+            "n_tokens": pa.array(df["toks"].str.len()
+                                 .fillna(0).astype("int64"), pa.int64()),
+        })
+
+    tokn = _repaired(ds.map_batches(counts, batch_format="pyarrow"),
+                     pa.schema([(id_col, pa.int64()),
+                                ("n_tokens", pa.int64())]))
+
+    if occ.count() == 0:
+        def zero(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            z = pa.array(np.zeros(n, dtype="int64"))
+            return pa.table({id_col: batch.column(id_col),
+                             "n_tokens": batch.column("n_tokens"),
+                             "n_dup_tokens": z, "dup_bp": z})
+        return _repaired(tokn.map_batches(zero, batch_format="pyarrow"),
+                         out_schema)
+
+    # gram-doc distinct -> per-gram doc count -> duplicated gram keys
+    gd = _repaired(
+        hash_aggregate(occ.select_columns(["gh", "doc"]), ["gh", "doc"],
+                       lambda df: df.drop_duplicates()),
+        pa.schema([("gh", pa.string()), ("doc", pa.int64())]))
+    nd = _repaired(
+        preagg_sum(gd.select_columns(["gh"]), ["gh"], {}, counts="nd"),
+        pa.schema([("gh", pa.string()), ("nd", pa.int64())]))
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("nd"), 2)).select(["gh"])
+
+    dupset = _repaired(nd.map_batches(dup_only, batch_format="pyarrow"),
+                       pa.schema([("gh", pa.string())]))
+
+    nparts = _join_partitions(occ.count())
+    if dupset.count() == 0:
+        hits = rd.from_arrow(gram_schema.empty_table())
+    else:
+        hits = _repaired(
+            shuffle_join(occ, dupset, on="gh", right_on="gh",
+                         how="left_semi", num_partitions=nparts),
+            gram_schema)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc").to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        docs = np.repeat(doc, L)
+        idx = np.repeat(pos, L) + np.tile(np.arange(L, dtype="int64"),
+                                          len(pos))
+        return pa.table({"doc": pa.array(docs, pa.int64()),
+                         "idx": pa.array(idx, pa.int64())})
+
+    cov_schema = pa.schema([("doc", pa.int64()), ("idx", pa.int64())])
+    if hits.count() == 0:
+        percov = rd.from_arrow(
+            pa.schema([("doc", pa.int64()),
+                       ("n_dup_tokens", pa.int64())]).empty_table())
+    else:
+        cov = _repaired(
+            hash_aggregate(
+                hits.map_batches(cover, batch_format="pyarrow"),
+                ["doc", "idx"], lambda df: df.drop_duplicates()),
+            cov_schema)
+        percov = _repaired(
+            preagg_sum(cov.select_columns(["doc"]), ["doc"], {},
+                       counts="n_dup_tokens"),
+            pa.schema([("doc", pa.int64()),
+                       ("n_dup_tokens", pa.int64())]))
+
+    if percov.count() == 0:
+        def zero(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            z = pa.array(np.zeros(n, dtype="int64"))
+            return pa.table({id_col: batch.column(id_col),
+                             "n_tokens": batch.column("n_tokens"),
+                             "n_dup_tokens": z, "dup_bp": z})
+        return _repaired(tokn.map_batches(zero, batch_format="pyarrow"),
+                         out_schema)
+
+    j = shuffle_join(tokn, percov, on=id_col, right_on="doc",
+                     how="left_outer",
+                     num_partitions=_join_partitions(tokn.count()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df.columns = [id_col, "n_tokens", "n_dup_tokens"]
+        nd_ = df["n_dup_tokens"].fillna(0).astype("int64")
+        nt = df["n_tokens"].astype("int64")
+        bp = np.where(nt > 0, (10000 * nd_) // nt.replace(0, 1), 0)
+        return pa.table({
+            id_col: pa.array(df[id_col], pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_dup_tokens": pa.array(nd_, pa.int64()),
+            "dup_bp": pa.array(bp.astype("int64"), pa.int64()),
+        })
+
+    return _repaired(j.map_batches(finish, batch_format="pyarrow"),
+                     out_schema)

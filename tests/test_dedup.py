@@ -363,3 +363,57 @@ def test_sorted_neighborhood_deterministic_across_layout(ray_session):
     assert a.equals(b)
     # every non-final row pairs forward: 39+38+37 pairs
     assert len(a) == 39 + 38 + 37
+
+
+def test_duplicate_ngram_stats_partial_coverage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.dedup import duplicate_ngram_stats
+
+    shared = "one two three four"  # the shared 4-gram
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            shared + " unique alpha beta",   # 7 toks, toks 0-3 covered
+            "prefix " + shared,              # 5 toks, toks 1-4 covered
+            "totally different words here",  # no coverage
+            "",                              # empty
+        ],
+    }))
+    got = duplicate_ngram_stats(ds, L=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["n_tokens"]) == [7, 5, 4, 0]
+    assert list(got["n_dup_tokens"]) == [4, 4, 0, 0]
+    assert list(got["dup_bp"]) == [10000 * 4 // 7, 8000, 0, 0]
+
+
+def test_duplicate_ngram_stats_no_duplicates(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.dedup import duplicate_ngram_stats
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["aa bb cc dd ee", "ff gg hh ii jj"],
+    }))
+    got = duplicate_ngram_stats(ds, L=3).to_pandas()
+    assert (got["n_dup_tokens"] == 0).all()
+    assert (got["dup_bp"] == 0).all()
+
+
+def test_duplicate_ngram_stats_layout_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.dedup import duplicate_ngram_stats
+
+    texts = [f"tok{i} " * 3 + "common phrase shared across docs tail"
+             for i in range(30)]
+    t = pa.table({"doc_id": list(range(30)), "text": texts})
+    a = duplicate_ngram_stats(rd.from_arrow(t), L=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = duplicate_ngram_stats(rd.from_arrow(t).repartition(7), L=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
