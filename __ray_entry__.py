@@ -2290,6 +2290,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return audio_metadata(ds.map_batches(to_wav, batch_format="pyarrow"),
                               keep_cols=("doc_id",))
 
+    def embedding_grid_clusters(sf_dir):
+        # grid-density clustering (DBSCAN-lite): e6-quantized 2-D
+        # cells, core = >= 4 points, 8-neighborhood components via 4
+        # min-label rounds — density clusters with NO pairwise
+        # distance product (cell-keyed exchanges only)
+        from raygraph.ops.cluster import grid_clusters
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return grid_clusters(emb, cell_e6=50_000, minpts=4, iters=4)
+
     def embedding_centroids(sf_dir):
         # grouped vector mean (class centroids): per-batch per-dim
         # partial integer sums (values scaled to e6), one (bucket, dim)
@@ -7422,6 +7433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": embedding_norms,
         "embedding_quantized": embedding_quantized,
         "ann_batch_top3": ann_batch_top3,
+        "embedding_grid_clusters": embedding_grid_clusters,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
         "media_frames": media_frames,
@@ -9833,6 +9845,43 @@ def oracle_sql() -> dict[str, str]:
                    max(n)::BIGINT AS max_2gram_n,
                    floor(10000.0 * max(n) / sum(n)) / 10000.0 AS top_share
             FROM c GROUP BY doc_id
+        """,
+        # grid-density clustering: e6-trunc quantize dims 1-2, floor
+        # cell ids, core >= 5, 8-neighborhood min-label rounds —
+        # mirrors raygraph.ops.cluster.grid_clusters exactly
+        "embedding_grid_clusters": """
+            WITH p AS (
+              SELECT vec_id,
+                     CAST(floor(CAST(trunc(embedding[1]::DOUBLE
+                          * 1000000) AS BIGINT)::DOUBLE / 50000)
+                          AS BIGINT) AS cx,
+                     CAST(floor(CAST(trunc(embedding[2]::DOUBLE
+                          * 1000000) AS BIGINT)::DOUBLE / 50000)
+                          AS BIGINT) AS cy
+              FROM embeddings
+            ),
+            c AS (
+              SELECT cx, cy, cx::VARCHAR || ':' || cy::VARCHAR AS k,
+                     count(*)::BIGINT AS n
+              FROM p GROUP BY cx, cy
+            ),
+            core AS MATERIALIZED (SELECT * FROM c WHERE n >= 4),
+            arcs AS MATERIALIZED (
+              SELECT a.k AS s, b.k AS d FROM core a JOIN core b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            ),
+            l0 AS (SELECT k, k AS l FROM core),
+            l1 AS (SELECT a.d AS k, min(l.l) AS l FROM arcs a
+                   JOIN l0 l ON a.s = l.k GROUP BY a.d),
+            l2 AS (SELECT a.d AS k, min(l.l) AS l FROM arcs a
+                   JOIN l1 l ON a.s = l.k GROUP BY a.d),
+            l3 AS (SELECT a.d AS k, min(l.l) AS l FROM arcs a
+                   JOIN l2 l ON a.s = l.k GROUP BY a.d),
+            l4 AS (SELECT a.d AS k, min(l.l) AS l FROM arcs a
+                   JOIN l3 l ON a.s = l.k GROUP BY a.d)
+            SELECT l.l AS cluster, count(*)::BIGINT AS n_cells,
+                   sum(c2.n)::BIGINT AS n_points
+            FROM l4 l JOIN core c2 ON l.k = c2.k GROUP BY l.l
         """,
         "embedding_centroids": """
             WITH u AS (

@@ -239,3 +239,133 @@ def jl_project(ds, k_out: int = 8, id_col: str = "vec_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grid_clusters(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                  cell_e6: int = 200_000, minpts: int = 5,
+                  iters: int = 4):
+    """Grid-density clustering (the DBSCAN-lite that scales): quantize
+    the first two embedding dims to ``cell_e6``-wide grid cells, keep
+    cells holding >= ``minpts`` points (core), connect core cells
+    adjacent in the 8-neighborhood, and label each connected cell
+    group by ``iters`` rounds of synchronous min-label propagation.
+
+    Density clustering without a pairwise distance product: the only
+    exchanges are a cell-keyed combiner count, a 9-probe neighbor
+    join on cell keys (constant fan-out), and cell-sized label
+    rounds — points never meet points. Exact integer spec: coordinates
+    quantize as trunc(x * 10^6) and cells as floor(x_e6 / cell_e6),
+    both reproducible in SQL (float detour exact at these magnitudes).
+
+    Returns (cluster, n_cells, n_points) — cluster is the component's
+    minimum cell key "cx:cy" after ``iters`` rounds.
+    """
+    from .vecops import vectors_to_numpy
+    from raygraph.ops.graph import _repaired
+    from raygraph.ops.relational import (_join_partitions,
+                                         preagg_extreme, preagg_sum,
+                                         shuffle_join)
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("cluster", pa.string()),
+                            ("n_cells", pa.int64()),
+                            ("n_points", pa.int64())])
+
+    def cells_of(batch: pa.Table) -> pa.Table:
+        X = vectors_to_numpy(batch.column(vec_col), np.float64)
+        xe = np.trunc(X[:, 0] * SCALE).astype("int64")
+        ye = np.trunc(X[:, 1] * SCALE).astype("int64")
+        cx = np.floor_divide(xe, cell_e6)
+        cy = np.floor_divide(ye, cell_e6)
+        k = pd.Series(cx).astype(str).str.cat(
+            pd.Series(cy).astype(str), sep=":")
+        return pa.table({
+            "cx": pa.array(cx, pa.int64()),
+            "cy": pa.array(cy, pa.int64()),
+            "k": pa.array(k, pa.string()),
+        })
+
+    pts = _repaired(ds.map_batches(cells_of, batch_format="pyarrow"),
+                    pa.schema([("cx", pa.int64()), ("cy", pa.int64()),
+                               ("k", pa.string())]))
+
+    counts = _repaired(
+        preagg_sum(pts, ["cx", "cy", "k"], {}, counts="n"),
+        pa.schema([("cx", pa.int64()), ("cy", pa.int64()),
+                   ("k", pa.string()), ("n", pa.int64())]))
+
+    def core_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n"),
+                                             minpts))
+
+    core = _repaired(
+        counts.map_batches(core_only, batch_format="pyarrow"),
+        pa.schema([("cx", pa.int64()), ("cy", pa.int64()),
+                   ("k", pa.string()), ("n", pa.int64())]))
+    if core.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    nparts = _join_partitions(core.count())
+
+    def probes(batch: pa.Table) -> pa.Table:
+        cx = batch.column("cx").to_numpy(zero_copy_only=False)
+        cy = batch.column("cy").to_numpy(zero_copy_only=False)
+        k = batch.column("k").to_pandas()
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nk = (pd.Series(cx + dx).astype(str)
+                      .str.cat(pd.Series(cy + dy).astype(str), sep=":"))
+                outs.append(pd.DataFrame({"s": k.to_numpy(), "nk": nk}))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    probe_schema = pa.schema([("s", pa.string()), ("nk", pa.string())])
+    pr = _repaired(core.map_batches(probes, batch_format="pyarrow"),
+                   probe_schema)
+    arcs = shuffle_join(pr, core.select_columns(["k"]), on="nk",
+                        right_on="k", num_partitions=nparts)
+    arcs = _repaired(
+        arcs.map_batches(
+            lambda b: pa.table({"s": b.column("s"),
+                                "d": b.column("nk")}),
+            batch_format="pyarrow"),
+        pa.schema([("s", pa.string()), ("d", pa.string())]))
+
+    lab_schema = pa.schema([("k", pa.string()), ("l", pa.string())])
+    labels = _repaired(
+        core.map_batches(
+            lambda b: pa.table({"k": b.column("k"),
+                                "l": b.column("k")}),
+            batch_format="pyarrow"),
+        lab_schema)
+    for _ in range(iters):
+        step = shuffle_join(arcs, labels, on="s", right_on="k",
+                            num_partitions=nparts)
+        step = _repaired(
+            step.map_batches(
+                lambda b: pa.table({"k": b.column("d"),
+                                    "l": b.column("l")}),
+                batch_format="pyarrow"),
+            lab_schema)
+        labels = _repaired(
+            preagg_extreme(step, ["k"], "l", how="min"), lab_schema)
+
+    # per-cluster cell counts + point counts (core-cell points only)
+    cellj = shuffle_join(core.select_columns(["k", "n"]), labels,
+                         on="k", right_on="k",
+                         num_partitions=nparts)
+    per = _repaired(
+        preagg_sum(
+            cellj.map_batches(
+                lambda b: pa.table({"cluster": b.column("l"),
+                                    "n_points": b.column("n")}),
+                batch_format="pyarrow"),
+            ["cluster"], {"n_points": "n_points"}, counts="n_cells"),
+        pa.schema([("cluster", pa.string()), ("n_points", pa.int64()),
+                   ("n_cells", pa.int64())]))
+    return _repaired(
+        per.select_columns(["cluster", "n_cells", "n_points"]),
+        out_schema)

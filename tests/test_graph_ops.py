@@ -1266,3 +1266,50 @@ def test_ivm_merge_empty_delta_is_identity(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     exp = view.to_pandas().sort_values("k").reset_index(drop=True)
     assert got[["k", "v", "n"]].equals(exp[["k", "v", "n"]])
+
+
+def test_grid_clusters_two_blobs_and_noise(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.cluster import grid_clusters
+
+    # two separated dense blobs + isolated noise points; vectors are
+    # 2-D (extra dims unused by the op)
+    vecs, ids = [], []
+    for i in range(6):
+        vecs.append([0.01 * i, 0.01])       # blob A, one cell each≈
+        ids.append(i)
+    for i in range(6):
+        vecs.append([0.91 + 0.005 * i, 0.91])  # blob B (off the
+        # cell edge: 0.9 in float32 is 0.89999997 -> cell 8)
+        ids.append(100 + i)
+    vecs.append([-0.9, -0.9])               # noise (cell count 1)
+    ids.append(999)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    got = grid_clusters(ds, cell_e6=100_000, minpts=3, iters=3) \
+        .to_pandas().sort_values("cluster").reset_index(drop=True)
+    # blob A spans cells 0:0 / ... within 0.00-0.05 -> one cell "0:0";
+    # blob B at 0.9ish -> cell "9:9"; noise cell dropped (count 1 < 3)
+    assert len(got) == 2
+    assert int(got["n_points"].sum()) == 12
+
+
+def test_grid_clusters_adjacent_cells_merge(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.cluster import grid_clusters
+
+    # two neighboring cells, each core, must merge into one cluster
+    vecs = [[0.05, 0.05]] * 4 + [[0.15, 0.05]] * 4
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(8)),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    got = grid_clusters(ds, cell_e6=100_000, minpts=3, iters=2) \
+        .to_pandas()
+    assert len(got) == 1
+    assert int(got["n_cells"].iloc[0]) == 2
+    assert int(got["n_points"].iloc[0]) == 8
