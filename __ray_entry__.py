@@ -901,6 +901,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(appended, batch_format="pyarrow"))
         return D.simhash_hamming_pairs(corpus, max_hamming=3, bands=4)
 
+    def docs_with_deletes(sf_dir):
+        # deletion vectors (merge-on-read): copy the documents table,
+        # write positional delete sidecars for doc_id % 7 == 0 (data
+        # files untouched), scan with the masking reader — the oracle
+        # is the predicate applied at query time, so sidecar semantics
+        # must equal a real delete exactly
+        import shutil as _sh
+
+        from raygraph.maintenance import delete_where, read_with_deletes
+
+        n = _docs_count(sf_dir)
+        tdir = os.path.join(_TMP, f"docs_deletes_n{n}")
+        if not os.path.exists(os.path.join(tdir, "_deletes")):
+            os.makedirs(tdir, exist_ok=True)
+            _sh.copy(os.path.join(sf_dir, "documents.parquet"),
+                     os.path.join(tdir, "part-0.parquet"))
+            delete_where(tdir, "doc_id", "mod_eq", "7:0")
+        return read_with_deletes(
+            tdir, columns=["doc_id", "n_chars"])
+
     def docs_exact_substrings(sf_dir):
         # ExactSubstr duplication profile (Lee et al. 2021 at 8-token
         # grain) over a partially-overlapping corpus: originals ∪
@@ -7168,6 +7188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "docs_with_deletes": docs_with_deletes,
         "docs_exact_substrings": docs_exact_substrings,
         "dedup_sn_pairs": dedup_sn_pairs,
         "dedup_er_scores": dedup_er_scores,
@@ -10909,6 +10930,11 @@ def oracle_sql() -> dict[str, str]:
         # c - ceil(t·c) + 1, candidates = pairs sharing a prefix token,
         # verify = exact integer jaccard_bp — identical semantics to
         # raygraph.ops.dedup.jaccard_threshold_pairs
+        # deletion-vector semantics == predicate delete
+        "docs_with_deletes": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 7 <> 0
+        """,
         # ExactSubstr profile: 8-gram window via 7 leads, md5 gram
         # keys, dup = >=2 distinct docs, coverage = distinct fanned
         # positions — mirrors dedup.duplicate_ngram_stats exactly

@@ -125,6 +125,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .maintenance import delete_where
+
+    stats = delete_where(args.input, args.col, args.op, args.value)
+    print(json.dumps({"input": args.input, "col": args.col,
+                      "op": args.op, "value": args.value, **stats}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_asof(args) -> int:
     ray = _ray_session(args.num_cpus)
     import os
@@ -342,6 +353,19 @@ def main(argv=None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete", help="write positional deletion vectors (merge-on-"
+                       "read row deletes; data files untouched)")
+    dl.add_argument("--input", required=True,
+                    help="parquet table directory")
+    dl.add_argument("--col", required=True)
+    dl.add_argument("--op", required=True,
+                    choices=["mod_eq", "eq", "lt", "ge"])
+    dl.add_argument("--value", required=True,
+                    help="op argument (mod_eq takes 'm:r')")
+    dl.add_argument("--num-cpus", type=int)
+    dl.set_defaults(fn=cmd_delete)
 
     va = sub.add_parser(
         "validate", help="run declarative expectation rules (JSON list) "

@@ -308,3 +308,133 @@ def _json_scalar(v):
     if isinstance(v, np.generic):
         return v.item()
     return v
+
+
+# ------------------------------------------------------- deletion vectors
+
+_DELETE_OPS = {
+    "mod_eq": lambda v, arg: v % int(arg.split(":")[0])
+    == int(arg.split(":")[1]),
+    "eq": lambda v, arg: v == _coerce_like(v, arg),
+    "lt": lambda v, arg: v < _coerce_like(v, arg),
+    "ge": lambda v, arg: v >= _coerce_like(v, arg),
+}
+
+
+def _coerce_like(v, arg: str):
+    import numpy as np
+
+    if np.issubdtype(np.asarray(v).dtype, np.integer):
+        return int(arg)
+    if np.issubdtype(np.asarray(v).dtype, np.floating):
+        return float(arg)
+    return arg
+
+
+def _delete_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_deletes")
+
+
+def delete_where(table_path: str, col: str, op: str, arg: str) -> dict:
+    """Row-level deletes WITHOUT rewriting data files — positional
+    deletion vectors, the merge-on-read delete of the modern lakehouse
+    (Iceberg v2 / Delta deletion vectors): for every parquet file the
+    matching row positions are written to a ``_deletes/<file>.d<k>.json``
+    sidecar (write-then-rename commit, stacking epochs k = 0, 1, ...);
+    data files are immutable and the delete costs one pruned column
+    scan, not a table rewrite.
+
+    Per file the work is an independent Ray task (file-per-task, the
+    same shard model as the ORC reader); positions index the file's
+    deterministic row order. Returns {files, n_deleted}.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if op not in _DELETE_OPS:
+        from .errors import InvalidParameterError
+
+        raise InvalidParameterError(f"unknown delete op: {op}")
+    files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+    if not files:
+        from .errors import CollectionNotFoundError
+
+        raise CollectionNotFoundError(f"no parquet files in {table_path}")
+    ddir = _delete_dir(table_path)
+    os.makedirs(ddir, exist_ok=True)
+    pred = _DELETE_OPS[op]
+
+    def mark(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path in batch.column("path").to_pylist():
+            v = pq.read_table(path, columns=[col]).column(col) \
+                .to_numpy(zero_copy_only=False)
+            pos = np.nonzero(pred(v, arg))[0]
+            base = os.path.basename(path)
+            k = 0
+            while os.path.exists(
+                    os.path.join(ddir, f"{base}.d{k}.json")):
+                k += 1
+            final = os.path.join(ddir, f"{base}.d{k}.json")
+            tmp = final + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"file": base, "epoch": k,
+                           "predicate": {"col": col, "op": op,
+                                         "arg": arg},
+                           "positions": [int(p) for p in pos]}, f)
+            os.replace(tmp, final)
+            outs.append(len(pos))
+        return pa.table({"n": pa.array(outs, pa.int64())})
+
+    import ray.data as rd
+
+    files_ds = rd.from_arrow(pa.table({"path": pa.array(files)}))
+    counts = files_ds.repartition(len(files)).map_batches(
+        mark, batch_format="pyarrow").to_pandas()
+    return {"files": len(files), "n_deleted": int(counts["n"].sum())}
+
+
+def read_with_deletes(table_path: str,
+                      columns: list[str] | None = None):
+    """Merge-on-read scan: every parquet file is one reader task that
+    loads its stacked deletion vectors (all epochs, positions
+    unioned) and masks the deleted rows out before emitting the block
+    — the read-path half of :func:`delete_where`. A table with no
+    ``_deletes`` sidecars reads unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+    if not files:
+        from .errors import CollectionNotFoundError
+
+        raise CollectionNotFoundError(f"no parquet files in {table_path}")
+    ddir = _delete_dir(table_path)
+
+    def load(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path, columns=columns)
+            base = os.path.basename(path)
+            dels = sorted(glob.glob(
+                os.path.join(ddir, f"{base}.d*.json")))
+            if dels:
+                drop = set()
+                for dpath in dels:
+                    with open(dpath) as f:
+                        drop.update(json.load(f)["positions"])
+                keep = np.ones(t.num_rows, dtype=bool)
+                keep[sorted(drop)] = False
+                t = t.filter(pa.array(keep))
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    files_ds = rd.from_arrow(pa.table({"path": pa.array(files)}))
+    return files_ds.repartition(len(files)).map_batches(
+        load, batch_format="pyarrow")

@@ -189,3 +189,66 @@ def test_cluster_table_string_key(ray_session, tmp_path):
     flat = [v for tile in per_tile for v in tile]
     assert flat == sorted(ids)
     assert sum(len(t) for t in per_tile) == len(ids)
+
+
+def _mk_table(tmp_path, name, n=40, files=2):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    per = n // files
+    for f in range(files):
+        lo = f * per
+        pq.write_table(pa.table({
+            "id": list(range(lo, lo + per)),
+            "v": [i * 10 for i in range(lo, lo + per)],
+        }), os.path.join(d, f"part-{f}.parquet"))
+    return d
+
+
+def test_delete_where_and_masked_read(ray_session, tmp_path):
+    from raygraph.maintenance import delete_where, read_with_deletes
+
+    d = _mk_table(tmp_path, "t1")
+    stats = delete_where(d, "id", "mod_eq", "4:0")
+    assert stats["n_deleted"] == 10
+    got = read_with_deletes(d).to_pandas().sort_values("id")
+    assert list(got["id"]) == [i for i in range(40) if i % 4 != 0]
+    # data files untouched
+    import pyarrow.parquet as pq
+
+    assert pq.read_metadata(os.path.join(d, "part-0.parquet")) \
+        .num_rows == 20
+
+
+def test_delete_vectors_stack_across_epochs(ray_session, tmp_path):
+    from raygraph.maintenance import delete_where, read_with_deletes
+
+    d = _mk_table(tmp_path, "t2")
+    delete_where(d, "id", "mod_eq", "2:0")   # evens
+    delete_where(d, "id", "lt", "10")        # first ten (overlaps)
+    got = read_with_deletes(d).to_pandas().sort_values("id")
+    assert list(got["id"]) == [i for i in range(10, 40) if i % 2 == 1]
+    # two epochs on disk per file
+    assert len(glob.glob(os.path.join(d, "_deletes", "*.d0.json"))) == 2
+    assert len(glob.glob(os.path.join(d, "_deletes", "*.d1.json"))) == 2
+
+
+def test_read_without_deletes_is_plain_scan(ray_session, tmp_path):
+    from raygraph.maintenance import read_with_deletes
+
+    d = _mk_table(tmp_path, "t3")
+    got = read_with_deletes(d, columns=["id"]).to_pandas()
+    assert len(got) == 40
+
+
+def test_delete_where_unknown_op_raises(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.maintenance import delete_where
+
+    d = _mk_table(tmp_path, "t4")
+    with _pytest.raises(InvalidParameterError):
+        delete_where(d, "id", "regex", "x")
