@@ -4438,6 +4438,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return merged.select_columns(
             ["o_custkey", "n_orders", "revenue_cents"])
 
+    def orders_ivm_incremental(sf_dir):
+        # streaming IVM: the SAME changeset as orders_ivm_view arrives
+        # in 4 micro-batch rounds (o_orderkey % 4), the view folds one
+        # round at a time with write-then-commit checkpoints — final
+        # state shares orders_ivm_view's oracle (the sharing IS the
+        # claim: incremental == batch == full recompute, bit for bit)
+        from raygraph.ops.relational import preagg_sum
+        from raygraph.ops.stream import ivm_incremental
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def cents(mult: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                return pa.table({
+                    "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+                    "o_custkey": pa.array(df["o_custkey"], pa.int64()),
+                    "revenue_cents": pa.array(
+                        mult * np.round(df["o_totalprice"] * 100)
+                        .astype("int64"), pa.int64()),
+                })
+            return fn
+
+        def keysel(mod: int, residue: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                k = batch.column("o_orderkey").to_numpy(
+                    zero_copy_only=False)
+                return batch.filter(pa.array(k % mod == residue))
+            return fn
+
+        base = orders.map_batches(cents(1), batch_format="pyarrow")
+        view = preagg_sum(base, ["o_custkey"],
+                          {"revenue_cents": "revenue_cents"},
+                          counts="n_orders")
+
+        rounds = []
+        for r in range(4):
+            rnd = orders.map_batches(keysel(4, r),
+                                     batch_format="pyarrow")
+            dels = rnd.map_batches(keysel(17, 0),
+                                   batch_format="pyarrow") \
+                .map_batches(cents(1), batch_format="pyarrow") \
+                .select_columns(["o_custkey", "revenue_cents"])
+            ins = rnd.map_batches(keysel(13, 0),
+                                  batch_format="pyarrow") \
+                .map_batches(cents(2), batch_format="pyarrow") \
+                .select_columns(["o_custkey", "revenue_cents"])
+            rounds.append([(dels, -1), (ins, +1)])
+
+        schema = pa.schema([("o_custkey", pa.int64()),
+                            ("revenue_cents", pa.int64()),
+                            ("n_orders", pa.int64())])
+        out = ivm_incremental(view, rounds, ["o_custkey"],
+                              ["revenue_cents"], schema,
+                              count_col="n_orders")
+        return out.select_columns(
+            ["o_custkey", "n_orders", "revenue_cents"])
+
     def orders_merged(sf_dir):
         # CDC merge (MERGE INTO): apply a deterministic changeset —
         # deletes (key % 13 = 0), updates (key % 7 = 0, price + 500)
@@ -7434,6 +7494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": docs_profile,
         "orders_holt_winters": orders_holt_winters,
         "orders_ivm_view": orders_ivm_view,
+        "orders_ivm_incremental": orders_ivm_incremental,
         "orders_merged": orders_merged,
         "embedding_kmeans": embedding_kmeans,
         "tpch_salted_priority": tpch_salted_priority,
@@ -11935,6 +11996,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_distinct_users_incremental"] = out["events_distinct_users"]
     # the stream-stream as-of fold equals the batch as-of join
     out["events_asof_incremental"] = out["events_asof_join"]
+    # micro-batch IVM folds to the same view as batch IVM == recompute
+    out["orders_ivm_incremental"] = out["orders_ivm_view"]
     # the JSONL round-trip must reproduce the built edge table exactly
     out["kg_edges_jsonl"] = out["kg_edges"]
     # the incremental base+delta merge must reproduce it too

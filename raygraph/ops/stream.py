@@ -723,3 +723,86 @@ def heavy_hitters_incremental(ds, k: int, values_fn,
     hits = counts[counts["n"] * k > n_total]
     return (hits.sort_values(["n", out_key], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def ivm_incremental(view, delta_rounds, keys, value_cols,
+                    schema: pa.Schema, count_col: str = "n",
+                    state_dir: str | None = None,
+                    resume: bool = False):
+    """Streaming incremental view maintenance — the micro-batch twin of
+    :func:`raygraph.ops.relational.ivm_merge`: the changeset arrives as
+    ``delta_rounds`` (a list of rounds, each a list of ``(dataset,
+    sign)``), the maintained view folds one round at a time with the
+    counting algorithm, and every round checkpoints write-then-commit
+    so a crash resumes from the last complete round byte-identically.
+
+    One deliberate difference from the batch twin: zero-count groups
+    stay IN the running state (a later insert round may resurrect
+    them — dropping early would lose the resurrect), and are filtered
+    only at the final emit, which is exactly when the batch path
+    filters. Final output is therefore bit-identical to
+    ``ivm_merge(view, flatten(delta_rounds), ...)`` — the shared
+    oracle is the correctness claim.
+
+    ``schema`` declares the state layout: keys + value_cols +
+    count_col (all aggregates int64).
+    """
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import hash_aggregate
+
+    keys = list(keys)
+    value_cols = list(value_cols)
+    aggs = value_cols + [count_col]
+
+    def signed_partial(sign: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["__cnt"] = np.int64(sign)
+            for c in value_cols:
+                df[c] = sign * df[c].astype("int64")
+            g = df.groupby(keys, as_index=False)[
+                value_cols + ["__cnt"]].sum()
+            g = g.rename(columns={"__cnt": count_col})
+            for c in aggs:
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False) \
+                .select([f.name for f in schema]).cast(schema)
+        return fn
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys, as_index=False)[aggs].sum()
+        for c in aggs:
+            out[c] = out[c].astype("int64")
+        return out
+
+    state = _repaired(view.select_columns([f.name for f in schema]),
+                      schema)
+    n_rounds = len(delta_rounds)
+    start_round = 0
+    if state_dir and resume:
+        while start_round < n_rounds \
+                and _round_complete(state_dir, start_round):
+            start_round += 1
+        if start_round:
+            state = _read_round(state_dir, start_round - 1, "state",
+                                schema)
+    for i in range(start_round, n_rounds):
+        un = state
+        for ds, sign in delta_rounds[i]:
+            un = un.union(ds.map_batches(signed_partial(sign),
+                                         batch_format="pyarrow"))
+        state = _repaired(hash_aggregate(un, keys, merge), schema)
+        if state_dir:
+            _write_round(state_dir, i, state,
+                         rd.from_arrow(schema.empty_table()))
+
+    def alive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column(count_col), 0))
+
+    return _repaired(state.map_batches(alive, batch_format="pyarrow"),
+                     schema)

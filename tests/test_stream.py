@@ -291,3 +291,97 @@ def test_heavy_hitters_incremental_matches_batch_and_resumes(
         rd.from_pandas(df).repartition(6), k=8, values_fn=vals,
         n_micro_batches=4, state_dir=crash_dir, resume=True)
     assert resumed.equals(ref)
+
+
+def _ivm_parts(n=60):
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = pa.table({
+        "k": [f"g{i % 5}" for i in range(n)],
+        "v": [i for i in range(n)],
+    })
+    ds = rd.from_arrow(base)
+    return base, ds
+
+
+def test_ivm_incremental_equals_batch(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.relational import ivm_merge, preagg_sum
+    from raygraph.ops.stream import ivm_incremental
+
+    _, ds = _ivm_parts()
+    view = preagg_sum(ds, ["k"], {"v": "v"}, counts="n")
+    schema = pa.schema([("k", pa.string()), ("v", pa.int64()),
+                        ("n", pa.int64())])
+
+    def sel(residue):
+        import pyarrow.compute as pc
+
+        def fn(b):
+            vv = b.column("v").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(vv % 3 == residue))
+        return fn
+
+    rounds = [[(ds.map_batches(sel(r), batch_format="pyarrow"), -1)]
+              for r in range(3)]  # delete everything over 3 rounds
+    ins = rd.from_arrow(pa.table({"k": ["g0", "zz"], "v": [7, 9]}))
+    rounds[1].append((ins, +1))
+
+    inc = ivm_incremental(view, rounds, ["k"], ["v"], schema,
+                          count_col="n").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    bat = ivm_merge(view,
+                    [(r_ds, sign) for rnd in rounds
+                     for r_ds, sign in rnd],
+                    ["k"], ["v"], count_col="n").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert inc[["k", "v", "n"]].equals(bat[["k", "v", "n"]])
+    # after full deletion only the inserted rows survive
+    assert set(inc["k"]) == {"g0", "zz"}
+
+
+def test_ivm_incremental_resume_byte_identical(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from raygraph.ops.relational import preagg_sum
+    from raygraph.ops.stream import ivm_incremental
+
+    _, ds = _ivm_parts()
+    view = preagg_sum(ds, ["k"], {"v": "v"}, counts="n")
+    schema = pa.schema([("k", pa.string()), ("v", pa.int64()),
+                        ("n", pa.int64())])
+
+    def sel(residue):
+        def fn(b):
+            vv = b.column("v").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(vv % 5 == residue))
+        return fn
+
+    def mk_rounds():
+        # delete residues 0-3 over 4 rounds; residue-4 rows survive
+        return [[(ds.map_batches(sel(r), batch_format="pyarrow"), -1)]
+                for r in range(4)]
+
+    d1 = str(tmp_path / "full")
+    full = ivm_incremental(view, mk_rounds(), ["k"], ["v"], schema,
+                           count_col="n", state_dir=d1).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    # simulate a crash after round 1: run a fresh state dir, delete the
+    # later rounds' markers, then resume
+    import os
+    import shutil
+
+    d2 = str(tmp_path / "crash")
+    ivm_incremental(view, mk_rounds(), ["k"], ["v"], schema,
+                    count_col="n", state_dir=d2)
+    for r in (2, 3):
+        shutil.rmtree(os.path.join(d2, f"round={r}"))
+    resumed = ivm_incremental(view, mk_rounds(), ["k"], ["v"], schema,
+                              count_col="n", state_dir=d2,
+                              resume=True).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert resumed.equals(full)
