@@ -1483,6 +1483,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver (the bigram vocab itself stays in the cluster)
         return T.top_bigrams(_docs_ds(sf_dir), k=20)
 
+    def text_good_turing(sf_dir):
+        # Good–Turing adjusted counts over the BIGRAM frequency
+        # spectrum (r = 1..10; the unigram vocab here is too small to
+        # keep a low-count tail): gt_e6 = (1e6·(r+1)·n_{r+1}) // n_r —
+        # pure integer floor, two combiner exchanges, <= 11 spectrum
+        # rows on the driver
+        from raygraph.ops.text import good_turing
+
+        return good_turing(_docs_ds(sf_dir), max_r=10, gram=2)
+
+    def text_bigram_g2(sf_dir):
+        # Dunning log-likelihood collocations (top 20 of the top-1000
+        # count candidates): 2x2 bigram-position contingency, per-term
+        # e6-floored ln then exact integer sum — the significance-test
+        # counterpart of text_bigram_pmi
+        from raygraph.ops.text import bigram_g2_topk
+
+        return bigram_g2_topk(_docs_ds(sf_dir), k=20, top_m=1000)
+
     def text_bigram_pmi(sf_dir):
         # collocation mining: exact-bigint PMI over the count-heavy-
         # hitter bigrams (vocab-sized combiner aggregates, distributed
@@ -7272,6 +7291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hapax_ratio": text_hapax_ratio,
         "kg_pred_entropy": kg_pred_entropy,
         "text_bigram_pmi": text_bigram_pmi,
+        "text_good_turing": text_good_turing,
+        "text_bigram_g2": text_bigram_g2,
         "docs_rrf_fusion": docs_rrf_fusion,
         "docs_bm25_top10": docs_bm25_top10,
         "docs_unigram_surprise": docs_unigram_surprise,
@@ -12149,6 +12170,64 @@ def oracle_sql() -> dict[str, str]:
                sum(abs(total_cents - line_cents))::BIGINT
                    AS abs_diff_cents
         FROM j
+    """
+    # Good–Turing: spectrum self-join, integer floor division
+    out["text_good_turing"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos FROM t),
+        b0 AS (SELECT doc_id, tok AS w1,
+                      lead(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS w2 FROM u),
+        wc AS (SELECT w1 || ' ' || w2 AS w, count(*)::BIGINT AS n
+               FROM b0 WHERE w2 IS NOT NULL GROUP BY 1),
+        spec AS (SELECT n AS r, count(*)::BIGINT AS n_r
+                 FROM wc GROUP BY n)
+        SELECT s.r::BIGINT AS r, s.n_r,
+               coalesce(s2.n_r, 0)::BIGINT AS n_next,
+               ((1000000 * (s.r + 1) * coalesce(s2.n_r, 0))
+                // s.n_r)::BIGINT AS gt_e6
+        FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
+        WHERE s.r BETWEEN 1 AND 10
+    """
+    # Dunning G²: bigram contingency, per-term e6 floor ln, ×2 after
+    # the exact integer sum — mirrors text.bigram_g2_topk
+    out["text_bigram_g2"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos FROM t),
+        b0 AS (SELECT doc_id, tok AS w1,
+                      lead(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS w2 FROM u),
+        bg AS MATERIALIZED (
+          SELECT w1, w2, count(*)::BIGINT AS n FROM b0
+          WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        nbm AS (SELECT sum(n)::BIGINT AS nb FROM bg),
+        st AS (SELECT w1, sum(n)::BIGINT AS r FROM bg GROUP BY w1),
+        en AS (SELECT w2, sum(n)::BIGINT AS c FROM bg GROUP BY w2),
+        cand AS (SELECT w1, w2, n, w1 || ' ' || w2 AS bigram FROM bg
+                 ORDER BY n DESC, bigram LIMIT 1000),
+        sc AS (
+          SELECT cand.bigram, cand.n,
+                 CAST(2 * (
+            (CASE WHEN cand.n > 0 THEN floor((1000000 * cand.n)
+              * ln((cand.n * nb)::DOUBLE / (st.r * en.c)))
+              ELSE 0 END)
+          + (CASE WHEN st.r - cand.n > 0 THEN
+              floor((1000000 * (st.r - cand.n))
+              * ln(((st.r - cand.n) * nb)::DOUBLE
+                   / (st.r * (nb - en.c)))) ELSE 0 END)
+          + (CASE WHEN en.c - cand.n > 0 THEN
+              floor((1000000 * (en.c - cand.n))
+              * ln(((en.c - cand.n) * nb)::DOUBLE
+                   / ((nb - st.r) * en.c))) ELSE 0 END)
+          + (CASE WHEN nb - st.r - en.c + cand.n > 0 THEN
+              floor((1000000 * (nb - st.r - en.c + cand.n))
+              * ln(((nb - st.r - en.c + cand.n) * nb)::DOUBLE
+                   / ((nb - st.r) * (nb - en.c)))) ELSE 0 END)
+                 ) AS BIGINT) AS g2_e6
+          FROM cand JOIN st USING (w1) JOIN en USING (w2)
+          CROSS JOIN nbm)
+        SELECT bigram, n, g2_e6 FROM sc
+        ORDER BY g2_e6 DESC, bigram LIMIT 20
     """
     out["text_skipgrams"] = _TOKS_CTE + """
         , u AS (SELECT doc_id, unnest(toks) AS tok,

@@ -1461,3 +1461,171 @@ def gazetteer_tag(ds, terms, text_col: str = "text",
                      keys, {"n_mentions": "n_mentions",
                             "n_docs": "n_docs"})
     return agg.sort(keys)
+
+
+def good_turing(ds, max_r: int = 10, gram: int = 1,
+                text_col: str = "text"):
+    """Good–Turing smoothed count table over the ``gram``-gram
+    frequency spectrum: for r = 1..max_r with spectrum mass n_r > 0,
+    the adjusted count r* = (r+1)·n_{r+1}/n_r reported as the exact
+    integer ``gt_e6 = (10^6·(r+1)·n_{r+1}) // n_r`` — the estimator
+    behind Katz back-off and unseen-mass estimation (Gale & Sampson's
+    simple GT without smoothing of the spectrum itself; pure integer
+    floor, no float in the contract). ``gram=2`` runs on bigrams,
+    where real corpora keep a populated low-count tail.
+
+    Distributed shape: gram counts are a combiner aggregate (corpus →
+    vocab-sized), the spectrum is a second combiner aggregate (vocab →
+    max-count-sized), and only the <= max_r + 1 spectrum rows reach
+    the driver."""
+    import pyarrow.compute as pc
+
+    from .relational import preagg_sum
+
+    def unigram_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        if gram == 1:
+            flat = [t for ts in toks for t in ts]
+        else:
+            flat = [" ".join(ts[i:i + gram])
+                    for ts in toks
+                    for i in range(len(ts) - gram + 1)]
+        if not flat:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pd.Series(flat).value_counts().rename_axis("w") \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from raygraph.ops.graph import _repaired
+
+    uni = _repaired(
+        preagg_sum(
+            ds.map_batches(unigram_counts, batch_format="pyarrow"),
+            ["w"], {"n": "n"}),
+        pa.schema([("w", pa.string()), ("n", pa.int64())]))
+
+    def spec_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"r": batch.column("n")})
+
+    spec = _repaired(
+        preagg_sum(uni.map_batches(spec_rows, batch_format="pyarrow"),
+                   ["r"], {}, counts="n_r"),
+        pa.schema([("r", pa.int64()), ("n_r", pa.int64())]))
+    small = _repaired(
+        spec.map_batches(
+            lambda b: b.filter(pc.less_equal(b.column("r"),
+                                             max_r + 1)),
+            batch_format="pyarrow"),
+        pa.schema([("r", pa.int64()), ("n_r", pa.int64())])).to_pandas()
+    if "r" not in small.columns:   # all-empty dataset loses columns
+        small = pd.DataFrame({"r": [], "n_r": []})
+    nr = dict(zip(small["r"].astype(int), small["n_r"].astype(int)))
+    rows = []
+    for r in range(1, max_r + 1):
+        if nr.get(r, 0) <= 0:
+            continue
+        nxt = nr.get(r + 1, 0)
+        rows.append({"r": r, "n_r": nr[r], "n_next": nxt,
+                     "gt_e6": (1_000_000 * (r + 1) * nxt) // nr[r]})
+    return pd.DataFrame(rows, columns=["r", "n_r", "n_next", "gt_e6"]) \
+        .astype({"r": "int64", "n_r": "int64", "n_next": "int64",
+                 "gt_e6": "int64"})
+
+
+def bigram_g2_topk(ds, k: int = 20, top_m: int = 1000,
+                   text_col: str = "text"):
+    """Dunning log-likelihood (G²) collocations — the significance-
+    test counterpart of :func:`bigram_pmi` (PMI over-ranks rare pairs;
+    G² weighs evidence mass): for each candidate bigram the 2×2
+    contingency over BIGRAM positions (k11 = pair count, margins =
+    bigram-start / bigram-end counts, N = total bigrams) scores
+
+        g2_e6 = 2 · Σ_ij floor((10^6·k_ij) · ln((k_ij·N)::DOUBLE /
+                                                 (row_i·col_j)))
+
+    with zero cells contributing 0 — per-term floor then exact integer
+    sum (the established order-free ln discipline), so the SQL oracle
+    reproduces it bit-for-bit. Margins are combiner aggregates over
+    the bigram table (vocab-sized); candidates are the top_m bigrams
+    by (count, bigram); only O(top_m) scalars reach the driver."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .relational import preagg_sum
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.strip().str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        total = int(lens.sum())
+        if total < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        valid = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(lens[lens > 0]) - 1
+        valid[ends[ends < total - 1]] = False
+        g = pd.DataFrame({"w1": flat[:-1][valid],
+                          "w2": flat[1:][valid]}) \
+            .value_counts().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    big = preagg_sum(
+        ds.map_batches(bigram_counts, batch_format="pyarrow"),
+        ["w1", "w2"], {"n": "n"}).materialize()
+    n_b = int(big.sum("n") or 0)
+    if n_b == 0:
+        return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "g2_e6": pd.Series([], dtype="int64")})
+
+    starts = preagg_sum(big.select_columns(["w1", "n"]), ["w1"],
+                        {"n": "n"}).materialize()
+    ends_m = preagg_sum(big.select_columns(["w2", "n"]), ["w2"],
+                        {"n": "n"}).materialize()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        b = batch.column("w1").to_pandas().str.cat(
+            batch.column("w2").to_pandas(), sep=" ")
+        return batch.append_column("bigram", pa.array(b, pa.string()))
+
+    cand = big.map_batches(keyed, batch_format="pyarrow") \
+        .sort(["n", "bigram"], descending=[True, False]) \
+        .limit(top_m).to_pandas()
+    w1set = pa.array(sorted(set(cand["w1"])), pa.string())
+    w2set = pa.array(sorted(set(cand["w2"])), pa.string())
+    sm = starts.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("w1"), value_set=w1set)),
+        batch_format="pyarrow").to_pandas()
+    em = ends_m.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("w2"), value_set=w2set)),
+        batch_format="pyarrow").to_pandas()
+    rmap = dict(zip(sm["w1"], sm["n"].astype(int)))
+    cmap = dict(zip(em["w2"], em["n"].astype(int)))
+
+    def term(kij: int, row: int, col: int) -> int:
+        if kij <= 0:
+            return 0
+        return math.floor((1_000_000 * kij) * math.log(
+            float(kij * n_b) / float(row * col)))
+
+    g2 = []
+    for n, w1, w2 in zip(cand["n"].astype(int), cand["w1"],
+                         cand["w2"]):
+        r1, c1 = rmap[w1], cmap[w2]
+        r2, c2 = n_b - r1, n_b - c1
+        s = (term(n, r1, c1) + term(r1 - n, r1, c2)
+             + term(c1 - n, r2, c1) + term(n_b - r1 - c1 + n, r2, c2))
+        g2.append(2 * s)
+    cand["g2_e6"] = pd.Series(g2, index=cand.index, dtype="int64")
+    cand["n"] = cand["n"].astype("int64")
+    out = cand.sort_values(["g2_e6", "bigram"],
+                           ascending=[False, True]).head(k)
+    return out[["bigram", "n", "g2_e6"]].reset_index(drop=True)

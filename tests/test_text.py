@@ -478,3 +478,43 @@ def test_gazetteer_tag_multiword_adjacency(ray_session):
         assert by.loc["hash", "n_docs"] == 3
         assert "nonexistent phrase" not in by.index
         assert list(got["term"]) == sorted(got["term"])
+
+
+def test_good_turing_known_spectrum(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.text import good_turing
+
+    # unigram counts: a:3 b:2 c:2 d:1 e:1 f:1 -> n_1=3, n_2=2, n_3=1
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["a a a b b", "c c d e f"],
+    }))
+    got = good_turing(ds, max_r=5, gram=1)
+    rows = {int(r.r): (int(r.n_r), int(r.n_next), int(r.gt_e6))
+            for r in got.itertuples()}
+    assert rows[1] == (3, 2, (1_000_000 * 2 * 2) // 3)
+    assert rows[2] == (2, 1, (1_000_000 * 3 * 1) // 2)
+    assert rows[3] == (1, 0, 0)
+
+
+def test_bigram_g2_ranks_true_collocation_first(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.text import bigram_g2_topk
+
+    # "strong tea" always co-occurs; fillers are independent
+    docs = ["strong tea %s" % w for w in "u v w x y z".split()] * 5
+    docs += ["tea strong".replace(" ", " filler ")]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(docs))), "text": docs}))
+    got = bigram_g2_topk(ds, k=5, top_m=100)
+    assert got["bigram"].iloc[0] == "strong tea"
+    assert (got["g2_e6"] > 0).iloc[0]
+    # deterministic across layout
+    got2 = bigram_g2_topk(rd.from_arrow(pa.table({
+        "doc_id": list(range(len(docs))), "text": docs})).repartition(5),
+        k=5, top_m=100)
+    assert got.equals(got2)
