@@ -728,6 +728,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return wl_colors(ed, iters=2)
 
+    def kg_node2vec(sf_dir):
+        # deterministic node2vec-style biased walks (5 seeds, 3 hops):
+        # the skip-gram walk corpus with md5-rank choices — class-0
+        # dist-1 steps preferred, explore next, return last; one
+        # edge-sized join + one pair-key membership join per hop
+        from raygraph.ops.graph import node2vec_walks
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return node2vec_walks(ed, n_seeds=5, hops=3)
+
     def kg_msf(sf_dir):
         # Borůvka minimum spanning forest (2 hook rounds, 3-round
         # min-label contraction) with deterministic md5 weights — the
@@ -7239,6 +7250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_katz": kg_katz,
         "kg_wl": kg_wl,
         "kg_msf": kg_msf,
+        "kg_node2vec": kg_node2vec,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -8216,6 +8228,48 @@ def _katz_sql(edges_sql: str, iters: int, beta_den: int) -> str:
     return "".join(parts)
 
 
+def _node2vec_sql(edges_sql: str, n_seeds: int, hops: int) -> str:
+    """Machine-unrolled deterministic node2vec walks mirroring
+    raygraph.ops.graph.node2vec_walks: undirected arcs, top-degree
+    seeds, per step class ('0' dist-1 / '1' explore / '2' return) ||
+    md5(seed|step|x) || x argmin."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v "
+        "FROM pr WHERE u <> v)",
+        ", arcs AS MATERIALIZED (SELECT u AS a, v AS b FROM und "
+        "UNION ALL SELECT v, u FROM und)",
+        ", ak AS MATERIALIZED (SELECT DISTINCT a||'|'||b AS pk "
+        "FROM arcs)",
+        ", dg AS (SELECT a AS vertex, count(*)::BIGINT AS d FROM arcs "
+        "GROUP BY a)",
+        f", seeds AS (SELECT vertex AS s FROM dg "
+        f"ORDER BY d DESC, vertex LIMIT {n_seeds})",
+        ", w0 AS (SELECT s AS seed, '' AS prev, s AS cur FROM seeds)",
+    ]
+    for i in range(1, hops + 1):
+        parts += [
+            f", c{i} AS (SELECT w.seed, w.prev, w.cur, a.b AS x "
+            f"FROM w{i - 1} w JOIN arcs a ON w.cur = a.a)",
+            f", k{i} AS (SELECT seed, cur, x, "
+            f"(CASE WHEN x = prev THEN '2' "
+            f"WHEN EXISTS (SELECT 1 FROM ak WHERE pk = prev||'|'||x) "
+            f"THEN '0' ELSE '1' END) "
+            f"|| md5(seed||'|'||{i}||'|'||x) || x AS k FROM c{i})",
+            f", p{i} AS (SELECT seed, min(k) AS mk FROM k{i} "
+            f"GROUP BY seed)",
+            f", w{i} AS (SELECT k.seed, k.cur AS prev, k.x AS cur "
+            f"FROM k{i} k JOIN p{i} p ON k.seed = p.seed "
+            f"AND k.k = p.mk)",
+        ]
+    sel = ["SELECT seed, 0::BIGINT AS step, cur AS vertex FROM w0"]
+    sel += [f"SELECT seed, {i}::BIGINT, cur FROM w{i}"
+            for i in range(1, hops + 1)]
+    parts.append(" " + " UNION ALL ".join(sel))
+    return "".join(parts)
+
+
 def _wl_sql(edges_sql: str, iters: int) -> str:
     """Machine-unrolled Weisfeiler–Lehman refinement mirroring
     raygraph.ops.graph.wl_colors term for term: undirected simple
@@ -8571,6 +8625,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_katz": _katz_sql(kg_edges_sql, iters=3, beta_den=5),
         "kg_wl": _wl_sql(kg_edges_sql, iters=2),
         "kg_msf": _msf_sql(kg_edges_sql, iters=2, inner=3),
+        "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
         "kg_reciprocity": f"""

@@ -2821,3 +2821,168 @@ def msf_boruvka(edges, iters: int = 2, inner: int = 3,
         pa.schema([("u", pa.string()), ("v", pa.string()),
                    ("w", pa.int64()), ("ekey", pa.string())]))
     return _repaired(out.select_columns(["u", "v", "w"]), out_schema)
+
+
+def node2vec_walks(edges, n_seeds: int = 5, hops: int = 3,
+                   src: str = "_from", dst: str = "_to"):
+    """Deterministic node2vec-style biased walks over the undirected
+    simple graph — the walk-corpus generator for skip-gram graph
+    embeddings (Grover & Leskovec), with the stochastic choice replaced
+    by the repo's md5-rank discipline so the corpus is bit-identical
+    at any parallelism and SQL-replayable.
+
+    Bias classes mirror node2vec's p/q preferences (p, q > 1) as a
+    PRIORITY rather than a probability: from state (prev, cur) each
+    neighbor x of cur is classed '0' when (prev, x) is an edge (the
+    weight-1 dist-1 step), '1' otherwise (the 1/q explore), '2' when
+    x == prev (the 1/p return — last resort), and the next hop is the
+    minimum of
+    ``class || md5(seed|step|x) || x`` — within a class the md5 is the
+    deterministic coin. Step 1 has no prev: pure md5 rank.
+
+    Seeds are the ``n_seeds`` top-degree vertices (ties → smallest
+    id). Per step: one arcs⋈state join (edge-sized), one pair-key
+    existence left join, one per-seed argmin — no driver state beyond
+    the seed list. Returns (seed, step, vertex) for step 0..hops.
+    """
+    from .relational import (_join_partitions, hash_aggregate,
+                             shuffle_join)
+
+    import hashlib
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("seed", pa.string()),
+                            ("step", pa.int64()),
+                            ("vertex", pa.string())])
+    und, deg, nparts = _und_graph(edges, src, dst)
+    if und.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().cast(pa.string())
+        v = batch.column("v").combine_chunks().cast(pa.string())
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    arcs = _repaired(und.map_batches(both_dirs, batch_format="pyarrow"),
+                     pa.schema([("a", pa.string()), ("b", pa.string())]))
+    def arc_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({"pk": pa.array(
+            df["a"].str.cat(df["b"], sep="|"), pa.string())})
+
+    akeys = _repaired(arcs.map_batches(arc_keys, batch_format="pyarrow"),
+                      pa.schema([("pk", pa.string())]))
+
+    seeds = deg.sort(["deg", "vtx"], descending=[True, False]) \
+        .limit(n_seeds).to_pandas()["vtx"].tolist()
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # state rows (seed, prev, cur); walks accumulate output Datasets
+    state_schema = pa.schema([("seed", pa.string()),
+                              ("prev", pa.string()),
+                              ("cur", pa.string())])
+    walks = [rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, pa.string()),
+        "step": pa.array([0] * len(seeds), pa.int64()),
+        "vertex": pa.array(seeds, pa.string())}))]
+    state = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, pa.string()),
+        "prev": pa.array([""] * len(seeds), pa.string()),
+        "cur": pa.array(seeds, pa.string())}))
+
+    for step in range(1, hops + 1):
+        cand = shuffle_join(state, arcs, on="cur", right_on="a",
+                            num_partitions=nparts)
+        cand = _repaired(
+            cand.map_batches(
+                lambda b: b.rename_columns(
+                    ["seed", "prev", "cur", "x"]),
+                batch_format="pyarrow"),
+            pa.schema([("seed", pa.string()), ("prev", pa.string()),
+                       ("cur", pa.string()), ("x", pa.string())]))
+        if cand.count() == 0:
+            break
+
+        def with_pk(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["pk"] = df["prev"].str.cat(df["x"], sep="|")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cand = _repaired(
+            cand.map_batches(with_pk, batch_format="pyarrow"),
+            pa.schema([("seed", pa.string()), ("prev", pa.string()),
+                       ("cur", pa.string()), ("x", pa.string()),
+                       ("pk", pa.string())]))
+        # class by edge-set membership: semi join keeps the class-0
+        # candidates, anti join the complement
+        matched = _repaired(
+            shuffle_join(cand, akeys, on="pk", right_on="pk",
+                         how="left_semi", num_partitions=nparts),
+            pa.schema([("seed", pa.string()), ("prev", pa.string()),
+                       ("cur", pa.string()), ("x", pa.string()),
+                       ("pk", pa.string())]))
+        unmatched = _repaired(
+            shuffle_join(cand, akeys, on="pk", right_on="pk",
+                         how="left_anti", num_partitions=nparts),
+            pa.schema([("seed", pa.string()), ("prev", pa.string()),
+                       ("cur", pa.string()), ("x", pa.string()),
+                       ("pk", pa.string())]))
+
+        def keyed(base_cls: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                is_ret = df["x"] == df["prev"]
+                cls = np.where(is_ret, "2", base_cls)
+                h = [md5(f"{s}|{step}|{x}")
+                     for s, x in zip(df["seed"], df["x"])]
+                df["k"] = pd.Series(cls, index=df.index).str.cat(
+                    [pd.Series(h, index=df.index), df["x"]], sep="")
+                return pa.Table.from_pandas(
+                    df[["seed", "cur", "x", "k"]],
+                    preserve_index=False)
+            return fn
+
+        key_schema = pa.schema([("seed", pa.string()),
+                                ("cur", pa.string()),
+                                ("x", pa.string()),
+                                ("k", pa.string())])
+        km = _repaired(matched.map_batches(keyed("0"),
+                                           batch_format="pyarrow"),
+                       key_schema)
+        ku = _repaired(unmatched.map_batches(keyed("1"),
+                                             batch_format="pyarrow"),
+                       key_schema)
+        allk = _repaired(km.union(ku), key_schema)
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.loc[df.groupby("seed")["k"].idxmin()]
+            return out[["seed", "cur", "x"]]
+
+        nxt = _repaired(
+            hash_aggregate(allk, ["seed"], pick),
+            pa.schema([("seed", pa.string()), ("cur", pa.string()),
+                       ("x", pa.string())]))
+        walks.append(_repaired(
+            nxt.map_batches(
+                lambda b, st=step: pa.table({
+                    "seed": b.column("seed"),
+                    "step": pa.array([st] * b.num_rows, pa.int64()),
+                    "vertex": b.column("x")}),
+                batch_format="pyarrow"),
+            out_schema))
+        state = _repaired(
+            nxt.map_batches(
+                lambda b: pa.table({"seed": b.column("seed"),
+                                    "prev": b.column("cur"),
+                                    "cur": b.column("x")}),
+                batch_format="pyarrow"),
+            state_schema)
+
+    out = walks[0]
+    for w in walks[1:]:
+        out = out.union(w)
+    return _repaired(out, out_schema)

@@ -1313,3 +1313,59 @@ def test_grid_clusters_adjacent_cells_merge(ray_session):
     assert len(got) == 1
     assert int(got["n_cells"].iloc[0]) == 2
     assert int(got["n_points"].iloc[0]) == 8
+
+
+def test_node2vec_walks_match_naive_replay(ray_session):
+    import hashlib
+
+    from raygraph.ops.graph import node2vec_walks
+
+    got = node2vec_walks(_edges_ds(), n_seeds=2, hops=3).to_pandas()
+    got = {(r.seed, int(r.step)): r.vertex for r in got.itertuples()}
+
+    und = {tuple(sorted(p)) for p in PAIRS if p[0] != p[1]}
+    adj = collections.defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    seeds = sorted(adj, key=lambda v: (-len(adj[v]), v))[:2]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    exp = {}
+    for s in seeds:
+        prev, cur = "", s
+        exp[(s, 0)] = s
+        for step in range(1, 4):
+            def key(x):
+                if x == prev:
+                    cls = "2"
+                elif prev and x in adj.get(prev, ()):
+                    cls = "0"
+                else:
+                    cls = "1"
+                return cls + md5(f"{s}|{step}|{x}") + x
+            nxt = min(adj[cur], key=key)
+            exp[(s, step)] = nxt
+            prev, cur = cur, nxt
+    assert got == exp
+
+
+def test_node2vec_prefers_dist1_over_return(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import node2vec_walks
+
+    # triangle a-b-c plus pendant b-e: any step out of a neighbor of b
+    # must prefer a vertex adjacent to b (class 0) over returning to b
+    ed = rd.from_arrow(pa.table({
+        "_from": ["a", "b", "c", "b"],
+        "_to": ["b", "c", "a", "e"]}))
+    out = node2vec_walks(ed, n_seeds=1, hops=2).to_pandas() \
+        .sort_values("step")
+    walk = list(out["vertex"])
+    assert walk[0] == "b"  # top degree
+    if walk[1] in ("a", "c"):
+        # from a (prev=b): c is adjacent to b -> class 0 beats return
+        assert walk[2] != "b"
