@@ -4378,6 +4378,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ["doc_id", "text", "lang", "source",
                                 "n_chars"])
 
+    def docs_mannwhitney(sf_dir):
+        # Mann–Whitney U (two-sample rank test, exact midrank
+        # integers): does the lexicographically-first source's doc
+        # length distribution differ from the rest? Rank sums stay
+        # 2x-scaled integers (tied groups take 2·start + c + 1), so
+        # the contract is float-free; one value-keyed combiner
+        # exchange, the value-sized spectrum folds on the driver
+        docs = _docs_ds(sf_dir, columns=("n_chars", "source"))
+        from raygraph.ops.relational import preagg_sum
+
+        srcs = preagg_sum(docs.select_columns(["source"]), ["source"],
+                          {}).to_pandas()
+        a_src = sorted(srcs["source"])[0]
+
+        def rows(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.table({
+                "x": pa.array(df["n_chars"], pa.int64()),
+                "a": pa.array((df["source"] == a_src)
+                              .astype("int64"), pa.int64()),
+            })
+
+        v = preagg_sum(docs.map_batches(rows, batch_format="pyarrow"),
+                       ["x"], {"a": "a"}, counts="c").to_pandas() \
+            .sort_values("x").reset_index(drop=True)
+        c = v["c"].to_numpy(dtype="int64")
+        a = v["a"].to_numpy(dtype="int64")
+        start = np.cumsum(c) - c
+        r2a = int((a * (2 * start + c + 1)).sum())
+        na = int(a.sum())
+        n = int(c.sum())
+        return pd.DataFrame({"n_a": [na], "n_b": [n - na],
+                             "u2_a": [r2a - na * (na + 1)]}) \
+            .astype("int64")
+
+    def orders_theil_sen(sf_dir):
+        # Theil–Sen robust trend of daily revenue: the lower median of
+        # all pairwise day-slopes (e6 trunc-div integers) — outlier-
+        # immune where OLS (events_trend) is not. The day series is a
+        # distributed combiner aggregate; only the day-sized table
+        # pair-expands (dates are bounded, so the O(days²) stays
+        # driver-safe at any corpus scale)
+        from raygraph.ops.relational import preagg_sum, trunc_div
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate", "o_totalprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = (df["o_orderdate"].to_numpy()
+                 .astype("datetime64[us]").astype("int64")
+                 // 86_400_000_000)
+            return pa.table({
+                "d": pa.array(d, pa.int64()),
+                "y": pa.array(np.round(df["o_totalprice"] * 100)
+                              .astype("int64"), pa.int64()),
+            })
+
+        byday = preagg_sum(
+            orders.map_batches(cents, batch_format="pyarrow"),
+            ["d"], {"y": "y"}).to_pandas().sort_values("d") \
+            .reset_index(drop=True)
+        d = byday["d"].to_numpy(dtype="int64")
+        y = byday["y"].to_numpy(dtype="int64")
+        iu, ju = np.triu_indices(len(d), k=1)
+        slopes = trunc_div(1_000_000 * (y[ju] - y[iu]),
+                           d[ju] - d[iu])
+        slopes = np.sort(slopes)
+        med = int(slopes[(len(slopes) - 1) // 2])
+        return pd.DataFrame({"n_days": [len(d)],
+                             "n_pairs": [len(slopes)],
+                             "slope_e6": [med]}) \
+            .astype("int64")
+
     def orders_holt_winters(sf_dir):
         # Holt's double exponential smoothing over the daily-revenue
         # series (level α = 1/5, trend β = 1/10, exact trunc-div
@@ -7525,6 +7600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
+        "orders_theil_sen": orders_theil_sen,
+        "docs_mannwhitney": docs_mannwhitney,
         "orders_holt_winters": orders_holt_winters,
         "orders_ivm_view": orders_ivm_view,
         "orders_ivm_incremental": orders_ivm_incremental,
@@ -9305,6 +9382,50 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # Mann–Whitney U with exact 2x-scaled midranks
+        "docs_mannwhitney": """
+            WITH v AS (
+              SELECT n_chars AS x, count(*)::BIGINT AS c,
+                     sum(CASE WHEN source =
+                         (SELECT min(source) FROM documents)
+                         THEN 1 ELSE 0 END)::BIGINT AS a
+              FROM documents GROUP BY n_chars
+            ),
+            w AS (
+              SELECT x, c, a,
+                     coalesce(sum(c) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS strt
+              FROM v
+            ),
+            t AS (SELECT sum(a * (2 * strt + c + 1))::BIGINT AS r2a,
+                         sum(a)::BIGINT AS na, sum(c)::BIGINT AS n
+                  FROM w)
+            SELECT na AS n_a, (n - na)::BIGINT AS n_b,
+                   (r2a - na * (na + 1))::BIGINT AS u2_a
+            FROM t
+        """,
+        # Theil–Sen: pairwise day-slope median; DuckDB // truncates =
+        # raygraph trunc_div (positive denominators)
+        "orders_theil_sen": """
+            WITH byday AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     ::BIGINT AS y
+              FROM orders GROUP BY 1
+            ),
+            sl AS MATERIALIZED (
+              SELECT (1000000 * (b.y - a.y)) // (b.d - a.d) AS slope
+              FROM byday a JOIN byday b ON b.d > a.d
+            ),
+            r AS (SELECT slope,
+                         row_number() OVER (ORDER BY slope) AS rn,
+                         count(*) OVER () AS m
+                  FROM sl)
+            SELECT (SELECT count(*) FROM byday)::BIGINT AS n_days,
+                   m::BIGINT AS n_pairs, slope::BIGINT AS slope_e6
+            FROM r WHERE rn = (m + 1) // 2
         """,
         # Holt's recurrence replayed with a RECURSIVE CTE; DuckDB //
         # truncates toward zero = raygraph trunc_div
