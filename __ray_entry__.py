@@ -4389,7 +4389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from raygraph.ops.relational import preagg_sum
 
         srcs = preagg_sum(docs.select_columns(["source"]), ["source"],
-                          {}).to_pandas()
+                          {}, counts="n").to_pandas()
         a_src = sorted(srcs["source"])[0]
 
         def rows(batch: pa.Table) -> pa.Table:
