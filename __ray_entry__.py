@@ -6043,6 +6043,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
                           counts="n_docs")
 
+    def docs_from_ipc(sf_dir):
+        # fifth source format: Arrow IPC (Feather v2) round-trip via
+        # the file-per-task reader with pruned memory-mapped decode —
+        # oracled against the parquet originals
+        from raygraph.io import read_table_ipc, write_table_ipc
+
+        ipc_dir = os.path.join(_TMP, f"docs_ipc_{_docs_count(sf_dir)}")
+        if not os.path.isdir(ipc_dir):
+            write_table_ipc(
+                rd.read_parquet(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "lang", "n_chars"]),
+                ipc_dir)
+        docs = read_table_ipc(ipc_dir, columns=["lang", "n_chars"])
+        return preagg_sum(docs, ["lang"], {"sum_chars": "n_chars"},
+                          counts="n_docs")
+
     def docs_from_orc(sf_dir):
         # fourth source format: the docs profile re-ingested through
         # the file-per-task ORC reader (io.read_table_orc) with column
@@ -7490,6 +7507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa": events_twa,
         "docs_from_csv": docs_from_csv,
         "docs_from_orc": docs_from_orc,
+        "docs_from_ipc": docs_from_ipc,
         "docs_curate_spec": docs_curate_spec,
         "ann_pq_top10": ann_pq_top10,
         "docs_len_hdr_by_source": docs_len_hdr_by_source,
@@ -9124,6 +9142,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (bucket - (((bucket >> 7) - 1) << 7))
                              << ((bucket >> 7) - 1) END AS est
             FROM sel ORDER BY source, q_pct
+        """,
+        "docs_from_ipc": """
+            SELECT lang, sum(n_chars)::BIGINT AS sum_chars,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
         """,
         "docs_from_orc": """
             SELECT source, count(*)::BIGINT AS n_docs,

@@ -252,3 +252,54 @@ def write_table_orc(ds: ray.data.Dataset, path: str) -> int:
     counts = ds.map_batches(write_block, batch_size=None,
                             batch_format="pyarrow").to_pandas()
     return int(counts["n"].sum())
+
+
+def read_table_ipc(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Arrow IPC (Feather v2) shard reader — the fifth source format
+    (after Parquet, JSONL, CSV, ORC), same file-per-task shard model as
+    :func:`read_table_orc` (SURVEY §2.1 S1): the file list becomes a
+    one-row-per-block Dataset and each task memory-maps its file with
+    column pruning pushed into the IPC reader — zero-copy into Arrow,
+    the cheapest possible decode path for intermediate exchange
+    tables."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.arrow")))
+    elif os.path.exists(path):
+        files = [path]
+    else:
+        files = []
+    if not files:
+        raise FileNotFoundError(f"no .arrow files under {path}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        tabs = [feather.read_table(p, columns=columns)
+                for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tabs)
+
+    files_ds = ray.data.from_arrow(pa.table({"path": pa.array(files)}))
+    return files_ds.repartition(len(files)).map_batches(
+        load, batch_format="pyarrow")
+
+
+def write_table_ipc(ds: ray.data.Dataset, path: str) -> int:
+    """Arrow IPC sink: one .arrow file per block, written inside the
+    tasks (same resumable directory-of-shards contract as the parquet
+    and ORC sinks). Returns the row count written."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        f = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        feather.write_feather(batch, f)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_size=None,
+                            batch_format="pyarrow").to_pandas()
+    return int(counts["n"].sum())

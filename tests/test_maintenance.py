@@ -252,3 +252,29 @@ def test_delete_where_unknown_op_raises(ray_session, tmp_path):
     d = _mk_table(tmp_path, "t4")
     with _pytest.raises(InvalidParameterError):
         delete_where(d, "id", "regex", "x")
+
+
+def test_ipc_round_trip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raygraph.io import read_table_ipc, write_table_ipc
+
+    ds = rd.from_arrow(pa.table({
+        "id": list(range(100)), "s": [f"v{i}" for i in range(100)]}))
+    d = str(tmp_path / "ipc")
+    n = write_table_ipc(ds, d)
+    assert n == 100
+    back = read_table_ipc(d).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert list(back["id"]) == list(range(100))
+    pruned = read_table_ipc(d, columns=["id"]).to_pandas()
+    assert pruned.columns.tolist() == ["id"]
+
+
+def test_ipc_missing_dir_raises(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from raygraph.io import read_table_ipc
+
+    with _pytest.raises(FileNotFoundError):
+        read_table_ipc(str(tmp_path / "nope"))
