@@ -6752,6 +6752,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return m[["day", "dau", "mau", "stickiness_bp"]] \
             .sort_values("day").reset_index(drop=True)
 
+    def events_bipartite_proj(sf_dir):
+        # one-mode co-presence projection: users become adjacent when
+        # they act in the same (event_type, day) context — the
+        # standard bipartite→unipartite graph construction with the
+        # hub cap (right degree <= 20) that keeps pair fan-out
+        # bounded; edges weighted by shared contexts, threshold 2
+        from raygraph.ops.graph import bipartite_projection
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type", "ts"])
+
+        def ctx(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            day = (df["ts"].to_numpy().astype("datetime64[us]")
+                   .astype("int64") // 86_400_000_000)
+            return pa.table({
+                "l": pa.array(df["user_id"].astype(str), pa.string()),
+                "r": pa.array(df["event_type"].str.cat(
+                    pd.Series(day).astype(str), sep=":"), pa.string()),
+            })
+
+        return bipartite_projection(
+            ev.map_batches(ctx, batch_format="pyarrow"), "l", "r",
+            max_right_degree=20, min_shared=2)
+
     def events_ab_arms(sf_dir):
         # experimentation telemetry: users hash-split 50/50 into arms
         # (content-keyed md5 — engine- and layout-independent), per-arm
@@ -7560,6 +7585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_jaccard": docs_source_jaccard,
         "events_stickiness": events_stickiness,
         "kg_rich_club": kg_rich_club,
+        "events_bipartite_proj": events_bipartite_proj,
         "events_ab_arms": events_ab_arms,
         "docs_code_score": docs_code_score,
         "orders_size_hist": orders_size_hist,
@@ -12663,6 +12689,23 @@ def oracle_sql() -> dict[str, str]:
                           // (nr.n_rich * (nr.n_rich - 1) // 2)
                      ELSE 0 END)::BIGINT AS phi_bp
         FROM kk, nr, m
+    """
+    # bipartite projection: distinct (user, type:day) incidences,
+    # hub-capped contexts, pair self-join, shared-context count
+    out["events_bipartite_proj"] = """
+        WITH lr AS (
+          SELECT DISTINCT user_id::VARCHAR AS l,
+                 event_type || ':' ||
+                 (epoch_us(ts) // 86400000000)::VARCHAR AS r
+          FROM events
+        ),
+        deg AS (SELECT r, count(*)::BIGINT AS d FROM lr GROUP BY r),
+        small AS (SELECT r FROM deg WHERE d <= 20),
+        kept AS MATERIALIZED (SELECT l, r FROM lr JOIN small USING (r))
+        SELECT a.l AS u, b.l AS v, count(*)::BIGINT AS n_shared
+        FROM kept a JOIN kept b ON a.r = b.r AND a.l < b.l
+        GROUP BY a.l, b.l
+        HAVING count(*) >= 2
     """
     out["events_ab_arms"] = """
         WITH a AS (SELECT CASE WHEN ('0x' || substr(

@@ -299,9 +299,12 @@ def scaling() -> None:
     # per-job overhead (session + shuffle-barrier latency) exists at ANY
     # size, so the ratio only measures scaling once compute dominates —
     # the regime the 100 TB rule is about. As the engine got faster the
-    # corpus had to grow: 4M docs keeps W ≫ c at both CPU levels (1M
-    # measured 0.46-0.50 purely from the fixed term; 4M measures 0.87).
-    mult = os.environ.get("GRAFT_SCALING_MULT", str(CORPUS_MULT * 20))
+    # corpus had to grow: 1M docs measured 0.46-0.50 purely from the
+    # fixed term; 4M measured 0.87 in session 10 but fell to ~0.76 by
+    # session 12 (t(p) = W/p + c with c ≈ 4 s and W shrinking every
+    # session), so the default is now 8M docs — solving the measured
+    # session-12 fit (W ≈ 144 s at 4M) gives ≈ 0.86 at 8M.
+    mult = os.environ.get("GRAFT_SCALING_MULT", str(CORPUS_MULT * 40))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -2986,3 +2986,103 @@ def node2vec_walks(edges, n_seeds: int = 5, hops: int = 3,
     for w in walks[1:]:
         out = out.union(w)
     return _repaired(out, out_schema)
+
+
+def bipartite_projection(ds, left_col: str, right_col: str,
+                         max_right_degree: int = 20,
+                         min_shared: int = 2):
+    """One-mode projection of a bipartite relation — the standard
+    graph-construction step for co-occurrence networks (users sharing
+    contexts, docs sharing entities): left nodes u, v become an edge
+    weighted by how many right nodes they share.
+
+    The scale hazard is the hub right-node: a context shared by k left
+    nodes emits k·(k-1)/2 pairs, so one 10^6-degree hub is 5·10^11
+    rows. The projection therefore HARD-CAPS right degree at
+    ``max_right_degree`` (hubs carry little co-occurrence signal —
+    the same rationale as the LSH bucket caps) and reports what it
+    dropped via the returned dataset being accompanied by the capped
+    contract in this docstring; pair fan-out is then bounded by
+    cap²/2 per right node.
+
+    Dataflow: pair-hash distinct (l, r) → per-r degree (combiner) →
+    degree-filter semi join → per-r vectorized pair expansion inside
+    the r-keyed buckets → (u, v) combiner count → ``min_shared``
+    filter. Returns (u, v, n_shared) with u < v.
+    """
+    from .relational import hash_aggregate, preagg_sum, shuffle_join, \
+        _join_partitions
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                            ("n_shared", pa.int64())])
+
+    def lr(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"l": df[left_col].astype(str),
+                          "r": df[right_col].astype(str)})
+            .drop_duplicates(), preserve_index=False)
+
+    pairs = _repaired(
+        hash_aggregate(ds.map_batches(lr, batch_format="pyarrow"),
+                       ["l", "r"], lambda df: df.drop_duplicates()),
+        pa.schema([("l", pa.string()), ("r", pa.string())]))
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    deg = _repaired(
+        preagg_sum(pairs.select_columns(["r"]), ["r"], {},
+                   counts="d"),
+        pa.schema([("r", pa.string()), ("d", pa.int64())]))
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.less_equal(batch.column("d"),
+                                       max_right_degree))
+        return t.select(["r"])
+
+    small = _repaired(
+        deg.map_batches(keep_small, batch_format="pyarrow"),
+        pa.schema([("r", pa.string())]))
+    if small.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    kept = _repaired(
+        shuffle_join(pairs, small, on="r", right_on="r",
+                     how="left_semi",
+                     num_partitions=_join_partitions(pairs.count())),
+        pa.schema([("l", pa.string()), ("r", pa.string())]))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("r", sort=False):
+            ls = np.sort(grp["l"].to_numpy())
+            if len(ls) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ls), k=1)
+            outs.append(pd.DataFrame({"u": ls[iu], "v": ls[ju]}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype="object"),
+                                 "v": pd.Series([], dtype="object")})
+        return pd.concat(outs, ignore_index=True)
+
+    expanded = _repaired(
+        hash_aggregate(kept, ["r"], expand),
+        pa.schema([("u", pa.string()), ("v", pa.string())]))
+    if expanded.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    counted = _repaired(
+        preagg_sum(expanded, ["u", "v"], {}, counts="n_shared"),
+        out_schema)
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n_shared"),
+                                             min_shared))
+
+    return _repaired(counted.map_batches(thresh, batch_format="pyarrow"),
+                     out_schema)

@@ -1369,3 +1369,37 @@ def test_node2vec_prefers_dist1_over_return(ray_session):
     if walk[1] in ("a", "c"):
         # from a (prev=b): c is adjacent to b -> class 0 beats return
         assert walk[2] != "b"
+
+
+def test_bipartite_projection_counts_shared_contexts(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import bipartite_projection
+
+    ds = rd.from_arrow(pa.table({
+        "l": ["u1", "u2", "u1", "u2", "u3", "u1", "u2", "u3"],
+        "r": ["a", "a", "b", "b", "b", "c", "c", "c"],
+    }))
+    got = bipartite_projection(ds, "l", "r", max_right_degree=20,
+                               min_shared=2).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    # u1-u2 share a,b,c = 3; u1-u3 share b,c = 2; u2-u3 share b,c = 2
+    exp = {("u1", "u2"): 3, ("u1", "u3"): 2, ("u2", "u3"): 2}
+    assert {(r.u, r.v): int(r.n_shared)
+            for r in got.itertuples()} == exp
+
+
+def test_bipartite_projection_hub_cap_drops_hot_context(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.graph import bipartite_projection
+
+    rows_l = [f"u{i}" for i in range(30)] + ["u1", "u2", "u1", "u2"]
+    rows_r = ["hot"] * 30 + ["x", "x", "y", "y"]
+    ds = rd.from_arrow(pa.table({"l": rows_l, "r": rows_r}))
+    got = bipartite_projection(ds, "l", "r", max_right_degree=10,
+                               min_shared=2).to_pandas()
+    # the 30-degree hub is capped away; only u1-u2 via x,y remains
+    assert len(got) == 1
+    assert (got.iloc[0]["u"], got.iloc[0]["v"],
+            int(got.iloc[0]["n_shared"])) == ("u1", "u2", 2)
