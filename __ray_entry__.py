@@ -6754,7 +6754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_bipartite_proj(sf_dir):
         # one-mode co-presence projection: users become adjacent when
-        # they act in the same (event_type, day) context — the
+        # they act in the same (event_type, hour) context — the
         # standard bipartite→unipartite graph construction with the
         # hub cap (right degree <= 20) that keeps pair fan-out
         # bounded; edges weighted by shared contexts, threshold 2
@@ -6765,12 +6765,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def ctx(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            day = (df["ts"].to_numpy().astype("datetime64[us]")
-                   .astype("int64") // 86_400_000_000)
+            hour = (df["ts"].to_numpy().astype("datetime64[us]")
+                    .astype("int64") // 3_600_000_000)
             return pa.table({
                 "l": pa.array(df["user_id"].astype(str), pa.string()),
                 "r": pa.array(df["event_type"].str.cat(
-                    pd.Series(day).astype(str), sep=":"), pa.string()),
+                    pd.Series(hour).astype(str), sep=":"), pa.string()),
             })
 
         return bipartite_projection(
@@ -12690,13 +12690,13 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END)::BIGINT AS phi_bp
         FROM kk, nr, m
     """
-    # bipartite projection: distinct (user, type:day) incidences,
+    # bipartite projection: distinct (user, type:hour) incidences,
     # hub-capped contexts, pair self-join, shared-context count
     out["events_bipartite_proj"] = """
         WITH lr AS (
           SELECT DISTINCT user_id::VARCHAR AS l,
                  event_type || ':' ||
-                 (epoch_us(ts) // 86400000000)::VARCHAR AS r
+                 (epoch_us(ts) // 3600000000)::VARCHAR AS r
           FROM events
         ),
         deg AS (SELECT r, count(*)::BIGINT AS d FROM lr GROUP BY r),
