@@ -3030,6 +3030,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["o_orderkey", "o_orderstatus"])
         return table_checksum(orders, ["o_orderkey", "o_orderstatus"])
 
+    def lineitem_quantile_bins(sf_dir):
+        # equi-depth feature binning (quantile discretizer, 10 bins):
+        # exact-integer decile cutpoints from the value-count
+        # exchange, broadcast searchsorted assignment, bin-keyed fold
+        # — per-bin row count and exact value range
+        from raygraph.ops.relational import quantile_bin
+
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)
+            return pa.table({"price_cents": pa.array(
+                np.round(p * 100).astype("int64"))})
+
+        return quantile_bin(
+            li.map_batches(cents, batch_format="pyarrow"),
+            "price_cents", n_bins=10)
+
     def lineitem_price_quantiles(sf_dir):
         from raygraph.ops.relational import grouped_quantiles
 
@@ -7620,6 +7640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_except_early": docs_except_early,
         "docs_intersect_early": docs_intersect_early,
         "orders_with_returns": orders_with_returns,
+        "lineitem_quantile_bins": lineitem_quantile_bins,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "docs_jaccard_top10": docs_jaccard_top10,
         "customer_revenue_topk": customer_revenue_topk,
@@ -11071,6 +11092,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT lang, source FROM documents
             INTERSECT
             SELECT DISTINCT lang, source FROM documents WHERE doc_id < 50
+        """,
+        # equi-depth binning: decile cutpoints (quantile_disc = the
+        # proven percentile_disc spec), bin = #cutpoints < v
+        "lineitem_quantile_bins": """
+            WITH v AS (
+              SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     AS c
+              FROM lineitem
+            ),
+            cuts AS (
+              SELECT unnest([
+                quantile_disc(c, 0.1), quantile_disc(c, 0.2),
+                quantile_disc(c, 0.3), quantile_disc(c, 0.4),
+                quantile_disc(c, 0.5), quantile_disc(c, 0.6),
+                quantile_disc(c, 0.7), quantile_disc(c, 0.8),
+                quantile_disc(c, 0.9)]) AS cut
+              FROM v
+            ),
+            vc AS (SELECT c, count(*)::BIGINT AS cnt FROM v GROUP BY c),
+            b AS (
+              SELECT c, cnt,
+                     (SELECT count(*) FROM cuts WHERE cut < vc.c)
+                     ::BIGINT AS bin
+              FROM vc
+            )
+            SELECT bin, sum(cnt)::BIGINT AS n, min(c)::BIGINT AS min_v,
+                   max(c)::BIGINT AS max_v
+            FROM b GROUP BY bin
         """,
         "lineitem_price_quantiles": """
             WITH c AS (

@@ -1613,3 +1613,62 @@ def ivm_merge(view, deltas, keys: Sequence[str],
         return batch.filter(pc.greater(batch.column(count_col), 0))
 
     return merged.map_batches(alive, batch_format="pyarrow")
+
+
+def quantile_bin(ds, value_col: str, n_bins: int = 10,
+                 num_buckets: int = 64):
+    """Equi-depth feature binning (the quantile discretizer of every
+    feature-engineering pipeline): cutpoints are the exact discrete
+    k/n_bins quantiles from the value-count exchange
+    (:func:`grouped_quantiles` spec — no float interpolation), then a
+    broadcast streaming pass assigns ``bin(v) = #cutpoints < v`` and a
+    bin-keyed fold reports per-bin (n, min, max).
+
+    The cutpoint list (n_bins - 1 integers) is the only driver state
+    and rides the task closure; the assignment pass is pure numpy
+    searchsorted — no shuffle beyond the distinct-value exchange that
+    computes the quantiles. Returns (bin, n, min_v, max_v).
+    """
+    from raygraph.ops.graph import _repaired
+
+    qs = [k / n_bins for k in range(1, n_bins)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(batch.num_rows, dtype="int64")),
+            value_col: batch.column(value_col),
+        })
+
+    cuts_df = _repaired(
+        grouped_quantiles(ds.map_batches(tag, batch_format="pyarrow"),
+                          ["__g"], value_col, qs=qs, prefix="q",
+                          num_buckets=num_buckets),
+        pa.schema([("__g", pa.int64())]
+                  + [(f"q{int(round(q * 100)):02d}", pa.int64())
+                     for q in qs])).to_pandas()
+    cuts = np.sort(cuts_df.drop(columns="__g").to_numpy(
+        dtype="int64").ravel())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, v, side="left").astype("int64")
+        df = pd.DataFrame({"bin": b, "v": v.astype("int64")})
+        g = df.groupby("bin", as_index=False).agg(
+            n=("v", "size"), min_v=("v", "min"), max_v=("v", "max"))
+        for c in ("bin", "n", "min_v", "max_v"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False).agg(
+            n=("n", "sum"), min_v=("min_v", "min"),
+            max_v=("max_v", "max"))
+        for c in ("bin", "n", "min_v", "max_v"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return _repaired(
+        hash_aggregate(ds.map_batches(assign, batch_format="pyarrow"),
+                       ["bin"], fold, num_buckets=num_buckets),
+        pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                   ("min_v", pa.int64()), ("max_v", pa.int64())]))

@@ -1403,3 +1403,33 @@ def test_bipartite_projection_hub_cap_drops_hot_context(ray_session):
     assert len(got) == 1
     assert (got.iloc[0]["u"], got.iloc[0]["v"],
             int(got.iloc[0]["n_shared"])) == ("u1", "u2", 2)
+
+
+def test_quantile_bin_equi_depth(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import quantile_bin
+
+    # 100 distinct values 0..99 into 10 bins -> each bin exactly 10
+    ds = rd.from_arrow(pa.table({"v": list(range(100))}))
+    got = quantile_bin(ds, "v", n_bins=10).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    assert list(got["n"]) == [10] * 10
+    assert int(got["min_v"].iloc[0]) == 0
+    assert int(got["max_v"].iloc[9]) == 99
+    # contiguous, non-overlapping ranges
+    assert (got["min_v"].iloc[1:].to_numpy()
+            > got["max_v"].iloc[:-1].to_numpy()).all()
+
+
+def test_quantile_bin_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import quantile_bin
+
+    t = pa.table({"v": [i % 17 for i in range(300)]})
+    a = quantile_bin(rd.from_arrow(t), "v", n_bins=4).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    b = quantile_bin(rd.from_arrow(t).repartition(7), "v", n_bins=4) \
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    assert a.equals(b)
