@@ -1494,6 +1494,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver (the bigram vocab itself stays in the cluster)
         return T.top_bigrams(_docs_ds(sf_dir), k=20)
 
+    def text_rake_keywords(sf_dir):
+        # RAKE keyword extraction (top 15): stopword-free phrase runs,
+        # word score = (1e6·deg)//freq with co-occurrence degree,
+        # phrase = integer sum of member scores — one flat-map, one
+        # vocab aggregate, one word-keyed join, phrase folds
+        from raygraph.ops.text import rake_keywords
+
+        return rake_keywords(_docs_ds(sf_dir), k=15, lang="en")
+
     def text_good_turing(sf_dir):
         # Good–Turing adjusted counts over the BIGRAM frequency
         # spectrum (r = 1..10; the unigram vocab here is too small to
@@ -7440,6 +7449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hapax_ratio": text_hapax_ratio,
         "kg_pred_entropy": kg_pred_entropy,
         "text_bigram_pmi": text_bigram_pmi,
+        "text_rake_keywords": text_rake_keywords,
         "text_good_turing": text_good_turing,
         "text_bigram_g2": text_bigram_g2,
         "docs_rrf_fusion": docs_rrf_fusion,
@@ -12444,6 +12454,38 @@ def oracle_sql() -> dict[str, str]:
                sum(abs(total_cents - line_cents))::BIGINT
                    AS abs_diff_cents
         FROM j
+    """
+    # RAKE: stopword-run phrases via window cumsum, deg/freq scores
+    out["text_rake_keywords"] = _TOKS_CTE + """
+        , u AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos FROM t),
+        f AS (SELECT doc_id, tok, pos,
+                     CASE WHEN tok IN ('the','a','of','to','and','in',
+                       'is','it','you','that','was','for','on','are',
+                       'with','as','i','his','they','be','at')
+                     THEN 1 ELSE 0 END AS st FROM u),
+        g AS (SELECT doc_id, tok, pos, st,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS pid FROM f),
+        w AS (SELECT doc_id, pid, tok, pos FROM g WHERE st = 0),
+        p AS (SELECT doc_id, pid,
+                     string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                     count(*)::BIGINT AS plen
+              FROM w GROUP BY doc_id, pid),
+        wd AS (SELECT w.tok, p.plen FROM w
+               JOIN p USING (doc_id, pid)),
+        ws AS (SELECT tok, (1000000 * sum(plen)) // count(*) AS s
+               FROM wd GROUP BY tok),
+        osc AS (SELECT w.doc_id, w.pid, p.phrase,
+                       sum(ws.s)::BIGINT AS score
+                FROM w JOIN p USING (doc_id, pid)
+                JOIN ws ON w.tok = ws.tok
+                GROUP BY w.doc_id, w.pid, p.phrase),
+        res AS (SELECT phrase, count(*)::BIGINT AS n,
+                       min(score)::BIGINT AS score_e6
+                FROM osc GROUP BY phrase)
+        SELECT phrase, n, score_e6 FROM res
+        ORDER BY score_e6 DESC, phrase LIMIT 15
     """
     # Good–Turing: spectrum self-join, integer floor division
     out["text_good_turing"] = _TOKS_CTE + """

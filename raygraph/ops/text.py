@@ -1629,3 +1629,110 @@ def bigram_g2_topk(ds, k: int = 20, top_m: int = 1000,
     out = cand.sort_values(["g2_e6", "bigram"],
                            ascending=[False, True]).head(k)
     return out[["bigram", "n", "g2_e6"]].reset_index(drop=True)
+
+
+def rake_keywords(ds, k: int = 15, lang: str = "en",
+                  text_col: str = "text"):
+    """RAKE keyword extraction (Rose et al., "Automatic Keyword
+    Extraction from Individual Documents") — corpus-level variant:
+    candidate phrases are maximal stopword-free token runs, each word
+    scores ``deg/freq`` (degree = summed length of every phrase
+    occurrence containing it — co-occurrence credit; freq = its
+    occurrence count), a phrase scores the sum of its member word
+    scores, and the top-k distinct phrases win.
+
+    Exact integer contract: ``word_score_e6 = (10^6 · deg) // freq``;
+    phrase score = integer sum over member occurrences; ties break on
+    (score desc, phrase asc).
+
+    Distributed shape: one flat-map emits word-occurrence rows already
+    carrying their phrase and its length (phrases never cross a doc,
+    so no exchange is needed to form them); word scores are a
+    vocab-sized combiner aggregate; one word-keyed shuffle join prices
+    every occurrence; a (doc, phrase-run) combiner then a phrase-keyed
+    fold collapse occurrences. Only the top-k rows reach the driver.
+    """
+    from raygraph.ops.graph import _repaired
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_sum, shuffle_join)
+
+    stops = STOPWORDS[lang]
+
+    occ_schema = pa.schema([("doc", pa.int64()), ("pid", pa.int64()),
+                            ("word", pa.string()),
+                            ("phrase", pa.string()),
+                            ("plen", pa.int64())])
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column("doc_id").to_pandas()
+        toks = s.str.strip().str.lower().str.split()
+        ex = pd.DataFrame({
+            "doc": ids.repeat(toks.str.len().fillna(0).astype(int)),
+            "word": [t for ts in toks for t in ts],
+        })
+        if not len(ex):
+            return occ_schema.empty_table()
+        st = ex["word"].isin(stops)
+        ex["pid"] = st.groupby(ex["doc"]).cumsum().astype("int64")
+        ex = ex[~st]
+        if not len(ex):
+            return occ_schema.empty_table()
+        grp = ex.groupby(["doc", "pid"], sort=False)["word"]
+        phrase = grp.transform(" ".join)
+        plen = grp.transform("size").astype("int64")
+        out = pd.DataFrame({"doc": ex["doc"].astype("int64"),
+                            "pid": ex["pid"], "word": ex["word"],
+                            "phrase": phrase, "plen": plen})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    occ = _repaired(ds.map_batches(occurrences, batch_format="pyarrow"),
+                    occ_schema)
+    if occ.count() == 0:
+        return pd.DataFrame({"phrase": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "score_e6": pd.Series([], dtype="int64")})
+
+    wagg = _repaired(
+        preagg_sum(occ.select_columns(["word", "plen"]), ["word"],
+                   {"deg": "plen"}, counts="freq"),
+        pa.schema([("word", pa.string()), ("deg", pa.int64()),
+                   ("freq", pa.int64())]))
+
+    def to_score(batch: pa.Table) -> pa.Table:
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        fr = batch.column("freq").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "word": batch.column("word"),
+            "s": pa.array((1_000_000 * deg) // fr, pa.int64()),
+        })
+
+    ws = _repaired(wagg.map_batches(to_score, batch_format="pyarrow"),
+                   pa.schema([("word", pa.string()), ("s", pa.int64())]))
+
+    j = shuffle_join(occ, ws, on="word", right_on="word",
+                     num_partitions=_join_partitions(occ.count()))
+    j = _repaired(j, occ_schema.append(pa.field("s", pa.int64())))
+
+    per_occ = _repaired(
+        preagg_sum(j.select_columns(["doc", "pid", "phrase", "s"]),
+                   ["doc", "pid", "phrase"], {"score_e6": "s"}),
+        pa.schema([("doc", pa.int64()), ("pid", pa.int64()),
+                   ("phrase", pa.string()), ("score_e6", pa.int64())]))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("phrase", as_index=False).agg(
+            n=("phrase", "size"), score_e6=("score_e6", "min"))
+        g["n"] = g["n"].astype("int64")
+        g["score_e6"] = g["score_e6"].astype("int64")
+        return g
+
+    res = _repaired(
+        hash_aggregate(per_occ.select_columns(["phrase", "score_e6"]),
+                       ["phrase"], fold),
+        pa.schema([("phrase", pa.string()), ("n", pa.int64()),
+                   ("score_e6", pa.int64())]))
+    out = res.sort(["score_e6", "phrase"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    return out[["phrase", "n", "score_e6"]]

@@ -518,3 +518,29 @@ def test_bigram_g2_ranks_true_collocation_first(ray_session):
         "doc_id": list(range(len(docs))), "text": docs})).repartition(5),
         k=5, top_m=100)
     assert got.equals(got2)
+
+
+def test_rake_scores_known_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.text import rake_keywords
+
+    # "deep learning" is a recurring 2-word phrase; "rocks" stands
+    # alone. Stopword "the"/"is" split the runs.
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["the deep learning is deep learning",
+                 "deep learning rocks"],
+    }))
+    got = rake_keywords(ds, k=10, lang="en")
+    rows = {r.phrase: (int(r.n), int(r.score_e6))
+            for r in got.itertuples()}
+    # occurrences: "deep learning" x2, "deep learning rocks" x1
+    # deg(deep) = 2+2+3 = 7, freq = 3 -> s = 2333333
+    # deg(learning) same; deg(rocks) = 3, freq 1 -> 3000000
+    s_dl = (1_000_000 * 7) // 3
+    assert rows["deep learning"] == (2, 2 * s_dl)
+    assert rows["deep learning rocks"] == (1, 2 * s_dl + 3_000_000)
+    # longer phrase outranks the pair
+    assert got["phrase"].iloc[0] == "deep learning rocks"
