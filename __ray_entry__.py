@@ -6781,6 +6781,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return m[["day", "dau", "mau", "stickiness_bp"]] \
             .sort_values("day").reset_index(drop=True)
 
+    def events_cuped(sf_dir):
+        # CUPED variance reduction (Deng et al., WSDM'13): per-user
+        # pre/post value sums split at the mid-day, pooled
+        # theta = cov(x,y)/var(x) from exact integer moments, per-arm
+        # adjusted mean — everything integer until ONE final double
+        # divide mirrored by the HUGEINT::DOUBLE oracle. Combiner
+        # exchanges only: events → user sums → 5 pooled scalars +
+        # 2 arm rows
+        import math
+
+        from raygraph.ops.relational import preagg_sum
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+
+        def days(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = (df["ts"].to_numpy().astype("datetime64[us]")
+                 .astype("int64") // 86_400_000_000)
+            return pa.table({"d": pa.array(d, pa.int64())})
+
+        dd = ev.map_batches(days, batch_format="pyarrow")
+        dmin = int(dd.min("d"))
+        dmax = int(dd.max("d"))
+        mid = (dmin + dmax + 1) // 2
+
+        def xy(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = (df["ts"].to_numpy().astype("datetime64[us]")
+                 .astype("int64") // 86_400_000_000)
+            v = np.trunc(df["value"].to_numpy() * 100).astype("int64")
+            pre = d < mid
+            return pa.table({
+                "user_id": pa.array(df["user_id"], pa.int64()),
+                "x": pa.array(np.where(pre, v, 0), pa.int64()),
+                "y": pa.array(np.where(pre, 0, v), pa.int64()),
+            })
+
+        users = preagg_sum(ev.map_batches(xy, batch_format="pyarrow"),
+                           ["user_id"], {"x": "x", "y": "y"}) \
+            .to_pandas()
+        x = users["x"].astype("int64")
+        y = users["y"].astype("int64")
+        n_all = len(users)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
+        nu = n_all * sxy - sx * sy
+        den = n_all * sxx - sx * sx
+        arm = (users["user_id"].astype("int64") % 2).astype("int64")
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            n_arm = int(m.sum())
+            sy_a, sx_a = int(y[m].sum()), int(x[m].sum())
+            big_m = (den * n_all * sy_a
+                     - nu * (n_all * sx_a - n_arm * sx))
+            raw = abs(sy_a) // n_arm          # DuckDB // truncates
+            rows.append({
+                "arm": a, "n_users": n_arm,
+                "raw_mean_c": raw if sy_a >= 0 else -raw,
+                "adj_mean_c": math.floor(
+                    big_m / (den * n_all * n_arm)),
+            })
+        return pd.DataFrame(rows).astype("int64")
+
     def events_bipartite_proj(sf_dir):
         # one-mode co-presence projection: users become adjacent when
         # they act in the same (event_type, hour) context — the
@@ -7615,6 +7681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_jaccard": docs_source_jaccard,
         "events_stickiness": events_stickiness,
         "kg_rich_club": kg_rich_club,
+        "events_cuped": events_cuped,
         "events_bipartite_proj": events_bipartite_proj,
         "events_ab_arms": events_ab_arms,
         "docs_code_score": docs_code_score,
@@ -12780,6 +12847,46 @@ def oracle_sql() -> dict[str, str]:
                           // (nr.n_rich * (nr.n_rich - 1) // 2)
                      ELSE 0 END)::BIGINT AS phi_bp
         FROM kk, nr, m
+    """
+    # CUPED: HUGEINT moments, one final ::DOUBLE divide
+    out["events_cuped"] = """
+        WITH dr AS (SELECT min(epoch_us(ts) // 86400000000) AS dmin,
+                           max(epoch_us(ts) // 86400000000) AS dmax
+                    FROM events),
+        u AS (
+          SELECT user_id,
+                 sum(CASE WHEN epoch_us(ts) // 86400000000
+                     < (dmin + dmax + 1) // 2
+                     THEN CAST(trunc(value * 100) AS BIGINT)
+                     ELSE 0 END)::BIGINT AS x,
+                 sum(CASE WHEN epoch_us(ts) // 86400000000
+                     < (dmin + dmax + 1) // 2
+                     THEN 0
+                     ELSE CAST(trunc(value * 100) AS BIGINT)
+                     END)::BIGINT AS y
+          FROM events CROSS JOIN dr GROUP BY user_id
+        ),
+        mo AS (
+          SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                 sum(y)::HUGEINT AS sy,
+                 sum(x::HUGEINT * x)::HUGEINT AS sxx,
+                 sum(x::HUGEINT * y)::HUGEINT AS sxy
+          FROM u
+        ),
+        ar AS (
+          SELECT user_id % 2 AS arm, count(*)::HUGEINT AS n_arm,
+                 sum(x)::HUGEINT AS sx_a, sum(y)::HUGEINT AS sy_a
+          FROM u GROUP BY 1
+        )
+        SELECT ar.arm::BIGINT AS arm, ar.n_arm::BIGINT AS n_users,
+               (ar.sy_a // ar.n_arm)::BIGINT AS raw_mean_c,
+               CAST(floor(
+                 ((mo.n * mo.sxx - mo.sx * mo.sx) * mo.n * ar.sy_a
+                  - (mo.n * mo.sxy - mo.sx * mo.sy)
+                    * (mo.n * ar.sx_a - ar.n_arm * mo.sx))::DOUBLE
+                 / ((mo.n * mo.sxx - mo.sx * mo.sx) * mo.n
+                    * ar.n_arm)::DOUBLE) AS BIGINT) AS adj_mean_c
+        FROM ar CROSS JOIN mo
     """
     # bipartite projection: distinct (user, type:hour) incidences,
     # hub-capped contexts, pair self-join, shared-context count
