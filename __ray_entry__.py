@@ -728,6 +728,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return wl_colors(ed, iters=2)
 
+    def kg_cascade(sf_dir):
+        # independent-cascade diffusion (3 top-degree seeds, p = 40%,
+        # 3 rounds, md5 coins): the influence-spread evaluation kernel
+        # — per round one frontier join + coin filter + distributed
+        # NOT EXISTS; returns the activation wave (vertex, round)
+        from raygraph.ops.graph import cascade_spread
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return cascade_spread(ed, n_seeds=3, p_pct=40, rounds=3)
+
     def kg_node2vec(sf_dir):
         # deterministic node2vec-style biased walks (5 seeds, 3 hops):
         # the skip-gram walk corpus with md5-rank choices — class-0
@@ -7463,6 +7474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wl": kg_wl,
         "kg_msf": kg_msf,
         "kg_node2vec": kg_node2vec,
+        "kg_cascade": kg_cascade,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -8447,6 +8459,38 @@ def _katz_sql(edges_sql: str, iters: int, beta_den: int) -> str:
     return "".join(parts)
 
 
+def _cascade_sql(edges_sql: str, n_seeds: int, p_pct: int,
+                 rounds: int) -> str:
+    """Machine-unrolled independent cascade mirroring
+    raygraph.ops.graph.cascade_spread: top-degree seeds, md5-coin arc
+    activation per round, NOT-EXISTS freshness, fixed rounds."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", dg AS (SELECT u, count(*)::BIGINT AS d FROM pr GROUP BY u)",
+        f", seeds AS (SELECT u AS s FROM dg ORDER BY d DESC, u "
+        f"LIMIT {n_seeds})",
+        ", a0 AS MATERIALIZED (SELECT s AS vertex, 0::BIGINT AS rnd "
+        "FROM seeds)",
+        ", f0 AS (SELECT vertex FROM a0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f", h{r} AS (SELECT DISTINCT p.v AS vertex FROM pr p "
+            f"JOIN f{r - 1} f ON p.u = f.vertex "
+            f"WHERE ('0x'||substr(md5(p.u||'|'||p.v||'|'||{r}),1,15))"
+            f"::BIGINT % 100 < {p_pct})",
+            f", f{r} AS MATERIALIZED (SELECT h.vertex FROM h{r} h "
+            f"WHERE NOT EXISTS (SELECT 1 FROM a{r - 1} a "
+            f"WHERE a.vertex = h.vertex))",
+            f", a{r} AS MATERIALIZED (SELECT * FROM a{r - 1} "
+            f"UNION ALL SELECT vertex, {r}::BIGINT FROM f{r})",
+        ]
+    parts.append(
+        f" SELECT vertex, rnd AS \"round\" FROM a{rounds}")
+    return "".join(parts)
+
+
 def _node2vec_sql(edges_sql: str, n_seeds: int, hops: int) -> str:
     """Machine-unrolled deterministic node2vec walks mirroring
     raygraph.ops.graph.node2vec_walks: undirected arcs, top-degree
@@ -8845,6 +8889,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_wl": _wl_sql(kg_edges_sql, iters=2),
         "kg_msf": _msf_sql(kg_edges_sql, iters=2, inner=3),
         "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),
+        "kg_cascade": _cascade_sql(kg_edges_sql, n_seeds=3, p_pct=40,
+                                   rounds=3),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
         "kg_reciprocity": f"""

@@ -3086,3 +3086,92 @@ def bipartite_projection(ds, left_col: str, right_col: str,
 
     return _repaired(counted.map_batches(thresh, batch_format="pyarrow"),
                      out_schema)
+
+
+def cascade_spread(edges, n_seeds: int = 3, p_pct: int = 40,
+                   rounds: int = 3, src: str = "_from",
+                   dst: str = "_to"):
+    """Independent-cascade diffusion (the evaluation kernel of
+    influence maximization, Kempe–Kleinberg–Tardos): seeds activate at
+    round 0; each round, every arc u→v from a newly-activated u fires
+    with "probability" p — here the deterministic md5 coin
+    ``md5int15(u|v|round) % 100 < p_pct`` — and untouched targets
+    activate next round. Fixed ``rounds`` then stop.
+
+    Per round: one arcs⋈frontier shuffle join (edge-sized), a
+    vectorized coin filter, a pair-hash distinct, and one left_anti
+    join against the activated set (the distributed NOT EXISTS).
+    Activation state stays a Dataset. Returns (vertex, round) —
+    the activation wave with its arrival times.
+    """
+    import hashlib
+
+    from .relational import _join_partitions, hash_aggregate, \
+        shuffle_join
+
+    import ray.data as rd
+
+    out_schema = pa.schema([("vertex", pa.string()),
+                            ("round", pa.int64())])
+    pairs = distinct_pairs(edges, src, dst)
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    nparts = _join_partitions(pairs.count())
+
+    from .relational import preagg_sum
+
+    deg = _repaired(
+        preagg_sum(pairs.select_columns([src]), [src], {}, counts="d"),
+        pa.schema([(src, pa.string()), ("d", pa.int64())]))
+    seeds = deg.sort(["d", src], descending=[True, False]) \
+        .limit(n_seeds).to_pandas()[src].tolist()
+
+    act_schema = pa.schema([("vertex", pa.string()),
+                            ("round", pa.int64())])
+    active = rd.from_arrow(pa.table({
+        "vertex": pa.array(seeds, pa.string()),
+        "round": pa.array([0] * len(seeds), pa.int64())}))
+    frontier = active
+
+    for r in range(1, rounds + 1):
+        j = shuffle_join(pairs, frontier.select_columns(["vertex"]),
+                         on=src, right_on="vertex",
+                         num_partitions=nparts)
+        j = _repaired(j, pa.schema([(src, pa.string()),
+                                    (dst, pa.string())]))
+        if j.count() == 0:
+            break
+
+        def coin(batch: pa.Table, rr=r) -> pa.Table:
+            df = batch.to_pandas()
+            key = df[src].str.cat(df[dst], sep="|") + f"|{rr}"
+            h = key.map(lambda s: int(hashlib.md5(s.encode())
+                                      .hexdigest()[:15], 16) % 100)
+            keep = (h < p_pct).to_numpy()
+            return pa.table({"vertex": pa.array(
+                df[dst][keep], pa.string())})
+
+        hit = _repaired(
+            hash_aggregate(
+                j.map_batches(coin, batch_format="pyarrow"),
+                ["vertex"], lambda df: df.drop_duplicates()),
+            pa.schema([("vertex", pa.string())]))
+        if hit.count() == 0:
+            break
+        fresh = _repaired(
+            shuffle_join(hit, active.select_columns(["vertex"]),
+                         on="vertex", right_on="vertex",
+                         how="left_anti", num_partitions=nparts),
+            pa.schema([("vertex", pa.string())]))
+        if fresh.count() == 0:
+            break
+        frontier = _repaired(
+            fresh.map_batches(
+                lambda b, rr=r: pa.table({
+                    "vertex": b.column("vertex"),
+                    "round": pa.array([rr] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow"),
+            act_schema)
+        active = _repaired(active.union(frontier), act_schema)
+
+    return active

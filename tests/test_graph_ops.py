@@ -1433,3 +1433,26 @@ def test_quantile_bin_layout_invariant(ray_session):
     b = quantile_bin(rd.from_arrow(t).repartition(7), "v", n_bins=4) \
         .to_pandas().sort_values("bin").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cascade_seeds_at_round_zero_and_monotone(ray_session):
+    from raygraph.ops.graph import cascade_spread
+
+    got = cascade_spread(_edges_ds(), n_seeds=2, p_pct=100,
+                         rounds=3).to_pandas()
+    by_round = got.groupby("round")["vertex"].apply(set).to_dict()
+    # p=100: every reachable vertex activates at its BFS distance
+    # from the seed set {a, b} (top out-degree)
+    assert by_round[0] == {"a", "b"}
+    assert by_round.get(1, set()) == {"c"}  # a->b/c, b->c; c fresh
+    # no vertex activates twice
+    assert not got.duplicated("vertex").any()
+
+
+def test_cascade_zero_probability_spreads_nothing(ray_session):
+    from raygraph.ops.graph import cascade_spread
+
+    got = cascade_spread(_edges_ds(), n_seeds=2, p_pct=0,
+                         rounds=3).to_pandas()
+    assert set(got["round"]) == {0}
+    assert len(got) == 2
