@@ -4453,6 +4453,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "u2_a": [r2a - na * (na + 1)]}) \
             .astype("int64")
 
+    def orders_rowgroup_prune(sf_dir):
+        # sub-file predicate pushdown: the orders table is rewritten
+        # key-clustered with 2k-row row groups, the scan plans against
+        # FOOTER min/max only (plan_rowgroups) and reads the surviving
+        # groups + residual filter — the query asserts that pruning
+        # actually skipped groups, the oracle is the plain WHERE
+        import pyarrow.parquet as _pq2
+
+        from raygraph.io import plan_rowgroups, read_parquet_rowgroups
+
+        n = _docs_count(sf_dir)
+        tdir = os.path.join(_TMP, f"orders_rg_n{n}")
+        if not os.path.isdir(tdir):
+            os.makedirs(tdir, exist_ok=True)
+            t = _pq2.read_table(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_totalprice"])
+            t = t.sort_by("o_orderkey")
+            _pq2.write_table(t, os.path.join(tdir, "part-0.parquet"),
+                             row_group_size=2000)
+        lo, hi = 10_000, 20_000
+        plan = plan_rowgroups(tdir, "o_orderkey", lo, hi)
+        assert plan["n_groups_kept"] < plan["n_groups_total"], plan
+        ds = read_parquet_rowgroups(tdir, "o_orderkey", lo, hi)
+
+        def residual(batch: pa.Table) -> pa.Table:
+            k = batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False)
+            m = (k >= lo) & (k <= hi)
+            df = batch.to_pandas()[m]
+            return pa.table({
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "cents": pa.array(
+                    [int(np.round(df["o_totalprice"].to_numpy()
+                                  * 100).astype("int64").sum())],
+                    pa.int64()),
+            })
+
+        agg = ds.map_batches(residual, batch_format="pyarrow") \
+            .to_pandas()
+        return pd.DataFrame({
+            "n": [int(agg["n"].sum())],
+            "sum_cents": [int(agg["cents"].sum())],
+        }).astype("int64")
+
     def orders_theil_sen(sf_dir):
         # Theil–Sen robust trend of daily revenue: the lower median of
         # all pairwise day-slopes (e6 trunc-div integers) — outlier-
@@ -7754,6 +7798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events_retention,
         "events_sequences": events_sequences,
         "docs_profile": docs_profile,
+        "orders_rowgroup_prune": orders_rowgroup_prune,
         "orders_theil_sen": orders_theil_sen,
         "docs_mannwhitney": docs_mannwhitney,
         "orders_holt_winters": orders_holt_winters,
@@ -9598,6 +9643,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT na AS n_a, (n - na)::BIGINT AS n_b,
                    (r2a - na * (na + 1))::BIGINT AS u2_a
             FROM t
+        """,
+        # row-group pruning correctness: footer-planned scan + residual
+        # filter == plain predicate
+        "orders_rowgroup_prune": """
+            SELECT count(*)::BIGINT AS n,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   ::BIGINT AS sum_cents
+            FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
         """,
         # Theil–Sen: pairwise day-slope median; DuckDB // truncates =
         # raygraph trunc_div (positive denominators)

@@ -303,3 +303,75 @@ def write_table_ipc(ds: ray.data.Dataset, path: str) -> int:
     counts = ds.map_batches(write_block, batch_size=None,
                             batch_format="pyarrow").to_pandas()
     return int(counts["n"].sum())
+
+
+def read_parquet_rowgroups(path: str, col: str, lo, hi,
+                           columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Row-group-pruned parquet scan: plans against the parquet FOOTER
+    statistics (min/max per row group) and reads only the row groups
+    whose [min, max] range intersects [lo, hi] — the sub-file
+    counterpart of zone-map file pruning (`maintenance.prune_files`),
+    i.e. predicate pushdown done by hand so the pruning is observable
+    and testable (returned alongside as a plan dict via
+    :func:`plan_rowgroups`).
+
+    One reader task per file; each task opens its file once and reads
+    its surviving row groups with column pruning. Rows still need the
+    residual filter (a row group may straddle the bound) — the caller
+    applies it; this function only guarantees a SUPERSET bounded by
+    the straddling groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = plan_rowgroups(path, col, lo, hi)
+    keep = {f: gs for f, gs in plan["keep"].items() if gs}
+    if not keep:
+        schema = pq.read_schema(plan["files"][0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
+
+    def load(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for f in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(f)
+            tabs.append(pf.read_row_groups(keep[f], columns=columns))
+        return pa.concat_tables(tabs)
+
+    files_ds = ray.data.from_arrow(pa.table({
+        "path": pa.array(sorted(keep))}))
+    return files_ds.repartition(len(keep)).map_batches(
+        load, batch_format="pyarrow")
+
+
+def plan_rowgroups(path: str, col: str, lo, hi) -> dict:
+    """Footer-only planning pass for :func:`read_parquet_rowgroups`:
+    returns {files, keep: {file: [rg indices]}, n_groups_total,
+    n_groups_kept} without touching any data page."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    keep: dict[str, list[int]] = {}
+    total = kept = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        gs = []
+        for g in range(md.num_row_groups):
+            total += 1
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                gs.append(g)       # no stats: must read
+                kept += 1
+                continue
+            if st.max >= lo and st.min <= hi:
+                gs.append(g)
+                kept += 1
+        keep[f] = gs
+    return {"files": files, "keep": keep, "n_groups_total": total,
+            "n_groups_kept": kept}

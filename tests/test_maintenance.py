@@ -278,3 +278,31 @@ def test_ipc_missing_dir_raises(ray_session, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_table_ipc(str(tmp_path / "nope"))
+
+
+def test_rowgroup_pruning_plan_and_superset(ray_session, tmp_path):
+    from raygraph.io import plan_rowgroups, read_parquet_rowgroups
+
+    d = str(tmp_path / "rg")
+    os.makedirs(d)
+    t = pa.table({"k": list(range(1000)),
+                  "v": [i * 2 for i in range(1000)]})
+    pq.write_table(t, os.path.join(d, "p.parquet"), row_group_size=100)
+    plan = plan_rowgroups(d, "k", 250, 349)
+    assert plan["n_groups_total"] == 10
+    assert plan["n_groups_kept"] == 2          # groups [200,299],[300,399]
+    got = read_parquet_rowgroups(d, "k", 250, 349).to_pandas()
+    ks = set(got["k"])
+    assert set(range(250, 350)) <= ks          # superset guarantee
+    assert ks <= set(range(200, 400))          # only surviving groups
+
+
+def test_rowgroup_pruning_empty_range(ray_session, tmp_path):
+    from raygraph.io import read_parquet_rowgroups
+
+    d = str(tmp_path / "rg2")
+    os.makedirs(d)
+    pq.write_table(pa.table({"k": [1, 2, 3]}),
+                   os.path.join(d, "p.parquet"))
+    got = read_parquet_rowgroups(d, "k", 100, 200).to_pandas()
+    assert len(got) == 0
