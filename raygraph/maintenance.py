@@ -94,7 +94,14 @@ def compact_table(
                                         recursive=True))
         if not files_in:
             continue
-        ds = ray.data.read_parquet(files_in)
+        # fold deletion vectors in: compacting a table that carries
+        # _deletes sidecars MUST apply them (a raw re-read would
+        # resurrect deleted rows); the rewritten unit is then clean —
+        # no sidecars carry over
+        if os.path.isdir(os.path.join(src, "_deletes")):
+            ds = read_with_deletes(src)
+        else:
+            ds = ray.data.read_parquet(files_in)
         n_rows = ds.count()
         n_files = max(1, -(-n_rows // target_rows_per_file))
         if unit:

@@ -306,3 +306,21 @@ def test_rowgroup_pruning_empty_range(ray_session, tmp_path):
                    os.path.join(d, "p.parquet"))
     got = read_parquet_rowgroups(d, "k", 100, 200).to_pandas()
     assert len(got) == 0
+
+
+def test_compact_folds_deletion_vectors(ray_session, tmp_path):
+    from raygraph.maintenance import (compact_table, delete_where,
+                                      read_with_deletes)
+
+    d = _mk_table(tmp_path, "t5", n=40, files=4)
+    delete_where(d, "id", "mod_eq", "4:0")
+    out = str(tmp_path / "t5c")
+    stats = compact_table(d, out, target_rows_per_file=100)
+    # deleted rows must NOT resurrect in the compacted output
+    assert stats["rows"] == 30
+    got = pq.ParquetDataset(out).read().to_pandas().sort_values("id")
+    assert list(got["id"]) == [i for i in range(40) if i % 4 != 0]
+    # and the output carries no sidecars
+    assert not os.path.isdir(os.path.join(out, "_deletes"))
+    # a masked re-read of the output equals the plain read
+    assert len(read_with_deletes(out).to_pandas()) == 30
