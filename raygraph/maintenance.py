@@ -233,7 +233,13 @@ def cluster_table(
     meta_dir = os.path.join(output_path, "_cluster")
     os.makedirs(meta_dir, exist_ok=True)
 
-    ds = ray.data.read_parquet(input_path)
+    # same contract as compaction: a table carrying _deletes sidecars
+    # is clustered with the masks applied, never resurrected
+    if os.path.isdir(input_path) \
+            and os.path.isdir(os.path.join(input_path, "_deletes")):
+        ds = read_with_deletes(input_path)
+    else:
+        ds = ray.data.read_parquet(input_path)
 
     # tile on an int64 shadow key (timestamps → epoch µs; strings →
     # order-preserving big-endian 8-byte prefix) so persisted

@@ -324,3 +324,15 @@ def test_compact_folds_deletion_vectors(ray_session, tmp_path):
     assert not os.path.isdir(os.path.join(out, "_deletes"))
     # a masked re-read of the output equals the plain read
     assert len(read_with_deletes(out).to_pandas()) == 30
+
+
+def test_cluster_folds_deletion_vectors(ray_session, tmp_path):
+    from raygraph.maintenance import cluster_table, delete_where
+
+    d = _mk_table(tmp_path, "t6", n=40, files=2)
+    delete_where(d, "id", "lt", "10")
+    out = str(tmp_path / "t6c")
+    cluster_table(d, out, col="id", n_tiles=2)
+    got = pq.ParquetDataset(
+        out).read().to_pandas().sort_values("id")
+    assert list(got["id"]) == list(range(10, 40))
