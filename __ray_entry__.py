@@ -6836,6 +6836,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return m[["day", "dau", "mau", "stickiness_bp"]] \
             .sort_values("day").reset_index(drop=True)
 
+    def events_hll_algebra(sf_dir):
+        # HLL sketch set algebra: audiences A (users of the first
+        # event type) and B (users of the last) — |A|, |B| from their
+        # own registers, |A∪B| from the register-wise max (the merge a
+        # distributed pair of sketch holders performs), |A∩B| by
+        # inclusion-exclusion; exact-integer spec end to end
+        import pyarrow.compute as pc
+
+        from raygraph.ops.sketch import hll_set_algebra
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        types = sorted(
+            ev.groupby("event_type").count()
+            .to_pandas()["event_type"])
+        t_a, t_b = types[0], types[-1]
+
+        def pick(t):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.equal(batch.column("event_type"), t)) \
+                    .select(["user_id"])
+            return fn
+
+        return hll_set_algebra(
+            ev.map_batches(pick(t_a), batch_format="pyarrow"),
+            ev.map_batches(pick(t_b), batch_format="pyarrow"),
+            "user_id")
+
     def events_cuped(sf_dir):
         # CUPED variance reduction (Deng et al., WSDM'13): per-user
         # pre/post value sums split at the mid-day, pooled
@@ -7737,6 +7766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_jaccard": docs_source_jaccard,
         "events_stickiness": events_stickiness,
         "kg_rich_club": kg_rich_club,
+        "events_hll_algebra": events_hll_algebra,
         "events_cuped": events_cuped,
         "events_bipartite_proj": events_bipartite_proj,
         "events_ab_arms": events_ab_arms,
@@ -12947,6 +12977,58 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END)::BIGINT AS phi_bp
         FROM kk, nr, m
     """
+    # HLL set algebra: two sketches + register-wise max merge,
+    # inclusion-exclusion intersect — hll spec replayed three times
+    from raygraph.ops.sketch import ALPHA_E6 as _HA, M as _HM, W as _HW
+
+    def _hll_regs(flt: str, name: str) -> str:
+        return f"""
+        h{name} AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                 ::BIGINT AS h
+          FROM events WHERE {flt}
+        ),
+        r{name} AS (
+          SELECT h >> {_HW} AS j,
+                 max(CASE WHEN (h & ((1::BIGINT << {_HW}) - 1)) = 0
+                     THEN {_HW + 1}
+                     ELSE {_HW + 1} - length(bin(
+                       h & ((1::BIGINT << {_HW}) - 1))) END) AS mj
+          FROM h{name} GROUP BY 1
+        ),
+        s{name} AS (
+          SELECT (sum(1::HUGEINT << (60 - mj))
+                  + ({_HM} - count(*)) * (1::HUGEINT << 60)) AS S
+          FROM r{name}
+        ),
+        e{name} AS (
+          SELECT (({_HA}::HUGEINT * {_HM} * {_HM}
+                   * (1::HUGEINT << 60) * 10000)
+                  // (1000000::HUGEINT * S))::BIGINT AS est
+          FROM s{name}
+        )"""
+
+    out["events_hll_algebra"] = ("WITH "
+        + _hll_regs("event_type = (SELECT min(event_type) FROM events)",
+                    "a") + ","
+        + _hll_regs("event_type = (SELECT max(event_type) FROM events)",
+                    "b") + """,
+        ru AS (SELECT j, max(mj) AS mj FROM
+               (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+               GROUP BY j),
+        su AS (SELECT (sum(1::HUGEINT << (60 - mj))
+                       + (""" + str(_HM) + """ - count(*))
+                       * (1::HUGEINT << 60)) AS S FROM ru),
+        eu AS (SELECT ((""" + str(_HA) + "::HUGEINT * "
+        + str(_HM) + " * " + str(_HM) + """
+                        * (1::HUGEINT << 60) * 10000)
+                       // (1000000::HUGEINT * S))::BIGINT AS est
+               FROM su)
+        SELECT ea.est AS a_e4, eb.est AS b_e4, eu.est AS union_e4,
+               (ea.est + eb.est - eu.est)::BIGINT AS intersect_e4
+        FROM ea CROSS JOIN eb CROSS JOIN eu
+    """)
     # CUPED: HUGEINT moments, one final ::DOUBLE divide
     out["events_cuped"] = """
         WITH dr AS (SELECT min(epoch_us(ts) // 86400000000) AS dmin,

@@ -565,3 +565,56 @@ def heavy_hitters_grouped(ds, k: int, pairs_fn, group_key: str = "g",
     return hits.sort_values([group_key, "n", out_key],
                             ascending=[True, False, True],
                             ignore_index=True)
+
+
+def _hll_estimate_e4(mj_by_register: dict[int, int]) -> int:
+    """The integer HLL estimate (×10^4) from a register→max-rho map —
+    the same spec as :func:`hll_distinct`'s finalize, reused by the
+    set-algebra op."""
+    s = 0
+    for mj in mj_by_register.values():
+        s += 1 << (60 - int(mj))
+    s += (M - len(mj_by_register)) * _HASH_SCALE
+    return (ALPHA_E6 * M * M * _HASH_SCALE * 10_000) // (10**6 * s)
+
+
+def hll_set_algebra(ds_a, ds_b, value_col: str):
+    """HLL sketch set algebra — the mergeability superpower that makes
+    the sketch worth its error bar: |A| and |B| estimate from their
+    own registers, |A∪B| from the REGISTER-WISE MAX (exactly the
+    sketch a node holding A and a node holding B would merge without
+    re-reading either), and |A∩B| by inclusion–exclusion (can go
+    negative at small overlaps — reported as-is, integer).
+
+    One combiner pass per side builds the (register, max-rho) table
+    (M = 64 rows each); everything after runs on 2·M driver scalars.
+    Returns a 1-row DataFrame (a_e4, b_e4, union_e4, intersect_e4).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max
+
+    def regs(ds) -> dict[int, int]:
+        def tag(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "__g": pa.array(np.zeros(batch.num_rows, dtype="int64")),
+                value_col: batch.column(value_col),
+            })
+
+        r = (ds.map_batches(tag, batch_format="pyarrow")
+             .map_batches(_register_partials(["__g"], value_col),
+                          batch_format="pyarrow")
+             .groupby(["__g", "__j"])
+             .aggregate(Max("__rho", alias_name="__rho"))).to_pandas()
+        if "__j" not in r.columns:
+            return {}
+        return dict(zip(r["__j"].astype(int), r["__rho"].astype(int)))
+
+    ra, rb = regs(ds_a), regs(ds_b)
+    ru = dict(ra)
+    for j, v in rb.items():
+        ru[j] = max(ru.get(j, 0), v)
+    a, b, u = (_hll_estimate_e4(ra), _hll_estimate_e4(rb),
+               _hll_estimate_e4(ru))
+    return pd.DataFrame({"a_e4": [a], "b_e4": [b], "union_e4": [u],
+                         "intersect_e4": [a + b - u]}).astype("int64")

@@ -654,3 +654,38 @@ def test_mg_compress_undercount_bound(stream, k):
     for tok, n in exact.items():
         if n * k > len(stream):
             assert tok in got and got[tok] >= 1
+
+
+def test_hll_set_algebra_union_bounds(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.sketch import hll_set_algebra
+
+    a = rd.from_arrow(pa.table({"v": list(range(0, 600))}))
+    b = rd.from_arrow(pa.table({"v": list(range(400, 1000))}))
+    got = hll_set_algebra(a, b, "v").iloc[0]
+    # HLL at M=64 has ~13% std error; allow 3 sigma
+    assert abs(int(got["a_e4"]) - 600 * 10_000) < 600 * 10_000 * 0.4
+    assert abs(int(got["union_e4"]) - 1000 * 10_000) \
+        < 1000 * 10_000 * 0.4
+    # union estimate >= each side's estimate (register max dominance)
+    assert int(got["union_e4"]) >= int(got["a_e4"])
+    assert int(got["union_e4"]) >= int(got["b_e4"])
+    # inclusion-exclusion identity holds exactly by construction
+    assert int(got["intersect_e4"]) == (int(got["a_e4"])
+                                        + int(got["b_e4"])
+                                        - int(got["union_e4"]))
+
+
+def test_hll_set_algebra_disjoint_small_intersection(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.sketch import hll_set_algebra
+
+    a = rd.from_arrow(pa.table({"v": list(range(0, 500))}))
+    b = rd.from_arrow(pa.table({"v": list(range(10_000, 10_500))}))
+    got = hll_set_algebra(a, b, "v").iloc[0]
+    # disjoint sets: intersect estimate must be small relative to |A|
+    assert abs(int(got["intersect_e4"])) < int(got["a_e4"]) * 0.5
