@@ -1061,6 +1061,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                        ("score", pa.int64())]))
 
+    def dedup_er_clusters(sf_dir):
+        # entity-resolution end game: blocked pairs scoring >= 70
+        # (lang AND source agree) close transitively into entity
+        # clusters (distributed min-label components), reported as the
+        # cluster-size histogram — blocking → scoring → clustering,
+        # the full Fellegi–Sunter pipeline
+        from raygraph.ops.graph import connected_components
+        from raygraph.ops.relational import preagg_sum
+
+        scores = dedup_er_scores(sf_dir)
+
+        def strong(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.greater_equal(batch.column("score"),
+                                              70))
+            df = t.to_pandas()
+            return pa.table({
+                "_from": pa.array(df["id_a"].astype(str), pa.string()),
+                "_to": pa.array(df["id_b"].astype(str), pa.string()),
+            })
+
+        edges = scores.map_batches(strong, batch_format="pyarrow")
+        comp = connected_components(edges, iters=5)
+
+        def sizes(batch: pa.Table) -> pa.Table:
+            return pa.table({"component": batch.column("component")})
+
+        per = preagg_sum(
+            comp.map_batches(sizes, batch_format="pyarrow"),
+            ["component"], {}, counts="size")
+
+        def just_size(batch: pa.Table) -> pa.Table:
+            return pa.table({"size": batch.column("size")})
+
+        return preagg_sum(
+            per.map_batches(just_size, batch_format="pyarrow"),
+            ["size"], {}, counts="n_clusters")
+
     def dedup_jaccard_pairs(sf_dir):
         # exact set-similarity threshold self-join (Jaccard ≥ 0.8) via
         # AllPairs prefix filtering over docs ∪ one-token-appended
@@ -7580,6 +7619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_substrings": docs_exact_substrings,
         "dedup_sn_pairs": dedup_sn_pairs,
         "dedup_er_scores": dedup_er_scores,
+        "dedup_er_clusters": dedup_er_clusters,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "docs_boilerplate": docs_boilerplate,
         "docs_split_assign": docs_split_assign,
@@ -11548,6 +11588,33 @@ def oracle_sql() -> dict[str, str]:
                               // tn.n_tokens END)::BIGINT AS dup_bp
             FROM tn LEFT JOIN pcov USING (doc_id)
         """,
+        # ER clusters: strong pairs -> unrolled min-label components ->
+        # cluster-size histogram (composed from _components_sql)
+        "dedup_er_clusters": (
+            "SELECT size, count(*)::BIGINT AS n_clusters FROM ("
+            "SELECT component, count(*)::BIGINT AS size FROM ("
+            + _components_sql(
+                """(WITH d AS (
+                      SELECT doc_id, lang, source, n_chars,
+                             lower(substr(coalesce(text, ''), 1, 16))
+                             AS k
+                      FROM documents),
+                    r AS (
+                      SELECT doc_id, lang, source, n_chars,
+                             row_number() OVER (ORDER BY k, doc_id)
+                             AS rn
+                      FROM d)
+                    SELECT a.doc_id::VARCHAR AS _from,
+                           b.doc_id::VARCHAR AS _to
+                    FROM r a JOIN r b
+                    ON b.rn > a.rn AND b.rn - a.rn <= 3
+                    WHERE (CASE WHEN a.lang = b.lang THEN 40 ELSE 0 END
+                           + CASE WHEN a.source = b.source
+                                  THEN 30 ELSE 0 END
+                           + CASE WHEN abs(a.n_chars - b.n_chars) <= 8
+                                  THEN 20 ELSE 0 END) >= 70)
+                """, iters=5)
+            + ") GROUP BY component) GROUP BY size"),
         # sorted-neighborhood blocking: rank by (key, id), pairs within
         # a 3-row window — mirrors raygraph.ops.dedup.
         # sorted_neighborhood_pairs (rank base cancels in the gap)
