@@ -451,3 +451,33 @@ def read_with_deletes(table_path: str,
     files_ds = rd.from_arrow(pa.table({"path": pa.array(files)}))
     return files_ds.repartition(len(files)).map_batches(
         load, batch_format="pyarrow")
+
+
+def vacuum(table_path: str) -> dict:
+    """Garbage-collect a table directory's maintenance artifacts: drop
+    orphaned ``_deletes`` sidecars (their data file is gone — e.g.
+    after a compaction rewrote the table elsewhere and files were
+    pruned), stray ``*.tmp`` files from interrupted write-then-rename
+    commits, and empty artifact dirs. Never touches data files or
+    live sidecars — safe to run concurrently with readers (sidecar
+    removal is atomic per file and only for files that no longer
+    exist). Returns {orphaned_sidecars, tmp_files}."""
+    removed_sidecars = removed_tmp = 0
+    ddir = _delete_dir(table_path)
+    live = {os.path.basename(f)
+            for f in glob.glob(os.path.join(table_path, "*.parquet"))}
+    if os.path.isdir(ddir):
+        for f in glob.glob(os.path.join(ddir, "*.json")):
+            base = os.path.basename(f).split(".d")[0]
+            if base not in live:
+                os.remove(f)
+                removed_sidecars += 1
+        if not os.listdir(ddir):
+            os.rmdir(ddir)
+    for pat in ("*.tmp", "_deletes/*.tmp", "_compact/*.tmp",
+                "_cluster/*.tmp", "_manifest/*.tmp"):
+        for f in glob.glob(os.path.join(table_path, pat)):
+            os.remove(f)
+            removed_tmp += 1
+    return {"orphaned_sidecars": removed_sidecars,
+            "tmp_files": removed_tmp}

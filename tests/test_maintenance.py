@@ -336,3 +336,25 @@ def test_cluster_folds_deletion_vectors(ray_session, tmp_path):
     got = pq.ParquetDataset(
         out).read().to_pandas().sort_values("id")
     assert list(got["id"]) == list(range(10, 40))
+
+
+def test_vacuum_drops_orphans_keeps_live(ray_session, tmp_path):
+    from raygraph.maintenance import delete_where, vacuum
+
+    d = _mk_table(tmp_path, "t7", n=20, files=2)
+    delete_where(d, "id", "mod_eq", "2:0")
+    # orphan one sidecar by removing its data file; plant a tmp file
+    os.remove(os.path.join(d, "part-1.parquet"))
+    open(os.path.join(d, "stray.tmp"), "w").write("x")
+    stats = vacuum(d)
+    assert stats == {"orphaned_sidecars": 1, "tmp_files": 1}
+    # the live file's sidecar survives
+    assert glob.glob(os.path.join(d, "_deletes",
+                                  "part-0.parquet.d0.json"))
+
+
+def test_vacuum_noop_on_clean_table(ray_session, tmp_path):
+    from raygraph.maintenance import vacuum
+
+    d = _mk_table(tmp_path, "t8")
+    assert vacuum(d) == {"orphaned_sidecars": 0, "tmp_files": 0}
