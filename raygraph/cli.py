@@ -136,6 +136,14 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    from .maintenance import vacuum
+
+    stats = vacuum(args.input)
+    print(json.dumps({"input": args.input, **stats}))
+    return 0
+
+
 def cmd_asof(args) -> int:
     ray = _ray_session(args.num_cpus)
     import os
@@ -366,6 +374,12 @@ def main(argv=None) -> int:
                     help="op argument (mod_eq takes 'm:r')")
     dl.add_argument("--num-cpus", type=int)
     dl.set_defaults(fn=cmd_delete)
+
+    vc = sub.add_parser(
+        "vacuum", help="GC orphaned deletion sidecars and interrupted-"
+                       "commit tmp files (metadata only, no Ray)")
+    vc.add_argument("--input", required=True)
+    vc.set_defaults(fn=cmd_vacuum)
 
     va = sub.add_parser(
         "validate", help="run declarative expectation rules (JSON list) "
