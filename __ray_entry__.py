@@ -728,6 +728,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return wl_colors(ed, iters=2)
 
+    def kg_skipgram_pairs(sf_dir):
+        # skip-gram training pairs from the node2vec walk corpus
+        # (window 2): the (center, context) pair table a word2vec-style
+        # embedding trainer consumes — one walk self-join keyed on
+        # (seed), rank distance 1..2, both directions
+        from raygraph.ops.graph import node2vec_walks
+        from raygraph.ops.relational import preagg_sum
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        walks = node2vec_walks(ed, n_seeds=5, hops=3)
+
+        df = walks.to_pandas()  # seeds × (hops+1) rows — tiny by spec
+        pairs = df.merge(df, on="seed", suffixes=("_a", "_b"))
+        gap = (pairs["step_b"] - pairs["step_a"]).astype(int)
+        pairs = pairs[(gap >= 1) & (gap <= 2)]
+        out = pd.DataFrame({
+            "center": pairs["vertex_a"],
+            "context": pairs["vertex_b"],
+        })
+        out = pd.concat([out, out.rename(
+            columns={"center": "context", "context": "center"})],
+            ignore_index=True)
+        g = out.value_counts(["center", "context"]).rename("n") \
+            .reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values(["center", "context"]) \
+            .reset_index(drop=True)
+
     def kg_cascade(sf_dir):
         # independent-cascade diffusion (3 top-degree seeds, p = 40%,
         # 3 rounds, md5 coins): the influence-spread evaluation kernel
@@ -4457,6 +4486,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ["doc_id", "text", "lang", "source",
                                 "n_chars"])
 
+    def docs_feature_hashing(sf_dir):
+        # the hashing trick (Weinberger et al. 2009): the lang × source
+        # cross feature hashes into 64 buckets via the md5 bridge;
+        # per-bucket row count AND distinct-feature count make the
+        # collisions observable (the quantity the trick trades for
+        # fixed dimensionality) — one pair-hash distinct + combiner
+        import hashlib
+
+        from raygraph.ops.relational import hash_aggregate, preagg_sum
+
+        docs = _docs_ds(sf_dir, columns=("lang", "source"))
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            feat = df["lang"].str.cat(df["source"], sep="x")
+            b = feat.map(lambda s: int(hashlib.md5(s.encode())
+                                       .hexdigest()[:15], 16) % 64)
+            return pa.Table.from_pandas(
+                pd.DataFrame({"bucket": b.astype("int64"),
+                              "feat": feat}), preserve_index=False)
+
+        bf = docs.map_batches(bucketize, batch_format="pyarrow")
+        rows = preagg_sum(bf.select_columns(["bucket"]), ["bucket"],
+                          {}, counts="n_rows")
+        from raygraph.ops.graph import _repaired
+
+        dfeat = _repaired(
+            hash_aggregate(bf, ["bucket", "feat"],
+                           lambda d: d.drop_duplicates()),
+            pa.schema([("bucket", pa.int64()), ("feat", pa.string())]))
+        nf = preagg_sum(dfeat.select_columns(["bucket"]), ["bucket"],
+                        {}, counts="n_features")
+        a = rows.to_pandas().set_index("bucket")
+        b = nf.to_pandas().set_index("bucket")
+        out = a.join(b).reset_index().sort_values("bucket") \
+            .reset_index(drop=True)
+        return out.astype("int64")
+
     def docs_mannwhitney(sf_dir):
         # Mann–Whitney U (two-sample rank test, exact midrank
         # integers): does the lexicographically-first source's doc
@@ -7587,6 +7654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_msf": kg_msf,
         "kg_node2vec": kg_node2vec,
         "kg_cascade": kg_cascade,
+        "kg_skipgram_pairs": kg_skipgram_pairs,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -7871,6 +7939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rowgroup_prune": orders_rowgroup_prune,
         "orders_theil_sen": orders_theil_sen,
         "docs_mannwhitney": docs_mannwhitney,
+        "docs_feature_hashing": docs_feature_hashing,
         "orders_holt_winters": orders_holt_winters,
         "orders_ivm_view": orders_ivm_view,
         "orders_ivm_incremental": orders_ivm_incremental,
@@ -9006,6 +9075,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),
         "kg_cascade": _cascade_sql(kg_edges_sql, n_seeds=3, p_pct=40,
                                    rounds=3),
+        # skip-gram pairs: the walk oracle self-joined on seed with
+        # rank gap 1..2, symmetrized, pair-counted
+        "kg_skipgram_pairs": (
+            "SELECT center, context, count(*)::BIGINT AS n FROM ("
+            "SELECT a.vertex AS center, b.vertex AS context "
+            "FROM (" + _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3)
+            + ") a JOIN ("
+            + _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3)
+            + ") b ON a.seed = b.seed "
+            "AND b.step - a.step BETWEEN 1 AND 2 "
+            "UNION ALL "
+            "SELECT b.vertex, a.vertex "
+            "FROM (" + _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3)
+            + ") a JOIN ("
+            + _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3)
+            + ") b ON a.seed = b.seed "
+            "AND b.step - a.step BETWEEN 1 AND 2"
+            ") GROUP BY center, context"),
         "kg_ppr": _pagerank_sql(kg_edges_sql, iters=3,
                                 personalize=True),
         "kg_reciprocity": f"""
@@ -9690,6 +9777,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # hashing trick: md5-bucketed feature cross + collision counts
+        "docs_feature_hashing": """
+            WITH f AS (
+              SELECT ('0x' || substr(md5(lang || 'x' || source), 1, 15))
+                     ::BIGINT % 64 AS bucket,
+                     lang || 'x' || source AS feat
+              FROM documents
+            )
+            SELECT bucket, count(*)::BIGINT AS n_rows,
+                   count(DISTINCT feat)::BIGINT AS n_features
+            FROM f GROUP BY bucket
         """,
         # Mann–Whitney U with exact 2x-scaled midranks
         "docs_mannwhitney": """
