@@ -728,6 +728,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return wl_colors(ed, iters=2)
 
+    def kg_vertex_cover(sf_dir):
+        # 2-approximate minimum vertex cover (Gavril): the endpoints
+        # of a maximal matching cover every edge at <= 2x optimum —
+        # a pure composition over the matching rounds, one endpoint
+        # distinct
+        from raygraph.ops.graph import maximal_matching
+        from raygraph.ops.relational import hash_aggregate
+        from raygraph.ops.graph import _repaired
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        m = maximal_matching(ed, iters=2)
+
+        def endpoints(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").combine_chunks().cast(pa.string())
+            v = batch.column("v").combine_chunks().cast(pa.string())
+            return pa.table({"vertex": pa.concat_arrays([u, v])})
+
+        return _repaired(
+            hash_aggregate(
+                m.map_batches(endpoints, batch_format="pyarrow"),
+                ["vertex"], lambda df: df.drop_duplicates()),
+            pa.schema([("vertex", pa.string())]))
+
     def kg_skipgram_pairs(sf_dir):
         # skip-gram training pairs from the node2vec walk corpus
         # (window 2): the (center, context) pair table a word2vec-style
@@ -7655,6 +7679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node2vec": kg_node2vec,
         "kg_cascade": kg_cascade,
         "kg_skipgram_pairs": kg_skipgram_pairs,
+        "kg_vertex_cover": kg_vertex_cover,
         "kg_components": kg_components,
         "kg_bfs": kg_bfs,
         "kg_kcore": kg_kcore,
@@ -9075,6 +9100,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),
         "kg_cascade": _cascade_sql(kg_edges_sql, n_seeds=3, p_pct=40,
                                    rounds=3),
+        # Gavril 2-approx vertex cover = matched endpoints
+        "kg_vertex_cover": (
+            "SELECT DISTINCT vertex FROM ("
+            "SELECT u AS vertex FROM ("
+            + _matching_sql(kg_edges_sql, iters=2)
+            + ") UNION ALL SELECT v FROM ("
+            + _matching_sql(kg_edges_sql, iters=2) + "))"),
         # skip-gram pairs: the walk oracle self-joined on seed with
         # rank gap 1..2, symmetrized, pair-counted
         "kg_skipgram_pairs": (

@@ -1456,3 +1456,14 @@ def test_cascade_zero_probability_spreads_nothing(ray_session):
                          rounds=3).to_pandas()
     assert set(got["round"]) == {0}
     assert len(got) == 2
+
+
+def test_vertex_cover_covers_every_edge(ray_session):
+    from raygraph.ops.graph import maximal_matching
+
+    # cover = matched endpoints; verify the covering property on the
+    # shared fixture graph
+    m = maximal_matching(_edges_ds(), iters=3).to_pandas()
+    cover = set(m["u"]) | set(m["v"])
+    und = {tuple(sorted(p)) for p in PAIRS if p[0] != p[1]}
+    assert all(u in cover or v in cover for u, v in und)
