@@ -11668,9 +11668,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 7 <> 0
         """,
-        # ExactSubstr profile: 8-gram window via 7 leads, md5 gram
-        # keys, dup = >=2 distinct docs, coverage = distinct fanned
-        # positions — mirrors dedup.duplicate_ngram_stats exactly
+        # ExactSubstr profile: 8-gram window via 7 leads, the gram
+        # string as its own key, dup = >=2 distinct docs, coverage =
+        # distinct fanned positions — mirrors
+        # dedup.duplicate_ngram_stats exactly
         "docs_exact_substrings": f"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -11701,7 +11702,7 @@ def oracle_sql() -> dict[str, str]:
                          || ' ' || lead(tok, 7) OVER w AS gram
               FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
             ),
-            h AS (SELECT doc_id, pos, md5(gram) AS gh FROM g
+            h AS (SELECT doc_id, pos, gram AS gh FROM g
                   WHERE gram IS NOT NULL),
             dup AS (SELECT gh FROM (
                       SELECT gh, count(DISTINCT doc_id) AS ndocs

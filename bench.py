@@ -208,6 +208,9 @@ def main() -> None:
         lambda: docs().map_batches(T.pii_scrub,
                                    batch_format="pyarrow").count())
 
+    timings["exact_substrings"] = _timed_min(
+        lambda: D.duplicate_ngram_stats(docs(), L=8).count())
+
     from raygraph.ops.text import pack_sequences
 
     timings["packing"] = _timed_min(

@@ -1356,7 +1356,9 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
     on one node:
 
     1. gram inventory: per-batch VECTORIZED n-gram build (explode
-       tokens, 7 group-shifts, one string concat) + md5 gram keys →
+       tokens, 7 group-shifts, one string concat); the gram STRING is
+       its own exchange key — an 8-token gram is about as wide as a
+       hex md5, so hashing would buy nothing and cost ~1 µs/gram →
        (gh, doc, pos) rows;
     2. duplicated grams: one pair-hash distinct (gh, doc) exchange,
        per-gh doc counts (combiner preagg), filter >= 2 — gram-sized;
@@ -1389,29 +1391,38 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
         })
 
     def grams(batch: pa.Table) -> pa.Table:
+        # flat-array gram build: no per-doc groupby, no group shifts —
+        # doc-boundary validity is one integer compare on the flat doc
+        # array, gram text is L-1 vectorized str.cat passes
         df = tok_frame(batch)
-        ex = df.explode("toks").rename(columns={"toks": "tok"})
-        ex = ex.dropna(subset=["tok"]).reset_index(drop=True)
-        if not len(ex):
-            return pa.table({"gh": pa.array([], pa.string()),
-                             "doc": pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64())})
-        g = ex.groupby("doc", sort=False)["tok"]
-        parts = [ex["tok"]]
+        counts = df["toks"].str.len().fillna(0).astype("int64") \
+            .to_numpy()
+        total = int(counts.sum())
+        empty = pa.table({"gh": pa.array([], pa.string()),
+                          "doc": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if total < L:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in df["toks"]
+             if len(t)])
+        docs_arr = np.repeat(df["doc"].to_numpy(dtype="int64"), counts)
+        starts = np.cumsum(counts) - counts
+        pos_all = np.arange(total, dtype="int64") \
+            - np.repeat(starts, counts)
+        m = total - L + 1
+        valid = docs_arr[:m] == docs_arr[L - 1:]
+        if not valid.any():
+            return empty
+        gram = pd.Series(flat[:m][valid])
         for k in range(1, L):
-            parts.append(g.shift(-k))
-        gram = parts[0].str.cat(parts[1:], sep=" ", na_rep=None,
-                                join="left")
-        keep = parts[-1].notna()
-        pos = ex.groupby("doc", sort=False).cumcount()
-        sub = pd.DataFrame({"doc": ex["doc"], "pos": pos,
-                            "gram": gram})[keep.to_numpy()]
-        gh = sub["gram"].map(
-            lambda x: hashlib.md5(x.encode()).hexdigest())
-        return pa.Table.from_pandas(
-            pd.DataFrame({"gh": gh, "doc": sub["doc"].astype("int64"),
-                          "pos": sub["pos"].astype("int64")}),
-            preserve_index=False)
+            gram = gram.str.cat(
+                pd.Series(flat[k:m + k][valid]), sep=" ")
+        return pa.table({
+            "gh": pa.array(gram, pa.string()),
+            "doc": pa.array(docs_arr[:m][valid], pa.int64()),
+            "pos": pa.array(pos_all[:m][valid], pa.int64()),
+        })
 
     gram_schema = pa.schema([("gh", pa.string()), ("doc", pa.int64()),
                              ("pos", pa.int64())])
