@@ -3178,6 +3178,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(li.map_batches(cents, batch_format="pyarrow"),
                                  ["l_returnflag"], "price_cents")
 
+    def lineitem_interval_join(sf_dir):
+        # distributed RANGE join (the band join Ray Data's equi-join
+        # can't express): promo windows [o_orderdate, +1..14 days)
+        # derived from every 97th order, lineitem ship timestamps
+        # joined by containment via the tiled plan — intervals
+        # replicated to 7-day tiles, facts land in ONE tile, one
+        # equi-shuffle, residual filter; then an interval-keyed
+        # combiner preagg (matches + exact qty cents)
+        from raygraph.ops.relational import interval_join
+
+        DAY = 86_400_000_000
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate"])
+        li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_shipdate", "l_quantity"])
+
+        def mk_iv(batch: pa.Table) -> pa.Table:
+            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            keep = (k % 97) == 0
+            k = k[keep].astype("int64")
+            od = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "interval_id": pa.array(k, pa.int64()),
+                "lo": pa.array(od, pa.int64()),
+                "hi": pa.array(od + DAY * (k % 14 + 1), pa.int64()),
+            })
+
+        def mk_fact(batch: pa.Table) -> pa.Table:
+            q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "ts_us": batch.column("l_shipdate").cast(pa.int64()),
+                "qty_e2": pa.array(np.rint(q * 100).astype("int64")),
+            })
+
+        pairs = interval_join(
+            li.map_batches(mk_fact, batch_format="pyarrow"),
+            orders.map_batches(mk_iv, batch_format="pyarrow"),
+            value_col="ts_us", lo_col="lo", hi_col="hi",
+            interval_cols=["interval_id"], fact_cols=["qty_e2"],
+            tile_width=7 * DAY)
+        return preagg_sum(pairs, ["interval_id"], {"qty_e2": "qty_e2"},
+                          counts="n_rows")
+
     def docs_jaccard_top10(sf_dir):
         # n-gram Jaccard similarity search: word-trigram set of doc 0
         # broadcast once, per-batch partial top-k, exact-integer contract
@@ -7937,6 +7982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_intersect_early": docs_intersect_early,
         "orders_with_returns": orders_with_returns,
         "lineitem_quantile_bins": lineitem_quantile_bins,
+        "lineitem_interval_join": lineitem_interval_join,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "docs_jaccard_top10": docs_jaccard_top10,
         "customer_revenue_topk": customer_revenue_topk,
@@ -11497,6 +11543,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, sum(cnt)::BIGINT AS n, min(c)::BIGINT AS min_v,
                    max(c)::BIGINT AS max_v
             FROM b GROUP BY bin
+        """,
+        # range join: containment in epoch-us integers — the SQL
+        # inequality join the tiled plan reproduces exactly
+        "lineitem_interval_join": """
+            WITH iv AS (
+              SELECT o_orderkey AS interval_id,
+                     epoch_us(o_orderdate) AS lo,
+                     epoch_us(o_orderdate)
+                       + 86400000000 * (o_orderkey % 14 + 1) AS hi
+              FROM orders WHERE o_orderkey % 97 = 0
+            )
+            SELECT interval_id,
+                   sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                     ::BIGINT AS qty_e2,
+                   count(*)::BIGINT AS n_rows
+            FROM iv JOIN lineitem
+              ON epoch_us(l_shipdate) >= lo AND epoch_us(l_shipdate) < hi
+            GROUP BY interval_id
         """,
         "lineitem_price_quantiles": """
             WITH c AS (

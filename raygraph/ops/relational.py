@@ -1672,3 +1672,114 @@ def quantile_bin(ds, value_col: str, n_bins: int = 10,
                        ["bin"], fold, num_buckets=num_buckets),
         pa.schema([("bin", pa.int64()), ("n", pa.int64()),
                    ("min_v", pa.int64()), ("max_v", pa.int64())]))
+
+
+def interval_join(facts, intervals, *, value_col: str, lo_col: str,
+                  hi_col: str, interval_cols: Sequence[str],
+                  fact_cols: Sequence[str] = (), tile_width: int = 0,
+                  num_partitions: int | None = None):
+    """Distributed range (interval) join: every fact row whose int64
+    ``value_col`` falls in an interval's ``[lo, hi)`` is paired with
+    that interval — the operator Ray Data's equi-``join`` cannot
+    express, built from one equi-shuffle plus a residual filter.
+
+    Tiling algorithm (the classic parallel band-join plan): the value
+    axis is cut into fixed tiles of ``tile_width``. Each interval is
+    REPLICATED to every tile it overlaps (fan-out ≈ len/tile_width + 1,
+    so pick tile_width near the median interval length); each fact row
+    lands in exactly ONE tile (its value's tile), so the equi-join on
+    the tile id meets every matching (fact, interval) pair exactly once
+    — no post-join dedup pass. The residual ``lo <= v < hi`` filter
+    drops same-tile non-overlaps inside ``map_batches``.
+
+    Scale notes: the only exchange is ONE hash-shuffle on the tile id —
+    facts move once, intervals move fan-out times; nothing funnels
+    through the driver. Skew = a hot tile (many facts × many
+    overlapping intervals); the residual work in that tile is the true
+    output size plus same-tile misses, bounded by choosing tile_width
+    ≈ interval length. For an interval side small enough to broadcast,
+    prefer :func:`broadcast_join`-style lookup instead — this plan is
+    for BOTH sides big. Empty interval side short-circuits (Ray's
+    all-empty join sides lose their schema).
+
+    Output columns: ``value_col`` + ``fact_cols`` + ``lo_col`` +
+    ``hi_col`` + ``interval_cols`` (original names).
+    """
+    import pyarrow.compute as pc
+
+    if tile_width <= 0:
+        raise ValueError("tile_width must be a positive int64 width")
+    fact_cols = list(fact_cols)
+    interval_cols = list(interval_cols)
+
+    fact_schema = facts.schema()
+    iv_schema = intervals.schema()
+
+    def _t(schema, col):
+        t = dict(zip(schema.names, schema.types))[col]
+        return pa.int64() if pa.types.is_timestamp(t) else t
+
+    out_schema = pa.schema(
+        [(value_col, pa.int64())]
+        + [(c, _t(fact_schema, c)) for c in fact_cols]
+        + [(lo_col, pa.int64()), (hi_col, pa.int64())]
+        + [(c, _t(iv_schema, c)) for c in interval_cols])
+
+    if intervals.count() == 0 or facts.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    def fan_intervals(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hi = batch.column(hi_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = hi > lo  # empty/inverted intervals match nothing
+        lo, hi = lo[keep], hi[keep]
+        sub = batch.filter(pa.array(keep))
+        t0 = lo // tile_width
+        reps = (hi - 1) // tile_width - t0 + 1
+        total = int(reps.sum())
+        idx = np.repeat(np.arange(len(lo), dtype="int64"), reps)
+        offs = np.arange(total, dtype="int64") \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        cols = {"__tile": pa.array(t0[idx] + offs, pa.int64()),
+                "__lo": pa.array(lo[idx], pa.int64()),
+                "__hi": pa.array(hi[idx], pa.int64())}
+        for c in interval_cols:
+            cols[c] = sub.column(c).take(pa.array(idx, pa.int64()))
+        return pa.table(cols)
+
+    def tag_facts(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cols = {"__tile": pa.array(v // tile_width, pa.int64()),
+                "__v": pa.array(v, pa.int64())}
+        for c in fact_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    joined = shuffle_join(
+        facts.map_batches(tag_facts, batch_format="pyarrow"),
+        intervals.map_batches(fan_intervals, batch_format="pyarrow"),
+        on="__tile", num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch.column("__v")
+        mask = pc.and_(pc.greater_equal(v, batch.column("__lo")),
+                       pc.less(v, batch.column("__hi")))
+        sub = batch.filter(mask)
+        cols = {value_col: sub.column("__v")}
+        for c in fact_cols:
+            cols[c] = sub.column(c)
+        cols[lo_col] = sub.column("__lo")
+        cols[hi_col] = sub.column("__hi")
+        for c in interval_cols:
+            cols[c] = sub.column(c)
+        return pa.table(cols)
+
+    from raygraph.ops.graph import _repaired
+
+    return _repaired(
+        joined.map_batches(finish, batch_format="pyarrow"), out_schema)

@@ -1,0 +1,85 @@
+"""Tiled distributed range join: containment semantics, multi-tile
+replication correctness (exactly-once pairing), empty-side guard."""
+
+import pyarrow as pa
+import pytest
+
+from raygraph.ops.relational import interval_join
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _facts(vals, payload=None):
+    import ray.data as rd
+
+    t = {"v": pa.array(vals, pa.int64())}
+    if payload is not None:
+        t["p"] = pa.array(payload, pa.int64())
+    return rd.from_arrow(pa.table(t))
+
+
+def _ivs(rows):
+    import ray.data as rd
+
+    ids, los, his = zip(*rows) if rows else ((), (), ())
+    return rd.from_arrow(pa.table({
+        "iid": pa.array(list(ids), pa.int64()),
+        "lo": pa.array(list(los), pa.int64()),
+        "hi": pa.array(list(his), pa.int64()),
+    }))
+
+
+def _pairs(out):
+    return sorted((r["iid"], r["v"]) for r in out.take_all())
+
+
+def test_half_open_boundaries():
+    # v == lo is IN, v == hi is OUT
+    out = interval_join(_facts([10, 19, 20]), _ivs([(1, 10, 20)]),
+                        value_col="v", lo_col="lo", hi_col="hi",
+                        interval_cols=["iid"], tile_width=100)
+    assert _pairs(out) == [(1, 10), (1, 19)]
+
+
+def test_multi_tile_interval_pairs_exactly_once():
+    # interval spans 4 tiles of width 10; every contained fact pairs
+    # exactly once even though the interval is replicated 4x
+    facts = _facts(list(range(0, 50, 3)), payload=list(range(0, 50, 3)))
+    out = interval_join(facts, _ivs([(7, 5, 38)]),
+                        value_col="v", lo_col="lo", hi_col="hi",
+                        interval_cols=["iid"], fact_cols=["p"],
+                        tile_width=10)
+    rows = sorted((r["iid"], r["v"], r["p"]) for r in out.take_all())
+    want = [(7, v, v) for v in range(0, 50, 3) if 5 <= v < 38]
+    assert rows == want
+
+
+def test_overlapping_intervals_fan_out_facts():
+    out = interval_join(_facts([15]), _ivs([(1, 10, 20), (2, 0, 100),
+                                            (3, 16, 30)]),
+                        value_col="v", lo_col="lo", hi_col="hi",
+                        interval_cols=["iid"], tile_width=8)
+    assert _pairs(out) == [(1, 15), (2, 15)]
+
+
+def test_empty_and_inverted_intervals():
+    out = interval_join(_facts([5]), _ivs([(1, 5, 5), (2, 9, 3),
+                                           (3, 0, 6)]),
+                        value_col="v", lo_col="lo", hi_col="hi",
+                        interval_cols=["iid"], tile_width=4)
+    assert _pairs(out) == [(3, 5)]
+
+
+def test_empty_interval_side_keeps_schema():
+    out = interval_join(_facts([1, 2]), _ivs([]),
+                        value_col="v", lo_col="lo", hi_col="hi",
+                        interval_cols=["iid"], tile_width=4)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"v", "lo", "hi", "iid"}
+
+
+def test_bad_tile_width_rejected():
+    with pytest.raises(ValueError):
+        interval_join(_facts([1]), _ivs([(1, 0, 1)]), value_col="v",
+                      lo_col="lo", hi_col="hi", interval_cols=["iid"],
+                      tile_width=0)
