@@ -1678,6 +1678,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(prio, batch_format="pyarrow") \
             .sort(["priority", "doc_id"]).limit(20)
 
+    def docs_bigram_perplexity(sf_dir):
+        # CCNet-style perplexity filter: per-doc cross-entropy under
+        # the corpus's own add-one-smoothed bigram LM — one tokenize
+        # pass, bigram/history combiner preaggs, two hash-shuffle
+        # joins; the LM never lands on the driver
+        return T.bigram_cross_entropy(_docs_ds(sf_dir))
+
     def docs_unigram_surprise(sf_dir):
         # perplexity-filter analog: per-doc cross-entropy under the
         # corpus's own unigram LM — per-(doc,word) tf partials, one
@@ -7784,6 +7791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rrf_fusion": docs_rrf_fusion,
         "docs_bm25_top10": docs_bm25_top10,
         "docs_unigram_surprise": docs_unigram_surprise,
+        "docs_bigram_perplexity": docs_bigram_perplexity,
         "events_transition_pmi": events_transition_pmi,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
@@ -10220,6 +10228,36 @@ def oracle_sql() -> dict[str, str]:
                      / (fx.nf::HUGEINT * ty.nt)::DOUBLE))::BIGINT AS pmi_e6
             FROM tr t, m, fx, ty
             WHERE fx.from_type = t.from_type AND ty.to_type = t.to_type
+        """,
+        # CCNet-style bigram-LM perplexity: add-one over each history's
+        # follower set, per-term e6 floors summed as ints
+        "docs_bigram_perplexity": f"""
+            {_TOKS_CTE},
+            u AS (SELECT doc_id, unnest(toks) AS w,
+                         generate_subscripts(toks, 1) AS pos FROM t),
+            b AS (SELECT doc_id, w AS w1,
+                         lead(w) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS w2
+                  FROM u),
+            dbt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+                    FROM b WHERE w2 IS NOT NULL
+                    GROUP BY doc_id, w1, w2),
+            big AS (SELECT w1, w2, sum(tf)::BIGINT AS n
+                    FROM dbt GROUP BY w1, w2),
+            hist AS (SELECT w1, sum(n)::BIGINT AS c1h,
+                            count(*)::BIGINT AS fw
+                     FROM big GROUP BY w1),
+            tm AS (SELECT dbt.doc_id,
+                          floor((1000000 * dbt.tf)
+                                * ln((hist.c1h + hist.fw)::DOUBLE
+                                     / (big.n + 1)))::BIGINT AS t_e6,
+                          dbt.tf
+                   FROM dbt
+                   JOIN big ON big.w1 = dbt.w1 AND big.w2 = dbt.w2
+                   JOIN hist ON hist.w1 = dbt.w1)
+            SELECT doc_id, sum(tf)::BIGINT AS n_bg,
+                   (sum(t_e6) // sum(tf))::BIGINT AS ce_e6
+            FROM tm GROUP BY doc_id
         """,
         "docs_unigram_surprise": f"""
             {_TOKS_CTE},

@@ -1736,3 +1736,108 @@ def rake_keywords(ds, k: int = 15, lang: str = "en",
     out = res.sort(["score_e6", "phrase"], descending=[True, False]) \
         .limit(k).to_pandas()
     return out[["phrase", "n", "score_e6"]]
+
+
+def bigram_cross_entropy(ds, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Per-document cross-entropy under the corpus's own SMOOTHED bigram
+    LM — the CCNet-style perplexity filter (Wenzek et al. 2020) used to
+    screen web text, with the LM trained on the corpus itself instead
+    of an external KenLM (no model files in this sandbox; the dataflow
+    is identical). Smoothing is add-one over each history's observed
+    follower set: P(w2|w1) = (c(w1,w2)+1) / (c1(w1)+F(w1)) where c1 =
+    Σ_x c(w1,x) and F = |{x : c(w1,x)>0}| — self-contained (no global
+    vocab scalar), proper (Σ_observed P < 1, mass reserved for unseen
+    followers).
+
+    Exact-integer contract: per distinct (doc, w1, w2),
+    t_e6 = floor((10⁶·tf) · ln((c1+F)/(c+1))); doc ce_e6 =
+    Σ t_e6 // Σ tf — per-term independent floors summed as ints, so the
+    result is reduction-order-free and SQL-replayable. Docs with < 2
+    tokens have no bigrams and are absent.
+
+    Scale shape: ONE tokenize pass → per-(doc, bigram) tf partials
+    (a doc lives in one block, so the per-batch groupby is already
+    global per doc); global bigram counts + per-history (c1, F) via
+    combiner preaggs; two hash-shuffle joins (bigram-keyed, then
+    history-keyed) — the LM never lands on the driver; doc-keyed
+    combiner fold. Everything exchanged is counts, never raw text.
+    """
+    from .graph import _repaired
+    from .relational import preagg_sum, shuffle_join, _join_partitions
+
+    def doc_bigram_tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas().astype("int64")
+        toks = s.str.strip().str.lower().str.split()
+        counts = toks.str.len().fillna(0).astype("int64").to_numpy()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        total = int(counts.sum())
+        if total < 2:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)])
+        docs_arr = np.repeat(ids.to_numpy(), counts)
+        valid = docs_arr[:-1] == docs_arr[1:]
+        if not valid.any():
+            return empty
+        df = pd.DataFrame({id_col: docs_arr[:-1][valid],
+                           "w1": flat[:-1][valid],
+                           "w2": flat[1:][valid]})
+        g = df.groupby([id_col, "w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        g["tf"] = g["tf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dbt = ds.map_batches(doc_bigram_tf,
+                         batch_format="pyarrow").materialize()
+
+    big_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                            ("n", pa.int64())])
+    big = _repaired(preagg_sum(dbt.select_columns(["w1", "w2", "tf"]),
+                             ["w1", "w2"], {"n": "tf"}), big_schema)
+    hist = _repaired(
+        preagg_sum(big, ["w1"], {"c1h": "n"}, counts="fw"),
+        pa.schema([("w1", pa.string()), ("c1h", pa.int64()),
+                   ("fw", pa.int64())])).rename_columns(
+        {"w1": "h1"}).materialize()
+
+    nparts = _join_partitions(dbt.count())
+    j1 = _repaired(
+        shuffle_join(dbt, big.rename_columns({"w1": "b1", "w2": "b2"}),
+                     on=("w1", "w2"), right_on=("b1", "b2"),
+                     num_partitions=nparts),
+        pa.schema([(id_col, pa.int64()), ("w1", pa.string()),
+                   ("w2", pa.string()), ("tf", pa.int64()),
+                   ("n", pa.int64())]))
+    j2 = shuffle_join(j1, hist, on="w1", right_on="h1",
+                      num_partitions=nparts)
+
+    def term(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tf = df["tf"].to_numpy().astype("int64")
+        denom = (df["c1h"].to_numpy() + df["fw"].to_numpy()) \
+            .astype("float64")
+        num = (df["n"].to_numpy() + 1).astype("float64")
+        t = np.floor((1_000_000 * tf)
+                     * np.log(denom / num)).astype("int64")
+        return pa.Table.from_pandas(pd.DataFrame({
+            id_col: df[id_col].astype("int64"), "t_e6": t, "tf": tf,
+        }), preserve_index=False)
+
+    agg = preagg_sum(j2.map_batches(term, batch_format="pyarrow"),
+                     [id_col], {"sum_e6": "t_e6", "n_bg": "tf"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "n_bg": df["n_bg"].astype("int64"),
+            "ce_e6": df["sum_e6"].to_numpy().astype("int64")
+            // df["n_bg"].to_numpy().astype("int64"),
+        }), preserve_index=False)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -544,3 +544,28 @@ def test_rake_scores_known_corpus(ray_session):
     assert rows["deep learning rocks"] == (1, 2 * s_dl + 3_000_000)
     # longer phrase outranks the pair
     assert got["phrase"].iloc[0] == "deep learning rocks"
+
+
+def test_bigram_cross_entropy_known_lm():
+    import math
+
+    import ray.data as rd
+
+    from raygraph.ops.text import bigram_cross_entropy
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a b a b c"},
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "x"},          # no bigrams -> absent
+        {"doc_id": 3, "text": "   "},        # empty -> absent
+    ])
+    rows = {r["doc_id"]: (r["n_bg"], r["ce_e6"])
+            for r in bigram_cross_entropy(ds).take_all()}
+    # LM: c(a,b)=3 c(b,a)=1 c(b,c)=1; hist a: c1h=3 fw=1; b: c1h=2 fw=2
+    t_ab = math.floor(1_000_000 * math.log(4 / 4))          # 0
+    t_ba = math.floor(1_000_000 * math.log(4 / 2))          # 693147
+    t_bc = t_ba
+    assert rows == {
+        0: (4, (2 * t_ab + t_ba + t_bc) // 4),
+        1: (1, t_ab),
+    }
