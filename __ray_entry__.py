@@ -6449,6 +6449,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def customer_privacy_audit(sf_dir):
+        # k-anonymity + l-diversity release gate: quasi-identifier =
+        # (nation, balance rounded to hundreds), sensitive = market
+        # segment; group sizes via combiner preagg, diversity via the
+        # pair-exchange distinct, one quasi-keyed join, int64 partials
+        # fold to the one-row summary — the group inventory never
+        # lands on the driver
+        from raygraph.ops.validate import privacy_audit
+
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_nationkey", "c_acctbal", "c_mktsegment"])
+
+        def quasi(batch: pa.Table) -> pa.Table:
+            bal = batch.column("c_acctbal").to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "nation": batch.column("c_nationkey").cast(pa.int64()),
+                "bal_h": pa.array(
+                    np.floor(bal / 100).astype("int64")),
+                "segment": batch.column("c_mktsegment"),
+            })
+
+        return privacy_audit(
+            cust.map_batches(quasi, batch_format="pyarrow"),
+            ["nation", "bal_h"], k=3, sensitive_col="segment", l=2)
+
     def corpus_span_transitions(sf_dir):
         # interleaved-modality grammar of the corpus: adjacent
         # span-kind transition counts (text->media, media->text, ...)
@@ -7907,6 +7934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_negatives": embedding_negatives,
         "embedding_negatives_stratified": embedding_negatives_stratified,
         "orders_expectations": orders_expectations,
+        "customer_privacy_audit": customer_privacy_audit,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9488,6 +9516,27 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # k-anonymity + l-diversity one-row summary over the quasi-
+        # identifier (nation, floor(acctbal/100))
+        "customer_privacy_audit": """
+            WITH g AS (
+              SELECT c_nationkey::BIGINT AS nation,
+                     CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_h,
+                     count(*)::BIGINT AS n,
+                     count(DISTINCT c_mktsegment)::BIGINT AS ndiv
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT 3::BIGINT AS k, 2::BIGINT AS l,
+                   sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_risky_groups,
+                   sum(CASE WHEN n < 3 THEN n ELSE 0 END)::BIGINT
+                     AS n_risky_rows,
+                   sum(CASE WHEN ndiv < 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_lowdiv_groups
+            FROM g
         """,
         "orders_expectations": """
             SELECT 'in_range:o_totalprice' AS rule,

@@ -136,3 +136,80 @@ def check_rules(ds, rules: list[dict]):
     out = pd.concat(rows, ignore_index=True)
     out["n_violations"] = out["n_violations"].astype("int64")
     return out.sort_values("rule", ignore_index=True)
+
+
+def privacy_audit(ds, quasi_cols, k: int = 3, sensitive_col=None,
+                  l: int = 2):
+    """k-anonymity (+ optional l-diversity) audit — the privacy gate a
+    training-data release needs (Sweeney 2002; Machanavajjhala 2007):
+    a row is re-identifiable when its quasi-identifier combination is
+    shared by fewer than ``k`` rows, and a group leaks its sensitive
+    attribute when fewer than ``l`` distinct values appear in it.
+
+    Returns a ONE-ROW summary table: k, l, n_rows, n_groups,
+    n_risky_groups / n_risky_rows (size < k), and (with
+    ``sensitive_col``) n_lowdiv_groups (distinct sensitive < l).
+
+    Scale shape: group sizes via a quasi-keyed combiner preagg;
+    diversity via the pair-exchange discipline of
+    :func:`relational.distinct_count` (per-batch dedup first, the
+    shuffle carries distinct (quasi, sensitive) pairs, never rows);
+    one quasi-keyed join merges the two, then per-batch int64 partials
+    fold to the single summary row — the group inventory itself never
+    lands on the driver.
+    """
+    from .graph import _repaired
+    from .relational import distinct_count, preagg_sum, shuffle_join
+
+    if k < 1 or l < 1:
+        raise InvalidParameterError("k and l must be >= 1")
+    quasi_cols = list(quasi_cols)
+
+    qtypes = dict(zip(ds.schema().names, ds.schema().types))
+    qschema = [(c, qtypes[c]) for c in quasi_cols]
+
+    sizes = _repaired(
+        preagg_sum(ds.select_columns(quasi_cols), quasi_cols, {},
+                   counts="n"),
+        pa.schema(qschema + [("n", pa.int64())]))
+
+    if sensitive_col is not None:
+        ndiv = _repaired(
+            distinct_count(ds, quasi_cols, sensitive_col, out="ndiv"),
+            pa.schema(qschema + [("ndiv", pa.int64())]))
+        ndiv = ndiv.rename_columns(
+            {c: f"__r_{c}" for c in quasi_cols}).materialize()
+        groups = _repaired(
+            shuffle_join(sizes, ndiv, on=tuple(quasi_cols),
+                         right_on=tuple(f"__r_{c}" for c in quasi_cols)),
+            pa.schema(qschema + [("n", pa.int64()),
+                                 ("ndiv", pa.int64())]))
+    else:
+        groups = sizes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        risky = n < k
+        row = {
+            "n_rows": int(n.sum()),
+            "n_groups": batch.num_rows,
+            "n_risky_groups": int(risky.sum()),
+            "n_risky_rows": int(n[risky].sum()),
+        }
+        if sensitive_col is not None:
+            nd = batch.column("ndiv").to_numpy(zero_copy_only=False)
+            row["n_lowdiv_groups"] = int((nd < l).sum())
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in row.items()})
+
+    parts = groups.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    cols = ["n_rows", "n_groups", "n_risky_groups", "n_risky_rows"]
+    out = {"k": [k]}
+    if sensitive_col is not None:
+        out["l"] = [l]
+        cols.append("n_lowdiv_groups")
+    for c in cols:
+        out[c] = [int(parts[c].sum())] if c in parts.columns else [0]
+    return pa.table({c: pa.array(v, pa.int64())
+                     for c, v in out.items()})

@@ -202,3 +202,41 @@ def test_check_rules_all_kinds(ray_session):
         check_rules(ds, [{"rule": "nope", "col": "k"}])
     with pytest.raises(InvalidParameterError, match="lo and hi"):
         check_rules(ds, [{"rule": "in_range", "col": "v"}])
+
+
+def test_privacy_audit_known_groups(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.validate import privacy_audit
+
+    # groups: (1,a)x3 seg{X,Y}, (1,b)x1 seg{X}, (2,a)x2 seg{X}
+    ds = rd.from_items([
+        {"q1": 1, "q2": "a", "s": "X"},
+        {"q1": 1, "q2": "a", "s": "Y"},
+        {"q1": 1, "q2": "a", "s": "X"},
+        {"q1": 1, "q2": "b", "s": "X"},
+        {"q1": 2, "q2": "a", "s": "X"},
+        {"q1": 2, "q2": "a", "s": "X"},
+    ])
+    t = privacy_audit(ds, ["q1", "q2"], k=3, sensitive_col="s", l=2)
+    row = t.to_pylist()[0]
+    assert row == {"k": 3, "l": 2, "n_rows": 6, "n_groups": 3,
+                   "n_risky_groups": 2, "n_risky_rows": 3,
+                   "n_lowdiv_groups": 2}
+    # without a sensitive column: k-anonymity only
+    t2 = privacy_audit(ds, ["q1", "q2"], k=2)
+    row2 = t2.to_pylist()[0]
+    assert row2 == {"k": 2, "n_rows": 6, "n_groups": 3,
+                    "n_risky_groups": 1, "n_risky_rows": 1}
+
+
+def test_privacy_audit_rejects_bad_k(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.ops.validate import privacy_audit
+
+    ds = rd.from_items([{"q": 1}])
+    with _pytest.raises(InvalidParameterError):
+        privacy_audit(ds, ["q"], k=0)
