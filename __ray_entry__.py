@@ -6449,6 +6449,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def docs_epoch_shuffle(sf_dir):
+        # deterministic per-epoch training-order shuffle: dense global
+        # position under the seed-keyed md5 permutation — two-phase
+        # ordered-prefix-sum rank, only tile totals touch the driver
+        from raygraph.ops.relational import epoch_shuffle
+
+        return epoch_shuffle(_docs_ds(sf_dir, columns=("doc_id",)),
+                             seed=7)
+
     def customer_privacy_audit(sf_dir):
         # k-anonymity + l-diversity release gate: quasi-identifier =
         # (nation, balance rounded to hundreds), sensitive = market
@@ -7935,6 +7944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_negatives_stratified": embedding_negatives_stratified,
         "orders_expectations": orders_expectations,
         "customer_privacy_audit": customer_privacy_audit,
+        "docs_epoch_shuffle": docs_epoch_shuffle,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9516,6 +9526,15 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # seed-keyed md5 permutation rank (dense, 0-based)
+        "docs_epoch_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY ('0x' || substr(md5(7 || ':' || doc_id),
+                                              1, 15))::BIGINT,
+                              doc_id) - 1 AS position
+            FROM documents
         """,
         # k-anonymity + l-diversity one-row summary over the quasi-
         # identifier (nation, floor(acctbal/100))

@@ -1783,3 +1783,43 @@ def interval_join(facts, intervals, *, value_col: str, lo_col: str,
 
     return _repaired(
         joined.map_batches(finish, batch_format="pyarrow"), out_schema)
+
+
+def epoch_shuffle(ds, seed: int, id_col: str = "doc_id",
+                  out: str = "position", n_tiles: int = 32):
+    """Deterministic global training-order shuffle: every row gets a
+    dense position in [0, n) under a seed-keyed pseudo-random
+    permutation — the per-epoch corpus shuffle a training run needs,
+    reproducible across reruns and resumable (position is a FUNCTION
+    of (seed, id), not of execution order).
+
+    Shuffle key = the established md5 hash-int bridge over
+    ``"{seed}:{id}"``; the dense rank is the two-phase
+    :func:`ordered_prefix_sum` scan over a constant-1 column — exact
+    range tiles on the key, per-tile totals, one vectorized
+    sort+cumsum per tile. Nothing but ``n_tiles`` scalars touches the
+    driver; a different ``seed`` yields an independent permutation.
+    To materialize the reordered corpus, range-partition any payload
+    by the same key (``cluster_table`` on the shadow key) — this
+    operator deliberately returns only the (id, position) map so the
+    payload moves zero extra times when the consumer is a
+    position-ordered reader.
+    """
+    import hashlib
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pandas()
+        k = ids.astype(str).map(
+            lambda s: int(hashlib.md5(f"{seed}:{s}".encode())
+                          .hexdigest()[:15], 16))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__shufkey": pa.array(k.to_numpy(dtype="int64"), pa.int64()),
+            "__one": pa.array(np.ones(batch.num_rows, dtype="int64")),
+        })
+
+    ranked = ordered_prefix_sum(
+        ds.map_batches(key, batch_format="pyarrow"),
+        "__shufkey", "__one", n_tiles=n_tiles, out=out,
+        tie_cols=(id_col,))
+    return ranked.select_columns([id_col, out])

@@ -83,3 +83,25 @@ def test_bad_tile_width_rejected():
         interval_join(_facts([1]), _ivs([(1, 0, 1)]), value_col="v",
                       lo_col="lo", hi_col="hi", interval_cols=["iid"],
                       tile_width=0)
+
+
+def test_epoch_shuffle_dense_permutation_and_seed():
+    import ray.data as rd
+
+    from raygraph.ops.relational import epoch_shuffle
+
+    ids = list(range(40))
+    ds = rd.from_items([{"doc_id": i} for i in ids])
+    p7 = {r["doc_id"]: r["position"]
+          for r in epoch_shuffle(ds, seed=7, n_tiles=4).take_all()}
+    assert sorted(p7.values()) == ids          # dense permutation
+    # layout-invariant: different block structure, same positions
+    p7b = {r["doc_id"]: r["position"]
+           for r in epoch_shuffle(ds.repartition(7), seed=7,
+                                  n_tiles=4).take_all()}
+    assert p7 == p7b
+    # a different seed is a different permutation
+    p8 = {r["doc_id"]: r["position"]
+          for r in epoch_shuffle(ds, seed=8, n_tiles=4).take_all()}
+    assert p8 != p7
+    assert sorted(p8.values()) == ids
