@@ -6449,6 +6449,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def docs_domain_mixture(sf_dir):
+        # DoReMi-lite temperature sampling weights (alpha = 1/2): per
+        # source, weight proportional to sqrt(token count) — combiner
+        # preagg over vectorized token counting; only the domain table
+        # (small by definition) is normalized on the driver
+        return T.domain_mixture(
+            _docs_ds(sf_dir, columns=("source", "text")))
+
     def docs_epoch_shuffle(sf_dir):
         # deterministic per-epoch training-order shuffle: dense global
         # position under the seed-keyed md5 permutation — two-phase
@@ -7945,6 +7953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_expectations": orders_expectations,
         "customer_privacy_audit": customer_privacy_audit,
         "docs_epoch_shuffle": docs_epoch_shuffle,
+        "docs_domain_mixture": docs_domain_mixture,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9526,6 +9535,28 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # alpha=1/2 temperature mixture: s_e6 = floor(1e6*sqrt(tokens)),
+        # weight_bp = (1e4*s_e6) // total
+        "docs_domain_mixture": """
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS ntok
+              FROM documents
+            ),
+            g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                         sum(ntok)::BIGINT AS n_tokens
+                  FROM t GROUP BY source),
+            s AS (SELECT *, floor(1000000 * sqrt(n_tokens))::BIGINT
+                            AS s_e6
+                  FROM g),
+            tot AS (SELECT sum(s_e6)::BIGINT AS st FROM s)
+            SELECT source, n_docs, n_tokens, s_e6,
+                   (10000 * s_e6 // tot.st)::BIGINT AS weight_bp
+            FROM s, tot
         """,
         # seed-keyed md5 permutation rank (dense, 0-based)
         "docs_epoch_shuffle": """

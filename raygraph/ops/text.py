@@ -1841,3 +1841,57 @@ def bigram_cross_entropy(ds, text_col: str = "text",
         }), preserve_index=False)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def domain_mixture(ds, group_col: str = "source",
+                   text_col: str = "text"):
+    """Temperature-based domain-mixture weights (the DoReMi-lite /
+    multilingual-sampling rule, Conneau & Lample 2019 α = 1/2): each
+    domain's sampling weight ∝ (token count)^α, flattening the natural
+    distribution so small domains aren't drowned — the knob every
+    multi-source training mix needs.
+
+    Exact-integer contract: s_e6 = floor(10⁶·sqrt(n_tokens)) per
+    domain (one double sqrt of an exact int, floored — both engines
+    run the identical literal), weight_bp = (10⁴·s_e6) // Σ s_e6.
+
+    Scale shape: per-batch vectorized token counting (regex run count,
+    no explode) folded by a domain-keyed combiner preagg — the only
+    exchange is |domains| × blocks partial rows; the final weight
+    normalization touches one row per domain (the driver holds the
+    domain table, which is small BY DEFINITION of a mixture).
+    """
+    from .relational import preagg_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        n = s.str.count(_TOKEN).fillna(0).astype("int64")
+        df = pd.DataFrame({group_col: batch.column(group_col)
+                           .to_pandas(), "ntok": n})
+        g = df.groupby(group_col, as_index=False).agg(
+            n_docs=("ntok", "size"), n_tokens=("ntok", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                     [group_col],
+                     {"n_docs": "n_docs", "n_tokens": "n_tokens"})
+    df = agg.to_pandas()
+    if not len(df):
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "s_e6": pa.array([], pa.int64()),
+                         "weight_bp": pa.array([], pa.int64())})
+    nt = df["n_tokens"].to_numpy(dtype="int64")
+    s_e6 = np.floor(1_000_000 * np.sqrt(nt.astype("float64"))) \
+        .astype("int64")
+    tot = int(s_e6.sum())
+    return pa.table({
+        group_col: pa.array(df[group_col].astype(str)),
+        "n_docs": pa.array(df["n_docs"].to_numpy(dtype="int64")),
+        "n_tokens": pa.array(nt),
+        "s_e6": pa.array(s_e6),
+        "weight_bp": pa.array((10_000 * s_e6) // tot, pa.int64()),
+    })

@@ -569,3 +569,27 @@ def test_bigram_cross_entropy_known_lm():
         0: (4, (2 * t_ab + t_ba + t_bc) // 4),
         1: (1, t_ab),
     }
+
+
+def test_domain_mixture_flattens_distribution():
+    import math
+
+    import ray.data as rd
+
+    from raygraph.ops.text import domain_mixture
+
+    ds = rd.from_items(
+        [{"source": "big", "text": "w " * 99 + "w"}] * 16    # 1600 tok
+        + [{"source": "small", "text": "a b c d"}] * 4)      # 16 tok
+    t = domain_mixture(ds)
+    rows = {r["source"]: r for r in t.to_pylist()}
+    assert rows["big"]["n_tokens"] == 1600
+    assert rows["small"]["n_tokens"] == 16
+    s_big = math.floor(1_000_000 * math.sqrt(1600))
+    s_small = math.floor(1_000_000 * math.sqrt(16))
+    tot = s_big + s_small
+    assert rows["big"]["weight_bp"] == (10_000 * s_big) // tot
+    assert rows["small"]["weight_bp"] == (10_000 * s_small) // tot
+    # alpha=1/2 flattening: sqrt weighting gives small MORE than its
+    # natural token share (1%) — here 1/11 of the mix
+    assert rows["small"]["weight_bp"] > 100
