@@ -6449,6 +6449,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def docs_gopher_rules(sf_dir):
+        # Gopher-style quality rule audit: per-doc fail flags for the
+        # 5 list-free rules + pass_all — one vectorized map pass (two
+        # per-batch explodes), no exchange, floor-at-4dp ratios
+        return T.gopher_rules(_docs_ds(sf_dir))
+
     def docs_domain_mixture(sf_dir):
         # DoReMi-lite temperature sampling weights (alpha = 1/2): per
         # source, weight proportional to sqrt(token count) — combiner
@@ -7954,6 +7960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_privacy_audit": customer_privacy_audit,
         "docs_epoch_shuffle": docs_epoch_shuffle,
         "docs_domain_mixture": docs_domain_mixture,
+        "docs_gopher_rules": docs_gopher_rules,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9535,6 +9542,61 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # Gopher rule flags: token bound, mean word length, alpha-word
+        # share, stopword floor, bullet-line share (4dp floors)
+        "docs_gopher_rules": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                              lower(trim(text)), '\\s+') END AS toks,
+                     length(regexp_replace(text, '\\s', '', 'g'))
+                         AS wchars,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, len(toks)::BIGINT AS ntok,
+                     wchars::BIGINT AS wchars,
+                     len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-z]')))::BIGINT
+                         AS nalpha,
+                     len(list_filter(toks,
+                         x -> x IN ('the','be','to','of','and','that',
+                                    'have','with')))::BIGINT AS nstop,
+                     len(lines)::BIGINT AS nlines,
+                     len(list_filter(lines,
+                         l -> regexp_matches(ltrim(l), '^[-*]')))
+                         ::BIGINT AS nbullet
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN ntok < 50 OR ntok > 100000
+                          THEN 1 ELSE 0 END::BIGINT AS fail_tok,
+                     CASE WHEN ntok = 0 OR
+                          floor(10000.0 * wchars
+                                / greatest(ntok, 1)) < 30000 OR
+                          floor(10000.0 * wchars
+                                / greatest(ntok, 1)) > 100000
+                          THEN 1 ELSE 0 END::BIGINT AS fail_wlen,
+                     CASE WHEN ntok = 0 OR
+                          floor(10000.0 * nalpha
+                                / greatest(ntok, 1)) < 8000
+                          THEN 1 ELSE 0 END::BIGINT AS fail_alpha,
+                     CASE WHEN nstop < 2 THEN 1 ELSE 0 END::BIGINT
+                         AS fail_stop,
+                     CASE WHEN floor(10000.0 * nbullet
+                                     / greatest(nlines, 1)) > 9000
+                          THEN 1 ELSE 0 END::BIGINT AS fail_bullet
+              FROM f
+            )
+            SELECT *,
+                   CASE WHEN fail_tok + fail_wlen + fail_alpha
+                             + fail_stop + fail_bullet = 0
+                        THEN 1 ELSE 0 END::BIGINT AS pass_all
+            FROM r
         """,
         # alpha=1/2 temperature mixture: s_e6 = floor(1e6*sqrt(tokens)),
         # weight_bp = (1e4*s_e6) // total

@@ -1895,3 +1895,87 @@ def domain_mixture(ds, group_col: str = "source",
         "s_e6": pa.array(s_e6),
         "weight_bp": pa.array((10_000 * s_e6) // tot, pa.int64()),
     })
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style quality rule audit (Rae et al. 2021 §A1.1 subset,
+    restricted to rules computable without external word lists): per
+    document, integer fail flags for
+
+    * fail_tok    — token count outside [50, 100 000]
+    * fail_wlen   — mean word length outside [3, 10] (4dp floor)
+    * fail_alpha  — < 80 % of words contain a letter (4dp floor)
+    * fail_stop   — fewer than 2 of the 8 canonical stop words
+    * fail_bullet — > 90 % of lines start with a bullet (- or *)
+
+    plus ``pass_all``. Filters compose downstream (``keep`` on
+    pass_all); emitting flags instead of dropping rows keeps the audit
+    a pure map so the funnel stays observable.
+
+    Everything is ONE vectorized map_batches pass — two per-batch
+    explodes (tokens, lines) with groupby-sum folds, no per-row Python
+    loop, no exchange at all (embarrassingly parallel). Ratios use the
+    floor-at-4dp contract so the SQL oracle reproduces them bit-exactly.
+    """
+
+    def flags(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas().astype("int64")
+        lt = s.str.strip().str.lower()
+        toks = lt.str.findall(_TOKEN)
+        ntok = toks.map(len).astype("int64").to_numpy()
+        wchars = s.str.replace(r"\s", "", regex=True).str.len() \
+            .fillna(0).astype("int64").to_numpy()
+
+        ex = pd.DataFrame({"i": np.repeat(np.arange(len(s)), ntok),
+                           "w": toks.explode().dropna().to_numpy()})
+        nalpha = np.zeros(len(s), dtype="int64")
+        nstop = np.zeros(len(s), dtype="int64")
+        if len(ex):
+            ex["a"] = ex["w"].str.contains("[a-z]", regex=True) \
+                .astype("int64")
+            ex["s"] = ex["w"].isin(_GOPHER_STOPWORDS).astype("int64")
+            g = ex.groupby("i")[["a", "s"]].sum()
+            nalpha[g.index.to_numpy()] = g["a"].to_numpy()
+            nstop[g.index.to_numpy()] = g["s"].to_numpy()
+
+        lines = s.str.split("\n")
+        nlines = lines.map(len).astype("int64").to_numpy()
+        lx = pd.DataFrame({"i": np.repeat(np.arange(len(s)), nlines),
+                           "l": lines.explode().to_numpy()})
+        nbullet = np.zeros(len(s), dtype="int64")
+        if len(lx):
+            lx["b"] = lx["l"].str.lstrip().str.match(r"[-*]") \
+                .fillna(False).astype("int64")
+            b = lx.groupby("i")["b"].sum()
+            nbullet[b.index.to_numpy()] = b.to_numpy()
+
+        safe = np.maximum(ntok, 1)
+        wlen4 = np.floor(10000.0 * wchars / safe).astype("int64")
+        alpha4 = np.floor(10000.0 * nalpha / safe).astype("int64")
+        bullet4 = np.floor(10000.0 * nbullet
+                           / np.maximum(nlines, 1)).astype("int64")
+
+        fail_tok = ((ntok < 50) | (ntok > 100_000)).astype("int64")
+        fail_wlen = ((ntok == 0) | (wlen4 < 30_000)
+                     | (wlen4 > 100_000)).astype("int64")
+        fail_alpha = ((ntok == 0) | (alpha4 < 8_000)).astype("int64")
+        fail_stop = (nstop < 2).astype("int64")
+        fail_bullet = (bullet4 > 9_000).astype("int64")
+        pass_all = ((fail_tok | fail_wlen | fail_alpha | fail_stop
+                     | fail_bullet) == 0).astype("int64")
+        return pa.table({
+            id_col: pa.array(ids.to_numpy(), pa.int64()),
+            "fail_tok": pa.array(fail_tok),
+            "fail_wlen": pa.array(fail_wlen),
+            "fail_alpha": pa.array(fail_alpha),
+            "fail_stop": pa.array(fail_stop),
+            "fail_bullet": pa.array(fail_bullet),
+            "pass_all": pa.array(pass_all),
+        })
+
+    return ds.map_batches(flags, batch_format="pyarrow")

@@ -593,3 +593,34 @@ def test_domain_mixture_flattens_distribution():
     # alpha=1/2 flattening: sqrt weighting gives small MORE than its
     # natural token share (1%) — here 1/11 of the mix
     assert rows["small"]["weight_bp"] > 100
+
+
+def test_gopher_rules_each_rule_fires():
+    import ray.data as rd
+
+    from raygraph.ops.text import gopher_rules
+
+    good = "the quick brown fox and that dog have fun with logs " * 5
+    docs = [
+        {"doc_id": 0, "text": good},                       # passes all
+        {"doc_id": 1, "text": "the of and that"},          # too short
+        {"doc_id": 2, "text": ("aaaaaaaaaaaaaaaa " * 60)   # wlen > 10
+                              + "the of"},
+        {"doc_id": 3, "text": ("1 2 3 4 5 6 7 8 9 0 " * 6) # alpha < .8
+                              + "the of and that have with be to "
+                              + "of the and that"},
+        {"doc_id": 4, "text": "word " * 60},               # no stopwords
+        {"doc_id": 5, "text": "\n".join(                   # all bullets
+            f"- the of and item {i}" for i in range(12))},
+        {"doc_id": 6, "text": ""},                         # empty
+    ]
+    rows = {r["doc_id"]: r for r in
+            gopher_rules(rd.from_items(docs)).take_all()}
+    assert rows[0]["pass_all"] == 1
+    assert rows[1]["fail_tok"] == 1
+    assert rows[2]["fail_wlen"] == 1 and rows[2]["fail_tok"] == 0
+    assert rows[3]["fail_alpha"] == 1 and rows[3]["fail_stop"] == 0
+    assert rows[4]["fail_stop"] == 1 and rows[4]["fail_alpha"] == 0
+    assert rows[5]["fail_bullet"] == 1
+    assert rows[6]["fail_tok"] == 1 and rows[6]["fail_wlen"] == 1 \
+        and rows[6]["fail_alpha"] == 1 and rows[6]["pass_all"] == 0
