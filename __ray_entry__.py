@@ -718,6 +718,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return katz_centrality(ed, iters=3, beta_den=5)
 
+    def kg_rwr(sf_dir):
+        # random walk with restart from the seed SET (alpha=1/5,
+        # 3 rounds, 4 top-out-degree seeds): seed-relative
+        # relevance over the built graph — one edge-sized shuffle join
+        # per round, out-degrees joined onto arcs once before the loop
+        from raygraph.ops.graph import personalized_pagerank
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return personalized_pagerank(ed, n_seeds=4, iters=3,
+                                     alpha_den=5)
+
     def kg_wl(sf_dir):
         # Weisfeiler–Lehman color refinement (2 rounds): structural-
         # role fingerprinting of the built graph — md5-bridged
@@ -7798,6 +7810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rpq": kg_rpq,
         "kg_ego": kg_ego,
         "kg_ppr": kg_ppr,
+        "kg_rwr": kg_rwr,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -8776,6 +8789,36 @@ def _katz_sql(edges_sql: str, iters: int, beta_den: int) -> str:
     return "".join(parts)
 
 
+def _ppr_sql(edges_sql: str, n_seeds: int, iters: int,
+             alpha_den: int) -> str:
+    """Machine-unrolled integer personalized PageRank mirroring
+    raygraph.ops.graph.personalized_pagerank term for term: restart
+    r = 10^6 // n_seeds on the top-out-degree seeds, per round per-arc
+    spread x(u) // d(u), x' = r + S·(alpha_den−1) // alpha_den."""
+    r_expr = (f"CASE WHEN EXISTS(SELECT 1 FROM seeds WHERE s = vv.x) "
+              f"THEN {10**6 // n_seeds} ELSE 0 END::BIGINT")
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", dg AS (SELECT u, count(*)::BIGINT AS d FROM pr GROUP BY u)",
+        ", vv AS (SELECT u AS x FROM pr UNION SELECT v FROM pr)",
+        f", seeds AS (SELECT u AS s FROM dg ORDER BY d DESC, u "
+        f"LIMIT {n_seeds})",
+        f", rr AS MATERIALIZED (SELECT vv.x, {r_expr} AS r FROM vv)",
+        ", p0 AS (SELECT x, r AS k FROM rr)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", p{i + 1} AS MATERIALIZED (SELECT rr.x, rr.r + "
+            f"coalesce(s.s, 0) * {alpha_den - 1} // {alpha_den} AS k "
+            f"FROM rr LEFT JOIN "
+            f"(SELECT p.v AS x, sum(k.k // dg.d)::BIGINT AS s "
+            f"FROM pr p JOIN p{i} k ON p.u = k.x "
+            f"JOIN dg ON dg.u = p.u GROUP BY p.v) s ON rr.x = s.x)")
+    parts.append(f" SELECT x AS vertex, k AS ppr_e6 FROM p{iters}")
+    return "".join(parts)
+
+
 def _cascade_sql(edges_sql: str, n_seeds: int, p_pct: int,
                  rounds: int) -> str:
     """Machine-unrolled independent cascade mirroring
@@ -9203,6 +9246,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_katz": _katz_sql(kg_edges_sql, iters=3, beta_den=5),
+        "kg_rwr": _ppr_sql(kg_edges_sql, n_seeds=4, iters=3,
+                           alpha_den=5),
         "kg_wl": _wl_sql(kg_edges_sql, iters=2),
         "kg_msf": _msf_sql(kg_edges_sql, iters=2, inner=3),
         "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),

@@ -3175,3 +3175,128 @@ def cascade_spread(edges, n_seeds: int = 3, p_pct: int = 40,
         active = _repaired(active.union(frontier), act_schema)
 
     return active
+
+
+def personalized_pagerank(edges, n_seeds: int = 4, iters: int = 3,
+                          alpha_den: int = 5, src: str = "_from",
+                          dst: str = "_to"):
+    """Personalized PageRank (random walk with restart) from the
+    ``n_seeds`` highest-out-degree vertices (ties -> smallest id) —
+    the seed-relative relevance score entity-linking and
+    recommendation layers compute over an exported graph, vs the
+    global :func:`pagerank`.
+
+    Exact integer spec (the SQL oracle unrolls it bit-for-bit):
+
+    * restart vector ``r(v) = 10^6 // n_seeds`` on seeds, else 0
+    * ``x0 = r``
+    * per iteration: per-arc spread ``x(u) // deg_out(u)`` (BIGINT
+      floor), ``S(v) = Σ spread``, then
+      ``x'(v) = r(v) + S(v)·(alpha_den−1) // alpha_den``
+      (restart probability α = 1/alpha_den).
+
+    Exchange shape per round: ONE edge-sized shuffle join (arcs pick
+    up their source's score; out-degrees are joined onto the arc
+    table ONCE before the loop) + a dst-keyed combiner preagg + a
+    vertex-sized union realign — identical to :func:`katz_centrality`
+    plus the degree normalization. Driver state is the n_seeds id
+    list; scores stay a Dataset end to end.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_partitions, preagg_sum, shuffle_join
+
+    import ray.data as rd
+
+    E6 = 10**6
+    out_schema = pa.schema([("vertex", pa.string()),
+                            ("ppr_e6", pa.int64())])
+    pairs = distinct_pairs(edges, src, dst)
+    if pairs.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    nparts = _join_partitions(pairs.count())
+
+    deg = _repaired(
+        preagg_sum(pairs.select_columns([src]), [src], {}, counts="d"),
+        pa.schema([(src, pa.string()), ("d", pa.int64())]))
+    top = deg.sort(["d", src], descending=[True, False]).take(n_seeds)
+    seeds = {r[src] for r in top}
+    r_seed = E6 // n_seeds
+
+    arcs = _repaired(
+        shuffle_join(pairs, deg.rename_columns({src: "__du"}),
+                     on=src, right_on="__du", num_partitions=nparts),
+        pa.schema([(src, pa.string()), (dst, pa.string()),
+                   ("d", pa.int64())]))
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": pa.concat_arrays([
+            batch.column(src).combine_chunks().cast(pa.string()),
+            batch.column(dst).combine_chunks().cast(pa.string()),
+        ])})
+
+    from .relational import hash_aggregate
+
+    vs = _repaired(
+        hash_aggregate(
+            pairs.map_batches(endpoints, batch_format="pyarrow")
+            .map_batches(lambda b: pa.Table.from_pandas(
+                b.to_pandas().drop_duplicates(), preserve_index=False),
+                batch_format="pyarrow"),
+            ["vertex"], lambda df: df.drop_duplicates()),
+        pa.schema([("vertex", pa.string())]))
+
+    def restart(batch: pa.Table) -> pa.Table:
+        v = batch.column("vertex").to_pandas()
+        return pa.table({
+            "vertex": batch.column("vertex"),
+            "ppr_e6": pa.array(
+                np.where(v.isin(list(seeds)), r_seed, 0)
+                .astype("int64")),
+        })
+
+    ranks = _repaired(vs.map_batches(restart, batch_format="pyarrow"),
+                      out_schema)
+
+    for _ in range(iters):
+        j = _repaired(
+            shuffle_join(arcs, ranks, on=src, right_on="vertex",
+                         num_partitions=nparts),
+            pa.schema([(src, pa.string()), (dst, pa.string()),
+                       ("d", pa.int64()), ("ppr_e6", pa.int64())]))
+
+        def edge_msgs(batch: pa.Table) -> pa.Table:
+            x = batch.column("ppr_e6").to_numpy(zero_copy_only=False)
+            d = batch.column("d").to_numpy(zero_copy_only=False)
+            return pa.table({"__v": batch.column(dst),
+                             "s": pa.array(x // d, pa.int64())})
+
+        def zero_msgs(batch: pa.Table) -> pa.Table:
+            return pa.table({"__v": batch.column("vertex"),
+                             "s": pa.array([0] * batch.num_rows,
+                                           pa.int64())})
+
+        def msg_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("__v", as_index=False)["s"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        merged = _repaired(
+            j.map_batches(edge_msgs, batch_format="pyarrow")
+            .union(vs.map_batches(zero_msgs, batch_format="pyarrow"))
+            .map_batches(msg_partial, batch_format="pyarrow")
+            .groupby("__v").aggregate(Sum("s", alias_name="s")),
+            pa.schema([("__v", pa.string()), ("s", pa.int64())]))
+
+        def apply_x(batch: pa.Table) -> pa.Table:
+            v = batch.column("__v").to_pandas()
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            x = np.where(v.isin(list(seeds)), r_seed, 0).astype("int64") \
+                + (s * (alpha_den - 1)) // alpha_den
+            return pa.table({"vertex": batch.column("__v"),
+                             "ppr_e6": pa.array(x, pa.int64())})
+
+        ranks = _repaired(
+            merged.map_batches(apply_x, batch_format="pyarrow"),
+            out_schema)
+    return ranks

@@ -1467,3 +1467,35 @@ def test_vertex_cover_covers_every_edge(ray_session):
     cover = set(m["u"]) | set(m["v"])
     und = {tuple(sorted(p)) for p in PAIRS if p[0] != p[1]}
     assert all(u in cover or v in cover for u, v in und)
+
+
+def test_personalized_pagerank_hand_computed():
+    import ray.data as rd
+
+    from raygraph.ops.graph import personalized_pagerank
+
+    ed = rd.from_items([
+        {"_from": "a", "_to": "b"},
+        {"_from": "a", "_to": "c"},
+        {"_from": "b", "_to": "c"},
+    ])
+    got = {r["vertex"]: r["ppr_e6"]
+           for r in personalized_pagerank(ed, n_seeds=1, iters=2,
+                                          alpha_den=5).take_all()}
+    # seed = a (out-degree 2); r(a)=1e6
+    # it1: S(b)=S(c)=500000 -> b=c=400000
+    # it2: S(b)=500000, S(c)=500000+400000 -> b=400000, c=720000
+    assert got == {"a": 1_000_000, "b": 400_000, "c": 720_000}
+
+
+def test_personalized_pagerank_empty_graph():
+    import ray.data as rd
+
+    import pyarrow as _pa
+
+    from raygraph.ops.graph import personalized_pagerank
+
+    ed = rd.from_arrow(_pa.table({"_from": _pa.array([], _pa.string()),
+                                  "_to": _pa.array([], _pa.string())}))
+    out = personalized_pagerank(ed)
+    assert out.count() == 0
