@@ -6461,6 +6461,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def docs_c4_line_stats(sf_dir):
+        # C4-style hygiene audit: per-doc line-filter survivors,
+        # sentence count, brace/lorem boilerplate tells, pass flag —
+        # one vectorized map pass, no exchange
+        return T.c4_line_stats(_docs_ds(sf_dir))
+
     def docs_gopher_rules(sf_dir):
         # Gopher-style quality rule audit: per-doc fail flags for the
         # 5 list-free rules + pass_all — one vectorized map pass (two
@@ -7974,6 +7980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_shuffle": docs_epoch_shuffle,
         "docs_domain_mixture": docs_domain_mixture,
         "docs_gopher_rules": docs_gopher_rules,
+        "docs_c4_line_stats": docs_c4_line_stats,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9587,6 +9594,35 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # C4 hygiene flags: terminal-punct line filter, sentence
+        # floor, brace/lorem boilerplate tells
+        "docs_c4_line_stats": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(rtrim(l), '[.!?"]$')))
+                       ::BIGINT AS n_kept,
+                   len(regexp_extract_all(text, '[.!?]+'))::BIGINT
+                       AS n_sentences,
+                   CASE WHEN contains(text, '{') THEN 1 ELSE 0 END
+                       ::BIGINT AS fail_brace,
+                   CASE WHEN contains(lower(text), 'lorem ipsum')
+                        THEN 1 ELSE 0 END::BIGINT AS fail_lorem,
+                   CASE WHEN len(regexp_extract_all(text, '[.!?]+'))
+                             >= 3
+                        AND len(list_filter(lines,
+                            l -> regexp_matches(rtrim(l), '[.!?"]$')))
+                             >= 1
+                        AND NOT contains(text, '{')
+                        AND NOT contains(lower(text), 'lorem ipsum')
+                        THEN 1 ELSE 0 END::BIGINT AS pass_all
+            FROM d
         """,
         # Gopher rule flags: token bound, mean word length, alpha-word
         # share, stopword floor, bullet-line share (4dp floors)

@@ -1979,3 +1979,54 @@ def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def c4_line_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4-style line/document hygiene audit (Raffel et al. 2020 §2.2
+    subset computable without an external blocklist): per document,
+
+    * ``n_lines`` / ``n_kept`` — lines whose right-trimmed text ends
+      in terminal punctuation (. ! ? ") survive the line filter
+    * ``n_sentences`` — terminal-punctuation runs in the whole doc
+    * ``fail_brace`` — contains ``{`` (code/markup tell)
+    * ``fail_lorem`` — contains "lorem ipsum" (boilerplate tell)
+    * ``pass_all`` — >= 3 sentences, >= 1 kept line, no brace/lorem
+
+    One vectorized map pass (line explode + groupby-sum, regex run
+    counts), no exchange; flags instead of drops keep the funnel
+    observable, mirroring :func:`gopher_rules`.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_pandas().astype("int64")
+        lines = s.str.split("\n")
+        nlines = lines.map(len).astype("int64").to_numpy()
+        lx = pd.DataFrame({"i": np.repeat(np.arange(len(s)), nlines),
+                           "l": lines.explode().to_numpy()})
+        nkept = np.zeros(len(s), dtype="int64")
+        if len(lx):
+            lx["k"] = lx["l"].str.rstrip() \
+                .str.contains(r'[.!?"]$', regex=True) \
+                .fillna(False).astype("int64")
+            k = lx.groupby("i")["k"].sum()
+            nkept[k.index.to_numpy()] = k.to_numpy()
+        nsent = s.str.count(r"[.!?]+").fillna(0).astype("int64") \
+            .to_numpy()
+        brace = s.str.contains("{", regex=False).astype("int64") \
+            .to_numpy()
+        lorem = s.str.lower().str.contains("lorem ipsum", regex=False) \
+            .astype("int64").to_numpy()
+        pass_all = ((nsent >= 3) & (nkept >= 1) & (brace == 0)
+                    & (lorem == 0)).astype("int64")
+        return pa.table({
+            id_col: pa.array(ids.to_numpy(), pa.int64()),
+            "n_lines": pa.array(nlines),
+            "n_kept": pa.array(nkept),
+            "n_sentences": pa.array(nsent),
+            "fail_brace": pa.array(brace),
+            "fail_lorem": pa.array(lorem),
+            "pass_all": pa.array(pass_all),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -624,3 +624,25 @@ def test_gopher_rules_each_rule_fires():
     assert rows[5]["fail_bullet"] == 1
     assert rows[6]["fail_tok"] == 1 and rows[6]["fail_wlen"] == 1 \
         and rows[6]["fail_alpha"] == 1 and rows[6]["pass_all"] == 0
+
+
+def test_c4_line_stats_rules():
+    import ray.data as rd
+
+    from raygraph.ops.text import c4_line_stats
+
+    docs = [
+        {"doc_id": 0, "text": "One. Two! Three?\nKept line.\nno punct"},
+        {"doc_id": 1, "text": "Short. Only two sentences."},
+        {"doc_id": 2, "text": "Has brace {x}. More. And more. End."},
+        {"doc_id": 3, "text": "Lorem Ipsum dolor. Sit. Amet. Yes."},
+        {"doc_id": 4, "text": 'Quote line ends "\nA. B. C.'},
+    ]
+    rows = {r["doc_id"]: r for r in
+            c4_line_stats(rd.from_items(docs)).take_all()}
+    assert rows[0]["n_lines"] == 3 and rows[0]["n_kept"] == 2
+    assert rows[0]["n_sentences"] == 4 and rows[0]["pass_all"] == 1
+    assert rows[1]["n_sentences"] == 2 and rows[1]["pass_all"] == 0
+    assert rows[2]["fail_brace"] == 1 and rows[2]["pass_all"] == 0
+    assert rows[3]["fail_lorem"] == 1 and rows[3]["pass_all"] == 0
+    assert rows[4]["n_kept"] == 2 and rows[4]["pass_all"] == 1
