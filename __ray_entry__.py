@@ -6461,6 +6461,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def orders_abc_classes(sf_dir):
+        # ABC / Pareto revenue concentration: per-customer revenue via
+        # combiner preagg, then the descending global running share by
+        # the two-phase ordered-prefix-sum scan — A while cum <= 80%,
+        # B to 95%, C rest; exact 1e4*cum <= bp*total integer compares
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import abc_classes
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "o_custkey": batch.column("o_custkey"),
+                "rev_c": pa.array(np.round(p * 100).astype("int64")),
+            })
+
+        rev = _repaired(
+            preagg_sum(orders.map_batches(cents,
+                                          batch_format="pyarrow"),
+                       ["o_custkey"], {"rev_c": "rev_c"}),
+            pa.schema([("o_custkey", pa.int64()),
+                       ("rev_c", pa.int64())]))
+        return abc_classes(rev, "o_custkey", "rev_c")
+
     def docs_c4_line_stats(sf_dir):
         # C4-style hygiene audit: per-doc line-filter survivors,
         # sentence count, brace/lorem boilerplate tells, pass flag —
@@ -7981,6 +8009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_mixture": docs_domain_mixture,
         "docs_gopher_rules": docs_gopher_rules,
         "docs_c4_line_stats": docs_c4_line_stats,
+        "orders_abc_classes": orders_abc_classes,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9594,6 +9623,28 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # Pareto classes on exact cents: inclusive running share vs
+        # 80%/95% via integer cross-multiplication
+        "orders_abc_classes": """
+            WITH r AS (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       ::BIGINT AS rev_c
+              FROM orders GROUP BY o_custkey
+            ),
+            c AS (
+              SELECT o_custkey, rev_c,
+                     sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey)
+                       ::BIGINT AS cum,
+                     (SELECT sum(rev_c) FROM r)::BIGINT AS tot
+              FROM r
+            )
+            SELECT o_custkey, rev_c,
+                   CASE WHEN 10000 * cum <= 8000 * tot THEN 'A'
+                        WHEN 10000 * cum <= 9500 * tot THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM c
         """,
         # C4 hygiene flags: terminal-punct line filter, sentence
         # floor, brace/lorem boilerplate tells

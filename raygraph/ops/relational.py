@@ -1823,3 +1823,51 @@ def epoch_shuffle(ds, seed: int, id_col: str = "doc_id",
         "__shufkey", "__one", n_tiles=n_tiles, out=out,
         tie_cols=(id_col,))
     return ranked.select_columns([id_col, out])
+
+
+def abc_classes(ds, key_col: str, value_col: str, a_bp: int = 8000,
+                b_bp: int = 9500, n_tiles: int = 32):
+    """ABC / Pareto classification: rank keys by ``value_col``
+    descending and label each A while the running (inclusive)
+    cumulative share is <= ``a_bp`` basis points of the total, B up to
+    ``b_bp``, else C — the inventory/revenue concentration analysis,
+    done with EXACT integer comparisons (``10^4·cum <= bp·total``
+    avoids any float share).
+
+    Input must already be one row per key (aggregate first with
+    :func:`preagg_sum`). The global descending running sum is the
+    two-phase :func:`ordered_prefix_sum` scan on the negated value
+    (ties -> smallest key), so no global sort materializes and only
+    tile totals touch the driver; the grand total is one distributed
+    Sum pass.
+    """
+    if not (0 < a_bp <= b_bp <= 10_000):
+        raise ValueError("need 0 < a_bp <= b_bp <= 10000")
+
+    def neg(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        return pa.table({key_col: batch.column(key_col),
+                         value_col: pa.array(v, pa.int64()),
+                         "__negv": pa.array(-v, pa.int64())})
+
+    tot = int(ds.sum(value_col) or 0)
+    ranked = ordered_prefix_sum(
+        ds.map_batches(neg, batch_format="pyarrow"), "__negv",
+        value_col, n_tiles=n_tiles, out="__before",
+        tie_cols=(key_col,))
+
+    def label(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cum = (df["__before"].to_numpy(dtype="int64")
+               + df[value_col].to_numpy(dtype="int64"))
+        abc = np.where(10_000 * cum <= a_bp * tot, "A",
+                       np.where(10_000 * cum <= b_bp * tot, "B", "C"))
+        return pa.table({
+            key_col: pa.Array.from_pandas(df[key_col]),
+            value_col: pa.array(df[value_col].to_numpy(dtype="int64"),
+                                pa.int64()),
+            "abc": pa.array(abc, pa.string()),
+        })
+
+    return ranked.map_batches(label, batch_format="pyarrow")

@@ -105,3 +105,28 @@ def test_epoch_shuffle_dense_permutation_and_seed():
           for r in epoch_shuffle(ds, seed=8, n_tiles=4).take_all()}
     assert p8 != p7
     assert sorted(p8.values()) == ids
+
+
+def test_abc_classes_boundaries():
+    import ray.data as rd
+
+    from raygraph.ops.relational import abc_classes
+
+    # values 50, 30, 15, 5 (total 100): inclusive shares 50/80/95/100
+    ds = rd.from_items([{"k": 1, "v": 50}, {"k": 2, "v": 30},
+                        {"k": 3, "v": 15}, {"k": 4, "v": 5}])
+    got = {r["k"]: r["abc"]
+           for r in abc_classes(ds, "k", "v", n_tiles=2).take_all()}
+    # 80% boundary is INCLUSIVE for A, 95% inclusive for B
+    assert got == {1: "A", 2: "A", 3: "B", 4: "C"}
+
+
+def test_abc_classes_rejects_bad_bp():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raygraph.ops.relational import abc_classes
+
+    ds = rd.from_items([{"k": 1, "v": 1}])
+    with _pytest.raises(ValueError):
+        abc_classes(ds, "k", "v", a_bp=9600, b_bp=9500)
