@@ -6461,6 +6461,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def events_mad_outliers(sf_dir):
+        # robust outlier audit (median absolute deviation): per event
+        # type, exact-integer median and MAD via the value-count
+        # quantile exchange, outlier = 1e4*|v-med| > 3*14826*mad (the
+        # 1.4826 consistency constant as an integer cross-multiply);
+        # the per-type med/MAD tables broadcast once, never a shuffle
+        # of the raw stream
+        from raygraph.ops.relational import (broadcast_join,
+                                             grouped_quantiles)
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value"])
+
+        def e4(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": batch.column("event_type"),
+                "v": pa.array(np.round(v * 10_000).astype("int64")),
+            })
+
+        vds = ev.map_batches(e4, batch_format="pyarrow").materialize()
+        med = grouped_quantiles(vds, ["event_type"], "v",
+                                qs=[0.5]).to_pandas() \
+            .rename(columns={"p50": "med"})
+
+        def dev(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["dev"] = (df["v"] - df["med"]).abs().astype("int64")
+            return pa.Table.from_pandas(
+                df[["event_type", "dev"]], preserve_index=False)
+
+        dds = broadcast_join(vds, med, on="event_type") \
+            .map_batches(dev, batch_format="pyarrow").materialize()
+        mad = grouped_quantiles(dds, ["event_type"], "dev",
+                                qs=[0.5]).to_pandas() \
+            .rename(columns={"p50": "mad"})
+
+        ref = med.merge(mad, on="event_type")
+
+        def flag(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = (10_000 * (df["v"] - df["med"]).abs()
+                   > 3 * 14_826 * df["mad"]).astype("int64")
+            g = pd.DataFrame({"event_type": df["event_type"],
+                              "o": out}) \
+                .groupby("event_type", as_index=False) \
+                .agg(n=("o", "size"), n_outliers=("o", "sum"))
+            g["n"] = g["n"].astype("int64")
+            g["n_outliers"] = g["n_outliers"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = preagg_sum(
+            broadcast_join(vds, ref, on="event_type")
+            .map_batches(flag, batch_format="pyarrow"),
+            ["event_type"], {"n": "n", "n_outliers": "n_outliers"}) \
+            .to_pandas().merge(ref, on="event_type")
+        return pa.table({
+            "event_type": pa.array(agg["event_type"].astype(str)),
+            "n": pa.array(agg["n"].to_numpy(dtype="int64")),
+            "med_e4": pa.array(agg["med"].to_numpy(dtype="int64")),
+            "mad_e4": pa.array(agg["mad"].to_numpy(dtype="int64")),
+            "n_outliers": pa.array(
+                agg["n_outliers"].to_numpy(dtype="int64")),
+        })
+
     def orders_abc_classes(sf_dir):
         # ABC / Pareto revenue concentration: per-customer revenue via
         # combiner preagg, then the descending global running share by
@@ -8010,6 +8075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_rules": docs_gopher_rules,
         "docs_c4_line_stats": docs_c4_line_stats,
         "orders_abc_classes": orders_abc_classes,
+        "events_mad_outliers": events_mad_outliers,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9623,6 +9689,31 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # robust MAD outliers: quantile_disc median/MAD on e4 ints,
+        # integer cross-multiplied 3*1.4826 threshold
+        "events_mad_outliers": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 10000, 0) AS BIGINT) AS v
+              FROM events
+            ),
+            m AS (SELECT event_type,
+                         quantile_disc(v, 0.5)::BIGINT AS med
+                  FROM v GROUP BY event_type),
+            d AS (SELECT v.event_type, v.v, m.med,
+                         abs(v.v - m.med)::BIGINT AS dev
+                  FROM v JOIN m USING (event_type)),
+            md AS (SELECT event_type,
+                          quantile_disc(dev, 0.5)::BIGINT AS mad
+                   FROM d GROUP BY event_type)
+            SELECT d.event_type, count(*)::BIGINT AS n,
+                   min(d.med)::BIGINT AS med_e4,
+                   min(md.mad)::BIGINT AS mad_e4,
+                   sum(CASE WHEN 10000 * d.dev > 3 * 14826 * md.mad
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM d JOIN md USING (event_type)
+            GROUP BY d.event_type
         """,
         # Pareto classes on exact cents: inclusive running share vs
         # 80%/95% via integer cross-multiplication
