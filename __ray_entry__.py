@@ -6461,6 +6461,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def docs_lang_source_mi(sf_dir):
+        # mutual information between the lang and source columns (how
+        # much one metadata facet predicts the other): joint counts
+        # via ONE combiner preagg (|langs|x|sources| cells), marginals
+        # folded from the cell table, per-cell e6-floored ln terms
+        # summed as exact integers — reduction-order free
+        from raygraph.ops.graph import _repaired
+
+        docs = _docs_ds(sf_dir, columns=("lang", "source"))
+        cells = _repaired(
+            preagg_sum(docs, ["lang", "source"], {}, counts="n"),
+            pa.schema([("lang", pa.string()), ("source", pa.string()),
+                       ("n", pa.int64())])).to_pandas()
+        # cell table is |langs|x|sources| — driver fold is bounded
+        nl = cells.groupby("lang")["n"].sum()
+        ns = cells.groupby("source")["n"].sum()
+        big_n = int(cells["n"].sum())
+        num = (cells["n"].to_numpy(dtype="int64")
+               * big_n).astype("float64")
+        den = (nl[cells["lang"]].to_numpy()
+               * ns[cells["source"]].to_numpy()).astype("float64")
+        t = np.floor(1_000_000 * cells["n"].to_numpy(dtype="int64")
+                     * np.log(num / den)).astype("int64")
+        return pa.table({
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "n_docs": pa.array([big_n], pa.int64()),
+            "mi_sum_e6": pa.array([int(t.sum())], pa.int64()),
+        })
+
+    def orders_dow_chi2(sf_dir):
+        # day-of-week uniformity chi-squared: per-dow counts via one
+        # combiner preagg (7 rows), then EXACT Python-int fold of
+        # sum((7*n_d - N)^2 // (7*N)) terms e6-scaled — no float
+        # precision cliff at any scale (ints are unbounded on the
+        # driver, HUGEINT in the oracle)
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate"])
+
+        def dow(batch: pa.Table) -> pa.Table:
+            us = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            d = ((us // 86_400_000_000) + 4) % 7  # 1970-01-01 = Thu
+            return pa.table({"dow": pa.array(d.astype("int64"))})
+
+        counts = preagg_sum(
+            orders.map_batches(dow, batch_format="pyarrow"),
+            ["dow"], {}, counts="n").to_pandas()
+        big_n = int(counts["n"].sum())
+        chi = sum((1_000_000 * (7 * int(n) - big_n) ** 2)
+                  // (7 * big_n)
+                  for n in counts["n"])
+        out = counts.sort_values("dow")
+        return pa.table({
+            "dow": pa.array(out["dow"].to_numpy(dtype="int64")),
+            "n": pa.array(out["n"].to_numpy(dtype="int64")),
+            "chi2_sum_e6": pa.array([chi] * len(out), pa.int64()),
+        })
+
     def events_mad_outliers(sf_dir):
         # robust outlier audit (median absolute deviation): per event
         # type, exact-integer median and MAD via the value-count
@@ -8076,6 +8135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_line_stats": docs_c4_line_stats,
         "orders_abc_classes": orders_abc_classes,
         "events_mad_outliers": events_mad_outliers,
+        "docs_lang_source_mi": docs_lang_source_mi,
+        "orders_dow_chi2": orders_dow_chi2,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -9689,6 +9750,44 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # MI between lang and source: per-cell e6 ln terms, exact sum
+        "docs_lang_source_mi": """
+            WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY lang, source),
+            l AS (SELECT lang, sum(n)::BIGINT AS nl FROM c
+                  GROUP BY lang),
+            s AS (SELECT source, sum(n)::BIGINT AS ns FROM c
+                  GROUP BY source),
+            tot AS (SELECT sum(n)::BIGINT AS nd FROM c),
+            t AS (SELECT c.n,
+                         floor((1000000 * c.n)
+                               * ln((c.n::HUGEINT * tot.nd)::DOUBLE
+                                    / (l.nl::HUGEINT * s.ns)::DOUBLE))
+                             ::BIGINT AS t
+                  FROM c JOIN l USING (lang)
+                  JOIN s USING (source)
+                  CROSS JOIN tot)
+            SELECT count(*)::BIGINT AS n_cells,
+                   (SELECT nd FROM tot) AS n_docs,
+                   sum(t)::BIGINT AS mi_sum_e6
+            FROM t
+        """,
+        # dow uniformity chi2: exact HUGEINT terms, same epoch-day
+        # formula as the Ray side
+        "orders_dow_chi2": """
+            WITH c AS (
+              SELECT (((epoch_us(o_orderdate) // 86400000000) + 4)
+                      % 7)::BIGINT AS dow,
+                     count(*)::BIGINT AS n
+              FROM orders GROUP BY 1
+            ),
+            tot AS (SELECT sum(n)::BIGINT AS nn FROM c),
+            chi AS (SELECT sum((1000000::HUGEINT * (7*n - tot.nn)
+                                * (7*n - tot.nn)) // (7 * tot.nn))
+                           ::BIGINT AS chi2
+                    FROM c, tot)
+            SELECT c.dow, c.n, chi.chi2 AS chi2_sum_e6 FROM c, chi
         """,
         # robust MAD outliers: quantile_disc median/MAD on e4 ints,
         # integer cross-multiplied 3*1.4826 threshold
