@@ -718,6 +718,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
         return katz_centrality(ed, iters=3, beta_den=5)
 
+    def kg_modularity(sf_dir):
+        # Newman modularity of the LPA partition: per-community
+        # intra-edge and degree-sum preaggs over the canonical
+        # undirected graph, two label-keyed joins, exact e6 floor
+        # terms — turns kg_communities into a MEASURED clustering
+        from raygraph.ops.graph import label_propagation, modularity
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        members = label_propagation(ed, iters=2, return_members=True)
+        return modularity(ed, members)
+
     def kg_rwr(sf_dir):
         # random walk with restart from the seed SET (alpha=1/5,
         # 3 rounds, 4 top-out-degree seeds): seed-relative
@@ -7969,6 +7981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ego": kg_ego,
         "kg_ppr": kg_ppr,
         "kg_rwr": kg_rwr,
+        "kg_modularity": kg_modularity,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -8513,14 +8526,10 @@ def _ecc_sql(edges_sql: str, n_seeds: int, iters: int) -> str:
     return "".join(parts)
 
 
-def _lpa_sql(edges_sql: str, iters: int) -> str:
-    """Machine-unrolled synchronous label propagation mirroring
-    raygraph.ops.graph.label_propagation term for term: undirected
-    distinct arcs + one self-loop per vertex, per round a (vertex,
-    label) vote count and an argmax resolved as min over the
-    zfill9(999999999 - count) || md5(label) || label composite (max
-    count, ties -> smallest label md5 = deterministic pseudo-random,
-    binary collation on both engines)."""
+def _lpa_parts(edges_sql: str, iters: int) -> str:
+    """Shared CTE prefix for the LPA oracles: everything up to the
+    final l{iters} (vertex, label) table — see _lpa_sql for the spec
+    it mirrors."""
     parts = [
         f"WITH edges AS ({edges_sql})",
         ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
@@ -8537,10 +8546,52 @@ def _lpa_sql(edges_sql: str, iters: int) -> str:
             f"md5(l.label) || l.label "
             f"AS k FROM arcs a JOIN l{i} l ON a.u = l.vertex "
             f"GROUP BY a.v, l.label) GROUP BY vertex)")
-    parts.append(
-        f" SELECT label AS community, count(*)::BIGINT AS size "
-        f"FROM l{iters} GROUP BY label")
     return "".join(parts)
+
+
+def _lpa_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled synchronous label propagation mirroring
+    raygraph.ops.graph.label_propagation term for term: undirected
+    distinct arcs + one self-loop per vertex, per round a (vertex,
+    label) vote count and an argmax resolved as min over the
+    zfill9(999999999 - count) || md5(label) || label composite (max
+    count, ties -> smallest label md5 = deterministic pseudo-random,
+    binary collation on both engines)."""
+    return (_lpa_parts(edges_sql, iters)
+            + f" SELECT label AS community, count(*)::BIGINT AS size "
+              f"FROM l{iters} GROUP BY label")
+
+
+def _modularity_sql(edges_sql: str, iters: int) -> str:
+    """Newman modularity of the LPA partition mirroring
+    raygraph.ops.graph.modularity: canonical undirected simple edges,
+    per-community intra-edge and degree sums, HUGEINT floor terms
+    (1e6*e_c)//m - (1e6*d_c^2)//(4m^2)."""
+    return _lpa_parts(edges_sql, iters) + f"""
+        , und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                  FROM pr WHERE u <> v)
+        , mm AS (SELECT count(*)::BIGINT AS m FROM und)
+        , dg AS (SELECT x, count(*)::BIGINT AS deg FROM (
+                   SELECT a AS x FROM und
+                   UNION ALL SELECT b FROM und) GROUP BY x)
+        , comm AS (SELECT vertex, label FROM l{iters})
+        , ei AS (SELECT cu.label AS community, count(*)::BIGINT AS e_in
+                 FROM und
+                 JOIN comm cu ON cu.vertex = und.a
+                 JOIN comm cv ON cv.vertex = und.b
+                 WHERE cu.label = cv.label GROUP BY cu.label)
+        , dsm AS (SELECT c.label AS community,
+                         sum(dg.deg)::BIGINT AS d_sum
+                  FROM dg JOIN comm c ON c.vertex = dg.x
+                  GROUP BY c.label)
+        SELECT dsm.community,
+               coalesce(ei.e_in, 0)::BIGINT AS e_in,
+               dsm.d_sum,
+               ((1000000::HUGEINT * coalesce(ei.e_in, 0)) // mm.m
+                - (1000000::HUGEINT * dsm.d_sum * dsm.d_sum)
+                  // (4 * mm.m * mm.m))::BIGINT AS q_term_e6
+        FROM dsm LEFT JOIN ei USING (community) CROSS JOIN mm
+    """
 
 
 def _khop_sql(edges_sql: str, n_seeds: int, fanout: int,
@@ -9477,6 +9528,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": _closeness_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_eccentricity": _ecc_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
+        "kg_modularity": _modularity_sql(kg_edges_sql, iters=2),
         "kg_mis": _mis_sql(kg_edges_sql, iters=2),
         "kg_matching": _matching_sql(kg_edges_sql, iters=2),
         "kg_khop_sample": _khop_sql(kg_edges_sql, n_seeds=5, fanout=3,

@@ -1605,7 +1605,8 @@ def closeness_centrality(edges, n_seeds: int = 8, iters: int = 3,
 
 
 def label_propagation(edges, iters: int = 3,
-                      src: str = "_from", dst: str = "_to"):
+                      src: str = "_from", dst: str = "_to",
+                      return_members: bool = False):
     """Synchronous label-propagation community detection (LPA) over the
     undirected arc set, ``iters`` fixed rounds, returning per-community
     sizes.
@@ -1707,11 +1708,112 @@ def label_propagation(edges, iters: int = 3,
         labels = _repaired(won.map_batches(strip, batch_format="pyarrow"),
                            lbl_schema)
 
+    if return_members:
+        return labels
     out = preagg_sum(labels.select_columns(["label"]), ["label"],
                      {}, counts="size")
     return out.map_batches(
         lambda b: b.rename_columns(["community", "size"]),
         batch_format="pyarrow")
+
+
+def modularity(edges, labels, src: str = "_from", dst: str = "_to"):
+    """Newman modularity of a given vertex partition over the
+    undirected simple graph — the partition-quality score that turns
+    :func:`label_propagation` from "some communities" into a measured
+    clustering (Newman & Girvan 2004). ``labels`` is a (vertex, label)
+    Dataset, e.g. ``label_propagation(..., return_members=True)``.
+
+    Exact integer spec per community c (the SQL oracle replays it):
+    ``q_term_e6 = (10⁶·e_c) // m − (10⁶·d_c²) // (4m²)`` with e_c =
+    intra-community edges, d_c = degree sum, m = total undirected
+    edges; global Q_e6 = Σ q_term_e6 (independent floors summed as
+    ints — order-free). int64 bound: needs d_c < 3·10⁶ and m < 1.5·10⁹
+    (the e6 scale times their squares must stay under 2⁶³).
+
+    Exchange shape: the canonical undirected edge set + degrees from
+    :func:`_und_graph`, TWO label-keyed shuffle joins (one per
+    endpoint; the right side is renamed first — Ray joins reject
+    duplicate field names), community-keyed combiner preaggs for e_c
+    and d_c, one left join to align them (zero-intra communities keep
+    their degree mass). Output: one row per community
+    (community, e_in, d_sum, q_term_e6).
+    """
+    from .relational import preagg_sum, shuffle_join
+
+    import pyarrow.compute as pc
+
+    und, deg, nparts = _und_graph(edges, src, dst)
+    m = und.count()
+    out_schema = pa.schema([("community", pa.string()),
+                            ("e_in", pa.int64()),
+                            ("d_sum", pa.int64()),
+                            ("q_term_e6", pa.int64())])
+    if m == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    lu = labels.rename_columns({"vertex": "__vu", "label": "__cu"}) \
+        .materialize()
+    lv = labels.rename_columns({"vertex": "__vv", "label": "__cv"}) \
+        .materialize()
+    tagged = _repaired(
+        shuffle_join(
+            _repaired(shuffle_join(und, lu, on="u", right_on="__vu",
+                                   num_partitions=nparts),
+                      pa.schema([("u", pa.string()), ("v", pa.string()),
+                                 ("__cu", pa.string())])),
+            lv, on="v", right_on="__vv", num_partitions=nparts),
+        pa.schema([("u", pa.string()), ("v", pa.string()),
+                   ("__cu", pa.string()), ("__cv", pa.string())]))
+
+    def intra(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("__cu"),
+                                  batch.column("__cv")))
+        return pa.table({"community": t.column("__cu")})
+
+    e_in = _repaired(
+        preagg_sum(tagged.map_batches(intra, batch_format="pyarrow"),
+                   ["community"], {}, counts="e_in"),
+        pa.schema([("community", pa.string()), ("e_in", pa.int64())]))
+
+    dsum = _repaired(
+        preagg_sum(
+            _repaired(
+                shuffle_join(deg, labels.rename_columns(
+                    {"vertex": "__vd", "label": "community"})
+                    .materialize(),
+                    on="vtx", right_on="__vd",
+                    num_partitions=nparts),
+                pa.schema([("vtx", pa.string()),
+                           ("deg", pa.int64()),
+                           ("community", pa.string())]))
+            .select_columns(["community", "deg"]),
+            ["community"], {"d_sum": "deg"}),
+        pa.schema([("community", pa.string()), ("d_sum", pa.int64())]))
+
+    joined = _repaired(
+        shuffle_join(dsum, e_in.rename_columns(
+            {"community": "__ce"}).materialize(),
+            on="community", right_on="__ce", how="left_outer",
+            num_partitions=nparts),
+        pa.schema([("community", pa.string()), ("d_sum", pa.int64()),
+                   ("e_in", pa.int64())]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        e = df["e_in"].fillna(0).astype("int64").to_numpy()
+        d = df["d_sum"].to_numpy(dtype="int64")
+        q = (1_000_000 * e) // m - (1_000_000 * d * d) // (4 * m * m)
+        return pa.table({
+            "community": pa.array(df["community"].astype(str)),
+            "e_in": pa.array(e),
+            "d_sum": pa.array(d),
+            "q_term_e6": pa.array(q.astype("int64")),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def maximal_independent_set(edges, iters: int = 2,

@@ -1499,3 +1499,41 @@ def test_personalized_pagerank_empty_graph():
                                   "_to": _pa.array([], _pa.string())}))
     out = personalized_pagerank(ed)
     assert out.count() == 0
+
+
+def test_modularity_two_cliques():
+    import ray.data as rd
+
+    from raygraph.ops.graph import modularity
+
+    # two triangles joined by one bridge: strong 2-community partition
+    ed = rd.from_items([
+        {"_from": a, "_to": b} for a, b in [
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            ("c", "x"),
+        ]])
+    labels = rd.from_items(
+        [{"vertex": v, "label": "L"} for v in "abc"]
+        + [{"vertex": v, "label": "R"} for v in "xyz"])
+    rows = {r["community"]: r for r in modularity(ed, labels).take_all()}
+    # m=7; each side: e_in=3, d_sum=7 -> q = (1e6*3)//7 - (1e6*49)//196
+    q = (1_000_000 * 3) // 7 - (1_000_000 * 49) // (4 * 49)
+    assert rows["L"]["e_in"] == 3 and rows["L"]["d_sum"] == 7
+    assert rows["L"]["q_term_e6"] == q == rows["R"]["q_term_e6"]
+    # good partition: positive global modularity
+    assert sum(r["q_term_e6"] for r in rows.values()) > 0
+
+
+def test_modularity_single_community_is_zero():
+    import ray.data as rd
+
+    from raygraph.ops.graph import modularity
+
+    ed = rd.from_items([{"_from": "a", "_to": "b"},
+                        {"_from": "b", "_to": "c"}])
+    labels = rd.from_items(
+        [{"vertex": v, "label": "one"} for v in "abc"])
+    rows = modularity(ed, labels).take_all()
+    # all edges intra, d_sum = 2m: Q = 1e6 - 1e6 = 0
+    assert len(rows) == 1 and rows[0]["q_term_e6"] == 0
