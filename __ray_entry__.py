@@ -6473,6 +6473,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def docs_curate_quality(sf_dir):
+        # quality-gate curation: the gopher_filter + c4_filter stages
+        # from the declarative registry composed as one fused
+        # streaming pass (compile_spec) — survivors only. The
+        # synthetic corpus has no sentence punctuation, so an
+        # id-derived 'fin. ' tail is injected identically here and in
+        # the oracle (the established injection discipline)
+        from raygraph.curate import compile_spec
+
+        docs = _docs_ds(sf_dir, columns=("doc_id", "text", "n_chars"))
+
+        tails = np.array(["fin. " * k for k in range(5)], dtype=object)
+
+        def aug(batch: pa.Table) -> pa.Table:
+            s = batch.column("text").to_pandas().fillna("")
+            k = batch.column("doc_id").to_numpy(
+                zero_copy_only=False) % 5
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(
+                    (s + " " + pd.Series(tails[k], index=s.index))
+                    .to_numpy(), pa.string()),
+                "n_chars": batch.column("n_chars"),
+            })
+
+        _, staged = compile_spec(
+            docs.map_batches(aug, batch_format="pyarrow"),
+            [{"stage": "gopher_filter"}, {"stage": "c4_filter"}])
+        return staged[-1].select_columns(["doc_id", "n_chars"])
+
     def docs_lang_source_mi(sf_dir):
         # mutual information between the lang and source columns (how
         # much one metadata facet predicts the other): joint counts
@@ -8150,6 +8180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": events_mad_outliers,
         "docs_lang_source_mi": docs_lang_source_mi,
         "orders_dow_chi2": orders_dow_chi2,
+        "docs_curate_quality": docs_curate_quality,
         "corpus_span_transitions": corpus_span_transitions,
         "events_session_hdr": events_session_hdr,
         "docs_gazetteer_by_source": docs_gazetteer_by_source,
@@ -14230,6 +14261,73 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(gap_s, 0.9)::BIGINT AS p90_s
         FROM g
     """
+    # quality-gate curation survivors over the punctuation-augmented
+    # corpus (synthetic docs carry no sentence punctuation, so an
+    # id-derived 'fin. ' tail is injected identically on both sides —
+    # the established injection discipline); rule logic repeats the
+    # gopher/c4 oracles verbatim, parameterized on the aug CTE
+    out["docs_curate_quality"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' ' || repeat('fin. ', (doc_id % 5)::INT)
+                     AS text,
+                 n_chars
+          FROM documents
+        ),
+        gd AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(
+                          lower(trim(text)), '\\s+') END AS toks,
+                 length(regexp_replace(text, '\\s', '', 'g'))
+                     AS wchars,
+                 string_split(text, chr(10)) AS lines
+          FROM aug
+        ),
+        gf AS (
+          SELECT doc_id, len(toks)::BIGINT AS ntok,
+                 wchars::BIGINT AS wchars,
+                 len(list_filter(toks,
+                     x -> regexp_matches(x, '[a-z]')))::BIGINT
+                     AS nalpha,
+                 len(list_filter(toks,
+                     x -> x IN ('the','be','to','of','and','that',
+                                'have','with')))::BIGINT AS nstop,
+                 len(lines)::BIGINT AS nlines,
+                 len(list_filter(lines,
+                     l -> regexp_matches(ltrim(l), '^[-*]')))
+                     ::BIGINT AS nbullet
+          FROM gd
+        ),
+        g AS (
+          SELECT doc_id FROM gf
+          WHERE ntok BETWEEN 50 AND 100000
+            AND floor(10000.0 * wchars / greatest(ntok, 1))
+                BETWEEN 30000 AND 100000
+            AND floor(10000.0 * nalpha / greatest(ntok, 1)) >= 8000
+            AND nstop >= 2
+            AND floor(10000.0 * nbullet / greatest(nlines, 1)) <= 9000
+        ),
+        c AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(rtrim(l), '[.!?"]$')))
+                       ::BIGINT AS n_kept,
+                   len(regexp_extract_all(text, '[.!?]+'))::BIGINT
+                       AS n_sentences,
+                   contains(text, '{') AS has_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem
+            FROM aug)
+          WHERE n_sentences >= 3 AND n_kept >= 1
+            AND NOT has_brace AND NOT has_lorem
+        )
+        SELECT a.doc_id, a.n_chars
+        FROM aug a
+        JOIN g ON g.doc_id = a.doc_id
+        JOIN c ON c.doc_id = a.doc_id
+    """
+
     out["orders_zonemap_prune"] = """
         SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
                sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT

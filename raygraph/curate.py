@@ -101,6 +101,28 @@ def _lang_filter(ds, langs):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _gopher_filter(ds):
+    from .ops.text import gopher_flags
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = gopher_flags(batch).column("pass_all").to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(ok == 1))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _c4_filter(ds):
+    from .ops.text import c4_flags
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = c4_flags(batch).column("pass_all").to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(ok == 1))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _exact_dedup(ds):
     from .ops.dedup import exact_dedup
 
@@ -147,6 +169,8 @@ STAGES = {
     "pii_scrub": _pii_scrub,
     "length_filter": _length_filter,
     "quality_filter": _quality_filter,
+    "gopher_filter": _gopher_filter,
+    "c4_filter": _c4_filter,
     "lang_filter": _lang_filter,
     "exact_dedup": _exact_dedup,
     "minhash_dedup": _minhash_dedup,

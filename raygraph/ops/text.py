@@ -1920,65 +1920,72 @@ def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id"):
     explodes (tokens, lines) with groupby-sum folds, no per-row Python
     loop, no exchange at all (embarrassingly parallel). Ratios use the
     floor-at-4dp contract so the SQL oracle reproduces them bit-exactly.
+    The per-batch kernel is :func:`gopher_flags` (module-level so the
+    curation registry can reuse it as a streaming filter stage).
     """
+    return ds.map_batches(
+        lambda b: gopher_flags(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
 
-    def flags(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas().fillna("")
-        ids = batch.column(id_col).to_pandas().astype("int64")
-        lt = s.str.strip().str.lower()
-        toks = lt.str.findall(_TOKEN)
-        ntok = toks.map(len).astype("int64").to_numpy()
-        wchars = s.str.replace(r"\s", "", regex=True).str.len() \
-            .fillna(0).astype("int64").to_numpy()
 
-        ex = pd.DataFrame({"i": np.repeat(np.arange(len(s)), ntok),
-                           "w": toks.explode().dropna().to_numpy()})
-        nalpha = np.zeros(len(s), dtype="int64")
-        nstop = np.zeros(len(s), dtype="int64")
-        if len(ex):
-            ex["a"] = ex["w"].str.contains("[a-z]", regex=True) \
-                .astype("int64")
-            ex["s"] = ex["w"].isin(_GOPHER_STOPWORDS).astype("int64")
-            g = ex.groupby("i")[["a", "s"]].sum()
-            nalpha[g.index.to_numpy()] = g["a"].to_numpy()
-            nstop[g.index.to_numpy()] = g["s"].to_numpy()
+def gopher_flags(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-batch kernel of :func:`gopher_rules` (see there for the
+    rule spec)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    ids = batch.column(id_col).to_pandas().astype("int64")
+    lt = s.str.strip().str.lower()
+    toks = lt.str.findall(_TOKEN)
+    ntok = toks.map(len).astype("int64").to_numpy()
+    wchars = s.str.replace(r"\s", "", regex=True).str.len() \
+        .fillna(0).astype("int64").to_numpy()
 
-        lines = s.str.split("\n")
-        nlines = lines.map(len).astype("int64").to_numpy()
-        lx = pd.DataFrame({"i": np.repeat(np.arange(len(s)), nlines),
-                           "l": lines.explode().to_numpy()})
-        nbullet = np.zeros(len(s), dtype="int64")
-        if len(lx):
-            lx["b"] = lx["l"].str.lstrip().str.match(r"[-*]") \
-                .fillna(False).astype("int64")
-            b = lx.groupby("i")["b"].sum()
-            nbullet[b.index.to_numpy()] = b.to_numpy()
+    ex = pd.DataFrame({"i": np.repeat(np.arange(len(s)), ntok),
+                       "w": toks.explode().dropna().to_numpy()})
+    nalpha = np.zeros(len(s), dtype="int64")
+    nstop = np.zeros(len(s), dtype="int64")
+    if len(ex):
+        ex["a"] = ex["w"].str.contains("[a-z]", regex=True) \
+            .astype("int64")
+        ex["s"] = ex["w"].isin(_GOPHER_STOPWORDS).astype("int64")
+        g = ex.groupby("i")[["a", "s"]].sum()
+        nalpha[g.index.to_numpy()] = g["a"].to_numpy()
+        nstop[g.index.to_numpy()] = g["s"].to_numpy()
 
-        safe = np.maximum(ntok, 1)
-        wlen4 = np.floor(10000.0 * wchars / safe).astype("int64")
-        alpha4 = np.floor(10000.0 * nalpha / safe).astype("int64")
-        bullet4 = np.floor(10000.0 * nbullet
-                           / np.maximum(nlines, 1)).astype("int64")
+    lines = s.str.split("\n")
+    nlines = lines.map(len).astype("int64").to_numpy()
+    lx = pd.DataFrame({"i": np.repeat(np.arange(len(s)), nlines),
+                       "l": lines.explode().to_numpy()})
+    nbullet = np.zeros(len(s), dtype="int64")
+    if len(lx):
+        lx["b"] = lx["l"].str.lstrip().str.match(r"[-*]") \
+            .fillna(False).astype("int64")
+        b = lx.groupby("i")["b"].sum()
+        nbullet[b.index.to_numpy()] = b.to_numpy()
 
-        fail_tok = ((ntok < 50) | (ntok > 100_000)).astype("int64")
-        fail_wlen = ((ntok == 0) | (wlen4 < 30_000)
-                     | (wlen4 > 100_000)).astype("int64")
-        fail_alpha = ((ntok == 0) | (alpha4 < 8_000)).astype("int64")
-        fail_stop = (nstop < 2).astype("int64")
-        fail_bullet = (bullet4 > 9_000).astype("int64")
-        pass_all = ((fail_tok | fail_wlen | fail_alpha | fail_stop
-                     | fail_bullet) == 0).astype("int64")
-        return pa.table({
-            id_col: pa.array(ids.to_numpy(), pa.int64()),
-            "fail_tok": pa.array(fail_tok),
-            "fail_wlen": pa.array(fail_wlen),
-            "fail_alpha": pa.array(fail_alpha),
-            "fail_stop": pa.array(fail_stop),
-            "fail_bullet": pa.array(fail_bullet),
-            "pass_all": pa.array(pass_all),
-        })
+    safe = np.maximum(ntok, 1)
+    wlen4 = np.floor(10000.0 * wchars / safe).astype("int64")
+    alpha4 = np.floor(10000.0 * nalpha / safe).astype("int64")
+    bullet4 = np.floor(10000.0 * nbullet
+                       / np.maximum(nlines, 1)).astype("int64")
 
-    return ds.map_batches(flags, batch_format="pyarrow")
+    fail_tok = ((ntok < 50) | (ntok > 100_000)).astype("int64")
+    fail_wlen = ((ntok == 0) | (wlen4 < 30_000)
+                 | (wlen4 > 100_000)).astype("int64")
+    fail_alpha = ((ntok == 0) | (alpha4 < 8_000)).astype("int64")
+    fail_stop = (nstop < 2).astype("int64")
+    fail_bullet = (bullet4 > 9_000).astype("int64")
+    pass_all = ((fail_tok | fail_wlen | fail_alpha | fail_stop
+                 | fail_bullet) == 0).astype("int64")
+    return pa.table({
+        id_col: pa.array(ids.to_numpy(), pa.int64()),
+        "fail_tok": pa.array(fail_tok),
+        "fail_wlen": pa.array(fail_wlen),
+        "fail_alpha": pa.array(fail_alpha),
+        "fail_stop": pa.array(fail_stop),
+        "fail_bullet": pa.array(fail_bullet),
+        "pass_all": pa.array(pass_all),
+    })
 
 
 def c4_line_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -1994,39 +2001,45 @@ def c4_line_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     One vectorized map pass (line explode + groupby-sum, regex run
     counts), no exchange; flags instead of drops keep the funnel
-    observable, mirroring :func:`gopher_rules`.
+    observable, mirroring :func:`gopher_rules`. The per-batch kernel
+    is :func:`c4_flags` (module-level for the curation registry).
     """
+    return ds.map_batches(
+        lambda b: c4_flags(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
 
-    def stats(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas().fillna("")
-        ids = batch.column(id_col).to_pandas().astype("int64")
-        lines = s.str.split("\n")
-        nlines = lines.map(len).astype("int64").to_numpy()
-        lx = pd.DataFrame({"i": np.repeat(np.arange(len(s)), nlines),
-                           "l": lines.explode().to_numpy()})
-        nkept = np.zeros(len(s), dtype="int64")
-        if len(lx):
-            lx["k"] = lx["l"].str.rstrip() \
-                .str.contains(r'[.!?"]$', regex=True) \
-                .fillna(False).astype("int64")
-            k = lx.groupby("i")["k"].sum()
-            nkept[k.index.to_numpy()] = k.to_numpy()
-        nsent = s.str.count(r"[.!?]+").fillna(0).astype("int64") \
-            .to_numpy()
-        brace = s.str.contains("{", regex=False).astype("int64") \
-            .to_numpy()
-        lorem = s.str.lower().str.contains("lorem ipsum", regex=False) \
-            .astype("int64").to_numpy()
-        pass_all = ((nsent >= 3) & (nkept >= 1) & (brace == 0)
-                    & (lorem == 0)).astype("int64")
-        return pa.table({
-            id_col: pa.array(ids.to_numpy(), pa.int64()),
-            "n_lines": pa.array(nlines),
-            "n_kept": pa.array(nkept),
-            "n_sentences": pa.array(nsent),
-            "fail_brace": pa.array(brace),
-            "fail_lorem": pa.array(lorem),
-            "pass_all": pa.array(pass_all),
-        })
 
-    return ds.map_batches(stats, batch_format="pyarrow")
+def c4_flags(batch: pa.Table, text_col: str = "text",
+             id_col: str = "doc_id") -> pa.Table:
+    """Per-batch kernel of :func:`c4_line_stats` (see there for the
+    rule spec)."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    ids = batch.column(id_col).to_pandas().astype("int64")
+    lines = s.str.split("\n")
+    nlines = lines.map(len).astype("int64").to_numpy()
+    lx = pd.DataFrame({"i": np.repeat(np.arange(len(s)), nlines),
+                       "l": lines.explode().to_numpy()})
+    nkept = np.zeros(len(s), dtype="int64")
+    if len(lx):
+        lx["k"] = lx["l"].str.rstrip() \
+            .str.contains(r'[.!?"]$', regex=True) \
+            .fillna(False).astype("int64")
+        k = lx.groupby("i")["k"].sum()
+        nkept[k.index.to_numpy()] = k.to_numpy()
+    nsent = s.str.count(r"[.!?]+").fillna(0).astype("int64") \
+        .to_numpy()
+    brace = s.str.contains("{", regex=False).astype("int64") \
+        .to_numpy()
+    lorem = s.str.lower().str.contains("lorem ipsum", regex=False) \
+        .astype("int64").to_numpy()
+    pass_all = ((nsent >= 3) & (nkept >= 1) & (brace == 0)
+                & (lorem == 0)).astype("int64")
+    return pa.table({
+        id_col: pa.array(ids.to_numpy(), pa.int64()),
+        "n_lines": pa.array(nlines),
+        "n_kept": pa.array(nkept),
+        "n_sentences": pa.array(nsent),
+        "fail_brace": pa.array(brace),
+        "fail_lorem": pa.array(lorem),
+        "pass_all": pa.array(pass_all),
+    })

@@ -140,3 +140,25 @@ def test_curation_sample_and_cap_stages(ray_session, tmp_path):
     rep2 = run_curation(d, str(tmp_path / "o3"), spec, mode="stream")
     got2 = pq.ParquetDataset(str(tmp_path / "o3/docs")).read().to_pandas()
     assert sorted(got2["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_gopher_and_c4_filter_stages(ray_session):
+    import ray.data as rd
+
+    from raygraph.curate import compile_spec
+
+    good = ("the quick brown fox and that dog have fun with logs. "
+            * 6) + "End. Yes."
+    ds = rd.from_items([
+        {"doc_id": 0, "text": good},                 # survives both
+        {"doc_id": 1, "text": "too short. the of"},  # gopher: n_tok
+        {"doc_id": 2, "text": ("the of and that have with be to "
+                               * 8)},                # c4: no sentences
+    ])
+    names, staged = compile_spec(ds, [{"stage": "gopher_filter"},
+                                      {"stage": "c4_filter"}])
+    assert names == ["gopher_filter", "c4_filter"]
+    after_gopher = {r["doc_id"] for r in staged[0].take_all()}
+    survivors = {r["doc_id"] for r in staged[1].take_all()}
+    assert after_gopher == {0, 2}
+    assert survivors == {0}
