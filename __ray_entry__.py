@@ -6562,6 +6562,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "chi2_sum_e6": pa.array([chi] * len(out), pa.int64()),
         })
 
+    def events_assoc_rules(sf_dir):
+        # market-basket association rules over per-user event-type
+        # baskets: ONE pair-hash distinct exchange builds (user, type),
+        # a user-keyed self-join (right side renamed first) yields
+        # ordered co-occurrence pairs, combiner preaggs fold supports —
+        # conf_bp and lift_e4 as exact integer cross-multiplies
+        from raygraph.ops.graph import _repaired
+        from raygraph.ops.relational import hash_aggregate, shuffle_join
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+
+        ut_schema = pa.schema([("user_id", pa.int64()),
+                               ("event_type", pa.string())])
+        ut = _repaired(
+            hash_aggregate(
+                ev.map_batches(
+                    lambda b: pa.Table.from_pandas(
+                        b.to_pandas().drop_duplicates(),
+                        preserve_index=False),
+                    batch_format="pyarrow"),
+                ["user_id", "event_type"],
+                lambda df: df.drop_duplicates()),
+            ut_schema)
+
+        n_t = preagg_sum(ut.select_columns(["event_type"]),
+                         ["event_type"], {}, counts="n").to_pandas()
+        n_users = preagg_sum(ut.select_columns(["user_id"]),
+                             ["user_id"], {}, counts="__c").count()
+
+        co = _repaired(
+            shuffle_join(ut, ut.rename_columns(
+                {"user_id": "__u2", "event_type": "type_b"})
+                .materialize(),
+                on="user_id", right_on="__u2"),
+            pa.schema([("user_id", pa.int64()),
+                       ("event_type", pa.string()),
+                       ("type_b", pa.string())]))
+
+        def ordered(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.not_equal(batch.column("event_type"),
+                                          batch.column("type_b")))
+            return pa.table({"type_a": t.column("event_type"),
+                             "type_b": t.column("type_b")})
+
+        both = preagg_sum(
+            co.map_batches(ordered, batch_format="pyarrow"),
+            ["type_a", "type_b"], {}, counts="n_both").to_pandas()
+        # rule table is |types|^2 — driver fold is bounded
+        cnt = dict(zip(n_t["event_type"], n_t["n"].astype(int)))
+        na = both["type_a"].map(cnt).to_numpy(dtype="int64")
+        nb = both["type_b"].map(cnt).to_numpy(dtype="int64")
+        nboth = both["n_both"].to_numpy(dtype="int64")
+        return pa.table({
+            "type_a": pa.array(both["type_a"].astype(str)),
+            "type_b": pa.array(both["type_b"].astype(str)),
+            "n_both": pa.array(nboth),
+            "conf_bp": pa.array((10_000 * nboth) // na, pa.int64()),
+            "lift_e4": pa.array(
+                (10_000 * nboth * n_users) // (na * nb), pa.int64()),
+        })
+
     def events_mad_outliers(sf_dir):
         # robust outlier audit (median absolute deviation): per event
         # type, exact-integer median and MAD via the value-count
@@ -8178,6 +8240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_line_stats": docs_c4_line_stats,
         "orders_abc_classes": orders_abc_classes,
         "events_mad_outliers": events_mad_outliers,
+        "events_assoc_rules": events_assoc_rules,
         "docs_lang_source_mi": docs_lang_source_mi,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
@@ -9833,6 +9896,30 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # association rules on per-user type baskets: exact integer
+        # confidence/lift cross-multiplies
+        "events_assoc_rules": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events),
+            n_t AS (SELECT event_type, count(*)::BIGINT AS n
+                    FROM ut GROUP BY event_type),
+            nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n
+                   FROM ut),
+            co AS (SELECT a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          count(*)::BIGINT AS n_both
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   WHERE a.event_type <> b.event_type
+                   GROUP BY 1, 2)
+            SELECT co.type_a, co.type_b, co.n_both,
+                   (10000 * co.n_both // na.n)::BIGINT AS conf_bp,
+                   (10000 * co.n_both * nu.n // (na.n * nb.n))
+                     ::BIGINT AS lift_e4
+            FROM co
+            JOIN n_t na ON na.event_type = co.type_a
+            JOIN n_t nb ON nb.event_type = co.type_b
+            CROSS JOIN nu
         """,
         # MI between lang and source: per-cell e6 ln terms, exact sum
         "docs_lang_source_mi": """
