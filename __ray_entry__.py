@@ -730,6 +730,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         members = label_propagation(ed, iters=2, return_members=True)
         return modularity(ed, members)
 
+    def kg_conductance(sf_dir):
+        # conductance of each LPA community: cut = d_sum - 2*e_in off
+        # the modularity table (no extra exchange), phi_e6 =
+        # (1e6*cut) // min(vol, 2m - vol) — the complementary
+        # partition-quality metric to kg_modularity (low phi = good
+        # cluster, high modularity = good partition)
+        from raygraph.ops.graph import (_und_graph, label_propagation,
+                                        modularity)
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        und, _, _ = _und_graph(ed)
+        m = und.count()
+        members = label_propagation(ed, iters=2, return_members=True)
+        mod = modularity(ed, members)
+
+        def phi(batch: pa.Table) -> pa.Table:
+            e = batch.column("e_in").to_numpy(zero_copy_only=False)
+            d = batch.column("d_sum").to_numpy(zero_copy_only=False)
+            cut = d - 2 * e
+            denom = np.maximum(np.minimum(d, 2 * m - d), 1)
+            return pa.table({
+                "community": batch.column("community"),
+                "cut": pa.array(cut.astype("int64")),
+                "phi_e6": pa.array(
+                    ((1_000_000 * cut) // denom).astype("int64")),
+            })
+
+        return mod.map_batches(phi, batch_format="pyarrow")
+
     def kg_rwr(sf_dir):
         # random walk with restart from the seed SET (alpha=1/5,
         # 3 rounds, 4 top-out-degree seeds): seed-relative
@@ -8074,6 +8104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": kg_ppr,
         "kg_rwr": kg_rwr,
         "kg_modularity": kg_modularity,
+        "kg_conductance": kg_conductance,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -9623,6 +9654,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_eccentricity": _ecc_sql(kg_edges_sql, n_seeds=8, iters=3),
         "kg_communities": _lpa_sql(kg_edges_sql, iters=2),
         "kg_modularity": _modularity_sql(kg_edges_sql, iters=2),
+        # conductance off the modularity table: same spec + phi terms
+        "kg_conductance": f"""
+            WITH mt AS ({_modularity_sql(kg_edges_sql, iters=2)}),
+            mm AS (SELECT (sum(d_sum) // 2)::BIGINT AS m FROM mt)
+            SELECT community, (d_sum - 2 * e_in)::BIGINT AS cut,
+                   ((1000000::HUGEINT * (d_sum - 2 * e_in))
+                    // greatest(least(d_sum, 2 * mm.m - d_sum), 1))
+                     ::BIGINT AS phi_e6
+            FROM mt CROSS JOIN mm
+        """,
         "kg_mis": _mis_sql(kg_edges_sql, iters=2),
         "kg_matching": _matching_sql(kg_edges_sql, iters=2),
         "kg_khop_sample": _khop_sql(kg_edges_sql, n_seeds=5, fanout=3,
