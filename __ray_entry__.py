@@ -6592,6 +6592,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "chi2_sum_e6": pa.array([chi] * len(out), pa.int64()),
         })
 
+    def events_kaplan_meier(sf_dir):
+        # Kaplan-Meier survival over user activity lifetimes (hour
+        # grain): duration = last-first active hour, right-censored
+        # when the user was active within 24h of the observation end
+        # (day grain degenerates on this corpus: every user censors).
+        # One user-keyed Min/Max exchange + a duration-spectrum preagg
+        # (<= observation-window rows) — only the spectrum reaches the
+        # driver; survival as per-term e6-floored ln increments
+        # cumulated in duration order (order-free)
+        import math
+
+        from ray.data.aggregate import Max, Min
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+
+        def days(batch: pa.Table) -> pa.Table:
+            us = batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            df = pd.DataFrame({
+                "user_id": batch.column("user_id").to_numpy(
+                    zero_copy_only=False),
+                "hr": us // 3_600_000_000,
+            })
+            g = df.groupby("user_id", as_index=False).agg(
+                fd=("hr", "min"), ld=("hr", "max"))
+            for c in ("user_id", "fd", "ld"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        per_user = ev.map_batches(days, batch_format="pyarrow") \
+            .groupby("user_id") \
+            .aggregate(Min("fd", alias_name="fd"),
+                       Max("ld", alias_name="ld")).materialize()
+        mx = int(per_user.max("ld"))
+
+        def spectrum(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            dur = (df["ld"] - df["fd"]).astype("int64")
+            cen = ((mx - df["ld"]) < 24).astype("int64")
+            g = pd.DataFrame({"dur": dur, "cen": cen}) \
+                .groupby("dur", as_index=False) \
+                .agg(d_t=("cen", lambda s: int((1 - s).sum())),
+                     c_t=("cen", "sum"))
+            for c in ("dur", "d_t", "c_t"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        sp = preagg_sum(
+            per_user.map_batches(spectrum, batch_format="pyarrow"),
+            ["dur"], {"d_t": "d_t", "c_t": "c_t"}).to_pandas() \
+            .sort_values("dur").reset_index(drop=True)
+        # spectrum is <= observation-window-days rows: driver fold
+        total = int((sp["d_t"] + sp["c_t"]).sum())
+        leave = (sp["d_t"] + sp["c_t"]).cumsum().shift(
+            fill_value=0).astype("int64")
+        n_risk = total - leave
+        terms = [
+            math.floor(1_000_000 * math.log((int(n) - int(d))
+                                            / int(n)))
+            if int(n) > int(d) else 0
+            for n, d in zip(n_risk, sp["d_t"])]
+        return pa.table({
+            "dur": pa.array(sp["dur"].to_numpy(dtype="int64")),
+            "n_risk": pa.array(n_risk.to_numpy(dtype="int64")),
+            "d_t": pa.array(sp["d_t"].to_numpy(dtype="int64")),
+            "c_t": pa.array(sp["c_t"].to_numpy(dtype="int64")),
+            "ln_surv_e6": pa.array(
+                np.cumsum(np.array(terms, dtype="int64")), pa.int64()),
+        })
+
     def events_assoc_rules(sf_dir):
         # market-basket association rules over per-user event-type
         # baskets: ONE pair-hash distinct exchange builds (user, type),
@@ -8272,6 +8343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_abc_classes": orders_abc_classes,
         "events_mad_outliers": events_mad_outliers,
         "events_assoc_rules": events_assoc_rules,
+        "events_kaplan_meier": events_kaplan_meier,
         "docs_lang_source_mi": docs_lang_source_mi,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
@@ -9937,6 +10009,40 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # Kaplan-Meier: window prefix risk sets, e6 ln terms cumulated
+        # in duration order
+        "events_kaplan_meier": """
+            WITH d AS (SELECT user_id,
+                              epoch_us(ts) // 3600000000 AS hr
+                       FROM events),
+            u AS (SELECT user_id, min(hr) AS fd, max(hr) AS ld
+                  FROM d GROUP BY user_id),
+            g AS (SELECT max(hr)::BIGINT AS mx FROM d),
+            uu AS (SELECT (ld - fd)::BIGINT AS dur,
+                          CASE WHEN (g.mx - ld) < 24 THEN 1 ELSE 0 END
+                              AS cen
+                   FROM u CROSS JOIN g),
+            sp AS (SELECT dur, sum(1 - cen)::BIGINT AS d_t,
+                          sum(cen)::BIGINT AS c_t
+                   FROM uu GROUP BY dur),
+            w AS (SELECT dur, d_t, c_t,
+                         ((SELECT count(*) FROM uu)
+                          - coalesce(sum(d_t + c_t) OVER (
+                              ORDER BY dur ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0))::BIGINT
+                             AS n_risk
+                  FROM sp),
+            t AS (SELECT dur, d_t, c_t, n_risk,
+                         CASE WHEN n_risk > d_t
+                              THEN floor(1000000 * ln(
+                                  (n_risk - d_t)::DOUBLE / n_risk))
+                              ELSE 0 END::BIGINT AS term
+                  FROM w)
+            SELECT dur, n_risk, d_t, c_t,
+                   sum(term) OVER (ORDER BY dur)::BIGINT
+                       AS ln_surv_e6
+            FROM t
         """,
         # association rules on per-user type baskets: exact integer
         # confidence/lift cross-multiplies
