@@ -6592,6 +6592,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "chi2_sum_e6": pa.array([chi] * len(out), pa.int64()),
         })
 
+    def docs_topk_per_lang(sf_dir):
+        # distributed arg-top-k per group (ROW_NUMBER() <= k): the 3
+        # longest docs per language — per-batch vectorized top-k
+        # partials (mergeable summary), one group-hash reduce; the
+        # exchange carries <= k x groups x blocks rows
+        from raygraph.ops.relational import topk_per_group
+
+        docs = _docs_ds(sf_dir, columns=("doc_id", "lang", "n_chars"))
+        return topk_per_group(docs, ["lang"], "n_chars", k=3,
+                              tie_cols=["doc_id"])
+
     def events_kaplan_meier(sf_dir):
         # Kaplan-Meier survival over user activity lifetimes (hour
         # grain): duration = last-first active hour, right-censored
@@ -8344,6 +8355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": events_mad_outliers,
         "events_assoc_rules": events_assoc_rules,
         "events_kaplan_meier": events_kaplan_meier,
+        "docs_topk_per_lang": docs_topk_per_lang,
         "docs_lang_source_mi": docs_lang_source_mi,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
@@ -10009,6 +10021,16 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # arg-top-k per group via the ROW_NUMBER window
+        "docs_topk_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id)
+                         AS rn
+              FROM documents)
+            WHERE rn <= 3
         """,
         # Kaplan-Meier: window prefix risk sets, e6 ln terms cumulated
         # in duration order

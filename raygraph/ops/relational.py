@@ -1871,3 +1871,39 @@ def abc_classes(ds, key_col: str, value_col: str, a_bp: int = 8000,
         })
 
     return ranked.map_batches(label, batch_format="pyarrow")
+
+
+def topk_per_group(ds, group_cols, value_col: str, k: int,
+                   tie_cols: Sequence[str] = (),
+                   num_buckets: int = 64):
+    """Distributed arg-top-k per group (the ROW_NUMBER() <= k window
+    idiom): keep each group's k rows with the largest ``value_col``,
+    ties broken ascending on ``tie_cols`` (make the combination unique
+    or the result is layout-dependent).
+
+    Combiner shape: each batch first reduces to its own per-group
+    top-k (vectorized sort + groupby.head — no per-group Python), so
+    the exchange carries <= k x groups x blocks rows, never the raw
+    stream; one hash-bucketed reduce applies the same kernel globally.
+    The same two-level trick as ``preagg_sum`` — top-k is a mergeable
+    summary.
+    """
+    group_cols = list(group_cols)
+    tie_cols = list(tie_cols)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    by = group_cols + [value_col] + tie_cols
+    asc = [True] * len(group_cols) + [False] + [True] * len(tie_cols)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by, ascending=asc, kind="mergesort")
+                .groupby(group_cols, sort=False).head(k)
+                .reset_index(drop=True))
+
+    partial = ds.map_batches(
+        lambda b: pa.Table.from_pandas(local_topk(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow")
+    return hash_aggregate(partial, group_cols, local_topk,
+                          num_buckets=num_buckets)

@@ -130,3 +130,36 @@ def test_abc_classes_rejects_bad_bp():
     ds = rd.from_items([{"k": 1, "v": 1}])
     with _pytest.raises(ValueError):
         abc_classes(ds, "k", "v", a_bp=9600, b_bp=9500)
+
+
+def test_topk_per_group_layout_invariant():
+    import ray.data as rd
+
+    from raygraph.ops.relational import topk_per_group
+
+    rows = [{"g": i % 3, "v": (7 * i) % 11, "id": i}
+            for i in range(30)]
+    want = {}
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(
+        ["g", "v", "id"], ascending=[True, False, True])
+    want = df.groupby("g").head(2)[["g", "v", "id"]] \
+        .apply(tuple, axis=1).tolist()
+    for parts in (1, 7):
+        ds = rd.from_items(rows).repartition(parts)
+        got = sorted((r["g"], r["v"], r["id"]) for r in
+                     topk_per_group(ds, ["g"], "v", k=2,
+                                    tie_cols=["id"]).take_all())
+        assert got == sorted(want)
+
+
+def test_topk_per_group_rejects_bad_k():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raygraph.ops.relational import topk_per_group
+
+    with _pytest.raises(ValueError):
+        topk_per_group(rd.from_items([{"g": 1, "v": 1}]), ["g"], "v",
+                       k=0)
