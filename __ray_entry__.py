@@ -1050,6 +1050,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return read_with_deletes(
             tdir, columns=["doc_id", "n_chars"])
 
+    def docs_upsert(sf_dir):
+        # MERGE INTO (upsert): copy the documents table, upsert
+        # id-derived updates (doc_id % 9 == 0 rewritten) plus brand-new
+        # rows (offset copies of doc_id % 13 == 0) in one call — old
+        # versions masked via deletion sidecars, updates land as one
+        # committed file; the masking reader must equal the SQL
+        # anti-join ∪ updates exactly
+        import shutil as _sh
+
+        from raygraph.maintenance import read_with_deletes, upsert_table
+
+        n = _docs_count(sf_dir)
+        tdir = os.path.join(_TMP, f"docs_upsert_n{n}")
+        if not os.path.exists(os.path.join(tdir, "_deletes")):
+            os.makedirs(tdir, exist_ok=True)
+            _sh.copy(os.path.join(sf_dir, "documents.parquet"),
+                     os.path.join(tdir, "part-0.parquet"))
+            base = pq.read_table(os.path.join(sf_dir,
+                                              "documents.parquet"))
+            df = base.to_pandas()
+            upd = df[df["doc_id"] % 9 == 0].copy()
+            upd["text"] = "updated " + upd["doc_id"].astype(str)
+            upd["n_chars"] = (upd["n_chars"] + 1000).astype("int64")
+            ins = df[df["doc_id"] % 13 == 0].copy()
+            ins["doc_id"] = (ins["doc_id"] + _OFFSET).astype("int64")
+            ins["text"] = "inserted " + ins["doc_id"].astype(str)
+            updates = rd.from_arrow(pa.Table.from_pandas(
+                pd.concat([upd, ins], ignore_index=True),
+                preserve_index=False))
+            upsert_table(tdir, updates, "doc_id")
+        return read_with_deletes(
+            tdir, columns=["doc_id", "text", "lang", "source",
+                           "n_chars"])
+
     def docs_exact_substrings(sf_dir):
         # ExactSubstr duplication profile (Lee et al. 2021 at 8-token
         # grain) over a partially-overlapping corpus: originals ∪
@@ -8281,6 +8315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_topk_per_lang": docs_topk_per_lang,
+        "docs_upsert": docs_upsert,
         "docs_by_lang_source": docs_by_lang_source,
         "docs_rollup": docs_rollup,
         "docs_cube": docs_cube,
@@ -8356,6 +8391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_assoc_rules": events_assoc_rules,
         "events_kaplan_meier": events_kaplan_meier,
         "docs_topk_per_lang": docs_topk_per_lang,
+        "docs_upsert": docs_upsert,
         "docs_lang_source_mi": docs_lang_source_mi,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
@@ -10021,6 +10057,24 @@ def oracle_sql() -> dict[str, str]:
                                                  || ':' || t.token),
                                              1, 15))::BIGINT % 512
             GROUP BY t.token, t.exact_n
+        """,
+        # upsert == anti-join base ∪ updates, replayed at query time
+        "docs_upsert": f"""
+            WITH up AS (
+              SELECT doc_id, 'updated ' || doc_id AS text, lang,
+                     source, (n_chars + 1000)::BIGINT AS n_chars
+              FROM documents WHERE doc_id % 9 = 0
+              UNION ALL
+              SELECT doc_id + {_OFFSET},
+                     'inserted ' || (doc_id + {_OFFSET}), lang,
+                     source, n_chars
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM up)
+            UNION ALL
+            SELECT * FROM up
         """,
         # arg-top-k per group via the ROW_NUMBER window
         "docs_topk_per_lang": """

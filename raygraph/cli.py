@@ -136,6 +136,20 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .maintenance import upsert_table
+
+    stats = upsert_table(args.input, rd.read_parquet(args.updates),
+                         args.key)
+    print(json.dumps({"input": args.input, "updates": args.updates,
+                      "key": args.key, **stats}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .maintenance import vacuum
 
@@ -374,6 +388,18 @@ def main(argv=None) -> int:
                     help="op argument (mod_eq takes 'm:r')")
     dl.add_argument("--num-cpus", type=int)
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "upsert", help="MERGE INTO a parquet table (merge-on-read: "
+                       "old versions masked via deletion sidecars, "
+                       "updates land as one committed file)")
+    up.add_argument("--input", required=True,
+                    help="parquet table directory")
+    up.add_argument("--updates", required=True,
+                    help="parquet file/dir with the update rows")
+    up.add_argument("--key", required=True)
+    up.add_argument("--num-cpus", type=int)
+    up.set_defaults(fn=cmd_upsert)
 
     vc = sub.add_parser(
         "vacuum", help="GC orphaned deletion sidecars and interrupted-"

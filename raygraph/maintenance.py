@@ -481,3 +481,104 @@ def vacuum(table_path: str) -> dict:
             removed_tmp += 1
     return {"orphaned_sidecars": removed_sidecars,
             "tmp_files": removed_tmp}
+
+
+def upsert_table(table_path: str, updates, key: str) -> dict:
+    """MERGE INTO (upsert) without rewriting data files — the
+    merge-on-read write path that completes the deletion-vector
+    lakehouse surface (:func:`delete_where` / :func:`read_with_deletes`
+    / :func:`compact_table`): rows whose ``key`` appears in ``updates``
+    are masked via positional deletion sidecars, and the update rows
+    land as ONE new parquet file whose final rename is the commit
+    point.
+
+    Crash contract (documented, vacuum-compatible): sidecars are
+    write-then-rename per file; the data file is staged as ``*.tmp``
+    and renamed LAST. A crash mid-upsert leaves extra delete marks and
+    an orphan ``.tmp`` (collected by :func:`vacuum`); re-running the
+    SAME upsert converges — positions are recomputed against the raw
+    file order, so re-marking is idempotent, and the single-file
+    commit can't half-land. ``updates`` must be delta-sized (its key
+    column ships once via ``ray.put`` to every file task — the
+    broadcast-small-side discipline) and schema-compatible with the
+    table.
+
+    Per existing file the mark step is an independent Ray task
+    (file-per-task, pruned to the key column). Returns
+    {files_marked, n_replaced, n_inserted, data_file}.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+    if not files:
+        from .errors import CollectionNotFoundError
+
+        raise CollectionNotFoundError(f"no parquet files in {table_path}")
+    up = updates.materialize() if hasattr(updates, "materialize") \
+        else updates
+    up_tbl = pa.concat_tables(
+        [b for b in up.iter_batches(batch_format="pyarrow")]) \
+        if hasattr(up, "iter_batches") else up
+    table_schema = pq.read_schema(files[0])
+    if set(up_tbl.schema.names) != set(table_schema.names):
+        from .errors import InvalidParameterError
+
+        raise InvalidParameterError(
+            "updates schema must match the table's columns")
+    keys = up_tbl.column(key).to_numpy(zero_copy_only=False)
+    if len(np.unique(keys)) != len(keys):
+        from .errors import InvalidParameterError
+
+        raise InvalidParameterError("updates carry duplicate keys")
+    key_ref = ray.put(keys)
+
+    ddir = _delete_dir(table_path)
+    os.makedirs(ddir, exist_ok=True)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        outs = []
+        for path in batch.column("path").to_pylist():
+            v = pq.read_table(path, columns=[key]).column(key) \
+                .to_numpy(zero_copy_only=False)
+            pos = np.nonzero(np.isin(v, ks))[0]
+            base = os.path.basename(path)
+            if len(pos):
+                k = 0
+                while os.path.exists(
+                        os.path.join(ddir, f"{base}.d{k}.json")):
+                    k += 1
+                final = os.path.join(ddir, f"{base}.d{k}.json")
+                tmp = final + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"file": base, "epoch": k,
+                               "predicate": {"col": key,
+                                             "op": "upsert_in",
+                                             "arg": f"{len(ks)} keys"},
+                               "positions": [int(p) for p in pos]}, f)
+                os.replace(tmp, final)
+            outs.append(len(pos))
+        return pa.table({"n": pa.array(outs, pa.int64())})
+
+    marked = rd.from_items([{"path": p} for p in files]) \
+        .map_batches(mark, batch_size=1, batch_format="pyarrow") \
+        .to_pandas()
+    n_replaced = int(marked["n"].sum())
+
+    k = 0
+    while os.path.exists(
+            os.path.join(table_path, f"upsert-{k:05d}.parquet")):
+        k += 1
+    final = os.path.join(table_path, f"upsert-{k:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(up_tbl.select(table_schema.names), tmp)
+    os.replace(tmp, final)
+    return {"files_marked": int((marked["n"] > 0).sum()),
+            "n_replaced": n_replaced,
+            "n_inserted": up_tbl.num_rows,
+            "data_file": final}

@@ -358,3 +358,76 @@ def test_vacuum_noop_on_clean_table(ray_session, tmp_path):
 
     d = _mk_table(tmp_path, "t8")
     assert vacuum(d) == {"orphaned_sidecars": 0, "tmp_files": 0}
+
+
+def _upsert_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "utab")
+    os.makedirs(tdir)
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                             "v": pa.array(["a", "b", "c"])}),
+                   os.path.join(tdir, "p0.parquet"))
+    pq.write_table(pa.table({"k": pa.array([4, 5], pa.int64()),
+                             "v": pa.array(["d", "e"])}),
+                   os.path.join(tdir, "p1.parquet"))
+    return tdir
+
+
+def test_upsert_replaces_and_inserts(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raygraph.maintenance import read_with_deletes, upsert_table
+
+    tdir = _upsert_fixture(tmp_path)
+    updates = rd.from_arrow(pa.table(
+        {"k": pa.array([2, 9], pa.int64()),
+         "v": pa.array(["B", "I"])}))
+    res = upsert_table(tdir, updates, "k")
+    assert res["n_replaced"] == 1 and res["n_inserted"] == 2
+    assert res["files_marked"] == 1          # only p0 held key 2
+    rows = {r["k"]: r["v"]
+            for r in read_with_deletes(tdir).take_all()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d", 5: "e", 9: "I"}
+
+
+def test_upsert_rerun_converges(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raygraph.maintenance import read_with_deletes, upsert_table
+
+    tdir = _upsert_fixture(tmp_path)
+    updates = rd.from_arrow(pa.table(
+        {"k": pa.array([2], pa.int64()), "v": pa.array(["B"])}))
+    upsert_table(tdir, updates, "k")
+    # a retried upsert masks the previous upsert file too: one live
+    # copy survives
+    upsert_table(tdir, rd.from_arrow(pa.table(
+        {"k": pa.array([2], pa.int64()), "v": pa.array(["B"])})), "k")
+    rows = sorted((r["k"], r["v"])
+                  for r in read_with_deletes(tdir).take_all())
+    assert rows == [(1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_upsert_validation(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.maintenance import upsert_table
+
+    tdir = _upsert_fixture(tmp_path)
+    with _pytest.raises(InvalidParameterError):
+        upsert_table(tdir, rd.from_arrow(pa.table(
+            {"k": pa.array([2, 2], pa.int64()),
+             "v": pa.array(["x", "y"])})), "k")
+    with _pytest.raises(InvalidParameterError):
+        upsert_table(tdir, rd.from_arrow(pa.table(
+            {"k": pa.array([2], pa.int64())})), "k")
