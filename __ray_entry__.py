@@ -6637,6 +6637,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return topk_per_group(docs, ["lang"], "n_chars", k=3,
                               tie_cols=["doc_id"])
 
+    def orders_seasonal_decomp(sf_dir):
+        # weekly seasonal decomposition (STL-lite): daily revenue =
+        # day-of-week mean + residual, all exact cents — one day-keyed
+        # combiner preagg builds the daily series, the 7-row dow means
+        # fold from it on the driver, residuals are a pure map
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate", "o_totalprice"])
+
+        def daily(batch: pa.Table) -> pa.Table:
+            us = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            p = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "day": pa.array(us // 86_400_000_000, pa.int64()),
+                "rev_c": pa.array(np.round(p * 100).astype("int64")),
+            })
+
+        days = preagg_sum(
+            orders.map_batches(daily, batch_format="pyarrow"),
+            ["day"], {"rev_c": "rev_c"}).to_pandas()
+        # daily series is observation-window-sized; the dow fold is 7
+        # rows — driver state is bounded by the calendar, not the data
+        days["dow"] = ((days["day"] + 4) % 7).astype("int64")
+        g = days.groupby("dow")["rev_c"].agg(["sum", "size"])
+        mean = {d: int(s) // int(n)
+                for d, (s, n) in g.iterrows()} if len(g) else {}
+        days = days.sort_values("day").reset_index(drop=True)
+        m = days["dow"].map(mean).astype("int64")
+        return pa.table({
+            "day": pa.array(days["day"].to_numpy(dtype="int64")),
+            "rev_c": pa.array(days["rev_c"].to_numpy(dtype="int64")),
+            "dow_mean_c": pa.array(m.to_numpy(dtype="int64")),
+            "residual_c": pa.array(
+                (days["rev_c"] - m).to_numpy(dtype="int64")),
+        })
+
     def events_kaplan_meier(sf_dir):
         # Kaplan-Meier survival over user activity lifetimes (hour
         # grain): duration = last-first active hour, right-censored
@@ -8390,6 +8428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": events_mad_outliers,
         "events_assoc_rules": events_assoc_rules,
         "events_kaplan_meier": events_kaplan_meier,
+        "orders_seasonal_decomp": orders_seasonal_decomp,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_upsert": docs_upsert,
         "docs_lang_source_mi": docs_lang_source_mi,
@@ -10085,6 +10124,22 @@ def oracle_sql() -> dict[str, str]:
                          AS rn
               FROM documents)
             WHERE rn <= 3
+        """,
+        # STL-lite: dow mean (trunc-div) + residual on exact cents
+        "orders_seasonal_decomp": """
+            WITH d AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       ::BIGINT AS rev_c
+              FROM orders GROUP BY 1
+            ),
+            w AS (SELECT day, rev_c, ((day + 4) % 7)::BIGINT AS dow
+                  FROM d),
+            m AS (SELECT dow, (sum(rev_c) // count(*))::BIGINT AS mu
+                  FROM w GROUP BY dow)
+            SELECT w.day, w.rev_c, m.mu AS dow_mean_c,
+                   (w.rev_c - m.mu)::BIGINT AS residual_c
+            FROM w JOIN m USING (dow)
         """,
         # Kaplan-Meier: window prefix risk sets, e6 ln terms cumulated
         # in duration order
