@@ -730,6 +730,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         members = label_propagation(ed, iters=2, return_members=True)
         return modularity(ed, members)
 
+    def kg_coloring(sf_dir):
+        # Jones-Plassmann greedy coloring (3 rounds): md5-priority
+        # winners against uncolored neighbors pick the mex of their
+        # colored neighborhood — parallel scheduling primitive; one
+        # MIS-shaped exchange per round plus two color-fanning joins
+        from raygraph.ops.graph import greedy_coloring
+
+        res = _kg_result(sf_dir)
+        ed = rd.read_parquet(res.edges_path, columns=["_from", "_to"])
+        return greedy_coloring(ed, iters=3)
+
     def kg_conductance(sf_dir):
         # conductance of each LPA community: cut = d_sum - 2*e_in off
         # the modularity table (no extra exchange), phi_e6 =
@@ -8259,6 +8270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rwr": kg_rwr,
         "kg_modularity": kg_modularity,
         "kg_conductance": kg_conductance,
+        "kg_coloring": kg_coloring,
         "events_rolling_1h": events_rolling_1h,
         "docs_inverted_index": docs_inverted_index,
         "dedup_edit_pairs": dedup_edit_pairs,
@@ -9287,6 +9299,48 @@ def _katz_sql(edges_sql: str, iters: int, beta_den: int) -> str:
     return "".join(parts)
 
 
+def _coloring_sql(edges_sql: str, iters: int) -> str:
+    """Machine-unrolled Jones–Plassmann coloring mirroring
+    raygraph.ops.graph.greedy_coloring round for round: md5(x)||x
+    priority winners against UNCOLORED neighbors, color = mex spelled
+    as min({0} ∪ {c+1: c used}) not in used, winners-only removal.
+    Every multiply-referenced round CTE is MATERIALIZED (DuckDB
+    inlines CTEs; an unrolled chain explodes otherwise)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        ", pr AS (SELECT DISTINCT _from AS u, _to AS v FROM edges)",
+        ", base AS (SELECT DISTINCT u, v FROM ("
+        "SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr "
+        "UNION ALL SELECT u, u FROM pr UNION ALL SELECT v, v FROM pr))",
+        ", arcs AS (SELECT u, v FROM base WHERE u <> v)",
+        ", u1 AS MATERIALIZED (SELECT u AS x FROM base WHERE u = v)",
+        ", col0 AS (SELECT ''::VARCHAR AS x, 0::BIGINT AS color "
+        "WHERE 1 = 0)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f", nm{r} AS (SELECT a.u AS x, min(md5(a.v) || a.v) AS m "
+            f"FROM arcs a JOIN u{r} d ON a.v = d.x GROUP BY a.u)"
+            f", sel{r} AS MATERIALIZED (SELECT d.x FROM u{r} d "
+            f"LEFT JOIN nm{r} n ON d.x = n.x "
+            f"WHERE n.x IS NULL OR md5(d.x) || d.x < n.m)"
+            f", used{r} AS MATERIALIZED (SELECT DISTINCT s.x, "
+            f"c.color AS c FROM sel{r} s JOIN arcs a ON a.u = s.x "
+            f"JOIN col{r - 1} c ON c.x = a.v)"
+            f", cand{r} AS (SELECT x, 0::BIGINT AS k FROM sel{r} "
+            f"UNION ALL SELECT x, c + 1 FROM used{r})"
+            f", mex{r} AS (SELECT c.x, min(c.k)::BIGINT AS color "
+            f"FROM cand{r} c WHERE NOT EXISTS (SELECT 1 FROM used{r} "
+            f"uu WHERE uu.x = c.x AND uu.c = c.k) GROUP BY c.x)"
+            f", col{r} AS MATERIALIZED (SELECT * FROM col{r - 1} "
+            f"UNION ALL SELECT x, color FROM mex{r})"
+            f", u{r + 1} AS MATERIALIZED (SELECT x FROM u{r} "
+            f"WHERE x NOT IN (SELECT x FROM sel{r}))")
+    parts.append(
+        f" SELECT x AS vertex, color FROM col{iters}")
+    return "".join(parts)
+
+
 def _ppr_sql(edges_sql: str, n_seeds: int, iters: int,
              alpha_den: int) -> str:
     """Machine-unrolled integer personalized PageRank mirroring
@@ -9744,6 +9798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_sql(kg_edges_sql, iters=3),
         "kg_katz": _katz_sql(kg_edges_sql, iters=3, beta_den=5),
+        "kg_coloring": _coloring_sql(kg_edges_sql, iters=3),
         "kg_rwr": _ppr_sql(kg_edges_sql, n_seeds=4, iters=3,
                            alpha_den=5),
         "kg_wl": _wl_sql(kg_edges_sql, iters=2),

@@ -3402,3 +3402,217 @@ def personalized_pagerank(edges, n_seeds: int = 4, iters: int = 3,
             merged.map_batches(apply_x, batch_format="pyarrow"),
             out_schema)
     return ranks
+
+
+def greedy_coloring(edges, iters: int = 3,
+                    src: str = "_from", dst: str = "_to"):
+    """Jones–Plassmann greedy graph coloring (Jones & Plassmann 1993):
+    the parallel scheduling/register-allocation primitive — per round,
+    every uncolored vertex whose deterministic priority ``md5(x)||x``
+    is strictly below all UNCOLORED neighbors' (or that has none)
+    picks the smallest color unused by its already-COLORED neighbors
+    (the mex, spelled as ``min({0} ∪ {c+1: c used}) ∖ used`` so the
+    SQL oracle replays it literally). Winners stay; only they leave
+    the uncolored set — unlike :func:`maximal_independent_set`, where
+    winners evict their neighborhood.
+
+    ``iters`` fixed rounds: any prefix yields a PARTIAL proper
+    coloring (adjacent colored vertices always differ); vertices still
+    uncolored after the last round are absent from the output —
+    callers needing totality raise ``iters`` (O(log n / log log n)
+    rounds suffice w.h.p. on bounded-degree graphs).
+
+    Scale shape per round (same exchange budget as a MIS round plus
+    one): an arc-sized shuffle join for the uncolored-neighbor
+    minimum, a bucketed select-resolve, TWO joins fanning winners'
+    colored-neighbor colors in, one bucketed vectorized mex (sorted
+    first-gap scan — no per-vertex Python), and a bucketed
+    set-difference. Colored/uncolored sets stay vertex-sized Datasets;
+    the driver holds only round counts.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_extreme, shuffle_join)
+    import ray.data as rd
+
+    pairs = distinct_pairs(edges, src, dst)
+    base_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        u, v = batch.column(src), batch.column(dst)
+        return pa.table({
+            "u": pa.chunked_array([u, v, u, v]),
+            "v": pa.chunked_array([v, u, u, v]),
+        })
+
+    base = _repaired(
+        hash_aggregate(
+            pairs.map_batches(undirect, batch_format="pyarrow")
+            .map_batches(lambda b: pa.Table.from_pandas(
+                b.to_pandas().drop_duplicates(), preserve_index=False),
+                batch_format="pyarrow"),
+            ["u", "v"], lambda df: df.drop_duplicates()),
+        base_schema)
+    nparts = _join_partitions(base.count())
+
+    arcs = _repaired(
+        base.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b.column("u"),
+                                                  b.column("v")))),
+            batch_format="pyarrow"),
+        base_schema)
+
+    vx_schema = pa.schema([("x", pa.string())])
+    unc = _repaired(
+        base.map_batches(
+            lambda b: pa.table({"x": b.filter(
+                pc.equal(b.column("u"), b.column("v"))).column("u")}),
+            batch_format="pyarrow"),
+        vx_schema)
+
+    def prio(col: pa.ChunkedArray) -> pa.Array:
+        s = col.to_pandas()
+        h = {t: hashlib.md5(t.encode("utf-8")).hexdigest() + t
+             for t in s.unique()}
+        return pa.array(s.map(h), pa.string())
+
+    col_schema = pa.schema([("x", pa.string()), ("color", pa.int64())])
+    cand_schema = pa.schema([("x", pa.string()), ("kind", pa.int64()),
+                             ("val", pa.string())])
+    mexc_schema = pa.schema([("x", pa.string()), ("kind", pa.int64()),
+                             ("c", pa.int64())])
+    upd_schema = pa.schema([("x", pa.string()), ("f", pa.int64())])
+    live_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    colored = rd.from_arrow(col_schema.empty_table())
+
+    for _ in range(iters):
+        if unc.count() == 0:
+            break
+        live = _repaired(
+            shuffle_join(arcs, unc, on="v", right_on="x",
+                         num_partitions=nparts),
+            live_schema)
+        nm = preagg_extreme(
+            live.map_batches(
+                lambda b: pa.table({"u": b.column("u"),
+                                    "pv": prio(b.column("v"))}),
+                batch_format="pyarrow"),
+            ["u"], "pv", how="min", out="m")
+
+        cand = _repaired(
+            unc.map_batches(
+                lambda b: pa.table({
+                    "x": b.column("x"),
+                    "kind": pa.array([0] * b.num_rows, pa.int64()),
+                    "val": prio(b.column("x"))}),
+                batch_format="pyarrow"),
+            cand_schema).union(_repaired(
+                nm.map_batches(
+                    lambda b: pa.table({
+                        "x": b.column("u"),
+                        "kind": pa.array([1] * b.num_rows, pa.int64()),
+                        "val": b.column("m")}),
+                    batch_format="pyarrow"),
+                cand_schema))
+
+        def resolve(df):
+            p = df[df["kind"] == 0]
+            m = df[df["kind"] == 1].groupby("x")["val"].min()
+            got = p.merge(m.rename("m"), how="left",
+                          left_on="x", right_index=True)
+            keep = got["m"].isna() | (got["val"] < got["m"])
+            return got.loc[keep, ["x"]]
+
+        sel = _repaired(hash_aggregate(cand, ["x"], resolve),
+                        vx_schema)
+
+        used_schema = pa.schema([("u", pa.string()),
+                                 ("v", pa.string()),
+                                 ("c", pa.int64())])
+        if colored.count() == 0:
+            # round 1: no colored neighbors anywhere — an all-empty
+            # join side loses its schema, so short-circuit
+            used = rd.from_arrow(used_schema.empty_table())
+        else:
+            wins = _repaired(
+                shuffle_join(arcs, sel, on="u", right_on="x",
+                             num_partitions=nparts),
+                live_schema)
+            used = _repaired(
+                shuffle_join(
+                    wins, colored.rename_columns(
+                        {"x": "__cx", "color": "c"}).materialize(),
+                    on="v", right_on="__cx", num_partitions=nparts),
+                used_schema)
+
+        mexc = _repaired(
+            sel.map_batches(
+                lambda b: pa.table({
+                    "x": b.column("x"),
+                    "kind": pa.array([0] * b.num_rows, pa.int64()),
+                    "c": pa.array([-1] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow"),
+            mexc_schema).union(_repaired(
+                used.map_batches(
+                    lambda b: pa.table({
+                        "x": b.column("u"),
+                        "kind": pa.array([1] * b.num_rows, pa.int64()),
+                        "c": b.column("c")}),
+                    batch_format="pyarrow"),
+                mexc_schema))
+
+        def mex(df):
+            # smallest color in {0} ∪ {c+1} not used — vectorized
+            # sorted first-gap scan per winner
+            w = df.loc[df["kind"] == 0, ["x"]].drop_duplicates()
+            u = df[df["kind"] == 1][["x", "c"]].drop_duplicates() \
+                .sort_values(["x", "c"], kind="mergesort") \
+                .reset_index(drop=True)
+            if len(u):
+                rank = u.groupby("x", sort=False).cumcount()
+                first_gap = u.loc[u["c"] != rank] \
+                    .assign(r=rank[u["c"] != rank]) \
+                    .groupby("x")["r"].first()
+                full = u.groupby("x")["c"].size()
+                mx = first_gap.reindex(full.index)
+                mx = mx.fillna(full).astype("int64")
+            else:
+                mx = pd.Series(dtype="int64")
+            out = w.merge(mx.rename("color"), how="left",
+                          left_on="x", right_index=True)
+            out["color"] = out["color"].fillna(0).astype("int64")
+            return out[["x", "color"]]
+
+        newly = _repaired(hash_aggregate(mexc, ["x"], mex),
+                          col_schema)
+        colored = _repaired(colored.union(newly), col_schema)
+
+        upd = (_repaired(
+            unc.map_batches(
+                lambda b: pa.table({
+                    "x": b.column("x"),
+                    "f": pa.array([0] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow"),
+            upd_schema)
+            .union(_repaired(
+                sel.map_batches(
+                    lambda b: pa.table({
+                        "x": b.column("x"),
+                        "f": pa.array([1] * b.num_rows, pa.int64())}),
+                    batch_format="pyarrow"),
+                upd_schema)))
+
+        def survive(df):
+            g = df.groupby("x", as_index=False)["f"].max()
+            return g.loc[g["f"] == 0, ["x"]]
+
+        unc = _repaired(hash_aggregate(upd, ["x"], survive),
+                        vx_schema)
+
+    return colored.map_batches(
+        lambda b: b.rename_columns(["vertex", "color"]),
+        batch_format="pyarrow")

@@ -1537,3 +1537,37 @@ def test_modularity_single_community_is_zero():
     rows = modularity(ed, labels).take_all()
     # all edges intra, d_sum = 2m: Q = 1e6 - 1e6 = 0
     assert len(rows) == 1 and rows[0]["q_term_e6"] == 0
+
+
+def test_greedy_coloring_proper_and_total_on_small_graph():
+    import ray.data as rd
+
+    from raygraph.ops.graph import greedy_coloring
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"),
+             ("y", "z"), ("x", "z"), ("c", "x")]
+    ed = rd.from_items([{"_from": a, "_to": b} for a, b in edges])
+    rows = {r["vertex"]: r["color"]
+            for r in greedy_coloring(ed, iters=5).take_all()}
+    # totality within 5 rounds on 7 vertices
+    assert set(rows) == {"a", "b", "c", "d", "x", "y", "z"}
+    # proper: adjacent vertices differ
+    for a, b in edges:
+        assert rows[a] != rows[b], (a, b)
+    # triangle forces 3 colors
+    assert len({rows["x"], rows["y"], rows["z"]}) == 3
+    # greedy mex keeps colors small: <= max degree + 1 = 4
+    assert max(rows.values()) <= 3
+
+
+def test_greedy_coloring_prefix_is_proper():
+    import ray.data as rd
+
+    from raygraph.ops.graph import greedy_coloring
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    ed = rd.from_items([{"_from": a, "_to": b} for a, b in edges])
+    rows = {r["vertex"]: r["color"]
+            for r in greedy_coloring(ed, iters=1).take_all()}
+    # one round colors only the local priority minimum, with color 0
+    assert len(rows) == 1 and set(rows.values()) == {0}
