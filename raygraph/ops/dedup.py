@@ -1363,8 +1363,10 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
     2. duplicated grams: one pair-hash distinct (gh, doc) exchange,
        per-gh doc counts (combiner preagg), filter >= 2 — gram-sized;
     3. one left_semi shuffle join marks duplicate occurrences;
-    4. coverage: occurrences fan out L (doc, idx) rows, pair-hash
-       distinct (overlaps collapse), per-doc counts.
+    4. coverage: ONE doc-hash exchange of the hit positions, then a
+       vectorized interval-union fold per doc (equal-length windows:
+       union = sum(min(L, gap)) over sorted distinct positions) — no
+       x L row fan-out, no (doc, idx) distinct.
 
     Returns (doc_id, n_tokens, n_dup_tokens, dup_bp) with dup_bp =
     (10000 * covered) // n_tokens (0 for empty docs).
@@ -1426,8 +1428,10 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
 
     gram_schema = pa.schema([("gh", pa.string()), ("doc", pa.int64()),
                              ("pos", pa.int64())])
-    occ = _repaired(ds.map_batches(grams, batch_format="pyarrow"),
-                    gram_schema)
+    # one materialize, not _repaired's two: grams() emits an explicit
+    # schema even for empty batches, and the all-empty case is short-
+    # circuited below before any join sees it
+    occ = ds.map_batches(grams, batch_format="pyarrow").materialize()
 
     def counts(batch: pa.Table) -> pa.Table:
         df = tok_frame(batch)
@@ -1478,29 +1482,36 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
                          how="left_semi", num_partitions=nparts),
             gram_schema)
 
-    def cover(batch: pa.Table) -> pa.Table:
-        doc = batch.column("doc").to_numpy(zero_copy_only=False)
-        pos = batch.column("pos").to_numpy(zero_copy_only=False)
-        docs = np.repeat(doc, L)
-        idx = np.repeat(pos, L) + np.tile(np.arange(L, dtype="int64"),
-                                          len(pos))
-        return pa.table({"doc": pa.array(docs, pa.int64()),
-                         "idx": pa.array(idx, pa.int64())})
+    def union_len(df: pd.DataFrame) -> pd.DataFrame:
+        # coverage = interval-union length of the [pos, pos+L) windows:
+        # with equal-length windows and sorted distinct positions the
+        # union is sum(min(L, next_pos - pos)) (+L for each doc's last
+        # position) — one vectorized pass, no x L row fan-out, no
+        # (doc, idx) distinct exchange
+        df = df.drop_duplicates().sort_values(["doc", "pos"],
+                                              kind="mergesort")
+        doc = df["doc"].to_numpy(dtype="int64")
+        pos = df["pos"].to_numpy(dtype="int64")
+        nxt = np.empty_like(pos)
+        nxt[:-1], nxt[-1] = pos[1:], pos[-1] + L
+        same = np.empty(len(pos), dtype=bool)
+        same[:-1], same[-1] = doc[1:] == doc[:-1], False
+        piece = np.where(same, np.minimum(L, nxt - pos), L)
+        out = pd.DataFrame({"doc": doc, "n_dup_tokens": piece}) \
+            .groupby("doc", as_index=False)["n_dup_tokens"].sum()
+        out["n_dup_tokens"] = out["n_dup_tokens"].astype("int64")
+        return out
 
-    cov_schema = pa.schema([("doc", pa.int64()), ("idx", pa.int64())])
     if hits.count() == 0:
         percov = rd.from_arrow(
             pa.schema([("doc", pa.int64()),
                        ("n_dup_tokens", pa.int64())]).empty_table())
     else:
-        cov = _repaired(
-            hash_aggregate(
-                hits.map_batches(cover, batch_format="pyarrow"),
-                ["doc", "idx"], lambda df: df.drop_duplicates()),
-            cov_schema)
+        # doc-hash buckets co-locate every position of a doc, so the
+        # per-bucket fold is exact; exchange = hit rows x 1, not x L
         percov = _repaired(
-            preagg_sum(cov.select_columns(["doc"]), ["doc"], {},
-                       counts="n_dup_tokens"),
+            hash_aggregate(hits.select_columns(["doc", "pos"]),
+                           ["doc"], union_len),
             pa.schema([("doc", pa.int64()),
                        ("n_dup_tokens", pa.int64())]))
 
