@@ -211,6 +211,46 @@ def main() -> None:
     timings["exact_substrings"] = _timed_min(
         lambda: D.duplicate_ngram_stats(docs(), L=8).count())
 
+    timings["bigram_perplexity"] = _timed_min(
+        lambda: T.bigram_cross_entropy(docs()).count())
+
+    def _interval_join_run() -> int:
+        import pyarrow as pa
+
+        from raygraph.ops.relational import interval_join
+
+        DAY = 86_400_000_000
+        orders = rd.read_parquet(
+            os.path.join(SF_DIR, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate"])
+        li = rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
+                             columns=["l_shipdate"])
+
+        def mk_iv(batch):
+            k = batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False)
+            keep = (k % 97) == 0
+            k = k[keep].astype("int64")
+            od = batch.column("o_orderdate").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "interval_id": pa.array(k, pa.int64()),
+                "lo": pa.array(od, pa.int64()),
+                "hi": pa.array(od + DAY * (k % 14 + 1), pa.int64()),
+            })
+
+        def mk_fact(batch):
+            return pa.table({"ts_us": batch.column("l_shipdate")
+                             .cast(pa.int64())})
+
+        return interval_join(
+            li.map_batches(mk_fact, batch_format="pyarrow"),
+            orders.map_batches(mk_iv, batch_format="pyarrow"),
+            value_col="ts_us", lo_col="lo", hi_col="hi",
+            interval_cols=["interval_id"], tile_width=7 * DAY).count()
+
+    timings["interval_join"] = _timed_min(_interval_join_run)
+
     from raygraph.ops.text import pack_sequences
 
     timings["packing"] = _timed_min(
