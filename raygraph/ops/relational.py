@@ -1698,8 +1698,8 @@ def interval_join(facts, intervals, *, value_col: str, lo_col: str,
     overlapping intervals); the residual work in that tile is the true
     output size plus same-tile misses, bounded by choosing tile_width
     ≈ interval length. For an interval side small enough to broadcast,
-    prefer :func:`broadcast_join`-style lookup instead — this plan is
-    for BOTH sides big. Empty interval side short-circuits (Ray's
+    prefer :func:`interval_join_broadcast` (no shuffle at all) — this
+    plan is for BOTH sides big. Empty interval side short-circuits (Ray's
     all-empty join sides lose their schema).
 
     Output columns: ``value_col`` + ``fact_cols`` + ``lo_col`` +
@@ -1724,11 +1724,6 @@ def interval_join(facts, intervals, *, value_col: str, lo_col: str,
         + [(c, _t(fact_schema, c)) for c in fact_cols]
         + [(lo_col, pa.int64()), (hi_col, pa.int64())]
         + [(c, _t(iv_schema, c)) for c in interval_cols])
-
-    if intervals.count() == 0 or facts.count() == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(out_schema.empty_table())
 
     def fan_intervals(batch: pa.Table) -> pa.Table:
         lo = batch.column(lo_col).cast(pa.int64()) \
@@ -1760,10 +1755,20 @@ def interval_join(facts, intervals, *, value_col: str, lo_col: str,
             cols[c] = batch.column(c)
         return pa.table(cols)
 
+    fanned = intervals.map_batches(fan_intervals,
+                                   batch_format="pyarrow") \
+        .materialize()
+    # guard the FANNED side, not the input: a non-empty interval table
+    # whose intervals are all empty/inverted still fans to zero rows,
+    # and an all-empty join side loses its schema
+    if fanned.count() == 0 or facts.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
     joined = shuffle_join(
         facts.map_batches(tag_facts, batch_format="pyarrow"),
-        intervals.map_batches(fan_intervals, batch_format="pyarrow"),
-        on="__tile", num_partitions=num_partitions)
+        fanned, on="__tile", num_partitions=num_partitions)
 
     def finish(batch: pa.Table) -> pa.Table:
         v = batch.column("__v")

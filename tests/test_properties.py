@@ -689,3 +689,47 @@ def test_hll_set_algebra_disjoint_small_intersection(ray_session):
     got = hll_set_algebra(a, b, "v").iloc[0]
     # disjoint sets: intersect estimate must be small relative to |A|
     assert abs(int(got["intersect_e4"])) < int(got["a_e4"]) * 0.5
+
+
+@given(st.lists(st.integers(0, 200), min_size=1, max_size=40),
+       st.lists(st.tuples(st.integers(0, 200), st.integers(0, 40)),
+                min_size=1, max_size=12),
+       st.sampled_from([3, 10, 50]))
+@settings(max_examples=15, deadline=None)
+def test_interval_join_matches_bruteforce(ray_session, facts, ivs,
+                                          tile_width):
+    import ray.data as rd
+
+    from raygraph.ops.relational import interval_join
+
+    fds = rd.from_items([{"v": v} for v in facts])
+    ids_ = rd.from_items([{"iid": i, "lo": lo, "hi": lo + ln}
+                          for i, (lo, ln) in enumerate(ivs)])
+    got = sorted((r["iid"], r["v"]) for r in interval_join(
+        fds, ids_, value_col="v", lo_col="lo", hi_col="hi",
+        interval_cols=["iid"], tile_width=tile_width).take_all())
+    want = sorted((i, v) for v in facts
+                  for i, (lo, ln) in enumerate(ivs)
+                  if lo <= v < lo + ln)
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9),
+                          st.integers(0, 999)),
+                min_size=1, max_size=60, unique_by=lambda t: t[2]),
+       st.integers(1, 4))
+@settings(max_examples=15, deadline=None)
+def test_topk_per_group_matches_pandas(ray_session, rows, k):
+    import ray.data as rd
+
+    from raygraph.ops.relational import topk_per_group
+
+    ds = rd.from_items([{"g": g, "v": v, "id": i}
+                        for g, v, i in rows]).repartition(3)
+    got = sorted((r["g"], r["v"], r["id"]) for r in
+                 topk_per_group(ds, ["g"], "v", k=k,
+                                tie_cols=["id"]).take_all())
+    df = pd.DataFrame(rows, columns=["g", "v", "id"]) \
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+    want = sorted(map(tuple, df.groupby("g").head(k).to_numpy()))
+    assert got == want
