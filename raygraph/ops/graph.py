@@ -1891,6 +1891,16 @@ def maximal_independent_set(edges, iters: int = 2,
             batch_format="pyarrow"),
         vx_schema)
 
+    if arcs.count() == 0:
+        # only self-loops (non-edges by spec): every vertex is
+        # independent and wins round 1 — also dodges the all-empty
+        # join-side schema loss
+        return und.map_batches(
+            lambda b: pa.table({
+                "vertex": b.column("x"),
+                "round": pa.array([1] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+
     def prio(col: pa.ChunkedArray) -> pa.Array:
         s = col.to_pandas()
         uniq = s.unique()
@@ -3472,6 +3482,16 @@ def greedy_coloring(edges, iters: int = 3,
                 pc.equal(b.column("u"), b.column("v"))).column("u")}),
             batch_format="pyarrow"),
         vx_schema)
+
+    if arcs.count() == 0:
+        # only self-loops (non-edges by spec): every vertex is
+        # isolated and takes color 0 — also dodges the all-empty
+        # join-side schema loss
+        return unc.map_batches(
+            lambda b: pa.table({
+                "vertex": b.column("x"),
+                "color": pa.array([0] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
 
     def prio(col: pa.ChunkedArray) -> pa.Array:
         s = col.to_pandas()

@@ -1571,3 +1571,19 @@ def test_greedy_coloring_prefix_is_proper():
             for r in greedy_coloring(ed, iters=1).take_all()}
     # one round colors only the local priority minimum, with color 0
     assert len(rows) == 1 and set(rows.values()) == {0}
+
+
+def test_mis_and_coloring_self_loop_only_graph():
+    import ray.data as rd
+
+    from raygraph.ops.graph import (greedy_coloring,
+                                    maximal_independent_set)
+
+    ed = rd.from_items([{"_from": "a", "_to": "a"},
+                        {"_from": "b", "_to": "b"}])
+    mis = {r["vertex"]: r["round"]
+           for r in maximal_independent_set(ed, iters=2).take_all()}
+    assert mis == {"a": 1, "b": 1}
+    col = {r["vertex"]: r["color"]
+           for r in greedy_coloring(ed, iters=2).take_all()}
+    assert col == {"a": 0, "b": 0}

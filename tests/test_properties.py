@@ -733,3 +733,20 @@ def test_topk_per_group_matches_pandas(ray_session, rows, k):
         .sort_values(["g", "v", "id"], ascending=[True, False, True])
     want = sorted(map(tuple, df.groupby("g").head(k).to_numpy()))
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_greedy_coloring_always_proper(ray_session, pairs):
+    import ray.data as rd
+
+    from raygraph.ops.graph import greedy_coloring
+
+    ed = rd.from_items([{"_from": f"v{a}", "_to": f"v{b}"}
+                        for a, b in pairs])
+    rows = {r["vertex"]: r["color"]
+            for r in greedy_coloring(ed, iters=2).take_all()}
+    for a, b in pairs:
+        if a != b and f"v{a}" in rows and f"v{b}" in rows:
+            assert rows[f"v{a}"] != rows[f"v{b}"], (a, b, rows)
