@@ -6578,6 +6578,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [{"stage": "gopher_filter"}, {"stage": "c4_filter"}])
         return staged[-1].select_columns(["doc_id", "n_chars"])
 
+    def docs_ks_test(sf_dir):
+        # Kolmogorov-Smirnov two-sample test on the en-vs-de doc
+        # length distributions: one (lang, length) value-count
+        # exchange (distinct lengths, never rows), then an exact
+        # Python-int CDF sweep on the bounded spectrum — D as the
+        # cross-multiplied integer max |c1*n2 - c2*n1| (no float CDFs)
+        docs = _docs_ds(sf_dir, columns=("lang", "n_chars"))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("lang"),
+                         value_set=pa.array(["en", "de"]))
+            t = batch.filter(m)
+            return pa.table({"lang": t.column("lang"),
+                             "x": t.column("n_chars").cast(pa.int64())})
+
+        sp = preagg_sum(docs.map_batches(keep, batch_format="pyarrow"),
+                        ["lang", "x"], {}, counts="n").to_pandas()
+        # spectrum is bounded by distinct lengths — driver-exact ints
+        w = sp.pivot_table(index="x", columns="lang", values="n",
+                           fill_value=0, aggfunc="sum").sort_index()
+        a = [int(v) for v in w.get("en", pd.Series(dtype=int))]
+        b = [int(v) for v in w.get("de", pd.Series(dtype=int))]
+        n1, n2 = sum(a), sum(b)
+        d_num, ca, cb = 0, 0, 0
+        for ai, bi in zip(a, b):
+            ca, cb = ca + ai, cb + bi
+            d_num = max(d_num, abs(ca * n2 - cb * n1))
+        return pa.table({
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "d_num": pa.array([d_num], pa.int64()),
+            "d_e6": pa.array([(1_000_000 * d_num) // (n1 * n2)
+                              if n1 and n2 else 0], pa.int64()),
+        })
+
     def docs_lang_source_mi(sf_dir):
         # mutual information between the lang and source columns (how
         # much one metadata facet predicts the other): joint counts
@@ -8444,6 +8479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_upsert": docs_upsert,
         "docs_lang_source_mi": docs_lang_source_mi,
+        "docs_ks_test": docs_ks_test,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
         "corpus_span_transitions": corpus_span_transitions,
@@ -10253,6 +10289,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN n_t na ON na.event_type = co.type_a
             JOIN n_t nb ON nb.event_type = co.type_b
             CROSS JOIN nu
+        """,
+        # KS two-sample: window CDFs, cross-multiplied integer max
+        "docs_ks_test": """
+            WITH v AS (SELECT lang, n_chars AS x FROM documents
+                       WHERE lang IN ('en', 'de')),
+            s AS (SELECT x,
+                         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                             ::BIGINT AS a,
+                         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                             ::BIGINT AS b
+                  FROM v GROUP BY x),
+            t AS (SELECT sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2
+                  FROM s),
+            c AS (SELECT x, sum(a) OVER (ORDER BY x)::HUGEINT AS ca,
+                         sum(b) OVER (ORDER BY x)::HUGEINT AS cb
+                  FROM s)
+            SELECT t.n1, t.n2,
+                   max(abs(ca * t.n2 - cb * t.n1))::BIGINT AS d_num,
+                   (1000000 * max(abs(ca * t.n2 - cb * t.n1))
+                    // (t.n1::HUGEINT * t.n2))::BIGINT AS d_e6
+            FROM c CROSS JOIN t GROUP BY t.n1, t.n2
         """,
         # MI between lang and source: per-cell e6 ln terms, exact sum
         "docs_lang_source_mi": """
