@@ -6578,6 +6578,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [{"stage": "gopher_filter"}, {"stage": "c4_filter"}])
         return staged[-1].select_columns(["doc_id", "n_chars"])
 
+    def docs_psi_drift(sf_dir):
+        # population stability index (the standard drift monitor for
+        # serving/training skew): even- vs odd-numbered sources over
+        # 10 fixed length bands, add-one smoothing so empty bins stay
+        # defined; one (grp, bin)-keyed combiner preagg (20 cells),
+        # then the exact per-bin e6 floor terms sum on the driver
+        import math
+
+        docs = _docs_ds(sf_dir, columns=("source", "n_chars"))
+
+        def cells(batch: pa.Table) -> pa.Table:
+            src = batch.column("source").to_pandas()
+            grp = (src.str[3:].astype(int) % 2).astype("int64")
+            nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+            b = np.minimum(nc // 400, 9).astype("int64")
+            df = pd.DataFrame({"grp": grp, "bin": b}) \
+                .groupby(["grp", "bin"], as_index=False).size() \
+                .rename(columns={"size": "n"})
+            df["n"] = df["n"].astype("int64")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        sp = preagg_sum(docs.map_batches(cells,
+                                         batch_format="pyarrow"),
+                        ["grp", "bin"], {"n": "n"}).to_pandas()
+        cnt = {(int(r["grp"]), int(r["bin"])): int(r["n"])
+               for _, r in sp.iterrows()}
+        n1 = sum(v for (g, _), v in cnt.items() if g == 0) + 10
+        n2 = sum(v for (g, _), v in cnt.items() if g == 1) + 10
+        rows = []
+        for b in range(10):
+            a1 = cnt.get((0, b), 0) + 1
+            b1 = cnt.get((1, b), 0) + 1
+            term = math.floor(
+                1_000_000 * (a1 / n1 - b1 / n2)
+                * math.log((a1 * n2) / (b1 * n1)))
+            rows.append((b, a1 - 1, b1 - 1, term))
+        psi = sum(t for *_, t in rows)
+        return pa.table({
+            "bin": pa.array([r[0] for r in rows], pa.int64()),
+            "n_even": pa.array([r[1] for r in rows], pa.int64()),
+            "n_odd": pa.array([r[2] for r in rows], pa.int64()),
+            "term_e6": pa.array([r[3] for r in rows], pa.int64()),
+            "psi_e6": pa.array([psi] * 10, pa.int64()),
+        })
+
     def docs_ks_test(sf_dir):
         # Kolmogorov-Smirnov two-sample test on the en-vs-de doc
         # length distributions: one (lang, length) value-count
@@ -8480,6 +8525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_upsert": docs_upsert,
         "docs_lang_source_mi": docs_lang_source_mi,
         "docs_ks_test": docs_ks_test,
+        "docs_psi_drift": docs_psi_drift,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
         "corpus_span_transitions": corpus_span_transitions,
@@ -10289,6 +10335,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN n_t na ON na.event_type = co.type_a
             JOIN n_t nb ON nb.event_type = co.type_b
             CROSS JOIN nu
+        """,
+        # PSI drift: 10 fixed bands, add-one smoothing, e6 floor terms
+        "docs_psi_drift": """
+            WITH d AS (
+              SELECT (substr(source, 4)::BIGINT % 2)::BIGINT AS grp,
+                     least(n_chars // 400, 9)::BIGINT AS bin
+              FROM documents
+            ),
+            c AS (SELECT grp, bin, count(*)::BIGINT AS n
+                  FROM d GROUP BY grp, bin),
+            bins AS (SELECT unnest(range(0, 10))::BIGINT AS bin),
+            t AS (SELECT
+                    (SELECT coalesce(sum(n), 0) FROM c WHERE grp = 0)
+                      ::BIGINT + 10 AS n1,
+                    (SELECT coalesce(sum(n), 0) FROM c WHERE grp = 1)
+                      ::BIGINT + 10 AS n2),
+            w AS (
+              SELECT b.bin,
+                     coalesce((SELECT n FROM c
+                               WHERE grp = 0 AND c.bin = b.bin), 0)
+                       ::BIGINT + 1 AS a1,
+                     coalesce((SELECT n FROM c
+                               WHERE grp = 1 AND c.bin = b.bin), 0)
+                       ::BIGINT + 1 AS b1
+              FROM bins b),
+            terms AS (
+              SELECT w.bin, w.a1 - 1 AS n_even, w.b1 - 1 AS n_odd,
+                     floor(1000000
+                           * (w.a1::DOUBLE / t.n1
+                              - w.b1::DOUBLE / t.n2)
+                           * ln((w.a1 * t.n2)::DOUBLE
+                                / (w.b1 * t.n1)))::BIGINT AS term_e6
+              FROM w CROSS JOIN t)
+            SELECT bin, n_even, n_odd, term_e6,
+                   (SELECT sum(term_e6) FROM terms)::BIGINT AS psi_e6
+            FROM terms
         """,
         # KS two-sample: window CDFs, cross-multiplied integer max
         "docs_ks_test": """
