@@ -1902,6 +1902,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_corr_bp(li.map_batches(quant, batch_format="pyarrow"),
                                ["l_returnflag"], "qty", "dollars")
 
+    def lineitem_spearman(sf_dir):
+        # Spearman rank correlation (quantity vs whole-dollar price):
+        # exact 2x midranks from the two value-count exchanges
+        # (distinct values move, never rows — the Mann-Whitney midrank
+        # idiom), rank maps broadcast once (bounded by the VALUE
+        # DOMAIN, not the row count), then the proven exact-moment
+        # Pearson fold on the rank pairs
+        import ray as _ray
+
+        from raygraph.ops.relational import grouped_corr_bp
+
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_extendedprice"])
+
+        def quant(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "x": pa.array(np.trunc(
+                    batch.column("l_quantity").to_numpy())
+                    .astype("int64")),
+                "y": pa.array(np.trunc(
+                    batch.column("l_extendedprice").to_numpy())
+                    .astype("int64")),
+            })
+
+        q = li.map_batches(quant, batch_format="pyarrow").materialize()
+
+        def rank2_map(col: str) -> dict:
+            sp = preagg_sum(q.select_columns([col]), [col], {},
+                            counts="c").to_pandas() \
+                .sort_values(col).reset_index(drop=True)
+            c = sp["c"].to_numpy(dtype="int64")
+            before = np.cumsum(c) - c
+            return dict(zip(sp[col].astype(int),
+                            (2 * before + c + 1).tolist()))
+
+        rx = _ray.put(rank2_map("x"))
+        ry = _ray.put(rank2_map("y"))
+
+        def to_ranks(batch: pa.Table) -> pa.Table:
+            mx, my = _ray.get(rx), _ray.get(ry)
+            df = batch.to_pandas()
+            return pa.table({
+                "grp": pa.array(np.zeros(len(df), dtype="int64")),
+                "r2x": pa.array(df["x"].map(mx).to_numpy(
+                    dtype="int64")),
+                "r2y": pa.array(df["y"].map(my).to_numpy(
+                    dtype="int64")),
+            })
+
+        return grouped_corr_bp(
+            q.map_batches(to_ranks, batch_format="pyarrow"),
+            ["grp"], "r2x", "r2y")
+
     def docs_boilerplate(sf_dir):
         # cross-doc boilerplate screen: per-doc fraction (exact bp) of
         # 5-gram occurrences whose 5-gram appears in ≥5 docs — exact df
@@ -8399,6 +8453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
         "lineitem_corr": lineitem_corr,
+        "lineitem_spearman": lineitem_spearman,
         "orders_zorder_tiles": orders_zorder_tiles,
         "kg_triangles": kg_triangles,
         "export_vertex_projection": export_vertex_projection,
@@ -11586,6 +11641,35 @@ def oracle_sql() -> dict[str, str]:
                     + ({T.DEFAULT_LR_WEIGHTS["n_punct"]}) * n_punct > 0
                     THEN 1 ELSE 0 END)::BIGINT AS keep
             FROM f
+        """,
+        # Spearman = Pearson on exact 2x midranks (window cum counts)
+        "lineitem_spearman": """
+            WITH q AS (
+              SELECT trunc(l_quantity)::BIGINT AS x,
+                     trunc(l_extendedprice)::BIGINT AS y
+              FROM lineitem
+            ),
+            cx AS (SELECT x, count(*)::BIGINT AS c FROM q GROUP BY x),
+            rx AS (SELECT x, (2 * (sum(c) OVER (ORDER BY x) - c)
+                              + c + 1)::BIGINT AS r2 FROM cx),
+            cy AS (SELECT y, count(*)::BIGINT AS c FROM q GROUP BY y),
+            ry AS (SELECT y, (2 * (sum(c) OVER (ORDER BY y) - c)
+                              + c + 1)::BIGINT AS r2 FROM cy),
+            r AS (SELECT 0::BIGINT AS grp, rx.r2 AS a, ry.r2 AS b
+                  FROM q JOIN rx ON rx.x = q.x JOIN ry ON ry.y = q.y),
+            m AS (SELECT grp, count(*)::HUGEINT AS n,
+                         sum(a)::HUGEINT AS sx, sum(b)::HUGEINT AS sy,
+                         sum(a * a)::HUGEINT AS sxx,
+                         sum(b * b)::HUGEINT AS syy,
+                         sum(a * b)::HUGEINT AS sxy
+                  FROM r GROUP BY grp)
+            SELECT grp, n::BIGINT AS n_rows,
+                   floor((10000 * (n * sxy - sx * sy))::DOUBLE
+                         / sqrt((n * sxx - sx * sx)::DOUBLE
+                                * (n * syy - sy * sy)::DOUBLE))::BIGINT
+                       AS corr_bp
+            FROM m
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
         "lineitem_corr": """
             WITH q AS (
