@@ -6677,6 +6677,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "psi_e6": pa.array([psi] * 10, pa.int64()),
         })
 
+    def docs_cramers_v(sf_dir):
+        # Cramér's V association between lang and source: chi-squared
+        # over the joint cells (one combiner preagg, |langs|x|sources|
+        # rows) with exact unbounded-int terms on the driver, then the
+        # normalized V — the effect-size twin of docs_lang_source_mi
+        import math
+
+        from raygraph.ops.graph import _repaired
+
+        docs = _docs_ds(sf_dir, columns=("lang", "source"))
+        cells = _repaired(
+            preagg_sum(docs, ["lang", "source"], {}, counts="n"),
+            pa.schema([("lang", pa.string()), ("source", pa.string()),
+                       ("n", pa.int64())])).to_pandas()
+        nl = cells.groupby("lang")["n"].sum()
+        ns = cells.groupby("source")["n"].sum()
+        big_n = int(cells["n"].sum())
+        chi2_e6 = 0
+        # absent cells contribute expected-count mass too: iterate the
+        # full cross product (bounded by the two category sets)
+        for lg, a in nl.items():
+            for sc, b in ns.items():
+                obs = cells.loc[(cells["lang"] == lg)
+                                & (cells["source"] == sc), "n"]
+                o = int(obs.iloc[0]) if len(obs) else 0
+                num = (o * big_n - int(a) * int(b)) ** 2
+                chi2_e6 += (1_000_000 * num) \
+                    // (big_n * int(a) * int(b))
+        k = min(len(nl) - 1, len(ns) - 1)
+        v_e6 = math.floor(1_000_000 * math.sqrt(
+            chi2_e6 / (1_000_000 * big_n * k))) if k > 0 else 0
+        return pa.table({
+            "n_docs": pa.array([big_n], pa.int64()),
+            "chi2_e6": pa.array([chi2_e6], pa.int64()),
+            "v_e6": pa.array([v_e6], pa.int64()),
+        })
+
     def docs_ks_test(sf_dir):
         # Kolmogorov-Smirnov two-sample test on the en-vs-de doc
         # length distributions: one (lang, length) value-count
@@ -8580,6 +8617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_upsert": docs_upsert,
         "docs_lang_source_mi": docs_lang_source_mi,
         "docs_ks_test": docs_ks_test,
+        "docs_cramers_v": docs_cramers_v,
         "docs_psi_drift": docs_psi_drift,
         "orders_dow_chi2": orders_dow_chi2,
         "docs_curate_quality": docs_curate_quality,
@@ -10426,6 +10464,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, n_even, n_odd, term_e6,
                    (SELECT sum(term_e6) FROM terms)::BIGINT AS psi_e6
             FROM terms
+        """,
+        # Cramér's V: full cross-product chi2 (absent cells included),
+        # HUGEINT terms, identical double sqrt
+        "docs_cramers_v": """
+            WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY lang, source),
+            l AS (SELECT lang, sum(n)::BIGINT AS a FROM c
+                  GROUP BY lang),
+            s AS (SELECT source, sum(n)::BIGINT AS b FROM c
+                  GROUP BY source),
+            tot AS (SELECT sum(n)::BIGINT AS nd FROM c),
+            x AS (SELECT l.lang, s.source, l.a, s.b,
+                         coalesce(c.n, 0)::BIGINT AS o
+                  FROM l CROSS JOIN s
+                  LEFT JOIN c ON c.lang = l.lang
+                             AND c.source = s.source),
+            chi AS (SELECT sum((1000000::HUGEINT
+                                * (o * tot.nd - a::HUGEINT * b)
+                                * (o * tot.nd - a::HUGEINT * b))
+                               // (tot.nd::HUGEINT * a * b))::BIGINT
+                           AS chi2_e6
+                    FROM x CROSS JOIN tot),
+            kk AS (SELECT least((SELECT count(*) FROM l) - 1,
+                                (SELECT count(*) FROM s) - 1)::BIGINT
+                           AS k)
+            SELECT tot.nd AS n_docs, chi.chi2_e6,
+                   CASE WHEN kk.k > 0 THEN
+                     floor(1000000 * sqrt(chi.chi2_e6::DOUBLE
+                           / (1000000::HUGEINT * tot.nd
+                              * kk.k)::DOUBLE))
+                   ELSE 0 END::BIGINT AS v_e6
+            FROM chi CROSS JOIN tot CROSS JOIN kk
         """,
         # KS two-sample: window CDFs, cross-multiplied integer max
         "docs_ks_test": """
