@@ -1053,11 +1053,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         n = _docs_count(sf_dir)
         tdir = os.path.join(_TMP, f"docs_deletes_n{n}")
-        if not os.path.exists(os.path.join(tdir, "_deletes")):
+        # sentinel written only after delete_where returns (same
+        # interrupted-first-run hazard as docs_upsert: _deletes exists
+        # before the sidecars are all committed)
+        done = os.path.join(tdir, "_deletes_done")
+        if not os.path.exists(done):
+            _sh.rmtree(tdir, ignore_errors=True)
             os.makedirs(tdir, exist_ok=True)
             _sh.copy(os.path.join(sf_dir, "documents.parquet"),
                      os.path.join(tdir, "part-0.parquet"))
             delete_where(tdir, "doc_id", "mod_eq", "7:0")
+            with open(done, "w") as f:
+                f.write("ok")
         return read_with_deletes(
             tdir, columns=["doc_id", "n_chars"])
 
@@ -1074,7 +1081,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         n = _docs_count(sf_dir)
         tdir = os.path.join(_TMP, f"docs_upsert_n{n}")
-        if not os.path.exists(os.path.join(tdir, "_deletes")):
+        # cache sentinel is written only AFTER upsert_table returns:
+        # upsert_table creates _deletes before the data-file commit, so
+        # gating on _deletes would treat an interrupted first run as
+        # complete and silently drop the upsert rows forever after
+        done = os.path.join(tdir, "_upsert_done")
+        if not os.path.exists(done):
+            _sh.rmtree(tdir, ignore_errors=True)
             os.makedirs(tdir, exist_ok=True)
             _sh.copy(os.path.join(sf_dir, "documents.parquet"),
                      os.path.join(tdir, "part-0.parquet"))
@@ -1091,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pd.concat([upd, ins], ignore_index=True),
                 preserve_index=False))
             upsert_table(tdir, updates, "doc_id")
+            with open(done, "w") as f:
+                f.write("ok")
         return read_with_deletes(
             tdir, columns=["doc_id", "text", "lang", "source",
                            "n_chars"])
@@ -2721,12 +2736,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from raygraph.ops.relational import deterministic_sample
 
         return deterministic_sample(_docs_ds(sf_dir), keep_per_mille=100)
-
-    def docs_topk_per_lang(sf_dir):
-        from raygraph.ops.relational import group_topk
-
-        ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "n_chars"))
-        return group_topk(ds, ["lang"], "n_chars", k=3, tie_col="doc_id")
 
     def docs_by_lang_source(sf_dir):
         ds = _docs_ds(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
@@ -8613,8 +8622,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_assoc_rules": events_assoc_rules,
         "events_kaplan_meier": events_kaplan_meier,
         "orders_seasonal_decomp": orders_seasonal_decomp,
-        "docs_topk_per_lang": docs_topk_per_lang,
-        "docs_upsert": docs_upsert,
         "docs_lang_source_mi": docs_lang_source_mi,
         "docs_ks_test": docs_ks_test,
         "docs_cramers_v": docs_cramers_v,
@@ -10344,16 +10351,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM up)
             UNION ALL
             SELECT * FROM up
-        """,
-        # arg-top-k per group via the ROW_NUMBER window
-        "docs_topk_per_lang": """
-            SELECT doc_id, lang, n_chars FROM (
-              SELECT doc_id, lang, n_chars,
-                     row_number() OVER (PARTITION BY lang
-                                        ORDER BY n_chars DESC, doc_id)
-                         AS rn
-              FROM documents)
-            WHERE rn <= 3
         """,
         # STL-lite: dow mean (trunc-div) + residual on exact cents
         "orders_seasonal_decomp": """

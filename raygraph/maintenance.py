@@ -530,6 +530,18 @@ def upsert_table(table_path: str, updates, key: str) -> dict:
 
         raise InvalidParameterError(
             "updates schema must match the table's columns")
+    # cast to the table's exact schema BEFORE any sidecar writes:
+    # name-only validation would let a type-mismatched updates table
+    # (e.g. string key) land verbatim, leaving the directory with
+    # mixed parquet schemas that break every later unified scan — an
+    # incompatible cast raises here instead of corrupting the table
+    try:
+        up_tbl = up_tbl.select(table_schema.names).cast(table_schema)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+        from .errors import InvalidParameterError
+
+        raise InvalidParameterError(
+            f"updates types are not castable to the table schema: {e}")
     keys = up_tbl.column(key).to_numpy(zero_copy_only=False)
     if len(np.unique(keys)) != len(keys):
         from .errors import InvalidParameterError
@@ -576,7 +588,7 @@ def upsert_table(table_path: str, updates, key: str) -> dict:
         k += 1
     final = os.path.join(table_path, f"upsert-{k:05d}.parquet")
     tmp = final + ".tmp"
-    pq.write_table(up_tbl.select(table_schema.names), tmp)
+    pq.write_table(up_tbl, tmp)
     os.replace(tmp, final)
     return {"files_marked": int((marked["n"] > 0).sum()),
             "n_replaced": n_replaced,

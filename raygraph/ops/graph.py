@@ -1754,10 +1754,13 @@ def modularity(edges, labels, src: str = "_from", dst: str = "_to"):
 
         return rd.from_arrow(out_schema.empty_table())
 
-    lu = labels.rename_columns({"vertex": "__vu", "label": "__cu"}) \
-        .materialize()
-    lv = labels.rename_columns({"vertex": "__vv", "label": "__cv"}) \
-        .materialize()
+    # materialize the partition ONCE: labels is typically the tail of a
+    # full LPA pipeline, and the three label-keyed joins below would
+    # each re-execute it from scratch otherwise (correct only because
+    # LPA is deterministic, and 3x the work either way)
+    labels = labels.materialize()
+    lu = labels.rename_columns({"vertex": "__vu", "label": "__cu"})
+    lv = labels.rename_columns({"vertex": "__vv", "label": "__cv"})
     tagged = _repaired(
         shuffle_join(
             _repaired(shuffle_join(und, lu, on="u", right_on="__vu",
@@ -1782,8 +1785,7 @@ def modularity(edges, labels, src: str = "_from", dst: str = "_to"):
         preagg_sum(
             _repaired(
                 shuffle_join(deg, labels.rename_columns(
-                    {"vertex": "__vd", "label": "community"})
-                    .materialize(),
+                    {"vertex": "__vd", "label": "community"}),
                     on="vtx", right_on="__vd",
                     num_partitions=nparts),
                 pa.schema([("vtx", pa.string()),

@@ -1025,39 +1025,64 @@ def grouped_corr_bp(ds, group_cols: Sequence[str], x_col: str, y_col: str,
 
     Inputs must already be int64 (exact units: cents/whole counts);
     callers quantize floats deterministically beforehand.
+
+    Overflow contract: per-batch moment sums are folded with Python
+    big ints (object-dtype groupby — exact at any magnitude), then
+    each moment ships the exchange as TWO int64 limbs (hi, lo) =
+    divmod(v, 2³²) summed independently and recombined with Python
+    ints at finalize. Exact while every total |moment| < 2⁹⁵ and the
+    per-group partial count < 2³¹ — e.g. rank inputs bounded by 2n
+    stay exact to n ≈ 2·10⁹ rows, vs ~1.7·10⁶ with raw int64 sums
+    (the silent-wrap regime this replaced).
     """
     import math
 
     group_cols = list(group_cols)
+    LIMB = 1 << 32
+    moment_cols = ("sx", "sy", "sxx", "syy", "sxy")
 
     def moments(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        x = df[x_col].astype("int64")
-        y = df[y_col].astype("int64")
-        df = df[group_cols].copy()
-        df["__sx"], df["__sy"] = x, y
-        df["__sxx"], df["__syy"], df["__sxy"] = x * x, y * y, x * y
-        g = df.groupby(group_cols, as_index=False).agg(
+        # object dtype = Python-int arithmetic: products and sums are
+        # exact regardless of magnitude (x·x wraps int64 at |x|>3·10⁹)
+        x = df[x_col].to_numpy(dtype="int64").astype(object)
+        y = df[y_col].to_numpy(dtype="int64").astype(object)
+        g = df[group_cols].copy()
+        g["__sx"], g["__sy"] = x, y
+        g["__sxx"], g["__syy"], g["__sxy"] = x * x, y * y, x * y
+        agg_df = g.groupby(group_cols, as_index=False).agg(
             n=("__sx", "size"), sx=("__sx", "sum"), sy=("__sy", "sum"),
             sxx=("__sxx", "sum"), syy=("__syy", "sum"),
             sxy=("__sxy", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        out = {c: pa.array(agg_df[c]) for c in group_cols}
+        out["n"] = pa.array(agg_df["n"].to_numpy(dtype="int64"))
+        for c in moment_cols:
+            hi_lo = [divmod(int(v), LIMB) for v in agg_df[c]]
+            out[c + "_hi"] = pa.array([h for h, _ in hi_lo], pa.int64())
+            out[c + "_lo"] = pa.array([l for _, l in hi_lo], pa.int64())
+        return pa.table(out)
 
+    limb_cols = ["n"] + [c + s for c in moment_cols
+                         for s in ("_hi", "_lo")]
     agg = preagg_sum(
         ds.map_batches(moments, batch_format="pyarrow"), group_cols,
-        {c: c for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+        {c: c for c in limb_cols})
     # the aggregate is groups-sized — finalize with Python big ints
     # (n·Σx² overflows int64 at scale; the oracle uses HUGEINT)
     df = agg.to_pandas()
+
+    def limb(r, c):
+        return int(r[c + "_hi"]) * LIMB + int(r[c + "_lo"])
+
     rows = []
     for _, r in df.iterrows():
         n = int(r["n"])
-        sx, sy = int(r["sx"]), int(r["sy"])
-        dx = n * int(r["sxx"]) - sx * sx
-        dy = n * int(r["syy"]) - sy * sy
+        sx, sy = limb(r, "sx"), limb(r, "sy")
+        dx = n * limb(r, "sxx") - sx * sx
+        dy = n * limb(r, "syy") - sy * sy
         if dx <= 0 or dy <= 0:
             continue
-        num = n * int(r["sxy"]) - sx * sy
+        num = n * limb(r, "sxy") - sx * sy
         bp = math.floor(float(10_000 * num)
                         / math.sqrt(float(dx) * float(dy)))
         rows.append([r[c] for c in group_cols] + [n, bp])

@@ -431,3 +431,43 @@ def test_upsert_validation(ray_session, tmp_path):
     with _pytest.raises(InvalidParameterError):
         upsert_table(tdir, rd.from_arrow(pa.table(
             {"k": pa.array([2], pa.int64())})), "k")
+
+
+def test_upsert_type_mismatch_rejected(ray_session, tmp_path):
+    # a name-compatible but type-mismatched updates table (int32 key)
+    # must raise at the cast, never land as a mixed-schema parquet file
+    import pyarrow as pa
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raygraph.maintenance import read_with_deletes, upsert_table
+
+    from raygraph.errors import InvalidParameterError
+
+    tdir = _upsert_fixture(tmp_path)
+    bad = rd.from_arrow(pa.table(
+        {"k": pa.array(["x"], pa.string()),   # not castable to int64
+         "v": pa.array(["y"])}))
+    with _pytest.raises(InvalidParameterError):
+        upsert_table(tdir, bad, "k")
+    # the table still scans cleanly end-to-end (no orphan mixed file)
+    rows = {r["k"]: r["v"] for r in read_with_deletes(tdir).take_all()}
+    assert rows[1] == "a" and len(rows) == 5
+
+
+def test_upsert_int32_key_coerced(ray_session, tmp_path):
+    # a losslessly castable updates table (int32 key, string payload)
+    # is coerced to the table schema rather than rejected
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raygraph.maintenance import read_with_deletes, upsert_table
+
+    tdir = _upsert_fixture(tmp_path)
+    updates = rd.from_arrow(pa.table(
+        {"k": pa.array([2], pa.int32()), "v": pa.array(["B"])}))
+    upsert_table(tdir, updates, "k")
+    rows = {r["k"]: r["v"] for r in read_with_deletes(tdir).take_all()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d", 5: "e"}

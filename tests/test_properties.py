@@ -750,3 +750,36 @@ def test_greedy_coloring_always_proper(ray_session, pairs):
     for a, b in pairs:
         if a != b and f"v{a}" in rows and f"v{b}" in rows:
             assert rows[f"v{a}"] != rows[f"v{b}"], (a, b, rows)
+
+
+def test_grouped_corr_bp_no_int64_wrap(ray_session):
+    # per-row x*x here is ~9e18 > int64 max: the old int64 moment fold
+    # silently wrapped (ADVICE r2); the limb-split fold must stay exact
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.relational import grouped_corr_bp
+
+    base = 3_000_000_000
+    x = [base + i for i in range(12)]
+    y = [2 * v + 7 for v in x]           # perfectly linear
+    df = pd.DataFrame({"g": ["a"] * 12, "x": x, "y": y})
+    out = grouped_corr_bp(rd.from_pandas(df).repartition(3),
+                          ["g"], "x", "y").set_index("g")
+    assert out.loc["a", "corr_bp"] == 10_000
+
+    # non-degenerate big-value case replayed with Python big ints
+    y2 = [v + (i * i) * 1_000_000 for i, v in enumerate(x)]
+    df2 = pd.DataFrame({"g": ["b"] * 12, "x": x, "y": y2})
+    out2 = grouped_corr_bp(rd.from_pandas(df2).repartition(4),
+                           ["g"], "x", "y").set_index("g")
+    n = 12
+    sx, sy = sum(x), sum(y2)
+    num = n * sum(a * b for a, b in zip(x, y2)) - sx * sy
+    dx = n * sum(a * a for a in x) - sx * sx
+    dy = n * sum(a * a for a in y2) - sy * sy
+    exp = math.floor(float(10_000 * num)
+                     / math.sqrt(float(dx) * float(dy)))
+    assert out2.loc["b", "corr_bp"] == exp
