@@ -187,42 +187,85 @@ def ngram_jaccard_topk(
     never leaves the cluster. Similarity is kept exact-integer —
     (n_inter, n_union, jaccard_bp = ⌊10^4·inter/union⌋) — so ordering
     and values are engine-independent and a SQL oracle reproduces them
-    bit-for-bit. Per-row cost is the O(tokens) C-level set intersection
-    itself (the kernel), not interpreter bookkeeping.
+    bit-for-bit. The gram inventory is a flat-array build (explode
+    tokens once, n-1 vectorized str.cat passes, one drop_duplicates —
+    the :func:`duplicate_ngram_stats` discipline), never a per-row
+    Python set build; grams stay exact STRINGS so counts match the
+    oracle with no hash-collision caveat.
     """
     import ray
 
     qset = word_ngrams(query_text, n)
     qref = ray.put(qset)
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "n_inter": pa.array([], pa.int64()),
+        "n_union": pa.array([], pa.int64()),
+        "jaccard_bp": pa.array([], pa.int64()),
+    })
 
     def partial(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         q: set = _ray.get(qref)
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        rows = []
-        for i, t in zip(ids, texts):
-            if exclude_id is not None and i == exclude_id:
-                continue
-            g = word_ngrams(t or "", n)
-            inter = len(g & q)
-            union = len(g) + len(q) - inter
-            bp = (10_000 * inter) // union if union else 10_000
-            rows.append((i, inter, union, bp))
-        rows.sort(key=lambda r: (-r[3], r[0]))
-        rows = rows[:k]
-        return pa.table({
-            id_col: pa.array([r[0] for r in rows]),
-            "n_inter": pa.array([r[1] for r in rows], pa.int64()),
-            "n_union": pa.array([r[2] for r in rows], pa.int64()),
-            "jaccard_bp": pa.array([r[3] for r in rows], pa.int64()),
-        })
+        lq = len(q)
+        ids = batch.column(id_col).to_pandas().reset_index(drop=True)
+        texts = batch.column(text_col).to_pandas().fillna("") \
+            .reset_index(drop=True)
+        if exclude_id is not None:
+            keep = (ids != exclude_id).to_numpy()
+            ids = ids[keep].reset_index(drop=True)
+            texts = texts[keep].reset_index(drop=True)
+        m = len(ids)
+        if m == 0:
+            return empty
+        toks = texts.str.split()
+        counts = toks.str.len().fillna(0).astype("int64").to_numpy()
+        frames = []
+        long = counts >= n
+        if long.any():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks[long]])
+            di = np.repeat(np.nonzero(long)[0], counts[long])
+            mt = len(flat) - n + 1
+            # a window is a real n-gram only when it stays inside one
+            # doc: one integer compare on the flat doc-index array
+            valid = di[:mt] == di[n - 1:]
+            gram = pd.Series(flat[:mt][valid])
+            for j in range(1, n):
+                gram = gram.str.cat(
+                    pd.Series(flat[j:mt + j][valid]), sep=" ")
+            frames.append(pd.DataFrame(
+                {"di": di[:mt][valid], "g": gram.to_numpy()}))
+        short = (counts > 0) & (counts < n)
+        if short.any():
+            # word_ngrams contract: a doc shorter than n tokens yields
+            # the single gram " ".join(tokens)
+            frames.append(pd.DataFrame({
+                "di": np.nonzero(short)[0],
+                "g": toks[short].str.join(" ").to_numpy()}))
+        ng = np.zeros(m, dtype="int64")
+        ni = np.zeros(m, dtype="int64")
+        if frames:
+            inv = pd.concat(frames, ignore_index=True).drop_duplicates()
+            g_cnt = inv.groupby("di").size()
+            ng[g_cnt.index.to_numpy()] = g_cnt.to_numpy()
+            hit = inv[inv["g"].isin(q)]
+            if len(hit):
+                i_cnt = hit.groupby("di").size()
+                ni[i_cnt.index.to_numpy()] = i_cnt.to_numpy()
+        union = ng + lq - ni
+        bp = np.where(union > 0,
+                      (10_000 * ni) // np.where(union > 0, union, 1),
+                      10_000)
+        out = pd.DataFrame({id_col: ids, "n_inter": ni,
+                            "n_union": union, "jaccard_bp": bp}) \
+            .sort_values(["jaccard_bp", id_col],
+                         ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     cand = ds.map_batches(partial, batch_format="pyarrow").take_all()
     cand.sort(key=lambda r: (-r["jaccard_bp"], r[id_col]))
-    import pandas as pd
-
     return pd.DataFrame(cand[:k],
                         columns=[id_col, "n_inter", "n_union", "jaccard_bp"])
 

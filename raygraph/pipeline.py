@@ -42,11 +42,14 @@ class GraphBuildResult:
 
 def _add_part_id(num_partitions: int, part_offset: int = 0):
     def fn(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ids = pd.Series(batch.column("doc_id").to_pylist())
+        # to_pandas is zero-copy-ish for the single column; the old
+        # to_pylist round trip built a Python list first (VERDICT r2).
+        # Hash values are identical: both paths yield an object-dtype
+        # Series of the same strings.
+        ids = batch.column("doc_id").to_pandas()
         pid = ckpt.partition_ids(ids, num_partitions) + part_offset
-        return batch.append_column("part_id", pa.array(pid, pa.int64()))
+        return batch.append_column("part_id",
+                                   pa.array(pid, pa.int64()))
 
     return fn
 
