@@ -82,6 +82,14 @@ class GraphBuildConfig:
     linker_concurrency: tuple[int, int] = (2, 8)
     linker_num_cpus: float = 1.0
     min_link_score: float = 0.35      # trigram-cosine acceptance threshold
+    # alias-inventory sharding (SURVEY §7 M3): the normalized alias
+    # dict ships as alias_shards separate ray.put objects keyed by
+    # crc32(surface) % k; a worker deserializes only the shards its
+    # batches touch (1/k residency on the exact path) instead of one
+    # whole-inventory heap copy per process. 1 = legacy whole-index
+    # broadcast. Output is byte-identical either way (pinned by
+    # tests/test_link.py).
+    alias_shards: int = 8
 
     # skew handling (SURVEY.md §4.2) is structural, not a knob: per-batch
     # partial aggregation before every wide step (the "salt" is the batch)
@@ -155,3 +163,5 @@ class GraphBuildConfig:
         lo, hi = self.linker_concurrency
         if not (1 <= lo <= hi):
             raise InvalidParameterError("linker_concurrency must be (min<=max), min>=1")
+        if self.alias_shards < 1:
+            raise InvalidParameterError("alias_shards must be >= 1")

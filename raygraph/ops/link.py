@@ -135,22 +135,91 @@ class EntityLinker:
     """
 
     def __init__(self, index_ref=None, aliases: dict[str, str] | None = None,
-                 min_score: float = 0.35):
+                 min_score: float = 0.35, shard_head: dict | None = None):
+        self.min_score = float(min_score)
+        self._miss_cache: dict[str, str] = {}
+        self._head = shard_head
+        if shard_head is not None:
+            # sharded path: no whole-inventory state on this worker —
+            # shards are fetched lazily per batch (SURVEY §7 M3)
+            self._idx = None
+            self.alias_map = None
+            self._res_cache: dict[str, str] = {}
+            return
         if index_ref is not None:
             import ray
 
             idx: AliasIndex = ray.get(index_ref["ref"])
         else:
             idx = AliasIndex.build(aliases or {})
-        self.min_score = float(min_score)
         self._idx = idx
         self.alias_map = idx.alias_map
-        self._miss_cache: dict[str, str] = {}
 
     # -- core -------------------------------------------------------------
+    def _link_sharded(self, norm: pd.Series) -> np.ndarray:
+        """Sharded resolution: exact lookups touch only the shards the
+        batch's surfaces hash into; fuzzy misses scan the lazily-built
+        per-shard matrices with the global-ordinal tie-break (see
+        :class:`ShardedAliasIndex` for the exact-parity argument)."""
+        head = self._head
+        k = head["n_shards"]
+        out_map: dict[str, str] = {}
+        misses: list[str] = []
+        by_shard: dict[int, list[str]] = {}
+        for u in pd.unique(norm):
+            hit = self._res_cache.get(u)
+            if hit is not None:
+                out_map[u] = hit
+            else:
+                by_shard.setdefault(
+                    zlib.crc32(u.encode()) % k, []).append(u)
+        for s, us in by_shard.items():
+            amap = _shard_payload(head["shard_refs"][s])["map"]
+            for u in us:
+                key = amap.get(u)
+                if key is not None:
+                    out_map[u] = key
+                    self._res_cache[u] = key
+                else:
+                    misses.append(u)
+        if misses:
+            idf = _head_idf(head)
+            if idf is None:
+                for u in misses:
+                    out_map[u] = self._res_cache[u] = minted_key(u)
+            else:
+                q = _trigram_rows(misses, idf)
+                best_sc = np.full(len(misses), -1.0, dtype="float32")
+                best_ord = np.full(len(misses), np.iinfo("int64").max,
+                                   dtype="int64")
+                best_key = np.empty(len(misses), dtype=object)
+                for s in range(k):
+                    mat = _shard_matrix(head, s)
+                    if not len(mat):
+                        continue
+                    sh = _shard_payload(head["shard_refs"][s])
+                    sims = q @ mat.T
+                    b = sims.argmax(axis=1)
+                    sc = sims[np.arange(len(misses)), b]
+                    ords = sh["ordinals"][b]
+                    better = (sc > best_sc) | ((sc == best_sc)
+                                               & (ords < best_ord))
+                    best_sc = np.where(better, sc, best_sc)
+                    best_ord = np.where(better, ords, best_ord)
+                    if better.any():
+                        best_key[better] = sh["keys"][b[better]]
+                for i, u in enumerate(misses):
+                    key = (str(best_key[i])
+                           if best_sc[i] >= self.min_score
+                           else minted_key(u))
+                    out_map[u] = self._res_cache[u] = key
+        return norm.map(out_map).to_numpy(dtype=object)
+
     def link_surfaces(self, surfaces: pd.Series) -> tuple[np.ndarray, pd.Series]:
         """Vectorized surface -> (entity keys, normalized surfaces)."""
         norm = normalize_surfaces(surfaces)
+        if self._head is not None:
+            return self._link_sharded(norm), norm
         keys = norm.map(self.alias_map)
         miss = keys.isna()
         if miss.any():
@@ -207,6 +276,138 @@ class EntityLinker:
         return pa.table(cols)
 
 
+class ShardedAliasIndex:
+    """Hash-sharded alias inventory — the SURVEY §7 M3 contract: the
+    normalized alias dict is split into ``n_shards`` by
+    ``crc32(norm) % n_shards``, each shard ``ray.put`` as its OWN
+    object, and a worker deserializes only the shards its batch's
+    surfaces actually hash into. The whole-index broadcast
+    (:class:`AliasIndex`) kept a per-worker-process heap copy of the
+    ENTIRE inventory (reference analog: per-consumer captured state,
+    /root/reference/src/graph_loader.rs:394-397); here exact-path
+    residency is 1/k per touched shard, and a cold shard is never
+    fetched at all.
+
+    Exact-parity contract with the whole index (pinned by
+    ``tests/test_link.py::test_sharded_vs_whole_byte_identical``):
+
+    - exact hits: the shard dicts partition ``alias_map`` — same
+      lookups, same values.
+    - fuzzy misses: IDF is GLOBAL — per-shard document-frequency
+      partials folded on first use (float32 adds of 1.0 on integer
+      partial sums are exact below 2²⁴ aliases, so shard fold order
+      can't change a bit); per-shard trigram matrices are built
+      lazily against that global IDF, and the cross-shard best is
+      combined as (max score, tie → lowest GLOBAL ordinal), which
+      replicates the whole-matrix ``argmax`` first-index rule. Equal
+      trigram vectors tie at bitwise-equal scores, so the ordinal rule
+      decides exactly as the single argmax would.
+    - fuzzy residency caveat: a miss-heavy batch still scans every
+      shard's matrix (brute-force cosine is inherently whole-inventory)
+      — shards bound the EXACT path and let the object store page the
+      fuzzy side; inventories beyond that want the LSH/IVF route
+      (``ops/ann.py``).
+    """
+
+    @staticmethod
+    def shard_of(norm_surface: str, n_shards: int) -> int:
+        return zlib.crc32(norm_surface.encode()) % n_shards
+
+    @classmethod
+    def build_head(cls, aliases: dict[str, str], n_shards: int) -> dict:
+        """Driver-side: normalize, shard, ``ray.put`` each shard.
+        Returns the HEAD — a plain dict of shard ObjectRefs (kept
+        inside a dict so Ray never eagerly resolves them as task
+        args). Per-shard payload: exact-lookup dict + alias list in
+        global insertion order + global ordinals + entity keys.
+        """
+        import ray
+
+        if aliases:
+            norm = normalize_surfaces(
+                pd.Series(list(aliases.keys()), dtype=object))
+            # same dedup rule as AliasIndex.build: first occurrence
+            # keeps the position, last occurrence keeps the value
+            norm_alias = dict(zip(norm, aliases.values()))
+        else:
+            norm_alias = {}
+        shards = [{"map": {}, "aliases": [], "keys": [], "ordinals": []}
+                  for _ in range(n_shards)]
+        for i, (a, k) in enumerate(norm_alias.items()):
+            sh = shards[zlib.crc32(a.encode()) % n_shards]
+            sh["map"][a] = k
+            sh["aliases"].append(a)
+            sh["keys"].append(k)
+            sh["ordinals"].append(i)
+        refs = []
+        for sh in shards:
+            sh["keys"] = np.array(sh["keys"], dtype=object)
+            sh["ordinals"] = np.array(sh["ordinals"], dtype="int64")
+            refs.append(ray.put(sh))
+        return {"n_shards": n_shards, "shard_refs": refs,
+                "n_aliases": len(norm_alias)}
+
+
+# Worker-process-level caches for sharded linking: payloads, lazily
+# built per-shard matrices, and the global IDF — keyed by ObjectRef
+# hex so every linker instance in the process shares one copy.
+_SHARD_PAYLOADS: dict = {}
+_SHARD_MATRICES: dict = {}
+_HEAD_IDF: dict = {}
+
+
+def _shard_payload(ref) -> dict:
+    key = ref.hex()
+    p = _SHARD_PAYLOADS.get(key)
+    if p is None:
+        import ray
+
+        p = ray.get(ref)
+        _SHARD_PAYLOADS[key] = p
+    return p
+
+
+def _head_key(head: dict) -> str:
+    return head["shard_refs"][0].hex() if head["shard_refs"] else "<empty>"
+
+
+def _head_idf(head: dict) -> np.ndarray | None:
+    """Global IDF folded from per-shard df partials (first fuzzy miss
+    pays it once per process). Exact parity with the whole-index df:
+    presence counts are integers, so the shard fold order is
+    irrelevant below 2²⁴ total aliases."""
+    key = _head_key(head)
+    if key in _HEAD_IDF:
+        return _HEAD_IDF[key]
+    df = np.zeros(TRIGRAM_DIM, dtype="float32")
+    n_alias = 0
+    for ref in head["shard_refs"]:
+        sh = _shard_payload(ref)
+        n_alias += len(sh["aliases"])
+        for a in sh["aliases"]:
+            padded = f"  {a} "
+            seen = {zlib.crc32(padded[j:j + 3].encode()) % TRIGRAM_DIM
+                    for j in range(len(padded) - 2)}
+            for h in seen:
+                df[h] += 1.0
+    idf = (np.log((1.0 + n_alias) / (1.0 + df)) + 1.0) if n_alias \
+        else None
+    _HEAD_IDF[key] = idf
+    return idf
+
+
+def _shard_matrix(head: dict, s: int) -> np.ndarray:
+    key = (_head_key(head), s)
+    m = _SHARD_MATRICES.get(key)
+    if m is None:
+        sh = _shard_payload(head["shard_refs"][s])
+        m = _trigram_rows(sh["aliases"], _head_idf(head)) \
+            if sh["aliases"] else np.zeros((0, TRIGRAM_DIM),
+                                           dtype="float32")
+        _SHARD_MATRICES[key] = m
+    return m
+
+
 # Worker-process-level linker cache for the TASK-based linking stage: a
 # plain map_batches function scales with block count (no actor-pool sizing
 # or ramp-up), and because Ray reuses worker processes, each process pays
@@ -214,23 +415,30 @@ class EntityLinker:
 _PROCESS_LINKERS: dict = {}
 
 
-def make_linker_fn(index_ref: dict, min_score: float = 0.35):
+def make_linker_fn(index_ref: dict | None, min_score: float = 0.35,
+                   shard_head: dict | None = None):
     """Stateless-task variant of the linking stage.
 
-    ``index_ref = {"ref": ray.put(AliasIndex.build(aliases))}``. The
-    returned function is a normal ``map_batches`` fn; the heavy state is
-    fetched zero-copy from the local object store and cached per worker
-    process. Prefer this over the actor-pool form when the state is a
-    read-only broadcast (the pool buys nothing and its sizing fights the
-    read/write stages for CPUs); use the ``EntityLinker`` class directly
-    as an actor pool when per-actor mutable state or GPU slots matter.
+    ``index_ref = {"ref": ray.put(AliasIndex.build(aliases))}`` for the
+    whole-index path, or ``shard_head = ShardedAliasIndex.build_head``
+    for the sharded one. The returned function is a normal
+    ``map_batches`` fn; the heavy state is fetched zero-copy from the
+    local object store and cached per worker process. Prefer this over
+    the actor-pool form when the state is a read-only broadcast (the
+    pool buys nothing and its sizing fights the read/write stages for
+    CPUs); use the ``EntityLinker`` class directly as an actor pool
+    when per-actor mutable state or GPU slots matter.
     """
 
     def link_batch(batch):
-        key = (index_ref["ref"].hex(), min_score)
+        if shard_head is not None:
+            key = ("sharded", _head_key(shard_head), min_score)
+        else:
+            key = (index_ref["ref"].hex(), min_score)
         lk = _PROCESS_LINKERS.get(key)
         if lk is None:
-            lk = EntityLinker(index_ref=index_ref, min_score=min_score)
+            lk = EntityLinker(index_ref=index_ref, min_score=min_score,
+                              shard_head=shard_head)
             _PROCESS_LINKERS[key] = lk
         return lk(batch)
 

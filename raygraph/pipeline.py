@@ -104,24 +104,36 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
 
     raw = docs.map_batches(extract_with_part, batch_format="pyarrow")
 
-    # the alias index is built ONCE on the driver and broadcast; each
-    # worker fetches it zero-copy from the object store exactly once
-    from .ops.link import AliasIndex, make_linker_fn
+    # the alias inventory is built ONCE on the driver. alias_shards > 1
+    # (default): hash-sharded ray.puts, workers fetch only the shards
+    # their batches touch (SURVEY §7 M3 — 1/k residency on the exact
+    # path); alias_shards == 1: one whole-index broadcast, fetched
+    # zero-copy once per worker. Output is byte-identical either way.
+    from .ops.link import AliasIndex, ShardedAliasIndex, make_linker_fn
 
-    index = AliasIndex.build(aliases or {})
-    index_ref = {"ref": ray.put(index)}
+    if cfg.alias_shards > 1:
+        shard_head = ShardedAliasIndex.build_head(aliases or {},
+                                                  cfg.alias_shards)
+        index_ref = None
+        ctor_kwargs = {"min_score": cfg.min_link_score,
+                       "shard_head": shard_head}
+    else:
+        shard_head = None
+        index_ref = {"ref": ray.put(AliasIndex.build(aliases or {}))}
+        ctor_kwargs = {"min_score": cfg.min_link_score,
+                       "index_ref": index_ref}
     if cfg.linker_mode == "tasks":
         # stateless tasks + per-worker-process linker cache: parallelism
         # follows block count, no pool sizing to fight the read stage
         linked = raw.map_batches(
-            make_linker_fn(index_ref, cfg.min_link_score),
+            make_linker_fn(index_ref, cfg.min_link_score,
+                           shard_head=shard_head),
             batch_format="pyarrow",
         )
     else:
         linked = raw.map_batches(
             EntityLinker,
-            fn_constructor_kwargs={"min_score": cfg.min_link_score,
-                                   "index_ref": index_ref},
+            fn_constructor_kwargs=ctor_kwargs,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.linker_concurrency,

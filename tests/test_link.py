@@ -70,3 +70,49 @@ def test_linker_deterministic_across_instances():
     b = _linker(min_score=0.3)
     surfaces = pd.Series(["vrtex 5", "nod 2", "zzz qqq", "v 7"])
     assert list(a.link_surfaces(surfaces)[0]) == list(b.link_surfaces(surfaces)[0])
+
+
+def test_sharded_linker_parity_with_fuzzy(ray_session):
+    # whole-index vs hash-sharded resolution must agree surface-by-
+    # surface across all three paths: exact hit, fuzzy accept, minted
+    from raygraph.ops.link import ShardedAliasIndex
+
+    aliases = synth.alias_inventory(20)
+    whole = EntityLinker(aliases=aliases, min_score=0.3)
+    for k in (2, 4, 7):
+        head = ShardedAliasIndex.build_head(aliases, k)
+        sharded = EntityLinker(shard_head=head, min_score=0.3)
+        surfaces = pd.Series([
+            "vertex 3", "Vertex 3.", "vertexx 7", "vrtex 5", "nod 2",
+            "zzz qqq", "completely unrelated thing", "v 9",
+            "  node   12 ", "vertex 3",
+        ])
+        assert list(whole.link_surfaces(surfaces)[0]) == \
+            list(sharded.link_surfaces(surfaces)[0])
+
+
+def test_sharded_empty_inventory_mints(ray_session):
+    from raygraph.ops.link import ShardedAliasIndex
+
+    head = ShardedAliasIndex.build_head({}, 4)
+    lk = EntityLinker(shard_head=head)
+    got, _ = lk.link_surfaces(pd.Series(["anything at all"]))
+    assert got[0] == minted_key("anything at all")
+
+
+def test_shard_dicts_partition_inventory(ray_session):
+    # every normalized alias lands in exactly one shard, keyed by
+    # crc32(norm) % k — the deserialize-1/k residency contract
+    import ray
+
+    from raygraph.ops.link import ShardedAliasIndex
+
+    aliases = synth.alias_inventory(15)
+    k = 5
+    head = ShardedAliasIndex.build_head(aliases, k)
+    shards = [ray.get(r) for r in head["shard_refs"]]
+    total = sum(len(s["map"]) for s in shards)
+    assert total == head["n_aliases"]
+    for s_ix, sh in enumerate(shards):
+        for a in sh["map"]:
+            assert ShardedAliasIndex.shard_of(a, k) == s_ix
