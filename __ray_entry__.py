@@ -980,11 +980,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_minhash_survivors(sf_dir):
         # word shingles: char 5-grams saturate on this small-vocab corpus
         # (unrelated long docs reach Jaccard ~1); word 5-windows stay
-        # discriminative, so only exact copies merge at threshold 0.99
+        # discriminative, so only exact copies merge at threshold 0.99.
+        # drop_strategy="distributed": the drop set stays a Dataset
+        # (min-label components + anti-join) — nothing driver-sized,
+        # the 100 TB route (VERDICT r2 #2)
         return D.minhash_dedup(_doubled_docs(sf_dir), threshold=0.99, bands=8,
                                shingle="word",
                                num_buckets=D.lsh_num_buckets(
-                                   2 * _docs_count(sf_dir), 8))
+                                   2 * _docs_count(sf_dir), 8),
+                               drop_strategy="distributed")
+
+    def dedup_survivors_broadcast(sf_dir):
+        # same dedup via the driver union-find + broadcast is_in filter
+        # (right while the verified-pair inventory fits the driver);
+        # row-identical to the distributed path by contract, so the two
+        # share one oracle
+        return D.minhash_dedup(_doubled_docs(sf_dir), threshold=0.99, bands=8,
+                               shingle="word",
+                               num_buckets=D.lsh_num_buckets(
+                                   2 * _docs_count(sf_dir), 8),
+                               drop_strategy="broadcast")
 
     def dedup_clusters(sf_dir):
         # duplicate-CLUSTER inventory over a TRIPLED corpus (components
@@ -8508,6 +8523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_load_all_vertices": export_load_all_vertices,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_survivors": dedup_minhash_survivors,
+        "dedup_survivors_broadcast": dedup_survivors_broadcast,
         "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_sentences": dedup_sentences,
@@ -14062,6 +14078,9 @@ def oracle_sql() -> dict[str, str]:
     # the CSV-ingest profile equals the parquet/JSONL-path profile —
     # three source formats, one oracle
     out["docs_from_csv"] = out["docs_from_jsonl"]
+    # broadcast union-find and distributed components produce identical
+    # survivor sets by contract (equivalence pytest) — one oracle
+    out["dedup_survivors_broadcast"] = out["dedup_minhash_survivors"]
     # the streaming MG fold is row-identical to the batch heavy hitters
     # (mergeable-summaries superset + shared exact verify pass)
     out["text_heavy_hitters_incremental"] = out["text_heavy_hitters"]

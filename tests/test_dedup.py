@@ -417,3 +417,46 @@ def test_duplicate_ngram_stats_layout_invariant(ray_session):
     b = duplicate_ngram_stats(rd.from_arrow(t).repartition(7), L=5) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_minhash_dedup_strategies_equivalent(ray_session):
+    # the broadcast (driver union-find) and distributed (min-label
+    # components + anti-join) drop paths must keep the SAME survivors —
+    # transitive chain 1~2~3 plus a separate pair and two singletons
+    import pandas as pd
+    import ray.data as rd
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "pack my box with five dozen liquor jugs every single day"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20, 21],
+        "text": [a, a, a + " tail", b, b,
+                 "something else entirely different here",
+                 "and one more unrelated survivor document too"],
+    })
+
+    def run(strategy):
+        out = minhash_dedup(rd.from_pandas(df).repartition(3),
+                            threshold=0.5, drop_strategy=strategy)
+        return sorted((r["doc_id"], r["text"]) for r in out.take_all())
+
+    got_b = run("broadcast")
+    got_d = run("distributed")
+    assert got_b == got_d
+    assert [i for i, _ in got_b] == [1, 10, 20, 21]
+
+
+def test_minhash_dedup_distributed_no_dups(ray_session):
+    # no verified pairs: the distributed path must pass the corpus
+    # through untouched (all-empty-join schema repair covered)
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": [5, 6],
+        "text": ["alpha beta gamma delta epsilon words here",
+                 "totally disjoint vocabulary nothing shared at all"],
+    })
+    out = minhash_dedup(rd.from_pandas(df), threshold=0.95,
+                        drop_strategy="distributed")
+    assert sorted(r["doc_id"] for r in out.take_all()) == [5, 6]
