@@ -846,6 +846,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return g.sort_values(["center", "context"]) \
             .reset_index(drop=True)
 
+    def kg_frame_triples(sf_dir):
+        # structure-driven verb-frame SVO (extract_mode=
+        # "patterns+frames", ops/extract.py — the dependency-ish rule
+        # family, VERDICT r2 Missing #3) over a richer id-derived
+        # corpus rendered into the input_hint span schema: determiner
+        # stripping, verb+preposition frames, object truncation at the
+        # first preposition, plus a pattern-table sentence proving
+        # priority inside the same mode. The oracle replays the id
+        # arithmetic directly — extraction must recover it exactly.
+        from raygraph.ops.extract import extract_triples
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def render(batch: pa.Table) -> pa.Table:
+            i = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            s = pd.Series(i).astype(str)
+            s1 = pd.Series(i + 1).astype(str)
+            s2 = pd.Series(2 * i).astype(str)
+            s7 = pd.Series(i + 7).astype(str)
+            texts = np.select(
+                [i % 5 == 0, i % 5 == 1, i % 5 == 2, i % 5 == 3],
+                ["the acme corp " + s + " acquired initech " + s1
+                 + " in 2001",
+                 "alice " + s + " works at initech " + s2,
+                 "bob " + s + " manages the carol team " + s7,
+                 "vertex " + s + " is connected to vertex " + s1 + "."],
+                default="nothing interesting here " + s)
+            n = len(i)
+            st = pa.StructArray.from_arrays(
+                [pa.array(["text"] * n), pa.array(texts, pa.string()),
+                 pa.array([""] * n),
+                 pa.array(np.zeros(n, dtype="int32"), pa.int32())],
+                names=["kind", "text", "media_ref", "offset"])
+            spans = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype="int32"), pa.int32()), st)
+            return pa.table({"doc_id": pa.array(s, pa.string()),
+                             "spans": spans})
+
+        return docs.map_batches(render, batch_format="pyarrow") \
+            .map_batches(
+                lambda b: extract_triples(b, mode="patterns+frames"),
+                batch_format="pyarrow") \
+            .select_columns(["doc_id", "subj_surface", "pred",
+                             "obj_surface"])
+
     def kg_cascade(sf_dir):
         # independent-cascade diffusion (3 top-degree seeds, p = 40%,
         # 3 rounds, md5 coins): the influence-spread evaluation kernel
@@ -8444,6 +8491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_msf": kg_msf,
         "kg_node2vec": kg_node2vec,
         "kg_cascade": kg_cascade,
+        "kg_frame_triples": kg_frame_triples,
         "kg_skipgram_pairs": kg_skipgram_pairs,
         "kg_vertex_cover": kg_vertex_cover,
         "kg_components": kg_components,
@@ -10004,6 +10052,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),
         "kg_cascade": _cascade_sql(kg_edges_sql, n_seeds=3, p_pct=40,
                                    rounds=3),
+        # verb-frame extraction fidelity: the oracle replays the
+        # id-derived sentence shapes directly — the Ray side must
+        # recover them through tokenization + frame rules exactly
+        "kg_frame_triples": """
+            SELECT doc_id::VARCHAR AS doc_id,
+                   'acme corp ' || doc_id AS subj_surface,
+                   'acquired' AS pred,
+                   'initech ' || (doc_id + 1) AS obj_surface
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id::VARCHAR, 'alice ' || doc_id, 'works_at',
+                   'initech ' || (2 * doc_id)
+            FROM documents WHERE doc_id % 5 = 1
+            UNION ALL
+            SELECT doc_id::VARCHAR, 'bob ' || doc_id, 'manages',
+                   'carol team ' || (doc_id + 7)
+            FROM documents WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id::VARCHAR, 'vertex ' || doc_id, 'connected_to',
+                   'vertex ' || (doc_id + 1)
+            FROM documents WHERE doc_id % 5 = 3
+        """,
         # Gavril 2-approx vertex cover = matched endpoints
         "kg_vertex_cover": (
             "SELECT DISTINCT vertex FROM ("

@@ -75,6 +75,11 @@ class GraphBuildConfig:
 
     # extraction / linking
     batch_size: int = 4096            # span-heavy rows: smaller than ref's 100k
+    # "patterns" — anchored pattern table only (reference-fixture
+    # semantics); "patterns+frames" — adds the structure-driven
+    # verb-frame SVO family on pattern-miss spans (ops/extract.py,
+    # golden-gated at P/R >= 0.95 in tests/test_extract.py)
+    extract_mode: str = "patterns"
     # "tasks": stateless map_batches + per-worker cached broadcast linker
     # (default — scales with block count); "actors": explicit actor pool
     # sized by linker_concurrency (for mutable per-actor state / GPUs)
@@ -165,3 +170,7 @@ class GraphBuildConfig:
             raise InvalidParameterError("linker_concurrency must be (min<=max), min>=1")
         if self.alias_shards < 1:
             raise InvalidParameterError("alias_shards must be >= 1")
+        if self.extract_mode not in ("patterns", "patterns+frames"):
+            raise InvalidParameterError(
+                "extract_mode must be one of patterns|patterns+frames"
+            )

@@ -1785,8 +1785,12 @@ def interval_join(facts, intervals, *, value_col: str, lo_col: str,
         .materialize()
     # guard the FANNED side, not the input: a non-empty interval table
     # whose intervals are all empty/inverted still fans to zero rows,
-    # and an all-empty join side loses its schema
-    if fanned.count() == 0 or facts.count() == 0:
+    # and an all-empty join side loses its schema. compact_nonempty
+    # additionally drops MIXED-layout empty blocks (a mostly-empty
+    # interval table fans some blocks to zero rows; a join partition
+    # assembled only from those loses __tile — hypothesis-found)
+    fanned = compact_nonempty(fanned)
+    if fanned is None or facts.count() == 0:
         import ray.data as rd
 
         return rd.from_arrow(out_schema.empty_table())

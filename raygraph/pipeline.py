@@ -97,7 +97,7 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
     def extract_with_part(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        out = extract_triples(batch)
+        out = extract_triples(batch, mode=cfg.extract_mode)
         ids = out.column("doc_id").to_pandas()
         pid = ckpt.partition_ids(ids, cfg.num_partitions) + cfg.part_offset
         return out.append_column("part_id", pa.array(pid, pa.int64()))

@@ -215,3 +215,70 @@ def test_caption_context_pairs_latest_preceding_text():
     assert rows["m1"][2] is None
     assert rows["m2"] == ("doc/1", "cap2", "late")
     assert len(out) == 3
+
+
+# ---- verb-frame (dependency-ish) family, golden-gated -----------------
+
+FRAME_FIXTURE = [
+    # (text, golden triple or None)
+    ("the acme corp acquired initech in 2001",
+     ("acme corp", "acquired", "initech")),
+    ("alice works at initech", ("alice", "works_at", "initech")),
+    ("bob manages the carol team", ("bob", "manages", "carol team")),
+    ("a small startup employs dana", ("small startup", "employs", "dana")),
+    ("erin reports to frank", ("erin", "reports_to", "frank")),
+    ("grace lives in springfield since 1999",
+     ("grace", "lives_in", "springfield")),
+    ("henry founded the iris lab", ("henry", "founded", "iris lab")),
+    ("the ceo of acme manages bob", ("ceo of acme", "manages", "bob")),
+    ("utah borders nevada.", ("utah", "borders", "nevada")),
+    ("ivan works with telescopes", None),        # no frame for (works, with)
+    ("nothing interesting here at all", None),   # no head verb
+    ("manages", None),                           # verb only, no chunks
+    ("acquired initech", None),                  # verb-initial: no subject
+    ("the team manages", None),                  # verb-final: no object
+    # pattern table keeps priority inside the same mode
+    ("x is connected to y.", ("x", "connected_to", "y")),
+]
+
+
+def test_frame_extraction_golden_pr():
+    """P/R >= 0.95 gate on the extended fixture (exact golden replay —
+    P = R = 1.0 by construction, gated at the SURVEY §5 bar)."""
+    rows = [{"doc_id": f"d{i}",
+             "spans": [{"kind": "text", "text": text,
+                        "media_ref": "", "offset": 0}]}
+            for i, (text, _) in enumerate(FRAME_FIXTURE)]
+    t = pa.Table.from_pylist(rows, schema=DOCUMENT_SCHEMA)
+    got = extract_triples(t, mode="patterns+frames")
+    got_set = set(zip(got.column("subj_surface").to_pylist(),
+                      got.column("pred").to_pylist(),
+                      got.column("obj_surface").to_pylist()))
+    golden = {g for _, g in FRAME_FIXTURE if g is not None}
+    tp = len(got_set & golden)
+    precision = tp / len(got_set) if got_set else 1.0
+    recall = tp / len(golden)
+    assert precision >= 0.95 and recall >= 0.95, (got_set, golden)
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_frames_off_by_default():
+    # default mode must not emit frame triples (pipeline bit-stability)
+    t = _doc("d", [{"kind": "text", "text": "alice works at initech",
+                    "media_ref": "", "offset": 0}])
+    assert extract_triples(t).num_rows == 0
+    assert extract_triples(t, mode="patterns+frames").num_rows == 1
+
+
+def test_frame_conf_and_lineage():
+    t = _doc("d9", [
+        {"kind": "text", "text": "filler span with no relation",
+         "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "bob manages carol",
+         "media_ref": "", "offset": 1},
+    ])
+    got = extract_triples(t, mode="patterns+frames").to_pylist()
+    assert len(got) == 1
+    r = got[0]
+    assert r["doc_id"] == "d9" and r["span_idx"] == 1
+    assert abs(r["conf"] - 0.70) < 1e-6
