@@ -181,7 +181,17 @@ def _project_batch(
                     cn = pa.array([MISSING_ID_COLLECTION] * n, pa.string())
                 cols[COLLECTION_NAME_FIELD] = cn
             elif f in batch.schema.names:
-                cols[f] = batch.column(f)
+                col = batch.column(f)
+                want = field_types.get(f)
+                if want is not None and col.type != want:
+                    # heterogeneous union rule: the FIRST collection
+                    # declaring the field wins the type; siblings cast
+                    # to it (a non-castable value raises loudly rather
+                    # than emitting a mixed-schema union). Pinned by
+                    # tests/test_exporter.py::test_heterogeneous_union_
+                    # first_declarer_type_wins.
+                    col = pc.cast(col, want)
+                cols[f] = col
             else:
                 # absent field → null (M5), typed like the sibling
                 # collection that has it (string when nobody does)

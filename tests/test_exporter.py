@@ -343,3 +343,61 @@ def test_callbacks_run_concurrently(db_dir):
         f"IntegrationTestVertex/{i}".encode() for i in range(10)
     )
     assert len(seen_threads) > 1
+
+
+def test_heterogeneous_union_first_declarer_type_wins(tmp_path):
+    """Same field, int64 in one collection, string in the other: the
+    FIRST collection declaring the field wins the union type and the
+    sibling's values cast to it (documented in exporter._project_batch
+    / _union_field_types; VERDICT r2 next-round #8)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = str(tmp_path)
+    pq.write_table(
+        pa.table({"_id": ["A/1"], "w": pa.array([7], pa.int64())}),
+        f"{db}/A.parquet",
+    )
+    pq.write_table(
+        pa.table({"_id": ["B/1"], "w": pa.array(["5"], pa.string())}),
+        f"{db}/B.parquet",
+    )
+    # A first: int64 wins, B's "5" casts to 5
+    loader = load_custom_graph(
+        db, [CollectionInfo("A", ("w",)), CollectionInfo("B", ("w",))], []
+    )
+    ds = loader.vertex_dataset()
+    assert dict(zip(ds.schema().names, ds.schema().types))["w"] == pa.int64()
+    rows = {r["_id"]: r["w"] for r in ds.take_all()}
+    assert rows == {"A/1": 7, "B/1": 5}
+
+    # B first: string wins, A's 7 casts to "7"
+    loader = load_custom_graph(
+        db, [CollectionInfo("B", ("w",)), CollectionInfo("A", ("w",))], []
+    )
+    ds = loader.vertex_dataset()
+    assert dict(zip(ds.schema().names, ds.schema().types))["w"] == pa.string()
+    rows = {r["_id"]: r["w"] for r in ds.take_all()}
+    assert rows == {"A/1": "7", "B/1": "5"}
+
+
+def test_heterogeneous_union_uncastable_raises(tmp_path):
+    """A sibling value the winner type cannot represent fails LOUDLY
+    (never a silent mixed-schema union)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    db = str(tmp_path)
+    pq.write_table(
+        pa.table({"_id": ["A/1"], "w": pa.array([7], pa.int64())}),
+        f"{db}/A.parquet",
+    )
+    pq.write_table(
+        pa.table({"_id": ["B/1"], "w": pa.array(["abc"], pa.string())}),
+        f"{db}/B.parquet",
+    )
+    loader = load_custom_graph(
+        db, [CollectionInfo("A", ("w",)), CollectionInfo("B", ("w",))], []
+    )
+    with pytest.raises(Exception, match="abc|convert|Cast|cast"):
+        loader.vertex_dataset().take_all()
