@@ -893,6 +893,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "subj_surface", "pred",
                              "obj_surface"])
 
+    def kg_frame_edges(sf_dir):
+        # the verb-frame family through the FULL pipeline (extract →
+        # link → canonicalize → materialize): a frame-shaped corpus is
+        # rendered once to /tmp (id-derived), build_graph runs with
+        # extract_mode="patterns+frames" and an exact alias inventory,
+        # and the emitted edge table must equal the oracle's replay of
+        # the same id arithmetic
+        from raygraph.config import GraphBuildConfig
+        from raygraph.pipeline import build_graph
+        from raygraph.schemas import DOCUMENT_SCHEMA
+
+        n = _docs_count(sf_dir)
+        m = max(2, min(n // 10, 1000))
+        key = ("kg_frames", n)
+        if key not in _CACHE:
+            cdir = os.path.join(_TMP, f"frame_corpus_n{n}")
+            done = os.path.join(cdir, "_done")
+            if not os.path.exists(done):
+                import shutil as _sh
+
+                _sh.rmtree(cdir, ignore_errors=True)
+                os.makedirs(cdir, exist_ok=True)
+                i = np.arange(n, dtype="int64")
+                a = pd.Series(i % m).astype(str)
+                b = pd.Series((i * 7 + 1) % m).astype(str)
+                texts = np.select(
+                    [i % 3 == 0, i % 3 == 1],
+                    ["the alpha team " + a + " acquired beta labs "
+                     + b + " in 2001",
+                     "alpha team " + a + " works at beta labs " + b],
+                    default="noise sentence nothing here "
+                    + pd.Series(i).astype(str))
+                rows = [{"doc_id": f"f{k}",
+                         "spans": [{"kind": "text", "text": t,
+                                    "media_ref": "", "offset": 0}]}
+                        for k, t in enumerate(texts)]
+                pq.write_table(
+                    pa.Table.from_pylist(rows, schema=DOCUMENT_SCHEMA),
+                    os.path.join(cdir, "docs.parquet"))
+                with open(done, "w") as f:
+                    f.write("ok")
+            aliases = {}
+            for k in range(m):
+                aliases[f"alpha team {k}"] = f"alpha_{k}"
+                aliases[f"beta labs {k}"] = f"beta_{k}"
+            cfg = GraphBuildConfig(
+                input_path=cdir,
+                output_path=os.path.join(_TMP, f"kg_frames_n{n}"),
+                num_partitions=8,
+                linker_concurrency=(1, 4),
+                extract_mode="patterns+frames",
+            )
+            _CACHE[key] = build_graph(cfg, aliases=aliases)
+        t = pq.ParquetDataset(_CACHE[key].edges_path).read()
+        return t.select(["_from", "pred", "_to"])
+
     def kg_cascade(sf_dir):
         # independent-cascade diffusion (3 top-degree seeds, p = 40%,
         # 3 rounds, md5 coins): the influence-spread evaluation kernel
@@ -8492,6 +8548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node2vec": kg_node2vec,
         "kg_cascade": kg_cascade,
         "kg_frame_triples": kg_frame_triples,
+        "kg_frame_edges": kg_frame_edges,
         "kg_skipgram_pairs": kg_skipgram_pairs,
         "kg_vertex_cover": kg_vertex_cover,
         "kg_components": kg_components,
@@ -10052,6 +10109,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec": _node2vec_sql(kg_edges_sql, n_seeds=5, hops=3),
         "kg_cascade": _cascade_sql(kg_edges_sql, n_seeds=3, p_pct=40,
                                    rounds=3),
+        # verb-frame family through the full pipeline: corpus row k
+        # carries frame shape k % 3 over entity indices (k % m,
+        # (k*7+1) % m); the edge table is the distinct (s, p, o) set
+        "kg_frame_edges": """
+            WITH p AS (SELECT count(*)::BIGINT AS n FROM documents),
+                 mm AS (SELECT greatest(2, least(n // 10, 1000)) AS m
+                        FROM p),
+                 idx AS (SELECT row_number() OVER () - 1 AS i
+                         FROM documents),
+                 d AS (SELECT i, (i % mm.m) AS a,
+                              ((i * 7 + 1) % mm.m) AS b
+                       FROM idx, mm)
+            SELECT DISTINCT 'entities/alpha_' || a AS _from,
+                   'acquired' AS pred,
+                   'entities/beta_' || b AS _to
+            FROM d WHERE i % 3 = 0
+            UNION
+            SELECT DISTINCT 'entities/alpha_' || a, 'works_at',
+                   'entities/beta_' || b
+            FROM d WHERE i % 3 = 1
+        """,
         # verb-frame extraction fidelity: the oracle replays the
         # id-derived sentence shapes directly — the Ray side must
         # recover them through tokenization + frame rules exactly

@@ -52,6 +52,8 @@ def cmd_build(args) -> int:
         vertex_collection=args.vertex_collection,
         edge_collection=args.edge_collection,
         canon_strategy=args.canon_strategy,
+        extract_mode=args.extract_mode,
+        alias_shards=args.alias_shards,
     )
     aliases = None
     if args.aliases:
@@ -313,6 +315,14 @@ def main(argv=None) -> int:
     b.add_argument("--edge-collection", default="relations")
     b.add_argument("--canon-strategy", choices=("driver", "distributed"),
                    default="driver")
+    b.add_argument("--extract-mode",
+                   choices=("patterns", "patterns+frames"),
+                   default="patterns",
+                   help="add the verb-frame SVO family on pattern-miss "
+                        "spans")
+    b.add_argument("--alias-shards", type=int, default=8,
+                   help="hash-shard count for the alias inventory "
+                        "(1 = whole-index broadcast)")
     b.add_argument("--num-cpus", type=int)
     b.set_defaults(fn=cmd_build)
 
