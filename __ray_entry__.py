@@ -4243,6 +4243,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct(ev, ["event_type"], "user_id")
 
+    def events_kmv_users(sf_dir):
+        # the bottom-k counterpart: k int64 hashes per group instead of
+        # 64 HLL registers, and the sketch doubles as a coordinated
+        # distinct-value sample; integer spec ⇒ bit-for-bit SQL replay
+        from raygraph.ops.sketch import kmv_distinct
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "user_id"])
+        return kmv_distinct(ev, ["event_type"], "user_id", k=32)
+
     # ---- embeddings / ANN ------------------------------------------------
     def ann_top10(sf_dir):
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -5286,6 +5296,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         vocab = build_vocab(_docs_ds(sf_dir), size=64)
         return encode_tokens(_docs_ds(sf_dir), vocab)
+
+    def _docs_labeled(sf_dir):
+        # id-derived 3-class labels (the synthetic corpus carries no
+        # quality label; the injection discipline replays doc_id % 3
+        # identically in the SQL oracle)
+        def add_label(batch):
+            did = batch.column("doc_id").to_pandas()
+            lbl = "c" + (did % 3).astype(str)
+            return batch.append_column("label",
+                                       pa.array(lbl.tolist(), pa.string()))
+
+        return _docs_ds(sf_dir).map_batches(add_label,
+                                            batch_format="pyarrow")
+
+    def docs_nb_model(sf_dir):
+        # fastText-style curation classifier FIT: one vocab-bounded
+        # (label, token) combiner exchange; the returned model is the
+        # 256×3 smoothed log-likelihood grid (exact int64 ×1e6)
+        from raygraph.ops.classify import nb_fit
+
+        ll, _pr, _v = nb_fit(_docs_labeled(sf_dir), vocab_size=256)
+        return ll.sort_values(["label", "token"]).reset_index(drop=True)
+
+    def docs_nb_pred(sf_dir):
+        # ... and SCORE: the (V × C) int64 matrix rides the task
+        # closure; per-batch one token explode + np.add.at gather-sum,
+        # zero shuffle; argmax tie → label ASC
+        from raygraph.ops.classify import nb_fit, nb_score
+
+        labeled = _docs_labeled(sf_dir)
+        ll, pr, _v = nb_fit(labeled, vocab_size=256)
+        return nb_score(_docs_ds(sf_dir), ll, pr)
 
     def tpch_q9_profit(sf_dir):
         # Q9 (product-type profit, partsupp-free form): revenue by
@@ -8870,6 +8912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": docs_stratified_sample,
         "lineitem_range_tiles": lineitem_range_tiles,
         "docs_vocab_encode": docs_vocab_encode,
+        "docs_nb_model": docs_nb_model,
+        "docs_nb_pred": docs_nb_pred,
         "events_pivot_types": events_pivot_types,
         "events_unpivot": events_unpivot,
         "docs_lang_share": docs_lang_share,
@@ -8877,6 +8921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events_distinct_users,
         "events_distinct_users_incremental": events_distinct_users_incremental,
         "events_approx_users": events_approx_users,
+        "events_kmv_users": events_kmv_users,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "ann_ivf_persisted": ann_ivf_persisted,
@@ -9905,6 +9950,53 @@ _TOKS_CTE = """
 """
 
 
+# Naive Bayes shared CTE chain: parity tokens → id-derived labels →
+# top-256 vocab (count DESC, token ASC) → dense class×vocab count grid
+# → per-cell floor(1e6·ln) smoothed log-likelihoods. MATERIALIZED on
+# the multiply-referenced CTEs (DuckDB inlines CTEs; see the MSF
+# oracle note).
+_NB_CTE = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+             END AS toks
+      FROM documents
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id, toks, 'c' || CAST(doc_id % 3 AS VARCHAR) AS label
+      FROM t
+    ),
+    alltok AS (SELECT label, unnest(toks) AS tok FROM lab),
+    vocab AS MATERIALIZED (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC)
+               AS rn
+        FROM alltok GROUP BY tok
+      ) WHERE rn <= 256
+    ),
+    vn AS (SELECT count(*) AS V FROM vocab),
+    c AS (
+      SELECT a.label, a.tok, count(*)::BIGINT AS c
+      FROM alltok a JOIN vocab v ON v.tok = a.tok
+      GROUP BY a.label, a.tok
+    ),
+    grid AS MATERIALIZED (
+      SELECT l.label, vb.tok AS token, coalesce(c.c, 0)::BIGINT AS c
+      FROM (SELECT DISTINCT label FROM lab) l
+      CROSS JOIN vocab vb
+      LEFT JOIN c ON c.label = l.label AND c.tok = vb.tok
+    ),
+    tt AS (SELECT label, sum(c) AS T FROM grid GROUP BY label),
+    ll AS MATERIALIZED (
+      SELECT g.label, g.token, g.c,
+             floor(1000000 * ln((g.c + 1)::DOUBLE
+                   / (tt.T + vn.V)))::BIGINT AS ll_e6
+      FROM grid g JOIN tt ON tt.label = g.label CROSS JOIN vn
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from raygraph.ops import text as T
     from raygraph.ops.text import STOPWORDS
@@ -10436,6 +10528,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.token, d.n_docs
         """,
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
+        # KMV bottom-k estimator recomputed term for term: same md5-60bit
+        # value hash, row_number over hash order picks h_(k), HUGEINT
+        # floor divide mirrors Python // on positive ints
+        "events_kmv_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS h
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM h
+            )
+            SELECT event_type,
+                   (CASE WHEN max(nd) < 32 THEN max(nd)
+                         ELSE (31::HUGEINT * (1::HUGEINT << 60))
+                              // max(CASE WHEN rn = 32 THEN h END)
+                    END)::BIGINT AS approx_n
+            FROM r GROUP BY event_type
+        """,
         "docs_rollup": """
             SELECT lang, source, count(*)::BIGINT AS n_docs
             FROM documents GROUP BY ROLLUP(lang, source)
@@ -11234,6 +11350,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(v.token_id), 0)::BIGINT AS sum_ids
             FROM u LEFT JOIN v ON u.token = v.token
             GROUP BY u.doc_id
+        """,
+        # Naive Bayes fit: the 256×3 smoothed-log-likelihood grid
+        # recomputed term for term (per-cell floor(1e6·ln) — the
+        # per-term-floor idiom; T sums only vocab-token counts)
+        "docs_nb_model": _NB_CTE + """
+            SELECT label, token, c, ll_e6 FROM ll
+        """,
+        # ... and score: per-doc Σ of the independently floored cell
+        # values + floored prior; argmax tie → label ASC
+        "docs_nb_pred": _NB_CTE + """
+            , prior AS (
+                SELECT label,
+                       floor(1000000 * ln(count(*)::DOUBLE
+                             / (SELECT count(*) FROM lab)))::BIGINT AS pr
+                FROM lab GROUP BY label
+            ),
+            dtok AS (SELECT doc_id, unnest(toks) AS tok FROM lab),
+            tsum AS (
+                SELECT d.doc_id, ll.label, sum(ll.ll_e6) AS ts
+                FROM dtok d JOIN ll ON ll.token = d.tok
+                GROUP BY d.doc_id, ll.label
+            ),
+            scores AS (
+                SELECT b.doc_id, p.label, p.pr + coalesce(ts.ts, 0) AS sc
+                FROM (SELECT DISTINCT doc_id FROM lab) b
+                CROSS JOIN prior p
+                LEFT JOIN tsum ts
+                  ON ts.doc_id = b.doc_id AND ts.label = p.label
+            )
+            SELECT doc_id, label AS pred, sc::BIGINT AS score_e6
+            FROM (SELECT doc_id, label, sc,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY sc DESC, label ASC) AS rn
+                  FROM scores)
+            WHERE rn = 1
         """,
         "lineitem_range_tiles": """
             WITH c AS (

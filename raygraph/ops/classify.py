@@ -1,0 +1,166 @@
+"""Distributed multinomial Naive Bayes text classifier (fit + score).
+
+The standard data-curation quality classifier (the fastText-style
+"wiki-vs-crawl" gate of CCNet / GPT-3 / LLaMA data pipelines,
+Joulin et al. 2016 "Bag of Tricks for Efficient Text Classification"),
+re-expressed Ray-Data-first with this repo's exact-integer oracle
+contract:
+
+* tokens   — lowercased whitespace tokens (the ``_TOKS_CTE`` parity
+  tokenizer used across the text ops);
+* vocab    — top-``vocab_size`` corpus tokens by frequency (ties →
+  token ASC), i.e. :func:`raygraph.ops.text.build_vocab`; out-of-vocab
+  tokens are ignored at fit AND score time, which is what bounds the
+  model at ``vocab_size × n_classes`` no matter the corpus;
+* fit      — per-batch token-count partials → one ``preagg_sum``
+  exchange keyed (label, token): the only thing shuffled is the
+  vocab-bounded count table, never documents;
+* model    — add-one-smoothed log-likelihoods as exact int64:
+  ``ll_e6 = floor(1e6 * ln((c + 1) / (T + V)))`` per (label, token)
+  and ``prior_e6 = floor(1e6 * ln(n_label / N))`` per label, each
+  term floored INDEPENDENTLY before any summation (the repo's proven
+  per-term-floor-then-integer-sum idiom), so a DuckDB oracle replays
+  the scores bit for bit;
+* score    — the model is a (V × C) int64 matrix riding the task
+  closure (broadcast once per worker); scoring a batch is one token
+  explode + one ``np.add.at`` gather-sum — no shuffle at all. Predicted
+  class = argmax(score), ties → lexicographically smallest label
+  (np.argmax first-max over label-ASC columns == SQL
+  ``ORDER BY score DESC, label ASC``).
+
+Scale shape: fit moves O(vocab × classes) rows through one combiner
+exchange; score is embarrassingly parallel with a constant broadcast.
+Reference analog: the per-consumer projection/validation stage of
+arangors-graph-exporter (src/graph_loader.rs:394-462) — stateful
+per-batch transform with a small captured table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE_E6 = 1_000_000
+
+
+def nb_fit(ds, label_col: str = "label", text_col: str = "text",
+           vocab_size: int = 256):
+    """Fit the classifier; returns ``(ll_df, priors_df, vocab_df)``.
+
+    ``ll_df``:     (label, token, ll_e6) — one row per class × vocab
+                   token, including zero-count (smoothed-only) cells.
+    ``priors_df``: (label, prior_e6, n_docs).
+    ``vocab_df``:  build_vocab's (token, token_id, n).
+
+    All three are vocab/class-bounded driver frames (the broadcast
+    small side); documents never leave the cluster.
+    """
+    from .relational import preagg_sum
+    from .text import build_vocab
+
+    vocab = build_vocab(ds, size=vocab_size, text_col=text_col)
+    vset = set(vocab["token"])
+
+    def label_token_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        labels = batch.column(label_col).to_pandas()
+        toks = s.str.strip().str.lower().str.split()
+        ex = pd.DataFrame({
+            "label": labels.repeat(
+                toks.str.len().fillna(0).astype(int)).values,
+            "token": toks.explode().dropna().values,
+        })
+        ex = ex[ex["token"].isin(vset)]
+        g = ex.groupby(["label", "token"], as_index=False).size() \
+              .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def label_doc_counts(batch: pa.Table) -> pa.Table:
+        g = (batch.to_pandas().groupby(label_col, as_index=False).size()
+             .rename(columns={"size": "n_docs", label_col: "label"}))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = preagg_sum(
+        ds.map_batches(label_token_counts, batch_format="pyarrow"),
+        ["label", "token"], {"c": "c"}).to_pandas()
+    docs = preagg_sum(
+        ds.map_batches(label_doc_counts, batch_format="pyarrow"),
+        ["label"], {"n_docs": "n_docs"}).to_pandas()
+
+    V = len(vocab)
+    n_total = int(docs["n_docs"].sum())
+    labels = sorted(docs["label"].tolist())
+
+    # dense (label × vocab) grid so zero-count cells carry the smoothed
+    # log-likelihood too — exactly the oracle's CROSS JOIN grid
+    grid = pd.MultiIndex.from_product(
+        [labels, vocab["token"].tolist()], names=["label", "token"]
+    ).to_frame(index=False)
+    grid = grid.merge(counts, on=["label", "token"], how="left")
+    grid["c"] = grid["c"].fillna(0).astype("int64")
+    totals = grid.groupby("label")["c"].sum().to_dict()
+    grid["ll_e6"] = [
+        math.floor(SCALE_E6 * math.log((int(c) + 1) /
+                                       (int(totals[lb]) + V)))
+        for lb, c in zip(grid["label"], grid["c"])
+    ]
+    grid["ll_e6"] = grid["ll_e6"].astype("int64")
+
+    priors = docs.sort_values("label").reset_index(drop=True)
+    priors["prior_e6"] = [
+        math.floor(SCALE_E6 * math.log(int(n) / n_total))
+        for n in priors["n_docs"]
+    ]
+    priors["prior_e6"] = priors["prior_e6"].astype("int64")
+    return (grid[["label", "token", "c", "ll_e6"]],
+            priors[["label", "prior_e6", "n_docs"]], vocab)
+
+
+def nb_score(ds, ll_df: pd.DataFrame, priors_df: pd.DataFrame,
+             text_col: str = "text", id_col: str = "doc_id"):
+    """Score every document; returns a Dataset of
+    (id_col, pred, score_e6) with the exact-int64 winning score.
+
+    The (V × C) log-likelihood matrix and C-vector of priors ride the
+    task closure — broadcast once per worker, gathered per batch with
+    one vectorized ``np.add.at``. Zero-token docs score prior-only.
+    """
+    labels = sorted(priors_df["label"].tolist())
+    lidx = {lb: i for i, lb in enumerate(labels)}
+    tokens = ll_df["token"].unique().tolist()
+    tidx = {t: i for i, t in enumerate(tokens)}
+    L = np.zeros((len(tokens), len(labels)), dtype=np.int64)
+    L[ll_df["token"].map(tidx).to_numpy(),
+      ll_df["label"].map(lidx).to_numpy()] = ll_df["ll_e6"].to_numpy()
+    pr = (priors_df.set_index("label").loc[labels, "prior_e6"]
+          .to_numpy().astype(np.int64))
+    label_arr = np.array(labels, dtype=object)
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        n = len(s)
+        toks = s.str.strip().str.lower().str.split()
+        reps = toks.str.len().fillna(0).astype(int)
+        ex = pd.DataFrame({
+            "row": np.repeat(np.arange(n, dtype=np.int64), reps.values),
+            "token": toks.explode().dropna().values,
+        })
+        ex["vid"] = ex["token"].map(tidx)
+        ex = ex.dropna(subset=["vid"])
+        sums = np.tile(pr, (n, 1))
+        if len(ex):
+            np.add.at(sums, ex["row"].to_numpy().astype(np.int64),
+                      L[ex["vid"].to_numpy().astype(np.int64)])
+        best = np.argmax(sums, axis=1)          # first max ⇒ label ASC tie
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pred": pa.array(label_arr[best].tolist(), pa.string()),
+            "score_e6": pa.array(sums[np.arange(n), best], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

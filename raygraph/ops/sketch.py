@@ -618,3 +618,85 @@ def hll_set_algebra(ds_a, ds_b, value_col: str):
                _hll_estimate_e4(ru))
     return pd.DataFrame({"a_e4": [a], "b_e4": [b], "union_e4": [u],
                          "intersect_e4": [a + b - u]}).astype("int64")
+
+
+# ------------------------------------------------------------------- KMV
+# Bar-Yossef, Jayram, Kumar, Sivakumar & Trevisan, "Counting distinct
+# elements in a data stream" (RANDOM 2002): keep the k MINIMUM hash
+# values of the distinct elements; if fewer than k distinct hashes were
+# ever seen the count is exact, else estimate (k-1) * 2^60 / h_(k).
+# The sketch is a SET of hashes, so the merge (bottom-k of the union of
+# per-batch bottom-k's) is order-free and exact — bit-identical at any
+# parallelism — and the whole estimator is integer floor arithmetic on
+# the same md5-60bit value hash the repo uses everywhere, so a DuckDB
+# oracle (row_number over hash-ordered distinct values) reproduces it
+# bit-for-bit. Reference analog: the shard-count/dedup metrics surface,
+# arangors-graph-exporter src/graph_loader.rs:189-204 (collection-level
+# cardinality bookkeeping), re-expressed as a mergeable sketch.
+
+
+def _kmv_hash_series(vals: pd.Series) -> pd.Series:
+    """md5-60bit hash per value (one md5 per UNIQUE value per batch)."""
+    import hashlib as _h
+
+    uniq = pd.Index(vals.unique())
+    hs = {
+        v: int(_h.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in uniq
+    }
+    return vals.map(hs)
+
+
+def kmv_distinct(ds, group_cols, value_col: str, k: int = 32,
+                 out: str = "approx_n", num_buckets: int = 64):
+    """Approximate distinct count per group via a bottom-k (KMV) sketch.
+
+    Per-batch partial: the k smallest distinct value-hashes per group
+    (≤ k rows per group per batch leave the map side — constant no
+    matter how many duplicates the batch held). Global merge: distinct
+    hashes re-folded to the k smallest per group inside one
+    ``hash_aggregate`` exchange. Estimate per group:
+
+    * fewer than k distinct hashes survive → that exact count;
+    * else ``(k - 1) * 2**60 // h_(k)`` with ``h_(k)`` the k-th
+      smallest hash — integer floor end to end.
+
+    Compared with :func:`hll_distinct` the exchange is k int64s per
+    group instead of 64 registers, and the same sketch doubles as a
+    deterministic distinct-value SAMPLE (the bottom-k hashes are a
+    uniform sample of the distinct set — the KMV coordinated-sampling
+    property), which is why it earns its place next to HLL.
+    """
+    from .relational import hash_aggregate
+
+    group_cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[group_cols + [value_col]].drop_duplicates()
+        df["__h"] = _kmv_hash_series(df[value_col]).astype("int64")
+        df = df.drop(columns=[value_col]).drop_duplicates()
+        g = (df.sort_values("__h", kind="mergesort")
+               .groupby(group_cols, as_index=False, sort=False)
+               .head(k))
+        return pa.Table.from_pandas(
+            g.reset_index(drop=True), preserve_index=False)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gkey, g in df.groupby(group_cols, sort=False):
+            hs = sorted(set(int(h) for h in g["__h"]))[:k]
+            if len(hs) < k:
+                est = len(hs)
+            else:
+                est = ((k - 1) * _HASH_SCALE) // hs[-1]
+            row = dict(zip(group_cols,
+                           gkey if isinstance(gkey, tuple) else (gkey,)))
+            row[out] = est
+            rows.append(row)
+        o = pd.DataFrame(rows, columns=group_cols + [out])
+        o[out] = o[out].astype("int64")
+        return o
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_aggregate(parts, group_cols, estimate,
+                          num_buckets=num_buckets)

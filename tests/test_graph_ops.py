@@ -222,6 +222,31 @@ def test_hll_error_bound_and_determinism(ray_session):
     assert got.equals(again)
 
 
+def test_kmv_exact_below_k_bound_above_and_determinism(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.sketch import kmv_distinct
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": np.where(rng.integers(0, 2, 50_000) == 0, "big", "small"),
+        "u": rng.integers(0, 10_000, 50_000),
+    })
+    # "small" group: < k distinct values ⇒ the sketch IS the distinct
+    # set and the count is exact
+    df.loc[df["g"] == "small", "u"] = df.loc[df["g"] == "small", "u"] % 9
+    got = kmv_distinct(rd.from_pandas(df).repartition(11), ["g"], "u",
+                       k=64).to_pandas().set_index("g")["approx_n"]
+    exact = df.groupby("g")["u"].nunique()
+    assert got["small"] == exact["small"]
+    # KMV std error ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; 3σ bound
+    assert abs(got["big"] - exact["big"]) / exact["big"] < 3 / (64 - 2) ** 0.5
+    # set-union merge ⇒ bit-identical at any block layout
+    again = kmv_distinct(rd.from_pandas(df).repartition(3), ["g"], "u",
+                         k=64).to_pandas().set_index("g")["approx_n"]
+    assert got.sort_index().equals(again.sort_index())
+
+
 def test_shuffle_join_left_anti(ray_session):
     import ray.data as rd
 

@@ -646,3 +646,36 @@ def test_c4_line_stats_rules():
     assert rows[2]["fail_brace"] == 1 and rows[2]["pass_all"] == 0
     assert rows[3]["fail_lorem"] == 1 and rows[3]["pass_all"] == 0
     assert rows[4]["n_kept"] == 2 and rows[4]["pass_all"] == 1
+
+
+def test_nb_classifier_learns_and_is_layout_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.classify import nb_fit, nb_score
+
+    # two clearly separable vocabularies + one shared noise token
+    spam = ["buy cheap pills now", "cheap cheap offer buy",
+            "offer pills now buy cheap"]
+    ham = ["meeting notes agenda review", "review the agenda notes",
+           "notes from the meeting review"]
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": spam + ham,
+        "label": ["spam"] * 3 + ["ham"] * 3,
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    ll, pr, vocab = nb_fit(ds, vocab_size=32)
+    # dense grid: every class × vocab cell present, smoothed cells < 0
+    assert len(ll) == 2 * len(vocab)
+    assert (ll["ll_e6"] < 0).all()
+    got = nb_score(rd.from_pandas(df[["doc_id", "text"]]), ll, pr) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["pred"].tolist() == ["spam"] * 3 + ["ham"] * 3
+    # integer spec ⇒ identical model and scores at any block layout
+    ll2, pr2, _ = nb_fit(rd.from_pandas(df).repartition(1), vocab_size=32)
+    assert ll.equals(ll2) and pr.equals(pr2)
+    again = nb_score(rd.from_pandas(df[["doc_id", "text"]]).repartition(5),
+                     ll2, pr2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(again)
