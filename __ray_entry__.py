@@ -4485,6 +4485,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emb.map_batches(norms, batch_format="pyarrow")
 
+    def ann_quantized_eval(sf_dir):
+        # the pre-deployment retrieval eval: recall@10 / MRR / nDCG of
+        # int8-code retrieval (integer dot over quantize_embeddings'
+        # exact codes) vs exact float-dot truth — both sides rank by
+        # inner product, so the metrics isolate pure QUANTIZATION loss;
+        # 8 queries share one corpus scan per retriever; per-term-
+        # floored integer metrics ⇒ the SQL oracle replays bit for bit
+        from raygraph.ops.ann import (batch_topk, quantized_batch_topk,
+                                      retrieval_eval)
+
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        qdf = qtab.to_pandas()
+        qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+        queries = np.stack(qdf["embedding"].map(np.asarray).to_numpy())
+        qids = qdf["vec_id"].tolist()
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        truth = batch_topk(emb, queries, qids, k=10, round_dp=4,
+                           metric="dot").to_pandas()
+        cand = quantized_batch_topk(emb, queries, qids, k=10).to_pandas()
+        return retrieval_eval(truth, cand, k=10)
+
     def ann_batch_top3(sf_dir):
         # batched exact ANN: 5 query vectors share ONE corpus scan (one
         # (n×Q) matmul per batch, per-query partial top-k, bucketed
@@ -8929,6 +8952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": embedding_norms,
         "embedding_quantized": embedding_quantized,
         "ann_batch_top3": ann_batch_top3,
+        "ann_quantized_eval": ann_quantized_eval,
         "embedding_grid_clusters": embedding_grid_clusters,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
@@ -14149,6 +14173,76 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY cosine DESC, vec_id) AS rn
                   FROM s)
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3
+        """,
+        # retrieval eval replayed end to end: exact rounded-cosine truth
+        # lists, int8-code integer-dot candidate lists, then the
+        # per-term-floored recall/MRR/nDCG metrics
+        "ann_quantized_eval": """
+            WITH q AS MATERIALIZED (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_inner_product(
+                             e.embedding::DOUBLE[], q.qe), 4) AS dot
+                  FROM embeddings e CROSS JOIN q),
+            truth AS MATERIALIZED (
+              SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, vec_id) AS rn FROM s)
+              WHERE rn <= 10
+            ),
+            u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding)::DOUBLE AS x
+                  FROM embeddings),
+            b AS (SELECT dim, min(x) AS mn, max(x) AS mx
+                  FROM u GROUP BY dim),
+            codes AS MATERIALIZED (
+              SELECT vec_id, dim,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE least(greatest(
+                              floor(((x - mn) * 255.0) / (mx - mn)),
+                              0), 255)::BIGINT
+                     END AS code
+              FROM u JOIN b USING (dim)
+            ),
+            recon AS MATERIALIZED (
+              SELECT c.vec_id, c.dim,
+                     b.mn + c.code * ((b.mx - b.mn) / 255.0) AS r
+              FROM codes c JOIN b USING (dim)
+            ),
+            qrec AS (SELECT t.query_id, r.dim, r.r
+                     FROM (SELECT query_id FROM q) t
+                     JOIN recon r ON r.vec_id = t.query_id),
+            dots AS (SELECT qrec.query_id, r.vec_id,
+                            round(sum(r.r * qrec.r), 4) AS qdot
+                     FROM qrec JOIN recon r ON r.dim = qrec.dim
+                     GROUP BY qrec.query_id, r.vec_id),
+            cand AS MATERIALIZED (
+              SELECT query_id, vec_id, rn FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY qdot DESC, vec_id) AS rn FROM dots)
+              WHERE rn <= 10
+            ),
+            hits AS (SELECT c.query_id, c.rn
+                     FROM cand c JOIN truth t
+                       ON t.query_id = c.query_id AND t.vec_id = c.vec_id),
+            idcg AS (SELECT sum(floor(1000000 / log2(r.x + 1)))::BIGINT
+                         AS idcg_e6
+                     FROM range(1, 11) r(x)),
+            per AS (SELECT query_id, count(*)::BIGINT AS n_hits,
+                           floor(1000000 / min(rn))::BIGINT AS mrr_e6,
+                           sum(floor(1000000 / log2(rn + 1)))::BIGINT
+                               AS dcg_e6
+                    FROM hits GROUP BY query_id)
+            SELECT b0.query_id,
+                   coalesce(per.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(per.mrr_e6, 0)::BIGINT AS mrr_e6,
+                   coalesce(per.dcg_e6, 0)::BIGINT AS dcg_e6,
+                   ((10000 * coalesce(per.dcg_e6, 0))
+                    // idcg.idcg_e6)::BIGINT AS ndcg_e4
+            FROM (SELECT query_id FROM q) b0
+            LEFT JOIN per USING (query_id) CROSS JOIN idcg
         """,
         "embedding_quantized": """
             WITH u AS (

@@ -400,35 +400,11 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
     full code matrix write is the same map with the codes kept.
     All arithmetic is f64 with a fixed association, so codes are
     bit-identical to the SQL expression."""
-    from .relational import preagg_extreme
-
-    def partials(batch: pa.Table) -> pa.Table:
-        v = vectors_to_numpy(batch.column(vec_col), np.float64)
-        d = v.shape[1] if len(v) else 0
-        empty = np.array([], dtype="float64")
-        return pa.table({
-            "dim": pa.array(np.arange(1, d + 1, dtype="int64")),
-            "mn": pa.array(v.min(axis=0) if len(v) else empty),
-            "mx": pa.array(v.max(axis=0) if len(v) else empty),
-        })
-
-    parts = ds.map_batches(partials, batch_format="pyarrow")
-    mins = preagg_extreme(parts.select_columns(["dim", "mn"]), ["dim"],
-                          "mn", how="min").to_pandas()
-    maxs = preagg_extreme(parts.select_columns(["dim", "mx"]), ["dim"],
-                          "mx", how="max").to_pandas()
-    bounds = mins.merge(maxs, on="dim").sort_values("dim")
-    mn = bounds["mn"].to_numpy()
-    mx = bounds["mx"].to_numpy()
+    mn, mx = _dim_bounds(ds, vec_col)
 
     def quantize(batch: pa.Table) -> pa.Table:
         v = vectors_to_numpy(batch.column(vec_col), np.float64)
-        span = mx - mn
-        codes = np.zeros_like(v)
-        nz = span != 0
-        # ((x - mn) * 255.0) / span — the SQL oracle's association
-        codes[:, nz] = np.floor(((v[:, nz] - mn[nz]) * 255.0) / span[nz])
-        codes = np.clip(codes, 0, 255)
+        codes = _codes(v, mn, mx)
         return pa.table({
             id_col: batch.column(id_col),
             "n_dims": pa.array(
@@ -441,7 +417,7 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
 
 def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               round_dp: int = 6):
+               round_dp: int = 6, metric: str = "cosine"):
     """Batched exact cosine top-k: MANY query vectors at once — the
     batch-inference shape (Q queries share one corpus scan instead of Q
     scans). ``queries`` is (Q, d), broadcast once via ``ray.put``; each
@@ -453,7 +429,9 @@ def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
 
     from .relational import hash_aggregate
 
-    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    Q = np.asarray(queries, dtype=np.float64)
+    if metric == "cosine":
+        Q = _normalize(Q)
     qids = np.asarray(list(query_ids))
     qref = ray.put(Q)
 
@@ -462,11 +440,13 @@ def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
 
         qm = _ray.get(qref)
         vecs = vectors_to_numpy(batch.column(vec_col), np.float64)
+        if metric == "cosine":
+            vecs = _normalize(vecs)
         # round BEFORE the partial cut: the partial must select by the
         # same (rounded desc, id asc) order as the final reduce, or a
         # rounded tie straddling the cut would drop the id the global
         # order prefers
-        sims = np.round(_normalize(vecs) @ qm.T, round_dp)  # (n, Q)
+        sims = np.round(vecs @ qm.T, round_dp)              # (n, Q)
         n = sims.shape[0]
         kk = min(k, n)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -659,3 +639,139 @@ def pq_topk(
         .to_pandas()
     return parts.sort_values(["pq_dist", id_col], ignore_index=True) \
         .head(k)
+
+
+# ----------------------------------------------------- retrieval eval
+# The eval loop every vector-search deployment runs before swapping a
+# cheaper index in: score a CANDIDATE retriever against exact float
+# ground truth with recall@k / MRR / nDCG@k. The candidate here is
+# scalar-quantized (int8-code) retrieval — quantize_embeddings' exact
+# code spec, dequantized through the same fixed association — so a SQL
+# oracle replays every list and metric bit for bit. Per-term floors:
+# mrr_e6 = floor(1e6 / first_hit_rank), dcg gain at candidate rank i =
+# floor(1e6 / log2(i + 1)) summed exactly (the repo's per-term-floor
+# idiom), ndcg_e4 = (1e4 * dcg) // idcg with idcg the same floored sum
+# over ranks 1..k.
+
+
+def _dim_bounds(ds, vec_col: str = "embedding"):
+    """Global per-dimension [min, max] of an embedding column — two
+    d-row preagg exchanges; only 2·d scalars reach the driver."""
+    from .relational import preagg_extreme
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = vectors_to_numpy(batch.column(vec_col), np.float64)
+        d = v.shape[1] if len(v) else 0
+        empty = np.array([], dtype="float64")
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype="int64")),
+            "mn": pa.array(v.min(axis=0) if len(v) else empty),
+            "mx": pa.array(v.max(axis=0) if len(v) else empty),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    mins = preagg_extreme(parts.select_columns(["dim", "mn"]), ["dim"],
+                          "mn", how="min").to_pandas()
+    maxs = preagg_extreme(parts.select_columns(["dim", "mx"]), ["dim"],
+                          "mx", how="max").to_pandas()
+    bounds = mins.merge(maxs, on="dim").sort_values("dim")
+    return bounds["mn"].to_numpy(), bounds["mx"].to_numpy()
+
+
+def _codes(v: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """quantize_embeddings' exact code expression (shared so retrieval
+    and storage quantization can never drift apart)."""
+    span = mx - mn
+    codes = np.zeros_like(v)
+    nz = span != 0
+    codes[:, nz] = np.floor(((v[:, nz] - mn[nz]) * 255.0) / span[nz])
+    return np.clip(codes, 0, 255).astype(np.int64)
+
+
+def _reconstruct(v: np.ndarray, mn: np.ndarray,
+                 mx: np.ndarray) -> np.ndarray:
+    """Dequantize through the int8 codes: x̂ = mn + code·((mx−mn)/255)
+    — the FAISS-SQ8 reconstruction, with the literal association the
+    SQL oracle repeats."""
+    return mn + _codes(v, mn, mx).astype(np.float64) * ((mx - mn) / 255.0)
+
+
+def quantized_batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", round_dp: int = 4):
+    """Batched top-k by dot product of int8-RECONSTRUCTED vectors — the
+    cheap-retriever side of the eval (what a scalar-quantized index
+    actually ranks by; ranking raw code dots would smuggle in the
+    per-dim offset term). Same shape as :func:`batch_topk`: one (n × Q)
+    matmul per batch, per-query partial top-k ordered by
+    (rounded-dot DESC, id ASC), bucketed exact reduce."""
+    from .relational import hash_aggregate
+
+    mn, mx = _dim_bounds(ds, vec_col)
+    qr = _reconstruct(np.asarray(queries, dtype=np.float64), mn, mx)
+    qids = np.asarray(list(query_ids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = vectors_to_numpy(batch.column(vec_col), np.float64)
+        rec = _reconstruct(v, mn, mx)
+        dots = np.round(rec @ qr.T, round_dp)                # (n, Q)
+        n = dots.shape[0]
+        kk = min(k, n)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_ids, out_dot = [], [], []
+        for qi in range(len(qids)):
+            top = np.lexsort((ids, -dots[:, qi]))[:kk]
+            out_q.append(np.repeat(qids[qi], kk))
+            out_ids.append(ids[top])
+            out_dot.append(dots[top, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_ids)),
+            "qdot": pa.array(np.concatenate(out_dot), pa.float64()),
+        })
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "qdot", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k) \
+            .reset_index(drop=True)
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["query_id"], reduce, num_buckets=max(8, len(qids)))
+
+
+def retrieval_eval(truth_df: pd.DataFrame, cand_df: pd.DataFrame,
+                   k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """Per-query recall/MRR/nDCG of candidate lists vs exact truth.
+
+    Both inputs are the Q·k-row FINAL lists (driver-sized by
+    construction — the corpus never reaches this function). Candidate
+    rank = 1-based position in (score DESC, id ASC) order; binary
+    relevance (candidate id ∈ truth set). Integer outputs per query:
+    n_hits, mrr_e6, dcg_e6, ndcg_e4 (spec in the section comment)."""
+    import math
+
+    idcg_e6 = sum(math.floor(1_000_000 / math.log2(i + 1))
+                  for i in range(1, k + 1))
+    rows = []
+    for qid in sorted(truth_df["query_id"].unique()):
+        tset = set(truth_df.loc[truth_df["query_id"] == qid, id_col])
+        c = cand_df[cand_df["query_id"] == qid].reset_index(drop=True)
+        hits = [i + 1 for i in range(len(c)) if c[id_col][i] in tset]
+        dcg_e6 = sum(math.floor(1_000_000 / math.log2(r + 1))
+                     for r in hits)
+        rows.append({
+            "query_id": qid,
+            "n_hits": len(hits),
+            "mrr_e6": math.floor(1_000_000 / hits[0]) if hits else 0,
+            "dcg_e6": dcg_e6,
+            "ndcg_e4": (10_000 * dcg_e6) // idcg_e6,
+        })
+    out = pd.DataFrame(rows,
+                       columns=["query_id", "n_hits", "mrr_e6",
+                                "dcg_e6", "ndcg_e4"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out

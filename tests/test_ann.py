@@ -284,3 +284,45 @@ def test_pq_topk_recall_on_clustered_fixture():
     far = pq_topk(ds, vecs[60].astype(np.float64), m_sub=4, k_codes=8,
                   iters=1, k=10)
     assert ((far["vec_id"] >= 60) & (far["vec_id"] < 120)).all()
+
+
+def test_quantized_retrieval_eval_metrics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.ann import (batch_topk, quantized_batch_topk,
+                                  retrieval_eval)
+
+    # 2 well-separated clusters: quantized retrieval must keep recall
+    # high, and the metric arithmetic is pinned by a hand case below
+    rng = np.random.RandomState(3)
+    centers = rng.randn(2, 8) * 6
+    vecs = np.concatenate(
+        [c + 0.1 * rng.randn(40, 8) for c in centers]).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })).repartition(5)
+    queries, qids = vecs[[0, 40]], [0, 40]
+    truth = batch_topk(ds, queries, qids, k=10, round_dp=4,
+                       metric="dot").to_pandas()
+    cand = quantized_batch_topk(ds, queries, qids, k=10).to_pandas()
+    ev = retrieval_eval(truth, cand, k=10).set_index("query_id")
+    assert (ev["n_hits"] >= 8).all()          # int8 keeps clusters apart
+    assert (ev["mrr_e6"] == 1_000_000).all()  # query itself at rank 1
+    # hand-pinned metric arithmetic: candidate hits at ranks 1 and 3
+    t = pd.DataFrame({"query_id": [9] * 2, "vec_id": [1, 2]})
+    c = pd.DataFrame({"query_id": [9] * 3, "vec_id": [1, 7, 2]})
+    one = retrieval_eval(t, c, k=3).iloc[0]
+    assert one["n_hits"] == 2 and one["mrr_e6"] == 1_000_000
+    assert one["dcg_e6"] == 1_000_000 + 500_000
+    idcg = 1_000_000 + 630_929 + 500_000
+    assert one["ndcg_e4"] == (10_000 * 1_500_000) // idcg
+    # determinism across layouts
+    again = quantized_batch_topk(ds.repartition(2), queries, qids,
+                                 k=10).to_pandas()
+    assert cand.sort_values(["query_id", "qdot", "vec_id"]) \
+        .reset_index(drop=True).equals(
+            again.sort_values(["query_id", "qdot", "vec_id"])
+            .reset_index(drop=True))
