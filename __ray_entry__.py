@@ -1462,6 +1462,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def text_fingerprints(sf_dir):
         return _docs_ds(sf_dir).map_batches(T.doc_fingerprint, batch_format="pyarrow")
 
+    def docs_winnow(sf_dir):
+        # winnowing fingerprints (SIGMOD 2003): guarantee-bearing local
+        # fingerprint selection — any shared window+n-1-token run shares
+        # a fingerprint; per-doc vectorized kernel, zero exchange
+        return _docs_ds(sf_dir).map_batches(
+            T.winnow_fingerprints, batch_format="pyarrow")
+
     def docs_lang_confusion(sf_dir):
         # classifier-eval confusion matrix: heuristic lang_id prediction
         # × gold label, counted in one corpus pass (per-batch partial
@@ -8704,6 +8711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": text_lang_id,
         "docs_lang_confusion": docs_lang_confusion,
         "text_fingerprints": text_fingerprints,
+        "docs_winnow": docs_winnow,
         "text_bpe_token_count": text_bpe_token_count,
         "text_top_tokens": text_top_tokens,
         "docs_pii_scrub": docs_pii_scrub,
@@ -13687,6 +13695,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Horner fold of 60-bit md5 token hashes, h = (h*F + th) mod 2^63,
         # exactly FP_INIT/FP_MULT in raygraph.ops.text.doc_fingerprint
+        # winnowing replayed window by window: word-3-gram md5-60bit
+        # hashes, per-window rightmost-min (gh ASC, pos DESC), distinct
+        # (pos, hash) fingerprints, HUGEINT checksum mod 10^15
+        "docs_winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                              trim(lower(text)), '\\s+') END AS toks
+              FROM documents
+            ),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t),
+            g AS (SELECT doc_id, pos,
+                         tok || ' ' || lead(tok, 1) OVER w
+                             || ' ' || lead(tok, 2) OVER w AS gram
+                  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            h AS MATERIALIZED (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+              FROM g WHERE gram IS NOT NULL
+            ),
+            m AS (SELECT doc_id, count(*) AS m FROM h GROUP BY doc_id),
+            ends AS (SELECT doc_id,
+                            unnest(range(least(4, m), m + 1)) AS e
+                     FROM m),
+            win AS (SELECT e.doc_id, e.e, h.pos, h.gh
+                    FROM ends e JOIN h ON h.doc_id = e.doc_id
+                     AND h.pos BETWEEN greatest(1, e.e - 3) AND e.e),
+            sel AS (SELECT DISTINCT doc_id, pos, gh FROM (
+                      SELECT doc_id, e, pos, gh,
+                             row_number() OVER (PARTITION BY doc_id, e
+                                 ORDER BY gh ASC, pos DESC) AS rn
+                      FROM win) WHERE rn = 1),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_fp,
+                           (sum(gh::HUGEINT)
+                            % 1000000000000000)::BIGINT AS fp_cksum
+                    FROM sel GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.n_fp, 0)::BIGINT AS n_fp,
+                   coalesce(a.fp_cksum, 0)::BIGINT AS fp_cksum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "text_fingerprints": """
             WITH t AS (
               SELECT doc_id,

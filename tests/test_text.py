@@ -679,3 +679,62 @@ def test_nb_classifier_learns_and_is_layout_deterministic(ray_session):
                      ll2, pr2).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got.equals(again)
+
+
+def test_winnow_matches_bruteforce_and_guarantee():
+    import hashlib
+
+    import pyarrow as pa
+
+    from raygraph.ops.text import winnow_fingerprints
+
+    def brute(text, n=3, w=4):
+        toks = text.strip().lower().split()
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        gh = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        m = len(gh)
+        sel = set()
+        if 0 < m < w:
+            ends = [m]
+        else:
+            ends = range(w, m + 1)
+        for e in ends:                      # 1-based window end
+            s = max(1, e - w + 1)
+            win = [(gh[p - 1], -p) for p in range(s, e + 1)]
+            hmin, negp = min(win)
+            sel.add((-negp, hmin))
+        return len(sel), sum(h for _, h in sel) % 10**15
+
+    rng = __import__("numpy").random.RandomState(2)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 30)))
+             for _ in range(50)] + ["", "one two", "a b c"]
+    b = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = winnow_fingerprints(b).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        nf, ck = brute(t)
+        assert out.loc[i, "n_fp"] == nf, (i, t)
+        assert out.loc[i, "fp_cksum"] == ck, (i, t)
+    # the winnowing guarantee: two docs sharing a run of w+n-1 tokens
+    # share at least one fingerprint HASH
+    shared = "lorem ipsum dolor sit amet consetetur"   # 6 = 4+3-1 tokens
+    pair = pa.table({
+        "doc_id": [0, 1],
+        "text": ["xx yy " + shared + " zz qq ww",
+                 "aa bb cc dd " + shared + " ee"],
+    })
+    # recompute selected hash sets via the brute reference
+    def fpset(text, n=3, w=4):
+        toks = text.strip().lower().split()
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        gh = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        m = len(gh)
+        out = set()
+        for e in (range(w, m + 1) if m >= w else [m]):
+            s = max(1, e - w + 1)
+            out.add(min((gh[p - 1], -p) for p in range(s, e + 1))[0])
+        return out
+    a, c = (pair.column("text")[0].as_py(), pair.column("text")[1].as_py())
+    assert fpset(a) & fpset(c)
