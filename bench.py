@@ -256,6 +256,36 @@ def main() -> None:
     timings["packing"] = _timed_min(
         lambda: pack_sequences(docs(), budget=2048, n_tiles=8).count())
 
+    timings["winnow"] = _timed_min(
+        lambda: docs().map_batches(T.winnow_fingerprints,
+                                   batch_format="pyarrow").count())
+
+    def _nb_run() -> int:
+        import pyarrow as pa
+
+        from raygraph.ops.classify import nb_fit, nb_score
+
+        def add_label(batch):
+            did = batch.column("doc_id").to_pandas()
+            lbl = "c" + (did % 3).astype(str)
+            return batch.append_column(
+                "label", pa.array(lbl.tolist(), pa.string()))
+
+        labeled = docs().map_batches(add_label, batch_format="pyarrow")
+        ll, pr, _v = nb_fit(labeled, vocab_size=256)
+        return nb_score(docs(), ll, pr).count()
+
+    timings["nb_classifier"] = _timed_min(_nb_run)
+
+    def _kmv_run() -> int:
+        from raygraph.ops.sketch import kmv_distinct
+
+        ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                             columns=["event_type", "user_id"])
+        return kmv_distinct(ev, ["event_type"], "user_id", k=32).count()
+
+    timings["kmv_distinct"] = _timed_min(_kmv_run)
+
     from raygraph.ops.events import funnel_counts
 
     ev = lambda: rd.read_parquet(  # noqa: E731
