@@ -4250,6 +4250,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct(ev, ["event_type"], "user_id")
 
+    def events_target_encode(sf_dir):
+        # smoothed target encoding (Micci-Barreca 2001): the categorical
+        # feature for tabular models; one category-keyed combiner
+        # exchange, Python-int products at the bounded finalize
+        from raygraph.ops.relational import target_encode
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value"])
+        return target_encode(ev, ["event_type"], "value", m=10)
+
+    def docs_kfold(sf_dir):
+        # deterministic content-keyed k-fold split (fold = md5(doc_id)
+        # % 5 — same rows in the same fold at ANY parallelism or epoch;
+        # the cross-validation splitter of a training pipeline);
+        # reported as per-fold counts + char volume
+        from raygraph.ops.relational import preagg_sum
+
+        docs = _docs_ds(sf_dir)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            import hashlib as _h
+
+            ids = batch.column("doc_id").to_pandas()
+            folds = ids.map(lambda i: int(
+                _h.md5(str(i).encode()).hexdigest()[:15], 16) % 5)
+            t = batch.column("text").to_pandas().fillna("")
+            return pa.table({
+                "fold": pa.array(folds.astype("int64")),
+                "n_chars": pa.array(t.str.len().astype("int64")),
+            })
+
+        return preagg_sum(docs.map_batches(tag, batch_format="pyarrow"),
+                          ["fold"], {"sum_chars": "n_chars"},
+                          counts="n_docs")
+
+    def ann_rrf_top10(sf_dir):
+        # hybrid retrieval: reciprocal-rank fusion of the exact-dot leg
+        # and the SQ8-quantized leg (each leg a distributed top-k; the
+        # fusion runs on the two Q·k final lists)
+        from raygraph.ops.ann import (batch_topk, quantized_batch_topk,
+                                      rrf_fuse)
+
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        qdf = qtab.to_pandas()
+        qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+        queries = np.stack(qdf["embedding"].map(np.asarray).to_numpy())
+        qids = qdf["vec_id"].tolist()
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        truth = batch_topk(emb, queries, qids, k=10, round_dp=4,
+                           metric="dot").to_pandas()
+        cand = quantized_batch_topk(emb, queries, qids, k=10).to_pandas()
+        return rrf_fuse([(truth, "cosine"), (cand, "qdot")], k=10)
+
     def events_kmv_users(sf_dir):
         # the bottom-k counterpart: k int64 hashes per group instead of
         # 64 HLL registers, and the sketch doubles as a coordinated
@@ -8953,6 +9008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_incremental": events_distinct_users_incremental,
         "events_approx_users": events_approx_users,
         "events_kmv_users": events_kmv_users,
+        "events_target_encode": events_target_encode,
+        "docs_kfold": docs_kfold,
+        "ann_rrf_top10": ann_rrf_top10,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
         "ann_ivf_persisted": ann_ivf_persisted,
@@ -10560,6 +10618,91 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.token, d.n_docs
         """,
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
+        # smoothed target encoding: one exact HUGEINT floor-divide over
+        # the e4 value sums (all values positive ⇒ // == floor)
+        "events_target_encode": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 10000, 0) AS BIGINT) AS v
+                       FROM events),
+            g AS (SELECT event_type, sum(v)::HUGEINT AS s,
+                         count(*)::HUGEINT AS n
+                  FROM c GROUP BY event_type),
+            t AS (SELECT sum(s)::HUGEINT AS gs, sum(n)::HUGEINT AS gn
+                  FROM g)
+            SELECT g.event_type, g.n::BIGINT AS n,
+                   ((g.s * t.gn + 10 * t.gs)
+                    // ((g.n + 10) * t.gn))::BIGINT AS enc_e4
+            FROM g CROSS JOIN t
+        """,
+        # deterministic k-fold: the md5-int bridge mod 5
+        "docs_kfold": """
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 5 AS fold,
+                   sum(length(text))::BIGINT AS sum_chars,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY fold
+        """,
+        # RRF fusion of the exact-dot and SQ8 legs: per-leg rank lists
+        # (same chains as ann_quantized_eval), per-term floored
+        # 1e6/(60+rank) contributions, exact integer sums, top-10 by
+        # (rrf DESC, vec_id ASC)
+        "ann_rrf_top10": """
+            WITH q AS MATERIALIZED (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_inner_product(
+                             e.embedding::DOUBLE[], q.qe), 4) AS dot
+                  FROM embeddings e CROSS JOIN q),
+            tr AS (SELECT query_id, vec_id, rn FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY dot DESC, vec_id) AS rn FROM s)
+                   WHERE rn <= 10),
+            u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding)::DOUBLE AS x
+                  FROM embeddings),
+            b AS (SELECT dim, min(x) AS mn, max(x) AS mx
+                  FROM u GROUP BY dim),
+            codes AS MATERIALIZED (
+              SELECT vec_id, dim,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE least(greatest(
+                              floor(((x - mn) * 255.0) / (mx - mn)),
+                              0), 255)::BIGINT
+                     END AS code
+              FROM u JOIN b USING (dim)
+            ),
+            recon AS MATERIALIZED (
+              SELECT c.vec_id, c.dim,
+                     b.mn + c.code * ((b.mx - b.mn) / 255.0) AS r
+              FROM codes c JOIN b USING (dim)
+            ),
+            qrec AS (SELECT t.query_id, r.dim, r.r
+                     FROM (SELECT query_id FROM q) t
+                     JOIN recon r ON r.vec_id = t.query_id),
+            dots AS (SELECT qrec.query_id, r.vec_id,
+                            round(sum(r.r * qrec.r), 4) AS qdot
+                     FROM qrec JOIN recon r ON r.dim = qrec.dim
+                     GROUP BY qrec.query_id, r.vec_id),
+            cd AS (SELECT query_id, vec_id, rn FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY qdot DESC, vec_id) AS rn FROM dots)
+                   WHERE rn <= 10),
+            legs AS (
+              SELECT query_id, vec_id,
+                     floor(1000000 / (60 + rn)) AS p FROM tr
+              UNION ALL
+              SELECT query_id, vec_id,
+                     floor(1000000 / (60 + rn)) AS p FROM cd
+            ),
+            f AS (SELECT query_id, vec_id, sum(p)::BIGINT AS rrf_e6
+                  FROM legs GROUP BY query_id, vec_id)
+            SELECT query_id, vec_id, rrf_e6 FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_e6 DESC, vec_id) AS rk FROM f)
+            WHERE rk <= 10
+        """,
         # KMV bottom-k estimator recomputed term for term: same md5-60bit
         # value hash, row_number over hash order picks h_(k), HUGEINT
         # floor divide mirrors Python // on positive ints

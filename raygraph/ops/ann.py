@@ -775,3 +775,36 @@ def retrieval_eval(truth_df: pd.DataFrame, cand_df: pd.DataFrame,
     for col in out.columns[1:]:
         out[col] = out[col].astype("int64")
     return out
+
+
+def rrf_fuse(lists, k: int = 10, c: int = 60, id_col: str = "vec_id"):
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of per-query ranked lists — the standard hybrid-retrieval combiner
+    (e.g. dense + quantized/sparse legs). ``lists`` is a sequence of
+    ``(df, score_col)`` pairs of FINAL Q·k lists (driver-sized by
+    construction; each leg already did its distributed top-k).
+
+    Per leg, rank = 1-based position in (score DESC, id ASC) order;
+    contribution = ``floor(1e6 / (c + rank))`` floored PER TERM, then
+    exact int64 sums per (query, id) — the repo's per-term-floor idiom,
+    so a SQL oracle replays the fused ranking bit for bit. Final list =
+    top-k by (rrf_e6 DESC, id ASC).
+    """
+    import math
+
+    parts = []
+    for df, score_col in lists:
+        d = df.sort_values(["query_id", score_col, id_col],
+                           ascending=[True, False, True],
+                           kind="mergesort").copy()
+        d["__rank"] = d.groupby("query_id").cumcount() + 1
+        d["rrf_e6"] = [math.floor(1_000_000 / (c + int(r)))
+                       for r in d["__rank"]]
+        parts.append(d[["query_id", id_col, "rrf_e6"]])
+    allp = pd.concat(parts, ignore_index=True)
+    g = allp.groupby(["query_id", id_col], as_index=False)["rrf_e6"].sum()
+    g = g.sort_values(["query_id", "rrf_e6", id_col],
+                      ascending=[True, False, True], kind="mergesort")
+    out = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    out["rrf_e6"] = out["rrf_e6"].astype("int64")
+    return out

@@ -1941,3 +1941,52 @@ def topk_per_group(ds, group_cols, value_col: str, k: int,
         batch_format="pyarrow")
     return hash_aggregate(partial, group_cols, local_topk,
                           num_buckets=num_buckets)
+
+
+def target_encode(ds, key_cols, value_col: str, m: int = 10,
+                  out: str = "enc_e4"):
+    """Smoothed target encoding (Micci-Barreca, SIGKDD Expl. 2001) —
+    the classic categorical feature for tabular models:
+    ``enc(cat) = (sum_cat + m * global_mean) / (n_cat + m)``.
+
+    Exact-integer spec: values enter as ×10^4 ints
+    (``CAST(round(v*10000) AS BIGINT)`` — the repo's money/e4 idiom),
+    and the encoding is ONE floor-divide over exact products:
+    ``enc_e4 = (sum_e4 * N + m * GS) // ((n + m) * N)`` with GS/N the
+    global sum/count — so it is bit-identical at any parallelism and a
+    HUGEINT SQL oracle replays it. The products are folded with Python
+    ints (object math) at the category-bounded finalize, never int64.
+
+    Scale shape: one combiner preagg keyed by category (the only
+    exchange); the global sum/count fold and the per-category encode
+    run on the category-bounded aggregate.
+    """
+    import numpy as np
+
+    key_cols = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__v_e4"] = np.round(
+            df[value_col].to_numpy(dtype="float64") * 10_000
+        ).astype("int64")
+        g = df.groupby(key_cols, as_index=False).agg(
+            sum_e4=("__v_e4", "sum"), n=("__v_e4", "size"))
+        g["sum_e4"] = g["sum_e4"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
+           .aggregate(Sum("sum_e4", alias_name="sum_e4"),
+                      Sum("n", alias_name="n"))).to_pandas()
+    gs = int(sum(int(v) for v in agg["sum_e4"]))
+    gn = int(sum(int(v) for v in agg["n"]))
+    agg[out] = [
+        (int(s) * gn + m * gs) // ((int(n) + m) * gn)
+        for s, n in zip(agg["sum_e4"], agg["n"])
+    ]
+    agg[out] = agg[out].astype("int64")
+    return agg[key_cols + ["n", out]]

@@ -1612,3 +1612,41 @@ def test_mis_and_coloring_self_loop_only_graph():
     col = {r["vertex"]: r["color"]
            for r in greedy_coloring(ed, iters=2).take_all()}
     assert col == {"a": 0, "b": 0}
+
+
+def test_target_encode_hand_case_and_layout(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.relational import target_encode
+
+    df = pd.DataFrame({
+        "cat": ["a"] * 4 + ["b"] * 2,
+        "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0],
+    })
+    got = target_encode(rd.from_pandas(df).repartition(3), ["cat"], "v",
+                        m=10).set_index("cat")
+    # global mean 40/6; enc(a) = (10e4*6 + 10*40e4) / (14*6) exact floor
+    assert got.loc["a", "enc_e4"] == (100_000 * 6 + 10 * 400_000) // (14 * 6)
+    assert got.loc["b", "enc_e4"] == (300_000 * 6 + 10 * 400_000) // (12 * 6)
+    assert got.loc["a", "n"] == 4 and got.loc["b", "n"] == 2
+    again = target_encode(rd.from_pandas(df).repartition(1), ["cat"], "v",
+                          m=10).set_index("cat")
+    assert got.equals(again)
+
+
+def test_rrf_fuse_hand_case():
+    from raygraph.ops.ann import rrf_fuse
+
+    a = pd.DataFrame({"query_id": [1, 1, 1], "vec_id": [7, 8, 9],
+                      "s": [0.9, 0.8, 0.7]})
+    b = pd.DataFrame({"query_id": [1, 1, 1], "vec_id": [8, 7, 5],
+                      "s": [100, 90, 80]})
+    out = rrf_fuse([(a, "s"), (b, "s")], k=10).set_index("vec_id")
+    import math
+    w = lambda r: math.floor(1_000_000 / (60 + r))  # noqa: E731
+    assert out.loc[7, "rrf_e6"] == w(1) + w(2)
+    assert out.loc[8, "rrf_e6"] == w(2) + w(1)
+    assert out.loc[9, "rrf_e6"] == w(3)
+    assert out.loc[5, "rrf_e6"] == w(3)
+    # ties (7 vs 8 equal) break by id ASC; singles by id after
+    assert out.index.tolist() == [7, 8, 5, 9]
