@@ -4250,6 +4250,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct(ev, ["event_type"], "user_id")
 
+    def docs_stump(sf_dir):
+        # one CART split (exact-integer Gini): is doc length predictive
+        # of lang == 'en'? Exchange = combiner preagg keyed by distinct
+        # length; prefix-sum argmax on the bounded grid
+        from raygraph.ops.classify import fit_stump
+
+        docs = _docs_ds(sf_dir, columns=("text", "lang"))
+
+        def fx(batch: pa.Table) -> pa.Table:
+            t = batch.column("text").to_pandas().fillna("")
+            lang = batch.column("lang").to_pandas()
+            return pa.table({
+                "x": pa.array(t.str.len().astype("int64")),
+                "y": pa.array((lang == "en").astype("int64")),
+            })
+
+        return fit_stump(docs.map_batches(fx, batch_format="pyarrow"),
+                         "x", "y")
+
     def events_target_encode(sf_dir):
         # smoothed target encoding (Micci-Barreca 2001): the categorical
         # feature for tabular models; one category-keyed combiner
@@ -9009,6 +9028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": events_approx_users,
         "events_kmv_users": events_kmv_users,
         "events_target_encode": events_target_encode,
+        "docs_stump": docs_stump,
         "docs_kfold": docs_kfold,
         "ann_rrf_top10": ann_rrf_top10,
         "ann_top10": ann_top10,
@@ -10618,6 +10638,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.token, d.n_docs
         """,
         "events_approx_users": _hll_sql("events", "event_type", "user_id"),
+        # CART stump replayed: per-distinct-x prefix sums, the exact
+        # S(t) ranking key as one HUGEINT floor divide, argmax ties ->
+        # smallest threshold
+        "docs_stump": """
+            WITH d AS (SELECT length(text) AS x,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                       FROM documents),
+            cnt AS (SELECT x, sum(y)::HUGEINT AS c1,
+                           count(*)::HUGEINT AS n
+                    FROM d GROUP BY x),
+            tot AS (SELECT sum(c1) AS t1, sum(n) AS tn FROM cnt),
+            p AS (SELECT x, sum(c1) OVER (ORDER BY x) AS l1,
+                         sum(n) OVER (ORDER BY x) AS ln
+                  FROM cnt),
+            s AS (SELECT p.x AS threshold, ln AS nl, (tn - ln) AS nr,
+                         l1, (t1 - l1) AS r1
+                  FROM p CROSS JOIN tot WHERE ln < tn),
+            k AS (SELECT threshold, nl, nr,
+                         ((1000000000000::HUGEINT *
+                           ((l1 * l1 + (nl - l1) * (nl - l1)) * nr
+                            + (r1 * r1 + (nr - r1) * (nr - r1)) * nl))
+                          // (nl * nr)) AS s_e12
+                  FROM s)
+            SELECT threshold::BIGINT AS threshold, s_e12::BIGINT AS s_e12,
+                   nl::BIGINT AS nl, nr::BIGINT AS nr
+            FROM k ORDER BY s_e12 DESC, threshold ASC LIMIT 1
+        """,
         # smoothed target encoding: one exact HUGEINT floor-divide over
         # the e4 value sums (all values positive ⇒ // == floor)
         "events_target_encode": """

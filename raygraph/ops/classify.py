@@ -164,3 +164,59 @@ def nb_score(ds, ll_df: pd.DataFrame, priors_df: pd.DataFrame,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def fit_stump(ds, x_col: str, y_col: str):
+    """Fit a binary decision stump (one CART split, Breiman et al.
+    1984): the threshold t minimizing weighted Gini impurity of the
+    split ``x <= t`` vs ``x > t`` for a 0/1 label.
+
+    Exact-integer spec: minimizing weighted Gini equals maximizing
+    ``S(t) = Σ_k cl_k²/nl + Σ_k cr_k²/nr``; the ranking key is
+    ``s_e12 = (10^12 · (Σcl²·nr + Σcr²·nl)) // (nl·nr)`` — one floor
+    divide over exact products (Python ints here, HUGEINT in the
+    oracle) — argmax ties → smallest threshold. Degenerate splits
+    (empty right side) are excluded.
+
+    Scale shape: the only exchange is a combiner preagg keyed by
+    DISTINCT FEATURE VALUE (bin upstream if x is continuous-unbounded);
+    prefix sums + the argmax run on that bounded grid.
+    Returns a 1-row DataFrame (threshold, s_e12, nl, nr).
+    """
+    from .relational import preagg_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[x_col, y_col]]
+        g = df.groupby(x_col, as_index=False).agg(
+            c1=(y_col, "sum"), n=(y_col, "size"))
+        g["c1"] = g["c1"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                     [x_col], {"c1": "c1", "n": "n"}).to_pandas()
+    cnt = cnt.sort_values(x_col).reset_index(drop=True)
+    t1 = int(cnt["c1"].sum())
+    tn = int(cnt["n"].sum())
+    best = None
+    l1 = ln = 0
+    for x, c1, n in zip(cnt[x_col], cnt["c1"], cnt["n"]):
+        l1 += int(c1)
+        ln += int(n)
+        nl, nr = ln, tn - ln
+        if nr == 0:
+            continue
+        sl = l1 * l1 + (nl - l1) * (nl - l1)
+        r1 = t1 - l1
+        sr = r1 * r1 + (nr - r1) * (nr - r1)
+        s_e12 = (10**12 * (sl * nr + sr * nl)) // (nl * nr)
+        key = (-s_e12, x)
+        if best is None or key < best[0]:
+            best = (key, {"threshold": x, "s_e12": s_e12,
+                          "nl": nl, "nr": nr})
+    row = best[1] if best else {"threshold": 0, "s_e12": 0,
+                                "nl": 0, "nr": 0}
+    out = pd.DataFrame([row])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

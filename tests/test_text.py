@@ -738,3 +738,47 @@ def test_winnow_matches_bruteforce_and_guarantee():
         return out
     a, c = (pair.column("text")[0].as_py(), pair.column("text")[1].as_py())
     assert fpset(a) & fpset(c)
+
+
+def test_fit_stump_separable_and_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.classify import fit_stump
+
+    # perfectly separable at x <= 4
+    df = pd.DataFrame({"x": [1, 2, 3, 4, 5, 6, 7, 8],
+                       "y": [1, 1, 1, 1, 0, 0, 0, 0]})
+    got = fit_stump(rd.from_pandas(df).repartition(3), "x", "y")
+    assert got["threshold"][0] == 4
+    assert got["nl"][0] == 4 and got["nr"][0] == 4
+    assert got["s_e12"][0] == 10**12 * (16 * 4 + 16 * 4) // 16
+
+    # brute-force agreement on a noisy case (ties -> smallest threshold)
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    xs = rng.integers(0, 12, 200)
+    ys = ((xs > 6).astype(int) ^ (rng.random(200) < 0.2)).astype(int)
+    df2 = pd.DataFrame({"x": xs, "y": ys})
+    got2 = fit_stump(rd.from_pandas(df2).repartition(7), "x", "y")
+
+    def brute(df):
+        best = None
+        t1, tn = df["y"].sum(), len(df)
+        for t in sorted(df["x"].unique()):
+            m = df["x"] <= t
+            nl, nr = int(m.sum()), int(tn - m.sum())
+            if nr == 0:
+                continue
+            l1 = int(df.loc[m, "y"].sum())
+            r1 = int(t1 - l1)
+            num = (l1 * l1 + (nl - l1) ** 2) * nr \
+                + (r1 * r1 + (nr - r1) ** 2) * nl
+            key = (-(10**12 * num // (nl * nr)), t)
+            if best is None or key < best:
+                best = key
+        return best[1], -best[0]
+
+    bt, bs = brute(df2)
+    assert got2["threshold"][0] == bt and got2["s_e12"][0] == bs
