@@ -4250,6 +4250,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct(ev, ["event_type"], "user_id")
 
+    def dedup_winnow_pairs(sf_dir):
+        # MOSS-style near-dup pairs by shared winnowing fingerprints
+        # over the doubled corpus: deterministic recall (the winnowing
+        # guarantee) where band-LSH is probabilistic; one pair-hash
+        # exchange + fp-bucket pairing + one pair-count combiner
+        from raygraph.ops.dedup import winnow_dup_pairs
+
+        return winnow_dup_pairs(_doubled_docs(sf_dir), min_shared=3)
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9029,6 +9038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_users": events_kmv_users,
         "events_target_encode": events_target_encode,
         "docs_stump": docs_stump,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
         "docs_kfold": docs_kfold,
         "ann_rrf_top10": ann_rrf_top10,
         "ann_top10": ann_top10,
@@ -10105,6 +10115,45 @@ _NB_CTE = """
       FROM grid g JOIN tt ON tt.label = g.label CROSS JOIN vn
     )
 """
+
+
+def _winnow_sel_sql(src: str) -> str:
+    """CTE chain from a (doc_id, text) source to the selected winnowing
+    fingerprint set ``sel(doc_id, pos, gh)`` — text._winnow_core's spec
+    term for term (word-3-grams, window 4, rightmost-min ties)."""
+    return f"""
+            wt AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                              trim(lower(text)), '\\s+') END AS toks
+              FROM {src}
+            ),
+            wu AS (SELECT doc_id, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos FROM wt),
+            wg AS (SELECT doc_id, pos,
+                          tok || ' ' || lead(tok, 1) OVER w
+                              || ' ' || lead(tok, 2) OVER w AS gram
+                   FROM wu WINDOW w AS (PARTITION BY doc_id
+                                        ORDER BY pos)),
+            wh AS MATERIALIZED (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+              FROM wg WHERE gram IS NOT NULL
+            ),
+            wm AS (SELECT doc_id, count(*) AS m FROM wh GROUP BY doc_id),
+            wends AS (SELECT doc_id,
+                             unnest(range(least(4, m), m + 1)) AS e
+                      FROM wm),
+            wwin AS (SELECT e.doc_id, e.e, h.pos, h.gh
+                     FROM wends e JOIN wh h ON h.doc_id = e.doc_id
+                      AND h.pos BETWEEN greatest(1, e.e - 3) AND e.e),
+            sel AS (SELECT DISTINCT doc_id, pos, gh FROM (
+                      SELECT doc_id, e, pos, gh,
+                             row_number() OVER (PARTITION BY doc_id, e
+                                 ORDER BY gh ASC, pos DESC) AS rn
+                      FROM wwin) WHERE rn = 1)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13888,37 +13937,8 @@ def oracle_sql() -> dict[str, str]:
         # winnowing replayed window by window: word-3-gram md5-60bit
         # hashes, per-window rightmost-min (gh ASC, pos DESC), distinct
         # (pos, hash) fingerprints, HUGEINT checksum mod 10^15
-        "docs_winnow": """
-            WITH t AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(
-                              trim(lower(text)), '\\s+') END AS toks
-              FROM documents
-            ),
-            u AS (SELECT doc_id, unnest(toks) AS tok,
-                         generate_subscripts(toks, 1) AS pos FROM t),
-            g AS (SELECT doc_id, pos,
-                         tok || ' ' || lead(tok, 1) OVER w
-                             || ' ' || lead(tok, 2) OVER w AS gram
-                  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-            h AS MATERIALIZED (
-              SELECT doc_id, pos,
-                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
-              FROM g WHERE gram IS NOT NULL
-            ),
-            m AS (SELECT doc_id, count(*) AS m FROM h GROUP BY doc_id),
-            ends AS (SELECT doc_id,
-                            unnest(range(least(4, m), m + 1)) AS e
-                     FROM m),
-            win AS (SELECT e.doc_id, e.e, h.pos, h.gh
-                    FROM ends e JOIN h ON h.doc_id = e.doc_id
-                     AND h.pos BETWEEN greatest(1, e.e - 3) AND e.e),
-            sel AS (SELECT DISTINCT doc_id, pos, gh FROM (
-                      SELECT doc_id, e, pos, gh,
-                             row_number() OVER (PARTITION BY doc_id, e
-                                 ORDER BY gh ASC, pos DESC) AS rn
-                      FROM win) WHERE rn = 1),
+        "docs_winnow": f"""
+            WITH {_winnow_sel_sql("documents")},
             agg AS (SELECT doc_id, count(*)::BIGINT AS n_fp,
                            (sum(gh::HUGEINT)
                             % 1000000000000000)::BIGINT AS fp_cksum
@@ -13926,6 +13946,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(a.n_fp, 0)::BIGINT AS n_fp,
                    coalesce(a.fp_cksum, 0)::BIGINT AS fp_cksum
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # MOSS pair detection: distinct (doc, fp) per side, pair count =
+        # shared-fingerprint count, threshold 3; doubled corpus makes
+        # every (i, i+OFFSET) an exact-dup pair with full fp overlap
+        "dedup_winnow_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+            ),
+            {_winnow_sel_sql("corpus")},
+            fpd AS (SELECT DISTINCT doc_id, gh FROM sel)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS shared
+            FROM fpd a JOIN fpd b
+              ON a.gh = b.gh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
         """,
         "text_fingerprints": """
             WITH t AS (

@@ -1673,3 +1673,70 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
 
     return _repaired(j.map_batches(finish, batch_format="pyarrow"),
                      out_schema)
+
+
+def winnow_dup_pairs(ds, min_shared: int = 3, n: int = 3,
+                     window: int = 4, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int | None = None):
+    """Near-duplicate pairs by SHARED WINNOWING FINGERPRINTS — the MOSS
+    shape (Schleimer et al. 2003 §4): docs sharing >= ``min_shared``
+    selected fingerprints are flagged. Complements minhash-LSH: the
+    winnowing guarantee makes recall DETERMINISTIC for any shared run
+    of ``window + n - 1`` tokens (>= min_shared windows ⇒ flagged),
+    where band-LSH recall is probabilistic.
+
+    Shape (same exchange discipline as minhash_candidates):
+    per-doc fingerprint kernel (zero exchange) → ONE pair-hash distinct
+    (doc, fp) exchange → fp-bucket pairing (BUCKET_PAIR_CAP-guarded) →
+    one (id_a, id_b) combiner count. Returns (id_a, id_b, shared) with
+    id_a < id_b and shared >= min_shared.
+    """
+    import pyarrow.compute as pc
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import hash_aggregate, preagg_sum
+    from .text import winnow_fp_rows
+
+    nb = num_buckets or 128
+
+    fps = ds.map_batches(
+        lambda b: winnow_fp_rows(b, n, window, text_col, id_col),
+        batch_format="pyarrow")
+    # winnow_fp_rows is distinct per batch, not globally — one
+    # pair-hash exchange makes (doc, fp) globally distinct
+    fpd = _repaired(
+        hash_aggregate(fps, [id_col, "fp"],
+                       lambda df: df.drop_duplicates(), num_buckets=nb),
+        pa.schema([(id_col, pa.int64()), ("fp", pa.int64())]))
+
+    def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("fp")[id_col].transform("size")
+        df = df[sizes >= 2]
+        if df.empty:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64")})
+        df = df.rename(columns={id_col: "doc_id"})
+        outs = [_bucket_pairs(g) for _, g in df.groupby("fp", sort=False)]
+        # NO cross-fp dedup: each fp bucket's pair is one shared
+        # fingerprint — the downstream count is the shared-fp count
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = _repaired(
+        hash_aggregate(fpd, ["fp"], bucket_pairs_many, num_buckets=nb),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+    shared = _repaired(
+        preagg_sum(pairs, ["id_a", "id_b"], {}, counts="shared"),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("shared", pa.int64())]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("shared"), min_shared))
+
+    return _repaired(
+        shared.map_batches(keep, batch_format="pyarrow"),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                   ("shared", pa.int64())]))

@@ -284,33 +284,10 @@ def doc_fingerprint(batch: pa.Table, text_col: str = "text",
                      "fingerprint": pa.array(h.view(np.int64), pa.int64())})
 
 
-def winnow_fingerprints(batch: pa.Table, n: int = 3, window: int = 4,
-                        text_col: str = "text",
-                        id_col: str = "doc_id") -> pa.Table:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    "Winnowing: local algorithms for document fingerprinting",
-    SIGMOD 2003) — the guarantee-bearing upgrade of
-    :func:`doc_fingerprint`: any shared run of ``window + n - 1``
-    tokens between two documents shares at least one fingerprint.
-
-    Spec (SQL-replayable term for term):
-
-    * grams  — word ``n``-grams of the lowercased whitespace tokens,
-      space-joined, at 1-based gram positions 1..m;
-    * hash   — the md5-60bit string hash used repo-wide;
-    * windows — every ``window`` consecutive gram positions; a doc
-      with 0 < m < window has ONE window (all its grams);
-    * selection — per window the minimal hash, ties → RIGHTMOST
-      (hash ASC, pos DESC); fingerprint set = distinct selected
-      (pos, hash);
-    * output — per doc: ``n_fp`` and ``fp_cksum`` = exact Python-int
-      sum of selected hashes mod 10^15 (HUGEINT-safe in the oracle).
-
-    Vectorized: grams via shifted pandas concat, one md5 per UNIQUE
-    gram per batch, full windows via one sliding_window_view with
-    boundary masking (rightmost argmin = reversed argmin), short docs
-    via one lexsort-groupby. Per-doc operator ⇒ no exchange at all.
-    """
+def _winnow_core(batch: pa.Table, n: int, window: int, text_col: str):
+    """Shared winnowing kernel: returns ``(gdoc, gh, sel)`` — the flat
+    gram→doc-row index, the md5-60bit gram hashes, and the selection
+    mask (see :func:`winnow_fingerprints` for the exact spec)."""
     import hashlib as _h
 
     s = batch.column(text_col).to_pandas().fillna("")
@@ -355,7 +332,54 @@ def winnow_fingerprints(batch: pa.Table, n: int = 3, window: int = 4,
                                "i": idx[order]}) \
             .drop_duplicates("d", keep="first")["i"].to_numpy()
         sel[picked] = True
+    return gdoc, gh, sel
 
+
+def winnow_fp_rows(batch: pa.Table, n: int = 3, window: int = 4,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Exploded winnowing fingerprints: one row per DISTINCT selected
+    (doc, fp-hash) — the posting-list form that feeds bucketed dedup
+    (same exchange shape as a minhash band table)."""
+    gdoc, gh, sel = _winnow_core(batch, n, window, text_col)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({id_col: ids[gdoc[sel]], "fp": gh[sel]}) \
+        .drop_duplicates()
+    return pa.table({
+        id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+        "fp": pa.array(df["fp"].to_numpy(), pa.int64()),
+    })
+
+
+def winnow_fingerprints(batch: pa.Table, n: int = 3, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: local algorithms for document fingerprinting",
+    SIGMOD 2003) — the guarantee-bearing upgrade of
+    :func:`doc_fingerprint`: any shared run of ``window + n - 1``
+    tokens between two documents shares at least one fingerprint.
+
+    Spec (SQL-replayable term for term):
+
+    * grams  — word ``n``-grams of the lowercased whitespace tokens,
+      space-joined, at 1-based gram positions 1..m;
+    * hash   — the md5-60bit string hash used repo-wide;
+    * windows — every ``window`` consecutive gram positions; a doc
+      with 0 < m < window has ONE window (all its grams);
+    * selection — per window the minimal hash, ties → RIGHTMOST
+      (hash ASC, pos DESC); fingerprint set = distinct selected
+      (pos, hash);
+    * output — per doc: ``n_fp`` and ``fp_cksum`` = exact Python-int
+      sum of selected hashes mod 10^15 (HUGEINT-safe in the oracle).
+
+    Vectorized: grams via shifted pandas concat, one md5 per UNIQUE
+    gram per batch, full windows via one sliding_window_view with
+    boundary masking (rightmost argmin = reversed argmin), short docs
+    via one lexsort-groupby. Per-doc operator ⇒ no exchange at all.
+    """
+    n_docs = batch.num_rows
+    gdoc, gh, sel = _winnow_core(batch, n, window, text_col)
     n_fp = np.bincount(gdoc[sel], minlength=n_docs).astype("int64")
     ck = pd.Series(gh[sel].astype(object)).groupby(
         pd.Series(gdoc[sel])).sum() if sel.any() else pd.Series(dtype=object)

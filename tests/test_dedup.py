@@ -460,3 +460,35 @@ def test_minhash_dedup_distributed_no_dups(ray_session):
     out = minhash_dedup(rd.from_pandas(df), threshold=0.95,
                         drop_strategy="distributed")
     assert sorted(r["doc_id"] for r in out.take_all()) == [5, 6]
+
+
+def test_winnow_dup_pairs_finds_planted_neardups(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import winnow_dup_pairs
+
+    rng = np.random.default_rng(9)
+    words = ["red", "blue", "green", "gold", "iron", "clay", "moss",
+             "pine", "salt", "wave"]
+    base = [" ".join(rng.choice(words, 24)) for _ in range(12)]
+    # doc 100+i = doc i with a small suffix edit -> long shared prefix
+    near = [t + " tail extra" for t in base[:4]]
+    df = pd.DataFrame({
+        "doc_id": list(range(12)) + [100, 101, 102, 103],
+        "text": base + near,
+    })
+    out = winnow_dup_pairs(rd.from_pandas(df).repartition(5),
+                           min_shared=3).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # the winnowing guarantee: each planted pair shares the base doc's
+    # fingerprints (24 shared tokens >> window+n-1) -> must be found
+    for i in range(4):
+        assert (i, 100 + i) in got, got
+    assert (out["shared"] >= 3).all()
+    # layout determinism
+    again = winnow_dup_pairs(rd.from_pandas(df).repartition(1),
+                             min_shared=3).to_pandas()
+    key = ["id_a", "id_b"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
