@@ -1253,6 +1253,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(copies, batch_format="pyarrow"))
         return duplicate_ngram_stats(corpus, L=8)
 
+    def docs_dedup_clean(sf_dir):
+        # ExactSubstr REMOVAL over the same partially-overlapping
+        # corpus as docs_exact_substrings: every covered token dropped,
+        # cleaned text reassembled in position order; one doc-hash
+        # co-group of corpus + hit starts
+        from raygraph.ops.dedup import clean_duplicate_ngrams
+
+        docs = _docs_ds(sf_dir)
+
+        def copies(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["doc_id"] % 3 == 0]
+            return pa.table({
+                "doc_id": pa.array(df["doc_id"] + _OFFSET, pa.int64()),
+                "text": pa.array(
+                    df["text"].fillna("")
+                    + " shared tail marker alpha beta gamma delta "
+                    "epsilon zeta eta theta", pa.string()),
+            })
+
+        corpus = docs.union(
+            docs.map_batches(copies, batch_format="pyarrow"))
+        return clean_duplicate_ngrams(corpus, L=8)
+
     def dedup_sn_pairs(sf_dir):
         # sorted-neighborhood blocking (window 3): candidate pairs
         # within a 3-row sliding window of the corpus sorted by the
@@ -9039,6 +9063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_target_encode": events_target_encode,
         "docs_stump": docs_stump,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "ann_rrf_top10": ann_rrf_top10,
         "ann_top10": ann_top10,
@@ -13683,6 +13708,61 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (10000 * coalesce(pcov.n_dup, 0))
                               // tn.n_tokens END)::BIGINT AS dup_bp
             FROM tn LEFT JOIN pcov USING (doc_id)
+        """,
+        # ExactSubstr REMOVAL replayed: same corpus/gram/dup/occ chain,
+        # kept = tokens with NO covering hit start (pos-7..pos), cleaned
+        # text = string_agg in position order
+        "docs_dedup_clean": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET},
+                     coalesce(text, '')
+                     || ' shared tail marker alpha beta gamma delta '
+                     || 'epsilon zeta eta theta'
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                              trim(lower(text)), '\\s+') END AS toks
+              FROM corpus
+            ),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t),
+            g AS (
+              SELECT doc_id, pos,
+                     tok || ' ' || lead(tok, 1) OVER w
+                         || ' ' || lead(tok, 2) OVER w
+                         || ' ' || lead(tok, 3) OVER w
+                         || ' ' || lead(tok, 4) OVER w
+                         || ' ' || lead(tok, 5) OVER w
+                         || ' ' || lead(tok, 6) OVER w
+                         || ' ' || lead(tok, 7) OVER w AS gram
+              FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            h AS (SELECT doc_id, pos, gram AS gh FROM g
+                  WHERE gram IS NOT NULL),
+            dup AS (SELECT gh FROM (
+                      SELECT gh, count(DISTINCT doc_id) AS ndocs
+                      FROM h GROUP BY gh) WHERE ndocs >= 2),
+            occ AS MATERIALIZED (
+              SELECT h.doc_id, h.pos FROM h JOIN dup USING (gh)),
+            kept AS (
+              SELECT u.doc_id, u.pos, u.tok FROM u
+              WHERE NOT EXISTS (
+                SELECT 1 FROM occ o
+                WHERE o.doc_id = u.doc_id
+                  AND o.pos BETWEEN u.pos - 7 AND u.pos)
+            ),
+            k AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                         string_agg(tok, ' ' ORDER BY pos)
+                             AS clean_text
+                  FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(k.clean_text, '') AS clean_text
+            FROM (SELECT doc_id FROM corpus) d LEFT JOIN k USING (doc_id)
         """,
         # ER clusters: strong pairs -> unrolled min-label components ->
         # cluster-size histogram (composed from _components_sql)

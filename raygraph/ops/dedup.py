@@ -1472,60 +1472,35 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str = "doc_id",
         out_schema)
 
 
-def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
-                          id_col: str = "doc_id"):
-    """Exact-substring duplication profile (the ExactSubstr discipline
-    of Lee et al., "Deduplicating Training Data Makes Language Models
-    Better", 2021, re-expressed at token-n-gram grain): an L-token
-    window that appears in >= 2 distinct documents marks every token
-    position it covers in EVERY document as duplicated; per doc we
-    report how much of it is covered.
+def _es_tok_frame(batch: pa.Table, text_col: str,
+                  id_col: str) -> pd.DataFrame:
+    """(doc, toks) frame under the parity tokenizer — shared by the
+    ExactSubstr stats and removal operators."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    toks = s.str.strip().str.lower().str.split()
+    return pd.DataFrame({
+        "doc": batch.column(id_col).to_pandas(),
+        "toks": toks,
+    })
 
-    Distributed shape — never a pairwise product, never a suffix array
-    on one node:
 
-    1. gram inventory: per-batch VECTORIZED n-gram build (explode
-       tokens, 7 group-shifts, one string concat); the gram STRING is
-       its own exchange key — an 8-token gram is about as wide as a
-       hex md5, so hashing would buy nothing and cost ~1 µs/gram →
-       (gh, doc, pos) rows;
-    2. duplicated grams: one pair-hash distinct (gh, doc) exchange,
-       per-gh doc counts (combiner preagg), filter >= 2 — gram-sized;
-    3. one left_semi shuffle join marks duplicate occurrences;
-    4. coverage: ONE doc-hash exchange of the hit positions, then a
-       vectorized interval-union fold per doc (equal-length windows:
-       union = sum(min(L, gap)) over sorted distinct positions) — no
-       x L row fan-out, no (doc, idx) distinct.
-
-    Returns (doc_id, n_tokens, n_dup_tokens, dup_bp) with dup_bp =
-    (10000 * covered) // n_tokens (0 for empty docs).
-    """
-    import hashlib
-
-    from .relational import (_join_partitions, hash_aggregate,
-                             preagg_sum, shuffle_join)
+def _exact_substr_hits(ds, L: int, text_col: str, id_col: str):
+    """Stages 1-3 of the ExactSubstr shape (see
+    :func:`duplicate_ngram_stats`): gram inventory → duplicated-gram
+    keys → left_semi-marked occurrences. Returns the hits Dataset
+    (gh, doc, pos), possibly empty-but-typed."""
+    import ray.data as rd
 
     from raygraph.ops.graph import _repaired
 
-    import ray.data as rd
-
-    out_schema = pa.schema([
-        (id_col, pa.int64()), ("n_tokens", pa.int64()),
-        ("n_dup_tokens", pa.int64()), ("dup_bp", pa.int64())])
-
-    def tok_frame(batch: pa.Table) -> pd.DataFrame:
-        s = batch.column(text_col).to_pandas().fillna("")
-        toks = s.str.strip().str.lower().str.split()
-        return pd.DataFrame({
-            "doc": batch.column(id_col).to_pandas(),
-            "toks": toks,
-        })
+    from .relational import (_join_partitions, hash_aggregate,
+                             preagg_sum, shuffle_join)
 
     def grams(batch: pa.Table) -> pa.Table:
         # flat-array gram build: no per-doc groupby, no group shifts —
         # doc-boundary validity is one integer compare on the flat doc
         # array, gram text is L-1 vectorized str.cat passes
-        df = tok_frame(batch)
+        df = _es_tok_frame(batch, text_col, id_col)
         counts = df["toks"].str.len().fillna(0).astype("int64") \
             .to_numpy()
         total = int(counts.sum())
@@ -1561,28 +1536,8 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
     # schema even for empty batches, and the all-empty case is short-
     # circuited below before any join sees it
     occ = ds.map_batches(grams, batch_format="pyarrow").materialize()
-
-    def counts(batch: pa.Table) -> pa.Table:
-        df = tok_frame(batch)
-        return pa.table({
-            id_col: pa.array(df["doc"], pa.int64()),
-            "n_tokens": pa.array(df["toks"].str.len()
-                                 .fillna(0).astype("int64"), pa.int64()),
-        })
-
-    tokn = _repaired(ds.map_batches(counts, batch_format="pyarrow"),
-                     pa.schema([(id_col, pa.int64()),
-                                ("n_tokens", pa.int64())]))
-
     if occ.count() == 0:
-        def zero(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            z = pa.array(np.zeros(n, dtype="int64"))
-            return pa.table({id_col: batch.column(id_col),
-                             "n_tokens": batch.column("n_tokens"),
-                             "n_dup_tokens": z, "dup_bp": z})
-        return _repaired(tokn.map_batches(zero, batch_format="pyarrow"),
-                         out_schema)
+        return rd.from_arrow(gram_schema.empty_table())
 
     # gram-doc distinct -> per-gram doc count -> duplicated gram keys
     gd = _repaired(
@@ -1602,14 +1557,67 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
     dupset = _repaired(nd.map_batches(dup_only, batch_format="pyarrow"),
                        pa.schema([("gh", pa.string())]))
 
-    nparts = _join_partitions(occ.count())
     if dupset.count() == 0:
-        hits = rd.from_arrow(gram_schema.empty_table())
-    else:
-        hits = _repaired(
-            shuffle_join(occ, dupset, on="gh", right_on="gh",
-                         how="left_semi", num_partitions=nparts),
-            gram_schema)
+        return rd.from_arrow(gram_schema.empty_table())
+    return _repaired(
+        shuffle_join(occ, dupset, on="gh", right_on="gh",
+                     how="left_semi",
+                     num_partitions=_join_partitions(occ.count())),
+        gram_schema)
+
+
+def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Exact-substring duplication profile (the ExactSubstr discipline
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2021, re-expressed at token-n-gram grain): an L-token
+    window that appears in >= 2 distinct documents marks every token
+    position it covers in EVERY document as duplicated; per doc we
+    report how much of it is covered.
+
+    Distributed shape — never a pairwise product, never a suffix array
+    on one node:
+
+    1. gram inventory: per-batch VECTORIZED n-gram build (explode
+       tokens, 7 group-shifts, one string concat); the gram STRING is
+       its own exchange key — an 8-token gram is about as wide as a
+       hex md5, so hashing would buy nothing and cost ~1 µs/gram →
+       (gh, doc, pos) rows;
+    2. duplicated grams: one pair-hash distinct (gh, doc) exchange,
+       per-gh doc counts (combiner preagg), filter >= 2 — gram-sized;
+    3. one left_semi shuffle join marks duplicate occurrences;
+    4. coverage: ONE doc-hash exchange of the hit positions, then a
+       vectorized interval-union fold per doc (equal-length windows:
+       union = sum(min(L, gap)) over sorted distinct positions) — no
+       x L row fan-out, no (doc, idx) distinct.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, dup_bp) with dup_bp =
+    (10000 * covered) // n_tokens (0 for empty docs).
+    """
+    from .relational import (_join_partitions, hash_aggregate,
+                             shuffle_join)
+
+    from raygraph.ops.graph import _repaired
+
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("n_dup_tokens", pa.int64()), ("dup_bp", pa.int64())])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = _es_tok_frame(batch, text_col, id_col)
+        return pa.table({
+            id_col: pa.array(df["doc"], pa.int64()),
+            "n_tokens": pa.array(df["toks"].str.len()
+                                 .fillna(0).astype("int64"), pa.int64()),
+        })
+
+    tokn = _repaired(ds.map_batches(counts, batch_format="pyarrow"),
+                     pa.schema([(id_col, pa.int64()),
+                                ("n_tokens", pa.int64())]))
+
+    hits = _exact_substr_hits(ds, L, text_col, id_col)
 
     def union_len(df: pd.DataFrame) -> pd.DataFrame:
         # coverage = interval-union length of the [pos, pos+L) windows:
@@ -1673,6 +1681,77 @@ def duplicate_ngram_stats(ds, L: int = 8, text_col: str = "text",
 
     return _repaired(j.map_batches(finish, batch_format="pyarrow"),
                      out_schema)
+
+
+def clean_duplicate_ngrams(ds, L: int = 8, text_col: str = "text",
+                           id_col: str = "doc_id", num_buckets: int = 64):
+    """ExactSubstr REMOVAL (the action Lee et al. 2021 actually take):
+    drop every token covered by an L-token window that appears in >= 2
+    documents; return the cleaned corpus as
+    (doc_id, n_kept, clean_text) with clean_text the space-joined
+    surviving lowercased tokens in position order ('' when nothing
+    survives).
+
+    Shape: stages 1-3 shared with :func:`duplicate_ngram_stats`
+    (:func:`_exact_substr_hits`), then ONE doc-hash co-group of the
+    corpus with its hit-start lists — docs and their hits meet in the
+    same bucket, the covered mask is a vectorized diff-array cumsum per
+    doc, and only hit STARTS are exchanged (never a × L fan-out).
+    """
+    from raygraph.ops.graph import _repaired
+
+    from .relational import hash_aggregate
+
+    hits = _exact_substr_hits(ds, L, text_col, id_col)
+
+    def docs_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": batch.column(id_col).cast(pa.int64()),
+            "text": batch.column(text_col).cast(pa.string()),
+            "pos": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def hits_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": batch.column("doc"),
+            "text": pa.nulls(batch.num_rows, pa.string()),
+            "pos": batch.column("pos"),
+        })
+
+    both = ds.map_batches(docs_side, batch_format="pyarrow").union(
+        hits.map_batches(hits_side, batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc, g in df.groupby("doc", sort=False):
+            texts = g.loc[g["pos"].isna(), "text"]
+            if texts.empty:        # hits for a doc outside this input
+                continue
+            toks = str(texts.iloc[0] or "").strip().lower().split()
+            n = len(toks)
+            starts = g.loc[g["pos"].notna(), "pos"] \
+                .to_numpy(dtype="int64")
+            if n and len(starts):
+                cov = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(cov, starts, 1)
+                np.add.at(cov, np.minimum(n, starts + L), -1)
+                keep_mask = np.cumsum(cov[:n]) == 0
+                kept = [t for t, k in zip(toks, keep_mask) if k]
+            else:
+                kept = toks
+            rows.append({"doc_id": int(doc), "n_kept": len(kept),
+                         "clean_text": " ".join(kept)})
+        out = pd.DataFrame(rows,
+                           columns=["doc_id", "n_kept", "clean_text"])
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_kept"] = out["n_kept"].astype("int64")
+        out["clean_text"] = out["clean_text"].astype(str)
+        return out
+
+    return _repaired(
+        hash_aggregate(both, ["doc"], fold, num_buckets=num_buckets),
+        pa.schema([("doc_id", pa.int64()), ("n_kept", pa.int64()),
+                   ("clean_text", pa.string())]))
 
 
 def winnow_dup_pairs(ds, min_shared: int = 3, n: int = 3,

@@ -492,3 +492,29 @@ def test_winnow_dup_pairs_finds_planted_neardups(ray_session):
     key = ["id_a", "id_b"]
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True))
+
+
+def test_clean_duplicate_ngrams_removes_planted_run(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import clean_duplicate_ngrams
+
+    shared = "one two three four five six seven eight"       # one 8-gram
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta " + shared + " gamma",
+                 "delta " + shared + " epsilon zeta",
+                 "totally unrelated words here live now"],
+    })
+    out = clean_duplicate_ngrams(rd.from_pandas(df).repartition(3), L=8) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "alpha beta gamma"
+    assert out.loc[1, "clean_text"] == "delta epsilon zeta"
+    assert out.loc[2, "clean_text"] == \
+        "totally unrelated words here live now"
+    assert out.loc[0, "n_kept"] == 3 and out.loc[2, "n_kept"] == 6
+    # no duplicates at all -> identity (lowercased)
+    solo = clean_duplicate_ngrams(
+        rd.from_pandas(df.iloc[[2]]), L=8).to_pandas()
+    assert solo["clean_text"][0] == df["text"][2]
