@@ -949,6 +949,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pq.ParquetDataset(_CACHE[key].edges_path).read()
         return t.select(["_from", "pred", "_to"])
 
+    def kg_coref_edges(sf_dir):
+        # coreference-lite through the FULL pipeline (extract_mode=
+        # "patterns+coref", ops/extract._resolve_coref): docs carry an
+        # anchored sentence plus a pronoun follow-up ("It is located in
+        # …") whose subject must resolve to the document's preceding
+        # extracted subject — recency-heuristic coref, batch-local by
+        # the one-row-per-document span contract (zero exchange). Docs
+        # i%7==0 DROP the anchor sentence, so their pronoun (when
+        # present) has no antecedent and must be dropped, not linked.
+        # The oracle replays the id arithmetic; resolution must recover
+        # it exactly.
+        from raygraph.config import GraphBuildConfig
+        from raygraph.pipeline import build_graph
+        from raygraph.schemas import DOCUMENT_SCHEMA
+
+        n = _docs_count(sf_dir)
+        m = max(2, min(n // 10, 1000))
+        key = ("kg_coref", n)
+        if key not in _CACHE:
+            cdir = os.path.join(_TMP, f"coref_corpus_n{n}")
+            done = os.path.join(cdir, "_done")
+            if not os.path.exists(done):
+                import shutil as _sh
+
+                _sh.rmtree(cdir, ignore_errors=True)
+                os.makedirs(cdir, exist_ok=True)
+                i = np.arange(n, dtype="int64")
+                a = i % m
+                c = (i * 7 + 3) % m
+                has_anchor = (i % 7) != 0
+                has_pron = (i % 3) == 1
+                rows = []
+                for k in range(n):
+                    spans = []
+                    if has_anchor[k]:
+                        spans.append({
+                            "kind": "text",
+                            "text": f"vertex {a[k]} is connected to "
+                                    f"vertex {(a[k] + 1) % m}.",
+                            "media_ref": "", "offset": 0})
+                    if has_pron[k]:
+                        spans.append({
+                            "kind": "text",
+                            "text": f"It is located in vertex {c[k]}.",
+                            "media_ref": "",
+                            "offset": len(spans)})
+                    rows.append({"doc_id": f"c{k}", "spans": spans})
+                pq.write_table(
+                    pa.Table.from_pylist(rows, schema=DOCUMENT_SCHEMA),
+                    os.path.join(cdir, "docs.parquet"))
+                with open(done, "w") as f:
+                    f.write("ok")
+            aliases = {f"vertex {k}": f"vertex_{k}" for k in range(m)}
+            cfg = GraphBuildConfig(
+                input_path=cdir,
+                output_path=os.path.join(_TMP, f"kg_coref_n{n}"),
+                num_partitions=8,
+                linker_concurrency=(1, 4),
+                extract_mode="patterns+coref",
+            )
+            _CACHE[key] = build_graph(cfg, aliases=aliases)
+        t = pq.ParquetDataset(_CACHE[key].edges_path).read()
+        return t.select(["_from", "pred", "_to"])
+
     def kg_cascade(sf_dir):
         # independent-cascade diffusion (3 top-degree seeds, p = 40%,
         # 3 rounds, md5 coins): the influence-spread evaluation kernel
@@ -8728,6 +8792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cascade": kg_cascade,
         "kg_frame_triples": kg_frame_triples,
         "kg_frame_edges": kg_frame_edges,
+        "kg_coref_edges": kg_coref_edges,
         "kg_skipgram_pairs": kg_skipgram_pairs,
         "kg_vertex_cover": kg_vertex_cover,
         "kg_components": kg_components,
@@ -10405,6 +10470,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'entities/alpha_' || a, 'works_at',
                    'entities/beta_' || b
             FROM d WHERE i % 3 = 1
+        """,
+        # coref-lite fidelity: located_in edges exist only where BOTH
+        # the pronoun span (i%3=1) AND its antecedent anchor (i%7<>0)
+        # exist — a resolver that links unresolved pronouns, or one
+        # that misses the recency antecedent, diverges here
+        "kg_coref_edges": """
+            WITH p AS (SELECT count(*)::BIGINT AS n FROM documents),
+                 mm AS (SELECT greatest(2, least(n // 10, 1000)) AS m
+                        FROM p),
+                 idx AS (SELECT row_number() OVER () - 1 AS i
+                         FROM documents),
+                 d AS (SELECT i, (i % mm.m) AS a,
+                              ((i * 7 + 3) % mm.m) AS c, mm.m AS m
+                       FROM idx, mm)
+            SELECT DISTINCT 'entities/vertex_' || a AS _from,
+                   'connected_to' AS pred,
+                   'entities/vertex_' || ((a + 1) % m) AS _to
+            FROM d WHERE i % 7 <> 0
+            UNION
+            SELECT DISTINCT 'entities/vertex_' || a, 'located_in',
+                   'entities/vertex_' || c
+            FROM d WHERE i % 3 = 1 AND i % 7 <> 0
         """,
         # verb-frame extraction fidelity: the oracle replays the
         # id-derived sentence shapes directly — the Ray side must

@@ -170,7 +170,10 @@ class GraphBuildConfig:
             raise InvalidParameterError("linker_concurrency must be (min<=max), min>=1")
         if self.alias_shards < 1:
             raise InvalidParameterError("alias_shards must be >= 1")
-        if self.extract_mode not in ("patterns", "patterns+frames"):
+        if self.extract_mode not in ("patterns", "patterns+frames",
+                                     "patterns+coref",
+                                     "patterns+frames+coref"):
             raise InvalidParameterError(
                 "extract_mode must be one of patterns|patterns+frames"
+                "|patterns+coref|patterns+frames+coref"
             )

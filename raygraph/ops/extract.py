@@ -72,6 +72,51 @@ PREP_FRAMES: dict[tuple[str, str], str] = {
 FRAME_CONF = 0.70
 _FRAME_HEADS = frozenset(FRAME_VERBS) | {v for v, _ in PREP_FRAMES}
 
+# ---- coreference-lite subject resolution -------------------------------
+# A triple whose subject surface is a bare pronoun ("It is located in X.")
+# is useless to the linker; resolve it to the nearest PRECEDING extracted
+# subject in the SAME document (standard recency heuristic — the
+# Hobbs-distance degenerate case for span-sequence documents). A pronoun
+# with no antecedent in its document is DROPPED — emitting an unlinkable
+# surface would only manufacture sentinel vertices. Zero-exchange by
+# construction: a document's whole span sequence lives in one input row,
+# so resolution is a per-batch sort + grouped forward-fill, never a
+# shuffle. Enabled via mode flag "+coref" (default pipelines bit-unchanged).
+PRONOUNS = frozenset({"it", "he", "she", "they", "this", "that"})
+
+
+def _resolve_coref(cols: dict) -> dict:
+    """Forward-fill pronoun subjects from each document's nearest
+    preceding non-pronoun triple subject; drop unresolved pronouns.
+
+    ``cols`` is the concatenated column dict of extract_triples (numpy
+    arrays, one row per extracted triple, ≤ 1 triple per span). Chains
+    ("X ... It ... It ...") resolve to the chain head because only
+    non-pronoun subjects seed the fill.
+    """
+    subj = pd.Series(cols["subj_surface"], dtype=object)
+    is_pron = subj.str.lower().isin(PRONOUNS).to_numpy()
+    if not is_pron.any():
+        return cols
+    df = pd.DataFrame({
+        "doc_id": cols["doc_id"], "span_idx": cols["span_idx"],
+        "subj_surface": cols["subj_surface"], "pred": cols["pred"],
+        "obj_surface": cols["obj_surface"], "conf": cols["conf"],
+        "__pron": is_pron,
+    }).sort_values(["doc_id", "span_idx"], kind="mergesort")
+    ante = df["subj_surface"].where(~df["__pron"])
+    resolved = ante.groupby(df["doc_id"]).ffill()
+    df["subj_surface"] = df["subj_surface"].where(~df["__pron"], resolved)
+    df = df[df["subj_surface"].notna()]
+    return {
+        "doc_id": df["doc_id"].to_numpy(),
+        "span_idx": df["span_idx"].to_numpy(),
+        "subj_surface": df["subj_surface"].to_numpy(),
+        "pred": df["pred"].to_numpy(),
+        "obj_surface": df["obj_surface"].to_numpy(),
+        "conf": df["conf"].to_numpy(),
+    }
+
 
 def _frame_extract(
     texts: pd.Series,
@@ -188,11 +233,16 @@ def _apply_patterns(
 def extract_triples(batch: pa.Table, mode: str = "patterns") -> pa.Table:
     """``map_batches`` fn: documents batch → RAW_TRIPLE_SCHEMA batch.
 
-    ``mode="patterns"`` (default): the anchored pattern table only.
-    ``mode="patterns+frames"``: patterns first (priority), then the
-    verb-frame family (:func:`_frame_extract`) over text spans no
-    pattern matched — a span still yields at most one triple.
+    ``mode`` is a "+"-joined flag set; "patterns" is always on:
+
+    * ``"patterns"`` (default): the anchored pattern table only.
+    * ``"+frames"``: then the verb-frame family (:func:`_frame_extract`)
+      over text spans no pattern matched — a span still yields at most
+      one triple.
+    * ``"+coref"``: pronoun subjects resolved per document
+      (:func:`_resolve_coref`); unresolved pronouns dropped.
     """
+    flags = set(mode.split("+"))
     flat, parent, span_idx = _flatten(batch)
     if len(flat) == 0:
         return RAW_TRIPLE_SCHEMA.empty_table()
@@ -211,7 +261,7 @@ def extract_triples(batch: pa.Table, mode: str = "patterns") -> pa.Table:
     if text_mask.any():
         missed = _apply_patterns(texts[text_mask], TEXT_PATTERNS,
                                  doc_ids, span_idx, out)
-        if mode == "patterns+frames" and missed is not None \
+        if "frames" in flags and missed is not None \
                 and not missed.empty:
             _frame_extract(missed, doc_ids, span_idx, out)
 
@@ -230,6 +280,10 @@ def extract_triples(batch: pa.Table, mode: str = "patterns") -> pa.Table:
         name: np.concatenate([o[name] for o in out])
         for name in ("doc_id", "span_idx", "subj_surface", "pred", "obj_surface", "conf")
     }
+    if "coref" in flags:
+        cols = _resolve_coref(cols)
+        if len(cols["doc_id"]) == 0:
+            return RAW_TRIPLE_SCHEMA.empty_table()
     return pa.table(
         {
             "doc_id": pa.array(cols["doc_id"], pa.string()),

@@ -282,3 +282,69 @@ def test_frame_conf_and_lineage():
     r = got[0]
     assert r["doc_id"] == "d9" and r["span_idx"] == 1
     assert abs(r["conf"] - 0.70) < 1e-6
+
+
+# ---------------------------------------------------------------- coref
+def _tspan(text, off):
+    return {"kind": "text", "text": text, "media_ref": "", "offset": off}
+
+
+def test_coref_resolves_to_nearest_preceding_subject():
+    t = _doc("d", [
+        _tspan("Alice works for Acme.", 0),
+        _tspan("It is located in Berlin.", 1),
+    ])
+    got = extract_triples(t, mode="patterns+coref").to_pylist()
+    assert len(got) == 2
+    coref = [r for r in got if r["pred"] == "located_in"][0]
+    assert coref["subj_surface"] == "Alice"
+    assert coref["obj_surface"] == "Berlin"
+
+
+def test_coref_chain_resolves_to_head():
+    # both pronouns resolve to the chain head: only non-pronoun
+    # subjects seed the forward fill
+    t = _doc("d", [
+        _tspan("Acme is located in Berlin.", 0),
+        _tspan("It is part of Initech.", 1),
+        _tspan("It is a company.", 2),
+    ])
+    got = extract_triples(t, mode="patterns+coref").to_pylist()
+    assert [r["subj_surface"] for r in sorted(
+        got, key=lambda r: r["span_idx"])] == ["Acme", "Acme", "Acme"]
+
+
+def test_coref_unresolved_pronoun_dropped():
+    t = _doc("d", [_tspan("It is located in Berlin.", 0)])
+    got = extract_triples(t, mode="patterns+coref")
+    assert got.num_rows == 0
+
+
+def test_coref_does_not_cross_documents():
+    t = pa.Table.from_pylist([
+        {"doc_id": "a", "spans": [_tspan("Alice knows Bob.", 0)]},
+        {"doc_id": "b", "spans": [_tspan("It is located in Berlin.", 0)]},
+    ], schema=DOCUMENT_SCHEMA)
+    got = extract_triples(t, mode="patterns+coref").to_pylist()
+    assert len(got) == 1 and got[0]["doc_id"] == "a"
+
+
+def test_coref_media_caption_subject_is_antecedent():
+    t = _doc("d", [
+        {"kind": "media", "text": "caption: Acme links Initech",
+         "media_ref": "m.png", "offset": 0},
+        _tspan("It is located in Berlin.", 1),
+    ])
+    got = extract_triples(t, mode="patterns+coref").to_pylist()
+    coref = [r for r in got if r["pred"] == "located_in"][0]
+    assert coref["subj_surface"] == "Acme"
+
+
+def test_coref_off_by_default():
+    t = _doc("d", [
+        _tspan("Alice knows Bob.", 0),
+        _tspan("It is located in Berlin.", 1),
+    ])
+    got = extract_triples(t).to_pylist()  # default mode: no resolution
+    coref = [r for r in got if r["pred"] == "located_in"][0]
+    assert coref["subj_surface"] == "It"
