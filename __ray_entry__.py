@@ -2012,6 +2012,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins; the LM never lands on the driver
         return T.bigram_cross_entropy(_docs_ds(sf_dir))
 
+    def docs_dsir_weights(sf_dir):
+        # DSIR data selection (Xie et al. 2023): per-doc hashed-n-gram
+        # importance weight of the raw corpus against the src0 target
+        # slice — fit is one dim-sized combiner aggregate, the 1024-
+        # bucket log-ratio table ships in the task closure (8 KB —
+        # hashing keeps the model corpus-independent), score is a
+        # stateless second pass
+        from raygraph.ops.text import dsir_weights
+
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"])
+        return dsir_weights(ds, target_col="source",
+                            target_value="src0")
+
     def docs_unigram_surprise(sf_dir):
         # perplexity-filter analog: per-doc cross-entropy under the
         # corpus's own unigram LM — per-(doc,word) tf partials, one
@@ -8859,6 +8874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_top10": docs_bm25_top10,
         "docs_unigram_surprise": docs_unigram_surprise,
         "docs_bigram_perplexity": docs_bigram_perplexity,
+        "docs_dsir_weights": docs_dsir_weights,
         "events_transition_pmi": events_transition_pmi,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_lr_score": docs_lr_score,
@@ -12173,6 +12189,47 @@ def oracle_sql() -> dict[str, str]:
                      / (fx.nf::HUGEINT * ty.nt)::DOUBLE))::BIGINT AS pmi_e6
             FROM tr t, m, fx, ty
             WHERE fx.from_type = t.from_type AND ty.to_type = t.to_type
+        """,
+        # DSIR importance weights: hashed unigram+bigram buckets, dim-
+        # sized add-one log-ratio table, per-occurrence e6 floors
+        # summed as ints per doc
+        "docs_dsir_weights": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(
+                                 trim(lower(text)), '\\s+')
+                     END AS toks
+              FROM documents),
+            u AS (SELECT doc_id, source, unnest(toks) AS w,
+                         generate_subscripts(toks, 1) AS pos FROM t),
+            bi AS (SELECT doc_id, source,
+                          w || ' ' || lead(w) OVER (
+                            PARTITION BY doc_id ORDER BY pos) AS gram
+                   FROM u),
+            g AS (SELECT doc_id, source, w AS gram FROM u
+                  UNION ALL
+                  SELECT doc_id, source, gram FROM bi
+                  WHERE gram IS NOT NULL),
+            h AS (SELECT doc_id, source,
+                         ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                           % 1024 AS b
+                  FROM g),
+            cnt AS (SELECT b,
+                           count(*) FILTER (WHERE source = 'src0')
+                             ::BIGINT AS ct,
+                           count(*)::BIGINT AS cr
+                    FROM h GROUP BY b),
+            tot AS (SELECT sum(ct)::BIGINT AS nt,
+                           sum(cr)::BIGINT AS nr FROM cnt),
+            r AS (SELECT b,
+                         floor(1000000 * ln(
+                           ((ct + 1) * (nr + 1024))::DOUBLE
+                           / ((cr + 1) * (nt + 1024))))::BIGINT AS r_e6
+                  FROM cnt, tot)
+            SELECT h.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(r.r_e6)::BIGINT AS dsir_e6
+            FROM h JOIN r USING (b) GROUP BY h.doc_id
         """,
         # CCNet-style bigram-LM perplexity: add-one over each history's
         # follower set, per-term e6 floors summed as ints

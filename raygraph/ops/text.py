@@ -9,6 +9,7 @@ exactly (token = maximal run of non-whitespace, etc.).
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -2152,3 +2153,111 @@ def c4_flags(batch: pa.Table, text_col: str = "text",
         "fail_lorem": pa.array(lorem),
         "pass_all": pa.array(pass_all),
     })
+
+
+def _hashed_gram_buckets(batch: pa.Table, text_col: str, id_col: str,
+                         dim: int):
+    """Flat (doc_row, bucket) arrays of the hashed unigram+bigram
+    features of a batch — the DSIR feature map. Tokens are the oracle's
+    ``regexp_split_to_array(trim(lower(text)), '\\s+')``; bigrams are
+    space-joined adjacent same-doc tokens; bucket = md5-60bit(gram) %
+    dim with md5 run once per UNIQUE gram per batch."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    ids = batch.column(id_col).to_pandas().astype("int64").to_numpy()
+    toks = s.str.strip().str.lower().str.split()
+    counts = toks.str.len().fillna(0).astype("int64").to_numpy()
+    total = int(counts.sum())
+    if total == 0:
+        return (np.array([], dtype="int64"), np.array([], dtype="int64"))
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks if len(t)])
+    docs_arr = np.repeat(ids, counts)
+    same = docs_arr[:-1] == docs_arr[1:]
+    if same.any():
+        bi = (pd.Series(flat[:-1][same]) + " "
+              + pd.Series(flat[1:][same])).to_numpy()
+        grams = np.concatenate([flat, bi])
+        gdocs = np.concatenate([docs_arr, docs_arr[:-1][same]])
+    else:
+        grams, gdocs = flat, docs_arr
+    uniq, inv = np.unique(grams.astype("U"), return_inverse=True)
+    hb = np.fromiter(
+        (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim
+         for g in uniq),
+        dtype="int64", count=len(uniq))
+    return gdocs, hb[inv]
+
+
+def dsir_weights(ds, target_col: str = "source",
+                 target_value: str = "src0", dim: int = 1024,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by how target-like its hashed n-gram features
+    are — the data-selection step a pretraining mix runs before
+    sampling. Features are hashed unigrams+bigrams in ``dim`` buckets;
+    the target distribution is the subset ``target_col ==
+    target_value``; the raw distribution is the whole corpus.
+
+    Exact-integer contract: per bucket h,
+    ``r_e6[h] = floor(10⁶ · ln( (c_t[h]+1)·(N_r+dim) /
+    ((c_r[h]+1)·(N_t+dim)) ))`` — add-one smoothed log importance
+    ratio, exact Python-int products, ONE double division + ln per
+    bucket (both engines run the identical literal). Per doc,
+    ``dsir_e6 = Σ_occurrences r_e6[bucket]`` — independent per-term
+    floors summed as ints, reduction-order-free.
+
+    Scale shape: fit = one tokenize pass folded to a dim-sized
+    (bucket, c_t, c_r) combiner aggregate (dim × blocks exchange
+    rows); the ratio table is dim-sized BY CONSTRUCTION (1024 int64 =
+    8 KB) and ships to workers in the task closure — the hashing trick
+    exists precisely so the model never scales with the corpus. Score
+    = a second stateless tokenize pass + per-doc combiner sums; no
+    shuffle ever carries raw text. Returns (doc_id, n_grams, dsir_e6)
+    per non-empty document.
+    """
+    from .relational import preagg_sum
+
+    def fit_partial(batch: pa.Table) -> pa.Table:
+        gdocs, buckets = _hashed_gram_buckets(batch, text_col, id_col,
+                                              dim)
+        tgt = (batch.column(target_col).to_pandas()
+               == target_value).to_numpy()
+        tgt_ids = batch.column(id_col).to_pandas() \
+            .astype("int64").to_numpy()[tgt]
+        is_t = np.isin(gdocs, tgt_ids)
+        df = pd.DataFrame({"bucket": buckets,
+                           "ct": is_t.astype("int64"),
+                           "cr": np.ones(len(buckets), dtype="int64")})
+        g = df.groupby("bucket", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = preagg_sum(
+        ds.map_batches(fit_partial, batch_format="pyarrow"),
+        ["bucket"], {"ct": "ct", "cr": "cr"}).to_pandas()
+    # the ratio table is dim-sized by construction — exact Python-int
+    # numer/denom, one double ln per bucket
+    nt = int(cnt["ct"].sum())
+    nr = int(cnt["cr"].sum())
+    r_e6 = np.zeros(dim, dtype="int64")
+    for b, ct, cr in zip(cnt["bucket"], cnt["ct"], cnt["cr"]):
+        num = (int(ct) + 1) * (nr + dim)
+        den = (int(cr) + 1) * (nt + dim)
+        r_e6[int(b)] = math.floor(
+            1_000_000 * math.log(float(num) / float(den)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        gdocs, buckets = _hashed_gram_buckets(batch, text_col, id_col,
+                                              dim)
+        if not len(gdocs):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "dsir_e6": pa.array([], pa.int64())})
+        df = pd.DataFrame({id_col: gdocs, "r": r_e6[buckets]})
+        g = df.groupby(id_col, as_index=False).agg(
+            n_grams=("r", "size"), dsir_e6=("r", "sum"))
+        g["n_grams"] = g["n_grams"].astype("int64")
+        g["dsir_e6"] = g["dsir_e6"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow")

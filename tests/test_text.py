@@ -782,3 +782,66 @@ def test_fit_stump_separable_and_brute(ray_session):
 
     bt, bs = brute(df2)
     assert got2["threshold"][0] == bt and got2["s_e12"][0] == bs
+
+
+# ----------------------------------------------------------------- DSIR
+def test_dsir_brute_force_reference():
+    # independent replay of the whole formula on a 4-doc corpus
+    import hashlib as _h
+    import math
+
+    import ray.data as rd
+
+    from raygraph.ops.text import dsir_weights
+
+    docs = [(0, "apple pie", "src0"), (1, "apple pie", "src1"),
+            (2, "zebra zoo", "src1"), (3, "   ", "src1")]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "text": [t for _, t, _ in docs],
+        "source": [s for _, _, s in docs]}))
+    got = {r["doc_id"]: (r["n_grams"], r["dsir_e6"])
+           for r in dsir_weights(ds, dim=64).take_all()}
+
+    def bucket(g):
+        return int(_h.md5(g.encode()).hexdigest()[:15], 16) % 64
+
+    grams = {}  # doc -> list of buckets
+    for d, t, _s in docs:
+        toks = t.strip().lower().split()
+        gs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams[d] = [bucket(g) for g in gs]
+    ct, cr = {}, {}
+    for d, bs in grams.items():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if d == 0:
+                ct[b] = ct.get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    want = {}
+    for d, bs in grams.items():
+        if not bs:
+            continue  # empty doc absent
+        tot = sum(math.floor(1_000_000 * math.log(
+            ((ct.get(b, 0) + 1) * (nr + 64))
+            / ((cr[b] + 1) * (nt + 64)))) for b in bs)
+        want[d] = (len(bs), tot)
+    assert got == want
+    # the exact-duplicate of the target doc must outscore the disjoint one
+    assert got[1][1] > got[2][1]
+
+
+def test_dsir_layout_deterministic():
+    import ray.data as rd
+
+    from raygraph.ops.text import dsir_weights
+
+    t = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": [f"tok{i % 7} tok{i % 3} shared word" for i in range(40)],
+        "source": [f"src{i % 4}" for i in range(40)]})
+    a = dsir_weights(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dsir_weights(rd.from_arrow(t).repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
