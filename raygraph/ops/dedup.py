@@ -1539,23 +1539,24 @@ def _exact_substr_hits(ds, L: int, text_col: str, id_col: str):
     if occ.count() == 0:
         return rd.from_arrow(gram_schema.empty_table())
 
-    # gram-doc distinct -> per-gram doc count -> duplicated gram keys
-    gd = _repaired(
-        hash_aggregate(occ.select_columns(["gh", "doc"]), ["gh", "doc"],
-                       lambda df: df.drop_duplicates()),
-        pa.schema([("gh", pa.string()), ("doc", pa.int64())]))
-    nd = _repaired(
-        preagg_sum(gd.select_columns(["gh"]), ["gh"], {}, counts="nd"),
-        pa.schema([("gh", pa.string()), ("nd", pa.int64())]))
+    # duplicated gram keys in ONE gh-keyed exchange: per-batch (gh, doc)
+    # dedup is the map-side combiner, the bucket reduce counts distinct
+    # docs per gram and keeps >= 2 — fused from the former two-exchange
+    # chain (pair distinct, then count) whose second shuffle and two
+    # _repaired materialize rounds were pure fixed cost
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["gh", "doc"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def dup_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def dup_keys(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.drop_duplicates().groupby("gh")["doc"].nunique()
+        return pd.DataFrame({"gh": nd.index[nd.to_numpy() >= 2]})
 
-        return batch.filter(
-            pc.greater_equal(batch.column("nd"), 2)).select(["gh"])
-
-    dupset = _repaired(nd.map_batches(dup_only, batch_format="pyarrow"),
-                       pa.schema([("gh", pa.string())]))
+    dupset = _repaired(
+        hash_aggregate(occ.map_batches(pair_partial,
+                                       batch_format="pyarrow"),
+                       ["gh"], dup_keys),
+        pa.schema([("gh", pa.string())]))
 
     if dupset.count() == 0:
         return rd.from_arrow(gram_schema.empty_table())
