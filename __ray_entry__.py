@@ -2522,6 +2522,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["embedding"])
         return pca_power(emb, iters=3)
 
+    def embedding_semdedup(sf_dir):
+        # SemDeDup (Abbas et al. 2023): keep-lowest-id exemplar among
+        # semantic duplicates inside deterministic sign buckets — one
+        # quantize pass + ONE bucket groupby; exact-integer cosines
+        # (q = floor(v·10⁶)) make the prune SQL-replayable bit-for-bit
+        from raygraph.ops.dedup import semdedup_survivors
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return semdedup_survivors(emb, tau_e4=3500, n_sign_dims=6)
+
+    def embedding_proto_prune(sf_dir):
+        # D4-style prototype pruning: the k most centroid-like points
+        # per cluster (cosine to the exact integer SUM vector — scale-
+        # invariance means the mean never needs dividing); the prune
+        # list is what the curation pipeline drops as redundant
+        from raygraph.ops.dedup import prototype_prune_topk
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return prototype_prune_topk(emb, k=3, n_sign_dims=4)
+
     def text_cms_counts(sf_dir):
         # Count-Min sketch heavy-hitter estimates next to exact counts:
         # the sketch is ≤ 3×512 integer cells no matter the corpus (the
@@ -8839,6 +8861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": events_value_mad,
         "events_resample_1h": events_resample_1h,
         "embedding_pca": embedding_pca,
+        "embedding_semdedup": embedding_semdedup,
+        "embedding_proto_prune": embedding_proto_prune,
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -15314,6 +15338,48 @@ def oracle_sql() -> dict[str, str]:
                floor((n * ss - s * s)::DOUBLE
                      / (n * n)::DOUBLE)::BIGINT AS var_e12
         FROM m
+    """
+    sign6 = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6))
+    sign4 = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(4))
+    out["embedding_semdedup"] = f"""
+        WITH b AS (SELECT vec_id, ({sign6})::BIGINT AS bucket,
+                          list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1000000.0)) AS q
+                   FROM embeddings),
+        d AS (SELECT DISTINCT a.vec_id
+              FROM b a JOIN b c
+                ON a.bucket = c.bucket AND c.vec_id < a.vec_id
+              WHERE round(list_cosine_similarity(a.q, c.q), 4)
+                    >= 0.3500)
+        SELECT vec_id, bucket FROM b
+        WHERE vec_id NOT IN (SELECT vec_id FROM d)
+    """
+    out["embedding_proto_prune"] = f"""
+        WITH b AS (SELECT vec_id, ({sign4})::BIGINT AS bucket,
+                          list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1000.0)) AS q
+                   FROM embeddings),
+        u AS (SELECT bucket, vec_id, generate_subscripts(q, 1) AS dim,
+                     unnest(q) AS x
+              FROM b),
+        c AS (SELECT bucket, dim, sum(x) AS s
+              FROM u GROUP BY bucket, dim),
+        ctr AS (SELECT bucket, list(s ORDER BY dim) AS ctr
+                FROM c GROUP BY bucket),
+        s AS (SELECT vec_id, b.bucket AS bucket,
+                     round(list_cosine_similarity(q, ctr.ctr), 4)
+                         AS proto
+              FROM b JOIN ctr USING (bucket)),
+        r AS (SELECT vec_id, bucket, proto,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY proto DESC, vec_id)
+                         AS rn
+              FROM s)
+        SELECT vec_id, bucket, proto FROM r WHERE rn <= 3
     """
     out["docs_schema_evolution"] = f"""
         WITH v2 AS (

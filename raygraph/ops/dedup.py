@@ -1820,3 +1820,121 @@ def winnow_dup_pairs(ds, min_shared: int = 3, n: int = 3,
         shared.map_batches(keep, batch_format="pyarrow"),
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                    ("shared", pa.int64())]))
+
+
+# ------------------------------------ embedding-space corpus curation
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) prunes semantic
+# duplicates inside embedding clusters; D4 (Tirumala et al. 2023,
+# arXiv:2308.12284) additionally prunes the most PROTOTYPICAL points
+# (nearest the cluster centroid). Both below use a deterministic,
+# SQL-replayable clustering — the sign pattern of the first
+# ``n_sign_dims`` embedding dimensions (an axis-aligned LSH; swap in
+# ops.cluster.kmeans assignments for production semantics) — and an
+# exact-integer quantization q = floor(v * scale) so every cosine is
+# computed from identical int-valued doubles on the Ray side and in
+# the DuckDB oracle: products/sums stay < 2^53, so float64 arithmetic
+# is EXACT and reduction-order-free.
+def _sign_bucket_q(batch: pa.Table, n_sign_dims: int, scale: int,
+                   vec_col: str, id_col: str) -> pa.Table:
+    """(id, bucket, q) stage: bucket = little-endian sign bits of the
+    first ``n_sign_dims`` dims (>= 0 → 1); q = floor(v·scale) int64."""
+    from .vecops import vectors_to_numpy
+
+    vecs = vectors_to_numpy(batch.column(vec_col), np.float64)
+    signs = vecs[:, :n_sign_dims] >= 0
+    bucket = (signs * (1 << np.arange(n_sign_dims))).sum(axis=1) \
+        .astype(np.int64)
+    q = np.floor(vecs * scale).astype(np.int64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "bucket": pa.array(bucket, pa.int64()),
+        "q": pa.array(list(q), pa.list_(pa.int64())),
+    })
+
+
+def semdedup_survivors(ds, tau_e4: int = 9200, n_sign_dims: int = 6,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """SemDeDup: keep one exemplar per set of semantic duplicates.
+
+    Within each sign bucket, a row is DROPPED iff some lower-id row in
+    the same bucket has round(cosine, 4) >= tau_e4/10⁴ (greedy
+    keep-lowest-id — the paper keeps one random exemplar; lowest id
+    makes it deterministic). Dominance rule, not transitive closure:
+    a chain a~b~c with a≁c drops both b and c. Returns the survivor
+    rows ``(id, bucket)``.
+
+    Scale shape: one stateless quantize+bucket pass → ONE bucket-keyed
+    groupby; pairwise cosines only within a bucket, capped at
+    ``BUCKET_PAIR_CAP`` rows (excess ids — deterministically the
+    highest — are kept unexamined and survive; raise ``n_sign_dims``
+    ∝ log n so buckets stay small). Quantization at 10⁶ keeps every
+    dot product exactly representable (64 dims · 10¹² ≪ 2⁵³)
+    regardless of corpus size."""
+    tau = tau_e4 / 10_000.0
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        if len(g) > BUCKET_PAIR_CAP:
+            print(f"semdedup_survivors: bucket over cap "
+                  f"(cap={BUCKET_PAIR_CAP}); excess ids kept unexamined")
+        over = g.iloc[BUCKET_PAIR_CAP:]
+        g = g.iloc[:BUCKET_PAIR_CAP]
+        Q = np.stack(g["q"].to_numpy()).astype(np.float64)
+        G = Q @ Q.T
+        n = np.sqrt(np.diag(G))
+        n[n == 0] = 1.0
+        sims = np.round(G / np.outer(n, n), 4)
+        lower = np.tril(sims >= tau, k=-1)
+        kept = ~lower.any(axis=1)
+        out = g.loc[kept, [id_col, "bucket"]]
+        if len(over):
+            out = pd.concat([out, over[[id_col, "bucket"]]],
+                            ignore_index=True)
+        return out
+
+    staged = ds.map_batches(
+        lambda b: _sign_bucket_q(b, n_sign_dims, 1_000_000,
+                                 vec_col, id_col),
+        batch_format="pyarrow")
+    return staged.groupby("bucket").map_groups(
+        survivors, batch_format="pandas")
+
+
+def prototype_prune_topk(ds, k: int = 3, n_sign_dims: int = 4,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id"):
+    """D4-style prototype pruning: per cluster, flag the ``k`` points
+    most prototypical (highest cosine to the cluster centroid) — the
+    redundant "easy" core SSL-prototype pruning removes. Returns the
+    PRUNE LIST ``(id, bucket, proto)``, proto = round(cos(q, Σq), 4);
+    cosine is scale-invariant, so the exact integer SUM vector stands
+    in for the mean and no division ever happens before the cosine.
+
+    Ties on rounded proto break by ascending id (mirrors the SQL
+    window ``ORDER BY proto DESC, id``). Quantization at 10³ keeps
+    dot products against a bucket-sum vector exact to bucket sizes of
+    ~10⁴ rows (3·10⁵·10³·64 ≪ 2⁵³); beyond that, order-dependent
+    ulp noise can appear under the 4-dp rounding — size
+    ``n_sign_dims`` so buckets stay under that."""
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        Q = np.stack(g["q"].to_numpy()).astype(np.float64)
+        ctr = Q.sum(axis=0)
+        nc = np.sqrt(ctr @ ctr)
+        nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        nq[nq == 0] = 1.0
+        proto = np.round((Q @ ctr) / (nq * (nc if nc else 1.0)), 4)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "bucket": g["bucket"].to_numpy(),
+            "proto": proto,
+        }).sort_values(["proto", id_col],
+                       ascending=[False, True]).head(k)
+        return out
+
+    staged = ds.map_batches(
+        lambda b: _sign_bucket_q(b, n_sign_dims, 1_000,
+                                 vec_col, id_col),
+        batch_format="pyarrow")
+    return staged.groupby("bucket").map_groups(
+        prune, batch_format="pandas")

@@ -518,3 +518,51 @@ def test_clean_duplicate_ngrams_removes_planted_run(ray_session):
     solo = clean_duplicate_ngrams(
         rd.from_pandas(df.iloc[[2]]), L=8).to_pandas()
     assert solo["clean_text"][0] == df["text"][2]
+
+
+def test_semdedup_survivors_drops_planted_dup(ray_session):
+    """Two near-identical vectors land in the same sign bucket; the
+    higher id is dropped (keep-lowest-id exemplar), everything else
+    survives. Layout must not matter."""
+    import ray.data as rd
+
+    from raygraph.ops.dedup import semdedup_survivors
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8).astype(np.float32)
+    far = -base  # same magnitude, opposite sign bucket half-space
+    vecs = [base, base + np.float32(0.0001), far,
+            rng.randn(8).astype(np.float32)]
+    t = pa.table({"vec_id": [0, 1, 2, 3],
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    got = sorted(r["vec_id"] for r in semdedup_survivors(
+        rd.from_arrow(t), tau_e4=9900, n_sign_dims=4).take_all())
+    assert got == [0, 2, 3]
+    rep = sorted(r["vec_id"] for r in semdedup_survivors(
+        rd.from_arrow(t).repartition(3), tau_e4=9900,
+        n_sign_dims=4).take_all())
+    assert rep == got
+
+
+def test_prototype_prune_flags_centroid_hugger(ray_session):
+    """The vector pointing along its bucket's sum direction is the
+    first pruned; k bounds the prune list per bucket."""
+    import ray.data as rd
+
+    from raygraph.ops.dedup import prototype_prune_topk
+
+    d = 8
+    # all-positive first dims => one bucket; v0 is the mean direction
+    cloud = np.abs(np.random.RandomState(3).randn(6, d)) + 0.5
+    cloud[0] = cloud[1:].mean(axis=0)  # prototypical point
+    t = pa.table({"vec_id": list(range(6)),
+                  "embedding": pa.array(
+                      [v.astype(np.float32).tolist() for v in cloud],
+                      pa.list_(pa.float32()))})
+    out = sorted(prototype_prune_topk(rd.from_arrow(t), k=2,
+                                      n_sign_dims=4).take_all(),
+                 key=lambda r: -r["proto"])
+    assert len(out) == 2
+    assert any(r["vec_id"] == 0 for r in out)
+    assert out[0]["proto"] > 0.99
