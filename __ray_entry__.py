@@ -2544,6 +2544,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["vec_id", "embedding"])
         return prototype_prune_topk(emb, k=3, n_sign_dims=4)
 
+    def ann_hard_negatives(sf_dir):
+        # contrastive hard-negative mining: top-3 most-similar
+        # DIFFERENT-label vectors per row — broadcast-corpus matmul
+        # (knn_self_join shape), exact composite-int top-k ranking
+        from raygraph.ops.ann import hard_negative_topk
+
+        emb = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"])
+        return hard_negative_topk(emb, k=3)
+
+    def embedding_centroid_confusion(sf_dir):
+        # nearest-centroid (Rocchio) probe: label centroids as exact
+        # integer SUM vectors via ONE (label,dim)-keyed combiner
+        # exchange; stateless assign; confusion-matrix preagg
+        from raygraph.ops.classify import nearest_centroid_confusion
+
+        emb = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"])
+        return nearest_centroid_confusion(emb)
+
     def text_cms_counts(sf_dir):
         # Count-Min sketch heavy-hitter estimates next to exact counts:
         # the sketch is ≤ 3×512 integer cells no matter the corpus (the
@@ -8863,6 +8885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": embedding_pca,
         "embedding_semdedup": embedding_semdedup,
         "embedding_proto_prune": embedding_proto_prune,
+        "ann_hard_negatives": ann_hard_negatives,
+        "embedding_centroid_confusion": embedding_centroid_confusion,
         "text_freq_spectrum": text_freq_spectrum,
         "docs_lang_diversity": docs_lang_diversity,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -15380,6 +15404,44 @@ def oracle_sql() -> dict[str, str]:
                          AS rn
               FROM s)
         SELECT vec_id, bucket, proto FROM r WHERE rn <= 3
+    """
+    out["ann_hard_negatives"] = """
+        WITH p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+                          round(list_cosine_similarity(
+                              a.embedding::DOUBLE[],
+                              b.embedding::DOUBLE[]), 4) AS cosine
+                   FROM embeddings a JOIN embeddings b
+                     ON a.label <> b.label),
+        r AS (SELECT vec_id, neg_id, cosine,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cosine DESC, neg_id)
+                         AS neg_rank
+              FROM p)
+        SELECT vec_id, neg_id, cosine, neg_rank FROM r
+        WHERE neg_rank <= 3
+    """
+    out["embedding_centroid_confusion"] = """
+        WITH b AS (SELECT vec_id, label::BIGINT AS label,
+                          list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1000.0)) AS q
+                   FROM embeddings),
+        u AS (SELECT label, generate_subscripts(q, 1) AS dim,
+                     unnest(q) AS x
+              FROM b),
+        c AS (SELECT label AS clab, dim, sum(x) AS s
+              FROM u GROUP BY label, dim),
+        ctr AS (SELECT clab, list(s ORDER BY dim) AS cv
+                FROM c GROUP BY clab),
+        s AS (SELECT b.vec_id, b.label, ctr.clab,
+                     round(list_cosine_similarity(b.q, ctr.cv), 4)
+                         AS cos
+              FROM b CROSS JOIN ctr),
+        r AS (SELECT vec_id, label, clab,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, clab) AS rn
+              FROM s)
+        SELECT label, clab AS pred, count(*)::BIGINT AS n
+        FROM r WHERE rn = 1 GROUP BY label, clab
     """
     out["docs_schema_evolution"] = f"""
         WITH v2 AS (

@@ -808,3 +808,65 @@ def rrf_fuse(lists, k: int = 10, c: int = 60, id_col: str = "vec_id"):
     out = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     out["rrf_e6"] = out["rrf_e6"].astype("int64")
     return out
+
+
+def hard_negative_topk(ds, k: int = 3, vec_col: str = "embedding",
+                       id_col: str = "vec_id", label_col: str = "label",
+                       round_dp: int = 4):
+    """Hard-negative mining for contrastive training: for every vector,
+    the ``k`` most-similar vectors with a DIFFERENT label — the
+    in-batch-negatives upgrade every retrieval/embedding trainer wants.
+
+    Same broadcast-corpus shape as :func:`knn_self_join` (matrix +
+    labels assembled once, ``ray.put``, one matmul per batch; beyond
+    the fits-one-worker bound, IVF-bucket both sides). Ranking is by
+    the composite integer key round(cos,4)·2⁴⁰ − id, so top-k and its
+    tie-break (smaller neighbor id wins at equal rounded cosine) are
+    exact under ``argpartition`` — no ulp-order fragility vs the SQL
+    window replay."""
+    import ray
+
+    from .vecops import vectors_to_numpy
+
+    parts = []
+    for b in ds.select_columns([id_col, vec_col, label_col]) \
+            .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        parts.append((
+            b.column(id_col).to_numpy(zero_copy_only=False),
+            b.column(label_col).to_numpy(zero_copy_only=False),
+            vectors_to_numpy(b.column(vec_col), np.float64)))
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_lab = np.concatenate([p[1] for p in parts])
+    mat = np.vstack([p[2] for p in parts])
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, all_lab = all_ids[order], all_lab[order]
+    ref = ray.put((all_ids, all_lab, _normalize(mat[order])))
+    scale = 10 ** round_dp
+
+    def negatives(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids_s, lab_s, m = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        q = _normalize(vectors_to_numpy(batch.column(vec_col),
+                                        np.float64))
+        sims = np.round(q @ m.T, round_dp)
+        key = (np.rint(sims * scale).astype(np.int64) << 40) - ids_s
+        key[lab[:, None] == lab_s[None, :]] = np.iinfo(np.int64).min
+        kk = min(k, key.shape[1])
+        top = np.argpartition(key, -kk, axis=1)[:, -kk:]
+        rows = np.arange(len(ids))[:, None]
+        srt = np.argsort(-key[rows, top], axis=1, kind="stable")
+        top = top[rows, srt][:, :k]
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, top.shape[1]), pa.int64()),
+            "neg_id": pa.array(ids_s[top].ravel(), pa.int64()),
+            "cosine": pa.array(sims[rows, top].ravel(), pa.float64()),
+            "neg_rank": pa.array(
+                np.tile(np.arange(1, top.shape[1] + 1), len(ids)),
+                pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        negatives, batch_format="pyarrow")

@@ -220,3 +220,70 @@ def fit_stump(ds, x_col: str, y_col: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def nearest_centroid_confusion(ds, vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               label_col: str = "label"):
+    """Nearest-centroid (Rocchio) probe over an embedding column: fit
+    per-label centroids, assign every vector to its nearest centroid
+    by cosine, return the confusion matrix ``(label, pred, n)`` — the
+    cheap linear-probe-style quality check for an embedding space.
+
+    Exact-integer discipline: vectors quantize to q = floor(v·10³);
+    a label's centroid is the integer SUM vector (cosine is scale-
+    invariant, so the mean never needs dividing) accumulated via ONE
+    (label, dim)-keyed combiner exchange — L×d rows total, the only
+    shuffle. The L×d int matrix broadcasts in the task closure; the
+    assign pass is stateless (argmax of round(cos,4)·2¹⁰ − label, so
+    ties break toward the smaller label exactly as the SQL window
+    replay). Dot products stay < 2⁵³ to ~10⁶ rows/label at d=64;
+    beyond that the centroid norm picks up order-dependent ulps under
+    the 4-dp rounding (negligible in practice, noted for honesty).
+    """
+    from .relational import preagg_sum
+    from .vecops import vectors_to_numpy
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = vectors_to_numpy(batch.column(vec_col), np.float64)
+        q = np.floor(v * 1_000.0).astype(np.int64)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"label": np.repeat(lab, q.shape[1]),
+                           "dim": np.tile(np.arange(q.shape[1]),
+                                          len(lab)),
+                           "s": q.ravel()})
+        g = df.groupby(["label", "dim"], as_index=False)["s"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ctr_df = preagg_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                        ["label", "dim"], {"s": "s"}).to_pandas()
+    labels = np.sort(ctr_df["label"].unique())
+    d = int(ctr_df["dim"].max()) + 1
+    ctr = np.zeros((len(labels), d), dtype=np.float64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    ctr[[pos[int(l)] for l in ctr_df["label"]],
+        ctr_df["dim"].to_numpy()] = ctr_df["s"].to_numpy()
+    nc = np.sqrt(np.einsum("ij,ij->i", ctr, ctr))
+    nc[nc == 0] = 1.0
+    lab_arr = labels.astype(np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = vectors_to_numpy(batch.column(vec_col), np.float64)
+        q = np.floor(v * 1_000.0)
+        nq = np.sqrt(np.einsum("ij,ij->i", q, q))
+        nq[nq == 0] = 1.0
+        # exact integer dots, ONE division by the norm product — the
+        # same operand shape the SQL cosine evaluates
+        cos = np.round((q @ ctr.T) / np.outer(nq, nc), 4)
+        key = (np.rint(cos * 10_000).astype(np.int64) << 10) \
+            - lab_arr[None, :]
+        pred = lab_arr[key.argmax(axis=1)]
+        return pa.table({
+            "label": pa.array(
+                batch.column(label_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64()),
+            "pred": pa.array(pred, pa.int64()),
+        })
+
+    return preagg_sum(ds.map_batches(assign, batch_format="pyarrow"),
+                      ["label", "pred"], {}, counts="n")

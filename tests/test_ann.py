@@ -326,3 +326,32 @@ def test_quantized_retrieval_eval_metrics(ray_session):
         .reset_index(drop=True).equals(
             again.sort_values(["query_id", "qdot", "vec_id"])
             .reset_index(drop=True))
+
+
+def test_hard_negative_topk_skips_same_label(ray_session):
+    """The mined negatives all carry a different label; the near-copy
+    with a different label ranks first; ranks are 1..k."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.ann import hard_negative_topk
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(8).astype(np.float32)
+    vecs = [base, base + np.float32(0.001),
+            rng.randn(8).astype(np.float32),
+            rng.randn(8).astype(np.float32)]
+    labels = [0, 1, 0, 1]
+    t = pa.table({"vec_id": [0, 1, 2, 3],
+                  "label": pa.array(labels, pa.int32()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = hard_negative_topk(rd.from_arrow(t), k=2).take_all()
+    lab = dict(zip([0, 1, 2, 3], labels))
+    assert all(lab[r["vec_id"]] != lab[r["neg_id"]] for r in out)
+    first = {r["vec_id"]: r["neg_id"] for r in out
+             if r["neg_rank"] == 1}
+    assert first[0] == 1 and first[1] == 0
+    assert sorted(r["neg_rank"] for r in out
+                  if r["vec_id"] == 0) == [1, 2]

@@ -126,3 +126,26 @@ def test_jl_project_distance_preservation(ray_session):
     key = ["vec_id", "j"]
     assert got.sort_values(key, ignore_index=True).equals(
         again.sort_values(key, ignore_index=True))
+
+
+def test_nearest_centroid_confusion_separable(ray_session):
+    """Two separable clouds => diagonal confusion matrix, at any
+    layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.ops.classify import nearest_centroid_confusion
+
+    rng = np.random.RandomState(9)
+    a = rng.randn(20, 8) * 0.05 + np.eye(8)[0] * 3
+    b = rng.randn(20, 8) * 0.05 + np.eye(8)[1] * 3
+    vecs = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({"vec_id": list(range(40)),
+                  "label": pa.array([0] * 20 + [1] * 20, pa.int32()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    got = {(r["label"], r["pred"]): r["n"]
+           for r in nearest_centroid_confusion(
+               rd.from_arrow(t).repartition(4)).take_all()}
+    assert got == {(0, 0): 20, (1, 1): 20}
