@@ -15,6 +15,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -2502,12 +2503,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          counts="n").to_pandas()
         g = cnt.groupby("source")
         tot = g["n"].sum()
-        ss = g["n"].apply(lambda s: int((s.astype("int64") ** 2).sum()))
+        # finalize with Python big ints: 10⁴·Σn² wraps int64 past
+        # ~3·10⁷ docs per (source,lang) — the aggregate is
+        # (source×lang)-sized, so the object fold costs nothing
+        ss = g["n"].apply(lambda s: sum(int(v) ** 2 for v in s))
+        gini = [10_000 - (10_000 * int(s2)) // (int(t) * int(t))
+                for s2, t in zip(ss, tot)]
         out = pd.DataFrame({
             "source": tot.index,
             "n_docs": tot.astype("int64").to_numpy(),
-            "gini_bp": (10_000 - (10_000 * ss.to_numpy())
-                        // (tot.to_numpy().astype("int64") ** 2)),
+            "gini_bp": pd.array(gini, dtype="int64"),
         })
         return out.reset_index(drop=True)
 
@@ -7911,29 +7916,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                               columns=["embedding"])
 
+        LIMB = 1 << 32
+
         def dim_moments(batch: pa.Table) -> pa.Table:
+            # Σx² per batch wraps int64 once the GLOBAL sum passes
+            # ~3.7·10⁵ rows (x ~ 10⁶ ⇒ x² ~ 10¹²-10¹³), so the moment
+            # ships the exchange as two int64 limbs (grouped_corr_bp
+            # idiom) and recombines with Python ints at finalize —
+            # exact to |Σx²| < 2⁹⁵, i.e. any realistic corpus
             x = np.trunc(vectors_to_numpy(batch.column("embedding"),
                                           np.float64) * 1_000_000) \
                 .astype("int64")
+            ss = [int(v) for v in
+                  (x.astype(object) * x.astype(object)).sum(axis=0)]
+            hi_lo = [divmod(v, LIMB) for v in ss]
             return pa.table({
                 "dim": pa.array(np.arange(x.shape[1]), pa.int64()),
                 "n": pa.array(np.full(x.shape[1], len(x)), pa.int64()),
                 "s": pa.array(x.sum(axis=0), pa.int64()),
-                "ss": pa.array((x * x).sum(axis=0), pa.int64()),
+                "ss_hi": pa.array([h for h, _ in hi_lo], pa.int64()),
+                "ss_lo": pa.array([l for _, l in hi_lo], pa.int64()),
             })
 
         agg = preagg_sum(emb.map_batches(dim_moments,
                                          batch_format="pyarrow"),
-                         ["dim"], {"n": "n", "s": "s", "ss": "ss"})
+                         ["dim"], {"n": "n", "s": "s",
+                                   "ss_hi": "ss_hi", "ss_lo": "ss_lo"})
 
         def finish(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            df["var_e12"] = np.floor(
-                (df["n"] * df["ss"] - df["s"] ** 2).astype("float64")
-                / (df["n"] ** 2).astype("float64")).astype("int64")
-            return pa.Table.from_pandas(
-                df[["dim", "n", "s", "ss", "var_e12"]],
-                preserve_index=False)
+            rows = []
+            for _, r in df.iterrows():
+                n, s = int(r["n"]), int(r["s"])
+                ss = int(r["ss_hi"]) * LIMB + int(r["ss_lo"])
+                var = math.floor(float(n * ss - s * s)
+                                 / float(n * n))
+                rows.append((int(r["dim"]), n, s, ss, var))
+            out = pd.DataFrame(rows, columns=["dim", "n", "s", "ss",
+                                              "var_e12"])
+            return pa.Table.from_pandas(out, preserve_index=False)
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -15355,10 +15376,10 @@ def oracle_sql() -> dict[str, str]:
                           CAST(trunc(unnest(embedding)::DOUBLE
                                      * 1000000) AS BIGINT) AS x
                    FROM embeddings),
-        m AS (SELECT dim, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
-                     sum(x * x)::BIGINT AS ss
+        m AS (SELECT dim, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+                     sum(x::HUGEINT * x)::HUGEINT AS ss
               FROM u GROUP BY dim)
-        SELECT dim, n, s, ss,
+        SELECT dim, n::BIGINT AS n, s::BIGINT AS s, ss::BIGINT AS ss,
                floor((n * ss - s * s)::DOUBLE
                      / (n * n)::DOUBLE)::BIGINT AS var_e12
         FROM m

@@ -286,6 +286,25 @@ def main() -> None:
 
     timings["kmv_distinct"] = _timed_min(_kmv_run)
 
+    def _semdedup_run() -> int:
+        from raygraph.ops.dedup import semdedup_survivors
+
+        emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        return semdedup_survivors(emb, tau_e4=3500,
+                                  n_sign_dims=6).count()
+
+    timings["semdedup"] = _timed_min(_semdedup_run)
+
+    def _hardneg_run() -> int:
+        from raygraph.ops.ann import hard_negative_topk
+
+        emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                              columns=["vec_id", "embedding", "label"])
+        return hard_negative_topk(emb, k=3).count()
+
+    timings["hard_negatives"] = _timed_min(_hardneg_run)
+
     from raygraph.ops.events import funnel_counts
 
     ev = lambda: rd.read_parquet(  # noqa: E731

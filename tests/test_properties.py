@@ -783,3 +783,43 @@ def test_grouped_corr_bp_no_int64_wrap(ray_session):
     exp = math.floor(float(10_000 * num)
                      / math.sqrt(float(dx) * float(dy)))
     assert out2.loc["b", "corr_bp"] == exp
+
+
+def test_embedding_dim_stats_no_int64_wrap(ray_session, tmp_path):
+    # per-row x*x here is ~9e24 >> int64: the old int64 moment fold
+    # wrapped once the global Σx² passed ~3.7e5 normal rows; the
+    # limb-split fold must replay the Python big-int moments exactly
+    import importlib.util
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_dimstats", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # 10k rows at |v|~10 ⇒ x ~ 1e7, Σx² ~ 1e18 (fits int64) but
+    # n·Σx² ~ 1e22 — the finalize regime the old int64 pandas
+    # arithmetic silently wrapped in
+    rng = np.random.RandomState(2)
+    vecs = (rng.randn(10_000, 4) * 10).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": list(range(len(vecs))),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    got = mod.queries()["embedding_dim_stats"](str(tmp_path)) \
+        .to_pandas().set_index("dim").sort_index()
+
+    x = np.trunc(vecs.astype(np.float64) * 1_000_000)
+    for d in range(4):
+        col = [int(v) for v in x[:, d]]
+        n, s = len(col), sum(col)
+        ss = sum(v * v for v in col)
+        var = math.floor(float(n * ss - s * s) / float(n * n))
+        assert int(got.loc[d, "s"]) == s
+        assert int(got.loc[d, "ss"]) == ss
+        assert int(got.loc[d, "var_e12"]) == var
