@@ -253,6 +253,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, edges = graph_asof(cfg, epoch=0)
         return edges.select_columns(["_from", "pred", "_to"])
 
+    def kg_forget_edges(sf_dir):
+        # right-to-be-forgotten propagation: drop every triple whose
+        # provenance doc has i % 5 == 1 from the checkpointed triple
+        # log (broadcast is_in filter — the left_anti Dataset path
+        # covers web-scale delete sets) and rebuild phase B; no corpus
+        # scan. Oracle = the edge formula over the surviving docs.
+        from raygraph.config import GraphBuildConfig
+        from raygraph.pipeline import graph_forget
+
+        _kg_result(sf_dir)  # ensure the checkpoint exists
+        n = _docs_count(sf_dir)
+        cfg = GraphBuildConfig(
+            input_path=_corpus_dir(sf_dir),
+            output_path=os.path.join(_TMP, f"kg_n{n}"),
+            num_partitions=8,
+        )
+        gone = [f"doc/{i}" for i in range(n) if i % 5 == 1]
+        _, edges = graph_forget(cfg, deleted_doc_ids=gone)
+        return edges.select_columns(["_from", "pred", "_to"])
+
     def kg_vertices(sf_dir):
         res = _kg_result(sf_dir)
         t = pq.ParquetDataset(res.vertices_path).read()
@@ -8858,6 +8878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_edges": kg_edges,
         "kg_asof_base": kg_asof_base,
+        "kg_forget_edges": kg_forget_edges,
         "kg_delta_edges": kg_delta_edges,
         "kg_snapshot_diff": kg_snapshot_diff,
         "kg_vertices": kg_vertices,
@@ -10365,6 +10386,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'entities/vertex_' || a, 'is_a', 'entities/node'
             FROM e WHERE i % 7 = 3
         """
+    # deletion propagation: the edge formula over the docs that SURVIVE
+    # the forget set (i % 5 == 1 deleted) — an edge remains iff some
+    # surviving doc still asserts it
+    kg_forget_sql = kg_base + """
+            SELECT DISTINCT 'entities/vertex_' || a AS _from,
+                   'connected_to' AS pred,
+                   'entities/vertex_' || b AS _to
+            FROM e WHERE i % 5 <> 1
+            UNION
+            SELECT DISTINCT 'entities/vertex_' || a, 'is_a',
+                   'entities/node'
+            FROM e WHERE i % 7 = 3 AND i % 5 <> 1
+        """
     # the base snapshot of the delta-merge demo = edge formula over the
     # first half of the corpus rows (docs i < n//2)
     _half = "i < (SELECT n FROM p) // 2"
@@ -10471,6 +10505,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_edges": kg_edges_sql,
         "kg_asof_base": kg_base_edges_sql,
+        "kg_forget_edges": kg_forget_sql,
         "kg_degrees": f"""
             WITH edges AS ({kg_edges_sql}),
             o AS (SELECT _from AS _id, count(*)::BIGINT AS out_degree

@@ -192,6 +192,47 @@ def cmd_asof(args) -> int:
     return 0
 
 
+def cmd_forget(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from .config import GraphBuildConfig
+    from .pipeline import graph_forget
+
+    cfg = GraphBuildConfig(input_path=args.kg, output_path=args.kg,
+                           num_partitions=args.partitions)
+    if os.path.isdir(args.deletions) or args.deletions.endswith(".parquet"):
+        import ray.data as rd
+
+        keys = rd.read_parquet(args.deletions, columns=["doc_id"])
+        vertices, edges = graph_forget(cfg, deletions=keys)
+        n_gone = keys.count()
+    else:
+        gone = [d for d in args.deletions.split(",") if d]
+        vertices, edges = graph_forget(cfg, deleted_doc_ids=gone)
+        n_gone = len(gone)
+    vp = os.path.join(args.output, "vertices")
+    ep = os.path.join(args.output, "edges")
+    for d in (vp, ep):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(args.output, exist_ok=True)
+    vertices.write_parquet(vp)
+    edges.write_parquet(ep)
+    print(json.dumps({
+        "kg": args.kg, "deleted_docs": n_gone,
+        "vertices": vp, "edges": ep,
+        "n_vertices": _pq.ParquetDataset(vp).read(
+            columns=["_id"]).num_rows,
+        "n_edges": _pq.ParquetDataset(ep).read(
+            columns=["_key"]).num_rows,
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .io import read_table
@@ -440,6 +481,23 @@ def main(argv=None) -> int:
                     help="num_partitions the build used (epoch width)")
     ao.add_argument("--num-cpus", type=int)
     ao.set_defaults(fn=cmd_asof)
+
+    fo = sub.add_parser(
+        "forget", help="deletion propagation (right-to-be-forgotten): "
+                       "rebuild vertices/edges with every triple from "
+                       "the deleted docs removed — from the triples "
+                       "checkpoint, no corpus scan")
+    fo.add_argument("--kg", required=True,
+                    help="an existing build/merge output directory")
+    fo.add_argument("--deletions", required=True,
+                    help="comma-separated doc ids, or a parquet "
+                         "file/dir with a doc_id column (left_anti "
+                         "path for web-scale delete sets)")
+    fo.add_argument("--output", required=True)
+    fo.add_argument("--partitions", type=int, default=16,
+                    help="num_partitions the build used")
+    fo.add_argument("--num-cpus", type=int)
+    fo.set_defaults(fn=cmd_forget)
 
     cu = sub.add_parser(
         "curate", help="run a declarative curation spec (JSON list of "

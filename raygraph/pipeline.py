@@ -466,3 +466,87 @@ def graph_asof(cfg: GraphBuildConfig, epoch: int):
                         cfg.edge_collection, strategy=cfg.agg_strategy,
                         num_buckets=n_buckets)
     return vertices, edges
+
+
+def graph_forget(cfg: GraphBuildConfig, deleted_doc_ids=None,
+                 deletions=None):
+    """Deletion propagation (right-to-be-forgotten): recompute
+    (vertices, edges) with every triple whose provenance ``doc_id`` is
+    in the deletion set removed — from the triples checkpoint alone,
+    no corpus scan, across ALL partition epochs.
+
+    The lineage column the checkpoint carries per triple
+    (``doc_id``, SURVEY §7 M2) is what makes this a log filter plus
+    the ordinary phase-B rebuild rather than a re-export: derived
+    tables are never patched in place (same merge-on-write discipline
+    as :func:`merge_delta`), so an edge survives iff some non-deleted
+    document still asserts it, and entities with no surviving mention
+    drop out of the vertex table by construction. Reference contrast:
+    arangors-graph-exporter can only re-export the whole graph
+    (src/graph_loader.rs:377); the triple log turns deletion into an
+    aggregate-sized recompute.
+
+    ``deleted_doc_ids``: small/driver-sized iterable of doc ids —
+    applied as a broadcast ``pc.is_in`` filter inside ``map_batches``
+    (no shuffle). ``deletions``: a Dataset with a ``doc_id`` column
+    for web-scale delete sets — applied as ONE hash-partitioned
+    ``left_anti`` join (the distributed NOT IN). Exactly one must be
+    given. Returns lazy (vertices, edges); nothing is written.
+    """
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    from .errors import CheckpointError, InvalidParameterError
+    from .ops.materialize import adaptive_buckets, make_apply_canon
+
+    if (deleted_doc_ids is None) == (deletions is None):
+        raise InvalidParameterError(
+            "pass exactly one of deleted_doc_ids / deletions")
+    triples_path = os.path.join(cfg.output_path, "triples")
+    done = ckpt.completed_partitions(triples_path)
+    if not done:
+        raise CheckpointError(
+            f"no completed build under {triples_path}")
+    files = [f for pid in sorted(done) for f in sorted(glob.glob(
+        os.path.join(triples_path, f"part_id={pid}", "*.parquet")))]
+    rows = ckpt.completed_rows(triples_path)
+    approx = sum(rows.get(p, 0) for p in done)
+    triples = rd.read_parquet(files)
+    cols = [c for c in triples.schema().names if c != "part_id"]
+    triples = triples.select_columns(cols)
+
+    if deleted_doc_ids is not None:
+        gone = pa.array(sorted(set(map(str, deleted_doc_ids))),
+                        pa.string())
+
+        def drop(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column("doc_id"),
+                                   value_set=gone)))
+
+        triples = triples.map_batches(drop, batch_format="pyarrow")
+    else:
+        from .ops.relational import shuffle_join
+
+        keys = deletions.select_columns(["doc_id"])
+        triples = shuffle_join(triples, keys, on="doc_id",
+                               how="left_anti")
+    triples = triples.materialize()
+
+    canon_fn = make_apply_canon(canonicalize(triples))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+    except Exception:
+        cpus = None
+    n_buckets = adaptive_buckets(approx, cpus)
+    vertices = build_vertices(triples, canon_fn, cfg.vertex_collection,
+                              strategy=cfg.agg_strategy,
+                              num_buckets=n_buckets)
+    edges = build_edges(triples, canon_fn, cfg.vertex_collection,
+                        cfg.edge_collection, strategy=cfg.agg_strategy,
+                        num_buckets=n_buckets)
+    return vertices, edges

@@ -450,3 +450,49 @@ def test_alias_shards_byte_identical_output(tmp_path, ray_session):
     )
     d_sharded = digest(build_graph(sharded, aliases=aliases))
     assert d_whole == d_sharded
+
+def test_graph_forget_drops_deleted_provenance(tmp_path, ray_session):
+    """Deletion propagation from the triple log: the rebuilt edge set
+    equals the golden formula over SURVIVING docs exactly, and the
+    broadcast-list and left_anti-Dataset paths agree bit-for-bit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.pipeline import graph_forget
+
+    n = 120
+    cfg = GraphBuildConfig(
+        input_path=_write_corpus(str(tmp_path), synth.corpus(n)),
+        output_path=os.path.join(str(tmp_path), "out"),
+        num_partitions=4,
+        linker_concurrency=(1, 2),
+    )
+    build_graph(cfg, aliases=synth.alias_inventory(synth.entity_space(n)))
+
+    gone = [f"doc/{i}" for i in range(n) if i % 5 == 1]
+    _, edges = graph_forget(cfg, deleted_doc_ids=gone)
+    got = _triple_set(pa.Table.from_pandas(edges.to_pandas()))
+
+    exp: set[tuple[str, str, str]] = set()
+    for i in range(n):
+        if i % 5 == 1:
+            continue
+        a, b = synth.edge_endpoints(i, n)
+        exp.add((f"vertex_{a}", "connected_to", f"vertex_{b}"))
+        if i % synth.IS_A_EVERY == 3:
+            exp.add((f"vertex_{a}", "is_a", "node"))
+    assert got == exp
+    assert got < synth.golden_edges(n)  # something really got forgotten
+
+    # Dataset (left_anti) path must agree exactly
+    keys = rd.from_arrow(pa.table({"doc_id": pa.array(gone)}))
+    _, edges2 = graph_forget(cfg, deletions=keys)
+    got2 = _triple_set(pa.Table.from_pandas(edges2.to_pandas()))
+    assert got2 == got
+
+    # exactly one deletion source
+    with pytest.raises(InvalidParameterError):
+        graph_forget(cfg)
+    with pytest.raises(InvalidParameterError):
+        graph_forget(cfg, deleted_doc_ids=gone, deletions=keys)
