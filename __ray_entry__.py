@@ -5614,6 +5614,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ll, pr, _v = nb_fit(labeled, vocab_size=256)
         return nb_score(_docs_ds(sf_dir), ll, pr)
 
+    def docs_nb_auc(sf_dir):
+        # classifier EVAL: exact per-lang ROC-AUC of the c0-class NB
+        # score ranking (positives = the c0 docs). ONE value-count
+        # combiner exchange keyed (lang, score, is_pos) — bounded by
+        # distinct integer scores, never rows — then a Python-int
+        # Mann–Whitney rank-sum fold (half-credit ties)
+        from raygraph.ops.classify import (nb_class_score, nb_fit,
+                                           roc_auc)
+
+        ll, pr, _v = nb_fit(_docs_labeled(sf_dir), vocab_size=256)
+        scored = nb_class_score(
+            _docs_ds(sf_dir, columns=("doc_id", "text", "lang")),
+            ll, pr, "c0", keep_cols=("lang",))
+
+        def add_pos(batch):
+            did = batch.column("doc_id").to_pandas()
+            return batch.append_column(
+                "is_pos", pa.array((did % 3 == 0).tolist(), pa.bool_()))
+
+        return roc_auc(scored.map_batches(add_pos,
+                                          batch_format="pyarrow"),
+                       "is_pos", "score_e6", group_cols=["lang"])
+
+    def docs_nb_prf(sf_dir):
+        # ... and per-class precision/recall/F1 of the NB argmax vs
+        # truth: one C²-row confusion combiner exchange, exact integer
+        # e6 metrics (f1 = 2·10⁶·tp // (2tp+fp+fn))
+        from raygraph.ops.classify import nb_fit, nb_score, prf_per_class
+
+        labeled = _docs_labeled(sf_dir)
+        ll, pr, _v = nb_fit(labeled, vocab_size=256)
+        preds = nb_score(_docs_ds(sf_dir), ll, pr)
+
+        def add_truth(batch):
+            did = batch.column("doc_id").to_pandas()
+            lbl = "c" + (did % 3).astype(str)
+            return batch.append_column(
+                "label", pa.array(lbl.tolist(), pa.string()))
+
+        return prf_per_class(
+            preds.map_batches(add_truth, batch_format="pyarrow"))
+
     def tpch_q9_profit(sf_dir):
         # Q9 (product-type profit, partsupp-free form): revenue by
         # supplier nation × ship year. Both dimensions (supplier →
@@ -9223,6 +9265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_encode": docs_vocab_encode,
         "docs_nb_model": docs_nb_model,
         "docs_nb_pred": docs_nb_pred,
+        "docs_nb_auc": docs_nb_auc,
+        "docs_nb_prf": docs_nb_prf,
         "events_pivot_types": events_pivot_types,
         "events_unpivot": events_unpivot,
         "docs_lang_share": docs_lang_share,
@@ -11888,6 +11932,124 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY sc DESC, label ASC) AS rn
                   FROM scores)
             WHERE rn = 1
+        """,
+        # per-lang exact ROC-AUC of the c0-class score: value counts
+        # per (lang, score, is_pos), cumulative-negatives window,
+        # HUGEINT rank-sum with half-credit ties
+        "docs_nb_auc": _NB_CTE + """
+            , prior AS (
+                SELECT label,
+                       floor(1000000 * ln(count(*)::DOUBLE
+                             / (SELECT count(*) FROM lab)))::BIGINT AS pr
+                FROM lab GROUP BY label
+            ),
+            dtok AS (SELECT doc_id, unnest(toks) AS tok FROM lab),
+            ts0 AS (
+                SELECT d.doc_id, sum(ll.ll_e6) AS ts
+                FROM dtok d JOIN ll
+                  ON ll.token = d.tok AND ll.label = 'c0'
+                GROUP BY d.doc_id
+            ),
+            sc AS (
+                SELECT b.doc_id,
+                       (SELECT pr FROM prior WHERE label = 'c0')
+                           + coalesce(ts0.ts, 0) AS s,
+                       (b.doc_id % 3 = 0) AS is_pos
+                FROM (SELECT DISTINCT doc_id FROM lab) b
+                LEFT JOIN ts0 ON ts0.doc_id = b.doc_id
+            ),
+            scl AS (
+                SELECT d.lang, sc.s, sc.is_pos
+                FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+            ),
+            vc AS (
+                SELECT lang, s,
+                       sum(is_pos::INT)::HUGEINT AS npos,
+                       sum((NOT is_pos)::INT)::HUGEINT AS nneg
+                FROM scl GROUP BY lang, s
+            ),
+            w AS (
+                SELECT lang, npos, nneg,
+                       coalesce(sum(nneg) OVER (PARTITION BY lang
+                           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cumneg
+                FROM vc
+            ),
+            agg AS (
+                SELECT lang, sum(npos * cumneg) AS pgt,
+                       sum(npos * nneg) AS ties,
+                       sum(npos) AS p, sum(nneg) AS n
+                FROM w GROUP BY lang
+            )
+            SELECT lang, p::BIGINT AS n_pos, n::BIGINT AS n_neg,
+                   ((1000000 * (2 * pgt + ties))
+                       // (2 * p * n))::BIGINT AS auc_e6
+            FROM agg WHERE p > 0 AND n > 0
+        """,
+        # per-class precision/recall/F1 of the NB argmax vs the
+        # id-derived truth labels: confusion counts + integer e6 folds
+        "docs_nb_prf": _NB_CTE + """
+            , prior AS (
+                SELECT label,
+                       floor(1000000 * ln(count(*)::DOUBLE
+                             / (SELECT count(*) FROM lab)))::BIGINT AS pr
+                FROM lab GROUP BY label
+            ),
+            dtok AS (SELECT doc_id, unnest(toks) AS tok FROM lab),
+            tsum AS (
+                SELECT d.doc_id, ll.label, sum(ll.ll_e6) AS ts
+                FROM dtok d JOIN ll ON ll.token = d.tok
+                GROUP BY d.doc_id, ll.label
+            ),
+            scores AS (
+                SELECT b.doc_id, p.label, p.pr + coalesce(ts.ts, 0) AS sc
+                FROM (SELECT DISTINCT doc_id FROM lab) b
+                CROSS JOIN prior p
+                LEFT JOIN tsum ts
+                  ON ts.doc_id = b.doc_id AND ts.label = p.label
+            ),
+            pred AS (
+                SELECT doc_id, label AS pred
+                FROM (SELECT doc_id, label,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY sc DESC, label ASC) AS rn
+                      FROM scores)
+                WHERE rn = 1
+            ),
+            conf AS (
+                SELECT 'c' || CAST(p.doc_id % 3 AS VARCHAR) AS truth,
+                       p.pred, count(*)::HUGEINT AS n
+                FROM pred p GROUP BY 1, 2
+            ),
+            cls AS (
+                SELECT DISTINCT truth AS label FROM conf
+                UNION
+                SELECT DISTINCT pred FROM conf
+            ),
+            m AS (
+                SELECT c.label,
+                       coalesce((SELECT sum(n) FROM conf
+                                 WHERE truth = c.label
+                                   AND pred = c.label), 0) AS tp,
+                       coalesce((SELECT sum(n) FROM conf
+                                 WHERE pred = c.label), 0) AS predn,
+                       coalesce((SELECT sum(n) FROM conf
+                                 WHERE truth = c.label), 0) AS truen
+                FROM cls c
+            )
+            SELECT label, tp::BIGINT AS tp,
+                   (predn - tp)::BIGINT AS fp,
+                   (truen - tp)::BIGINT AS fn,
+                   (CASE WHEN predn = 0 THEN 0
+                         ELSE (1000000 * tp) // predn
+                    END)::BIGINT AS prec_e6,
+                   (CASE WHEN truen = 0 THEN 0
+                         ELSE (1000000 * tp) // truen
+                    END)::BIGINT AS rec_e6,
+                   (CASE WHEN predn + truen = 0 THEN 0
+                         ELSE (2000000 * tp) // (predn + truen)
+                    END)::BIGINT AS f1_e6
+            FROM m
         """,
         "lineitem_range_tiles": """
             WITH c AS (

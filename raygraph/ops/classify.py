@@ -38,6 +38,7 @@ per-batch transform with a small captured table.
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -287,3 +288,157 @@ def nearest_centroid_confusion(ds, vec_col: str = "embedding",
 
     return preagg_sum(ds.map_batches(assign, batch_format="pyarrow"),
                       ["label", "pred"], {}, counts="n")
+
+
+def nb_class_score(ds, ll_df: pd.DataFrame, priors_df: pd.DataFrame,
+                   class_label: str, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   keep_cols: tuple[str, ...] = ()):
+    """Per-document exact-int64 NB score for ONE class — the binary-
+    gate / ranking view of :func:`nb_score` (score documents by "how
+    much does this look like the target slice", the CCNet/GPT-3 usage
+    where only the wiki-like class's log-odds matter).
+
+    Returns a Dataset of ``(id_col, *keep_cols, score_e6)``. Same
+    broadcast-closure / zero-shuffle shape as ``nb_score``: the class's
+    V-vector of floored log-likelihoods rides the task closure, each
+    batch is one token explode + one 1-D ``np.add.at`` gather-sum.
+    """
+    sub = ll_df[ll_df["label"] == class_label]
+    if not len(sub):
+        raise ValueError(f"unknown class label {class_label!r}")
+    tokens = sub["token"].tolist()
+    tidx = {t: i for i, t in enumerate(tokens)}
+    vec = sub["ll_e6"].to_numpy().astype(np.int64)
+    prior = int(priors_df.set_index("label")
+                .loc[class_label, "prior_e6"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        n = len(s)
+        toks = s.str.strip().str.lower().str.split()
+        reps = toks.str.len().fillna(0).astype(int)
+        ex = pd.DataFrame({
+            "row": np.repeat(np.arange(n, dtype=np.int64), reps.values),
+            "token": toks.explode().dropna().values,
+        })
+        ex["vid"] = ex["token"].map(tidx)
+        ex = ex.dropna(subset=["vid"])
+        sums = np.full(n, prior, dtype=np.int64)
+        if len(ex):
+            np.add.at(sums, ex["row"].to_numpy().astype(np.int64),
+                      vec[ex["vid"].to_numpy().astype(np.int64)])
+        cols = {id_col: batch.column(id_col)}
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        cols["score_e6"] = pa.array(sums, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def roc_auc(ds, pos_col: str, score_col: str = "score_e6",
+            group_cols: Sequence[str] = ()):
+    """Exact (optionally grouped) ROC-AUC via the Mann–Whitney
+    rank-sum identity with half-credit ties:
+
+        AUC = (#{pos>neg pairs} + ties/2) / (n_pos · n_neg)
+        auc_e6 = (10⁶·(2·pairs_gt + ties)) // (2·n_pos·n_neg)
+
+    Scale shape: ONE combiner exchange keyed
+    ``(*group_cols, score, is_pos)`` — per-batch value-count partials,
+    so the exchange (and the driver frame) is bounded by the number of
+    DISTINCT scores per group, never the row count (integer e6 scores
+    from the NB family keep this tight; quantize continuous scores
+    first). The pair counts are folded in Python ints — exact past
+    int64 at any corpus size. Groups missing a class are omitted
+    (AUC undefined). Ties in score get the standard half credit, so
+    a constant scorer is 0.5 exactly.
+
+    Reference analog: the exporter's per-collection count aggregation
+    (src/graph_loader.rs:514-559) — tiny keyed summaries of a big scan.
+    """
+    from .relational import preagg_sum
+
+    gcols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__pos"] = df[pos_col].astype(bool)
+        g = df.groupby(gcols + [score_col, "__pos"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vc = preagg_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    gcols + [score_col, "__pos"], {"n": "n"}).to_pandas()
+    piv = vc.pivot_table(index=gcols + [score_col], columns="__pos",
+                         values="n", fill_value=0,
+                         aggfunc="sum").reset_index()
+    for want in (True, False):
+        if want not in piv.columns:
+            piv[want] = 0
+    piv = piv.rename(columns={True: "np_", False: "nn_"}) \
+        .sort_values(gcols + [score_col], ignore_index=True)
+
+    out = []
+    keys = piv.groupby(gcols, sort=True) if gcols else [((), piv)]
+    for key, sub in keys:
+        sub = sub.sort_values(score_col, ignore_index=True)
+        pairs_gt = ties = cumneg = 0
+        n_pos = int(sub["np_"].sum())
+        n_neg = int(sub["nn_"].sum())
+        if n_pos == 0 or n_neg == 0:
+            continue
+        for np_s, nn_s in zip(sub["np_"], sub["nn_"]):
+            pairs_gt += int(np_s) * cumneg
+            ties += int(np_s) * int(nn_s)
+            cumneg += int(nn_s)
+        auc_e6 = (1_000_000 * (2 * pairs_gt + ties)) \
+            // (2 * n_pos * n_neg)
+        row = dict(zip(gcols, key if isinstance(key, tuple) else (key,)))
+        row.update({"n_pos": n_pos, "n_neg": n_neg, "auc_e6": auc_e6})
+        out.append(row)
+    res = pd.DataFrame(out,
+                       columns=gcols + ["n_pos", "n_neg", "auc_e6"])
+    for c in ("n_pos", "n_neg", "auc_e6"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values(gcols or ["auc_e6"], ignore_index=True)
+
+
+def prf_per_class(ds, truth_col: str = "label", pred_col: str = "pred"):
+    """Per-class precision / recall / F1 from ONE ``(truth, pred)``
+    confusion combiner exchange — the standard eval summary for the
+    curation classifiers, exact-integer e6:
+
+        prec_e6 = 10⁶·tp // (tp + fp)     (0 when the class is never
+        rec_e6  = 10⁶·tp // (tp + fn)      predicted / never true)
+        f1_e6   = 2·10⁶·tp // (2·tp + fp + fn)
+
+    The confusion matrix is C² rows no matter the corpus size; the
+    metric fold is Python-int exact. Classes = union of truth and
+    predicted labels, sorted ASC.
+    """
+    from .relational import preagg_sum
+
+    conf = preagg_sum(ds, [truth_col, pred_col], {},
+                      counts="n").to_pandas()
+    classes = sorted(set(conf[truth_col]) | set(conf[pred_col]))
+    by_truth = conf.groupby(truth_col)["n"].sum().to_dict()
+    by_pred = conf.groupby(pred_col)["n"].sum().to_dict()
+    diag = conf[conf[truth_col] == conf[pred_col]] \
+        .set_index(truth_col)["n"].to_dict()
+    rows = []
+    for c in classes:
+        tp = int(diag.get(c, 0))
+        fp = int(by_pred.get(c, 0)) - tp
+        fn = int(by_truth.get(c, 0)) - tp
+        prec = (1_000_000 * tp) // (tp + fp) if tp + fp else 0
+        rec = (1_000_000 * tp) // (tp + fn) if tp + fn else 0
+        f1 = (2_000_000 * tp) // (2 * tp + fp + fn) \
+            if 2 * tp + fp + fn else 0
+        rows.append({"label": c, "tp": tp, "fp": fp, "fn": fn,
+                     "prec_e6": prec, "rec_e6": rec, "f1_e6": f1})
+    out = pd.DataFrame(rows)
+    for c in ("tp", "fp", "fn", "prec_e6", "rec_e6", "f1_e6"):
+        out[c] = out[c].astype("int64")
+    return out
