@@ -4431,6 +4431,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return winnow_dup_pairs(_doubled_docs(sf_dir), min_shared=3)
 
+    def docs_containment_pairs(sf_dir):
+        # ASYMMETRIC near-dup (quote/subsumption, Broder 1997
+        # containment |A∩B|/|A|): corpus = documents ∪ 8-word prefix
+        # snippets of every 7th doc (id + 10⁸) — low-Jaccard pairs the
+        # symmetric ops miss, containment ≈ 1 on the snippet side.
+        # Shared-trigram blocking (deterministic recall, pair-capped)
+        # → in-cluster text attach → exact integer verify
+        from raygraph.ops.dedup import containment_pairs
+
+        ds = _docs_ds(sf_dir)
+
+        def snippets(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["doc_id"] % 7 == 0].copy()
+            toks = df["text"].fillna("").str.strip().str.lower() \
+                .str.split()
+            df["text"] = toks.str[:8].str.join(" ")
+            df["doc_id"] = (df["doc_id"] + 100_000_000).astype("int64")
+            return pa.Table.from_pandas(df[["doc_id", "text"]],
+                                        preserve_index=False)
+
+        corpus = ds.union(
+            ds.map_batches(snippets, batch_format="pyarrow"))
+        return containment_pairs(corpus, threshold_e6=800_000, n=3)
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9278,6 +9303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_target_encode": events_target_encode,
         "docs_stump": docs_stump,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "docs_containment_pairs": docs_containment_pairs,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "ann_rrf_top10": ann_rrf_top10,
@@ -14454,6 +14480,59 @@ def oracle_sql() -> dict[str, str]:
               ON a.gh = b.gh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 3
+        """,
+        # asymmetric containment pairs: distinct trigrams per doc over
+        # documents ∪ 8-word prefix snippets (id + 1e8, every 7th doc);
+        # exact |A∩B| via the distinct-gram self-join, integer e6
+        # containments, keep max(cont) >= 0.8
+        "docs_containment_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000000 AS doc_id,
+                     array_to_string(list_slice(
+                         regexp_split_to_array(trim(lower(text)),
+                                               '\\s+'), 1, 8),
+                         ' ') AS text
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')
+                     END AS toks
+              FROM corpus
+            ),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t),
+            g AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok, 1) OVER w
+                         || ' ' || lead(tok, 2) OVER w AS gram
+              FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            d AS MATERIALIZED (
+              SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL
+            ),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS ng
+                   FROM d GROUP BY doc_id),
+            ip AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS inter
+              FROM d a JOIN d b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, i.inter,
+                   sa.ng AS n_a, sb.ng AS n_b,
+                   ((1000000 * i.inter) // sa.ng)::BIGINT AS cont_a_e6,
+                   ((1000000 * i.inter) // sb.ng)::BIGINT AS cont_b_e6
+            FROM ip i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE greatest((1000000 * i.inter) // sa.ng,
+                           (1000000 * i.inter) // sb.ng) >= 800000
         """,
         "text_fingerprints": """
             WITH t AS (

@@ -1938,3 +1938,133 @@ def prototype_prune_topk(ds, k: int = 3, n_sign_dims: int = 4,
         batch_format="pyarrow")
     return staged.groupby("bucket").map_groups(
         prune, batch_format="pandas")
+
+
+def containment_pairs(ds, threshold_e6: int = 800_000, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int | None = None):
+    """Asymmetric near-duplicate pairs by exact n-gram CONTAINMENT
+    (Broder 1997's containment score c(A,B) = |A∩B| / |A| over word
+    n-gram sets) — the quote / subsumption detector: a short document
+    embedded verbatim inside a long one has LOW Jaccard (the symmetric
+    ops miss it) but containment ≈ 1 on the short side, which is the
+    "drop the quoted snippet, keep the superset" curation rule.
+
+    Shape (the repo's standard candidate→verify discipline):
+    per-batch distinct (doc, gram) rows → ONE pair-hash distinct
+    exchange → gram-bucket pairing (``BUCKET_PAIR_CAP``-guarded) →
+    distinct candidate pairs → in-cluster text attach
+    (:func:`attach_pair_texts`) → exact verify. Recall is
+    DETERMINISTIC: any pair sharing ≥ 1 gram of an un-capped bucket is
+    a candidate, and a pair at containment τ shares ≥ τ·|A| grams.
+
+    Returns ``(id_a, id_b, inter, n_a, n_b, cont_a_e6, cont_b_e6)``
+    with ``id_a < id_b`` and ``max(cont) ≥ threshold_e6``; the
+    containments are exact integers ``10⁶·inter // |side|``, so a SQL
+    oracle replays them bit for bit.
+
+    Reference analog: the smart-edge anti-join dedup of
+    arangors-graph-exporter (src/graph_loader.rs:394-462) — pairwise
+    comparison bounded to co-bucketed keys, never all-pairs.
+    """
+    from raygraph.ops.graph import _repaired
+
+    from .relational import hash_aggregate
+    from .text import _doc_ngrams
+
+    nb = num_buckets or 128
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = batch.column(id_col).to_pandas()
+        grams = _doc_ngrams(s, n)
+        if not len(grams):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "ngram": pa.array([], pa.string())})
+        out = pd.DataFrame({
+            id_col: ids.loc[grams.index].to_numpy(),
+            "ngram": grams["ngram"].to_numpy(),
+        }).drop_duplicates()
+        out[id_col] = out[id_col].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    gd = _repaired(
+        hash_aggregate(ds.map_batches(gram_rows, batch_format="pyarrow"),
+                       [id_col, "ngram"],
+                       lambda df: df.drop_duplicates(), num_buckets=nb),
+        pa.schema([(id_col, pa.int64()), ("ngram", pa.string())]))
+
+    def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("ngram")[id_col].transform("size")
+        df = df[sizes >= 2]
+        if df.empty:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64")})
+        df = df.rename(columns={id_col: "doc_id"})
+        outs = [_bucket_pairs(g)
+                for _, g in df.groupby("ngram", sort=False)]
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    cand = _repaired(
+        hash_aggregate(
+            _repaired(
+                hash_aggregate(gd, ["ngram"], bucket_pairs_many,
+                               num_buckets=nb),
+                pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])),
+            ["id_a", "id_b"],
+            lambda df: df.drop_duplicates(), num_buckets=nb),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+    j, id_t = attach_pair_texts(cand, ds, text_col, id_col)
+    out_schema = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("inter", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("cont_a_e6", pa.int64()), ("cont_b_e6", pa.int64())])
+    if j is None:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if "__text_a" not in batch.schema.names:
+            return out_schema.empty_table()
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        cache: dict = {}
+
+        def grams(t):
+            t = t or ""
+            got = cache.get(t)
+            if got is None:
+                toks = t.strip().lower().split()
+                got = cache[t] = {
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            return got
+
+        rows = {k: [] for k in out_schema.names}
+        ia = batch.column("id_a").to_pylist()
+        ib = batch.column("id_b").to_pylist()
+        for a_id, b_id, a_t, b_t in zip(ia, ib, ta, tb):
+            A, B = grams(a_t), grams(b_t)
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            ca = (1_000_000 * inter) // len(A)
+            cb = (1_000_000 * inter) // len(B)
+            if max(ca, cb) < threshold_e6:
+                continue
+            rows["id_a"].append(a_id)
+            rows["id_b"].append(b_id)
+            rows["inter"].append(inter)
+            rows["n_a"].append(len(A))
+            rows["n_b"].append(len(B))
+            rows["cont_a_e6"].append(ca)
+            rows["cont_b_e6"].append(cb)
+        return pa.table(
+            {k: pa.array(v, out_schema.field(k).type)
+             for k, v in rows.items()})
+
+    return _repaired(j.map_batches(verify, batch_format="pyarrow"),
+                     out_schema)

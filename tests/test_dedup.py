@@ -1,6 +1,7 @@
 """Dedup family: exact, MinHash-LSH, SimHash, embedding near-dup."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -566,3 +567,85 @@ def test_prototype_prune_flags_centroid_hugger(ray_session):
     assert len(out) == 2
     assert any(r["vec_id"] == 0 for r in out)
     assert out[0]["proto"] > 0.99
+
+
+def test_containment_pairs_quote_detection(ray_session):
+    # a snippet quoted inside a long doc: low Jaccard, containment 1.0
+    # on the snippet side; exact dup pair scores 1.0 both ways
+    import ray.data as rd
+
+    from raygraph.ops.dedup import containment_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox jumps over the lazy dog tonight",
+                 "quick brown fox jumps",
+                 "completely different words here now",
+                 "the quick brown fox jumps over the lazy dog tonight"],
+    })
+    out = containment_pairs(rd.from_pandas(df).repartition(3),
+                            threshold_e6=800_000, n=3) \
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    assert set(map(tuple, out[["id_a", "id_b"]].values)) \
+        == {(1, 2), (1, 4), (2, 4)}
+    r12 = out[(out.id_a == 1) & (out.id_b == 2)].iloc[0]
+    # snippet has 2 trigrams, both inside doc 1's 8
+    assert r12.inter == 2 and r12.n_a == 8 and r12.n_b == 2
+    assert r12.cont_b_e6 == 1_000_000 and r12.cont_a_e6 == 250_000
+    r14 = out[(out.id_a == 1) & (out.id_b == 4)].iloc[0]
+    assert r14.cont_a_e6 == r14.cont_b_e6 == 1_000_000
+
+
+def test_containment_pairs_threshold_excludes_weak_overlap(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import containment_pairs
+
+    # docs share 1 trigram out of 4 each: max containment 0.25 < 0.8
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e f", "x y a b c z"],
+    })
+    out = containment_pairs(rd.from_pandas(df),
+                            threshold_e6=800_000, n=3).to_pandas()
+    assert len(out) == 0
+    # lowering the threshold admits it, with exact counts
+    out2 = containment_pairs(rd.from_pandas(df),
+                             threshold_e6=250_000, n=3).to_pandas()
+    assert len(out2) == 1 and out2.iloc[0].inter == 1
+
+
+def test_containment_pairs_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import containment_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(40)]
+    texts += [" ".join(texts[i].split()[:5]) for i in range(5)]  # snippets
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    outs = []
+    for nparts in (1, 7):
+        out = containment_pairs(rd.from_pandas(df).repartition(nparts),
+                                threshold_e6=800_000, n=3).to_pandas() \
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # every planted snippet pair present with snippet containment 1.0
+    for i in range(5):
+        hit = outs[0][(outs[0].id_a == i) & (outs[0].id_b == 40 + i)]
+        assert len(hit) == 1 and hit.iloc[0].cont_b_e6 == 1_000_000
+
+
+def test_containment_pairs_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import containment_pairs
+
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                       "text": pd.Series([], dtype=object)})
+    out = containment_pairs(rd.from_pandas(df))
+    assert out.schema().names == ["id_a", "id_b", "inter", "n_a", "n_b",
+                                  "cont_a_e6", "cont_b_e6"]
+    assert out.count() == 0
