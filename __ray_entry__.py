@@ -1712,6 +1712,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bench = T.bench_ngram_set(bench_docs, n=3)
         return T.contamination_counts(_docs_ds(sf_dir), bench, n=3)
 
+    def docs_contamination_dist(sf_dir):
+        # fully-distributed twin of docs_contamination (same oracle):
+        # the benchmark gram inventory stays a Dataset — per-batch
+        # (doc, gram, occ) combiner rows, one pair-hash distinct on the
+        # bench side, ONE gram-keyed shuffle join — the 100-TB route
+        # where the eval-set union outgrows the driver broadcast
+        def head_docs(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.less(batch.column("doc_id"), 20))
+
+        bench_docs = _docs_ds(sf_dir).map_batches(head_docs,
+                                                  batch_format="pyarrow")
+        return T.contamination_counts_distributed(
+            _docs_ds(sf_dir), bench_docs, n=3)
+
     def docs_repetition(sf_dir):
         return _docs_ds(sf_dir).map_batches(T.repetition_stats,
                                             batch_format="pyarrow")
@@ -9064,6 +9080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_render_interleaved": corpus_render_interleaved,
         "corpus_pack_interleaved": corpus_pack_interleaved,
         "docs_contamination": docs_contamination,
+        "docs_contamination_dist": docs_contamination_dist,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
         "docs_shuffle_rank": docs_shuffle_rank,
@@ -12862,6 +12879,21 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "docs_contamination": _TOKS_CTE + """
+            , u AS (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS pos
+                    FROM t),
+            g AS (SELECT doc_id,
+                         tok || ' ' || lead(tok, 1) OVER w || ' '
+                             || lead(tok, 2) OVER w AS ngram
+                  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            v AS (SELECT doc_id, ngram FROM g WHERE ngram IS NOT NULL),
+            bench AS (SELECT DISTINCT ngram FROM v WHERE doc_id < 20)
+            SELECT v.doc_id, count(*)::BIGINT AS n_grams,
+                   count(bench.ngram)::BIGINT AS n_contaminated
+            FROM v LEFT JOIN bench USING (ngram)
+            GROUP BY v.doc_id
+        """,
+        "docs_contamination_dist": _TOKS_CTE + """
             , u AS (SELECT doc_id, unnest(toks) AS tok,
                            generate_subscripts(toks, 1) AS pos
                     FROM t),

@@ -2261,3 +2261,115 @@ def dsir_weights(ds, target_col: str = "source",
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def contamination_counts_distributed(ds, bench_ds, n: int = 3,
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id",
+                                     bench_text_col: str = "text",
+                                     num_partitions: int | None = None):
+    """Fully-distributed twin of :func:`contamination_counts` — the
+    100-TB decontamination route where the benchmark n-gram inventory
+    outgrows the driver/closure broadcast (e.g. "remove everything
+    that overlaps ANY eval set" across hundreds of benchmarks).
+
+    Both sides stay Datasets end-to-end: corpus gram OCCURRENCES are
+    pre-aggregated per (doc, gram) inside each batch (the combiner —
+    what crosses the wire is distinct-gram rows with counts, not one
+    row per token), the benchmark side is reduced to per-block distinct
+    grams plus one pair-hash distinct exchange, and the overlap is ONE
+    gram-keyed hash-shuffle join (left_outer) + a per-doc combiner
+    fold. Same contract as the broadcast twin: one row per doc with
+    ≥ n tokens, ``n_grams`` = total gram occurrences,
+    ``n_contaminated`` = occurrences whose gram appears in the bench.
+
+    Reference analog: the smart-edge anti-join of
+    arangors-graph-exporter (src/graph_loader.rs:394-462) — a keyed
+    existence probe expressed as a join, never a driver set.
+    """
+    from raygraph.ops.graph import _repaired
+
+    from .relational import hash_aggregate, preagg_sum, shuffle_join
+
+    id_schema = pa.schema([(id_col, pa.int64()), ("ngram", pa.string()),
+                           ("occ", pa.int64())])
+
+    def corpus_grams(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        ids = batch.column(id_col).to_pandas()
+        grams = _doc_ngrams(s, n)
+        if not len(grams):
+            return id_schema.empty_table()
+        df = pd.DataFrame({
+            id_col: ids.loc[grams.index].to_numpy(),
+            "ngram": grams["ngram"].to_numpy(),
+        })
+        g = df.groupby([id_col, "ngram"], as_index=False).size() \
+            .rename(columns={"size": "occ"})
+        g[id_col] = g[id_col].astype("int64")
+        g["occ"] = g["occ"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    corpus = _repaired(
+        ds.map_batches(corpus_grams, batch_format="pyarrow"), id_schema)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        grams = _doc_ngrams(batch.column(bench_text_col).to_pandas(), n)
+        u = grams["ngram"].drop_duplicates() if len(grams) \
+            else pd.Series([], dtype=object)
+        return pa.table({"__bench_gram": pa.array(u, pa.string()),
+                         "__hit": pa.array(np.ones(len(u), np.int64))})
+
+    bench = _repaired(
+        hash_aggregate(
+            bench_ds.map_batches(bench_grams, batch_format="pyarrow"),
+            ["__bench_gram"], lambda df: df.drop_duplicates()),
+        pa.schema([("__bench_gram", pa.string()),
+                   ("__hit", pa.int64())]))
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_grams", pa.int64()),
+                            ("n_contaminated", pa.int64())])
+
+    if bench.count() == 0:
+        # a fully-empty join side loses its schema inside Ray's
+        # hash-shuffle aggregator — short-circuit: nothing can overlap
+        def totals(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby(id_col, as_index=False).agg(
+                n_grams=("occ", "sum"))
+            g["n_contaminated"] = 0
+            for c in ("n_grams", "n_contaminated"):
+                g[c] = g[c].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return _repaired(
+            preagg_sum(corpus.map_batches(totals, batch_format="pyarrow"),
+                       [id_col], {"n_grams": "n_grams",
+                                  "n_contaminated": "n_contaminated"}),
+            out_schema)
+
+    joined = shuffle_join(corpus, bench, on="ngram",
+                          right_on="__bench_gram", how="left_outer",
+                          num_partitions=num_partitions)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if "__hit" not in batch.schema.names:
+            # all-empty bench side loses its columns (schema-repair rule)
+            df = batch.to_pandas()
+            df["__hit"] = 0
+        else:
+            df = batch.to_pandas()
+            df["__hit"] = df["__hit"].fillna(0).astype("int64")
+        df["__cont"] = df["occ"] * df["__hit"]
+        g = df.groupby(id_col, as_index=False).agg(
+            n_grams=("occ", "sum"), n_contaminated=("__cont", "sum"))
+        for c in ("n_grams", "n_contaminated"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _repaired(
+        preagg_sum(joined.map_batches(fold, batch_format="pyarrow"),
+                   [id_col], {"n_grams": "n_grams",
+                              "n_contaminated": "n_contaminated"}),
+        out_schema)

@@ -1,5 +1,6 @@
 """Text-analysis ops (pure batch fns — no Ray session needed)."""
 
+import pandas as pd
 import pyarrow as pa
 
 from raygraph.ops.text import (
@@ -845,3 +846,43 @@ def test_dsir_layout_deterministic():
     b = dsir_weights(rd.from_arrow(t).repartition(7)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_contamination_distributed_equiv_broadcast(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.text import (bench_ngram_set, contamination_counts,
+                                   contamination_counts_distributed)
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 25)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": range(60), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+    bench_ds = rd.from_pandas(df.head(8)).repartition(3)
+
+    bset = bench_ngram_set(rd.from_pandas(df.head(8)), n=3)
+    a = contamination_counts(ds, bset, n=3).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = contamination_counts_distributed(ds, bench_ds, n=3).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    cols = ["doc_id", "n_grams", "n_contaminated"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_contamination_distributed_empty_bench(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.text import contamination_counts_distributed
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "x y z w"]})
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype=object)}))
+    out = contamination_counts_distributed(
+        rd.from_pandas(df), empty, n=3).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out["n_contaminated"].tolist() == [0, 0]
+    assert out["n_grams"].tolist() == [2, 2]
