@@ -1732,6 +1732,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _docs_ds(sf_dir).map_batches(T.repetition_stats,
                                             batch_format="pyarrow")
 
+    def docs_quality_prune(sf_dir):
+        # per-domain quality budget: each lang keeps only docs at or
+        # above its OWN 40th-percentile quality (CCNet-style — a global
+        # threshold would let the high-resource lang crowd out the
+        # rest). Pass 1 = bounded value-count quantile exchange
+        # (≤ 10001 distinct e4 scores per lang); pass 2 = stateless
+        # broadcast-threshold filter
+        from raygraph.ops.text import quality_prune
+
+        return quality_prune(
+            _docs_ds(sf_dir, columns=("doc_id", "text", "lang")),
+            q_pct=40)
+
     def docs_rebalance_sources(sf_dir):
         # corpus mixing: equalize the language distribution by
         # downsampling every language to (about) the rarest language's
@@ -9080,6 +9093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_render_interleaved": corpus_render_interleaved,
         "corpus_pack_interleaved": corpus_pack_interleaved,
         "docs_contamination": docs_contamination,
+        "docs_quality_prune": docs_quality_prune,
         "docs_contamination_dist": docs_contamination_dist,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
@@ -14408,6 +14422,29 @@ def oracle_sql() -> dict[str, str]:
                                         1.0))
                    )) / 10000.0 AS quality
             FROM s
+        """,
+        # per-lang 40th-percentile quality budget: shared quality
+        # formula + quantile_disc threshold + ties-kept filter
+        "docs_quality_prune": _TOKS_CTE + f"""
+            , s AS (
+              SELECT t.doc_id, d.lang,
+                     CAST(floor(10000.0 * (
+                         0.35 * least(t.n_chars / 500.0, 1.0)
+                       + 0.25 * least((len(list_filter(t.toks,
+                             x -> list_contains({stop['en']}, x)))
+                             / greatest(len(t.toks), 1)) * 4, 1.0)
+                       + 0.2 * (len(list_distinct(t.toks))
+                             / greatest(len(t.toks), 1))
+                       + 0.2 * (1 - least((t.n_punct
+                             / greatest(t.n_chars, 1)) * 5, 1.0))
+                     )) AS BIGINT) AS q_e4
+              FROM t JOIN documents d USING (doc_id)
+            ),
+            thr AS (SELECT lang, quantile_disc(q_e4, 0.4) AS tq
+                    FROM s GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.q_e4
+            FROM s JOIN thr USING (lang)
+            WHERE s.q_e4 >= thr.tq
         """,
         "docs_curate_spec": _TOKS_CTE + f"""
             , s AS (

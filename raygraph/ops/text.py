@@ -2373,3 +2373,52 @@ def contamination_counts_distributed(ds, bench_ds, n: int = 3,
                    [id_col], {"n_grams": "n_grams",
                               "n_contaminated": "n_contaminated"}),
         out_schema)
+
+
+def quality_prune(ds, q_pct: int = 40, group_col: str = "lang",
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Per-domain quality pruning — the CCNet-style budget filter:
+    every group (language / source) keeps only documents whose quality
+    score reaches that group's own ``q_pct``-th percentile, so a
+    high-resource domain can't crowd out a low-resource one under a
+    single global threshold.
+
+    Two passes, both scale-safe: pass 1 scores each batch with
+    :func:`quality_score` (4-dp floored ⇒ exact e4 integers) and feeds
+    ONE value-count combiner exchange (:func:`grouped_quantiles` — the
+    grid is ≤ 10001 distinct values per group no matter the corpus);
+    the thresholds are a groups-sized driver frame that rides the
+    task closure into a stateless pass-2 filter (ties kept: score ≥
+    threshold, matching ``percentile_disc``).
+
+    Returns survivors as ``(id_col, group_col, q_e4)``.
+
+    Reference analog: the per-collection filter push-down of
+    arangors-graph-exporter (src/graph_loader.rs:394-462).
+    """
+    from .relational import grouped_quantiles
+
+    def scored(batch: pa.Table) -> pa.Table:
+        qt = quality_score(batch, text_col, id_col)
+        q_e4 = np.rint(
+            qt.column("quality").to_numpy(zero_copy_only=False)
+            * 10_000.0).astype("int64")
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            "q_e4": pa.array(q_e4, pa.int64()),
+        })
+
+    sds = ds.map_batches(scored, batch_format="pyarrow")
+    col = f"t{int(q_pct):02d}"
+    thr = grouped_quantiles(sds, [group_col], "q_e4",
+                            qs=(q_pct / 100.0,), prefix="t").to_pandas()
+    tmap = dict(zip(thr[group_col], thr[col].astype("int64")))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = df[group_col].map(tmap)
+        return pa.Table.from_pandas(df[df["q_e4"] >= t],
+                                    preserve_index=False)
+
+    return sds.map_batches(keep, batch_format="pyarrow")

@@ -886,3 +886,63 @@ def test_contamination_distributed_empty_bench(ray_session):
         .sort_values("doc_id", ignore_index=True)
     assert out["n_contaminated"].tolist() == [0, 0]
     assert out["n_grams"].tolist() == [2, 2]
+
+
+def test_quality_prune_per_group_budget(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.text import quality_prune, quality_score
+
+    # group "a": long good docs + junk; group "b": all mediocre —
+    # each group must keep its OWN top mass, so "b" survivors exist
+    # even though every "b" doc scores below "a"'s best
+    good = "the quick brown fox jumps over a lazy dog " * 20
+    junk = "!!! ??? ***"
+    mid = "some plain words here"
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [good, good, good, junk, mid, mid, mid, mid],
+        "lang": ["a"] * 4 + ["b"] * 4,
+    })
+    out = quality_prune(rd.from_pandas(df).repartition(3), q_pct=50) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert set(out["lang"]) == {"a", "b"}          # both groups survive
+    assert 3 not in set(out["doc_id"])             # junk pruned from a
+    # survivors' scores reach their group threshold exactly (ties kept)
+    sc = quality_score(
+        pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                  "text": pa.array(df["text"], pa.string())}))
+    import numpy as np
+    q_e4 = np.rint(sc.column("quality").to_numpy() * 10000).astype("int64")
+    for lang in ("a", "b"):
+        grp = df[df["lang"] == lang]["doc_id"].to_numpy()
+        vals = sorted(q_e4[grp])
+        import math
+        thr = vals[int(np.searchsorted(np.arange(1, len(vals) + 1),
+                                       max(1, math.ceil(0.5 * len(vals)))))]
+        kept = set(out[out["lang"] == lang]["doc_id"])
+        want = {int(d) for d in grp if q_e4[d] >= thr}
+        assert kept == want
+
+
+def test_quality_prune_layout_invariant(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.text import quality_prune
+
+    rng = np.random.RandomState(11)
+    vocab = ["the", "a", "of", "word", "text!", "zz", "plain", "longer"]
+    df = pd.DataFrame({
+        "doc_id": range(50),
+        "text": [" ".join(rng.choice(vocab, size=rng.randint(2, 60)))
+                 for _ in range(50)],
+        "lang": rng.choice(["x", "y"], size=50),
+    })
+    outs = []
+    for nparts in (1, 7):
+        out = quality_prune(rd.from_pandas(df).repartition(nparts),
+                            q_pct=40).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
