@@ -4824,6 +4824,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cand = quantized_batch_topk(emb, queries, qids, k=10).to_pandas()
         return retrieval_eval(truth, cand, k=10)
 
+    def ann_matryoshka_eval(sf_dir):
+        # Matryoshka truncation eval (Kusupati et al. 2022): retrieval
+        # quality (recall@10 / MRR / nDCG) when BOTH sides rank by only
+        # the first 4 / 8 / 16 embedding dims, vs the full-64 exact-dot
+        # truth — the "how small can the prefix be" deployment question.
+        # Each leg shares one corpus scan across the 8 queries; metrics
+        # are the per-term-floored integers of retrieval_eval
+        from raygraph.ops.ann import batch_topk, retrieval_eval
+
+        qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        qdf = qtab.to_pandas()
+        qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+        queries = np.stack(qdf["embedding"].map(np.asarray).to_numpy())
+        qids = qdf["vec_id"].tolist()
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        truth = batch_topk(emb, queries, qids, k=10, round_dp=4,
+                           metric="dot").to_pandas()
+        outs = []
+        for d in (4, 8, 16):
+            cand = batch_topk(emb, queries, qids, k=10, round_dp=4,
+                              metric="dot", dims=d).to_pandas()
+            ev = retrieval_eval(truth, cand, k=10)
+            ev.insert(0, "dims", np.int64(d))
+            outs.append(ev)
+        out = pd.concat(outs, ignore_index=True)
+        out["dims"] = out["dims"].astype("int64")
+        return out
+
     def ann_batch_top3(sf_dir):
         # batched exact ANN: 5 query vectors share ONE corpus scan (one
         # (n×Q) matmul per batch, per-query partial top-k, bucketed
@@ -9346,6 +9376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantized": embedding_quantized,
         "ann_batch_top3": ann_batch_top3,
         "ann_quantized_eval": ann_quantized_eval,
+        "ann_matryoshka_eval": ann_matryoshka_eval,
         "embedding_grid_clusters": embedding_grid_clusters,
         "embedding_centroids": embedding_centroids,
         "media_features": media_features,
@@ -15159,6 +15190,60 @@ def oracle_sql() -> dict[str, str]:
                     // idcg.idcg_e6)::BIGINT AS ndcg_e4
             FROM (SELECT query_id FROM q) b0
             LEFT JOIN per USING (query_id) CROSS JOIN idcg
+        """,
+        # Matryoshka truncation eval: per-dims candidate lists over
+        # prefix-sliced embeddings, full-dim exact-dot truth, the
+        # shared per-term-floored metric folds
+        "ann_matryoshka_eval": """
+            WITH dimset AS (SELECT unnest([4, 8, 16]) AS dims),
+            q AS MATERIALIZED (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_inner_product(
+                             e.embedding::DOUBLE[], q.qe), 4) AS dot
+                  FROM embeddings e CROSS JOIN q),
+            truth AS MATERIALIZED (
+              SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, vec_id) AS rn FROM s)
+              WHERE rn <= 10
+            ),
+            sc AS (SELECT d.dims, q.query_id, e.vec_id,
+                          round(list_inner_product(
+                              list_slice(e.embedding::DOUBLE[], 1,
+                                         d.dims),
+                              list_slice(q.qe, 1, d.dims)), 4) AS dot
+                   FROM embeddings e CROSS JOIN q CROSS JOIN dimset d),
+            cand AS MATERIALIZED (
+              SELECT dims, query_id, vec_id, rn FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY dims, query_id
+                    ORDER BY dot DESC, vec_id) AS rn FROM sc)
+              WHERE rn <= 10
+            ),
+            hits AS (SELECT c.dims, c.query_id, c.rn
+                     FROM cand c JOIN truth t
+                       ON t.query_id = c.query_id
+                      AND t.vec_id = c.vec_id),
+            idcg AS (SELECT sum(floor(1000000 / log2(r.x + 1)))::BIGINT
+                         AS idcg_e6
+                     FROM range(1, 11) r(x)),
+            per AS (SELECT dims, query_id, count(*)::BIGINT AS n_hits,
+                           floor(1000000 / min(rn))::BIGINT AS mrr_e6,
+                           sum(floor(1000000 / log2(rn + 1)))::BIGINT
+                               AS dcg_e6
+                    FROM hits GROUP BY dims, query_id)
+            SELECT b0.dims, b0.query_id,
+                   coalesce(per.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(per.mrr_e6, 0)::BIGINT AS mrr_e6,
+                   coalesce(per.dcg_e6, 0)::BIGINT AS dcg_e6,
+                   ((10000 * coalesce(per.dcg_e6, 0))
+                    // idcg.idcg_e6)::BIGINT AS ndcg_e4
+            FROM (SELECT d.dims, q.query_id
+                  FROM dimset d CROSS JOIN q) b0
+            LEFT JOIN per USING (dims, query_id) CROSS JOIN idcg
         """,
         "embedding_quantized": """
             WITH u AS (

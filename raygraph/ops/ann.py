@@ -417,7 +417,8 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
 
 def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               round_dp: int = 6, metric: str = "cosine"):
+               round_dp: int = 6, metric: str = "cosine",
+               dims: int | None = None):
     """Batched exact cosine top-k: MANY query vectors at once — the
     batch-inference shape (Q queries share one corpus scan instead of Q
     scans). ``queries`` is (Q, d), broadcast once via ``ray.put``; each
@@ -430,6 +431,11 @@ def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
     from .relational import hash_aggregate
 
     Q = np.asarray(queries, dtype=np.float64)
+    if dims is not None:
+        # Matryoshka-style prefix truncation: both sides retrieve in the
+        # first `dims` components (Kusupati et al. 2022) — the cheap-
+        # retrieval leg of a truncation-loss eval
+        Q = Q[:, :dims]
     if metric == "cosine":
         Q = _normalize(Q)
     qids = np.asarray(list(query_ids))
@@ -440,6 +446,8 @@ def batch_topk(ds, queries: np.ndarray, query_ids, k: int = 10,
 
         qm = _ray.get(qref)
         vecs = vectors_to_numpy(batch.column(vec_col), np.float64)
+        if dims is not None:
+            vecs = vecs[:, :dims]
         if metric == "cosine":
             vecs = _normalize(vecs)
         # round BEFORE the partial cut: the partial must select by the

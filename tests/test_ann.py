@@ -355,3 +355,52 @@ def test_hard_negative_topk_skips_same_label(ray_session):
     assert first[0] == 1 and first[1] == 0
     assert sorted(r["neg_rank"] for r in out
                   if r["vec_id"] == 0) == [1, 2]
+
+
+def test_batch_topk_dims_truncation(ray_session):
+    # prefix truncation: with dims=2 the ranking must follow only the
+    # first two components; full-dim ranking differs by construction
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.ann import batch_topk
+
+    # corpus: v1 wins on the 2-dim prefix, v2 wins on the full vector
+    corpus = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 1.0, 0.0, 0.0],
+                      [0.5, 0.5, 5.0, 5.0],
+                      [-1.0, -1.0, 0.0, 0.0]],
+    })
+    q = np.array([[1.0, 1.0, 1.0, 1.0]])
+    ds = rd.from_pandas(corpus)
+    full = batch_topk(ds, q, [0], k=1, round_dp=4,
+                      metric="dot").to_pandas()
+    trunc = batch_topk(ds, q, [0], k=1, round_dp=4, metric="dot",
+                       dims=2).to_pandas()
+    assert full["vec_id"].tolist() == [2]   # 0.5+0.5+5+5 = 11
+    assert trunc["vec_id"].tolist() == [1]  # prefix dot 2 > 1 > -2
+
+
+def test_batch_topk_dims_matches_presliced(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.ann import batch_topk
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(50, 8).round(3)
+    corpus = pd.DataFrame({"vec_id": range(50),
+                           "embedding": [v.tolist() for v in vecs]})
+    pre = pd.DataFrame({"vec_id": range(50),
+                        "embedding": [v[:3].tolist() for v in vecs]})
+    q = rng.randn(2, 8).round(3)
+    a = batch_topk(rd.from_pandas(corpus), q, [0, 1], k=5, round_dp=4,
+                   metric="dot", dims=3).to_pandas()
+    b = batch_topk(rd.from_pandas(pre), q[:, :3], [0, 1], k=5,
+                   round_dp=4, metric="dot").to_pandas()
+    sort = lambda d: d.sort_values(["query_id", "vec_id"],
+                                   ignore_index=True)
+    pd.testing.assert_frame_equal(sort(a), sort(b))
