@@ -4539,6 +4539,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ["fold"], {"sum_chars": "n_chars"},
                           counts="n_docs")
 
+    def docs_dedup_safe_split(sf_dir):
+        # leakage-free k-fold over the 50%-duplicate corpus: the fold
+        # is a pure function of CONTENT (md5(text) % 5 — zero
+        # exchange), so every exact-dup pair lands in one fold and can
+        # never straddle train/eval (Lee et al. 2021 §6's leakage)
+        from raygraph.ops.dedup import dedup_safe_kfold
+
+        return dedup_safe_kfold(_doubled_docs(sf_dir), k=5)
+
     def ann_rrf_top10(sf_dir):
         # hybrid retrieval: reciprocal-rank fusion of the exact-dot leg
         # and the SQ8-quantized leg (each leg a distributed top-k; the
@@ -9367,6 +9376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_pairs": docs_containment_pairs,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
+        "docs_dedup_safe_split": docs_dedup_safe_split,
         "ann_rrf_top10": ann_rrf_top10,
         "ann_top10": ann_top10,
         "ann_ivf_top10": ann_ivf_top10,
@@ -11095,6 +11105,19 @@ def oracle_sql() -> dict[str, str]:
             FROM g CROSS JOIN t
         """,
         # deterministic k-fold: the md5-int bridge mod 5
+        # leakage-free fold = md5(text)-int60 % 5 over the doubled
+        # corpus — duplicates agree by construction
+        "docs_dedup_safe_split": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET}, text FROM documents
+            )
+            SELECT doc_id,
+                   (('0x' || substr(md5(coalesce(text, '')), 1, 15))
+                       ::BIGINT % 5) AS fold
+            FROM corpus
+        """,
         "docs_kfold": """
             SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                        ::BIGINT % 5 AS fold,

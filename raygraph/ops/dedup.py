@@ -2068,3 +2068,69 @@ def containment_pairs(ds, threshold_e6: int = 800_000, n: int = 3,
 
     return _repaired(j.map_batches(verify, batch_format="pyarrow"),
                      out_schema)
+
+
+def dedup_safe_kfold(ds, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id", labels=None):
+    """Leakage-free K-fold assignment: every duplicate CLUSTER lands in
+    one fold, so a train/eval split can never put one copy of a
+    document in train and its duplicate in eval (the classic dedup
+    leakage that inflates benchmark scores; cf. Lee et al. 2021 §6).
+
+    Default mode needs ZERO exchange: the fold is a pure function of
+    the content — ``fold = md5(text)-int60 % k`` — so exact duplicates
+    agree by construction and the assignment is identical at any
+    parallelism, epoch, or retry (the repo's content-keyed
+    determinism idiom). Pass ``labels`` (a ``(vertex, component)``
+    Dataset from :func:`near_dup_clusters`, vertex = zero-padded id)
+    to fold by NEAR-dup component instead: one id-keyed shuffle join
+    attaches the component, fold = md5(component) % k, rows without a
+    component fold by their own id.
+
+    Returns ``(id_col, fold)``.
+    """
+    import hashlib
+
+    def content_fold(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col).to_pandas().fillna("")
+        folds = t.map(lambda s: int(
+            hashlib.md5(s.encode()).hexdigest()[:15], 16) % k)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "fold": pa.array(folds.astype("int64"), pa.int64()),
+        })
+
+    if labels is None:
+        return ds.map_batches(content_fold, batch_format="pyarrow")
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import _join_partitions, shuffle_join
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__v": _padded_id(batch.column(id_col)),
+        })
+
+    joined = shuffle_join(
+        ds.map_batches(tag, batch_format="pyarrow"), labels,
+        on="__v", right_on="vertex", how="left_outer",
+        num_partitions=_join_partitions())
+
+    def comp_fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "component" not in df.columns:
+            df["component"] = None
+        key = df["component"].where(df["component"].notna(),
+                                    df[id_col].astype(str))
+        folds = key.map(lambda s: int(
+            hashlib.md5(str(s).encode()).hexdigest()[:15], 16) % k)
+        return pa.table({
+            id_col: pa.array(df[id_col].astype("int64"), pa.int64()),
+            "fold": pa.array(folds.astype("int64"), pa.int64()),
+        })
+
+    return _repaired(joined.map_batches(comp_fold, batch_format="pyarrow"),
+                     pa.schema([(id_col, pa.int64()),
+                                ("fold", pa.int64())]))

@@ -649,3 +649,41 @@ def test_containment_pairs_empty_corpus(ray_session):
     assert out.schema().names == ["id_a", "id_b", "inter", "n_a", "n_b",
                                   "cont_a_e6", "cont_b_e6"]
     assert out.count() == 0
+
+
+def test_dedup_safe_kfold_duplicates_share_fold(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import dedup_safe_kfold
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["alpha beta", "gamma delta", "alpha beta",
+                 "epsilon", "gamma delta", "alpha beta"],
+    })
+    out = dedup_safe_kfold(rd.from_pandas(df).repartition(3), k=5) \
+        .to_pandas().set_index("doc_id")["fold"]
+    # all copies of the same content agree, at any layout
+    assert out[0] == out[2] == out[5]
+    assert out[1] == out[4]
+    assert set(out) <= set(range(5))
+
+
+def test_dedup_safe_kfold_component_mode(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import dedup_safe_kfold, _padded_id
+
+    # near-dup cluster {1, 2} via an explicit labels table: both fold
+    # together even though their TEXTS differ; 3 folds by its own id
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["aa bb cc", "aa bb cc dd", "zz"]})
+    comp = _padded_id(pa.array([1, 1], pa.int64()))
+    labels = rd.from_pandas(pd.DataFrame({
+        "vertex": _padded_id(pa.array([1, 2], pa.int64())).to_pylist(),
+        "component": comp.to_pylist(),
+    }))
+    out = dedup_safe_kfold(rd.from_pandas(df), k=7, labels=labels) \
+        .to_pandas().set_index("doc_id")["fold"]
+    assert out[1] == out[2]
+    assert 0 <= out[3] < 7
