@@ -305,6 +305,26 @@ def main() -> None:
 
     timings["hard_negatives"] = _timed_min(_hardneg_run)
 
+    def _containment_run() -> int:
+        from raygraph.ops.dedup import containment_pairs
+
+        return containment_pairs(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text"]),
+            threshold_e6=800_000, n=3).count()
+
+    timings["containment_pairs"] = _timed_min(_containment_run)
+
+    def _quality_prune_run() -> int:
+        from raygraph.ops.text import quality_prune
+
+        return quality_prune(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text", "lang"]),
+            q_pct=40).count()
+
+    timings["quality_prune"] = _timed_min(_quality_prune_run)
+
     from raygraph.ops.events import funnel_counts
 
     ev = lambda: rd.read_parquet(  # noqa: E731
