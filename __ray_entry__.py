@@ -4485,6 +4485,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(snippets, batch_format="pyarrow"))
         return containment_pairs(corpus, threshold_e6=800_000, n=3)
 
+    def docs_line_dedup(sf_dir):
+        # CCNet-style cross-doc LINE dedup (removal + reassembly):
+        # corpus = 3 lines per doc — the original text, a footer
+        # (shared boilerplate on every 3rd doc, in two case/space
+        # variants that normalize equal), a tail (shared banner on
+        # every 5th doc). Boilerplate lines (>= 2 distinct docs after
+        # strip+lower) drop from every doc; unique lines survive.
+        from raygraph.ops.dedup import line_dedup
+
+        def widen(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            ids = df["doc_id"].astype("int64")
+            sid = ids.astype(str)
+            footer = pd.Series(
+                np.where(ids % 3 == 0,
+                         np.where(ids % 2 == 0,
+                                  "Subscribe to our Newsletter",
+                                  "subscribe to our newsletter "),
+                         "unique footer " + sid),
+                index=df.index)
+            tail = pd.Series(
+                np.where(ids % 5 == 0, "COOKIE notice: accept all",
+                         "tail " + sid), index=df.index)
+            df["text"] = (df["text"].fillna("") + "\n" + footer
+                          + "\n" + tail)
+            return pa.Table.from_pandas(df[["doc_id", "text"]],
+                                        preserve_index=False)
+
+        corpus = _docs_ds(sf_dir).map_batches(
+            widen, batch_format="pyarrow")
+        return line_dedup(corpus, min_df=2)
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9374,6 +9406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stump": docs_stump,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "docs_containment_pairs": docs_containment_pairs,
+        "docs_line_dedup": docs_line_dedup,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "docs_dedup_safe_split": docs_dedup_safe_split,
@@ -14656,6 +14689,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = i.id_b
             WHERE greatest((1000000 * i.inter) // sa.ng,
                            (1000000 * i.inter) // sb.ng) >= 800000
+        """,
+        # CCNet line dedup: 3-line corpus (text / footer / tail with
+        # shared-boilerplate variants), normalized key = strip(' \t\r')
+        # + lower, drop keys in >= 2 distinct docs, reassemble original
+        # lines in order
+        "docs_line_dedup": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     coalesce(text, '') || chr(10)
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                            CASE WHEN doc_id % 2 = 0
+                                 THEN 'Subscribe to our Newsletter'
+                                 ELSE 'subscribe to our newsletter '
+                            END
+                        ELSE 'unique footer ' || doc_id::VARCHAR END
+                     || chr(10)
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN 'COOKIE notice: accept all'
+                        ELSE 'tail ' || doc_id::VARCHAR END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)),
+                                         1) AS idx
+              FROM corpus
+            ),
+            keyed AS (
+              SELECT doc_id, idx, line,
+                     lower(trim(line, ' ' || chr(9) || chr(13))) AS lk
+              FROM lines
+            ),
+            dup AS (
+              SELECT lk FROM keyed WHERE lk <> ''
+              GROUP BY lk HAVING count(DISTINCT doc_id) >= 2
+            ),
+            marked AS (
+              SELECT k.doc_id, k.idx, k.line,
+                     (k.lk <> '' AND k.lk IN (SELECT lk FROM dup))
+                         AS dropped
+              FROM keyed k
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dropped,
+                   coalesce(string_agg(
+                       CASE WHEN NOT dropped THEN line END, chr(10)
+                       ORDER BY idx), '') AS clean_text
+            FROM marked GROUP BY doc_id
         """,
         "text_fingerprints": """
             WITH t AS (

@@ -1757,6 +1757,142 @@ def clean_duplicate_ngrams(ds, L: int = 8, text_col: str = "text",
                    ("clean_text", pa.string())]))
 
 
+def line_dedup(ds, min_df: int = 2, text_col: str = "text",
+               id_col: str = "doc_id", num_buckets: int = 64):
+    """Cross-document LINE dedup — the CCNet / RefinedWeb curation
+    staple (Wenzek et al. 2020 §3.1): a normalized line (space/tab/CR
+    strip + lowercase) that occurs in >= ``min_df`` DISTINCT documents
+    is boilerplate (nav bars, cookie banners, license footers) and is
+    dropped from EVERY document; empty-after-normalize lines are never
+    counted and never dropped. Complements
+    :func:`clean_duplicate_ngrams` (token n-gram grain) and
+    :func:`sentence_dedup_stats` (stats only, no rewrite) — this is
+    the REMOVAL at line grain, returning the cleaned corpus.
+
+    Distributed shape (the ExactSubstr discipline, line-keyed):
+
+    1. line inventory: per-batch vectorized split/explode →
+       (lk, doc, idx) rows, idx the 0-based line position;
+    2. boilerplate keys: ONE lk-keyed exchange — per-batch (lk, doc)
+       distinct is the combiner, the bucket reduce counts distinct
+       docs per key and keeps >= min_df;
+    3. one left_semi shuffle join marks hit (doc, idx) positions —
+       only INT positions travel, never line text;
+    4. ONE doc-hash co-group of the corpus with its hit positions
+       re-splits the original text and reassembles survivors in
+       order (the :func:`clean_duplicate_ngrams` fold idiom).
+
+    Returns (doc_id, n_lines, n_dropped, clean_text) with clean_text
+    the newline-joined surviving ORIGINAL (un-normalized) lines (''
+    when nothing survives). Reference analog: sub-document rewrite
+    fidelity, arangors-graph-exporter src/graph_loader.rs:394-462
+    (bounded co-located comparison, never all-pairs).
+    """
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import (_join_partitions, hash_aggregate,
+                             shuffle_join)
+
+    occ_schema = pa.schema([("lk", pa.string()), ("doc", pa.int64()),
+                            ("idx", pa.int64())])
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pandas().astype("int64")
+        txt = batch.column(text_col).to_pandas().fillna("")
+        ls = txt.str.split("\n")
+        counts = ls.str.len().astype("int64").to_numpy()
+        total = int(counts.sum())
+        if total == 0:
+            return occ_schema.empty_table()
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in ls if len(t)])
+        docs_arr = np.repeat(ids.to_numpy(), counts)
+        starts = np.cumsum(counts) - counts
+        idx_all = np.arange(total, dtype="int64") \
+            - np.repeat(starts, counts)
+        lk = pd.Series(flat).str.strip(" \t\r").str.lower()
+        keep = (lk != "").to_numpy()
+        return pa.table({
+            "lk": pa.array(lk[keep], pa.string()),
+            "doc": pa.array(docs_arr[keep], pa.int64()),
+            "idx": pa.array(idx_all[keep], pa.int64())})
+
+    occ = ds.map_batches(line_rows, batch_format="pyarrow").materialize()
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_lines", pa.int64()),
+        ("n_dropped", pa.int64()), ("clean_text", pa.string())])
+
+    def docs_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": batch.column(id_col).cast(pa.int64()),
+            "text": batch.column(text_col).cast(pa.string()),
+            "idx": pa.nulls(batch.num_rows, pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc, g in df.groupby("doc", sort=False):
+            texts = g.loc[g["idx"].isna(), "text"]
+            if texts.empty:        # hits for a doc outside this input
+                continue
+            lines = str(texts.iloc[0] or "").split("\n")
+            drop = set(g.loc[g["idx"].notna(), "idx"].astype("int64"))
+            kept = [ln for i, ln in enumerate(lines) if i not in drop]
+            rows.append({"doc_id": int(doc), "n_lines": len(lines),
+                         "n_dropped": len(drop),
+                         "clean_text": "\n".join(kept)})
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "n_lines", "n_dropped",
+                           "clean_text"])
+        for c in ("doc_id", "n_lines", "n_dropped"):
+            out[c] = out[c].astype("int64")
+        out["clean_text"] = out["clean_text"].astype(str)
+        return out
+
+    def finish(hits):
+        both = ds.map_batches(docs_side, batch_format="pyarrow")
+        if hits is not None:
+            def hits_side(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "doc": batch.column("doc"),
+                    "text": pa.nulls(batch.num_rows, pa.string()),
+                    "idx": batch.column("idx")})
+
+            both = both.union(
+                hits.map_batches(hits_side, batch_format="pyarrow"))
+        return _repaired(
+            hash_aggregate(both, ["doc"], fold,
+                           num_buckets=num_buckets), out_schema)
+
+    if occ.count() == 0:
+        return finish(None)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lk", "doc"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dup_keys(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.drop_duplicates().groupby("lk")["doc"].nunique()
+        return pd.DataFrame({"lk": nd.index[nd.to_numpy() >= min_df]})
+
+    dupset = _repaired(
+        hash_aggregate(occ.map_batches(pair_partial,
+                                       batch_format="pyarrow"),
+                       ["lk"], dup_keys, num_buckets=num_buckets),
+        pa.schema([("lk", pa.string())]))
+    if dupset.count() == 0:
+        return finish(None)
+
+    hits = _repaired(
+        shuffle_join(occ, dupset, on="lk", right_on="lk",
+                     how="left_semi",
+                     num_partitions=_join_partitions(occ.count())),
+        occ_schema)
+    return finish(hits)
+
+
 def winnow_dup_pairs(ds, min_shared: int = 3, n: int = 3,
                      window: int = 4, text_col: str = "text",
                      id_col: str = "doc_id",

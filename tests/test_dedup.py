@@ -687,3 +687,53 @@ def test_dedup_safe_kfold_component_mode(ray_session):
         .to_pandas().set_index("doc_id")["fold"]
     assert out[1] == out[2]
     assert 0 <= out[3] < 7
+
+
+def test_line_dedup_drops_boilerplate_keeps_unique(ray_session):
+    # footer shared by docs 1+2 (normalized: case + trailing space)
+    # drops from both; whitespace-only and empty lines never drop;
+    # within-one-doc repeats don't drop (min_df counts DISTINCT docs)
+    import ray.data as rd
+
+    from raygraph.ops.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "unique one\nSubscribe NOW\nbody A",
+            "body B\nsubscribe now \nunique two",
+            "repeat me\nrepeat me\n  \t",
+            "",
+        ]})
+    out = line_dedup(rd.from_pandas(df).repartition(3), min_df=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "unique one\nbody A"
+    assert out.loc[2, "clean_text"] == "body B\nunique two"
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_dropped"] == 1
+    # within-doc repeat survives; blank line preserved verbatim
+    assert out.loc[3, "clean_text"] == "repeat me\nrepeat me\n  \t"
+    assert out.loc[3, "n_dropped"] == 0
+    # empty doc: [''] convention — one line, nothing dropped
+    assert out.loc[4, "n_lines"] == 1 and out.loc[4, "clean_text"] == ""
+
+
+def test_line_dedup_min_df_and_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [f"own {i}\nshared footer" if i < 3
+                 else f"own {i}\nrare line" for i in range(6)]})
+    # min_df=4: the 3-doc footer survives everywhere
+    out4 = line_dedup(rd.from_pandas(df), min_df=4).to_pandas()
+    assert int(out4["n_dropped"].sum()) == 0
+    # min_df=3: footer dropped from its 3 docs, rare line (3 docs) too
+    a = line_dedup(rd.from_pandas(df), min_df=3).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = line_dedup(rd.from_pandas(df).repartition(5), min_df=3) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    assert (a["n_dropped"] == 1).all()
+    assert a.loc[0, "clean_text"] == "own 0"
