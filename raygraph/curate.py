@@ -129,6 +129,34 @@ def _exact_dedup(ds):
     return exact_dedup(ds)
 
 
+def _line_dedup(ds, min_df: int = 2, num_buckets: int = 64):
+    """Cross-document boilerplate-line removal (CCNet): rewrite
+    ``text`` with :func:`raygraph.ops.dedup.line_dedup`'s cleaned
+    lines, preserving every other column via ONE doc-keyed co-group
+    join (the dedup pass itself already exchanges the corpus once —
+    this is the keep-the-schema tax, not a second algorithm)."""
+    from .ops.dedup import line_dedup
+    from .ops.relational import cogroup_join
+
+    cleaned = line_dedup(ds, min_df=min_df, num_buckets=num_buckets)
+
+    def ct(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "__clean": batch.column("clean_text")})
+
+    joined = cogroup_join(
+        ds, cleaned.map_batches(ct, batch_format="pyarrow"),
+        on="doc_id", how="inner", num_buckets=num_buckets)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(
+            i, "text", batch.column("__clean").cast(pa.string())) \
+            .drop_columns(["__clean"])
+
+    return joined.map_batches(swap, batch_format="pyarrow")
+
+
 def _minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 64,
                    bands: int = 16, shingle: str = "char"):
     from .ops.dedup import minhash_dedup
@@ -173,6 +201,7 @@ STAGES = {
     "c4_filter": _c4_filter,
     "lang_filter": _lang_filter,
     "exact_dedup": _exact_dedup,
+    "line_dedup": _line_dedup,
     "minhash_dedup": _minhash_dedup,
     "sample": _sample,
     "cap_per_group": _cap_per_group,

@@ -1792,14 +1792,21 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
 
     from raygraph.ops.graph import _repaired
 
-    from .relational import (_join_partitions, hash_aggregate,
-                             shuffle_join)
+    from .relational import (_join_partitions, dataset_arrow_schema,
+                             hash_aggregate, shuffle_join)
 
-    occ_schema = pa.schema([("lk", pa.string()), ("doc", pa.int64()),
+    # id-type-agnostic: web-scale corpora key on string ids (URLs) as
+    # often as ints — carry the input id type end to end
+    in_schema = dataset_arrow_schema(ds)
+    id_type = in_schema.field(id_col).type
+    if pa.types.is_integer(id_type):
+        id_type = pa.int64()
+
+    occ_schema = pa.schema([("lk", pa.string()), ("doc", id_type),
                             ("idx", pa.int64())])
 
     def line_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pandas().astype("int64")
+        ids = batch.column(id_col).to_pandas()
         txt = batch.column(text_col).to_pandas().fillna("")
         ls = txt.str.split("\n")
         counts = ls.str.len().astype("int64").to_numpy()
@@ -1816,18 +1823,18 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
         keep = (lk != "").to_numpy()
         return pa.table({
             "lk": pa.array(lk[keep], pa.string()),
-            "doc": pa.array(docs_arr[keep], pa.int64()),
+            "doc": pa.array(docs_arr[keep], id_type),
             "idx": pa.array(idx_all[keep], pa.int64())})
 
     occ = ds.map_batches(line_rows, batch_format="pyarrow").materialize()
 
     out_schema = pa.schema([
-        ("doc_id", pa.int64()), ("n_lines", pa.int64()),
+        ("doc_id", id_type), ("n_lines", pa.int64()),
         ("n_dropped", pa.int64()), ("clean_text", pa.string())])
 
     def docs_side(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "doc": batch.column(id_col).cast(pa.int64()),
+            "doc": batch.column(id_col).cast(id_type),
             "text": batch.column(text_col).cast(pa.string()),
             "idx": pa.nulls(batch.num_rows, pa.int64())})
 
@@ -1840,13 +1847,13 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
             lines = str(texts.iloc[0] or "").split("\n")
             drop = set(g.loc[g["idx"].notna(), "idx"].astype("int64"))
             kept = [ln for i, ln in enumerate(lines) if i not in drop]
-            rows.append({"doc_id": int(doc), "n_lines": len(lines),
+            rows.append({"doc_id": doc, "n_lines": len(lines),
                          "n_dropped": len(drop),
                          "clean_text": "\n".join(kept)})
         out = pd.DataFrame(
             rows, columns=["doc_id", "n_lines", "n_dropped",
                            "clean_text"])
-        for c in ("doc_id", "n_lines", "n_dropped"):
+        for c in ("n_lines", "n_dropped"):
             out[c] = out[c].astype("int64")
         out["clean_text"] = out["clean_text"].astype(str)
         return out

@@ -162,3 +162,26 @@ def test_gopher_and_c4_filter_stages(ray_session):
     survivors = {r["doc_id"] for r in staged[1].take_all()}
     assert after_gopher == {0, 2}
     assert survivors == {0}
+
+
+def test_line_dedup_stage_rewrites_text_keeps_columns(ray_session):
+    import ray.data as rd
+
+    from raygraph.curate import compile_spec
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["own zero\nshared footer",
+                 "own one\nShared Footer ",
+                 "own two\nnothing shared"],
+        "source": ["a", "b", "c"],
+        "lang": ["en", "de", "fr"]})
+    _, staged = compile_spec(rd.from_pandas(df),
+                             [{"stage": "line_dedup", "min_df": 2}])
+    out = staged[-1].to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert list(out["text"]) == ["own zero", "own one",
+                                 "own two\nnothing shared"]
+    # non-text columns survive the rewrite
+    assert list(out["source"]) == ["a", "b", "c"]
+    assert list(out["lang"]) == ["en", "de", "fr"]

@@ -737,3 +737,22 @@ def test_line_dedup_min_df_and_layout_invariance(ray_session):
     assert a.equals(b)
     assert (a["n_dropped"] == 1).all()
     assert a.loc[0, "clean_text"] == "own 0"
+
+
+def test_line_dedup_string_ids(ray_session):
+    # web-scale corpora key on string ids (URLs) — the id type rides
+    # through inventory, join, and fold unchanged
+    import ray.data as rd
+
+    from raygraph.ops.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": ["u/a", "u/b", "u/c"],
+        "text": ["mine a\nshared footer",
+                 "mine b\nshared footer",
+                 "mine c\nalone"]})
+    out = line_dedup(rd.from_pandas(df), min_df=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc["u/a", "clean_text"] == "mine a"
+    assert out.loc["u/b", "clean_text"] == "mine b"
+    assert out.loc["u/c", "clean_text"] == "mine c\nalone"
