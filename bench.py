@@ -325,6 +325,35 @@ def main() -> None:
 
     timings["quality_prune"] = _timed_min(_quality_prune_run)
 
+    def _line_dedup_run() -> int:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from raygraph.ops.dedup import line_dedup
+
+        def widen(batch: pa.Table) -> pa.Table:
+            # 3 lines/doc, boilerplate footer on every 3rd doc — the
+            # docs_line_dedup corpus shape at bench scale
+            df = batch.to_pandas()
+            ids = df["doc_id"].astype("int64")
+            footer = pd.Series(
+                np.where(ids % 3 == 0, "subscribe to our newsletter",
+                         "unique footer " + ids.astype(str)),
+                index=df.index)
+            df["text"] = df["text"].fillna("") + "\n" + footer \
+                + "\ntail " + ids.astype(str)
+            return pa.Table.from_pandas(df[["doc_id", "text"]],
+                                        preserve_index=False)
+
+        corpus = rd.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"),
+            columns=["doc_id", "text"]).map_batches(
+                widen, batch_format="pyarrow")
+        return line_dedup(corpus, min_df=2).count()
+
+    timings["line_dedup"] = _timed_min(_line_dedup_run)
+
     from raygraph.ops.events import funnel_counts
 
     ev = lambda: rd.read_parquet(  # noqa: E731
