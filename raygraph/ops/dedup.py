@@ -1496,7 +1496,7 @@ def _exact_substr_hits(ds, L: int, text_col: str, id_col: str):
     from raygraph.ops.graph import _repaired
 
     from .relational import (_join_partitions, hash_aggregate,
-                             preagg_sum, shuffle_join)
+                             shuffle_join)
 
     def grams(batch: pa.Table) -> pa.Table:
         # flat-array gram build: no per-doc groupby, no group shifts —
@@ -1921,7 +1921,7 @@ def winnow_dup_pairs(ds, min_shared: int = 3, n: int = 3,
 
     from raygraph.ops.graph import _repaired
 
-    from .relational import hash_aggregate, preagg_sum
+    from .relational import hash_aggregate
     from .text import winnow_fp_rows
 
     nb = num_buckets or 128
@@ -1943,17 +1943,40 @@ def winnow_dup_pairs(ds, min_shared: int = 3, n: int = 3,
             return pd.DataFrame({
                 "id_a": pd.Series([], dtype="int64"),
                 "id_b": pd.Series([], dtype="int64")})
-        df = df.rename(columns={id_col: "doc_id"})
-        outs = [_bucket_pairs(g) for _, g in df.groupby("fp", sort=False)]
+        # vectorized _bucket_pairs: fpd is globally (doc, fp)-distinct
+        # so ids within an fp group are unique — cap on ascending ids,
+        # ONE self-merge builds every within-fp pair (id_a < id_b).
         # NO cross-fp dedup: each fp bucket's pair is one shared
         # fingerprint — the downstream count is the shared-fp count
-        return pd.concat(outs, ignore_index=True)
+        df = df.sort_values(["fp", id_col], kind="mergesort")
+        df = df[df.groupby("fp").cumcount() < BUCKET_PAIR_CAP]
+        m = df.merge(df, on="fp", suffixes=("_l", "_r"))
+        m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_l"].to_numpy().astype("int64"),
+            "id_b": m[f"{id_col}_r"].to_numpy().astype("int64")})
 
     pairs = _repaired(
         hash_aggregate(fpd, ["fp"], bucket_pairs_many, num_buckets=nb),
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+    def precount(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["id_a", "id_b"], as_index=False).size()
+        g["shared"] = g.pop("size").astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_shared(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["id_a", "id_b"],
+                          as_index=False)["shared"].sum()
+
+    # pair-keyed count via the int64-bucket hash_aggregate, not a
+    # multi-key Ray groupby().aggregate — same measured win as
+    # containment_pairs
     shared = _repaired(
-        preagg_sum(pairs, ["id_a", "id_b"], {}, counts="shared"),
+        hash_aggregate(
+            pairs.map_batches(precount, batch_format="pyarrow"),
+            ["id_a", "id_b"], sum_shared, num_buckets=nb),
         pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                    ("shared", pa.int64())]))
 
