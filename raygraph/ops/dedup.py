@@ -946,15 +946,24 @@ def jaccard_threshold_pairs(ds, threshold_bp: int = 8000,
         })
 
     def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized _bucket_pairs: (token, id) rows repeat across
+        # batches, so distinct FIRST (cap must count distinct ids),
+        # then cap on ascending ids and ONE self-merge per reduce call
+        # instead of a Python loop per token group
+        df = df.drop_duplicates(["token", id_col])
         sizes = df.groupby("token")[id_col].transform("size")
         df = df[sizes >= 2]
         if df.empty:
             dt = df[id_col].dtype
             return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
                                  "id_b": pd.Series([], dtype=dt)})
-        outs = [_bucket_pairs(g.rename(columns={id_col: "doc_id"}))
-                for _, g in df.groupby("token", sort=False)]
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        df = df.sort_values(["token", id_col], kind="mergesort")
+        df = df[df.groupby("token").cumcount() < BUCKET_PAIR_CAP]
+        m = df.merge(df, on="token", suffixes=("_l", "_r"))
+        m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_l"].to_numpy(),
+            "id_b": m[f"{id_col}_r"].to_numpy()}).drop_duplicates()
 
     nb = num_buckets or 128
     pairs = hash_aggregate(
