@@ -458,20 +458,23 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pass over ALL band buckets hashed to this task:
         # singleton buckets (the overwhelming majority) drop in one
-        # transform("size") filter; per-group Python runs only for the
-        # few genuinely colliding buckets
-        sizes = df.groupby(["band_id", "band_hash"])["doc_id"] \
-            .transform("size")
+        # transform("size") filter; the survivors pair via a capped
+        # self-merge — no per-group Python even for colliding buckets
+        keys = ["band_id", "band_hash"]
+        df = df.drop_duplicates(keys + ["doc_id"])
+        sizes = df.groupby(keys)["doc_id"].transform("size")
         df = df[sizes >= 2]
         if df.empty:
             dt = df["doc_id"].dtype  # keep the id type even when empty
             return pd.DataFrame({"id_a": pd.Series([], dtype=dt),
                                  "id_b": pd.Series([], dtype=dt)})
-        outs = [
-            _bucket_pairs(g)
-            for _, g in df.groupby(["band_id", "band_hash"], sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        df = df.sort_values(keys + ["doc_id"], kind="mergesort")
+        df = df[df.groupby(keys).cumcount() < BUCKET_PAIR_CAP]
+        m = df.merge(df, on=keys, suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"] < m["doc_id_r"]]
+        return pd.DataFrame({
+            "id_a": m["doc_id_l"].to_numpy(),
+            "id_b": m["doc_id_r"].to_numpy()}).drop_duplicates()
 
     nb = num_buckets or 128
     pairs = hash_aggregate(
