@@ -420,10 +420,15 @@ def lsh_num_buckets(n_rows: int | None, bands: int = 16) -> int:
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket. The cap guards a degenerate
-    bucket from emitting O(n^2) pairs — an explicit coverage bound: docs
-    beyond it in a single bucket are not paired (raise BUCKET_PAIR_CAP or
-    the band width if that happens on real data).
+    """Candidate pairs within one LSH bucket — the executable
+    SPECIFICATION of the BUCKET_PAIR_CAP contract. The hot paths
+    (minhash / winnow / jaccard / containment bucket reduces) run a
+    vectorized capped self-merge that must emit exactly this pair set
+    per bucket; a property pytest pins the equivalence. The cap guards
+    a degenerate bucket from emitting O(n^2) pairs — an explicit
+    coverage bound: docs beyond it in a single bucket are not paired
+    (raise BUCKET_PAIR_CAP or the band width if that happens on real
+    data).
 
     Outputs are typed like the input id column even when EMPTY (a
     single-id bucket): an untyped empty frame would become a null-typed

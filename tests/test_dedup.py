@@ -756,3 +756,35 @@ def test_line_dedup_string_ids(ray_session):
     assert out.loc["u/a", "clean_text"] == "mine a"
     assert out.loc["u/b", "clean_text"] == "mine b"
     assert out.loc["u/c", "clean_text"] == "mine c\nalone"
+
+
+def test_vectorized_pairing_matches_bucket_pairs_spec():
+    # the capped self-merge used in the bucket reduces must emit
+    # exactly the _bucket_pairs specification, bucket by bucket —
+    # including above-cap truncation on ascending ids
+    import numpy as np
+
+    import raygraph.ops.dedup as D
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "key": rng.integers(0, 12, 400),
+        "doc_id": rng.integers(0, 40, 400).astype("int64")})
+    old_cap = D.BUCKET_PAIR_CAP
+    D.BUCKET_PAIR_CAP = 5  # force truncation on some buckets
+    try:
+        ref = pd.concat(
+            [D._bucket_pairs(g) for _, g in df.groupby("key")],
+            ignore_index=True).drop_duplicates()
+        v = df.drop_duplicates(["key", "doc_id"]) \
+            .sort_values(["key", "doc_id"], kind="mergesort")
+        v = v[v.groupby("key").cumcount() < D.BUCKET_PAIR_CAP]
+        m = v.merge(v, on="key", suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"] < m["doc_id_r"]]
+        got = pd.DataFrame({
+            "id_a": m["doc_id_l"].to_numpy(),
+            "id_b": m["doc_id_r"].to_numpy()}).drop_duplicates()
+    finally:
+        D.BUCKET_PAIR_CAP = old_cap
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].values))  # noqa: E731
+    assert key(ref) == key(got)
