@@ -4517,6 +4517,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             widen, batch_format="pyarrow")
         return line_dedup(corpus, min_df=2)
 
+    def docs_incremental_dedup(sf_dir):
+        # cross-epoch exact dedup against a PERSISTED hash index (the
+        # daily-crawl-increment pattern): epoch 0 = even doc_ids build
+        # the index, epoch 1 = odd doc_ids dedup within themselves AND
+        # against it without rescanning the base. Fresh index dir per
+        # call — deterministic, no cache-sentinel hazards.
+        import shutil
+        import tempfile
+
+        from raygraph.ops.dedup import exact_dedup_incremental
+
+        ds = _docs_ds(sf_dir)
+
+        def half(parity):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id")
+                return batch.filter(pc.equal(
+                    pc.bit_wise_and(ids, 1), parity))
+            return fn
+
+        idx = tempfile.mkdtemp(prefix="raygraph_incdedup_")
+        try:
+            exact_dedup_incremental(
+                ds.map_batches(half(0), batch_format="pyarrow"), idx)
+            surv, _ = exact_dedup_incremental(
+                ds.map_batches(half(1), batch_format="pyarrow"), idx)
+            return surv.to_pandas()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9407,6 +9437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "docs_containment_pairs": docs_containment_pairs,
         "docs_line_dedup": docs_line_dedup,
+        "docs_incremental_dedup": docs_incremental_dedup,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "docs_dedup_safe_split": docs_dedup_safe_split,
@@ -14689,6 +14720,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = i.id_b
             WHERE greatest((1000000 * i.inter) // sa.ng,
                            (1000000 * i.inter) // sb.ng) >= 800000
+        """,
+        # incremental dedup: odd-id delta deduped within itself (min
+        # doc_id per text) and against the even-id base epoch's
+        # distinct-text index
+        "docs_incremental_dedup": """
+            WITH w AS (
+              SELECT min(doc_id) AS doc_id, text FROM documents
+              WHERE doc_id % 2 = 1 GROUP BY text
+            )
+            SELECT doc_id, text FROM w
+            WHERE text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 2 = 0)
         """,
         # CCNet line dedup: 3-line corpus (text / footer / tail with
         # shared-boilerplate variants), normalized key = strip(' \t\r')

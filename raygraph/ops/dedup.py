@@ -445,6 +445,77 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "id_b": pd.Series(out_b, dtype=dt)})
 
 
+def exact_dedup_incremental(delta, index_dir: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """Cross-EPOCH exact dedup — the daily-crawl-increment pattern: a
+    delta corpus is deduped within itself (:func:`exact_dedup`, min-id
+    representative) and against a PERSISTED content-hash index, then
+    the survivors' hashes are committed as a new index epoch. The base
+    corpus is never rescanned: at 100 TB the index is one 40-byte hash
+    per unique document, and each increment touches only delta-sized
+    data plus one hash-keyed anti-join against the index Dataset
+    (shuffled, never broadcast — the index outgrows a worker long
+    before the corpus does).
+
+    Index layout: ``<index_dir>/epoch-NNNNN/`` parquet directories,
+    each holding a single ``content_hash`` string column. Commit is
+    atomic (write to ``_tmp-…``, then ``os.rename``); a crashed run
+    leaves only a ``_tmp-`` dir that later runs ignore, and re-running
+    the same delta converges (every hash already known → empty epoch).
+
+    Returns ``(survivors, epoch)``: the surviving delta rows
+    (id, text — other columns are not carried) and the committed
+    epoch number. Reference analog: resumable shard checkpoints,
+    arangors-graph-exporter src/graph_loader.rs:193-206.
+    """
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import cogroup_join, dataset_arrow_schema
+
+    surv = _repaired(exact_dedup(delta, text_col, id_col),
+                     pa.schema([(id_col, dataset_arrow_schema(delta)
+                                 .field(id_col).type),
+                                (text_col, pa.string())]))
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        return add_content_hash(batch, text_col)
+
+    sh = surv.map_batches(with_hash, batch_format="pyarrow")
+
+    os.makedirs(index_dir, exist_ok=True)
+    epochs = sorted(e for e in os.listdir(index_dir)
+                    if e.startswith("epoch-"))
+    if epochs:
+        # list FILES explicitly: read_parquet expands a single dir
+        # path but not directories inside a list argument
+        files = [os.path.join(index_dir, e, f)
+                 for e in epochs
+                 for f in sorted(os.listdir(os.path.join(index_dir, e)))
+                 if f.endswith(".parquet")]
+        known = rd.read_parquet(files, columns=["content_hash"])
+        sh = cogroup_join(sh, known, on="content_hash",
+                          how="left_anti")
+    sh = sh.materialize()
+
+    epoch = int(epochs[-1].split("-")[1]) + 1 if epochs else 0
+    tmp = os.path.join(index_dir, f"_tmp-{epoch:05d}")
+    final = os.path.join(index_dir, f"epoch-{epoch:05d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # pre-create: a fully-deduped delta writes 0 rows and no dir, but
+    # the epoch must still commit (it records "this delta ran")
+    os.makedirs(tmp, exist_ok=True)
+    sh.select_columns(["content_hash"]).write_parquet(tmp)
+    os.rename(tmp, final)
+
+    return sh.drop_columns(["content_hash"]), epoch
+
+
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                        text_col: str = "text", id_col: str = "doc_id",
                        shingle: str = "char",

@@ -788,3 +788,51 @@ def test_vectorized_pairing_matches_bucket_pairs_spec():
         D.BUCKET_PAIR_CAP = old_cap
     key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].values))  # noqa: E731
     assert key(ref) == key(got)
+
+
+def test_incremental_dedup_epochs(ray_session, tmp_path):
+    # epoch 0 builds the index; epoch 1 drops cross-epoch dupes and
+    # within-delta dupes (min-id representative); re-running the same
+    # delta converges to zero survivors but still commits an epoch
+    import os
+
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup_incremental
+
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    s0, e0 = exact_dedup_incremental(rd.from_pandas(base), idx)
+    assert e0 == 0 and sorted(s0.to_pandas()["doc_id"]) == [1, 2]
+
+    delta = pd.DataFrame({"doc_id": [12, 11, 10],
+                          "text": ["gamma", "gamma", "beta"]})
+    s1, e1 = exact_dedup_incremental(
+        rd.from_pandas(delta).repartition(3), idx)
+    out = s1.to_pandas()
+    assert e1 == 1
+    assert out.to_dict("records") == [{"doc_id": 11, "text": "gamma"}]
+
+    s2, e2 = exact_dedup_incremental(rd.from_pandas(delta), idx)
+    assert e2 == 2 and s2.count() == 0
+    # empty epoch still committed; no _tmp leftovers
+    names = sorted(os.listdir(idx))
+    assert names == ["epoch-00000", "epoch-00001", "epoch-00002"]
+
+
+def test_incremental_dedup_ignores_crashed_tmp(ray_session, tmp_path):
+    # a crashed commit leaves a _tmp- dir; later runs must neither
+    # read it as an epoch nor trip over it
+    import os
+
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup_incremental
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(os.path.join(idx, "_tmp-00000"))
+    base = pd.DataFrame({"doc_id": [5], "text": ["only"]})
+    s0, e0 = exact_dedup_incremental(rd.from_pandas(base), idx)
+    assert e0 == 0 and s0.count() == 1
+    assert sorted(n for n in os.listdir(idx)
+                  if n.startswith("epoch-")) == ["epoch-00000"]
