@@ -152,6 +152,27 @@ def cmd_upsert(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import os
+
+    from . import io as rio
+    from .ops.dedup import exact_dedup_incremental
+
+    delta = rio.read_table(args.input)
+    surv, epoch = exact_dedup_incremental(
+        delta, args.index, text_col=args.text_col, id_col=args.id_col)
+    n = surv.count()
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        surv.write_parquet(args.output)
+    print(json.dumps({"input": args.input, "index": args.index,
+                      "epoch": epoch, "survivors": n,
+                      "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .maintenance import vacuum
 
@@ -451,6 +472,22 @@ def main(argv=None) -> int:
     up.add_argument("--key", required=True)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_upsert)
+
+    dd = sub.add_parser(
+        "dedup", help="incremental exact dedup of a delta corpus "
+                      "against a persisted content-hash index "
+                      "(append-only epochs; the base corpus is never "
+                      "rescanned)")
+    dd.add_argument("--input", required=True,
+                    help="delta corpus parquet dir")
+    dd.add_argument("--index", required=True,
+                    help="hash-index directory (created if absent)")
+    dd.add_argument("--output",
+                    help="write surviving rows here as parquet")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--num-cpus", type=int)
+    dd.set_defaults(fn=cmd_dedup)
 
     vc = sub.add_parser(
         "vacuum", help="GC orphaned deletion sidecars and interrupted-"

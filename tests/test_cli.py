@@ -159,3 +159,28 @@ def test_cli_query_stats_flag(tmp_path, capsys, monkeypatch):
     err = capsys.readouterr().err
     # the Ray Data executor's per-operator report made it to stderr
     assert "Operator" in err or "driver-side" in err
+
+
+def test_cli_dedup_incremental(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import pandas as pd
+    import pyarrow as pa
+
+    d = str(tmp_path)
+    corpus = os.path.join(d, "delta")
+    os.makedirs(corpus)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["a", "a", "b"]}),
+        preserve_index=False), os.path.join(corpus, "t.parquet"))
+    idx = os.path.join(d, "idx")
+    out1 = os.path.join(d, "out1")
+    assert main(["dedup", "--input", corpus, "--index", idx,
+                 "--output", out1]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip())
+    assert rep1["epoch"] == 0 and rep1["survivors"] == 2
+    # same delta again: converges, new epoch still committed
+    assert main(["dedup", "--input", corpus, "--index", idx]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip())
+    assert rep2["epoch"] == 1 and rep2["survivors"] == 0
