@@ -4547,6 +4547,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(idx, ignore_errors=True)
 
+    def docs_minhash_incremental(sf_dir):
+        # cross-epoch NEAR-dup dedup against a persisted LSH band
+        # index: base epoch = even doc_ids; delta = odd doc_ids ∪
+        # copies of every 4th doc (+OFFSET, text known to the index →
+        # dropped by the cross-epoch verify) ∪ copies of doc_id%4==1
+        # (+2·OFFSET, within-delta dups → min-id survivor). On this
+        # corpus verified near-dups are exactly the text-equal pairs
+        # (the dedup_minhash_survivors convention), so the oracle
+        # replays with text equality.
+        import shutil
+        import tempfile
+
+        from raygraph.ops.dedup import minhash_dedup_incremental
+
+        ds = _docs_ds(sf_dir)
+
+        def even(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+
+        def delta_part(mod4, off):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id")
+                keep = batch.filter(
+                    pc.equal(pc.bit_wise_and(ids, 3), mod4))
+                return pa.table({
+                    "doc_id": pc.add(keep.column("doc_id"), off),
+                    "text": keep.column("text")})
+            return fn
+
+        def odd(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
+
+        delta = ds.map_batches(odd, batch_format="pyarrow").union(
+            ds.map_batches(delta_part(0, _OFFSET),
+                           batch_format="pyarrow"),
+            ds.map_batches(delta_part(1, 2 * _OFFSET),
+                           batch_format="pyarrow"))
+
+        # threshold/shingle per the dedup_minhash_survivors convention:
+        # char 5-grams saturate on this small-vocab corpus, word
+        # 5-windows at 0.99 merge only exact copies
+        idx = tempfile.mkdtemp(prefix="raygraph_incmh_")
+        try:
+            minhash_dedup_incremental(
+                ds.map_batches(even, batch_format="pyarrow"), idx,
+                threshold=0.99, bands=8, shingle="word")
+            surv, _ = minhash_dedup_incremental(
+                delta, idx, threshold=0.99, bands=8, shingle="word")
+            return surv.to_pandas()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9438,6 +9492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_pairs": docs_containment_pairs,
         "docs_line_dedup": docs_line_dedup,
         "docs_incremental_dedup": docs_incremental_dedup,
+        "docs_minhash_incremental": docs_minhash_incremental,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "docs_dedup_safe_split": docs_dedup_safe_split,
@@ -14732,6 +14787,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM w
             WHERE text NOT IN (SELECT text FROM documents
                                WHERE doc_id % 2 = 0)
+        """,
+        # incremental minhash: delta = odds ∪ +OFFSET copies of every
+        # 4th doc ∪ +2·OFFSET copies of doc_id%4==1; verified near-dup
+        # == text equality on this corpus, so replay = NOT IN base,
+        # then min-id per text within the delta
+        "docs_minhash_incremental": f"""
+            WITH delta AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + {_OFFSET} AS doc_id, text FROM documents
+              WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + {2 * _OFFSET} AS doc_id, text
+              FROM documents WHERE doc_id % 4 = 1
+            ),
+            after_a AS (
+              SELECT doc_id, text FROM delta
+              WHERE text NOT IN (SELECT text FROM documents
+                                 WHERE doc_id % 2 = 0)
+            ),
+            reps AS (SELECT min(doc_id) AS keep FROM after_a
+                     GROUP BY text)
+            SELECT doc_id, text FROM after_a
+            WHERE doc_id IN (SELECT keep FROM reps)
         """,
         # CCNet line dedup: 3-line corpus (text / footer / tail with
         # shared-boilerplate variants), normalized key = strip(' \t\r')

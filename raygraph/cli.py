@@ -157,11 +157,19 @@ def cmd_dedup(args) -> int:
     import os
 
     from . import io as rio
-    from .ops.dedup import exact_dedup_incremental
+    from .ops.dedup import (exact_dedup_incremental,
+                            minhash_dedup_incremental)
 
     delta = rio.read_table(args.input)
-    surv, epoch = exact_dedup_incremental(
-        delta, args.index, text_col=args.text_col, id_col=args.id_col)
+    if args.near:
+        surv, epoch = minhash_dedup_incremental(
+            delta, args.index, threshold=args.threshold,
+            bands=args.bands, shingle=args.shingle,
+            text_col=args.text_col, id_col=args.id_col)
+    else:
+        surv, epoch = exact_dedup_incremental(
+            delta, args.index, text_col=args.text_col,
+            id_col=args.id_col)
     n = surv.count()
     if args.output:
         os.makedirs(args.output, exist_ok=True)
@@ -486,6 +494,15 @@ def main(argv=None) -> int:
                     help="write surviving rows here as parquet")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--near", action="store_true",
+                    help="NEAR-dup mode: LSH band index + exact "
+                         "shingle-Jaccard verify instead of exact "
+                         "content hashes")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="near mode: Jaccard drop threshold")
+    dd.add_argument("--bands", type=int, default=16)
+    dd.add_argument("--shingle", default="char",
+                    choices=["char", "word"])
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
 

@@ -892,6 +892,173 @@ def minhash_dedup(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def minhash_dedup_incremental(delta, index_dir: str,
+                              threshold: float = 0.8,
+                              num_perm: int = 64, bands: int = 16,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              shingle: str = "char",
+                              num_buckets: int | None = None,
+                              drop_strategy: str = "broadcast"):
+    """Incremental NEAR-dup dedup — the production crawl pattern: a
+    delta corpus is deduped against a PERSISTED LSH band index (and
+    then within itself via :func:`minhash_dedup`) without rescanning
+    the base corpus. Same verify discipline as the batch op: band
+    collision only nominates a (delta doc, index rep) candidate; the
+    drop requires exact shingle-set Jaccard >= ``threshold`` against
+    the rep's text, so banding parameters tune recall, never
+    precision.
+
+    Index layout: ``<index_dir>/epoch-NNNNN/{bands,reps}/`` — ``bands``
+    holds (band_id, band_hash, rep_id) rows, ``reps`` holds
+    (rep_id, text) for the verify join. Epochs are append-only and the
+    commit is atomic (tmp + rename); re-running a delta converges
+    (every doc now collides with its own committed rep at Jaccard 1).
+
+    Scale shape: delta bands join the index bands on the
+    (band_id, band_hash) key — both sides shuffled, nothing broadcast;
+    candidate texts attach via two id-keyed co-group joins (only
+    candidate rows carry text); the verified drop set anti-joins the
+    delta. Per increment the exchanged volume is delta-sized plus the
+    candidate rows, never index-sized. Returns ``(survivors, epoch)``
+    with survivors keeping ALL delta columns.
+    """
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import (cogroup_join, dataset_arrow_schema,
+                             hash_aggregate)
+
+    hasher = MinHasher(num_perm=num_perm, shingle=shingle)
+    id_type = dataset_arrow_schema(delta).field(id_col).type
+    if pa.types.is_integer(id_type):
+        id_type = pa.int64()
+
+    os.makedirs(index_dir, exist_ok=True)
+    epochs = sorted(e for e in os.listdir(index_dir)
+                    if e.startswith("epoch-"))
+
+    def files(sub):
+        out = []
+        for e in epochs:
+            d = os.path.join(index_dir, e, sub)
+            if os.path.isdir(d):
+                out += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")]
+        return out
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return minhash_bands(batch, hasher, bands, text_col, id_col)
+
+    nb = num_buckets or lsh_num_buckets(None, bands)
+    remaining = delta
+    band_files = files("bands")
+    if band_files:
+        idx_bands = rd.read_parquet(band_files)
+        cand = _repaired(
+            hash_aggregate(
+                cogroup_join(
+                    delta.map_batches(band_rows, batch_format="pyarrow"),
+                    idx_bands, on=["band_id", "band_hash"],
+                    how="inner", num_buckets=nb)
+                .map_batches(lambda b: b.select([id_col, "rep_id"]),
+                             batch_format="pyarrow"),
+                [id_col, "rep_id"], lambda df: df.drop_duplicates(),
+                num_buckets=nb),
+            pa.schema([(id_col, id_type), ("rep_id", id_type)]))
+        if cand.count():
+            def dside(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    id_col: batch.column(id_col).cast(id_type),
+                    "__text_d": batch.column(text_col)
+                    .cast(pa.string())})
+
+            j = cogroup_join(cand,
+                             delta.map_batches(dside,
+                                               batch_format="pyarrow"),
+                             on=id_col, num_buckets=nb)
+            rtx = rd.read_parquet(files("reps"))
+
+            def rside(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "rep_id": batch.column("rep_id").cast(id_type),
+                    "__text_r": batch.column("text").cast(pa.string())})
+
+            j = cogroup_join(
+                _repaired(j, pa.schema([
+                    (id_col, id_type), ("rep_id", id_type),
+                    ("__text_d", pa.string())])),
+                rtx.map_batches(rside, batch_format="pyarrow"),
+                on="rep_id", num_buckets=nb)
+
+            drop_schema = pa.schema([(id_col, id_type)])
+
+            def verify(batch: pa.Table) -> pa.Table:
+                if "__text_d" not in batch.schema.names:
+                    return drop_schema.empty_table()
+                td = batch.column("__text_d").to_pylist()
+                tr = batch.column("__text_r").to_pylist()
+                cache: dict = {}
+
+                def sh(t):
+                    t = t or ""
+                    got = cache.get(t)
+                    if got is None:
+                        got = cache[t] = set(
+                            hasher.shingle_hashes(t).tolist())
+                    return got
+
+                keep = [jaccard(sh(a), sh(b)) >= threshold
+                        for a, b in zip(td, tr)]
+                return batch.filter(pa.array(keep, pa.bool_())) \
+                    .select([id_col])
+
+            dropped = _repaired(
+                hash_aggregate(
+                    j.map_batches(verify, batch_format="pyarrow"),
+                    [id_col], lambda df: df.drop_duplicates(),
+                    num_buckets=nb),
+                drop_schema)
+            if dropped.count():
+                remaining = cogroup_join(delta, dropped, on=id_col,
+                                         how="left_anti",
+                                         num_buckets=nb)
+
+    surv = minhash_dedup(remaining, threshold, num_perm, bands,
+                         text_col, id_col, shingle,
+                         num_buckets=num_buckets,
+                         drop_strategy=drop_strategy).materialize()
+
+    epoch = int(epochs[-1].split("-")[1]) + 1 if epochs else 0
+    tmp = os.path.join(index_dir, f"_tmp-{epoch:05d}")
+    final = os.path.join(index_dir, f"epoch-{epoch:05d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "bands"), exist_ok=True)
+    os.makedirs(os.path.join(tmp, "reps"), exist_ok=True)
+    surv.map_batches(band_rows, batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({
+            "band_id": b.column("band_id"),
+            "band_hash": b.column("band_hash"),
+            "rep_id": b.column(id_col).cast(id_type)}),
+            batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp, "bands"))
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "rep_id": batch.column(id_col).cast(id_type),
+            "text": batch.column(text_col).cast(pa.string())})
+
+    surv.map_batches(rep_rows, batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp, "reps"))
+    os.rename(tmp, final)
+
+    return surv, epoch
+
+
 _CLUSTER_PAD = 12  # zero-pad width: lexicographic min == numeric min
 
 

@@ -836,3 +836,43 @@ def test_incremental_dedup_ignores_crashed_tmp(ray_session, tmp_path):
     assert e0 == 0 and s0.count() == 1
     assert sorted(n for n in os.listdir(idx)
                   if n.startswith("epoch-")) == ["epoch-00000"]
+
+
+def test_minhash_incremental_near_dup_epochs(ray_session, tmp_path):
+    # epoch 0 indexes the base; the delta's NEAR-copy of an indexed doc
+    # (one word changed) drops via the cross-epoch verify, within-delta
+    # dups keep the min id, unique docs survive; re-running the same
+    # delta converges to zero (every doc collides with its own rep at
+    # Jaccard 1)
+    import os
+
+    import ray.data as rd
+
+    from raygraph.ops.dedup import minhash_dedup_incremental
+
+    long_a = ("the quick brown fox jumps over the lazy dog tonight "
+              "in the park ") * 4
+    long_b = ("completely different content about ray data pipelines "
+              "and arrow batches ") * 4
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": [1, 2], "text": [long_a, long_b]})
+    s0, e0 = minhash_dedup_incremental(rd.from_pandas(base), idx)
+    assert e0 == 0 and sorted(s0.to_pandas()["doc_id"]) == [1, 2]
+
+    near_a = long_a.replace("tonight", "today", 1)
+    uniq = ("fresh unique text about incremental deduplication "
+            "indexes ") * 4
+    delta = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [near_a, uniq, uniq, "zebra " * 40]})
+    s1, e1 = minhash_dedup_incremental(
+        rd.from_pandas(delta).repartition(2), idx)
+    assert e1 == 1
+    assert sorted(s1.to_pandas()["doc_id"]) == [11, 13]
+
+    s2, e2 = minhash_dedup_incremental(rd.from_pandas(delta), idx)
+    assert e2 == 2 and s2.count() == 0
+    assert sorted(n for n in os.listdir(idx)) == [
+        "epoch-00000", "epoch-00001", "epoch-00002"]
+    # the empty epoch still carries the bands/reps layout
+    assert os.path.isdir(os.path.join(idx, "epoch-00002", "bands"))
