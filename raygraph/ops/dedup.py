@@ -921,7 +921,10 @@ def minhash_dedup_incremental(delta, index_dir: str,
     candidate rows carry text); the verified drop set anti-joins the
     delta. Per increment the exchanged volume is delta-sized plus the
     candidate rows, never index-sized. Returns ``(survivors, epoch)``
-    with survivors keeping ALL delta columns.
+    with survivors keeping ALL delta columns. Reference analogs:
+    bounded co-bucketed comparison (arangors-graph-exporter
+    src/graph_loader.rs:394-462), resumable shard checkpoints
+    (src/graph_loader.rs:193-206).
     """
     import os
     import shutil
