@@ -181,6 +181,16 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_index_compact(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .ops.dedup import compact_dedup_index
+
+    stats = compact_dedup_index(args.index)
+    print(json.dumps({"index": args.index, **stats}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .maintenance import vacuum
 
@@ -505,6 +515,15 @@ def main(argv=None) -> int:
                     choices=["char", "word"])
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
+
+    ic = sub.add_parser(
+        "index-compact", help="merge every epoch of an incremental-"
+                              "dedup index into one (offline "
+                              "maintenance; crash-safe by set "
+                              "semantics)")
+    ic.add_argument("--index", required=True)
+    ic.add_argument("--num-cpus", type=int)
+    ic.set_defaults(fn=cmd_index_compact)
 
     vc = sub.add_parser(
         "vacuum", help="GC orphaned deletion sidecars and interrupted-"

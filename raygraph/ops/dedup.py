@@ -892,6 +892,89 @@ def minhash_dedup(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def compact_dedup_index(index_dir: str) -> dict:
+    """Merge every epoch of an incremental-dedup index into ONE — the
+    offline maintenance pass that keeps epoch counts bounded without
+    touching the ingest path. Handles both layouts: exact
+    (:func:`exact_dedup_incremental`, flat ``content_hash`` files) and
+    near (:func:`minhash_dedup_incremental`, ``bands/`` + ``reps/``).
+
+    Crash-safe BY SET SEMANTICS, not locking: the index is a set — a
+    hash or band row present twice drops the same docs — so the commit
+    order (write compacted tmp → rename it in as the NEXT epoch →
+    delete the originals) leaves every crash window correct, merely
+    uncompacted or temporarily duplicated. Re-running converges to a
+    single epoch.
+    """
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph.ops.graph import _repaired
+
+    from .relational import dataset_arrow_schema, hash_aggregate
+
+    epochs = sorted(e for e in os.listdir(index_dir)
+                    if e.startswith("epoch-"))
+    if len(epochs) <= 1:
+        return {"epochs_in": len(epochs), "compacted": False}
+
+    near = any(os.path.isdir(os.path.join(index_dir, e, "bands"))
+               for e in epochs)
+
+    def files(sub=None):
+        out = []
+        for e in epochs:
+            d = os.path.join(index_dir, e, sub) if sub \
+                else os.path.join(index_dir, e)
+            if os.path.isdir(d):
+                out += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")]
+        return out
+
+    def distinct(ds, keys, schema):
+        return _repaired(
+            hash_aggregate(ds, keys, lambda df: df.drop_duplicates()),
+            schema)
+
+    epoch = int(epochs[-1].split("-")[1]) + 1
+    tmp = os.path.join(index_dir, f"_tmp-{epoch:05d}")
+    final = os.path.join(index_dir, f"epoch-{epoch:05d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if near:
+        bf, rf = files("bands"), files("reps")
+        os.makedirs(os.path.join(tmp, "bands"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "reps"), exist_ok=True)
+        if bf:
+            b = rd.read_parquet(bf)
+            sch = pa.schema([("band_id", pa.int32()),
+                             ("band_hash", pa.int64()),
+                             ("rep_id", dataset_arrow_schema(b)
+                              .field("rep_id").type)])
+            distinct(b, ["band_id", "band_hash", "rep_id"], sch) \
+                .write_parquet(os.path.join(tmp, "bands"))
+        if rf:
+            r = rd.read_parquet(rf)
+            sch = pa.schema([("rep_id", dataset_arrow_schema(r)
+                              .field("rep_id").type),
+                             ("text", pa.string())])
+            distinct(r, ["rep_id"], sch) \
+                .write_parquet(os.path.join(tmp, "reps"))
+    else:
+        hf = files()
+        os.makedirs(tmp, exist_ok=True)
+        if hf:
+            distinct(rd.read_parquet(hf), ["content_hash"],
+                     pa.schema([("content_hash", pa.string())])) \
+                .write_parquet(tmp)
+    os.rename(tmp, final)
+    for e in epochs:
+        shutil.rmtree(os.path.join(index_dir, e), ignore_errors=True)
+    return {"epochs_in": len(epochs), "compacted": True,
+            "epoch": epoch, "layout": "near" if near else "exact"}
+
+
 def minhash_dedup_incremental(delta, index_dir: str,
                               threshold: float = 0.8,
                               num_perm: int = 64, bands: int = 16,

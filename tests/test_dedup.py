@@ -876,3 +876,49 @@ def test_minhash_incremental_near_dup_epochs(ray_session, tmp_path):
         "epoch-00000", "epoch-00001", "epoch-00002"]
     # the empty epoch still carries the bands/reps layout
     assert os.path.isdir(os.path.join(idx, "epoch-00002", "bands"))
+
+
+def test_compact_dedup_index_both_layouts(ray_session, tmp_path):
+    # 3 exact epochs fold to one; the compacted index still drops
+    # known content; near layout keeps bands/ + reps/ and still drops
+    # a near-copy of an indexed doc; single-epoch compact is a no-op
+    import os
+
+    import ray.data as rd
+
+    from raygraph.ops.dedup import (compact_dedup_index,
+                                    exact_dedup_incremental,
+                                    minhash_dedup_incremental)
+
+    idx = str(tmp_path / "exact")
+    for i, texts in enumerate([["a", "b"], ["b", "c"], ["c", "d"]]):
+        exact_dedup_incremental(rd.from_pandas(pd.DataFrame({
+            "doc_id": [i * 10 + 1, i * 10 + 2], "text": texts})), idx)
+    st = compact_dedup_index(idx)
+    assert st["compacted"] and st["layout"] == "exact"
+    assert sorted(os.listdir(idx)) == ["epoch-00003"]
+    s, _ = exact_dedup_incremental(rd.from_pandas(pd.DataFrame({
+        "doc_id": [99], "text": ["d"]})), idx)
+    assert s.count() == 0
+    st2 = compact_dedup_index(idx)
+    # two epochs again (compacted + the empty rerun epoch) fold to one
+    assert st2["compacted"] and sorted(os.listdir(idx)) == [
+        "epoch-00005"]
+    # single-epoch index: compact is a no-op
+    assert compact_dedup_index(idx)["compacted"] is False
+
+    nidx = str(tmp_path / "near")
+    la = "the quick brown fox jumps over the lazy dog tonight " * 4
+    lb = "completely different content about ray data pipelines " * 4
+    minhash_dedup_incremental(rd.from_pandas(pd.DataFrame({
+        "doc_id": [1], "text": [la]})), nidx)
+    minhash_dedup_incremental(rd.from_pandas(pd.DataFrame({
+        "doc_id": [2], "text": [lb]})), nidx)
+    stn = compact_dedup_index(nidx)
+    assert stn["layout"] == "near"
+    assert sorted(os.listdir(nidx)) == ["epoch-00002"]
+    assert os.path.isdir(os.path.join(nidx, "epoch-00002", "bands"))
+    s2, _ = minhash_dedup_incremental(rd.from_pandas(pd.DataFrame({
+        "doc_id": [9], "text": [la.replace("tonight", "today", 1)]})),
+        nidx)
+    assert s2.count() == 0
