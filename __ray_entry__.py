@@ -4601,6 +4601,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(idx, ignore_errors=True)
 
+    def dedup_minhash_grouped(sf_dir):
+        # group-scoped near-dedup (dedup within a language, never
+        # across): corpus = documents ∪ copies(+OFFSET) where even-id
+        # copies keep their lang (in-group dup → dropped) and odd-id
+        # copies get lang||'_x' (cross-group → must survive). The
+        # group is an exact extra LSH bucket key, not a hash fold.
+        import raygraph.ops.dedup as D
+
+        ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang"))
+
+        def copies(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            lang = batch.column("lang").to_pandas()
+            odd = pc.bit_wise_and(ids, 1).to_pandas().astype(bool)
+            lang = lang.where(~odd, lang + "_x")
+            return pa.table({
+                "doc_id": pc.add(ids, _OFFSET),
+                "text": batch.column("text"),
+                "lang": pa.array(lang, pa.string())})
+
+        corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+        return D.minhash_dedup(corpus, threshold=0.99, bands=8,
+                               shingle="word", group_col="lang")
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9493,6 +9517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": docs_line_dedup,
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_minhash_incremental": docs_minhash_incremental,
+        "dedup_minhash_grouped": dedup_minhash_grouped,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "docs_dedup_safe_split": docs_dedup_safe_split,
@@ -14787,6 +14812,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM w
             WHERE text NOT IN (SELECT text FROM documents
                                WHERE doc_id % 2 = 0)
+        """,
+        # group-scoped near-dedup: even-id copies keep lang (in-group
+        # dup, dropped), odd-id copies get lang||'_x' (cross-group,
+        # survive); verified dup == text equality within a group on
+        # this corpus → replay = min-id per (lang, text)
+        "dedup_minhash_grouped": f"""
+            WITH doubled AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET} AS doc_id, text,
+                     CASE WHEN doc_id % 2 = 0 THEN lang
+                          ELSE lang || '_x' END AS lang
+              FROM documents
+            ),
+            reps AS (SELECT min(doc_id) AS keep FROM doubled
+                     GROUP BY lang, text)
+            SELECT doc_id, text, lang FROM doubled
+            WHERE doc_id IN (SELECT keep FROM reps)
         """,
         # incremental minhash: delta = odds ∪ +OFFSET copies of every
         # 4th doc ∪ +2·OFFSET copies of doc_id%4==1; verified near-dup

@@ -376,6 +376,7 @@ def minhash_bands(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> pa.Table:
     """Per-batch: signature → (band_id, band_hash, doc_id) rows.
 
@@ -394,14 +395,18 @@ def minhash_bands(
     for j in range(rows_per_band):
         h = h * C + sigs[:, :, j]
     idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-    return pa.table(
-        {
-            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
-                                pa.int32()),
-            "band_hash": pa.array(h.view(np.int64).ravel(), pa.int64()),
-            "doc_id": ids.take(idx),
-        }
-    )
+    cols = {
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                            pa.int32()),
+        "band_hash": pa.array(h.view(np.int64).ravel(), pa.int64()),
+        "doc_id": ids.take(idx),
+    }
+    if group_col is not None:
+        # group-scoped LSH: the group rides as an EXACT extra bucket
+        # key (never hash-folded), so cross-group docs are never even
+        # candidates
+        cols["grp"] = batch.column(group_col).take(idx)
+    return pa.table(cols)
 
 
 BUCKET_PAIR_CAP = 512  # max ids per LSH bucket considered for pairing
@@ -519,24 +524,32 @@ def exact_dedup_incremental(delta, index_dir: str,
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                        text_col: str = "text", id_col: str = "doc_id",
                        shingle: str = "char",
-                       num_buckets: int | None = None):
+                       num_buckets: int | None = None,
+                       group_col: str | None = None):
     """Corpus Dataset → deduped candidate-pair Dataset (id_a < id_b).
 
     ``bands`` trades recall for bucket size: more bands (narrower rows per
     band) = higher recall for lower-similarity pairs but bigger buckets.
     Pair dedup across bands is a hash-bucketed vectorized distinct — one
     pandas ``drop_duplicates`` per bucket, never a Python call per pair.
+
+    ``group_col`` scopes the dedup: the group value becomes an EXACT
+    extra bucket key, so docs in different groups (languages, crawl
+    snapshots) never pair — the "dedup within a snapshot, never
+    across" curation control.
     """
     from .relational import hash_aggregate
 
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
+    band_keys = ["band_id", "band_hash"] + (
+        ["grp"] if group_col is not None else [])
 
     def bucket_pairs_many(df: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pass over ALL band buckets hashed to this task:
         # singleton buckets (the overwhelming majority) drop in one
         # transform("size") filter; the survivors pair via a capped
         # self-merge — no per-group Python even for colliding buckets
-        keys = ["band_id", "band_hash"]
+        keys = band_keys
         df = df.drop_duplicates(keys + ["doc_id"])
         sizes = df.groupby(keys)["doc_id"].transform("size")
         df = df[sizes >= 2]
@@ -555,10 +568,11 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     nb = num_buckets or 128
     pairs = hash_aggregate(
         ds.map_batches(
-            lambda b: minhash_bands(b, hasher, bands, text_col, id_col),
+            lambda b: minhash_bands(b, hasher, bands, text_col, id_col,
+                                    group_col),
             batch_format="pyarrow",
         ),
-        ["band_id", "band_hash"],
+        band_keys,
         bucket_pairs_many,
         num_buckets=nb,
     )
@@ -712,6 +726,7 @@ def minhash_verified_pairs(
     id_col: str = "doc_id",
     shingle: str = "char",
     num_buckets: int | None = None,
+    group_col: str | None = None,
 ):
     """LSH candidates → exact Jaccard verify, fully in-cluster: candidate
     texts are attached via two hash-partitioned ``Dataset.join``s and
@@ -721,7 +736,8 @@ def minhash_verified_pairs(
     when LSH produced no candidates. Shared front half of
     :func:`minhash_dedup` and :func:`near_dup_clusters`."""
     cand = minhash_candidates(ds, num_perm, bands, text_col, id_col,
-                              shingle=shingle, num_buckets=num_buckets)
+                              shingle=shingle, num_buckets=num_buckets,
+                              group_col=group_col)
     j, id_t = attach_pair_texts(cand, ds, text_col, id_col)
     if j is None:
         return None
@@ -834,6 +850,7 @@ def minhash_dedup(
     num_buckets: int | None = None,
     drop_strategy: str = "broadcast",
     cc_iters: int = 3,
+    group_col: str | None = None,
 ):
     """Full near-dedup: LSH candidates → in-cluster exact Jaccard verify
     (:func:`minhash_verified_pairs`) → duplicate clusters → survivors
@@ -858,7 +875,8 @@ def minhash_dedup(
 
     vp = minhash_verified_pairs(ds, threshold, num_perm, bands,
                                 text_col, id_col, shingle,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                group_col=group_col)
     if vp is None:
         return ds
     if drop_strategy == "distributed":
@@ -1182,7 +1200,8 @@ def near_dup_clusters(
     ids_only = ds.select_columns([id_col])
     vp = minhash_verified_pairs(ds, threshold, num_perm, bands,
                                 text_col, id_col, shingle,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                group_col=group_col)
 
     def self_clusters(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch.column(id_col),

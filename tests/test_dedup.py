@@ -922,3 +922,24 @@ def test_compact_dedup_index_both_layouts(ray_session, tmp_path):
         "doc_id": [9], "text": [la.replace("tonight", "today", 1)]})),
         nidx)
     assert s2.count() == 0
+
+
+def test_minhash_dedup_group_scoped(ray_session):
+    # identical texts dedup within a group but never across groups;
+    # without group_col they all collapse to one
+    import ray.data as rd
+
+    from raygraph.ops.dedup import minhash_dedup
+
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [la, la, la],
+        "lang": ["en", "en", "de"]})
+    grouped = minhash_dedup(rd.from_pandas(df).repartition(2),
+                            threshold=0.99, bands=8, shingle="word",
+                            group_col="lang").to_pandas()
+    assert sorted(grouped["doc_id"]) == [1, 3]
+    plain = minhash_dedup(rd.from_pandas(df), threshold=0.99, bands=8,
+                          shingle="word").to_pandas()
+    assert sorted(plain["doc_id"]) == [1]
