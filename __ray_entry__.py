@@ -4625,6 +4625,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.minhash_dedup(corpus, threshold=0.99, bands=8,
                                shingle="word", group_col="lang")
 
+    def dedup_exact_grouped(sf_dir):
+        # group-scoped exact dedup: same corpus construction as
+        # dedup_minhash_grouped (even-id copies keep lang, odd-id
+        # copies get lang||'_x'); the group folds into the content
+        # hash, so equal texts across groups keep separate reps
+        import raygraph.ops.dedup as D
+
+        ds = _docs_ds(sf_dir, columns=("doc_id", "text", "lang"))
+
+        def copies(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            lang = batch.column("lang").to_pandas()
+            odd = pc.bit_wise_and(ids, 1).to_pandas().astype(bool)
+            lang = lang.where(~odd, lang + "_x")
+            return pa.table({
+                "doc_id": pc.add(ids, _OFFSET),
+                "text": batch.column("text"),
+                "lang": pa.array(lang, pa.string())})
+
+        corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+        return D.exact_dedup(corpus, group_col="lang")
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9518,6 +9540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_minhash_incremental": docs_minhash_incremental,
         "dedup_minhash_grouped": dedup_minhash_grouped,
+        "dedup_exact_grouped": dedup_exact_grouped,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "docs_dedup_safe_split": docs_dedup_safe_split,
@@ -14812,6 +14835,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM w
             WHERE text NOT IN (SELECT text FROM documents
                                WHERE doc_id % 2 = 0)
+        """,
+        # group-scoped exact dedup: min-id per (lang, text), output
+        # (doc_id, text) — the group is a dedup key, not carried
+        "dedup_exact_grouped": f"""
+            WITH doubled AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + {_OFFSET} AS doc_id, text,
+                     CASE WHEN doc_id % 2 = 0 THEN lang
+                          ELSE lang || '_x' END AS lang
+              FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, text FROM doubled
+            GROUP BY lang, text
         """,
         # group-scoped near-dedup: even-id copies keep lang (in-group
         # dup, dropped), odd-id copies get lang||'_x' (cross-group,

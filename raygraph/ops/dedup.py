@@ -37,7 +37,8 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                group_col: str | None = None):
     """Exact dedup: hash-partition on content hash, keep the row with the
     smallest id per group (deterministic representative).
 
@@ -45,11 +46,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     built-in vectorized Min over a ``zero-padded-id \\x1f text`` composite
     (per-group Python over millions of tiny groups is the slow path).
     Integer ids are zero-padded to 20 digits so string Min == numeric min.
+
+    ``group_col`` scopes the dedup (within a language / crawl snapshot,
+    never across): the group value is folded into the content hash, so
+    equal texts in different groups keep separate representatives. The
+    output stays (id, text) — the group is a dedup KEY, not a carried
+    column.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         t = add_content_hash(batch, text_col)
         df = t.to_pandas()
+        if group_col is not None:
+            df["content_hash"] = (
+                df[group_col].astype(str) + "\x1f" + df["content_hash"])
         df = df.sort_values(id_col).drop_duplicates("content_hash", keep="first")
         ids = df[id_col]
         packed = (

@@ -943,3 +943,19 @@ def test_minhash_dedup_group_scoped(ray_session):
     plain = minhash_dedup(rd.from_pandas(df), threshold=0.99, bands=8,
                           shingle="word").to_pandas()
     assert sorted(plain["doc_id"]) == [1]
+
+
+def test_exact_dedup_group_scoped(ray_session):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["same", "same", "same"],
+        "lang": ["en", "en", "de"]})
+    grouped = exact_dedup(rd.from_pandas(df).repartition(2),
+                          group_col="lang").to_pandas()
+    assert sorted(grouped["doc_id"]) == [1, 3]
+    plain = exact_dedup(rd.from_pandas(df)).to_pandas()
+    assert sorted(plain["doc_id"]) == [1]
