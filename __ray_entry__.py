@@ -4647,6 +4647,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = ds.union(ds.map_batches(copies, batch_format="pyarrow"))
         return D.exact_dedup(corpus, group_col="lang")
 
+    def docs_line_dedup_grouped(sf_dir):
+        # per-DOMAIN boilerplate removal: the df count and the drop
+        # are scoped to lang. Corpus: 3 lines per doc — text, a
+        # per-lang shared footer on even ids (drops within its lang),
+        # a rare global banner on doc_id%50==0 (drops only where >= 2
+        # docs of the SAME lang carry it).
+        from raygraph.ops.dedup import line_dedup
+
+        def widen(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            ids = df["doc_id"].astype("int64")
+            sid = ids.astype(str)
+            footer = pd.Series(
+                np.where(ids % 2 == 0, "shared " + df["lang"],
+                         "only " + sid), index=df.index)
+            tail = pd.Series(
+                np.where(ids % 50 == 0, "rare global banner",
+                         "tail " + sid), index=df.index)
+            df["text"] = (df["text"].fillna("") + "\n" + footer
+                          + "\n" + tail)
+            return pa.Table.from_pandas(
+                df[["doc_id", "text", "lang"]], preserve_index=False)
+
+        corpus = _docs_ds(sf_dir, columns=("doc_id", "text", "lang")) \
+            .map_batches(widen, batch_format="pyarrow")
+        return line_dedup(corpus, min_df=2, group_col="lang")
+
     def docs_stump(sf_dir):
         # one CART split (exact-integer Gini): is doc length predictive
         # of lang == 'en'? Exchange = combiner preagg keyed by distinct
@@ -9541,6 +9568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_incremental": docs_minhash_incremental,
         "dedup_minhash_grouped": dedup_minhash_grouped,
         "dedup_exact_grouped": dedup_exact_grouped,
+        "docs_line_dedup_grouped": docs_line_dedup_grouped,
         "docs_dedup_clean": docs_dedup_clean,
         "docs_kfold": docs_kfold,
         "docs_dedup_safe_split": docs_dedup_safe_split,
@@ -14891,6 +14919,53 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY text)
             SELECT doc_id, text FROM after_a
             WHERE doc_id IN (SELECT keep FROM reps)
+        """,
+        # per-domain line dedup: df count and drop scoped to lang
+        "docs_line_dedup_grouped": """
+            WITH corpus AS (
+              SELECT doc_id, lang,
+                     coalesce(text, '') || chr(10)
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN 'shared ' || lang
+                        ELSE 'only ' || doc_id::VARCHAR END
+                     || chr(10)
+                     || CASE WHEN doc_id % 50 = 0
+                             THEN 'rare global banner'
+                        ELSE 'tail ' || doc_id::VARCHAR END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)),
+                                         1) AS idx
+              FROM corpus
+            ),
+            keyed AS (
+              SELECT doc_id, lang, idx, line,
+                     lower(trim(line, ' ' || chr(9) || chr(13))) AS lk
+              FROM lines
+            ),
+            dup AS (
+              SELECT lang, lk FROM keyed WHERE lk <> ''
+              GROUP BY lang, lk HAVING count(DISTINCT doc_id) >= 2
+            ),
+            marked AS (
+              SELECT k.doc_id, k.idx, k.line,
+                     (k.lk <> '' AND EXISTS (
+                         SELECT 1 FROM dup d
+                         WHERE d.lang = k.lang AND d.lk = k.lk))
+                         AS dropped
+              FROM keyed k
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dropped,
+                   coalesce(string_agg(
+                       CASE WHEN NOT dropped THEN line END, chr(10)
+                       ORDER BY idx), '') AS clean_text
+            FROM marked GROUP BY doc_id
         """,
         # CCNet line dedup: 3-line corpus (text / footer / tail with
         # shared-boilerplate variants), normalized key = strip(' \t\r')

@@ -2128,7 +2128,8 @@ def clean_duplicate_ngrams(ds, L: int = 8, text_col: str = "text",
 
 
 def line_dedup(ds, min_df: int = 2, text_col: str = "text",
-               id_col: str = "doc_id", num_buckets: int = 64):
+               id_col: str = "doc_id", num_buckets: int = 64,
+               group_col: str | None = None):
     """Cross-document LINE dedup — the CCNet / RefinedWeb curation
     staple (Wenzek et al. 2020 §3.1): a normalized line (space/tab/CR
     strip + lowercase) that occurs in >= ``min_df`` DISTINCT documents
@@ -2154,7 +2155,10 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
 
     Returns (doc_id, n_lines, n_dropped, clean_text) with clean_text
     the newline-joined surviving ORIGINAL (un-normalized) lines (''
-    when nothing survives). Reference analog: sub-document rewrite
+    when nothing survives). ``group_col`` scopes the df count and the
+    drop to the group (per-DOMAIN boilerplate: a nav bar repeats
+    within its site — a global min_df would also strip legitimate
+    cross-site phrases). Reference analog: sub-document rewrite
     fidelity, arangors-graph-exporter src/graph_loader.rs:394-462
     (bounded co-located comparison, never all-pairs).
     """
@@ -2172,8 +2176,12 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
     if pa.types.is_integer(id_type):
         id_type = pa.int64()
 
-    occ_schema = pa.schema([("lk", pa.string()), ("doc", id_type),
-                            ("idx", pa.int64())])
+    grouped = group_col is not None
+    occ_fields = [("lk", pa.string()), ("doc", id_type),
+                  ("idx", pa.int64())]
+    if grouped:
+        occ_fields.append(("grp", in_schema.field(group_col).type))
+    occ_schema = pa.schema(occ_fields)
 
     def line_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pandas()
@@ -2191,10 +2199,16 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
             - np.repeat(starts, counts)
         lk = pd.Series(flat).str.strip(" \t\r").str.lower()
         keep = (lk != "").to_numpy()
-        return pa.table({
+        cols = {
             "lk": pa.array(lk[keep], pa.string()),
             "doc": pa.array(docs_arr[keep], id_type),
-            "idx": pa.array(idx_all[keep], pa.int64())})
+            "idx": pa.array(idx_all[keep], pa.int64())}
+        if grouped:
+            g = np.repeat(batch.column(group_col).to_pandas()
+                          .to_numpy(), counts)
+            cols["grp"] = pa.array(g[keep],
+                                   occ_schema.field("grp").type)
+        return pa.table(cols)
 
     occ = ds.map_batches(line_rows, batch_format="pyarrow").materialize()
 
@@ -2246,24 +2260,27 @@ def line_dedup(ds, min_df: int = 2, text_col: str = "text",
     if occ.count() == 0:
         return finish(None)
 
+    key_cols = ["grp", "lk"] if grouped else ["lk"]
+
     def pair_partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["lk", "doc"]).to_pandas().drop_duplicates()
+        df = batch.select(key_cols + ["doc"]).to_pandas() \
+            .drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def dup_keys(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df.drop_duplicates().groupby("lk")["doc"].nunique()
-        return pd.DataFrame({"lk": nd.index[nd.to_numpy() >= min_df]})
+        nd = df.drop_duplicates().groupby(key_cols)["doc"].nunique()
+        return nd.index[nd.to_numpy() >= min_df].to_frame(index=False)
 
     dupset = _repaired(
         hash_aggregate(occ.map_batches(pair_partial,
                                        batch_format="pyarrow"),
                        ["lk"], dup_keys, num_buckets=num_buckets),
-        pa.schema([("lk", pa.string())]))
+        pa.schema([occ_schema.field(c) for c in key_cols]))
     if dupset.count() == 0:
         return finish(None)
 
     hits = _repaired(
-        shuffle_join(occ, dupset, on="lk", right_on="lk",
+        shuffle_join(occ, dupset, on=key_cols, right_on=key_cols,
                      how="left_semi",
                      num_partitions=_join_partitions(occ.count())),
         occ_schema)

@@ -959,3 +959,26 @@ def test_exact_dedup_group_scoped(ray_session):
     assert sorted(grouped["doc_id"]) == [1, 3]
     plain = exact_dedup(rd.from_pandas(df)).to_pandas()
     assert sorted(plain["doc_id"]) == [1]
+
+
+def test_line_dedup_group_scoped(ray_session):
+    # the df count and the drop are scoped to the group: a footer
+    # shared by two docs of site 'a' drops there but survives in the
+    # single-doc site 'b'; ungrouped it drops everywhere
+    import ray.data as rd
+
+    from raygraph.ops.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["own 1\nshared footer", "own 2\nshared footer",
+                 "own 3\nshared footer"],
+        "site": ["a", "a", "b"]})
+    g = line_dedup(rd.from_pandas(df).repartition(2), min_df=2,
+                   group_col="site").to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(g["clean_text"]) == ["own 1", "own 2",
+                                     "own 3\nshared footer"]
+    u = line_dedup(rd.from_pandas(df), min_df=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(u["clean_text"]) == ["own 1", "own 2", "own 3"]
