@@ -157,6 +157,40 @@ def _line_dedup(ds, min_df: int = 2, num_buckets: int = 64):
     return joined.map_batches(swap, batch_format="pyarrow")
 
 
+def _incremental_dedup(ds, index: str, near: bool = False,
+                       threshold: float = 0.8, bands: int = 16,
+                       shingle: str = "char"):
+    """Dedup the stream against a PERSISTED index (and itself), then
+    commit the survivors' hashes/bands as a new epoch — the curation
+    spec form of the crawl-increment pattern. STATEFUL: each run of a
+    spec containing this stage appends one epoch to ``index`` (that is
+    the point — re-curating the same delta converges to zero new
+    rows). Survivor ids semi-join the stream so every column
+    survives."""
+    from .ops.dedup import (exact_dedup_incremental,
+                            minhash_dedup_incremental)
+    from .ops.relational import cogroup_join
+
+    if near:
+        surv, _ = minhash_dedup_incremental(
+            ds, index, threshold=threshold, bands=bands,
+            shingle=shingle)
+        return surv  # keeps all columns already
+    surv, _ = exact_dedup_incremental(ds, index)
+    if surv.count() == 0:
+        return ds.limit(0)
+
+    def ids(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id"])
+
+    return cogroup_join(ds, surv.map_batches(ids,
+                                             batch_format="pyarrow"),
+                        on="doc_id", how="left_semi")
+
+
+_incremental_dedup.stateful = True
+
+
 def _minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 64,
                    bands: int = 16, shingle: str = "char"):
     from .ops.dedup import minhash_dedup
@@ -201,6 +235,7 @@ STAGES = {
     "c4_filter": _c4_filter,
     "lang_filter": _lang_filter,
     "exact_dedup": _exact_dedup,
+    "incremental_dedup": _incremental_dedup,
     "line_dedup": _line_dedup,
     "minhash_dedup": _minhash_dedup,
     "sample": _sample,
@@ -208,12 +243,18 @@ STAGES = {
 }
 
 
-def compile_spec(ds, spec: list[dict]):
+def compile_spec(ds, spec: list[dict], validate_only: bool = False):
     """Fold a spec onto a Dataset, returning (stage_names, staged) where
     ``staged`` is the list of lazy Datasets AFTER each stage (the last
     one is the pipeline output). Raises InvalidParameterError for an
     unknown stage name or non-dict step — at compile time, before any
-    cluster work runs."""
+    cluster work runs.
+
+    ``validate_only`` checks names and parameter signatures WITHOUT
+    invoking stages — required for STATEFUL stages (incremental_dedup
+    commits an index epoch when called; a validation pass must not)."""
+    import inspect
+
     names, staged = [], []
     for i, step in enumerate(spec):
         if not isinstance(step, dict) or "stage" not in step:
@@ -225,7 +266,11 @@ def compile_spec(ds, spec: list[dict]):
             raise InvalidParameterError(
                 f"unknown stage {name!r}; known: {sorted(STAGES)}")
         try:
-            ds = STAGES[name](ds, **params)
+            if validate_only and getattr(STAGES[name], "stateful",
+                                         False):
+                inspect.signature(STAGES[name]).bind(ds, **params)
+            else:
+                ds = STAGES[name](ds, **params)
         except TypeError as e:
             raise InvalidParameterError(
                 f"bad params for stage {name!r}: {e}") from e
@@ -252,8 +297,9 @@ def run_curation(input_path: str, output_path: str, spec: list[dict],
     report: dict = {"input": input_path, "output": output_path,
                     "mode": mode, "stages": []}
     # validate the whole spec on a throwaway lazy handle first, so a
-    # bad step fails before any cluster work runs
-    compile_spec(ds, spec)
+    # bad step fails before any cluster work runs (validate_only:
+    # stateful stages must not commit an epoch during validation)
+    compile_spec(ds, spec, validate_only=True)
     if mode == "funnel":
         report["rows_in"] = ds.count()
         for step in spec:
@@ -270,8 +316,14 @@ def run_curation(input_path: str, output_path: str, spec: list[dict],
         ds = staged[-1] if staged else ds
     os.makedirs(output_path, exist_ok=True)
     docs_dir = os.path.join(output_path, "docs")
+    # a fully-filtering spec writes ZERO rows — write_parquet then
+    # creates no files at all; the empty docs dir must still exist and
+    # the report read must not be attempted against it
+    os.makedirs(docs_dir, exist_ok=True)
     ds.write_parquet(docs_dir)
-    report["rows_out"] = rio.read_table(docs_dir).count()
+    has_files = any(f.endswith(".parquet") for f in os.listdir(docs_dir))
+    report["rows_out"] = rio.read_table(docs_dir).count() \
+        if has_files else 0
     with open(os.path.join(output_path, "_report.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     return report

@@ -185,3 +185,25 @@ def test_line_dedup_stage_rewrites_text_keeps_columns(ray_session):
     # non-text columns survive the rewrite
     assert list(out["source"]) == ["a", "b", "c"]
     assert list(out["lang"]) == ["en", "de", "fr"]
+
+
+def test_incremental_dedup_stage(ray_session, tmp_path):
+    # first curation run commits the index epoch and keeps all docs;
+    # re-running the same spec on the same corpus drops everything
+    # (the convergence property) while preserving non-text columns
+    import ray.data as rd
+
+    from raygraph.curate import compile_spec
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2], "text": ["alpha", "beta"],
+        "lang": ["en", "de"]})
+    idx = str(tmp_path / "idx")
+    spec = [{"stage": "incremental_dedup", "index": idx}]
+    _, staged = compile_spec(rd.from_pandas(df), spec)
+    out1 = staged[-1].to_pandas().sort_values("doc_id",
+                                              ignore_index=True)
+    assert list(out1["doc_id"]) == [1, 2]
+    assert list(out1["lang"]) == ["en", "de"]
+    _, staged2 = compile_spec(rd.from_pandas(df), spec)
+    assert staged2[-1].count() == 0
