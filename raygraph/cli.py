@@ -298,8 +298,16 @@ def cmd_curate(args) -> int:
 
     with open(args.spec) as fh:
         spec = json.load(fh)
-    report = run_curation(args.input, args.output, spec,
-                          mode="stream" if args.stream else "funnel")
+    if args.partitions:
+        from .curate import run_curation_partitioned
+
+        report = run_curation_partitioned(
+            args.input, args.output, spec,
+            partitions=args.partitions, resume=args.resume)
+    else:
+        report = run_curation(args.input, args.output, spec,
+                              mode="stream" if args.stream
+                              else "funnel")
     print(json.dumps(report))
     ray.shutdown()
     return 0
@@ -581,6 +589,12 @@ def main(argv=None) -> int:
     cu.add_argument("--spec", required=True,
                     help="path to a JSON spec: [{'stage': name, ...}]")
     cu.add_argument("--stream", action="store_true")
+    cu.add_argument("--partitions", type=int,
+                    help="shard-parallel resumable mode: one "
+                         "docs/part-NNNNN dir + manifest per input "
+                         "shard (per-document stages only)")
+    cu.add_argument("--resume", action="store_true",
+                    help="with --partitions: skip manifested units")
     cu.add_argument("--num-cpus", type=int)
     cu.set_defaults(fn=cmd_curate)
 

@@ -279,6 +279,89 @@ def compile_spec(ds, spec: list[dict], validate_only: bool = False):
     return names, staged
 
 
+# stages whose semantics span documents: per-shard execution would
+# silently change results (a dup pair split across shards survives),
+# so the partitioned runner rejects them — global dedup is its own
+# pass (or the incremental_dedup index, which is stream-order exact)
+CROSS_DOC_STAGES = frozenset({
+    "exact_dedup", "line_dedup", "minhash_dedup", "incremental_dedup",
+    "cap_per_group"})
+
+
+def run_curation_partitioned(input_path: str, output_path: str,
+                             spec: list[dict], partitions: int = 8,
+                             resume: bool = False) -> dict:
+    """Shard-parallel RESUMABLE curation for per-document specs: input
+    files split into ``partitions`` units, each unit curated and
+    written to ``docs/part-NNNNN/`` with a manifest committed AFTER the
+    write — a crashed run leaves no manifest for the unfinished unit,
+    and ``resume=True`` skips every manifested unit (the KG pipeline's
+    checkpoint discipline applied to curation). Cross-document stages
+    are REJECTED: per-shard dedup is not global dedup.
+    """
+    import glob as _glob
+    import shutil
+
+    import ray.data as rd
+
+    cross = [s.get("stage") for s in spec if isinstance(s, dict)
+             and s.get("stage") in CROSS_DOC_STAGES]
+    if cross:
+        raise InvalidParameterError(
+            f"stages {cross} are cross-document; partitioned curation "
+            "runs shards independently — run them as a separate global "
+            "pass (or incremental_dedup against a shared index)")
+    files = sorted(
+        f for f in _glob.glob(os.path.join(input_path, "**", "*"),
+                              recursive=True)
+        if f.endswith(".parquet"))
+    if not files:
+        raise InvalidParameterError(f"no parquet under {input_path}")
+    if partitions < 1:
+        raise InvalidParameterError("partitions must be >= 1")
+    n_units = min(partitions, len(files))
+    units = [files[i::n_units] for i in range(n_units)]
+    # validate names/params before any cluster work
+    compile_spec(rd.read_parquet(files[:1]), spec, validate_only=True)
+
+    mdir = os.path.join(output_path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    report: dict = {"input": input_path, "output": output_path,
+                    "mode": "partitioned", "partitions": n_units,
+                    "units": [], "skipped": 0}
+    total = 0
+    for i, unit in enumerate(units):
+        mpath = os.path.join(mdir, f"part-{i:05d}.json")
+        part_dir = os.path.join(output_path, "docs", f"part-{i:05d}")
+        if resume and os.path.exists(mpath):
+            with open(mpath) as fh:
+                rows = json.load(fh)["rows_out"]
+            report["skipped"] += 1
+            report["units"].append({"part": i, "rows_out": rows,
+                                    "skipped": True})
+            total += rows
+            continue
+        shutil.rmtree(part_dir, ignore_errors=True)  # crashed remnants
+        os.makedirs(part_dir, exist_ok=True)
+        _, staged = compile_spec(rd.read_parquet(unit), spec)
+        out = staged[-1] if staged else rd.read_parquet(unit)
+        out.write_parquet(part_dir)
+        rows = sum(
+            __import__("pyarrow.parquet", fromlist=["x"])
+            .read_metadata(os.path.join(part_dir, f)).num_rows
+            for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump({"part": i, "rows_out": rows,
+                       "n_files": len(unit)}, fh)
+        os.rename(mpath + ".tmp", mpath)
+        report["units"].append({"part": i, "rows_out": rows})
+        total += rows
+    report["rows_out"] = total
+    with open(os.path.join(output_path, "_report.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report
+
+
 def run_curation(input_path: str, output_path: str, spec: list[dict],
                  mode: str = "funnel") -> dict:
     """Execute a curation spec end-to-end: read the corpus, fold the

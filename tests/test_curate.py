@@ -207,3 +207,43 @@ def test_incremental_dedup_stage(ray_session, tmp_path):
     assert list(out1["lang"]) == ["en", "de"]
     _, staged2 = compile_spec(rd.from_pandas(df), spec)
     assert staged2[-1].count() == 0
+
+
+def test_partitioned_curation_resume_and_rejection(ray_session, tmp_path):
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+
+    from raygraph.curate import run_curation_partitioned
+    from raygraph.errors import InvalidParameterError
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    for i in range(4):
+        df = pd.DataFrame({
+            "doc_id": range(i * 10, i * 10 + 10),
+            "text": [("word " * 20 if j % 2 == 0 else "tiny")
+                     for j in range(10)]})
+        pq.write_table(_pa.Table.from_pandas(df, preserve_index=False),
+                       _os.path.join(src, f"f{i}.parquet"))
+    out = str(tmp_path / "out")
+    spec = [{"stage": "length_filter", "min_chars": 50}]
+    rep = run_curation_partitioned(src, out, spec, partitions=2)
+    assert rep["rows_out"] == 20 and rep["skipped"] == 0
+    # delete one manifest: resume redoes ONLY that unit
+    _os.remove(_os.path.join(out, "_manifest", "part-00001.json"))
+    rep2 = run_curation_partitioned(src, out, spec, partitions=2,
+                                    resume=True)
+    assert rep2["rows_out"] == 20 and rep2["skipped"] == 1
+    # output readable and complete
+    import duckdb
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/docs/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 20
+    # cross-document stages are rejected up front
+    with pytest.raises(InvalidParameterError):
+        run_curation_partitioned(src, str(tmp_path / "x"),
+                                 [{"stage": "exact_dedup"}],
+                                 partitions=2)
