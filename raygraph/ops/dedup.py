@@ -1186,6 +1186,7 @@ def near_dup_clusters(
     shingle: str = "char",
     cc_iters: int = 3,
     num_buckets: int | None = None,
+    group_col: str | None = None,
 ):
     """Duplicate-CLUSTER assignment: every document gets the min doc id
     of its verified near-dup connected component (singletons map to
