@@ -354,6 +354,48 @@ def main() -> None:
 
     timings["line_dedup"] = _timed_min(_line_dedup_run)
 
+    def _incremental_dedup_run() -> int:
+        # crawl-increment pattern at bench scale: epoch 0 indexes the
+        # even-id half, epoch 1 dedups the odd half (plus exact copies
+        # of every 4th doc, which the index must drop) — fresh index
+        # per rep so reps are identical work
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from raygraph.ops.dedup import exact_dedup_incremental
+
+        def half(parity):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id")
+                return batch.filter(pc.equal(
+                    pc.bit_wise_and(ids, 1), parity))
+            return fn
+
+        def copies(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            keep = batch.filter(pc.equal(pc.bit_wise_and(ids, 3), 0))
+            return pa.table({
+                "doc_id": pc.add(keep.column("doc_id"), 10_000_000),
+                "text": keep.column("text")})
+
+        ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        idx = tempfile.mkdtemp(prefix="raygraph_bench_incidx_")
+        try:
+            exact_dedup_incremental(
+                ds.map_batches(half(0), batch_format="pyarrow"), idx)
+            delta = ds.map_batches(half(1), batch_format="pyarrow") \
+                .union(ds.map_batches(copies, batch_format="pyarrow"))
+            surv, _ = exact_dedup_incremental(delta, idx)
+            return surv.count()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
+    timings["incremental_dedup"] = _timed_min(_incremental_dedup_run)
+
     from raygraph.ops.events import funnel_counts
 
     ev = lambda: rd.read_parquet(  # noqa: E731

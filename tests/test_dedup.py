@@ -982,3 +982,18 @@ def test_line_dedup_group_scoped(ray_session):
     u = line_dedup(rd.from_pandas(df), min_df=2).to_pandas() \
         .set_index("doc_id").sort_index()
     assert list(u["clean_text"]) == ["own 1", "own 2", "own 3"]
+
+
+def test_incremental_dedup_string_ids(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup_incremental
+
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": ["u/a"], "text": ["alpha"]})
+    exact_dedup_incremental(rd.from_pandas(base), idx)
+    delta = pd.DataFrame({"doc_id": ["u/b", "u/c"],
+                          "text": ["alpha", "fresh"]})
+    s, e = exact_dedup_incremental(rd.from_pandas(delta), idx)
+    out = s.to_pandas()
+    assert e == 1 and list(out["doc_id"]) == ["u/c"]
