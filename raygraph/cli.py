@@ -22,6 +22,8 @@ import json
 import logging
 import sys
 
+from .errors import GraphBuildError
+
 
 def _ray_session(num_cpus: int | None):
     import ray
@@ -611,7 +613,17 @@ def main(argv=None) -> int:
     cl.set_defaults(fn=cmd_cluster)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except GraphBuildError as e:
+        # domain errors get ONE clean line, not a Ray-deep traceback;
+        # exit 2 distinguishes them from crashes (validate --strict
+        # reserves 3)
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: not found: {e.filename or e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

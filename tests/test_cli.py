@@ -184,3 +184,16 @@ def test_cli_dedup_incremental(tmp_path, capsys, monkeypatch):
     assert main(["dedup", "--input", corpus, "--index", idx]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip())
     assert rep2["epoch"] == 1 and rep2["survivors"] == 0
+
+
+def test_cli_domain_errors_clean_exit(tmp_path, capsys, monkeypatch):
+    # domain errors exit 2 with ONE clean line, never a traceback
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    rc = main(["build", "--input", str(tmp_path / "corpus"),
+               "--output", str(tmp_path / "kg"), "--partitions", "0"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "InvalidParameterError" in err
+    assert "Traceback" not in err
