@@ -247,3 +247,33 @@ def test_partitioned_curation_resume_and_rejection(ray_session, tmp_path):
         run_curation_partitioned(src, str(tmp_path / "x"),
                                  [{"stage": "exact_dedup"}],
                                  partitions=2)
+
+
+def test_partitioned_matches_unpartitioned(ray_session, tmp_path):
+    # per-document specs must produce the SAME survivor set whether run
+    # as one stream or as independent shards
+    import os as _os
+
+    import duckdb
+    import pyarrow as _pa
+
+    from raygraph.curate import run_curation, run_curation_partitioned
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    for i in range(3):
+        df = pd.DataFrame({
+            "doc_id": range(i * 8, i * 8 + 8),
+            "text": [("quality words repeated here " * 6
+                      if j % 3 else "x") for j in range(8)]})
+        pq.write_table(_pa.Table.from_pandas(df, preserve_index=False),
+                       _os.path.join(src, f"f{i}.parquet"))
+    spec = [{"stage": "length_filter", "min_chars": 30}]
+    run_curation(src, str(tmp_path / "a"), spec, mode="stream")
+    run_curation_partitioned(src, str(tmp_path / "b"), spec,
+                             partitions=3)
+    ga = duckdb.sql(f"select doc_id from read_parquet('{tmp_path}/a/"
+                    "docs/*.parquet') order by 1").df()
+    gb = duckdb.sql(f"select doc_id from read_parquet('{tmp_path}/b/"
+                    "docs/*/*.parquet') order by 1").df()
+    assert ga.equals(gb) and len(ga) == 15
