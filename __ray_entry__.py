@@ -1909,6 +1909,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalars → vectorized per-tile cumsum)
         return T.pack_sequences(_docs_ds(sf_dir), budget=2048, n_tiles=8)
 
+    def docs_prepare_packs(sf_dir):
+        # training-prep composition: seeded epoch shuffle (seed 7,
+        # md5-rank permutation) then sequence packing over the
+        # SHUFFLED order — the order every packed-training pipeline
+        # actually uses (packing the unshuffled corpus correlates
+        # neighboring documents within a context window)
+        from raygraph.ops.relational import cogroup_join, epoch_shuffle
+        from raygraph.ops.text import pack_sequences
+
+        ds = _docs_ds(sf_dir)
+        pos = epoch_shuffle(ds.select_columns(["doc_id"]), seed=7)
+        with_pos = cogroup_join(ds, pos, on="doc_id")
+        return pack_sequences(with_pos, budget=2048,
+                              order_col="position", n_tiles=8)
+
     def text_top_tokens(sf_dir):
         # corpus heavy hitters: vectorized explode (split + pandas
         # explode) → per-batch partial counts → one vocab-bounded
@@ -9325,6 +9340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination_dist": docs_contamination_dist,
         "docs_repetition": docs_repetition,
         "docs_packing": docs_packing,
+        "docs_prepare_packs": docs_prepare_packs,
         "docs_shuffle_rank": docs_shuffle_rank,
         "docs_chunks": docs_chunks,
         "docs_cap_per_lang": docs_cap_per_lang,
@@ -13256,6 +13272,29 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND 1 PRECEDING), 0)::BIGINT AS off
                   FROM c)
+            SELECT doc_id, n_tokens,
+                   (off // 2048)::BIGINT AS pack_id,
+                   (off % 2048)::BIGINT AS offset_in_pack
+            FROM s
+        """,
+        # shuffle-then-pack: position = md5-rank permutation (seed 7),
+        # prefix sums in position order
+        "docs_prepare_packs": _TOKS_CTE + """
+            , c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens
+                    FROM t),
+            p AS (SELECT doc_id,
+                         row_number() OVER (
+                           ORDER BY ('0x' || substr(
+                               md5(7 || ':' || doc_id), 1,
+                               15))::BIGINT, doc_id) - 1 AS position
+                  FROM documents),
+            s AS (SELECT c.doc_id, c.n_tokens,
+                         coalesce(sum(c.n_tokens) OVER (
+                             ORDER BY p.position
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT
+                             AS off
+                  FROM c JOIN p USING (doc_id))
             SELECT doc_id, n_tokens,
                    (off // 2048)::BIGINT AS pack_id,
                    (off % 2048)::BIGINT AS offset_in_pack

@@ -183,6 +183,54 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import os
+
+    from . import io as rio
+    from .curate import compile_spec
+    from .ops.relational import cogroup_join, epoch_shuffle
+    from .ops.text import pack_sequences
+
+    ds = rio.read_table(args.input)
+    if args.spec:
+        with open(args.spec) as fh:
+            spec = json.load(fh)
+        _, staged = compile_spec(ds, spec)
+        ds = staged[-1] if staged else ds
+    pos = epoch_shuffle(ds.select_columns(["doc_id"]), seed=args.seed)
+    with_pos = cogroup_join(ds, pos, on="doc_id")
+    meta = pack_sequences(with_pos, budget=args.seq_len,
+                          order_col="position")
+
+    def texts(batch):
+        import pyarrow as pa
+
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "__text": batch.column("text")})
+
+    full = cogroup_join(meta, ds.map_batches(texts,
+                                             batch_format="pyarrow"),
+                        on="doc_id")
+    os.makedirs(args.output, exist_ok=True)
+    docs_dir = os.path.join(args.output, "docs")
+    full.write_parquet(docs_dir)
+    import duckdb
+
+    st = duckdb.sql(
+        f"SELECT count(*) n, sum(n_tokens) tok, max(pack_id)+1 packs "
+        f"FROM read_parquet('{docs_dir}/*.parquet')").fetchone()
+    report = {"input": args.input, "output": args.output,
+              "seq_len": args.seq_len, "seed": args.seed,
+              "n_docs": int(st[0]), "total_tokens": int(st[1] or 0),
+              "n_packs": int(st[2] or 0)}
+    with open(os.path.join(args.output, "_report.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0
+
+
 def cmd_index_compact(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .ops.dedup import compact_dedup_index
@@ -525,6 +573,23 @@ def main(argv=None) -> int:
                     choices=["char", "word"])
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
+
+    pr = sub.add_parser(
+        "prepare", help="make packed training shards: optional curation "
+                        "spec -> seeded epoch shuffle -> sequence "
+                        "packing in shuffled order; output carries "
+                        "(doc_id, text, n_tokens, pack_id, "
+                        "offset_in_pack)")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--seq-len", type=int, default=2048)
+    pr.add_argument("--seed", type=int, default=0,
+                    help="epoch seed: a different seed is an "
+                         "independent deterministic permutation")
+    pr.add_argument("--spec", help="optional curation spec JSON to "
+                                   "apply before packing")
+    pr.add_argument("--num-cpus", type=int)
+    pr.set_defaults(fn=cmd_prepare)
 
     ic = sub.add_parser(
         "index-compact", help="merge every epoch of an incremental-"

@@ -649,7 +649,15 @@ def pack_sequences(ds, budget: int, order_col: str = "doc_id",
     driver). Output: (id, n_tokens, pack_id, offset_in_pack)."""
     from .relational import ordered_prefix_sum
 
-    counted = ds.map_batches(token_count, batch_format="pyarrow")
+    def counted_fn(batch: pa.Table) -> pa.Table:
+        t = token_count(batch, text_col, id_col)
+        # token_count projects to (id, n_tokens); a non-id order_col
+        # (e.g. an epoch_shuffle position) must ride along row-aligned
+        if order_col != id_col:
+            t = t.append_column(order_col, batch.column(order_col))
+        return t
+
+    counted = ds.map_batches(counted_fn, batch_format="pyarrow")
     scanned = ordered_prefix_sum(counted, order_col, "n_tokens",
                                  n_tiles=n_tiles, out="__off")
 

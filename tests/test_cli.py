@@ -197,3 +197,42 @@ def test_cli_domain_errors_clean_exit(tmp_path, capsys, monkeypatch):
     assert rc == 2
     assert "InvalidParameterError" in err
     assert "Traceback" not in err
+
+
+def test_cli_prepare_shuffled_packing(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    d = str(tmp_path)
+    corpus = os.path.join(d, "docs")
+    os.makedirs(corpus)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["w " * 6] * 6}), preserve_index=False),
+        os.path.join(corpus, "t.parquet"))
+    out = os.path.join(d, "prep")
+    assert main(["prepare", "--input", corpus, "--output", out,
+                 "--seq-len", "10", "--seed", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_docs"] == 6 and rep["total_tokens"] == 36
+    assert rep["n_packs"] == 4  # 6-token docs in 10-token windows
+    got = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/docs/*.parquet') "
+        "where offset_in_pack + n_tokens <= 10").fetchone()[0]
+    # every doc whose window has room fits entirely; assignment is by
+    # FIRST token (pack_sequences contract)
+    assert got >= 4
+    # determinism: same seed reproduces identical assignment
+    out2 = os.path.join(d, "prep2")
+    assert main(["prepare", "--input", corpus, "--output", out2,
+                 "--seq-len", "10", "--seed", "3"]) == 0
+    capsys.readouterr()
+    a = duckdb.sql(f"select * from read_parquet('{out}/docs/*.parquet')"
+                   " order by doc_id").df()
+    b = duckdb.sql(f"select * from read_parquet('{out2}/docs/*.parquet')"
+                   " order by doc_id").df()
+    assert a.equals(b)
