@@ -13,6 +13,8 @@ Rule objects are dicts:
     {"rule": "matches",   "col": c, "pattern": regex}   (full match)
     {"rule": "in_set",    "col": c, "values": [...]}    (broadcast ref)
     {"rule": "unique",    "col": c}                      (global)
+    {"rule": "ref",       "col": c, "ref": <parquet path>,
+                          "ref_col": c2}                 (FK, shuffled)
 
 Scale notes: every rule except ``unique`` folds to one int64 partial
 per (batch, rule) — the exchange is |rules| rows per block. ``unique``
@@ -20,7 +22,12 @@ needs a global distinct: violations = n_rows − n_distinct, computed
 with the pair-exchange discipline of ``relational.distinct_count``
 (per-batch dedup first, so the shuffle carries ≤ distinct-per-batch
 rows). ``in_set`` reference values ride the object store once
-(``ray.put``), never per-batch closure shipping.
+(``ray.put``), never per-batch closure shipping. ``ref`` is the
+referential-integrity (foreign-key) check against ANOTHER TABLE:
+per-batch distinct-value counts are the combiner, then one left_anti
+shuffle join against the ref table's distinct keys — both sides
+stream, so the ref table may be arbitrarily large (nulls count as
+violations, matching ``in_set``; key types must be join-compatible).
 """
 
 from __future__ import annotations
@@ -33,7 +40,8 @@ import pyarrow as pa
 
 from ..errors import InvalidParameterError
 
-_KINDS = ("not_null", "in_range", "matches", "in_set", "unique")
+_KINDS = ("not_null", "in_range", "matches", "in_set", "unique",
+          "ref")
 
 
 def _rule_name(r: dict) -> str:
@@ -62,9 +70,13 @@ def check_rules(ds, rules: list[dict]):
             raise InvalidParameterError("matches needs pattern")
         if r["rule"] == "in_set" and "values" not in r:
             raise InvalidParameterError("in_set needs values")
+        if r["rule"] == "ref" and not {"ref", "ref_col"} <= r.keys():
+            raise InvalidParameterError("ref needs ref and ref_col")
 
-    stream_rules = [r for r in rules if r["rule"] != "unique"]
+    stream_rules = [r for r in rules
+                    if r["rule"] not in ("unique", "ref")]
     unique_rules = [r for r in rules if r["rule"] == "unique"]
+    ref_rules = [r for r in rules if r["rule"] == "ref"]
     set_refs = {
         _rule_name(r): ray.put(frozenset(r["values"]))
         for r in stream_rules if r["rule"] == "in_set"
@@ -128,6 +140,50 @@ def check_rules(ds, rules: list[dict]):
             "rule": [_rule_name(r)],
             "n_violations": np.int64(total - distinct),
         }))
+
+    for r in ref_rules:
+        import ray.data as rd
+
+        from .relational import cogroup_join
+
+        col = r["col"]
+
+        def nullcount(batch: pa.Table, _c=col) -> pa.Table:
+            return pa.table({"n_null": pa.array(
+                [int(batch.to_pandas()[_c].isna().sum())], pa.int64())})
+
+        n_null = int(ds.map_batches(
+            nullcount, batch_format="pyarrow").sum("n_null") or 0)
+
+        def vcounts(batch: pa.Table, _c=col) -> pa.Table:
+            s_ = batch.to_pandas()[_c].dropna()
+            vt = batch.schema.field(_c).type
+            if s_.empty:
+                return pa.table({"v": pa.array([], vt),
+                                 "n": pa.array([], pa.int64())})
+            g = s_.value_counts()
+            return pa.table({
+                "v": pa.array(g.index, vt),
+                "n": pa.array(g.to_numpy().astype("int64"),
+                              pa.int64())})
+
+        nonnull = preagg_sum(
+            ds.map_batches(vcounts, batch_format="pyarrow"),
+            ["v"], {"n": "n"})
+
+        def ref_keys(batch: pa.Table) -> pa.Table:
+            u = batch.to_pandas()[[r["ref_col"]]].drop_duplicates()
+            return pa.table({"v": pa.array(u[r["ref_col"]])})
+
+        refd = hash_aggregate(
+            rd.read_parquet(r["ref"], columns=[r["ref_col"]])
+            .map_batches(ref_keys, batch_format="pyarrow"),
+            ["v"], lambda df: df.drop_duplicates())
+        missing = cogroup_join(nonnull, refd, on="v", how="left_anti")
+        n_missing = int(missing.sum("n") or 0)
+        rows.append(pd.DataFrame({
+            "rule": [_rule_name(r)],
+            "n_violations": np.int64(n_missing + n_null)}))
 
     if not rows:
         return pd.DataFrame({"rule": pd.Series([], dtype=str),

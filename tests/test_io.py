@@ -240,3 +240,37 @@ def test_privacy_audit_rejects_bad_k(ray_session):
     ds = rd.from_items([{"q": 1}])
     with _pytest.raises(InvalidParameterError):
         privacy_audit(ds, ["q"], k=0)
+
+
+def test_check_rules_ref_integrity(ray_session, tmp_path):
+    # FK check against another parquet table: missing values and nulls
+    # are violations; matching values are not
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygraph.ops.validate import check_rules
+    from raygraph.errors import InvalidParameterError
+
+    ref = str(tmp_path / "ref")
+    os.makedirs(ref)
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3]}), preserve_index=False),
+        os.path.join(ref, "r.parquet"))
+    ds = rd.from_pandas(pd.DataFrame({"fk": [1, 1, 2, 9, None]}))
+    got = check_rules(ds, [{"rule": "ref", "col": "fk",
+                            "ref": ref, "ref_col": "k"}])
+    assert got.loc[0, "rule"] == "ref:fk"
+    assert got.loc[0, "n_violations"] == 2  # the 9 and the null
+    # all-valid case
+    ok = check_rules(rd.from_pandas(pd.DataFrame({"fk": [1, 2]})),
+                     [{"rule": "ref", "col": "fk",
+                       "ref": ref, "ref_col": "k"}])
+    assert ok.loc[0, "n_violations"] == 0
+    # param validation fails before cluster work
+    import pytest as _pytest
+    with _pytest.raises(InvalidParameterError):
+        check_rules(ds, [{"rule": "ref", "col": "fk"}])
