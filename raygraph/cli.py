@@ -183,6 +183,21 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from . import io as rio
+    from .ops.relational import dataset_arrow_schema, profile_columns
+
+    ds = rio.read_table(args.input)
+    cols = args.columns.split(",") if args.columns \
+        else dataset_arrow_schema(ds).names
+    df = profile_columns(ds, cols)
+    print(json.dumps({"input": args.input,
+                      "columns": df.to_dict("records")}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_prepare(args) -> int:
     ray = _ray_session(args.num_cpus)
     import os
@@ -573,6 +588,15 @@ def main(argv=None) -> int:
                     choices=["char", "word"])
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
+
+    pf = sub.add_parser(
+        "profile", help="per-column data profile (rows, nulls, exact "
+                        "distinct, min/max) — the ingest audit pass")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--columns", help="comma-separated subset "
+                                      "(default: all)")
+    pf.add_argument("--num-cpus", type=int)
+    pf.set_defaults(fn=cmd_profile)
 
     pr = sub.add_parser(
         "prepare", help="make packed training shards: optional curation "

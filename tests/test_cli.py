@@ -236,3 +236,22 @@ def test_cli_prepare_shuffled_packing(tmp_path, capsys, monkeypatch):
     b = duckdb.sql(f"select * from read_parquet('{out2}/docs/*.parquet')"
                    " order by doc_id").df()
     assert a.equals(b)
+
+
+def test_cli_profile(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import pandas as pd
+    import pyarrow as pa
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "k": [1, 2, 2, None], "s": ["a", "b", "b", "c"]}),
+        preserve_index=False), os.path.join(d, "t.parquet"))
+    assert main(["profile", "--input", d, "--columns", "k,s"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    by = {c["column"]: c for c in rep["columns"]}
+    assert by["k"]["n_null"] == 1 and by["k"]["n_distinct"] == 2
+    assert by["s"]["n_distinct"] == 3 and by["s"]["min_v"] == "a"
