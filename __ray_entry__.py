@@ -7395,6 +7395,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"rule": "unique", "col": "o_orderkey"},
         ])
 
+    def customer_fk_events(sf_dir):
+        # referential-integrity rule against ANOTHER TABLE: which
+        # customers never appear as an events.user_id — the FK audit
+        # where the ref side is a second streamed table, not a
+        # broadcast list
+        from raygraph.ops.validate import check_rules
+
+        cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])
+        return check_rules(cust, [
+            {"rule": "ref", "col": "c_custkey",
+             "ref": os.path.join(sf_dir, "events.parquet"),
+             "ref_col": "user_id"}])
+
     def docs_curate_quality(sf_dir):
         # quality-gate curation: the gopher_filter + c4_filter stages
         # from the declarative registry composed as one fused
@@ -9426,6 +9440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_negatives": embedding_negatives,
         "embedding_negatives_stratified": embedding_negatives_stratified,
         "orders_expectations": orders_expectations,
+        "customer_fk_events": customer_fk_events,
         "customer_privacy_audit": customer_privacy_audit,
         "docs_epoch_shuffle": docs_epoch_shuffle,
         "docs_domain_mixture": docs_domain_mixture,
@@ -11884,6 +11899,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN ndiv < 2 THEN 1 ELSE 0 END)::BIGINT
                      AS n_lowdiv_groups
             FROM g
+        """,
+        "customer_fk_events": """
+            SELECT 'ref:c_custkey' AS rule,
+                   (SELECT count(*) FROM customer
+                    WHERE c_custkey IS NULL OR c_custkey NOT IN
+                      (SELECT user_id FROM events
+                       WHERE user_id IS NOT NULL))::BIGINT
+                       AS n_violations
         """,
         "orders_expectations": """
             SELECT 'in_range:o_totalprice' AS rule,
