@@ -473,6 +473,12 @@ def exact_dedup_incremental(delta, index_dir: str,
     (shuffled, never broadcast — the index outgrows a worker long
     before the corpus does).
 
+    SINGLE-WRITER index: epoch numbering assumes one ingest process at
+    a time — two concurrent commits would race one epoch number, and
+    the loser's ``os.rename`` fails loudly rather than corrupting
+    (same contract as :func:`minhash_dedup_incremental` and
+    :func:`compact_dedup_index`).
+
     Index layout: ``<index_dir>/epoch-NNNNN/`` parquet directories,
     each holding a single ``content_hash`` string column. Commit is
     atomic (write to ``_tmp-…``, then ``os.rename``); a crashed run
