@@ -167,7 +167,8 @@ def cmd_dedup(args) -> int:
         surv, epoch = minhash_dedup_incremental(
             delta, args.index, threshold=args.threshold,
             bands=args.bands, shingle=args.shingle,
-            text_col=args.text_col, id_col=args.id_col)
+            text_col=args.text_col, id_col=args.id_col,
+            verify=args.verify)
     else:
         surv, epoch = exact_dedup_incremental(
             delta, args.index, text_col=args.text_col,
@@ -586,6 +587,11 @@ def main(argv=None) -> int:
     dd.add_argument("--bands", type=int, default=16)
     dd.add_argument("--shingle", default="char",
                     choices=["char", "word"])
+    dd.add_argument("--verify", default="text",
+                    choices=["text", "signature"],
+                    help="near mode: exact shingle-Jaccard against "
+                         "stored rep texts, or the storage-light "
+                         "signature estimate (num_perm int64s per rep)")
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
 

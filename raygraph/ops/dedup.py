@@ -968,8 +968,12 @@ def compact_dedup_index(index_dir: str) -> dict:
         return out
 
     def distinct(ds, keys, schema):
+        # subset= on the keys: signature reps carry a LIST column,
+        # which full-row drop_duplicates cannot hash
         return _repaired(
-            hash_aggregate(ds, keys, lambda df: df.drop_duplicates()),
+            hash_aggregate(
+                ds, keys,
+                lambda df: df.drop_duplicates(subset=keys)),
             schema)
 
     epoch = int(epochs[-1].split("-")[1]) + 1
@@ -990,9 +994,9 @@ def compact_dedup_index(index_dir: str) -> dict:
                 .write_parquet(os.path.join(tmp, "bands"))
         if rf:
             r = rd.read_parquet(rf)
-            sch = pa.schema([("rep_id", dataset_arrow_schema(r)
-                              .field("rep_id").type),
-                             ("text", pa.string())])
+            # reps carry (rep_id, text) in text-verify indexes and
+            # (rep_id, sig) in signature ones — take the schema as-is
+            sch = dataset_arrow_schema(r)
             distinct(r, ["rep_id"], sch) \
                 .write_parquet(os.path.join(tmp, "reps"))
     else:
@@ -1016,7 +1020,8 @@ def minhash_dedup_incremental(delta, index_dir: str,
                               id_col: str = "doc_id",
                               shingle: str = "char",
                               num_buckets: int | None = None,
-                              drop_strategy: str = "broadcast"):
+                              drop_strategy: str = "broadcast",
+                              verify: str = "text"):
     """Incremental NEAR-dup dedup — the production crawl pattern: a
     delta corpus is deduped against a PERSISTED LSH band index (and
     then within itself via :func:`minhash_dedup`) without rescanning
@@ -1043,22 +1048,42 @@ def minhash_dedup_incremental(delta, index_dir: str,
     src/graph_loader.rs:394-462), resumable shard checkpoints
     (src/graph_loader.rs:193-206).
     """
+    import json
     import os
     import shutil
 
     import ray.data as rd
 
     from raygraph.ops.graph import _repaired
+    from raygraph.errors import InvalidParameterError
 
     from .relational import (cogroup_join, dataset_arrow_schema,
                              hash_aggregate)
 
+    if verify not in ("text", "signature"):
+        raise InvalidParameterError("verify must be text|signature")
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
     id_type = dataset_arrow_schema(delta).field(id_col).type
     if pa.types.is_integer(id_type):
         id_type = pa.int64()
 
     os.makedirs(index_dir, exist_ok=True)
+    # the banding/verify parameters are part of the INDEX, not the
+    # call: epochs written under different parameters would silently
+    # stop colliding — pin them on first use, reject mismatches
+    meta_path = os.path.join(index_dir, "_meta.json")
+    meta = {"verify": verify, "num_perm": num_perm, "bands": bands,
+            "shingle": shingle}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            have = json.load(fh)
+        if have != meta:
+            raise InvalidParameterError(
+                f"index {index_dir} was built with {have}, "
+                f"called with {meta}")
+    else:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
     epochs = sorted(e for e in os.listdir(index_dir)
                     if e.startswith("epoch-"))
 
@@ -1091,33 +1116,55 @@ def minhash_dedup_incremental(delta, index_dir: str,
                 num_buckets=nb),
             pa.schema([(id_col, id_type), ("rep_id", id_type)]))
         if cand.count():
-            def dside(batch: pa.Table) -> pa.Table:
-                return pa.table({
-                    id_col: batch.column(id_col).cast(id_type),
-                    "__text_d": batch.column(text_col)
-                    .cast(pa.string())})
+            if verify == "text":
+                def dside(batch: pa.Table) -> pa.Table:
+                    return pa.table({
+                        id_col: batch.column(id_col).cast(id_type),
+                        "__text_d": batch.column(text_col)
+                        .cast(pa.string())})
+
+                def rside(batch: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "rep_id": batch.column("rep_id").cast(id_type),
+                        "__text_r": batch.column("text")
+                        .cast(pa.string())})
+
+                d_field = ("__text_d", pa.string())
+            else:
+                # signature mode: the verify joins carry num_perm
+                # int64s per row instead of the document text — the
+                # storage-light 100-TB path; precision becomes the
+                # minhash ESTIMATE of Jaccard (matching slots /
+                # num_perm), not the exact shingle-set value
+                def dside(batch: pa.Table) -> pa.Table:
+                    texts = batch.column(text_col).to_pylist()
+                    sigs = hasher.signatures(texts).astype("int64")
+                    return pa.table({
+                        id_col: batch.column(id_col).cast(id_type),
+                        "__sig_d": pa.array(list(sigs),
+                                            pa.list_(pa.int64()))})
+
+                def rside(batch: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "rep_id": batch.column("rep_id").cast(id_type),
+                        "__sig_r": batch.column("sig")})
+
+                d_field = ("__sig_d", pa.list_(pa.int64()))
 
             j = cogroup_join(cand,
                              delta.map_batches(dside,
                                                batch_format="pyarrow"),
                              on=id_col, num_buckets=nb)
             rtx = rd.read_parquet(files("reps"))
-
-            def rside(batch: pa.Table) -> pa.Table:
-                return pa.table({
-                    "rep_id": batch.column("rep_id").cast(id_type),
-                    "__text_r": batch.column("text").cast(pa.string())})
-
             j = cogroup_join(
                 _repaired(j, pa.schema([
-                    (id_col, id_type), ("rep_id", id_type),
-                    ("__text_d", pa.string())])),
+                    (id_col, id_type), ("rep_id", id_type), d_field])),
                 rtx.map_batches(rside, batch_format="pyarrow"),
                 on="rep_id", num_buckets=nb)
 
             drop_schema = pa.schema([(id_col, id_type)])
 
-            def verify(batch: pa.Table) -> pa.Table:
+            def verify_text(batch: pa.Table) -> pa.Table:
                 if "__text_d" not in batch.schema.names:
                     return drop_schema.empty_table()
                 td = batch.column("__text_d").to_pylist()
@@ -1137,9 +1184,23 @@ def minhash_dedup_incremental(delta, index_dir: str,
                 return batch.filter(pa.array(keep, pa.bool_())) \
                     .select([id_col])
 
+            def verify_sig(batch: pa.Table) -> pa.Table:
+                if "__sig_d" not in batch.schema.names:
+                    return drop_schema.empty_table()
+                if batch.num_rows == 0:
+                    return drop_schema.empty_table()
+                a = np.vstack(batch.column("__sig_d")
+                              .to_pandas().to_numpy())
+                b = np.vstack(batch.column("__sig_r")
+                              .to_pandas().to_numpy())
+                matches = (a == b).sum(axis=1)
+                keep = matches >= threshold * num_perm
+                return batch.filter(pa.array(keep)).select([id_col])
+
+            vfn = verify_text if verify == "text" else verify_sig
             dropped = _repaired(
                 hash_aggregate(
-                    j.map_batches(verify, batch_format="pyarrow"),
+                    j.map_batches(vfn, batch_format="pyarrow"),
                     [id_col], lambda df: df.drop_duplicates(),
                     num_buckets=nb),
                 drop_schema)
@@ -1167,10 +1228,18 @@ def minhash_dedup_incremental(delta, index_dir: str,
             batch_format="pyarrow") \
         .write_parquet(os.path.join(tmp, "bands"))
 
-    def rep_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "rep_id": batch.column(id_col).cast(id_type),
-            "text": batch.column(text_col).cast(pa.string())})
+    if verify == "text":
+        def rep_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "rep_id": batch.column(id_col).cast(id_type),
+                "text": batch.column(text_col).cast(pa.string())})
+    else:
+        def rep_rows(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            sigs = hasher.signatures(texts).astype("int64")
+            return pa.table({
+                "rep_id": batch.column(id_col).cast(id_type),
+                "sig": pa.array(list(sigs), pa.list_(pa.int64()))})
 
     surv.map_batches(rep_rows, batch_format="pyarrow") \
         .write_parquet(os.path.join(tmp, "reps"))

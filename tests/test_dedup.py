@@ -872,7 +872,8 @@ def test_minhash_incremental_near_dup_epochs(ray_session, tmp_path):
 
     s2, e2 = minhash_dedup_incremental(rd.from_pandas(delta), idx)
     assert e2 == 2 and s2.count() == 0
-    assert sorted(n for n in os.listdir(idx)) == [
+    assert sorted(n for n in os.listdir(idx)
+                  if n.startswith("epoch-")) == [
         "epoch-00000", "epoch-00001", "epoch-00002"]
     # the empty epoch still carries the bands/reps layout
     assert os.path.isdir(os.path.join(idx, "epoch-00002", "bands"))
@@ -916,7 +917,8 @@ def test_compact_dedup_index_both_layouts(ray_session, tmp_path):
         "doc_id": [2], "text": [lb]})), nidx)
     stn = compact_dedup_index(nidx)
     assert stn["layout"] == "near"
-    assert sorted(os.listdir(nidx)) == ["epoch-00002"]
+    assert sorted(n for n in os.listdir(nidx)
+                  if n.startswith("epoch-")) == ["epoch-00002"]
     assert os.path.isdir(os.path.join(nidx, "epoch-00002", "bands"))
     s2, _ = minhash_dedup_incremental(rd.from_pandas(pd.DataFrame({
         "doc_id": [9], "text": [la.replace("tonight", "today", 1)]})),
@@ -997,3 +999,54 @@ def test_incremental_dedup_string_ids(ray_session, tmp_path):
     s, e = exact_dedup_incremental(rd.from_pandas(delta), idx)
     out = s.to_pandas()
     assert e == 1 and list(out["doc_id"]) == ["u/c"]
+
+
+def test_minhash_incremental_signature_mode(ray_session, tmp_path):
+    # storage-light index: reps hold signatures, not texts; exact
+    # copies always drop (identical signatures), a near-copy drops at
+    # the estimate threshold, and mixing verify modes on one index is
+    # rejected via the pinned _meta.json
+    import ray.data as rd
+
+    from raygraph.errors import InvalidParameterError
+    from raygraph.ops.dedup import minhash_dedup_incremental
+
+    la = ("the quick brown fox jumps over the lazy dog tonight "
+          "in the park ") * 4
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": [1], "text": [la]})
+    s0, _ = minhash_dedup_incremental(rd.from_pandas(base), idx,
+                                      verify="signature")
+    assert s0.count() == 1
+    delta = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [la.replace("tonight", "today", 1),
+                 "zebra stripes everywhere " * 10]})
+    s1, _ = minhash_dedup_incremental(rd.from_pandas(delta), idx,
+                                      verify="signature")
+    assert sorted(s1.to_pandas()["doc_id"]) == [11]
+    with pytest.raises(InvalidParameterError):
+        minhash_dedup_incremental(rd.from_pandas(delta), idx,
+                                  verify="text")
+
+
+def test_compact_dedup_index_signature_layout(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from raygraph.ops.dedup import (compact_dedup_index,
+                                    minhash_dedup_incremental)
+
+    la = "the quick brown fox jumps over the lazy dog tonight " * 4
+    idx = str(tmp_path / "idx")
+    for i, t in enumerate([la, "other content entirely here " * 8]):
+        minhash_dedup_incremental(rd.from_pandas(pd.DataFrame({
+            "doc_id": [i], "text": [t]})), idx, verify="signature")
+    st = compact_dedup_index(idx)
+    assert st["compacted"] and st["layout"] == "near"
+    # compacted index still drops a near-copy under signature verify
+    s, _ = minhash_dedup_incremental(rd.from_pandas(pd.DataFrame({
+        "doc_id": [9], "text": [la.replace("tonight", "today", 1)]})),
+        idx, verify="signature")
+    assert s.count() == 0
