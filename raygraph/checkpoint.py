@@ -9,18 +9,18 @@ records one manifest JSON per finished partition with lineage + metrics.
 On resume, completed partitions are skipped at the READ (filter before any
 work) and stale files of incomplete partitions are removed (idempotent
 rewrite — Ray task retries stay safe).
+
+All manifest/partition IO routes through :mod:`raygraph.stateio`, so
+``root`` may be a shared-storage URL on a multi-node cluster; manifest
+writes are single-object-atomic (tmp+replace locally, one PUT
+remotely).
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import shutil
-
 import pandas as pd
-import pyarrow.parquet as pq
 
+from . import stateio
 from .errors import CheckpointError
 
 MANIFEST_DIR = "_manifest"
@@ -38,15 +38,17 @@ def partition_ids(doc_ids: pd.Series, num_partitions: int) -> pd.Series:
 
 
 def _manifest_path(root: str, part_id: int) -> str:
-    return os.path.join(root, MANIFEST_DIR, f"part-{part_id:05d}.json")
+    return stateio.join(root, MANIFEST_DIR, f"part-{part_id:05d}.json")
 
 
 def completed_partitions(root: str) -> set[int]:
+    import json
+
     out: set[int] = set()
-    for f in glob.glob(os.path.join(root, MANIFEST_DIR, "part-*.json")):
+    for f in stateio.glob(stateio.join(root, MANIFEST_DIR,
+                                       "part-*.json")):
         try:
-            with open(f) as fh:
-                m = json.load(fh)
+            m = stateio.read_json(f)
         except (OSError, json.JSONDecodeError) as e:
             raise CheckpointError(f"corrupt manifest {f}: {e}") from e
         if m.get("status") == "done":
@@ -58,32 +60,33 @@ def clean_incomplete(root: str, num_partitions: int) -> list[int]:
     """Remove data of partitions that have files but no 'done' manifest."""
     done = completed_partitions(root)
     removed = []
-    for d in glob.glob(os.path.join(root, "part_id=*")):
+    for d in stateio.glob(stateio.join(root, "part_id=*")):
         pid = int(d.rsplit("=", 1)[1])
         if pid not in done:
-            shutil.rmtree(d)
+            stateio.rmtree(d)
             removed.append(pid)
     return removed
 
 
 def write_partition_manifest(root: str, part_id: int, **metrics) -> None:
-    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
-    path = _manifest_path(root, part_id)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"partition_id": part_id, "status": "done", **metrics}, fh)
-    os.replace(tmp, path)  # atomic: a manifest either exists complete or not
+    stateio.makedirs(stateio.join(root, MANIFEST_DIR))
+    # atomic: a manifest either exists complete or not (tmp+replace
+    # locally, single-object PUT remotely)
+    stateio.write_json_atomic(
+        _manifest_path(root, part_id),
+        {"partition_id": part_id, "status": "done", **metrics})
 
 
 def finalize_partitions(root: str, num_partitions: int) -> dict[int, dict]:
     """After a successful phase write: count rows per partition from parquet
     footers (metadata-only, no data read) and write manifests."""
     stats: dict[int, dict] = {}
-    for d in glob.glob(os.path.join(root, "part_id=*")):
+    for d in stateio.glob(stateio.join(root, "part_id=*")):
         pid = int(d.rsplit("=", 1)[1])
-        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-        rows = sum(pq.read_metadata(f).num_rows for f in files)
-        stats[pid] = {"rows": rows, "files": [os.path.basename(f) for f in files]}
+        files = stateio.data_files(d)
+        rows = sum(stateio.pq_read_metadata(f).num_rows for f in files)
+        stats[pid] = {"rows": rows,
+                      "files": [stateio.basename(f) for f in files]}
         write_partition_manifest(root, pid, rows=rows, num_files=len(files))
     return stats
 
@@ -91,11 +94,13 @@ def finalize_partitions(root: str, num_partitions: int) -> dict[int, dict]:
 def completed_rows(root: str) -> dict[int, int]:
     """Row counts of completed partitions from their manifests
     (metadata-only — no parquet reads)."""
+    import json
+
     out: dict[int, int] = {}
-    for f in glob.glob(os.path.join(root, MANIFEST_DIR, "part-*.json")):
+    for f in stateio.glob(stateio.join(root, MANIFEST_DIR,
+                                       "part-*.json")):
         try:
-            with open(f) as fh:
-                m = json.load(fh)
+            m = stateio.read_json(f)
         except (OSError, json.JSONDecodeError) as e:
             raise CheckpointError(f"corrupt manifest {f}: {e}") from e
         if m.get("status") == "done":
@@ -110,6 +115,6 @@ def completed_files(root: str) -> list[str]:
     done = completed_partitions(root)
     files: list[str] = []
     for pid in sorted(done):
-        files.extend(sorted(glob.glob(
-            os.path.join(root, f"part_id={pid}", "*.parquet"))))
+        files.extend(stateio.data_files(
+            stateio.join(root, f"part_id={pid}")))
     return files

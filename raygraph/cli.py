@@ -168,7 +168,7 @@ def cmd_dedup(args) -> int:
             delta, args.index, threshold=args.threshold,
             bands=args.bands, shingle=args.shingle,
             text_col=args.text_col, id_col=args.id_col,
-            verify=args.verify)
+            verify=args.verify, drop_strategy=args.drop_strategy)
     else:
         surv, epoch = exact_dedup_incremental(
             delta, args.index, text_col=args.text_col,
@@ -214,6 +214,23 @@ def cmd_prepare(args) -> int:
             spec = json.load(fh)
         _, staged = compile_spec(ds, spec)
         ds = staged[-1] if staged else ds
+    # ds fans out THREE ways below (shuffle keys, the pos join, the
+    # text attach) — materialize once so the read+spec doesn't
+    # re-execute per consumer; also surfaces the zero-survivor case
+    ds = ds.materialize()
+    if ds.count() == 0:
+        # a spec that filters every row: emit an honest all-zero
+        # report instead of crashing on an empty shuffle/report glob
+        os.makedirs(args.output, exist_ok=True)
+        report = {"input": args.input, "output": args.output,
+                  "seq_len": args.seq_len, "seed": args.seed,
+                  "n_docs": 0, "total_tokens": 0, "n_packs": 0}
+        with open(os.path.join(args.output, "_report.json"),
+                  "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps(report))
+        ray.shutdown()
+        return 0
     pos = epoch_shuffle(ds.select_columns(["doc_id"]), seed=args.seed)
     with_pos = cogroup_join(ds, pos, on="doc_id")
     meta = pack_sequences(with_pos, budget=args.seq_len,
@@ -231,11 +248,21 @@ def cmd_prepare(args) -> int:
     os.makedirs(args.output, exist_ok=True)
     docs_dir = os.path.join(args.output, "docs")
     full.write_parquet(docs_dir)
-    import duckdb
+    # a spec that filters every row writes NO parquet files — the
+    # report glob would raise; emit an honest all-zero report instead
+    # (mirrors run_curation's has_files guard)
+    has_files = any(f.endswith(".parquet")
+                    for f in os.listdir(docs_dir)) \
+        if os.path.isdir(docs_dir) else False
+    if has_files:
+        import duckdb
 
-    st = duckdb.sql(
-        f"SELECT count(*) n, sum(n_tokens) tok, max(pack_id)+1 packs "
-        f"FROM read_parquet('{docs_dir}/*.parquet')").fetchone()
+        st = duckdb.sql(
+            f"SELECT count(*) n, sum(n_tokens) tok, "
+            f"max(pack_id)+1 packs "
+            f"FROM read_parquet('{docs_dir}/*.parquet')").fetchone()
+    else:
+        st = (0, 0, 0)
     report = {"input": args.input, "output": args.output,
               "seq_len": args.seq_len, "seed": args.seed,
               "n_docs": int(st[0]), "total_tokens": int(st[1] or 0),
@@ -369,7 +396,8 @@ def cmd_curate(args) -> int:
 
         report = run_curation_partitioned(
             args.input, args.output, spec,
-            partitions=args.partitions, resume=args.resume)
+            partitions=args.partitions, resume=args.resume,
+            jobs=args.jobs)
     else:
         report = run_curation(args.input, args.output, spec,
                               mode="stream" if args.stream
@@ -592,6 +620,12 @@ def main(argv=None) -> int:
                     help="near mode: exact shingle-Jaccard against "
                          "stored rep texts, or the storage-light "
                          "signature estimate (num_perm int64s per rep)")
+    dd.add_argument("--drop-strategy", default="auto",
+                    choices=["auto", "broadcast", "distributed"],
+                    help="near mode survivor filter: auto counts the "
+                         "verified pairs in-cluster and switches to "
+                         "the distributed component path past a bound "
+                         "(never a silent driver union-find at scale)")
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
 
@@ -691,7 +725,14 @@ def main(argv=None) -> int:
                          "docs/part-NNNNN dir + manifest per input "
                          "shard (per-document stages only)")
     cu.add_argument("--resume", action="store_true",
-                    help="with --partitions: skip manifested units")
+                    help="with --partitions: skip manifested units "
+                         "whose recorded input-file list and spec "
+                         "hash match the current run (mismatched "
+                         "units are redone, never trusted)")
+    cu.add_argument("--jobs", type=int, default=1,
+                    help="with --partitions: overlap this many units "
+                         "(each still uses the whole cluster; "
+                         "avoids small units serializing)")
     cu.add_argument("--num-cpus", type=int)
     cu.set_defaults(fn=cmd_curate)
 

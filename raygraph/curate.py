@@ -27,6 +27,7 @@ import re
 import pandas as pd
 import pyarrow as pa
 
+from . import stateio
 from .errors import InvalidParameterError
 
 _TAG = re.compile(r"</?[A-Za-z][^>]*>")
@@ -192,11 +193,13 @@ _incremental_dedup.stateful = True
 
 
 def _minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 64,
-                   bands: int = 16, shingle: str = "char"):
+                   bands: int = 16, shingle: str = "char",
+                   drop_strategy: str = "auto"):
     from .ops.dedup import minhash_dedup
 
     return minhash_dedup(ds, threshold=threshold, num_perm=num_perm,
-                         bands=bands, shingle=shingle)
+                         bands=bands, shingle=shingle,
+                         drop_strategy=drop_strategy)
 
 
 def _sample(ds, keep_per_mille: int = 100, id_col: str = "doc_id"):
@@ -288,9 +291,29 @@ CROSS_DOC_STAGES = frozenset({
     "cap_per_group"})
 
 
+def _unit_fingerprint(input_path: str, unit: list[str],
+                      spec: list[dict]) -> tuple[str, str]:
+    """(inputs_sha1, spec_sha1) — what a unit's manifest pins. Unit
+    membership comes from a strided listing, so ANY change to the input
+    file set (or the spec) reshuffles every unit; a resume that trusted
+    bare manifests would silently mix stale outputs with fresh ones
+    (files processed twice or skipped). Paths are recorded relative to
+    ``input_path`` so moving the whole tree doesn't invalidate."""
+    import hashlib
+
+    rel = [stateio.relpath(f, input_path) for f in unit]
+    inputs = hashlib.sha1(
+        json.dumps(rel, sort_keys=True).encode()).hexdigest()
+    spec_h = hashlib.sha1(
+        json.dumps(spec, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    return inputs, spec_h
+
+
 def run_curation_partitioned(input_path: str, output_path: str,
                              spec: list[dict], partitions: int = 8,
-                             resume: bool = False) -> dict:
+                             resume: bool = False,
+                             jobs: int = 1) -> dict:
     """Shard-parallel RESUMABLE curation for per-document specs: input
     files split into ``partitions`` units, each unit curated and
     written to ``docs/part-NNNNN/`` with a manifest committed AFTER the
@@ -298,9 +321,22 @@ def run_curation_partitioned(input_path: str, output_path: str,
     and ``resume=True`` skips every manifested unit (the KG pipeline's
     checkpoint discipline applied to curation). Cross-document stages
     are REJECTED: per-shard dedup is not global dedup.
+
+    Resume is INPUT-PINNED: each manifest records a sha1 of the unit's
+    file list (relative paths) and of the spec; a manifested unit whose
+    recorded inputs or spec differ from the current run is REDONE, not
+    skipped — adding/removing input files reshuffles every strided
+    unit, and a blind skip would mix stale outputs with fresh ones.
+
+    ``jobs > 1`` overlaps that many units: each unit is still one
+    whole-cluster Ray Data pipeline, but small units no longer
+    serialize behind each other (driver-side thread pool; concurrent
+    Dataset executions share the cluster via Ray's own scheduling).
+    Manifests stay one-file-per-unit, so crash/resume semantics are
+    unchanged. On a multi-node cluster the same effect can be had by
+    submitting units as separate Ray jobs against one output dir.
     """
-    import glob as _glob
-    import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     import ray.data as rd
 
@@ -311,54 +347,64 @@ def run_curation_partitioned(input_path: str, output_path: str,
             f"stages {cross} are cross-document; partitioned curation "
             "runs shards independently — run them as a separate global "
             "pass (or incremental_dedup against a shared index)")
-    files = sorted(
-        f for f in _glob.glob(os.path.join(input_path, "**", "*"),
-                              recursive=True)
-        if f.endswith(".parquet"))
+    files = [f for f in stateio.glob(
+        stateio.join(input_path, "**", "*"))
+        if f.endswith(".parquet")]
     if not files:
         raise InvalidParameterError(f"no parquet under {input_path}")
     if partitions < 1:
         raise InvalidParameterError("partitions must be >= 1")
+    if jobs < 1:
+        raise InvalidParameterError("jobs must be >= 1")
     n_units = min(partitions, len(files))
     units = [files[i::n_units] for i in range(n_units)]
     # validate names/params before any cluster work
     compile_spec(rd.read_parquet(files[:1]), spec, validate_only=True)
 
-    mdir = os.path.join(output_path, "_manifest")
-    os.makedirs(mdir, exist_ok=True)
+    mdir = stateio.join(output_path, "_manifest")
+    stateio.makedirs(mdir)
     report: dict = {"input": input_path, "output": output_path,
                     "mode": "partitioned", "partitions": n_units,
                     "units": [], "skipped": 0}
-    total = 0
-    for i, unit in enumerate(units):
-        mpath = os.path.join(mdir, f"part-{i:05d}.json")
-        part_dir = os.path.join(output_path, "docs", f"part-{i:05d}")
-        if resume and os.path.exists(mpath):
-            with open(mpath) as fh:
-                rows = json.load(fh)["rows_out"]
-            report["skipped"] += 1
-            report["units"].append({"part": i, "rows_out": rows,
-                                    "skipped": True})
-            total += rows
-            continue
-        shutil.rmtree(part_dir, ignore_errors=True)  # crashed remnants
-        os.makedirs(part_dir, exist_ok=True)
-        _, staged = compile_spec(rd.read_parquet(unit), spec)
-        out = staged[-1] if staged else rd.read_parquet(unit)
-        out.write_parquet(part_dir)
-        rows = sum(
-            __import__("pyarrow.parquet", fromlist=["x"])
-            .read_metadata(os.path.join(part_dir, f)).num_rows
-            for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        with open(mpath + ".tmp", "w") as fh:
-            json.dump({"part": i, "rows_out": rows,
-                       "n_files": len(unit)}, fh)
-        os.rename(mpath + ".tmp", mpath)
-        report["units"].append({"part": i, "rows_out": rows})
-        total += rows
-    report["rows_out"] = total
-    with open(os.path.join(output_path, "_report.json"), "w") as fh:
-        json.dump(report, fh, indent=1)
+
+    def run_unit(i: int) -> dict:
+        unit = units[i]
+        inputs_h, spec_h = _unit_fingerprint(input_path, unit, spec)
+        mpath = stateio.join(mdir, f"part-{i:05d}.json")
+        part_dir = stateio.join(output_path, "docs",
+                                f"part-{i:05d}")
+        if resume and stateio.exists(mpath):
+            m = stateio.read_json(mpath)
+            if (m.get("inputs_sha1") == inputs_h
+                    and m.get("spec_sha1") == spec_h):
+                return {"part": i, "rows_out": m["rows_out"],
+                        "skipped": True}
+            # stale manifest (inputs or spec changed, or a pre-pinning
+            # manifest with no fingerprint): fall through and redo
+        stateio.rmtree(part_dir)  # crashed remnants
+        stateio.makedirs(part_dir)
+        src_ds = stateio.ray_read_parquet(unit)
+        _, staged = compile_spec(src_ds, spec)
+        out = staged[-1] if staged else src_ds
+        stateio.ray_write_parquet(out, part_dir)
+        rows = sum(stateio.pq_read_metadata(f).num_rows
+                   for f in stateio.data_files(part_dir))
+        stateio.write_json_atomic(
+            mpath, {"part": i, "rows_out": rows,
+                    "n_files": len(unit), "inputs_sha1": inputs_h,
+                    "spec_sha1": spec_h})
+        return {"part": i, "rows_out": rows}
+
+    if jobs == 1:
+        results = [run_unit(i) for i in range(n_units)]
+    else:
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(pool.map(run_unit, range(n_units)))
+    report["units"] = results
+    report["skipped"] = sum(1 for r in results if r.get("skipped"))
+    report["rows_out"] = sum(r["rows_out"] for r in results)
+    stateio.write_json_atomic(
+        stateio.join(output_path, "_report.json"), report, indent=1)
     return report
 
 

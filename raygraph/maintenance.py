@@ -25,15 +25,17 @@ Scale discipline:
   blocks, not an all-to-all — row order within the unit is not
   promised (parquet readers must not rely on it), but row CONTENT is,
   and the row count is verified before the manifest commits.
+* **Shared storage.** All sidecar/manifest/zone-map IO routes through
+  :mod:`raygraph.stateio`, so table paths may be shared-storage URLs
+  on a multi-node cluster; single-file commits are
+  single-object-atomic (tmp+replace locally, one PUT remotely).
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
 import re
-import shutil
+
+from . import stateio
 
 _HIVE_RE = re.compile(r"^[^=/]+=[^=/]*$")
 
@@ -41,15 +43,16 @@ _HIVE_RE = re.compile(r"^[^=/]+=[^=/]*$")
 def _units(input_path: str) -> list[str]:
     """Hive-partition subdirs, or [''] for a flat directory."""
     subs = sorted(
-        d for d in os.listdir(input_path)
-        if os.path.isdir(os.path.join(input_path, d)) and _HIVE_RE.match(d)
+        d for d in stateio.listdir(input_path)
+        if stateio.isdir(stateio.join(input_path, d))
+        and _HIVE_RE.match(d)
     )
     return subs or [""]
 
 
 def _manifest(output_path: str, unit: str) -> str:
     name = (unit or "_flat").replace("/", "_") + ".json"
-    return os.path.join(output_path, "_compact", name)
+    return stateio.join(output_path, "_compact", name)
 
 
 def compact_table(
@@ -65,66 +68,60 @@ def compact_table(
     count does not match its input (the manifest never commits in that
     case, so a re-run with ``resume=True`` redoes exactly that unit).
     """
-    import ray.data
-
-    if not os.path.isdir(input_path):
+    if not stateio.isdir(input_path):
         raise FileNotFoundError(input_path)
     units = _units(input_path)
-    os.makedirs(os.path.join(output_path, "_compact"), exist_ok=True)
+    stateio.makedirs(stateio.join(output_path, "_compact"))
 
     stats = {"units": len(units), "units_skipped": 0, "rows": 0,
              "files_in": 0, "files_out": 0}
     for unit in units:
         man = _manifest(output_path, unit)
-        if resume and os.path.exists(man):
-            with open(man) as fh:
-                m = json.load(fh)
+        if resume and stateio.exists(man):
+            m = stateio.read_json(man)
             stats["units_skipped"] += 1
             stats["rows"] += m["rows"]
             stats["files_in"] += m["files_in"]
             stats["files_out"] += m["files_out"]
             continue
 
-        src = os.path.join(input_path, unit) if unit else input_path
-        dst = os.path.join(output_path, unit) if unit else output_path
-        files_in = [f for f in glob.glob(os.path.join(src, "*.parquet"))]
+        src = stateio.join(input_path, unit) if unit else input_path
+        dst = stateio.join(output_path, unit) if unit else output_path
+        files_in = stateio.glob(stateio.join(src, "*.parquet"))
         if unit == "" and not files_in:
             # flat dir may hold nested non-hive layout ray wrote
-            files_in = sorted(glob.glob(os.path.join(src, "**", "*.parquet"),
-                                        recursive=True))
+            files_in = stateio.glob(
+                stateio.join(src, "**", "*.parquet"))
         if not files_in:
             continue
         # fold deletion vectors in: compacting a table that carries
         # _deletes sidecars MUST apply them (a raw re-read would
         # resurrect deleted rows); the rewritten unit is then clean —
         # no sidecars carry over
-        if os.path.isdir(os.path.join(src, "_deletes")):
+        if stateio.isdir(stateio.join(src, "_deletes")):
             ds = read_with_deletes(src)
         else:
-            ds = ray.data.read_parquet(files_in)
+            ds = stateio.ray_read_parquet(files_in)
         n_rows = ds.count()
         n_files = max(1, -(-n_rows // target_rows_per_file))
         if unit:
-            shutil.rmtree(dst, ignore_errors=True)
-            os.makedirs(dst, exist_ok=True)
+            stateio.rmtree(dst)
+            stateio.makedirs(dst)
         else:
-            for f in glob.glob(os.path.join(dst, "*.parquet")):
-                os.remove(f)
-            os.makedirs(dst, exist_ok=True)
-        ds.repartition(n_files).write_parquet(dst)
+            for f in stateio.glob(stateio.join(dst, "*.parquet")):
+                stateio.remove(f)
+            stateio.makedirs(dst)
+        stateio.ray_write_parquet(ds.repartition(n_files), dst)
 
-        files_out = glob.glob(os.path.join(dst, "*.parquet"))
-        got = ray.data.read_parquet(files_out).count()
+        files_out = stateio.glob(stateio.join(dst, "*.parquet"))
+        got = stateio.ray_read_parquet(files_out).count()
         if got != n_rows:
             raise RuntimeError(
                 f"compaction row mismatch in unit {unit!r}: "
                 f"{n_rows} in, {got} out")
         m = {"unit": unit, "rows": n_rows, "files_in": len(files_in),
              "files_out": len(files_out)}
-        tmp = man + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, man)
+        stateio.write_json_atomic(man, m)
         stats["rows"] += n_rows
         stats["files_in"] += len(files_in)
         stats["files_out"] += len(files_out)
@@ -142,7 +139,6 @@ def build_zone_maps(table_path: str, columns: list[str]) -> str:
     :mod:`raygraph.checkpoint` commit discipline) mapping each file to
     {column: [min, max]} with timestamps serialized as int64 µs.
     Returns the manifest path."""
-    import pyarrow.parquet as pq
 
     def _ser(v):
         import datetime
@@ -156,9 +152,8 @@ def build_zone_maps(table_path: str, columns: list[str]) -> str:
         return v
 
     maps = {}
-    for f in sorted(glob.glob(os.path.join(table_path, "**", "*.parquet"),
-                              recursive=True)):
-        md = pq.ParquetFile(f).metadata
+    for f in stateio.glob(stateio.join(table_path, "**", "*.parquet")):
+        md = stateio.pq_read_metadata(f)
         stats: dict[str, list] = {}
         for rg in range(md.num_row_groups):
             row = md.row_group(rg)
@@ -174,12 +169,9 @@ def build_zone_maps(table_path: str, columns: list[str]) -> str:
                 cur = stats.get(name)
                 stats[name] = [mn, mx] if cur is None else \
                     [min(cur[0], mn), max(cur[1], mx)]
-        maps[os.path.relpath(f, table_path)] = stats
-    out = os.path.join(table_path, "_zonemaps.json")
-    tmp = out + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(maps, fh, indent=1, sort_keys=True)
-    os.replace(tmp, out)
+        maps[stateio.relpath(f, table_path)] = stats
+    out = stateio.join(table_path, "_zonemaps.json")
+    stateio.write_json_atomic(out, maps, indent=1, sort_keys=True)
     return out
 
 
@@ -190,15 +182,15 @@ def prune_files(table_path: str, col: str, lo, hi) -> tuple[list[str],
     recorded stats are conservatively kept). Returns (paths_to_read,
     n_files_skipped) — the read plan a range query hands to
     ``read_parquet`` so skipped files never leave storage."""
-    with open(os.path.join(table_path, "_zonemaps.json")) as fh:
-        maps = json.load(fh)
+    maps = stateio.read_json(stateio.join(table_path,
+                                          "_zonemaps.json"))
     keep, skipped = [], 0
     for rel, stats in maps.items():
         rng = stats.get(col)
         if rng is not None and (rng[1] < lo or rng[0] > hi):
             skipped += 1
             continue
-        keep.append(os.path.join(table_path, rel))
+        keep.append(stateio.join(table_path, rel))
     return keep, skipped
 
 
@@ -224,22 +216,21 @@ def cluster_table(
     ``{"tiles": n, "tiles_skipped": k, "rows": total}``."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data
 
     from raygraph.ops.relational import range_boundaries, range_partition
 
-    if not os.path.exists(input_path):  # file OR directory input
+    if not stateio.exists(input_path):  # file OR directory input
         raise FileNotFoundError(input_path)
-    meta_dir = os.path.join(output_path, "_cluster")
-    os.makedirs(meta_dir, exist_ok=True)
+    meta_dir = stateio.join(output_path, "_cluster")
+    stateio.makedirs(meta_dir)
 
     # same contract as compaction: a table carrying _deletes sidecars
     # is clustered with the masks applied, never resurrected
-    if os.path.isdir(input_path) \
-            and os.path.isdir(os.path.join(input_path, "_deletes")):
+    if stateio.isdir(input_path) \
+            and stateio.isdir(stateio.join(input_path, "_deletes")):
         ds = read_with_deletes(input_path)
     else:
-        ds = ray.data.read_parquet(input_path)
+        ds = stateio.ray_read_parquet(input_path)
 
     # tile on an int64 shadow key (timestamps → epoch µs; strings →
     # order-preserving big-endian 8-byte prefix) so persisted
@@ -259,26 +250,22 @@ def cluster_table(
         return batch.append_column("__ck", key)
 
     keyed = ds.map_batches(with_key, batch_format="pyarrow")
-    bpath = os.path.join(meta_dir, "_bounds.json")
-    if resume and os.path.exists(bpath):
-        with open(bpath) as fh:
-            bounds = json.load(fh)["bounds"]
+    bpath = stateio.join(meta_dir, "_bounds.json")
+    if resume and stateio.exists(bpath):
+        bounds = stateio.read_json(bpath)["bounds"]
     else:
         raw = range_boundaries(keyed, "__ck", n_tiles)
         bounds = [_json_scalar(b) for b in raw]
-        tmp = bpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"col": col, "bounds": bounds}, fh)
-        os.replace(tmp, bpath)
+        stateio.write_json_atomic(bpath, {"col": col,
+                                          "bounds": bounds})
     tiled = range_partition(keyed, "__ck", n_tiles,
                             boundaries=bounds).materialize()
 
     stats = {"tiles": n_tiles, "tiles_skipped": 0, "rows": 0}
     for i in range(n_tiles):
-        man = os.path.join(meta_dir, f"tile_{i}.json")
-        if resume and os.path.exists(man):
-            with open(man) as fh:
-                stats["rows"] += json.load(fh)["rows"]
+        man = stateio.join(meta_dir, f"tile_{i}.json")
+        if resume and stateio.exists(man):
+            stats["rows"] += stateio.read_json(man)["rows"]
             stats["tiles_skipped"] += 1
             continue
 
@@ -287,22 +274,19 @@ def cluster_table(
                                          pa.scalar(_i))) \
                 .drop_columns(["tile", "__ck"])
 
-        dst = os.path.join(output_path, f"tile={i}")
-        shutil.rmtree(dst, ignore_errors=True)
-        os.makedirs(dst, exist_ok=True)
+        dst = stateio.join(output_path, f"tile={i}")
+        stateio.rmtree(dst)
+        stateio.makedirs(dst)
         part = tiled.map_batches(pick, batch_format="pyarrow")
         n_rows = part.count()
         if n_rows:
-            part.write_parquet(dst)
-            got = ray.data.read_parquet(dst).count()
+            stateio.ray_write_parquet(part, dst)
+            got = stateio.ray_read_parquet(dst).count()
             if got != n_rows:
                 raise RuntimeError(
                     f"cluster row mismatch in tile {i}: "
                     f"{n_rows} in, {got} out")
-        tmp = man + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"tile": i, "rows": n_rows}, fh)
-        os.replace(tmp, man)
+        stateio.write_json_atomic(man, {"tile": i, "rows": n_rows})
         stats["rows"] += n_rows
     build_zone_maps(output_path, [col])
     return stats
@@ -345,7 +329,61 @@ def _coerce_like(v, arg: str):
 
 
 def _delete_dir(table_path: str) -> str:
-    return os.path.join(table_path, "_deletes")
+    return stateio.join(table_path, "_deletes")
+
+
+def _encode_positions(pos, n_rows: int) -> dict:
+    """Deletion-vector payload encoding (adaptive, the public
+    Iceberg-v2 / roaring idea at JSON-sidecar grain):
+
+    - sparse (< ~1/64 of rows): plain ``positions`` int list — a
+      5-row delete in a 10^7-row file stays a 100-byte sidecar;
+    - dense: ``bitmap-z`` — the keep/drop bits packed little-endian
+      (``np.packbits``) then zlib'd and base64'd. A delete matching
+      10^7 rows in one file is KBs, not the ~100 MB a JSON int list
+      costs, and merge-on-read stays O(rows/8) vector work instead of
+      a Python set of every position.
+
+    Readers accept both (plus legacy sidecars with no ``encoding``
+    key, which are plain position lists)."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    pos = np.asarray(pos, dtype=np.int64)
+    # crossover: positions cost ~8 JSON chars each, the raw bitmap
+    # n_rows/8 bytes (zlib shrinks it further — this bound is
+    # conservative in the bitmap's favor only for dense deletes)
+    if len(pos) * 8 < max(1, n_rows // 8):
+        return {"encoding": "positions", "n_rows": int(n_rows),
+                "positions": [int(p) for p in pos]}
+    bits = np.zeros(n_rows, dtype=np.uint8)
+    bits[pos] = 1
+    packed = np.packbits(bits, bitorder="little")
+    return {"encoding": "bitmap-z", "n_rows": int(n_rows),
+            "bitmap": base64.b64encode(
+                zlib.compress(packed.tobytes())).decode()}
+
+
+def _apply_sidecar(keep, d: dict) -> None:
+    """Clear ``keep`` (bool array) at the sidecar's deleted positions
+    — vectorized for both encodings, legacy position lists included."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    if d.get("encoding") == "bitmap-z":
+        packed = np.frombuffer(
+            zlib.decompress(base64.b64decode(d["bitmap"])),
+            dtype=np.uint8)
+        bits = np.unpackbits(packed, bitorder="little")[:len(keep)]
+        keep[bits.astype(bool)] = False
+        return
+    p = np.asarray(d["positions"], dtype=np.int64)
+    if len(p):
+        keep[p] = False
 
 
 def delete_where(table_path: str, col: str, op: str, arg: str) -> dict:
@@ -359,46 +397,42 @@ def delete_where(table_path: str, col: str, op: str, arg: str) -> dict:
 
     Per file the work is an independent Ray task (file-per-task, the
     same shard model as the ORC reader); positions index the file's
-    deterministic row order. Returns {files, n_deleted}.
+    deterministic row order, stored via :func:`_encode_positions`
+    (sparse list / zlib'd bitmap). Returns {files, n_deleted}.
     """
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    import ray
 
     if op not in _DELETE_OPS:
         from .errors import InvalidParameterError
 
         raise InvalidParameterError(f"unknown delete op: {op}")
-    files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+    files = stateio.glob(stateio.join(table_path, "*.parquet"))
     if not files:
         from .errors import CollectionNotFoundError
 
         raise CollectionNotFoundError(f"no parquet files in {table_path}")
     ddir = _delete_dir(table_path)
-    os.makedirs(ddir, exist_ok=True)
+    stateio.makedirs(ddir)
     pred = _DELETE_OPS[op]
 
     def mark(batch: pa.Table) -> pa.Table:
+        from raygraph import stateio as sio
+
         outs = []
         for path in batch.column("path").to_pylist():
-            v = pq.read_table(path, columns=[col]).column(col) \
+            v = sio.pq_read_table(path, columns=[col]).column(col) \
                 .to_numpy(zero_copy_only=False)
             pos = np.nonzero(pred(v, arg))[0]
-            base = os.path.basename(path)
+            base = sio.basename(path)
             k = 0
-            while os.path.exists(
-                    os.path.join(ddir, f"{base}.d{k}.json")):
+            while sio.exists(sio.join(ddir, f"{base}.d{k}.json")):
                 k += 1
-            final = os.path.join(ddir, f"{base}.d{k}.json")
-            tmp = final + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"file": base, "epoch": k,
-                           "predicate": {"col": col, "op": op,
-                                         "arg": arg},
-                           "positions": [int(p) for p in pos]}, f)
-            os.replace(tmp, final)
+            sio.write_json_atomic(
+                sio.join(ddir, f"{base}.d{k}.json"),
+                {"file": base, "epoch": k,
+                 "predicate": {"col": col, "op": op, "arg": arg},
+                 **_encode_positions(pos, len(v))})
             outs.append(len(pos))
         return pa.table({"n": pa.array(outs, pa.int64())})
 
@@ -416,14 +450,16 @@ def read_with_deletes(table_path: str,
     loads its stacked deletion vectors (all epochs, positions
     unioned) and masks the deleted rows out before emitting the block
     — the read-path half of :func:`delete_where`. A table with no
-    ``_deletes`` sidecars reads unchanged."""
+    ``_deletes`` sidecars reads unchanged. Stacked epochs union as
+    vectorized mask clears (:func:`_apply_sidecar` — both sidecar
+    encodings plus legacy position lists), never a Python set of
+    positions."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+    files = stateio.glob(stateio.join(table_path, "*.parquet"))
     if not files:
         from .errors import CollectionNotFoundError
 
@@ -431,19 +467,17 @@ def read_with_deletes(table_path: str,
     ddir = _delete_dir(table_path)
 
     def load(batch: pa.Table) -> pa.Table:
+        from raygraph import stateio as sio
+
         tabs = []
         for path in batch.column("path").to_pylist():
-            t = pq.read_table(path, columns=columns)
-            base = os.path.basename(path)
-            dels = sorted(glob.glob(
-                os.path.join(ddir, f"{base}.d*.json")))
+            t = sio.pq_read_table(path, columns=columns)
+            base = sio.basename(path)
+            dels = sio.glob(sio.join(ddir, f"{base}.d*.json"))
             if dels:
-                drop = set()
-                for dpath in dels:
-                    with open(dpath) as f:
-                        drop.update(json.load(f)["positions"])
                 keep = np.ones(t.num_rows, dtype=bool)
-                keep[sorted(drop)] = False
+                for dpath in dels:
+                    _apply_sidecar(keep, sio.read_json(dpath))
                 t = t.filter(pa.array(keep))
             tabs.append(t)
         return pa.concat_tables(tabs)
@@ -464,26 +498,35 @@ def vacuum(table_path: str) -> dict:
     exist). Returns {orphaned_sidecars, tmp_files}."""
     removed_sidecars = removed_tmp = 0
     ddir = _delete_dir(table_path)
-    live = {os.path.basename(f)
-            for f in glob.glob(os.path.join(table_path, "*.parquet"))}
-    if os.path.isdir(ddir):
-        for f in glob.glob(os.path.join(ddir, "*.json")):
-            base = os.path.basename(f).split(".d")[0]
+    live = {stateio.basename(f)
+            for f in stateio.glob(stateio.join(table_path,
+                                               "*.parquet"))}
+    if stateio.isdir(ddir):
+        for f in stateio.glob(stateio.join(ddir, "*.json")):
+            base = stateio.basename(f).split(".d")[0]
             if base not in live:
-                os.remove(f)
+                stateio.remove(f)
                 removed_sidecars += 1
-        if not os.listdir(ddir):
-            os.rmdir(ddir)
+        if not stateio.listdir(ddir):
+            stateio.rmtree(ddir)
     for pat in ("*.tmp", "_deletes/*.tmp", "_compact/*.tmp",
                 "_cluster/*.tmp", "_manifest/*.tmp"):
-        for f in glob.glob(os.path.join(table_path, pat)):
-            os.remove(f)
+        for f in stateio.glob(stateio.join(table_path, pat)):
+            stateio.remove(f)
             removed_tmp += 1
     return {"orphaned_sidecars": removed_sidecars,
             "tmp_files": removed_tmp}
 
 
-def upsert_table(table_path: str, updates, key: str) -> dict:
+# upsert's documented "delta-sized" contract made explicit: the updates
+# key column is ray.put-broadcast to every file task and the rows land
+# as ONE data file, so a table-sized updates input is a design error —
+# reject it loudly instead of letting the driver concat it
+UPSERT_MAX_UPDATE_ROWS = 5_000_000
+
+
+def upsert_table(table_path: str, updates, key: str,
+                 max_update_rows: int | None = None) -> dict:
     """MERGE INTO (upsert) without rewriting data files — the
     merge-on-read write path that completes the deletion-vector
     lakehouse surface (:func:`delete_where` / :func:`read_with_deletes`
@@ -509,22 +552,33 @@ def upsert_table(table_path: str, updates, key: str) -> dict:
     """
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     import ray
     import ray.data as rd
 
-    files = sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+    files = stateio.glob(stateio.join(table_path, "*.parquet"))
     if not files:
         from .errors import CollectionNotFoundError
 
         raise CollectionNotFoundError(f"no parquet files in {table_path}")
     up = updates.materialize() if hasattr(updates, "materialize") \
         else updates
+    bound = UPSERT_MAX_UPDATE_ROWS if max_update_rows is None \
+        else max_update_rows
+    n_up = up.count() if hasattr(up, "iter_batches") else up.num_rows
+    if n_up > bound:
+        from .errors import InvalidParameterError
+
+        raise InvalidParameterError(
+            f"updates has {n_up} rows, past the delta-size bound "
+            f"{bound} — upsert broadcasts the key column and commits "
+            "ONE data file; rewrite table-sized changes with "
+            "delete_where + a partitioned write (or raise "
+            "max_update_rows explicitly)")
     up_tbl = pa.concat_tables(
         [b for b in up.iter_batches(batch_format="pyarrow")]) \
         if hasattr(up, "iter_batches") else up
-    table_schema = pq.read_schema(files[0])
+    table_schema = stateio.pq_read_schema(files[0])
     if set(up_tbl.schema.names) != set(table_schema.names):
         from .errors import InvalidParameterError
 
@@ -550,30 +604,29 @@ def upsert_table(table_path: str, updates, key: str) -> dict:
     key_ref = ray.put(keys)
 
     ddir = _delete_dir(table_path)
-    os.makedirs(ddir, exist_ok=True)
+    stateio.makedirs(ddir)
 
     def mark(batch: pa.Table) -> pa.Table:
+        from raygraph import stateio as sio
+
         ks = ray.get(key_ref)
         outs = []
         for path in batch.column("path").to_pylist():
-            v = pq.read_table(path, columns=[key]).column(key) \
+            v = sio.pq_read_table(path, columns=[key]).column(key) \
                 .to_numpy(zero_copy_only=False)
             pos = np.nonzero(np.isin(v, ks))[0]
-            base = os.path.basename(path)
+            base = sio.basename(path)
             if len(pos):
                 k = 0
-                while os.path.exists(
-                        os.path.join(ddir, f"{base}.d{k}.json")):
+                while sio.exists(sio.join(ddir,
+                                          f"{base}.d{k}.json")):
                     k += 1
-                final = os.path.join(ddir, f"{base}.d{k}.json")
-                tmp = final + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"file": base, "epoch": k,
-                               "predicate": {"col": key,
-                                             "op": "upsert_in",
-                                             "arg": f"{len(ks)} keys"},
-                               "positions": [int(p) for p in pos]}, f)
-                os.replace(tmp, final)
+                sio.write_json_atomic(
+                    sio.join(ddir, f"{base}.d{k}.json"),
+                    {"file": base, "epoch": k,
+                     "predicate": {"col": key, "op": "upsert_in",
+                                   "arg": f"{len(ks)} keys"},
+                     **_encode_positions(pos, len(v))})
             outs.append(len(pos))
         return pa.table({"n": pa.array(outs, pa.int64())})
 
@@ -583,13 +636,17 @@ def upsert_table(table_path: str, updates, key: str) -> dict:
     n_replaced = int(marked["n"].sum())
 
     k = 0
-    while os.path.exists(
-            os.path.join(table_path, f"upsert-{k:05d}.parquet")):
+    while stateio.exists(
+            stateio.join(table_path, f"upsert-{k:05d}.parquet")):
         k += 1
-    final = os.path.join(table_path, f"upsert-{k:05d}.parquet")
-    tmp = final + ".tmp"
-    pq.write_table(up_tbl, tmp)
-    os.replace(tmp, final)
+    final = stateio.join(table_path, f"upsert-{k:05d}.parquet")
+    if stateio.is_url(final) and stateio.commit_mode(final) != "rename":
+        # object store: one single-object PUT is the commit
+        stateio.pq_write_table(up_tbl, final)
+    else:
+        tmp = final + ".tmp"
+        stateio.pq_write_table(up_tbl, tmp)
+        stateio.rename(tmp, final)
     return {"files_marked": int((marked["n"] > 0).sum()),
             "n_replaced": n_replaced,
             "n_inserted": up_tbl.num_rows,

@@ -493,10 +493,10 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
     directories — partition pruning at the filesystem level, the disk
     analog of the in-stream ``__centroid`` filter (at 100 TB the
     non-probed ~ (1 − nprobe/n_centroids) of the corpus never leaves
-    storage). Returns the centroid matrix."""
-    import os
-
-    import pyarrow.parquet as _pq
+    storage). IO routes through :mod:`raygraph.stateio`, so
+    ``index_dir`` may be a shared-storage URL. Returns the centroid
+    matrix."""
+    from raygraph import stateio
 
     cent = ivf_centroids(ds, n_centroids, vec_col=vec_col, seed=seed)
     assigned = ds.map_batches(IvfAssign(cent, vec_col),
@@ -507,16 +507,16 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
             [("cell" if c == "__centroid" else c)
              for c in batch.schema.names])
 
-    os.makedirs(index_dir, exist_ok=True)
-    assigned.map_batches(rename_cell, batch_format="pyarrow") \
-        .write_parquet(os.path.join(index_dir, "cells"),
-                       partition_cols=["cell"])
+    stateio.makedirs(index_dir)
+    stateio.ray_write_parquet(
+        assigned.map_batches(rename_cell, batch_format="pyarrow"),
+        stateio.join(index_dir, "cells"), partition_cols=["cell"])
     n, d = cent.shape
-    _pq.write_table(pa.table({
+    stateio.pq_write_table(pa.table({
         "cell": pa.array(np.arange(n, dtype=np.int64)),
         "centroid": pa.array([c.tolist() for c in cent],
                              pa.list_(pa.float32())),
-    }), os.path.join(index_dir, "centroids.parquet"))
+    }), stateio.join(index_dir, "centroids.parquet"))
     return cent
 
 
@@ -527,25 +527,24 @@ def ivf_query(index_dir: str, query: np.ndarray, k: int = 10,
     """Query a persisted IVF index: rank centroids, read ONLY the
     ``nprobe`` nearest cells' partition directories, brute-force within.
     ``nprobe == n_centroids`` is exactly brute force over the corpus."""
-    import os
+    from raygraph import stateio
 
-    import pyarrow.parquet as _pq
-    import ray.data as rd
-
-    ct = _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    ct = stateio.pq_read_table(
+        stateio.join(index_dir, "centroids.parquet"))
     cells = ct.column("cell").to_numpy()
     cent = _normalize(np.array(ct.column("centroid").to_pylist(),
                                dtype=np.float32))
     q = _normalize(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
     order = np.argsort(-(cent @ q))
     probe = [int(cells[i]) for i in order[:nprobe]]
-    dirs = [os.path.join(index_dir, "cells", f"cell={c}")
+    dirs = [stateio.join(index_dir, "cells", f"cell={c}")
             for c in probe]
     # expand to the concrete files: Ray's read_parquet accepts one
     # directory but not a list of them
-    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    scanned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    paths = [f for d in dirs if stateio.isdir(d)
+             for f in stateio.data_files(d)]
+    scanned = stateio.ray_read_parquet(paths,
+                                       columns=[id_col, vec_col])
     return brute_force_topk(scanned, query, k, vec_col, id_col,
                             dtype=dtype, round_dp=round_dp)
 

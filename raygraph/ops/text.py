@@ -256,12 +256,13 @@ def doc_fingerprint(batch: pa.Table, text_col: str = "text",
     total = int(lens.sum())
     max_n = int(lens.max()) if n_docs else 0
 
-    # F^0..F^max_n in uint64 wraparound
-    fpow = np.empty(max_n + 1, dtype=np.uint64)
+    # F^0..F^max_n in uint64 wraparound — multiply.accumulate is an
+    # ARRAY op, so the intentional mod-2^64 wrap is silent (a scalar
+    # uint64*uint64 loop emits numpy's overflow RuntimeWarning on every
+    # run, drowning real warnings)
+    fpow = np.full(max_n + 1, FP_MULT, dtype=np.uint64)
     fpow[0] = 1
-    F = np.uint64(FP_MULT)
-    for i in range(1, max_n + 1):
-        fpow[i] = fpow[i - 1] * F
+    np.multiply.accumulate(fpow, out=fpow)
 
     if total:
         flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])

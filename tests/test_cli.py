@@ -238,6 +238,34 @@ def test_cli_prepare_shuffled_packing(tmp_path, capsys, monkeypatch):
     assert a.equals(b)
 
 
+def test_cli_prepare_zero_survivors(tmp_path, capsys, monkeypatch):
+    # a spec that filters EVERY row must yield an all-zero report, not
+    # a crash on the empty-glob duckdb read
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import pandas as pd
+    import pyarrow as pa
+
+    d = str(tmp_path)
+    corpus = os.path.join(d, "docs")
+    os.makedirs(corpus)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["short"] * 4}), preserve_index=False),
+        os.path.join(corpus, "t.parquet"))
+    spec = os.path.join(d, "spec.json")
+    with open(spec, "w") as fh:
+        json.dump([{"stage": "length_filter",
+                    "min_chars": 10_000}], fh)
+    out = os.path.join(d, "prep")
+    assert main(["prepare", "--input", corpus, "--output", out,
+                 "--spec", spec, "--seq-len", "10"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_docs"] == 0 and rep["total_tokens"] == 0 \
+        and rep["n_packs"] == 0
+
+
 def test_cli_profile(tmp_path, capsys, monkeypatch):
     import ray
 

@@ -277,3 +277,81 @@ def test_partitioned_matches_unpartitioned(ray_session, tmp_path):
     gb = duckdb.sql(f"select doc_id from read_parquet('{tmp_path}/b/"
                     "docs/*/*.parquet') order by 1").df()
     assert ga.equals(gb) and len(ga) == 15
+
+
+def _mk_corpus(src, n_files=4, rows=10):
+    import os as _os
+
+    import pyarrow as _pa
+
+    _os.makedirs(src, exist_ok=True)
+    for i in range(n_files):
+        df = pd.DataFrame({
+            "doc_id": range(i * rows, i * rows + rows),
+            "text": [("word " * 20 if j % 2 == 0 else "tiny")
+                     for j in range(rows)]})
+        pq.write_table(_pa.Table.from_pandas(df, preserve_index=False),
+                       _os.path.join(src, f"f{i}.parquet"))
+
+
+def test_partitioned_resume_redoes_on_input_change(ray_session,
+                                                   tmp_path):
+    # unit membership is a strided listing: adding an input file
+    # reshuffles EVERY unit, so resume must redo manifested units whose
+    # recorded file list differs — never trust a bare manifest
+    import os as _os
+
+    import duckdb
+
+    from raygraph.curate import run_curation_partitioned
+
+    src = str(tmp_path / "src")
+    _mk_corpus(src, n_files=3)
+    out = str(tmp_path / "out")
+    spec = [{"stage": "length_filter", "min_chars": 50}]
+    rep = run_curation_partitioned(src, out, spec, partitions=2)
+    assert rep["skipped"] == 0
+    # grow the input set 3 -> 5 files: BOTH strided units change
+    # ([f0,f2] -> [f0,f2,f4], [f1] -> [f1,f3]) — nothing trusted
+    _mk_corpus(src, n_files=5)
+    rep2 = run_curation_partitioned(src, out, spec, partitions=2,
+                                    resume=True)
+    assert rep2["skipped"] == 0          # nothing trusted
+    assert rep2["rows_out"] == 25        # 5 files x 5 long docs
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/docs/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 25
+    # same inputs + same spec: now everything is trusted
+    rep3 = run_curation_partitioned(src, out, spec, partitions=2,
+                                    resume=True)
+    assert rep3["skipped"] == 2 and rep3["rows_out"] == 25
+    # spec change invalidates too
+    rep4 = run_curation_partitioned(
+        src, out, [{"stage": "length_filter", "min_chars": 1}],
+        partitions=2, resume=True)
+    assert rep4["skipped"] == 0 and rep4["rows_out"] == 50
+
+
+def test_partitioned_jobs_overlap_equivalent(ray_session, tmp_path):
+    # jobs=2 overlaps units on a driver thread pool; survivors and
+    # report totals must be identical to the sequential run
+    import duckdb
+
+    from raygraph.curate import run_curation_partitioned
+
+    src = str(tmp_path / "src")
+    _mk_corpus(src, n_files=4)
+    spec = [{"stage": "length_filter", "min_chars": 50}]
+    r1 = run_curation_partitioned(src, str(tmp_path / "seq"), spec,
+                                  partitions=4)
+    r2 = run_curation_partitioned(src, str(tmp_path / "par"), spec,
+                                  partitions=4, jobs=2)
+    assert r1["rows_out"] == r2["rows_out"]
+    assert [u["rows_out"] for u in r1["units"]] == \
+        [u["rows_out"] for u in r2["units"]]
+    ga = duckdb.sql(f"select doc_id from read_parquet('{tmp_path}/seq/"
+                    "docs/*/*.parquet') order by 1").df()
+    gb = duckdb.sql(f"select doc_id from read_parquet('{tmp_path}/par/"
+                    "docs/*/*.parquet') order by 1").df()
+    assert ga.equals(gb)

@@ -446,6 +446,28 @@ def test_minhash_dedup_strategies_equivalent(ray_session):
     assert got_b == got_d
     assert [i for i, _ in got_b] == [1, 10, 20, 21]
 
+    # auto must match on BOTH sides of the switchover: a huge bound
+    # routes broadcast, a zero bound routes distributed — same survivors
+    def run_auto(bound):
+        out = minhash_dedup(rd.from_pandas(df).repartition(3),
+                            threshold=0.5, drop_strategy="auto",
+                            auto_max_pairs=bound)
+        return sorted((r["doc_id"], r["text"]) for r in out.take_all())
+
+    assert run_auto(10**9) == got_b
+    assert run_auto(0) == got_b
+
+
+def test_minhash_dedup_bad_strategy_rejected(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.errors import InvalidParameterError
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(InvalidParameterError):
+        minhash_dedup(ds, drop_strategy="driver")
+
 
 def test_minhash_dedup_distributed_no_dups(ray_session):
     # no verified pairs: the distributed path must pass the corpus
@@ -687,6 +709,27 @@ def test_dedup_safe_kfold_component_mode(ray_session):
         .to_pandas().set_index("doc_id")["fold"]
     assert out[1] == out[2]
     assert 0 <= out[3] < 7
+
+
+def test_dedup_safe_kfold_component_mode_string_ids(ray_session):
+    # the id-type convention (strings pass through, like line_dedup):
+    # labels mode must not force-cast string doc ids to int64
+    import ray.data as rd
+
+    from raygraph.ops.dedup import dedup_safe_kfold
+
+    df = pd.DataFrame({"doc_id": ["doc-a", "doc-b", "doc-c"],
+                       "text": ["aa bb cc", "aa bb cc dd", "zz"]})
+    labels = rd.from_pandas(pd.DataFrame({
+        "vertex": ["doc-a", "doc-b"],
+        "component": ["doc-a", "doc-a"],
+    }))
+    out = dedup_safe_kfold(rd.from_pandas(df).repartition(2), k=7,
+                           labels=labels) \
+        .to_pandas().set_index("doc_id")["fold"]
+    assert out["doc-a"] == out["doc-b"]
+    assert 0 <= out["doc-c"] < 7
+    assert out.index.dtype == object
 
 
 def test_line_dedup_drops_boilerplate_keeps_unique(ray_session):
@@ -984,6 +1027,44 @@ def test_line_dedup_group_scoped(ray_session):
     u = line_dedup(rd.from_pandas(df), min_df=2).to_pandas() \
         .set_index("doc_id").sort_index()
     assert list(u["clean_text"]) == ["own 1", "own 2", "own 3"]
+
+
+def test_grouped_dedup_null_group_contract(ray_session):
+    # ONE contract across every group-scoped dedup: null group values
+    # normalize to a single sentinel group — they dedup among
+    # themselves, never against real groups, and never silently
+    # survive (a raw NaN key would vanish in pandas groupby on the LSH
+    # and line paths while the exact path folded 'None'/'nan' strings)
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup, line_dedup, minhash_dedup
+
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [la, la, la, la],
+        "lang": ["en", None, None, "en"]})
+
+    g = exact_dedup(rd.from_pandas(df).repartition(2),
+                    group_col="lang").to_pandas()
+    assert sorted(g["doc_id"]) == [1, 2]   # en keeps 1, null keeps 2
+
+    m = minhash_dedup(rd.from_pandas(df).repartition(2),
+                      threshold=0.99, bands=8, shingle="word",
+                      group_col="lang").to_pandas()
+    assert sorted(m["doc_id"]) == [1, 2]   # same scoping on LSH path
+
+    ld = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["own 1\nshared footer", "own 2\nshared footer",
+                 "own 3\nshared footer"],
+        "site": [None, None, "b"]})
+    out = line_dedup(rd.from_pandas(ld).repartition(2), min_df=2,
+                     group_col="site").to_pandas() \
+        .set_index("doc_id").sort_index()
+    # footer drops within the null-group pair, survives in site b
+    assert list(out["clean_text"]) == ["own 1", "own 2",
+                                       "own 3\nshared footer"]
 
 
 def test_incremental_dedup_string_ids(ray_session, tmp_path):

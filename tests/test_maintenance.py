@@ -431,6 +431,13 @@ def test_upsert_validation(ray_session, tmp_path):
     with _pytest.raises(InvalidParameterError):
         upsert_table(tdir, rd.from_arrow(pa.table(
             {"k": pa.array([2], pa.int64())})), "k")
+    # delta-size contract is enforced, not just documented: past the
+    # bound upsert must refuse before any sidecar/driver-concat work
+    with _pytest.raises(InvalidParameterError, match="delta-size"):
+        upsert_table(tdir, rd.from_arrow(pa.table(
+            {"k": pa.array([6, 7, 8], pa.int64()),
+             "v": pa.array(["f", "g", "h"])})), "k",
+            max_update_rows=2)
 
 
 def test_upsert_type_mismatch_rejected(ray_session, tmp_path):
@@ -471,3 +478,84 @@ def test_upsert_int32_key_coerced(ray_session, tmp_path):
     upsert_table(tdir, updates, "k")
     rows = {r["k"]: r["v"] for r in read_with_deletes(tdir).take_all()}
     assert rows == {1: "a", 2: "B", 3: "c", 4: "d", 5: "e"}
+
+
+def test_deletion_vector_bitmap_encoding_and_size(ray_session,
+                                                  tmp_path):
+    # dense deletes land as a zlib'd bitmap sidecar, SMALL: 10^6
+    # deleted positions in one file must cost KBs, not the ~7 MB a
+    # JSON int list costs; read_with_deletes output identical
+    from raygraph.maintenance import delete_where, read_with_deletes
+
+    tdir = str(tmp_path / "big")
+    os.makedirs(tdir)
+    n = 1_000_000
+    pq.write_table(pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "v": pa.array(range(n), pa.int64())}),
+        os.path.join(tdir, "p0.parquet"))
+    stats = delete_where(tdir, "k", "lt", str(n - 5))
+    assert stats["n_deleted"] == n - 5
+    sidecars = glob.glob(os.path.join(tdir, "_deletes", "*.json"))
+    assert len(sidecars) == 1
+    size = os.path.getsize(sidecars[0])
+    assert size < 50_000, f"bitmap sidecar unexpectedly {size} bytes"
+    with open(sidecars[0]) as fh:
+        assert json.load(fh)["encoding"] == "bitmap-z"
+    got = sorted(r["k"] for r in read_with_deletes(tdir).take_all())
+    assert got == list(range(n - 5, n))
+    # sparse deletes stay a plain positions list
+    stats2 = delete_where(tdir, "k", "eq", str(n - 1))
+    assert stats2["n_deleted"] == 1
+    newest = sorted(glob.glob(
+        os.path.join(tdir, "_deletes", "*.json")))[-1]
+    with open(newest) as fh:
+        d = json.load(fh)
+    assert d["encoding"] == "positions" and d["positions"] == [n - 1]
+    got2 = sorted(r["k"] for r in read_with_deletes(tdir).take_all())
+    assert got2 == list(range(n - 5, n - 1))
+
+
+def test_deletion_vector_legacy_sidecar_read(ray_session, tmp_path):
+    # pre-bitmap sidecars (bare positions list, no encoding key) must
+    # keep masking — the stacked-epoch semantics are unchanged
+    from raygraph.maintenance import read_with_deletes
+
+    tdir = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(tdir, "_deletes"))
+    pq.write_table(pa.table({"k": pa.array([0, 1, 2, 3], pa.int64())}),
+                   os.path.join(tdir, "p0.parquet"))
+    with open(os.path.join(tdir, "_deletes", "p0.parquet.d0.json"),
+              "w") as fh:
+        json.dump({"file": "p0.parquet", "epoch": 0,
+                   "positions": [1, 3]}, fh)
+    got = sorted(r["k"] for r in read_with_deletes(tdir).take_all())
+    assert got == [0, 2]
+
+
+def test_maintenance_on_file_url(ray_session, tmp_path):
+    # the whole delete/read/upsert/vacuum/compact surface through the
+    # fsspec route — same results as plain paths
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.maintenance import (compact_table, delete_where,
+                                      read_with_deletes, upsert_table,
+                                      vacuum)
+
+    plain = str(tmp_path / "t")
+    _write_small_files(plain, n_files=3, rows_per=10)
+    url = "file://" + plain
+    stats = delete_where(url, "k", "mod_eq", "3:0")
+    assert stats["n_deleted"] == 10
+    up = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1000], pa.int64()),
+        "v": pa.array(["ONE", "NEW"])}))
+    upsert_table(url, up, "k")
+    rows = {r["k"]: r["v"] for r in read_with_deletes(url).take_all()}
+    assert rows[1] == "ONE" and rows[1000] == "NEW"
+    assert all(k % 3 != 0 or k == 1000 for k in rows)
+    out_url = "file://" + str(tmp_path / "compacted")
+    cstats = compact_table(url, out_url, target_rows_per_file=1000)
+    assert cstats["rows"] == len(rows)
+    assert vacuum(url)["tmp_files"] == 0

@@ -1,0 +1,197 @@
+"""The shared-storage path layer: primitives, the commit protocol in
+both modes (rename vs marker), and crash-window semantics."""
+
+import json
+import os
+
+import pytest
+
+from raygraph import stateio
+
+
+@pytest.fixture
+def marker_mode():
+    stateio.set_commit_mode("marker")
+    yield
+    stateio.set_commit_mode(None)
+
+
+def test_primitives_local(tmp_path):
+    d = str(tmp_path / "a" / "b")
+    assert not stateio.exists(d)
+    stateio.makedirs(d)
+    assert stateio.isdir(d)
+    p = stateio.join(d, "x.json")
+    stateio.write_json_atomic(p, {"k": 1})
+    assert stateio.read_json(p) == {"k": 1}
+    assert stateio.listdir(d) == ["x.json"]
+    assert stateio.glob(stateio.join(d, "*.json")) == [p]
+    stateio.remove(p)
+    stateio.remove(p)  # ignore-missing
+    assert stateio.listdir(d) == []
+    stateio.rmtree(d)
+    stateio.rmtree(d)  # ignore-missing
+    assert not stateio.exists(d)
+    assert stateio.listdir(d) == []  # missing dir lists empty
+
+
+def test_primitives_file_url(tmp_path):
+    # same operations through the fsspec route (file:// URL)
+    base = "file://" + str(tmp_path / "u")
+    stateio.makedirs(base)
+    p = stateio.join(base, "x.json")
+    stateio.write_json_atomic(p, {"k": [1, 2]})
+    assert stateio.read_json(p) == {"k": [1, 2]}
+    assert stateio.listdir(base) == ["x.json"]
+    assert stateio.glob(stateio.join(base, "*.json")) == [p]
+    # and the plain-path view agrees byte-for-byte
+    with open(str(tmp_path / "u" / "x.json")) as fh:
+        assert json.load(fh) == {"k": [1, 2]}
+    stateio.rmtree(base)
+    assert not stateio.exists(base)
+
+
+def test_commit_rename_mode(tmp_path):
+    parent = str(tmp_path)
+    tmp = os.path.join(parent, "_tmp-00000")
+    final = os.path.join(parent, "epoch-00000")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "f.parquet"), "w") as fh:
+        fh.write("data")
+    stateio.commit_dir(tmp, final)
+    assert not os.path.exists(tmp)
+    assert stateio.is_committed(final)
+    assert stateio.committed_dirs(parent, "epoch-") == ["epoch-00000"]
+    # marker written even in rename mode (uniform layout), but payload
+    # listing never includes it
+    assert os.path.exists(os.path.join(final, stateio.COMMIT_MARKER))
+    assert stateio.data_files(final) == \
+        [os.path.join(final, "f.parquet")]
+
+
+def test_commit_marker_mode_and_crash_window(tmp_path, marker_mode):
+    parent = str(tmp_path)
+    tmp = os.path.join(parent, "_tmp-00000")
+    final = os.path.join(parent, "epoch-00000")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "f.parquet"), "w") as fh:
+        fh.write("data")
+    # crash window 1: staged only — invisible
+    assert stateio.committed_dirs(parent, "epoch-") == []
+    # crash window 2: copied but NOT marked — still invisible
+    stateio._copy_tree(tmp, final)
+    assert os.path.exists(os.path.join(final, "f.parquet"))
+    assert not stateio.is_committed(final)
+    assert stateio.committed_dirs(parent, "epoch-") == []
+    # full commit: marker lands LAST, staging dir cleaned
+    stateio.commit_dir(tmp, final)
+    assert stateio.is_committed(final)
+    assert stateio.committed_dirs(parent, "epoch-") == ["epoch-00000"]
+    assert not os.path.exists(tmp)
+
+
+def test_preexisting_local_dir_counts_committed(tmp_path):
+    # pre-layer state: a dir committed by atomic rename, no marker —
+    # local readers accept it
+    d = os.path.join(str(tmp_path), "epoch-00003")
+    os.makedirs(d)
+    assert stateio.is_committed(d)
+    assert stateio.committed_dirs(str(tmp_path), "epoch-") == \
+        ["epoch-00003"]
+
+
+def test_marker_mode_requires_marker(tmp_path, marker_mode):
+    d = os.path.join(str(tmp_path), "epoch-00003")
+    os.makedirs(d)
+    assert not stateio.is_committed(d)
+
+
+def test_ray_parquet_roundtrip_file_url(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    url = "file://" + str(tmp_path / "t")
+    stateio.makedirs(url)
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    stateio.ray_write_parquet(rd.from_pandas(df), url)
+    back = stateio.ray_read_parquet(url).to_pandas() \
+        .sort_values("a", ignore_index=True)
+    assert back.equals(df)
+    files = stateio.data_files(url)
+    assert files and all(f.startswith("file://") for f in files)
+    # single-file pyarrow helpers through the same layer
+    md = stateio.pq_read_metadata(files[0])
+    assert md.num_rows == 3
+    sch = stateio.pq_read_schema(files[0])
+    assert set(sch.names) == {"a", "b"}
+    t = stateio.pq_read_table(files[0], columns=["a"])
+    assert t.column_names == ["a"]
+
+
+def test_incremental_exact_dedup_on_file_url(ray_session, tmp_path):
+    # the whole persisted-index lifecycle (create, anti-join, commit,
+    # second epoch, compaction) through the fsspec route — survivors
+    # identical to the plain-path run
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import (compact_dedup_index,
+                                    exact_dedup_incremental)
+
+    base = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["alpha", "beta"]})
+    delta = pd.DataFrame({"doc_id": [3, 4, 5],
+                          "text": ["alpha", "fresh", "fresh"]})
+
+    def run(index_path):
+        exact_dedup_incremental(rd.from_pandas(base), index_path)
+        s, e = exact_dedup_incremental(rd.from_pandas(delta),
+                                       index_path)
+        rows = sorted((r["doc_id"], r["text"]) for r in s.take_all())
+        stats = compact_dedup_index(index_path)
+        return rows, e, stats
+
+    plain_rows, plain_e, plain_stats = run(str(tmp_path / "plain"))
+    url_rows, url_e, url_stats = run("file://" + str(tmp_path / "url"))
+    assert url_rows == plain_rows == [(4, "fresh")]
+    assert url_e == plain_e == 1
+    assert url_stats["compacted"] and url_stats == plain_stats
+    # compacted epoch visible through the layer, marker present
+    assert stateio.committed_dirs(
+        "file://" + str(tmp_path / "url"), "epoch-") == ["epoch-00002"]
+
+
+def test_incremental_minhash_dedup_marker_mode(ray_session, tmp_path,
+                                               marker_mode):
+    # near-dup index under the MARKER commit protocol (the object-store
+    # path): epochs only visible once marked; re-run converges
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import minhash_dedup_incremental
+
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    base = pd.DataFrame({"doc_id": [1], "text": [la]})
+    idx = str(tmp_path / "idx")
+    s0, e0 = minhash_dedup_incremental(rd.from_pandas(base), idx,
+                                       threshold=0.9, bands=8,
+                                       shingle="word")
+    assert e0 == 0 and s0.count() == 1
+    assert os.path.exists(os.path.join(
+        idx, "epoch-00000", stateio.COMMIT_MARKER))
+    delta = pd.DataFrame({"doc_id": [2, 3],
+                          "text": [la, "something else entirely"]})
+    s1, e1 = minhash_dedup_incremental(rd.from_pandas(delta), idx,
+                                       threshold=0.9, bands=8,
+                                       shingle="word")
+    assert e1 == 1
+    assert sorted(r["doc_id"] for r in s1.take_all()) == [3]
+    # an UNMARKED epoch dir (simulated crash) is invisible: drop the
+    # marker from epoch-00001 and the same delta dedups as if that
+    # epoch never committed (doc 3's rep is gone, doc 3 survives again)
+    os.remove(os.path.join(idx, "epoch-00001", stateio.COMMIT_MARKER))
+    s2, e2 = minhash_dedup_incremental(rd.from_pandas(delta), idx,
+                                       threshold=0.9, bands=8,
+                                       shingle="word")
+    assert e2 == 1   # epoch numbering also ignores the partial
+    assert sorted(r["doc_id"] for r in s2.take_all()) == [3]

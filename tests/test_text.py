@@ -66,6 +66,19 @@ def test_fingerprint_deterministic_and_order_sensitive():
     assert a != c
 
 
+def test_fingerprint_no_overflow_warning():
+    # the mod-2^64 wraparound in the F-power table is intentional and
+    # must be SILENT (array op) — a scalar loop would emit numpy's
+    # overflow RuntimeWarning on every run, drowning real warnings
+    import warnings
+
+    long_doc = " ".join(f"tok{i}" for i in range(500))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        t = doc_fingerprint(_batch([long_doc, "", "hello world"]))
+    assert len(t.column("fingerprint").to_pylist()) == 3
+
+
 def test_bpe_token_count():
     from raygraph.ops.text import bpe_token_count
 
