@@ -1189,6 +1189,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    2 * _docs_count(sf_dir), 8),
                                drop_strategy="broadcast")
 
+    def dedup_survivors_auto(sf_dir):
+        # the DEFAULT path (round 4): verified pairs counted
+        # in-cluster, survivor filter routed broadcast-or-distributed
+        # by the count — row-identical to both fixed strategies by
+        # contract, so all three share one oracle. auto_max_pairs=0
+        # forces the distributed branch through the auto router, so
+        # this entry also pins the router's wiring, not just defaults
+        return D.minhash_dedup(_doubled_docs(sf_dir), threshold=0.99, bands=8,
+                               shingle="word",
+                               num_buckets=D.lsh_num_buckets(
+                                   2 * _docs_count(sf_dir), 8),
+                               drop_strategy="auto", auto_max_pairs=0)
+
+
     def dedup_clusters(sf_dir):
         # duplicate-CLUSTER inventory over a TRIPLED corpus (components
         # of size 3 exercise pair transitivity): verified pairs → fully
@@ -9332,6 +9346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_minhash_survivors": dedup_minhash_survivors,
         "dedup_survivors_broadcast": dedup_survivors_broadcast,
+        "dedup_survivors_auto": dedup_survivors_auto,
         "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_sentences": dedup_sentences,
@@ -15918,9 +15933,11 @@ def oracle_sql() -> dict[str, str]:
     # the CSV-ingest profile equals the parquet/JSONL-path profile —
     # three source formats, one oracle
     out["docs_from_csv"] = out["docs_from_jsonl"]
-    # broadcast union-find and distributed components produce identical
-    # survivor sets by contract (equivalence pytest) — one oracle
+    # broadcast union-find, distributed components, and the auto
+    # router produce identical survivor sets by contract (equivalence
+    # pytest) — one oracle for all three
     out["dedup_survivors_broadcast"] = out["dedup_minhash_survivors"]
+    out["dedup_survivors_auto"] = out["dedup_minhash_survivors"]
     # the streaming MG fold is row-identical to the batch heavy hitters
     # (mergeable-summaries superset + shared exact verify pass)
     out["text_heavy_hitters_incremental"] = out["text_heavy_hitters"]

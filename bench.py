@@ -70,6 +70,110 @@ def _corpus(n_docs: int) -> str:
     return path
 
 
+def _skew_corpus(n_docs: int, n_groups: int = 1000,
+                 zipf_a: float = 1.5, boiler_every: int = 200) -> str:
+    """Deterministic Zipf-skewed grouped document corpus, cached.
+
+    - ``grp``: Zipf(``zipf_a``) clipped to ``n_groups`` — the hot group
+      absorbs ~38% of all docs (the hub-domain reality of a crawl).
+    - body: one of 9973 variants keyed by doc_id — exact dups WITHIN a
+      group are real dups; the hot group's per-variant bucket is ~38
+      docs at 1M.
+    - every ``boiler_every``-th doc carries a degenerate boilerplate
+      body instead (~0.5% of the corpus, ~1.9k of them in the hot
+      group at 1M) — the single bucket BUCKET_PAIR_CAP exists to cap.
+    - every doc gets a per-group footer line — grouped line_dedup has
+      real per-group boilerplate to strip.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(BENCH_TMP, f"skew_n{n_docs}_g{n_groups}")
+    marker = os.path.join(path, "_complete")
+    stamp = f"{n_docs};{n_groups};{zipf_a};{boiler_every};v1"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    rng = np.random.RandomState(0)
+    chunk = 250_000
+    for lo in range(0, n_docs, chunk):
+        n = min(chunk, n_docs - lo)
+        ids = np.arange(lo, lo + n, dtype=np.int64)
+        grp = np.minimum(rng.zipf(zipf_a, n), n_groups).astype("int64")
+        v = ids % 9973
+        body = np.array(
+            ["variant body " + s + " with shared tokens repeated "
+             + s + " over and over " + s for s in v.astype(str)],
+            dtype=object)
+        boiler = ids % boiler_every == 0
+        body[boiler] = ("subscribe to our newsletter click here "
+                        "now for daily updates and offers ")
+        footer = np.array(["visit site number " + s
+                           for s in grp.astype(str)], dtype=object)
+        text = body + "\n" + footer
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids),
+            "grp": pa.array(grp),
+            "text": pa.array(text.astype(object), pa.string()),
+        }), os.path.join(path, f"part-{lo // chunk:04d}.parquet"),
+            row_group_size=32768)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return path
+
+
+def skew() -> None:
+    """Skew stress evidence (round-4): group-scoped minhash dedup +
+    grouped line dedup over a Zipf-skewed ``grp`` at 1M+ docs, with
+    the LSH bucket profile (per-bucket maxima, BUCKET_PAIR_CAP drop
+    counts) recorded — the caps are the skew defense; this measures
+    whether they bind and what that costs. One JSON line on stdout.
+    """
+    import logging
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR", object_store_memory=16 << 30)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from raygraph.ops.dedup import (line_dedup, lsh_bucket_stats,
+                                    minhash_dedup)
+
+    n_docs = int(os.environ.get("GRAFT_SKEW_DOCS", "1000000"))
+    corpus = _skew_corpus(n_docs)
+    out: dict = {"metric": "skew_stress", "unit": "sec",
+                 "n_docs": n_docs, "num_cpus": NUM_CPUS}
+
+    t0 = time.monotonic()
+    stats = lsh_bucket_stats(rd.read_parquet(corpus), bands=8,
+                             shingle="word", group_col="grp")
+    out["bucket_stats_sec"] = round(time.monotonic() - t0, 3)
+    out["bucket_stats"] = stats
+
+    t0 = time.monotonic()
+    surv = minhash_dedup(rd.read_parquet(corpus), threshold=0.8,
+                         bands=8, shingle="word",
+                         group_col="grp").count()
+    out["minhash_grouped_sec"] = round(time.monotonic() - t0, 3)
+    out["minhash_survivors"] = surv
+
+    t0 = time.monotonic()
+    n = line_dedup(rd.read_parquet(corpus), min_df=2,
+                   group_col="grp").count()
+    out["line_dedup_grouped_sec"] = round(time.monotonic() - t0, 3)
+    out["line_dedup_rows"] = n
+
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 def main() -> None:
     import logging
 
@@ -545,5 +649,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--skew" in sys.argv:
+        skew()
     else:
         main()

@@ -184,6 +184,21 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_lsh_stats(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from . import io as rio
+    from .ops.dedup import lsh_bucket_stats
+
+    ds = rio.read_table(args.input)
+    stats = lsh_bucket_stats(
+        ds, bands=args.bands, shingle=args.shingle,
+        text_col=args.text_col, id_col=args.id_col,
+        group_col=args.group_col, cap=args.cap)
+    print(json.dumps({"input": args.input, **stats}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_profile(args) -> int:
     ray = _ray_session(args.num_cpus)
     from . import io as rio
@@ -628,6 +643,26 @@ def main(argv=None) -> int:
                          "(never a silent driver union-find at scale)")
     dd.add_argument("--num-cpus", type=int)
     dd.set_defaults(fn=cmd_dedup)
+
+    ls = sub.add_parser(
+        "lsh-stats", help="LSH bucket-size profile (skew "
+                          "observability): how big band buckets get, "
+                          "how many exceed BUCKET_PAIR_CAP, how many "
+                          "docs sit beyond it")
+    ls.add_argument("--input", required=True)
+    ls.add_argument("--bands", type=int, default=16)
+    ls.add_argument("--shingle", default="char",
+                    choices=["char", "word"])
+    ls.add_argument("--text-col", default="text")
+    ls.add_argument("--id-col", default="doc_id")
+    ls.add_argument("--group-col",
+                    help="group-scoped profile: buckets key on "
+                         "(band, hash, group)")
+    ls.add_argument("--cap", type=int,
+                    help="report against this cap instead of "
+                         "BUCKET_PAIR_CAP")
+    ls.add_argument("--num-cpus", type=int)
+    ls.set_defaults(fn=cmd_lsh_stats)
 
     pf = sub.add_parser(
         "profile", help="per-column data profile (rows, nulls, exact "

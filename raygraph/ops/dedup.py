@@ -561,6 +561,83 @@ def exact_dedup_incremental(delta, index_dir: str,
     return sh.drop_columns(["content_hash"]), epoch
 
 
+def lsh_bucket_stats(ds, num_perm: int = 64, bands: int = 16,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     shingle: str = "char",
+                     num_buckets: int | None = None,
+                     group_col: str | None = None,
+                     cap: int | None = None) -> dict:
+    """Distributed LSH bucket-size profile — the observability for the
+    ``BUCKET_PAIR_CAP`` skew defense: how big do band buckets actually
+    get on this corpus, how many exceed the cap, and how many docs sit
+    beyond it (i.e. are excluded from pairing in that bucket). The caps
+    bound worst-case pair blowup under skew (a boilerplate page or hot
+    group collapsing into one bucket); this reports whether that bound
+    BINDS, so a deployment can raise the cap / band width on evidence
+    instead of guessing.
+
+    Shape: band rows → per-batch partial counts → ONE key-hashed count
+    aggregation (bucket-count-sized, never pair-sized) → per-block
+    scalar partials summed on the driver (block-count-sized). Returns
+    ``{n_buckets, max_bucket_size, buckets_over_cap, docs_beyond_cap,
+    cap}``.
+    """
+    from .relational import hash_aggregate
+
+    hasher = MinHasher(num_perm=num_perm, shingle=shingle)
+    band_keys = ["band_id", "band_hash"] + (
+        ["grp"] if group_col is not None else [])
+    the_cap = BUCKET_PAIR_CAP if cap is None else cap
+
+    rows = ds.map_batches(
+        lambda b: minhash_bands(b, hasher, bands, text_col, id_col,
+                                group_col),
+        batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(band_keys + ["doc_id"]).to_pandas() \
+            .drop_duplicates()
+        c = df.groupby(band_keys, sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(band_keys, sort=False)["n"].sum() \
+            .reset_index()
+
+    sizes = hash_aggregate(
+        rows.map_batches(partial, batch_format="pyarrow"),
+        band_keys, total, num_buckets=num_buckets or 64)
+
+    def scalarize(batch: pa.Table) -> pa.Table:
+        if "n" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({"n_buckets": pa.array([0], pa.int64()),
+                             "max_size": pa.array([0], pa.int64()),
+                             "over_cap": pa.array([0], pa.int64()),
+                             "beyond": pa.array([0], pa.int64())})
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_buckets": pa.array([len(n)], pa.int64()),
+            "max_size": pa.array([int(n.max())], pa.int64()),
+            "over_cap": pa.array([int((n > the_cap).sum())],
+                                 pa.int64()),
+            "beyond": pa.array(
+                [int(np.clip(n - the_cap, 0, None).sum())],
+                pa.int64()),
+        })
+
+    parts = sizes.map_batches(scalarize,
+                              batch_format="pyarrow").take_all()
+    return {
+        "n_buckets": sum(p["n_buckets"] for p in parts),
+        "max_bucket_size": max((p["max_size"] for p in parts),
+                               default=0),
+        "buckets_over_cap": sum(p["over_cap"] for p in parts),
+        "docs_beyond_cap": sum(p["beyond"] for p in parts),
+        "cap": the_cap,
+    }
+
+
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                        text_col: str = "text", id_col: str = "doc_id",
                        shingle: str = "char",

@@ -283,3 +283,27 @@ def test_cli_profile(tmp_path, capsys, monkeypatch):
     by = {c["column"]: c for c in rep["columns"]}
     assert by["k"]["n_null"] == 1 and by["k"]["n_distinct"] == 2
     assert by["s"]["n_distinct"] == 3 and by["s"]["min_v"] == "a"
+
+
+def test_cli_lsh_stats(tmp_path, capsys, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import pandas as pd
+    import pyarrow as pa
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(5),
+        "text": [la] * 4 + ["something entirely different here"]}),
+        preserve_index=False), os.path.join(d, "t.parquet"))
+    assert main(["lsh-stats", "--input", d, "--bands", "8",
+                 "--shingle", "word", "--cap", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    # 4 identical docs share all 8 band buckets; cap 3 binds in each
+    assert rep["max_bucket_size"] == 4
+    assert rep["buckets_over_cap"] == 8
+    assert rep["docs_beyond_cap"] == 8
+    assert rep["cap"] == 3

@@ -1131,3 +1131,64 @@ def test_compact_dedup_index_signature_layout(ray_session, tmp_path):
         "doc_id": [9], "text": [la.replace("tonight", "today", 1)]})),
         idx, verify="signature")
     assert s.count() == 0
+
+
+def test_lsh_bucket_stats_and_cap_agreement(ray_session):
+    # the BUCKET_PAIR_CAP skew defense has observable behavior: stats
+    # report the hot bucket and the beyond-cap doc count, and a cap
+    # that does NOT bind leaves survivors identical to a huge cap
+    import ray.data as rd
+
+    import raygraph.ops.dedup as dd
+    from raygraph.ops.dedup import lsh_bucket_stats, minhash_dedup
+
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    df = pd.DataFrame({
+        "doc_id": list(range(6)) + [100, 101],
+        "text": [la] * 6 + ["something else entirely different here",
+                            "one more unrelated survivor document"]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    # 6 identical docs share every band bucket: max bucket == 6
+    stats = lsh_bucket_stats(ds, bands=8, shingle="word")
+    assert stats["max_bucket_size"] == 6
+    assert stats["buckets_over_cap"] == 0   # default cap 512
+    assert stats["docs_beyond_cap"] == 0
+
+    # with cap=4 the hot bucket exceeds: 8 bands x (6-4) beyond-cap
+    stats4 = lsh_bucket_stats(ds, bands=8, shingle="word", cap=4)
+    assert stats4["buckets_over_cap"] == 8
+    assert stats4["docs_beyond_cap"] == 16
+
+    # non-binding cap (8 >= bucket size): survivors == default cap
+    def run():
+        out = minhash_dedup(rd.from_pandas(df).repartition(3),
+                            threshold=0.9, bands=8, shingle="word")
+        return sorted(r["doc_id"] for r in out.take_all())
+
+    base = run()
+    assert base == [0, 100, 101]
+    old = dd.BUCKET_PAIR_CAP
+    try:
+        dd.BUCKET_PAIR_CAP = 8
+        assert run() == base
+    finally:
+        dd.BUCKET_PAIR_CAP = old
+
+
+def test_lsh_bucket_stats_grouped(ray_session):
+    # grouped stats key on (band, grp): identical texts split across
+    # two groups form two 3-doc buckets per band, not one 6-doc bucket
+    import ray.data as rd
+
+    from raygraph.ops.dedup import lsh_bucket_stats
+
+    la = ("pack my box with five dozen liquor jugs every day ") * 4
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [la] * 6,
+        "lang": ["en", "en", "en", "de", "de", "de"]})
+    stats = lsh_bucket_stats(rd.from_pandas(df).repartition(2),
+                             bands=8, shingle="word",
+                             group_col="lang")
+    assert stats["max_bucket_size"] == 3
