@@ -870,6 +870,7 @@ def minhash_verified_pairs(
         ta = batch.column("__text_a").to_pylist()
         tb = batch.column("__text_b").to_pylist()
         cache: dict = {}
+        pair_cache: dict = {}
 
         def sh(t):
             t = t or ""
@@ -878,7 +879,20 @@ def minhash_verified_pairs(
                 got = cache[t] = set(hasher.shingle_hashes(t).tolist())
             return got
 
-        keep = [jaccard(sh(a), sh(b)) >= threshold for a, b in zip(ta, tb)]
+        # pair-level memo on top of the per-text shingle cache: a
+        # dup-heavy corpus repeats the SAME (text, text) comparison
+        # across thousands of candidate pairs (every copy-pair of one
+        # boilerplate body) — one set intersection per distinct pair,
+        # not per candidate row
+        def ok(a, b):
+            key = (a, b)
+            got = pair_cache.get(key)
+            if got is None:
+                got = pair_cache[key] = \
+                    jaccard(sh(a), sh(b)) >= threshold
+            return got
+
+        keep = [ok(a, b) for a, b in zip(ta, tb)]
         return batch.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 
     return j.map_batches(verify, batch_format="pyarrow")
@@ -892,6 +906,46 @@ def _padded_id(col):
 
     s = pc.cast(pc.cast(col, pa.int64()), pa.string())
     return pc.utf8_lpad(s, _CLUSTER_PAD, "0")
+
+
+def _contract_pair_edges(edges):
+    """Batch-local union-find CONTRACTION of a pair edge set: each task
+    collapses its batch's pairs into (member, local_root) star edges —
+    a clique of n docs (n·(n-1)/2 verified pairs, the near-dup shape)
+    shrinks to n-1 edges before ANY shuffle. Connected components of
+    the contracted graph equal those of the original (local roots stay
+    connected to every member; cross-batch links survive through
+    shared vertices), so min-label propagation downstream is
+    unchanged — it just runs on a vertex-count-sized edge set instead
+    of a pair-count-sized one. At crawl dup rates this is the
+    difference between shuffling ~10M pair rows per round and ~1M.
+    Expects/emits (_from, _to) string columns."""
+
+    def contract(batch: pa.Table) -> pa.Table:
+        a = batch.column("_from").to_pylist()
+        b = batch.column("_to").to_pylist()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        out_f, out_t = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                out_f.append(x)
+                out_t.append(r)
+        return pa.table({"_from": pa.array(out_f, pa.string()),
+                         "_to": pa.array(out_t, pa.string())})
+
+    return edges.map_batches(contract, batch_format="pyarrow")
 
 
 def _dedup_drop_distributed(ds, vp, id_col: str, cc_iters: int):
@@ -913,7 +967,9 @@ def _dedup_drop_distributed(ds, vp, id_col: str, cc_iters: int):
                          "_to": _padded_id(batch.column("id_b"))})
 
     comp = connected_components(
-        vp.map_batches(to_edges, batch_format="pyarrow"), iters=cc_iters)
+        _contract_pair_edges(
+            vp.map_batches(to_edges, batch_format="pyarrow")),
+        iters=cc_iters)
     comp = compact_nonempty(coerce_schema(comp, pa.schema(
         [("vertex", pa.string()), ("component", pa.string())]
     )).materialize())
@@ -1290,8 +1346,16 @@ def minhash_dedup_incremental(delta, index_dir: str,
                             hasher.shingle_hashes(t).tolist())
                     return got
 
-                keep = [jaccard(sh(a), sh(b)) >= threshold
-                        for a, b in zip(td, tr)]
+                pair_cache: dict = {}  # memo per DISTINCT text pair
+
+                def ok(a, b):
+                    got = pair_cache.get((a, b))
+                    if got is None:
+                        got = pair_cache[(a, b)] = \
+                            jaccard(sh(a), sh(b)) >= threshold
+                    return got
+
+                keep = [ok(a, b) for a, b in zip(td, tr)]
                 return batch.filter(pa.array(keep, pa.bool_())) \
                     .select([id_col])
 
@@ -1417,7 +1481,9 @@ def near_dup_clusters(
     from .graph import connected_components
 
     comp = connected_components(
-        vp.map_batches(to_edges, batch_format="pyarrow"), iters=cc_iters)
+        _contract_pair_edges(
+            vp.map_batches(to_edges, batch_format="pyarrow")),
+        iters=cc_iters)
     comp = compact_nonempty(coerce_schema(comp, pa.schema(
         [("vertex", pa.string()), ("component", pa.string())]
     )).materialize())
@@ -1546,12 +1612,16 @@ def jaccard_threshold_pairs(ds, threshold_bp: int = 8000,
 
         ta = batch.column("__text_a").to_pylist()
         tb = batch.column("__text_b").to_pylist()
+        pair_cache: dict = {}  # one intersection per DISTINCT pair
         bp, keep = [], []
         for a, b in zip(ta, tb):
-            sa, sb = tokset(a), tokset(b)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            v = (10_000 * inter) // union if union else 0
+            v = pair_cache.get((a, b))
+            if v is None:
+                sa, sb = tokset(a), tokset(b)
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                v = (10_000 * inter) // union if union else 0
+                pair_cache[(a, b)] = v
             ok = v >= threshold_bp
             keep.append(ok)
             if ok:

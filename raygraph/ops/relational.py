@@ -447,10 +447,18 @@ def interval_join_broadcast(big, intervals_df: pd.DataFrame, ts_col: str,
 
 
 def preagg_extreme(ds, keys: Sequence[str], col: str, how: str = "min",
-                   out: str | None = None):
+                   out: str | None = None, engine: str = "native",
+                   num_buckets: int = 64):
     """groupby(keys) MIN/MAX of ``col`` with per-batch partials — same
     combiner discipline as :func:`preagg_sum` (min/max are associative
-    and idempotent, so the partial is exact at any block layout)."""
+    and idempotent, so the partial is exact at any block layout).
+
+    ``engine="bucketed"`` routes the wide step through
+    :func:`hash_aggregate` (sort by ONE int64 bucket key) instead of
+    Ray's native sort-based groupby over the key columns — measured
+    2.3× faster at 18M string rows, slower on toy inputs (bucket-task
+    spin-up). Same results either way; callers that know their input
+    is large (connected_components at crawl-dedup scale) opt in."""
     from ray.data.aggregate import Max, Min
 
     keys = list(keys)
@@ -461,9 +469,16 @@ def preagg_extreme(ds, keys: Sequence[str], col: str, how: str = "min",
         g = df.groupby(keys, as_index=False).agg(**{out: (col, how)})
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if engine == "bucketed":
+        return hash_aggregate(
+            partials, keys,
+            lambda df: df.groupby(keys, as_index=False)
+            .agg(**{out: (out, how)}),
+            num_buckets=num_buckets)
     agg = (Min if how == "min" else Max)(out, alias_name=out)
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        partials
         .groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(agg)
     )
