@@ -380,6 +380,11 @@ def pagerank(edges, iters: int = 3, src: str = "_from", dst: str = "_to",
             merged.map_batches(apply_rank, batch_format="pyarrow"),
             pa.schema(_RANK_SCHEMA),
         )
+        # pin per iteration: ranks feeds THREE consumers next round
+        # (contrib map, the dangling take_all, zero_msgs union) — left
+        # lazy, each would re-execute the whole previous round (the
+        # connected_components lesson, measured 2× there)
+        ranks = ranks.materialize()
 
     return ranks.select_columns(["vertex", "rank_e12"])
 
@@ -599,7 +604,8 @@ def scc_coloring(edges, iters: int = 5, src: str = "_from",
                 preagg_extreme(msgs.select_columns(["v", "label"]),
                                ["v"], "label", how="min", out="label"),
                 pa.schema([("v", pa.string()), ("label", pa.string())]),
-            ).rename_columns({"v": "vertex"})
+            ).rename_columns({"v": "vertex"}).materialize()
+            # per-round pin (CC lesson: lazy chaining re-executes)
         return labels
 
     fwd = propagate(fwd_arcs)
@@ -1080,7 +1086,9 @@ def bfs_distance(edges, source: str, iters: int = 3,
             preagg_extreme(msgs.map_batches(add_w, batch_format="pyarrow"),
                            ["v"], "dist", how="min", out="dist"),
             pa.schema([("v", pa.string()), ("dist", pa.int64())]),
-        ).rename_columns({"v": "vertex"})
+        ).rename_columns({"v": "vertex"}).materialize()
+        # per-round pin: chained lazy rounds re-execute upstream
+        # subtrees (the connected_components lesson)
 
     def finish(batch: pa.Table) -> pa.Table:
         keep = pc.less(batch.column("dist"), pa.scalar(int(BFS_INF),
@@ -1165,7 +1173,11 @@ def kcore(edges, k: int = 2, iters: int = 3,
                 pc.greater_equal(batch.column("deg"), pa.scalar(k)))
 
         deg = _repaired(
-            deg.map_batches(survivors, batch_format="pyarrow"), deg_schema)
+            deg.map_batches(survivors, batch_format="pyarrow"),
+            deg_schema).materialize()
+        # pin per round: deg feeds TWO consumers next round (both
+        # semi-joins via alive) plus the return — lazy chaining would
+        # re-execute the whole previous round per consumer
         alive = deg.select_columns(["u"]).rename_columns({"u": "x"})
 
     return deg.rename_columns({"u": "vertex"})
@@ -1231,7 +1243,7 @@ def hits_authorities(edges, iters: int = 2,
                 lambda b: pa.table({"x": b.column(group_as),
                                     "s": b.column("s")}),
                 batch_format="pyarrow"), ["x"], {"s": "s"}),
-            score_schema)
+            score_schema).materialize()  # max() + scale: 2 consumers
         mx = raw.max("s")
         k = max(1, -(-int(mx) // HITS_CAP)) if mx is not None else 1
 
@@ -1424,7 +1436,9 @@ def truss_edges(edges, k: int = 4, rounds: int = 2,
         j = shuffle_join(und, keep.rename_columns({"u": "u2", "v": "v2"}),
                          on=("u", "v"), right_on=("u2", "v2"),
                          how="left_semi", num_partitions=nparts)
-        und = _repaired(j, und_schema)
+        # pin per peel round: the next round's support rebuild consumes
+        # und several times (wedge plan + joins)
+        und = _repaired(j, und_schema).materialize()
     return und
 
 
@@ -1549,7 +1563,7 @@ def _multi_source_bfs(edges, n_seeds: int, iters: int,
                 labels.union(msgs.map_batches(relax,
                                               batch_format="pyarrow")),
                 ["source", "vertex"], "dist", how="min", out="dist"),
-            lbl_schema)
+            lbl_schema).materialize()  # per-round pin (CC lesson)
     return labels
 
 
@@ -1727,7 +1741,7 @@ def label_propagation(edges, iters: int = 3,
             })
 
         labels = _repaired(won.map_batches(strip, batch_format="pyarrow"),
-                           lbl_schema)
+                           lbl_schema).materialize()  # per-round pin
 
     if return_members:
         return labels
@@ -2641,7 +2655,7 @@ def katz_centrality(edges, iters: int = 3, beta_den: int = 5,
 
         ranks = _repaired(
             merged.map_batches(apply_x, batch_format="pyarrow"),
-            out_schema)
+            out_schema).materialize()  # per-round pin (CC lesson)
 
     return ranks
 
@@ -2732,7 +2746,7 @@ def wl_colors(edges, iters: int = 2, src: str = "_from", dst: str = "_to"):
             })
 
         colors = _repaired(j.map_batches(rehash, batch_format="pyarrow"),
-                           col_schema)
+                           col_schema).materialize()  # per-round pin
 
     hist = preagg_sum(
         colors.map_batches(
@@ -2941,7 +2955,7 @@ def msf_boruvka(edges, iters: int = 2, inner: int = 3,
                 lambda b: pa.table({"x": b.column("x"),
                                     "c": b.column("nc")}),
                 batch_format="pyarrow"),
-            lab_schema)
+            lab_schema).materialize()  # per-round pin (CC lesson)
 
     if not forest:
         return rd.from_arrow(out_schema.empty_table())
@@ -3433,7 +3447,7 @@ def personalized_pagerank(edges, n_seeds: int = 4, iters: int = 3,
 
         ranks = _repaired(
             merged.map_batches(apply_x, batch_format="pyarrow"),
-            out_schema)
+            out_schema).materialize()  # per-round pin (CC lesson)
     return ranks
 
 
@@ -3654,7 +3668,8 @@ def greedy_coloring(edges, iters: int = 3,
             return g.loc[g["f"] == 0, ["x"]]
 
         unc = _repaired(hash_aggregate(upd, ["x"], survive),
-                        vx_schema)
+                        vx_schema).materialize()
+        colored = colored.materialize()  # per-round pins (CC lesson)
 
     return colored.map_batches(
         lambda b: b.rename_columns(["vertex", "color"]),

@@ -294,7 +294,14 @@ def commit_dir(tmp: str, final: str) -> None:
         fs.mv(troot, froot, recursive=True)
         _write_marker(final)
         return
-    # marker mode: copy (visible but unmarked), mark, then clean
+    # marker mode: the single-writer loudness rename gives for free —
+    # a committed target means a concurrent writer won the epoch race;
+    # refuse instead of silently merging trees (fs copy would)
+    if is_committed(final):
+        raise FileExistsError(
+            f"commit target already committed: {final} "
+            "(concurrent writer? the index contract is single-writer)")
+    # copy (visible but unmarked), mark, then clean
     _copy_tree(tmp, final)
     _write_marker(final)
     rmtree(tmp)

@@ -195,3 +195,20 @@ def test_incremental_minhash_dedup_marker_mode(ray_session, tmp_path,
                                        shingle="word")
     assert e2 == 1   # epoch numbering also ignores the partial
     assert sorted(r["doc_id"] for r in s2.take_all()) == [3]
+
+
+def test_marker_commit_refuses_committed_target(tmp_path, marker_mode):
+    # single-writer loudness in marker mode: committing over an
+    # already-committed dir must raise, never silently merge trees
+    parent = str(tmp_path)
+    final = os.path.join(parent, "epoch-00000")
+    for name in ("_tmp-a", "_tmp-b"):
+        d = os.path.join(parent, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "f.parquet"), "w") as fh:
+            fh.write(name)
+    stateio.commit_dir(os.path.join(parent, "_tmp-a"), final)
+    with pytest.raises(FileExistsError):
+        stateio.commit_dir(os.path.join(parent, "_tmp-b"), final)
+    with open(os.path.join(final, "f.parquet")) as fh:
+        assert fh.read() == "_tmp-a"   # winner's payload intact
