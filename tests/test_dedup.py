@@ -1192,3 +1192,58 @@ def test_lsh_bucket_stats_grouped(ray_session):
                              bands=8, shingle="word",
                              group_col="lang")
     assert stats["max_bucket_size"] == 3
+
+
+def test_contract_pair_edges_preserves_components(ray_session):
+    # the contraction claim, pinned: components of the contracted edge
+    # set equal components of the original pair set — across random
+    # graphs, random block layouts, and pair duplication
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.dedup import _contract_pair_edges
+
+    def uf_components(pairs, vertices):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in vertices}
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        n_v = rng.randint(5, 60)
+        n_e = rng.randint(1, 150)
+        a = rng.randint(0, n_v, n_e)
+        b = rng.randint(0, n_v, n_e)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        pairs = [(f"v{x:03d}", f"v{y:03d}") for x, y in zip(a, b)]
+        verts = sorted({p for pr in pairs for p in pr})
+        want = uf_components(pairs, verts)
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"_from": [p[0] for p in pairs],
+             "_to": [p[1] for p in pairs]})) \
+            .repartition(int(rng.randint(1, 6)))
+        out = _contract_pair_edges(ds).take_all()
+        contracted = [(r["_from"], r["_to"]) for r in out]
+        got = uf_components(contracted, verts)
+        # same partition: roots may differ per representative choice,
+        # but the grouping (and with min-based union, the min rep)
+        # must match exactly
+        assert got == want, seed
+        # every paired vertex survives contraction (as a member edge
+        # or as some member's local root) — nothing vanishes
+        seen = {v for e in contracted for v in e}
+        assert seen == set(verts), seed
