@@ -1266,7 +1266,14 @@ def minhash_dedup_incremental(delta, index_dir: str,
     def band_rows(batch: pa.Table) -> pa.Table:
         return minhash_bands(batch, hasher, bands, text_col, id_col)
 
-    nb = num_buckets or lsh_num_buckets(None, bands)
+    # the delta fans out to FOUR consumers (band rows for the index
+    # join, the text/signature attach, the verified anti-join, the
+    # within-delta dedup) — pin it once; and size every exchange to
+    # the MEASURED delta instead of the legacy 128-bucket default (a
+    # small daily increment was paying ~20 s of empty bucket tasks
+    # across the six wide ops of an epoch)
+    delta = delta.materialize()
+    nb = num_buckets or lsh_num_buckets(delta.count(), bands)
     remaining = delta
     band_files = files("bands")
     if band_files:
@@ -1386,7 +1393,7 @@ def minhash_dedup_incremental(delta, index_dir: str,
 
     surv = minhash_dedup(remaining, threshold, num_perm, bands,
                          text_col, id_col, shingle,
-                         num_buckets=num_buckets,
+                         num_buckets=nb,
                          drop_strategy=drop_strategy).materialize()
 
     epoch = int(epochs[-1].split("-")[1]) + 1 if epochs else 0
