@@ -166,6 +166,7 @@ def cmd_dedup(args) -> int:
     if args.near:
         surv, epoch = minhash_dedup_incremental(
             delta, args.index, threshold=args.threshold,
+            num_perm=args.num_perm,
             bands=args.bands, shingle=args.shingle,
             text_col=args.text_col, id_col=args.id_col,
             verify=args.verify, drop_strategy=args.drop_strategy)
@@ -191,7 +192,8 @@ def cmd_lsh_stats(args) -> int:
 
     ds = rio.read_table(args.input)
     stats = lsh_bucket_stats(
-        ds, bands=args.bands, shingle=args.shingle,
+        ds, num_perm=args.num_perm,
+        bands=args.bands, shingle=args.shingle,
         text_col=args.text_col, id_col=args.id_col,
         group_col=args.group_col, cap=args.cap)
     print(json.dumps({"input": args.input, **stats}))
@@ -628,6 +630,9 @@ def main(argv=None) -> int:
     dd.add_argument("--threshold", type=float, default=0.8,
                     help="near mode: Jaccard drop threshold")
     dd.add_argument("--bands", type=int, default=16)
+    dd.add_argument("--num-perm", type=int, default=64,
+                    help="minhash signature length; bands must divide "
+                         "it (validated up front)")
     dd.add_argument("--shingle", default="char",
                     choices=["char", "word"])
     dd.add_argument("--verify", default="text",
@@ -651,6 +656,9 @@ def main(argv=None) -> int:
                           "docs sit beyond it")
     ls.add_argument("--input", required=True)
     ls.add_argument("--bands", type=int, default=16)
+    ls.add_argument("--num-perm", type=int, default=64,
+                    help="minhash signature length; bands must divide "
+                         "it (validated up front)")
     ls.add_argument("--shingle", default="char",
                     choices=["char", "word"])
     ls.add_argument("--text-col", default="text")

@@ -45,6 +45,24 @@ def _group_key(s: pd.Series) -> pd.Series:
     return out
 
 
+def _check_bands(num_perm: int, bands: int) -> None:
+    """Up-front parameter check shared by every minhash/LSH entry point:
+    ``bands`` must evenly divide ``num_perm`` (each band hashes
+    num_perm/bands signature rows). Without this, an odd combination
+    (e.g. bands=48, num_perm=64) crashes deep inside the signature
+    reshape with an opaque ValueError; here it's a clean domain error
+    the CLI turns into one line + exit 2."""
+    from raygraph.errors import InvalidParameterError
+
+    if bands < 1 or num_perm < 1:
+        raise InvalidParameterError(
+            f"bands ({bands}) and num_perm ({num_perm}) must be >= 1")
+    if num_perm % bands != 0:
+        raise InvalidParameterError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            f"try bands in {[b for b in (4, 8, 16, 32, 64) if num_perm % b == 0]}")
+
+
 # ------------------------------------------------------------------ exact
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """sha1 of the exact content — the dedup key."""
@@ -584,6 +602,7 @@ def lsh_bucket_stats(ds, num_perm: int = 64, bands: int = 16,
     """
     from .relational import hash_aggregate
 
+    _check_bands(num_perm, bands)
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
     band_keys = ["band_id", "band_hash"] + (
         ["grp"] if group_col is not None else [])
@@ -657,6 +676,7 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     """
     from .relational import hash_aggregate
 
+    _check_bands(num_perm, bands)
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
     band_keys = ["band_id", "band_hash"] + (
         ["grp"] if group_col is not None else [])
@@ -1231,6 +1251,7 @@ def minhash_dedup_incremental(delta, index_dir: str,
 
     if verify not in ("text", "signature"):
         raise InvalidParameterError("verify must be text|signature")
+    _check_bands(num_perm, bands)
     hasher = MinHasher(num_perm=num_perm, shingle=shingle)
     id_type = dataset_arrow_schema(delta).field(id_col).type
     if pa.types.is_integer(id_type):

@@ -66,6 +66,12 @@ def _stub_fsspec_http() -> None:
     import types
 
     try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        # fsspec itself absent: leave sys.modules alone so other
+        # consumers get a real ModuleNotFoundError, not a fake module
+        return
+    try:
         import fsspec.implementations.http  # noqa: F401
         return
     except ImportError:
@@ -73,7 +79,10 @@ def _stub_fsspec_http() -> None:
     mod = types.ModuleType("fsspec.implementations.http")
 
     class HTTPFileSystem:  # pragma: no cover - sentinel only
-        pass
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "fsspec HTTP filesystem unavailable: aiohttp is not "
+                "installed (stateio installed an import sentinel)")
 
     mod.HTTPFileSystem = HTTPFileSystem
     sys.modules["fsspec.implementations.http"] = mod
@@ -291,7 +300,18 @@ def commit_dir(tmp: str, final: str) -> None:
     if mode == "rename":
         fs, troot = _fs(tmp)
         _, froot = _fs(final)
-        fs.mv(troot, froot, recursive=True)
+        if _protocol(final) in _ATOMIC_RENAME_PROTOCOLS:
+            # fsspec's mv → shutil.move would silently nest tmp INSIDE
+            # an existing final; os.rename on the stripped path keeps
+            # the loser's-commit-fails-loudly single-writer contract
+            os.rename(troot, froot)
+        else:
+            if fs.exists(froot):
+                raise FileExistsError(
+                    f"commit target already exists: {final} "
+                    "(concurrent writer? the index contract is "
+                    "single-writer)")
+            fs.mv(troot, froot, recursive=True)
         _write_marker(final)
         return
     # marker mode: the single-writer loudness rename gives for free —
@@ -301,6 +321,10 @@ def commit_dir(tmp: str, final: str) -> None:
         raise FileExistsError(
             f"commit target already committed: {final} "
             "(concurrent writer? the index contract is single-writer)")
+    # an UNMARKED partial at final is a crashed earlier attempt; clear
+    # it so the retry's copy can't merge in (and permanently commit)
+    # that attempt's stale files — every commit starts from empty
+    rmtree(final)
     # copy (visible but unmarked), mark, then clean
     _copy_tree(tmp, final)
     _write_marker(final)

@@ -186,6 +186,36 @@ def test_cli_dedup_incremental(tmp_path, capsys, monkeypatch):
     assert rep2["epoch"] == 1 and rep2["survivors"] == 0
 
 
+def test_cli_bands_validated_up_front(tmp_path, capsys, monkeypatch):
+    # --bands that does not divide --num-perm must exit 2 with one
+    # clean line, not crash deep in the signature reshape
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import pandas as pd
+    import pyarrow as pa
+
+    corpus = os.path.join(str(tmp_path), "delta")
+    os.makedirs(corpus)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["aaaa", "bbbb"]}),
+        preserve_index=False), os.path.join(corpus, "t.parquet"))
+    for args in (
+        ["lsh-stats", "--input", corpus, "--bands", "48"],
+        ["dedup", "--input", corpus, "--near",
+         "--index", os.path.join(str(tmp_path), "idx"),
+         "--bands", "48"],
+    ):
+        rc = main(args)
+        err = capsys.readouterr().err
+        assert rc == 2
+        assert "evenly divide" in err
+        assert "Traceback" not in err
+    # a custom num-perm that the bands DO divide is accepted
+    assert main(["lsh-stats", "--input", corpus, "--bands", "48",
+                 "--num-perm", "96"]) == 0
+
+
 def test_cli_domain_errors_clean_exit(tmp_path, capsys, monkeypatch):
     # domain errors exit 2 with ONE clean line, never a traceback
     import ray

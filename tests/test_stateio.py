@@ -197,6 +197,72 @@ def test_incremental_minhash_dedup_marker_mode(ray_session, tmp_path,
     assert sorted(r["doc_id"] for r in s2.take_all()) == [3]
 
 
+def test_marker_retry_clears_stale_partial(tmp_path, marker_mode):
+    # crash mid-copy leaves an UNMARKED partial at final containing
+    # files the retried attempt no longer stages; the retry must start
+    # from an empty target — merging would permanently commit the
+    # crashed attempt's stale files (e.g. never-returned dedup hashes)
+    parent = str(tmp_path)
+    final = os.path.join(parent, "epoch-00000")
+    # crashed attempt: copied one stale file, never marked
+    os.makedirs(final)
+    with open(os.path.join(final, "stale.parquet"), "w") as fh:
+        fh.write("from-crashed-attempt")
+    assert not stateio.is_committed(final)
+    # retried attempt stages a DIFFERENT payload
+    tmp = os.path.join(parent, "_tmp-retry")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "fresh.parquet"), "w") as fh:
+        fh.write("retry")
+    stateio.commit_dir(tmp, final)
+    assert stateio.is_committed(final)
+    names = sorted(os.listdir(final))
+    assert "stale.parquet" not in names
+    assert names == [stateio.COMMIT_MARKER, "fresh.parquet"]
+
+
+def test_rename_commit_file_url_refuses_existing_target(tmp_path):
+    # rename mode through a file:// URL: fsspec's mv → shutil.move
+    # would silently nest tmp INSIDE an existing final; the commit must
+    # instead fail loudly (single-writer contract), like plain-path
+    # os.rename does
+    parent = str(tmp_path)
+    final_url = "file://" + os.path.join(parent, "epoch-00000")
+    for name in ("_tmp-a", "_tmp-b"):
+        d = os.path.join(parent, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "f.parquet"), "w") as fh:
+            fh.write(name)
+    stateio.commit_dir("file://" + os.path.join(parent, "_tmp-a"),
+                       final_url)
+    assert stateio.is_committed(final_url)
+    with pytest.raises(OSError):   # FileExistsError/NotADirectoryError
+        stateio.commit_dir("file://" + os.path.join(parent, "_tmp-b"),
+                           final_url)
+    # winner's payload intact, loser's tree never nested inside
+    fin = os.path.join(parent, "epoch-00000")
+    with open(os.path.join(fin, "f.parquet")) as fh:
+        assert fh.read() == "_tmp-a"
+    assert not os.path.isdir(os.path.join(fin, "_tmp-b"))
+
+
+def test_http_stub_sentinel_raises_on_use():
+    # when the aiohttp-less sentinel module is installed, probing the
+    # class must keep working (Ray's import probe) but USING it must
+    # fail with the real cause, not a silent no-op filesystem
+    import sys
+    if "aiohttp" in sys.modules or _aiohttp_available():
+        pytest.skip("aiohttp present; stub not installed")
+    from fsspec.implementations.http import HTTPFileSystem
+    with pytest.raises(ImportError, match="aiohttp"):
+        HTTPFileSystem()
+
+
+def _aiohttp_available() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("aiohttp") is not None
+
+
 def test_marker_commit_refuses_committed_target(tmp_path, marker_mode):
     # single-writer loudness in marker mode: committing over an
     # already-committed dir must raise, never silently merge trees
