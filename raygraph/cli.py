@@ -176,8 +176,10 @@ def cmd_dedup(args) -> int:
             id_col=args.id_col)
     n = surv.count()
     if args.output:
-        os.makedirs(args.output, exist_ok=True)
-        surv.write_parquet(args.output)
+        from . import stateio
+
+        stateio.makedirs(args.output)
+        stateio.ray_write_parquet(surv, args.output)
     print(json.dumps({"input": args.input, "index": args.index,
                       "epoch": epoch, "survivors": n,
                       "output": args.output}))
@@ -235,16 +237,17 @@ def cmd_prepare(args) -> int:
     # text attach) — materialize once so the read+spec doesn't
     # re-execute per consumer; also surfaces the zero-survivor case
     ds = ds.materialize()
+    from . import stateio
+
     if ds.count() == 0:
         # a spec that filters every row: emit an honest all-zero
         # report instead of crashing on an empty shuffle/report glob
-        os.makedirs(args.output, exist_ok=True)
+        stateio.makedirs(args.output)
         report = {"input": args.input, "output": args.output,
                   "seq_len": args.seq_len, "seed": args.seed,
                   "n_docs": 0, "total_tokens": 0, "n_packs": 0}
-        with open(os.path.join(args.output, "_report.json"),
-                  "w") as fh:
-            json.dump(report, fh, indent=1)
+        stateio.write_json_atomic(
+            stateio.join(args.output, "_report.json"), report, indent=1)
         print(json.dumps(report))
         ray.shutdown()
         return 0
@@ -262,30 +265,28 @@ def cmd_prepare(args) -> int:
     full = cogroup_join(meta, ds.map_batches(texts,
                                              batch_format="pyarrow"),
                         on="doc_id")
-    os.makedirs(args.output, exist_ok=True)
-    docs_dir = os.path.join(args.output, "docs")
-    full.write_parquet(docs_dir)
+    stateio.makedirs(args.output)
+    docs_dir = stateio.join(args.output, "docs")
+    stateio.ray_write_parquet(full, docs_dir)
     # a spec that filters every row writes NO parquet files — the
-    # report glob would raise; emit an honest all-zero report instead
+    # report read would raise; emit an honest all-zero report instead
     # (mirrors run_curation's has_files guard)
-    has_files = any(f.endswith(".parquet")
-                    for f in os.listdir(docs_dir)) \
-        if os.path.isdir(docs_dir) else False
-    if has_files:
-        import duckdb
+    if stateio.data_files(docs_dir):
+        from ray.data.aggregate import Max, Sum
 
-        st = duckdb.sql(
-            f"SELECT count(*) n, sum(n_tokens) tok, "
-            f"max(pack_id)+1 packs "
-            f"FROM read_parquet('{docs_dir}/*.parquet')").fetchone()
+        back = stateio.ray_read_parquet(
+            docs_dir, columns=["n_tokens", "pack_id"])
+        row = back.aggregate(Sum("n_tokens"), Max("pack_id"))
+        st = (back.count(), row["sum(n_tokens)"],
+              row["max(pack_id)"] + 1)
     else:
         st = (0, 0, 0)
     report = {"input": args.input, "output": args.output,
               "seq_len": args.seq_len, "seed": args.seed,
               "n_docs": int(st[0]), "total_tokens": int(st[1] or 0),
               "n_packs": int(st[2] or 0)}
-    with open(os.path.join(args.output, "_report.json"), "w") as fh:
-        json.dump(report, fh, indent=1)
+    stateio.write_json_atomic(
+        stateio.join(args.output, "_report.json"), report, indent=1)
     print(json.dumps(report))
     ray.shutdown()
     return 0
@@ -312,30 +313,27 @@ def cmd_vacuum(args) -> int:
 def cmd_asof(args) -> int:
     ray = _ray_session(args.num_cpus)
     import os
-    import shutil
-
-    import pyarrow.parquet as _pq
-
+    from . import stateio
     from .config import GraphBuildConfig
     from .pipeline import graph_asof
 
     cfg = GraphBuildConfig(input_path=args.kg, output_path=args.kg,
                            num_partitions=args.partitions)
     vertices, edges = graph_asof(cfg, args.epoch)
-    vp = os.path.join(args.output, "vertices")
-    ep = os.path.join(args.output, "edges")
+    vp = stateio.join(args.output, "vertices")
+    ep = stateio.join(args.output, "edges")
     for d in (vp, ep):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(args.output, exist_ok=True)
-    vertices.write_parquet(vp)
-    edges.write_parquet(ep)
+        stateio.rmtree(d)
+    stateio.makedirs(args.output)
+    stateio.ray_write_parquet(vertices, vp)
+    stateio.ray_write_parquet(edges, ep)
     print(json.dumps({
         "kg": args.kg, "epoch": args.epoch,
         "vertices": vp, "edges": ep,
-        "n_vertices": _pq.ParquetDataset(vp).read(
-            columns=["_id"]).num_rows,
-        "n_edges": _pq.ParquetDataset(ep).read(
-            columns=["_key"]).num_rows,
+        "n_vertices": sum(stateio.pq_read_metadata(f).num_rows
+                          for f in stateio.data_files(vp)),
+        "n_edges": sum(stateio.pq_read_metadata(f).num_rows
+                       for f in stateio.data_files(ep)),
     }))
     ray.shutdown()
     return 0
@@ -343,40 +341,35 @@ def cmd_asof(args) -> int:
 
 def cmd_forget(args) -> int:
     ray = _ray_session(args.num_cpus)
-    import os
-    import shutil
-
-    import pyarrow.parquet as _pq
-
+    from . import stateio
     from .config import GraphBuildConfig
     from .pipeline import graph_forget
 
     cfg = GraphBuildConfig(input_path=args.kg, output_path=args.kg,
                            num_partitions=args.partitions)
-    if os.path.isdir(args.deletions) or args.deletions.endswith(".parquet"):
-        import ray.data as rd
-
-        keys = rd.read_parquet(args.deletions, columns=["doc_id"])
+    if stateio.isdir(args.deletions) or args.deletions.endswith(".parquet"):
+        keys = stateio.ray_read_parquet(args.deletions,
+                                        columns=["doc_id"])
         vertices, edges = graph_forget(cfg, deletions=keys)
         n_gone = keys.count()
     else:
         gone = [d for d in args.deletions.split(",") if d]
         vertices, edges = graph_forget(cfg, deleted_doc_ids=gone)
         n_gone = len(gone)
-    vp = os.path.join(args.output, "vertices")
-    ep = os.path.join(args.output, "edges")
+    vp = stateio.join(args.output, "vertices")
+    ep = stateio.join(args.output, "edges")
     for d in (vp, ep):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(args.output, exist_ok=True)
-    vertices.write_parquet(vp)
-    edges.write_parquet(ep)
+        stateio.rmtree(d)
+    stateio.makedirs(args.output)
+    stateio.ray_write_parquet(vertices, vp)
+    stateio.ray_write_parquet(edges, ep)
     print(json.dumps({
         "kg": args.kg, "deleted_docs": n_gone,
         "vertices": vp, "edges": ep,
-        "n_vertices": _pq.ParquetDataset(vp).read(
-            columns=["_id"]).num_rows,
-        "n_edges": _pq.ParquetDataset(ep).read(
-            columns=["_key"]).num_rows,
+        "n_vertices": sum(stateio.pq_read_metadata(f).num_rows
+                          for f in stateio.data_files(vp)),
+        "n_edges": sum(stateio.pq_read_metadata(f).num_rows
+                       for f in stateio.data_files(ep)),
     }))
     ray.shutdown()
     return 0

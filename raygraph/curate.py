@@ -21,7 +21,6 @@ scale, stream mode at production scale.
 from __future__ import annotations
 
 import json
-import os
 import re
 
 import pandas as pd
@@ -443,16 +442,16 @@ def run_curation(input_path: str, output_path: str, spec: list[dict],
         names, staged = compile_spec(ds, spec)
         report["stages"] = [{"stage": n} for n in names]
         ds = staged[-1] if staged else ds
-    os.makedirs(output_path, exist_ok=True)
-    docs_dir = os.path.join(output_path, "docs")
+    stateio.makedirs(output_path)
+    docs_dir = stateio.join(output_path, "docs")
     # a fully-filtering spec writes ZERO rows — write_parquet then
     # creates no files at all; the empty docs dir must still exist and
     # the report read must not be attempted against it
-    os.makedirs(docs_dir, exist_ok=True)
-    ds.write_parquet(docs_dir)
-    has_files = any(f.endswith(".parquet") for f in os.listdir(docs_dir))
-    report["rows_out"] = rio.read_table(docs_dir).count() \
+    stateio.makedirs(docs_dir)
+    stateio.ray_write_parquet(ds, docs_dir)
+    has_files = bool(stateio.data_files(docs_dir))
+    report["rows_out"] = stateio.ray_read_parquet(docs_dir).count() \
         if has_files else 0
-    with open(os.path.join(output_path, "_report.json"), "w") as fh:
-        json.dump(report, fh, indent=1)
+    stateio.write_json_atomic(stateio.join(output_path, "_report.json"),
+                              report, indent=1)
     return report

@@ -80,43 +80,56 @@ def _merge_user(state_row, ts_us: np.ndarray, gap_us: int):
     return closed, state
 
 
-def _round_complete(state_dir: str, i: int) -> bool:  # noqa: D103
-    import os
+def _round_dir(state_dir: str, i: int) -> str:
+    from raygraph import stateio
 
-    return os.path.exists(os.path.join(state_dir, f"round={i}",
-                                       "_complete.json"))
+    return stateio.join(state_dir, f"round={i}")
+
+
+def _round_complete(state_dir: str, i: int) -> bool:  # noqa: D103
+    from raygraph import stateio
+
+    return stateio.exists(
+        stateio.join(_round_dir(state_dir, i), "_complete.json"))
 
 
 def _write_round(state_dir: str, i: int, state, closed) -> None:
     """Persist a micro-batch round: state + closed parquet, then the
     completion marker LAST (the write-then-commit order that makes a
-    crash mid-round indistinguishable from the round never running)."""
-    import json
-    import os
+    crash mid-round indistinguishable from the round never running).
 
-    rd_dir = os.path.join(state_dir, f"round={i}")
+    All IO routes through :mod:`raygraph.stateio`, so ``state_dir`` may
+    be a shared-storage URL (file://, s3://, …) like every other
+    persisted index/manifest in the engine. The marker is a single
+    JSON object (atomic PUT on object stores — no rename needed);
+    a crashed attempt's partial parquet is cleared before the rewrite,
+    because Ray's write filenames are unique per run and a bare
+    re-write would silently merge stale files into the retried round.
+    """
+    from raygraph import stateio
+
+    rd_dir = _round_dir(state_dir, i)
+    stateio.rmtree(rd_dir)   # unmarked partial from a crashed attempt
     for name, d in (("state", state), ("closed", closed)):
-        p = os.path.join(rd_dir, name)
-        os.makedirs(p, exist_ok=True)
+        p = stateio.join(rd_dir, name)
+        stateio.makedirs(p)
         if d.count():
-            d.write_parquet(p)
-    with open(os.path.join(rd_dir, "_complete.json"), "w") as fh:
-        json.dump({"round": i}, fh)
+            stateio.ray_write_parquet(d, p)
+    stateio.write_json_atomic(stateio.join(rd_dir, "_complete.json"),
+                              {"round": i})
 
 
 def _read_round(state_dir: str, i: int, name: str,
                 schema: pa.Schema | None = None):
-    import os
-
     import ray.data as rd
 
+    from raygraph import stateio
+
     schema = schema or _MERGE_SCHEMA
-    p = os.path.join(state_dir, f"round={i}", name)
-    files = [f for f in os.listdir(p) if f.endswith(".parquet")] \
-        if os.path.isdir(p) else []
-    if not files:
+    p = stateio.join(_round_dir(state_dir, i), name)
+    if not stateio.data_files(p):
         return rd.from_arrow(schema.empty_table())
-    out = rd.read_parquet(p)
+    out = stateio.ray_read_parquet(p)
 
     def coerce(batch: pa.Table) -> pa.Table:
         return batch.select([f.name for f in schema]).cast(schema)

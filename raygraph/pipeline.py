@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from . import checkpoint as ckpt
+from . import stateio
 from .config import GraphBuildConfig
 from .io import read_documents, read_table
 from .ops.canon import canonicalize
@@ -77,7 +78,7 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
                                          cfg.part_offset),
                             batch_format="pyarrow")
 
-    triples_path = os.path.join(cfg.output_path, "triples")
+    triples_path = stateio.join(cfg.output_path, "triples")
     if cfg.resume:
         done = ckpt.completed_partitions(triples_path)
         if done:
@@ -88,9 +89,7 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
         # checkpoint: write_parquet emits uniquely-named files, so stale
         # part_id=* dirs would double-count triples in the manifests and
         # poison any later --resume of this output_path
-        import shutil
-
-        shutil.rmtree(triples_path, ignore_errors=True)
+        stateio.rmtree(triples_path)
 
     docs = docs.map_batches(validate_spans, batch_format="pyarrow")
 
@@ -142,31 +141,13 @@ def extract_and_link(cfg: GraphBuildConfig, aliases: dict[str, str] | None = Non
     return linked, triples_path
 
 
-def _stub_fsspec_http() -> None:
-    """Make ``fsspec.implementations.http`` importable even without aiohttp.
-
-    Ray's write path probes ``from fsspec.implementations.http import
-    HTTPFileSystem`` per write and catches only ModuleNotFoundError; when
-    two concurrent writes race the (always-failing, aiohttp-less) import,
-    one thread sees a half-initialized module and gets a plain
-    ImportError instead — so install a stub module once, on the main
-    thread. The sentinel class is never instantiated here (local
-    filesystems only)."""
-    import sys
-    import types
-
-    try:
-        import fsspec.implementations.http  # noqa: F401
-        return
-    except ImportError:
-        pass
-    mod = types.ModuleType("fsspec.implementations.http")
-
-    class HTTPFileSystem:  # pragma: no cover - sentinel only
-        pass
-
-    mod.HTTPFileSystem = HTTPFileSystem
-    sys.modules["fsspec.implementations.http"] = mod
+# Ray's write path probes `from fsspec.implementations.http import
+# HTTPFileSystem` per write and catches only ModuleNotFoundError; two
+# concurrent writes racing the (always-failing, aiohttp-less) import can
+# see a half-initialized module and get a plain ImportError. stateio
+# installs one hardened stub module at import; this alias keeps the
+# pre-write call sites explicit.
+_stub_fsspec_http = stateio._stub_fsspec_http
 
 
 def build_graph(cfg: GraphBuildConfig,
@@ -180,7 +161,7 @@ def build_graph(cfg: GraphBuildConfig,
     done_before: set[int] = set()
     if cfg.resume:
         done_before = ckpt.completed_partitions(
-            os.path.join(cfg.output_path, "triples")
+            stateio.join(cfg.output_path, "triples")
         )
     linked, triples_path = extract_and_link(cfg, aliases=aliases)
     if cfg.materialize_triples:
@@ -201,8 +182,9 @@ def build_graph(cfg: GraphBuildConfig,
             # sort by part_id so each checkpoint partition lands in
             # contiguous blocks → O(partitions) files instead of
             # O(blocks × partitions)
-            linked.sort("part_id").write_parquet(triples_path,
-                                                 partition_cols=["part_id"])
+            stateio.ray_write_parquet(linked.sort("part_id"),
+                                      triples_path,
+                                      partition_cols=["part_id"])
         return ckpt.finalize_partitions(triples_path, cfg.num_partitions)
 
     # the in-memory linked table IS the full triples set only when no
@@ -225,8 +207,6 @@ def build_graph(cfg: GraphBuildConfig,
         # B instead of serializing before it, and the completed base is
         # read once, not written-then-reread
         fw = ckpt_pool.submit(_write_checkpoint)
-        import ray.data as rd
-
         triples_root = triples_path
         base_files = ckpt.completed_files(triples_root)
         approx_triples = new_rows + sum(
@@ -234,14 +214,15 @@ def build_graph(cfg: GraphBuildConfig,
         cols = [c for c in linked.schema().names if c != "part_id"]
         triples = linked.select_columns(cols)
         if base_files:
-            triples = rd.read_parquet(base_files,
-                                      columns=cols).union(triples)
+            triples = stateio.ray_read_parquet(
+                base_files, columns=cols).union(triples)
         triples = triples.materialize()
     else:
         fw = ckpt_pool.submit(_write_checkpoint)
         part_stats = fw.result()
         approx_triples = sum(s["rows"] for s in part_stats.values())
-        triples = read_table(triples_path)
+        triples = stateio.ray_read_parquet(triples_path) \
+            if stateio.is_url(triples_path) else read_table(triples_path)
         if cfg.materialize_triples:
             triples = triples.materialize()
 
@@ -321,14 +302,12 @@ def build_graph(cfg: GraphBuildConfig,
     edges = build_edges(triples, canon_fn, vcol, ecol,
                         strategy=cfg.agg_strategy, num_buckets=n_buckets)
 
-    vertices_path = os.path.join(cfg.output_path, "vertices")
-    edges_path = os.path.join(cfg.output_path, "edges")
+    vertices_path = stateio.join(cfg.output_path, "vertices")
+    edges_path = stateio.join(cfg.output_path, "edges")
     # graph tables are always rebuilt in phase B (they are derived data);
     # clear any previous run's files so a resume never appends duplicates
-    import shutil
-
-    shutil.rmtree(vertices_path, ignore_errors=True)
-    shutil.rmtree(edges_path, ignore_errors=True)
+    stateio.rmtree(vertices_path)
+    stateio.rmtree(edges_path)
     if cfg.sort_output:
         vertices = vertices.sort("_id")
         edges = edges.sort("_key")
@@ -342,13 +321,15 @@ def build_graph(cfg: GraphBuildConfig,
 
     if cfg.concurrent_outputs:
         with ThreadPoolExecutor(max_workers=2) as pool:
-            fv = pool.submit(vertices.write_parquet, vertices_path)
-            fe = pool.submit(edges.write_parquet, edges_path)
+            fv = pool.submit(stateio.ray_write_parquet, vertices,
+                             vertices_path)
+            fe = pool.submit(stateio.ray_write_parquet, edges,
+                             edges_path)
             fv.result()
             fe.result()
     else:
-        vertices.write_parquet(vertices_path)
-        edges.write_parquet(edges_path)
+        stateio.ray_write_parquet(vertices, vertices_path)
+        stateio.ray_write_parquet(edges, edges_path)
     metrics["phase_b_sec"] = time.monotonic() - t1
 
     # join the background checkpoint write (manifests must exist before
@@ -390,7 +371,7 @@ def merge_delta(cfg: GraphBuildConfig, delta_input_path: str,
 
     from .errors import CheckpointError
 
-    triples_path = os.path.join(cfg.output_path, "triples")
+    triples_path = stateio.join(cfg.output_path, "triples")
     done = ckpt.completed_partitions(triples_path)
     if not done:
         raise CheckpointError(
@@ -429,7 +410,7 @@ def graph_asof(cfg: GraphBuildConfig, epoch: int):
 
     if epoch < 0:
         raise InvalidParameterError("epoch must be >= 0")
-    triples_path = os.path.join(cfg.output_path, "triples")
+    triples_path = stateio.join(cfg.output_path, "triples")
     done = ckpt.completed_partitions(triples_path)
     if not done:
         raise CheckpointError(
@@ -440,16 +421,13 @@ def graph_asof(cfg: GraphBuildConfig, epoch: int):
         raise InvalidParameterError(
             f"epoch {epoch}: no completed partitions "
             f"(have epochs 0..{max(done) // cfg.num_partitions})")
-    import glob
-
     import ray
-    import ray.data as rd
 
-    files = [f for pid in keep for f in sorted(glob.glob(
-        os.path.join(triples_path, f"part_id={pid}", "*.parquet")))]
+    files = [f for pid in keep for f in stateio.data_files(
+        stateio.join(triples_path, f"part_id={pid}"))]
     rows = ckpt.completed_rows(triples_path)
     approx = sum(rows.get(p, 0) for p in keep)
-    triples = rd.read_parquet(files)
+    triples = stateio.ray_read_parquet(files)
     cols = [c for c in triples.schema().names if c != "part_id"]
     triples = triples.select_columns(cols).materialize()
 
@@ -493,10 +471,7 @@ def graph_forget(cfg: GraphBuildConfig, deleted_doc_ids=None,
     ``left_anti`` join (the distributed NOT IN). Exactly one must be
     given. Returns lazy (vertices, edges); nothing is written.
     """
-    import glob
-
     import ray
-    import ray.data as rd
 
     from .errors import CheckpointError, InvalidParameterError
     from .ops.materialize import adaptive_buckets, make_apply_canon
@@ -504,16 +479,16 @@ def graph_forget(cfg: GraphBuildConfig, deleted_doc_ids=None,
     if (deleted_doc_ids is None) == (deletions is None):
         raise InvalidParameterError(
             "pass exactly one of deleted_doc_ids / deletions")
-    triples_path = os.path.join(cfg.output_path, "triples")
+    triples_path = stateio.join(cfg.output_path, "triples")
     done = ckpt.completed_partitions(triples_path)
     if not done:
         raise CheckpointError(
             f"no completed build under {triples_path}")
-    files = [f for pid in sorted(done) for f in sorted(glob.glob(
-        os.path.join(triples_path, f"part_id={pid}", "*.parquet")))]
+    files = [f for pid in sorted(done) for f in stateio.data_files(
+        stateio.join(triples_path, f"part_id={pid}"))]
     rows = ckpt.completed_rows(triples_path)
     approx = sum(rows.get(p, 0) for p in done)
-    triples = rd.read_parquet(files)
+    triples = stateio.ray_read_parquet(files)
     cols = [c for c in triples.schema().names if c != "part_id"]
     triples = triples.select_columns(cols)
 

@@ -103,6 +103,61 @@ def test_resume_after_partial_failure(tmp_path):
     assert m["status"] == "done" and m["rows"] > 0
 
 
+def test_resume_on_file_url_marker_mode(tmp_path):
+    """The KG checkpoint/resume path end-to-end through a shared-storage
+    URL (file://) under FORCED marker commit mode — the object-store
+    discipline: a crashed run's completed partitions (manifests present)
+    are skipped, an unmanifested partial is cleaned, and the resumed
+    graph tables are byte-identical to a plain-path reference build."""
+    from raygraph import stateio
+
+    n = 100
+    in_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(in_dir)
+    pq.write_table(synth.corpus(n), os.path.join(in_dir, "docs.parquet"))
+    aliases = synth.alias_inventory(synth.entity_space(n))
+
+    ref = build_graph(GraphBuildConfig(
+        input_path=in_dir, output_path=os.path.join(str(tmp_path), "ref"),
+        num_partitions=4, linker_concurrency=(1, 2)), aliases=aliases)
+    ref_v, ref_e = _graph_tables(ref)
+
+    # crashed state mirrored under a file:// output: partitions 0,1
+    # complete with manifests, partition 2 stale without manifest
+    crash_plain = os.path.join(str(tmp_path), "crash")
+    crash_url = "file://" + crash_plain
+    crash_tp = os.path.join(crash_plain, "triples")
+    os.makedirs(crash_tp)
+    for pid in (0, 1, 2):
+        shutil.copytree(os.path.join(ref.triples_path, f"part_id={pid}"),
+                        os.path.join(crash_tp, f"part_id={pid}"))
+    stateio.set_commit_mode("marker")
+    try:
+        for pid in (0, 1):
+            rows = sum(pq.read_metadata(f).num_rows for f in glob.glob(
+                os.path.join(crash_tp, f"part_id={pid}", "*.parquet")))
+            ckpt.write_partition_manifest("file://" + crash_tp, pid,
+                                          rows=rows)
+        res = build_graph(GraphBuildConfig(
+            input_path=in_dir, output_path=crash_url,
+            num_partitions=4, linker_concurrency=(1, 2), resume=True),
+            aliases=aliases)
+    finally:
+        stateio.set_commit_mode(None)
+    assert res.vertices_path.startswith("file://")
+    # read back through the plain-path mirror: identical tables
+    got_v = pq.ParquetDataset(
+        os.path.join(crash_plain, "vertices")).read().to_pandas() \
+        .sort_values("_key").reset_index(drop=True).sort_index(axis=1)
+    got_e = pq.ParquetDataset(
+        os.path.join(crash_plain, "edges")).read().to_pandas() \
+        .sort_values("_key").reset_index(drop=True).sort_index(axis=1)
+    assert got_v.equals(ref_v)
+    assert got_e.equals(ref_e)
+    assert ckpt.completed_partitions("file://" + crash_tp) == {0, 1, 2, 3}
+    assert res.metrics["partitions_skipped"] == 2
+
+
 def test_resume_noop_when_all_done(tmp_path):
     """Resuming a COMPLETE run redoes no partition work and leaves
     identical outputs."""

@@ -186,6 +186,55 @@ def test_cli_dedup_incremental(tmp_path, capsys, monkeypatch):
     assert rep2["epoch"] == 1 and rep2["survivors"] == 0
 
 
+def test_cli_url_output_dirs(tmp_path, capsys, monkeypatch):
+    # curate / prepare / dedup accept file:// output dirs end to end:
+    # the report paths route through stateio like the heavy lifting
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    import pandas as pd
+    import pyarrow as pa
+
+    d = str(tmp_path)
+    corpus = os.path.join(d, "docs")
+    os.makedirs(corpus)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["long enough document text here ok"] * 2
+        + ["x", "another long enough document body"]}),
+        preserve_index=False), os.path.join(corpus, "t.parquet"))
+    spec = os.path.join(d, "spec.json")
+    with open(spec, "w") as fh:
+        json.dump([{"stage": "length_filter", "min_chars": 10}], fh)
+
+    cur_out = os.path.join(d, "curated")
+    assert main(["curate", "--input", corpus, "--output",
+                 "file://" + cur_out, "--spec", spec]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["rows_out"] == 3
+    assert os.path.exists(os.path.join(cur_out, "_report.json"))
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(os.path.join(cur_out, "docs")))
+
+    prep_out = os.path.join(d, "prep")
+    assert main(["prepare", "--input", corpus, "--output",
+                 "file://" + prep_out, "--seq-len", "8",
+                 "--seed", "0"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_docs"] == 4 and rep["n_packs"] >= 1
+    assert os.path.exists(os.path.join(prep_out, "_report.json"))
+
+    surv_out = os.path.join(d, "surv")
+    assert main(["dedup", "--input", corpus,
+                 "--index", os.path.join(d, "idx"),
+                 "--output", "file://" + surv_out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["survivors"] == 3
+    assert sum(pq.read_metadata(os.path.join(surv_out, f)).num_rows
+               for f in os.listdir(surv_out)
+               if f.endswith(".parquet")) == 3
+
+
 def test_cli_bands_validated_up_front(tmp_path, capsys, monkeypatch):
     # --bands that does not divide --num-perm must exit 2 with one
     # clean line, not crash deep in the signature reshape

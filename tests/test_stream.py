@@ -88,6 +88,59 @@ def test_incremental_resume_from_checkpoint(ray_session, tmp_path):
     assert _norm(again) == _norm(ref) == _norm(batch)
 
 
+def test_incremental_state_dir_on_file_url(ray_session, tmp_path):
+    # the round-state checkpoints route through stateio, so state_dir
+    # may be a shared-storage URL — the last persisted state in the
+    # engine to gain this (every index/manifest/sidecar already had it).
+    # Crash-resume through a file:// URL must be row-identical, and a
+    # crashed attempt's UNMARKED partial round (stale parquet, no
+    # _complete.json) must be invisible AND cleared on the rewrite.
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygraph.ops.stream import sessionize_incremental
+
+    df = _events(n_users=5, n=300, seed=17)
+    full_dir = os.path.join(str(tmp_path), "full")
+    ref = sessionize_incremental(rd.from_pandas(df), n_micro_batches=4,
+                                 gap_sec=1800,
+                                 state_dir=full_dir).to_pandas()
+
+    url_full = "file://" + os.path.join(str(tmp_path), "url_full")
+    via_url = sessionize_incremental(rd.from_pandas(df),
+                                     n_micro_batches=4, gap_sec=1800,
+                                     state_dir=url_full).to_pandas()
+    assert _norm(via_url) == _norm(ref)
+    # rounds landed as plain dirs with the marker written
+    plain = os.path.join(str(tmp_path), "url_full")
+    assert sorted(os.listdir(plain)) == [f"round={i}" for i in range(4)]
+    assert all(os.path.exists(os.path.join(plain, f"round={i}",
+                                           "_complete.json"))
+               for i in range(4))
+
+    # crash after round 1, plus a stale partial at round=2: parquet
+    # written, marker never landed — resume must redo round 2 from
+    # scratch (no merge with the stale file) and match exactly
+    crash = os.path.join(str(tmp_path), "crash")
+    os.makedirs(crash)
+    for i in (0, 1):
+        shutil.copytree(os.path.join(plain, f"round={i}"),
+                        os.path.join(crash, f"round={i}"))
+    stale = os.path.join(crash, "round=2", "closed")
+    os.makedirs(stale)
+    pq.write_table(pa.table({"user_id": pa.array([999], pa.int64())}),
+                   os.path.join(stale, "stale.parquet"))
+    resumed = sessionize_incremental(
+        rd.from_pandas(df), n_micro_batches=4, gap_sec=1800,
+        state_dir="file://" + crash, resume=True).to_pandas()
+    assert _norm(resumed) == _norm(ref)
+    assert 999 not in set(resumed["user_id"])
+    assert not os.path.exists(os.path.join(stale, "stale.parquet"))
+
+
 def test_distinct_count_incremental_resume(ray_session, tmp_path):
     import os
     import shutil
