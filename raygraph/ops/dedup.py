@@ -464,8 +464,37 @@ BUCKET_PAIR_CAP = 512  # max ids per LSH bucket considered for pairing
 # small" and minhash_dedup routes through the distributed
 # component/anti-join path instead. At web-crawl dup rates (30-50%)
 # the pair inventory is corpus-order, so the 100-TB default must never
-# silently collect it (VERDICT r3 "What's wrong" #1).
+# silently collect it (VERDICT r3 "What's wrong" #1). This fixed value
+# is the FALLBACK when driver memory can't be read — the live bound is
+# derived from it (:func:`auto_broadcast_max_pairs`).
 AUTO_BROADCAST_MAX_PAIRS = 2_000_000
+
+# driver-heap cost of one collected verified pair: the take_all row
+# dict (two ids + dict/object overhead) plus its union-find parent
+# entries — ~0.5 KB measured on int ids, more on long string ids, so
+# round up.
+AUTO_PAIR_BYTES = 512
+# fraction of currently-available driver memory the collected pair
+# inventory may occupy before "auto" routes to the distributed path
+AUTO_HEAP_FRACTION = 0.05
+
+
+def auto_broadcast_max_pairs() -> int:
+    """Memory-derived "auto" switchover bound: the largest verified-pair
+    inventory the driver union-find may collect, computed as
+    ``available_memory × AUTO_HEAP_FRACTION / AUTO_PAIR_BYTES`` at call
+    time. On a 128 GiB driver that's ~13M pairs; on a 4 GiB laptop
+    ~400k — the bound tracks the machine instead of hard-coding one.
+    Falls back to the fixed :data:`AUTO_BROADCAST_MAX_PAIRS` when
+    available memory can't be read, and never drops below 100k (the
+    distributed path's fixed overhead isn't worth it under that)."""
+    try:
+        import psutil
+
+        avail = int(psutil.virtual_memory().available)
+    except Exception:
+        return AUTO_BROADCAST_MAX_PAIRS
+    return max(100_000, int(avail * AUTO_HEAP_FRACTION) // AUTO_PAIR_BYTES)
 
 
 def lsh_num_buckets(n_rows: int | None, bands: int = 16) -> int:
@@ -1056,10 +1085,11 @@ def minhash_dedup(
 
     - ``"auto"`` (default): the verified-pair Dataset is materialized
       in the object store and COUNTED in-cluster; at or under
-      ``auto_max_pairs`` (default :data:`AUTO_BROADCAST_MAX_PAIRS`)
-      the broadcast path runs, past it the distributed path runs —
-      the data decides, so a heavily-duplicated crawl can never
-      silently pull a corpus-order pair inventory onto the driver.
+      ``auto_max_pairs`` (default: the memory-derived
+      :func:`auto_broadcast_max_pairs`, logged at decision time) the
+      broadcast path runs, past it the distributed path runs — the
+      data AND the machine decide, so a heavily-duplicated crawl can
+      never silently pull a pair inventory the driver heap can't hold.
     - ``"broadcast"``: verified pairs are collected for a driver
       union-find, the drop set comes back as one ``pc.is_in``
       broadcast filter — one corpus pass, no corpus shuffle. Right
@@ -1088,10 +1118,16 @@ def minhash_dedup(
         # count in-cluster (pairs stay in the object store; one
         # materialize serves both the count and whichever path wins)
         vp = vp.materialize()
-        bound = (AUTO_BROADCAST_MAX_PAIRS if auto_max_pairs is None
+        bound = (auto_broadcast_max_pairs() if auto_max_pairs is None
                  else auto_max_pairs)
-        drop_strategy = ("distributed" if vp.count() > bound
+        n_pairs = vp.count()
+        drop_strategy = ("distributed" if n_pairs > bound
                          else "broadcast")
+        import logging
+
+        logging.getLogger(__name__).info(
+            "near-dedup auto: %d verified pairs vs memory-derived "
+            "bound %d -> %s", n_pairs, bound, drop_strategy)
     if drop_strategy == "distributed":
         return _dedup_drop_distributed(ds, vp, id_col, cc_iters)
     verified = vp.take_all()

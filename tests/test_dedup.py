@@ -458,6 +458,32 @@ def test_minhash_dedup_strategies_equivalent(ray_session):
     assert run_auto(0) == got_b
 
 
+def test_auto_broadcast_bound_memory_derived(monkeypatch):
+    # the auto switchover bound tracks available driver memory; the
+    # fixed constant is only the no-psutil fallback
+    import psutil
+
+    from raygraph.ops import dedup as dd
+
+    class _VM:
+        available = 64 * 2**30    # 64 GiB free
+
+    monkeypatch.setattr(psutil, "virtual_memory", lambda: _VM)
+    got = dd.auto_broadcast_max_pairs()
+    assert got == int(64 * 2**30 * dd.AUTO_HEAP_FRACTION) \
+        // dd.AUTO_PAIR_BYTES
+    assert got > dd.AUTO_BROADCAST_MAX_PAIRS  # 64 GiB beats the fixed 2M
+
+    _VM.available = 16 * 2**20    # 16 MiB free: floor binds
+    assert dd.auto_broadcast_max_pairs() == 100_000
+
+    def boom():
+        raise OSError("no /proc")
+
+    monkeypatch.setattr(psutil, "virtual_memory", boom)
+    assert dd.auto_broadcast_max_pairs() == dd.AUTO_BROADCAST_MAX_PAIRS
+
+
 def test_minhash_dedup_bad_strategy_rejected(ray_session):
     import pandas as pd
     import ray.data as rd
