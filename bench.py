@@ -170,6 +170,49 @@ def skew() -> None:
     out["line_dedup_grouped_sec"] = round(time.monotonic() - t0, 3)
     out["line_dedup_rows"] = n
 
+    # KG phase-B under a hot-entity (Zipf) distribution: the salted
+    # aggregation (per-batch edge/vertex partials collapsing the hub
+    # before any shuffle) is canonicalization's named skew defense
+    # (SURVEY §4.2) — this records what it costs when one entity
+    # dominates the triple stream, alongside the adaptive bucket count
+    # the aggregation chose. Correctness (salted ≡ unsalted) is pinned
+    # by tests/test_pipeline.py::test_agg_strategies_agree_on_zipf_corpus.
+    from raygraph import synth
+    from raygraph.config import GraphBuildConfig
+    from raygraph.pipeline import build_graph
+
+    kg_docs = int(os.environ.get("GRAFT_SKEW_KG_DOCS", "200000"))
+    kg_in = os.path.join(BENCH_TMP, f"skew_kg_n{kg_docs}")
+    marker = os.path.join(kg_in, "_complete")
+    stamp = f"{kg_docs};zipf=1.3;v1"
+    if not (os.path.exists(marker) and open(marker).read() == stamp):
+        shutil.rmtree(kg_in, ignore_errors=True)
+        os.makedirs(kg_in)
+        import pyarrow.parquet as pq
+
+        pq.write_table(synth.corpus_zipf(kg_docs, zipf_a=1.3),
+                       os.path.join(kg_in, "docs.parquet"),
+                       row_group_size=16384)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    kg_out = os.path.join(BENCH_TMP, "skew_kg_out")
+    shutil.rmtree(kg_out, ignore_errors=True)
+    aliases = synth.alias_inventory(synth.entity_space(kg_docs))
+    t0 = time.monotonic()
+    res = build_graph(GraphBuildConfig(
+        input_path=kg_in, output_path=kg_out,
+        num_partitions=32), aliases=aliases)
+    out["kg_zipf_build_sec"] = round(time.monotonic() - t0, 3)
+    out["kg_zipf_phase_a_sec"] = round(res.metrics["phase_a_sec"], 3)
+    out["kg_zipf_phase_b_sec"] = round(res.metrics["phase_b_sec"], 3)
+    out["kg_zipf_agg_buckets"] = res.metrics.get("agg_num_buckets")
+    import pyarrow.parquet as pq
+
+    e = pq.ParquetDataset(res.edges_path).read(columns=["_from"])
+    vc = e.column("_from").to_pandas().value_counts()
+    out["kg_zipf_edges"] = int(len(e))
+    out["kg_zipf_hot_entity_edges"] = int(vc.iloc[0])
+
     ray.shutdown()
     print(json.dumps(out))
 

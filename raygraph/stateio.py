@@ -336,17 +336,38 @@ def _write_marker(dirpath: str) -> None:
 
 
 def _copy_tree(src: str, dst: str) -> None:
+    """Copy a staged tree (marker-mode commit body).
+
+    Committed trees are expected to be METADATA-SIZED (index epochs,
+    manifests, sidecars — KB-MB); bulk data flows through
+    :func:`ray_write_parquet` directly, never through a staged commit.
+    The remote route still copies files concurrently (a small thread
+    pool over per-file get/put) so a tree of many small objects is
+    bounded by object-store round-trips / pool-width, not their sum."""
     if not is_url(src) and not is_url(dst):
         shutil.copytree(src, dst, dirs_exist_ok=True)
         return
+    from concurrent.futures import ThreadPoolExecutor
+
     sfs, sroot = _fs(src)
     dfs, droot = _fs(dst)
-    for p in sfs.find(sroot):
+    files = sfs.find(sroot)
+
+    def one(p: str) -> None:
         rel = posixpath.relpath(p, sroot)
         target = posixpath.join(droot, rel)
         dfs.makedirs(posixpath.dirname(target), exist_ok=True)
         with sfs.open(p, "rb") as r, dfs.open(target, "wb") as w:
             w.write(r.read())
+
+    if len(files) <= 1:
+        for p in files:
+            one(p)
+        return
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+        # list() so the first failure propagates (a half-copied tree
+        # stays unmarked and invisible — the crash-window contract)
+        list(pool.map(one, files))
 
 
 def is_committed(dirpath: str) -> bool:

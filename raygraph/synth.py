@@ -201,6 +201,59 @@ def write_corpus(path: str, n_docs: int, rows_per_file: int = 65_536) -> None:
         part += 1
 
 
+def corpus_zipf(n_docs: int, zipf_a: float = 1.3,
+                seed: int = 0) -> pa.Table:
+    """Hot-entity stress corpus: same interleaved span layout as
+    :func:`corpus` (text + media-caption spans, rotating alias forms)
+    but SUBJECT entities drawn Zipf(``zipf_a``) — the hottest entity
+    absorbs a large share of all triples (e.g. ~28% at a=1.3), the
+    hub-page reality a crawl-scale KG build must survive. This is the
+    stress input for the phase-B salted aggregation (per-batch edge/
+    vertex PARTIALS collapse the hub before any shuffle, SURVEY §4.2):
+    correctness is pinned salted ≡ unsalted
+    (tests/test_pipeline.py::test_agg_strategies_agree_on_zipf_corpus),
+    cost is measured by ``bench.py --skew``. Deterministic in
+    (n_docs, zipf_a, seed); not SQL-replicable (no oracle needs it).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    m = entity_space(n_docs)
+    i = np.arange(n_docs, dtype=np.int64)
+    a = (np.minimum(rng.zipf(zipf_a, n_docs), m) - 1).astype(np.int64)
+    b0 = 1 + (i * _B_MULT + _B_OFF) % m
+    b = np.where(b0 == a, 1 + (b0 % m), b0)
+
+    sf = _surface_series(i, i % 4, a)
+    of = _surface_series(i, (i + 3) % 4, b)
+    cf = _surface_series(i, (i + 1) % 4, a)
+    gf = _surface_series(i, (i + 2) % 4, b)
+    text1 = sf + " is connected to " + of + "."
+    caption = "caption: " + cf + " links " + gf
+    media_ref = pd.Series(i).map("media/edge-{}.png".format)
+
+    n = len(i)
+    offsets = pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32),
+                       pa.int32())
+    kind = np.empty(2 * n, dtype=object)
+    text = np.empty(2 * n, dtype=object)
+    ref = np.empty(2 * n, dtype=object)
+    off = np.zeros(2 * n, dtype=np.int32)
+    kind[0::2], kind[1::2] = "text", "media"
+    text[0::2], text[1::2] = text1.to_numpy(), caption.to_numpy()
+    ref[0::2], ref[1::2] = "", media_ref.to_numpy()
+    off[1::2] = 1
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kind, pa.string()), pa.array(text, pa.string()),
+         pa.array(ref, pa.string()), pa.array(off, pa.int32())],
+        fields=list(DOCUMENT_SCHEMA.field("spans").type.value_type),
+    )
+    spans = pa.ListArray.from_arrays(offsets, struct)
+    doc_ids = pa.array(pd.Series(i).map("doc/{}".format), pa.string())
+    return pa.Table.from_arrays([doc_ids, spans], schema=DOCUMENT_SCHEMA)
+
+
 def line_graph_documents() -> pa.Table:
     """The reference fixture corpus (FIXTURES.md F1): 9 docs, one per edge
     ``i -> i+1`` of the 10-vertex line graph

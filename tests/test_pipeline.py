@@ -156,6 +156,40 @@ def test_agg_strategies_agree(tmp_path):
                 f"{other} table {i} differs"
 
 
+def test_agg_strategies_agree_on_zipf_corpus(tmp_path):
+    """Salted ≡ unsalted under a HOT-ENTITY distribution: the per-batch
+    partial aggregation (the salt inside agg_strategy='hash') must
+    produce tables identical to the plain sort-shuffle groupby when one
+    entity dominates the triple stream — canonicalization's named skew
+    defense (SURVEY §4.2), pinned on a corpus where it actually binds."""
+    n = 400
+    table = synth.corpus_zipf(n, zipf_a=1.2)
+    in_dir = _write_corpus(str(tmp_path), table)
+    outs = {}
+    for strat in ("hash", "shuffle"):
+        cfg = GraphBuildConfig(
+            input_path=in_dir,
+            output_path=os.path.join(str(tmp_path), f"out_{strat}"),
+            num_partitions=4,
+            linker_concurrency=(1, 2),
+            agg_strategy=strat,
+        )
+        res = build_graph(cfg, aliases=synth.alias_inventory(
+            synth.entity_space(n)))
+        v = _read(res.vertices_path).to_pandas() \
+            .sort_values("_key").reset_index(drop=True).sort_index(axis=1)
+        e = _read(res.edges_path).to_pandas() \
+            .sort_values("_key").reset_index(drop=True).sort_index(axis=1)
+        outs[strat] = (v, e)
+    for i in range(2):
+        assert outs["hash"][i].equals(outs["shuffle"][i])
+    # the corpus is genuinely skewed: the hottest subject holds a
+    # multiple of its fair share of the edges
+    e = outs["hash"][1]
+    top = e["_from"].value_counts()
+    assert top.iloc[0] > 5 * len(e) / e["_from"].nunique()
+
+
 def test_doc_count_exact_when_doc_straddles_blocks(ray_session):
     """A document's triples split across blocks must still yield
     doc_count=1 per edge (the exact 4-key dedup inside the reduce)."""

@@ -246,6 +246,29 @@ def test_rename_commit_file_url_refuses_existing_target(tmp_path):
     assert not os.path.isdir(os.path.join(fin, "_tmp-b"))
 
 
+def test_marker_commit_multifile_tree_url(tmp_path, marker_mode):
+    # marker commit of a many-file staged tree through the fsspec
+    # route: the pooled copy must land every file (nested dirs too)
+    # before the marker
+    parent = str(tmp_path)
+    tmp = os.path.join(parent, "_tmp-x")
+    os.makedirs(os.path.join(tmp, "sub"))
+    for i in range(10):
+        with open(os.path.join(tmp, f"f{i:02d}.parquet"), "w") as fh:
+            fh.write(str(i))
+    with open(os.path.join(tmp, "sub", "meta.json"), "w") as fh:
+        fh.write("{}")
+    final = os.path.join(parent, "epoch-00000")
+    stateio.commit_dir("file://" + tmp, "file://" + final)
+    assert stateio.is_committed("file://" + final)
+    assert len(stateio.data_files("file://" + final)) == 10
+    with open(os.path.join(final, "f07.parquet")) as fh:
+        assert fh.read() == "7"
+    with open(os.path.join(final, "sub", "meta.json")) as fh:
+        assert fh.read() == "{}"
+    assert not os.path.exists(tmp)
+
+
 def test_http_stub_sentinel_raises_on_use():
     # when the aiohttp-less sentinel module is installed, probing the
     # class must keep working (Ray's import probe) but USING it must
