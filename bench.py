@@ -689,10 +689,99 @@ def scaling() -> None:
     )
 
 
+def index_bench() -> None:
+    """Bloom-guarded incremental-index evidence (round 5): a mostly-new
+    delta against a large exact-dedup index, v2 (bucketed + bloom
+    sidecars) vs the v1 fallback (sidecars removed → every row joins,
+    every epoch file read). Same survivors by contract; the measured
+    delta is the per-increment cost the guard removes. One JSON line."""
+    import logging
+    import shutil as _sh
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR", object_store_memory=16 << 30)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup_incremental
+
+    n_index = int(os.environ.get("GRAFT_INDEX_DOCS", "2000000"))
+    n_delta = int(os.environ.get("GRAFT_INDEX_DELTA", "20000"))
+
+    def corpus_ds(start, n, dup_every=0):
+        ids = np.arange(start, start + n, dtype=np.int64)
+        # dup_every>0: every k-th doc repeats an INDEXED body
+        body_ids = ids.copy()
+        if dup_every:
+            body_ids[::dup_every] = ids[::dup_every] % n_index
+        texts = ("document body number " + pd.Series(body_ids).astype(str)
+                 + " with a few shared tokens")
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(max(8, n // 200_000))
+
+    base = os.path.join(BENCH_TMP, "index_bench")
+    _sh.rmtree(base, ignore_errors=True)
+    idx_v2 = os.path.join(base, "idx_v2")
+    out: dict = {"metric": "index_bloom", "unit": "sec",
+                 "n_index": n_index, "n_delta": n_delta,
+                 "num_cpus": NUM_CPUS}
+
+    t0 = time.monotonic()
+    exact_dedup_incremental(corpus_ds(0, n_index), idx_v2)
+    out["index_build_sec"] = round(time.monotonic() - t0, 3)
+
+    # v1 twin: same committed hashes, sidecars stripped
+    idx_v1 = os.path.join(base, "idx_v1")
+    _sh.copytree(idx_v2, idx_v1)
+    for root, _dirs, names in os.walk(idx_v1):
+        if "_bloom.json" in names:
+            os.remove(os.path.join(root, "_bloom.json"))
+
+    # two delta shapes: "fresh" (all-new — the hourly crawl micro-batch;
+    # only bloom FPs touch the index, bucket pruning binds) and "mixed"
+    # (25% dups — positives spread across buckets, the win is the
+    # join-side row reduction)
+    for name, start, dup in (("fresh", 10_000_000, 0),
+                             ("mixed", 20_000_000, 4)):
+        secs = {}
+        for variant, idx in (("v2", idx_v2), ("v1", idx_v1)):
+            t0 = time.monotonic()
+            s, _e = exact_dedup_incremental(
+                corpus_ds(start, n_delta, dup_every=dup), idx)
+            n = s.count()
+            secs[variant] = round(time.monotonic() - t0, 3)
+            out.setdefault(f"{name}_survivors", n)
+            assert out[f"{name}_survivors"] == n, (name, n)
+            if variant == "v1":
+                # each increment commits a v2 epoch; keep the v1 twin
+                # sidecar-free so it stays the unguarded control
+                for root, _dirs, names in os.walk(idx_v1):
+                    if "_bloom.json" in names:
+                        os.remove(os.path.join(root, "_bloom.json"))
+        out[f"{name}_v2_sec"] = secs["v2"]
+        out[f"{name}_v1_sec"] = secs["v1"]
+        out[f"{name}_speedup"] = round(secs["v1"] / secs["v2"], 2)
+    _sh.rmtree(base, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--skew" in sys.argv:
         skew()
+    elif "--index" in sys.argv:
+        index_bench()
     else:
         main()

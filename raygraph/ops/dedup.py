@@ -535,6 +535,156 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "id_b": pd.Series(out_b, dtype=dt)})
 
 
+# ---------------------------------------------------- bloom-guarded index
+# Exact-index epoch layout v2: hashes land hash-BUCKETED
+# (``epoch-NNNNN/bucket=B/*.parquet``) with a per-bucket Bloom filter
+# sidecar (``_bloom.json``) committed atomically with the epoch. The
+# increment path tests delta hashes against the blooms FIRST: rows
+# negative in every epoch are definite survivors and never enter the
+# anti-join; only bloom-positive rows join, and only the (epoch,
+# bucket) dirs they actually hit are read. That turns the per-increment
+# index cost from index-sized (read + shuffle every epoch's hashes)
+# into touched-bucket-sized — at a 10^9-hash index and a mostly-new
+# delta, ~FP-rate (<1%) of the index is read instead of all of it.
+# False positives only cost a join lookup (verified exactly), so the
+# survivor set is bit-identical to the unguarded path (pinned by
+# pytest). v1 epochs (flat files, no sidecar) stay readable: their
+# rows count as always-possible and their files always join.
+INDEX_BUCKETS = 64          # bucket-count floor per v2 epoch
+INDEX_ROWS_PER_BUCKET = 100_000   # target hashes per bucket (~4 MB)
+INDEX_MAX_BUCKETS = 4096
+BLOOM_BITS_PER_KEY = 16     # ~0.05% FP at k=11
+BLOOM_K = 11
+# bloom-positive rows at or under this bound resolve via direct
+# per-bucket membership tasks (positive hashes driver-held, touched
+# buckets read in parallel, no Dataset shuffle); above it they fall
+# back to the hash-partitioned anti-join
+POS_BROADCAST_MAX = 200_000
+
+
+def _epoch_bucket_count(n_rows: int | None) -> int:
+    """Buckets for one epoch, sized so each holds
+    ~``INDEX_ROWS_PER_BUCKET`` hashes: a bloom-positive delta row then
+    costs one bucket read (~4 MB) instead of the whole epoch. The count
+    is persisted in the epoch's ``_bloom.json`` (readers never assume
+    it), so the policy can change without invalidating old epochs."""
+    if not n_rows:
+        return INDEX_BUCKETS
+    return int(min(INDEX_MAX_BUCKETS,
+                   max(INDEX_BUCKETS, n_rows // INDEX_ROWS_PER_BUCKET)))
+
+
+def _hash_u64_pair(hashes: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 pairs from sha1 hex strings — the first 32 hex
+    chars parsed as two big-endian u64s, fully vectorized (one C-level
+    join + frombuffer, no per-row int())."""
+    if not len(hashes):
+        z = np.zeros(0, np.uint64)
+        return z, z
+    cat = "".join(hashes.str.slice(0, 32))
+    raw = np.frombuffer(bytes.fromhex(cat), dtype=">u8").reshape(-1, 2)
+    return (raw[:, 0].astype(np.uint64), raw[:, 1].astype(np.uint64))
+
+
+def _bloom_positions(h1, h2, nbits: int, i: int):
+    return (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+
+
+def _bloom_build(h1, h2, nbits: int) -> np.ndarray:
+    bits = np.zeros((nbits + 7) // 8, np.uint8)
+    for i in range(BLOOM_K):
+        pos = _bloom_positions(h1, h2, nbits, i)
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, nbits: int, h1, h2) -> np.ndarray:
+    res = np.ones(len(h1), bool)
+    for i in range(BLOOM_K):
+        pos = _bloom_positions(h1, h2, nbits, i)
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        res &= ((byte >> (pos & np.uint64(7)).astype(np.uint8))
+                & np.uint8(1)).astype(bool)
+        if not res.any():
+            break
+    return res
+
+
+def _exact_epoch_files(index_dir: str, epoch_name: str) -> list[str]:
+    """All hash parquet files of one exact-index epoch, both layouts
+    (v1 flat files + v2 ``bucket=B/`` subdirs)."""
+    from raygraph import stateio
+
+    d = stateio.join(index_dir, epoch_name)
+    out = stateio.data_files(d)
+    for name in stateio.listdir(d):
+        if name.startswith("bucket="):
+            out += stateio.data_files(stateio.join(d, name))
+    return out
+
+
+def _write_exact_epoch(sh_hashes, index_dir: str, epoch: int,
+                       n_rows: int | None = None) -> None:
+    """Stage + commit one v2 exact-index epoch: hashes bucketed by
+    ``h1 % INDEX_BUCKETS``, per-bucket blooms built by Ray tasks (each
+    reads only its bucket's freshly-staged files), ``_bloom.json``
+    written into the staging dir so :func:`raygraph.stateio.commit_dir`
+    makes epoch + sidecar atomic together."""
+    import base64
+
+    import ray
+
+    from raygraph import stateio
+
+    tmp = stateio.join(index_dir, f"_tmp-{epoch:05d}")
+    final = stateio.join(index_dir, f"epoch-{epoch:05d}")
+    stateio.rmtree(tmp)
+    stateio.makedirs(tmp)
+    n_buckets = _epoch_bucket_count(n_rows)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h1, _h2 = _hash_u64_pair(batch.column("content_hash")
+                                 .to_pandas())
+        return batch.append_column(
+            "bucket", pa.array((h1 % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64()))
+
+    stateio.ray_write_parquet(
+        sh_hashes.map_batches(add_bucket, batch_format="pyarrow"),
+        tmp, partition_cols=["bucket"])
+
+    @ray.remote
+    def bucket_bloom(files: list[str]) -> tuple[int, bytes]:
+        import pandas as _pd
+
+        from raygraph import stateio as _st
+
+        h = _pd.concat(
+            [_st.pq_read_table(f, columns=["content_hash"]).to_pandas()
+             ["content_hash"] for f in files], ignore_index=True)
+        h1, h2 = _hash_u64_pair(h)
+        nbits = max(256, BLOOM_BITS_PER_KEY * len(h))
+        return nbits, zlib.compress(
+            _bloom_build(h1, h2, nbits).tobytes())
+
+    refs = {}
+    for name in stateio.listdir(tmp):
+        if name.startswith("bucket="):
+            refs[name.split("=", 1)[1]] = bucket_bloom.remote(
+                stateio.data_files(stateio.join(tmp, name)))
+    meta = {"version": 2, "n_buckets": n_buckets, "k": BLOOM_K,
+            "bits_per_key": BLOOM_BITS_PER_KEY, "buckets": {}}
+    for b, r in refs.items():
+        nbits, blob = ray.get(r)
+        meta["buckets"][b] = {
+            "nbits": nbits,
+            "bits": base64.b64encode(blob).decode()}
+    stateio.write_json_atomic(stateio.join(tmp, "_bloom.json"), meta)
+    stateio.commit_dir(tmp, final)
+
+
 def exact_dedup_incremental(delta, index_dir: str,
                             text_col: str = "text",
                             id_col: str = "doc_id"):
@@ -586,26 +736,204 @@ def exact_dedup_incremental(delta, index_dir: str,
     stateio.makedirs(index_dir)
     epochs = stateio.committed_dirs(index_dir, "epoch-")
     if epochs:
-        # list FILES explicitly: read_parquet expands a single dir
-        # path but not directories inside a list argument
-        files = [f for e in epochs
-                 for f in stateio.data_files(stateio.join(index_dir, e))]
-        known = stateio.ray_read_parquet(files, columns=["content_hash"])
-        sh = cogroup_join(sh, known, on="content_hash",
-                          how="left_anti")
+        sh = _index_anti_join(sh, index_dir, epochs, cogroup_join)
     sh = sh.materialize()
 
     epoch = int(epochs[-1].split("-")[1]) + 1 if epochs else 0
-    tmp = stateio.join(index_dir, f"_tmp-{epoch:05d}")
-    final = stateio.join(index_dir, f"epoch-{epoch:05d}")
-    stateio.rmtree(tmp)
-    # pre-create: a fully-deduped delta writes 0 rows and no dir, but
-    # the epoch must still commit (it records "this delta ran")
-    stateio.makedirs(tmp)
-    stateio.ray_write_parquet(sh.select_columns(["content_hash"]), tmp)
-    stateio.commit_dir(tmp, final)
+    # the epoch must commit even for a fully-deduped delta (0 rows —
+    # it records "this delta ran"): _write_exact_epoch stages an empty
+    # bucketed dir + empty bloom sidecar and commits it
+    _write_exact_epoch(sh.select_columns(["content_hash"]), index_dir,
+                       epoch, n_rows=sh.count())
 
     return sh.drop_columns(["content_hash"]), epoch
+
+
+def _index_anti_join(sh, index_dir: str, epochs: list[str],
+                     cogroup_join):
+    """Drop delta rows whose content hash exists in the committed
+    index — bloom-guarded: rows negative in every epoch's bucket bloom
+    bypass the join entirely (they are definite survivors), and the
+    join reads only the (epoch, bucket) dirs the positive rows hit.
+    v1 epochs (no sidecar) make every row positive and contribute all
+    their files — mixed indexes stay exact."""
+    import base64
+
+    import ray
+
+    from raygraph import stateio
+    from raygraph.ops.graph import _repaired
+
+    from .relational import dataset_arrow_schema
+
+    metas = []
+    for e in epochs:
+        bp = stateio.join(index_dir, e, "_bloom.json")
+        metas.append(stateio.read_json(bp) if stateio.exists(bp)
+                     else None)
+
+    if all(m is None for m in metas):
+        # pure-v1 index: the original full anti-join (list FILES
+        # explicitly — read_parquet expands a single dir path but not
+        # directories inside a list argument)
+        files = [f for e in epochs
+                 for f in _exact_epoch_files(index_dir, e)]
+        known = stateio.ray_read_parquet(files,
+                                         columns=["content_hash"])
+        return cogroup_join(sh, known, on="content_hash",
+                            how="left_anti")
+
+    blooms: dict = {}    # (epoch_idx, bucket_str) -> (nbits, np bits)
+    for ei, m in enumerate(metas):
+        if m is None:
+            continue
+        for b, spec in m["buckets"].items():
+            blooms[(ei, b)] = (
+                int(spec["nbits"]),
+                np.frombuffer(zlib.decompress(
+                    base64.b64decode(spec["bits"])), np.uint8))
+    bloom_ref = ray.put(blooms)
+    nb_per_epoch = [None if m is None else int(m["n_buckets"])
+                    for m in metas]
+    has_v1 = any(m is None for m in metas)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bl = _ray.get(bloom_ref)
+        h = batch.column("content_hash").to_pandas()
+        h1, h2 = _hash_u64_pair(h)
+        possible = np.full(len(h), has_v1)   # v1 rows: always possible
+        for ei, nb in enumerate(nb_per_epoch):
+            if nb is None:
+                continue
+            bucket = (h1 % np.uint64(nb)).astype(np.int64)
+            for b in np.unique(bucket):
+                spec = bl.get((ei, str(b)))
+                if spec is None:
+                    continue            # empty bucket: impossible
+                idx = bucket == b
+                possible[idx] |= _bloom_test(spec[1], spec[0],
+                                             h1[idx], h2[idx])
+        return batch.append_column("__possible",
+                                   pa.array(possible, pa.bool_()))
+
+    schema = dataset_arrow_schema(sh)
+    tagged = sh.map_batches(classify,
+                            batch_format="pyarrow").materialize()
+
+    def split(keep_possible: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = batch.column("__possible")
+            if not keep_possible:
+                mask = pc.invert(mask)
+            return batch.filter(mask).drop_columns(["__possible"])
+
+        return fn
+
+    neg = _repaired(tagged.map_batches(split(False),
+                                       batch_format="pyarrow"), schema)
+    pos = _repaired(tagged.map_batches(split(True),
+                                       batch_format="pyarrow"), schema)
+    n_pos = pos.count()
+    if n_pos == 0:
+        return neg
+
+    if n_pos <= POS_BROADCAST_MAX:
+        # fast path for the production micro-batch shape: the positive
+        # HASHES (true dups + the sub-0.1% bloom FPs) fit the driver,
+        # so resolve membership with one parallel task per touched
+        # (epoch, bucket) — each reads only its bucket's files and
+        # checks the driver-supplied subset — and drop via one
+        # broadcast is_in filter. No Dataset shuffle, no untouched
+        # bucket read.
+        import ray
+
+        ph = pos.select_columns(["content_hash"]).to_pandas()[
+            "content_hash"]
+        h1, _h2 = _hash_u64_pair(ph)
+        groups: dict = {}   # (ei, bucket|-1) -> set of hashes to check
+        for ei, nb in enumerate(nb_per_epoch):
+            if nb is None:     # v1 epoch: every positive, all files
+                groups[(ei, -1)] = set(ph)
+                continue
+            bucket = (h1 % np.uint64(nb)).astype(np.int64)
+            for b in np.unique(bucket):
+                groups[(ei, int(b))] = set(ph[bucket == b])
+
+        @ray.remote
+        def check(files: list[str], hashes: set) -> set:
+            from raygraph import stateio as _st
+
+            found: set = set()
+            for f in files:
+                col = _st.pq_read_table(
+                    f, columns=["content_hash"]).column("content_hash")
+                found |= set(col.to_pylist()) & hashes
+                if len(found) == len(hashes):
+                    break
+            return found
+
+        refs = []
+        for (ei, b), hashes in groups.items():
+            if b == -1:
+                files = _exact_epoch_files(index_dir, epochs[ei])
+            else:
+                files = stateio.data_files(stateio.join(
+                    index_dir, epochs[ei], f"bucket={b}"))
+            if files:
+                refs.append(check.remote(files, hashes))
+        known: set = set()
+        for r in refs:
+            known |= ray.get(r)
+        if not known:
+            return _repaired(neg.union(pos), schema)
+        known_arr = pa.array(sorted(known), pa.string())
+
+        def drop_known(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.invert(pc.is_in(
+                batch.column("content_hash"), value_set=known_arr)))
+
+        kept = pos.map_batches(drop_known, batch_format="pyarrow")
+        return _repaired(neg.union(_repaired(kept, schema)), schema)
+
+    # heavy-duplication fallback: hash-partitioned anti-join over the
+    # touched buckets (plus every v1 epoch file)
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        h1b, _ = _hash_u64_pair(batch.column("content_hash").to_pandas())
+        eis, bks = [], []
+        for ei, nb in enumerate(nb_per_epoch):
+            if nb is None:
+                continue
+            u = np.unique(h1b % np.uint64(nb)).astype(np.int64)
+            bks.extend(u.tolist())
+            eis.extend([ei] * len(u))
+        return pa.table({"ei": pa.array(eis, pa.int32()),
+                         "bucket": pa.array(bks, pa.int64())})
+
+    hits = pos.map_batches(hit_rows, batch_format="pyarrow") \
+        .to_pandas().drop_duplicates()
+    touched = set(zip(hits["ei"].astype(int), hits["bucket"].astype(int)))
+
+    files = []
+    for ei, e in enumerate(epochs):
+        if metas[ei] is None:
+            files += _exact_epoch_files(index_dir, e)
+        else:
+            d = stateio.join(index_dir, e)
+            for name in stateio.listdir(d):
+                if name.startswith("bucket=") and \
+                        (ei, int(name.split("=", 1)[1])) in touched:
+                    files += stateio.data_files(stateio.join(d, name))
+    if not files:
+        return _repaired(neg.union(pos), schema)
+    known = stateio.ray_read_parquet(files, columns=["content_hash"])
+    kept = cogroup_join(pos, known, on="content_hash", how="left_anti")
+    return _repaired(neg.union(_repaired(kept, schema)), schema)
 
 
 def lsh_bucket_stats(ds, num_perm: int = 64, bands: int = 16,
@@ -1189,8 +1517,10 @@ def compact_dedup_index(index_dir: str) -> dict:
     def files(sub=None):
         out = []
         for e in epochs:
-            d = stateio.join(index_dir, e, sub) if sub \
-                else stateio.join(index_dir, e)
+            if sub is None:
+                out += _exact_epoch_files(index_dir, e)
+                continue
+            d = stateio.join(index_dir, e, sub)
             if stateio.isdir(d):
                 out += stateio.data_files(d)
         return out
@@ -1228,16 +1558,26 @@ def compact_dedup_index(index_dir: str) -> dict:
             sch = dataset_arrow_schema(r)
             stateio.ray_write_parquet(distinct(r, ["rep_id"], sch),
                                       stateio.join(tmp, "reps"))
+        stateio.commit_dir(tmp, final)
     else:
         hf = files()
-        stateio.makedirs(tmp)
         if hf:
-            stateio.ray_write_parquet(
-                distinct(stateio.ray_read_parquet(hf),
-                         ["content_hash"],
-                         pa.schema([("content_hash", pa.string())])),
-                tmp)
-    stateio.commit_dir(tmp, final)
+            # compacted exact epochs land in the v2 bucketed+bloom
+            # layout (regardless of input layout) — compaction is also
+            # the v1→v2 migration path
+            _write_exact_epoch(
+                distinct(stateio.ray_read_parquet(
+                    hf, columns=["content_hash"]),
+                    ["content_hash"],
+                    pa.schema([("content_hash", pa.string())])),
+                index_dir, epoch,
+                # metadata-only row estimate (pre-distinct upper
+                # bound) — only sizes the bucket count
+                n_rows=sum(stateio.pq_read_metadata(f).num_rows
+                           for f in hf))
+        else:
+            stateio.makedirs(tmp)
+            stateio.commit_dir(tmp, final)
     for e in epochs:
         stateio.rmtree(stateio.join(index_dir, e))
     return {"epochs_in": len(epochs), "compacted": True,

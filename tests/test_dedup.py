@@ -889,6 +889,143 @@ def test_incremental_dedup_epochs(ray_session, tmp_path):
     assert names == ["epoch-00000", "epoch-00001", "epoch-00002"]
 
 
+def test_bloom_roundtrip_and_fp_rate():
+    # every inserted key tests positive; foreign keys are almost all
+    # negative at ~10 bits/key
+    import hashlib
+
+    import pandas as pd
+
+    from raygraph.ops.dedup import (_bloom_build, _bloom_test,
+                                    _hash_u64_pair)
+
+    keys = pd.Series([hashlib.sha1(f"doc{i}".encode()).hexdigest()
+                      for i in range(2000)])
+    other = pd.Series([hashlib.sha1(f"new{i}".encode()).hexdigest()
+                       for i in range(2000)])
+    h1, h2 = _hash_u64_pair(keys)
+    nbits = 10 * len(keys)
+    bits = _bloom_build(h1, h2, nbits)
+    assert _bloom_test(bits, nbits, h1, h2).all()
+    o1, o2 = _hash_u64_pair(other)
+    fp = _bloom_test(bits, nbits, o1, o2).mean()
+    assert fp < 0.05
+
+
+def test_incremental_dedup_v2_layout_and_v1_compat(ray_session,
+                                                   tmp_path):
+    # v2 epochs are hash-bucketed with a bloom sidecar; a hand-built
+    # v1 epoch (flat files, no sidecar) still participates exactly —
+    # and the mixed-index survivors equal a pure-v1 run
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygraph import stateio
+    from raygraph.ops.dedup import exact_dedup_incremental
+
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    _, e0 = exact_dedup_incremental(rd.from_pandas(base), idx)
+    ep0 = os.path.join(idx, "epoch-00000")
+    assert os.path.exists(os.path.join(ep0, "_bloom.json"))
+    with open(os.path.join(ep0, "_bloom.json")) as fh:
+        meta = json.load(fh)
+    assert meta["version"] == 2 and len(meta["buckets"]) >= 1
+    buckets = [n for n in os.listdir(ep0) if n.startswith("bucket=")]
+    assert buckets and set(meta["buckets"]) == \
+        {b.split("=")[1] for b in buckets}
+
+    # hand-built v1 epoch: flat content_hash file + commit marker
+    ep1 = os.path.join(idx, "epoch-00001")
+    os.makedirs(ep1)
+    pq.write_table(pa.table({"content_hash": pa.array(
+        [hashlib.sha1(b"gamma").hexdigest()], pa.string())}),
+        os.path.join(ep1, "part.parquet"))
+    with open(os.path.join(ep1, stateio.COMMIT_MARKER), "w") as fh:
+        fh.write("")
+
+    delta = pd.DataFrame({"doc_id": [10, 11, 12, 13],
+                          "text": ["alpha", "gamma", "delta", "delta"]})
+    s, e = exact_dedup_incremental(
+        rd.from_pandas(delta).repartition(2), idx)
+    assert e == 2
+    assert sorted(s.to_pandas()["doc_id"]) == [12]  # only 'delta' is new
+    # the new epoch is v2 again
+    assert os.path.exists(os.path.join(idx, "epoch-00002",
+                                       "_bloom.json"))
+
+
+def test_incremental_dedup_bloom_negative_fastpath(ray_session,
+                                                   tmp_path):
+    # an all-new delta must survive entirely (bloom negatives bypass
+    # the join) and a duplicate-heavy delta must still drop everything
+    # known — bit-equal semantics regardless of which path rows take
+    import ray.data as rd
+
+    from raygraph.ops.dedup import exact_dedup_incremental
+
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": range(100),
+                         "text": [f"base doc {i}" for i in range(100)]})
+    exact_dedup_incremental(rd.from_pandas(base), idx)
+
+    fresh = pd.DataFrame({"doc_id": range(1000, 1050),
+                          "text": [f"fresh doc {i}" for i in range(50)]})
+    s, _ = exact_dedup_incremental(rd.from_pandas(fresh), idx)
+    assert s.count() == 50
+
+    mixed = pd.DataFrame({
+        "doc_id": range(2000, 2100),
+        "text": [f"base doc {i}" if i % 2 == 0 else f"mixed doc {i}"
+                 for i in range(100)]})
+    s2, _ = exact_dedup_incremental(rd.from_pandas(mixed), idx)
+    got = sorted(s2.to_pandas()["doc_id"])
+    assert got == [2000 + i for i in range(100) if i % 2 == 1]
+
+
+def test_compact_migrates_exact_index_to_v2(ray_session, tmp_path):
+    # compaction of a mixed (v1+v2) exact index produces ONE v2 epoch
+    # whose hash set is the union, and later increments behave
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raygraph import stateio
+    from raygraph.ops.dedup import (compact_dedup_index,
+                                    exact_dedup_incremental)
+
+    idx = str(tmp_path / "idx")
+    exact_dedup_incremental(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["alpha"]})), idx)
+    ep1 = os.path.join(idx, "epoch-00001")
+    os.makedirs(ep1)
+    pq.write_table(pa.table({"content_hash": pa.array(
+        [hashlib.sha1(b"beta").hexdigest()], pa.string())}),
+        os.path.join(ep1, "part.parquet"))
+    with open(os.path.join(ep1, stateio.COMMIT_MARKER), "w") as fh:
+        fh.write("")
+
+    stats = compact_dedup_index(idx)
+    assert stats["compacted"] and stats["layout"] == "exact"
+    ep2 = os.path.join(idx, "epoch-00002")
+    assert os.path.exists(os.path.join(ep2, "_bloom.json"))
+    assert sorted(n for n in os.listdir(idx)
+                  if n.startswith("epoch-")) == ["epoch-00002"]
+
+    delta = pd.DataFrame({"doc_id": [7, 8, 9],
+                          "text": ["alpha", "beta", "new"]})
+    s, _ = exact_dedup_incremental(rd.from_pandas(delta), idx)
+    assert sorted(s.to_pandas()["doc_id"]) == [9]
+
+
 def test_incremental_dedup_ignores_crashed_tmp(ray_session, tmp_path):
     # a crashed commit leaves a _tmp- dir; later runs must neither
     # read it as an epoch nor trip over it
