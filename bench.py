@@ -771,6 +771,40 @@ def index_bench() -> None:
         out[f"{name}_v2_sec"] = secs["v2"]
         out[f"{name}_v1_sec"] = secs["v1"]
         out[f"{name}_speedup"] = round(secs["v1"] / secs["v2"], 2)
+
+    # near-dup band index: same v2-vs-stripped-control comparison (the
+    # guard drops bloom-negative delta band rows pre-join and reads
+    # only touched band buckets)
+    from raygraph.ops.dedup import minhash_dedup_incremental
+
+    n_near = int(os.environ.get("GRAFT_INDEX_NEAR_DOCS",
+                                str(n_index // 10)))
+    n_near_delta = max(1000, n_delta // 4)
+    near_v2 = os.path.join(base, "near_v2")
+    t0 = time.monotonic()
+    minhash_dedup_incremental(corpus_ds(0, n_near), near_v2,
+                              threshold=0.9, bands=8, shingle="word")
+    out["near_build_sec"] = round(time.monotonic() - t0, 3)
+    near_v1 = os.path.join(base, "near_v1")
+    _sh.copytree(near_v2, near_v1)
+    for root, _dirs, names in os.walk(near_v1):
+        if "_bands_bloom.json" in names:
+            os.remove(os.path.join(root, "_bands_bloom.json"))
+    for variant, idx in (("v2", near_v2), ("v1", near_v1)):
+        t0 = time.monotonic()
+        s, _e = minhash_dedup_incremental(
+            corpus_ds(30_000_000, n_near_delta, dup_every=4), idx,
+            threshold=0.9, bands=8, shingle="word")
+        n = s.count()
+        out[f"near_{variant}_sec"] = round(time.monotonic() - t0, 3)
+        out.setdefault("near_survivors", n)
+        assert out["near_survivors"] == n, n
+        if variant == "v1":
+            for root, _dirs, names in os.walk(near_v1):
+                if "_bands_bloom.json" in names:
+                    os.remove(os.path.join(root, "_bands_bloom.json"))
+    out["near_speedup"] = round(out["near_v1_sec"] / out["near_v2_sec"],
+                                2)
     _sh.rmtree(base, ignore_errors=True)
     ray.shutdown()
     print(json.dumps(out))

@@ -612,17 +612,74 @@ def _bloom_test(bits: np.ndarray, nbits: int, h1, h2) -> np.ndarray:
     return res
 
 
-def _exact_epoch_files(index_dir: str, epoch_name: str) -> list[str]:
-    """All hash parquet files of one exact-index epoch, both layouts
-    (v1 flat files + v2 ``bucket=B/`` subdirs)."""
+def _u64_mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates band keys into bloom probes."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _band_key_u64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 pairs for (band_id, band_hash) rows — the LSH
+    band index's bloom/bucket key."""
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+    bi = batch.column("band_id").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    h1 = _u64_mix(bh * np.uint64(0x9E3779B97F4A7C15) + bi)
+    return h1, _u64_mix(h1) | np.uint64(1)
+
+
+def _build_dir_blooms(dirpath: str, key_cols: list[str],
+                      key_fn) -> dict:
+    """Per-bucket bloom sidecar payload for a freshly-staged bucketed
+    directory: one Ray task per ``bucket=B`` subdir reads its files,
+    derives (h1, h2) via ``key_fn`` and returns the packed filter."""
+    import base64
+
+    import ray
+
     from raygraph import stateio
 
-    d = stateio.join(index_dir, epoch_name)
+    @ray.remote
+    def one(files: list[str]):
+        tbl = pa.concat_tables(
+            [stateio.pq_read_table(f, columns=key_cols) for f in files])
+        h1, h2 = key_fn(tbl)
+        nbits = max(256, BLOOM_BITS_PER_KEY * len(h1))
+        return nbits, zlib.compress(_bloom_build(h1, h2, nbits).tobytes())
+
+    refs = {}
+    for name in stateio.listdir(dirpath):
+        if name.startswith("bucket="):
+            refs[name.split("=", 1)[1]] = one.remote(
+                stateio.data_files(stateio.join(dirpath, name)))
+    buckets = {}
+    for b, r in refs.items():
+        nbits, blob = ray.get(r)
+        buckets[b] = {"nbits": nbits,
+                      "bits": base64.b64encode(blob).decode()}
+    return buckets
+
+
+def _nested_data_files(d: str) -> list[str]:
+    """Payload files of a possibly-bucketed directory: flat files (v1)
+    plus one level of ``bucket=B/`` subdirs (v2)."""
+    from raygraph import stateio
+
     out = stateio.data_files(d)
     for name in stateio.listdir(d):
         if name.startswith("bucket="):
             out += stateio.data_files(stateio.join(d, name))
     return out
+
+
+def _exact_epoch_files(index_dir: str, epoch_name: str) -> list[str]:
+    """All hash parquet files of one exact-index epoch, both layouts
+    (v1 flat files + v2 ``bucket=B/`` subdirs)."""
+    from raygraph import stateio
+
+    return _nested_data_files(stateio.join(index_dir, epoch_name))
 
 
 def _write_exact_epoch(sh_hashes, index_dir: str, epoch: int,
@@ -632,10 +689,6 @@ def _write_exact_epoch(sh_hashes, index_dir: str, epoch: int,
     reads only its bucket's freshly-staged files), ``_bloom.json``
     written into the staging dir so :func:`raygraph.stateio.commit_dir`
     makes epoch + sidecar atomic together."""
-    import base64
-
-    import ray
-
     from raygraph import stateio
 
     tmp = stateio.join(index_dir, f"_tmp-{epoch:05d}")
@@ -655,32 +708,12 @@ def _write_exact_epoch(sh_hashes, index_dir: str, epoch: int,
         sh_hashes.map_batches(add_bucket, batch_format="pyarrow"),
         tmp, partition_cols=["bucket"])
 
-    @ray.remote
-    def bucket_bloom(files: list[str]) -> tuple[int, bytes]:
-        import pandas as _pd
-
-        from raygraph import stateio as _st
-
-        h = _pd.concat(
-            [_st.pq_read_table(f, columns=["content_hash"]).to_pandas()
-             ["content_hash"] for f in files], ignore_index=True)
-        h1, h2 = _hash_u64_pair(h)
-        nbits = max(256, BLOOM_BITS_PER_KEY * len(h))
-        return nbits, zlib.compress(
-            _bloom_build(h1, h2, nbits).tobytes())
-
-    refs = {}
-    for name in stateio.listdir(tmp):
-        if name.startswith("bucket="):
-            refs[name.split("=", 1)[1]] = bucket_bloom.remote(
-                stateio.data_files(stateio.join(tmp, name)))
     meta = {"version": 2, "n_buckets": n_buckets, "k": BLOOM_K,
-            "bits_per_key": BLOOM_BITS_PER_KEY, "buckets": {}}
-    for b, r in refs.items():
-        nbits, blob = ray.get(r)
-        meta["buckets"][b] = {
-            "nbits": nbits,
-            "bits": base64.b64encode(blob).decode()}
+            "bits_per_key": BLOOM_BITS_PER_KEY,
+            "buckets": _build_dir_blooms(
+                tmp, ["content_hash"],
+                lambda t: _hash_u64_pair(
+                    t.column("content_hash").to_pandas()))}
     stateio.write_json_atomic(stateio.join(tmp, "_bloom.json"), meta)
     stateio.commit_dir(tmp, final)
 
@@ -1487,6 +1520,140 @@ def minhash_dedup(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
+                      files_fn):
+    """Bloom-guard for the LSH band index: drop delta band rows whose
+    (band_id, band_hash) key cannot exist in any epoch (they can
+    nominate no candidate) and restrict the index read to the
+    ``bucket=B`` dirs the surviving rows hash into. Returns
+    ``(band_files, pruned_delta_bands)``. v1 epochs (no
+    ``_bands_bloom.json``) keep every delta row and contribute all
+    their band files — mixed indexes stay exact; recall is untouched
+    because a bloom NEGATIVE is definite absence."""
+    import base64
+
+    import ray
+
+    from raygraph import stateio
+    from raygraph.ops.graph import _repaired
+
+    from .relational import dataset_arrow_schema
+
+    metas = []
+    for e in epochs:
+        p = stateio.join(index_dir, e, "_bands_bloom.json")
+        metas.append(stateio.read_json(p) if stateio.exists(p)
+                     else None)
+    if all(m is None for m in metas):
+        return files_fn("bands"), delta_bands
+
+    blooms: dict = {}
+    for ei, m in enumerate(metas):
+        if m is None:
+            continue
+        for b, spec in m["buckets"].items():
+            blooms[(ei, b)] = (
+                int(spec["nbits"]),
+                np.frombuffer(zlib.decompress(
+                    base64.b64decode(spec["bits"])), np.uint8))
+    bloom_ref = ray.put(blooms)
+    nb_per_epoch = [None if m is None else int(m["n_buckets"])
+                    for m in metas]
+    has_v1 = any(m is None for m in metas)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bl = _ray.get(bloom_ref)
+        h1, h2 = _band_key_u64(batch)
+        possible = np.full(len(h1), has_v1)
+        for ei, nb in enumerate(nb_per_epoch):
+            if nb is None:
+                continue
+            bucket = (h1 % np.uint64(nb)).astype(np.int64)
+            for b in np.unique(bucket):
+                spec = bl.get((ei, str(b)))
+                if spec is None:
+                    continue
+                idx = bucket == b
+                possible[idx] |= _bloom_test(spec[1], spec[0],
+                                             h1[idx], h2[idx])
+        return batch.append_column("__possible",
+                                   pa.array(possible, pa.bool_()))
+
+    schema = dataset_arrow_schema(delta_bands)
+    tagged = delta_bands.map_batches(
+        classify, batch_format="pyarrow").materialize()
+
+    def keep_possible(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(batch.column("__possible")) \
+            .drop_columns(["__possible"])
+
+    pos = _repaired(tagged.map_batches(keep_possible,
+                                       batch_format="pyarrow"), schema)
+    if pos.count() == 0:
+        return ([f for ei, e in enumerate(epochs) if metas[ei] is None
+                 for f in _nested_data_files(
+                     stateio.join(index_dir, e, "bands"))],
+                pos)
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        h1, _ = _band_key_u64(batch)
+        eis, bks = [], []
+        for ei, nb in enumerate(nb_per_epoch):
+            if nb is None:
+                continue
+            u = np.unique(h1 % np.uint64(nb)).astype(np.int64)
+            bks.extend(u.tolist())
+            eis.extend([ei] * len(u))
+        return pa.table({"ei": pa.array(eis, pa.int32()),
+                         "bucket": pa.array(bks, pa.int64())})
+
+    hits = pos.map_batches(hit_rows, batch_format="pyarrow") \
+        .to_pandas().drop_duplicates()
+    touched = set(zip(hits["ei"].astype(int),
+                      hits["bucket"].astype(int)))
+    band_files: list[str] = []
+    for ei, e in enumerate(epochs):
+        d = stateio.join(index_dir, e, "bands")
+        if metas[ei] is None:
+            band_files += _nested_data_files(d)
+            continue
+        for name in stateio.listdir(d):
+            if name.startswith("bucket=") and \
+                    (ei, int(name.split("=", 1)[1])) in touched:
+                band_files += stateio.data_files(stateio.join(d, name))
+    return band_files, pos
+
+
+def _write_band_index(surv_bands, tmp: str, n_band_rows: int) -> None:
+    """Stage the bands side of a near-dup epoch bucketed by the band
+    key, build per-bucket blooms, and drop ``_bands_bloom.json`` into
+    the staging dir (committed atomically with the epoch)."""
+    from raygraph import stateio
+
+    n_buckets = _epoch_bucket_count(n_band_rows)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h1, _ = _band_key_u64(batch)
+        return batch.append_column(
+            "bucket", pa.array((h1 % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64()))
+
+    stateio.ray_write_parquet(
+        surv_bands.map_batches(add_bucket, batch_format="pyarrow"),
+        stateio.join(tmp, "bands"), partition_cols=["bucket"])
+    meta = {"version": 2, "n_buckets": n_buckets, "k": BLOOM_K,
+            "bits_per_key": BLOOM_BITS_PER_KEY,
+            "buckets": _build_dir_blooms(
+                stateio.join(tmp, "bands"),
+                ["band_id", "band_hash"], _band_key_u64)}
+    stateio.write_json_atomic(
+        stateio.join(tmp, "_bands_bloom.json"), meta)
+
+
 def compact_dedup_index(index_dir: str) -> dict:
     """Merge every epoch of an incremental-dedup index into ONE — the
     offline maintenance pass that keeps epoch counts bounded without
@@ -1522,7 +1689,7 @@ def compact_dedup_index(index_dir: str) -> dict:
                 continue
             d = stateio.join(index_dir, e, sub)
             if stateio.isdir(d):
-                out += stateio.data_files(d)
+                out += _nested_data_files(d)
         return out
 
     def distinct(ds, keys, schema):
@@ -1543,14 +1710,19 @@ def compact_dedup_index(index_dir: str) -> dict:
         stateio.makedirs(stateio.join(tmp, "bands"))
         stateio.makedirs(stateio.join(tmp, "reps"))
         if bf:
-            b = stateio.ray_read_parquet(bf)
+            b = stateio.ray_read_parquet(
+                bf, columns=["band_id", "band_hash", "rep_id"])
             sch = pa.schema([("band_id", pa.int32()),
                              ("band_hash", pa.int64()),
                              ("rep_id", dataset_arrow_schema(b)
                               .field("rep_id").type)])
-            stateio.ray_write_parquet(
+            # compacted bands land bucketed + bloomed (the v1→v2
+            # migration path, same as the exact layout)
+            _write_band_index(
                 distinct(b, ["band_id", "band_hash", "rep_id"], sch),
-                stateio.join(tmp, "bands"))
+                tmp,
+                n_band_rows=sum(stateio.pq_read_metadata(f).num_rows
+                                for f in bf))
         if rf:
             r = stateio.ray_read_parquet(rf)
             # reps carry (rep_id, text) in text-verify indexes and
@@ -1657,7 +1829,7 @@ def minhash_dedup_incremental(delta, index_dir: str,
         for e in epochs:
             d = stateio.join(index_dir, e, sub)
             if stateio.isdir(d):
-                out += stateio.data_files(d)
+                out += _nested_data_files(d)
         return out
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -1672,13 +1844,19 @@ def minhash_dedup_incremental(delta, index_dir: str,
     delta = delta.materialize()
     nb = num_buckets or lsh_num_buckets(delta.count(), bands)
     remaining = delta
-    band_files = files("bands")
+    delta_bands = delta.map_batches(band_rows, batch_format="pyarrow")
+    if epochs:
+        band_files, delta_bands = _prune_band_index(
+            index_dir, epochs, delta_bands, files)
+    else:
+        band_files = []
     if band_files:
-        idx_bands = stateio.ray_read_parquet(band_files)
+        idx_bands = stateio.ray_read_parquet(
+            band_files, columns=["band_id", "band_hash", "rep_id"])
         cand = _repaired(
             hash_aggregate(
                 cogroup_join(
-                    delta.map_batches(band_rows, batch_format="pyarrow"),
+                    delta_bands,
                     idx_bands, on=["band_id", "band_hash"],
                     how="inner", num_buckets=nb)
                 .map_batches(lambda b: b.select([id_col, "rep_id"]),
@@ -1799,14 +1977,14 @@ def minhash_dedup_incremental(delta, index_dir: str,
     stateio.rmtree(tmp)
     stateio.makedirs(stateio.join(tmp, "bands"))
     stateio.makedirs(stateio.join(tmp, "reps"))
-    stateio.ray_write_parquet(
+    _write_band_index(
         surv.map_batches(band_rows, batch_format="pyarrow")
         .map_batches(lambda b: pa.table({
             "band_id": b.column("band_id"),
             "band_hash": b.column("band_hash"),
             "rep_id": b.column(id_col).cast(id_type)}),
             batch_format="pyarrow"),
-        stateio.join(tmp, "bands"))
+        tmp, n_band_rows=surv.count() * bands)
 
     if verify == "text":
         def rep_rows(batch: pa.Table) -> pa.Table:

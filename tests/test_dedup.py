@@ -988,6 +988,73 @@ def test_incremental_dedup_bloom_negative_fastpath(ray_session,
     assert got == [2000 + i for i in range(100) if i % 2 == 1]
 
 
+def test_minhash_incremental_band_bloom_guard(ray_session, tmp_path):
+    # near-dup epochs land bucketed with a _bands_bloom.json sidecar;
+    # a v1 band epoch (flat files, no sidecar) mixed in still drops
+    # its near-copies — the guard prunes, never loses recall
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from raygraph import stateio
+    from raygraph.ops.dedup import minhash_dedup_incremental
+
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    lb = ("pack my box with five dozen liquor jugs right now ") * 4
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": [1, 2], "text": [la, lb]})
+    _s, e0 = minhash_dedup_incremental(rd.from_pandas(base), idx,
+                                       threshold=0.9, bands=8,
+                                       shingle="word")
+    ep0 = os.path.join(idx, "epoch-00000")
+    assert os.path.exists(os.path.join(ep0, "_bands_bloom.json"))
+    with open(os.path.join(ep0, "_bands_bloom.json")) as fh:
+        meta = json.load(fh)
+    assert meta["version"] == 2
+    assert any(n.startswith("bucket=")
+               for n in os.listdir(os.path.join(ep0, "bands")))
+
+    # degrade epoch 0 to v1: flatten bands/, drop the sidecar
+    bdir = os.path.join(ep0, "bands")
+    flat = []
+    for n in sorted(os.listdir(bdir)):
+        if n.startswith("bucket="):
+            sub = os.path.join(bdir, n)
+            for f in sorted(os.listdir(sub)):
+                dst = os.path.join(bdir, f"{n.replace('=', '_')}-{f}")
+                shutil.move(os.path.join(sub, f), dst)
+                flat.append(dst)
+            os.rmdir(sub)
+    os.remove(os.path.join(ep0, "_bands_bloom.json"))
+    assert flat
+
+    # delta: near-copy of la (must drop via the v1 epoch), one new doc
+    delta = pd.DataFrame({"doc_id": [10, 11],
+                          "text": [la, "something new entirely here"]})
+    s1, e1 = minhash_dedup_incremental(rd.from_pandas(delta), idx,
+                                       threshold=0.9, bands=8,
+                                       shingle="word")
+    assert e1 == 1
+    assert sorted(r["doc_id"] for r in s1.take_all()) == [11]
+    # the new epoch is guarded again
+    assert os.path.exists(os.path.join(idx, "epoch-00001",
+                                       "_bands_bloom.json"))
+
+    # mixed v1+v2 index: near-copy of lb (v1 epoch) and of the new doc
+    # (v2 epoch) both drop; a fresh doc survives
+    delta2 = pd.DataFrame({
+        "doc_id": [20, 21, 22],
+        "text": [lb, "something new entirely here", "fresh and only"]})
+    s2, _ = minhash_dedup_incremental(rd.from_pandas(delta2), idx,
+                                      threshold=0.9, bands=8,
+                                      shingle="word")
+    assert sorted(r["doc_id"] for r in s2.take_all()) == [22]
+    assert stateio.committed_dirs(idx, "epoch-") == [
+        "epoch-00000", "epoch-00001", "epoch-00002"]
+
+
 def test_compact_migrates_exact_index_to_v2(ray_session, tmp_path):
     # compaction of a mixed (v1+v2) exact index produces ONE v2 epoch
     # whose hash set is the union, and later increments behave
