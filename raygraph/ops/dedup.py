@@ -1526,10 +1526,15 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
     (band_id, band_hash) key cannot exist in any epoch (they can
     nominate no candidate) and restrict the index read to the
     ``bucket=B`` dirs the surviving rows hash into. Returns
-    ``(band_files, pruned_delta_bands)``. v1 epochs (no
-    ``_bands_bloom.json``) keep every delta row and contribute all
-    their band files — mixed indexes stay exact; recall is untouched
-    because a bloom NEGATIVE is definite absence."""
+    ``(band_files, pruned_delta_bands, fast_candidates)``:
+    ``fast_candidates`` (an Arrow (id, rep_id) table) is non-None when
+    the positive rows fit the driver and every epoch is guarded — the
+    candidates were then resolved by one parallel hash-join task per
+    touched (epoch, bucket) and the caller skips the Dataset band join
+    entirely. v1 epochs (no ``_bands_bloom.json``) keep every delta
+    row and contribute all their band files — mixed indexes stay
+    exact; recall is untouched because a bloom NEGATIVE is definite
+    absence."""
     import base64
 
     import ray
@@ -1545,7 +1550,7 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
         metas.append(stateio.read_json(p) if stateio.exists(p)
                      else None)
     if all(m is None for m in metas):
-        return files_fn("bands"), delta_bands
+        return files_fn("bands"), delta_bands, None
 
     blooms: dict = {}
     for ei, m in enumerate(metas):
@@ -1593,11 +1598,61 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
 
     pos = _repaired(tagged.map_batches(keep_possible,
                                        batch_format="pyarrow"), schema)
-    if pos.count() == 0:
+    n_pos = pos.count()
+    if n_pos == 0:
         return ([f for ei, e in enumerate(epochs) if metas[ei] is None
                  for f in _nested_data_files(
                      stateio.join(index_dir, e, "bands"))],
-                pos)
+                pos, None)
+
+    if n_pos <= POS_BROADCAST_MAX and not has_v1:
+        # fast path (mirrors the exact index): the positive band rows
+        # fit the driver, so resolve candidates with one parallel
+        # hash-join task per touched (epoch, bucket) — each reads only
+        # its bucket's band files against the driver-supplied subset —
+        # and skip the Dataset band join entirely
+        id_col = [n for n in schema.names
+                  if n not in ("band_id", "band_hash")][0]
+        pos_tab = pa.concat_tables(
+            [t for t in ray.get(pos.to_arrow_refs()) if t.num_rows])
+        h1, _ = _band_key_u64(pos_tab)
+
+        @ray.remote
+        def bucket_join(files: list[str], sub: pa.Table):
+            import pandas as _pd
+
+            idx = pa.concat_tables(
+                [stateio.pq_read_table(
+                    f, columns=["band_id", "band_hash", "rep_id"])
+                 for f in files]).to_pandas()
+            j = sub.to_pandas().merge(idx, on=["band_id", "band_hash"])
+            return pa.Table.from_pandas(
+                j[[id_col, "rep_id"]].drop_duplicates(),
+                preserve_index=False)
+
+        refs = []
+        for ei, nb in enumerate(nb_per_epoch):
+            bucket = (h1 % np.uint64(nb)).astype(np.int64)
+            d = stateio.join(index_dir, epochs[ei], "bands")
+            for b in np.unique(bucket):
+                files = stateio.data_files(
+                    stateio.join(d, f"bucket={b}"))
+                if files:
+                    refs.append(bucket_join.remote(
+                        files, pos_tab.filter(
+                            pa.array(bucket == b))))
+        pairs = [ray.get(r) for r in refs]
+        pairs = [t for t in pairs if t.num_rows]
+        if not pairs:
+            idt = pos_tab.schema.field(id_col).type
+            cand = pa.table({id_col: pa.array([], idt),
+                             "rep_id": pa.array([], idt)})
+        else:
+            cand = pa.concat_tables(pairs)
+            cand = pa.Table.from_pandas(
+                cand.to_pandas().drop_duplicates(),
+                preserve_index=False)
+        return [], pos, cand
 
     def hit_rows(batch: pa.Table) -> pa.Table:
         h1, _ = _band_key_u64(batch)
@@ -1625,7 +1680,7 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
             if name.startswith("bucket=") and \
                     (ei, int(name.split("=", 1)[1])) in touched:
                 band_files += stateio.data_files(stateio.join(d, name))
-    return band_files, pos
+    return band_files, pos, None
 
 
 def _write_band_index(surv_bands, tmp: str, n_band_rows: int) -> None:
@@ -1845,12 +1900,21 @@ def minhash_dedup_incremental(delta, index_dir: str,
     nb = num_buckets or lsh_num_buckets(delta.count(), bands)
     remaining = delta
     delta_bands = delta.map_batches(band_rows, batch_format="pyarrow")
+    fast_cand = None
     if epochs:
-        band_files, delta_bands = _prune_band_index(
+        band_files, delta_bands, fast_cand = _prune_band_index(
             index_dir, epochs, delta_bands, files)
     else:
         band_files = []
-    if band_files:
+    cand = None
+    if fast_cand is not None:
+        import ray.data as _rd
+
+        if fast_cand.num_rows:
+            cand = _repaired(
+                _rd.from_arrow(fast_cand),
+                pa.schema([(id_col, id_type), ("rep_id", id_type)]))
+    elif band_files:
         idx_bands = stateio.ray_read_parquet(
             band_files, columns=["band_id", "band_hash", "rep_id"])
         cand = _repaired(
@@ -1864,6 +1928,7 @@ def minhash_dedup_incremental(delta, index_dir: str,
                 [id_col, "rep_id"], lambda df: df.drop_duplicates(),
                 num_buckets=nb),
             pa.schema([(id_col, id_type), ("rep_id", id_type)]))
+    if cand is not None:
         if cand.count():
             if verify == "text":
                 def dside(batch: pa.Table) -> pa.Table:
