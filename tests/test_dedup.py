@@ -1055,6 +1055,57 @@ def test_minhash_incremental_band_bloom_guard(ray_session, tmp_path):
         "epoch-00000", "epoch-00001", "epoch-00002"]
 
 
+def test_bloom_guard_equals_unguarded_randomized(ray_session, tmp_path):
+    # property pin for the guard: on random corpora with random
+    # overlap, the guarded (v2) increment and the same index with
+    # sidecars stripped (v1 semantics: everything joins, all files
+    # read) produce identical survivor sets — for the exact AND the
+    # near path
+    import os
+    import shutil
+
+    import numpy as np
+    import ray.data as rd
+
+    from raygraph.ops.dedup import (exact_dedup_incremental,
+                                    minhash_dedup_incremental)
+
+    def strip(idx, name):
+        for root, _d, names in os.walk(idx):
+            if name in names:
+                os.remove(os.path.join(root, name))
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        base = pd.DataFrame({
+            "doc_id": range(300),
+            "text": [f"base {seed} item {rng.randint(200)} body words"
+                     for _ in range(300)]})
+        delta = pd.DataFrame({
+            "doc_id": range(1000, 1200),
+            "text": [(f"base {seed} item {rng.randint(200)} body words"
+                      if rng.rand() < 0.4 else
+                      f"new {seed} item {rng.randint(10**6)} body")
+                     for _ in range(200)]})
+
+        for kind, run in (
+            ("exact", lambda ds, idx: exact_dedup_incremental(ds, idx)),
+            ("near", lambda ds, idx: minhash_dedup_incremental(
+                ds, idx, threshold=0.95, bands=8, shingle="word")),
+        ):
+            v2 = os.path.join(str(tmp_path), f"{kind}_{seed}_v2")
+            run(rd.from_pandas(base).repartition(3), v2)
+            v1 = os.path.join(str(tmp_path), f"{kind}_{seed}_v1")
+            shutil.copytree(v2, v1)
+            strip(v1, "_bloom.json")
+            strip(v1, "_bands_bloom.json")
+            s2, _ = run(rd.from_pandas(delta).repartition(3), v2)
+            s1, _ = run(rd.from_pandas(delta).repartition(3), v1)
+            got2 = sorted(r["doc_id"] for r in s2.take_all())
+            got1 = sorted(r["doc_id"] for r in s1.take_all())
+            assert got2 == got1, (kind, seed)
+
+
 def test_compact_migrates_exact_index_to_v2(ray_session, tmp_path):
     # compaction of a mixed (v1+v2) exact index produces ONE v2 epoch
     # whose hash set is the union, and later increments behave
