@@ -558,8 +558,68 @@ BLOOM_K = 11
 # bloom-positive rows at or under this bound resolve via direct
 # per-bucket membership tasks (positive hashes driver-held, touched
 # buckets read in parallel, no Dataset shuffle); above it they fall
-# back to the hash-partitioned anti-join
+# back to the hash-partitioned anti-join. Fallback when driver memory
+# can't be read — the live bound is :func:`_pos_broadcast_max`.
 POS_BROADCAST_MAX = 200_000
+POS_BYTES_EACH = 256        # hash string + set/arrow overhead
+
+
+def _pos_broadcast_max() -> int:
+    """Memory-derived fast-path bound: how many bloom-positive rows the
+    driver may hold for per-bucket membership resolution (2% of
+    available memory at ~256 B each; floor 50k). Mirrors
+    :func:`auto_broadcast_max_pairs` — the machine sets the bound, the
+    constant is only the no-psutil fallback."""
+    try:
+        import psutil
+
+        avail = int(psutil.virtual_memory().available)
+    except Exception:
+        return POS_BROADCAST_MAX
+    return max(50_000, int(avail * 0.02) // POS_BYTES_EACH)
+
+
+def _bloom_budget_bytes() -> int:
+    """Cap on decoded bloom bytes held at once during an increment
+    (10% of available memory; 1 GiB fallback). Epochs whose sidecars
+    would exceed the remaining budget are treated as unguarded (v1
+    semantics: rows stay possible, files always join) — correctness
+    is untouched, only their pruning is lost. Binds only on indexes
+    whose TOTAL key count approaches 10^10 (2 B/key); the intended
+    remedy there is wider epochs after compaction, not more driver
+    memory."""
+    try:
+        import psutil
+
+        return int(psutil.virtual_memory().available * 0.10)
+    except Exception:
+        return 1 << 30
+
+
+def _decode_bloom_metas(metas: list) -> tuple[dict, list]:
+    """Decode per-epoch bloom sidecars under the byte budget: returns
+    ``(blooms, effective_metas)`` where epochs that exceed the budget
+    have their meta replaced by None (v1 semantics)."""
+    import base64
+
+    budget = _bloom_budget_bytes()
+    blooms: dict = {}
+    eff = list(metas)
+    for ei, m in enumerate(metas):
+        if m is None:
+            continue
+        need = sum((int(s["nbits"]) + 7) // 8
+                   for s in m["buckets"].values())
+        if need > budget:
+            eff[ei] = None
+            continue
+        budget -= need
+        for b, spec in m["buckets"].items():
+            blooms[(ei, b)] = (
+                int(spec["nbits"]),
+                np.frombuffer(zlib.decompress(
+                    base64.b64decode(spec["bits"])), np.uint8))
+    return blooms, eff
 
 
 def _epoch_bucket_count(n_rows: int | None) -> int:
@@ -790,8 +850,6 @@ def _index_anti_join(sh, index_dir: str, epochs: list[str],
     join reads only the (epoch, bucket) dirs the positive rows hit.
     v1 epochs (no sidecar) make every row positive and contribute all
     their files — mixed indexes stay exact."""
-    import base64
-
     import ray
 
     from raygraph import stateio
@@ -805,10 +863,11 @@ def _index_anti_join(sh, index_dir: str, epochs: list[str],
         metas.append(stateio.read_json(bp) if stateio.exists(bp)
                      else None)
 
+    blooms, metas = _decode_bloom_metas(metas)
     if all(m is None for m in metas):
-        # pure-v1 index: the original full anti-join (list FILES
-        # explicitly — read_parquet expands a single dir path but not
-        # directories inside a list argument)
+        # pure-v1 index (or bloom budget exhausted): the original full
+        # anti-join (list FILES explicitly — read_parquet expands a
+        # single dir path but not directories inside a list argument)
         files = [f for e in epochs
                  for f in _exact_epoch_files(index_dir, e)]
         known = stateio.ray_read_parquet(files,
@@ -816,15 +875,6 @@ def _index_anti_join(sh, index_dir: str, epochs: list[str],
         return cogroup_join(sh, known, on="content_hash",
                             how="left_anti")
 
-    blooms: dict = {}    # (epoch_idx, bucket_str) -> (nbits, np bits)
-    for ei, m in enumerate(metas):
-        if m is None:
-            continue
-        for b, spec in m["buckets"].items():
-            blooms[(ei, b)] = (
-                int(spec["nbits"]),
-                np.frombuffer(zlib.decompress(
-                    base64.b64decode(spec["bits"])), np.uint8))
     bloom_ref = ray.put(blooms)
     nb_per_epoch = [None if m is None else int(m["n_buckets"])
                     for m in metas]
@@ -874,7 +924,7 @@ def _index_anti_join(sh, index_dir: str, epochs: list[str],
     if n_pos == 0:
         return neg
 
-    if n_pos <= POS_BROADCAST_MAX:
+    if n_pos <= _pos_broadcast_max():
         # fast path for the production micro-batch shape: the positive
         # HASHES (true dups + the sub-0.1% bloom FPs) fit the driver,
         # so resolve membership with one parallel task per touched
@@ -1535,8 +1585,6 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
     row and contribute all their band files — mixed indexes stay
     exact; recall is untouched because a bloom NEGATIVE is definite
     absence."""
-    import base64
-
     import ray
 
     from raygraph import stateio
@@ -1549,18 +1597,10 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
         p = stateio.join(index_dir, e, "_bands_bloom.json")
         metas.append(stateio.read_json(p) if stateio.exists(p)
                      else None)
+    blooms, metas = _decode_bloom_metas(metas)
     if all(m is None for m in metas):
         return files_fn("bands"), delta_bands, None
 
-    blooms: dict = {}
-    for ei, m in enumerate(metas):
-        if m is None:
-            continue
-        for b, spec in m["buckets"].items():
-            blooms[(ei, b)] = (
-                int(spec["nbits"]),
-                np.frombuffer(zlib.decompress(
-                    base64.b64decode(spec["bits"])), np.uint8))
     bloom_ref = ray.put(blooms)
     nb_per_epoch = [None if m is None else int(m["n_buckets"])
                     for m in metas]
@@ -1605,7 +1645,7 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
                      stateio.join(index_dir, e, "bands"))],
                 pos, None)
 
-    if n_pos <= POS_BROADCAST_MAX and not has_v1:
+    if n_pos <= _pos_broadcast_max() and not has_v1:
         # fast path (mirrors the exact index): the positive band rows
         # fit the driver, so resolve candidates with one parallel
         # hash-join task per touched (epoch, bucket) — each reads only

@@ -1055,6 +1055,28 @@ def test_minhash_incremental_band_bloom_guard(ray_session, tmp_path):
         "epoch-00000", "epoch-00001", "epoch-00002"]
 
 
+def test_bloom_budget_eviction_falls_back_exact(ray_session, tmp_path,
+                                                monkeypatch):
+    # when the decoded blooms would exceed the driver budget, epochs
+    # are treated as unguarded (v1 semantics) — results unchanged
+    import ray.data as rd
+
+    from raygraph.ops import dedup as dd
+
+    idx = str(tmp_path / "idx")
+    base = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    dd.exact_dedup_incremental(rd.from_pandas(base), idx)
+
+    monkeypatch.setattr(dd, "_bloom_budget_bytes", lambda: 1)
+    delta = pd.DataFrame({"doc_id": [10, 11],
+                          "text": ["alpha", "fresh"]})
+    s, _ = dd.exact_dedup_incremental(rd.from_pandas(delta), idx)
+    assert sorted(s.to_pandas()["doc_id"]) == [11]
+    # derived bounds are sane and fall back without psutil readings
+    assert dd._pos_broadcast_max() >= 50_000
+    assert dd._bloom_budget_bytes() == 1  # the monkeypatch held
+
+
 def test_bloom_guard_equals_unguarded_randomized(ray_session, tmp_path):
     # property pin for the guard: on random corpora with random
     # overlap, the guarded (v2) increment and the same index with
