@@ -690,6 +690,17 @@ def _band_key_u64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return h1, _u64_mix(h1) | np.uint64(1)
 
 
+def _id_key_u64(col) -> np.ndarray:
+    """Deterministic uint64 key for a rep-id column (int or string) —
+    pandas' stable hash (fixed hash_key, no PYTHONHASHSEED dependence)
+    mixed once more. Writers bucket reps by it; readers recompute it
+    for candidate ids to prune the reps read."""
+    s = col.to_pandas() if hasattr(col, "to_pandas") else pd.Series(col)
+    h = pd.util.hash_pandas_object(s, index=False) \
+        .to_numpy().astype(np.uint64)
+    return _u64_mix(h)
+
+
 def _build_dir_blooms(dirpath: str, key_cols: list[str],
                       key_fn) -> dict:
     """Per-bucket bloom sidecar payload for a freshly-staged bucketed
@@ -1749,6 +1760,55 @@ def _write_band_index(surv_bands, tmp: str, n_band_rows: int) -> None:
         stateio.join(tmp, "_bands_bloom.json"), meta)
 
 
+def _write_reps_index(rep_rows_ds, tmp: str, n_reps: int) -> None:
+    """Stage the reps side of a near-dup epoch bucketed by the stable
+    rep-id hash (``_reps_meta.json`` records the bucket count), so an
+    increment whose candidates are driver-held reads only the bucket
+    dirs its candidate rep_ids land in instead of every rep."""
+    from raygraph import stateio
+
+    n_buckets = _epoch_bucket_count(n_reps)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = _id_key_u64(batch.column("rep_id"))
+        return batch.append_column(
+            "bucket", pa.array((k % np.uint64(n_buckets))
+                               .astype(np.int64), pa.int64()))
+
+    stateio.ray_write_parquet(
+        rep_rows_ds.map_batches(add_bucket, batch_format="pyarrow"),
+        stateio.join(tmp, "reps"), partition_cols=["bucket"])
+    stateio.write_json_atomic(stateio.join(tmp, "_reps_meta.json"),
+                              {"version": 2, "n_buckets": n_buckets})
+
+
+def _prune_reps_files(index_dir: str, epochs: list[str],
+                      cand_rep_ids, files_fn) -> list[str]:
+    """Reps files needed to verify the given candidate rep ids:
+    bucketed (v2) epochs contribute only the bucket dirs those ids
+    hash into; v1 epochs contribute all their files. ``cand_rep_ids``
+    None (candidates not driver-held) reads everything."""
+    from raygraph import stateio
+
+    if cand_rep_ids is None:
+        return files_fn("reps")
+    out: list[str] = []
+    keys = None
+    for e in epochs:
+        mp = stateio.join(index_dir, e, "_reps_meta.json")
+        d = stateio.join(index_dir, e, "reps")
+        if not stateio.exists(mp):
+            if stateio.isdir(d):
+                out += _nested_data_files(d)
+            continue
+        nb = int(stateio.read_json(mp)["n_buckets"])
+        if keys is None:
+            keys = _id_key_u64(cand_rep_ids)
+        for b in np.unique((keys % np.uint64(nb)).astype(np.int64)):
+            out += stateio.data_files(stateio.join(d, f"bucket={b}"))
+    return out
+
+
 def compact_dedup_index(index_dir: str) -> dict:
     """Merge every epoch of an incremental-dedup index into ONE — the
     offline maintenance pass that keeps epoch counts bounded without
@@ -1821,10 +1881,18 @@ def compact_dedup_index(index_dir: str) -> dict:
         if rf:
             r = stateio.ray_read_parquet(rf)
             # reps carry (rep_id, text) in text-verify indexes and
-            # (rep_id, sig) in signature ones — take the schema as-is
+            # (rep_id, sig) in signature ones — take the schema as-is.
+            # Read dropping any 'bucket' partition column so the
+            # compacted rows re-bucket cleanly.
             sch = dataset_arrow_schema(r)
-            stateio.ray_write_parquet(distinct(r, ["rep_id"], sch),
-                                      stateio.join(tmp, "reps"))
+            if "bucket" in sch.names:
+                keep = [n for n in sch.names if n != "bucket"]
+                r = r.select_columns(keep)
+                sch = pa.schema([sch.field(n) for n in keep])
+            _write_reps_index(
+                distinct(r, ["rep_id"], sch), tmp,
+                n_reps=sum(stateio.pq_read_metadata(f).num_rows
+                           for f in rf))
         stateio.commit_dir(tmp, final)
     else:
         hf = files()
@@ -2009,7 +2077,11 @@ def minhash_dedup_incremental(delta, index_dir: str,
                              delta.map_batches(dside,
                                                batch_format="pyarrow"),
                              on=id_col, num_buckets=nb)
-            rtx = stateio.ray_read_parquet(files("reps"))
+            rep_files = _prune_reps_files(
+                index_dir, epochs,
+                fast_cand.column("rep_id") if fast_cand is not None
+                else None, files)
+            rtx = stateio.ray_read_parquet(rep_files or files("reps"))
             j = cogroup_join(
                 _repaired(j, pa.schema([
                     (id_col, id_type), ("rep_id", id_type), d_field])),
@@ -2104,9 +2176,9 @@ def minhash_dedup_incremental(delta, index_dir: str,
                 "rep_id": batch.column(id_col).cast(id_type),
                 "sig": pa.array(list(sigs), pa.list_(pa.int64()))})
 
-    stateio.ray_write_parquet(
-        surv.map_batches(rep_rows, batch_format="pyarrow"),
-        stateio.join(tmp, "reps"))
+    _write_reps_index(surv.map_batches(rep_rows,
+                                       batch_format="pyarrow"),
+                      tmp, n_reps=surv.count())
     stateio.commit_dir(tmp, final)
 
     return surv, epoch
