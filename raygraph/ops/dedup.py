@@ -935,7 +935,15 @@ def _index_anti_join(sh, index_dir: str, epochs: list[str],
     if n_pos == 0:
         return neg
 
-    if n_pos <= _pos_broadcast_max():
+    import logging
+
+    pos_bound = _pos_broadcast_max()
+    logging.getLogger(__name__).info(
+        "exact-index guard: %d bloom-positive of the delta "
+        "(bound %d) -> %s", n_pos, pos_bound,
+        "per-bucket tasks" if n_pos <= pos_bound
+        else "anti-join over touched buckets")
+    if n_pos <= pos_bound:
         # fast path for the production micro-batch shape: the positive
         # HASHES (true dups + the sub-0.1% bloom FPs) fit the driver,
         # so resolve membership with one parallel task per touched
@@ -1656,7 +1664,13 @@ def _prune_band_index(index_dir: str, epochs: list[str], delta_bands,
                      stateio.join(index_dir, e, "bands"))],
                 pos, None)
 
-    if n_pos <= _pos_broadcast_max() and not has_v1:
+    import logging
+
+    pos_bound = _pos_broadcast_max()
+    logging.getLogger(__name__).info(
+        "band-index guard: %d bloom-positive band rows (bound %d, "
+        "v1 epochs: %s)", n_pos, pos_bound, has_v1)
+    if n_pos <= pos_bound and not has_v1:
         # fast path (mirrors the exact index): the positive band rows
         # fit the driver, so resolve candidates with one parallel
         # hash-join task per touched (epoch, bucket) — each reads only
