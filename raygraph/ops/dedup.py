@@ -625,11 +625,16 @@ def _decode_bloom_metas(metas: list) -> tuple[dict, list]:
 def _epoch_bucket_count(n_rows: int | None) -> int:
     """Buckets for one epoch, sized so each holds
     ~``INDEX_ROWS_PER_BUCKET`` hashes: a bloom-positive delta row then
-    costs one bucket read (~4 MB) instead of the whole epoch. The count
+    costs one bucket read (~4 MB) instead of the whole epoch. Epochs
+    at or under one bucket's worth of rows get exactly ONE bucket —
+    reading them whole is already trivial, and the 64-dir layout +
+    per-bucket bloom tasks would cost more than they prune. The count
     is persisted in the epoch's ``_bloom.json`` (readers never assume
     it), so the policy can change without invalidating old epochs."""
     if not n_rows:
         return INDEX_BUCKETS
+    if n_rows <= INDEX_ROWS_PER_BUCKET:
+        return 1
     return int(min(INDEX_MAX_BUCKETS,
                    max(INDEX_BUCKETS, n_rows // INDEX_ROWS_PER_BUCKET)))
 
