@@ -197,6 +197,44 @@ def test_incremental_minhash_dedup_marker_mode(ray_session, tmp_path,
     assert sorted(r["doc_id"] for r in s2.take_all()) == [3]
 
 
+def test_incremental_minhash_dedup_on_file_url(ray_session, tmp_path):
+    # the NEAR-dup index lifecycle through the fsspec route: guarded
+    # (bucketed bands + bloom/reps sidecars) epochs commit and read
+    # back through file:// URLs, survivors identical to the plain-path
+    # run, convergence holds
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.ops.dedup import minhash_dedup_incremental
+
+    la = ("the quick brown fox jumps over the lazy dog tonight ") * 4
+    base = pd.DataFrame({"doc_id": [1], "text": [la]})
+    delta = pd.DataFrame({"doc_id": [2, 3],
+                          "text": [la, "something else entirely"]})
+
+    def run(idx):
+        minhash_dedup_incremental(rd.from_pandas(base), idx,
+                                  threshold=0.9, bands=8,
+                                  shingle="word")
+        s, e = minhash_dedup_incremental(rd.from_pandas(delta), idx,
+                                         threshold=0.9, bands=8,
+                                         shingle="word")
+        return sorted(r["doc_id"] for r in s.take_all()), e
+
+    plain_rows, plain_e = run(str(tmp_path / "plain"))
+    url_rows, url_e = run("file://" + str(tmp_path / "url"))
+    assert url_rows == plain_rows == [3]
+    assert url_e == plain_e == 1
+    # the guarded layout landed through the URL route
+    ep0 = os.path.join(str(tmp_path), "url", "epoch-00000")
+    assert os.path.exists(os.path.join(ep0, "_bands_bloom.json"))
+    assert os.path.exists(os.path.join(ep0, "_reps_meta.json"))
+    assert any(n.startswith("bucket=")
+               for n in os.listdir(os.path.join(ep0, "bands")))
+
+
 def test_marker_retry_clears_stale_partial(tmp_path, marker_mode):
     # crash mid-copy leaves an UNMARKED partial at final containing
     # files the retried attempt no longer stages; the retry must start
